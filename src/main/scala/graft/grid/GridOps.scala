@@ -1,0 +1,174 @@
+package graft.grid
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Core operators over long-format grid variables
+  * (columns `it, iz, ix, <value>` — SURVEY.md §1.3).
+  *
+  * Design: every stencil is a scatter (explode over the offset list) +
+  * one hash aggregation on the destination cell — a single shuffle keyed
+  * by (it, iz, ix), which at 100 TB co-partitions with time-partitioned
+  * storage. Prefix-sum operators are window functions partitioned by
+  * (it, row) so Spark parallelizes across rows/time steps; nothing is
+  * collected to the driver.
+  */
+object GridOps {
+
+  /** scipy boundary mode 'reflect' ((d c b a | a b c d | d c b a)):
+    * j < 0 -> -j-1 ; j >= n -> 2n-1-j. Valid for |offset| <= n.
+    * Cited semantics: scipy.ndimage.gaussian_filter default mode, used at
+    * /root/reference/src/datasets/vpicdataset.py:364-365.
+    */
+  def mirror(j: Column, n: Int): Column =
+    when(j < 0, -j - 1).when(j >= n, lit(2 * n - 1) - j).otherwise(j)
+
+  /** Inclusive time-range filter (reference `_timeslice`,
+    * /root/reference/src/variables/statmeshvar.py:95-100). Plain predicate:
+    * partition-prunes when the table is partitioned by `it`/`t`.
+    */
+  def timeslice(df: DataFrame, tCol: String, tmin: Double, tmax: Double): DataFrame =
+    df.filter(col(tCol).between(tmin, tmax))
+
+  /** Inclusive per-dimension spatial range filter with auto-sorted bounds
+    * (reference `_zoom`, statmeshvar.py:102-109; ±inf = no-op per axis).
+    */
+  def zoom(df: DataFrame, ranges: Seq[(String, Double, Double)]): DataFrame =
+    ranges.foldLeft(df) { case (acc, (c, a, b)) =>
+      val (lo, hi) = if (a <= b) (a, b) else (b, a)
+      acc.filter(col(c).between(lo, hi))
+    }
+
+  /** Flux function psi from 2-D field components (reference `calc_fluxfn`,
+    * vpicdataset.py:247-293): IC = running sum of b2*d0 along iz at ix=0;
+    * psi = running sum of -b1*d1 along ix + IC. Two window prefix sums —
+    * the additions happen in the same left-to-right order as np.cumsum.
+    */
+  def fluxfn(df: DataFrame, b1: String, b2: String,
+      d0: Double, d1: Double): DataFrame = {
+    val wz = Window.partitionBy("it").orderBy("iz")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ic = df.filter(col("ix") === 0)
+      .withColumn("ic", sum(col(b2) * d0).over(wz))
+      .select(col("it").as("ic_it"), col("iz").as("ic_iz"), col("ic"))
+    val wx = Window.partitionBy("it", "iz").orderBy("ix")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum", sum(-col(b1) * d1).over(wx))
+      .join(ic, col("it") === col("ic_it") && col("iz") === col("ic_iz"))
+      .withColumn("psi", col("cum") + col("ic"))
+      .drop("ic_it", "ic_iz", "cum", "ic")
+  }
+
+  /** Central-difference gradient along one index dimension with one-sided
+    * edges, uniform spacing h (np.gradient semantics for uniform meshes;
+    * reference use at vpicdataset.py:378-379).
+    * `dim` = "iz" (partition by it, ix) or "ix" (partition by it, iz).
+    */
+  def gradient(df: DataFrame, value: String, dim: String, h: Double,
+      out: String): DataFrame = {
+    val part = if (dim == "iz") Seq("it", "ix") else Seq("it", "iz")
+    val w = Window.partitionBy(part.map(col): _*).orderBy(dim)
+    val fp = lead(col(value), 1).over(w)
+    val fm = lag(col(value), 1).over(w)
+    df.withColumn(out,
+      when(fm.isNull, (fp - col(value)) / h)
+        .when(fp.isNull, (col(value) - fm) / h)
+        .otherwise((fp - fm) / (2 * h)))
+  }
+
+  /** Generic separable 1-D stencil pass along `dim` with reflect boundary:
+    * out(p) = combine over k of (weight_k, value(mirror(p+k))).
+    * Implemented as scatter: each cell ships (value, k) to cell p-k... —
+    * gather formulation: explode offsets, read source via mirrored index,
+    * equi-join back to the grid, aggregate. One shuffle join + one agg.
+    */
+  private def stencil1d(df: DataFrame, value: String, dim: String, n: Int,
+      offsets: Seq[Int], agg: Column => Column, weights: Map[Int, Double],
+      out: String): DataFrame = {
+    val other = if (dim == "iz") "ix" else "iz"
+    val offArr = array(offsets.map(k =>
+      struct(lit(k).as("k"), lit(weights.getOrElse(k, 1.0)).as("w"))): _*)
+    val exp = df.select(col("it"), col("iz"), col("ix"),
+        explode(offArr).as("o"))
+      .withColumn("src", mirror(col(dim) + col("o.k"), n))
+    val src = df.select(col("it").as("s_it"), col(dim).as(s"s_$dim"),
+      col(other).as(s"s_$other"), col(value).as("s_v"))
+    exp.join(src,
+        col("it") === col("s_it") && col("src") === col(s"s_$dim")
+          && col(other) === col(s"s_$other"))
+      .groupBy("it", "iz", "ix")
+      .agg(agg(col("o.w") * col("s_v")).as(out))
+  }
+
+  /** scipy-style truncated Gaussian kernel, normalized; radius =
+    * int(truncate*sigma + 0.5), truncate = 4.0 (scipy default used by the
+    * reference at vpicdataset.py:364).
+    */
+  def gaussianKernel(sigma: Double): Seq[(Int, Double)] = {
+    val r = (4.0 * sigma + 0.5).toInt
+    val raw = (-r to r).map(k => k -> math.exp(-0.5 * k * k / (sigma * sigma)))
+    val s = raw.map(_._2).sum
+    raw.map { case (k, v) => k -> v / s }
+  }
+
+  /** Separable 2-D Gaussian smoothing (z pass then x pass), reflect
+    * boundary — reference: nd.gaussian_filter, vpicdataset.py:363-369.
+    */
+  def gaussianSmooth(df: DataFrame, value: String, sigma: Double,
+      nz: Int, nx: Int, out: String): DataFrame = {
+    val kern = gaussianKernel(sigma).toMap
+    val offs = kern.keys.toSeq.sorted
+    val zPass = stencil1d(df, value, "iz", nz, offs, sum, kern, "tmp_z")
+    stencil1d(zPass, "tmp_z", "ix", nx, offs, sum, kern, out)
+  }
+
+  /** Separable rectangular max/min filter, size 10 -> offsets -5..+4
+    * (scipy origin-0 window), reflect boundary — reference:
+    * nd.maximum_filter/minimum_filter size=10, vpicdataset.py:484-485.
+    */
+  def extremumFilter(df: DataFrame, value: String, nz: Int, nx: Int,
+      isMax: Boolean, out: String): DataFrame = {
+    val offs = -5 to 4
+    val agg: Column => Column = if (isMax) max else min
+    val zPass = stencil1d(df, value, "iz", nz, offs, agg, Map.empty, "tmp_z")
+    stencil1d(zPass, "tmp_z", "ix", nx, offs, agg, Map.empty, out)
+  }
+
+  /** gap_fill (reference vpicdataset.py:71-113): fill a pixel when opposing
+    * neighbor patterns bracket it; np.roll => toroidal wraparound. Scatter
+    * each cell's mask to its 8 neighbors (modular indices) + itself, then
+    * one aggregation evaluates the bracket patterns. Output int 0/1.
+    */
+  def gapFill(df: DataFrame, mask: String, nz: Int, nx: Int,
+      out: String): DataFrame = {
+    // (oi, oj): source offset relative to the receiving cell.
+    val dirs = Seq(
+      ("C", 0, 0), ("U", -1, 0), ("D", 1, 0), ("L", 0, -1), ("R", 0, 1),
+      ("UL", -1, -1), ("UR", -1, 1), ("DL", 1, -1), ("DR", 1, 1))
+    val offArr = array(dirs.map { case (nm, oi, oj) =>
+      struct(lit(nm).as("dir"), lit(oi).as("oi"), lit(oj).as("oj"))
+    }: _*)
+    val scattered = df.select(col("it"), col("iz"), col("ix"),
+        col(mask).cast("int").as("m"), explode(offArr).as("o"))
+      .select(col("it"),
+        ((col("iz") - col("o.oi") + nz) % nz).as("dz"),
+        ((col("ix") - col("o.oj") + nx) % nx).as("dx"),
+        col("o.dir").as("dir"), col("m"))
+    def dcol(nm: String): Column =
+      max(when(col("dir") === nm, col("m")).otherwise(0))
+    val nbr = scattered.groupBy(col("it"), col("dz").as("iz"), col("dx").as("ix"))
+      .agg(dcol("C").as("c"), dcol("U").as("u"), dcol("D").as("d"),
+        dcol("L").as("l"), dcol("R").as("r"), dcol("UL").as("ul"),
+        dcol("UR").as("ur"), dcol("DL").as("dl"), dcol("DR").as("dr"))
+    nbr.withColumn(out,
+      (col("c") === 1
+        || (col("l") === 1 && (col("ur") === 1 || col("r") === 1 || col("dr") === 1))
+        || (col("r") === 1 && (col("ul") === 1 || col("l") === 1 || col("dl") === 1))
+        || (col("u") === 1 && (col("dl") === 1 || col("d") === 1 || col("dr") === 1))
+        || (col("d") === 1 && (col("ul") === 1 || col("u") === 1 || col("ur") === 1))
+        || (col("ul") === 1 && col("dr") === 1)
+        || (col("ur") === 1 && col("dl") === 1)).cast("int"))
+      .select("it", "iz", "ix", out)
+  }
+}

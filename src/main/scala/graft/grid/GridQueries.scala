@@ -1,0 +1,295 @@
+package graft.grid
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Grid-engine operators (SURVEY.md §2A) exercised over a deterministic
+  * long-format grid derived from the `events` table (the driver's data;
+  * we don't synthesize our own): a dense (it, iz, ix) grid with NZ=NX=16,
+  * nt = |events| / 256, carrying two fields:
+  *   b1 = events.value, b2 = (event_id*31 + 7) % 101  (exact integer math).
+  * Physical coords: t = it, z = iz*0.5, x = ix*0.5 (uniform mesh).
+  * Each query runs the real GridOps operator; the DuckDB oracle rebuilds
+  * the same grid and applies the same arithmetic in SQL.
+  */
+object GridQueries {
+  val NZ = 16
+  val NX = 16
+  val Cells: Int = NZ * NX
+  val Dz = 0.5
+  val Dx = 0.5
+
+  def grid(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select("event_id", "value")
+    val nCells = (e.count() / Cells) * Cells
+    e.filter(col("event_id") < nCells)
+      .select(
+        expr(s"CAST(event_id div $Cells AS INT)").as("it"),
+        expr(s"CAST((event_id % $Cells) div $NX AS INT)").as("iz"),
+        expr(s"CAST(event_id % $NX AS INT)").as("ix"),
+        col("value").as("b1"),
+        expr("CAST((event_id * 31 + 7) % 101 AS DOUBLE)").as("b2"))
+      .withColumn("t", col("it").cast("double"))
+      .withColumn("z", col("iz") * Dz)
+      .withColumn("x", col("ix") * Dx)
+  }
+
+  /** DuckDB CTE mirroring [[grid]] exactly. */
+  val gridCte: String =
+    s"""grid AS (
+       SELECT CAST(event_id // $Cells AS INT) AS it,
+              CAST((event_id % $Cells) // $NX AS INT) AS iz,
+              CAST(event_id % $NX AS INT) AS ix,
+              value AS b1,
+              CAST((event_id * 31 + 7) % 101 AS DOUBLE) AS b2,
+              CAST(CAST(event_id // $Cells AS INT) AS DOUBLE) AS t,
+              CAST((event_id % $Cells) // $NX AS INT) * $Dz AS z,
+              CAST(event_id % $NX AS INT) * $Dx AS x
+       FROM events
+       WHERE event_id < (SELECT count(*) // $Cells * $Cells FROM events))"""
+
+  /** SQL mirrored-index expression (scipy 'reflect'), matching GridOps.mirror. */
+  private def mirrorSql(e: String, n: Int): String =
+    s"CASE WHEN $e < 0 THEN -($e) - 1 WHEN $e >= $n THEN ${2 * n - 1} - ($e) ELSE $e END"
+
+  /** One separable stencil pass in SQL (gather + join + aggregate),
+    * mirroring GridOps.stencil1d. `src`/`out` are CTE/table names.
+    */
+  private def stencilPassSql(src: String, valueCol: String, dim: String,
+      n: Int, offsets: Seq[(Int, Double)], aggFn: String, out: String): String = {
+    val other = if (dim == "iz") "ix" else "iz"
+    val offRows = offsets.map { case (k, w) => s"($k, ${w.toString})" }.mkString(", ")
+    s"""${out}_offs(k, w) AS (VALUES $offRows),
+       $out AS (
+         SELECT g.it, g.iz, g.ix, $aggFn(o.w * s.$valueCol) AS $out
+         FROM $src g CROSS JOIN ${out}_offs o
+         JOIN $src s ON s.it = g.it AND s.$other = g.$other
+           AND s.$dim = ${mirrorSql(s"g.$dim + o.k", n)}
+         GROUP BY g.it, g.iz, g.ix)"""
+  }
+
+  private val kern: Seq[(Int, Double)] = GridOps.gaussianKernel(1.0)
+  private val boxOffs: Seq[(Int, Double)] = (-5 to 4).map(_ -> 1.0)
+
+  def defs: Seq[Q] = Seq(
+    // ---- g01: ndslice = inclusive time + spatial range filters (reference
+    // _timeslice + _zoom). Pure pushed-down predicates.
+    Q("g01_grid_slice",
+      (s, d) => {
+        val g = grid(s, d)
+        val sliced = GridOps.zoom(
+          GridOps.timeslice(g, "t", 1.0, 2.0),
+          Seq(("z", 1.0, 6.0), ("x", 2.5, 0.5))) // zoom auto-sorts reversed bounds
+        sliced.select("it", "iz", "ix", "b1").orderBy("it", "iz", "ix")
+      },
+      Some(s"""WITH $gridCte
+              SELECT it, iz, ix, b1 FROM grid
+              WHERE t BETWEEN 1.0 AND 2.0 AND z BETWEEN 1.0 AND 6.0
+                AND x BETWEEN 0.5 AND 2.5
+              ORDER BY it, iz, ix""")),
+
+    // ---- g02: dataset bounds, union ("most inclusive") semantics across
+    // two variables — implementing the reference docstring, not its
+    // min/min bug (dataset.py:178-179; divergence documented in SURVEY §2A).
+    Q("g02_grid_bounds",
+      (s, d) => {
+        val g = grid(s, d)
+        def b(c: String, thr: Double) = g.filter(col(c) > thr)
+          .agg(min("z").as("z_lo"), max("z").as("z_hi"),
+            min("x").as("x_lo"), max("x").as("x_hi"))
+        b("b1", 100).unionAll(b("b2", 50))
+          .agg(min("z_lo").as("z_lo"), max("z_hi").as("z_hi"),
+            min("x_lo").as("x_lo"), max("x_hi").as("x_hi"))
+      },
+      Some(s"""WITH $gridCte
+              SELECT min(z_lo) AS z_lo, max(z_hi) AS z_hi,
+                     min(x_lo) AS x_lo, max(x_hi) AS x_hi FROM (
+                SELECT min(z) AS z_lo, max(z) AS z_hi, min(x) AS x_lo, max(x) AS x_hi
+                FROM grid WHERE b1 > 100
+                UNION ALL
+                SELECT min(z), max(z), min(x), max(x) FROM grid WHERE b2 > 50) t""")),
+
+    // ---- g03: flux function (cumulative line integrals, reference
+    // calc_fluxfn vpicdataset.py:247-293).
+    Q("g03_fluxfn",
+      (s, d) =>
+        GridOps.fluxfn(grid(s, d), "b1", "b2", Dz, Dx)
+          .select(col("it"), col("iz"), col("ix"), round(col("psi"), 6).as("psi"))
+          .orderBy("it", "iz", "ix"),
+      Some(s"""WITH $gridCte,
+              ic AS (SELECT it, iz, sum(b2 * $Dz) OVER (PARTITION BY it ORDER BY iz
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ic
+                     FROM grid WHERE ix = 0),
+              cum AS (SELECT it, iz, ix, sum(-b1 * $Dx) OVER (PARTITION BY it, iz ORDER BY ix
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                      FROM grid)
+              SELECT c.it, c.iz, c.ix, round(c.cum + i.ic, 6) AS psi
+              FROM cum c JOIN ic i ON c.it = i.it AND c.iz = i.iz
+              ORDER BY c.it, c.iz, c.ix""")),
+
+    // ---- g04: np.gradient-style central differences with one-sided edges
+    // (reference vpicdataset.py:378-380), both spatial dims.
+    Q("g04_gradient",
+      (s, d) => {
+        val g1 = GridOps.gradient(grid(s, d), "b1", "iz", Dz, "db1_dz")
+        val g2 = GridOps.gradient(g1, "b1", "ix", Dx, "db1_dx")
+        g2.select(col("it"), col("iz"), col("ix"),
+            round(col("db1_dz"), 6).as("db1_dz"),
+            round(col("db1_dx"), 6).as("db1_dx"))
+          .orderBy("it", "iz", "ix")
+      },
+      Some(s"""WITH $gridCte,
+              gz AS (SELECT it, iz, ix, b1,
+                lead(b1) OVER (PARTITION BY it, ix ORDER BY iz) AS fp,
+                lag(b1)  OVER (PARTITION BY it, ix ORDER BY iz) AS fm
+                FROM grid),
+              g1 AS (SELECT it, iz, ix, b1,
+                CASE WHEN fm IS NULL THEN (fp - b1) / $Dz
+                     WHEN fp IS NULL THEN (b1 - fm) / $Dz
+                     ELSE (fp - fm) / (2 * $Dz) END AS db1_dz
+                FROM gz),
+              gx AS (SELECT it, iz, ix, db1_dz, b1,
+                lead(b1) OVER (PARTITION BY it, iz ORDER BY ix) AS fp,
+                lag(b1)  OVER (PARTITION BY it, iz ORDER BY ix) AS fm
+                FROM g1)
+              SELECT it, iz, ix, round(db1_dz, 6) AS db1_dz,
+                round(CASE WHEN fm IS NULL THEN (fp - b1) / $Dx
+                           WHEN fp IS NULL THEN (b1 - fm) / $Dx
+                           ELSE (fp - fm) / (2 * $Dx) END, 6) AS db1_dx
+              FROM gx ORDER BY it, iz, ix""")),
+
+    // ---- g05: separable Gaussian smoothing, sigma=1, reflect boundary
+    // (reference nd.gaussian_filter, vpicdataset.py:363-369). Kernel
+    // weights are the SAME Scala doubles embedded in both plans.
+    Q("g05_gaussian_smooth",
+      (s, d) =>
+        GridOps.gaussianSmooth(grid(s, d), "b1", 1.0, NZ, NX, "b1_smooth")
+          .select(col("it"), col("iz"), col("ix"),
+            round(col("b1_smooth"), 6).as("b1_smooth"))
+          .orderBy("it", "iz", "ix"),
+      Some(s"""WITH $gridCte,
+              ${stencilPassSql("grid", "b1", "iz", NZ, kern, "sum", "zp")},
+              ${stencilPassSql("zp", "zp", "ix", NX, kern, "sum", "xp")}
+              SELECT it, iz, ix, round(xp, 6) AS b1_smooth
+              FROM xp ORDER BY it, iz, ix""")),
+
+    // ---- g06: 10x10 max/min filters, offsets -5..+4, reflect boundary
+    // (reference nd.maximum_filter/minimum_filter, vpicdataset.py:484-485).
+    Q("g06_minmax_filter",
+      (s, d) => {
+        val mx = GridOps.extremumFilter(grid(s, d), "b1", NZ, NX, isMax = true, "b1_max")
+        val mn = GridOps.extremumFilter(grid(s, d), "b1", NZ, NX, isMax = false, "b1_min")
+        mx.join(mn, Seq("it", "iz", "ix"))
+          .select("it", "iz", "ix", "b1_max", "b1_min")
+          .orderBy("it", "iz", "ix")
+      },
+      Some(s"""WITH $gridCte,
+              ${stencilPassSql("grid", "b1", "iz", NZ, boxOffs, "max", "zmax")},
+              ${stencilPassSql("zmax", "zmax", "ix", NX, boxOffs, "max", "xmax")},
+              ${stencilPassSql("grid", "b1", "iz", NZ, boxOffs, "min", "zmin")},
+              ${stencilPassSql("zmin", "zmin", "ix", NX, boxOffs, "min", "xmin")}
+              SELECT a.it, a.iz, a.ix, a.xmax AS b1_max, b.xmin AS b1_min
+              FROM xmax a JOIN xmin b ON a.it = b.it AND a.iz = b.iz AND a.ix = b.ix
+              ORDER BY a.it, a.iz, a.ix""")),
+
+    // ---- g07: gap_fill with toroidal wraparound (reference
+    // vpicdataset.py:71-113); mask = b1 > 200.
+    Q("g07_gap_fill",
+      (s, d) => {
+        val g = grid(s, d).withColumn("m", (col("b1") > 200).cast("int"))
+        GridOps.gapFill(g, "m", NZ, NX, "filled")
+          .orderBy("it", "iz", "ix")
+      },
+      Some(s"""WITH $gridCte,
+              m AS (SELECT it, iz, ix, CASE WHEN b1 > 200 THEN 1 ELSE 0 END AS m FROM grid),
+              offs(dir, oi, oj) AS (VALUES ('C',0,0), ('U',-1,0), ('D',1,0),
+                ('L',0,-1), ('R',0,1), ('UL',-1,-1), ('UR',-1,1),
+                ('DL',1,-1), ('DR',1,1)),
+              sc AS (SELECT it, (iz - oi + $NZ) % $NZ AS iz, (ix - oj + $NX) % $NX AS ix,
+                     dir, m FROM m CROSS JOIN offs),
+              nbr AS (SELECT it, iz, ix,
+                max(CASE WHEN dir='C' THEN m ELSE 0 END) AS c,
+                max(CASE WHEN dir='U' THEN m ELSE 0 END) AS u,
+                max(CASE WHEN dir='D' THEN m ELSE 0 END) AS d,
+                max(CASE WHEN dir='L' THEN m ELSE 0 END) AS l,
+                max(CASE WHEN dir='R' THEN m ELSE 0 END) AS r,
+                max(CASE WHEN dir='UL' THEN m ELSE 0 END) AS ul,
+                max(CASE WHEN dir='UR' THEN m ELSE 0 END) AS ur,
+                max(CASE WHEN dir='DL' THEN m ELSE 0 END) AS dl,
+                max(CASE WHEN dir='DR' THEN m ELSE 0 END) AS dr
+                FROM sc GROUP BY it, iz, ix)
+              SELECT it, iz, ix, CAST((c = 1
+                OR (l = 1 AND (ur = 1 OR r = 1 OR dr = 1))
+                OR (r = 1 AND (ul = 1 OR l = 1 OR dl = 1))
+                OR (u = 1 AND (dl = 1 OR d = 1 OR dr = 1))
+                OR (d = 1 AND (ul = 1 OR u = 1 OR ur = 1))
+                OR (ul = 1 AND dr = 1) OR (ur = 1 AND dl = 1)) AS INT) AS filled
+              FROM nbr ORDER BY it, iz, ix""")),
+
+    // ---- g08: current-sheet thresholding, mean ± 3*stddev_pop per time
+    // step (reference vpicdataset.py:486-487 — np.std is population std).
+    Q("g08_threshold_stats",
+      (s, d) => {
+        val g = grid(s, d)
+        val stats = g.groupBy(col("it").as("s_it"))
+          .agg(avg("b1").as("mu"), stddev_pop("b1").as("sd"))
+        g.join(stats, col("it") === col("s_it"))
+          .groupBy("it")
+          .agg(count(when(col("b1") > col("mu") + lit(3) * col("sd"), 1)).as("n_hot"),
+            count(when(col("b1") < col("mu") - lit(3) * col("sd"), 1)).as("n_cold"),
+            round(first("mu"), 6).as("mu"))
+          .orderBy("it")
+      },
+      Some(s"""WITH $gridCte,
+              stats AS (SELECT it, avg(b1) AS mu, stddev_pop(b1) AS sd
+                        FROM grid GROUP BY it)
+              SELECT g.it, count(CASE WHEN b1 > mu + 3*sd THEN 1 END) AS n_hot,
+                     count(CASE WHEN b1 < mu - 3*sd THEN 1 END) AS n_cold,
+                     round(any_value(mu), 6) AS mu
+              FROM grid g JOIN stats USING (it) GROUP BY g.it ORDER BY g.it""")),
+
+    // ---- g09: interpolating line slice (reference _spaceslice,
+    // statmeshvar.py:111-200): bilinear sampling along a parametrized
+    // line in index space at it=0, as a corner-join + weighted sum.
+    Q("g09_line_interp",
+      (s, d) => {
+        val g = grid(s, d).filter(col("it") === 0)
+          .select(col("iz"), col("ix"), col("b1"))
+        val samples = s.range(51)
+          .select(col("id").as("sid"),
+            (lit(0.8) + col("id") * 0.268).as("pz"),
+            (lit(1.2) + col("id") * 0.204).as("px"))
+        val corners = samples
+          .select(col("sid"), col("pz"), col("px"),
+            explode(array(
+              struct(lit(0).as("di"), lit(0).as("dj")),
+              struct(lit(0).as("di"), lit(1).as("dj")),
+              struct(lit(1).as("di"), lit(0).as("dj")),
+              struct(lit(1).as("di"), lit(1).as("dj")))).as("c"))
+          .withColumn("ci", floor(col("pz")) + col("c.di"))
+          .withColumn("cj", floor(col("px")) + col("c.dj"))
+          .withColumn("w",
+            (when(col("c.di") === 0, lit(1) - (col("pz") - floor(col("pz"))))
+              .otherwise(col("pz") - floor(col("pz")))) *
+              (when(col("c.dj") === 0, lit(1) - (col("px") - floor(col("px"))))
+                .otherwise(col("px") - floor(col("px")))))
+        corners.join(g, col("ci") === col("iz") && col("cj") === col("ix"))
+          .groupBy("sid")
+          .agg(round(sum(col("w") * col("b1")), 6).as("interp"))
+          .orderBy("sid")
+      },
+      Some(s"""WITH $gridCte,
+              samples AS (SELECT s AS sid, 0.8 + s * 0.268 AS pz, 1.2 + s * 0.204 AS px
+                          FROM (SELECT unnest(range(51)) AS s) t),
+              corners(di, dj) AS (VALUES (0,0), (0,1), (1,0), (1,1)),
+              w AS (SELECT sid, CAST(floor(pz) AS BIGINT) + di AS ci,
+                    CAST(floor(px) AS BIGINT) + dj AS cj,
+                    (CASE WHEN di = 0 THEN 1 - (pz - floor(pz)) ELSE pz - floor(pz) END) *
+                    (CASE WHEN dj = 0 THEN 1 - (px - floor(px)) ELSE px - floor(px) END) AS w
+                    FROM samples CROSS JOIN corners)
+              SELECT sid, round(sum(w.w * g.b1), 6) AS interp
+              FROM w JOIN grid g ON g.it = 0 AND g.iz = w.ci AND g.ix = w.cj
+              GROUP BY sid ORDER BY sid"""))
+  )
+}

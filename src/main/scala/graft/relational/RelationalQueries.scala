@@ -1,0 +1,410 @@
+package graft.relational
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The standard relational surface (SURVEY.md §2B): scans, filters, joins,
+  * aggregation, windows, sort/limit, set ops, JSON/string/date functions.
+  * All pure built-ins — Catalyst handles pushdown/pruning/join selection;
+  * dimension joins are marked `broadcast` explicitly since at 100 TB the
+  * fact side (lineitem/orders/events) dwarfs region/nation/customer/part.
+  *
+  * Every query is fully deterministic: explicit ORDER BY with a unique
+  * tie-break key, aggregates rounded to absorb summation-order ulp drift
+  * between Spark and the DuckDB oracle.
+  */
+object RelationalQueries {
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+  private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
+  private def nat(s: SparkSession, d: String) = Tables.nation(s, d)
+  private def reg(s: SparkSession, d: String) = Tables.region(s, d)
+  private def prt(s: SparkSession, d: String) = Tables.part(s, d)
+  private def sup(s: SparkSession, d: String) = Tables.supplier(s, d)
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+
+  /** Epoch seconds (with fractional micros) of a TIMESTAMP_NTZ column;
+    * session tz is UTC so the ntz->ltz hop is the identity.
+    */
+  private def epochS(c: org.apache.spark.sql.Column) =
+    c.cast("timestamp").cast("double")
+
+  def defs: Seq[Q] = Seq(
+    // ---- q01: full-scan aggregation (TPC-H Q1 pattern): map-side partial
+    // aggregation, 6 groups -> tiny shuffle. Filter pushed to parquet.
+    Q("q01_pricing_summary",
+      (s, d) =>
+        li(s, d)
+          .filter(col("l_shipdate") <= lit("1999-12-31 00:00:00").cast("timestamp_ntz"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            round(sum("l_quantity"), 2).as("sum_qty"),
+            round(sum("l_extendedprice"), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+            round(avg("l_quantity"), 4).as("avg_qty"),
+            round(avg("l_extendedprice"), 4).as("avg_price"),
+            round(avg("l_discount"), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity),2) AS sum_qty,
+             round(sum(l_extendedprice),2) AS sum_base_price,
+             round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+             round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+             round(avg(l_quantity),4) AS avg_qty,
+             round(avg(l_extendedprice),4) AS avg_price,
+             round(avg(l_discount),4) AS avg_disc,
+             count(*) AS count_order
+             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
+             GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---- q02: star-schema join chain; all dims broadcast (shuffle only on
+    // the lineitem->orders join, which AQE can also skew-split at scale).
+    Q("q02_revenue_by_nation",
+      (s, d) => {
+        val l = li(s, d); val o = ord(s, d); val c = cust(s, d)
+        val n = nat(s, d); val r = reg(s, d)
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+            countDistinct("l_orderkey").as("n_orders"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("""SELECT r_name, n_name,
+             round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+             count(DISTINCT l_orderkey) AS n_orders
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+             GROUP BY r_name, n_name ORDER BY r_name, n_name""")),
+
+    // ---- q03: top-k by aggregate -> TakeOrderedAndProject (no full sort).
+    Q("q03_top_orders",
+      (s, d) => {
+        val l = li(s, d); val o = ord(s, d)
+        l.groupBy("l_orderkey")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .join(o, col("l_orderkey") === o("o_orderkey"))
+          .select(col("o_orderkey"), col("o_orderdate"), col("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, o_orderdate, revenue FROM (
+             SELECT l_orderkey, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+             FROM lineitem GROUP BY l_orderkey) r
+             JOIN orders ON l_orderkey = o_orderkey
+             ORDER BY revenue DESC, o_orderkey LIMIT 10""")),
+
+    // ---- q04: EXISTS -> left-semi join.
+    Q("q04_priority_semi",
+      (s, d) => {
+        val o = ord(s, d)
+        val big = li(s, d).filter(col("l_quantity") > 45).select("l_orderkey")
+        o.join(big, o("o_orderkey") === big("l_orderkey"), "left_semi")
+          .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n FROM orders
+             WHERE EXISTS (SELECT 1 FROM lineitem
+                           WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+             GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- q05: dim-broadcast join + two-key group.
+    Q("q05_segment_status",
+      (s, d) => {
+        val o = ord(s, d); val c = cust(s, d)
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy("c_mktsegment", "o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            round(avg("o_totalprice"), 4).as("avg_price"),
+            round(sum("o_totalprice"), 2).as("total"))
+          .orderBy("c_mktsegment", "o_orderstatus")
+      },
+      Some("""SELECT c_mktsegment, o_orderstatus, count(*) AS n,
+             round(avg(o_totalprice),4) AS avg_price,
+             round(sum(o_totalprice),2) AS total
+             FROM orders JOIN customer ON o_custkey = c_custkey
+             GROUP BY c_mktsegment, o_orderstatus
+             ORDER BY c_mktsegment, o_orderstatus""")),
+
+    // ---- q06: selective filtered aggregation (all predicates pushed down).
+    Q("q06_filtered_revenue",
+      (s, d) =>
+        li(s, d)
+          .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+            && col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+            && col("l_discount").between(0.05, 0.07)
+            && col("l_quantity") < 24)
+          .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+            count(lit(1)).as("n")),
+      Some("""SELECT round(sum(l_extendedprice*l_discount),2) AS revenue, count(*) AS n
+             FROM lineitem
+             WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+               AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+               AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")),
+
+    // ---- q07: ranking window, top-2 per group.
+    Q("q07_top2_orders_per_cust",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        ord(s, d)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 2)
+          .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+             SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             FROM orders) t WHERE rn <= 2 ORDER BY o_custkey, rn""")),
+
+    // ---- q08: running total (prefix-sum window) over the event stream.
+    Q("q08_running_total",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev(s, d)
+          .withColumn("running", round(sum("value").over(w), 4))
+          .select("user_id", "event_id", "running")
+          .orderBy("user_id", "event_id")
+      },
+      Some(s"""WITH ${Tables.evCte}
+              SELECT user_id, event_id,
+              round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),4) AS running
+              FROM ev ORDER BY user_id, event_id""")),
+
+    // ---- q09: lag/lead deltas.
+    Q("q09_value_delta",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ev(s, d)
+          .withColumn("delta", round(col("value") - lag("value", 1).over(w), 2))
+          .filter(col("delta").isNotNull)
+          .select("user_id", "event_id", "delta")
+          .orderBy("user_id", "event_id")
+      },
+      Some(s"""WITH ${Tables.evCte}
+              SELECT user_id, event_id, delta FROM (
+                SELECT user_id, event_id,
+                round(value - lag(value) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id),2) AS delta FROM ev) t
+              WHERE delta IS NOT NULL ORDER BY user_id, event_id""")),
+
+    // ---- q10: sessionization (30-min inactivity gap) via gaps-and-islands.
+    Q("q10_sessionize",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val cum = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev(s, d)
+          .withColumn("prev_ts", lag("ts", 1).over(w))
+          .withColumn("is_new",
+            when(col("prev_ts").isNull
+              || epochS(col("ts")) - epochS(col("prev_ts")) > 1800d, 1L)
+              .otherwise(0L))
+          .withColumn("session_id", sum("is_new").over(cum))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            round(max(epochS(col("ts"))) - min(epochS(col("ts"))), 6).as("duration_s"))
+          .orderBy("user_id", "session_id")
+      },
+      Some(s"""WITH ${Tables.evCte},
+              g AS (SELECT user_id, event_id, ts,
+                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                     THEN 1 ELSE 0 END AS is_new FROM ev),
+              sess AS (SELECT user_id, event_id, ts,
+                sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM g)
+              SELECT user_id, session_id, count(*) AS n_events,
+                round(max(epoch(ts)) - min(epoch(ts)),6) AS duration_s
+              FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""")),
+
+    // ---- q11: JSON extraction from events.props.
+    Q("q11_json_extract",
+      (s, d) =>
+        ev(s, d)
+          .withColumn("k", from_json(col("props"), lit("k INT")).getField("k"))
+          .groupBy("event_type")
+          .agg(round(avg("k"), 4).as("avg_k"),
+            max("k").cast("int").as("max_k"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type"),
+      Some(s"""WITH ${Tables.evCte}
+              SELECT event_type,
+              round(avg(CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS INT)),4) AS avg_k,
+              max(CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS INT)) AS max_k,
+              count(*) AS n FROM ev GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- q12: date bucketing (month grain).
+    Q("q12_monthly_orders",
+      (s, d) =>
+        ord(s, d)
+          .withColumn("month", trunc(col("o_orderdate"), "month"))
+          .groupBy("month")
+          .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
+          .orderBy("month"),
+      Some("""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             count(*) AS n_orders, round(sum(o_totalprice),2) AS total
+             FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    // ---- q13: set operations (INTERSECT / EXCEPT / UNION ALL).
+    Q("q13_setops_nations",
+      (s, d) => {
+        val n = nat(s, d)
+        val custN = cust(s, d).join(broadcast(n),
+          col("c_nationkey") === col("n_nationkey")).select("n_name").distinct()
+        val supN = sup(s, d).join(broadcast(n),
+          col("s_nationkey") === col("n_nationkey")).select("n_name").distinct()
+        custN.intersect(supN).withColumn("tag", lit("both"))
+          .unionAll(custN.except(supN).withColumn("tag", lit("cust_only")))
+          .orderBy("tag", "n_name")
+      },
+      Some("""SELECT n_name, 'both' AS tag FROM (
+               SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+               INTERSECT
+               SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey) t1
+             UNION ALL
+             SELECT n_name, 'cust_only' AS tag FROM (
+               SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+               EXCEPT
+               SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey) t2
+             ORDER BY tag, n_name""")),
+
+    // ---- q14: ROLLUP grouping sets (nulls coalesced for stable ordering).
+    Q("q14_rollup_lineitem",
+      (s, d) =>
+        li(s, d)
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+          .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+            col("n"), col("qty"))
+          .orderBy("rf", "ls"),
+      Some("""SELECT coalesce(l_returnflag,'ALL') AS rf,
+             coalesce(l_linestatus,'ALL') AS ls,
+             count(*) AS n, round(sum(l_quantity),2) AS qty
+             FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             ORDER BY rf, ls""")),
+
+    // ---- q15: NOT EXISTS -> left-anti join.
+    Q("q15_customers_no_orders",
+      (s, d) => {
+        val c = cust(s, d); val o = ord(s, d).select("o_custkey")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             ORDER BY c_custkey""")),
+
+    // ---- q16: correlated scalar subquery -> window aggregate (one pass,
+    // no recompute per row; at scale this avoids a second shuffle).
+    Q("q16_above_nation_avg",
+      (s, d) => {
+        val w = Window.partitionBy("c_nationkey")
+        val c = cust(s, d)
+          .withColumn("nation_avg", avg("c_acctbal").over(w))
+        c.filter(col("c_acctbal") > col("nation_avg"))
+          .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_acctbal"), col("n_name"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_acctbal, n_name
+             FROM customer JOIN nation ON c_nationkey = n_nationkey
+             WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+                                WHERE c2.c_nationkey = customer.c_nationkey)
+             ORDER BY c_custkey""")),
+
+    // ---- q17: string functions (upper/substr/like) + group.
+    Q("q17_part_strings",
+      (s, d) =>
+        prt(s, d)
+          .filter(col("p_type").like("PROMO%"))
+          .withColumn("brand_u", upper(col("p_brand")))
+          .withColumn("name_pfx", substring(col("p_name"), 1, 8))
+          .groupBy("brand_u")
+          .agg(count(lit(1)).as("n"),
+            round(avg("p_retailprice"), 4).as("avg_price"),
+            min("name_pfx").as("first_pfx"))
+          .orderBy("brand_u"),
+      Some("""SELECT upper(p_brand) AS brand_u, count(*) AS n,
+             round(avg(p_retailprice),4) AS avg_price,
+             min(substr(p_name,1,8)) AS first_pfx
+             FROM part WHERE p_type LIKE 'PROMO%'
+             GROUP BY 1 ORDER BY 1""")),
+
+    // ---- q18: argmax per group via ranking window.
+    Q("q18_priciest_part_per_brand",
+      (s, d) => {
+        val w = Window.partitionBy("p_brand")
+          .orderBy(col("p_retailprice").desc, col("p_partkey"))
+        prt(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("p_brand", "p_name", "p_retailprice")
+          .orderBy("p_brand")
+      },
+      Some("""SELECT p_brand, p_name, p_retailprice FROM (
+             SELECT p_brand, p_name, p_retailprice,
+             row_number() OVER (PARTITION BY p_brand
+               ORDER BY p_retailprice DESC, p_partkey) AS rn FROM part) t
+             WHERE rn = 1 ORDER BY p_brand""")),
+
+    // ---- q19: DISTINCT projection.
+    Q("q19_distinct_flags",
+      (s, d) =>
+        li(s, d).select("l_returnflag", "l_linestatus").distinct()
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+             ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---- q20: exact percentiles (linear interpolation, both engines).
+    Q("q20_value_percentiles",
+      (s, d) =>
+        ev(s, d)
+          .groupBy("event_type")
+          .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+            round(expr("percentile(value, 0.9)"), 4).as("p90"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type"),
+      Some(s"""WITH ${Tables.evCte}
+              SELECT event_type, round(quantile_cont(value, 0.5),4) AS p50,
+              round(quantile_cont(value, 0.9),4) AS p90, count(*) AS n
+              FROM ev GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- q21: as-of lookup: time of latest signup at or before each
+    // purchase, per user (running conditional max — no join needed).
+    Q("q21_asof_last_signup",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev(s, d)
+          .withColumn("last_signup",
+            max(when(col("event_type") === "signup", col("ts"))).over(w))
+          .filter(col("event_type") === "purchase")
+          .select("user_id", "event_id", "ts", "last_signup")
+          .orderBy("user_id", "event_id")
+      },
+      Some(s"""WITH ${Tables.evCte}
+              SELECT user_id, event_id, ts, last_signup FROM (
+                SELECT user_id, event_id, ts, event_type,
+                max(CASE WHEN event_type = 'signup' THEN ts END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup
+                FROM ev) t WHERE event_type = 'purchase'
+              ORDER BY user_id, event_id"""))
+  )
+}

@@ -1,0 +1,73 @@
+package graft.similarity
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over `embeddings` (64-dim float vectors).
+  * Brute-force cosine top-k is the exact baseline (posexplode + hash-join
+  * + partial aggregation: fully distributed, no driver collect). An
+  * LSH-bucketed approximate variant is the 100 TB scale path (later round).
+  */
+object SimilarityQueries {
+  /** (vec_id, i, v) flat view; elements cast to double so Spark and the
+    * DuckDB oracle do identical float32 -> float64 promotion.
+    */
+  private def flat(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("i", "v")))
+      .withColumn("v", col("v").cast("double"))
+
+  def defs: Seq[Q] = Seq(
+    // ---- exact cosine top-10 vs probe vec_id=0. Ranking happens on the
+    // ROUNDED similarity in both engines so sub-ulp summation drift can't
+    // flip the order; vec_id breaks residual ties deterministically.
+    Q("q31_cosine_topk",
+      (s, d) => {
+        val f = flat(s, d)
+        val q = f.filter(col("vec_id") === 0).select(col("i").as("qi"), col("v").as("qv"))
+        val qn = q.agg(sum(col("qv") * col("qv")).as("qn"))
+        f.filter(col("vec_id") =!= 0)
+          .join(broadcast(q), col("i") === col("qi"))
+          .groupBy("vec_id")
+          .agg(sum(col("v") * col("qv")).as("dot"), sum(col("v") * col("v")).as("nrm"))
+          .crossJoin(broadcast(qn))
+          .select(col("vec_id"),
+            round(col("dot") / (sqrt(col("nrm")) * sqrt(col("qn"))), 6).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some("""WITH flat AS (SELECT vec_id, CAST(v AS DOUBLE) AS v, i FROM (
+               SELECT vec_id, unnest(embedding) AS v,
+                      generate_subscripts(embedding, 1) AS i FROM embeddings) x),
+             q AS (SELECT i, v AS qv FROM flat WHERE vec_id = 0),
+             qn AS (SELECT sum(qv*qv) AS qn FROM q),
+             dots AS (SELECT f.vec_id, sum(f.v*q.qv) AS dot, sum(f.v*f.v) AS nrm
+                      FROM flat f JOIN q USING (i) WHERE f.vec_id <> 0
+                      GROUP BY f.vec_id)
+             SELECT vec_id, round(dot / (sqrt(nrm) * sqrt(qn)), 6) AS cos_sim
+             FROM dots, qn ORDER BY cos_sim DESC, vec_id LIMIT 10""")),
+
+    // ---- embedding norm stats per class label.
+    Q("q32_norm_by_label",
+      (s, d) =>
+        flat(s, d)
+          .groupBy("vec_id", "label")
+          .agg(sqrt(sum(col("v") * col("v"))).as("norm"))
+          .groupBy("label")
+          .agg(round(avg("norm"), 4).as("avg_norm"),
+            round(min("norm"), 4).as("min_norm"),
+            round(max("norm"), 4).as("max_norm"),
+            count(lit(1)).as("n"))
+          .orderBy("label"),
+      Some("""WITH flat AS (SELECT vec_id, label, CAST(v AS DOUBLE) AS v FROM (
+               SELECT vec_id, label, unnest(embedding) AS v FROM embeddings) x),
+             norms AS (SELECT vec_id, label, sqrt(sum(v*v)) AS norm
+                       FROM flat GROUP BY vec_id, label)
+             SELECT label, round(avg(norm),4) AS avg_norm,
+                    round(min(norm),4) AS min_norm, round(max(norm),4) AS max_norm,
+                    count(*) AS n
+             FROM norms GROUP BY label ORDER BY label"""))
+  )
+}

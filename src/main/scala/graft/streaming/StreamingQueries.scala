@@ -1,0 +1,70 @@
+package graft.streaming
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing over `events`. The same `window()` /
+  * `session_window()` expressions run unchanged under Structured Streaming
+  * (see Streams.scala); here they run in batch so the DuckDB oracle can
+  * check them.
+  */
+object StreamingQueries {
+  def defs: Seq[Q] = Seq(
+    // ---- tumbling 1-hour event-time window.
+    Q("q33_tumbling_hour",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+          .select(col("window.start").as("w_start"), col("event_type"),
+            col("n"), col("sum_value"))
+          .orderBy("w_start", "event_type"),
+      Some(s"""WITH ${Tables.evCte}
+              SELECT date_trunc('hour', ts) AS w_start, event_type,
+              count(*) AS n, round(sum(value),4) AS sum_value
+              FROM ev GROUP BY 1, 2 ORDER BY w_start, event_type""")),
+
+    // ---- sliding 30-min window, 15-min slide (each event lands in 2
+    // windows; windows align to the epoch, matching Spark's window()).
+    Q("q34_sliding_30m",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(window(col("ts"), "30 minutes", "15 minutes"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+          .select(col("window.start").as("w_start"), col("n"), col("sum_value"))
+          .orderBy("w_start"),
+      Some(s"""WITH ${Tables.evCte},
+              win AS (SELECT make_timestamp(
+                        (epoch_us(ts) - epoch_us(ts) % 900000000) - k * 900000000) AS w_start,
+                      value
+                      FROM ev CROSS JOIN (SELECT unnest([0, 1]) AS k) ks
+                      WHERE epoch_us(ts) - ((epoch_us(ts) - epoch_us(ts) % 900000000) - k * 900000000)
+                            < 1800000000)
+              SELECT w_start, count(*) AS n, round(sum(value),4) AS sum_value
+              FROM win GROUP BY 1 ORDER BY w_start""")),
+
+    // ---- session windows (30-min inactivity gap) per user; identical
+    // semantics to session_window(ts, '30 minutes'): a gap of exactly 30
+    // minutes starts a NEW session (windows are half-open).
+    Q("q35_session_window",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+          .select(col("session_window.start").as("w_start"), col("user_id"),
+            col("n_events"), col("sum_value"))
+          .orderBy("user_id", "w_start"),
+      Some(s"""WITH ${Tables.evCte},
+              g AS (SELECT user_id, ts, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                     THEN 1 ELSE 0 END AS is_new FROM ev
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              sess AS (SELECT user_id, ts, value,
+                sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g)
+              SELECT min(ts) AS w_start, user_id, count(*) AS n_events,
+                     round(sum(value),4) AS sum_value
+              FROM sess GROUP BY user_id, sid ORDER BY user_id, w_start"""))
+  )
+}

@@ -1,0 +1,122 @@
+package graft.text
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` (SURVEY.md §2B: tokenization,
+  * counts, language-ID heuristic, quality scoring, fingerprinting).
+  * All built-in `functions._` — explode/groupBy distributes; no UDFs.
+  */
+object TextQueries {
+  /** Small English stopword list used by the language-ID heuristic. */
+  val stopwords: Seq[String] =
+    Seq("the", "of", "and", "to", "a", "in", "is", "it", "you", "that")
+  private val stopSql = stopwords.map(w => s"'$w'").mkString(", ")
+
+  def defs: Seq[Q] = Seq(
+    // ---- token frequency (top 100). explode -> partial agg -> shuffle on
+    // token; at 100 TB this is the classic word-count shape, map-side
+    // combine keeps the shuffle proportional to distinct tokens.
+    Q("q22_token_counts",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("token"))
+          .groupBy("token")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("token"))
+          .limit(100),
+      Some("""SELECT token, count(*) AS cnt FROM (
+             SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+             GROUP BY token ORDER BY cnt DESC, token LIMIT 100""")),
+
+    // ---- per-document token stats (pure column arithmetic, no shuffle).
+    Q("q23_doc_token_stats",
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+          .withColumn("len", length(col("text")).cast("long"))
+          .withColumn("avg_tok_len",
+            round((col("len") - col("n_tokens") + 1).cast("double") / col("n_tokens"), 4))
+          .select("doc_id", "n_tokens", "len", "avg_tok_len")
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+             length(text) AS len,
+             round(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+                   / len(string_split(text, ' ')), 4) AS avg_tok_len
+             FROM documents ORDER BY doc_id""")),
+
+    // ---- corpus stats by language tag.
+    Q("q24_lang_stats",
+      (s, d) =>
+        Tables.documents(s, d)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg("n_chars"), 4).as("avg_chars"),
+            countDistinct("source").as("n_sources"))
+          .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS n_docs, round(avg(n_chars),4) AS avg_chars,
+             count(DISTINCT source) AS n_sources
+             FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // ---- language-ID heuristic: stopword fraction of tokens.
+    Q("q25_langid_stopwords",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        toks.groupBy("doc_id")
+          .agg(sum(when(col("token").isin(stopwords: _*), 1L).otherwise(0L)).as("n_stop"),
+            count(lit(1)).as("n_tok"))
+          .withColumn("stop_frac",
+            round(col("n_stop").cast("double") / col("n_tok"), 6))
+          .withColumn("lang_guess",
+            when(col("stop_frac") >= 0.05, lit("en")).otherwise(lit("other")))
+          .select("doc_id", "n_stop", "n_tok", "stop_frac", "lang_guess")
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+              sum(CASE WHEN token IN ($stopSql) THEN 1 ELSE 0 END) AS n_stop,
+              count(*) AS n_tok,
+              round(CAST(sum(CASE WHEN token IN ($stopSql) THEN 1 ELSE 0 END) AS DOUBLE)
+                    / count(*), 6) AS stop_frac,
+              CASE WHEN CAST(sum(CASE WHEN token IN ($stopSql) THEN 1 ELSE 0 END) AS DOUBLE)
+                        / count(*) >= 0.05
+                   THEN 'en' ELSE 'other' END AS lang_guess
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                    FROM documents) t
+              GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- quality score: integer-exact arithmetic so both engines agree
+    // bit-for-bit before rounding.
+    Q("q26_quality_score",
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+          .withColumn("avg_len",
+            (length(col("text")).cast("long") - col("n_tokens") + 1).cast("double") / col("n_tokens"))
+          .withColumn("score", round(
+            least(col("n_tokens"), lit(200L)).cast("double") / 200d * 0.6
+              + when(col("avg_len").between(3d, 8d), 0.4).otherwise(0.1), 4))
+          .select("doc_id", "n_tokens", "score")
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, n_tokens,
+             round(CAST(least(n_tokens, 200) AS DOUBLE) / 200 * 0.6 +
+                   CASE WHEN avg_len BETWEEN 3 AND 8 THEN 0.4 ELSE 0.1 END, 4) AS score
+             FROM (SELECT doc_id, len(string_split(text,' ')) AS n_tokens,
+                   CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE)
+                     / len(string_split(text,' ')) AS avg_len
+                   FROM documents) t ORDER BY doc_id""")),
+
+    // ---- content fingerprint: md5 of the sorted distinct token set
+    // (order-canonical, whitespace-insensitive document identity).
+    Q("q27_fingerprint",
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("fp",
+            md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " ")))
+          .select("doc_id", "fp")
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+             FROM documents ORDER BY doc_id"""))
+  )
+}
