@@ -1,0 +1,218 @@
+package graft.grid
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One grid variable in long format: `df` has columns `it`, one integer
+  * index column per spatial dim (e.g. iz, ix), matching coordinate
+  * columns (t, z, x), and `value`.
+  *
+  * Mirrors the reference Variable (label/timeseries/mesh/data,
+  * /root/reference/src/variables/variable.py:27-32): the small 1-D axes
+  * stay driver-side (`timeAxis`/`spaceAxes`), the dense tensor becomes a
+  * distributed long-format DataFrame keyed by grid indices.
+  */
+final case class GridVar(
+    label: String,
+    timeAxis: Array[Double],
+    spaceAxes: Seq[(String, Array[Double])], // (index col name, coords); Z,Y,X order
+    df: DataFrame) {
+
+  def indexCols: Seq[String] = "it" +: spaceAxes.map(_._1)
+  /** Coordinate column for an index column ("iz" -> "z"). */
+  def coordCol(idx: String): String = idx.stripPrefix("i")
+
+  /** Inclusive [min,max] of time (row 0) then each mesh axis — reference
+    * StatMeshVar.bounds (statmeshvar.py:35-59). Axes are driver-side.
+    */
+  def bounds: Seq[(Double, Double)] =
+    (timeAxis.min, timeAxis.max) +:
+      spaceAxes.map { case (_, a) => (a.min, a.max) }
+}
+
+/** Dataset of named grid variables + open params map — the reference
+  * Dataset (dataset.py:8). Pure/immutable: every transform returns a new
+  * SimDataset (the reference's ndslice contract; its find_structures
+  * mutation asymmetry is deliberately not reproduced).
+  */
+final case class SimDataset(
+    params: Map[String, String],
+    variables: Map[String, GridVar]) {
+
+  def addParam(k: String, v: String): SimDataset =
+    copy(params = params + (k -> v))
+
+  def addVar(v: GridVar): SimDataset =
+    copy(variables = variables + (v.label -> v))
+
+  /** Dataset-wide bounds with "most inclusive" (union) semantics across
+    * variables — implementing the reference DOCSTRING (dataset.py:163-166),
+    * not the np.minimum/np.minimum bug at dataset.py:178-179 (divergence
+    * recorded in SURVEY §2A row 6).
+    */
+  def bounds: Seq[(Double, Double)] = {
+    val all = variables.values.map(_.bounds).toSeq
+    all.reduce { (a, b) =>
+      a.zip(b).map { case ((lo1, hi1), (lo2, hi2)) =>
+        (math.min(lo1, lo2), math.max(hi1, hi2))
+      }
+    }
+  }
+
+  /** Slice every variable: inclusive time filter then per-dim inclusive
+    * zooms (reference Dataset.ndslice -> Variable.ndslice pipeline order,
+    * variable.py:69-78). All lazy narrow filters — no data copy, the
+    * reference's deepcopy (variable.py:69) has no analogue under
+    * immutability. Axes are filtered driver-side to stay consistent.
+    */
+  def ndslice(
+      timelims: Option[(Double, Double)] = None,
+      zooms: Map[String, (Double, Double)] = Map.empty): SimDataset = {
+    val newVars = variables.map { case (name, v) =>
+      var df = v.df
+      var tAxis = v.timeAxis
+      timelims.foreach { case (a, b) =>
+        val (lo, hi) = if (a <= b) (a, b) else (b, a)
+        df = df.filter(col("t").between(lo, hi))
+        tAxis = tAxis.filter(t => t >= lo && t <= hi)
+      }
+      val newAxes = v.spaceAxes.map { case (idx, coords) =>
+        zooms.get(v.coordCol(idx)) match {
+          case Some((a, b)) =>
+            val (lo, hi) = if (a <= b) (a, b) else (b, a)
+            df = df.filter(col(v.coordCol(idx)).between(lo, hi))
+            (idx, coords.filter(c => c >= lo && c <= hi))
+          case None => (idx, coords)
+        }
+      }
+      name -> v.copy(timeAxis = tAxis, spaceAxes = newAxes, df = df)
+    }
+    copy(variables = newVars)
+  }
+
+  /** Export: parquet per variable + JSON sidecar for params/axes — the
+    * declared-but-unimplemented reference surface (dataset.py:183-193
+    * raises; we define the format, as SURVEY §2A row 7 requires).
+    */
+  def export(dir: String): Unit = {
+    variables.values.foreach { v =>
+      v.df.write.mode("overwrite").parquet(s"$dir/${v.label}.parquet")
+    }
+    val meta = SimDataset.metaJson(this)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_graft_meta.json"), meta)
+  }
+}
+
+object SimDataset {
+  private def jarr(a: Array[Double]): String = a.mkString("[", ",", "]")
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  def metaJson(ds: SimDataset): String = {
+    val params = ds.params.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
+    val vars = ds.variables.values.map { v =>
+      val axes = v.spaceAxes.map { case (n, a) => s"${jstr(n)}:${jarr(a)}" }
+        .mkString("{", ",", "}")
+      s"${jstr(v.label)}:{\"time\":${jarr(v.timeAxis)},\"axes\":$axes}"
+    }.mkString("{", ",", "}")
+    s"""{"params":$params,"variables":$vars}"""
+  }
+
+  /** Load an exported dataset (the reference's unimplemented `_init_file`,
+    * dataset.py:66-70). Minimal JSON parsing of our own sidecar format.
+    */
+  def load(spark: SparkSession, dir: String): SimDataset = {
+    val meta = ujsonLite.parse(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/_graft_meta.json")))
+    val params = meta.obj("params").obj.map { case (k, v) => k -> v.str }
+    val vars = meta.obj("variables").obj.map { case (name, m) =>
+      val time = m.obj("time").arr.map(_.num).toArray
+      val axes = m.obj("axes").obj.map { case (an, av) =>
+        (an, av.arr.map(_.num).toArray)
+      }.toSeq
+      name -> GridVar(name, time, axes,
+        spark.read.parquet(s"$dir/$name.parquet"))
+    }
+    SimDataset(params.toMap, vars.toMap)
+  }
+}
+
+/** Tiny recursive-descent JSON reader for the sidecar (no external deps;
+  * build.sbt only allows Spark + scalatest).
+  */
+private[grid] object ujsonLite {
+  sealed trait V {
+    def obj: collection.mutable.LinkedHashMap[String, V] =
+      this.asInstanceOf[O].m
+    def arr: Vector[V] = this.asInstanceOf[A].v
+    def num: Double = this.asInstanceOf[N].d
+    def str: String = this.asInstanceOf[S].s
+  }
+  final case class O(m: collection.mutable.LinkedHashMap[String, V]) extends V
+  final case class A(v: Vector[V]) extends V
+  final case class N(d: Double) extends V
+  final case class S(s: String) extends V
+
+  def parse(s: String): V = new P(s).value()
+
+  private final class P(s: String) {
+    private var i = 0
+    private def ws(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
+    def value(): V = { ws(); s(i) match {
+      case '{' => obj()
+      case '[' => arr()
+      case '"' => S(string())
+      case _ => number()
+    }}
+    private def obj(): V = {
+      i += 1; ws()
+      val m = collection.mutable.LinkedHashMap.empty[String, V]
+      if (s(i) == '}') { i += 1; return O(m) }
+      while (true) {
+        ws(); val k = string(); ws(); require(s(i) == ':'); i += 1
+        m(k) = value(); ws()
+        if (s(i) == ',') i += 1 else { require(s(i) == '}'); i += 1; return O(m) }
+      }
+      O(m)
+    }
+    private def arr(): V = {
+      i += 1; ws()
+      var v = Vector.empty[V]
+      if (s(i) == ']') { i += 1; return A(v) }
+      while (true) {
+        v :+= value(); ws()
+        if (s(i) == ',') i += 1 else { require(s(i) == ']'); i += 1; return A(v) }
+      }
+      A(v)
+    }
+    private def string(): String = {
+      require(s(i) == '"'); i += 1
+      val sb = new StringBuilder
+      while (s(i) != '"') {
+        if (s(i) == '\\') {
+          i += 1
+          s(i) match {
+            case '"' => sb += '"'; case '\\' => sb += '\\'
+            case 'n' => sb += '\n'; case 't' => sb += '\t'; case 'r' => sb += '\r'
+            case 'u' => sb += Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar; i += 4
+            case c => sb += c
+          }
+        } else sb += s(i)
+        i += 1
+      }
+      i += 1
+      sb.toString
+    }
+    private def number(): V = {
+      val st = i
+      while (i < s.length && (s(i).isDigit || "+-.eE".contains(s(i)))) i += 1
+      N(s.substring(st, i).toDouble)
+    }
+  }
+}

@@ -298,16 +298,21 @@ object RelationalQueries {
              FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
              ORDER BY rf, ls""")),
 
-    // ---- q15: NOT EXISTS -> left-anti join.
+    // ---- q15: NOT EXISTS -> left-anti join (customers with no orders
+    // before 1996 — non-empty at every scale factor).
     Q("q15_customers_no_orders",
       (s, d) => {
-        val c = cust(s, d); val o = ord(s, d).select("o_custkey")
+        val c = cust(s, d)
+        val o = ord(s, d)
+          .filter(col("o_orderdate") < lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+          .select("o_custkey")
         c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
           .select("c_custkey", "c_name")
           .orderBy("c_custkey")
       },
       Some("""SELECT c_custkey, c_name FROM customer
-             WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+               AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
              ORDER BY c_custkey""")),
 
     // ---- q16: correlated scalar subquery -> window aggregate (one pass,
