@@ -20,6 +20,7 @@ object QueryRegistry {
       dedup.DedupQueries.defs ++
       similarity.SimilarityQueries.defs ++
       grid.GridQueries.defs ++
+      grid.TopologyQueries.defs ++
       streaming.StreamingQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

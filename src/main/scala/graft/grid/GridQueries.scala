@@ -37,7 +37,7 @@ object GridQueries {
 
   /** DuckDB CTE mirroring [[grid]] exactly. */
   val gridCte: String =
-    s"""grid AS (
+    s"""grid AS MATERIALIZED (
        SELECT CAST(event_id // $Cells AS INT) AS it,
               CAST((event_id % $Cells) // $NX AS INT) AS iz,
               CAST(event_id % $NX AS INT) AS ix,
@@ -61,7 +61,7 @@ object GridQueries {
     val other = if (dim == "iz") "ix" else "iz"
     val offRows = offsets.map { case (k, w) => s"($k, ${w.toString})" }.mkString(", ")
     s"""${out}_offs(k, w) AS (VALUES $offRows),
-       $out AS (
+       $out AS MATERIALIZED (
          SELECT g.it, g.iz, g.ix, $aggFn(o.w * s.$valueCol) AS $out
          FROM $src g CROSS JOIN ${out}_offs o
          JOIN $src s ON s.it = g.it AND s.$other = g.$other

@@ -1,0 +1,362 @@
+package graft.grid
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Set-based re-expression of the reference's 2-D magnetic-topology
+  * analytics (find_structures, /root/reference/src/datasets/vpicdataset.py
+  * :295-533): marching-squares contour segments, segment-pair null
+  * finding, X/O classification, connected components, separatrices /
+  * O-structures, current sheets.
+  *
+  * The reference's sequential pieces become:
+  *  - contour extraction -> per-cell segment emission (corner join + case
+  *    analysis), no polyline chaining needed downstream;
+  *  - flood fill / nd.label -> iterative min-label propagation (driver
+  *    loop over joins, localCheckpoint to cut lineage). At 1000-executor
+  *    scale the loop count ~ component diameter; swapping in alternating
+  *    small-star/large-star keeps it O(log n) — noted where relevant.
+  */
+object Topology {
+
+  /** Cells with all four corner values of `field`:
+    * f00=(iz,ix), f01=(iz,ix+1), f10=(iz+1,ix), f11=(iz+1,ix+1).
+    * One window (lead along ix) + one self-join (iz+1 row).
+    */
+  def cellCorners(df: DataFrame, field: String): DataFrame = {
+    val w = Window.partitionBy("it", "iz").orderBy("ix")
+    val base = df.select(col("it"), col("iz"), col("ix"), col(field).as("f00"))
+      .withColumn("f01", lead(col("f00"), 1).over(w))
+    val upper = base.select(col("it"), (col("iz") - 1).as("iz"), col("ix"),
+      col("f00").as("f10"), col("f01").as("f11"))
+    base.join(upper, Seq("it", "iz", "ix"))
+      .filter(col("f01").isNotNull && col("f11").isNotNull)
+  }
+
+  /** Marching-squares segments of the iso-contour `field = level`, in
+    * index coordinates (y along iz, x along ix) — reference contour use:
+    * measure.find_contours (vpicdataset.py:383-384, 444-448).
+    *
+    * Conventions (documented tie-breaks, SURVEY §7 "hard parts"):
+    * corner is "positive" iff f >= level; crossing position is linear
+    * (t = c0/(c0-c1)); crossings ordered [top, left, right, bottom];
+    * 2 crossings -> one segment; 4 (ambiguous saddle) -> (top,left) +
+    * (right,bottom). Emitted rows: it, iz, ix, y1, x1, y2, x2.
+    */
+  def contourSegments(df: DataFrame, field: String, level: Double): DataFrame = {
+    val c = cellCorners(df, field)
+      .withColumn("c00", col("f00") - level)
+      .withColumn("c01", col("f01") - level)
+      .withColumn("c10", col("f10") - level)
+      .withColumn("c11", col("f11") - level)
+    def pos(n: String): Column = col(n) >= 0
+    def crossPt(y: Column, x: Column, cond: Column): Column =
+      when(cond, struct(y.as("y"), x.as("x"))).otherwise(lit(null))
+    val withPts = c
+      .withColumn("pt", crossPt(col("iz").cast("double"),
+        col("ix") + col("c00") / (col("c00") - col("c01")),
+        pos("c00") =!= pos("c01")))
+      .withColumn("pl", crossPt(col("iz") + col("c00") / (col("c00") - col("c10")),
+        col("ix").cast("double"), pos("c00") =!= pos("c10")))
+      .withColumn("pr", crossPt(col("iz") + col("c01") / (col("c01") - col("c11")),
+        (col("ix") + 1).cast("double"), pos("c01") =!= pos("c11")))
+      .withColumn("pb", crossPt((col("iz") + 1).cast("double"),
+        col("ix") + col("c10") / (col("c10") - col("c11")),
+        pos("c10") =!= pos("c11")))
+    val crossings = filter(array(col("pt"), col("pl"), col("pr"), col("pb")),
+      p => p.isNotNull)
+    val segs = withPts.withColumn("cr", crossings)
+      .withColumn("n", size(col("cr")))
+      .filter(col("n") >= 2)
+      .withColumn("seg", explode(filter(array(
+        when(col("n") >= 2, struct(col("cr")(0).as("p1"), col("cr")(1).as("p2")))
+          .otherwise(lit(null)),
+        when(col("n") === 4, struct(col("cr")(2).as("p1"), col("cr")(3).as("p2")))
+          .otherwise(lit(null))), s => s.isNotNull)))
+    segs.select(col("it"), col("iz"), col("ix"),
+      col("seg.p1.y").as("y1"), col("seg.p1.x").as("x1"),
+      col("seg.p2.y").as("y2"), col("seg.p2.x").as("x2"))
+  }
+
+  /** Null points: intersections of segments of two contour families
+    * (reference vpicdataset.py:396-426). Segments live inside one cell,
+    * so the all-pairs loop becomes an equi-join on the cell id — the
+    * quadratic pair scan disappears. No dedup (reference: "Not doing any
+    * sort of combining", :428-429). Output: it, py, px.
+    */
+  def segmentIntersections(segA: DataFrame, segB: DataFrame): DataFrame = {
+    val a = segA.select(col("it"), col("iz"), col("ix"),
+      col("y1").as("ay"), col("x1").as("ax"), col("y2").as("by"), col("x2").as("bx"))
+    val b = segB.select(col("it").as("it2"), col("iz").as("iz2"), col("ix").as("ix2"),
+      col("y1").as("cy"), col("x1").as("cx"), col("y2").as("dy"), col("x2").as("dx"))
+    def ccw3(py: Column, px: Column, qy: Column, qx: Column,
+        ry: Column, rx: Column): Column =
+      (rx - px) * (qy - py) > (qx - px) * (ry - py)
+    val j = a.join(b, col("it") === col("it2")
+      && col("iz") === col("iz2") && col("ix") === col("ix2"))
+    val inter = j.filter(
+      (ccw3(col("ay"), col("ax"), col("cy"), col("cx"), col("dy"), col("dx")) =!=
+        ccw3(col("by"), col("bx"), col("cy"), col("cx"), col("dy"), col("dx"))) &&
+        (ccw3(col("ay"), col("ax"), col("by"), col("bx"), col("cy"), col("cx")) =!=
+          ccw3(col("ay"), col("ax"), col("by"), col("bx"), col("dy"), col("dx"))))
+    // line-line intersection (reference line_intersect, vpicdataset.py:49-68)
+    // with (u, v) = (y, x) index coordinates.
+    val den = (col("ay") - col("by")) * (col("cx") - col("dx")) -
+      (col("ax") - col("bx")) * (col("cy") - col("dy"))
+    val cross1 = col("ay") * col("bx") - col("ax") * col("by")
+    val cross2 = col("cy") * col("dx") - col("cx") * col("dy")
+    inter.filter(den =!= 0)
+      .withColumn("py", (cross1 * (col("cy") - col("dy")) -
+        (col("ay") - col("by")) * cross2) / den)
+      .withColumn("px", (cross1 * (col("cx") - col("dx")) -
+        (col("ax") - col("bx")) * cross2) / den)
+      .select("it", "py", "px")
+  }
+
+  /** Bilinear sample of `field` at fractional index points (it, py, px) —
+    * the reference's RegularGridInterpolator over the index mesh
+    * (vpicdataset.py:385-395). Corner join + weighted sum; `id` column of
+    * `pts` is preserved.
+    */
+  def bilinearSample(grid: DataFrame, field: String, pts: DataFrame,
+      out: String): DataFrame = {
+    val corners = pts
+      .withColumn("c", explode(array(
+        struct(lit(0).as("di"), lit(0).as("dj")),
+        struct(lit(0).as("di"), lit(1).as("dj")),
+        struct(lit(1).as("di"), lit(0).as("dj")),
+        struct(lit(1).as("di"), lit(1).as("dj")))))
+      .withColumn("ci", floor(col("py")) + col("c.di"))
+      .withColumn("cj", floor(col("px")) + col("c.dj"))
+      .withColumn("w",
+        (when(col("c.di") === 0, lit(1) - (col("py") - floor(col("py"))))
+          .otherwise(col("py") - floor(col("py")))) *
+          (when(col("c.dj") === 0, lit(1) - (col("px") - floor(col("px"))))
+            .otherwise(col("px") - floor(col("px")))))
+    val g = grid.select(col("it").as("g_it"), col("iz").as("g_iz"),
+      col("ix").as("g_ix"), col(field).as("g_v"))
+    corners.join(g, col("it") === col("g_it")
+        && col("ci") === col("g_iz") && col("cj") === col("g_ix"))
+      .groupBy(pts.columns.map(col): _*)
+      .agg(sum(col("w") * col("g_v")).as(out))
+  }
+
+  /** Connected components of the given cells under 4-adjacency, per time
+    * step. Label = min linear cell id reachable — deterministic, matches
+    * region partitioning of flood fill (reference's RNG visit order is
+    * incidental; SURVEY §2A 22j). Iterative min-label propagation with
+    * localCheckpoint per iteration; iterations ~ component diameter.
+    */
+  def connectedComponents(cells: DataFrame, nx: Int,
+      maxIter: Int = 1000): DataFrame = {
+    var lab = cells.select(col("it"), col("iz"), col("ix"),
+        (col("iz").cast("long") * nx + col("ix")).as("comp"))
+      .localCheckpoint()
+    val dirs = array(
+      struct(lit(-1).as("di"), lit(0).as("dj")), struct(lit(1).as("di"), lit(0).as("dj")),
+      struct(lit(0).as("di"), lit(-1).as("dj")), struct(lit(0).as("di"), lit(1).as("dj")))
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val msgs = lab.withColumn("d", explode(dirs))
+        .select(col("it"), (col("iz") + col("d.di")).as("iz"),
+          (col("ix") + col("d.dj")).as("ix"), col("comp"))
+        .groupBy("it", "iz", "ix").agg(min("comp").as("mcomp"))
+      val upd = lab.join(msgs, Seq("it", "iz", "ix"), "left")
+      changed = upd.filter(col("mcomp") < col("comp")).count()
+      lab = upd.select(col("it"), col("iz"), col("ix"),
+          least(col("comp"), coalesce(col("mcomp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      iter += 1
+    }
+    lab
+  }
+
+  /** Current-sheet detection (reference vpicdataset.py:481-520) on an
+    * already-smoothed field: 10x10 extremum filters, mean±3σ thresholds
+    * OF THE FILTERED ARRAYS (population σ, np.std), connected regions,
+    * per-region extremum, then region-grow from the extremum over
+    * |field| above a fraction of the regional peak. The hardcoded 0.5 on
+    * the negative branch (vpicdataset.py:516, ignores cs_limit) is
+    * preserved. Returns (it, iz, ix, cs) with cs in {-1, 0, +1}.
+    */
+  def currentSheets(grid: DataFrame, field: String, nz: Int, nx: Int,
+      csLimit: Double): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    val mx = GridOps.extremumFilter(grid, field, nz, nx, isMax = true, "fmax")
+    val mn = GridOps.extremumFilter(grid, field, nz, nx, isMax = false, "fmin")
+    val g = grid.join(mx, Seq("it", "iz", "ix")).join(mn, Seq("it", "iz", "ix"))
+    val thr = g.groupBy(col("it").as("t_it"))
+      .agg((avg("fmax") + lit(3) * stddev_pop("fmax")).as("max_thr"),
+        (avg("fmin") - lit(3) * stddev_pop("fmin")).as("min_thr"))
+    val gt = g.join(thr, col("it") === col("t_it")).drop("t_it")
+
+    def sheets(maskCol: Column, positive: Boolean): DataFrame = {
+      val regions = connectedComponents(gt.filter(maskCol), nx)
+      val withV = regions.join(grid, Seq("it", "iz", "ix"))
+      // per-region extremum of the smoothed field (nd.maximum_position /
+      // nd.maximum; ties broken by (iz, ix) order like np argmax)
+      val ext = withV.groupBy("it", "comp")
+        .agg((if (positive)
+          max_by(struct(col(field).as("v"), col("iz"), col("ix")),
+            struct(col(field), -col("iz"), -col("ix")))
+        else
+          min_by(struct(col(field).as("v"), col("iz"), col("ix")),
+            struct(col(field), col("iz"), col("ix")))).as("e"))
+        .select(col("it"), col("comp"), col("e.v").as("peak"),
+          col("e.iz").as("eiz"), col("e.ix").as("eix"))
+      // region-grow: flood from the extremum over the per-peak threshold
+      // mask == the connected component of that mask containing the seed.
+      val peaks = ext.select("it", "peak", "eiz", "eix").distinct().collect()
+      val masks = peaks.toSeq.map { r =>
+        val (it0, peak, eiz, eix) = (r.getInt(0), r.getDouble(1), r.getInt(2), r.getInt(3))
+        val cond = if (positive) col(field) > peak * csLimit
+        else col(field) < peak * 0.5 // hardcoded 0.5 (vpicdataset.py:516)
+        val cc = connectedComponents(
+          grid.filter(col("it") === it0 && cond), nx)
+        val seed = cc.filter(col("iz") === eiz && col("ix") === eix)
+          .select(col("comp").as("seed_comp"))
+        cc.join(broadcast(seed), col("comp") === col("seed_comp"))
+          .select("it", "iz", "ix")
+      }
+      if (masks.isEmpty)
+        grid.sparkSession.emptyDataset[(Int, Int, Int)]
+          .toDF("it", "iz", "ix").limit(0)
+      else masks.reduce(_ unionAll _).distinct()
+    }
+
+    val pos = sheets(col("fmax") > col("max_thr"), positive = true)
+      .withColumn("s", lit(1))
+    val neg = sheets(col("fmin") < col("min_thr"), positive = false)
+      .withColumn("s", lit(-1))
+    grid.select("it", "iz", "ix")
+      .join(pos.unionAll(neg).groupBy("it", "iz", "ix")
+        .agg(sum("s").as("cs0")), Seq("it", "iz", "ix"), "left")
+      .withColumn("cs", coalesce(col("cs0"), lit(0L)).cast("int"))
+      .select("it", "iz", "ix", "cs")
+  }
+
+  /** Separatrices + O-structures around X points (reference
+    * vpicdataset.py:441-479). For each X point: psi-level contour through
+    * it; contour components (8-adjacency over contour CELLS — our
+    * set-based stand-in for polyline identity); keep components whose min
+    * distance to the X point <= tol; rasterize crossing points (floor to
+    * pixels) + the dilated X-point pixel; gap_fill; OR across X points.
+    * O-structures: zero regions of each X point's filled mask that touch
+    * no image border (region partitioning is visit-order independent, so
+    * the reference's seeded RNG has no semantic effect).
+    *
+    * xPoints: driver-side (py, px) index coords for time `it0`.
+    * Returns (it, iz, ix, sep, ostruct) masks (0/1).
+    */
+  def separatrices(grid: DataFrame, psiField: String, it0: Int,
+      xPoints: Seq[(Double, Double)], nz: Int, nx: Int,
+      tol: Double): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    val g0 = grid.filter(col("it") === it0)
+    val psiAtX: Seq[(Double, Double, Double)] = if (xPoints.isEmpty) Seq.empty
+    else {
+      val pts = xPoints.zipWithIndex
+        .map { case ((py, px), i) => (i, it0, py, px) }
+        .toDF("id", "it", "py", "px")
+      bilinearSample(g0, psiField, pts, "psi_x")
+        .select("id", "py", "px", "psi_x").collect()
+        .map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSeq
+    }
+
+    val perX = psiAtX.map { case (py, px, level) =>
+      val segs = contourSegments(g0, psiField, level)
+      // group contour cells into components (8-adjacency)
+      val segCells = segs.select("it", "iz", "ix").distinct()
+      val comp = connectedComponents8(segCells, nx)
+      // min distance from any segment endpoint of the component to X point
+      val pts = segs.join(comp, Seq("it", "iz", "ix"))
+        .select(col("comp"),
+          explode(array(struct(col("y1").as("y"), col("x1").as("x")),
+            struct(col("y2").as("y"), col("x2").as("x")))).as("p"))
+        .select(col("comp"),
+          sqrt((col("p.y") - py) * (col("p.y") - py) +
+            (col("p.x") - px) * (col("p.x") - px)).as("dist"),
+          col("p.y").as("y"), col("p.x").as("x"))
+      val keep = pts.groupBy("comp").agg(min("dist").as("mind"))
+        .filter(col("mind") <= tol).select("comp")
+      // rasterize kept contour points (floor -> pixel), + dilated X pixel
+      val raster = pts.join(broadcast(keep), Seq("comp"))
+        .select(floor(col("y")).cast("int").as("iz"),
+          floor(col("x")).cast("int").as("ix"))
+        .filter(col("iz") >= 0 && col("iz") < nz && col("ix") >= 0 && col("ix") < nx)
+        .distinct()
+      val xpix = (for (di <- -1 to 1; dj <- -1 to 1
+                       if di * dj == 0) // binary_dilation default: cross structuring element
+        yield (py.toInt + di, px.toInt + dj))
+        .filter { case (a, b) => a >= 0 && a < nz && b >= 0 && b < nx }
+        .toDF("iz", "ix")
+      val localMask = raster.unionAll(xpix).distinct()
+        .withColumn("it", lit(it0)).withColumn("m", lit(1))
+      // complete grid + gap_fill
+      val full = g0.select("it", "iz", "ix")
+        .join(localMask.select("it", "iz", "ix", "m"), Seq("it", "iz", "ix"), "left")
+        .withColumn("m", coalesce(col("m"), lit(0)))
+      GridOps.gapFill(full, "m", nz, nx, "filled")
+    }
+
+    val seps =
+      if (perX.isEmpty)
+        g0.select("it", "iz", "ix").withColumn("sep", lit(0))
+      else perX.map(_.select(col("it"), col("iz"), col("ix"), col("filled")))
+        .reduce(_ unionAll _)
+        .groupBy("it", "iz", "ix").agg(max("filled").as("sep"))
+
+    // O-structures: per X point, zero-regions not touching any border
+    val ostr =
+      if (perX.isEmpty) g0.select("it", "iz", "ix").withColumn("ostruct", lit(0))
+      else perX.map { m =>
+        val zeros = m.filter(col("filled") === 0).select("it", "iz", "ix")
+        val comp = connectedComponents(zeros, nx)
+        val interior = comp.groupBy("comp")
+          .agg(max(col("iz") === 0 || col("iz") === nz - 1 ||
+            col("ix") === 0 || col("ix") === nx - 1).as("touches"))
+          .filter(!col("touches")).select("comp")
+        comp.join(broadcast(interior), Seq("comp"))
+          .select("it", "iz", "ix").withColumn("o", lit(1))
+      }.reduce(_ unionAll _)
+        .groupBy("it", "iz", "ix").agg(max("o").as("ostruct"))
+
+    g0.select("it", "iz", "ix")
+      .join(seps, Seq("it", "iz", "ix"), "left")
+      .join(ostr, Seq("it", "iz", "ix"), "left")
+      .withColumn("sep", coalesce(col("sep"), lit(0)).cast("int"))
+      .withColumn("ostruct", coalesce(col("ostruct"), lit(0)).cast("int"))
+      .select("it", "iz", "ix", "sep", "ostruct")
+  }
+
+  /** Connected components under 8-adjacency (used for contour-cell
+    * grouping).
+    */
+  def connectedComponents8(cells: DataFrame, nx: Int,
+      maxIter: Int = 1000): DataFrame = {
+    var lab = cells.select(col("it"), col("iz"), col("ix"),
+        (col("iz").cast("long") * nx + col("ix")).as("comp"))
+      .localCheckpoint()
+    val dirs = array((for (di <- -1 to 1; dj <- -1 to 1 if !(di == 0 && dj == 0))
+      yield struct(lit(di).as("di"), lit(dj).as("dj"))): _*)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val msgs = lab.withColumn("d", explode(dirs))
+        .select(col("it"), (col("iz") + col("d.di")).as("iz"),
+          (col("ix") + col("d.dj")).as("ix"), col("comp"))
+        .groupBy("it", "iz", "ix").agg(min("comp").as("mcomp"))
+      val upd = lab.join(msgs, Seq("it", "iz", "ix"), "left")
+      changed = upd.filter(col("mcomp") < col("comp")).count()
+      lab = upd.select(col("it"), col("iz"), col("ix"),
+          least(col("comp"), coalesce(col("mcomp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      iter += 1
+    }
+    lab
+  }
+}
