@@ -21,7 +21,8 @@ object QueryRegistry {
       similarity.SimilarityQueries.defs ++
       grid.GridQueries.defs ++
       grid.TopologyQueries.defs ++
-      streaming.StreamingQueries.defs
+      streaming.StreamingQueries.defs ++
+      multimodal.MultimodalQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -111,6 +111,61 @@ object DedupQueries {
 
     // ---- MinHash+LSH near-dup candidates (probabilistic; rows-only check;
     // ScalaTest validates estimates against q29's exact Jaccard).
-    Q("q30_minhash_lsh_pairs", (s, d) => minhashPairs(s, d), None)
+    Q("q30_minhash_lsh_pairs", (s, d) => minhashPairs(s, d), None),
+
+    // ---- 64-bit SimHash signatures (xxhash64 per token, sign-sum per
+    // bit). xxhash64 has no DuckDB counterpart -> rows-only; DedupSpec
+    // pins invariances (identical text => identical signature).
+    Q("q36_simhash", (s, d) => simhash(s, d), None),
+
+    // ---- embedding-cosine near-dup: top-20 most-similar pairs within a
+    // bounded id range (the corpus has no true near-dups; max cos ~0.47).
+    // Exact arithmetic mirrored in DuckDB; rank on the rounded value.
+    Q("q37_embedding_dup_pairs",
+      (s, d) => {
+        val flat = graft.Tables.embeddings(s, d)
+          .filter(col("vec_id") < 300)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+          .withColumn("v", col("v").cast("double"))
+        val norms = flat.groupBy("vec_id").agg(sqrt(sum(col("v") * col("v"))).as("nrm"))
+        val b = flat.select(col("vec_id").as("vb"), col("i").as("ib"), col("v").as("wv"))
+        val dots = flat.join(b, col("i") === col("ib") && col("vec_id") < col("vb"))
+          .groupBy(col("vec_id").as("va"), col("vb"))
+          .agg(sum(col("v") * col("wv")).as("dot"))
+        val na = norms.select(col("vec_id").as("va"), col("nrm").as("na"))
+        val nb = norms.select(col("vec_id").as("vb"), col("nrm").as("nb"))
+        dots.join(na, "va").join(nb, "vb")
+          .select(col("va"), col("vb"),
+            round(col("dot") / (col("na") * col("nb")), 6).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("va"), col("vb"))
+          .limit(20)
+      },
+      Some("""WITH flat AS (SELECT vec_id, CAST(v AS DOUBLE) AS v, i FROM (
+               SELECT vec_id, unnest(embedding) AS v,
+                      generate_subscripts(embedding, 1) AS i
+               FROM embeddings WHERE vec_id < 300) x),
+             norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM flat GROUP BY 1),
+             dots AS (SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.v*b.v) AS dot
+                      FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
+                      GROUP BY 1, 2)
+             SELECT va, vb, round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+             FROM dots JOIN norms na ON va = na.vec_id
+             JOIN norms nb ON vb = nb.vec_id
+             ORDER BY cos_sim DESC, va, vb LIMIT 20"""))
   )
+
+  /** 64-bit SimHash per document: bit i set iff the sign-sum over token
+    * hashes' bit i is positive. One explode + one groupBy with 64
+    * codegen'd conditional sums — no UDF, fully distributed.
+    */
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val toks = tokenSets(s, d).withColumn("h", xxhash64(col("token")))
+    val bitSums = (0 until 64).map(i =>
+      sum(shiftright(col("h"), i).bitwiseAND(1) * 2 - 1).as(s"b$i"))
+    val sums = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map(i =>
+        when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
+      .reduce(_.bitwiseOR(_))
+    sums.select(col("doc_id"), sig.as("simhash")).orderBy("doc_id")
+  }
 }

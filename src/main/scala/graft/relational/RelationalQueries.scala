@@ -410,6 +410,17 @@ object RelationalQueries {
                   OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup
                 FROM ev) t WHERE event_type = 'purchase'
-              ORDER BY user_id, event_id"""))
+              ORDER BY user_id, event_id""")),
+
+    // ---- q42: HLL sketch distinct counts (approx_count_distinct).
+    // Sketch internals differ from DuckDB's -> rows-only; QueriesSpec
+    // asserts <5% relative error against the exact counts.
+    Q("q42_approx_distinct",
+      (s, d) =>
+        li(s, d).agg(
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps")),
+      None)
   )
 }

@@ -68,6 +68,57 @@ object SimilarityQueries {
              SELECT label, round(avg(norm),4) AS avg_norm,
                     round(min(norm),4) AS min_norm, round(max(norm),4) AS max_norm,
                     count(*) AS n
-             FROM norms GROUP BY label ORDER BY label"""))
+             FROM norms GROUP BY label ORDER BY label""")),
+
+    // ---- approximate NN via sign-random-projection LSH: 4 tables of
+    // 4-bit sign buckets; candidates = any shared bucket with the probe;
+    // exact cosine re-ranking of candidates only. This is the 100 TB path:
+    // the bucket join touches a small candidate set instead of all vectors.
+    // Probabilistic recall -> rows-only; SimilaritySpec checks the scores
+    // against the exact brute force.
+    Q("q38_ann_lsh", (s, d) => annLsh(s, d, probeId = 0, k = 10), None)
   )
+
+  /** Deterministic pseudo-random projection component for (table t, bit b,
+    * dim i) — same formula everywhere, no RNG state.
+    */
+  private def projComponent(t: Int, b: Int, i: Int): Double = {
+    val h = (t * 73856093) ^ (b * 19349663) ^ (i * 83492791)
+    ((h & 0x7fffffff) % 2001) / 1000.0 - 1.0
+  }
+
+  def annLsh(s: SparkSession, d: String, probeId: Long, k: Int): DataFrame = {
+    import s.implicits._
+    val Tables = 4; val Bits = 4
+    val f = flat(s, d)
+    // projection matrix as a broadcast dim table (t, b, i) -> weight
+    val proj = (for (t <- 0 until Tables; b <- 0 until Bits; i <- 0 until 64)
+      yield (t, b, i, projComponent(t, b, i))).toDF("pt", "pb", "pi", "pw")
+    // per (vector, table): 4-bit sign bucket; one join + two aggregations,
+    // all shuffles keyed by vec_id (co-partitioned).
+    val buckets = f.join(broadcast(proj), col("i") === col("pi"))
+      .groupBy(col("vec_id"), col("pt"), col("pb"))
+      .agg(sum(col("v") * col("pw")).as("dot"))
+      .withColumn("bit", when(col("dot") > 0, expr("shiftleft(1, pb)")).otherwise(0))
+      .groupBy("vec_id", "pt").agg(sum("bit").as("bucket"))
+    val probe = buckets.filter(col("vec_id") === probeId)
+      .select(col("pt").as("qt"), col("bucket").as("qbucket"))
+    val cand = buckets.join(broadcast(probe),
+        col("pt") === col("qt") && col("bucket") === col("qbucket")
+          && col("vec_id") =!= probeId)
+      .select("vec_id").distinct()
+    // exact cosine on candidates only
+    val q = f.filter(col("vec_id") === probeId)
+      .select(col("i").as("qi"), col("v").as("qv"))
+    val qn = q.agg(sum(col("qv") * col("qv")).as("qn"))
+    f.join(cand, Seq("vec_id"))
+      .join(broadcast(q), col("i") === col("qi"))
+      .groupBy("vec_id")
+      .agg(sum(col("v") * col("qv")).as("dot"), sum(col("v") * col("v")).as("nrm"))
+      .crossJoin(broadcast(qn))
+      .select(col("vec_id"),
+        round(col("dot") / (sqrt(col("nrm")) * sqrt(col("qn"))), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
 }

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface over the `events` schema. Every transform
+  * here takes a (possibly streaming) DataFrame with the events columns
+  * (ts TIMESTAMP_NTZ-compatible, user_id, event_type, value) and returns a
+  * streaming-safe plan: event-time watermarks bound state; aggregations
+  * are incremental. The same expressions run in batch (StreamingQueries
+  * q33-q35) — that's how the DuckDB oracle checks them.
+  */
+object Streams {
+  final case class EventRow(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+  final case class UserRunning(user_id: Long, n: Long, total: Double)
+
+  /** File-based streaming read of the events table (real deployments
+    * would point this at an arriving-file directory or Kafka).
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = graft.Tables.events(spark, dir).schema
+    spark.readStream.schema(schema.add("ts_raw", "long"))
+      .parquet(s"$dir/events.parquet")
+  }
+
+  /** Tumbling 1-hour event-time counts with a 2-hour watermark: late rows
+    * beyond the watermark are dropped, windows finalize incrementally.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Session windows (30-min gap) per user under a watermark. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("session_window.start").as("w_start"), col("user_id"),
+        col("n_events"), col("sum_value"))
+
+  /** Streaming exact dedup on event_id within the watermark horizon —
+    * the streaming side of the dedup surface (state is bounded by the
+    * watermark; at 100 TB/day this is the only safe exact-dedup shape).
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom state: running per-user count/total via
+    * flatMapGroupsWithState (reference has no streaming; this is the
+    * §2B custom-state surface).
+    */
+  def runningTotals(events: Dataset[EventRow]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          var n = prev.n; var tot = prev.total
+          rows.foreach { r => n += 1; tot += r.value }
+          val next = UserRunning(uid, n, tot)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+}

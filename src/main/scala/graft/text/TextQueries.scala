@@ -106,6 +106,24 @@ object TextQueries {
                      / len(string_split(text,' ')) AS avg_len
                    FROM documents) t ORDER BY doc_id""")),
 
+    // ---- BPE-ish regex tokenization: letter runs / digit runs / single
+    // punctuation, top 50 by frequency. Same regex class syntax in Java
+    // and DuckDB's RE2.
+    Q("q39_regex_tokens",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(explode(expr(
+            """regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"""))
+            .as("token"))
+          .groupBy("token")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("token"))
+          .limit(50),
+      Some("""SELECT token, count(*) AS cnt FROM (
+             SELECT unnest(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS token
+             FROM documents) t
+             GROUP BY token ORDER BY cnt DESC, token LIMIT 50""")),
+
     // ---- content fingerprint: md5 of the sorted distinct token set
     // (order-canonical, whitespace-insensitive document identity).
     Q("q27_fingerprint",

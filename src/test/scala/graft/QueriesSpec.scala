@@ -17,8 +17,34 @@ class QueriesSpec extends AnyFunSuite {
   }
 
   test("oracle SQL exists for all SQL-expressible queries") {
-    val noOracle = QueryRegistry.all.filter(_.oracle.isEmpty).map(_.name)
-    assert(noOracle == Seq("q30_minhash_lsh_pairs"), s"unexpected: $noOracle")
+    val noOracle = QueryRegistry.all.filter(_.oracle.isEmpty).map(_.name).toSet
+    // probabilistic / engine-specific-hash / stub-codec ops only
+    assert(noOracle == Set("q30_minhash_lsh_pairs", "q36_simhash",
+      "q38_ann_lsh", "q41_media_features", "q42_approx_distinct"),
+      s"unexpected: $noOracle")
+  }
+
+  test("q42 approx distinct within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    val approx = QueryRegistry.queries("q42_approx_distinct")(spark, sf).head()
+    val exact = Tables.lineitem(spark, sf)
+      .agg(countDistinct("l_orderkey"), countDistinct("l_partkey"),
+        countDistinct("l_suppkey")).head()
+    for (i <- 0 until 3) {
+      val a = approx.getLong(i).toDouble; val e = exact.getLong(i).toDouble
+      assert(math.abs(a - e) / e < 0.05, s"col $i: approx $a vs exact $e")
+    }
+  }
+
+  test("q38 ANN returns exact cosine scores for its candidates") {
+    val ann = QueryRegistry.queries("q38_ann_lsh")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exact = QueryRegistry.queries("q31_cosine_topk")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ann.nonEmpty, "ANN returned no candidates")
+    // scores for overlapping ids must agree exactly (same arithmetic)
+    val overlap = ann.keySet intersect exact.keySet
+    overlap.foreach(id => assert(ann(id) == exact(id), s"score mismatch for $id"))
   }
 
   test("q19 distinct flags: exactly the 6 known (rf, ls) pairs") {

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import graft.SharedSpark
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Watermark / event-time semantics via MemoryStream (SURVEY §5.5):
+  * out-of-order rows inside the watermark are aggregated; rows later than
+  * the watermark are dropped.
+  */
+class StreamsSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("tumbling window aggregates out-of-order rows; watermark drops late data") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams.tumblingCounts(df)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tumbling_out").start()
+    try {
+      // batch 1: in-order + out-of-order within the same hour
+      mem.addData((1L, ts(10), 1L, "click", 1.0), (2L, ts(50), 1L, "click", 2.0),
+        (3L, ts(5), 1L, "click", 4.0))
+      q.processAllAvailable()
+      // batch 2: advance event time far ahead -> watermark passes hour 0
+      mem.addData((4L, ts(5 * 60), 1L, "click", 8.0))
+      q.processAllAvailable()
+      // batch 3: a row for hour 0, now behind the watermark -> dropped
+      mem.addData((5L, ts(20), 1L, "click", 16.0))
+      q.processAllAvailable()
+      // batch 4: push watermark far enough to finalize hour 5 too
+      mem.addData((6L, ts(10 * 60), 1L, "click", 32.0))
+      q.processAllAvailable()
+      val out = spark.table("tumbling_out")
+        .select("w_start", "n", "sum_value").as[(Timestamp, Long, Double)]
+        .collect().toSet
+      // hour 0 closed with rows 1-3 only (late row 5 dropped)
+      assert(out.contains((ts(0), 3L, 7.0)), s"hour-0 window wrong: $out")
+      assert(out.contains((ts(5 * 60), 1L, 8.0)), s"hour-5 window wrong: $out")
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState keeps running per-user totals across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Streams.EventRow]
+    val q = Streams.runningTotals(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("running_out").start()
+    try {
+      mem.addData(Streams.EventRow(1, ts(1), 7L, "click", 1.5))
+      q.processAllAvailable()
+      mem.addData(Streams.EventRow(2, ts(2), 7L, "click", 2.5),
+        Streams.EventRow(3, ts(3), 8L, "view", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("running_out")
+        .as[Streams.UserRunning].collect()
+      val u7 = out.filter(_.user_id == 7L).maxBy(_.n)
+      assert(u7.n == 2 && u7.total == 4.0, s"user 7 state wrong: ${out.toSeq}")
+      assert(out.exists(r => r.user_id == 8L && r.n == 1 && r.total == 1.0))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops duplicate ids within the watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams.dedupStream(df)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    try {
+      mem.addData((1L, ts(1), 1L, "a", 1.0), (1L, ts(2), 1L, "a", 1.0),
+        (2L, ts(3), 1L, "b", 2.0))
+      q.processAllAvailable()
+      mem.addData((1L, ts(4), 1L, "a", 1.0)) // duplicate again, same batch horizon
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 2)
+    } finally q.stop()
+  }
+}
