@@ -37,8 +37,10 @@ object DedupQueries {
   /** LSH candidate pairs: docs sharing any band bucket. Band hash joins
     * replace the O(n^2) cross join — the scale path for near-dup at 100 TB.
     */
-  def minhashCandidates(s: SparkSession, d: String): DataFrame = {
-    val sig = minhashSignatures(s, d)
+  def minhashCandidates(s: SparkSession, d: String): DataFrame =
+    candidatesFrom(minhashSignatures(s, d))
+
+  private def candidatesFrom(sig: DataFrame): DataFrame = {
     val bands = (0 until NumHashes / BandRows).map { b =>
       val cols = (b * BandRows until (b + 1) * BandRows).map(i => col(s"h$i"))
       sig.select(col("doc_id"), lit(b).as("band"),
@@ -52,10 +54,14 @@ object DedupQueries {
       .distinct()
   }
 
-  /** Estimated Jaccard from signature agreement for candidate pairs. */
+  /** Estimated Jaccard from signature agreement for candidate pairs.
+    * Signatures are persisted: they feed the band buckets AND both sides
+    * of the pair join — without the persist the explode+groupBy over all
+    * tokens runs three times.
+    */
   def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sig = minhashSignatures(s, d)
-    val cand = minhashCandidates(s, d)
+    val sig = minhashSignatures(s, d).persist()
+    val cand = candidatesFrom(sig)
     val a = sig.as("a"); val b = sig.as("b")
     val agree = (0 until NumHashes)
       .map(i => when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0))

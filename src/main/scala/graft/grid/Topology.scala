@@ -142,20 +142,25 @@ object Topology {
       .agg(sum(col("w") * col("g_v")).as(out))
   }
 
-  /** Connected components of the given cells under 4-adjacency, per time
-    * step. Label = min linear cell id reachable — deterministic, matches
-    * region partitioning of flood fill (reference's RNG visit order is
-    * incidental; SURVEY §2A 22j). Iterative min-label propagation with
-    * localCheckpoint per iteration; iterations ~ component diameter.
+  /** Connected components of the given cells, per time step. Label = min
+    * linear cell id reachable — deterministic, matches region partitioning
+    * of flood fill (reference's RNG visit order is incidental; SURVEY §2A
+    * 22j). Min-label propagation PLUS pointer jumping (label chases its
+    * own label's label) -> O(log diameter) rounds instead of O(diameter);
+    * localCheckpoint per round cuts lineage. At cluster scale this is the
+    * small-star/large-star family of CC algorithms.
     */
-  def connectedComponents(cells: DataFrame, nx: Int,
-      maxIter: Int = 1000): DataFrame = {
+  private def ccImpl(cells: DataFrame, nx: Int, dirs8: Boolean,
+      maxIter: Int): DataFrame = {
+    val offsets = if (dirs8)
+      for (di <- -1 to 1; dj <- -1 to 1 if !(di == 0 && dj == 0)) yield (di, dj)
+    else Seq((-1, 0), (1, 0), (0, -1), (0, 1))
+    val dirs = array(offsets.map { case (di, dj) =>
+      struct(lit(di).as("di"), lit(dj).as("dj")) }: _*)
     var lab = cells.select(col("it"), col("iz"), col("ix"),
-        (col("iz").cast("long") * nx + col("ix")).as("comp"))
+        (col("iz").cast("long") * nx + col("ix")).as("id"))
+      .withColumn("comp", col("id"))
       .localCheckpoint()
-    val dirs = array(
-      struct(lit(-1).as("di"), lit(0).as("dj")), struct(lit(1).as("di"), lit(0).as("dj")),
-      struct(lit(0).as("di"), lit(-1).as("dj")), struct(lit(0).as("di"), lit(1).as("dj")))
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -163,15 +168,27 @@ object Topology {
         .select(col("it"), (col("iz") + col("d.di")).as("iz"),
           (col("ix") + col("d.dj")).as("ix"), col("comp"))
         .groupBy("it", "iz", "ix").agg(min("comp").as("mcomp"))
-      val upd = lab.join(msgs, Seq("it", "iz", "ix"), "left")
-      changed = upd.filter(col("mcomp") < col("comp")).count()
-      lab = upd.select(col("it"), col("iz"), col("ix"),
-          least(col("comp"), coalesce(col("mcomp"), col("comp"))).as("comp"))
+      val gathered = lab.join(msgs, Seq("it", "iz", "ix"), "left")
+        .withColumn("tmp", least(col("comp"), coalesce(col("mcomp"), col("comp"))))
+      // pointer jump: follow tmp (always some cell's id) to that cell's
+      // current label; strictly accelerates convergence.
+      val ptr = lab.select(col("it").as("p_it"), col("id").as("p_id"),
+        col("comp").as("p_comp"))
+      val jumped = gathered.join(ptr,
+          col("it") === col("p_it") && col("tmp") === col("p_id"), "left")
+        .withColumn("newcomp", least(col("tmp"), coalesce(col("p_comp"), col("tmp"))))
+      val next = jumped.select(col("it"), col("iz"), col("ix"), col("id"),
+        col("newcomp").as("comp"), (col("newcomp") < col("comp")).as("ch"))
         .localCheckpoint()
+      changed = next.filter(col("ch")).count()
+      lab = next.drop("ch")
       iter += 1
     }
-    lab
+    lab.drop("id")
   }
+
+  def connectedComponents(cells: DataFrame, nx: Int,
+      maxIter: Int = 1000): DataFrame = ccImpl(cells, nx, dirs8 = false, maxIter)
 
   /** Current-sheet detection (reference vpicdataset.py:481-520) on an
     * already-smoothed field: 10x10 extremum filters, mean±3σ thresholds
@@ -185,9 +202,8 @@ object Topology {
       csLimit: Double): DataFrame = {
     val spark = grid.sparkSession
     import spark.implicits._
-    val mx = GridOps.extremumFilter(grid, field, nz, nx, isMax = true, "fmax")
-    val mn = GridOps.extremumFilter(grid, field, nz, nx, isMax = false, "fmin")
-    val g = grid.join(mx, Seq("it", "iz", "ix")).join(mn, Seq("it", "iz", "ix"))
+    val mm = GridOps.minmaxFilter(grid, field, nz, nx, "fmax", "fmin")
+    val g = grid.join(mm, Seq("it", "iz", "ix"))
     val thr = g.groupBy(col("it").as("t_it"))
       .agg((avg("fmax") + lit(3) * stddev_pop("fmax")).as("max_thr"),
         (avg("fmin") - lit(3) * stddev_pop("fmin")).as("min_thr"))
@@ -337,26 +353,5 @@ object Topology {
     * grouping).
     */
   def connectedComponents8(cells: DataFrame, nx: Int,
-      maxIter: Int = 1000): DataFrame = {
-    var lab = cells.select(col("it"), col("iz"), col("ix"),
-        (col("iz").cast("long") * nx + col("ix")).as("comp"))
-      .localCheckpoint()
-    val dirs = array((for (di <- -1 to 1; dj <- -1 to 1 if !(di == 0 && dj == 0))
-      yield struct(lit(di).as("di"), lit(dj).as("dj"))): _*)
-    var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIter) {
-      val msgs = lab.withColumn("d", explode(dirs))
-        .select(col("it"), (col("iz") + col("d.di")).as("iz"),
-          (col("ix") + col("d.dj")).as("ix"), col("comp"))
-        .groupBy("it", "iz", "ix").agg(min("comp").as("mcomp"))
-      val upd = lab.join(msgs, Seq("it", "iz", "ix"), "left")
-      changed = upd.filter(col("mcomp") < col("comp")).count()
-      lab = upd.select(col("it"), col("iz"), col("ix"),
-          least(col("comp"), coalesce(col("mcomp"), col("comp"))).as("comp"))
-        .localCheckpoint()
-      iter += 1
-    }
-    lab
-  }
+      maxIter: Int = 1000): DataFrame = ccImpl(cells, nx, dirs8 = true, maxIter)
 }
