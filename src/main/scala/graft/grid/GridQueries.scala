@@ -299,6 +299,42 @@ object GridQueries {
                     FROM samples CROSS JOIN corners)
               SELECT sid, round(sum(w.w * g.b1), 6) AS interp
               FROM w JOIN grid g ON g.it = 0 AND g.iz = w.ci AND g.ix = w.cj
-              GROUP BY sid ORDER BY sid"""))
+              GROUP BY sid ORDER BY sid""")),
+
+    // ---- g15: full reference _spaceslice via LineSlice (ray-box clip,
+    // dx/3 shrink, arange sampling, bilinear corners) over every time
+    // step. The sampling geometry is a pure function of the (static) axes,
+    // so the SAME driver-side corner table is embedded in the oracle as a
+    // VALUES list — the data-dependent join+sum runs in both engines.
+    Q("g15_line_slice",
+      (s, d) => {
+        val g = grid(s, d)
+        val v = GridVar("b1",
+          Array.emptyDoubleArray, // time axis unused by slice
+          Seq(("iz", lineAxes), ("ix", lineAxes)),
+          g.withColumn("value", col("b1")))
+        LineSlice.slice(v, lineSetPts).df
+          .select(col("it"), col("i0"),
+            round(col("s"), 6).as("s"), round(col("value"), 6).as("value"))
+          .orderBy("it", "i0")
+      },
+      Some {
+        val corners = LineSlice.sampleCorners(Seq(lineAxes, lineAxes),
+          lineSetPts, "linear")
+        val rows = corners.map(c =>
+          s"(${c.sampleIdx}, ${c.s}, ${c.w}, ${c.idxs.head}, ${c.idxs(1)})")
+          .mkString(", ")
+        s"""WITH $gridCte,
+           corners(i0, s, w, ci, cj) AS (VALUES $rows)
+           SELECT g.it, c.i0, round(c.s, 6) AS s,
+                  round(sum(c.w * g.b1), 6) AS value
+           FROM corners c JOIN grid g ON g.iz = c.ci AND g.ix = c.cj
+           GROUP BY g.it, c.i0, c.s ORDER BY g.it, c.i0"""
+      })
   )
+
+  /** Line-slice fixture shared by g15's Spark side and oracle. */
+  private val lineAxes: Array[Double] = (0 until NZ).map(_ * Dz).toArray
+  private val lineSetPts: Seq[Array[Double]] =
+    Seq(Array(0.4, 0.3), Array(6.9, 7.2))
 }

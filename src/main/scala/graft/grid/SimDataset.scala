@@ -59,15 +59,34 @@ final case class SimDataset(
     }
   }
 
-  /** Slice every variable: inclusive time filter then per-dim inclusive
-    * zooms (reference Dataset.ndslice -> Variable.ndslice pipeline order,
-    * variable.py:69-78). All lazy narrow filters — no data copy, the
+  /** Variable selection — the reference's `get_vars` ingest projection
+    * (vpicdataset.py:206-213): case-sensitive substring match, first
+    * match wins per requested pattern.
+    */
+  def selectVars(patterns: Seq[String]): SimDataset = {
+    val names = variables.keys.toSeq.sorted
+    val keep = patterns.flatMap(p => names.find(_.contains(p))).distinct
+    copy(variables = variables.filter { case (k, _) => keep.contains(k) })
+  }
+
+  /** Slice every variable: inclusive time filter, per-dim inclusive
+    * zooms, then the optional interpolating line section (reference
+    * Dataset.ndslice -> Variable.ndslice pipeline order,
+    * variable.py:69-78). All lazy transforms — no data copy, the
     * reference's deepcopy (variable.py:69) has no analogue under
     * immutability. Axes are filtered driver-side to stay consistent.
+    *
+    * `interpOverrides`: per-variable-label interpolation override — the
+    * reference's `<label>interp` kwargs (statmeshvar.py:121-126).
+    * With setPts, records `unit_vec` and `zero_pt` params
+    * (dataset.py:240-243).
     */
   def ndslice(
       timelims: Option[(Double, Double)] = None,
-      zooms: Map[String, (Double, Double)] = Map.empty): SimDataset = {
+      zooms: Map[String, (Double, Double)] = Map.empty,
+      setPts: Option[Seq[Array[Double]]] = None,
+      interp: String = "linear",
+      interpOverrides: Map[String, String] = Map.empty): SimDataset = {
     val newVars = variables.map { case (name, v) =>
       var df = v.df
       var tAxis = v.timeAxis
@@ -85,9 +104,23 @@ final case class SimDataset(
           case None => (idx, coords)
         }
       }
-      name -> v.copy(timeAxis = tAxis, spaceAxes = newAxes, df = df)
+      val zoomed = v.copy(timeAxis = tAxis, spaceAxes = newAxes, df = df)
+      name -> (setPts match {
+        case Some(pts) =>
+          LineSlice.slice(zoomed, pts, interpOverrides.getOrElse(name, interp))
+        case None => zoomed
+      })
     }
-    copy(variables = newVars)
+    val withParams = setPts match {
+      case Some(pts) =>
+        val vec = pts(1).zip(pts.head).map { case (b, a) => b - a }
+        val n = math.sqrt(vec.map(x => x * x).sum)
+        params +
+          ("unit_vec" -> vec.map(_ / n).mkString(",")) +
+          ("zero_pt" -> pts.head.mkString(","))
+      case None => params
+    }
+    copy(params = withParams, variables = newVars)
   }
 
   /** Export: parquet per variable + JSON sidecar for params/axes — the
@@ -106,6 +139,21 @@ final case class SimDataset(
 }
 
 object SimDataset {
+  /** Key-value param ingest — the declared-but-stubbed `_get_params`
+    * (vpicdataset.py:232-245; SURVEY §2A row 20). Format we define:
+    * `key = value` or `key value` lines; '#' comments.
+    */
+  def paramsFromFile(path: String): Map[String, String] =
+    scala.io.Source.fromFile(path).getLines()
+      .map(_.takeWhile(_ != '#').trim)
+      .filter(_.nonEmpty)
+      .flatMap { line =>
+        val parts =
+          if (line.contains('=')) line.split("=", 2)
+          else line.split("\\s+", 2)
+        if (parts.length == 2) Some(parts(0).trim -> parts(1).trim) else None
+      }.toMap
+
   private def jarr(a: Array[Double]): String = a.mkString("[", ",", "]")
   private def jstr(s: String): String =
     "\"" + s.flatMap {
