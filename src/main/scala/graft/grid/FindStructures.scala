@@ -1,0 +1,126 @@
+package graft.grid
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's master analytic pipeline `find_structures`
+  * (/root/reference/src/datasets/vpicdataset.py:295-533), recomposed from
+  * the set-based operators: smoothing -> flux function -> gradients /
+  * Hessian -> zero contours -> segment-intersection nulls -> X/O
+  * classification -> separatrices + O-structures -> current sheets.
+  *
+  * Deliberate differences from the reference, all documented in SURVEY:
+  *  - pure API: returns a NEW SimDataset instead of mutating (the
+  *    reference mutates self, asymmetric with its own ndslice);
+  *  - smoothing/flux/gradient/contour/null stages run for ALL time steps
+  *    in one plan (partitioned by `it`), fulfilling the reference's TODO
+  *    at vpicdataset.py:337; the per-X-point stages take `timeIdx` like
+  *    the reference;
+  *  - flux function is recomputed from the given fields instead of
+  *    reusing a possibly-stale cached one (the ref warns but reuses,
+  *    vpicdataset.py:371-376).
+  * Preserved quirks: hardcoded current-sheet source variable name 'jy'
+  * (:482), hardcoded 0.5 on the negative sheet branch (:516),
+  * d_per_de = int(mean(1/dz, 1/dx)) (:345-349).
+  */
+object FindStructures {
+  final case class Result(dataset: SimDataset,
+      xCoords: Seq[(Double, Double)], oCoords: Seq[(Double, Double)])
+
+  def apply(ds: SimDataset, b1Name: String = "b1", b2Name: String = "b2",
+      smoothing: Double = 3.0, timeIdx: Int = 0, deTol: Double = 5.0,
+      csLimit: Double = 0.5, jyName: String = "jy"): Result = {
+    val b1 = ds.variables(b1Name)
+    val b2 = ds.variables(b2Name)
+    require(b1.spaceAxes.length == 2,
+      "Flux function can only be calculated on 2-dimensional meshes")
+    require(b1.spaceAxes.zip(b2.spaceAxes).forall {
+      case ((_, a), (_, b)) => a.sameElements(b)
+    }, s"Given magnetic field components $b1Name and $b2Name do not have the same mesh")
+    val zAxis = b1.spaceAxes(0)._2; val xAxis = b1.spaceAxes(1)._2
+    require(LineSlice.uniform(zAxis) && LineSlice.uniform(xAxis),
+      "inputted variables are not on uniform mesh")
+    val dz = zAxis(1) - zAxis(0); val dx = xAxis(1) - xAxis(0)
+    val nz = zAxis.length; val nx = xAxis.length
+    val dPerDe = ((1 / dz + 1 / dx) / 2).toInt // vpicdataset.py:345-349
+
+    // join the two fields on the grid once
+    val joined = b1.df.select(col("it"), col("iz"), col("ix"), col("t"),
+        col("value").as("b1v"))
+      .join(b2.df.select(col("it").as("it2"), col("iz").as("iz2"),
+        col("ix").as("ix2"), col("value").as("b2v")),
+        col("it") === col("it2") && col("iz") === col("iz2") && col("ix") === col("ix2"))
+      .drop("it2", "iz2", "ix2")
+
+    // Gaussian smoothing (sigma_t = 0: the reference default never
+    // smooths time, vpicdataset.py:351-361)
+    val smoothed = GridOps.gaussianSmooth(joined, "b1v", smoothing, nz, nx, "b1_smooth")
+      .join(GridOps.gaussianSmooth(joined, "b2v", smoothing, nz, nx, "b2_smooth"),
+        Seq("it", "iz", "ix"))
+      .persist()
+
+    // flux function from the SMOOTHED fields (vpicdataset.py:372)
+    val flux = GridOps.fluxfn(smoothed, "b1_smooth", "b2_smooth", dz, dx)
+      .withColumnRenamed("psi", "flux_fn").persist()
+
+    // gradients + Hessian determinant (index-agnostic physical spacing)
+    val g1 = GridOps.gradient(flux, "b1_smooth", "iz", dz, "db1_d1")
+    val g2 = GridOps.gradient(g1, "b1_smooth", "ix", dx, "db1_d2")
+    val g3 = GridOps.gradient(g2, "b2_smooth", "iz", dz, "db2_d1")
+    val g4 = GridOps.gradient(g3, "b2_smooth", "ix", dx, "db2_d2")
+    val hess = g4.withColumn("fluxfn_hessian_det",
+      col("db1_d2") * (-col("db2_d1")) - (-col("db2_d2")) * col("db1_d1"))
+      .persist()
+
+    // zero contours -> nulls (all time steps at once)
+    val nulls = Topology.segmentIntersections(
+      Topology.contourSegments(hess, "b1_smooth", 0.0),
+      Topology.contourSegments(hess, "b2_smooth", 0.0))
+
+    // X/O split by the sign of the interpolated Hessian det (:431-439)
+    val classified = Topology.bilinearSample(hess, "fluxfn_hessian_det",
+        nulls.select(col("it"), col("py"), col("px")), "hdi")
+      .filter(col("it") === timeIdx)
+      .collect()
+      .map(r => (r.getAs[Double]("py"), r.getAs[Double]("px"),
+        math.signum(r.getAs[Double]("hdi"))))
+    val xCoords = classified.filter(_._3 == -1.0).map(c => (c._1, c._2)).toSeq
+    val oCoords = classified.filter(_._3 == 1.0).map(c => (c._1, c._2)).toSeq
+
+    // separatrices + O-structures around the X points (:441-479)
+    // hess still carries flux_fn (the gradient chain started from `flux`)
+    val seps = Topology.separatrices(hess, "flux_fn", timeIdx, xCoords,
+      nz, nx, dPerDe * deTol)
+
+    // current sheets on smoothed jy (hardcoded name, :482)
+    val csOpt = ds.variables.get(jyName).map { jy =>
+      val jySm = GridOps.gaussianSmooth(jy.df, "value", smoothing, nz, nx, "jy_smooth")
+      Topology.currentSheets(
+        jySm.select(col("it"), col("iz"), col("ix"), col("jy_smooth")),
+        "jy_smooth", nz, nx, csLimit)
+    }
+
+    def asVar(label: String, df: DataFrame, valueCol: String): GridVar =
+      GridVar(label, b1.timeAxis, b1.spaceAxes,
+        df.withColumnRenamed(valueCol, "value"))
+
+    var out = ds
+      .addVar(asVar(s"${b1Name}_smooth",
+        smoothed.select("it", "iz", "ix", "b1_smooth"), "b1_smooth"))
+      .addVar(asVar(s"${b2Name}_smooth",
+        smoothed.select("it", "iz", "ix", "b2_smooth"), "b2_smooth"))
+      .addVar(asVar("flux_fn", flux.select("it", "iz", "ix", "flux_fn"), "flux_fn"))
+      .addVar(asVar("fluxfn_hessian_det",
+        hess.select("it", "iz", "ix", "fluxfn_hessian_det"), "fluxfn_hessian_det"))
+      .addVar(asVar("separatrices", seps.select("it", "iz", "ix", "sep"), "sep"))
+      .addVar(asVar("o_structures", seps.select("it", "iz", "ix", "ostruct"), "ostruct"))
+      .addParam("d_per_de", dPerDe.toString)
+      .addParam("x_coords", xCoords.map(c => s"${c._1}:${c._2}").mkString(";"))
+      .addParam("o_coords", oCoords.map(c => s"${c._1}:${c._2}").mkString(";"))
+    csOpt.foreach { cs =>
+      out = out.addVar(asVar("current_sheets",
+        cs.select("it", "iz", "ix", "cs"), "cs"))
+    }
+    Result(out, xCoords, oCoords)
+  }
+}

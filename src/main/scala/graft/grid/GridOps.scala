@@ -197,7 +197,7 @@ object GridOps {
     * one aggregation evaluates the bracket patterns. Output int 0/1.
     */
   def gapFill(df: DataFrame, mask: String, nz: Int, nx: Int,
-      out: String): DataFrame = {
+      out: String, keys: Seq[String] = Seq("it")): DataFrame = {
     // (oi, oj): source offset relative to the receiving cell.
     val dirs = Seq(
       ("C", 0, 0), ("U", -1, 0), ("D", 1, 0), ("L", 0, -1), ("R", 0, 1),
@@ -205,15 +205,15 @@ object GridOps {
     val offArr = array(dirs.map { case (nm, oi, oj) =>
       struct(lit(nm).as("dir"), lit(oi).as("oi"), lit(oj).as("oj"))
     }: _*)
-    val scattered = df.select(col("it"), col("iz"), col("ix"),
-        col(mask).cast("int").as("m"), explode(offArr).as("o"))
-      .select(col("it"),
-        ((col("iz") - col("o.oi") + nz) % nz).as("dz"),
-        ((col("ix") - col("o.oj") + nx) % nx).as("dx"),
-        col("o.dir").as("dir"), col("m"))
+    val k = keys.map(col)
+    val scattered = df.select((k :+ col("iz") :+ col("ix")
+        :+ col(mask).cast("int").as("m") :+ explode(offArr).as("o")): _*)
+      .select((k :+ ((col("iz") - col("o.oi") + nz) % nz).as("iz")
+        :+ ((col("ix") - col("o.oj") + nx) % nx).as("ix")
+        :+ col("o.dir").as("dir") :+ col("m")): _*)
     def dcol(nm: String): Column =
       max(when(col("dir") === nm, col("m")).otherwise(0))
-    val nbr = scattered.groupBy(col("it"), col("dz").as("iz"), col("dx").as("ix"))
+    val nbr = scattered.groupBy((k :+ col("iz") :+ col("ix")): _*)
       .agg(dcol("C").as("c"), dcol("U").as("u"), dcol("D").as("d"),
         dcol("L").as("l"), dcol("R").as("r"), dcol("UL").as("ul"),
         dcol("UR").as("ur"), dcol("DL").as("dl"), dcol("DR").as("dr"))
@@ -225,6 +225,6 @@ object GridOps {
         || (col("d") === 1 && (col("ul") === 1 || col("u") === 1 || col("ur") === 1))
         || (col("ul") === 1 && col("dr") === 1)
         || (col("ur") === 1 && col("dl") === 1)).cast("int"))
-      .select("it", "iz", "ix", out)
+      .select(keys.head, (keys.tail ++ Seq("iz", "ix", out)): _*)
   }
 }

@@ -13,10 +13,11 @@ import org.apache.spark.sql.expressions.Window
   * The reference's sequential pieces become:
   *  - contour extraction -> per-cell segment emission (corner join + case
   *    analysis), no polyline chaining needed downstream;
-  *  - flood fill / nd.label -> iterative min-label propagation (driver
-  *    loop over joins, localCheckpoint to cut lineage). At 1000-executor
-  *    scale the loop count ~ component diameter; swapping in alternating
-  *    small-star/large-star keeps it O(log n) — noted where relevant.
+  *  - flood fill / nd.label -> min-label propagation with pointer
+  *    jumping (O(log diameter) rounds), keyed by (group..., it) so MANY
+  *    independent fills (one per X point / per current-sheet region) run
+  *    in ONE driver loop — the reference's nested Python loops
+  *    (vpicdataset.py:444, 506, 514) become tags in a single plan.
   */
 object Topology {
 
@@ -34,22 +35,16 @@ object Topology {
       .filter(col("f01").isNotNull && col("f11").isNotNull)
   }
 
-  /** Marching-squares segments of the iso-contour `field = level`, in
-    * index coordinates (y along iz, x along ix) — reference contour use:
-    * measure.find_contours (vpicdataset.py:383-384, 444-448).
+  /** Shared marching-squares emission given per-cell corner offsets
+    * c00..c11 (= corner value - level) and carry columns.
     *
     * Conventions (documented tie-breaks, SURVEY §7 "hard parts"):
     * corner is "positive" iff f >= level; crossing position is linear
     * (t = c0/(c0-c1)); crossings ordered [top, left, right, bottom];
     * 2 crossings -> one segment; 4 (ambiguous saddle) -> (top,left) +
-    * (right,bottom). Emitted rows: it, iz, ix, y1, x1, y2, x2.
+    * (right,bottom).
     */
-  def contourSegments(df: DataFrame, field: String, level: Double): DataFrame = {
-    val c = cellCorners(df, field)
-      .withColumn("c00", col("f00") - level)
-      .withColumn("c01", col("f01") - level)
-      .withColumn("c10", col("f10") - level)
-      .withColumn("c11", col("f11") - level)
+  private def emitSegments(c: DataFrame, carry: Seq[String]): DataFrame = {
     def pos(n: String): Column = col(n) >= 0
     def crossPt(y: Column, x: Column, cond: Column): Column =
       when(cond, struct(y.as("y"), x.as("x"))).otherwise(lit(null))
@@ -74,10 +69,35 @@ object Topology {
           .otherwise(lit(null)),
         when(col("n") === 4, struct(col("cr")(2).as("p1"), col("cr")(3).as("p2")))
           .otherwise(lit(null))), s => s.isNotNull)))
-    segs.select(col("it"), col("iz"), col("ix"),
+    segs.select((carry.map(col) ++ Seq(col("it"), col("iz"), col("ix"),
       col("seg.p1.y").as("y1"), col("seg.p1.x").as("x1"),
-      col("seg.p2.y").as("y2"), col("seg.p2.x").as("x2"))
+      col("seg.p2.y").as("y2"), col("seg.p2.x").as("x2"))): _*)
   }
+
+  /** Marching-squares segments of the iso-contour `field = level`, in
+    * index coordinates — reference measure.find_contours
+    * (vpicdataset.py:383-384). Rows: it, iz, ix, y1, x1, y2, x2.
+    */
+  def contourSegments(df: DataFrame, field: String, level: Double): DataFrame =
+    emitSegments(cellCorners(df, field)
+      .withColumn("c00", col("f00") - level)
+      .withColumn("c01", col("f01") - level)
+      .withColumn("c10", col("f10") - level)
+      .withColumn("c11", col("f11") - level), Seq.empty)
+
+  /** Multi-level variant: one contour family per row of `levels`
+    * (columns: xid, level). All levels extracted in a single pass —
+    * the per-X-point contour loop of the reference (vpicdataset.py:444)
+    * as one broadcast cross-join.
+    */
+  def contourSegmentsAt(df: DataFrame, field: String,
+      levels: DataFrame): DataFrame =
+    emitSegments(cellCorners(df, field)
+      .crossJoin(broadcast(levels.select("xid", "level")))
+      .withColumn("c00", col("f00") - col("level"))
+      .withColumn("c01", col("f01") - col("level"))
+      .withColumn("c10", col("f10") - col("level"))
+      .withColumn("c11", col("f11") - col("level")), Seq("xid"))
 
   /** Null points: intersections of segments of two contour families
     * (reference vpicdataset.py:396-426). Segments live inside one cell,
@@ -116,8 +136,8 @@ object Topology {
 
   /** Bilinear sample of `field` at fractional index points (it, py, px) —
     * the reference's RegularGridInterpolator over the index mesh
-    * (vpicdataset.py:385-395). Corner join + weighted sum; `id` column of
-    * `pts` is preserved.
+    * (vpicdataset.py:385-395). Corner join + weighted sum; extra columns
+    * of `pts` are preserved.
     */
   def bilinearSample(grid: DataFrame, field: String, pts: DataFrame,
       out: String): DataFrame = {
@@ -142,45 +162,58 @@ object Topology {
       .agg(sum(col("w") * col("g_v")).as(out))
   }
 
-  /** Connected components of the given cells, per time step. Label = min
-    * linear cell id reachable — deterministic, matches region partitioning
-    * of flood fill (reference's RNG visit order is incidental; SURVEY §2A
-    * 22j). Min-label propagation PLUS pointer jumping (label chases its
-    * own label's label) -> O(log diameter) rounds instead of O(diameter);
-    * localCheckpoint per round cuts lineage. At cluster scale this is the
-    * small-star/large-star family of CC algorithms.
+  /** Connected components of `cells` under 4- or 8-adjacency, computed
+    * independently per distinct value of `keys` (e.g. (it) or (xid, it) —
+    * many flood fills in one loop). Label = min linear cell id reachable —
+    * deterministic, matches region partitioning of flood fill (the
+    * reference's RNG visit order is incidental; SURVEY §2A 22j).
+    * Min-label propagation + pointer jumping -> O(log diameter) rounds;
+    * localCheckpoint cuts lineage. The cluster-scale relative of
+    * small-star/large-star CC.
     */
   private def ccImpl(cells: DataFrame, nx: Int, dirs8: Boolean,
-      maxIter: Int): DataFrame = {
+      keys: Seq[String], maxIter: Int): DataFrame = {
     val offsets = if (dirs8)
       for (di <- -1 to 1; dj <- -1 to 1 if !(di == 0 && dj == 0)) yield (di, dj)
     else Seq((-1, 0), (1, 0), (0, -1), (0, 1))
     val dirs = array(offsets.map { case (di, dj) =>
       struct(lit(di).as("di"), lit(dj).as("dj")) }: _*)
-    var lab = cells.select(col("it"), col("iz"), col("ix"),
-        (col("iz").cast("long") * nx + col("ix")).as("id"))
-      .withColumn("comp", col("id"))
-      .localCheckpoint()
+    val spark = cells.sparkSession
+    // HARD lineage cut: localCheckpoint alone still lets per-iteration
+    // cost grow without bound in a loop (measured: 0.3s -> 186s by
+    // iteration 24 on Spark 4.1); rebuilding the DataFrame from the
+    // checkpointed RDD keeps every iteration flat.
+    def cut(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.localCheckpoint(true).rdd, df.schema)
+    val k = keys.map(col)
+    var lab = cut(cells.select((k :+ col("iz") :+ col("ix")): _*)
+      .withColumn("id", col("iz").cast("long") * nx + col("ix"))
+      .withColumn("comp", col("id")))
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
       val msgs = lab.withColumn("d", explode(dirs))
-        .select(col("it"), (col("iz") + col("d.di")).as("iz"),
-          (col("ix") + col("d.dj")).as("ix"), col("comp"))
-        .groupBy("it", "iz", "ix").agg(min("comp").as("mcomp"))
-      val gathered = lab.join(msgs, Seq("it", "iz", "ix"), "left")
+        .select((k :+ (col("iz") + col("d.di")).as("iz")
+          :+ (col("ix") + col("d.dj")).as("ix") :+ col("comp")): _*)
+        .groupBy((k :+ col("iz") :+ col("ix")): _*).agg(min("comp").as("mcomp"))
+      val gathered = lab.join(msgs, keys ++ Seq("iz", "ix"), "left")
         .withColumn("tmp", least(col("comp"), coalesce(col("mcomp"), col("comp"))))
       // pointer jump: follow tmp (always some cell's id) to that cell's
       // current label; strictly accelerates convergence.
-      val ptr = lab.select(col("it").as("p_it"), col("id").as("p_id"),
-        col("comp").as("p_comp"))
-      val jumped = gathered.join(ptr,
-          col("it") === col("p_it") && col("tmp") === col("p_id"), "left")
+      val ptr = lab.select((keys.map(c => col(c).as(s"p_$c"))
+        :+ col("id").as("p_id") :+ col("comp").as("p_comp")): _*)
+      val jumpCond = keys.map(c => col(c) === col(s"p_$c"))
+        .reduceOption(_ && _).map(_ && col("tmp") === col("p_id"))
+        .getOrElse(col("tmp") === col("p_id"))
+      val jumped = gathered.join(ptr, jumpCond, "left")
         .withColumn("newcomp", least(col("tmp"), coalesce(col("p_comp"), col("tmp"))))
-      val next = jumped.select(col("it"), col("iz"), col("ix"), col("id"),
-        col("newcomp").as("comp"), (col("newcomp") < col("comp")).as("ch"))
-        .localCheckpoint()
+      val t0 = System.nanoTime()
+      val next = cut(jumped.select((k :+ col("iz") :+ col("ix") :+ col("id")
+        :+ col("newcomp").as("comp")
+        :+ (col("newcomp") < col("comp")).as("ch")): _*))
       changed = next.filter(col("ch")).count()
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(f"[cc] iter=$iter changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2f s")
       lab = next.drop("ch")
       iter += 1
     }
@@ -188,20 +221,25 @@ object Topology {
   }
 
   def connectedComponents(cells: DataFrame, nx: Int,
-      maxIter: Int = 1000): DataFrame = ccImpl(cells, nx, dirs8 = false, maxIter)
+      keys: Seq[String] = Seq("it"), maxIter: Int = 1000): DataFrame =
+    ccImpl(cells, nx, dirs8 = false, keys, maxIter)
+
+  /** Connected components under 8-adjacency (contour-cell grouping). */
+  def connectedComponents8(cells: DataFrame, nx: Int,
+      keys: Seq[String] = Seq("it"), maxIter: Int = 1000): DataFrame =
+    ccImpl(cells, nx, dirs8 = true, keys, maxIter)
 
   /** Current-sheet detection (reference vpicdataset.py:481-520) on an
     * already-smoothed field: 10x10 extremum filters, mean±3σ thresholds
     * OF THE FILTERED ARRAYS (population σ, np.std), connected regions,
-    * per-region extremum, then region-grow from the extremum over
-    * |field| above a fraction of the regional peak. The hardcoded 0.5 on
+    * per-region extremum, then region-grow from the extremum over the
+    * field above a fraction of the regional peak. The hardcoded 0.5 on
     * the negative branch (vpicdataset.py:516, ignores cs_limit) is
-    * preserved. Returns (it, iz, ix, cs) with cs in {-1, 0, +1}.
+    * preserved. ALL regions grow in one tagged CC (no per-region loop).
+    * Returns (it, iz, ix, cs) with cs in {-1, 0, +1}.
     */
   def currentSheets(grid: DataFrame, field: String, nz: Int, nx: Int,
       csLimit: Double): DataFrame = {
-    val spark = grid.sparkSession
-    import spark.implicits._
     val mm = GridOps.minmaxFilter(grid, field, nz, nx, "fmax", "fmin")
     val g = grid.join(mm, Seq("it", "iz", "ix"))
     val thr = g.groupBy(col("it").as("t_it"))
@@ -221,26 +259,25 @@ object Topology {
         else
           min_by(struct(col(field).as("v"), col("iz"), col("ix")),
             struct(col(field), col("iz"), col("ix")))).as("e"))
-        .select(col("it"), col("comp"), col("e.v").as("peak"),
-          col("e.iz").as("eiz"), col("e.ix").as("eix"))
-      // region-grow: flood from the extremum over the per-peak threshold
-      // mask == the connected component of that mask containing the seed.
-      val peaks = ext.select("it", "peak", "eiz", "eix").distinct().collect()
-      val masks = peaks.toSeq.map { r =>
-        val (it0, peak, eiz, eix) = (r.getInt(0), r.getDouble(1), r.getInt(2), r.getInt(3))
-        val cond = if (positive) col(field) > peak * csLimit
-        else col(field) < peak * 0.5 // hardcoded 0.5 (vpicdataset.py:516)
-        val cc = connectedComponents(
-          grid.filter(col("it") === it0 && cond), nx)
-        val seed = cc.filter(col("iz") === eiz && col("ix") === eix)
-          .select(col("comp").as("seed_comp"))
-        cc.join(broadcast(seed), col("comp") === col("seed_comp"))
-          .select("it", "iz", "ix")
-      }
-      if (masks.isEmpty)
-        grid.sparkSession.emptyDataset[(Int, Int, Int)]
-          .toDF("it", "iz", "ix").limit(0)
-      else masks.reduce(_ unionAll _).distinct()
+        .select(col("it").as("r_it"), col("comp").as("rid"),
+          col("e.v").as("peak"), col("e.iz").as("eiz"), col("e.ix").as("eix"))
+      // region-grow for ALL regions at once: tag threshold-mask cells
+      // with every region whose per-peak condition they satisfy, then one
+      // keyed CC; keep the component containing each region's seed.
+      val cond = if (positive) col(field) > col("peak") * csLimit
+      else col(field) < col("peak") * 0.5 // hardcoded 0.5 (vpicdataset.py:516)
+      val tagged = grid.join(broadcast(ext),
+          col("it") === col("r_it") && cond)
+        .select(col("rid"), col("it"), col("iz"), col("ix"))
+      val cc = connectedComponents(tagged, nx, keys = Seq("rid", "it"))
+      val seeds = cc.join(broadcast(ext),
+          cc("rid") === ext("rid") && cc("it") === col("r_it")
+            && cc("iz") === col("eiz") && cc("ix") === col("eix"))
+        .select(cc("rid").as("s_rid"), cc("it").as("s_it"),
+          col("comp").as("seed_comp"))
+      cc.join(broadcast(seeds), col("rid") === col("s_rid")
+          && col("it") === col("s_it") && col("comp") === col("seed_comp"))
+        .select("it", "iz", "ix").distinct()
     }
 
     val pos = sheets(col("fmax") > col("max_thr"), positive = true)
@@ -264,8 +301,12 @@ object Topology {
     * no image border (region partitioning is visit-order independent, so
     * the reference's seeded RNG has no semantic effect).
     *
-    * xPoints: driver-side (py, px) index coords for time `it0`.
-    * Returns (it, iz, ix, sep, ostruct) masks (0/1).
+    * ALL X points are processed in one tagged plan: levels, contours,
+    * component grouping, gap fill, and zero-region fills are keyed by
+    * `xid` — the reference's outer Python loop (:444) has no runtime
+    * counterpart here.
+    *
+    * Returns (it, iz, ix, sep, ostruct) masks (0/1) for time `it0`.
     */
   def separatrices(grid: DataFrame, psiField: String, it0: Int,
       xPoints: Seq[(Double, Double)], nz: Int, nx: Int,
@@ -273,73 +314,64 @@ object Topology {
     val spark = grid.sparkSession
     import spark.implicits._
     val g0 = grid.filter(col("it") === it0)
-    val psiAtX: Seq[(Double, Double, Double)] = if (xPoints.isEmpty) Seq.empty
-    else {
-      val pts = xPoints.zipWithIndex
-        .map { case ((py, px), i) => (i, it0, py, px) }
-        .toDF("id", "it", "py", "px")
-      bilinearSample(g0, psiField, pts, "psi_x")
-        .select("id", "py", "px", "psi_x").collect()
-        .map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSeq
-    }
+    if (xPoints.isEmpty)
+      return g0.select("it", "iz", "ix")
+        .withColumn("sep", lit(0)).withColumn("ostruct", lit(0))
 
-    val perX = psiAtX.map { case (py, px, level) =>
-      val segs = contourSegments(g0, psiField, level)
-      // group contour cells into components (8-adjacency)
-      val segCells = segs.select("it", "iz", "ix").distinct()
-      val comp = connectedComponents8(segCells, nx)
-      // min distance from any segment endpoint of the component to X point
-      val pts = segs.join(comp, Seq("it", "iz", "ix"))
-        .select(col("comp"),
-          explode(array(struct(col("y1").as("y"), col("x1").as("x")),
-            struct(col("y2").as("y"), col("x2").as("x")))).as("p"))
-        .select(col("comp"),
-          sqrt((col("p.y") - py) * (col("p.y") - py) +
-            (col("p.x") - px) * (col("p.x") - px)).as("dist"),
-          col("p.y").as("y"), col("p.x").as("x"))
-      val keep = pts.groupBy("comp").agg(min("dist").as("mind"))
-        .filter(col("mind") <= tol).select("comp")
-      // rasterize kept contour points (floor -> pixel), + dilated X pixel
-      val raster = pts.join(broadcast(keep), Seq("comp"))
-        .select(floor(col("y")).cast("int").as("iz"),
-          floor(col("x")).cast("int").as("ix"))
-        .filter(col("iz") >= 0 && col("iz") < nz && col("ix") >= 0 && col("ix") < nx)
-        .distinct()
-      val xpix = (for (di <- -1 to 1; dj <- -1 to 1
-                       if di * dj == 0) // binary_dilation default: cross structuring element
-        yield (py.toInt + di, px.toInt + dj))
-        .filter { case (a, b) => a >= 0 && a < nz && b >= 0 && b < nx }
-        .toDF("iz", "ix")
-      val localMask = raster.unionAll(xpix).distinct()
-        .withColumn("it", lit(it0)).withColumn("m", lit(1))
-      // complete grid + gap_fill
-      val full = g0.select("it", "iz", "ix")
-        .join(localMask.select("it", "iz", "ix", "m"), Seq("it", "iz", "ix"), "left")
-        .withColumn("m", coalesce(col("m"), lit(0)))
-      GridOps.gapFill(full, "m", nz, nx, "filled")
-    }
+    val xdf = xPoints.zipWithIndex
+      .map { case ((py, px), i) => (i, it0, py, px) }
+      .toDF("xid", "it", "py", "px")
+    val levels = bilinearSample(g0, psiField, xdf, "level").persist()
 
-    val seps =
-      if (perX.isEmpty)
-        g0.select("it", "iz", "ix").withColumn("sep", lit(0))
-      else perX.map(_.select(col("it"), col("iz"), col("ix"), col("filled")))
-        .reduce(_ unionAll _)
-        .groupBy("it", "iz", "ix").agg(max("filled").as("sep"))
+    val segs = contourSegmentsAt(g0, psiField,
+      levels.select(col("xid"), col("level")))
+    val segCells = segs.select("xid", "it", "iz", "ix").distinct()
+    val comp = connectedComponents8(segCells, nx, keys = Seq("xid", "it"))
+    // endpoint distances to the owning X point
+    val pts = segs.join(comp, Seq("xid", "it", "iz", "ix"))
+      .select(col("xid"), col("comp"),
+        explode(array(struct(col("y1").as("y"), col("x1").as("x")),
+          struct(col("y2").as("y"), col("x2").as("x")))).as("p"))
+      .join(broadcast(levels.select(col("xid").as("l_xid"),
+        col("py"), col("px"))), col("xid") === col("l_xid"))
+      .select(col("xid"), col("comp"),
+        sqrt((col("p.y") - col("py")) * (col("p.y") - col("py")) +
+          (col("p.x") - col("px")) * (col("p.x") - col("px"))).as("dist"),
+        col("p.y").as("y"), col("p.x").as("x"))
+    val keep = pts.groupBy("xid", "comp").agg(min("dist").as("mind"))
+      .filter(col("mind") <= tol).select("xid", "comp")
+    val raster = pts.join(broadcast(keep), Seq("xid", "comp"))
+      .select(col("xid"), floor(col("y")).cast("int").as("iz"),
+        floor(col("x")).cast("int").as("ix"))
+      .filter(col("iz") >= 0 && col("iz") < nz && col("ix") >= 0 && col("ix") < nx)
+      .distinct()
+    // dilated X pixel (binary_dilation default cross element, :449-451)
+    val xpix = xPoints.zipWithIndex.flatMap { case ((py, px), i) =>
+      for (di <- -1 to 1; dj <- -1 to 1 if di * dj == 0)
+        yield (i, py.toInt + di, px.toInt + dj)
+    }.filter { case (_, a, b) => a >= 0 && a < nz && b >= 0 && b < nx }
+      .toDF("xid", "iz", "ix")
+    val localMask = raster.unionAll(xpix).distinct()
+      .withColumn("it", lit(it0)).withColumn("m", lit(1))
+    // full grid per xid + gap_fill, keyed by xid
+    val xids = xPoints.indices.toDF("xid")
+    val full = g0.select("it", "iz", "ix").crossJoin(broadcast(xids))
+      .join(localMask, Seq("xid", "it", "iz", "ix"), "left")
+      .withColumn("m", coalesce(col("m"), lit(0)))
+    val filled = GridOps.gapFill(full, "m", nz, nx, "filled",
+      keys = Seq("xid", "it")).persist()
 
-    // O-structures: per X point, zero-regions not touching any border
-    val ostr =
-      if (perX.isEmpty) g0.select("it", "iz", "ix").withColumn("ostruct", lit(0))
-      else perX.map { m =>
-        val zeros = m.filter(col("filled") === 0).select("it", "iz", "ix")
-        val comp = connectedComponents(zeros, nx)
-        val interior = comp.groupBy("comp")
-          .agg(max(col("iz") === 0 || col("iz") === nz - 1 ||
-            col("ix") === 0 || col("ix") === nx - 1).as("touches"))
-          .filter(!col("touches")).select("comp")
-        comp.join(broadcast(interior), Seq("comp"))
-          .select("it", "iz", "ix").withColumn("o", lit(1))
-      }.reduce(_ unionAll _)
-        .groupBy("it", "iz", "ix").agg(max("o").as("ostruct"))
+    val seps = filled.groupBy("it", "iz", "ix").agg(max("filled").as("sep"))
+    // O-structures: zero regions per xid that touch no border
+    val zeros = filled.filter(col("filled") === 0)
+      .select("xid", "it", "iz", "ix")
+    val zcomp = connectedComponents(zeros, nx, keys = Seq("xid", "it"))
+    val interior = zcomp.groupBy("xid", "comp")
+      .agg(max(col("iz") === 0 || col("iz") === nz - 1 ||
+        col("ix") === 0 || col("ix") === nx - 1).as("touches"))
+      .filter(!col("touches")).select("xid", "comp")
+    val ostr = zcomp.join(broadcast(interior), Seq("xid", "comp"))
+      .groupBy("it", "iz", "ix").agg(lit(1).as("ostruct"))
 
     g0.select("it", "iz", "ix")
       .join(seps, Seq("it", "iz", "ix"), "left")
@@ -348,10 +380,4 @@ object Topology {
       .withColumn("ostruct", coalesce(col("ostruct"), lit(0)).cast("int"))
       .select("it", "iz", "ix", "sep", "ostruct")
   }
-
-  /** Connected components under 8-adjacency (used for contour-cell
-    * grouping).
-    */
-  def connectedComponents8(cells: DataFrame, nx: Int,
-      maxIter: Int = 1000): DataFrame = ccImpl(cells, nx, dirs8 = true, maxIter)
 }
