@@ -412,6 +412,43 @@ object RelationalQueries {
                 FROM ev) t WHERE event_type = 'purchase'
               ORDER BY user_id, event_id""")),
 
+    // ---- q43: CUBE grouping sets over order attributes.
+    Q("q43_cube_orders",
+      (s, d) =>
+        ord(s, d)
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+          .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            col("n"), col("total"))
+          .orderBy("status", "priority"),
+      Some("""SELECT coalesce(o_orderstatus,'ALL') AS status,
+             coalesce(o_orderpriority,'ALL') AS priority,
+             count(*) AS n, round(sum(o_totalprice),2) AS total
+             FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+             ORDER BY status, priority""")),
+
+    // ---- q44: RANGE-frame window — trailing 1-hour event-time sum per
+    // user (value-based frame, not row-based).
+    Q("q44_trailing_hour_sum",
+      (s, d) => {
+        val withE = ev(s, d)
+          .withColumn("e", epochS(col("ts")).cast("long"))
+        val w = Window.partitionBy("user_id").orderBy("e")
+          .rangeBetween(-3600L, 0L)
+        withE
+          .withColumn("trailing_sum", round(sum("value").over(w), 4))
+          .select("user_id", "event_id", "trailing_sum")
+          .orderBy("user_id", "event_id")
+      },
+      Some(s"""WITH ${Tables.evCte},
+              we AS (SELECT user_id, event_id, value,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS e FROM ev)
+              SELECT user_id, event_id,
+              round(sum(value) OVER (PARTITION BY user_id ORDER BY e
+                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW),4) AS trailing_sum
+              FROM we ORDER BY user_id, event_id""")),
+
     // ---- q42: HLL sketch distinct counts (approx_count_distinct).
     // Sketch internals differ from DuckDB's -> rows-only; QueriesSpec
     // asserts <5% relative error against the exact counts.
