@@ -70,6 +70,35 @@ object SimilarityQueries {
                     count(*) AS n
              FROM norms GROUP BY label ORDER BY label""")),
 
+    // ---- q45: same exact cosine top-k as q31, but through the native
+    // codegen'd DotProduct Catalyst expression (graft.functions): per-row
+    // vector kernel with NO posexplode/join — one narrow pass over the
+    // embeddings, TakeOrderedAndProject on top. The probe vector is a
+    // collected literal (metadata-scale). Oracle: identical to q31.
+    Q("q45_cosine_topk_native",
+      (s, d) => {
+        import graft.functions.VectorOps
+        val emb = Tables.embeddings(s, d)
+        val probe = emb.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0).toArray
+        val qlit = typedlit(probe)
+        emb.filter(col("vec_id") =!= 0)
+          .select(col("vec_id"),
+            round(VectorOps.cosine(col("embedding"), qlit), 6).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some("""WITH flat AS (SELECT vec_id, CAST(v AS DOUBLE) AS v, i FROM (
+               SELECT vec_id, unnest(embedding) AS v,
+                      generate_subscripts(embedding, 1) AS i FROM embeddings) x),
+             q AS (SELECT i, v AS qv FROM flat WHERE vec_id = 0),
+             qn AS (SELECT sum(qv*qv) AS qn FROM q),
+             dots AS (SELECT f.vec_id, sum(f.v*q.qv) AS dot, sum(f.v*f.v) AS nrm
+                      FROM flat f JOIN q USING (i) WHERE f.vec_id <> 0
+                      GROUP BY f.vec_id)
+             SELECT vec_id, round(dot / (sqrt(nrm) * sqrt(qn)), 6) AS cos_sim
+             FROM dots, qn ORDER BY cos_sim DESC, vec_id LIMIT 10""")),
+
     // ---- approximate NN via sign-random-projection LSH: 4 tables of
     // 4-bit sign buckets; candidates = any shared bucket with the probe;
     // exact cosine re-ranking of candidates only. This is the 100 TB path:
