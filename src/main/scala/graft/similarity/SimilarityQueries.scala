@@ -99,6 +99,15 @@ object SimilarityQueries {
              SELECT vec_id, round(dot / (sqrt(nrm) * sqrt(qn)), 6) AS cos_sim
              FROM dots, qn ORDER BY cos_sim DESC, vec_id LIMIT 10""")),
 
+    // ---- q46: IVF approximate NN — k-means coarse quantizer (spark.ml),
+    // probe the nearest nprobe=2 centroids, exact cosine only within
+    // those inverted lists. The 100 TB shape: cluster assignment is one
+    // narrow pass, the search touches ~nprobe/k of the data. Training is
+    // seeded -> deterministic locally, but still a trained model ->
+    // rows-only; SimilaritySpec-style check in QueriesSpec pins score
+    // agreement with the exact ranking.
+    Q("q46_ann_ivf", (s, d) => annIvf(s, d, probeId = 0, k = 10), None),
+
     // ---- approximate NN via sign-random-projection LSH: 4 tables of
     // 4-bit sign buckets; candidates = any shared bucket with the probe;
     // exact cosine re-ranking of candidates only. This is the 100 TB path:
@@ -107,6 +116,40 @@ object SimilarityQueries {
     // against the exact brute force.
     Q("q38_ann_lsh", (s, d) => annLsh(s, d, probeId = 0, k = 10), None)
   )
+
+  /** IVF: k-means centroids as the coarse quantizer; candidates = vectors
+    * whose centroid is among the probe's nprobe nearest centroids.
+    */
+  def annIvf(s: SparkSession, d: String, probeId: Long, k: Int,
+      nClusters: Int = 16, nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = graft.Tables.embeddings(s, d)
+      .withColumn("features",
+        array_to_vector(transform(col("embedding"), x => x.cast("double"))))
+    val model = new KMeans().setK(nClusters).setSeed(42L).setMaxIter(10)
+      .fit(emb.select("features"))
+    val assigned = model.transform(emb)
+      .select(col("vec_id"), col("embedding"), col("prediction"))
+    // nprobe centroids closest to the probe vector (driver-side: centroid
+    // table is metadata-scale)
+    val probeVec = emb.filter(col("vec_id") === probeId)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    val nearCentroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) =>
+        val dist = c.toArray.zip(probeVec).map { case (a, b) => (a - b) * (a - b) }.sum
+        (i, dist)
+      }.sortBy(_._2).take(nProbe).map(_._1).toSeq
+    val cand = assigned
+      .filter(col("prediction").isin(nearCentroids: _*) && col("vec_id") =!= probeId)
+    // exact cosine re-rank on the candidate lists only (native expression)
+    val qlit = typedlit(emb.filter(col("vec_id") === probeId)
+      .select("embedding").head().getSeq[Float](0).toArray)
+    cand.select(col("vec_id"),
+        round(graft.functions.VectorOps.cosine(col("embedding"), qlit), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
 
   /** Deterministic pseudo-random projection component for (table t, bit b,
     * dim i) — same formula everywhere, no RNG state.

@@ -18,9 +18,10 @@ class QueriesSpec extends AnyFunSuite {
 
   test("oracle SQL exists for all SQL-expressible queries") {
     val noOracle = QueryRegistry.all.filter(_.oracle.isEmpty).map(_.name).toSet
-    // probabilistic / engine-specific-hash / stub-codec ops only
+    // probabilistic / engine-specific-hash / stub-codec / trained ops only
     assert(noOracle == Set("q30_minhash_lsh_pairs", "q36_simhash",
-      "q38_ann_lsh", "q41_media_features", "q42_approx_distinct"),
+      "q38_ann_lsh", "q41_media_features", "q42_approx_distinct",
+      "q46_ann_ivf"),
       s"unexpected: $noOracle")
   }
 
@@ -34,6 +35,16 @@ class QueriesSpec extends AnyFunSuite {
       val a = approx.getLong(i).toDouble; val e = exact.getLong(i).toDouble
       assert(math.abs(a - e) / e < 0.05, s"col $i: approx $a vs exact $e")
     }
+  }
+
+  test("q46 IVF ANN scores agree with the exact ranking for overlaps") {
+    val ivf = QueryRegistry.queries("q46_ann_ivf")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exact = QueryRegistry.queries("q31_cosine_topk")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ivf.nonEmpty, "IVF returned no candidates")
+    val overlap = ivf.keySet intersect exact.keySet
+    overlap.foreach(id => assert(ivf(id) == exact(id), s"score mismatch for $id"))
   }
 
   test("q38 ANN returns exact cosine scores for its candidates") {
