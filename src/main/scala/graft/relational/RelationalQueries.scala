@@ -449,6 +449,29 @@ object RelationalQueries {
                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW),4) AS trailing_sum
               FROM we ORDER BY user_id, event_id""")),
 
+    // ---- q47: the SQL entry point — temp views + spark.sql text,
+    // including our registered native function. Same plan quality as the
+    // DataFrame API (both compile through Catalyst).
+    Q("q47_sql_api",
+      (s, d) => {
+        graft.functions.VectorOps.register(s)
+        li(s, d).createOrReplaceTempView("lineitem")
+        ord(s, d).createOrReplaceTempView("orders")
+        s.sql("""
+          SELECT o_orderpriority,
+                 count(*) AS n,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          GROUP BY o_orderpriority
+          ORDER BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // ---- q42: HLL sketch distinct counts (approx_count_distinct).
     // Sketch internals differ from DuckDB's -> rows-only; QueriesSpec
     // asserts <5% relative error against the exact counts.
