@@ -208,10 +208,24 @@ object Topology {
       val jumped = gathered.join(ptr, jumpCond, "left")
         .withColumn("newcomp", least(col("tmp"), coalesce(col("p_comp"), col("tmp"))))
       val t0 = System.nanoTime()
-      val next = cut(jumped.select((k :+ col("iz") :+ col("ix") :+ col("id")
+      // one job per round: the change count rides an accumulator inside
+      // the materialization pass (overcount on task retry only flips an
+      // extra harmless iteration). Rows are copied before caching
+      // (toRdd reuses UnsafeRow buffers).
+      val withCh = jumped.select((k :+ col("iz") :+ col("ix") :+ col("id")
         :+ col("newcomp").as("comp")
-        :+ (col("newcomp") < col("comp")).as("ch")): _*))
-      changed = next.filter(col("ch")).count()
+        :+ (col("newcomp") < col("comp")).as("ch")): _*)
+      val chIdx = withCh.schema.fieldIndex("ch")
+      val acc = spark.sparkContext.longAccumulator
+      val rdd = org.apache.spark.sql.graftbridge.Bridge.toInternalRdd(withCh).map { r =>
+        if (!r.isNullAt(chIdx) && r.getBoolean(chIdx)) acc.add(1L)
+        r.copy()
+      }
+      rdd.localCheckpoint()
+      val next = org.apache.spark.sql.graftbridge.Bridge.internalCreateDataFrame(
+        spark, rdd, withCh.schema)
+      next.count() // materialize; fills the accumulator
+      changed = acc.value
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(f"[cc] iter=$iter changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2f s")
       lab = next.drop("ch")
