@@ -77,6 +77,28 @@ object GridOps {
         .otherwise((fp - fm) / (2 * h)))
   }
 
+  /** np.gradient parity on NON-uniform meshes (reference passes the
+    * coordinate arrays at vpicdataset.py:378-379): interior points use
+    * the quadratic-exact formula
+    *   (hd²·f₊ + (hs²−hd²)·f − hs²·f₋) / (hs·hd·(hs+hd))
+    * with hd = x−x₋ (spacing before), hs = x₊−x (after); edges are
+    * one-sided differences.
+    * `coordCol` carries the physical coordinate for `dim`.
+    */
+  def gradientNonUniform(df: DataFrame, value: String, dim: String,
+      coordCol: String, out: String): DataFrame = {
+    val part = if (dim == "iz") Seq("it", "ix") else Seq("it", "iz")
+    val w = Window.partitionBy(part.map(col): _*).orderBy(dim)
+    val fp = lead(col(value), 1).over(w); val fm = lag(col(value), 1).over(w)
+    val xp = lead(col(coordCol), 1).over(w); val xm = lag(col(coordCol), 1).over(w)
+    val hs = xp - col(coordCol); val hd = col(coordCol) - xm
+    df.withColumn(out,
+      when(fm.isNull, (fp - col(value)) / hs)
+        .when(fp.isNull, (col(value) - fm) / hd)
+        .otherwise((hd * hd * fp + (hs * hs - hd * hd) * col(value) - hs * hs * fm)
+          / (hs * hd * (hs + hd))))
+  }
+
   /** Generic separable 1-D stencil pass along `dim` with reflect boundary:
     * out(p) = combine over k of (weight_k, value(mirror(p+k))).
     * Implemented as scatter: each cell ships (value, k) to cell p-k... —
