@@ -15,8 +15,10 @@ import org.apache.spark.sql.types._
   */
 
 /** Dot product of two ARRAY<FLOAT> columns, accumulated in double.
-  * Nulls propagate; mismatched lengths use the common prefix (callers
-  * guarantee fixed-dim embeddings).
+  * Null arrays propagate to a null result; a null ELEMENT also yields a
+  * null result (explicit, not silently treated as 0 — the function is
+  * SQL-registered so the caller contract is invisible); mismatched
+  * lengths raise (embeddings are fixed-dim, a mismatch is caller error).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -33,13 +35,19 @@ case class DotProduct(left: Expression, right: Expression)
       s"dot_product expects array<float>, got ${left.dataType}, ${right.dataType}")
   }
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"dot_product: length mismatch ($n vs ${b.numElements()})")
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }
@@ -52,9 +60,14 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "dot_product: length mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
          |${ev.value} = $acc;

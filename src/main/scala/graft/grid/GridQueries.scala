@@ -23,13 +23,31 @@ object GridQueries {
   /** Grid DataFrames are memoized per (session, dir) and persisted: every
     * g-query starts from the same scan, so one cache serves them all
     * (the grid is tiny relative to executor memory at any SF — it is a
-    * fixed 256-cell tiling of events).
+    * fixed 256-cell tiling of events). Entries are evicted (and their
+    * blocks unpersisted) when the owning SparkContext stops, and can be
+    * dropped eagerly via [[clearCache]] — no unbounded growth in
+    * long-lived multi-session processes.
     */
   private val gridCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val listenerInstalled = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Unpersist and drop every cached grid for `s` (all dirs). */
+  def clearCache(s: SparkSession): Unit =
+    gridCache.keys.filter(_._1 == s).foreach { k =>
+      gridCache.remove(k).foreach(_.unpersist(blocking = false))
+    }
 
   def grid(s: SparkSession, d: String): DataFrame =
     gridCache.getOrElseUpdate((s, d), {
+      if (listenerInstalled.compareAndSet(false, true)) {
+        s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+            gridCache.clear() // context gone: blocks are already released
+          }
+        })
+      }
       val e = Tables.events(s, d).select("event_id", "value")
       val nCells = (e.count() / Cells) * Cells
       val g = e.filter(col("event_id") < nCells)

@@ -93,6 +93,11 @@ final case class SimDataset(
       timelims.foreach { case (a, b) =>
         val (lo, hi) = if (a <= b) (a, b) else (b, a)
         df = df.filter(col("t").between(lo, hi))
+        // Rebase `it` so index values stay positions into the filtered
+        // time axis (the reference rebases implicitly via numpy slicing,
+        // statmeshvar.py:100).
+        val firstKept = tAxis.count(_ < lo)
+        if (firstKept > 0) df = df.withColumn("it", col("it") - firstKept)
         tAxis = tAxis.filter(t => t >= lo && t <= hi)
       }
       val newAxes = v.spaceAxes.map { case (idx, coords) =>
@@ -100,6 +105,12 @@ final case class SimDataset(
           case Some((a, b)) =>
             val (lo, hi) = if (a <= b) (a, b) else (b, a)
             df = df.filter(col(v.coordCol(idx)).between(lo, hi))
+            // Rebase the index column to match the filtered axis array:
+            // LineSlice.sampleCorners indexes into the filtered axes and
+            // equi-joins on these columns (reference numpy slicing rebases
+            // implicitly, statmeshvar.py:109).
+            val firstKept = coords.count(_ < lo)
+            if (firstKept > 0) df = df.withColumn(idx, col(idx) - firstKept)
             (idx, coords.filter(c => c >= lo && c <= hi))
           case None => (idx, coords)
         }

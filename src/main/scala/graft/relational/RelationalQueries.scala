@@ -211,24 +211,28 @@ object RelationalQueries {
           .withColumn("prev_ts", lag("ts", 1).over(w))
           .withColumn("is_new",
             when(col("prev_ts").isNull
-              || epochS(col("ts")) - epochS(col("prev_ts")) > 1800d, 1L)
+              || unix_micros(col("ts").cast("timestamp"))
+                - unix_micros(col("prev_ts").cast("timestamp")) > 1800000000L, 1L)
               .otherwise(0L))
           .withColumn("session_id", sum("is_new").over(cum))
           .groupBy("user_id", "session_id")
+          // exact integer microseconds — float epoch subtraction rounds
+          // differently across engines at 1e9-second magnitudes.
           .agg(count(lit(1)).as("n_events"),
-            round(max(epochS(col("ts"))) - min(epochS(col("ts"))), 6).as("duration_s"))
+            (max(unix_micros(col("ts").cast("timestamp")))
+              - min(unix_micros(col("ts").cast("timestamp")))).as("duration_us"))
           .orderBy("user_id", "session_id")
       },
       Some(s"""WITH ${Tables.evCte},
               g AS (SELECT user_id, event_id, ts,
                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                       OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
                      THEN 1 ELSE 0 END AS is_new FROM ev),
               sess AS (SELECT user_id, event_id, ts,
                 sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM g)
               SELECT user_id, session_id, count(*) AS n_events,
-                round(max(epoch(ts)) - min(epoch(ts)),6) AS duration_s
+                max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
               FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""")),
 
     // ---- q11: JSON extraction from events.props.

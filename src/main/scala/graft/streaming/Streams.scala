@@ -18,12 +18,22 @@ object Streams {
 
   /** File-based streaming read of the events table (real deployments
     * would point this at an arriving-file directory or Kafka).
+    *
+    * The raw parquet stores ts as TIMESTAMP(NANOS), surfaced as LongType
+    * under `nanosAsLong` — so the stream is declared with the RAW file
+    * schema (ts: long) and the same nanos -> micros conversion as
+    * Tables.events is applied on top. The result stays TIMESTAMP (ltz):
+    * event-time watermarks reject TIMESTAMP_NTZ, and the session runs
+    * UTC so the wall clock is identical.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = graft.Tables.events(spark, dir).schema
-    spark.readStream.schema(schema.add("ts_raw", "long"))
-      .parquet(s"$dir/events.parquet")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    // events.parquet is a single file; the file stream source requires a
+    // directory or glob, so match the file with a glob pattern.
+    spark.readStream.schema(rawSchema)
+      .parquet(s"$dir/{events.parquet}")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Tumbling 1-hour event-time counts with a 2-hour watermark: late rows

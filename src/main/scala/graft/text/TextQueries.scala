@@ -66,10 +66,12 @@ object TextQueries {
         toks.groupBy("doc_id")
           .agg(sum(when(col("token").isin(stopwords: _*), 1L).otherwise(0L)).as("n_stop"),
             count(lit(1)).as("n_tok"))
-          .withColumn("stop_frac",
-            round(col("n_stop").cast("double") / col("n_tok"), 6))
+          // raw (unrounded) fraction drives the guess — the oracle's CASE
+          // also compares the unrounded value, so boundary docs agree.
+          .withColumn("frac_raw", col("n_stop").cast("double") / col("n_tok"))
+          .withColumn("stop_frac", round(col("frac_raw"), 6))
           .withColumn("lang_guess",
-            when(col("stop_frac") >= 0.05, lit("en")).otherwise(lit("other")))
+            when(col("frac_raw") >= 0.05, lit("en")).otherwise(lit("other")))
           .select("doc_id", "n_stop", "n_tok", "stop_frac", "lang_guess")
           .orderBy("doc_id")
       },

@@ -62,6 +62,41 @@ class LineSliceSpec extends AnyFunSuite {
     assert(ds.params.contains("unit_vec") && ds.params.contains("zero_pt"))
   }
 
+  test("ndslice with zoom trimming the low end + setPts interpolates correctly") {
+    // Regression: zoom rebases the driver-side axes to position 0 but the
+    // DataFrame used to keep original iz/ix, shifting every interpolation
+    // corner. Linear field => interpolation must stay exact after the zoom.
+    val ds = SimDataset(Map.empty, Map("v" -> linVar))
+      .ndslice(
+        zooms = Map("z" -> (1.5, 7.5), "x" -> (1.0, 7.5)), // trims 3 / 2 low cells
+        setPts = Some(Seq(Array(2.0, 1.5), Array(6.5, 7.0))))
+    val out = ds.variables("v")
+    val p0 = Array(2.0, 1.5)
+    val u = {
+      val vec = Array(6.5 - 2.0, 7.0 - 1.5)
+      val n = math.sqrt(vec.map(x => x * x).sum); vec.map(_ / n)
+    }
+    val rows = out.df.select("it", "s", "value")
+      .as[(Int, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, s, value) =>
+      val z = p0(0) + s * u(0); val x = p0(1) + s * u(1)
+      assert(math.abs(value - (2 * z + 3 * x)) < 1e-9,
+        s"at s=$s: got $value, want ${2 * z + 3 * x}")
+    }
+    // every sample has full corner weight: 2 time steps x all samples
+    assert(rows.length == 2 * out.spaceAxes.head._2.length)
+  }
+
+  test("ndslice timelims rebases it to the filtered time axis") {
+    val ds = SimDataset(Map.empty, Map("v" -> linVar))
+      .ndslice(timelims = Some((1.0, 1.0)))
+    val v = ds.variables("v")
+    assert(v.timeAxis.toSeq == Seq(1.0))
+    val its = v.df.select("it").distinct().as[Int].collect().toSeq
+    assert(its == Seq(0), s"it should be rebased to 0, got $its")
+  }
+
   test("selectVars: substring match, first match wins, case-sensitive") {
     val v = linVar
     val ds = SimDataset(Map.empty,

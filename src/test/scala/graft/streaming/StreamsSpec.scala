@@ -68,6 +68,37 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-based eventsStream reads the raw parquet and matches batch results") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val stream = Streams.eventsStream(spark, dir)
+    assert(stream.isStreaming)
+    val q = Streams.tumblingCounts(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("file_tumbling_out").start()
+    try {
+      q.processAllAvailable()
+      // Append mode only emits windows the watermark has closed; every
+      // emitted window must match the batch computation exactly, and the
+      // ts conversion must produce non-null timestamps.
+      val batch = graft.Tables.events(spark, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .as[(Timestamp, String, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+      val got = spark.table("file_tumbling_out")
+        .as[(Timestamp, String, Long, Double)].collect()
+      assert(got.nonEmpty, "stream emitted no closed windows")
+      got.foreach { case (w, et, n, sv) =>
+        assert(w != null, "null window start — ts conversion failed")
+        assert(batch.get((w, et)).contains((n, sv)),
+          s"window ($w,$et): stream=($n,$sv) batch=${batch.get((w, et))}")
+      }
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate ids within the watermark") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
