@@ -99,30 +99,6 @@ object GridOps {
           / (hs * hd * (hs + hd))))
   }
 
-  /** Generic separable 1-D stencil pass along `dim` with reflect boundary:
-    * out(p) = combine over k of (weight_k, value(mirror(p+k))).
-    * Implemented as scatter: each cell ships (value, k) to cell p-k... —
-    * gather formulation: explode offsets, read source via mirrored index,
-    * equi-join back to the grid, aggregate. One shuffle join + one agg.
-    */
-  private def stencil1d(df: DataFrame, value: String, dim: String, n: Int,
-      offsets: Seq[Int], agg: Column => Column, weights: Map[Int, Double],
-      out: String): DataFrame = {
-    val other = if (dim == "iz") "ix" else "iz"
-    val offArr = array(offsets.map(k =>
-      struct(lit(k).as("k"), lit(weights.getOrElse(k, 1.0)).as("w"))): _*)
-    val exp = df.select(col("it"), col("iz"), col("ix"),
-        explode(offArr).as("o"))
-      .withColumn("src", mirror(col(dim) + col("o.k"), n))
-    val src = df.select(col("it").as("s_it"), col(dim).as(s"s_$dim"),
-      col(other).as(s"s_$other"), col(value).as("s_v"))
-    exp.join(src,
-        col("it") === col("s_it") && col("src") === col(s"s_$dim")
-          && col(other) === col(s"s_$other"))
-      .groupBy("it", "iz", "ix")
-      .agg(agg(col("o.w") * col("s_v")).as(out))
-  }
-
   /** scipy-style truncated Gaussian kernel, normalized; radius =
     * int(truncate*sigma + 0.5), truncate = 4.0 (scipy default used by the
     * reference at vpicdataset.py:364).
@@ -172,16 +148,38 @@ object GridOps {
       .drop("tmp_z")
   }
 
+  /** One separable size-10 (offsets -5..+4, scipy origin-0) filter pass
+    * along `dim` over ghost-padded rows: a single window (one shuffle)
+    * computes every output column, fully inside whole-stage codegen.
+    */
+  private def boxPass(src: DataFrame, dim: String, n: Int,
+      ins: Seq[String], outs: Seq[String], fns: Seq[Seq[Column] => Column]): DataFrame = {
+    val other = if (dim == "iz") "ix" else "iz"
+    val w = Window.partitionBy("it", other).orderBy(dim)
+    def at(in: String)(k: Int): Column =
+      if (k == 0) col(in) else if (k < 0) lag(col(in), -k).over(w)
+      else lead(col(in), k).over(w)
+    val aug = withReflectGhosts(src, dim, n, 5, 4)
+    val withOuts = ins.zip(outs).zip(fns).foldLeft(aug) {
+      case (acc, ((in, o), fn)) =>
+        acc.withColumn(o, fn((-5 to 4).map(at(in))))
+    }
+    withOuts.filter(col(dim) >= 0 && col(dim) < n)
+  }
+
   /** Separable rectangular max/min filter, size 10 -> offsets -5..+4
     * (scipy origin-0 window), reflect boundary — reference:
     * nd.maximum_filter/minimum_filter size=10, vpicdataset.py:484-485.
+    * One ghost-padded window per pass (two shuffles total).
     */
   def extremumFilter(df: DataFrame, value: String, nz: Int, nx: Int,
       isMax: Boolean, out: String): DataFrame = {
-    val offs = -5 to 4
-    val agg: Column => Column = if (isMax) max else min
-    val zPass = stencil1d(df, value, "iz", nz, offs, agg, Map.empty, "tmp_z")
-    stencil1d(zPass, "tmp_z", "ix", nx, offs, agg, Map.empty, out)
+    val fn: Seq[Column] => Column =
+      if (isMax) cs => greatest(cs: _*) else cs => least(cs: _*)
+    val zp = boxPass(df.select("it", "iz", "ix", value), "iz", nz,
+      Seq(value), Seq("tmp_z"), Seq(fn)).select("it", "iz", "ix", "tmp_z")
+    boxPass(zp, "ix", nx, Seq("tmp_z"), Seq(out), Seq(fn))
+      .select("it", "iz", "ix", out)
   }
 
   /** Max AND min filter (size 10, offsets -5..+4, reflect) in one
@@ -190,25 +188,11 @@ object GridOps {
     */
   def minmaxFilter(df: DataFrame, value: String, nz: Int, nx: Int,
       outMax: String, outMin: String): DataFrame = {
-    def pass(src: DataFrame, dim: String, n: Int,
-        ins: Seq[String], outs: Seq[String], fns: Seq[Seq[Column] => Column]): DataFrame = {
-      val other = if (dim == "iz") "ix" else "iz"
-      val w = Window.partitionBy("it", other).orderBy(dim)
-      def at(in: String)(k: Int): Column =
-        if (k == 0) col(in) else if (k < 0) lag(col(in), -k).over(w)
-        else lead(col(in), k).over(w)
-      val aug = withReflectGhosts(src, dim, n, 5, 4)
-      val withOuts = ins.zip(outs).zip(fns).foldLeft(aug) {
-        case (acc, ((in, o), fn)) =>
-          acc.withColumn(o, fn((-5 to 4).map(at(in))))
-      }
-      withOuts.filter(col(dim) >= 0 && col(dim) < n)
-    }
-    val zp = pass(df.select("it", "iz", "ix", value), "iz", nz,
+    val zp = boxPass(df.select("it", "iz", "ix", value), "iz", nz,
       Seq(value, value), Seq("zmax", "zmin"),
       Seq(cs => greatest(cs: _*), cs => least(cs: _*)))
       .select("it", "iz", "ix", "zmax", "zmin")
-    pass(zp, "ix", nx, Seq("zmax", "zmin"), Seq(outMax, outMin),
+    boxPass(zp, "ix", nx, Seq("zmax", "zmin"), Seq(outMax, outMin),
       Seq(cs => greatest(cs: _*), cs => least(cs: _*)))
       .select("it", "iz", "ix", outMax, outMin)
   }

@@ -84,7 +84,8 @@ object GridQueries {
     s"CASE WHEN $e < 0 THEN -($e) - 1 WHEN $e >= $n THEN ${2 * n - 1} - ($e) ELSE $e END"
 
   /** One separable stencil pass in SQL (gather + join + aggregate),
-    * mirroring GridOps.stencil1d. `src`/`out` are CTE/table names.
+    * equivalent to GridOps' ghost-window passes. `src`/`out` are
+    * CTE/table names.
     */
   private def stencilPassSql(src: String, valueCol: String, dim: String,
       n: Int, offsets: Seq[(Int, Double)], aggFn: String, out: String): String = {

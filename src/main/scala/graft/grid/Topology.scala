@@ -23,16 +23,18 @@ object Topology {
 
   /** Cells with all four corner values of `field`:
     * f00=(iz,ix), f01=(iz,ix+1), f10=(iz+1,ix), f11=(iz+1,ix+1).
-    * One window (lead along ix) + one self-join (iz+1 row).
+    * Two window passes (lead along ix, then lead along iz) — no join:
+    * each pass is one shuffle and stays in whole-stage codegen.
     */
   def cellCorners(df: DataFrame, field: String): DataFrame = {
-    val w = Window.partitionBy("it", "iz").orderBy("ix")
-    val base = df.select(col("it"), col("iz"), col("ix"), col(field).as("f00"))
-      .withColumn("f01", lead(col("f00"), 1).over(w))
-    val upper = base.select(col("it"), (col("iz") - 1).as("iz"), col("ix"),
-      col("f00").as("f10"), col("f01").as("f11"))
-    base.join(upper, Seq("it", "iz", "ix"))
-      .filter(col("f01").isNotNull && col("f11").isNotNull)
+    val wx = Window.partitionBy("it", "iz").orderBy("ix")
+    val wz = Window.partitionBy("it", "ix").orderBy("iz")
+    df.select(col("it"), col("iz"), col("ix"), col(field).as("f00"))
+      .withColumn("f01", lead(col("f00"), 1).over(wx))
+      .withColumn("f10", lead(col("f00"), 1).over(wz))
+      .withColumn("f11", lead(col("f01"), 1).over(wz))
+      .filter(col("f01").isNotNull && col("f10").isNotNull
+        && col("f11").isNotNull)
   }
 
   /** Shared marching-squares emission given per-cell corner offsets
@@ -234,14 +236,194 @@ object Topology {
     lab.drop("id")
   }
 
+  /** Tile-local union-find inside one task (pure function of the cell
+    * set): labels every cell with the min linear id of its tile-local
+    * component. `offs` is the adjacency stencil.
+    */
+  private def localLabels(pts: Iterable[(Int, Int)], nx: Int,
+      offs: Seq[(Int, Int)]): Iterator[(Int, Int, Long)] = {
+    val arr = pts.toArray
+    val n = arr.length
+    def pk(iz: Int, ix: Int): Long = (iz.toLong << 32) | (ix.toLong & 0xffffffffL)
+    val idx = new java.util.HashMap[Long, Integer](n * 2)
+    var i = 0
+    while (i < n) { idx.put(pk(arr(i)._1, arr(i)._2), i); i += 1 }
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x; while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val t = parent(c); parent(c) = r; c = t }
+      r
+    }
+    i = 0
+    while (i < n) {
+      val (iz, ix) = arr(i)
+      offs.foreach { case (di, dj) =>
+        val j = idx.get(pk(iz + di, ix + dj))
+        if (j != null) {
+          val ra = find(i); val rb = find(j.intValue())
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+      }
+      i += 1
+    }
+    val minId = Array.fill(n)(Long.MaxValue)
+    i = 0
+    while (i < n) {
+      val r = find(i)
+      val id = arr(i)._1.toLong * nx + arr(i)._2
+      if (id < minId(r)) minId(r) = id
+      i += 1
+    }
+    Iterator.tabulate(n)(j => (arr(j)._1, arr(j)._2, minId(find(j))))
+  }
+
+  /** Min-label + pointer-jumping CC over a general edge list (keys..., s,
+    * t), returning (keys..., node, comp). Used on the CONTRACTED
+    * tile-boundary graph, which is orders of magnitude smaller than the
+    * cell set — iterations are cheap even at cluster scale.
+    */
+  private def graphCC(edges: DataFrame, keys: Seq[String],
+      maxIter: Int): DataFrame = {
+    val spark = edges.sparkSession
+    def cut(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.localCheckpoint(true).rdd, df.schema)
+    val k = keys.map(col)
+    val e = cut(edges.select((k :+ col("s") :+ col("t")): _*)
+      .unionAll(edges.select((k :+ col("t").as("s") :+ col("s").as("t")): _*))
+      .distinct())
+    var lab = cut(e.select((k :+ col("s").as("node")): _*).distinct()
+      .withColumn("comp", col("node")))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val msgs = e.join(lab.withColumnRenamed("node", "s"), keys :+ "s")
+        .groupBy((k :+ col("t")): _*).agg(min("comp").as("mcomp"))
+        .withColumnRenamed("t", "node")
+      val gathered = lab.join(msgs, keys :+ "node", "left")
+        .withColumn("tmp", least(col("comp"), coalesce(col("mcomp"), col("comp"))))
+      val ptr = lab.select((keys.map(c => col(c).as(s"p_$c"))
+        :+ col("node").as("p_node") :+ col("comp").as("p_comp")): _*)
+      val cond = keys.map(c => col(c) === col(s"p_$c"))
+        .foldLeft(col("tmp") === col("p_node"))(_ && _)
+      val jumped = gathered.join(ptr, cond, "left")
+        .withColumn("newcomp", least(col("tmp"), coalesce(col("p_comp"), col("tmp"))))
+      val step = cut(jumped.select((k :+ col("node")
+        :+ col("comp").as("oldcomp") :+ col("newcomp").as("comp")): _*))
+      changed = step.filter(col("comp") < col("oldcomp")).count()
+      lab = step.drop("oldcomp")
+      iter += 1
+    }
+    lab
+  }
+
+  /** Two-level connected components — the 100 TB design:
+    * 1. one shuffle groups cells into (keys, tile) blocks; a union-find
+    *    labels each block in-task with the min cell id of its local
+    *    component (embarrassingly parallel, no iteration);
+    * 2. only tile-BOUNDARY cells (an O(perimeter/area) fraction) are
+    *    self-joined to find cross-tile adjacencies, contracted to edges
+    *    between local roots;
+    * 3. the iterative min-label loop runs on that contracted graph —
+    *    thousands of times smaller than the cell set — and the result is
+    *    joined back.
+    * Labels equal the min linear cell id reachable, identical to the
+    * plain iterative scheme ([[ccIterative]], kept for parity tests).
+    */
+  private def ccTiled(cells: DataFrame, nx: Int, dirs8: Boolean,
+      keys: Seq[String], maxIter: Int, tile: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = cells.sparkSession
+    val nk = keys.length
+    val offs: Seq[(Int, Int)] =
+      if (dirs8) for (di <- -1 to 1; dj <- -1 to 1 if !(di == 0 && dj == 0))
+        yield (di, dj)
+      else Seq((-1, 0), (1, 0), (0, -1), (0, 1))
+    val sel = cells.select((keys.map(col)
+      :+ col("iz").cast("int") :+ col("ix").cast("int")): _*)
+    val keyFields = sel.schema.fields.take(nk).toSeq
+
+    // 1. tile-local union-find
+    val labeledRdd = sel.rdd
+      .map { r =>
+        val iz = r.getInt(nk); val ix = r.getInt(nk + 1)
+        ((r.toSeq.take(nk),
+          Math.floorDiv(iz, tile), Math.floorDiv(ix, tile)), (iz, ix))
+      }
+      .groupByKey()
+      .flatMap { case ((kv, _, _), pts) =>
+        localLabels(pts, nx, offs).map { case (iz, ix, root) =>
+          // Seq[Any]: a bare Seq(iz, ix, root) would widen Int -> Long
+          Row.fromSeq(kv ++ Seq[Any](iz, ix, root))
+        }
+      }
+    val labSchema = StructType(keyFields ++ Seq(
+      StructField("iz", IntegerType), StructField("ix", IntegerType),
+      StructField("root", LongType)))
+    // localCheckpoint (not persist): the backing blocks are cleaned by the
+    // ContextCleaner once unreferenced — no cache-manager pinning.
+    val labeled = spark.createDataFrame(labeledRdd, labSchema)
+      .localCheckpoint(true)
+
+    // 2. cross-tile edges between local roots (boundary cells only)
+    val onBoundary = (col("iz") % tile === 0) || (col("iz") % tile === tile - 1) ||
+      (col("ix") % tile === 0) || (col("ix") % tile === tile - 1)
+    val bd = labeled.filter(onBoundary)
+    val dirsArr = array(offs.map { case (di, dj) =>
+      struct(lit(di).as("di"), lit(dj).as("dj")) }: _*)
+    val probes = bd.withColumn("d", explode(dirsArr))
+      .withColumn("niz", col("iz") + col("d.di"))
+      .withColumn("nix", col("ix") + col("d.dj"))
+      .filter(expr(s"(niz div $tile) != (iz div $tile)")
+        || expr(s"(nix div $tile) != (ix div $tile)"))
+      .select((keys.map(col) :+ col("niz") :+ col("nix")
+        :+ col("root").as("s")): _*)
+    val tgt = bd.select((keys.map(col) :+ col("iz").as("niz")
+      :+ col("ix").as("nix") :+ col("root").as("t")): _*)
+    val edges = probes.join(tgt, keys ++ Seq("niz", "nix"))
+      .select((keys.map(col) :+ col("s") :+ col("t")): _*)
+      .filter(col("s") =!= col("t"))
+      .distinct()
+
+    // 3. solve the contracted graph, map back
+    val mapping = graphCC(edges, keys, maxIter)
+      .select((keys.map(c => col(c).as(s"m_$c"))
+        :+ col("node") :+ col("comp").as("gcomp")): _*)
+    val joinCond = keys.map(c => col(c) === col(s"m_$c"))
+      .foldLeft(col("root") === col("node"))(_ && _)
+    val out = labeled.join(broadcastIfSmall(mapping), joinCond, "left")
+      .withColumn("comp", coalesce(col("gcomp"), col("root")))
+      .select((keys.map(col) :+ col("iz") :+ col("ix") :+ col("comp")): _*)
+    out
+  }
+
+  /** Broadcast hint pass-through: the contracted-graph label map is almost
+    * always tiny; AQE will demote if it is not.
+    */
+  private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
+
+  /** Connected components of `cells` (4-adjacency) per `keys` group:
+    * tile-local union-find + contracted boundary graph (see [[ccTiled]]).
+    * `tile` bounds per-task memory (tile² cells).
+    */
   def connectedComponents(cells: DataFrame, nx: Int,
-      keys: Seq[String] = Seq("it"), maxIter: Int = 1000): DataFrame =
-    ccImpl(cells, nx, dirs8 = false, keys, maxIter)
+      keys: Seq[String] = Seq("it"), maxIter: Int = 1000,
+      tile: Int = 512): DataFrame =
+    ccTiled(cells, nx, dirs8 = false, keys, maxIter, tile)
 
   /** Connected components under 8-adjacency (contour-cell grouping). */
   def connectedComponents8(cells: DataFrame, nx: Int,
+      keys: Seq[String] = Seq("it"), maxIter: Int = 1000,
+      tile: Int = 512): DataFrame =
+    ccTiled(cells, nx, dirs8 = true, keys, maxIter, tile)
+
+  /** The plain iterative min-label scheme over raw cells — kept as the
+    * reference implementation for parity tests of [[ccTiled]].
+    */
+  def connectedComponentsIterative(cells: DataFrame, nx: Int, dirs8: Boolean,
       keys: Seq[String] = Seq("it"), maxIter: Int = 1000): DataFrame =
-    ccImpl(cells, nx, dirs8 = true, keys, maxIter)
+    ccImpl(cells, nx, dirs8, keys, maxIter)
 
   /** Current-sheet detection (reference vpicdataset.py:481-520) on an
     * already-smoothed field: 10x10 extremum filters, mean±3σ thresholds
@@ -256,10 +438,14 @@ object Topology {
       csLimit: Double): DataFrame = {
     val mm = GridOps.minmaxFilter(grid, field, nz, nx, "fmax", "fmin")
     val g = grid.join(mm, Seq("it", "iz", "ix"))
-    val thr = g.groupBy(col("it").as("t_it"))
-      .agg((avg("fmax") + lit(3) * stddev_pop("fmax")).as("max_thr"),
-        (avg("fmin") - lit(3) * stddev_pop("fmin")).as("min_thr"))
-    val gt = g.join(thr, col("it") === col("t_it")).drop("t_it")
+    // per-it thresholds via window: one pass, no aggregate + self-join
+    // (which would re-evaluate the filtered fields twice).
+    val wIt = Window.partitionBy("it")
+    val gt = g
+      .withColumn("max_thr",
+        avg("fmax").over(wIt) + lit(3) * stddev_pop("fmax").over(wIt))
+      .withColumn("min_thr",
+        avg("fmin").over(wIt) - lit(3) * stddev_pop("fmin").over(wIt))
 
     def sheets(maskCol: Column, positive: Boolean): DataFrame = {
       val regions = connectedComponents(gt.filter(maskCol), nx)

@@ -115,9 +115,11 @@ object TopologyQueries {
     Q("g12_xo_classify",
       (s, d) => {
         val g = grid(s, d)
+        // iz-gradients adjacent, then ix-gradients: Catalyst's
+        // CollapseWindow merges same-spec neighbors -> 2 window passes.
         val g1 = GridOps.gradient(g, "b1", "iz", 1.0, "db1_dz") // index-space h=1
-        val g2 = GridOps.gradient(g1, "b1", "ix", 1.0, "db1_dx")
-        val g3 = GridOps.gradient(g2, "b2", "iz", 1.0, "db2_dz")
+        val g2 = GridOps.gradient(g1, "b2", "iz", 1.0, "db2_dz")
+        val g3 = GridOps.gradient(g2, "b1", "ix", 1.0, "db1_dx")
         val g4 = GridOps.gradient(g3, "b2", "ix", 1.0, "db2_dx")
         val hd = g4.withColumn("hd",
           col("db1_dx") * (-col("db2_dz")) - (-col("db2_dx")) * col("db1_dz"))
@@ -196,9 +198,12 @@ object TopologyQueries {
       (s, d) => {
         val g = grid(s, d)
         val mx = GridOps.extremumFilter(g, "b1", NZ, NX, isMax = true, "fmax")
-        val thr = mx.groupBy(col("it").as("t_it"))
-          .agg((avg("fmax") + lit(1) * stddev_pop("fmax")).as("thr"))
-        val hot = mx.join(thr, col("it") === col("t_it"))
+        // per-it threshold as a window: one pass over mx instead of an
+        // aggregate + self-join that would evaluate the filter twice.
+        val wIt = org.apache.spark.sql.expressions.Window.partitionBy("it")
+        val hot = mx
+          .withColumn("thr",
+            avg("fmax").over(wIt) + lit(1) * stddev_pop("fmax").over(wIt))
           .filter(col("fmax") > col("thr")).select("it", "iz", "ix")
         val comp = Topology.connectedComponents(hot, NX)
         val withV = comp.join(g.select("it", "iz", "ix", "b1"), Seq("it", "iz", "ix"))

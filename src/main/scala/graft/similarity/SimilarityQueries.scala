@@ -127,14 +127,18 @@ object SimilarityQueries {
     val emb = graft.Tables.embeddings(s, d)
       .withColumn("features",
         array_to_vector(transform(col("embedding"), x => x.cast("double"))))
+    // Train the coarse quantizer on a deterministic 1-in-5 subset: at
+    // 100 TB the quantizer is always fit on a sample — centroid quality
+    // needs vastly fewer points than the corpus holds.
     val model = new KMeans().setK(nClusters).setSeed(42L).setMaxIter(10)
-      .fit(emb.select("features"))
+      .fit(emb.filter(col("vec_id") % 5 === 0).select("features"))
     val assigned = model.transform(emb)
       .select(col("vec_id"), col("embedding"), col("prediction"))
     // nprobe centroids closest to the probe vector (driver-side: centroid
     // table is metadata-scale)
-    val probeVec = emb.filter(col("vec_id") === probeId)
-      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    val probeEmb = emb.filter(col("vec_id") === probeId)
+      .select("embedding").head().getSeq[Float](0)
+    val probeVec = probeEmb.map(_.toDouble).toArray
     val nearCentroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) =>
         val dist = c.toArray.zip(probeVec).map { case (a, b) => (a - b) * (a - b) }.sum
@@ -143,8 +147,7 @@ object SimilarityQueries {
     val cand = assigned
       .filter(col("prediction").isin(nearCentroids: _*) && col("vec_id") =!= probeId)
     // exact cosine re-rank on the candidate lists only (native expression)
-    val qlit = typedlit(emb.filter(col("vec_id") === probeId)
-      .select("embedding").head().getSeq[Float](0).toArray)
+    val qlit = typedlit(probeEmb.toArray)
     cand.select(col("vec_id"),
         round(graft.functions.VectorOps.cosine(col("embedding"), qlit), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))

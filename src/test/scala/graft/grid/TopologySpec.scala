@@ -93,6 +93,26 @@ class TopologySpec extends AnyFunSuite {
     assert(comps.values.toSeq.sorted == Seq(1, 2, 3))
   }
 
+  test("tiled CC matches the iterative scheme across tile boundaries") {
+    // Deterministic pseudo-random mask on a 24x24 grid with components
+    // that straddle 8-cell tile boundaries (tile=8 forces boundary
+    // merging through the contracted graph; 3x3 tiles, several multi-tile
+    // blobs). 4- and 8-adjacency both checked.
+    val cells = (for (it <- 0 until 2; iz <- 0 until 24; ix <- 0 until 24
+      if ((iz * 37 + ix * 61 + it * 13) % 7) < 3)
+      yield (it, iz, ix)).toDF("it", "iz", "ix")
+    for (dirs8 <- Seq(false, true)) {
+      val tiled = (if (dirs8) Topology.connectedComponents8(cells, 24, tile = 8)
+        else Topology.connectedComponents(cells, 24, tile = 8))
+        .select("it", "iz", "ix", "comp")
+        .as[(Int, Int, Int, Long)].collect().toSet
+      val iter = Topology.connectedComponentsIterative(cells, 24, dirs8)
+        .select("it", "iz", "ix", "comp")
+        .as[(Int, Int, Int, Long)].collect().toSet
+      assert(tiled == iter, s"dirs8=$dirs8: tiled and iterative CC differ")
+    }
+  }
+
   test("separatrices: level contour rasterized, interior O-structure found") {
     // psi = cos(k(iz+0.5))*cos(k(ix+0.5)): zero lines at 3.5 / 11.5 in
     // both dims (clean mid-cell crossings). X point at the line crossing
