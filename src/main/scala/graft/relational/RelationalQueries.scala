@@ -229,8 +229,8 @@ object RelationalQueries {
                        OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
                      THEN 1 ELSE 0 END AS is_new FROM ev),
               sess AS (SELECT user_id, event_id, ts,
-                sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM g)
+                CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM g)
               SELECT user_id, session_id, count(*) AS n_events,
                 max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
               FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""")),

@@ -76,7 +76,7 @@ object TextQueries {
           .orderBy("doc_id")
       },
       Some(s"""SELECT doc_id,
-              sum(CASE WHEN token IN ($stopSql) THEN 1 ELSE 0 END) AS n_stop,
+              CAST(sum(CASE WHEN token IN ($stopSql) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
               count(*) AS n_tok,
               round(CAST(sum(CASE WHEN token IN ($stopSql) THEN 1 ELSE 0 END) AS DOUBLE)
                     / count(*), 6) AS stop_frac,

@@ -36,6 +36,17 @@ for name in sorted(os.listdir(outdir)):
     if len(got) != len(exp):
         fails.append((name, f"row count: {len(got)} vs {len(exp)}"))
         continue
+    # the driver hashes stringified values, so int64 2 vs float64 2.0 is a
+    # mismatch there even though pandas check_dtype=False calls them equal
+    # (e.g. DuckDB sum(int) -> HUGEINT -> float64 in pandas). Fail on any
+    # numeric-kind divergence.
+    kind_diffs = [c for c in got.columns
+                  if (got[c].dtype.kind in "iu") != (exp[c].dtype.kind in "iu")
+                  and {got[c].dtype.kind, exp[c].dtype.kind} <= set("iuf")]
+    if kind_diffs:
+        fails.append((name, f"int/float dtype mismatch (driver hash would differ): "
+                            f"{[(c, str(got[c].dtype), str(exp[c].dtype)) for c in kind_diffs]}"))
+        continue
     g = got.sort_values(by=list(got.columns)).reset_index(drop=True)
     e = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
     try:
