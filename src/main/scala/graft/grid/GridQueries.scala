@@ -30,7 +30,8 @@ object GridQueries {
     */
   private val gridCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private val listenerInstalled = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val listenerInstalled =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.SparkContext]()
 
   /** Unpersist and drop every cached grid for `s` (all dirs). */
   def clearCache(s: SparkSession): Unit =
@@ -40,11 +41,16 @@ object GridQueries {
 
   def grid(s: SparkSession, d: String): DataFrame =
     gridCache.getOrElseUpdate((s, d), {
-      if (listenerInstalled.compareAndSet(false, true)) {
-        s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      val sc = s.sparkContext
+      if (listenerInstalled.add(sc)) {
+        sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
           override def onApplicationEnd(
               e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-            gridCache.clear() // context gone: blocks are already released
+            // evict only THIS context's entries: sessions on other live
+            // contexts keep their persisted blocks
+            gridCache.keys.filter(_._1.sparkContext eq sc)
+              .foreach(gridCache.remove)
+            listenerInstalled.remove(sc)
           }
         })
       }

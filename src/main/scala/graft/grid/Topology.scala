@@ -29,10 +29,18 @@ object Topology {
   def cellCorners(df: DataFrame, field: String): DataFrame = {
     val wx = Window.partitionBy("it", "iz").orderBy("ix")
     val wz = Window.partitionBy("it", "ix").orderBy("iz")
+    // lead returns the next PRESENT row, not necessarily index+1: guard
+    // every corner with an index-contiguity check so sparse grids drop
+    // incomplete cells instead of silently reading a farther neighbor.
+    // f01 is guarded before the z-pass, so lead(f01) along iz is null
+    // unless BOTH (iz+1, ix) and (iz+1, ix+1) exist.
     df.select(col("it"), col("iz"), col("ix"), col(field).as("f00"))
-      .withColumn("f01", lead(col("f00"), 1).over(wx))
-      .withColumn("f10", lead(col("f00"), 1).over(wz))
-      .withColumn("f11", lead(col("f01"), 1).over(wz))
+      .withColumn("f01", when(lead(col("ix"), 1).over(wx) === col("ix") + 1,
+        lead(col("f00"), 1).over(wx)))
+      .withColumn("zs", lead(col("iz"), 1).over(wz) === col("iz") + 1)
+      .withColumn("f10", when(col("zs"), lead(col("f00"), 1).over(wz)))
+      .withColumn("f11", when(col("zs"), lead(col("f01"), 1).over(wz)))
+      .drop("zs")
       .filter(col("f01").isNotNull && col("f10").isNotNull
         && col("f11").isNotNull)
   }
@@ -245,9 +253,6 @@ object Topology {
     val arr = pts.toArray
     val n = arr.length
     def pk(iz: Int, ix: Int): Long = (iz.toLong << 32) | (ix.toLong & 0xffffffffL)
-    val idx = new java.util.HashMap[Long, Integer](n * 2)
-    var i = 0
-    while (i < n) { idx.put(pk(arr(i)._1, arr(i)._2), i); i += 1 }
     val parent = Array.tabulate(n)(identity)
     def find(x: Int): Int = {
       var r = x; while (parent(r) != r) r = parent(r)
@@ -255,15 +260,25 @@ object Topology {
       while (parent(c) != c) { val t = parent(c); parent(c) = r; c = t }
       r
     }
+    def union(a: Int, b: Int): Unit = {
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val idx = new java.util.HashMap[Long, Integer](n * 2)
+    var i = 0
+    while (i < n) {
+      // duplicate (iz, ix) rows are merged into one component so every
+      // copy gets the same label (the (0,0) offset is not in the stencil)
+      val prev = idx.put(pk(arr(i)._1, arr(i)._2), i)
+      if (prev != null) union(prev.intValue(), i)
+      i += 1
+    }
     i = 0
     while (i < n) {
       val (iz, ix) = arr(i)
       offs.foreach { case (di, dj) =>
         val j = idx.get(pk(iz + di, ix + dj))
-        if (j != null) {
-          val ra = find(i); val rb = find(j.intValue())
-          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-        }
+        if (j != null) union(i, j.intValue())
       }
       i += 1
     }
@@ -366,17 +381,21 @@ object Topology {
     val labeled = spark.createDataFrame(labeledRdd, labSchema)
       .localCheckpoint(true)
 
-    // 2. cross-tile edges between local roots (boundary cells only)
-    val onBoundary = (col("iz") % tile === 0) || (col("iz") % tile === tile - 1) ||
-      (col("ix") % tile === 0) || (col("ix") % tile === tile - 1)
+    // 2. cross-tile edges between local roots (boundary cells only).
+    // pmod/floor-division to agree with step 1's Math.floorDiv tiling on
+    // negative indices (% and `div` truncate toward zero in Spark SQL).
+    val onBoundary =
+      pmod(col("iz"), lit(tile)) === 0 || pmod(col("iz"), lit(tile)) === tile - 1 ||
+        pmod(col("ix"), lit(tile)) === 0 || pmod(col("ix"), lit(tile)) === tile - 1
     val bd = labeled.filter(onBoundary)
     val dirsArr = array(offs.map { case (di, dj) =>
       struct(lit(di).as("di"), lit(dj).as("dj")) }: _*)
+    def tileOf(c: Column): Column = floor(c.cast("double") / tile)
     val probes = bd.withColumn("d", explode(dirsArr))
       .withColumn("niz", col("iz") + col("d.di"))
       .withColumn("nix", col("ix") + col("d.dj"))
-      .filter(expr(s"(niz div $tile) != (iz div $tile)")
-        || expr(s"(nix div $tile) != (ix div $tile)"))
+      .filter(tileOf(col("niz")) =!= tileOf(col("iz"))
+        || tileOf(col("nix")) =!= tileOf(col("ix")))
       .select((keys.map(col) :+ col("niz") :+ col("nix")
         :+ col("root").as("s")): _*)
     val tgt = bd.select((keys.map(col) :+ col("iz").as("niz")
@@ -438,14 +457,17 @@ object Topology {
       csLimit: Double): DataFrame = {
     val mm = GridOps.minmaxFilter(grid, field, nz, nx, "fmax", "fmin")
     val g = grid.join(mm, Seq("it", "iz", "ix"))
-    // per-it thresholds via window: one pass, no aggregate + self-join
-    // (which would re-evaluate the filtered fields twice).
-    val wIt = Window.partitionBy("it")
-    val gt = g
-      .withColumn("max_thr",
-        avg("fmax").over(wIt) + lit(3) * stddev_pop("fmax").over(wIt))
-      .withColumn("min_thr",
-        avg("fmin").over(wIt) - lit(3) * stddev_pop("fmin").over(wIt))
+    // per-it thresholds as a partial-aggregating groupBy + broadcast join
+    // back: a Window.partitionBy("it") with no frame would force every
+    // cell of a time step through ONE task — a non-starter at the 100 TB
+    // design point where a single `it` plane is billions of cells. The
+    // filtered fields are evaluated twice (agg + probe); at scale that
+    // beats the single-task window, and mm itself is two codegen'd
+    // window passes.
+    val thr = g.groupBy("it").agg(
+      (avg("fmax") + lit(3) * stddev_pop("fmax")).as("max_thr"),
+      (avg("fmin") - lit(3) * stddev_pop("fmin")).as("min_thr"))
+    val gt = g.join(broadcast(thr), Seq("it"))
 
     def sheets(maskCol: Column, positive: Boolean): DataFrame = {
       val regions = connectedComponents(gt.filter(maskCol), nx)

@@ -198,12 +198,14 @@ object TopologyQueries {
       (s, d) => {
         val g = grid(s, d)
         val mx = GridOps.extremumFilter(g, "b1", NZ, NX, isMax = true, "fmax")
-        // per-it threshold as a window: one pass over mx instead of an
-        // aggregate + self-join that would evaluate the filter twice.
-        val wIt = org.apache.spark.sql.expressions.Window.partitionBy("it")
-        val hot = mx
-          .withColumn("thr",
-            avg("fmax").over(wIt) + lit(1) * stddev_pop("fmax").over(wIt))
+        // per-it threshold via groupBy + broadcast join back: an unframed
+        // Window.partitionBy("it") would force a whole time step into one
+        // task — at the 100 TB design point an `it` plane is billions of
+        // cells, so the partial-aggregating groupBy (tiny result,
+        // broadcast probe) wins even though mx is evaluated twice.
+        val thr = mx.groupBy("it")
+          .agg((avg("fmax") + lit(1) * stddev_pop("fmax")).as("thr"))
+        val hot = mx.join(broadcast(thr), Seq("it"))
           .filter(col("fmax") > col("thr")).select("it", "iz", "ix")
         val comp = Topology.connectedComponents(hot, NX)
         val withV = comp.join(g.select("it", "iz", "ix", "b1"), Seq("it", "iz", "ix"))
