@@ -1,13 +1,13 @@
 package graft.dedup
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents` (exact, n-gram Jaccard,
-  * MinHash-LSH). Exact + Jaccard have DuckDB oracles; MinHash is
-  * probabilistic machinery the oracle can't express -> rows-only check,
-  * with ScalaTest asserting its estimates against exact Jaccard.
+  * MinHash-LSH, SimHash). ALL are oracle-checked: the probabilistic ops
+  * use a 60-bit md5-prefix token hash that DuckDB can compute
+  * identically, so even MinHash/SimHash outputs hash-match the oracle.
   */
 object DedupQueries {
   /** Distinct (doc_id, token) pairs — the set representation of each doc. */
@@ -16,21 +16,59 @@ object DedupQueries {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .distinct()
 
+  /** 60-bit token hash with an exact cross-engine twin: first 15 hex
+    * chars of md5, parsed base 16 (< 2^60, so a signed long never
+    * overflows). Spark: conv(); DuckDB: CAST('0x…' AS BIGINT). Uniform
+    * enough for MinHash/SimHash and deterministic in both engines.
+    */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  private def h60Sql(e: String): String =
+    s"CAST(concat('0x', substr(md5($e),1,15)) AS BIGINT)"
+
+  /** Shared DuckDB CTE: the distinct (doc_id, token) sets. */
+  private val tokCte =
+    """tok AS (SELECT DISTINCT doc_id, token FROM
+      (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) x)"""
+
   /** Number of MinHash permutations; 4 bands x 4 rows (collision prob
     * J^4 per band keeps the candidate set near-dup-only on corpora with a
     * heavily shared vocabulary).
     */
   val NumHashes = 16
   val BandRows = 4
+  val SimHashBits = 60
 
-  /** Per-doc MinHash signature: min over tokens of xxhash64(seed, token)
-    * per seed — one groupBy, signatures are NumHashes longs per doc.
+  /** Strongly-universal permutation family over Z_p (p = 2^31-1):
+    * h_i(x1, x2) = (a_i*x1 + b_i*x2 + c_i) mod p, where (x1, x2) are two
+    * independent 60-bit halves of ONE md5 per token (vs hashing 16
+    * times). Each product term is reduced mod p before summing, so
+    * signed-64 math never overflows and Spark and DuckDB agree exactly.
+    * Constants are golden-ratio multiples — scattered, not linearly
+    * correlated across i (a correlated family measurably degrades the
+    * Jaccard estimate).
+    */
+  private val P = 2147483647L
+  private def scatter(k: BigInt): Long = (k mod BigInt(P)).toLong
+  private def permA(i: Int): Long =
+    scatter(BigInt(i + 1) * BigInt("9E3779B97F4A7C15", 16)) | 1L
+  private def permB(i: Int): Long =
+    scatter(BigInt(i + 1) * BigInt("C2B2AE3D27D4EB4F", 16)) | 1L
+  private def permC(i: Int): Long =
+    scatter(BigInt(i) * BigInt("D6E8FEB86659FD93", 16) + 12345)
+
+  /** Per-doc MinHash signature: min over tokens of h_i(token) per
+    * permutation — one groupBy, signatures are NumHashes longs per doc.
     * Scales as word-count does; no pairwise work yet.
     */
   def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+    val md = md5(col("token"))
     val toks = tokenSets(s, d)
+      .withColumn("x1", conv(substring(md, 1, 15), 16, 10).cast("long") % P)
+      .withColumn("x2", conv(substring(md, 17, 15), 16, 10).cast("long") % P)
     val aggs = (0 until NumHashes).map(i =>
-      min(xxhash64(lit(i), col("token"))).as(s"h$i"))
+      min((col("x1") * permA(i) % P + col("x2") * permB(i) % P + permC(i)) % P)
+        .as(s"h$i"))
     toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -44,7 +82,7 @@ object DedupQueries {
     val bands = (0 until NumHashes / BandRows).map { b =>
       val cols = (b * BandRows until (b + 1) * BandRows).map(i => col(s"h$i"))
       sig.select(col("doc_id"), lit(b).as("band"),
-        xxhash64(cols: _*).as("bucket"))
+        concat_ws(",", cols: _*).as("bucket"))
     }.reduce(_ unionAll _)
     val l = bands.as("l"); val r = bands.as("r")
     l.join(r, col("l.band") === col("r.band")
@@ -115,14 +153,15 @@ object DedupQueries {
                    (s.n + (SELECT count(*) FROM t0) - coalesce(ni, 0)), 6) AS jaccard
              FROM sizes s LEFT JOIN inter USING (doc_id) ORDER BY doc_id""")),
 
-    // ---- MinHash+LSH near-dup candidates (probabilistic; rows-only check;
-    // ScalaTest validates estimates against q29's exact Jaccard).
-    Q("q30_minhash_lsh_pairs", (s, d) => minhashPairs(s, d), None),
+    // ---- MinHash+LSH near-dup candidates. The h60 hash is computable in
+    // DuckDB, so the full banded-LSH pipeline (signatures -> band buckets
+    // -> candidate join -> estimate filter) is oracle-checked exactly.
+    Q("q30_minhash_lsh_pairs", (s, d) => minhashPairs(s, d),
+      Some(minhashOracleSql)),
 
-    // ---- 64-bit SimHash signatures (xxhash64 per token, sign-sum per
-    // bit). xxhash64 has no DuckDB counterpart -> rows-only; DedupSpec
-    // pins invariances (identical text => identical signature).
-    Q("q36_simhash", (s, d) => simhash(s, d), None),
+    // ---- SimHash signatures (h60 per token, sign-sum per bit) —
+    // oracle-checked bit-for-bit via the same cross-engine hash.
+    Q("q36_simhash", (s, d) => simhash(s, d), Some(simhashOracleSql)),
 
     // ---- embedding-cosine near-dup: top-20 most-similar pairs within a
     // bounded id range (the corpus has no true near-dups; max cos ~0.47).
@@ -160,18 +199,73 @@ object DedupQueries {
              ORDER BY cos_sim DESC, va, vb LIMIT 20"""))
   )
 
-  /** 64-bit SimHash per document: bit i set iff the sign-sum over token
-    * hashes' bit i is positive. One explode + one groupBy with 64
+  /** 60-bit SimHash per document: bit i set iff the sign-sum over token
+    * hashes' bit i is positive. One explode + one groupBy with 60
     * codegen'd conditional sums — no UDF, fully distributed.
     */
-  def simhash(s: SparkSession, d: String): DataFrame = {
-    val toks = tokenSets(s, d).withColumn("h", xxhash64(col("token")))
-    val bitSums = (0 until 64).map(i =>
+  def simhash(s: SparkSession, d: String): DataFrame =
+    simhashOf(Tables.documents(s, d))
+
+  /** Same, over an arbitrary (doc_id, text) DataFrame — lets tests feed
+    * permuted corpora through the identical code path.
+    */
+  def simhashOf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .distinct()
+      .withColumn("h", h60(col("token")))
+    val bitSums = (0 until SimHashBits).map(i =>
       sum(shiftright(col("h"), i).bitwiseAND(1) * 2 - 1).as(s"b$i"))
     val sums = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map(i =>
+    val sig = (0 until SimHashBits).map(i =>
         when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
       .reduce(_.bitwiseOR(_))
     sums.select(col("doc_id"), sig.as("simhash")).orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[minhashPairs]] (exact value parity via h60). */
+  private lazy val minhashOracleSql: String = {
+    val mins = (0 until NumHashes).map(i =>
+      s"min((x1 * ${permA(i)} % $P + x2 * ${permB(i)} % $P + ${permC(i)}) % $P) AS h$i")
+      .mkString(",\n  ")
+    val bands = (0 until NumHashes / BandRows).map { b =>
+      val cols = (b * BandRows until (b + 1) * BandRows).map(i => s"h$i")
+      s"SELECT doc_id, $b AS band, concat_ws(',', ${cols.mkString(", ")}) AS bucket FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val agree = (0 until NumHashes)
+      .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $tokCte,
+       hb AS (SELECT doc_id,
+              CAST(concat('0x', substr(md5(token),1,15)) AS BIGINT) % $P AS x1,
+              CAST(concat('0x', substr(md5(token),17,15)) AS BIGINT) % $P AS x2
+              FROM tok),
+       sig AS (SELECT doc_id, $mins FROM hb GROUP BY doc_id),
+       bands AS ($bands),
+       cand AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+                FROM bands l JOIN bands r
+                  ON l.band = r.band AND l.bucket = r.bucket
+                 AND l.doc_id < r.doc_id
+                GROUP BY 1, 2)
+       SELECT c.doc_a, c.doc_b,
+              round(CAST($agree AS DOUBLE) / $NumHashes, 4) AS est_jaccard
+       FROM cand c JOIN sig a ON c.doc_a = a.doc_id
+                   JOIN sig b ON c.doc_b = b.doc_id
+       WHERE CAST($agree AS DOUBLE) / $NumHashes >= 0.5
+       ORDER BY c.doc_a, c.doc_b"""
+  }
+
+  /** DuckDB twin of [[simhash]] (bit-for-bit parity via h60). */
+  private lazy val simhashOracleSql: String = {
+    val bitSums = (0 until SimHashBits).map(i =>
+      s"sum(((h >> $i) & 1) * 2 - 1) AS b$i").mkString(",\n  ")
+    val sig = (0 until SimHashBits).map(i =>
+      s"CASE WHEN b$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    s"""WITH $tokCte,
+       h AS (SELECT doc_id, ${h60Sql("token")} AS h FROM tok),
+       b AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
+       SELECT doc_id, CAST($sig AS BIGINT) AS simhash
+       FROM b ORDER BY doc_id"""
   }
 }

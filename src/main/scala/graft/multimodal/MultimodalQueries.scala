@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** Harness queries for the multimodal surface. q40 checks the binary
   * column + metadata plumbing against DuckDB; q41 runs the batched
-  * feature-extraction pipeline (stub codec -> rows-only check, with
-  * ScalaTest asserting its deterministic outputs).
+  * feature-extraction pipeline. The stub codec's outputs are pure byte
+  * statistics and the corpus is ASCII, so even q41 is oracle-checked
+  * (per-char frequency entropy, mean byte, integer frame/thumb math).
   */
 object MultimodalQueries {
   def defs: Seq[Q] = Seq(
@@ -36,6 +37,31 @@ object MultimodalQueries {
             round(col("mean_byte"), 6).as("mean_byte"),
             col("frames_sampled"), col("thumb_w"), col("thumb_h"))
           .orderBy("media_id"),
-      None) // stub codec -> no SQL oracle; MultimodalSpec pins outputs
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+               text, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+               doc_id % 640 + 16 AS width, doc_id % 480 + 16 AS height,
+               doc_id % 120 + 1 AS n_frames
+               FROM documents),
+             ch AS (SELECT media_id, ord(c) AS byte, count(*) AS c
+                    FROM (SELECT media_id, unnest(string_split(text, '')) AS c FROM m)
+                    GROUP BY 1, 2),
+             tot AS (SELECT media_id, sum(c) AS n FROM ch GROUP BY 1),
+             st AS (SELECT ch.media_id,
+                      sum(-(CAST(c AS DOUBLE)/n) * log2(CAST(c AS DOUBLE)/n)) AS entropy,
+                      CAST(sum(byte*c) AS DOUBLE)/any_value(n) AS mean_byte
+                    FROM ch JOIN tot ON ch.media_id = tot.media_id
+                    GROUP BY ch.media_id)
+             SELECT m.media_id, m.kind, m.n_bytes,
+               round(coalesce(st.entropy, 0), 6) AS entropy,
+               round(coalesce(st.mean_byte, 0), 6) AS mean_byte,
+               CAST(CASE WHEN m.kind = 'video'
+                    THEN least(8, greatest(1, m.n_frames // 8))
+                    ELSE 1 END AS INT) AS frames_sampled,
+               CAST(greatest(1, round(m.width * (64.0/greatest(m.width, m.height)))) AS INT) AS thumb_w,
+               CAST(greatest(1, round(m.height * (64.0/greatest(m.width, m.height)))) AS INT) AS thumb_h
+             FROM m LEFT JOIN st ON m.media_id = st.media_id
+             ORDER BY m.media_id"""))
   )
 }

@@ -18,9 +18,8 @@ class QueriesSpec extends AnyFunSuite {
 
   test("oracle SQL exists for all SQL-expressible queries") {
     val noOracle = QueryRegistry.all.filter(_.oracle.isEmpty).map(_.name).toSet
-    // probabilistic / engine-specific-hash / stub-codec / trained ops only
-    assert(noOracle == Set("q30_minhash_lsh_pairs", "q36_simhash",
-      "q38_ann_lsh", "q41_media_features", "q42_approx_distinct",
+    // probabilistic-recall / sketch-internal / trained ops only
+    assert(noOracle == Set("q38_ann_lsh", "q42_approx_distinct",
       "q46_ann_ivf"),
       s"unexpected: $noOracle")
   }

@@ -12,20 +12,11 @@ class DedupSpec extends AnyFunSuite {
   test("simhash: permuting token order leaves the signature unchanged") {
     val sig = DedupQueries.simhash(spark, sf)
       .limit(5).as[(Long, Long)].collect().toMap
-    // recompute from reversed-token documents: token SET is identical
+    // recompute from reversed-token documents: token SET is identical,
+    // run through the SAME production code path
     val docs = graft.Tables.documents(spark, sf)
       .withColumn("text", array_join(reverse(split(col("text"), " ")), " "))
-    docs.createOrReplaceTempView("permuted_docs")
-    // simhash reads via Tables.documents; emulate by direct computation
-    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .distinct().withColumn("h", xxhash64(col("token")))
-    val bitSums = (0 until 64).map(i =>
-      sum(shiftright(col("h"), i).bitwiseAND(1) * 2 - 1).as(s"b$i"))
-    val sums = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sigExpr = (0 until 64).map(i =>
-        when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
-      .reduce(_.bitwiseOR(_))
-    val permuted = sums.select(col("doc_id"), sigExpr.as("simhash"))
+    val permuted = DedupQueries.simhashOf(docs)
       .filter(col("doc_id") < 5).as[(Long, Long)].collect().toMap
     sig.foreach { case (id, s0) => assert(permuted(id) == s0, s"doc $id") }
   }
