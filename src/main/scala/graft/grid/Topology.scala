@@ -166,7 +166,10 @@ object Topology {
             .otherwise(col("px") - floor(col("px")))))
     val g = grid.select(col("it").as("g_it"), col("iz").as("g_iz"),
       col("ix").as("g_ix"), col(field).as("g_v"))
-    corners.join(g, col("it") === col("g_it")
+    // sample points are few by design (null points / X points — the
+    // reference collects them driver-side): broadcast them so the
+    // grid-sized probe side never shuffles.
+    broadcast(corners).join(g, col("it") === col("g_it")
         && col("ci") === col("g_iz") && col("cj") === col("g_ix"))
       .groupBy(pts.columns.map(col): _*)
       .agg(sum(col("w") * col("g_v")).as(out))
@@ -456,14 +459,14 @@ object Topology {
   def currentSheets(grid: DataFrame, field: String, nz: Int, nx: Int,
       csLimit: Double): DataFrame = {
     val mm = GridOps.minmaxFilter(grid, field, nz, nx, "fmax", "fmin")
-    val g = grid.join(mm, Seq("it", "iz", "ix"))
-    // per-it thresholds as a partial-aggregating groupBy + broadcast join
-    // back: a Window.partitionBy("it") with no frame would force every
-    // cell of a time step through ONE task — a non-starter at the 100 TB
-    // design point where a single `it` plane is billions of cells. The
-    // filtered fields are evaluated twice (agg + probe); at scale that
-    // beats the single-task window, and mm itself is two codegen'd
-    // window passes.
+    // persisted: the filtered fields feed the threshold aggregate, the
+    // probe join, and both sheet branches (4 consumers). A
+    // Window.partitionBy("it") with no frame would avoid the reuse but
+    // forces every cell of a time step through ONE task — a non-starter
+    // at the 100 TB design point where a single `it` plane is billions
+    // of cells; groupBy partial-aggregates map-side and broadcasts a
+    // per-it row back, and MEMORY_AND_DISK persist bounds the recompute.
+    val g = grid.join(mm, Seq("it", "iz", "ix")).persist()
     val thr = g.groupBy("it").agg(
       (avg("fmax") + lit(3) * stddev_pop("fmax")).as("max_thr"),
       (avg("fmin") - lit(3) * stddev_pop("fmin")).as("min_thr"))

@@ -197,12 +197,14 @@ object TopologyQueries {
     Q("g14_region_extrema",
       (s, d) => {
         val g = grid(s, d)
+        // persisted: feeds the threshold aggregate AND the probe join.
+        // An unframed Window.partitionBy("it") would avoid the reuse but
+        // forces a whole time step through one task — at the 100 TB
+        // design point an `it` plane is billions of cells, so groupBy
+        // (partial agg, tiny result, broadcast back) + a MEMORY_AND_DISK
+        // persist of the filtered field is the scalable shape.
         val mx = GridOps.extremumFilter(g, "b1", NZ, NX, isMax = true, "fmax")
-        // per-it threshold via groupBy + broadcast join back: an unframed
-        // Window.partitionBy("it") would force a whole time step into one
-        // task — at the 100 TB design point an `it` plane is billions of
-        // cells, so the partial-aggregating groupBy (tiny result,
-        // broadcast probe) wins even though mx is evaluated twice.
+          .persist()
         val thr = mx.groupBy("it")
           .agg((avg("fmax") + lit(1) * stddev_pop("fmax")).as("thr"))
         val hot = mx.join(broadcast(thr), Seq("it"))
