@@ -16,6 +16,7 @@ object QueryRegistry {
   /** Full declared inventory, assembled from the per-area modules. */
   def all: Seq[Q] =
     relational.RelationalQueries.defs ++
+      relational.JoinOps.defs ++
       text.TextQueries.defs ++
       dedup.DedupQueries.defs ++
       similarity.SimilarityQueries.defs ++

@@ -1,0 +1,129 @@
+package graft.relational
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators Spark lacks as built-ins, re-expressed on the
+  * primitives that scale: as-of join as a tagged-union window (one
+  * shuffle, no range-join explosion) and salted equi-join for skewed
+  * keys. The reference has no joins at all (SURVEY §2B) — these belong
+  * to the harness/north-star relational surface.
+  */
+object JoinOps {
+
+  /** Backward as-of join: for every left row, attach the payload struct
+    * of the LATEST right row with equal `keys` and right ts <= left ts
+    * (inclusive, DuckDB ASOF semantics).
+    *
+    * Implemented as a tagged union + one running-`last` window per key:
+    * a single shuffle on `keys`, work linear in |L|+|R| — the 100 TB
+    * path for event-stream enrichment, where a naive inequality join
+    * explodes to |L|·|R per key| intermediate rows before aggregation.
+    *
+    * Right rows should be unique per (keys, ts); pre-aggregate ties
+    * upstream or the tie-winner among equal timestamps is unspecified.
+    * Payload columns must not collide with left column names.
+    */
+  def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payloads: Seq[String]): DataFrame = {
+    val leftOther = left.columns.toSeq.filterNot(keys.contains)
+    val k = keys.map(col)
+    // payloads ride in ONE non-null struct so genuinely-null payload
+    // fields inside a right row are preserved (last(ignoreNulls) skips
+    // whole missing rows, not individual null fields)
+    val r = right.select(
+      (k :+ right(rightTs).as("__ts") :+ lit(0).as("__side"))
+        ++ leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c))
+        :+ struct(payloads.map(col): _*).as("__p"): _*)
+    val l = left.select(
+      (k :+ left(leftTs).as("__ts") :+ lit(1).as("__side"))
+        ++ leftOther.map(col)
+        :+ lit(null).cast(r.schema("__p").dataType).as("__p"): _*)
+    val w = Window.partitionBy(k: _*).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionAll(l)
+      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select((k ++ leftOther.map(col)
+        ++ payloads.map(p => col(s"__m.$p").as(p))): _*)
+  }
+
+  /** Salted inner equi-join on the shared column `key`: left rows
+    * scatter across `salt` sub-keys, right rows replicate into all of
+    * them, so one hot key spreads over `salt` tasks instead of one
+    * straggler. Result is identical to `big.join(small, key)`. AQE's
+    * skew join covers the sort-merge path at runtime; explicit salting
+    * is the declarative form for shuffle-hash joins and for engines
+    * without runtime re-planning. The replicated side grows `salt`-fold:
+    * use for moderate `small` (too big to broadcast, small enough to
+    * copy a handful of times).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      salt: Int): DataFrame = {
+    val scattered = big.withColumn("__salt",
+      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salt)).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(array((0 until salt).map(lit): _*)))
+    scattered.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  private def ev(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.events(s, d)
+
+  def defs: Seq[Q] = Seq(
+    // ---- q48: as-of join — for each purchase, the latest preceding
+    // click of the same user (ts + value). Oracle is DuckDB's native
+    // ASOF LEFT JOIN, so the window re-expression is checked against a
+    // real as-of implementation.
+    Q("q48_asof_click",
+      (s, d) => {
+        val e = ev(s, d)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select("user_id", "event_id", "ts")
+        val clicks = e.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts").as("click_ts"))
+          .agg(max_by(col("value"), col("event_id")).as("click_value"))
+        asofBackward(purchases, clicks, Seq("user_id"),
+            leftTs = "ts", rightTs = "click_ts",
+            payloads = Seq("click_ts", "click_value"))
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("click_ts"), round(col("click_value"), 4).as("click_value"))
+          .orderBy("user_id", "event_id")
+      },
+      Some(s"""WITH ${Tables.evCte},
+              l AS (SELECT user_id, event_id, ts FROM ev
+                    WHERE event_type = 'purchase'),
+              r AS (SELECT user_id, ts AS click_ts,
+                           max_by(value, event_id) AS click_value
+                    FROM ev WHERE event_type = 'click' GROUP BY 1, 2)
+              SELECT l.user_id, l.event_id, l.ts, r.click_ts,
+                     round(r.click_value, 4) AS click_value
+              FROM l ASOF LEFT JOIN r
+                ON l.user_id = r.user_id AND l.ts >= r.click_ts
+              ORDER BY l.user_id, l.event_id""")),
+
+    // ---- q49: salted fact-fact join (lineitem x orders on orderkey)
+    // + aggregate. The oracle is the PLAIN join — salting must be
+    // semantically invisible.
+    Q("q49_salted_join",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("okey"), col("l_extendedprice"),
+            col("l_discount"))
+        val ord = Tables.orders(s, d)
+          .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+        saltedJoin(li, ord, "okey", salt = 8)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+              .as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             GROUP BY 1 ORDER BY 1"""))
+  )
+}

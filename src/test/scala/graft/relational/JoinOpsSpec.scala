@@ -1,0 +1,75 @@
+package graft.relational
+
+import graft.{SharedSpark, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class JoinOpsSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("asofBackward equals the naive inequality-join implementation") {
+    val e = Tables.events(spark, sf)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts")
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts").as("click_ts"))
+      .agg(max_by(col("value"), col("event_id")).as("click_value"))
+
+    val fast = JoinOps.asofBackward(purchases, clicks, Seq("user_id"),
+        "ts", "click_ts", Seq("click_ts", "click_value"))
+      .select("user_id", "event_id", "click_ts", "click_value")
+
+    // naive: inequality join + keep max click_ts per left row (the shape
+    // that explodes at scale; here it is the ground truth)
+    val c = clicks.withColumnRenamed("user_id", "c_uid")
+    val naive = purchases
+      .join(c, col("user_id") === col("c_uid") && col("click_ts") <= col("ts"),
+        "left")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "event_id")
+          .orderBy(col("click_ts").desc_nulls_last)))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "click_ts", "click_value")
+
+    val a = fast.collect().map(_.toSeq).toSet
+    val b = naive.collect().map(_.toSeq).toSet
+    assert(a == b, s"asof mismatch: ${a.diff(b).take(3)} vs ${b.diff(a).take(3)}")
+  }
+
+  test("saltedJoin is semantically identical to the plain equi-join") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("okey"), col("l_extendedprice"))
+    val ord = Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+    val salted = JoinOps.saltedJoin(li, ord, "okey", salt = 4)
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val plain = li.join(ord, "okey")
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(salted == plain)
+  }
+
+  test("asofBackward leaves left rows with no match (null payload)") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a"), (1L, 5L, "b"), (2L, 7L, "c"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 8L, 100.0)).toDF("k", "rt", "v")
+    val out = JoinOps.asofBackward(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.get(3)))).toSet
+    assert(out == Set(
+      (1L, 10L, "a", Some(100.0)), // rt=8 <= t=10
+      (1L, 5L, "b", None),         // no right row at or before 5
+      (2L, 7L, "c", None)))        // key never on right
+  }
+
+  test("asofBackward includes equal timestamps (inclusive semantics)") {
+    import spark.implicits._
+    val left = Seq((1L, 8L)).toDF("k", "t")
+    val right = Seq((1L, 8L, 1.5)).toDF("k", "rt", "v")
+    val out = JoinOps.asofBackward(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .collect()
+    assert(out.length == 1 && out.head.getDouble(2) == 1.5)
+  }
+}
