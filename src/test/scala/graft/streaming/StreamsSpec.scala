@@ -99,6 +99,29 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("parquet sink round-trip: streamed rows land in files and read back") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams.dedupStream(df)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    try {
+      mem.addData((1L, ts(1), 1L, "a", 1.0), (1L, ts(2), 1L, "a", 9.0),
+        (2L, ts(3), 2L, "b", 2.0))
+      q.processAllAvailable()
+      mem.addData((3L, ts(4), 1L, "c", 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.parquet(out)
+    assert(back.count() == 3, "expected 3 deduped rows in the parquet sink")
+    assert(back.columns.toSet ==
+      Set("event_id", "ts", "user_id", "event_type", "value"))
+  }
+
   test("streaming dedup drops duplicate ids within the watermark") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
