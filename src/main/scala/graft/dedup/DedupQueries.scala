@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries {
   /** Distinct (doc_id, token) pairs — the set representation of each doc. */
-  private def tokenSets(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  private def tokenSetsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .distinct()
+  private def tokenSets(s: SparkSession, d: String): DataFrame =
+    tokenSetsOf(Tables.documents(s, d))
 
   /** 60-bit token hash with an exact cross-engine twin: first 15 hex
     * chars of md5, parsed base 16 (< 2^60, so a signed long never
@@ -26,10 +28,14 @@ object DedupQueries {
   private def h60Sql(e: String): String =
     s"CAST(concat('0x', substr(md5($e),1,15)) AS BIGINT)"
 
-  /** Shared DuckDB CTE: the distinct (doc_id, token) sets. */
-  private val tokCte =
-    """tok AS (SELECT DISTINCT doc_id, token FROM
-      (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) x)"""
+  /** Shared DuckDB CTE: the distinct (doc_id, token) sets, optionally
+    * over a bounded doc subset.
+    */
+  private def tokCteWhere(where: String): String =
+    s"""tok AS (SELECT DISTINCT doc_id, token FROM
+      (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       FROM documents $where) x)"""
+  private val tokCte = tokCteWhere("")
 
   /** Number of MinHash permutations; 4 bands x 4 rows (collision prob
     * J^4 per band keeps the candidate set near-dup-only on corpora with a
@@ -61,9 +67,12 @@ object DedupQueries {
     * permutation — one groupBy, signatures are NumHashes longs per doc.
     * Scales as word-count does; no pairwise work yet.
     */
-  def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+  def minhashSignatures(s: SparkSession, d: String): DataFrame =
+    minhashSignaturesOf(Tables.documents(s, d))
+
+  def minhashSignaturesOf(docs: DataFrame): DataFrame = {
     val md = md5(col("token"))
-    val toks = tokenSets(s, d)
+    val toks = tokenSetsOf(docs)
       .withColumn("x1", conv(substring(md, 1, 15), 16, 10).cast("long") % P)
       .withColumn("x2", conv(substring(md, 17, 15), 16, 10).cast("long") % P)
     val aggs = (0 until NumHashes).map(i =>
@@ -97,8 +106,11 @@ object DedupQueries {
     * of the pair join — without the persist the explode+groupBy over all
     * tokens runs three times.
     */
-  def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sig = minhashSignatures(s, d).persist()
+  def minhashPairs(s: SparkSession, d: String): DataFrame =
+    minhashPairsOf(Tables.documents(s, d))
+
+  def minhashPairsOf(docs: DataFrame): DataFrame = {
+    val sig = minhashSignaturesOf(docs).persist()
     val cand = candidatesFrom(sig)
     val a = sig.as("a"); val b = sig.as("b")
     val agree = (0 until NumHashes)
@@ -163,6 +175,14 @@ object DedupQueries {
     // oracle-checked bit-for-bit via the same cross-engine hash.
     Q("q36_simhash", (s, d) => simhash(s, d), Some(simhashOracleSql)),
 
+    // ---- end-to-end near-dup clustering: connected components over the
+    // LSH pair graph (reusing the topology CC solver), cluster id = min
+    // doc_id, canonical = the kept representative. The full
+    // dedup-a-corpus story in one query, oracle-checked via a recursive
+    // CTE.
+    Q("q50_dedup_clusters", (s, d) => dedupClusters(s, d),
+      Some(clustersOracleSql)),
+
     // ---- embedding-cosine near-dup: top-20 most-similar pairs within a
     // bounded id range (the corpus has no true near-dups; max cos ~0.47).
     // Exact arithmetic mirrored in DuckDB; rank on the rounded value.
@@ -223,8 +243,10 @@ object DedupQueries {
     sums.select(col("doc_id"), sig.as("simhash")).orderBy("doc_id")
   }
 
-  /** DuckDB twin of [[minhashPairs]] (exact value parity via h60). */
-  private lazy val minhashOracleSql: String = {
+  /** CTE chain reproducing [[minhashPairs]] up to a `pairs` CTE — shared
+    * by the q30 oracle and the q50 clustering oracle.
+    */
+  private def minhashCtes(where: String): String = {
     val mins = (0 until NumHashes).map(i =>
       s"min((x1 * ${permA(i)} % $P + x2 * ${permB(i)} % $P + ${permC(i)}) % $P) AS h$i")
       .mkString(",\n  ")
@@ -235,7 +257,7 @@ object DedupQueries {
     val agree = (0 until NumHashes)
       .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
       .mkString(" + ")
-    s"""WITH $tokCte,
+    s"""${tokCteWhere(where)},
        hb AS (SELECT doc_id,
               CAST(concat('0x', substr(md5(token),1,15)) AS BIGINT) % $P AS x1,
               CAST(concat('0x', substr(md5(token),17,15)) AS BIGINT) % $P AS x2
@@ -246,13 +268,63 @@ object DedupQueries {
                 FROM bands l JOIN bands r
                   ON l.band = r.band AND l.bucket = r.bucket
                  AND l.doc_id < r.doc_id
-                GROUP BY 1, 2)
-       SELECT c.doc_a, c.doc_b,
-              round(CAST($agree AS DOUBLE) / $NumHashes, 4) AS est_jaccard
-       FROM cand c JOIN sig a ON c.doc_a = a.doc_id
-                   JOIN sig b ON c.doc_b = b.doc_id
-       WHERE CAST($agree AS DOUBLE) / $NumHashes >= 0.5
-       ORDER BY c.doc_a, c.doc_b"""
+                GROUP BY 1, 2),
+       pairs AS (SELECT c.doc_a, c.doc_b,
+                 round(CAST($agree AS DOUBLE) / $NumHashes, 4) AS est_jaccard
+                 FROM cand c JOIN sig a ON c.doc_a = a.doc_id
+                             JOIN sig b ON c.doc_b = b.doc_id
+                 WHERE CAST($agree AS DOUBLE) / $NumHashes >= 0.5)"""
+  }
+
+  /** DuckDB twin of [[minhashPairs]] (exact value parity via h60). */
+  private lazy val minhashOracleSql: String =
+    s"""WITH ${minhashCtes("")}
+       SELECT doc_a, doc_b, est_jaccard FROM pairs ORDER BY doc_a, doc_b"""
+
+  /** DuckDB twin of [[dedupClusters]]: recursive min-label propagation
+    * over the pair graph (same bounded doc subset).
+    */
+  private lazy val clustersOracleSql: String =
+    s"""WITH RECURSIVE ${minhashCtes(s"WHERE doc_id < $ClusterDocLimit")},
+       e AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+             UNION ALL SELECT doc_b, doc_a FROM pairs),
+       r AS (SELECT doc_id AS node, doc_id AS comp
+             FROM documents WHERE doc_id < $ClusterDocLimit
+             UNION
+             SELECT e.s AS node, r.comp FROM e JOIN r ON e.t = r.node),
+       cl AS (SELECT node AS doc_id, min(comp) AS cluster FROM r GROUP BY node)
+       SELECT doc_id, cluster, doc_id = cluster AS is_canonical
+       FROM cl ORDER BY doc_id"""
+
+  /** Doc-id bound for the clustering query: this synthetic corpus shares
+    * so much vocabulary that est>=0.5 pairs grow quadratically (6.1M
+    * pairs over 5k docs at sf0.1), which no LSH banding can prune — on a
+    * real corpus the threshold pair graph is sparse. Same bounding
+    * pattern as q37's vec_id < 300.
+    */
+  val ClusterDocLimit = 1000
+
+  /** Near-dup clusters: CC over the [[minhashPairs]] graph; docs with no
+    * near-dup pair are their own singleton cluster. This is the standard
+    * "keep one per cluster" dedup reducer. At 100 TB the pair list never
+    * materializes globally: band buckets already contract each bucket to
+    * star edges (member -> bucket min), so the CC input is linear in
+    * corpus size, and the iterative loop runs on the contracted graph
+    * only ([[graft.grid.Topology.graphComponents]]).
+    */
+  def dedupClusters(s: SparkSession, d: String): DataFrame =
+    dedupClustersOf(
+      Tables.documents(s, d).filter(col("doc_id") < ClusterDocLimit))
+
+  def dedupClustersOf(docs: DataFrame): DataFrame = {
+    val edges = minhashPairsOf(docs).select(col("doc_a").as("s"),
+      col("doc_b").as("t"))
+    val comp = graft.grid.Topology.graphComponents(edges)
+    docs.select("doc_id")
+      .join(comp, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster"))
+      .orderBy("doc_id")
   }
 
   /** DuckDB twin of [[simhash]] (bit-for-bit parity via h60). */

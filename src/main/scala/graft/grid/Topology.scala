@@ -440,6 +440,15 @@ object Topology {
       tile: Int = 512): DataFrame =
     ccTiled(cells, nx, dirs8 = true, keys, maxIter, tile)
 
+  /** Public entry to the contracted-graph CC solver: connected
+    * components over an arbitrary (s, t) edge list, returning
+    * (node, comp) with comp = min node id reachable. Also serves the
+    * dedup surface (clusters over the MinHash-LSH pair graph).
+    */
+  def graphComponents(edges: DataFrame, keys: Seq[String] = Seq.empty,
+      maxIter: Int = 1000): DataFrame =
+    graphCC(edges, keys, maxIter)
+
   /** The plain iterative min-label scheme over raw cells — kept as the
     * reference implementation for parity tests of [[ccTiled]].
     */
