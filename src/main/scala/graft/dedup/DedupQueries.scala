@@ -67,12 +67,32 @@ object DedupQueries {
     * permutation — one groupBy, signatures are NumHashes longs per doc.
     * Scales as word-count does; no pairwise work yet.
     */
+  /** w-token shingle sets: sliding windows of `w` consecutive tokens.
+    * Shingles carry positional context (token SETS cannot tell permuted
+    * documents apart) and make the similarity graph sparse on natural
+    * corpora — the unit the MinHash literature actually banded.
+    */
+  def shingleSets(docs: DataFrame, w: Int): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(toks) >= $w
+           THEN transform(sequence(0, size(toks) - $w),
+                          i -> concat_ws(' ', slice(toks, i + 1, $w)))
+           ELSE array() END""")).as("token"))
+      .distinct()
+
   def minhashSignatures(s: SparkSession, d: String): DataFrame =
     minhashSignaturesOf(Tables.documents(s, d))
 
-  def minhashSignaturesOf(docs: DataFrame): DataFrame = {
+  def minhashSignaturesOf(docs: DataFrame): DataFrame =
+    signaturesFromTokens(tokenSetsOf(docs))
+
+  /** MinHash signatures from any (doc_id, token) set — tokens or
+    * shingles.
+    */
+  def signaturesFromTokens(tokens: DataFrame): DataFrame = {
     val md = md5(col("token"))
-    val toks = tokenSetsOf(docs)
+    val toks = tokens
       .withColumn("x1", conv(substring(md, 1, 15), 16, 10).cast("long") % P)
       .withColumn("x2", conv(substring(md, 17, 15), 16, 10).cast("long") % P)
     val aggs = (0 until NumHashes).map(i =>
@@ -109,8 +129,11 @@ object DedupQueries {
   def minhashPairs(s: SparkSession, d: String): DataFrame =
     minhashPairsOf(Tables.documents(s, d))
 
-  def minhashPairsOf(docs: DataFrame): DataFrame = {
-    val sig = minhashSignaturesOf(docs).persist()
+  def minhashPairsOf(docs: DataFrame): DataFrame =
+    pairsFromSignatures(minhashSignaturesOf(docs))
+
+  private def pairsFromSignatures(signatures: DataFrame): DataFrame = {
+    val sig = signatures.persist()
     val cand = candidatesFrom(sig)
     val a = sig.as("a"); val b = sig.as("b")
     val agree = (0 until NumHashes)
@@ -174,6 +197,15 @@ object DedupQueries {
     // ---- SimHash signatures (h60 per token, sign-sum per bit) —
     // oracle-checked bit-for-bit via the same cross-engine hash.
     Q("q36_simhash", (s, d) => simhash(s, d), Some(simhashOracleSql)),
+
+    // ---- 3-token-shingle MinHash pairs over the FULL corpus: shingles
+    // make the similarity graph sparse (shared vocabulary no longer
+    // collides — only shared phrases do), so no doc bound is needed.
+    // The literal shingle -> minhash -> band -> bucket-join pipeline.
+    Q("q51_shingle_minhash_pairs",
+      (s, d) => pairsFromSignatures(signaturesFromTokens(
+        shingleSets(Tables.documents(s, d), ShingleW))),
+      Some(shingleOracleSql)),
 
     // ---- end-to-end near-dup clustering: connected components over the
     // LSH pair graph (reusing the topology CC solver), cluster id = min
@@ -280,6 +312,26 @@ object DedupQueries {
   private lazy val minhashOracleSql: String =
     s"""WITH ${minhashCtes("")}
        SELECT doc_a, doc_b, est_jaccard FROM pairs ORDER BY doc_a, doc_b"""
+
+  val ShingleW = 3
+
+  /** DuckDB twin of the shingle variant: the CTE chain is identical
+    * except `tok` holds w-token shingles.
+    */
+  private lazy val shingleOracleSql: String = {
+    val shingleTok =
+      s"""tok AS (SELECT DISTINCT doc_id,
+           array_to_string(list_slice(toks, i, i + ${ShingleW - 1}), ' ') AS token
+         FROM (SELECT doc_id, toks,
+                 unnest(range(1, greatest(len(toks) - ${ShingleW - 2}, 1))) AS i
+               FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                     FROM documents) d) x)"""
+    val body = minhashCtes("")
+    val patched = body.replace(tokCte, shingleTok)
+    require(patched != body, "tok CTE substitution failed")
+    s"""WITH $patched
+       SELECT doc_a, doc_b, est_jaccard FROM pairs ORDER BY doc_a, doc_b"""
+  }
 
   /** DuckDB twin of [[dedupClusters]]: recursive min-label propagation
     * over the pair graph (same bounded doc subset).

@@ -49,4 +49,28 @@ class PlanSpec extends AnyFunSuite {
     // parquet filter must constrain rows; assert filters exist at all
     assert(p.contains("Filter"), "no filter in sliced plan")
   }
+
+  test("q48 as-of join is a window, not a join: one hash shuffle, no Join op") {
+    val p = plan("q48_asof_click")
+    assert(!p.contains("Join"), "as-of should compile to a window, not a join")
+    assert(p.contains("Window"), "expected the running-last window")
+    // event_type predicates reach the parquet scan on both branches
+    assert(p.contains("EqualTo(event_type,click)")
+      && p.contains("EqualTo(event_type,purchase)"),
+      "event_type filters not pushed to scan")
+    // AQE prints Final and Initial sections; count the final one only
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(finalPlan).length
+    // one for the right-side dedup aggregate + ONE for the as-of window
+    assert(shuffles <= 2, s"as-of join shuffles $shuffles times:\n${p.take(1200)}")
+  }
+
+  test("q45 native dot_product stays inside whole-stage codegen, no shuffle") {
+    val p = plan("q45_cosine_topk_native")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "vector top-k should not shuffle")
+    assert(p.contains("*(1)"), "native expression fell out of codegen")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k should plan as TakeOrderedAndProject")
+  }
 }
