@@ -71,6 +71,70 @@ class GridPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("gapFill only grows the mask and fixes solid masks") {
+    val nz = 8; val nx = 8
+    for (seed <- samples(Gen.choose(0L, 1000L), 5)) {
+      val rnd = new scala.util.Random(seed)
+      val cells = for (iz <- 0 until nz; ix <- 0 until nx)
+        yield (0, iz, ix, if (rnd.nextDouble() < 0.3) 1 else 0)
+      val df = cells.toDF("it", "iz", "ix", "m")
+      val filled = GridOps.gapFill(df, "m", nz, nx, "filled")
+      // monotone: every input-1 cell stays 1
+      val shrunk = filled.join(df, Seq("it", "iz", "ix"))
+        .filter(col("m") === 1 && col("filled") === 0).count()
+      assert(shrunk == 0, s"gapFill removed mask cells (seed $seed)")
+    }
+    // solid masks are fixed points
+    for (v <- Seq(0, 1)) {
+      val solid = (for (iz <- 0 until nz; ix <- 0 until nx)
+        yield (0, iz, ix, v)).toDF("it", "iz", "ix", "m")
+      val changed = GridOps.gapFill(solid, "m", nz, nx, "filled")
+        .filter(col("filled") =!= v).count()
+      assert(changed == 0, s"solid-$v mask not a fixed point")
+    }
+  }
+
+  test("connected-component labels are invariant to physical row layout") {
+    val rnd = new scala.util.Random(7)
+    val cells = (for (iz <- 0 until 12; ix <- 0 until 12
+      if rnd.nextDouble() < 0.4) yield (0, iz, ix)).toDF("it", "iz", "ix")
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      Topology.connectedComponents(df, nx = 12, tile = 4)
+        .select("iz", "ix", "comp").as[(Int, Int, Long)].collect().toSet
+    val base = labels(cells)
+    val shuffled = labels(cells.repartition(7, col("ix")))
+    assert(base == shuffled, "labels changed under repartitioning")
+  }
+
+  test("flux function satisfies its defining difference identities") {
+    val rnd = new scala.util.Random(11)
+    val nz = 6; val nx = 6; val dz = 0.5; val dx = 0.25
+    val f = (for (iz <- 0 until nz; ix <- 0 until nx)
+      yield (0, iz, ix, rnd.nextDouble() * 10 - 5, rnd.nextDouble() * 10 - 5))
+      .toDF("it", "iz", "ix", "b1", "b2")
+    val psi = GridOps.fluxfn(f, "b1", "b2", dz, dx)
+    // psi(iz, ix) - psi(iz, ix-1) = -b1(iz, ix) * dx  (by construction)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("it", "iz").orderBy("ix")
+    val bad = psi.withColumn("dpsi", col("psi") - lag("psi", 1).over(w))
+      .filter(col("ix") > 0)
+      .filter(abs(col("dpsi") - (-col("b1") * dx)) > 1e-9).count()
+    assert(bad == 0, "d(psi)/dx != -b1 somewhere")
+    // along ix = 0: psi(iz) - psi(iz-1) = b2(iz)*dz - b1(iz,0)*dx... the
+    // z-identity includes the x-cumsum head; check the IC column directly:
+    // psi(0, iz, 0) - psi(0, iz-1, 0) = b2(iz, 0)*dz (cumsum IC) since the
+    // x-cumsum at ix=0 contributes -b1(iz,0)*dx to BOTH rows' heads.
+    val wz = org.apache.spark.sql.expressions.Window
+      .partitionBy("it", "ix").orderBy("iz")
+    val badZ = psi.filter(col("ix") === 0)
+      .withColumn("dpsi", col("psi") - lag("psi", 1).over(wz))
+      .withColumn("db1", col("b1") - lag("b1", 1).over(wz))
+      .filter(col("iz") > 0)
+      .filter(abs(col("dpsi") - (col("b2") * dz - col("db1") * dx)) > 1e-9)
+      .count()
+    assert(badZ == 0, "d(psi)/dz identity violated at ix=0")
+  }
+
   test("line slice works on a 3-D grid (trilinear, exact for linear fields)") {
     // 8x8x8 grid, v = z + 2y + 3x
     val n = 8
