@@ -326,10 +326,24 @@ object Topology {
         .foldLeft(col("tmp") === col("p_node"))(_ && _)
       val jumped = gathered.join(ptr, cond, "left")
         .withColumn("newcomp", least(col("tmp"), coalesce(col("p_comp"), col("tmp"))))
-      val step = cut(jumped.select((k :+ col("node")
-        :+ col("comp").as("oldcomp") :+ col("newcomp").as("comp")): _*))
-      changed = step.filter(col("comp") < col("oldcomp")).count()
-      lab = step.drop("oldcomp")
+      // one job per round: the change count rides an accumulator inside
+      // the materialization pass (same pattern as ccImpl; a task-retry
+      // overcount only costs one harmless extra iteration)
+      val withCh = jumped.select((k :+ col("node")
+        :+ col("newcomp").as("comp")
+        :+ (col("newcomp") < col("comp")).as("ch")): _*)
+      val chIdx = withCh.schema.fieldIndex("ch")
+      val acc = spark.sparkContext.longAccumulator
+      val rdd = org.apache.spark.sql.graftbridge.Bridge.toInternalRdd(withCh).map { r =>
+        if (!r.isNullAt(chIdx) && r.getBoolean(chIdx)) acc.add(1L)
+        r.copy()
+      }
+      rdd.localCheckpoint()
+      val next = org.apache.spark.sql.graftbridge.Bridge.internalCreateDataFrame(
+        spark, rdd, withCh.schema)
+      next.count() // materialize; fills the accumulator
+      changed = acc.value
+      lab = next.drop("ch")
       iter += 1
     }
     lab
