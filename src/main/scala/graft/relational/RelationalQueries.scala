@@ -394,6 +394,21 @@ object RelationalQueries {
               round(quantile_cont(value, 0.9),4) AS p90, count(*) AS n
               FROM ev GROUP BY event_type ORDER BY event_type""")),
 
+    // ---- q52: single-pass APPROXIMATE percentiles — the sketch path
+    // that replaces q20's exact sort-based percentile at 100 TB
+    // (approx_percentile merges bounded-size summaries map-side; exact
+    // percentile materializes each group). Sketch internals are
+    // engine-specific -> rows-only; QueriesSpec bounds the error vs q20.
+    Q("q52_approx_percentiles",
+      (s, d) =>
+        ev(s, d)
+          .groupBy("event_type")
+          .agg(round(expr("approx_percentile(value, 0.5, 10000)"), 4).as("p50"),
+            round(expr("approx_percentile(value, 0.9, 10000)"), 4).as("p90"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type"),
+      None),
+
     // ---- q21: as-of lookup: time of latest signup at or before each
     // purchase, per user (running conditional max — no join needed).
     Q("q21_asof_last_signup",

@@ -20,7 +20,7 @@ class QueriesSpec extends AnyFunSuite {
     val noOracle = QueryRegistry.all.filter(_.oracle.isEmpty).map(_.name).toSet
     // probabilistic-recall / sketch-internal / trained ops only
     assert(noOracle == Set("q38_ann_lsh", "q42_approx_distinct",
-      "q46_ann_ivf"),
+      "q46_ann_ivf", "q52_approx_percentiles"),
       s"unexpected: $noOracle")
   }
 
@@ -55,6 +55,24 @@ class QueriesSpec extends AnyFunSuite {
     // scores for overlapping ids must agree exactly (same arithmetic)
     val overlap = ann.keySet intersect exact.keySet
     overlap.foreach(id => assert(ann(id) == exact(id), s"score mismatch for $id"))
+  }
+
+  test("q52 approx percentiles track the exact percentiles closely") {
+    val approx = QueryRegistry.queries("q52_approx_percentiles")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = QueryRegistry.queries("q20_value_percentiles")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (k, (a50, a90)) =>
+      val (e50, e90) = exact(k)
+      // 10k-accuracy sketch on ~1k rows/group: near-exact ranks; the
+      // interpolation difference (approx picks a sample, exact
+      // interpolates) bounds the gap by the local value spacing
+      assert(math.abs(a50 - e50) <= math.max(1.0, math.abs(e50) * 0.05),
+        s"$k p50: $a50 vs $e50")
+      assert(math.abs(a90 - e90) <= math.max(1.0, math.abs(e90) * 0.05),
+        s"$k p90: $a90 vs $e90")
+    }
   }
 
   test("q19 distinct flags: exactly the 6 known (rf, ls) pairs") {
