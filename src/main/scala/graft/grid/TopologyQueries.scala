@@ -73,13 +73,23 @@ object TopologyQueries {
            ((ay - yy) * (cx2 - dx) - (ax - bx) * (cy - dy)) AS px
        FROM inter)"""
 
-  /** Spark side of the null-point computation (shared by g11/g12). */
-  private def nulls(s: SparkSession, d: String): DataFrame = {
-    val g = grid(s, d)
-    Topology.segmentIntersections(
-      Topology.contourSegments(g, "b1", L1),
-      Topology.contourSegments(g, "b2", L2))
-  }
+  /** Spark side of the null-point computation, memoized per
+    * (session, dir) like the grid itself: g11 and g12 share one
+    * persisted result (contour extraction + the segment-pair join are
+    * the expensive half of both queries). The null set is tiny —
+    * O(contour crossings), not O(cells).
+    */
+  private val nullsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def nulls(s: SparkSession, d: String): DataFrame =
+    nullsCache.getOrElseUpdate((s, d), {
+      val g = grid(s, d)
+      val n = Topology.segmentIntersections(
+        Topology.contourSegments(g, "b1", L1),
+        Topology.contourSegments(g, "b2", L2)).persist()
+      n.count()
+      n
+    })
 
   def defs: Seq[Q] = Seq(
     // ---- g10: marching-squares contour segments (reference 22f).
