@@ -81,8 +81,21 @@ object TopologyQueries {
     */
   private val nullsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val nullsListener =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.SparkContext]()
   private def nulls(s: SparkSession, d: String): DataFrame =
     nullsCache.getOrElseUpdate((s, d), {
+      val sc = s.sparkContext
+      if (nullsListener.add(sc)) {
+        sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+            nullsCache.keys.filter(_._1.sparkContext eq sc)
+              .foreach(nullsCache.remove)
+            nullsListener.remove(sc)
+          }
+        })
+      }
       val g = grid(s, d)
       val n = Topology.segmentIntersections(
         Topology.contourSegments(g, "b1", L1),
