@@ -18,15 +18,11 @@ object DedupQueries {
   private def tokenSets(s: SparkSession, d: String): DataFrame =
     tokenSetsOf(Tables.documents(s, d))
 
-  /** 60-bit token hash with an exact cross-engine twin: first 15 hex
-    * chars of md5, parsed base 16 (< 2^60, so a signed long never
-    * overflows). Spark: conv(); DuckDB: CAST('0x…' AS BIGINT). Uniform
-    * enough for MinHash/SimHash and deterministic in both engines.
+  /** 60-bit token hash with an exact cross-engine twin — see
+    * [[graft.functions.Hashing]].
     */
-  private def h60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-  private def h60Sql(e: String): String =
-    s"CAST(concat('0x', substr(md5($e),1,15)) AS BIGINT)"
+  private def h60(c: Column): Column = graft.functions.Hashing.h60(c)
+  private def h60Sql(e: String): String = graft.functions.Hashing.h60Sql(e)
 
   /** Shared DuckDB CTE: the distinct (doc_id, token) sets, optionally
     * over a bounded doc subset.

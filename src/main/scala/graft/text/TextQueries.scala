@@ -137,6 +137,54 @@ object TextQueries {
           .orderBy("doc_id"),
       Some("""SELECT doc_id,
              md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
-             FROM documents ORDER BY doc_id"""))
+             FROM documents ORDER BY doc_id""")),
+
+    // ---- polynomial ROLLING-hash fingerprint (Karp-Rabin) over the
+    // first 32 tokens: fp = sum_i h60(t_i) * B^(m-i) mod p, i.e. the
+    // Horner fold acc = (acc*B + h(t)) mod p written as a positional-
+    // weight sum so the unrolled expression stays linear in size (a
+    // naive Horner unroll duplicates the accumulator per level). Order-
+    // SENSITIVE, unlike q27's order-canonical set hash. B^k mod p are
+    // Scala-precomputed constants embedded identically in both engines.
+    Q("q53_rolling_fingerprint",
+      (s, d) => {
+        import graft.functions.Hashing.{h60, P}
+        val toks = split(col("text"), " ")
+        val m = least(size(toks), lit(RollN))
+        val pw = array(rollPow.map(lit): _*) // pw[k] = B^k mod p
+        val terms = (1 to RollN).map { i =>
+          val t = get(toks, lit(i - 1)) // null past the end (no ANSI error)
+          when(t.isNull, 0L)
+            .otherwise(h60(t) % P * get(pw, m - i) % P)
+        }
+        val fp = terms.reduce(_ + _) % P // <= 32 terms < p each: no overflow
+        Tables.documents(s, d)
+          .select(col("doc_id"), fp.as("rfp"))
+          .orderBy("doc_id")
+      },
+      Some {
+        import graft.functions.Hashing.{h60Sql, P}
+        val pwList = rollPow.mkString("[", ", ", "]")
+        val terms = (1 to RollN).map { i =>
+          s"""CASE WHEN toks[$i] IS NULL THEN 0
+             ELSE (${h60Sql(s"toks[$i]")} % $P) * ($pwList[m - $i + 1]) % $P END"""
+        }.mkString(" + ")
+        s"""SELECT doc_id, ($terms) % $P AS rfp
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+                   least(len(string_split(text, ' ')), $RollN) AS m
+                 FROM documents) t
+           ORDER BY doc_id"""
+      })
   )
+
+  /** Rolling-hash parameters: base, prefix length, and the precomputed
+    * powers B^k mod p (residues < 2^31, so every product of two fits
+    * signed-64 exactly in both engines).
+    */
+  val RollB = 1000003L
+  val RollN = 32
+  private lazy val rollPow: Seq[Long] = {
+    val p = BigInt(graft.functions.Hashing.P)
+    (0 until RollN).map(k => (BigInt(RollB).modPow(BigInt(k), p)).toLong)
+  }
 }
