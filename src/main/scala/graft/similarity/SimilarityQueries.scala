@@ -10,6 +10,21 @@ import org.apache.spark.sql.functions._
   * LSH-bucketed approximate variant is the 100 TB scale path (later round).
   */
 object SimilarityQueries {
+  /** Shared oracle for the exact cosine top-10 (q31 / q45 / q54 — three
+    * implementations, one semantic).
+    */
+  private val cosineTopkOracle: String =
+    """WITH flat AS (SELECT vec_id, CAST(v AS DOUBLE) AS v, i FROM (
+        SELECT vec_id, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS i FROM embeddings) x),
+      q AS (SELECT i, v AS qv FROM flat WHERE vec_id = 0),
+      qn AS (SELECT sum(qv*qv) AS qn FROM q),
+      dots AS (SELECT f.vec_id, sum(f.v*q.qv) AS dot, sum(f.v*f.v) AS nrm
+               FROM flat f JOIN q USING (i) WHERE f.vec_id <> 0
+               GROUP BY f.vec_id)
+      SELECT vec_id, round(dot / (sqrt(nrm) * sqrt(qn)), 6) AS cos_sim
+      FROM dots, qn ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+
   /** (vec_id, i, v) flat view; elements cast to double so Spark and the
     * DuckDB oracle do identical float32 -> float64 promotion.
     */
@@ -98,6 +113,30 @@ object SimilarityQueries {
                       GROUP BY f.vec_id)
              SELECT vec_id, round(dot / (sqrt(nrm) * sqrt(qn)), 6) AS cos_sim
              FROM dots, qn ORDER BY cos_sim DESC, vec_id LIMIT 10""")),
+
+    // ---- q54: same exact cosine top-k through BUILT-IN higher-order
+    // functions (zip_with + aggregate) — the no-custom-code tier of the
+    // vector-kernel ladder (posexplode-join < zip_with/aggregate <
+    // native codegen'd Expression). Sequential array fold = the same
+    // summation order as q45's native kernel. Oracle: identical to q31.
+    Q("q54_cosine_topk_zipwith",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val probe = emb.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0).toArray
+        val qlit = typedlit(probe)
+        def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+            lit(0.0), (acc, v) => acc + v)
+        emb.filter(col("vec_id") =!= 0)
+          .select(col("vec_id"),
+            round(dot(col("embedding"), qlit)
+              / (sqrt(dot(col("embedding"), col("embedding")))
+                * sqrt(dot(qlit, qlit))), 6).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(cosineTopkOracle)),
 
     // ---- q46: IVF approximate NN — k-means coarse quantizer (spark.ml),
     // probe the nearest nprobe=2 centroids, exact cosine only within
