@@ -19,12 +19,17 @@ object Bench {
     // approximates steady-state per-query latency.
     val Runs = 2
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (0 until Runs).map { _ =>
+      val timed = (0 until Runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+        (ok, (System.nanoTime() - t0) / 1e9)
       }
-      name -> times.min
+      // min over SUCCESSFUL runs only — a fast failure must not mask a
+      // slow success; a query with no successful run reports its max
+      // elapsed (visible cost, never a bogus near-zero)
+      val good = timed.collect { case (true, t) => t }
+      name -> (if (good.nonEmpty) good.min else timed.map(_._2).max)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -50,7 +50,7 @@ object DedupQueries {
     * correlated across i (a correlated family measurably degrades the
     * Jaccard estimate).
     */
-  private val P = 2147483647L
+  private val P = graft.functions.Hashing.P
   private def scatter(k: BigInt): Long = (k mod BigInt(P)).toLong
   private def permA(i: Int): Long =
     scatter(BigInt(i + 1) * BigInt("9E3779B97F4A7C15", 16)) | 1L
@@ -354,11 +354,13 @@ object DedupQueries {
 
   /** Near-dup clusters: CC over the [[minhashPairs]] graph; docs with no
     * near-dup pair are their own singleton cluster. This is the standard
-    * "keep one per cluster" dedup reducer. At 100 TB the pair list never
-    * materializes globally: band buckets already contract each bucket to
-    * star edges (member -> bucket min), so the CC input is linear in
-    * corpus size, and the iterative loop runs on the contracted graph
-    * only ([[graft.grid.Topology.graphComponents]]).
+    * "keep one per cluster" dedup reducer. The CC input is the
+    * LSH-candidate pair list, O(bucket_size^2) per band bucket — fine
+    * when buckets stay small (real corpora; q51's shingle variant), but
+    * the est-threshold filter needs pairwise signature agreement, so
+    * pairs must materialize. If clustering on CANDIDATES alone suffices
+    * (no est filter), contract each bucket to star edges
+    * (member -> bucket min) for a strictly linear CC input.
     */
   def dedupClusters(s: SparkSession, d: String): DataFrame =
     dedupClustersOf(

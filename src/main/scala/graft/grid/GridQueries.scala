@@ -33,11 +33,16 @@ object GridQueries {
   private val listenerInstalled =
     java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.SparkContext]()
 
-  /** Unpersist and drop every cached grid for `s` (all dirs). */
-  def clearCache(s: SparkSession): Unit =
+  /** Unpersist and drop every cached grid for `s` (all dirs), plus the
+    * derived caches keyed off the grid (null sets) so no layer can go
+    * stale against a rebuilt grid.
+    */
+  def clearCache(s: SparkSession): Unit = {
     gridCache.keys.filter(_._1 == s).foreach { k =>
       gridCache.remove(k).foreach(_.unpersist(blocking = false))
     }
+    TopologyQueries.clearNullsCache(s)
+  }
 
   def grid(s: SparkSession, d: String): DataFrame =
     gridCache.getOrElseUpdate((s, d), {

@@ -482,14 +482,16 @@ object Topology {
   def currentSheets(grid: DataFrame, field: String, nz: Int, nx: Int,
       csLimit: Double): DataFrame = {
     val mm = GridOps.minmaxFilter(grid, field, nz, nx, "fmax", "fmin")
-    // persisted: the filtered fields feed the threshold aggregate, the
-    // probe join, and both sheet branches (4 consumers). A
-    // Window.partitionBy("it") with no frame would avoid the reuse but
+    // eagerly localCheckpoint-ed: the filtered fields feed the threshold
+    // aggregate, the probe join, and both sheet branches (4 consumers).
+    // A Window.partitionBy("it") with no frame would avoid the reuse but
     // forces every cell of a time step through ONE task — a non-starter
     // at the 100 TB design point where a single `it` plane is billions
     // of cells; groupBy partial-aggregates map-side and broadcasts a
-    // per-it row back, and MEMORY_AND_DISK persist bounds the recompute.
-    val g = grid.join(mm, Seq("it", "iz", "ix")).persist()
+    // per-it row back. localCheckpoint (not persist) so the
+    // ContextCleaner frees the blocks once the result is unreferenced —
+    // a bare persist here would pin grid-scale cache forever.
+    val g = grid.join(mm, Seq("it", "iz", "ix")).localCheckpoint()
     val thr = g.groupBy("it").agg(
       (avg("fmax") + lit(3) * stddev_pop("fmax")).as("max_thr"),
       (avg("fmin") - lit(3) * stddev_pop("fmin")).as("min_thr"))

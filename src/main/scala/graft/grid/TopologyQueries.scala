@@ -83,6 +83,15 @@ object TopologyQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val nullsListener =
     java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.SparkContext]()
+
+  /** Unpersist and drop every cached null set for `s` — called by
+    * [[GridQueries.clearCache]] so the derived layer can never outlive
+    * (and go stale against) the grid it was computed from.
+    */
+  def clearNullsCache(s: SparkSession): Unit =
+    nullsCache.keys.filter(_._1 == s).foreach { k =>
+      nullsCache.remove(k).foreach(_.unpersist(blocking = false))
+    }
   private def nulls(s: SparkSession, d: String): DataFrame =
     nullsCache.getOrElseUpdate((s, d), {
       val sc = s.sparkContext
@@ -220,14 +229,15 @@ object TopologyQueries {
     Q("g14_region_extrema",
       (s, d) => {
         val g = grid(s, d)
-        // persisted: feeds the threshold aggregate AND the probe join.
-        // An unframed Window.partitionBy("it") would avoid the reuse but
-        // forces a whole time step through one task — at the 100 TB
-        // design point an `it` plane is billions of cells, so groupBy
-        // (partial agg, tiny result, broadcast back) + a MEMORY_AND_DISK
-        // persist of the filtered field is the scalable shape.
+        // eagerly localCheckpoint-ed: feeds the threshold aggregate AND
+        // the probe join. An unframed Window.partitionBy("it") would
+        // avoid the reuse but forces a whole time step through one task
+        // — at the 100 TB design point an `it` plane is billions of
+        // cells. localCheckpoint (not persist): blocks are freed by the
+        // ContextCleaner once unreferenced instead of pinning
+        // grid-scale cache per call.
         val mx = GridOps.extremumFilter(g, "b1", NZ, NX, isMax = true, "fmax")
-          .persist()
+          .localCheckpoint()
         val thr = mx.groupBy("it")
           .agg((avg("fmax") + lit(1) * stddev_pop("fmax")).as("thr"))
         val hot = mx.join(broadcast(thr), Seq("it"))

@@ -32,8 +32,11 @@ object JoinOps {
     val k = keys.map(col)
     // payloads ride in ONE non-null struct so genuinely-null payload
     // fields inside a right row are preserved (last(ignoreNulls) skips
-    // whole missing rows, not individual null fields)
-    val r = right.select(
+    // whole missing rows, not individual null fields). Right rows with a
+    // NULL timestamp are dropped: `rt <= t` is never true for them in
+    // ASOF semantics, but ascending-nulls-first ordering would otherwise
+    // make them match every left row.
+    val r = right.filter(right(rightTs).isNotNull).select(
       (k :+ right(rightTs).as("__ts") :+ lit(0).as("__side"))
         ++ leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c))
         :+ struct(payloads.map(col): _*).as("__p"): _*)
@@ -62,8 +65,12 @@ object JoinOps {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salt: Int): DataFrame = {
+    // seeded rand, NOT a row hash: duplicate rows of a hot key (the
+    // common log/fact skew case) would all hash to one salt bucket and
+    // keep the straggler. Any salt assignment yields the same join
+    // result, so per-row randomness is safe.
     val scattered = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salt)).cast("int"))
+      (rand(42) * salt).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(array((0 until salt).map(lit): _*)))
     scattered.join(replicated, Seq(key, "__salt")).drop("__salt")

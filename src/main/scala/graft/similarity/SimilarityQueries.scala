@@ -53,16 +53,7 @@ object SimilarityQueries {
           .orderBy(col("cos_sim").desc, col("vec_id"))
           .limit(10)
       },
-      Some("""WITH flat AS (SELECT vec_id, CAST(v AS DOUBLE) AS v, i FROM (
-               SELECT vec_id, unnest(embedding) AS v,
-                      generate_subscripts(embedding, 1) AS i FROM embeddings) x),
-             q AS (SELECT i, v AS qv FROM flat WHERE vec_id = 0),
-             qn AS (SELECT sum(qv*qv) AS qn FROM q),
-             dots AS (SELECT f.vec_id, sum(f.v*q.qv) AS dot, sum(f.v*f.v) AS nrm
-                      FROM flat f JOIN q USING (i) WHERE f.vec_id <> 0
-                      GROUP BY f.vec_id)
-             SELECT vec_id, round(dot / (sqrt(nrm) * sqrt(qn)), 6) AS cos_sim
-             FROM dots, qn ORDER BY cos_sim DESC, vec_id LIMIT 10""")),
+      Some(cosineTopkOracle)),
 
     // ---- embedding norm stats per class label.
     Q("q32_norm_by_label",
@@ -103,16 +94,7 @@ object SimilarityQueries {
           .orderBy(col("cos_sim").desc, col("vec_id"))
           .limit(10)
       },
-      Some("""WITH flat AS (SELECT vec_id, CAST(v AS DOUBLE) AS v, i FROM (
-               SELECT vec_id, unnest(embedding) AS v,
-                      generate_subscripts(embedding, 1) AS i FROM embeddings) x),
-             q AS (SELECT i, v AS qv FROM flat WHERE vec_id = 0),
-             qn AS (SELECT sum(qv*qv) AS qn FROM q),
-             dots AS (SELECT f.vec_id, sum(f.v*q.qv) AS dot, sum(f.v*f.v) AS nrm
-                      FROM flat f JOIN q USING (i) WHERE f.vec_id <> 0
-                      GROUP BY f.vec_id)
-             SELECT vec_id, round(dot / (sqrt(nrm) * sqrt(qn)), 6) AS cos_sim
-             FROM dots, qn ORDER BY cos_sim DESC, vec_id LIMIT 10""")),
+      Some(cosineTopkOracle)),
 
     // ---- q54: same exact cosine top-k through BUILT-IN higher-order
     // functions (zip_with + aggregate) — the no-custom-code tier of the
@@ -125,14 +107,18 @@ object SimilarityQueries {
         val probe = emb.filter(col("vec_id") === 0)
           .select("embedding").head().getSeq[Float](0).toArray
         val qlit = typedlit(probe)
+        // probe self-norm is a scalar: fold it once on the driver (same
+        // sequential order as the per-row fold) instead of per row
+        val qNorm = math.sqrt(
+          probe.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
         def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
           aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
             lit(0.0), (acc, v) => acc + v)
         emb.filter(col("vec_id") =!= 0)
           .select(col("vec_id"),
             round(dot(col("embedding"), qlit)
-              / (sqrt(dot(col("embedding"), col("embedding")))
-                * sqrt(dot(qlit, qlit))), 6).as("cos_sim"))
+              / (sqrt(dot(col("embedding"), col("embedding"))) * qNorm),
+              6).as("cos_sim"))
           .orderBy(col("cos_sim").desc, col("vec_id"))
           .limit(10)
       },

@@ -64,6 +64,17 @@ class JoinOpsSpec extends AnyFunSuite {
       (2L, 7L, "c", None)))        // key never on right
   }
 
+  test("asofBackward ignores right rows with a null timestamp") {
+    import spark.implicits._
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq((1L, Option.empty[Long], 99.0), (1L, Some(4L), 1.0))
+      .toDF("k", "rt", "v")
+    val out = JoinOps.asofBackward(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .collect()
+    // the null-ts row (v=99) must never match; the rt=4 row does
+    assert(out.length == 1 && out.head.getDouble(2) == 1.0)
+  }
+
   test("asofBackward includes equal timestamps (inclusive semantics)") {
     import spark.implicits._
     val left = Seq((1L, 8L)).toDF("k", "t")
