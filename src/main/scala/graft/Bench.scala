@@ -18,7 +18,12 @@ object Bench {
     // parquet page-cache and codegen warmup plus host-VM noise; the min
     // approximates steady-state per-query latency.
     val Runs = 2
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev aid: SPARK_GRAFT_ONLY=q1,q2 restricts to a comma-separated
+    // subset (substring match) for single-query iteration.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(_.exists(n.contains)) }
+    val results = selected.map { case (name, fn) =>
       val timed = (0 until Runs).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }

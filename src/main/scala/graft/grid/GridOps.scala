@@ -148,21 +148,20 @@ object GridOps {
       .drop("tmp_z")
   }
 
-  /** One separable size-10 (offsets -5..+4, scipy origin-0) filter pass
-    * along `dim` over ghost-padded rows: a single window (one shuffle)
-    * computes every output column, fully inside whole-stage codegen.
+  /** One separable size-10 extremum pass along `dim` over ghost-padded
+    * rows, as FRAME aggregations (`rowsBetween(-5, 4)`, scipy origin-0)
+    * on a single window: one shuffle, one sort, all output columns in
+    * one pass — measurably cheaper than 10 lag/lead exprs + greatest.
     */
-  private def boxPass(src: DataFrame, dim: String, n: Int,
-      ins: Seq[String], outs: Seq[String], fns: Seq[Seq[Column] => Column]): DataFrame = {
+  private def extremumPass(src: DataFrame, dim: String, n: Int,
+      aggs: Seq[(String, String, Boolean)]): DataFrame = {
     val other = if (dim == "iz") "ix" else "iz"
     val w = Window.partitionBy("it", other).orderBy(dim)
-    def at(in: String)(k: Int): Column =
-      if (k == 0) col(in) else if (k < 0) lag(col(in), -k).over(w)
-      else lead(col(in), k).over(w)
-    val aug = withReflectGhosts(src, dim, n, 5, 4)
-    val withOuts = ins.zip(outs).zip(fns).foldLeft(aug) {
-      case (acc, ((in, o), fn)) =>
-        acc.withColumn(o, fn((-5 to 4).map(at(in))))
+      .rowsBetween(-5, 4)
+    val withOuts = aggs.foldLeft(withReflectGhosts(src, dim, n, 5, 4)) {
+      case (acc, (in, o, isMax)) =>
+        acc.withColumn(o,
+          (if (isMax) max(col(in)) else min(col(in))).over(w))
     }
     withOuts.filter(col(dim) >= 0 && col(dim) < n)
   }
@@ -174,11 +173,9 @@ object GridOps {
     */
   def extremumFilter(df: DataFrame, value: String, nz: Int, nx: Int,
       isMax: Boolean, out: String): DataFrame = {
-    val fn: Seq[Column] => Column =
-      if (isMax) cs => greatest(cs: _*) else cs => least(cs: _*)
-    val zp = boxPass(df.select("it", "iz", "ix", value), "iz", nz,
-      Seq(value), Seq("tmp_z"), Seq(fn)).select("it", "iz", "ix", "tmp_z")
-    boxPass(zp, "ix", nx, Seq("tmp_z"), Seq(out), Seq(fn))
+    val zp = extremumPass(df.select("it", "iz", "ix", value), "iz", nz,
+      Seq((value, "tmp_z", isMax))).select("it", "iz", "ix", "tmp_z")
+    extremumPass(zp, "ix", nx, Seq(("tmp_z", out, isMax)))
       .select("it", "iz", "ix", out)
   }
 
@@ -188,12 +185,11 @@ object GridOps {
     */
   def minmaxFilter(df: DataFrame, value: String, nz: Int, nx: Int,
       outMax: String, outMin: String): DataFrame = {
-    val zp = boxPass(df.select("it", "iz", "ix", value), "iz", nz,
-      Seq(value, value), Seq("zmax", "zmin"),
-      Seq(cs => greatest(cs: _*), cs => least(cs: _*)))
+    val zp = extremumPass(df.select("it", "iz", "ix", value), "iz", nz,
+      Seq((value, "zmax", true), (value, "zmin", false)))
       .select("it", "iz", "ix", "zmax", "zmin")
-    boxPass(zp, "ix", nx, Seq("zmax", "zmin"), Seq(outMax, outMin),
-      Seq(cs => greatest(cs: _*), cs => least(cs: _*)))
+    extremumPass(zp, "ix", nx,
+      Seq(("zmax", outMax, true), ("zmin", outMin, false)))
       .select("it", "iz", "ix", outMax, outMin)
   }
 

@@ -307,8 +307,12 @@ object Topology {
     def cut(df: DataFrame): DataFrame =
       spark.createDataFrame(df.localCheckpoint(true).rdd, df.schema)
     val k = keys.map(col)
-    val e = cut(edges.select((k :+ col("s") :+ col("t")): _*)
-      .unionAll(edges.select((k :+ col("t").as("s") :+ col("s").as("t")): _*))
+    // Materialize the raw edge list ONCE before symmetrizing: the
+    // unionAll of two selects would otherwise evaluate the (often
+    // expensive — e.g. the LSH pair join) upstream plan twice.
+    val e0 = cut(edges.select((k :+ col("s") :+ col("t")): _*))
+    val e = cut(e0
+      .unionAll(e0.select((k :+ col("t").as("s") :+ col("s").as("t")): _*))
       .distinct())
     var lab = cut(e.select((k :+ col("s").as("node")): _*).distinct()
       .withColumn("comp", col("node")))

@@ -244,14 +244,16 @@ object TopologyQueries {
           .filter(col("fmax") > col("thr")).select("it", "iz", "ix")
         val comp = Topology.connectedComponents(hot, NX)
         val withV = comp.join(g.select("it", "iz", "ix", "b1"), Seq("it", "iz", "ix"))
-        val peak = withV.groupBy("it", "comp").agg(max("b1").as("peak"))
-        withV.join(peak, Seq("it", "comp"))
-          .filter(col("b1") === col("peak"))
-          .groupBy("it", "comp", "peak")
-          .agg(min(col("iz").cast("long") * NX + col("ix")).as("epos"))
-          .select(col("it"), col("comp"), round(col("peak"), 6).as("peak"),
-            (col("epos") / NX).cast("int").as("eiz"),
-            (col("epos") % NX).cast("int").as("eix"))
+        // ONE aggregation: max of (value, -pos) struct orders by value
+        // first, then by highest -pos = lowest row-major position among
+        // exact ties — nd.maximum_position semantics without the
+        // peak-join + filter + re-aggregate round trip (3 shuffles -> 1).
+        withV.groupBy("it", "comp")
+          .agg(max(struct(col("b1"),
+            (-(col("iz").cast("long") * NX + col("ix"))).as("negpos"))).as("m"))
+          .select(col("it"), col("comp"), round(col("m.b1"), 6).as("peak"),
+            ((-col("m.negpos")) / NX).cast("int").as("eiz"),
+            ((-col("m.negpos")) % NX).cast("int").as("eix"))
           .orderBy("it", "comp")
       },
       Some(s"""WITH RECURSIVE $gridCte,
