@@ -63,5 +63,48 @@ object MultimodalQueries {
                CAST(greatest(1, round(m.height * (64.0/greatest(m.width, m.height)))) AS INT) AS thumb_h
              FROM m LEFT JOIN st ON m.media_id = st.media_id
              ORDER BY m.media_id"""))
+  ,
+
+    // ---- q62: video frame sampling — every (n_frames/k)-th frame of
+    // each video, k = min(8, max(1, n_frames/8)), each frame a byte
+    // slice of the encoded payload (frame boundaries are the stub
+    // codec's equal-split; a real demuxer swaps in at the same seam).
+    // explode(sequence) keeps the fan-out distributed and the slicing
+    // is pure column work on the binary — no driver loop, no UDF.
+    Q("q62_frame_sample",
+      (s, d) => {
+        val m = Multimodal.mediaFromDocuments(s, d).toDF()
+          .filter(col("kind") === "video")
+          .withColumn("n_bytes", octet_length(col("bytes")).cast("long"))
+          .withColumn("k", least(lit(8),
+            greatest(lit(1), (col("n_frames") / 8).cast("int"))))
+        m.withColumn("j", explode(sequence(lit(0), col("k") - 1)))
+          .withColumn("frame_idx",
+            (col("j") * (col("n_frames") / col("k")).cast("int")).cast("long"))
+          .withColumn("off",
+            (col("frame_idx") * col("n_bytes") / col("n_frames")).cast("long"))
+          .withColumn("flen",
+            greatest(lit(1L), (col("n_bytes") / col("n_frames")).cast("long")))
+          .withColumn("fb", ascii(
+            expr("decode(substring(bytes, cast(off + 1 as int), 1), 'UTF-8')"))
+            .cast("long"))
+          .select("media_id", "frame_idx", "off", "flen", "fb")
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id, text,
+               CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+               doc_id % 120 + 1 AS n_frames
+               FROM documents WHERE doc_id % 3 = 2),
+             k AS (SELECT *, least(8, greatest(1, n_frames // 8)) AS k FROM m),
+             f AS (SELECT media_id, text, n_bytes, n_frames, k,
+                     unnest(range(0, k)) AS j FROM k)
+             SELECT media_id,
+               CAST(j * (n_frames // k) AS BIGINT) AS frame_idx,
+               CAST((j * (n_frames // k)) * n_bytes // n_frames AS BIGINT) AS off,
+               CAST(greatest(1, n_bytes // n_frames) AS BIGINT) AS flen,
+               CAST(ord(substr(text,
+                 CAST((j * (n_frames // k)) * n_bytes // n_frames AS INT) + 1, 1))
+                 AS BIGINT) AS fb
+             FROM f ORDER BY media_id, frame_idx"""))
   )
 }

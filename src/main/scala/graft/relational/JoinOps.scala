@@ -76,6 +76,31 @@ object JoinOps {
     scattered.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Interval (range) join: each point row pairs with every interval row
+    * whose half-open [lo, hi) contains `pt`. Implemented by BIN
+    * BUCKETING: intervals explode into the fixed-width bins they
+    * overlap, points land in exactly one bin, and the join is a plain
+    * equi-join on the bin plus a residual containment filter. Shuffle
+    * volume is |points| + sum(interval spans / binWidth) — never the
+    * |points| x |intervals| blow-up of an inequality join, and unlike a
+    * broadcast nested-loop it works when BOTH sides are large. Pick
+    * binWidth near the median interval width (intervals spanning many
+    * bins replicate per bin). Column names must not collide.
+    */
+  def intervalJoin(points: DataFrame, pt: String, intervals: DataFrame,
+      lo: String, hi: String, binWidth: Double): DataFrame = {
+    // bins floor(lo/w)..floor(hi/w): the last bin can be a false
+    // positive when hi is exactly on a bin edge — the residual filter
+    // drops it, so no epsilon arithmetic is needed.
+    val binned = intervals.withColumn("__bin",
+      explode(sequence(floor(col(lo) / binWidth).cast("long"),
+        floor(col(hi) / binWidth).cast("long"))))
+    points.withColumn("__bin", floor(col(pt) / binWidth).cast("long"))
+      .join(binned, Seq("__bin"))
+      .filter(col(pt) >= col(lo) && col(pt) < col(hi))
+      .drop("__bin")
+  }
+
   private def ev(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.events(s, d)
 
@@ -131,6 +156,37 @@ object JoinOps {
       Some("""SELECT o_orderpriority, count(*) AS n,
              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-             GROUP BY 1 ORDER BY 1"""))
+             GROUP BY 1 ORDER BY 1""")),
+
+    // ---- q59: interval join — events bucketed into NON-uniform
+    // (exponential) value bands via the bin-bucketing range join; the
+    // oracle is the plain inequality join, so the binning must be
+    // semantically invisible.
+    Q("q59_interval_join",
+      (s, d) => {
+        import s.implicits._
+        val bands = Seq.tabulate(10) { k =>
+          (k.toLong,
+            if (k == 0) 0.0 else math.pow(2.0, (k - 1).toDouble),
+            math.pow(2.0, k.toDouble))
+        }.toDF("band_id", "lo", "hi")
+        intervalJoin(ev(s, d).select("event_id", "value"), "value",
+            bands, "lo", "hi", binWidth = 16.0)
+          .groupBy("band_id")
+          .agg(count(lit(1)).as("n"),
+            round(sum("value"), 2).as("sum_value"),
+            round(avg("value"), 4).as("avg_value"))
+          .orderBy("band_id")
+      },
+      Some(s"""WITH ${Tables.evCte},
+              bands(band_id, lo, hi) AS (VALUES ${Seq.tabulate(10) { k =>
+                val lo = if (k == 0) 0.0 else math.pow(2.0, (k - 1).toDouble)
+                s"(CAST($k AS BIGINT), $lo, ${math.pow(2.0, k.toDouble)})"
+              }.mkString(", ")})
+              SELECT band_id, count(*) AS n,
+                     round(sum(value), 2) AS sum_value,
+                     round(avg(value), 4) AS avg_value
+              FROM ev JOIN bands ON value >= lo AND value < hi
+              GROUP BY 1 ORDER BY 1"""))
   )
 }

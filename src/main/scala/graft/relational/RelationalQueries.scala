@@ -500,6 +500,77 @@ object RelationalQueries {
           approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
           approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
           approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps")),
-      None)
+      None),
+
+    // ---- q56: pivot (long -> wide). Spark's relational pivot with an
+    // EXPLICIT value list — never the implicit-distinct scan, which
+    // adds a full extra pass and an unbounded column count at scale.
+    Q("q56_pivot",
+      (s, d) => {
+        val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+          "4-NOT SPECIFIED", "5-LOW")
+        ord(s, d)
+          .groupBy("o_orderstatus")
+          .pivot("o_orderpriority", prios)
+          .agg(count(lit(1)))
+          .select(col("o_orderstatus") +:
+            prios.map(v => coalesce(col(s"`$v`"), lit(0L)).as(v)): _*)
+          .orderBy("o_orderstatus")
+      },
+      Some {
+        val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+          "4-NOT SPECIFIED", "5-LOW")
+        val cols = prios.map(p =>
+          s"""CAST(sum(CASE WHEN o_orderpriority = '$p' THEN 1 ELSE 0 END) AS BIGINT) AS "$p"""")
+          .mkString(",\n               ")
+        s"""SELECT o_orderstatus,
+               $cols
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+      }),
+
+    // ---- q57: distribution windows — ntile / percent_rank / cume_dist
+    // over account balance per market segment. Fully deterministic
+    // ordering (custkey tie-break) so ranks agree across engines.
+    Q("q57_distribution_windows",
+      (s, d) => {
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        cust(s, d).select(col("c_custkey"), col("c_mktsegment"),
+            col("c_acctbal"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd"))
+          .orderBy(col("c_mktsegment"), col("c_acctbal").desc, col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_mktsegment, c_acctbal,
+             ntile(4) OVER w AS quartile,
+             round(percent_rank() OVER w, 6) AS pr,
+             round(cume_dist() OVER w, 6) AS cd
+             FROM customer
+             WINDOW w AS (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal DESC, c_custkey)
+             ORDER BY c_mktsegment, c_acctbal DESC, c_custkey""")),
+
+    // ---- q58: GROUPING SETS with grouping_id — the general form that
+    // rollup (q14) and cube (q43) specialize. Identical SQL text runs on
+    // both engines; ALL placeholders keep NULLs out of the sort keys.
+    Q("q58_grouping_sets",
+      (s, d) => {
+        ord(s, d).createOrReplaceTempView("orders")
+        s.sql(groupingSetsSql)
+      },
+      Some(groupingSetsSql))
   )
+
+  /** Shared verbatim by the Spark SQL API and the DuckDB oracle. */
+  private val groupingSetsSql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS prio,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+       count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                               (o_orderstatus), (o_orderpriority), ())
+       ORDER BY gid, status, prio"""
 }

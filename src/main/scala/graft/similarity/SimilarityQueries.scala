@@ -124,6 +124,44 @@ object SimilarityQueries {
       },
       Some(cosineTopkOracle)),
 
+    // ---- q61: symmetric int8 scalar quantization of the embedding
+    // column — the standard storage/bandwidth reducer for ANN at scale
+    // (4x smaller vectors, SIMD-friendly int dot products). Per-vector
+    // scale = max|v|/127; q_i = floor(v_i/scale + 0.5) — an explicit
+    // floor(+0.5) so both engines share one rounding rule bit-for-bit.
+    // Output: the scale and the L2 reconstruction error per vector.
+    Q("q61_embedding_quantize",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        def dbl(c: org.apache.spark.sql.Column) =
+          transform(c, x => x.cast("double"))
+        emb.select(col("vec_id"), dbl(col("embedding")).as("v"))
+          .withColumn("scale",
+            aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0)
+          .withColumn("err2",
+            when(col("scale") === 0.0, 0.0).otherwise(
+              aggregate(col("v"), lit(0.0), (a, x) => {
+                val r = x - floor(x / col("scale") + 0.5) * col("scale")
+                a + r * r
+              })))
+          .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+            round(sqrt(col("err2")), 6).as("l2_err"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH flat AS (SELECT vec_id, CAST(v AS DOUBLE) AS v, i FROM (
+               SELECT vec_id, unnest(embedding) AS v,
+                      generate_subscripts(embedding, 1) AS i FROM embeddings) x),
+             sc AS (SELECT vec_id, max(abs(v)) / 127.0 AS scale
+                    FROM flat GROUP BY vec_id),
+             er AS (SELECT f.vec_id,
+                      sum(CASE WHEN scale = 0 THEN 0 ELSE
+                        (v - floor(v/scale + 0.5)*scale)
+                        * (v - floor(v/scale + 0.5)*scale) END) AS err2
+                    FROM flat f JOIN sc USING (vec_id) GROUP BY f.vec_id)
+             SELECT vec_id, round(scale, 6) AS scale,
+                    round(sqrt(err2), 6) AS l2_err
+             FROM sc JOIN er USING (vec_id) ORDER BY vec_id""")),
+
     // ---- q46: IVF approximate NN — k-means coarse quantizer (spark.ml),
     // probe the nearest nprobe=2 centroids, exact cosine only within
     // those inverted lists. The 100 TB shape: cluster assignment is one

@@ -174,7 +174,66 @@ object TextQueries {
                    least(len(string_split(text, ' ')), $RollN) AS m
                  FROM documents) t
            ORDER BY doc_id"""
-      })
+      }),
+
+    // ---- q55: TF-IDF, top-3 terms per document. Three shuffles total
+    // (doc-term counts, document frequencies, per-doc top-k window) —
+    // the corpus-wide df table is the only data that crosses documents,
+    // so the shape holds at 100 TB where the doc-term explode dominates.
+    // Ranking uses the ROUNDED score (6 dp) so cross-engine float ulps
+    // cannot flip ranks; token asc breaks exact ties.
+    Q("q55_tfidf",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("token"))
+        val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        val nDocs = docs.select(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("token"))
+        tf.join(dfreq, Seq("token"))
+          .crossJoin(broadcast(nDocs))
+          .withColumn("score",
+            round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select("doc_id", "rk", "token", "score")
+          .orderBy("doc_id", "rk")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                     FROM documents),
+             tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+             df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+             n AS (SELECT count(*) AS n_docs FROM documents),
+             sc AS (SELECT doc_id, token,
+                      round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
+                    FROM tf JOIN df USING (token) CROSS JOIN n),
+             rk AS (SELECT doc_id, token, score,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, token) AS rk
+                    FROM sc)
+             SELECT doc_id, rk, token, score FROM rk
+             WHERE rk <= 3 ORDER BY doc_id, rk""")),
+
+    // ---- q60: text normalization — lowercase, strip non-alphanumerics,
+    // collapse runs of spaces, trim. Pure per-row column work (no
+    // shuffle); fingerprint + length make the result oracle-hashable.
+    Q("q60_text_normalize",
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("norm", trim(regexp_replace(
+            regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+          .select(col("doc_id"), md5(col("norm")).as("nfp"),
+            length(col("norm")).cast("long").as("n_norm"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS nfp,
+             CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS n_norm
+             FROM documents ORDER BY doc_id"""))
   )
 
   /** Rolling-hash parameters: base, prefix length, and the precomputed

@@ -75,6 +75,29 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q61 quantization error is within the rounding bound per vector") {
+    // symmetric int8 with q = floor(v/scale + 0.5): per-dim error is at
+    // most scale/2, so the L2 error is bounded by sqrt(64) * scale / 2.
+    QueryRegistry.queries("q61_embedding_quantize")(spark, sf).collect()
+      .foreach { r =>
+        val scale = r.getAs[Double]("scale")
+        val err = r.getAs[Double]("l2_err")
+        assert(err <= math.sqrt(64.0) * scale / 2 + 1e-9,
+          s"vec ${r.get(0)}: err $err exceeds bound for scale $scale")
+      }
+  }
+
+  test("q55 tfidf ranks are dense 1..3 per doc with descending scores") {
+    val byDoc = QueryRegistry.queries("q55_tfidf")(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    byDoc.foreach { case (doc, rows) =>
+      val byRank = rows.sortBy(_.getLong(1))
+      assert(byRank.map(_.getLong(1)).toSeq == (1L to byRank.length).toSeq)
+      val scores = byRank.map(_.getAs[Double]("score")).toSeq
+      assert(scores == scores.sorted.reverse, s"doc $doc not descending")
+    }
+  }
+
   test("q19 distinct flags: exactly the 6 known (rf, ls) pairs") {
     val rows = QueryRegistry.queries("q19_distinct_flags")(spark, sf).collect()
     assert(rows.length == 6)

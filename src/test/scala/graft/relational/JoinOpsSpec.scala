@@ -38,6 +38,26 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(a == b, s"asof mismatch: ${a.diff(b).take(3)} vs ${b.diff(a).take(3)}")
   }
 
+  test("intervalJoin equals the naive inequality join, incl. bin-edge cases") {
+    import spark.implicits._
+    // intervals deliberately hit bin edges (hi = multiples of the bin
+    // width), overlap each other, and leave gaps; points sit on lo, on
+    // hi, inside, in gaps, and far outside.
+    val intervals = Seq((0L, 0.0, 4.0), (1L, 2.0, 8.0), (2L, 8.0, 8.5),
+      (3L, 20.0, 32.0)).toDF("iv", "lo", "hi")
+    val points = Seq(0.0, 1.9, 2.0, 4.0, 7.999, 8.0, 8.5, 15.0, 20.0,
+      31.999, 32.0, 100.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("pid", "pt")
+    val fast = JoinOps.intervalJoin(points, "pt", intervals, "lo", "hi", 4.0)
+      .select("pid", "iv").collect().map(_.toSeq).toSet
+    val naive = points.join(intervals,
+        col("pt") >= col("lo") && col("pt") < col("hi"))
+      .select("pid", "iv").collect().map(_.toSeq).toSet
+    assert(fast == naive, s"diff: ${fast.diff(naive)} / ${naive.diff(fast)}")
+    // a point inside two overlapping intervals matched both
+    assert(naive.count(_.head == 2L) == 2)
+  }
+
   test("saltedJoin is semantically identical to the plain equi-join") {
     val li = Tables.lineitem(spark, sf)
       .select(col("l_orderkey").as("okey"), col("l_extendedprice"))
