@@ -559,7 +559,25 @@ object RelationalQueries {
         ord(s, d).createOrReplaceTempView("orders")
         s.sql(groupingSetsSql)
       },
-      Some(groupingSetsSql))
+      Some(groupingSetsSql)),
+
+    // ---- q63: custom typed Aggregator (UDAF tier) — quantity-weighted
+    // mean price per return flag. The oracle is the BUILT-IN spelling
+    // sum(x*w)/sum(w), so the custom buffer must be semantically
+    // invisible (and at scale it behaves identically: map-side partial
+    // buffers, one merge per group per exchange).
+    Q("q63_weighted_avg_udaf",
+      (s, d) => {
+        graft.functions.Aggregators.register(s)
+        li(s, d).groupBy("l_returnflag")
+          .agg(expr("round(weighted_avg(l_extendedprice, l_quantity), 4)")
+            .as("w_avg_price"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+               AS w_avg_price
+             FROM lineitem GROUP BY 1 ORDER BY 1"""))
   )
 
   /** Shared verbatim by the Spark SQL API and the DuckDB oracle. */

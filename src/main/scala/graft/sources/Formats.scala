@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
 /** Generic table export/load across the formats a pipeline actually
-  * meets (parquet, csv, json). The reference declares but never
+  * meets (parquet, orc, csv, json). The reference declares but never
   * implements file round-trips (dataset.py:66-70 `_init_file`,
   * dataset.py:183-193 `export` — both stubs); SimDataset defines the
   * parquet+sidecar dataset format, and this module supplies the
@@ -12,7 +12,7 @@ import org.apache.spark.sql.types.StructType
   * at 100 TB, schema inference means reading the data twice.
   */
 object Formats {
-  val Supported: Set[String] = Set("parquet", "csv", "json")
+  val Supported: Set[String] = Set("parquet", "orc", "csv", "json")
 
   def export(df: DataFrame, path: String, format: String): Unit = {
     require(Supported(format), s"unsupported format $format")

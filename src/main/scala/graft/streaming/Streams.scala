@@ -64,6 +64,15 @@ object Streams {
     events.withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static join: enrich a live event stream with a static
+    * dimension snapshot (the static side is re-read per micro-batch by
+    * the engine — a broadcast-size dim is the scalable shape; big dims
+    * belong behind a stream-stream join with watermarks instead).
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Custom state: running per-user count/total via
     * flatMapGroupsWithState (reference has no streaming; this is the
     * §2B custom-state surface).

@@ -20,6 +20,7 @@ class FormatsSpec extends AnyFunSuite {
   }
 
   test("parquet export/load round-trips exactly")(roundTrip("parquet"))
+  test("orc export/load round-trips exactly")(roundTrip("orc"))
   test("csv export/load round-trips exactly with explicit schema")(roundTrip("csv"))
   test("json export/load round-trips exactly with explicit schema")(roundTrip("json"))
 }

@@ -47,6 +47,28 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static join enriches each micro-batch from the dim table") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dim = Seq(("click", "engagement"), ("purchase", "revenue"))
+      .toDF("event_type", "category")
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val df = mem.toDF.toDF("event_id", "ts", "event_type", "value")
+    val q = Streams.enrichWithDim(df, dim, "event_type")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enrich_out").start()
+    try {
+      mem.addData((1L, ts(1), "click", 1.0), (2L, ts(2), "purchase", 2.0),
+        (3L, ts(3), "error", 4.0))
+      q.processAllAvailable()
+      val out = spark.table("enrich_out")
+        .select("event_id", "category").as[(Long, Option[String])]
+        .collect().toSet
+      assert(out == Set((1L, Some("engagement")), (2L, Some("revenue")),
+        (3L, None)), s"got $out")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
