@@ -345,8 +345,11 @@ object Topology {
       rdd.localCheckpoint()
       val next = org.apache.spark.sql.graftbridge.Bridge.internalCreateDataFrame(
         spark, rdd, withCh.schema)
+      val t0 = System.nanoTime()
       next.count() // materialize; fills the accumulator
       changed = acc.value
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(f"[graphcc] iter=$iter changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2f s")
       lab = next.drop("ch")
       iter += 1
     }

@@ -76,6 +76,30 @@ object JoinOps {
     scattered.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Skew-aware refinement of [[saltedJoin]]: only keys whose big-side
+    * frequency exceeds `hotThreshold` are salted; the (vast) cold
+    * remainder takes the plain equi-join path with zero replication.
+    * This is the production shape at 100 TB — uniform salting inflates
+    * the small side `salt`-fold for ALL keys to fix a handful of heavy
+    * hitters. The hot-key census is one cheap count on the big side
+    * (broadcast back); result is identical to `big.join(small, key)`.
+    */
+  def saltedJoinHotKeys(big: DataFrame, small: DataFrame, key: String,
+      salt: Int, hotThreshold: Long): DataFrame = {
+    val hot = big.groupBy(key).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > hotThreshold).select(key)
+      .withColumn("__hot", lit(true))
+    val b = big.join(broadcast(hot), Seq(key), "left")
+    val s = small.join(broadcast(hot), Seq(key), "left")
+    val coldPart = b.filter(col("__hot").isNull).drop("__hot")
+      .join(s.filter(col("__hot").isNull).drop("__hot"), Seq(key))
+    val hotPart = saltedJoin(
+      b.filter(col("__hot").isNotNull).drop("__hot"),
+      s.filter(col("__hot").isNotNull).drop("__hot"), key, salt)
+    // unionByName: the salted path reorders columns
+    coldPart.unionByName(hotPart)
+  }
+
   /** Interval (range) join: each point row pairs with every interval row
     * whose half-open [lo, hi) contains `pt`. Implemented by BIN
     * BUCKETING: intervals explode into the fixed-width bins they

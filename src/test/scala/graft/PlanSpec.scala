@@ -65,6 +65,14 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles <= 2, s"as-of join shuffles $shuffles times:\n${p.take(1200)}")
   }
 
+  test("q59 interval join plans as an equi-join, never a nested loop") {
+    val p = plan("q59_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join fell back to a nested loop:\n${p.take(2000)}")
+    assert(p.contains("Join") || p.contains("BroadcastHashJoin"),
+      "expected a hash-joinable bin key")
+  }
+
   test("q45 native dot_product stays inside whole-stage codegen, no shuffle") {
     val p = plan("q45_cosine_topk_native")
     assert(!p.contains("Exchange hashpartitioning"),

@@ -70,6 +70,20 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("saltedJoinHotKeys equals the plain join with skewed duplicates") {
+    import spark.implicits._
+    // key 1 is hot (60 dup rows), keys 2..9 are cold; key 99 unmatched
+    val big = ((1 to 60).map(i => (1L, s"b$i")) ++
+      (2L to 9L).map(k => (k, s"c$k")) :+ ((99L, "x"))).toDF("k", "bv")
+    val small = (1L to 9L).map(k => (k, k * 10)).toDF("k", "sv")
+    val fast = JoinOps.saltedJoinHotKeys(big, small, "k", salt = 4,
+        hotThreshold = 10)
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val plain = big.join(small, "k")
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(fast == plain)
+  }
+
   test("asofBackward leaves left rows with no match (null payload)") {
     import spark.implicits._
     val left = Seq((1L, 10L, "a"), (1L, 5L, "b"), (2L, 7L, "c"))
