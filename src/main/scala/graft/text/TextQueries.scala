@@ -217,6 +217,82 @@ object TextQueries {
              SELECT doc_id, rk, token, score FROM rk
              WHERE rk <= 3 ORDER BY doc_id, rk""")),
 
+    // ---- q64: character 4-gram Jaccard of every doc vs doc 0 — the
+    // CHARACTER-shingle tier of the similarity ladder (token Jaccard =
+    // q29, token 3-shingles = q51). Robust to tokenization differences;
+    // the gram explode is one narrow pass, the intersection a hash join
+    // on the (small) distinct-gram set of the probe doc.
+    Q("q64_chargram_jaccard",
+      (s, d) => {
+        val grams = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(expr("transform(sequence(1, greatest(1, length(text) - 3)), " +
+              "i -> substring(text, i, 4))")).as("gram"))
+          .distinct()
+        val g0 = grams.filter(col("doc_id") === 0)
+          .select(col("gram").as("gram0"))
+        val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = grams.join(broadcast(g0), col("gram") === col("gram0"))
+          .groupBy("doc_id").agg(count(lit(1)).as("ni"))
+        val n0 = sizes.filter(col("doc_id") === 0).select(col("n").as("n0"))
+        sizes.join(inter, Seq("doc_id"), "left")
+          .crossJoin(broadcast(n0))
+          .select(col("doc_id"),
+            round(coalesce(col("ni"), lit(0L)).cast("double")
+              / (col("n") + col("n0") - coalesce(col("ni"), lit(0L))), 6)
+              .as("jaccard4"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH g AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 4) AS gram
+                FROM (SELECT doc_id, text,
+                        unnest(generate_series(1, greatest(1, length(text) - 3))) AS i
+                      FROM documents) u),
+             sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+             g0 AS (SELECT gram FROM g WHERE doc_id = 0),
+             i AS (SELECT doc_id, count(*) AS ni FROM g JOIN g0 USING (gram)
+                   GROUP BY 1),
+             n0 AS (SELECT n AS n0 FROM sizes WHERE doc_id = 0)
+             SELECT sizes.doc_id,
+               round(CAST(coalesce(ni, 0) AS DOUBLE)
+                     / (n + n0 - coalesce(ni, 0)), 6) AS jaccard4
+             FROM sizes LEFT JOIN i USING (doc_id) CROSS JOIN n0
+             ORDER BY doc_id""")),
+
+    // ---- q65: language-ID via a character-BIGRAM profile (the n-gram
+    // heuristic tier; q25 is the stopword tier). Occurrence counts come
+    // from length deltas under replace() — identical, shuffle-free
+    // per-row arithmetic in both engines; overlapping occurrences are
+    // counted the same way (replace consumes non-overlapping matches
+    // left to right).
+    Q("q65_langid_ngrams",
+      (s, d) => {
+        val en = Seq("th", "he", "an", "in", "er")
+        val hits = en.map { g =>
+          ((length(col("text"))
+            - length(expr(s"replace(text, '$g', '')"))) / 2).cast("long")
+        }.reduce(_ + _)
+        Tables.documents(s, d)
+          .withColumn("n_hits", hits)
+          .withColumn("rate_raw",
+            col("n_hits").cast("double") * 1000 / length(col("text")))
+          .select(col("doc_id"), col("n_hits"),
+            round(col("rate_raw"), 6).as("hits_per_kchar"),
+            when(col("rate_raw") >= 20.0, lit("en")).otherwise(lit("other"))
+              .as("lang_guess"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val terms = Seq("th", "he", "an", "in", "er")
+          .map(g => s"(length(text) - length(replace(text, '$g', ''))) // 2")
+          .mkString(" + ")
+        s"""SELECT doc_id, CAST($terms AS BIGINT) AS n_hits,
+            round(CAST($terms AS DOUBLE) * 1000 / length(text), 6)
+              AS hits_per_kchar,
+            CASE WHEN CAST($terms AS DOUBLE) * 1000 / length(text) >= 20.0
+                 THEN 'en' ELSE 'other' END AS lang_guess
+            FROM documents ORDER BY doc_id"""
+      }),
+
     // ---- q60: text normalization — lowercase, strip non-alphanumerics,
     // collapse runs of spaces, trim. Pure per-row column work (no
     // shuffle); fingerprint + length make the result oracle-hashable.

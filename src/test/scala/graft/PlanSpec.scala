@@ -73,6 +73,17 @@ class PlanSpec extends AnyFunSuite {
       "expected a hash-joinable bin key")
   }
 
+  test("no declared query plans a CartesianProduct") {
+    // BroadcastNestedLoopJoin over a single-row build side (count
+    // scalars, probe vectors) is fine; an unpruned cartesian is never
+    // fine at 100 TB. Planning only — no execution.
+    QueryRegistry.all.foreach { q =>
+      val p = q.fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"${q.name} plans a cartesian product:\n${p.take(1500)}")
+    }
+  }
+
   test("q45 native dot_product stays inside whole-stage codegen, no shuffle") {
     val p = plan("q45_cosine_topk_native")
     assert(!p.contains("Exchange hashpartitioning"),
