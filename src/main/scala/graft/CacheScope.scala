@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bounded lifecycle for intra-query persist(): operators that reuse an
+  * intermediate several times within one query register it here instead
+  * of calling a bare `persist()` (which pins cache for the session — an
+  * unbounded leak over thousands of queries). Harness loops call
+  * [[flush]] between queries; unpersist is always safe (Spark
+  * recomputes from lineage if a consumer still holds the plan).
+  *
+  * Deliberately NOT localCheckpoint: checkpoint materialization is an
+  * extra eager job + serialization pass, measured 2-3x slower than
+  * persist reuse on the MinHash signature path.
+  */
+object CacheScope {
+  private val retained =
+    scala.collection.concurrent.TrieMap
+      .empty[SparkSession, List[DataFrame]]
+
+  /** Persist `df` (MEMORY_AND_DISK) and register it for the next flush. */
+  def retain(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    df.persist()
+    retained.updateWith(s) {
+      case Some(l) => Some(df :: l)
+      case None => Some(df :: Nil)
+    }
+    df
+  }
+
+  /** Unpersist everything retained for `s` since the last flush. */
+  def flush(s: SparkSession): Unit =
+    retained.remove(s).foreach(_.foreach(_.unpersist(blocking = false)))
+}

@@ -129,7 +129,10 @@ object DedupQueries {
     pairsFromSignatures(minhashSignaturesOf(docs))
 
   private def pairsFromSignatures(signatures: DataFrame): DataFrame = {
-    val sig = signatures.persist()
+    // scoped persist: it feeds the band buckets AND both sides of the
+    // pair join; CacheScope bounds the lifetime (harness flushes between
+    // queries) without localCheckpoint's extra materialization job.
+    val sig = graft.CacheScope.retain(signatures)
     val cand = candidatesFrom(sig)
     val a = sig.as("a"); val b = sig.as("b")
     val agree = (0 until NumHashes)

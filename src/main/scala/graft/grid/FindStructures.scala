@@ -54,23 +54,25 @@ object FindStructures {
 
     // Gaussian smoothing (sigma_t = 0: the reference default never
     // smooths time, vpicdataset.py:351-361)
-    val smoothed = GridOps.gaussianSmooth(joined, "b1v", smoothing, nz, nx, "b1_smooth")
-      .join(GridOps.gaussianSmooth(joined, "b2v", smoothing, nz, nx, "b2_smooth"),
-        Seq("it", "iz", "ix"))
-      .persist()
+    // scoped persists throughout: each stage feeds several consumers;
+    // CacheScope bounds the block lifetime to the harness query scope.
+    val smoothed = graft.CacheScope.retain(
+      GridOps.gaussianSmooth(joined, "b1v", smoothing, nz, nx, "b1_smooth")
+        .join(GridOps.gaussianSmooth(joined, "b2v", smoothing, nz, nx, "b2_smooth"),
+          Seq("it", "iz", "ix")))
 
     // flux function from the SMOOTHED fields (vpicdataset.py:372)
-    val flux = GridOps.fluxfn(smoothed, "b1_smooth", "b2_smooth", dz, dx)
-      .withColumnRenamed("psi", "flux_fn").persist()
+    val flux = graft.CacheScope.retain(
+      GridOps.fluxfn(smoothed, "b1_smooth", "b2_smooth", dz, dx)
+        .withColumnRenamed("psi", "flux_fn"))
 
     // gradients + Hessian determinant (index-agnostic physical spacing)
     val g1 = GridOps.gradient(flux, "b1_smooth", "iz", dz, "db1_d1")
     val g2 = GridOps.gradient(g1, "b1_smooth", "ix", dx, "db1_d2")
     val g3 = GridOps.gradient(g2, "b2_smooth", "iz", dz, "db2_d1")
     val g4 = GridOps.gradient(g3, "b2_smooth", "ix", dx, "db2_d2")
-    val hess = g4.withColumn("fluxfn_hessian_det",
-      col("db1_d2") * (-col("db2_d1")) - (-col("db2_d2")) * col("db1_d1"))
-      .persist()
+    val hess = graft.CacheScope.retain(g4.withColumn("fluxfn_hessian_det",
+      col("db1_d2") * (-col("db2_d1")) - (-col("db2_d2")) * col("db1_d1")))
 
     // zero contours -> nulls (all time steps at once)
     val nulls = Topology.segmentIntersections(

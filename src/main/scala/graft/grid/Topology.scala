@@ -489,16 +489,14 @@ object Topology {
   def currentSheets(grid: DataFrame, field: String, nz: Int, nx: Int,
       csLimit: Double): DataFrame = {
     val mm = GridOps.minmaxFilter(grid, field, nz, nx, "fmax", "fmin")
-    // eagerly localCheckpoint-ed: the filtered fields feed the threshold
-    // aggregate, the probe join, and both sheet branches (4 consumers).
-    // A Window.partitionBy("it") with no frame would avoid the reuse but
+    // scoped persist: the filtered fields feed the threshold aggregate,
+    // the probe join, and both sheet branches (4 consumers). A
+    // Window.partitionBy("it") with no frame would avoid the reuse but
     // forces every cell of a time step through ONE task — a non-starter
     // at the 100 TB design point where a single `it` plane is billions
     // of cells; groupBy partial-aggregates map-side and broadcasts a
-    // per-it row back. localCheckpoint (not persist) so the
-    // ContextCleaner frees the blocks once the result is unreferenced —
-    // a bare persist here would pin grid-scale cache forever.
-    val g = grid.join(mm, Seq("it", "iz", "ix")).localCheckpoint()
+    // per-it row back. CacheScope bounds the block lifetime.
+    val g = graft.CacheScope.retain(grid.join(mm, Seq("it", "iz", "ix")))
     val thr = g.groupBy("it").agg(
       (avg("fmax") + lit(3) * stddev_pop("fmax")).as("max_thr"),
       (avg("fmin") - lit(3) * stddev_pop("fmin")).as("min_thr"))
@@ -578,7 +576,8 @@ object Topology {
     val xdf = xPoints.zipWithIndex
       .map { case ((py, px), i) => (i, it0, py, px) }
       .toDF("xid", "it", "py", "px")
-    val levels = bilinearSample(g0, psiField, xdf, "level").persist()
+    val levels = graft.CacheScope.retain(
+      bilinearSample(g0, psiField, xdf, "level"))
 
     val segs = contourSegmentsAt(g0, psiField,
       levels.select(col("xid"), col("level")))
@@ -615,8 +614,8 @@ object Topology {
     val full = g0.select("it", "iz", "ix").crossJoin(broadcast(xids))
       .join(localMask, Seq("xid", "it", "iz", "ix"), "left")
       .withColumn("m", coalesce(col("m"), lit(0)))
-    val filled = GridOps.gapFill(full, "m", nz, nx, "filled",
-      keys = Seq("xid", "it")).persist()
+    val filled = graft.CacheScope.retain(GridOps.gapFill(full, "m", nz, nx,
+      "filled", keys = Seq("xid", "it")))
 
     val seps = filled.groupBy("it", "iz", "ix").agg(max("filled").as("sep"))
     // O-structures: zero regions per xid that touch no border

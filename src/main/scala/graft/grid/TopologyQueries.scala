@@ -229,15 +229,13 @@ object TopologyQueries {
     Q("g14_region_extrema",
       (s, d) => {
         val g = grid(s, d)
-        // eagerly localCheckpoint-ed: feeds the threshold aggregate AND
-        // the probe join. An unframed Window.partitionBy("it") would
-        // avoid the reuse but forces a whole time step through one task
-        // — at the 100 TB design point an `it` plane is billions of
-        // cells. localCheckpoint (not persist): blocks are freed by the
-        // ContextCleaner once unreferenced instead of pinning
-        // grid-scale cache per call.
-        val mx = GridOps.extremumFilter(g, "b1", NZ, NX, isMax = true, "fmax")
-          .localCheckpoint()
+        // scoped persist: feeds the threshold aggregate AND the probe
+        // join. An unframed Window.partitionBy("it") would avoid the
+        // reuse but forces a whole time step through one task — at the
+        // 100 TB design point an `it` plane is billions of cells.
+        // CacheScope bounds the block lifetime to the query scope.
+        val mx = graft.CacheScope.retain(
+          GridOps.extremumFilter(g, "b1", NZ, NX, isMax = true, "fmax"))
         val thr = mx.groupBy("it")
           .agg((avg("fmax") + lit(1) * stddev_pop("fmax")).as("thr"))
         val hot = mx.join(broadcast(thr), Seq("it"))
