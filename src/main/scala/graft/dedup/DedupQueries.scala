@@ -18,6 +18,15 @@ object DedupQueries {
   private def tokenSets(s: SparkSession, d: String): DataFrame =
     tokenSetsOf(Tables.documents(s, d))
 
+  /** (doc_id, token) stream WITHOUT the distinct shuffle — correct
+    * wherever the consumer is duplicate-tolerant (MinHash: min over a
+    * multiset equals min over its set). Saves a full shuffle of every
+    * token at signature-build time; set-cardinality consumers (exact
+    * Jaccard) must use [[tokenSetsOf]] instead.
+    */
+  private def tokenStreamOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+
   /** 60-bit token hash with an exact cross-engine twin — see
     * [[graft.functions.Hashing]].
     */
@@ -72,16 +81,15 @@ object DedupQueries {
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(expr(
         s"""CASE WHEN size(toks) >= $w
-           THEN transform(sequence(0, size(toks) - $w),
-                          i -> concat_ws(' ', slice(toks, i + 1, $w)))
+           THEN array_distinct(transform(sequence(0, size(toks) - $w),
+                          i -> concat_ws(' ', slice(toks, i + 1, $w))))
            ELSE array() END""")).as("token"))
-      .distinct()
 
   def minhashSignatures(s: SparkSession, d: String): DataFrame =
     minhashSignaturesOf(Tables.documents(s, d))
 
   def minhashSignaturesOf(docs: DataFrame): DataFrame =
-    signaturesFromTokens(tokenSetsOf(docs))
+    signaturesFromTokens(tokenStreamOf(docs))
 
   /** MinHash signatures from any (doc_id, token) set — tokens or
     * shingles.
@@ -128,7 +136,13 @@ object DedupQueries {
   def minhashPairsOf(docs: DataFrame): DataFrame =
     pairsFromSignatures(minhashSignaturesOf(docs))
 
-  private def pairsFromSignatures(signatures: DataFrame): DataFrame = {
+  private def pairsFromSignatures(signatures: DataFrame): DataFrame =
+    pairsFromSignaturesUnsorted(signatures).orderBy("doc_a", "doc_b")
+
+  /** Same pair list without the final global sort — the clustering
+    * consumer feeds a CC solver for which order is irrelevant.
+    */
+  private def pairsFromSignaturesUnsorted(signatures: DataFrame): DataFrame = {
     // scoped persist: it feeds the band buckets AND both sides of the
     // pair join; CacheScope bounds the lifetime (harness flushes between
     // queries) without localCheckpoint's extra materialization job.
@@ -143,7 +157,6 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"),
         round(agree.cast("double") / NumHashes, 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
-      .orderBy("doc_a", "doc_b")
   }
 
   def defs: Seq[Q] = Seq(
@@ -370,8 +383,8 @@ object DedupQueries {
       Tables.documents(s, d).filter(col("doc_id") < ClusterDocLimit))
 
   def dedupClustersOf(docs: DataFrame): DataFrame = {
-    val edges = minhashPairsOf(docs).select(col("doc_a").as("s"),
-      col("doc_b").as("t"))
+    val edges = pairsFromSignaturesUnsorted(minhashSignaturesOf(docs))
+      .select(col("doc_a").as("s"), col("doc_b").as("t"))
     val comp = graft.grid.Topology.graphComponents(edges)
     docs.select("doc_id")
       .join(comp, col("doc_id") === col("node"), "left")

@@ -309,11 +309,15 @@ object Topology {
     val k = keys.map(col)
     // Materialize the raw edge list ONCE before symmetrizing: the
     // unionAll of two selects would otherwise evaluate the (often
-    // expensive — e.g. the LSH pair join) upstream plan twice.
+    // expensive — e.g. the LSH pair join) upstream plan twice. The
+    // symmetrized union stays a narrow plan over the checkpointed rows
+    // and is NOT deduplicated: min-aggregation of messages is
+    // duplicate-tolerant, so a distinct() here would buy nothing and
+    // cost a full shuffle of the edge list.
     val e0 = cut(edges.select((k :+ col("s") :+ col("t")): _*))
-    val e = cut(e0
+    val e = e0
       .unionAll(e0.select((k :+ col("t").as("s") :+ col("s").as("t")): _*))
-      .distinct())
+    // node set: s-side of the symmetrized list covers every endpoint
     var lab = cut(e.select((k :+ col("s").as("node")): _*).distinct()
       .withColumn("comp", col("node")))
     var changed = 1L

@@ -224,15 +224,18 @@ object TextQueries {
     // on the (small) distinct-gram set of the probe doc.
     Q("q64_chargram_jaccard",
       (s, d) => {
-        val grams = Tables.documents(s, d)
+        // per-row array_distinct builds each doc's gram SET without a
+        // corpus-wide distinct shuffle; set sizes fall out as size()
+        // with no aggregation at all.
+        val base = Tables.documents(s, d)
           .select(col("doc_id"),
-            explode(expr("transform(sequence(1, greatest(1, length(text) - 3)), " +
-              "i -> substring(text, i, 4))")).as("gram"))
-          .distinct()
-        val g0 = grams.filter(col("doc_id") === 0)
-          .select(col("gram").as("gram0"))
-        val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val inter = grams.join(broadcast(g0), col("gram") === col("gram0"))
+            expr("array_distinct(transform(sequence(1, greatest(1, length(text) - 3)), " +
+              "i -> substring(text, i, 4)))").as("grams"))
+        val g0 = base.filter(col("doc_id") === 0)
+          .select(explode(col("grams")).as("gram0"))
+        val sizes = base.select(col("doc_id"), size(col("grams")).cast("long").as("n"))
+        val inter = base.select(col("doc_id"), explode(col("grams")).as("gram"))
+          .join(broadcast(g0), col("gram") === col("gram0"))
           .groupBy("doc_id").agg(count(lit(1)).as("ni"))
         val n0 = sizes.filter(col("doc_id") === 0).select(col("n").as("n0"))
         sizes.join(inter, Seq("doc_id"), "left")
