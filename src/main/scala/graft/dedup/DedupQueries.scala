@@ -227,6 +227,25 @@ object DedupQueries {
     Q("q50_dedup_clusters", (s, d) => dedupClusters(s, d),
       Some(clustersOracleSql)),
 
+    // ---- exact set-similarity join with prefix filtering (PPJoin
+    // family): the oracle is the brute-force O(n²) pair scan — the
+    // prefix-candidate path must reproduce it exactly.
+    Q("q67_setsim_prefix_join",
+      (s, d) => setSimJoin(
+          Tables.documents(s, d).filter(col("doc_id") < SetSimDocLimit),
+          SetSimT)
+        .orderBy("doc_a", "doc_b"),
+      Some(setSimOracleSql)),
+
+    // ---- SimHash near-dup pairs: 4x15-bit band buckets + exact hamming
+    // verify (pigeonhole-exact for distance <= 3); oracle is the
+    // brute-force quadratic scan over the same subset.
+    Q("q68_simhash_hamming_pairs",
+      (s, d) => simhashHammingPairs(
+          Tables.documents(s, d).filter(col("doc_id") < HamDocLimit))
+        .orderBy("doc_a", "doc_b"),
+      Some(hammingOracleSql)),
+
     // ---- embedding-cosine near-dup: top-20 most-similar pairs within a
     // bounded id range (the corpus has no true near-dups; max cos ~0.47).
     // Exact arithmetic mirrored in DuckDB; rank on the rounded value.
@@ -393,17 +412,133 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
-  /** DuckDB twin of [[simhash]] (bit-for-bit parity via h60). */
-  private lazy val simhashOracleSql: String = {
+  /** Jaccard threshold and doc bound for the prefix-filtered
+    * set-similarity join (q67). The synthetic corpus is similarity-dense
+    * (see [[ClusterDocLimit]]), so the threshold sits high and the
+    * subset bounded — on a natural corpus the prefix filter prunes the
+    * candidate space by orders of magnitude.
+    */
+  val SetSimT = 0.85
+  val SetSimDocLimit = 200
+
+  /** Exact set-similarity self-join with PREFIX FILTERING (PPJoin
+    * family): order every doc's token set by ascending document
+    * frequency (rarest first, ties on token), keep only the first
+    * n - ceil(t*n) + 1 tokens as its "prefix", and generate candidates
+    * from docs sharing a prefix token. Any pair with Jaccard >= t must
+    * share a prefix token (pigeonhole on the overlap bound), so exact
+    * verification of candidates returns EXACTLY the brute-force result —
+    * without the O(n²) pair scan. Output: (doc_a, doc_b, jaccard).
+    */
+  def setSimJoin(docs: DataFrame, t: Double): DataFrame = {
+    val spark = docs.sparkSession
+    val tok = graft.CacheScope.retain(tokenSetsOf(docs))
+    val dfreq = tok.groupBy("token").agg(count(lit(1)).as("df"))
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("df", "token")
+    val prefix = tok.join(broadcast(dfreq), "token")
+      .withColumn("rn", row_number().over(w))
+      .join(sizes, "doc_id")
+      .filter(col("rn") <= col("n") - ceil(lit(t) * col("n")) + 1)
+      .select("doc_id", "token")
+    val cand = prefix.as("l").join(prefix.as("r"),
+        col("l.token") === col("r.token")
+          && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    val ta = tok.select(col("doc_id").as("doc_a"), col("token"))
+    val tb = tok.select(col("doc_id").as("doc_b"), col("token"))
+    val inter = cand.join(ta, "doc_a").join(tb, Seq("doc_b", "token"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
+    val sa = sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))
+    val sb = sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))
+    inter.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("jaccard",
+        col("ni").cast("double") / (col("na") + col("nb") - col("ni")))
+      .filter(col("jaccard") >= t)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** SimHash band layout for the hamming-pair join (q68): 4 bands of 15
+    * bits. By pigeonhole, any pair within hamming distance <= 3 agrees
+    * on at least one whole band, so band-bucket candidates + exact
+    * verification return EXACTLY the brute-force result.
+    */
+  val HammingMax = 3
+  val SimBands = 4
+  val SimBandBits = 15
+
+  /** Near-dup pairs by SimHash hamming distance <= [[HammingMax]] over
+    * band-bucket candidates. Output: (doc_a, doc_b, hamming).
+    */
+  def simhashHammingPairs(docs: DataFrame): DataFrame = {
+    val sig = graft.CacheScope.retain(
+      simhashOf(docs).select("doc_id", "simhash"))
+    val bands = (0 until SimBands).map { b =>
+      sig.select(col("doc_id"), lit(b).as("band"),
+        shiftright(col("simhash"), b * SimBandBits)
+          .bitwiseAND((1L << SimBandBits) - 1).as("bucket"))
+    }.reduce(_ unionAll _)
+    val cand = bands.as("l").join(bands.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket")
+          && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    val a = sig.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b = sig.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .filter(col("hamming") <= HammingMax)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** CTE chain computing the SimHash signature as `sig(doc_id, sh)` over
+    * an optionally bounded doc subset — shared by the q36 and q68
+    * oracles.
+    */
+  private def simhashCtes(where: String): String = {
     val bitSums = (0 until SimHashBits).map(i =>
       s"sum(((h >> $i) & 1) * 2 - 1) AS b$i").mkString(",\n  ")
-    val sig = (0 until SimHashBits).map(i =>
+    val sigExpr = (0 until SimHashBits).map(i =>
       s"CASE WHEN b$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) END")
       .mkString(" + ")
-    s"""WITH $tokCte,
+    s"""${tokCteWhere(where)},
        h AS (SELECT doc_id, ${h60Sql("token")} AS h FROM tok),
-       b AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
-       SELECT doc_id, CAST($sig AS BIGINT) AS simhash
-       FROM b ORDER BY doc_id"""
+       b AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+       sig AS (SELECT doc_id, CAST($sigExpr AS BIGINT) AS sh FROM b)"""
   }
+
+  /** DuckDB twin of [[simhash]] (bit-for-bit parity via h60). */
+  private lazy val simhashOracleSql: String =
+    s"""WITH ${simhashCtes("")}
+       SELECT doc_id, sh AS simhash FROM sig ORDER BY doc_id"""
+
+  /** Doc bound for the simhash hamming-pair join (quadratic brute-force
+    * oracle; the banded Spark path scales past it).
+    */
+  val HamDocLimit = 1000
+
+  private lazy val hammingOracleSql: String =
+    s"""WITH ${simhashCtes(s"WHERE doc_id < $HamDocLimit")}
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+       FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.sh, b.sh)) <= $HammingMax
+       ORDER BY doc_a, doc_b"""
+
+  private lazy val setSimOracleSql: String =
+    s"""WITH ${tokCteWhere(s"WHERE doc_id < $SetSimDocLimit")},
+       sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+                 FROM tok a JOIN tok b
+                   ON a.token = b.token AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+       SELECT doc_a, doc_b,
+              round(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni), 6) AS jaccard
+       FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                  JOIN sizes sb ON doc_b = sb.doc_id
+       WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= $SetSimT
+       ORDER BY doc_a, doc_b"""
 }

@@ -30,7 +30,30 @@ object Aggregators {
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
-  /** Register SQL-callable forms: `weighted_avg(x, w)`. */
-  def register(s: SparkSession): Unit =
+  final case class TopKRow(ord: Double, id: Long)
+  final case class TopKBuf(items: Seq[TopKRow])
+
+  /** Bounded top-k per group, ordered by (ord ASC, id ASC) — pass a
+    * negated measure for descending. Unlike collect_list + sort (buffer
+    * grows with the group) the buffer never exceeds k rows, so partial
+    * aggregation stays map-side and merge traffic is O(k) per group per
+    * task — the only top-k-per-group shape that survives groups with
+    * billions of rows. Deterministic: ties in `ord` break on `id`.
+    */
+  final class TopK(k: Int) extends Aggregator[TopKRow, TopKBuf, TopKBuf] {
+    private def top(a: Seq[TopKRow], b: Seq[TopKRow]): Seq[TopKRow] =
+      (a ++ b).sortBy(r => (r.ord, r.id)).take(k)
+    def zero: TopKBuf = TopKBuf(Vector.empty)
+    def reduce(b: TopKBuf, in: TopKRow): TopKBuf = TopKBuf(top(b.items, Seq(in)))
+    def merge(a: TopKBuf, b: TopKBuf): TopKBuf = TopKBuf(top(a.items, b.items))
+    def finish(b: TopKBuf): TopKBuf = b
+    def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+    def outputEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+  }
+
+  /** Register SQL-callable forms: `weighted_avg(x, w)`, `topk3(ord, id)`. */
+  def register(s: SparkSession): Unit = {
     s.udf.register("weighted_avg", functions.udaf(WeightedAvg))
+    s.udf.register("topk3", functions.udaf(new TopK(3)))
+  }
 }

@@ -360,6 +360,50 @@ object GridQueries {
                   round(sum(c.w * g.b1), 6) AS value
            FROM corners c JOIN grid g ON g.iz = c.ci AND g.ix = c.cj
            GROUP BY g.it, c.i0, c.s ORDER BY g.it, c.i0"""
+      }),
+
+    // ---- q73: Z-order (Morton) layout key — the data-layout primitive
+    // for multi-dimensional clustering: interleaving (iz, ix) bits makes
+    // 1-D key ranges cover 2-D tiles, so range pruning on the sort key
+    // prunes spatially (the idea behind Delta/Iceberg Z-ORDER
+    // clustering). Bit-spread is pure integer arithmetic, mirrored
+    // exactly in the oracle; per-(it, tile) stats prove each morton>>4
+    // range is a contiguous 4x4 spatial block.
+    Q("q73_zorder_layout",
+      (s, d) => {
+        val g = grid(s, d)
+        def spread(c: org.apache.spark.sql.Column) = {
+          val c1 = (c.cast("long").bitwiseOR(shiftleft(c.cast("long"), 8)))
+            .bitwiseAND(0x00FF00FFL)
+          val c2 = (c1.bitwiseOR(shiftleft(c1, 4))).bitwiseAND(0x0F0F0F0FL)
+          val c3 = (c2.bitwiseOR(shiftleft(c2, 2))).bitwiseAND(0x33333333L)
+          (c3.bitwiseOR(shiftleft(c3, 1))).bitwiseAND(0x55555555L)
+        }
+        g.withColumn("morton",
+            shiftleft(spread(col("iz")), 1).bitwiseOR(spread(col("ix"))))
+          .withColumn("tile", shiftright(col("morton"), 4))
+          .groupBy("it", "tile")
+          .agg(count(lit(1)).as("n_cells"),
+            min("iz").as("z_lo"), max("iz").as("z_hi"),
+            min("ix").as("x_lo"), max("ix").as("x_hi"),
+            round(sum("b1"), 4).as("sum_b1"))
+          .orderBy("it", "tile")
+      },
+      Some {
+        def spreadSql(e: String): String = {
+          val c1 = s"((($e) | (($e) << 8)) & 16711935)"
+          val c2 = s"((($c1) | (($c1) << 4)) & 252645135)"
+          val c3 = s"((($c2) | (($c2) << 2)) & 858993459)"
+          s"((($c3) | (($c3) << 1)) & 1431655765)"
+        }
+        val morton =
+          s"((${spreadSql("CAST(iz AS BIGINT)")} << 1) | ${spreadSql("CAST(ix AS BIGINT)")})"
+        s"""WITH $gridCte
+           SELECT it, ($morton >> 4) AS tile, count(*) AS n_cells,
+                  min(iz) AS z_lo, max(iz) AS z_hi,
+                  min(ix) AS x_lo, max(ix) AS x_hi,
+                  round(sum(b1), 4) AS sum_b1
+           FROM grid GROUP BY 1, 2 ORDER BY it, tile"""
       })
   )
 

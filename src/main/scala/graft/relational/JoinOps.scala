@@ -125,6 +125,24 @@ object JoinOps {
       .drop("__bin")
   }
 
+  /** Semi-join reduction via a Bloom filter: build a compact sketch of
+    * `keys` (one aggregation; the sketch, not the rows, ships to the
+    * driver), broadcast it, and pre-filter `big` BEFORE the exact
+    * semi-join. At 100 TB this is the hand-rolled form of runtime filter
+    * pushdown: the shuffle only carries rows that might match (fpp of
+    * extra traffic), and the trailing exact semi-join removes the false
+    * positives — semantically invisible vs `big.join(keys, semi)`.
+    * `expectedItems`/`fpp` size the sketch (bits ~ -n·ln(fpp)/ln2²).
+    */
+  def bloomSemiJoin(big: DataFrame, bigKey: String, keys: DataFrame,
+      keyCol: String, expectedItems: Long, fpp: Double): DataFrame = {
+    val bloom = keys.stat.bloomFilter(keyCol, expectedItems, fpp)
+    val bc = big.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bc.value.mightContain(k))
+    big.filter(mightContain(col(bigKey)))
+      .join(keys, col(bigKey) === col(keyCol), "left_semi")
+  }
+
   private def ev(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.events(s, d)
 
@@ -211,6 +229,26 @@ object JoinOps {
                      round(sum(value), 2) AS sum_value,
                      round(avg(value), 4) AS avg_value
               FROM ev JOIN bands ON value >= lo AND value < hi
-              GROUP BY 1 ORDER BY 1"""))
+              GROUP BY 1 ORDER BY 1""")),
+
+    // ---- q71: bloom-filter semi-join reduction (lineitem vs urgent
+    // orders). The oracle is the plain IN-subquery — the sketch
+    // pre-filter plus exact semi-join must be semantically invisible.
+    Q("q71_bloom_semijoin",
+      (s, d) => {
+        val urgent = Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey")
+        bloomSemiJoin(Tables.lineitem(s, d), "l_orderkey", urgent,
+            "o_orderkey", expectedItems = 1L << 18, fpp = 0.01)
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+              .as("revenue"))
+      },
+      Some("""SELECT count(*) AS n,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             FROM lineitem WHERE l_orderkey IN
+               (SELECT o_orderkey FROM orders
+                WHERE o_orderpriority = '1-URGENT')"""))
   )
 }

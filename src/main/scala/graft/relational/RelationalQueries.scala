@@ -577,7 +577,88 @@ object RelationalQueries {
       Some("""SELECT l_returnflag,
              round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
                AS w_avg_price
-             FROM lineitem GROUP BY 1 ORDER BY 1"""))
+             FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    // ---- q69: event funnel view -> click -> purchase. Stage anchors are
+    // conditional min-aggregations chained by inequality joins (each
+    // stage's timestamp must follow the previous stage's) — three
+    // shuffles on user_id total, no window over a whole user history.
+    Q("q69_funnel",
+      (s, d) => {
+        val e = ev(s, d).select("user_id", "event_type", "ts")
+        val v = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("tv"))
+        val c = e.filter(col("event_type") === "click")
+          .join(v, "user_id").filter(col("ts") >= col("tv"))
+          .groupBy("user_id").agg(min("ts").as("tc"))
+        val p = e.filter(col("event_type") === "purchase")
+          .join(c, "user_id").filter(col("ts") >= col("tc"))
+          .groupBy("user_id").agg(min("ts").as("tp"))
+        v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+          .agg(count("tv").as("n_view"),
+            count("tc").as("n_click"),
+            count("tp").as("n_purchase"),
+            round(avg(epochS(col("tp")) - epochS(col("tv"))), 3)
+              .as("avg_view_to_purchase_s"))
+      },
+      Some(s"""WITH ${Tables.evCte},
+              v AS (SELECT user_id, min(ts) AS tv FROM ev
+                    WHERE event_type = 'view' GROUP BY 1),
+              c AS (SELECT ev.user_id, min(ts) AS tc FROM ev JOIN v USING (user_id)
+                    WHERE event_type = 'click' AND ts >= tv GROUP BY 1),
+              p AS (SELECT ev.user_id, min(ts) AS tp FROM ev JOIN c USING (user_id)
+                    WHERE event_type = 'purchase' AND ts >= tc GROUP BY 1)
+              SELECT count(tv) AS n_view, count(tc) AS n_click,
+                     count(tp) AS n_purchase,
+                     round(avg(epoch_us(tp - tv) / 1000000.0), 3)
+                       AS avg_view_to_purchase_s
+              FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""")),
+
+    // ---- q70: fixed-width histogram via width_bucket (25 buckets over
+    // [0, 500); bucket 0 / 26 catch out-of-range). Pure map-side
+    // arithmetic + a 27-group aggregate — the oracle spells the same
+    // bucketing as CASE arithmetic.
+    Q("q70_value_histogram",
+      (s, d) =>
+        ev(s, d)
+          .withColumn("bucket", width_bucket(col("value"), lit(0.0),
+            lit(500.0), lit(25)))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"),
+            round(min("value"), 2).as("min_v"), round(max("value"), 2).as("max_v"))
+          .orderBy("bucket"),
+      Some(s"""WITH ${Tables.evCte}
+              SELECT CASE WHEN value < 0 THEN 0
+                          WHEN value >= 500 THEN 26
+                          ELSE CAST(floor(value / 20.0) AS BIGINT) + 1 END AS bucket,
+                     count(*) AS n, round(sum(value), 2) AS sum_v,
+                     round(min(value), 2) AS min_v, round(max(value), 2) AS max_v
+              FROM ev GROUP BY 1 ORDER BY 1""")),
+
+    // ---- q72: top-3 orders per priority via the bounded TopK
+    // Aggregator — the buffer holds k rows however large the group, so
+    // partial aggregation stays map-side (no per-group sort, no
+    // collect_list blow-up). The oracle is the window spelling, which
+    // the bounded aggregation must reproduce exactly (ties on price
+    // break by orderkey).
+    Q("q72_topk_agg",
+      (s, d) => {
+        val topk = udaf(new graft.functions.Aggregators.TopK(3))
+        ord(s, d).groupBy("o_orderpriority")
+          .agg(topk(-col("o_totalprice"), col("o_orderkey")).as("t"))
+          .select(col("o_orderpriority"),
+            posexplode(col("t.items")).as(Seq("pos", "r")))
+          .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rk"),
+            col("r.id").as("o_orderkey"), round(-col("r.ord"), 2).as("o_totalprice"))
+          .orderBy("o_orderpriority", "rk")
+      },
+      Some("""SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+               SELECT o_orderpriority,
+                      CAST(row_number() OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk,
+                      o_orderkey, round(o_totalprice, 2) AS o_totalprice
+               FROM orders) t
+             WHERE rk <= 3 ORDER BY o_orderpriority, rk"""))
   )
 
   /** Shared verbatim by the Spark SQL API and the DuckDB oracle. */

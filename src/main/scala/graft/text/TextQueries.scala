@@ -312,8 +312,112 @@ object TextQueries {
                  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS nfp,
              CAST(length(trim(regexp_replace(regexp_replace(lower(text),
                  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS n_norm
-             FROM documents ORDER BY doc_id"""))
+             FROM documents ORDER BY doc_id""")),
+
+    // ---- q66: BM25 relevance scoring (Okapi, Lucene idf) for a fixed
+    // query term set. Term frequencies and doc lengths are one pass over
+    // the token stream; df/avgdl/N are tiny aggregates broadcast into a
+    // per-(doc, term) scoring join. The standard retrieval-quality
+    // scorer for training-data curation.
+    Q("q66_bm25",
+      (s, d) => {
+        val terms = Bm25Terms
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        val tf = toks.filter(col("token").isin(terms: _*))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("nd"))
+        val avg_dl = dl.agg(avg("dl").as("avgdl"))
+        val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        val scored = tf.join(dl, "doc_id")
+          .join(broadcast(dfq), "token")
+          .crossJoin(broadcast(nDocs)).crossJoin(broadcast(avg_dl))
+          .groupBy("doc_id")
+          .agg(sum(
+            log(lit(1) + (col("nd") - col("df") + 0.5) / (col("df") + 0.5)) *
+              (col("tf") * (lit(Bm25K1) + 1)) /
+              (col("tf") + lit(Bm25K1) *
+                (lit(1) - lit(Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+            .as("score"))
+        Tables.documents(s, d).select("doc_id")
+          .join(scored, Seq("doc_id"), "left")
+          .select(col("doc_id"), round(coalesce(col("score"), lit(0.0)), 4)
+            .as("bm25"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val inList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+        s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+                   WHERE token IN ($inList) GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            nd AS (SELECT count(*) AS nd FROM documents),
+            ad AS (SELECT avg(dl) AS avgdl FROM dl),
+            dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+            sc AS (SELECT tf.doc_id,
+                     sum(ln(1 + (nd - df + 0.5) / (df + 0.5)) *
+                         (tf * ($Bm25K1 + 1)) /
+                         (tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * dl.dl / avgdl)))
+                       AS score
+                   FROM tf JOIN dl USING (doc_id) JOIN dfq USING (token)
+                   CROSS JOIN nd CROSS JOIN ad
+                   GROUP BY 1)
+            SELECT d.doc_id, round(coalesce(score, 0.0), 4) AS bm25
+            FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id"""
+      }),
+
+    // ---- q74: bigram language-model scoring — corpus-conditional
+    // log-probability avg(ln(P(w2|w1))) per document, the classic
+    // LM-based quality filter for pretraining corpora. Bigram and prefix
+    // counts are two corpus-wide aggregations; scoring is a join of each
+    // doc's bigrams against them.
+    Q("q74_bigram_lm_score",
+      (s, d) => {
+        val bg = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"), explode(expr(
+            """CASE WHEN size(toks) >= 2
+               THEN transform(sequence(1, size(toks) - 1),
+                 i -> struct(element_at(toks, i) AS w1,
+                             element_at(toks, i + 1) AS w2))
+               ELSE array() END""")).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("nb"))
+        val cu = bg.groupBy("w1").agg(count(lit(1)).as("nu"))
+        val scored = bg.join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(avg(log(col("nb").cast("double") / col("nu"))), 4)
+              .as("avg_logprob"))
+        Tables.documents(s, d).select("doc_id")
+          .join(scored, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            col("avg_logprob"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+               FROM (SELECT doc_id, toks,
+                       unnest(range(1, greatest(len(toks), 1))) AS i
+                     FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                           FROM documents) t) x),
+             cb AS (SELECT w1, w2, count(*) AS nb FROM bg GROUP BY 1, 2),
+             cu AS (SELECT w1, count(*) AS nu FROM bg GROUP BY 1),
+             sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                      round(avg(ln(CAST(nb AS DOUBLE) / nu)), 4) AS avg_logprob
+                    FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1)
+                    GROUP BY 1)
+             SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams, avg_logprob
+             FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id"""))
   )
+
+  /** BM25 constants: standard Okapi defaults and a fixed query term set
+    * drawn from the corpus vocabulary.
+    */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25Terms: Seq[String] = Seq("spark", "hash", "window")
 
   /** Rolling-hash parameters: base, prefix length, and the precomputed
     * powers B^k mod p (residues < 2^31, so every product of two fits

@@ -109,6 +109,20 @@ class QueriesSpec extends AnyFunSuite {
     rows.foreach(r => assert(math.abs(r.getAs[Double]("cos_sim")) <= 1.0))
   }
 
+  test("q73 z-order tiles are axis-aligned 4x4 spatial blocks") {
+    val rows = QueryRegistry.queries("q73_zorder_layout")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (zLo, zHi) = (r.getAs[Int]("z_lo"), r.getAs[Int]("z_hi"))
+      val (xLo, xHi) = (r.getAs[Int]("x_lo"), r.getAs[Int]("x_hi"))
+      // a contiguous morton>>4 range = one aligned 4x4 block: both axes
+      // span within a single aligned 4-stride
+      assert(zLo / 4 == zHi / 4 && xLo / 4 == xHi / 4,
+        s"tile not an aligned 4x4 block: $r")
+      assert(r.getAs[Long]("n_cells") == 16L, s"tile not dense: $r")
+    }
+  }
+
   test("minhash estimates track exact jaccard for high-sim pairs") {
     import org.apache.spark.sql.functions._
     val est = dedup.DedupQueries.minhashPairs(spark, sf)

@@ -40,4 +40,34 @@ class DedupSpec extends AnyFunSuite {
     // 16 permutations -> standard error ~0.125 for mid jaccard
     assert(mae < 0.2, s"mean abs error $mae too high")
   }
+
+  test("setSimJoin equals the brute-force pair scan at another threshold") {
+    val docs = graft.Tables.documents(spark, sf).filter(col("doc_id") < 80)
+    val fast = DedupQueries.setSimJoin(docs, 0.5)
+      .collect().map(_.toSeq).toSet
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .distinct().as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = (for {
+      a <- toks.keys; b <- toks.keys if a < b
+      ni = toks(a).intersect(toks(b)).size
+      j = ni.toDouble / (toks(a).size + toks(b).size - ni) if j >= 0.5
+    } yield Seq(a, b, math.rint(j * 1e6) / 1e6)).toSet
+    assert(fast == brute && fast.nonEmpty,
+      s"setsim mismatch: fast=${fast.size} brute=${brute.size}")
+  }
+
+  test("simhashHammingPairs equals the brute-force quadratic scan") {
+    val docs = graft.Tables.documents(spark, sf).filter(col("doc_id") < 200)
+    val fast = DedupQueries.simhashHammingPairs(docs)
+      .collect().map(_.toSeq).toSet
+    val sigs = DedupQueries.simhashOf(docs).as[(Long, Long)].collect()
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      hd = java.lang.Long.bitCount(sa ^ sb) if hd <= DedupQueries.HammingMax
+    } yield Seq(a, b, hd.toLong)).toSet
+    assert(fast == brute && fast.nonEmpty,
+      s"hamming mismatch: fast=${fast.size} brute=${brute.size}")
+  }
 }

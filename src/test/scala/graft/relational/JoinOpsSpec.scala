@@ -117,4 +117,38 @@ class JoinOpsSpec extends AnyFunSuite {
       .collect()
     assert(out.length == 1 && out.head.getDouble(2) == 1.5)
   }
+
+  test("bloomSemiJoin equals the plain left-semi join") {
+    val li = Tables.lineitem(spark, sf)
+    val urgent = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val fast = JoinOps.bloomSemiJoin(li, "l_orderkey", urgent, "o_orderkey",
+        1L << 16, 0.03)
+      .select("l_orderkey", "l_linenumber")
+      .collect().map(_.toSeq).toSet
+    val plain = li.join(urgent, col("l_orderkey") === col("o_orderkey"),
+        "left_semi")
+      .select("l_orderkey", "l_linenumber")
+      .collect().map(_.toSeq).toSet
+    assert(fast == plain && fast.nonEmpty)
+  }
+
+  test("TopK aggregator matches window top-k incl. ties, across merges") {
+    import spark.implicits._
+    // equal ord values force the id tie-break; repartition(7) forces
+    // partial-buffer merges across tasks
+    val rows = Seq((1, 5.0, 10L), (1, 5.0, 3L), (1, 5.0, 7L), (1, 1.0, 99L),
+      (1, 0.5, 50L), (2, 2.0, 1L), (2, 3.0, 2L), (3, 9.0, 4L))
+      .toDF("g", "ord", "id").repartition(7)
+    val topk = udaf(new graft.functions.Aggregators.TopK(3))
+    val got = rows.groupBy("g").agg(topk(col("ord"), col("id")).as("t"))
+      .select(col("g"), posexplode(col("t.items")).as(Seq("pos", "r")))
+      .select(col("g"), col("pos"), col("r.ord"), col("r.id"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      (1, 0, 0.5, 50L), (1, 1, 1.0, 99L), (1, 2, 5.0, 3L),
+      (2, 0, 2.0, 1L), (2, 1, 3.0, 2L),
+      (3, 0, 9.0, 4L)))
+  }
 }
