@@ -73,6 +73,25 @@ object Streams {
       key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-stream inner join with an event-time range: each click pairs
+    * with purchases of the same user within one hour after it. BOTH
+    * sides carry watermarks and the join condition bounds event time in
+    * both directions, so the engine can expire join state — the only
+    * stream-stream join shape whose state does not grow forever.
+    */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("p_uid"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    c.join(p, col("user_id") === col("p_uid")
+        && col("purchase_ts") >= col("click_ts")
+        && col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select("user_id", "click_id", "click_ts", "purchase_id", "purchase_ts")
+  }
+
   /** Custom state: running per-user count/total via
     * flatMapGroupsWithState (reference has no streaming; this is the
     * §2B custom-state surface).

@@ -409,8 +409,130 @@ object TextQueries {
                     FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1)
                     GROUP BY 1)
              SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams, avg_logprob
-             FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id"""))
+             FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""")),
+
+    // ---- q75: deterministic hash-based train/val split — the
+    // reproducible dataset-split op (same row -> same split on any
+    // engine, any run, any partitioning; no RNG, no state). Uses the
+    // cross-engine h60 hash on a salted key.
+    Q("q75_hash_split",
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("bucket",
+            graft.functions.Hashing.h60(concat(lit("doc-"), col("doc_id"))) % 100)
+          .select(col("doc_id"), col("bucket"),
+            when(col("bucket") < 90, lit("train")).otherwise(lit("val"))
+              .as("split"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              ${graft.functions.Hashing.h60Sql("concat('doc-', doc_id)")} % 100
+                AS bucket,
+              CASE WHEN ${graft.functions.Hashing.h60Sql("concat('doc-', doc_id)")} % 100 < 90
+                   THEN 'train' ELSE 'val' END AS split
+              FROM documents ORDER BY doc_id""")),
+
+    // ---- q76: per-source deterministic downsample — cap every source at
+    // 30 docs, chosen by hash order (unbiased, reproducible; the
+    // "balance domains" curation op). Window ranks within source
+    // partitions; at scale each source shard ranks independently.
+    Q("q76_source_downsample",
+      (s, d) => {
+        val h = graft.functions.Hashing.h60(concat(lit("samp-"), col("doc_id")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(h.asc, col("doc_id").asc)
+        Tables.documents(s, d)
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 30)
+          .select("source", "rk", "doc_id")
+          .orderBy("source", "rk")
+      },
+      Some(s"""SELECT source, rk, doc_id FROM (
+              SELECT source, doc_id,
+                     CAST(row_number() OVER (PARTITION BY source
+                       ORDER BY ${graft.functions.Hashing.h60Sql("concat('samp-', doc_id)")},
+                                doc_id) AS BIGINT) AS rk
+              FROM documents) t
+              WHERE rk <= 30 ORDER BY source, rk""")),
+
+    // ---- q78: benchmark decontamination screening — count each doc's
+    // 13-token n-grams that collide with a benchmark set (docs 0-4), the
+    // standard pretraining-data contamination check. Benchmark gram set
+    // is tiny -> broadcast; doc grams stream through one join, no
+    // quadratic doc-pair work.
+    Q("q78_decontamination",
+      (s, d) => {
+        val w = DecontamW
+        val grams = graft.dedup.DedupQueries.shingleSets(
+          Tables.documents(s, d), w)
+        val bench = grams.filter(col("doc_id") < 5)
+          .select(col("token").as("bgram")).distinct()
+        val nGrams = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+        val hits = grams.join(broadcast(bench), col("token") === col("bgram"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+        Tables.documents(s, d).select("doc_id")
+          .join(nGrams, Seq("doc_id"), "left")
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val w = DecontamW
+        s"""WITH tok AS (SELECT DISTINCT doc_id,
+             array_to_string(list_slice(toks, i, i + ${w - 1}), ' ') AS token
+           FROM (SELECT doc_id, toks,
+                   unnest(range(1, greatest(len(toks) - ${w - 2}, 1))) AS i
+                 FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents) d) x),
+           bench AS (SELECT DISTINCT token FROM tok WHERE doc_id < 5),
+           ng AS (SELECT doc_id, count(*) AS n_grams FROM tok GROUP BY 1),
+           h AS (SELECT doc_id, count(*) AS n_hits FROM tok
+                 JOIN bench USING (token) GROUP BY 1)
+           SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+                  coalesce(n_hits, 0) AS n_hits,
+                  coalesce(n_hits, 0) > 0 AS contaminated
+           FROM documents d LEFT JOIN ng USING (doc_id)
+           LEFT JOIN h USING (doc_id) ORDER BY doc_id"""
+      }),
+
+    // ---- q79: sequence packing — greedy chunking of docs into
+    // fixed-token context windows (running token total within each
+    // source, bin = floor((cum - n) / ctx)). Sources pack independently
+    // and in parallel; at 100 TB the partition key would be a shard id.
+    Q("q79_sequence_packing",
+      (s, d) => {
+        val ctx = PackCtxTokens
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        Tables.documents(s, d)
+          .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+          .withColumn("cum", sum("n_tok").over(w))
+          .withColumn("bin", floor((col("cum") - col("n_tok")) / ctx))
+          .groupBy("source", "bin")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+          .orderBy("source", "bin")
+      },
+      Some(s"""WITH t AS (SELECT source, doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+              FROM documents),
+              c AS (SELECT source, n_tok,
+                sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM t)
+              SELECT source, CAST(floor((cum - n_tok) / $PackCtxTokens) AS BIGINT) AS bin,
+                     count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+              FROM c GROUP BY 1, 2 ORDER BY source, bin"""))
   )
+
+  /** Decontamination n-gram width (the community-standard 13) and the
+    * packing context size in tokens.
+    */
+  val DecontamW = 13
+  val PackCtxTokens = 2048
 
   /** BM25 constants: standard Okapi defaults and a fixed query term set
     * drawn from the corpus vocabulary.

@@ -69,6 +69,30 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs clicks with in-window purchases") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val purchases = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams.clickToPurchase(
+        clicks.toDF.toDF(cols: _*), purchases.toDF.toDF(cols: _*))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ss_join_out").start()
+    try {
+      clicks.addData((1L, ts(10), 1L, "click", 0.0))
+      purchases.addData(
+        (10L, ts(30), 1L, "purchase", 5.0),   // in window (10, 10+60]
+        (11L, ts(200), 1L, "purchase", 6.0),  // same user, out of window
+        (12L, ts(20), 2L, "purchase", 7.0))   // no click for user 2
+      q.processAllAvailable()
+      val out = spark.table("ss_join_out")
+        .select("user_id", "click_id", "purchase_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(out == Set((1L, 1L, 10L)), s"got $out")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
