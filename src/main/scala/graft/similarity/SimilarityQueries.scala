@@ -177,7 +177,49 @@ object SimilarityQueries {
     // the bucket join touches a small candidate set instead of all vectors.
     // Probabilistic recall -> rows-only; SimilaritySpec checks the scores
     // against the exact brute force.
-    Q("q38_ann_lsh", (s, d) => annLsh(s, d, probeId = 0, k = 10), None)
+    Q("q38_ann_lsh", (s, d) => annLsh(s, d, probeId = 0, k = 10), None),
+
+    // ---- q80: one k-means assignment step with the label centroids as
+    // seeds: centroid = per-label mean vector (one aggregation), each
+    // vector re-assigned to the squared-L2-nearest centroid. The
+    // distance join is flat-vector x small-centroid (broadcast); ties
+    // break on label id via the (dist, label) struct-min. The building
+    // block of IVF training and semantic-cluster curation, fully
+    // oracle-checked (unlike the end-to-end trained q46).
+    Q("q80_kmeans_assign",
+      (s, d) => {
+        val f = graft.CacheScope.retain(flat(s, d))
+        val cent = f.groupBy("label", "i").agg(avg("v").as("c"))
+          .select(col("label").as("clabel"), col("i").as("ci"), col("c"))
+        val dists = f.join(broadcast(cent), col("i") === col("ci"))
+          .groupBy("vec_id", "clabel")
+          .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("d2"))
+        dists.groupBy("vec_id")
+          .agg(min(struct(col("d2"), col("clabel"))).as("m"))
+          .join(Tables.embeddings(s, d).select("vec_id", "label"), "vec_id")
+          .select(col("vec_id"), col("label").as("old_label"),
+            col("m.clabel").as("assigned"),
+            round(sqrt(col("m.d2")), 6).as("dist"),
+            (col("label") =!= col("m.clabel")).as("moved"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH flat AS (SELECT vec_id, label, CAST(v AS DOUBLE) AS v, i FROM (
+               SELECT vec_id, label, unnest(embedding) AS v,
+                      generate_subscripts(embedding, 1) AS i
+               FROM embeddings) x),
+             cent AS (SELECT label AS clabel, i, avg(v) AS c
+                      FROM flat GROUP BY 1, 2),
+             d AS (SELECT vec_id, clabel, sum((v - c) * (v - c)) AS d2
+                   FROM flat JOIN cent USING (i) GROUP BY 1, 2),
+             m AS (SELECT vec_id, clabel AS assigned, d2 FROM (
+                     SELECT vec_id, clabel, d2,
+                            row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2, clabel) AS rn FROM d) t
+                   WHERE rn = 1)
+             SELECT e.vec_id, e.label AS old_label, m.assigned,
+                    round(sqrt(m.d2), 6) AS dist,
+                    e.label != m.assigned AS moved
+             FROM embeddings e JOIN m USING (vec_id) ORDER BY vec_id"""))
   )
 
   /** IVF: k-means centroids as the coarse quantizer; candidates = vectors

@@ -525,7 +525,55 @@ object TextQueries {
               FROM t)
               SELECT source, CAST(floor((cum - n_tok) / $PackCtxTokens) AS BIGINT) AS bin,
                      count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
-              FROM c GROUP BY 1, 2 ORDER BY source, bin"""))
+              FROM c GROUP BY 1, 2 ORDER BY source, bin""")),
+
+    // ---- q81: PMI collocation mining — pointwise mutual information of
+    // ordered token pairs co-occurring within a +1..+2 offset window.
+    // Pair and unigram counts are two corpus aggregations; ranking is on
+    // the ROUNDED pmi with a (w1, w2) tie-break so float drift can't
+    // reorder. The standard phrase/collocation detector.
+    Q("q81_pmi_collocations",
+      (s, d) => {
+        val pos = Tables.documents(s, d)
+          .select(col("doc_id"), posexplode(split(col("text"), " "))
+            .as(Seq("p", "w")))
+        val right = pos.select(col("doc_id").as("d2"), col("p").as("p2"),
+          col("w").as("w2"))
+        val pairs = pos.join(right, col("doc_id") === col("d2")
+            && col("p2") > col("p") && col("p2") <= col("p") + 2)
+          .groupBy(col("w").as("w1"), col("w2"))
+          .agg(count(lit(1)).as("n_pair"))
+        val uni = graft.CacheScope.retain(
+          pos.groupBy(col("w")).agg(count(lit(1)).as("n_w")))
+        val total = pos.agg(count(lit(1)).as("n_tot"))
+        pairs.filter(col("n_pair") >= PmiMinCount)
+          .join(uni.select(col("w").as("w1"), col("n_w").as("n1")), "w1")
+          .join(uni.select(col("w").as("w2"), col("n_w").as("n2")), "w2")
+          .crossJoin(broadcast(total))
+          .select(col("w1"), col("w2"), col("n_pair"),
+            round(log(col("n_pair").cast("double") * col("n_tot") /
+              (col("n1") * col("n2") * lit(2.0))), 4).as("pmi"))
+          .orderBy(col("pmi").desc, col("w1"), col("w2"))
+          .limit(PmiTopN)
+      },
+      Some(s"""WITH pos AS (SELECT doc_id, i AS p, toks[i] AS w
+                FROM (SELECT doc_id, toks,
+                        unnest(range(1, len(toks) + 1)) AS i
+                      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                            FROM documents) t) x),
+              pairs AS (SELECT a.w AS w1, b.w AS w2, count(*) AS n_pair
+                        FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+                          AND b.p > a.p AND b.p <= a.p + 2
+                        GROUP BY 1, 2),
+              uni AS (SELECT w, count(*) AS n_w FROM pos GROUP BY 1),
+              tot AS (SELECT count(*) AS n_tot FROM pos)
+              SELECT w1, w2, n_pair,
+                     round(ln(CAST(n_pair AS DOUBLE) * n_tot /
+                       (u1.n_w * u2.n_w * 2.0)), 4) AS pmi
+              FROM pairs JOIN uni u1 ON w1 = u1.w JOIN uni u2 ON w2 = u2.w
+              CROSS JOIN tot
+              WHERE n_pair >= $PmiMinCount
+              ORDER BY pmi DESC, w1, w2 LIMIT $PmiTopN"""))
   )
 
   /** Decontamination n-gram width (the community-standard 13) and the
@@ -533,6 +581,12 @@ object TextQueries {
     */
   val DecontamW = 13
   val PackCtxTokens = 2048
+
+  /** PMI co-occurrence params: window of +1..+2 token offsets, count
+    * floor, result cap.
+    */
+  val PmiMinCount = 25
+  val PmiTopN = 50
 
   /** BM25 constants: standard Okapi defaults and a fixed query term set
     * drawn from the corpus vocabulary.
