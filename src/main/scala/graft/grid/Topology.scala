@@ -309,12 +309,15 @@ object Topology {
     val k = keys.map(col)
     // Materialize the raw edge list ONCE before symmetrizing: the
     // unionAll of two selects would otherwise evaluate the (often
-    // expensive — e.g. the LSH pair join) upstream plan twice. The
-    // symmetrized union stays a narrow plan over the checkpointed rows
-    // and is NOT deduplicated: min-aggregation of messages is
-    // duplicate-tolerant, so a distinct() here would buy nothing and
-    // cost a full shuffle of the edge list.
-    val e0 = cut(edges.select((k :+ col("s") :+ col("t")): _*))
+    // expensive — e.g. the LSH pair join) upstream plan twice. A scoped
+    // persist (not localCheckpoint) — the edge plan is FIXED across
+    // iterations so no lineage cut is needed, and persist skips the
+    // checkpoint's serialize-to-store pass. The symmetrized union stays
+    // a narrow plan over the persisted rows and is NOT deduplicated:
+    // min-aggregation of messages is duplicate-tolerant, so a distinct()
+    // here would buy nothing and cost a full shuffle of the edge list.
+    val e0 = graft.CacheScope.retain(
+      edges.select((k :+ col("s") :+ col("t")): _*))
     val e = e0
       .unionAll(e0.select((k :+ col("t").as("s") :+ col("s").as("t")): _*))
     // node set: s-side of the symmetrized list covers every endpoint
