@@ -84,6 +84,37 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q71 bloom pre-filter sits below the semi-join") {
+    val p = plan("q71_bloom_semijoin")
+    // the UDF filter must appear (pre-filter ran) AND the exact
+    // semi-join must remain (false positives removed)
+    assert(p.contains("LeftSemi"), "exact semi-join missing")
+    assert(p.toLowerCase.contains("filter"), "bloom pre-filter missing")
+  }
+
+  test("q72 bounded top-k aggregates partially map-side") {
+    val p = plan("q72_topk_agg")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "expected typed aggregation for the TopK buffer")
+    assert(p.contains("partial_topk") || p.contains("partial"),
+      "TopK buffer must partial-aggregate before the exchange")
+  }
+
+  test("q67 prefix-filter join broadcasts the frequency table, no cartesian") {
+    val p = plan("q67_setsim_prefix_join")
+    assert(p.contains("BroadcastHashJoin"), "df table should broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q75 hash split is a single narrow pass (no exchange before sort)") {
+    val df = QueryRegistry.queries("q75_hash_split")(spark, sf)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(finalPlan).length
+    assert(shuffles == 0, s"hash split should not hash-shuffle:\n$finalPlan")
+  }
+
   test("q45 native dot_product stays inside whole-stage codegen, no shuffle") {
     val p = plan("q45_cosine_topk_native")
     assert(!p.contains("Exchange hashpartitioning"),
