@@ -92,6 +92,20 @@ object Streams {
       .select("user_id", "click_id", "click_ts", "purchase_id", "purchase_ts")
   }
 
+  /** foreachBatch sink: hand each micro-batch (as a BATCH DataFrame,
+    * full batch API available) plus its replayable batchId to `f`. The
+    * batchId is the exactly-once hook: a sink that records applied ids
+    * and skips repeats stays correct when a restart replays the last
+    * uncommitted batch. This is how streaming writes reach sinks with
+    * no native streaming support (JDBC upserts, file compaction, ...).
+    */
+  def foreachBatchSink(events: DataFrame, checkpointDir: String)(
+      f: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(f)
+      .start()
+
   /** Custom state: running per-user count/total via
     * flatMapGroupsWithState (reference has no streaming; this is the
     * §2B custom-state surface).

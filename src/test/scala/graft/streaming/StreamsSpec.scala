@@ -69,6 +69,31 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch sink sees every row once under batchId-keyed upsert") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val ckpt = java.nio.file.Files.createTempDirectory("fb_ckpt").toString
+    // the idempotent-sink pattern: upsert keyed by batchId — replays
+    // overwrite rather than double-apply
+    val applied = new java.util.concurrent.ConcurrentHashMap[Long, Seq[Long]]()
+    val q = Streams.foreachBatchSink(df, ckpt) { (batch, id) =>
+      applied.put(id, batch.select("event_id").collect().map(_.getLong(0)).toSeq)
+    }
+    try {
+      mem.addData((1L, ts(1), 1L, "click", 1.0), (2L, ts(2), 1L, "click", 2.0))
+      q.processAllAvailable()
+      mem.addData((3L, ts(3), 2L, "view", 3.0))
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val all = applied.values.asScala.flatten.toSeq
+      assert(all.sorted == Seq(1L, 2L, 3L), s"got $all")
+      assert(all.distinct.size == all.size, "a row was applied twice")
+      assert(applied.keySet.asScala.size >= 2, "expected multiple batch ids")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs clicks with in-window purchases") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
