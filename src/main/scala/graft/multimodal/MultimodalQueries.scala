@@ -105,6 +105,46 @@ object MultimodalQueries {
                CAST(ord(substr(text,
                  CAST((j * (n_frames // k)) * n_bytes // n_frames AS INT) + 1, 1))
                  AS BIGINT) AS fb
-             FROM f ORDER BY media_id, frame_idx"""))
+             FROM f ORDER BY media_id, frame_idx""")),
+
+    // ---- q82: image downsample / thumbnail stub — the "resize" leg of
+    // the decode/resize/frame-sample trio. Under the stub codec a 4x
+    // downsample keeps every 4th payload byte (a real build swaps in a
+    // codec resample); metadata scales with it. Pure per-row work —
+    // distributes with the scan, no shuffle until the final sort. Both
+    // engines fingerprint the identical downsampled payload.
+    Q("q82_image_downsample",
+      (s, d) =>
+        Multimodal.mediaFromDocuments(s, d).toDF()
+          .filter(col("kind") === "image")
+          .withColumn("txt", expr("decode(bytes, 'UTF-8')"))
+          .withColumn("small", expr(
+            "array_join(transform(sequence(1, length(txt), 4)," +
+              " i -> substring(txt, i, 1)), '')"))
+          .select(col("media_id"),
+            octet_length(col("small").cast("binary")).cast("long")
+              .as("small_bytes"),
+            md5(col("small")).as("fp"),
+            greatest(lit(1L), floor(col("width") / 4)).as("thumb_w"),
+            greatest(lit(1L), floor(col("height") / 4)).as("thumb_h"))
+          .orderBy("media_id"),
+      Some("""WITH img AS (SELECT doc_id AS media_id, text,
+               doc_id % 640 + 16 AS w, doc_id % 480 + 16 AS h
+               FROM documents WHERE doc_id % 3 = 0),
+             sm AS (SELECT media_id,
+                      string_agg(substr(text, CAST(i AS INT), 1), '' ORDER BY i)
+                        AS small,
+                      any_value(w) AS w, any_value(h) AS h
+                    FROM (SELECT media_id, text, w, h,
+                            unnest(range(1, len(text) + 1, 4)) AS i
+                          FROM img) x
+                    GROUP BY media_id)
+             SELECT media_id,
+                    CAST(octet_length(CAST(small AS BLOB)) AS BIGINT)
+                      AS small_bytes,
+                    md5(small) AS fp,
+                    CAST(greatest(1, w // 4) AS BIGINT) AS thumb_w,
+                    CAST(greatest(1, h // 4) AS BIGINT) AS thumb_h
+             FROM sm ORDER BY media_id"""))
   )
 }
