@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured-Streaming surface over the `events` schema. Every transform
   * here takes a (possibly streaming) DataFrame with the events columns
@@ -123,5 +124,36 @@ object Streams {
           state.update(next)
           Iterator(next)
       }
+  }
+
+  /** The same running totals on the Spark 4 `transformWithState` API:
+    * typed state handles (ValueState/ListState/MapState + timers + TTL)
+    * owned by a StatefulProcessor — the successor to
+    * flatMapGroupsWithState for custom streaming state. Requires the
+    * RocksDB state store provider (set in the spec); state lives off-heap
+    * and scales past executor memory.
+    */
+  final class RunningTotalProcessor
+      extends StatefulProcessor[Long, EventRow, UserRunning] {
+    @transient private var st: ValueState[UserRunning] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[UserRunning]("tot",
+        Encoders.product[UserRunning], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+        timers: TimerValues): Iterator[UserRunning] = {
+      val prev = if (st.exists()) st.get() else UserRunning(key, 0L, 0.0)
+      var n = prev.n; var tot = prev.total
+      rows.foreach { r => n += 1; tot += r.value }
+      val next = UserRunning(key, n, tot)
+      st.update(next)
+      Iterator(next)
+    }
+  }
+
+  def runningTotalsTws(events: Dataset[EventRow]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalProcessor,
+        TimeMode.None(), OutputMode.Append())
   }
 }

@@ -69,6 +69,39 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState keeps running totals via typed ValueState") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Streams.EventRow]
+    val q = Streams.runningTotalsTws(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tws_out").start()
+    try {
+      mem.addData(Streams.EventRow(1, ts(1), 7L, "click", 1.5))
+      q.processAllAvailable()
+      mem.addData(Streams.EventRow(2, ts(2), 7L, "click", 2.0),
+        Streams.EventRow(3, ts(3), 8L, "view", 4.0))
+      q.processAllAvailable()
+      val out = spark.table("tws_out")
+        .as[Streams.UserRunning].collect().toSet
+      // batch 1 emits (7,1,1.5); batch 2 emits the UPDATED totals
+      assert(out.contains(Streams.UserRunning(7L, 1L, 1.5)), s"got $out")
+      assert(out.contains(Streams.UserRunning(7L, 2L, 3.5)), s"got $out")
+      assert(out.contains(Streams.UserRunning(8L, 1L, 4.0)), s"got $out")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("foreachBatch sink sees every row once under batchId-keyed upsert") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
