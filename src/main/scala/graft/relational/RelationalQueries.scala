@@ -658,7 +658,26 @@ object RelationalQueries {
                         ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk,
                       o_orderkey, round(o_totalprice, 2) AS o_totalprice
                FROM orders) t
-             WHERE rk <= 3 ORDER BY o_orderpriority, rk"""))
+             WHERE rk <= 3 ORDER BY o_orderpriority, rk""")),
+
+    // ---- q83: grouped exact percentiles — median/p90/p99 of event value
+    // per event_type (q20 covers the global distribution). Exact
+    // percentile needs the group's values together (a sort per group,
+    // spillable); the sketch alternative for huge groups is q52.
+    Q("q83_grouped_percentiles",
+      (s, d) =>
+        ev(s, d).groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            round(expr("percentile(value, 0.5)"), 4).as("p50"),
+            round(expr("percentile(value, 0.9)"), 4).as("p90"),
+            round(expr("percentile(value, 0.99)"), 4).as("p99"))
+          .orderBy("event_type"),
+      Some(s"""WITH ${Tables.evCte}
+              SELECT event_type, count(*) AS n,
+                     round(quantile_cont(value, 0.5), 4) AS p50,
+                     round(quantile_cont(value, 0.9), 4) AS p90,
+                     round(quantile_cont(value, 0.99), 4) AS p99
+              FROM ev GROUP BY 1 ORDER BY 1"""))
   )
 
   /** Shared verbatim by the Spark SQL API and the DuckDB oracle. */
