@@ -114,13 +114,20 @@ object GridOps {
     * pass along `dim`: real rows then see all their neighbors via
     * lag/lead, so one window (one shuffle/sort) replaces a join+agg pair.
     * Ghosts land at out-of-range indices and are filtered after the pass.
+    *
+    * Emitted with ONE explode over a per-row conditional position array —
+    * a union of boundary filters would evaluate the upstream plan three
+    * times, which matters when the input is itself a window pass (the
+    * second leg of every separable stencil).
     */
   private def withReflectGhosts(df: DataFrame, dim: String, n: Int,
       rLow: Int, rHigh: Int): DataFrame = {
-    val lo = df.filter(col(dim) < rLow).withColumn(dim, -col(dim) - 1)
-    val hi = df.filter(col(dim) >= n - rHigh)
-      .withColumn(dim, lit(2 * n - 1) - col(dim))
-    df.unionAll(lo).unionAll(hi)
+    val d = col(dim)
+    val positions = filter(array(
+      d,
+      when(d < rLow, -d - 1),
+      when(d >= n - rHigh, lit(2 * n - 1) - d)), p => p.isNotNull)
+    df.withColumn(dim, explode(positions))
   }
 
   /** Separable 2-D Gaussian smoothing (z pass then x pass), reflect
