@@ -677,7 +677,27 @@ object RelationalQueries {
                      round(quantile_cont(value, 0.5), 4) AS p50,
                      round(quantile_cont(value, 0.9), 4) AS p90,
                      round(quantile_cont(value, 0.99), 4) AS p99
-              FROM ev GROUP BY 1 ORDER BY 1"""))
+              FROM ev GROUP BY 1 ORDER BY 1""")),
+
+    // ---- q84: unpivot/melt — wide -> long, the inverse of q56's pivot.
+    // Narrow per-row work (each row emits one row per measure column);
+    // no shuffle until the final sort.
+    Q("q84_unpivot",
+      (s, d) =>
+        prt(s, d)
+          .select(col("p_partkey"), col("p_size").cast("double").as("size"),
+            col("p_retailprice").as("retailprice"))
+          .unpivot(Array(col("p_partkey")),
+            Array(col("size"), col("retailprice")), "attr", "val")
+          .filter(col("p_partkey") < 500)
+          .select(col("p_partkey"), col("attr"), round(col("val"), 2).as("val"))
+          .orderBy("p_partkey", "attr"),
+      Some("""SELECT p_partkey, attr, round(val, 2) AS val FROM (
+               SELECT p_partkey, CAST(p_size AS DOUBLE) AS size,
+                      p_retailprice AS retailprice
+               FROM part WHERE p_partkey < 500) w
+             UNPIVOT (val FOR attr IN (size, retailprice))
+             ORDER BY p_partkey, attr"""))
   )
 
   /** Shared verbatim by the Spark SQL API and the DuckDB oracle. */
