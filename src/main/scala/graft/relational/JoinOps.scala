@@ -143,6 +143,16 @@ object JoinOps {
       .join(keys, col(bigKey) === col(keyCol), "left_semi")
   }
 
+  /** MERGE/upsert semantics on immutable tables: rows of `updates` win
+    * over same-key rows of `base`; unmatched update rows insert. One
+    * anti-join + union — the batch upsert shape engines without ACID
+    * tables use (write the result as the new snapshot; with Delta/
+    * Iceberg this becomes a real MERGE INTO). Columns must align.
+    */
+  def upsert(base: DataFrame, updates: DataFrame, key: String): DataFrame =
+    base.join(updates.select(key), Seq(key), "left_anti")
+      .unionByName(updates)
+
   private def ev(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.events(s, d)
 
@@ -249,6 +259,58 @@ object JoinOps {
              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
              FROM lineitem WHERE l_orderkey IN
                (SELECT o_orderkey FROM orders
-                WHERE o_orderpriority = '1-URGENT')"""))
+                WHERE o_orderpriority = '1-URGENT')""")),
+
+    // ---- q85: MERGE/upsert — a deterministic change set (10% price
+    // bump on every 100th order, plus one synthetic insert) merged over
+    // orders; the oracle spells the same anti-join + union in SQL.
+    Q("q85_upsert",
+      (s, d) => {
+        val base = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val updates = base.filter(col("o_orderkey") % 100 === 0)
+          .withColumn("o_totalprice", round(col("o_totalprice") * 1.1, 2))
+          .unionByName(
+            base.sparkSession.range(1).select(
+              lit(-1L).as("o_orderkey"), lit("0-NEW").as("o_orderpriority"),
+              lit(42.42).as("o_totalprice")))
+        upsert(base, updates, "o_orderkey")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            round(sum("o_totalprice"), 2).as("total"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_orderpriority, o_totalprice
+                            FROM orders),
+             updates AS (SELECT o_orderkey, o_orderpriority,
+                                round(o_totalprice * 1.1, 2) AS o_totalprice
+                         FROM base WHERE o_orderkey % 100 = 0
+                         UNION ALL
+                         SELECT -1, '0-NEW', 42.42),
+             merged AS (SELECT * FROM base
+                        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+                        UNION ALL SELECT * FROM updates)
+             SELECT o_orderpriority, count(*) AS n,
+                    round(sum(o_totalprice), 2) AS total
+             FROM merged GROUP BY 1 ORDER BY 1""")),
+
+    // ---- q86: grouped linear regression + correlation of extended
+    // price on quantity — the built-in regr_*/corr aggregate surface
+    // (one pass, mergeable moment buffers; identical math in DuckDB).
+    Q("q86_linreg",
+      (s, d) =>
+        Tables.lineitem(s, d).groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("r"),
+            round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4)
+              .as("slope"),
+            round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4)
+              .as("intercept"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(*) AS n,
+             round(corr(l_quantity, l_extendedprice), 6) AS r,
+             round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+             round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept
+             FROM lineitem GROUP BY 1 ORDER BY 1"""))
   )
 }
