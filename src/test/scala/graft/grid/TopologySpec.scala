@@ -113,6 +113,40 @@ class TopologySpec extends AnyFunSuite {
     }
   }
 
+  test("tiled CC on a 256x256 mask matches a driver union-find ground truth") {
+    // scale guard: 16 tiles (tile=64), thousands of cross-boundary
+    // adjacencies; labels must equal the min-reachable-id ground truth
+    val nz = 256; val nx = 256
+    val pts = (for (iz <- 0 until nz; ix <- 0 until nx
+      if ((iz * 2654435761L + ix * 40503L) % 97) < 40)
+      yield (iz, ix)).toArray
+    // ground truth: plain union-find over 4-adjacency, min-id labels
+    val idx = pts.zipWithIndex.toMap
+    val parent = Array.tabulate(pts.length)(identity)
+    def find(a: Int): Int = { var r = a; while (parent(r) != r) r = parent(r)
+      var c = a; while (parent(c) != c) { val t = parent(c); parent(c) = r; c = t }; r }
+    def union(a: Int, b: Int): Unit = { val (x, y) = (find(a), find(b))
+      if (x != y) { if (x < y) parent(y) = x else parent(x) = y } }
+    pts.zipWithIndex.foreach { case ((iz, ix), i) =>
+      Seq((iz - 1, ix), (iz, ix - 1)).foreach(n =>
+        idx.get(n).foreach(j => union(i, j))) }
+    val minId = scala.collection.mutable.Map.empty[Int, Long]
+    pts.zipWithIndex.foreach { case ((iz, ix), i) =>
+      val r = find(i); val id = iz.toLong * nx + ix
+      minId(r) = math.min(minId.getOrElse(r, Long.MaxValue), id) }
+    val expected = pts.zipWithIndex
+      .map { case ((iz, ix), i) => (iz, ix) -> minId(find(i)) }.toMap
+
+    val cells = pts.toSeq.map { case (iz, ix) => (0, iz, ix) }
+      .toDF("it", "iz", "ix")
+    val got = Topology.connectedComponents(cells, nx, tile = 64)
+      .select("iz", "ix", "comp").as[(Int, Int, Long)].collect()
+      .map { case (iz, ix, c) => (iz, ix) -> c }.toMap
+    assert(got.size == expected.size)
+    assert(got == expected,
+      s"labels differ on ${got.count { case (k, v) => expected(k) != v }} cells")
+  }
+
   test("separatrices: level contour rasterized, interior O-structure found") {
     // psi = cos(k(iz+0.5))*cos(k(ix+0.5)): zero lines at 3.5 / 11.5 in
     // both dims (clean mid-cell crossings). X point at the line crossing
