@@ -431,29 +431,29 @@ object DedupQueries {
     * without the O(n²) pair scan. Output: (doc_a, doc_b, jaccard).
     */
   def setSimJoin(docs: DataFrame, t: Double): DataFrame = {
-    val spark = docs.sparkSession
     val tok = graft.CacheScope.retain(tokenSetsOf(docs))
     val dfreq = tok.groupBy("token").agg(count(lit(1)).as("df"))
-    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // ONE window pass (shuffle by doc_id) yields both the frequency rank
+    // and the set size; prefix rows then CARRY their size through the
+    // candidate join, so no later sizes aggregation or per-side join.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("df", "token")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     val prefix = tok.join(broadcast(dfreq), "token")
       .withColumn("rn", row_number().over(w))
-      .join(sizes, "doc_id")
+      .withColumn("n", count(lit(1)).over(wAll))
       .filter(col("rn") <= col("n") - ceil(lit(t) * col("n")) + 1)
-      .select("doc_id", "token")
+      .select("doc_id", "token", "n")
     val cand = prefix.as("l").join(prefix.as("r"),
         col("l.token") === col("r.token")
           && col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        col("l.n").as("na"), col("r.n").as("nb"))
       .distinct()
     val ta = tok.select(col("doc_id").as("doc_a"), col("token"))
     val tb = tok.select(col("doc_id").as("doc_b"), col("token"))
-    val inter = cand.join(ta, "doc_a").join(tb, Seq("doc_b", "token"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
-    val sa = sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))
-    val sb = sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))
-    inter.join(sa, "doc_a").join(sb, "doc_b")
+    cand.join(ta, "doc_a").join(tb, Seq("doc_b", "token"))
+      .groupBy("doc_a", "doc_b", "na", "nb").agg(count(lit(1)).as("ni"))
       .withColumn("jaccard",
         col("ni").cast("double") / (col("na") + col("nb") - col("ni")))
       .filter(col("jaccard") >= t)
