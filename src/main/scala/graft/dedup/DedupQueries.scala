@@ -287,10 +287,12 @@ object DedupQueries {
     * codegen'd conditional sums — no UDF, fully distributed.
     */
   def simhash(s: SparkSession, d: String): DataFrame =
-    simhashOf(Tables.documents(s, d))
+    simhashOf(Tables.documents(s, d)).orderBy("doc_id")
 
   /** Same, over an arbitrary (doc_id, text) DataFrame — lets tests feed
-    * permuted corpora through the identical code path.
+    * permuted corpora through the identical code path. UNSORTED: the
+    * join consumers (hamming pairs) would pay a pointless global sort;
+    * q36 adds its ORDER BY at the query edge.
     */
   def simhashOf(docs: DataFrame): DataFrame = {
     val toks = docs
@@ -303,7 +305,7 @@ object DedupQueries {
     val sig = (0 until SimHashBits).map(i =>
         when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
       .reduce(_.bitwiseOR(_))
-    sums.select(col("doc_id"), sig.as("simhash")).orderBy("doc_id")
+    sums.select(col("doc_id"), sig.as("simhash"))
   }
 
   /** CTE chain reproducing [[minhashPairs]] up to a `pairs` CTE — shared
