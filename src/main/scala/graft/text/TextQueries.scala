@@ -433,23 +433,29 @@ object TextQueries {
 
     // ---- q76: per-source deterministic downsample — cap every source at
     // 30 docs, chosen by hash order (unbiased, reproducible; the
-    // "balance domains" curation op). Window ranks within source
-    // partitions; at scale each source shard ranks independently.
+    // "balance domains" curation op). Uses the bounded TopK aggregator,
+    // NOT a per-source ranking window: a window would funnel each
+    // source's entire history through one task, while the 30-row TopK
+    // buffer partial-aggregates map-side however large the source. The
+    // ordering hash is truncated to 53 bits so its double form is exact
+    // (ties break on doc_id in both engines).
     Q("q76_source_downsample",
       (s, d) => {
-        val h = graft.functions.Hashing.h60(concat(lit("samp-"), col("doc_id")))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("source").orderBy(h.asc, col("doc_id").asc)
+        val h53 = floor(
+          graft.functions.Hashing.h60(concat(lit("samp-"), col("doc_id"))) / 128)
+        val topk = udaf(new graft.functions.Aggregators.TopK(30))
         Tables.documents(s, d)
-          .withColumn("rk", row_number().over(w).cast("long"))
-          .filter(col("rk") <= 30)
-          .select("source", "rk", "doc_id")
+          .groupBy("source")
+          .agg(topk(h53.cast("double"), col("doc_id")).as("t"))
+          .select(col("source"), posexplode(col("t.items")).as(Seq("pos", "r")))
+          .select(col("source"), (col("pos") + 1).cast("long").as("rk"),
+            col("r.id").as("doc_id"))
           .orderBy("source", "rk")
       },
       Some(s"""SELECT source, rk, doc_id FROM (
               SELECT source, doc_id,
                      CAST(row_number() OVER (PARTITION BY source
-                       ORDER BY ${graft.functions.Hashing.h60Sql("concat('samp-', doc_id)")},
+                       ORDER BY ${graft.functions.Hashing.h60Sql("concat('samp-', doc_id)")} // 128,
                                 doc_id) AS BIGINT) AS rk
               FROM documents) t
               WHERE rk <= 30 ORDER BY source, rk""")),
