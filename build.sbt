@@ -1,5 +1,10 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
+// Keep program stdout (Bench's one-line JSON) the LAST line sbt prints:
+// the harness parses the final stdout line, and sbt's default
+// "[success] Total time: ..." epilogue lands after it otherwise.
+Global / showSuccess := false
+Global / showTiming := false
 name := "dataframeworkspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")

@@ -697,7 +697,151 @@ object RelationalQueries {
                       p_retailprice AS retailprice
                FROM part WHERE p_partkey < 500) w
              UNPIVOT (val FOR attr IN (size, retailprice))
-             ORDER BY p_partkey, attr"""))
+             ORDER BY p_partkey, attr""")),
+
+    // ---- q77: forward fill (LOCF) — treat 'error' readings as missing
+    // and carry the last valid value forward per user. One window pass
+    // (last + ignoreNulls over a running frame); no join, no shuffle
+    // beyond the per-user partitioning — the standard sensor/telemetry
+    // repair shape at any scale.
+    Q("q77_forward_fill",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev(s, d)
+          .withColumn("filled",
+            round(last(when(col("event_type") =!= "error", col("value")),
+              ignoreNulls = true).over(w), 2))
+          .select("event_id", "user_id", "filled")
+          .orderBy("event_id")
+      },
+      Some(s"""WITH ${Tables.evCte}
+              SELECT event_id, user_id,
+                round(last_value(CASE WHEN event_type <> 'error' THEN value END
+                    IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  2) AS filled
+              FROM ev ORDER BY event_id""")),
+
+    // ---- q88: time-series resample with gap fill — hourly counts per
+    // event_type INCLUDING empty hours (zero-filled). The hour spine is
+    // generated from the global [min, max] span (one tiny agg) and
+    // broadcast against the distinct types; only the per-(type, hour)
+    // aggregation shuffles real data.
+    Q("q88_resample_gapfill",
+      (s, d) => {
+        val e = ev(s, d).withColumn("hour", date_trunc("hour", col("ts")))
+        val hours = e.agg(min("hour").as("h0"), max("hour").as("h1"))
+          .select(explode(sequence(col("h0"), col("h1"),
+            expr("INTERVAL 1 HOUR"))).as("hour"))
+        val types = e.select("event_type").distinct()
+        val counts = e.groupBy("event_type", "hour")
+          .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+        hours.crossJoin(broadcast(types))
+          .join(counts, Seq("event_type", "hour"), "left")
+          .select(col("event_type"), col("hour"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            round(coalesce(col("sv"), lit(0.0)), 2).as("total"))
+          .orderBy("event_type", "hour")
+      },
+      Some(s"""WITH ${Tables.evCte},
+              e AS (SELECT event_type, date_trunc('hour', ts) AS hour, value
+                    FROM ev),
+              span AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM e),
+              hours AS (SELECT unnest(generate_series(h0, h1,
+                          INTERVAL 1 HOUR)) AS hour FROM span),
+              types AS (SELECT DISTINCT event_type FROM e),
+              c AS (SELECT event_type, hour, count(*) AS n, sum(value) AS sv
+                    FROM e GROUP BY 1, 2)
+              SELECT event_type, hour, coalesce(n, 0) AS n,
+                     round(coalesce(sv, 0), 2) AS total
+              FROM hours CROSS JOIN types LEFT JOIN c USING (event_type, hour)
+              ORDER BY event_type, hour""")),
+
+    // ---- q91: z-score outlier detection — per-type mean/stddev (one
+    // tiny agg, broadcast back), flag |z| > 2.5. The filter compares the
+    // ROUNDED z in both engines so boundary values can't flip. The
+    // data-quality gate shape: stats pass + broadcast join, no wide
+    // shuffle of the fact side.
+    Q("q91_anomaly_zscore",
+      (s, d) => {
+        val e = ev(s, d)
+        val st = e.groupBy("event_type")
+          .agg(avg("value").as("mu"), stddev_pop("value").as("sigma"))
+        e.join(broadcast(st), "event_type")
+          .withColumn("z", round((col("value") - col("mu")) / col("sigma"), 4))
+          .filter(abs(col("z")) > 2.5)
+          .select("event_id", "event_type", "z")
+          .orderBy("event_id")
+      },
+      Some(s"""WITH ${Tables.evCte},
+              st AS (SELECT event_type, avg(value) AS mu,
+                            stddev_pop(value) AS sigma
+                     FROM ev GROUP BY 1)
+              SELECT event_id, event_type,
+                     round((value - mu) / sigma, 4) AS z
+              FROM ev JOIN st USING (event_type)
+              WHERE abs(round((value - mu) / sigma, 4)) > 2.5
+              ORDER BY event_id""")),
+
+    // ---- q93: time-weighted average — each reading weighted by its
+    // holding time (micros to the next event in the same user's stream).
+    // lead + grouped ratio-of-sums; integer microsecond deltas keep the
+    // weights exact across engines.
+    Q("q93_time_weighted_avg",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ev(s, d)
+          .withColumn("dt",
+            (unix_micros(lead(col("ts"), 1).over(w).cast("timestamp"))
+              - unix_micros(col("ts").cast("timestamp"))).cast("double"))
+          .filter(col("dt").isNotNull)
+          .groupBy("user_id")
+          .agg(round(sum(col("value") * col("dt")) / sum(col("dt")), 4).as("twa"),
+            count(lit(1)).as("n_intervals"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH ${Tables.evCte},
+              iv AS (SELECT user_id, value,
+                       CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id))
+                            - epoch_us(ts) AS DOUBLE) AS dt
+                     FROM ev)
+              SELECT user_id, round(sum(value * dt) / sum(dt), 4) AS twa,
+                     count(*) AS n_intervals
+              FROM iv WHERE dt IS NOT NULL
+              GROUP BY 1 ORDER BY 1""")),
+
+    // ---- q94: cohort retention — customers bucketed by first-order
+    // month; distinct actives per (cohort, months-since). Two hash aggs
+    // and one equi-join on the customer key: the cohort table is
+    // per-customer (small relative to orders) and co-partitions with the
+    // fact side on o_custkey.
+    Q("q94_cohort_retention",
+      (s, d) => {
+        // DATE month buckets on both sides: Spark's timestamp is
+        // session-tz while DuckDB's is naive, but DATE agrees exactly.
+        val o = ord(s, d).select(col("o_custkey"),
+          trunc(col("o_orderdate"), "month").as("month"))
+        val cohort = o.groupBy("o_custkey").agg(min("month").as("cohort"))
+        o.join(cohort, "o_custkey")
+          .withColumn("month_offset",
+            months_between(col("month"), col("cohort")).cast("long"))
+          .groupBy("cohort", "month_offset")
+          .agg(countDistinct("o_custkey").as("n_cust"))
+          .orderBy("cohort", "month_offset")
+      },
+      Some("""WITH o AS (SELECT o_custkey,
+                           CAST(date_trunc('month', o_orderdate) AS DATE) AS month
+                         FROM orders),
+              c AS (SELECT o_custkey, min(month) AS cohort FROM o GROUP BY 1)
+              SELECT cohort,
+                     CAST(datediff('month', cohort, month) AS BIGINT)
+                       AS month_offset,
+                     count(DISTINCT o_custkey) AS n_cust
+              FROM o JOIN c USING (o_custkey)
+              GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 
   /** Shared verbatim by the Spark SQL API and the DuckDB oracle. */

@@ -3,6 +3,7 @@ package graft.similarity
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Similarity search over `embeddings` (64-dim float vectors).
   * Brute-force cosine top-k is the exact baseline (posexplode + hash-join

@@ -579,7 +579,65 @@ object TextQueries {
               FROM pairs JOIN uni u1 ON w1 = u1.w JOIN uni u2 ON w2 = u2.w
               CROSS JOIN tot
               WHERE n_pair >= $PmiMinCount
-              ORDER BY pmi DESC, w1, w2 LIMIT $PmiTopN"""))
+              ORDER BY pmi DESC, w1, w2 LIMIT $PmiTopN""")),
+
+    // ---- q87: repetition signals (Gopher-style quality filtering) —
+    // duplicate-token fraction and top-token fraction per document. One
+    // (doc, token) count then one per-doc agg; both map-side-combinable.
+    Q("q87_repetition_stats",
+      (s, d) => {
+        val tf = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+        tf.groupBy("doc_id")
+          .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+            max("c").as("top_cnt"))
+          .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+            round(lit(1.0) - col("n_distinct") / col("n_tokens").cast("double"),
+              4).as("dup_frac"),
+            round(col("top_cnt") / col("n_tokens").cast("double"), 4)
+              .as("top_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tf AS (SELECT doc_id, token, count(*) AS c FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents) x GROUP BY 1, 2),
+              a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                      count(*) AS n_distinct, max(c) AS top_cnt
+                    FROM tf GROUP BY 1)
+              SELECT doc_id, n_tokens, n_distinct,
+                     round(1.0 - n_distinct / CAST(n_tokens AS DOUBLE), 4)
+                       AS dup_frac,
+                     round(top_cnt / CAST(n_tokens AS DOUBLE), 4) AS top_frac
+              FROM a ORDER BY doc_id""")),
+
+    // ---- q92: token-distribution Shannon entropy per document (quality
+    // signal: low entropy = repetitive/boilerplate). Same two-level agg
+    // as q87; the entropy fold is plain column arithmetic.
+    Q("q92_token_entropy",
+      (s, d) => {
+        val tf = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+        val tot = tf.groupBy("doc_id").agg(sum("c").as("n"))
+        tf.join(tot, "doc_id")
+          .withColumn("p", col("c").cast("double") / col("n").cast("double"))
+          .groupBy("doc_id")
+          .agg(round(-sum(col("p") * log2(col("p"))), 4).as("entropy"),
+            max(col("n")).as("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tf AS (SELECT doc_id, token, count(*) AS c FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents) x GROUP BY 1, 2),
+              tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM tf
+                      GROUP BY 1),
+              p AS (SELECT tf.doc_id,
+                      CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS p, n
+                    FROM tf JOIN tot USING (doc_id))
+              SELECT doc_id, round(-sum(p * log2(p)), 4) AS entropy,
+                     max(n) AS n_tokens
+              FROM p GROUP BY 1 ORDER BY 1"""))
   )
 
   /** Decontamination n-gram width (the community-standard 13) and the
