@@ -127,20 +127,43 @@ object JoinOps {
 
   /** Semi-join reduction via a Bloom filter: build a compact sketch of
     * `keys` (one aggregation; the sketch, not the rows, ships to the
-    * driver), broadcast it, and pre-filter `big` BEFORE the exact
-    * semi-join. At 100 TB this is the hand-rolled form of runtime filter
-    * pushdown: the shuffle only carries rows that might match (fpp of
-    * extra traffic), and the trailing exact semi-join removes the false
-    * positives — semantically invisible vs `big.join(keys, semi)`.
-    * `expectedItems`/`fpp` size the sketch (bits ~ -n·ln(fpp)/ln2²).
+    * driver), fold it into the plan as a literal, and pre-filter `big`
+    * BEFORE the exact semi-join. At 100 TB this is the hand-rolled form
+    * of runtime filter pushdown: the shuffle only carries rows that
+    * might match (fpp of extra traffic), and the trailing exact
+    * semi-join removes the false positives — semantically invisible vs
+    * `big.join(keys, semi)`. `expectedItems`/`fpp` size the sketch
+    * (bits ~ -n·ln(fpp)/ln2²).
+    *
+    * Uses the engine's OWN runtime-filter expressions (the pair
+    * `InjectRuntimeFilter` plants for shuffle pruning):
+    * `BloomFilterAggregate` builds the sketch as a distributed
+    * partial-merge aggregate, and `BloomFilterMightContain` probes it
+    * inside whole-stage codegen — no Scala UDF on the hot path, no
+    * per-row boxing, and the probe stays fused with the parquet scan.
     */
   def bloomSemiJoin(big: DataFrame, bigKey: String, keys: DataFrame,
       keyCol: String, expectedItems: Long, fpp: Double): DataFrame = {
-    val bloom = keys.stat.bloomFilter(keyCol, expectedItems, fpp)
-    val bc = big.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: Long) => bc.value.mightContain(k))
-    big.filter(mightContain(col(bigKey)))
-      .join(keys, col(bigKey) === col(keyCol), "left_semi")
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types.BinaryType
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    val agg = new BloomFilterAggregate(
+      Bridge.toExpression(keys(keyCol)),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    // the serialized sketch is the ONLY thing that reaches the driver
+    // (~ numBits/8 bytes); it rides into the probe side as a foldable
+    // binary literal, exactly how the optimizer's runtime filters do.
+    val sketch = keys.select(Bridge.toColumn(agg).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val probe =
+      if (sketch == null) lit(false) // empty build side: nothing matches
+      else Bridge.toColumn(BloomFilterMightContain(
+        Literal(sketch, BinaryType), Bridge.toExpression(big(bigKey))))
+    big.filter(probe)
+      .join(keys, big(bigKey) === keys(keyCol), "left_semi")
   }
 
   /** MERGE/upsert semantics on immutable tables: rows of `updates` win
