@@ -43,17 +43,12 @@ object Profile {
       .filter(col("b1") === col("peak")).count())
 
     import graft.dedup.DedupQueries
-    val docs1k = Tables.documents(spark, sfDir)
-      .filter(col("doc_id") < DedupQueries.ClusterDocLimit)
-    val pairs = DedupQueries.minhashPairsOf(docs1k)
-    time("q50 minhashPairs(1k)")(pairs.count())
-    time("q50 minhashPairs(1k) rerun")(pairs.count())
-    val edges = pairs.select(col("doc_a").as("s"), col("doc_b").as("t"))
-    time("q50 graphComponents")(Topology.graphComponents(edges).count())
-    val edges2 = pairs.select(col("doc_a").as("s"), col("doc_b").as("t"))
-      .localCheckpoint()
-    time("q50 graphComponents(ckpt edges)")(
-      Topology.graphComponents(edges2).count())
+    val docs = Tables.documents(spark, sfDir)
+    val sig = DedupQueries.minhashSignaturesOf(docs)
+    time("q50 signatures")(sig.count())
+    val stars = DedupQueries.starEdges(sig.localCheckpoint())
+    time("q50 starEdges")(stars.count())
+    time("q50 full clustering")(DedupQueries.dedupClustersStarOf(docs).count())
 
     spark.stop()
   }

@@ -109,14 +109,18 @@ object DedupQueries {
     * replace the O(n^2) cross join — the scale path for near-dup at 100 TB.
     */
   def minhashCandidates(s: SparkSession, d: String): DataFrame =
-    candidatesFrom(minhashSignatures(s, d))
+    minhashCandidatesFrom(minhashSignatures(s, d))
 
-  private def candidatesFrom(sig: DataFrame): DataFrame = {
-    val bands = (0 until NumHashes / BandRows).map { b =>
+  /** (doc_id, band, bucket) LSH band entries of a signature table. */
+  private def bandsOf(sig: DataFrame): DataFrame =
+    (0 until NumHashes / BandRows).map { b =>
       val cols = (b * BandRows until (b + 1) * BandRows).map(i => col(s"h$i"))
       sig.select(col("doc_id"), lit(b).as("band"),
         concat_ws(",", cols: _*).as("bucket"))
     }.reduce(_ unionAll _)
+
+  def minhashCandidatesFrom(sig: DataFrame): DataFrame = {
+    val bands = bandsOf(sig)
     val l = bands.as("l"); val r = bands.as("r")
     l.join(r, col("l.band") === col("r.band")
         && col("l.bucket") === col("r.bucket")
@@ -147,7 +151,7 @@ object DedupQueries {
     // pair join; CacheScope bounds the lifetime (harness flushes between
     // queries) without localCheckpoint's extra materialization job.
     val sig = graft.CacheScope.retain(signatures)
-    val cand = candidatesFrom(sig)
+    val cand = minhashCandidatesFrom(sig)
     val a = sig.as("a"); val b = sig.as("b")
     val agree = (0 until NumHashes)
       .map(i => when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0))
@@ -219,13 +223,27 @@ object DedupQueries {
         shingleSets(Tables.documents(s, d), ShingleW))),
       Some(shingleOracleSql)),
 
-    // ---- end-to-end near-dup clustering: connected components over the
-    // LSH pair graph (reusing the topology CC solver), cluster id = min
-    // doc_id, canonical = the kept representative. The full
-    // dedup-a-corpus story in one query, oracle-checked via a recursive
-    // CTE.
+    // ---- end-to-end near-dup clustering over the FULL corpus:
+    // star-contracted LSH candidate edges + per-edge signature
+    // verification + connected components (the topology CC solver);
+    // cluster id = min doc_id, canonical = the kept representative. The
+    // CC input is linear in corpus size by construction — no doc bound.
+    // Oracle: the identical contraction + a recursive CTE.
     Q("q50_dedup_clusters", (s, d) => dedupClusters(s, d),
-      Some(clustersOracleSql)),
+      Some(starClustersOracleSql)),
+
+    // ---- q95: EXACT pairwise-threshold clustering (CC over the est>=0.5
+    // pair graph) on the full corpus, built on shingle signatures — the
+    // unit whose threshold graph is sparse on natural text, so the
+    // quadratic-per-bucket pair expansion (and the oracle's recursive
+    // CTE) stays feasible without any doc bound.
+    Q("q95_shingle_dedup_clusters",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        dedupClustersPairwiseOf(docs,
+          signaturesFromTokens(shingleSets(docs, ShingleW)))
+      },
+      Some(shingleClustersOracleSql)),
 
     // ---- exact set-similarity join with prefix filtering (PPJoin
     // family): the oracle is the brute-force O(n²) pair scan — the
@@ -308,10 +326,15 @@ object DedupQueries {
     sums.select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** CTE chain reproducing [[minhashPairs]] up to a `pairs` CTE — shared
-    * by the q30 oracle and the q50 clustering oracle.
+  /** Signature agreement count between sig aliases `a` and `b` (SQL). */
+  private def agreeSql: String = (0 until NumHashes)
+    .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
+    .mkString(" + ")
+
+  /** CTE chain computing MinHash signatures (`sig`) and their band
+    * buckets (`bands`) — the shared head of every LSH oracle.
     */
-  private def minhashCtes(where: String): String = {
+  private def sigBandCtes(where: String): String = {
     val mins = (0 until NumHashes).map(i =>
       s"min((x1 * ${permA(i)} % $P + x2 * ${permB(i)} % $P + ${permC(i)}) % $P) AS h$i")
       .mkString(",\n  ")
@@ -319,27 +342,30 @@ object DedupQueries {
       val cols = (b * BandRows until (b + 1) * BandRows).map(i => s"h$i")
       s"SELECT doc_id, $b AS band, concat_ws(',', ${cols.mkString(", ")}) AS bucket FROM sig"
     }.mkString("\n  UNION ALL ")
-    val agree = (0 until NumHashes)
-      .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
-      .mkString(" + ")
     s"""${tokCteWhere(where)},
        hb AS (SELECT doc_id,
               CAST(concat('0x', substr(md5(token),1,15)) AS BIGINT) % $P AS x1,
               CAST(concat('0x', substr(md5(token),17,15)) AS BIGINT) % $P AS x2
               FROM tok),
        sig AS (SELECT doc_id, $mins FROM hb GROUP BY doc_id),
-       bands AS ($bands),
+       bands AS ($bands)"""
+  }
+
+  /** CTE chain reproducing [[minhashPairs]] up to a `pairs` CTE — shared
+    * by the q30 oracle and the q95 clustering oracle.
+    */
+  private def minhashCtes(where: String): String =
+    s"""${sigBandCtes(where)},
        cand AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
                 FROM bands l JOIN bands r
                   ON l.band = r.band AND l.bucket = r.bucket
                  AND l.doc_id < r.doc_id
                 GROUP BY 1, 2),
        pairs AS (SELECT c.doc_a, c.doc_b,
-                 round(CAST($agree AS DOUBLE) / $NumHashes, 4) AS est_jaccard
+                 round(CAST($agreeSql AS DOUBLE) / $NumHashes, 4) AS est_jaccard
                  FROM cand c JOIN sig a ON c.doc_a = a.doc_id
                              JOIN sig b ON c.doc_b = b.doc_id
-                 WHERE CAST($agree AS DOUBLE) / $NumHashes >= 0.5)"""
-  }
+                 WHERE CAST($agreeSql AS DOUBLE) / $NumHashes >= 0.5)"""
 
   /** DuckDB twin of [[minhashPairs]] (exact value parity via h60). */
   private lazy val minhashOracleSql: String =
@@ -366,46 +392,121 @@ object DedupQueries {
        SELECT doc_a, doc_b, est_jaccard FROM pairs ORDER BY doc_a, doc_b"""
   }
 
-  /** DuckDB twin of [[dedupClusters]]: recursive min-label propagation
-    * over the pair graph (same bounded doc subset).
+  /** DuckDB twin of [[dedupClusters]]: the same star-edge contraction
+    * (bucket min, member->min edges, per-edge signature agreement),
+    * then recursive min-label propagation over the surviving edges.
     */
-  private lazy val clustersOracleSql: String =
-    s"""WITH RECURSIVE ${minhashCtes(s"WHERE doc_id < $ClusterDocLimit")},
-       e AS (SELECT doc_a AS s, doc_b AS t FROM pairs
-             UNION ALL SELECT doc_b, doc_a FROM pairs),
-       r AS (SELECT doc_id AS node, doc_id AS comp
-             FROM documents WHERE doc_id < $ClusterDocLimit
+  private lazy val starClustersOracleSql: String =
+    s"""WITH RECURSIVE ${sigBandCtes("")},
+       bm AS (SELECT band, bucket, min(doc_id) AS m FROM bands GROUP BY 1, 2),
+       se AS (SELECT DISTINCT l.doc_id AS s, bm.m AS t
+              FROM bands l JOIN bm USING (band, bucket)
+              WHERE l.doc_id <> bm.m),
+       edges AS (SELECT s, t FROM se
+                 JOIN sig a ON se.s = a.doc_id
+                 JOIN sig b ON se.t = b.doc_id
+                 WHERE $agreeSql >= ${(NumHashes + 1) / 2}),
+       e AS (SELECT s, t FROM edges UNION ALL SELECT t, s FROM edges),
+       r AS (SELECT doc_id AS node, doc_id AS comp FROM documents
              UNION
              SELECT e.s AS node, r.comp FROM e JOIN r ON e.t = r.node),
        cl AS (SELECT node AS doc_id, min(comp) AS cluster FROM r GROUP BY node)
        SELECT doc_id, cluster, doc_id = cluster AS is_canonical
        FROM cl ORDER BY doc_id"""
 
-  /** Doc-id bound for the clustering query: this synthetic corpus shares
-    * so much vocabulary that est>=0.5 pairs grow quadratically (6.1M
-    * pairs over 5k docs at sf0.1), which no LSH banding can prune — on a
-    * real corpus the threshold pair graph is sparse. Same bounding
-    * pattern as q37's vec_id < 300.
+  /** DuckDB twin of [[dedupClustersPairwiseOf]] over shingle sets (q95):
+    * recursive min-label propagation over the exact est>=0.5 pair graph.
     */
-  val ClusterDocLimit = 1000
+  private lazy val shingleClustersOracleSql: String = {
+    val shingleTok =
+      s"""tok AS (SELECT DISTINCT doc_id,
+           array_to_string(list_slice(toks, i, i + ${ShingleW - 1}), ' ') AS token
+         FROM (SELECT doc_id, toks,
+                 unnest(range(1, greatest(len(toks) - ${ShingleW - 2}, 1))) AS i
+               FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                     FROM documents) d) x)"""
+    val body = minhashCtes("")
+    val patched = body.replace(tokCte, shingleTok)
+    require(patched != body, "tok CTE substitution failed")
+    s"""WITH RECURSIVE $patched,
+       e AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+             UNION ALL SELECT doc_b, doc_a FROM pairs),
+       r AS (SELECT doc_id AS node, doc_id AS comp FROM documents
+             UNION
+             SELECT e.s AS node, r.comp FROM e JOIN r ON e.t = r.node),
+       cl AS (SELECT node AS doc_id, min(comp) AS cluster FROM r GROUP BY node)
+       SELECT doc_id, cluster, doc_id = cluster AS is_canonical
+       FROM cl ORDER BY doc_id"""
+  }
 
-  /** Near-dup clusters: CC over the [[minhashPairs]] graph; docs with no
-    * near-dup pair are their own singleton cluster. This is the standard
-    * "keep one per cluster" dedup reducer. The CC input is the
-    * LSH-candidate pair list, O(bucket_size^2) per band bucket — fine
-    * when buckets stay small (real corpora; q51's shingle variant), but
-    * the est-threshold filter needs pairwise signature agreement, so
-    * pairs must materialize. If clustering on CANDIDATES alone suffices
-    * (no est filter), contract each bucket to star edges
-    * (member -> bucket min) for a strictly linear CC input.
+  /** Star-edge contraction of the LSH candidate graph: every band bucket
+    * contracts to member -> min(member) edges instead of the O(|bucket|²)
+    * pairwise expansion, so the CC input is LINEAR in the band-entry
+    * count (<= bands-per-doc edges per doc) no matter how degenerate the
+    * buckets get. This is what un-bounds clustering on shared-vocabulary
+    * corpora: the pairwise q30 graph grows quadratically there (6.1M
+    * est>=0.5 pairs over 5k docs at sf0.1), while the star graph stays at
+    * ~4 edges/doc by construction. Connectivity through a bucket is
+    * preserved exactly (all members reach the bucket min).
+    *
+    * groupBy-min + equi-join back, NOT a whole-partition window: the min
+    * combines map-side, and a degenerate mega-bucket hits the join as a
+    * skewed key (AQE-splittable) instead of pinning one window task.
+    */
+  def starEdges(sig: DataFrame): DataFrame = {
+    val bands = bandsOf(sig)
+    val bm = bands.groupBy("band", "bucket").agg(min("doc_id").as("m"))
+    bands.join(bm, Seq("band", "bucket"))
+      .filter(col("doc_id") =!= col("m"))
+      .select(col("doc_id").as("s"), col("m").as("t"))
+      .distinct()
+  }
+
+  /** Near-dup clusters over the FULL corpus — the 100 TB dedup reducer.
+    * Pipeline: MinHash signatures -> star-contracted candidate edges
+    * ([[starEdges]]) -> per-edge signature-agreement verification
+    * (est >= 0.5, i.e. agreement on >= half the permutations) -> CC ->
+    * cluster id = min reachable doc_id, canonical = cluster head.
+    *
+    * Verification is per EDGE (member vs bucket representative), not per
+    * candidate PAIR: that keeps the verified graph linear too. Members
+    * that near-duplicate each other but not their bucket representative
+    * can land in separate clusters — the standard recall trade of
+    * representative-verified LSH dedup; multiple independent bands keep
+    * that rare. The exact pairwise-threshold policy remains available as
+    * [[dedupClustersPairwiseOf]] (q95 runs it where the pair graph is
+    * sparse — shingles).
     */
   def dedupClusters(s: SparkSession, d: String): DataFrame =
-    dedupClustersOf(
-      Tables.documents(s, d).filter(col("doc_id") < ClusterDocLimit))
+    dedupClustersStarOf(Tables.documents(s, d))
 
-  def dedupClustersOf(docs: DataFrame): DataFrame = {
-    val edges = pairsFromSignaturesUnsorted(minhashSignaturesOf(docs))
-      .select(col("doc_a").as("s"), col("doc_b").as("t"))
+  def dedupClustersStarOf(docs: DataFrame): DataFrame = {
+    val sig = graft.CacheScope.retain(minhashSignaturesOf(docs))
+    val se = starEdges(sig)
+    val a = sig.as("a"); val b = sig.as("b")
+    val agree = (0 until NumHashes)
+      .map(i => when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val edges = se.join(a, col("s") === col("a.doc_id"))
+      .join(b, col("t") === col("b.doc_id"))
+      .filter(agree >= (NumHashes + 1) / 2)
+      .select("s", "t")
+    clustersFromEdges(docs, edges)
+  }
+
+  /** Exact pairwise-threshold clustering: CC over the [[minhashPairs]]
+    * est>=0.5 graph built from `signatures`; docs with no near-dup pair
+    * are singleton clusters. The pair graph is O(|bucket|²) per band
+    * bucket, so this policy is for corpora/units where the threshold
+    * graph is sparse (shingles on natural text — q95); [[dedupClusters]]
+    * is the star-contracted policy that stays linear regardless.
+    */
+  def dedupClustersPairwiseOf(docs: DataFrame, signatures: DataFrame): DataFrame =
+    clustersFromEdges(docs,
+      pairsFromSignaturesUnsorted(signatures)
+        .select(col("doc_a").as("s"), col("doc_b").as("t")))
+
+  private def clustersFromEdges(docs: DataFrame, edges: DataFrame): DataFrame = {
     val comp = graft.grid.Topology.graphComponents(edges)
     docs.select("doc_id")
       .join(comp, col("doc_id") === col("node"), "left")

@@ -70,4 +70,21 @@ class DedupSpec extends AnyFunSuite {
     assert(fast == brute && fast.nonEmpty,
       s"hamming mismatch: fast=${fast.size} brute=${brute.size}")
   }
+
+  test("star contraction preserves candidate-graph connectivity exactly") {
+    // CC over the linear star-edge graph must equal CC over the full
+    // O(bucket²) pairwise candidate expansion (no est filter on either
+    // side — the contraction claim is about connectivity).
+    val docs = graft.Tables.documents(spark, sf)
+    val sig = DedupQueries.minhashSignaturesOf(docs).localCheckpoint()
+    val starComp = graft.grid.Topology.graphComponents(
+        DedupQueries.starEdges(sig))
+      .as[(Long, Long)].collect().toMap
+    val pairComp = graft.grid.Topology.graphComponents(
+        DedupQueries.minhashCandidatesFrom(sig)
+          .select(col("doc_a").as("s"), col("doc_b").as("t")))
+      .as[(Long, Long)].collect().toMap
+    assert(starComp.nonEmpty && starComp == pairComp,
+      s"star=${starComp.size} pair=${pairComp.size}")
+  }
 }
