@@ -180,6 +180,64 @@ object SimilarityQueries {
     // against the exact brute force.
     Q("q38_ann_lsh", (s, d) => annLsh(s, d, probeId = 0, k = 10), None),
 
+    // ---- q96: ANN quality as a CHECKED guarantee — recall@10 of a
+    // sign-projection LSH candidate set vs the exact cosine top-10, both
+    // computed in one plan. Unlike q38/q46 (seeded-random / trained →
+    // rows-only), every ingredient here is cross-engine deterministic:
+    // the hyperplane signs come from pure integer hashing and the
+    // per-bit sums run over QUANTIZED integer components (floor(v·2^20
+    // + 0.5)), so no float summation order can flip a sign — DuckDB
+    // reproduces candidates, top-10, and the recall value exactly.
+    Q("q96_ann_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = emb.select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * QuantScale + 0.5)).as("q"))
+        val buckets = (0 until LshTables).map { t =>
+          (0 until LshBits).map { b =>
+            val signs = typedlit((0 until Dim).map(i => lshSign(t, b, i)).toArray)
+            val bitsum = aggregate(
+              zip_with(col("q"), signs, (x, sg) => x * sg),
+              lit(0L), (acc, v) => acc + v)
+            when(bitsum > 0, lit(1L << b)).otherwise(0L)
+          }.reduce(_ + _).as(s"bk$t")
+        }
+        val bk = graft.CacheScope.retain(
+          q.select(col("vec_id") +: buckets: _*))
+        val probeB = bk.filter(col("vec_id") === 0)
+          .select((0 until LshTables).map(t => col(s"bk$t").as(s"pb$t")): _*)
+        val anyShared = (0 until LshTables)
+          .map(t => col(s"bk$t") === col(s"pb$t")).reduce(_ || _)
+        val cand = bk.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(probeB)).filter(anyShared)
+          .select("vec_id")
+        val exact10 = { // identical ranking rule to q31
+          val f = flat(s, d)
+          val qv = f.filter(col("vec_id") === 0)
+            .select(col("i").as("qi"), col("v").as("qv"))
+          val qn = qv.agg(sum(col("qv") * col("qv")).as("qn"))
+          f.filter(col("vec_id") =!= 0)
+            .join(broadcast(qv), col("i") === col("qi"))
+            .groupBy("vec_id")
+            .agg(sum(col("v") * col("qv")).as("dot"),
+              sum(col("v") * col("v")).as("nrm"))
+            .crossJoin(broadcast(qn))
+            .select(col("vec_id"),
+              round(col("dot") / (sqrt(col("nrm")) * sqrt(col("qn"))), 6)
+                .as("cos_sim"))
+            .orderBy(col("cos_sim").desc, col("vec_id"))
+            .limit(10)
+        }
+        val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+        val hits = exact10.join(cand, Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+        nCand.crossJoin(hits)
+          .select(col("n_candidates"), col("hits"),
+            round(col("hits").cast("double") / 10.0, 4).as("recall_at_10"))
+      },
+      Some(annRecallOracleSql)),
+
     // ---- q80: one k-means assignment step with the label centroids as
     // seeds: centroid = per-label mean vector (one aggregation), each
     // vector re-assigned to the squared-L2-nearest centroid. The
