@@ -3,7 +3,6 @@ package graft.similarity
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Similarity search over `embeddings` (64-dim float vectors).
   * Brute-force cosine top-k is the exact baseline (posexplode + hash-join
@@ -11,6 +10,71 @@ import org.apache.spark.sql.expressions.Window
   * LSH-bucketed approximate variant is the 100 TB scale path (later round).
   */
 object SimilarityQueries {
+  // ---- q96 fixed LSH geometry: 4 tables x 4 sign bits over the 64-dim
+  // embeddings, components quantized at 2^20 so the per-bit sums are
+  // exact 64-bit integers in both engines (no float summation order).
+  private val Dim = 64
+  private val LshTables = 4
+  private val LshBits = 4
+  private val QuantScale = 1048576L // 2^20
+
+  /** Hyperplane sign in {-1, +1} for (table t, bit b, dim i): parity of
+    * the same 60-bit md5 hash family the dedup surface uses
+    * ([[graft.functions.Hashing.h60]]), keyed by the string "t|b|i" —
+    * regenerable bit-for-bit by the DuckDB oracle.
+    */
+  private def lshSign(t: Int, b: Int, i: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$t|$b|$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
+  }
+
+  /** DuckDB twin of q96: regenerates the hyperplane signs from md5
+    * parity, rebuilds the quantized sign buckets, takes candidates
+    * sharing any of the 4 table buckets with probe vec_id=0, and scores
+    * them against the exact cosine top-10 (the q31 oracle verbatim).
+    */
+  private val annRecallOracleSql: String =
+    """WITH qf AS (SELECT vec_id,
+             CAST(floor(CAST(v AS DOUBLE) * 1048576 + 0.5) AS BIGINT) AS q,
+             i - 1 AS i
+           FROM (SELECT vec_id, unnest(embedding) AS v,
+                        generate_subscripts(embedding, 1) AS i
+                 FROM embeddings) x),
+      sg AS (SELECT t, b, i,
+               CASE WHEN CAST(concat('0x',
+                      substr(md5(concat(t, '|', b, '|', i)), 1, 15))
+                    AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS sg
+             FROM range(4) rt(t), range(4) rb(b), range(64) ri(i)),
+      bits AS (SELECT q.vec_id, s.t, s.b, sum(q.q * s.sg) AS bs
+               FROM qf q JOIN sg s USING (i) GROUP BY 1, 2, 3),
+      bk AS (SELECT vec_id, t,
+               sum(CASE WHEN bs > 0 THEN (CAST(1 AS BIGINT) << b)
+                   ELSE 0 END) AS bucket
+             FROM bits GROUP BY 1, 2),
+      probe AS (SELECT t, bucket FROM bk WHERE vec_id = 0),
+      cand AS (SELECT DISTINCT bk.vec_id FROM bk JOIN probe USING (t, bucket)
+               WHERE bk.vec_id <> 0),
+      flat AS (SELECT vec_id, CAST(v AS DOUBLE) AS v, i FROM (
+                 SELECT vec_id, unnest(embedding) AS v,
+                        generate_subscripts(embedding, 1) AS i
+                 FROM embeddings) x),
+      qv AS (SELECT i, v AS qv FROM flat WHERE vec_id = 0),
+      qn AS (SELECT sum(qv*qv) AS qn FROM qv),
+      dots AS (SELECT f.vec_id, sum(f.v*q.qv) AS dot, sum(f.v*f.v) AS nrm
+               FROM flat f JOIN qv q USING (i) WHERE f.vec_id <> 0
+               GROUP BY f.vec_id),
+      exact AS (SELECT vec_id,
+                  round(dot / (sqrt(nrm) * sqrt(qn)), 6) AS cos_sim
+                FROM dots, qn ORDER BY cos_sim DESC, vec_id LIMIT 10),
+      nc AS (SELECT count(*) AS n_candidates FROM cand),
+      h AS (SELECT count(*) AS hits FROM exact
+            WHERE vec_id IN (SELECT vec_id FROM cand))
+      SELECT nc.n_candidates, h.hits,
+             round(h.hits / 10.0, 4) AS recall_at_10
+      FROM nc, h"""
+
   /** Shared oracle for the exact cosine top-10 (q31 / q45 / q54 — three
     * implementations, one semantic).
     */
