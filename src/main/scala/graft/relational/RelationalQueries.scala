@@ -1,7 +1,7 @@
 package graft.relational
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -398,16 +398,32 @@ object RelationalQueries {
     // that replaces q20's exact sort-based percentile at 100 TB
     // (approx_percentile merges bounded-size summaries map-side; exact
     // percentile materializes each group). Sketch internals are
-    // engine-specific -> rows-only; QueriesSpec bounds the error vs q20.
+    // engine-specific, so the sketch VALUE can't be oracle-compared —
+    // instead the error bound itself is the checked output: exact
+    // percentiles (DuckDB-reproducible) plus per-group booleans
+    // asserting the sketch lands within 2% (abs floor 0.01). A sketch
+    // regression flips a boolean and goes red in CORRECTNESS.
     Q("q52_approx_percentiles",
-      (s, d) =>
+      (s, d) => {
+        def okCol(a: Column, e: Column): Column =
+          abs(a - e) <= greatest(abs(e) * 0.02, lit(0.01))
         ev(s, d)
           .groupBy("event_type")
-          .agg(round(expr("approx_percentile(value, 0.5, 10000)"), 4).as("p50"),
-            round(expr("approx_percentile(value, 0.9, 10000)"), 4).as("p90"),
+          .agg(round(expr("approx_percentile(value, 0.5, 10000)"), 4).as("a50"),
+            round(expr("approx_percentile(value, 0.9, 10000)"), 4).as("a90"),
+            round(expr("percentile(value, 0.5)"), 4).as("p50"),
+            round(expr("percentile(value, 0.9)"), 4).as("p90"),
             count(lit(1)).as("n"))
-          .orderBy("event_type"),
-      None),
+          .select(col("event_type"), col("p50"), col("p90"), col("n"),
+            okCol(col("a50"), col("p50")).as("ok_p50"),
+            okCol(col("a90"), col("p90")).as("ok_p90"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH ${Tables.evCte}
+              SELECT event_type, round(quantile_cont(value, 0.5),4) AS p50,
+              round(quantile_cont(value, 0.9),4) AS p90, count(*) AS n,
+              TRUE AS ok_p50, TRUE AS ok_p90
+              FROM ev GROUP BY event_type ORDER BY event_type""")),
 
     // ---- q21: as-of lookup: time of latest signup at or before each
     // purchase, per user (running conditional max — no join needed).
@@ -492,15 +508,33 @@ object RelationalQueries {
              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
     // ---- q42: HLL sketch distinct counts (approx_count_distinct).
-    // Sketch internals differ from DuckDB's -> rows-only; QueriesSpec
-    // asserts <5% relative error against the exact counts.
+    // Sketch internals differ from DuckDB's, so the HLL VALUE can't be
+    // oracle-compared — instead the error bound is the checked output:
+    // exact distinct counts plus booleans asserting the rsd=0.02 sketch
+    // lands within 5% (2.5 sigma). Both sides run in ONE aggregation
+    // (sketch + exact-distinct partial-merge in the same pass); a sketch
+    // regression flips a boolean and goes red in CORRECTNESS.
     Q("q42_approx_distinct",
-      (s, d) =>
+      (s, d) => {
+        def okCol(a: Column, e: Column): Column =
+          abs(a - e) <= e.cast("double") * 0.05
         li(s, d).agg(
-          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps")),
-      None),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("a_o"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("a_p"),
+          approx_count_distinct(col("l_suppkey"), 0.02).as("a_s"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_suppkey")).as("exact_supps"))
+          .select(col("exact_orders"), col("exact_parts"), col("exact_supps"),
+            okCol(col("a_o"), col("exact_orders")).as("ok_orders"),
+            okCol(col("a_p"), col("exact_parts")).as("ok_parts"),
+            okCol(col("a_s"), col("exact_supps")).as("ok_supps"))
+      },
+      Some("""SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+              CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+              CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
+              TRUE AS ok_orders, TRUE AS ok_parts, TRUE AS ok_supps
+              FROM lineitem""")),
 
     // ---- q56: pivot (long -> wide). Spark's relational pivot with an
     // EXPLICIT value list — never the implicit-distinct scan, which
@@ -728,11 +762,17 @@ object RelationalQueries {
     // event_type INCLUDING empty hours (zero-filled). The hour spine is
     // generated from the global [min, max] span (one tiny agg) and
     // broadcast against the distinct types; only the per-(type, hour)
-    // aggregation shuffles real data.
+    // aggregation shuffles real data. The spine is CLAMPED to 2160 hours
+    // (90 days) past the min so one stray far-future timestamp can't
+    // inflate the output unboundedly: the resample's contract is "the
+    // first 90 days of the span, zero-filled" — hours past the clamp are
+    // out of frame (both engines apply the same clamp).
     Q("q88_resample_gapfill",
       (s, d) => {
         val e = ev(s, d).withColumn("hour", date_trunc("hour", col("ts")))
         val hours = e.agg(min("hour").as("h0"), max("hour").as("h1"))
+          .select(col("h0"),
+            least(col("h1"), col("h0") + expr("INTERVAL 2160 HOURS")).as("h1"))
           .select(explode(sequence(col("h0"), col("h1"),
             expr("INTERVAL 1 HOUR"))).as("hour"))
         val types = e.select("event_type").distinct()
@@ -748,7 +788,9 @@ object RelationalQueries {
       Some(s"""WITH ${Tables.evCte},
               e AS (SELECT event_type, date_trunc('hour', ts) AS hour, value
                     FROM ev),
-              span AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM e),
+              span AS (SELECT min(hour) AS h0,
+                              least(max(hour), min(hour) + INTERVAL 2160 HOURS) AS h1
+                       FROM e),
               hours AS (SELECT unnest(generate_series(h0, h1,
                           INTERVAL 1 HOUR)) AS hour FROM span),
               types AS (SELECT DISTINCT event_type FROM e),
@@ -760,8 +802,11 @@ object RelationalQueries {
               ORDER BY event_type, hour""")),
 
     // ---- q91: z-score outlier detection — per-type mean/stddev (one
-    // tiny agg, broadcast back), flag |z| > 2.5. The filter compares the
-    // ROUNDED z in both engines so boundary values can't flip. The
+    // tiny agg, broadcast back), flag |z| > 2.5. Constant-valued groups
+    // (sigma = 0, where z is IEEE NaN/Inf) are excluded up front so the
+    // query is well-defined on ANY data; the filter compares the ROUNDED
+    // z with a 1e-4 margin (2.5001) so summation-order ulp drift in
+    // mu/sigma can't flip row membership at the boundary. The
     // data-quality gate shape: stats pass + broadcast join, no wide
     // shuffle of the fact side.
     Q("q91_anomaly_zscore",
@@ -769,9 +814,10 @@ object RelationalQueries {
         val e = ev(s, d)
         val st = e.groupBy("event_type")
           .agg(avg("value").as("mu"), stddev_pop("value").as("sigma"))
+          .filter(col("sigma") > 0)
         e.join(broadcast(st), "event_type")
           .withColumn("z", round((col("value") - col("mu")) / col("sigma"), 4))
-          .filter(abs(col("z")) > 2.5)
+          .filter(abs(col("z")) > 2.5001)
           .select("event_id", "event_type", "z")
           .orderBy("event_id")
       },
@@ -782,7 +828,8 @@ object RelationalQueries {
               SELECT event_id, event_type,
                      round((value - mu) / sigma, 4) AS z
               FROM ev JOIN st USING (event_type)
-              WHERE abs(round((value - mu) / sigma, 4)) > 2.5
+              WHERE sigma > 0
+                AND abs(round((value - mu) / sigma, 4)) > 2.5001
               ORDER BY event_id""")),
 
     // ---- q93: time-weighted average — each reading weighted by its

