@@ -390,19 +390,37 @@ object Topology {
       :+ col("iz").cast("int") :+ col("ix").cast("int")): _*)
     val keyFields = sel.schema.fields.take(nk).toSeq
 
-    // 1. tile-local union-find
-    val labeledRdd = sel.rdd
-      .map { r =>
-        val iz = r.getInt(nk); val ix = r.getInt(nk + 1)
-        ((r.toSeq.take(nk),
-          Math.floorDiv(iz, tile), Math.floorDiv(ix, tile)), (iz, ix))
-      }
-      .groupByKey()
-      .flatMap { case ((kv, _, _), pts) =>
-        localLabels(pts, nx, offs).map { case (iz, ix, root) =>
-          // Seq[Any]: a bare Seq(iz, ix, root) would widen Int -> Long
-          Row.fromSeq(kv ++ Seq[Any](iz, ix, root))
-        }
+    // 1. tile-local union-find. The tile shuffle stays in Tungsten: rows
+    // are hash-repartitioned and sorted by (keys, tz, tx) as a DataFrame
+    // (Exchange + sort operate on serialized rows), and only the
+    // post-shuffle streaming pass deserializes — holding ONE tile
+    // (<= tile^2 cells) on heap at a time, where the previous RDD
+    // groupByKey shuffled Java Rows and materialized per-tile Iterables.
+    val withTile = sel
+      .withColumn("tz", floor(col("iz").cast("double") / tile).cast("int"))
+      .withColumn("tx", floor(col("ix").cast("double") / tile).cast("int"))
+    val gcols = keys.map(col) :+ col("tz") :+ col("tx")
+    val labeledRdd = withTile
+      .repartition(gcols: _*).sortWithinPartitions(gcols: _*)
+      .rdd.mapPartitions { it =>
+        val bit = it.buffered
+        def gk(r: Row): Seq[Any] =
+          r.toSeq.take(nk) :+ r.getInt(nk + 2) :+ r.getInt(nk + 3)
+        new Iterator[Iterator[Row]] {
+          def hasNext: Boolean = bit.hasNext
+          def next(): Iterator[Row] = {
+            val k = gk(bit.head)
+            val kv = bit.head.toSeq.take(nk)
+            val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+            while (bit.hasNext && gk(bit.head) == k) {
+              val r = bit.next(); buf += ((r.getInt(nk), r.getInt(nk + 1)))
+            }
+            localLabels(buf, nx, offs).map { case (iz, ix, root) =>
+              // Seq[Any]: a bare Seq(iz, ix, root) would widen Int -> Long
+              Row.fromSeq(kv ++ Seq[Any](iz, ix, root))
+            }
+          }
+        }.flatten
       }
     val labSchema = StructType(keyFields ++ Seq(
       StructField("iz", IntegerType), StructField("ix", IntegerType),
