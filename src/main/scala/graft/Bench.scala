@@ -14,10 +14,11 @@ object Bench {
         .as("k")).count().count()
       Tables.lineitem(spark, sfDir).limit(1000).count()
     } catch { case _: Throwable => () }
-    // Two timed runs per query, report the min: the first run absorbs
-    // parquet page-cache and codegen warmup plus host-VM noise; the min
-    // approximates steady-state per-query latency.
-    val Runs = 2
+    // Three timed runs per query, report the min: the first run absorbs
+    // parquet page-cache and codegen warmup plus host-VM noise; min-of-3
+    // (vs min-of-2) cuts the residual run-to-run jitter that made
+    // sub-second queries look 3-5x off between driver rounds.
+    val Runs = 3
     // Dev aid: SPARK_GRAFT_ONLY=q1,q2 restricts to a comma-separated
     // subset (substring match) for single-query iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
@@ -38,6 +39,9 @@ object Bench {
       // slow success; a query with no successful run reports its max
       // elapsed (visible cost, never a bogus near-zero)
       val good = timed.collect { case (true, t) => t }
+      // a GC fence between queries: collection debt from query N must not
+      // be paid inside query N+1's timing window
+      System.gc()
       name -> (if (good.nonEmpty) good.min else timed.map(_._2).max)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -205,7 +205,7 @@ object SimDataset {
 /** Tiny recursive-descent JSON reader for the sidecar (no external deps;
   * build.sbt only allows Spark + scalatest).
   */
-private[grid] object ujsonLite {
+private[graft] object ujsonLite {
   sealed trait V {
     def obj: collection.mutable.LinkedHashMap[String, V] =
       this.asInstanceOf[O].m

@@ -1,0 +1,92 @@
+package graft.sources
+
+import graft.SharedSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DSv2 VPIC-style ingest: mock pyvpic tree -> long-format grid rows,
+  * with column pruning, var/time partition pruning, and the SimDataset
+  * reconstruction pipeline (vpicdataset.py:172-231 semantics).
+  */
+class VPICSourceSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_vpic").toString
+    VPICSource.writeMock(d,
+      time = Array(0.0, 0.5, 1.0, 1.5, 2.0),
+      zAxis = Array(0.0, 0.25, 0.5),
+      xAxis = Array(0.0, 0.25, 0.5, 0.75),
+      vars = Map(
+        "fields/ex" -> ((it, iz, ix) => it * 100.0 + iz * 10.0 + ix),
+        "fields/bz" -> ((it, iz, ix) => it - iz + 2.0 * ix),
+        "hydro/ne" -> ((it, iz, ix) => it * iz * ix.toDouble)))
+    d
+  }
+
+  private def scan = spark.read.format("graft-vpic")
+    .option("path", dir).option("chunkSteps", "2").load()
+
+  test("reads the full tree: every (var, it, iz, ix) cell with its value") {
+    val df = scan
+    assert(df.count() === 3L * 5 * 3 * 4)
+    val r = df.filter(col("var") === "ex" && col("it") === 3
+      && col("iz") === 2 && col("ix") === 1).head()
+    assert(r.getAs[Double]("value") === 3 * 100.0 + 2 * 10.0 + 1)
+  }
+
+  test("column pruning reaches the reader (scan schema = selected cols)") {
+    val pruned = scan.select("var", "value")
+    val batchScans = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }
+    assert(batchScans.nonEmpty)
+    assert(batchScans.head.scan.readSchema().fieldNames.toSeq == Seq("var", "value"))
+    // values survive pruning (index columns never materialized)
+    assert(pruned.filter(col("var") === "ne").count() === 5L * 3 * 4)
+  }
+
+  test("var equality and it range prune files and chunks at planning") {
+    // full scan: 3 vars x ceil(5/2)=3 chunks = 9 partitions
+    assert(scan.rdd.getNumPartitions === 9)
+    // var filter drops two files; it <= 1 keeps only the first chunk
+    val f = scan.filter(col("var") === "bz" && col("it") <= 1)
+    assert(f.rdd.getNumPartitions === 1)
+    assert(f.count() === 2L * 3 * 4)
+  }
+
+  test("get_vars substring projection: first match wins per pattern") {
+    val sub = spark.read.format("graft-vpic")
+      .option("path", dir).option("vars", "fields,ne").load()
+    // "fields" matches fields/bz first (sorted paths), "ne" matches hydro/ne
+    assert(sub.select("var").distinct().collect().map(_.getString(0)).sorted
+      === Array("bz", "ne"))
+  }
+
+  test("loadDataset rebuilds a SimDataset with axes, coords, and params") {
+    val pf = java.nio.file.Files.createTempFile("vpic_info", ".txt")
+    java.nio.file.Files.writeString(pf, "dt = 0.5 # step\nnppc 64\n")
+    val ds = VPICSource.loadDataset(spark, dir, paramFile = Some(pf.toString))
+    assert(ds.variables.keySet === Set("ex", "bz", "ne"))
+    assert(ds.params === Map("dt" -> "0.5", "nppc" -> "64"))
+    val ex = ds.variables("ex")
+    assert(ex.timeAxis.toSeq === Seq(0.0, 0.5, 1.0, 1.5, 2.0))
+    assert(ex.spaceAxes.map(_._1) === Seq("iz", "ix"))
+    // coordinate columns materialized from the axes
+    val row = ex.df.filter(col("it") === 2 && col("iz") === 1 && col("ix") === 3).head()
+    assert(row.getAs[Double]("t") === 1.0)
+    assert(row.getAs[Double]("z") === 0.25)
+    assert(row.getAs[Double]("x") === 0.75)
+    assert(row.getAs[Double]("value") === 2 * 100.0 + 10.0 + 3)
+    // bounds flow through the standard dataset surface
+    assert(ds.bounds.head === (0.0, 2.0))
+  }
+
+  test("singleton mesh dims are squeezed from the axis list") {
+    val d1 = java.nio.file.Files.createTempDirectory("graft_vpic1").toString
+    VPICSource.writeMock(d1, Array(0.0, 1.0), Array(0.0), Array(0.0, 0.5),
+      Map("f/v" -> ((it, iz, ix) => it + ix.toDouble)))
+    val ds = VPICSource.loadDataset(spark, d1)
+    assert(ds.variables("v").spaceAxes.map(_._1) === Seq("ix"))
+  }
+}
