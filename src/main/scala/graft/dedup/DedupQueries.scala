@@ -297,8 +297,80 @@ object DedupQueries {
              SELECT va, vb, round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
              FROM dots JOIN norms na ON va = na.vec_id
              JOIN norms nb ON vb = nb.vec_id
-             ORDER BY cos_sim DESC, va, vb LIMIT 20"""))
+             ORDER BY cos_sim DESC, va, vb LIMIT 20""")),
+
+    // ---- q97: exact duplicated-substring detection — the suffix-free
+    // Spark shape of "Deduplicating Training Data Makes Language Models
+    // Better" (Lee et al. 2022): every w-token window is hashed (h60),
+    // a window occurrence is DUPLICATED iff its hash occurs >= 2 times
+    // corpus-wide, and each doc reports its duplicated-window count and
+    // fraction. Two shuffles, both on the 60-bit hash / doc_id — the
+    // per-(doc, hash) pre-aggregation combines map-side, so the global
+    // count join touches distinct hashes per doc, never raw occurrences.
+    Q("q97_dup_ngram_stats",
+      (s, d) => dupNgramStats(Tables.documents(s, d), DupW),
+      Some(dupNgramOracleSql))
   )
+
+  /** Window size for q97's duplicated-substring scan: long enough that a
+    * match means copied phrasing, short enough to fire on the corpus.
+    */
+  val DupW = 10
+
+  /** Per-doc duplicated w-token-window stats (q97). `n_windows` counts
+    * window POSITIONS (not distinct windows); a position is duplicated
+    * iff its window's hash occurs >= 2 times corpus-wide (so intra-doc
+    * repeats count too, matching the substring-dedup contract).
+    */
+  def dupNgramStats(docs: DataFrame, w: Int): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(toks) >= $w
+           THEN transform(sequence(0, size(toks) - $w),
+                          i -> concat_ws(' ', slice(toks, i + 1, $w)))
+           ELSE array() END""")).as("gram"))
+      .select(col("doc_id"), h60(col("gram")).as("h"))
+    // (doc, hash) pre-aggregation: map-side combine collapses intra-doc
+    // repeats before any shuffle
+    val dh = grams.groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+    val gc = dh.groupBy("h").agg(sum("c").as("cnt"))
+    val perDoc = dh.join(gc, "h")
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_windows"),
+        sum(when(col("cnt") >= 2, col("c")).otherwise(0L)).as("n_dup"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        round(when(coalesce(col("n_windows"), lit(0L)) === 0, 0.0)
+          .otherwise(coalesce(col("n_dup"), lit(0L)).cast("double")
+            / col("n_windows")), 4).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[dupNgramStats]] at w = [[DupW]] (exact via h60). */
+  private lazy val dupNgramOracleSql: String =
+    s"""WITH g AS (SELECT doc_id,
+             array_to_string(list_slice(toks, i, i + ${DupW - 1}), ' ') AS gram
+           FROM (SELECT doc_id, toks,
+                   unnest(range(1, greatest(len(toks) - ${DupW - 2}, 1))) AS i
+                 FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents) d) x),
+       hh AS (SELECT doc_id,
+                CAST(concat('0x', substr(md5(gram),1,15)) AS BIGINT) AS h
+              FROM g),
+       dh AS (SELECT doc_id, h, count(*) AS c FROM hh GROUP BY 1, 2),
+       gc AS (SELECT h, sum(c) AS cnt FROM dh GROUP BY 1),
+       pd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_windows,
+                CAST(sum(CASE WHEN cnt >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup
+              FROM dh JOIN gc USING (h) GROUP BY 1)
+       SELECT d.doc_id, coalesce(n_windows, 0) AS n_windows,
+              coalesce(n_dup, 0) AS n_dup,
+              round(CASE WHEN coalesce(n_windows, 0) = 0 THEN 0.0
+                ELSE CAST(coalesce(n_dup, 0) AS DOUBLE) / n_windows END,
+                4) AS dup_frac
+       FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id"""
 
   /** 60-bit SimHash per document: bit i set iff the sign-sum over token
     * hashes' bit i is positive. One explode + one groupBy with 60
