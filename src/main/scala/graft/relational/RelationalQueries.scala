@@ -888,7 +888,45 @@ object RelationalQueries {
                        AS month_offset,
                      count(DISTINCT o_custkey) AS n_cust
               FROM o JOIN c USING (o_custkey)
-              GROUP BY 1, 2 ORDER BY 1, 2"""))
+              GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- q98: per-column data profiling — the data-quality gate every
+    // ingest runs first (row count, null count, exact distinct, numeric
+    // min/max per column). One independent single-column aggregation per
+    // profiled column, unioned: each pass prunes the scan to ONE parquet
+    // column (no multi-distinct expand multiplying the fact table), so
+    // profiling N columns costs N narrow column scans at any scale.
+    Q("q98_column_profile",
+      (s, d) => {
+        val specs = Seq(("l_orderkey", true), ("l_quantity", true),
+          ("l_extendedprice", true), ("l_returnflag", false),
+          ("l_linestatus", false))
+        specs.map { case (c, num) =>
+          li(s, d).select(col(c)).agg(
+            count(lit(1)).as("n"),
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+            countDistinct(col(c)).as("n_distinct"),
+            (if (num) round(min(col(c)).cast("double"), 4)
+             else lit(null).cast("double")).as("min_v"),
+            (if (num) round(max(col(c)).cast("double"), 4)
+             else lit(null).cast("double")).as("max_v"))
+            .select(lit(c).as("col_name"), col("n"), col("n_nulls"),
+              col("n_distinct"), col("min_v"), col("max_v"))
+        }.reduce(_ unionAll _).orderBy("col_name")
+      },
+      Some {
+        val parts = Seq(("l_orderkey", true), ("l_quantity", true),
+          ("l_extendedprice", true), ("l_returnflag", false),
+          ("l_linestatus", false)).map { case (c, num) =>
+          val mn = if (num) s"round(CAST(min($c) AS DOUBLE), 4)" else "CAST(NULL AS DOUBLE)"
+          val mx = if (num) s"round(CAST(max($c) AS DOUBLE), 4)" else "CAST(NULL AS DOUBLE)"
+          s"""SELECT '$c' AS col_name, count(*) AS n,
+             CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             count(DISTINCT $c) AS n_distinct, $mn AS min_v, $mx AS max_v
+             FROM lineitem"""
+        }
+        parts.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+      })
   )
 
   /** Shared verbatim by the Spark SQL API and the DuckDB oracle. */

@@ -87,4 +87,21 @@ class DedupSpec extends AnyFunSuite {
     assert(starComp.nonEmpty && starComp == pairComp,
       s"star=${starComp.size} pair=${pairComp.size}")
   }
+
+  test("dupNgramStats: unique corpus has zero dup, doubled doc is fully dup") {
+    val w = 3
+    // 3 docs of globally-unique tokens + one exact copy of doc 0
+    val docs = Seq(
+      (0L, "a b c d e f"), (1L, "g h i j k l"), (2L, "m n o p q r"),
+      (3L, "a b c d e f"),
+      (4L, "s t")) // shorter than w: zero windows
+      .toDF("doc_id", "text")
+    val rows = DedupQueries.dupNgramStats(docs, w).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows(1) == ((4L, 0L, 0.0)) && rows(2) == ((4L, 0L, 0.0)))
+    assert(rows(0) == ((4L, 4L, 1.0)) && rows(3) == ((4L, 4L, 1.0)),
+      "every window of a doc with an exact twin is duplicated")
+    assert(rows(4) == ((0L, 0L, 0.0)), "sub-window doc has no windows")
+  }
 }
