@@ -242,8 +242,15 @@ object DedupQueries {
         val docs = Tables.documents(s, d)
         dedupClustersPairwiseOf(docs,
           signaturesFromTokens(shingleSets(docs, ShingleW)))
+          .orderBy("doc_id")
       },
       Some(shingleClustersOracleSql)),
+
+    // ---- q99: keep-best dedup — clusters + quality score, per-cluster
+    // argmax: the production reducer where the highest-quality copy
+    // survives and min-doc_id is only the tiebreak.
+    Q("q99_dedup_keep_best", (s, d) => dedupKeepBest(s, d),
+      Some(keepBestOracleSql)),
 
     // ---- exact set-similarity join with prefix filtering (PPJoin
     // family): the oracle is the brute-force O(n²) pair scan — the
@@ -464,11 +471,12 @@ object DedupQueries {
        SELECT doc_a, doc_b, est_jaccard FROM pairs ORDER BY doc_a, doc_b"""
   }
 
-  /** DuckDB twin of [[dedupClusters]]: the same star-edge contraction
-    * (bucket min, member->min edges, per-edge signature agreement),
-    * then recursive min-label propagation over the surviving edges.
+  /** CTE chain of the star-contracted clustering up to `cl(doc_id,
+    * cluster)` — shared by the q50 oracle and the q99 keep-best oracle:
+    * star-edge contraction (bucket min, member->min edges, per-edge
+    * signature agreement), then recursive min-label propagation.
     */
-  private lazy val starClustersOracleSql: String =
+  private def starClusterCtes: String =
     s"""WITH RECURSIVE ${sigBandCtes("")},
        bm AS (SELECT band, bucket, min(doc_id) AS m FROM bands GROUP BY 1, 2),
        se AS (SELECT DISTINCT l.doc_id AS s, bm.m AS t
@@ -482,9 +490,35 @@ object DedupQueries {
        r AS (SELECT doc_id AS node, doc_id AS comp FROM documents
              UNION
              SELECT e.s AS node, r.comp FROM e JOIN r ON e.t = r.node),
-       cl AS (SELECT node AS doc_id, min(comp) AS cluster FROM r GROUP BY node)
+       cl AS (SELECT node AS doc_id, min(comp) AS cluster FROM r GROUP BY node)"""
+
+  /** DuckDB twin of [[dedupClusters]]. */
+  private lazy val starClustersOracleSql: String =
+    s"""$starClusterCtes
        SELECT doc_id, cluster, doc_id = cluster AS is_canonical
        FROM cl ORDER BY doc_id"""
+
+  /** DuckDB twin of [[dedupKeepBest]]: the q26 quality formula joined to
+    * the cluster table; per-cluster argmax on (score desc, doc_id).
+    */
+  private lazy val keepBestOracleSql: String =
+    s"""$starClusterCtes,
+       sc AS (SELECT doc_id,
+                CAST(least(n_tokens, 200) AS DOUBLE) / 200 * 0.6 +
+                CASE WHEN avg_len BETWEEN 3 AND 8 THEN 0.4 ELSE 0.1 END AS score
+              FROM (SELECT doc_id, len(string_split(text,' ')) AS n_tokens,
+                      CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE)
+                        / len(string_split(text,' ')) AS avg_len
+                    FROM documents) t),
+       j AS (SELECT cl.cluster, cl.doc_id, sc.score FROM cl JOIN sc USING (doc_id)),
+       best AS (SELECT cluster, doc_id, score,
+                  row_number() OVER (PARTITION BY cluster
+                    ORDER BY score DESC, doc_id) AS rn,
+                  count(*) OVER (PARTITION BY cluster) AS n_members
+                FROM j)
+       SELECT cluster, doc_id AS kept_doc, n_members,
+              round(score, 4) AS best_score
+       FROM best WHERE rn = 1 ORDER BY cluster"""
 
   /** DuckDB twin of [[dedupClustersPairwiseOf]] over shingle sets (q95):
     * recursive min-label propagation over the exact est>=0.5 pair graph.
@@ -550,7 +584,34 @@ object DedupQueries {
     * sparse — shingles).
     */
   def dedupClusters(s: SparkSession, d: String): DataFrame =
-    dedupClustersStarOf(Tables.documents(s, d))
+    dedupClustersStarOf(Tables.documents(s, d)).orderBy("doc_id")
+
+  /** Keep-best dedup reduction (q99): the star-contracted clusters joined
+    * with the q26 quality score; each cluster keeps its highest-scoring
+    * member (ties on min doc_id) — the production "which copy survives"
+    * policy, where min-doc_id canonicalization is just the tiebreak. One
+    * extra broadcast-scale join + per-cluster argmax over the clustering
+    * pipeline.
+    */
+  def dedupKeepBest(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val scored = docs
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("avg_len",
+        (length(col("text")).cast("long") - col("n_tokens") + 1).cast("double")
+          / col("n_tokens"))
+      .select(col("doc_id"),
+        (least(col("n_tokens"), lit(200L)).cast("double") / 200d * 0.6
+          + when(col("avg_len").between(3d, 8d), 0.4).otherwise(0.1)).as("score"))
+    dedupClustersStarOf(docs).select("doc_id", "cluster")
+      .join(scored, "doc_id")
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("score"), (-col("doc_id")).as("nd"))).as("m"))
+      .select(col("cluster"), (-col("m.nd")).as("kept_doc"),
+        col("n_members"), round(col("m.score"), 4).as("best_score"))
+      .orderBy("cluster")
+  }
 
   def dedupClustersStarOf(docs: DataFrame): DataFrame = {
     val sig = graft.CacheScope.retain(minhashSignaturesOf(docs))
@@ -578,13 +639,15 @@ object DedupQueries {
       pairsFromSignaturesUnsorted(signatures)
         .select(col("doc_a").as("s"), col("doc_b").as("t")))
 
+  /** UNSORTED (doc_id, cluster, is_canonical): query-edge consumers add
+    * their own ORDER BY; aggregation consumers (q99) skip the sort.
+    */
   private def clustersFromEdges(docs: DataFrame, edges: DataFrame): DataFrame = {
     val comp = graft.grid.Topology.graphComponents(edges)
     docs.select("doc_id")
       .join(comp, col("doc_id") === col("node"), "left")
       .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster"))
       .withColumn("is_canonical", col("doc_id") === col("cluster"))
-      .orderBy("doc_id")
   }
 
   /** Jaccard threshold and doc bound for the prefix-filtered

@@ -123,4 +123,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"),
       "top-k should plan as TakeOrderedAndProject")
   }
+
+  test("q97 dup-ngram scan partial-aggregates before every exchange") {
+    val p = plan("q97_dup_ngram_stats")
+    // the (doc, hash) pre-aggregation must combine map-side so the
+    // shuffle carries distinct hashes, never raw window occurrences
+    assert(p.contains("partial_count") || p.contains("partial"),
+      "expected map-side combine on the (doc, hash) aggregation")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q98 column profile prunes each scan to its single profiled column") {
+    val df = QueryRegistry.queries("q98_column_profile")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val readSchemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.nonEmpty)
+    // no scan reads more than one column: struct<...> holds no comma
+    readSchemas.foreach { rs =>
+      val schema = rs.substring(rs.indexOf("struct<"))
+      assert(!schema.takeWhile(_ != '>').contains(","),
+        s"profile scan reads more than its own column: $rs")
+    }
+  }
 }
