@@ -105,6 +105,34 @@ object DedupQueries {
     toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-ROW MinHash signatures via higher-order array functions — no
+    * explode, no aggregation, so the SAME expressions run as a stateless
+    * projection on a STREAM of documents. Bit-identical to the
+    * explode+groupBy batch path ([[signaturesFromTokens]]): the min over
+    * the token multiset equals the min over its set. The batch path
+    * remains preferable for batch jobs (the explode parallelizes huge
+    * documents across tasks; per-row folds keep each doc on one core).
+    */
+  def signaturesPerRow(docs: DataFrame): DataFrame = {
+    val hashes = expr(
+      s"""transform(split(text, ' '),
+            t -> named_struct(
+              'x1', CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) % $P,
+              'x2', CAST(conv(substring(md5(t), 17, 15), 16, 10) AS BIGINT) % $P))""")
+    val sigs = (0 until NumHashes).map { i =>
+      expr(s"""array_min(transform(hs,
+             h -> (h.x1 * ${permA(i)} % $P + h.x2 * ${permB(i)} % $P
+                   + ${permC(i)}) % $P))""").as(s"h$i")
+    }
+    docs.withColumn("hs", hashes).select(col("doc_id") +: sigs: _*)
+  }
+
+  /** Stream-safe (doc_id, band, bucket) table of a document set — the
+    * per-row signature path through the standard band layout.
+    */
+  def bandBucketsPerRow(docs: DataFrame): DataFrame =
+    bandsOf(signaturesPerRow(docs))
+
   /** LSH candidate pairs: docs sharing any band bucket. Band hash joins
     * replace the O(n^2) cross join — the scale path for near-dup at 100 TB.
     */

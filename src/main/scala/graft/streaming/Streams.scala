@@ -74,6 +74,26 @@ object Streams {
       key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Streaming incremental near-dup: each arriving document's MinHash
+    * band buckets (computed per-row — stateless, no aggregation in the
+    * stream) are stream-static joined against a precomputed corpus band
+    * index; a row out means the doc shares a band bucket with an
+    * existing corpus doc (LSH near-dup candidate). At 100 TB the index
+    * is a bucketed static table on (band, bucket) and the join
+    * co-partitions; here the corpus index side is whatever the caller
+    * passes. Output: (doc_id, corpus_doc, band) candidate hits — exact
+    * verification (signature agreement) belongs downstream, exactly as
+    * in the batch pipeline.
+    */
+  def nearDupCandidatesStream(docs: DataFrame,
+      corpusBands: DataFrame): DataFrame =
+    graft.dedup.DedupQueries.bandBucketsPerRow(docs)
+      .join(corpusBands
+          .withColumnRenamed("doc_id", "corpus_doc"),
+        Seq("band", "bucket"))
+      .filter(col("doc_id") =!= col("corpus_doc"))
+      .select("doc_id", "corpus_doc", "band")
+
   /** Stream-stream inner join with an event-time range: each click pairs
     * with purchases of the same user within one hour after it. BOTH
     * sides carry watermarks and the join condition bounds event time in

@@ -104,4 +104,16 @@ class DedupSpec extends AnyFunSuite {
       "every window of a doc with an exact twin is duplicated")
     assert(rows(4) == ((0L, 0L, 0.0)), "sub-window doc has no windows")
   }
+
+  test("per-row HOF signatures are bit-identical to the explode+groupBy path") {
+    val docs = graft.Tables.documents(spark, sf)
+    val agg = DedupQueries.minhashSignaturesOf(docs)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val perRow = DedupQueries.signaturesPerRow(docs)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(perRow.keySet == agg.keySet)
+    perRow.foreach { case (id, sig) =>
+      assert(sig == agg(id), s"doc $id signature diverges")
+    }
+  }
 }

@@ -243,4 +243,33 @@ class StreamsSpec extends AnyFunSuite {
       assert(spark.table("dedup_out").count() == 2)
     } finally q.stop()
   }
+
+  test("streaming near-dup: arriving copy of a corpus doc hits all its bands") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val corpus = graft.Tables.documents(spark, sf)
+    val corpusBands = graft.dedup.DedupQueries.bandBucketsPerRow(corpus)
+    val doc0Text = corpus.filter(col("doc_id") === 0)
+      .select("text").head().getString(0)
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF.toDF("doc_id", "text")
+    val q = Streams.nearDupCandidatesStream(df, corpusBands)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("neardup_out").start()
+    try {
+      mem.addData((100000L, doc0Text), (100001L, "zqx wvu tsr qpo nml"))
+      q.processAllAvailable()
+      val hits = spark.table("neardup_out")
+        .select("doc_id", "corpus_doc", "band")
+        .as[(Long, Long, Int)].collect().toSet
+      // an exact copy shares the signature, so EVERY band bucket of
+      // doc 0 is hit
+      val bandCount = graft.dedup.DedupQueries.NumHashes /
+        graft.dedup.DedupQueries.BandRows
+      (0 until bandCount).foreach { b =>
+        assert(hits.contains((100000L, 0L, b)), s"band $b not hit: $hits")
+      }
+    } finally q.stop()
+  }
 }
