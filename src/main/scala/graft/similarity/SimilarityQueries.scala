@@ -30,6 +30,41 @@ object SimilarityQueries {
     if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
   }
 
+  /** DuckDB twin of q89: label-centroid quantizer + nprobe=2 candidate
+    * lists + the q31 exact top-10, recall computed in SQL.
+    */
+  private val ivfRecallOracleSql: String =
+    """WITH flat AS (SELECT vec_id, label, CAST(v AS DOUBLE) AS v, i FROM (
+           SELECT vec_id, label, unnest(embedding) AS v,
+                  generate_subscripts(embedding, 1) AS i FROM embeddings) x),
+      cent AS (SELECT label AS clabel, i, avg(v) AS c
+               FROM flat GROUP BY 1, 2),
+      d2 AS (SELECT f.vec_id, c.clabel, sum((v - c) * (v - c)) AS d2
+             FROM flat f JOIN cent c USING (i) GROUP BY 1, 2),
+      asg AS (SELECT vec_id, clabel AS lst FROM (
+                SELECT vec_id, clabel,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY d2, clabel) AS rn FROM d2) t
+              WHERE rn = 1),
+      probe2 AS (SELECT clabel AS lst FROM d2 WHERE vec_id = 0
+                 ORDER BY d2, clabel LIMIT 2),
+      cand AS (SELECT vec_id FROM asg JOIN probe2 USING (lst)
+               WHERE vec_id <> 0),
+      qv AS (SELECT i, v AS qv FROM flat WHERE vec_id = 0),
+      qn AS (SELECT sum(qv*qv) AS qn FROM qv),
+      dots AS (SELECT f.vec_id, sum(f.v*q.qv) AS dot, sum(f.v*f.v) AS nrm
+               FROM flat f JOIN qv q USING (i) WHERE f.vec_id <> 0
+               GROUP BY f.vec_id),
+      exact AS (SELECT vec_id,
+                  round(dot / (sqrt(nrm) * sqrt(qn)), 6) AS cos_sim
+                FROM dots, qn ORDER BY cos_sim DESC, vec_id LIMIT 10),
+      nc AS (SELECT count(*) AS n_candidates FROM cand),
+      h AS (SELECT count(*) AS hits FROM exact
+            WHERE vec_id IN (SELECT vec_id FROM cand))
+      SELECT nc.n_candidates, h.hits,
+             round(h.hits / 10.0, 4) AS recall_at_10
+      FROM nc, h"""
+
   /** DuckDB twin of q96: regenerates the hyperplane signs from md5
     * parity, rebuilds the quantized sign buckets, takes candidates
     * sharing any of the 4 table buckets with probe vec_id=0, and scores
@@ -301,6 +336,56 @@ object SimilarityQueries {
             round(col("hits").cast("double") / 10.0, 4).as("recall_at_10"))
       },
       Some(annRecallOracleSql)),
+
+    // ---- q89: IVF search quality as a CHECKED guarantee — the same
+    // recall@10-in-one-plan shape as q96, but through the IVF path:
+    // coarse quantizer = per-label mean centroids (the q80 quantizer —
+    // deterministic, unlike q46's trained k-means), candidates = vectors
+    // whose nearest centroid is among the probe's nprobe=2 nearest
+    // lists, recall measured against the exact cosine top-10. Every
+    // ingredient is plain double arithmetic DuckDB reproduces (q80
+    // demonstrates the argmin agrees cross-engine).
+    Q("q89_ivf_recall",
+      (s, d) => {
+        val f = graft.CacheScope.retain(flat(s, d))
+        val cent = f.groupBy("label", "i").agg(avg("v").as("c"))
+          .select(col("label").as("clabel"), col("i").as("ci"), col("c"))
+        val d2t = graft.CacheScope.retain(
+          f.join(broadcast(cent), col("i") === col("ci"))
+            .groupBy("vec_id", "clabel")
+            .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("d2")))
+        val assign = d2t.groupBy("vec_id")
+          .agg(min(struct(col("d2"), col("clabel"))).as("m"))
+          .select(col("vec_id"), col("m.clabel").as("lst"))
+        val probe2 = d2t.filter(col("vec_id") === 0)
+          .orderBy("d2", "clabel").limit(2)
+          .select(col("clabel").as("lst"))
+        val cand = assign.filter(col("vec_id") =!= 0)
+          .join(broadcast(probe2), "lst").select("vec_id")
+        val exact10 = {
+          val qv = f.filter(col("vec_id") === 0)
+            .select(col("i").as("qi"), col("v").as("qv"))
+          val qn = qv.agg(sum(col("qv") * col("qv")).as("qn"))
+          f.filter(col("vec_id") =!= 0)
+            .join(broadcast(qv), col("i") === col("qi"))
+            .groupBy("vec_id")
+            .agg(sum(col("v") * col("qv")).as("dot"),
+              sum(col("v") * col("v")).as("nrm"))
+            .crossJoin(broadcast(qn))
+            .select(col("vec_id"),
+              round(col("dot") / (sqrt(col("nrm")) * sqrt(col("qn"))), 6)
+                .as("cos_sim"))
+            .orderBy(col("cos_sim").desc, col("vec_id"))
+            .limit(10)
+        }
+        val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+        val hits = exact10.join(cand, Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+        nCand.crossJoin(hits)
+          .select(col("n_candidates"), col("hits"),
+            round(col("hits").cast("double") / 10.0, 4).as("recall_at_10"))
+      },
+      Some(ivfRecallOracleSql)),
 
     // ---- q80: one k-means assignment step with the label centroids as
     // seeds: centroid = per-label mean vector (one aggregation), each
