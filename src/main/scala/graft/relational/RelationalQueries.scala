@@ -801,6 +801,36 @@ object RelationalQueries {
               FROM hours CROSS JOIN types LEFT JOIN c USING (event_type, hour)
               ORDER BY event_type, hour""")),
 
+    // ---- q90: cross-source reconciliation via FULL OUTER join — the
+    // ingest integrity check (which keys exist on only one side of two
+    // feeds). One shuffle on the join key after a map-side line rollup;
+    // the mismatch filter keeps the output at orphan-count scale.
+    Q("q90_order_reconcile",
+      (s, d) => {
+        val la = li(s, d).groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n_lines"))
+        ord(s, d).select(col("o_orderkey"), col("o_totalprice"))
+          .join(la, col("o_orderkey") === col("l_orderkey"), "full_outer")
+          .filter(col("o_orderkey").isNull || col("l_orderkey").isNull)
+          .select(
+            coalesce(col("o_orderkey"), col("l_orderkey")).as("orderkey"),
+            col("o_orderkey").isNotNull.as("in_orders"),
+            col("l_orderkey").isNotNull.as("in_lineitem"),
+            coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+            round(col("o_totalprice"), 2).as("totalprice"))
+          .orderBy("orderkey")
+      },
+      Some("""SELECT coalesce(o_orderkey, l_orderkey) AS orderkey,
+               o_orderkey IS NOT NULL AS in_orders,
+               l_orderkey IS NOT NULL AS in_lineitem,
+               coalesce(n_lines, 0) AS n_lines,
+               round(o_totalprice, 2) AS totalprice
+             FROM orders FULL OUTER JOIN
+               (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+                FROM lineitem GROUP BY 1) la ON o_orderkey = l_orderkey
+             WHERE o_orderkey IS NULL OR l_orderkey IS NULL
+             ORDER BY orderkey""")),
+
     // ---- q91: z-score outlier detection — per-type mean/stddev (one
     // tiny agg, broadcast back), flag |z| > 2.5. Constant-valued groups
     // (sigma = 0, where z is IEEE NaN/Inf) are excluded up front so the
