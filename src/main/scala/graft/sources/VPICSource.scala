@@ -84,8 +84,11 @@ object VPICSource {
     def walk(p: Path): Unit = {
       if (Files.isRegularFile(p.resolve(DataFile)))
         found += ((p.toString, p.getFileName.toString))
-      Files.list(p).iterator().asScala.filter(Files.isDirectory(_))
-        .toSeq.sortBy(_.toString).foreach(walk)
+      val st = Files.list(p) // close the dir stream: it holds an fd
+      val subdirs =
+        try st.iterator().asScala.filter(Files.isDirectory(_)).toSeq
+        finally st.close()
+      subdirs.sortBy(_.toString).foreach(walk)
     }
     walk(r)
     found.sortBy(_._1).toSeq
