@@ -433,6 +433,30 @@ object DedupQueries {
     sums.select(col("doc_id"), sig.as("simhash"))
   }
 
+  /** Per-ROW SimHash via higher-order array functions — bit-identical to
+    * [[simhashOf]] (same distinct token set, same h60, same ±1 sums) with
+    * ZERO shuffles: the explode path pays a distinct shuffle of every
+    * token plus the groupBy shuffle; this one is a stateless projection
+    * (stream-safe, like [[signaturesPerRow]]). The explode path remains
+    * for corpora with mega-documents, which it parallelizes across tasks.
+    */
+  def simhashPerRow(docs: DataFrame): DataFrame = {
+    val hs = expr(
+      """transform(array_distinct(split(text, ' ')),
+           t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))""")
+    val bitSums = (0 until SimHashBits).map { i =>
+      expr(s"""aggregate(hs, 0L,
+             (acc, h) -> acc + (CASE WHEN (h >> $i) % 2 = 1
+                                THEN 1L ELSE -1L END))""").as(s"b$i")
+    }
+    val sig = (0 until SimHashBits).map(i =>
+        when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
+      .reduce(_.bitwiseOR(_))
+    docs.withColumn("hs", hs)
+      .select(col("doc_id") +: bitSums: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+  }
+
   /** Signature agreement count between sig aliases `a` and `b` (SQL). */
   private def agreeSql: String = (0 until NumHashes)
     .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
@@ -739,8 +763,9 @@ object DedupQueries {
     * band-bucket candidates. Output: (doc_a, doc_b, hamming).
     */
   def simhashHammingPairs(docs: DataFrame): DataFrame = {
+    // per-row signature build: zero shuffles before the band join
     val sig = graft.CacheScope.retain(
-      simhashOf(docs).select("doc_id", "simhash"))
+      simhashPerRow(docs).select("doc_id", "simhash"))
     val bands = (0 until SimBands).map { b =>
       sig.select(col("doc_id"), lit(b).as("band"),
         shiftright(col("simhash"), b * SimBandBits)

@@ -105,6 +105,15 @@ class DedupSpec extends AnyFunSuite {
     assert(rows(4) == ((0L, 0L, 0.0)), "sub-window doc has no windows")
   }
 
+  test("per-row HOF simhash is bit-identical to the explode+groupBy path") {
+    val docs = graft.Tables.documents(spark, sf)
+    val agg = DedupQueries.simhashOf(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perRow = DedupQueries.simhashPerRow(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perRow == agg)
+  }
+
   test("per-row HOF signatures are bit-identical to the explode+groupBy path") {
     val docs = graft.Tables.documents(spark, sf)
     val agg = DedupQueries.minhashSignaturesOf(docs)
