@@ -337,6 +337,63 @@ object DedupQueries {
              JOIN norms nb ON vb = nb.vec_id
              ORDER BY cos_sim DESC, va, vb LIMIT 20""")),
 
+    // ---- q100: WEIGHTED sparse cosine pairs via inverted-index join —
+    // the missing tier of the similarity ladder (dense exact = q31, set
+    // exact = q67, set approx = q30): tf-idf-weighted token vectors,
+    // doc pairs scored through the shared-token posting join, never an
+    // all-pairs scan. The df table is the only corpus-wide data; the
+    // pair join is bounded by shared-term postings. Bounded to doc_id <
+    // 400 because the synthetic corpus's shared vocabulary makes the
+    // posting join quadratic-dense there (a natural corpus prunes it) —
+    // same rationale as q67's bound. Ranking/threshold on the ROUNDED
+    // cosine (suite convention) so cross-engine ulps cannot flip rows.
+    Q("q100_sparse_cosine_pairs",
+      (s, d) => {
+        val sub = Tables.documents(s, d).filter(col("doc_id") < SparseCosDocLimit)
+        val tf = sub.select(col("doc_id"),
+            explode(split(col("text"), " ")).as("token"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        val n = sub.agg(count(lit(1)).as("n_docs"))
+        val w = graft.CacheScope.retain(
+          tf.join(dfreq, Seq("token")).crossJoin(broadcast(n))
+            .select(col("doc_id"), col("token"),
+              (col("tf") * log(col("n_docs").cast("double") / col("df")))
+                .as("w")))
+        val nrm = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+        val a = w.select(col("doc_id").as("doc_a"), col("token"), col("w").as("wa"))
+        val b = w.select(col("doc_id").as("doc_b"), col("token"), col("w").as("wb"))
+        val dots = a.join(b, Seq("token"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(sum(col("wa") * col("wb")).as("dot"))
+        dots
+          .join(nrm.select(col("doc_id").as("doc_a"), col("nrm").as("na")), "doc_a")
+          .join(nrm.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            round(col("dot") / (col("na") * col("nb")), 4).as("cos_sim"))
+          .filter(col("cos_sim") >= SparseCosT)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH sub AS (SELECT * FROM documents WHERE doc_id < $SparseCosDocLimit),
+         tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM sub),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM sub),
+         w AS (SELECT doc_id, token, tf * ln(CAST(n_docs AS DOUBLE) / df) AS w
+               FROM tf JOIN df USING (token) CROSS JOIN n),
+         nrm AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM w GROUP BY 1),
+         dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    sum(a.w * b.w) AS dot
+                  FROM w a JOIN w b ON a.token = b.token
+                    AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+                round(dot / (na.nrm * nb.nrm), 4) AS cos_sim
+         FROM dots JOIN nrm na ON doc_a = na.doc_id
+                   JOIN nrm nb ON doc_b = nb.doc_id
+         WHERE round(dot / (na.nrm * nb.nrm), 4) >= $SparseCosT
+         ORDER BY doc_a, doc_b""")),
+
     // ---- q97: exact duplicated-substring detection — the suffix-free
     // Spark shape of "Deduplicating Training Data Makes Language Models
     // Better" (Lee et al. 2022): every w-token window is hashed (h60),
@@ -713,6 +770,13 @@ object DedupQueries {
     */
   val SetSimT = 0.85
   val SetSimDocLimit = 200
+
+  /** Threshold and doc bound for the tf-idf sparse cosine pair join
+    * (q100): 0.85 on the rounded cosine keeps the output at
+    * hundreds-of-pairs scale on the similarity-dense synthetic corpus.
+    */
+  val SparseCosT = 0.85
+  val SparseCosDocLimit = 400
 
   /** Exact set-similarity self-join with PREFIX FILTERING (PPJoin
     * family): order every doc's token set by ascending document
