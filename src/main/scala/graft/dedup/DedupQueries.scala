@@ -68,10 +68,6 @@ object DedupQueries {
   private def permC(i: Int): Long =
     scatter(BigInt(i) * BigInt("D6E8FEB86659FD93", 16) + 12345)
 
-  /** Per-doc MinHash signature: min over tokens of h_i(token) per
-    * permutation — one groupBy, signatures are NumHashes longs per doc.
-    * Scales as word-count does; no pairwise work yet.
-    */
   /** w-token shingle sets: sliding windows of `w` consecutive tokens.
     * Shingles carry positional context (token SETS cannot tell permuted
     * documents apart) and make the similarity graph sparse on natural
@@ -85,6 +81,10 @@ object DedupQueries {
                           i -> concat_ws(' ', slice(toks, i + 1, $w))))
            ELSE array() END""")).as("token"))
 
+  /** Per-doc MinHash signature: min over tokens of h_i(token) per
+    * permutation — one groupBy, signatures are NumHashes longs per doc.
+    * Scales as word-count does; no pairwise work yet.
+    */
   def minhashSignatures(s: SparkSession, d: String): DataFrame =
     minhashSignaturesOf(Tables.documents(s, d))
 
