@@ -394,6 +394,32 @@ object DedupQueries {
          WHERE round(dot / (na.nrm * nb.nrm), 4) >= $SparseCosT
          ORDER BY doc_a, doc_b""")),
 
+    // ---- q101: batch twin of the STREAMING incremental near-dup path
+    // (Streams.nearDupCandidatesStream): "arriving" docs (upper half of
+    // the corpus) band-bucket-joined against the "existing" corpus index
+    // (lower half), both through the per-row HOF signature builder. The
+    // oracle rebuilds bands via the explode-path CTEs — per-row and
+    // explode signatures are bit-identical (DedupSpec parity), so this
+    // hash-checks the whole streaming join end-to-end.
+    Q("q101_neardup_arrivals",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val split = NeardupArrivalSplit
+        graft.streaming.Streams.nearDupCandidatesStream(
+            docs.filter(col("doc_id") >= split),
+            bandBucketsPerRow(docs.filter(col("doc_id") < split)))
+          .distinct()
+          .orderBy("doc_id", "corpus_doc", "band")
+      },
+      Some(s"""WITH ${sigBandCtes("")},
+         inc AS (SELECT doc_id, band, bucket FROM bands
+                 WHERE doc_id >= $NeardupArrivalSplit),
+         corp AS (SELECT doc_id AS corpus_doc, band, bucket FROM bands
+                  WHERE doc_id < $NeardupArrivalSplit)
+         SELECT DISTINCT inc.doc_id, corp.corpus_doc, inc.band
+         FROM inc JOIN corp USING (band, bucket)
+         ORDER BY doc_id, corpus_doc, band""")),
+
     // ---- q97: exact duplicated-substring detection — the suffix-free
     // Spark shape of "Deduplicating Training Data Makes Language Models
     // Better" (Lee et al. 2022): every w-token window is hashed (h60),
@@ -777,6 +803,11 @@ object DedupQueries {
     */
   val SparseCosT = 0.85
   val SparseCosDocLimit = 400
+
+  /** q101's arrivals/corpus split point: docs at or above it play the
+    * arriving stream, docs below it the existing index.
+    */
+  val NeardupArrivalSplit = 250
 
   /** Exact set-similarity self-join with PREFIX FILTERING (PPJoin
     * family): order every doc's token set by ascending document
