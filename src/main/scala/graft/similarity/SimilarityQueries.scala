@@ -30,6 +30,43 @@ object SimilarityQueries {
     if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
   }
 
+  /** DuckDB twin of q102: q61's quantization rule, integer-dot candidate
+    * ranking (top-30), exact top-10, recall.
+    */
+  private val quantizedRecallOracleSql: String =
+    """WITH flat AS (SELECT vec_id, CAST(v AS DOUBLE) AS v, i FROM (
+           SELECT vec_id, unnest(embedding) AS v,
+                  generate_subscripts(embedding, 1) AS i FROM embeddings) x),
+      sc AS (SELECT vec_id, max(abs(v)) / 127.0 AS scale FROM flat GROUP BY 1),
+      qf AS (SELECT f.vec_id, f.i,
+               CASE WHEN scale = 0 THEN 0
+                    ELSE CAST(floor(v / scale + 0.5) AS BIGINT) END AS q
+             FROM flat f JOIN sc USING (vec_id)),
+      nq AS (SELECT vec_id, sum(q * q) AS nq FROM qf GROUP BY 1),
+      pq AS (SELECT i, q AS pq FROM qf WHERE vec_id = 0),
+      pn AS (SELECT nq AS pn FROM nq WHERE vec_id = 0),
+      qdots AS (SELECT qf.vec_id, sum(qf.q * pq.pq) AS qdot
+                FROM qf JOIN pq USING (i) WHERE qf.vec_id <> 0
+                GROUP BY 1),
+      cand AS (SELECT vec_id FROM (
+                 SELECT qd.vec_id,
+                        round(CAST(qdot AS DOUBLE)
+                          / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(pn AS DOUBLE))),
+                          6) AS qcos
+                 FROM qdots qd JOIN nq USING (vec_id) CROSS JOIN pn
+                 ORDER BY qcos DESC, vec_id LIMIT 30) t),
+      qv AS (SELECT i, v AS qv FROM flat WHERE vec_id = 0),
+      qn AS (SELECT sum(qv*qv) AS qn FROM qv),
+      dots AS (SELECT f.vec_id, sum(f.v*q.qv) AS dot, sum(f.v*f.v) AS nrm
+               FROM flat f JOIN qv q USING (i) WHERE f.vec_id <> 0
+               GROUP BY f.vec_id),
+      exact AS (SELECT vec_id,
+                  round(dot / (sqrt(nrm) * sqrt(qn)), 6) AS cos_sim
+                FROM dots, qn ORDER BY cos_sim DESC, vec_id LIMIT 10),
+      h AS (SELECT count(*) AS hits FROM exact
+            WHERE vec_id IN (SELECT vec_id FROM cand))
+      SELECT h.hits, round(h.hits / 10.0, 4) AS recall_at_10 FROM h"""
+
   /** DuckDB twin of q89: label-centroid quantizer + nprobe=2 candidate
     * lists + the q31 exact top-10, recall computed in SQL.
     */
@@ -386,6 +423,64 @@ object SimilarityQueries {
             round(col("hits").cast("double") / 10.0, 4).as("recall_at_10"))
       },
       Some(ivfRecallOracleSql)),
+
+    // ---- q102: the SEARCH leg of the int8 quantization story (q61
+    // stores; this searches): candidates = top-30 by QUANTIZED cosine
+    // (integer dot products of the q61-quantized vectors — exact 64-bit
+    // math in both engines), exact float re-rank of candidates only,
+    // recall@10 vs the global exact top-10. The 100 TB shape: the wide
+    // scan runs on 4x-smaller int8 data; floats are touched only for
+    // the candidate set.
+    Q("q102_quantized_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        // q61 quantization rule: scale = max|v|/127, q = floor(v/s + .5)
+        val q = graft.CacheScope.retain(
+          emb.select(col("vec_id"),
+              transform(col("embedding"), x => x.cast("double")).as("v"))
+            .withColumn("scale",
+              aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0)
+            .withColumn("q", when(col("scale") === 0.0,
+                transform(col("v"), _ => lit(0L)))
+              .otherwise(transform(col("v"),
+                x => floor(x / col("scale") + 0.5).cast("long"))))
+            .select(col("vec_id"), col("q"),
+              aggregate(col("q"), lit(0L), (a, x) => a + x * x).as("nq")))
+        val probe = q.filter(col("vec_id") === 0)
+        val pq = typedlit(probe.select("q").head().getSeq[Long](0).toArray)
+        val pn = probe.select("nq").head().getLong(0)
+        val cand = q.filter(col("vec_id") =!= 0)
+          .select(col("vec_id"),
+            round(aggregate(zip_with(col("q"), pq, (a, b) => a * b),
+                lit(0L), (a, x) => a + x).cast("double")
+              / (sqrt(col("nq").cast("double")) * math.sqrt(pn.toDouble)), 6)
+              .as("qcos"))
+          .orderBy(col("qcos").desc, col("vec_id"))
+          .limit(30)
+          .select("vec_id")
+        val exact10 = { // identical ranking rule to q31
+          val f = flat(s, d)
+          val qv = f.filter(col("vec_id") === 0)
+            .select(col("i").as("qi"), col("v").as("qv"))
+          val qn = qv.agg(sum(col("qv") * col("qv")).as("qn"))
+          f.filter(col("vec_id") =!= 0)
+            .join(broadcast(qv), col("i") === col("qi"))
+            .groupBy("vec_id")
+            .agg(sum(col("v") * col("qv")).as("dot"),
+              sum(col("v") * col("v")).as("nrm"))
+            .crossJoin(broadcast(qn))
+            .select(col("vec_id"),
+              round(col("dot") / (sqrt(col("nrm")) * sqrt(col("qn"))), 6)
+                .as("cos_sim"))
+            .orderBy(col("cos_sim").desc, col("vec_id"))
+            .limit(10)
+        }
+        val hits = exact10.join(cand, Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+        hits.select(col("hits"),
+          round(col("hits").cast("double") / 10.0, 4).as("recall_at_10"))
+      },
+      Some(quantizedRecallOracleSql)),
 
     // ---- q80: one k-means assignment step with the label centroids as
     // seeds: centroid = per-label mean vector (one aggregation), each
