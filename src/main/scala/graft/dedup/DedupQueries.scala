@@ -360,7 +360,12 @@ object DedupQueries {
             .select(col("doc_id"), col("token"),
               (col("tf") * log(col("n_docs").cast("double") / col("df")))
                 .as("w")))
+        // nrm = 0 (every token of the doc in every doc) would make
+        // cos_sim NaN, and Spark (NaN >= t false) and DuckDB (NaN sorts
+        // above all) disagree on NaN — exclude zero-weight docs in BOTH
+        // engines identically.
         val nrm = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+          .filter(col("nrm") > 0)
         val a = w.select(col("doc_id").as("doc_a"), col("token"), col("w").as("wa"))
         val b = w.select(col("doc_id").as("doc_b"), col("token"), col("w").as("wb"))
         val dots = a.join(b, Seq("token"))
@@ -381,7 +386,8 @@ object DedupQueries {
          n AS (SELECT count(*) AS n_docs FROM sub),
          w AS (SELECT doc_id, token, tf * ln(CAST(n_docs AS DOUBLE) / df) AS w
                FROM tf JOIN df USING (token) CROSS JOIN n),
-         nrm AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM w GROUP BY 1),
+         nrm AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM w GROUP BY 1
+                 HAVING sqrt(sum(w*w)) > 0),
          dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                     sum(a.w * b.w) AS dot
                   FROM w a JOIN w b ON a.token = b.token

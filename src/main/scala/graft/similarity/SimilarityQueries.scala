@@ -446,9 +446,14 @@ object SimilarityQueries {
                 x => floor(x / col("scale") + 0.5).cast("long"))))
             .select(col("vec_id"), col("q"),
               aggregate(col("q"), lit(0L), (a, x) => a + x * x).as("nq")))
-        val probe = q.filter(col("vec_id") === 0)
-        val pq = typedlit(probe.select("q").head().getSeq[Long](0).toArray)
-        val pn = probe.select("nq").head().getLong(0)
+        // one collect for both probe fields: runs the quantization job
+        // once, and a missing probe fails with a named error instead of
+        // a bare NoSuchElementException.
+        val probeRow = q.filter(col("vec_id") === 0).select("q", "nq")
+          .head(1).headOption.getOrElse(throw new IllegalStateException(
+            "q102: probe vector vec_id=0 missing from embeddings"))
+        val pq = typedlit(probeRow.getSeq[Long](0).toArray)
+        val pn = probeRow.getLong(1)
         val cand = q.filter(col("vec_id") =!= 0)
           .select(col("vec_id"),
             round(aggregate(zip_with(col("q"), pq, (a, b) => a * b),

@@ -91,15 +91,28 @@ object VPICSource {
       subdirs.sortBy(_.toString).foreach(walk)
     }
     walk(r)
-    found.sortBy(_._1).toSeq
+    // Rows and the SimDataset variable map key on the LEAF name, so two
+    // dataset paths with the same leaf (fields/ex vs hydro2/ex) would
+    // silently shadow each other downstream — reject them here with the
+    // colliding paths named, rather than return ambiguous labels.
+    val out = found.sortBy(_._1).toSeq
+    val dups = out.groupBy(_._2).filter(_._2.length > 1)
+    if (dups.nonEmpty)
+      throw new IllegalArgumentException(
+        "duplicate VPIC dataset leaf names (labels must be unique): " +
+          dups.map { case (l, ps) =>
+            s"$l <- ${ps.map(_._1).mkString(", ")}" }.mkString("; "))
+    out
   }
 
   /** get_vars projection: case-sensitive substring, FIRST match wins per
     * requested pattern (vpicdataset.py:206-213 incl. the documented
-    * substring edge cases).
+    * substring edge cases). The 'all' sentinel is checked ONLY in the
+    * head position, exactly like the reference's `get_vars[0] != 'all'`
+    * (vpicdataset.py:206) — `Seq("all", "ne")` selects everything.
     */
   def selectLabels(all: Seq[(String, String)], patterns: Seq[String]): Seq[(String, String)] =
-    if (patterns.isEmpty || patterns == Seq("all")) all
+    if (patterns.isEmpty || patterns.head == "all") all
     else patterns.flatMap(p => all.find { case (path, _) => path.contains(p) }).distinct
 
   def readHeader(dir: String): (Int, Int, Int) = {
@@ -261,7 +274,15 @@ private[sources] class VPICPartitionReader(p: VPICInputPartition,
     new FileInputStream(Paths.get(p.path, VPICSource.DataFile).toFile)))
   locally {
     var toSkip = 12L + p.t0.toLong * p.nz * p.nx * 8
-    while (toSkip > 0) toSkip -= in.skip(toSkip)
+    while (toSkip > 0) {
+      val n = in.skip(toSkip)
+      // skip() returns 0 at EOF on a truncated data.bin — fail the task
+      // with a diagnosable error instead of spinning forever.
+      if (n <= 0) throw new java.io.EOFException(
+        s"truncated ${p.path}/${VPICSource.DataFile}: " +
+          s"$toSkip bytes short of chunk it=${p.t0}")
+      toSkip -= n
+    }
   }
   private val varUtf8 = UTF8String.fromString(p.label)
   private var it = p.t0; private var iz = 0; private var ix = -1

@@ -26,6 +26,14 @@ object Streams {
     * Tables.events is applied on top. The result stays TIMESTAMP (ltz):
     * event-time watermarks reject TIMESTAMP_NTZ, and the session runs
     * UTC so the wall clock is identical.
+    *
+    * SIDE EFFECT (deliberate, cannot be scoped): sets
+    * `spark.sql.legacy.parquet.nanosAsLong=true` on the session. The
+    * flag is SQLConf-only (ParquetOptions exposes no per-read key) and
+    * is consulted at EVERY micro-batch scan for the stream's lifetime,
+    * so restoring it after this call would fail the next batch. Callers
+    * sharing the session with nanos-precision parquet reads that must
+    * surface as TIMESTAMP should use a separate session.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -82,6 +82,38 @@ class VPICSourceSpec extends AnyFunSuite {
     assert(ds.bounds.head === (0.0, 2.0))
   }
 
+  test("'all' in head position selects everything, like get_vars[0] != 'all'") {
+    // reference checks only the FIRST element (vpicdataset.py:206):
+    // ["all", "ne"] means every dataset, not a substring search for "all"
+    val sub = spark.read.format("graft-vpic")
+      .option("path", dir).option("vars", "all,ne").load()
+    assert(sub.select("var").distinct().count() === 3)
+  }
+
+  test("duplicate leaf names across dataset paths are rejected, not shadowed") {
+    val d2 = java.nio.file.Files.createTempDirectory("graft_vpic2").toString
+    VPICSource.writeMock(d2, Array(0.0), Array(0.0, 1.0), Array(0.0, 1.0),
+      Map("fields/ex" -> ((it, iz, ix) => 1.0),
+          "hydro2/ex" -> ((it, iz, ix) => 2.0)))
+    val e = intercept[IllegalArgumentException] { VPICSource.listVars(d2) }
+    assert(e.getMessage.contains("ex"))
+  }
+
+  test("truncated data.bin fails the read with EOFException, not a hang") {
+    val d3 = java.nio.file.Files.createTempDirectory("graft_vpic3").toString
+    VPICSource.writeMock(d3, Array(0.0, 1.0, 2.0), Array(0.0, 1.0), Array(0.0, 1.0),
+      Map("f/v" -> ((it, iz, ix) => it.toDouble)))
+    val bin = java.nio.file.Paths.get(d3, "f/v", VPICSource.DataFile)
+    val full = java.nio.file.Files.readAllBytes(bin)
+    java.nio.file.Files.write(bin, full.take(16)) // header + 4 bytes
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("graft-vpic").option("path", d3).load()
+        .filter(col("it") === 2).count() // chunk seek past the truncation
+    }
+    assert(e.getCause.toString.contains("EOFException")
+      || e.getMessage.contains("EOFException"))
+  }
+
   test("singleton mesh dims are squeezed from the axis list") {
     val d1 = java.nio.file.Files.createTempDirectory("graft_vpic1").toString
     VPICSource.writeMock(d1, Array(0.0, 1.0), Array(0.0), Array(0.0, 0.5),
