@@ -65,6 +65,27 @@ object StreamingQueries {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g)
               SELECT min(ts) AS w_start, user_id, count(*) AS n_events,
                      round(sum(value),4) AS sum_value
-              FROM sess GROUP BY user_id, sid ORDER BY user_id, w_start"""))
+              FROM sess GROUP BY user_id, sid ORDER BY user_id, w_start""")),
+
+    // ---- q103: batch twin of the CUSTOM-STATE streaming path. The SAME
+    // flatMapGroupsWithState function that runs incrementally under the
+    // state store in StreamsSpec (and its transformWithState twin,
+    // parity-asserted there) runs here in batch mode — each group
+    // visited once with empty initial state — so the per-user (n, total)
+    // produced by the stateful code path is oracle-checkable in DuckDB.
+    Q("q103_running_totals_state",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+            col("user_id"), col("event_type"), col("value"))
+          .as[Streams.EventRow]
+        Streams.runningTotals(ev).toDF()
+          .select(col("user_id"), col("n"), round(col("total"), 4).as("total"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH ${Tables.evCte}
+              SELECT user_id, count(*) AS n, round(sum(value), 4) AS total
+              FROM ev GROUP BY 1 ORDER BY user_id"""))
   )
 }

@@ -172,6 +172,43 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("fMGWS and transformWithState emit identical totals on the same batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val batches = Seq(
+      Seq(Streams.EventRow(1, ts(1), 7L, "click", 1.5),
+        Streams.EventRow(2, ts(2), 8L, "view", 2.0)),
+      Seq(Streams.EventRow(3, ts(3), 7L, "click", 2.5),
+        Streams.EventRow(4, ts(4), 9L, "view", 0.5)),
+      Seq(Streams.EventRow(5, ts(5), 8L, "view", 3.0)))
+    def run(name: String,
+        f: org.apache.spark.sql.Dataset[Streams.EventRow] =>
+          org.apache.spark.sql.Dataset[Streams.UserRunning]): Set[Streams.UserRunning] = {
+      val mem = MemoryStream[Streams.EventRow]
+      val q = f(mem.toDS()).writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try {
+        batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        spark.table(name).as[Streams.UserRunning].collect().toSet
+      } finally q.stop()
+    }
+    try {
+      val a = run("parity_fmgws", Streams.runningTotals)
+      val b = run("parity_tws", Streams.runningTotalsTws)
+      assert(a == b, s"fMGWS $a != transformWithState $b")
+      assert(a.contains(Streams.UserRunning(7L, 2L, 4.0)))
+      assert(a.contains(Streams.UserRunning(8L, 2L, 5.0)))
+    } finally prev match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("file-based eventsStream reads the raw parquet and matches batch results") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
