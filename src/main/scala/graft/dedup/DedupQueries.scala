@@ -348,57 +348,79 @@ object DedupQueries {
     // same rationale as q67's bound. Ranking/threshold on the ROUNDED
     // cosine (suite convention) so cross-engine ulps cannot flip rows.
     Q("q100_sparse_cosine_pairs",
+      (s, d) => sparseCosinePairs(
+          Tables.documents(s, d).filter(col("doc_id") < SparseCosDocLimit),
+          SparseCosT)
+        .orderBy("doc_a", "doc_b"),
+      Some(sparseCosOracleSql(s"WHERE doc_id < $SparseCosDocLimit", SparseCosT))),
+
+    // ---- q106: tf-idf cosine pairs with NO doc bound, on SHINGLE
+    // units. q100's bound exists because the corpus's 31-token shared
+    // vocabulary makes EVERY doc dense over every token dimension —
+    // no inverted-index method (not even All-Pairs prefix filtering)
+    // can prune a space with no rare features, in either engine. The
+    // scale answer is the same one q95 uses for exact clustering:
+    // change the unit to w-token shingles, whose vocabulary is large
+    // and postings sparse (max df 25 at sf0.1 vs 3.9k for tokens), so
+    // the full corpus runs unbounded in both engines and the twin
+    // pairs separate cleanly (twins >= 0.8, noise < 0.5 cosine).
+    Q("q106_sparse_cosine_full",
       (s, d) => {
-        val sub = Tables.documents(s, d).filter(col("doc_id") < SparseCosDocLimit)
-        val tf = sub.select(col("doc_id"),
-            explode(split(col("text"), " ")).as("token"))
-          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-        val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-        val n = sub.agg(count(lit(1)).as("n_docs"))
-        val w = graft.CacheScope.retain(
-          tf.join(dfreq, Seq("token")).crossJoin(broadcast(n))
-            .select(col("doc_id"), col("token"),
-              (col("tf") * log(col("n_docs").cast("double") / col("df")))
-                .as("w")))
-        // nrm = 0 (every token of the doc in every doc) would make
-        // cos_sim NaN, and Spark (NaN >= t false) and DuckDB (NaN sorts
-        // above all) disagree on NaN — exclude zero-weight docs in BOTH
-        // engines identically.
-        val nrm = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
-          .filter(col("nrm") > 0)
-        val a = w.select(col("doc_id").as("doc_a"), col("token"), col("w").as("wa"))
-        val b = w.select(col("doc_id").as("doc_b"), col("token"), col("w").as("wb"))
-        val dots = a.join(b, Seq("token"))
-          .filter(col("doc_a") < col("doc_b"))
-          .groupBy("doc_a", "doc_b").agg(sum(col("wa") * col("wb")).as("dot"))
-        dots
-          .join(nrm.select(col("doc_id").as("doc_a"), col("nrm").as("na")), "doc_a")
-          .join(nrm.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), "doc_b")
-          .select(col("doc_a"), col("doc_b"),
-            round(col("dot") / (col("na") * col("nb")), 4).as("cos_sim"))
-          .filter(col("cos_sim") >= SparseCosT)
+        val docs = Tables.documents(s, d)
+        sparseCosinePairsOf(shingleOccurrences(docs, ShingleW),
+            docs.agg(count(lit(1)).as("n_docs")), SparseCosFullT)
           .orderBy("doc_a", "doc_b")
       },
-      Some(s"""WITH sub AS (SELECT * FROM documents WHERE doc_id < $SparseCosDocLimit),
-         tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM sub),
-         tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
-         df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-         n AS (SELECT count(*) AS n_docs FROM sub),
-         w AS (SELECT doc_id, token, tf * ln(CAST(n_docs AS DOUBLE) / df) AS w
-               FROM tf JOIN df USING (token) CROSS JOIN n),
-         nrm AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM w GROUP BY 1
-                 HAVING sqrt(sum(w*w)) > 0),
-         dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                    sum(a.w * b.w) AS dot
-                  FROM w a JOIN w b ON a.token = b.token
-                    AND a.doc_id < b.doc_id
-                  GROUP BY 1, 2)
-         SELECT doc_a, doc_b,
-                round(dot / (na.nrm * nb.nrm), 4) AS cos_sim
-         FROM dots JOIN nrm na ON doc_a = na.doc_id
-                   JOIN nrm nb ON doc_b = nb.doc_id
-         WHERE round(dot / (na.nrm * nb.nrm), 4) >= $SparseCosT
-         ORDER BY doc_a, doc_b""")),
+      Some(sparseCosShingleOracleSql)),
+
+    // ---- q105: the exact prefix-filtered set-similarity join (q67's
+    // operator) with NO doc bound, on SHINGLE sets. Token sets cannot
+    // be un-bounded on this corpus in ANY engine: the 31-token
+    // vocabulary makes token sets near-complete, so the >= t OUTPUT is
+    // itself quadratic (35k identical-set pairs at sf0.1) — an
+    // ill-posed unit, not a plan problem. Shingle sets discriminate
+    // (twins >= 0.8 jaccard, noise < 0.5), so both the prefix-filtered
+    // plan and the brute-force oracle run the full corpus.
+    Q("q105_setsim_full",
+      (s, d) => setSimJoinOf(
+          graft.CacheScope.retain(
+            shingleSets(Tables.documents(s, d), ShingleW)),
+          SetSimFullT)
+        .orderBy("doc_a", "doc_b"),
+      Some(withShingleTok(setSimOracleSqlAt("", SetSimFullT)))),
+
+    // ---- q104: MEASURE the star-contraction recall trade. The q50
+    // policy verifies candidate edges member-vs-bucket-representative
+    // (linear CC input); the q95 policy verifies every candidate PAIR
+    // (exact, but quadratic per bucket). Run BOTH on the same unit
+    // (shingle signatures) and compare the partitions pair-wise:
+    // split_pairs = together under exact but separated by star (the
+    // recall loss), merged_pairs = together under star only (0 by
+    // construction: star edges are a subset-connectivity of the same
+    // verified relation — nonzero would flag a bug). One row out; the
+    // documented trade (DedupQueries star-verification note) becomes a
+    // hash-checked number.
+    Q("q104_cluster_policy_compare",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val sig = graft.CacheScope.retain(
+          signaturesFromTokens(shingleSets(docs, ShingleW)))
+        val star = dedupClustersStarFrom(docs, sig)
+          .select(col("doc_id"), col("cluster").as("cs"))
+        val ex = dedupClustersPairwiseOf(docs, sig)
+          .select(col("doc_id"), col("cluster").as("ce"))
+        val j = graft.CacheScope.retain(star.join(ex, "doc_id"))
+        def pairCount(keys: Seq[String], out: String) =
+          j.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+            .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)).as(out))
+        pairCount(Seq("ce"), "pairs_exact")
+          .crossJoin(pairCount(Seq("cs"), "pairs_star"))
+          .crossJoin(pairCount(Seq("cs", "ce"), "pairs_both"))
+          .select(col("pairs_exact"), col("pairs_star"), col("pairs_both"),
+            (col("pairs_exact") - col("pairs_both")).as("split_pairs"),
+            (col("pairs_star") - col("pairs_both")).as("merged_pairs"))
+      },
+      Some(clusterPolicyOracleSql)),
 
     // ---- q101: batch twin of the STREAMING incremental near-dup path
     // (Streams.nearDupCandidatesStream): "arriving" docs (upper half of
@@ -597,23 +619,31 @@ object DedupQueries {
 
   val ShingleW = 3
 
+  /** The `tok` CTE with w-token shingles (set semantics) in place of
+    * single tokens — patched into the token-unit CTE chains wherever a
+    * query runs on the shingle unit.
+    */
+  private lazy val shingleTokCteSql: String =
+    s"""tok AS (SELECT DISTINCT doc_id,
+         array_to_string(list_slice(toks, i, i + ${ShingleW - 1}), ' ') AS token
+       FROM (SELECT doc_id, toks,
+               unnest(range(1, greatest(len(toks) - ${ShingleW - 2}, 1))) AS i
+             FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents) d) x)"""
+
+  /** Patch the token-unit `tok` CTE inside `body` to the shingle unit. */
+  private def withShingleTok(body: String): String = {
+    val patched = body.replace(tokCte, shingleTokCteSql)
+    require(patched != body, "tok CTE substitution failed")
+    patched
+  }
+
   /** DuckDB twin of the shingle variant: the CTE chain is identical
     * except `tok` holds w-token shingles.
     */
-  private lazy val shingleOracleSql: String = {
-    val shingleTok =
-      s"""tok AS (SELECT DISTINCT doc_id,
-           array_to_string(list_slice(toks, i, i + ${ShingleW - 1}), ' ') AS token
-         FROM (SELECT doc_id, toks,
-                 unnest(range(1, greatest(len(toks) - ${ShingleW - 2}, 1))) AS i
-               FROM (SELECT doc_id, string_split(text, ' ') AS toks
-                     FROM documents) d) x)"""
-    val body = minhashCtes("")
-    val patched = body.replace(tokCte, shingleTok)
-    require(patched != body, "tok CTE substitution failed")
-    s"""WITH $patched
+  private lazy val shingleOracleSql: String =
+    s"""WITH ${withShingleTok(minhashCtes(""))}
        SELECT doc_a, doc_b, est_jaccard FROM pairs ORDER BY doc_a, doc_b"""
-  }
 
   /** CTE chain of the star-contracted clustering up to `cl(doc_id,
     * cluster)` — shared by the q50 oracle and the q99 keep-best oracle:
@@ -635,6 +665,36 @@ object DedupQueries {
              UNION
              SELECT e.s AS node, r.comp FROM e JOIN r ON e.t = r.node),
        cl AS (SELECT node AS doc_id, min(comp) AS cluster FROM r GROUP BY node)"""
+
+  /** Full statement computing the star-contracted clustering on the
+    * SHINGLE unit as `(doc_id, cluster)` — q104's star side.
+    */
+  private lazy val shingleStarClustersSelectSql: String =
+    s"""${withShingleTok(starClusterCtes)}
+       SELECT doc_id, cluster FROM cl"""
+
+  /** DuckDB twin of the q104 policy comparison: both clusterings as
+    * derived tables, then the pairwise partition contingency. Integer
+    * divisions stay integral (`//`, c*(c-1) is even) and the HUGEINT
+    * sums are cast back to BIGINT for hash parity.
+    */
+  private lazy val clusterPolicyOracleSql: String =
+    s"""WITH star AS (SELECT doc_id, cluster FROM ($shingleStarClustersSelectSql) s),
+       ex AS (SELECT doc_id, cluster FROM ($shingleClustersSelectSql) t),
+       j AS (SELECT s.cluster AS cs, e.cluster AS ce
+             FROM star s JOIN ex e USING (doc_id)),
+       ps AS (SELECT coalesce(sum(c*(c-1)//2), 0) AS p
+              FROM (SELECT count(*) AS c FROM j GROUP BY cs) x),
+       pe AS (SELECT coalesce(sum(c*(c-1)//2), 0) AS p
+              FROM (SELECT count(*) AS c FROM j GROUP BY ce) x),
+       pb AS (SELECT coalesce(sum(c*(c-1)//2), 0) AS p
+              FROM (SELECT count(*) AS c FROM j GROUP BY cs, ce) x)
+       SELECT CAST(pe.p AS BIGINT) AS pairs_exact,
+              CAST(ps.p AS BIGINT) AS pairs_star,
+              CAST(pb.p AS BIGINT) AS pairs_both,
+              CAST(pe.p - pb.p AS BIGINT) AS split_pairs,
+              CAST(ps.p - pb.p AS BIGINT) AS merged_pairs
+       FROM ps, pe, pb"""
 
   /** DuckDB twin of [[dedupClusters]]. */
   private lazy val starClustersOracleSql: String =
@@ -667,27 +727,24 @@ object DedupQueries {
   /** DuckDB twin of [[dedupClustersPairwiseOf]] over shingle sets (q95):
     * recursive min-label propagation over the exact est>=0.5 pair graph.
     */
-  private lazy val shingleClustersOracleSql: String = {
-    val shingleTok =
-      s"""tok AS (SELECT DISTINCT doc_id,
-           array_to_string(list_slice(toks, i, i + ${ShingleW - 1}), ' ') AS token
-         FROM (SELECT doc_id, toks,
-                 unnest(range(1, greatest(len(toks) - ${ShingleW - 2}, 1))) AS i
-               FROM (SELECT doc_id, string_split(text, ' ') AS toks
-                     FROM documents) d) x)"""
-    val body = minhashCtes("")
-    val patched = body.replace(tokCte, shingleTok)
-    require(patched != body, "tok CTE substitution failed")
-    s"""WITH RECURSIVE $patched,
+  /** Full statement computing the exact-pairwise shingle clustering as
+    * `(doc_id, cluster)` — the body of the q95 oracle, reused as a
+    * derived table by the q104 policy comparison.
+    */
+  private lazy val shingleClustersSelectSql: String =
+    s"""WITH RECURSIVE ${withShingleTok(minhashCtes(""))},
        e AS (SELECT doc_a AS s, doc_b AS t FROM pairs
              UNION ALL SELECT doc_b, doc_a FROM pairs),
        r AS (SELECT doc_id AS node, doc_id AS comp FROM documents
              UNION
              SELECT e.s AS node, r.comp FROM e JOIN r ON e.t = r.node),
        cl AS (SELECT node AS doc_id, min(comp) AS cluster FROM r GROUP BY node)
+       SELECT doc_id, cluster FROM cl"""
+
+  private lazy val shingleClustersOracleSql: String =
+    s"""WITH base AS ($shingleClustersSelectSql)
        SELECT doc_id, cluster, doc_id = cluster AS is_canonical
-       FROM cl ORDER BY doc_id"""
-  }
+       FROM base ORDER BY doc_id"""
 
   /** Star-edge contraction of the LSH candidate graph: every band bucket
     * contracts to member -> min(member) edges instead of the O(|bucket|²)
@@ -757,8 +814,15 @@ object DedupQueries {
       .orderBy("cluster")
   }
 
-  def dedupClustersStarOf(docs: DataFrame): DataFrame = {
-    val sig = graft.CacheScope.retain(minhashSignaturesOf(docs))
+  def dedupClustersStarOf(docs: DataFrame): DataFrame =
+    dedupClustersStarFrom(docs,
+      graft.CacheScope.retain(minhashSignaturesOf(docs)))
+
+  /** The star-contracted policy over caller-supplied signatures (token
+    * or shingle unit) — `sig` is read twice (edges + verification), so
+    * callers should pass a retained/persisted frame.
+    */
+  def dedupClustersStarFrom(docs: DataFrame, sig: DataFrame): DataFrame = {
     val se = starEdges(sig)
     val a = sig.as("a"); val b = sig.as("b")
     val agree = (0 until NumHashes)
@@ -810,6 +874,130 @@ object DedupQueries {
   val SparseCosT = 0.85
   val SparseCosDocLimit = 400
 
+  /** Full-corpus thresholds (q105/q106): high enough that the output is
+    * twins-only, so no doc bound is needed in either engine. Both
+    * shingle-unit distributions are bimodal (twins >= 0.8, noise
+    * < 0.5), so the thresholds sit in the gap with margin on both
+    * sides.
+    */
+  val SparseCosFullT = 0.6
+  val SetSimFullT = 0.7
+
+  /** Tf-idf-weighted cosine pairs via the inverted-index (posting-list)
+    * join: pair dots come only from shared-token postings, so the work
+    * is Σ_token df² — LINEAR in corpus size whenever the unit is sparse
+    * (df bounded). The unit choice is the scale decision: q100 runs
+    * word tokens on a bounded subset (this corpus's 31-word vocabulary
+    * makes token postings quadratic-dense — no index can fix a unit
+    * with no rare features), q106 runs shingles unbounded (max df 25 at
+    * sf0.1).
+    *
+    * MEASURED dead end, for the record: All-Pairs prefix filtering
+    * (Bayardo, Ma & Srikant, WWW 2007 — order tokens by descending
+    * corpus-max normalized weight, index only the prefix whose tail
+    * bound can still reach t) was implemented and benchmarked here. On
+    * token units it prunes nothing (every doc is dense over every
+    * dimension), and on shingle units the idf-flat weights keep ~all
+    * postings in the prefix while its candidate+verify re-join doubles
+    * the work (8.0 s vs ~2 s at sf0.1). Prefix filtering pays off on
+    * skewed natural vocabularies; for this suite the plain posting join
+    * is both simpler and faster. Output: (doc_a, doc_b, cos_sim),
+    * unsorted; thresholds on the 4-dp ROUNDED cosine (suite
+    * convention).
+    */
+  def sparseCosinePairs(sub: DataFrame, t: Double): DataFrame =
+    sparseCosinePairsOf(
+      sub.select(col("doc_id"), explode(split(col("text"), " ")).as("token")),
+      sub.agg(count(lit(1)).as("n_docs")), t)
+
+  /** Token-occurrence stream of w-token shingles (WITH multiplicity —
+    * [[shingleSets]] is the distinct variant): the sparse-vector unit
+    * whose document frequencies stay low on any corpus, including one
+    * with a tiny word vocabulary.
+    */
+  def shingleOccurrences(docs: DataFrame, w: Int): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(toks) >= $w
+           THEN transform(sequence(0, size(toks) - $w),
+                          i -> concat_ws(' ', slice(toks, i + 1, $w)))
+           ELSE array() END""")).as("token"))
+
+  /** [[sparseCosinePairs]] over an arbitrary (doc_id, token) unit stream
+    * (tokens with multiplicity; `nDocs` supplies the single-row
+    * n_docs idf denominator).
+    */
+  def sparseCosinePairsOf(units: DataFrame, nDocs: DataFrame, t: Double): DataFrame = {
+    val tf = units.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = nDocs
+    val w = graft.CacheScope.retain(
+      tf.join(dfreq, Seq("token")).crossJoin(broadcast(n))
+        .select(col("doc_id"), col("token"),
+          (col("tf") * log(col("n_docs").cast("double") / col("df")))
+            .as("w")))
+    // nrm = 0 (every token of the doc in every doc) would make cos_sim
+    // NaN, and Spark (NaN >= t false) and DuckDB (NaN sorts above all)
+    // disagree on NaN — exclude zero-weight docs in BOTH engines
+    // identically.
+    val nrm = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+      .filter(col("nrm") > 0)
+    val a = w.select(col("doc_id").as("doc_a"), col("token"), col("w").as("wa"))
+    val b = w.select(col("doc_id").as("doc_b"), col("token"), col("w").as("wb"))
+    val dots = a.join(b, Seq("token"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(sum(col("wa") * col("wb")).as("dot"))
+    dots
+      .join(nrm.select(col("doc_id").as("doc_a"), col("nrm").as("na")), "doc_a")
+      .join(nrm.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("dot") / (col("na") * col("nb")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= t)
+  }
+
+  /** DuckDB twin of [[sparseCosinePairs]] over an optionally bounded doc
+    * subset at threshold `t`.
+    */
+  private def sparseCosOracleSql(where: String, t: Double): String =
+    sparseCosOracleBody(
+      s"""sub AS (SELECT * FROM documents $where),
+         tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM sub)""",
+      "SELECT count(*) AS n_docs FROM sub", t)
+
+  /** DuckDB twin of the q106 shingle-unit variant: identical body, tok
+    * holds w-token shingles WITH multiplicity, n_docs counts all docs.
+    */
+  private lazy val sparseCosShingleOracleSql: String =
+    sparseCosOracleBody(
+      s"""tok AS (SELECT doc_id,
+           array_to_string(list_slice(toks, i, i + ${ShingleW - 1}), ' ') AS token
+         FROM (SELECT doc_id, toks,
+                 unnest(range(1, greatest(len(toks) - ${ShingleW - 2}, 1))) AS i
+               FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                     FROM documents) d) x)""",
+      "SELECT count(*) AS n_docs FROM documents", SparseCosFullT)
+
+  private def sparseCosOracleBody(tokCtes: String, nSql: String, t: Double): String =
+    s"""WITH $tokCtes,
+       tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+       df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       n AS ($nSql),
+       w AS (SELECT doc_id, token, tf * ln(CAST(n_docs AS DOUBLE) / df) AS w
+             FROM tf JOIN df USING (token) CROSS JOIN n),
+       nrm AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM w GROUP BY 1
+               HAVING sqrt(sum(w*w)) > 0),
+       dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  sum(a.w * b.w) AS dot
+                FROM w a JOIN w b ON a.token = b.token
+                  AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+       SELECT doc_a, doc_b,
+              round(dot / (na.nrm * nb.nrm), 4) AS cos_sim
+       FROM dots JOIN nrm na ON doc_a = na.doc_id
+                 JOIN nrm nb ON doc_b = nb.doc_id
+       WHERE round(dot / (na.nrm * nb.nrm), 4) >= $t
+       ORDER BY doc_a, doc_b"""
+
   /** q101's arrivals/corpus split point: docs at or above it play the
     * arriving stream, docs below it the existing index.
     */
@@ -824,8 +1012,16 @@ object DedupQueries {
     * verification of candidates returns EXACTLY the brute-force result —
     * without the O(n²) pair scan. Output: (doc_a, doc_b, jaccard).
     */
-  def setSimJoin(docs: DataFrame, t: Double): DataFrame = {
-    val tok = graft.CacheScope.retain(tokenSetsOf(docs))
+  def setSimJoin(docs: DataFrame, t: Double): DataFrame =
+    setSimJoinOf(graft.CacheScope.retain(tokenSetsOf(docs)), t)
+
+  /** [[setSimJoin]] over an arbitrary (doc_id, token) SET stream —
+    * shingle sets for corpora whose word vocabulary is too small for
+    * set units to discriminate. `tok` is read three times (frequency
+    * ranking, candidate prefixes, verification), so callers pass a
+    * retained/persisted frame.
+    */
+  def setSimJoinOf(tok: DataFrame, t: Double): DataFrame = {
     val dfreq = tok.groupBy("token").agg(count(lit(1)).as("df"))
     // ONE window pass (shuffle by doc_id) yields both the frequency rank
     // and the set size; prefix rows then CARRY their size through the
@@ -923,8 +1119,11 @@ object DedupQueries {
        WHERE bit_count(xor(a.sh, b.sh)) <= $HammingMax
        ORDER BY doc_a, doc_b"""
 
-  private lazy val setSimOracleSql: String =
-    s"""WITH ${tokCteWhere(s"WHERE doc_id < $SetSimDocLimit")},
+  /** Brute-force O(n²) DuckDB twin of [[setSimJoin]] over an optionally
+    * bounded doc subset at threshold `t`.
+    */
+  private def setSimOracleSqlAt(where: String, t: Double): String =
+    s"""WITH ${tokCteWhere(where)},
        sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
                  FROM tok a JOIN tok b
@@ -934,6 +1133,9 @@ object DedupQueries {
               round(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni), 6) AS jaccard
        FROM inter JOIN sizes sa ON doc_a = sa.doc_id
                   JOIN sizes sb ON doc_b = sb.doc_id
-       WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= $SetSimT
+       WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= $t
        ORDER BY doc_a, doc_b"""
+
+  private lazy val setSimOracleSql: String =
+    setSimOracleSqlAt(s"WHERE doc_id < $SetSimDocLimit", SetSimT)
 }
