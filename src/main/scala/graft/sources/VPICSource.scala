@@ -39,26 +39,40 @@ import org.apache.spark.unsafe.types.UTF8String
   *     story of the reference, executed as scan pruning).
   */
 object VPICSource {
+  /** Full z,y,x data plane (the reference's axis order, "DEFAULT LABEL
+    * FOR EACH SPATIAL DIMENSION GOES Z,Y,X", vpicdataset.py:130-131): a
+    * 2-D run is simply a tree whose y axis is a singleton — degenerate
+    * axes are squeezed from the MESH at load ([[loadDataset]]), while
+    * index columns stay in the rows (they cost nothing under column
+    * pruning and keep the schema stable across runs).
+    */
   val Schema: StructType = StructType(Seq(
     StructField("var", StringType, nullable = false),
     StructField("it", IntegerType, nullable = false),
     StructField("iz", IntegerType, nullable = false),
+    StructField("iy", IntegerType, nullable = false),
     StructField("ix", IntegerType, nullable = false),
     StructField("value", DoubleType, nullable = false)))
 
   val DataFile = "data.bin"
   val InfoFile = "info.json"
+  /** data.bin header: nt, nz, ny, nx as big-endian ints. */
+  val HeaderBytes = 16
 
   /** Write a mock VPIC tree: `vars` maps dataset paths ("fields/ex") to
-    * value generators f(it, iz, ix). Dev/test producer for the reader.
+    * value generators f(it, iz, iy, ix). Dev/test producer for the
+    * reader. Layout is row-major in z,y,x order (time outermost), the
+    * reference's data order.
     */
   def writeMock(dir: String, time: Array[Double], zAxis: Array[Double],
-      xAxis: Array[Double], vars: Map[String, (Int, Int, Int) => Double]): Unit = {
+      yAxis: Array[Double], xAxis: Array[Double],
+      vars: Map[String, (Int, Int, Int, Int) => Double]): Unit = {
     val root = Paths.get(dir)
     Files.createDirectories(root)
     val axes =
       s"""{"time":${time.mkString("[", ",", "]")},
          |"axes":{"iz":${zAxis.mkString("[", ",", "]")},
+         |"iy":${yAxis.mkString("[", ",", "]")},
          |"ix":${xAxis.mkString("[", ",", "]")}}}""".stripMargin
     Files.writeString(root.resolve(InfoFile), axes)
     vars.foreach { case (path, f) =>
@@ -67,12 +81,22 @@ object VPICSource {
       val out = new DataOutputStream(new java.io.BufferedOutputStream(
         new FileOutputStream(vdir.resolve(DataFile).toFile)))
       try {
-        out.writeInt(time.length); out.writeInt(zAxis.length); out.writeInt(xAxis.length)
-        for (it <- time.indices; iz <- zAxis.indices; ix <- xAxis.indices)
-          out.writeDouble(f(it, iz, ix))
+        out.writeInt(time.length); out.writeInt(zAxis.length)
+        out.writeInt(yAxis.length); out.writeInt(xAxis.length)
+        for (it <- time.indices; iz <- zAxis.indices;
+             iy <- yAxis.indices; ix <- xAxis.indices)
+          out.writeDouble(f(it, iz, iy, ix))
       } finally out.close()
     }
   }
+
+  /** 2-D convenience producer (singleton y axis). */
+  def writeMock2d(dir: String, time: Array[Double], zAxis: Array[Double],
+      xAxis: Array[Double], vars: Map[String, (Int, Int, Int) => Double]): Unit =
+    writeMock(dir, time, zAxis, Array(0.0), xAxis,
+      vars.map { case (p, f) =>
+        p -> ((it: Int, iz: Int, _: Int, ix: Int) => f(it, iz, ix))
+      })
 
   /** All dataset paths under root (dirs containing data.bin), sorted —
     * the reader.datasets listing (vpicdataset.py:196).
@@ -115,10 +139,11 @@ object VPICSource {
     if (patterns.isEmpty || patterns.head == "all") all
     else patterns.flatMap(p => all.find { case (path, _) => path.contains(p) }).distinct
 
-  def readHeader(dir: String): (Int, Int, Int) = {
+  def readHeader(dir: String): (Int, Int, Int, Int) = {
     val in = new DataInputStream(new FileInputStream(
       Paths.get(dir, DataFile).toFile))
-    try (in.readInt(), in.readInt(), in.readInt()) finally in.close()
+    try (in.readInt(), in.readInt(), in.readInt(), in.readInt())
+    finally in.close()
   }
 
   /** Reconstruct a [[graft.grid.SimDataset]] from a VPIC tree — the
@@ -241,11 +266,11 @@ private[sources] class VPICScan(root: String, vars: Seq[String], chunkSteps: Int
       case _ => ()
     }
     labels.flatMap { case (path, label) =>
-      val (nt, nz, nx) = VPICSource.readHeader(path)
+      val (nt, nz, ny, nx) = VPICSource.readHeader(path)
       val lo = math.max(0, itLo); val hi = math.min(nt - 1, itHi)
       (lo to hi by chunkSteps).map { t0 =>
         VPICInputPartition(path, label, t0,
-          math.min(t0 + chunkSteps - 1, hi), nz, nx)
+          math.min(t0 + chunkSteps - 1, hi), nz, ny, nx)
       }
     }.toArray
   }
@@ -255,7 +280,7 @@ private[sources] class VPICScan(root: String, vars: Seq[String], chunkSteps: Int
 }
 
 private[sources] case class VPICInputPartition(path: String, label: String,
-    t0: Int, t1: Int, nz: Int, nx: Int) extends InputPartition
+    t0: Int, t1: Int, nz: Int, ny: Int, nx: Int) extends InputPartition
 
 private[sources] class VPICReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {
@@ -267,13 +292,20 @@ private[sources] class VPICReaderFactory(fields: Array[String])
 
 /** Streams one (variable, time-chunk): seeks past the header and earlier
   * chunks, then reads doubles sequentially — no full-file materialization.
+  *
+  * Hot loop: ONE mutable row is reused across `get()` calls and the
+  * field-name -> source mapping is resolved once at construction — the
+  * innermost scan loop does no allocation and no string matching
+  * (downstream copies values out before the next `next()`, the standard
+  * DSv2 row-reuse contract).
   */
 private[sources] class VPICPartitionReader(p: VPICInputPartition,
     fields: Array[String]) extends PartitionReader[InternalRow] {
   private val in = new DataInputStream(new BufferedInputStream(
     new FileInputStream(Paths.get(p.path, VPICSource.DataFile).toFile)))
   locally {
-    var toSkip = 12L + p.t0.toLong * p.nz * p.nx * 8
+    var toSkip = VPICSource.HeaderBytes.toLong +
+      p.t0.toLong * p.nz * p.ny * p.nx * 8
     while (toSkip > 0) {
       val n = in.skip(toSkip)
       // skip() returns 0 at EOF on a truncated data.bin — fail the task
@@ -284,27 +316,44 @@ private[sources] class VPICPartitionReader(p: VPICInputPartition,
       toSkip -= n
     }
   }
-  private val varUtf8 = UTF8String.fromString(p.label)
-  private var it = p.t0; private var iz = 0; private var ix = -1
+  private var it = p.t0; private var iz = 0; private var iy = 0
+  private var ix = -1
   private var v = 0.0
+
+  // 0=it 1=iz 2=iy 3=ix 4=value 5=var; var is constant, written once
+  private val tags: Array[Int] = fields.map(Map(
+    "it" -> 0, "iz" -> 1, "iy" -> 2, "ix" -> 3, "value" -> 4, "var" -> 5))
+  private val row = new GenericInternalRow(fields.length)
+  locally {
+    val vi = tags.indexOf(5)
+    if (vi >= 0) row.update(vi, UTF8String.fromString(p.label))
+  }
 
   override def next(): Boolean = {
     ix += 1
-    if (ix == p.nx) { ix = 0; iz += 1 }
+    if (ix == p.nx) { ix = 0; iy += 1 }
+    if (iy == p.ny) { iy = 0; iz += 1 }
     if (iz == p.nz) { iz = 0; it += 1 }
     if (it > p.t1) return false
     v = in.readDouble()
     true
   }
 
-  override def get(): InternalRow =
-    new GenericInternalRow(fields.map[Any] {
-      case "var" => varUtf8
-      case "it" => it
-      case "iz" => iz
-      case "ix" => ix
-      case "value" => v
-    })
+  override def get(): InternalRow = {
+    var i = 0
+    while (i < tags.length) {
+      tags(i) match {
+        case 0 => row.setInt(i, it)
+        case 1 => row.setInt(i, iz)
+        case 2 => row.setInt(i, iy)
+        case 3 => row.setInt(i, ix)
+        case 4 => row.setDouble(i, v)
+        case _ => () // var: constant, already set
+      }
+      i += 1
+    }
+    row
+  }
 
   override def close(): Unit = in.close()
 }

@@ -20,29 +20,34 @@ class VPICPropertiesSpec extends AnyFunSuite {
   private val shapes = for {
     nt <- Gen.choose(1, 6)
     nz <- Gen.choose(1, 4)
+    ny <- Gen.choose(1, 3) // 1 = the degenerate-y (2-D) case
     nx <- Gen.choose(1, 5)
     chunk <- Gen.choose(1, 7)
     lo <- Gen.choose(0, nt - 1)
     hi <- Gen.choose(lo, nt - 1)
-  } yield (nt, nz, nx, chunk, lo, hi)
+  } yield (nt, nz, ny, nx, chunk, lo, hi)
 
   test("random shapes x chunk sizes x it-windows read exactly the written cells") {
-    samples(shapes, 12).foreach { case (nt, nz, nx, chunk, lo, hi) =>
+    samples(shapes, 12).foreach { case (nt, nz, ny, nx, chunk, lo, hi) =>
       val dir = java.nio.file.Files.createTempDirectory("vpic_prop").toString
-      def f(it: Int, iz: Int, ix: Int): Double = it * 10000.0 + iz * 100.0 + ix
+      def f(it: Int, iz: Int, iy: Int, ix: Int): Double =
+        it * 100000.0 + iz * 1000.0 + iy * 100.0 + ix
       VPICSource.writeMock(dir,
         Array.tabulate(nt)(_.toDouble), Array.tabulate(nz)(_ * 0.5),
-        Array.tabulate(nx)(_ * 0.25), Map("g/v" -> (f _)))
+        Array.tabulate(ny)(_ * 0.75), Array.tabulate(nx)(_ * 0.25),
+        Map("g/v" -> (f _)))
       val scan = spark.read.format("graft-vpic")
         .option("path", dir).option("chunkSteps", chunk.toString).load()
       val got = scan.filter(col("it") >= lo && col("it") <= hi)
-        .select("it", "iz", "ix", "value").collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+        .select("it", "iz", "iy", "ix", "value").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getDouble(4)))
         .toSet
-      val want = (for (it <- lo to hi; iz <- 0 until nz; ix <- 0 until nx)
-        yield (it, iz, ix, f(it, iz, ix))).toSet
+      val want = (for (it <- lo to hi; iz <- 0 until nz; iy <- 0 until ny;
+          ix <- 0 until nx)
+        yield (it, iz, iy, ix, f(it, iz, iy, ix))).toSet
       assert(got == want,
-        s"shape nt=$nt nz=$nz nx=$nx chunk=$chunk window=[$lo,$hi]")
+        s"shape nt=$nt nz=$nz ny=$ny nx=$nx chunk=$chunk window=[$lo,$hi]")
     }
   }
 }

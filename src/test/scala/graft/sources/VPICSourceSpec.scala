@@ -13,7 +13,7 @@ class VPICSourceSpec extends AnyFunSuite {
 
   private lazy val dir: String = {
     val d = java.nio.file.Files.createTempDirectory("graft_vpic").toString
-    VPICSource.writeMock(d,
+    VPICSource.writeMock2d(d,
       time = Array(0.0, 0.5, 1.0, 1.5, 2.0),
       zAxis = Array(0.0, 0.25, 0.5),
       xAxis = Array(0.0, 0.25, 0.5, 0.75),
@@ -92,7 +92,7 @@ class VPICSourceSpec extends AnyFunSuite {
 
   test("duplicate leaf names across dataset paths are rejected, not shadowed") {
     val d2 = java.nio.file.Files.createTempDirectory("graft_vpic2").toString
-    VPICSource.writeMock(d2, Array(0.0), Array(0.0, 1.0), Array(0.0, 1.0),
+    VPICSource.writeMock2d(d2, Array(0.0), Array(0.0, 1.0), Array(0.0, 1.0),
       Map("fields/ex" -> ((it, iz, ix) => 1.0),
           "hydro2/ex" -> ((it, iz, ix) => 2.0)))
     val e = intercept[IllegalArgumentException] { VPICSource.listVars(d2) }
@@ -101,11 +101,11 @@ class VPICSourceSpec extends AnyFunSuite {
 
   test("truncated data.bin fails the read with EOFException, not a hang") {
     val d3 = java.nio.file.Files.createTempDirectory("graft_vpic3").toString
-    VPICSource.writeMock(d3, Array(0.0, 1.0, 2.0), Array(0.0, 1.0), Array(0.0, 1.0),
+    VPICSource.writeMock2d(d3, Array(0.0, 1.0, 2.0), Array(0.0, 1.0), Array(0.0, 1.0),
       Map("f/v" -> ((it, iz, ix) => it.toDouble)))
     val bin = java.nio.file.Paths.get(d3, "f/v", VPICSource.DataFile)
     val full = java.nio.file.Files.readAllBytes(bin)
-    java.nio.file.Files.write(bin, full.take(16)) // header + 4 bytes
+    java.nio.file.Files.write(bin, full.take(20)) // header + half a double
     val e = intercept[org.apache.spark.SparkException] {
       spark.read.format("graft-vpic").option("path", d3).load()
         .filter(col("it") === 2).count() // chunk seek past the truncation
@@ -116,9 +116,34 @@ class VPICSourceSpec extends AnyFunSuite {
 
   test("singleton mesh dims are squeezed from the axis list") {
     val d1 = java.nio.file.Files.createTempDirectory("graft_vpic1").toString
-    VPICSource.writeMock(d1, Array(0.0, 1.0), Array(0.0), Array(0.0, 0.5),
+    VPICSource.writeMock2d(d1, Array(0.0, 1.0), Array(0.0), Array(0.0, 0.5),
       Map("f/v" -> ((it, iz, ix) => it + ix.toDouble)))
     val ds = VPICSource.loadDataset(spark, d1)
     assert(ds.variables("v").spaceAxes.map(_._1) === Seq("ix"))
+  }
+
+  test("non-degenerate 3-D (z,y,x) tree ingests with a full iy axis") {
+    val d4 = java.nio.file.Files.createTempDirectory("graft_vpic4").toString
+    def f(it: Int, iz: Int, iy: Int, ix: Int): Double =
+      it * 1000.0 + iz * 100.0 + iy * 10.0 + ix
+    VPICSource.writeMock(d4,
+      time = Array(0.0, 1.0, 2.0),
+      zAxis = Array(0.0, 0.5),
+      yAxis = Array(0.0, 0.25, 0.5),
+      xAxis = Array(0.0, 1.0, 2.0, 3.0),
+      vars = Map("fields/bz" -> (f _)))
+    val df = spark.read.format("graft-vpic").option("path", d4).load()
+    assert(df.count() === 3L * 2 * 3 * 4)
+    val r = df.filter(col("it") === 2 && col("iz") === 1
+      && col("iy") === 2 && col("ix") === 3).head()
+    assert(r.getAs[Double]("value") === f(2, 1, 2, 3))
+    // loadDataset keeps all three space axes and joins y coordinates
+    val ds = VPICSource.loadDataset(spark, d4)
+    val v = ds.variables("bz")
+    assert(v.spaceAxes.map(_._1) === Seq("iz", "iy", "ix"))
+    val row = v.df.filter(col("it") === 1 && col("iz") === 0
+      && col("iy") === 1 && col("ix") === 2).head()
+    assert(row.getAs[Double]("y") === 0.25)
+    assert(row.getAs[Double]("value") === f(1, 0, 1, 2))
   }
 }
