@@ -66,9 +66,17 @@ object GridOps {
     * `dim` = "iz" (partition by it, ix) or "ix" (partition by it, iz).
     */
   def gradient(df: DataFrame, value: String, dim: String, h: Double,
-      out: String): DataFrame = {
-    val part = if (dim == "iz") Seq("it", "ix") else Seq("it", "iz")
-    val w = Window.partitionBy(part.map(col): _*).orderBy(dim)
+      out: String): DataFrame =
+    gradientAxes(df, value, dim,
+      if (dim == "iz") Seq("it", "ix") else Seq("it", "iz"), h, out)
+
+  /** [[gradient]] with an explicit partition-key list — the n-d form:
+    * `others` = every index dimension EXCEPT `dim` (time included), so a
+    * 3-D field differentiates along iy with others = (it, iz, ix).
+    */
+  def gradientAxes(df: DataFrame, value: String, dim: String,
+      others: Seq[String], h: Double, out: String): DataFrame = {
+    val w = Window.partitionBy(others.map(col): _*).orderBy(dim)
     val fp = lead(col(value), 1).over(w)
     val fm = lag(col(value), 1).over(w)
     df.withColumn(out,
@@ -136,13 +144,25 @@ object GridOps {
     * fully inside whole-stage codegen.
     */
   def gaussianSmooth(df: DataFrame, value: String, sigma: Double,
-      nz: Int, nx: Int, out: String): DataFrame = {
+      nz: Int, nx: Int, out: String): DataFrame =
+    gaussianSmoothAxes(df, value, sigma, Seq("iz" -> nz, "ix" -> nx), out)
+
+  /** Separable n-d Gaussian smoothing over an arbitrary index-dimension
+    * list (the reference's z,y,x model at full rank, vpicdataset.py:
+    * 197-204): one ghost-padded window pass per dimension, partitioned
+    * by `it` plus every OTHER dimension — d shuffles for a d-dim grid,
+    * same per-pass shape the 2-D operator has. Separability makes the
+    * dimension count a loop, not a new operator.
+    */
+  def gaussianSmoothAxes(df: DataFrame, value: String, sigma: Double,
+      dims: Seq[(String, Int)], out: String): DataFrame = {
     val kern = gaussianKernel(sigma)
     val r = kern.map(_._1).max
+    val idx = "it" +: dims.map(_._1)
     def pass(src: DataFrame, dim: String, n: Int, in: String,
         o: String): DataFrame = {
-      val other = if (dim == "iz") "ix" else "iz"
-      val w = Window.partitionBy("it", other).orderBy(dim)
+      val others = idx.filterNot(_ == dim)
+      val w = Window.partitionBy(others.map(col): _*).orderBy(dim)
       def at(k: Int): Column =
         if (k == 0) col(in) else if (k < 0) lag(col(in), -k).over(w)
         else lead(col(in), k).over(w)
@@ -150,9 +170,13 @@ object GridOps {
         .withColumn(o, kern.map { case (k, wk) => at(k) * wk }.reduce(_ + _))
         .filter(col(dim) >= 0 && col(dim) < n)
     }
-    val zp = pass(df.select("it", "iz", "ix", value), "iz", nz, value, "tmp_z")
-    pass(zp.select("it", "iz", "ix", "tmp_z"), "ix", nx, "tmp_z", out)
-      .drop("tmp_z")
+    val names = dims.indices.map(i =>
+      if (i == dims.length - 1) out else s"tmp_$i")
+    dims.zipWithIndex.foldLeft(df.select((idx :+ value).map(col): _*)) {
+      case (acc, ((dim, n), i)) =>
+        val in = if (i == 0) value else names(i - 1)
+        pass(acc.select((idx :+ in).map(col): _*), dim, n, in, names(i))
+    }.select((idx :+ out).map(col): _*)
   }
 
   /** One separable size-10 extremum pass along `dim` over ghost-padded
@@ -161,9 +185,8 @@ object GridOps {
     * one pass — measurably cheaper than 10 lag/lead exprs + greatest.
     */
   private def extremumPass(src: DataFrame, dim: String, n: Int,
-      aggs: Seq[(String, String, Boolean)]): DataFrame = {
-    val other = if (dim == "iz") "ix" else "iz"
-    val w = Window.partitionBy("it", other).orderBy(dim)
+      others: Seq[String], aggs: Seq[(String, String, Boolean)]): DataFrame = {
+    val w = Window.partitionBy(others.map(col): _*).orderBy(dim)
       .rowsBetween(-5, 4)
     val withOuts = aggs.foldLeft(withReflectGhosts(src, dim, n, 5, 4)) {
       case (acc, (in, o, isMax)) =>
@@ -179,11 +202,23 @@ object GridOps {
     * One ghost-padded window per pass (two shuffles total).
     */
   def extremumFilter(df: DataFrame, value: String, nz: Int, nx: Int,
-      isMax: Boolean, out: String): DataFrame = {
-    val zp = extremumPass(df.select("it", "iz", "ix", value), "iz", nz,
-      Seq((value, "tmp_z", isMax))).select("it", "iz", "ix", "tmp_z")
-    extremumPass(zp, "ix", nx, Seq(("tmp_z", out, isMax)))
-      .select("it", "iz", "ix", out)
+      isMax: Boolean, out: String): DataFrame =
+    extremumFilterAxes(df, value, Seq("iz" -> nz, "ix" -> nx), isMax, out)
+
+  /** n-d separable extremum filter: one ghost-padded window pass per
+    * dimension in `dims`, d shuffles total.
+    */
+  def extremumFilterAxes(df: DataFrame, value: String,
+      dims: Seq[(String, Int)], isMax: Boolean, out: String): DataFrame = {
+    val idx = "it" +: dims.map(_._1)
+    val names = dims.indices.map(i =>
+      if (i == dims.length - 1) out else s"tmp_$i")
+    dims.zipWithIndex.foldLeft(df.select((idx :+ value).map(col): _*)) {
+      case (acc, ((dim, n), i)) =>
+        val in = if (i == 0) value else names(i - 1)
+        extremumPass(acc.select((idx :+ in).map(col): _*), dim, n,
+          idx.filterNot(_ == dim), Seq((in, names(i), isMax)))
+    }.select((idx :+ out).map(col): _*)
   }
 
   /** Max AND min filter (size 10, offsets -5..+4, reflect) in one
@@ -193,9 +228,9 @@ object GridOps {
   def minmaxFilter(df: DataFrame, value: String, nz: Int, nx: Int,
       outMax: String, outMin: String): DataFrame = {
     val zp = extremumPass(df.select("it", "iz", "ix", value), "iz", nz,
-      Seq((value, "zmax", true), (value, "zmin", false)))
+      Seq("it", "ix"), Seq((value, "zmax", true), (value, "zmin", false)))
       .select("it", "iz", "ix", "zmax", "zmin")
-    extremumPass(zp, "ix", nx,
+    extremumPass(zp, "ix", nx, Seq("it", "iz"),
       Seq(("zmax", outMax, true), ("zmin", outMin, false)))
       .select("it", "iz", "ix", outMax, outMin)
   }
@@ -204,6 +239,10 @@ object GridOps {
     * neighbor patterns bracket it; np.roll => toroidal wraparound. Scatter
     * each cell's mask to its 8 neighbors (modular indices) + itself, then
     * one aggregation evaluates the bracket patterns. Output int 0/1.
+    *
+    * The reference defines this operator on 2-D (z,x) planes only; on a
+    * 3-D grid it applies per plane — pass `keys = Seq("it", "iy")` and
+    * every y slice fills independently in the same single shuffle.
     */
   def gapFill(df: DataFrame, mask: String, nz: Int, nx: Int,
       out: String, keys: Seq[String] = Seq("it")): DataFrame = {

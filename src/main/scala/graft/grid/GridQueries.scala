@@ -96,19 +96,23 @@ object GridQueries {
 
   /** One separable stencil pass in SQL (gather + join + aggregate),
     * equivalent to GridOps' ghost-window passes. `src`/`out` are
-    * CTE/table names.
+    * CTE/table names; `idx` lists ALL index columns of the grid (the
+    * pass dimension plus the partition keys).
     */
   private def stencilPassSql(src: String, valueCol: String, dim: String,
-      n: Int, offsets: Seq[(Int, Double)], aggFn: String, out: String): String = {
-    val other = if (dim == "iz") "ix" else "iz"
+      n: Int, offsets: Seq[(Int, Double)], aggFn: String, out: String,
+      idx: Seq[String] = Seq("it", "iz", "ix")): String = {
+    val others = idx.filterNot(_ == dim)
     val offRows = offsets.map { case (k, w) => s"($k, ${w.toString})" }.mkString(", ")
+    val gIdx = idx.map(c => s"g.$c").mkString(", ")
+    val onOthers = others.map(c => s"s.$c = g.$c").mkString(" AND ")
     s"""${out}_offs(k, w) AS (VALUES $offRows),
        $out AS MATERIALIZED (
-         SELECT g.it, g.iz, g.ix, $aggFn(o.w * s.$valueCol) AS $out
+         SELECT $gIdx, $aggFn(o.w * s.$valueCol) AS $out
          FROM $src g CROSS JOIN ${out}_offs o
-         JOIN $src s ON s.it = g.it AND s.$other = g.$other
+         JOIN $src s ON $onOthers
            AND s.$dim = ${mirrorSql(s"g.$dim + o.k", n)}
-         GROUP BY g.it, g.iz, g.ix)"""
+         GROUP BY $gIdx)"""
   }
 
   private val kern: Seq[(Int, Double)] = GridOps.gaussianKernel(1.0)
@@ -362,6 +366,37 @@ object GridQueries {
            GROUP BY g.it, c.i0, c.s ORDER BY g.it, c.i0"""
       }),
 
+    // ---- g16: the 3-D (z,y,x) pipeline — separable Gaussian smoothing
+    // over ALL THREE spatial axes (one ghost-padded window pass per
+    // axis, GridOps.gaussianSmoothAxes) followed by a 3-D zoom with
+    // auto-sorted bounds (reference _zoom is per-dimension n-d,
+    // statmeshvar.py:102-109; smoothing is nd.gaussian_filter on the
+    // full-rank mesh, vpicdataset.py:363-369). The oracle rebuilds the
+    // volume and runs the same three stencil passes in SQL.
+    Q("g16_grid3d_smooth",
+      (s, d) => {
+        val sm = GridOps.gaussianSmoothAxes(grid3(s, d), "b1", 1.0,
+          Seq("iz" -> N3, "iy" -> N3, "ix" -> N3), "b1_smooth")
+          .withColumn("z", col("iz") * Dz)
+          .withColumn("y", col("iy") * Dz)
+          .withColumn("x", col("ix") * Dz)
+        GridOps.zoom(sm,
+            Seq(("z", 1.0, 3.0), ("y", 2.5, 0.5), ("x", 0.5, 3.0)))
+          .select(col("it"), col("iz"), col("iy"), col("ix"),
+            round(col("b1_smooth"), 6).as("b1_smooth"))
+          .orderBy("it", "iz", "iy", "ix")
+      },
+      Some(s"""WITH $grid3Cte,
+              ${stencilPassSql("grid3", "b1", "iz", N3, kern, "sum", "zp", idx3)},
+              ${stencilPassSql("zp", "zp", "iy", N3, kern, "sum", "yp", idx3)},
+              ${stencilPassSql("yp", "yp", "ix", N3, kern, "sum", "xp", idx3)}
+              SELECT it, iz, iy, ix, round(xp, 6) AS b1_smooth
+              FROM xp
+              WHERE iz * $Dz BETWEEN 1.0 AND 3.0
+                AND iy * $Dz BETWEEN 0.5 AND 2.5
+                AND ix * $Dz BETWEEN 0.5 AND 3.0
+              ORDER BY it, iz, iy, ix""")),
+
     // ---- q73: Z-order (Morton) layout key — the data-layout primitive
     // for multi-dimensional clustering: interleaving (iz, ix) bits makes
     // 1-D key ranges cover 2-D tiles, so range pruning on the sort key
@@ -411,4 +446,32 @@ object GridQueries {
   private val lineAxes: Array[Double] = (0 until NZ).map(_ * Dz).toArray
   private val lineSetPts: Seq[Array[Double]] =
     Seq(Array(0.4, 0.3), Array(6.9, 7.2))
+
+  /** 3-D grid (g16): the same 256-cell-per-step events tiling refolded
+    * as an 8x8x8 (z,y,x) volume — the reference's full-rank data plane
+    * (vpicdataset.py:197-204), 0.5 spacing on every axis.
+    */
+  val N3 = 8
+  val Cells3: Int = N3 * N3 * N3
+  private def grid3(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select("event_id", "value")
+    val nCells = (e.count() / Cells3) * Cells3
+    e.filter(col("event_id") < nCells)
+      .select(
+        expr(s"CAST(event_id div $Cells3 AS INT)").as("it"),
+        expr(s"CAST((event_id % $Cells3) div ${N3 * N3} AS INT)").as("iz"),
+        expr(s"CAST((event_id % ${N3 * N3}) div $N3 AS INT)").as("iy"),
+        expr(s"CAST(event_id % $N3 AS INT)").as("ix"),
+        col("value").as("b1"))
+  }
+  private val grid3Cte: String =
+    s"""grid3 AS MATERIALIZED (
+       SELECT CAST(event_id // $Cells3 AS INT) AS it,
+              CAST((event_id % $Cells3) // ${N3 * N3} AS INT) AS iz,
+              CAST((event_id % ${N3 * N3}) // $N3 AS INT) AS iy,
+              CAST(event_id % $N3 AS INT) AS ix,
+              value AS b1
+       FROM events
+       WHERE event_id < (SELECT count(*) // $Cells3 * $Cells3 FROM events))"""
+  private val idx3 = Seq("it", "iz", "iy", "ix")
 }

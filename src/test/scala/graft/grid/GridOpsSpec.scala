@@ -65,6 +65,40 @@ class GridOpsSpec extends AnyFunSuite {
     out.foreach(v => assert(math.abs(v - 7.0) < 1e-9))
   }
 
+  test("3-D smoothing equals brute-force separable convolution on a volume") {
+    val n = 6
+    def f(iz: Int, iy: Int, ix: Int): Double = ((iz * 31 + iy * 13 + ix * 17) % 11).toDouble
+    val g = (for (iz <- 0 until n; iy <- 0 until n; ix <- 0 until n)
+      yield (0, iz, iy, ix, f(iz, iy, ix))).toDF("it", "iz", "iy", "ix", "v")
+    val kern = GridOps.gaussianKernel(1.0)
+    def ref(j: Int): Int = if (j < 0) -j - 1 else if (j >= n) 2 * n - 1 - j else j
+    // separable brute force in the same z,y,x pass order
+    var vol = Array.tabulate(n, n, n)((iz, iy, ix) => f(iz, iy, ix))
+    def pass(get: (Int, Int, Int, Int) => Double): Array[Array[Array[Double]]] =
+      Array.tabulate(n, n, n)((a, b, c) =>
+        kern.map { case (k, w) => w * get(a, b, c, k) }.sum)
+    vol = pass((iz, iy, ix, k) => vol(ref(iz + k))(iy)(ix))
+    vol = pass((iz, iy, ix, k) => vol(iz)(ref(iy + k))(ix))
+    vol = pass((iz, iy, ix, k) => vol(iz)(iy)(ref(ix + k)))
+    val out = GridOps.gaussianSmoothAxes(g, "v", 1.0,
+        Seq("iz" -> n, "iy" -> n, "ix" -> n), "sm")
+      .select("iz", "iy", "ix", "sm").as[(Int, Int, Int, Double)].collect()
+    assert(out.length == n * n * n)
+    out.foreach { case (iz, iy, ix, got) =>
+      assert(math.abs(got - vol(iz)(iy)(ix)) < 1e-9, s"sm($iz,$iy,$ix)")
+    }
+  }
+
+  test("gradientAxes differentiates along iy on a 3-D linear field") {
+    val n = 4
+    val g = (for (iz <- 0 until n; iy <- 0 until n; ix <- 0 until n)
+      yield (0, iz, iy, ix, 3.0 * iy + iz - ix)).toDF("it", "iz", "iy", "ix", "v")
+    val out = GridOps.gradientAxes(g, "v", "iy", Seq("it", "iz", "ix"), 0.5, "dvdy")
+      .select("dvdy").as[Double].collect()
+    assert(out.length == n * n * n)
+    out.foreach(v => assert(v == 6.0)) // d(3*iy)/dy with h=0.5
+  }
+
   test("extremum filter matches 2-D brute force with reflect boundary") {
     val nz = 6; val nx = 6
     val vals = Array.tabulate(nz, nx)((iz, ix) => ((iz * 31 + ix * 17) % 11).toDouble)
