@@ -397,6 +397,41 @@ object GridQueries {
                 AND ix * $Dz BETWEEN 0.5 AND 3.0
               ORDER BY it, iz, iy, ix""")),
 
+    // ---- g17: the interpolating line slice through a 3-D volume —
+    // LineSlice/sampleCorners are dimension-generic (2^ndim corners,
+    // statmeshvar.py's n-d RegularGridInterpolator semantics incl. the
+    // signed-argmax step axis and dx/3 clip), so the 3-D case is the
+    // same operator with TRILINEAR (8-corner) weights. Geometry is a
+    // pure function of the static axes, embedded in the oracle as a
+    // VALUES list; the data-dependent join+sum runs in both engines.
+    Q("g17_line_slice_3d",
+      (s, d) => {
+        val g = grid3(s, d)
+          .withColumn("t", col("it").cast("double"))
+          .withColumn("value", col("b1"))
+        val v = GridVar("b1", Array.emptyDoubleArray,
+          Seq(("iz", axes3), ("iy", axes3), ("ix", axes3)), g)
+        LineSlice.slice(v, line3SetPts).df
+          .select(col("it"), col("i0"),
+            round(col("s"), 6).as("s"), round(col("value"), 6).as("value"))
+          .orderBy("it", "i0")
+      },
+      Some {
+        val corners = LineSlice.sampleCorners(Seq(axes3, axes3, axes3),
+          line3SetPts, "linear")
+        val rows = corners.map(c =>
+          s"(${c.sampleIdx}, ${c.s}, ${c.w}, " +
+            s"${c.idxs.head}, ${c.idxs(1)}, ${c.idxs(2)})")
+          .mkString(", ")
+        s"""WITH $grid3Cte,
+           corners(i0, s, w, ci, cj, ck) AS (VALUES $rows)
+           SELECT g.it, c.i0, round(c.s, 6) AS s,
+                  round(sum(c.w * g.b1), 6) AS value
+           FROM corners c JOIN grid3 g
+             ON g.iz = c.ci AND g.iy = c.cj AND g.ix = c.ck
+           GROUP BY g.it, c.i0, c.s ORDER BY g.it, c.i0"""
+      }),
+
     // ---- q73: Z-order (Morton) layout key — the data-layout primitive
     // for multi-dimensional clustering: interleaving (iz, ix) bits makes
     // 1-D key ranges cover 2-D tiles, so range pruning on the sort key
@@ -474,4 +509,11 @@ object GridQueries {
        FROM events
        WHERE event_id < (SELECT count(*) // $Cells3 * $Cells3 FROM events))"""
   private val idx3 = Seq("it", "iz", "iy", "ix")
+
+  /** 3-D line-slice fixture (g17): uniform 0.5-spaced axes, a line that
+    * crosses all three dimensions.
+    */
+  private val axes3: Array[Double] = (0 until N3).map(_ * Dz).toArray
+  private val line3SetPts: Seq[Array[Double]] =
+    Seq(Array(0.3, 0.4, 0.2), Array(3.3, 2.9, 3.1))
 }

@@ -530,21 +530,40 @@ object SimilarityQueries {
              FROM embeddings e JOIN m USING (vec_id) ORDER BY vec_id"""))
   )
 
+  /** Fit the IVF coarse quantizer on a deterministic 1-in-5 subset: at
+    * 100 TB the quantizer is always fit on a sample — centroid quality
+    * needs vastly fewer points than the corpus holds. Fitting is a
+    * SEPARATE step from search ([[annIvfWith]]): a production index
+    * fits once, persists the model, and serves many probes.
+    */
+  def fitIvfQuantizer(emb: DataFrame, nClusters: Int = 16,
+      seed: Long = 42L): org.apache.spark.ml.clustering.KMeansModel =
+    new org.apache.spark.ml.clustering.KMeans()
+      .setK(nClusters).setSeed(seed).setMaxIter(10)
+      .fit(emb.filter(col("vec_id") % 5 === 0).select("features"))
+
+  private def embWithFeatures(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    graft.Tables.embeddings(s, d)
+      .withColumn("features",
+        array_to_vector(transform(col("embedding"), x => x.cast("double"))))
+  }
+
   /** IVF: k-means centroids as the coarse quantizer; candidates = vectors
     * whose centroid is among the probe's nprobe nearest centroids.
+    * q46 declares a trained query, so it fits inline; callers with a
+    * standing index pass their own model to [[annIvfWith]].
     */
   def annIvf(s: SparkSession, d: String, probeId: Long, k: Int,
       nClusters: Int = 16, nProbe: Int = 2): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val emb = graft.Tables.embeddings(s, d)
-      .withColumn("features",
-        array_to_vector(transform(col("embedding"), x => x.cast("double"))))
-    // Train the coarse quantizer on a deterministic 1-in-5 subset: at
-    // 100 TB the quantizer is always fit on a sample — centroid quality
-    // needs vastly fewer points than the corpus holds.
-    val model = new KMeans().setK(nClusters).setSeed(42L).setMaxIter(10)
-      .fit(emb.filter(col("vec_id") % 5 === 0).select("features"))
+    val emb = embWithFeatures(s, d)
+    annIvfWith(emb, fitIvfQuantizer(emb, nClusters), probeId, k, nProbe)
+  }
+
+  /** The search leg of IVF over a PRE-FIT quantizer. */
+  def annIvfWith(emb: DataFrame,
+      model: org.apache.spark.ml.clustering.KMeansModel,
+      probeId: Long, k: Int, nProbe: Int = 2): DataFrame = {
     val assigned = model.transform(emb)
       .select(col("vec_id"), col("embedding"), col("prediction"))
     // nprobe centroids closest to the probe vector (driver-side: centroid

@@ -66,4 +66,27 @@ class FindStructuresSpec extends AnyFunSuite {
     val csVals = cs.select("value").distinct().as[Int].collect().toSet
     assert(csVals.subsetOf(Set(-1, 0, 1)))
   }
+
+  test("VPIC tree -> loadDataset -> find_structures end-to-end") {
+    // the full reference entry-point composition (ingest vpicdataset.py:
+    // 142-230, analytics :295-533) through the DSv2 source: write the
+    // island field as a mock tree, reload it, run the pipeline.
+    val dir = java.nio.file.Files.createTempDirectory("vpic_fs").toString
+    graft.sources.VPICSource.writeMock2d(dir,
+      time = Array(0.0),
+      zAxis = (0 until N).map(_.toDouble).toArray,
+      xAxis = (0 until N).map(_.toDouble).toArray,
+      vars = Map(
+        "fields/b1" -> ((_, iz, ix) =>
+          k * math.cos(k * (iz + ph)) * math.sin(k * (ix + ph))),
+        "fields/b2" -> ((_, iz, ix) =>
+          k * math.sin(k * (iz + ph)) * math.cos(k * (ix + ph))),
+        "hydro/jy" -> ((_, iz, ix) => if (iz == 5 && ix == 5) 50.0 else 0.0)))
+    val ds = graft.sources.VPICSource.loadDataset(spark, dir)
+    val res = FindStructures(ds, smoothing = 1.0, deTol = 5.0)
+    assert(res.oCoords.nonEmpty && res.xCoords.nonEmpty)
+    assert(res.dataset.variables.contains("separatrices"))
+    assert(res.dataset.variables("o_structures").df
+      .filter(col("value") === 1).count() > 0)
+  }
 }
