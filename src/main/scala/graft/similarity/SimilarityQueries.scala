@@ -30,6 +30,68 @@ object SimilarityQueries {
     if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
   }
 
+  /** q109 matryoshka geometry: candidates ranked on the FIRST 16 of 64
+    * dims (the MRL prefix), re-ranked exactly; q108 rank-fusion
+    * constant (the standard RRF k).
+    */
+  private val MrlDim = 16
+  private val MrlCand = 30
+  private val RrfK = 60
+
+  /** DuckDB twin of q109: truncated-prefix cosine candidates (top-30),
+    * exact full-dim top-10, recall.
+    */
+  private val matryoshkaRecallOracleSql: String =
+    s"""WITH flat AS (SELECT vec_id, CAST(v AS DOUBLE) AS v, i FROM (
+           SELECT vec_id, unnest(embedding) AS v,
+                  generate_subscripts(embedding, 1) AS i FROM embeddings) x),
+      tflat AS (SELECT * FROM flat WHERE i <= $MrlDim),
+      tq AS (SELECT i, v AS qv FROM tflat WHERE vec_id = 0),
+      tqn AS (SELECT sum(qv*qv) AS qn FROM tq),
+      tdots AS (SELECT f.vec_id, sum(f.v*q.qv) AS dot, sum(f.v*f.v) AS nrm
+                FROM tflat f JOIN tq q USING (i) WHERE f.vec_id <> 0
+                GROUP BY f.vec_id),
+      cand AS (SELECT vec_id FROM (
+                 SELECT vec_id, round(dot / (sqrt(nrm) * sqrt(qn)), 6) AS tcos
+                 FROM tdots, tqn
+                 ORDER BY tcos DESC, vec_id LIMIT $MrlCand) t),
+      qv AS (SELECT i, v AS qv FROM flat WHERE vec_id = 0),
+      qn AS (SELECT sum(qv*qv) AS qn FROM qv),
+      dots AS (SELECT f.vec_id, sum(f.v*q.qv) AS dot, sum(f.v*f.v) AS nrm
+               FROM flat f JOIN qv q USING (i) WHERE f.vec_id <> 0
+               GROUP BY f.vec_id),
+      exact AS (SELECT vec_id,
+                  round(dot / (sqrt(nrm) * sqrt(qn)), 6) AS cos_sim
+                FROM dots, qn ORDER BY cos_sim DESC, vec_id LIMIT 10),
+      h AS (SELECT count(*) AS hits FROM exact
+            WHERE vec_id IN (SELECT vec_id FROM cand))
+      SELECT h.hits, round(h.hits / 10.0, 4) AS recall_at_10 FROM h"""
+
+  /** DuckDB twin of q108: dense cosine ranking vs vec 0 + the shared
+    * BM25 CTE, reciprocal-rank fused.
+    */
+  private lazy val hybridRrfOracleSql: String =
+    s"""WITH flat AS (SELECT vec_id, CAST(v AS DOUBLE) AS v, i FROM (
+           SELECT vec_id, unnest(embedding) AS v,
+                  generate_subscripts(embedding, 1) AS i FROM embeddings) x),
+      qv AS (SELECT i, v AS qv FROM flat WHERE vec_id = 0),
+      qn AS (SELECT sum(qv*qv) AS qn FROM qv),
+      dots AS (SELECT f.vec_id, sum(f.v*q.qv) AS dot, sum(f.v*f.v) AS nrm
+               FROM flat f JOIN qv q USING (i) GROUP BY f.vec_id),
+      dense AS (SELECT vec_id AS doc_id,
+                  round(dot / (sqrt(nrm) * sqrt(qn)), 6) AS cos_sim
+                FROM dots, qn),
+      dr AS (SELECT doc_id, row_number() OVER
+               (ORDER BY cos_sim DESC, doc_id) AS r_dense FROM dense),
+      ${graft.text.TextQueries.bm25Cte},
+      sr AS (SELECT doc_id, row_number() OVER
+               (ORDER BY bm25 DESC, doc_id) AS r_sparse FROM bm)
+      SELECT doc_id, r_sparse, r_dense,
+             round(1.0 / ($RrfK + r_dense) + 1.0 / ($RrfK + r_sparse), 6)
+               AS rrf
+      FROM dr JOIN sr USING (doc_id)
+      ORDER BY rrf DESC, doc_id LIMIT 20"""
+
   /** DuckDB twin of q102: q61's quantization rule, integer-dot candidate
     * ranking (top-30), exact top-10, recall.
     */
@@ -486,6 +548,96 @@ object SimilarityQueries {
           round(col("hits").cast("double") / 10.0, 4).as("recall_at_10"))
       },
       Some(quantizedRecallOracleSql)),
+
+    // ---- q109: MATRYOSHKA (MRL-style) truncated search — candidates
+    // ranked on the first 16 of 64 dims (a 4x-narrower scan, the same
+    // economics as int8 but along the DIMENSION axis), exact full-dim
+    // re-rank, recall@10 vs the global exact top-10. Fully
+    // deterministic (no training, no randomness), so recall is a
+    // hash-checked number like q89/q96/q102 — the fourth leg of the
+    // ANN-quality ladder. The measured 0.3 recall is the honest value
+    // for ISOTROPIC synthetic embeddings (energy spread evenly across
+    // dims); MRL-trained vectors concentrate signal in the prefix,
+    // which is exactly what this query would demonstrate on real data.
+    Q("q109_matryoshka_recall",
+      (s, d) => {
+        val f = graft.CacheScope.retain(flat(s, d))
+        val ft = f.filter(col("i") < MrlDim)
+        val tq = ft.filter(col("vec_id") === 0)
+          .select(col("i").as("qi"), col("v").as("qv"))
+        val tqn = tq.agg(sum(col("qv") * col("qv")).as("qn"))
+        val cand = ft.filter(col("vec_id") =!= 0)
+          .join(broadcast(tq), col("i") === col("qi"))
+          .groupBy("vec_id")
+          .agg(sum(col("v") * col("qv")).as("dot"),
+            sum(col("v") * col("v")).as("nrm"))
+          .crossJoin(broadcast(tqn))
+          .select(col("vec_id"),
+            round(col("dot") / (sqrt(col("nrm")) * sqrt(col("qn"))), 6)
+              .as("tcos"))
+          .orderBy(col("tcos").desc, col("vec_id"))
+          .limit(MrlCand)
+          .select("vec_id")
+        val exact10 = {
+          val qv = f.filter(col("vec_id") === 0)
+            .select(col("i").as("qi"), col("v").as("qv"))
+          val qn = qv.agg(sum(col("qv") * col("qv")).as("qn"))
+          f.filter(col("vec_id") =!= 0)
+            .join(broadcast(qv), col("i") === col("qi"))
+            .groupBy("vec_id")
+            .agg(sum(col("v") * col("qv")).as("dot"),
+              sum(col("v") * col("v")).as("nrm"))
+            .crossJoin(broadcast(qn))
+            .select(col("vec_id"),
+              round(col("dot") / (sqrt(col("nrm")) * sqrt(col("qn"))), 6)
+                .as("cos_sim"))
+            .orderBy(col("cos_sim").desc, col("vec_id"))
+            .limit(10)
+        }
+        val hits = exact10.join(cand, Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+        hits.select(col("hits"),
+          round(col("hits").cast("double") / 10.0, 4).as("recall_at_10"))
+      },
+      Some(matryoshkaRecallOracleSql)),
+
+    // ---- q108: HYBRID retrieval via reciprocal-rank fusion — the
+    // sparse leg is the q66 BM25 scorer (lexical query), the dense leg
+    // is exact cosine vs the embedded query (vec 0), fused as
+    // 1/(k+r_s) + 1/(k+r_d), k=60 (Cormack & Clarke's RRF). Ranks
+    // break ties on doc_id over ROUNDED scores, so both engines rank
+    // identically. The full-corpus global windows here keep the oracle
+    // total; at scale each leg is a TakeOrdered top-K and fusion runs
+    // on K+K rows.
+    Q("q108_hybrid_rrf",
+      (s, d) => {
+        val f = flat(s, d)
+        val qv = f.filter(col("vec_id") === 0)
+          .select(col("i").as("qi"), col("v").as("qv"))
+        val qn = qv.agg(sum(col("qv") * col("qv")).as("qn"))
+        val dense = f.join(broadcast(qv), col("i") === col("qi"))
+          .groupBy("vec_id")
+          .agg(sum(col("v") * col("qv")).as("dot"),
+            sum(col("v") * col("v")).as("nrm"))
+          .crossJoin(broadcast(qn))
+          .select(col("vec_id").as("doc_id"),
+            round(col("dot") / (sqrt(col("nrm")) * sqrt(col("qn"))), 6)
+              .as("cos_sim"))
+        val wD = org.apache.spark.sql.expressions.Window
+          .orderBy(col("cos_sim").desc, col("doc_id"))
+        val wS = org.apache.spark.sql.expressions.Window
+          .orderBy(col("bm25").desc, col("doc_id"))
+        dense.withColumn("r_dense", row_number().over(wD).cast("long"))
+          .join(graft.text.TextQueries.bm25Scores(s, d)
+            .withColumn("r_sparse", row_number().over(wS).cast("long")),
+            "doc_id")
+          .select(col("doc_id"), col("r_sparse"), col("r_dense"),
+            round(lit(1.0) / (lit(RrfK) + col("r_dense"))
+              + lit(1.0) / (lit(RrfK) + col("r_sparse")), 6).as("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some(hybridRrfOracleSql)),
 
     // ---- q80: one k-means assignment step with the label centroids as
     // seeds: centroid = per-label mean vector (one aggregation), each

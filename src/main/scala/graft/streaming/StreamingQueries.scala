@@ -87,5 +87,40 @@ object StreamingQueries {
       Some(s"""WITH ${Tables.evCte}
               SELECT user_id, count(*) AS n, round(sum(value), 4) AS total
               FROM ev GROUP BY 1 ORDER BY user_id"""))
+  ) ++ Seq(
+
+    // ---- q107: batch twin of the STREAM-STREAM interval join
+    // (Streams.clickToPurchase): the same function runs on batch
+    // frames (EliminateEventTimeWatermark drops the watermark nodes),
+    // so the pairing semantics — each click joined to same-user
+    // purchases within the following hour, both bounds inclusive — are
+    // oracle-checked while StreamsSpec pins the streaming state
+    // behavior. Timestamps cast to ltz for the event-time join (the
+    // session runs UTC) and back to ntz for the output so both engines
+    // hash naive microsecond wall clocks.
+    Q("q107_click_to_purchase",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .withColumn("ts", col("ts").cast("timestamp"))
+        graft.streaming.Streams.clickToPurchase(
+            ev.filter(col("event_type") === "click"),
+            ev.filter(col("event_type") === "purchase"))
+          .select(col("user_id"), col("click_id"),
+            col("click_ts").cast("timestamp_ntz").as("click_ts"),
+            col("purchase_id"),
+            col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"))
+          .orderBy("user_id", "click_id", "purchase_id")
+      },
+      Some(s"""WITH ${Tables.evCte},
+              c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+                    FROM ev WHERE event_type = 'click'),
+              p AS (SELECT user_id AS p_uid, event_id AS purchase_id,
+                      ts AS purchase_ts
+                    FROM ev WHERE event_type = 'purchase')
+              SELECT user_id, click_id, click_ts, purchase_id, purchase_ts
+              FROM c JOIN p ON user_id = p_uid
+                AND purchase_ts >= click_ts
+                AND purchase_ts <= click_ts + INTERVAL 1 HOUR
+              ORDER BY user_id, click_id, purchase_id"""))
   )
 }

@@ -1,6 +1,7 @@
 package graft.text
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents` (SURVEY.md §2B: tokenization,
@@ -320,53 +321,9 @@ object TextQueries {
     // per-(doc, term) scoring join. The standard retrieval-quality
     // scorer for training-data curation.
     Q("q66_bm25",
-      (s, d) => {
-        val terms = Bm25Terms
-        val toks = Tables.documents(s, d)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-        val tf = toks.filter(col("token").isin(terms: _*))
-          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-        val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("nd"))
-        val avg_dl = dl.agg(avg("dl").as("avgdl"))
-        val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-        val scored = tf.join(dl, "doc_id")
-          .join(broadcast(dfq), "token")
-          .crossJoin(broadcast(nDocs)).crossJoin(broadcast(avg_dl))
-          .groupBy("doc_id")
-          .agg(sum(
-            log(lit(1) + (col("nd") - col("df") + 0.5) / (col("df") + 0.5)) *
-              (col("tf") * (lit(Bm25K1) + 1)) /
-              (col("tf") + lit(Bm25K1) *
-                (lit(1) - lit(Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
-            .as("score"))
-        Tables.documents(s, d).select("doc_id")
-          .join(scored, Seq("doc_id"), "left")
-          .select(col("doc_id"), round(coalesce(col("score"), lit(0.0)), 4)
-            .as("bm25"))
-          .orderBy("doc_id")
-      },
-      Some {
-        val inList = Bm25Terms.map(t => s"'$t'").mkString(", ")
-        s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-              FROM documents),
-            tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
-                   WHERE token IN ($inList) GROUP BY 1, 2),
-            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
-            nd AS (SELECT count(*) AS nd FROM documents),
-            ad AS (SELECT avg(dl) AS avgdl FROM dl),
-            dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-            sc AS (SELECT tf.doc_id,
-                     sum(ln(1 + (nd - df + 0.5) / (df + 0.5)) *
-                         (tf * ($Bm25K1 + 1)) /
-                         (tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * dl.dl / avgdl)))
-                       AS score
-                   FROM tf JOIN dl USING (doc_id) JOIN dfq USING (token)
-                   CROSS JOIN nd CROSS JOIN ad
-                   GROUP BY 1)
-            SELECT d.doc_id, round(coalesce(score, 0.0), 4) AS bm25
-            FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id"""
-      }),
+      (s, d) => bm25Scores(s, d).orderBy("doc_id"),
+      Some(s"""WITH $bm25Cte
+            SELECT doc_id, bm25 FROM bm ORDER BY doc_id""")),
 
     // ---- q74: bigram language-model scoring — corpus-conditional
     // log-probability avg(ln(P(w2|w1))) per document, the classic
@@ -658,6 +615,60 @@ object TextQueries {
   val Bm25K1 = 1.2
   val Bm25B = 0.75
   val Bm25Terms: Seq[String] = Seq("spark", "hash", "window")
+
+  /** Per-doc BM25 of the fixed lexical query [[Bm25Terms]] — every doc,
+    * 0.0 when no term matches, 4-dp rounded. The sparse leg of hybrid
+    * retrieval (q108) and the q66 scorer.
+    */
+  def bm25Scores(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val tf = toks.filter(col("token").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("nd"))
+    val avg_dl = dl.agg(avg("dl").as("avgdl"))
+    val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dl, "doc_id")
+      .join(broadcast(dfq), "token")
+      .crossJoin(broadcast(nDocs)).crossJoin(broadcast(avg_dl))
+      .groupBy("doc_id")
+      .agg(sum(
+        log(lit(1) + (col("nd") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (lit(Bm25K1) + 1)) /
+          (col("tf") + lit(Bm25K1) *
+            (lit(1) - lit(Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+        .as("score"))
+    Tables.documents(s, d).select("doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), round(coalesce(col("score"), lit(0.0)), 4)
+        .as("bm25"))
+  }
+
+  /** DuckDB CTE chain ending in `bm(doc_id, bm25)` — the twin of
+    * [[bm25Scores]], shared by the q66 and q108 oracles.
+    */
+  lazy val bm25Cte: String = {
+    val inList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+               WHERE token IN ($inList) GROUP BY 1, 2),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        nd AS (SELECT count(*) AS nd FROM documents),
+        ad AS (SELECT avg(dl) AS avgdl FROM dl),
+        dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        sc AS (SELECT tf.doc_id,
+                 sum(ln(1 + (nd - df + 0.5) / (df + 0.5)) *
+                     (tf * ($Bm25K1 + 1)) /
+                     (tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * dl.dl / avgdl)))
+                   AS score
+               FROM tf JOIN dl USING (doc_id) JOIN dfq USING (token)
+               CROSS JOIN nd CROSS JOIN ad
+               GROUP BY 1),
+        bm AS (SELECT d.doc_id, round(coalesce(score, 0.0), 4) AS bm25
+               FROM documents d LEFT JOIN sc USING (doc_id))"""
+  }
 
   /** Rolling-hash parameters: base, prefix length, and the precomputed
     * powers B^k mod p (residues < 2^31, so every product of two fits
