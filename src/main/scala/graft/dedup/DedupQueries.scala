@@ -448,6 +448,64 @@ object DedupQueries {
          FROM inc JOIN corp USING (band, bucket)
          ORDER BY doc_id, corpus_doc, band""")),
 
+    // ---- q110: the incremental-ingest dedup flow COMPOSED end to end:
+    // arriving docs (upper split, as q101) band-join the existing
+    // corpus index for candidates, candidates verify by signature
+    // agreement (est >= 0.5), and the corpus snapshot advances —
+    // existing docs stay, unique arrivals append, near-dup arrivals
+    // drop. q101 -> verify -> upsert in one plan: how a deduped
+    // training corpus is maintained day over day. Per-row signatures
+    // on the arrival side (the streaming shape, zero shuffles before
+    // the band join); the oracle rebuilds both legs through the
+    // explode-path CTEs (bit-identical, DedupSpec parity).
+    Q("q110_incremental_ingest",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val split = NeardupArrivalSplit
+        val sigArr = graft.CacheScope.retain(
+          signaturesPerRow(docs.filter(col("doc_id") >= split)))
+        val sigCorp = graft.CacheScope.retain(
+          signaturesPerRow(docs.filter(col("doc_id") < split)))
+        val cand = bandsOf(sigArr)
+          .join(bandsOf(sigCorp)
+              .select(col("doc_id").as("corpus_doc"), col("band"), col("bucket")),
+            Seq("band", "bucket"))
+          .select("doc_id", "corpus_doc").distinct()
+        val agree = (0 until NumHashes)
+          .map(i => when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0))
+          .reduce(_ + _)
+        val dupArrivals = cand
+          .select(col("doc_id").as("arr_doc"), col("corpus_doc"))
+          .join(sigArr.as("a"), col("arr_doc") === col("a.doc_id"))
+          .join(sigCorp.as("b"), col("corpus_doc") === col("b.doc_id"))
+          .filter(agree >= (NumHashes + 1) / 2)
+          .select(col("arr_doc").as("doc_id")).distinct()
+        docs.filter(col("doc_id") < split)
+          .select(col("doc_id"), lit("existing").as("status"))
+          .unionAll(docs.filter(col("doc_id") >= split).select("doc_id")
+            .join(dupArrivals, Seq("doc_id"), "left_anti")
+            .select(col("doc_id"), lit("added").as("status")))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${sigBandCtes("")},
+         inc AS (SELECT doc_id, band, bucket FROM bands
+                 WHERE doc_id >= $NeardupArrivalSplit),
+         corp AS (SELECT doc_id AS corpus_doc, band, bucket FROM bands
+                  WHERE doc_id < $NeardupArrivalSplit),
+         cand AS (SELECT DISTINCT inc.doc_id, corp.corpus_doc
+                  FROM inc JOIN corp USING (band, bucket)),
+         dup AS (SELECT DISTINCT c.doc_id FROM cand c
+                 JOIN sig a ON c.doc_id = a.doc_id
+                 JOIN sig b ON c.corpus_doc = b.doc_id
+                 WHERE $agreeSql >= ${(NumHashes + 1) / 2})
+         SELECT doc_id, 'existing' AS status FROM documents
+         WHERE doc_id < $NeardupArrivalSplit
+         UNION ALL
+         SELECT doc_id, 'added' AS status FROM documents
+         WHERE doc_id >= $NeardupArrivalSplit
+           AND doc_id NOT IN (SELECT doc_id FROM dup)
+         ORDER BY doc_id""")),
+
     // ---- q97: exact duplicated-substring detection — the suffix-free
     // Spark shape of "Deduplicating Training Data Makes Language Models
     // Better" (Lee et al. 2022): every w-token window is hashed (h60),
