@@ -36,4 +36,29 @@ class EmptyInputSpec extends AnyFunSuite {
     val row = DedupQueries.dupNgramStats(short, 5).head()
     assert(row.getLong(1) == 0L && row.getDouble(3) == 0.0)
   }
+
+  test("sparse cosine and shingle set-sim handle empty and sub-window corpora") {
+    assert(DedupQueries.sparseCosinePairs(empty, 0.5).count() == 0)
+    assert(DedupQueries.shingleOccurrences(empty, 3).count() == 0)
+    assert(DedupQueries.setSimJoinOf(
+      DedupQueries.shingleSets(empty, 3), 0.7).count() == 0)
+    // docs shorter than the shingle window contribute no units at all
+    val short = Seq((0L, "only two"), (1L, "only two")).toDF("doc_id", "text")
+    assert(DedupQueries.shingleOccurrences(short, 3).count() == 0)
+    assert(DedupQueries.sparseCosinePairsOf(
+      DedupQueries.shingleOccurrences(short, 3),
+      short.agg(count(lit(1)).as("n_docs")), 0.5).count() == 0)
+    // identical docs above the window: exactly one pair at cosine 1.
+    // A third distinct doc keeps the twin shingles' idf positive — with
+    // ONLY the twins, every shingle is corpus-universal (idf = 0) and
+    // the zero-norm guard correctly drops both docs.
+    val twins = Seq((0L, "aa bb cc dd"), (1L, "aa bb cc dd"),
+      (2L, "ee ff gg hh")).toDF("doc_id", "text")
+    val pairs = DedupQueries.sparseCosinePairsOf(
+      DedupQueries.shingleOccurrences(twins, 3),
+      twins.agg(count(lit(1)).as("n_docs")), 0.5).collect()
+    assert(pairs.length == 1 && pairs.head.getAs[Double]("cos_sim") == 1.0)
+    assert(pairs.head.getAs[Long]("doc_a") == 0L
+      && pairs.head.getAs[Long]("doc_b") == 1L)
+  }
 }
