@@ -124,6 +124,26 @@ class PlanSpec extends AnyFunSuite {
       "top-k should plan as TakeOrderedAndProject")
   }
 
+  test("g16 3-D smoothing shuffles once per axis, nothing more") {
+    val df = QueryRegistry.queries("g16_grid3d_smooth")(spark, sf)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(finalPlan).length
+    // exactly one window repartitioning per spatial axis; the output
+    // ORDER BY adds a range exchange, which is not counted here
+    assert(hashShuffles == 3,
+      s"3-D smoothing should shuffle exactly 3 times, got $hashShuffles")
+  }
+
+  test("q110 incremental ingest keeps the anti-join and reuses cached signatures") {
+    val p = plan("q110_incremental_ingest")
+    assert(p.contains("LeftAnti"), "survivor selection must be an anti-join")
+    assert(p.contains("InMemoryTableScan"),
+      "per-row signatures should be computed once and reused from cache")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q97 dup-ngram scan partial-aggregates before every exchange") {
     val p = plan("q97_dup_ngram_stats")
     // the (doc, hash) pre-aggregation must combine map-side so the
