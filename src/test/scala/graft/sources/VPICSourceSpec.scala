@@ -145,5 +145,17 @@ class VPICSourceSpec extends AnyFunSuite {
       && col("iy") === 1 && col("ix") === 2).head()
     assert(row.getAs[Double]("y") === 0.25)
     assert(row.getAs[Double]("value") === f(1, 0, 1, 2))
+    // ndslice is dimension-generic: inclusive time window + y zoom,
+    // with it/iy rebased into the filtered axes (statmeshvar.py:100,109)
+    val sliced = ds.ndslice(timelims = Some((1.0, 2.0)),
+      zooms = Map("y" -> (0.5, 0.25))) // reversed bounds auto-sort
+    val sv = sliced.variables("bz")
+    assert(sv.timeAxis.toSeq === Seq(1.0, 2.0))
+    assert(sv.spaceAxes.map(_._1) === Seq("iz", "iy", "ix"))
+    assert(sv.spaceAxes(1)._2.toSeq === Seq(0.25, 0.5))
+    assert(sv.df.count() === 2L * 2 * 2 * 4)
+    val r0 = sv.df.filter(col("it") === 0 && col("iz") === 0
+      && col("iy") === 0 && col("ix") === 3).head()
+    assert(r0.getAs[Double]("value") === f(1, 0, 1, 3)) // rebased indices
   }
 }
