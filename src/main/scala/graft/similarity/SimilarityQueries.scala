@@ -38,6 +38,49 @@ object SimilarityQueries {
   private val MrlCand = 30
   private val RrfK = 60
 
+  /** q111 SemDeDup geometry: the cosine bar for "semantically
+    * duplicate" within a cluster, and the vec bound that keeps the
+    * per-cluster quadratic pair space bench-sized (the deterministic
+    * label quantizer is fixed at 10 clusters; SemDeDup at scale grows k
+    * with n to bound cluster populations instead).
+    */
+  private val SemT = 0.4
+  private val SemVecLimit = 1000
+
+  /** DuckDB twin of q111: label centroids, nearest-centroid assignment,
+    * within-cluster pairwise cosine >= SemT, recursive-CTE CC, keep =
+    * component minimum.
+    */
+  private lazy val semanticDedupOracleSql: String =
+    s"""WITH RECURSIVE flat AS (SELECT vec_id, label, CAST(v AS DOUBLE) AS v, i FROM (
+           SELECT vec_id, label, unnest(embedding) AS v,
+                  generate_subscripts(embedding, 1) AS i FROM embeddings
+           WHERE vec_id < $SemVecLimit) x),
+      cent AS (SELECT label AS clabel, i, avg(v) AS c
+               FROM flat GROUP BY 1, 2),
+      d2 AS (SELECT f.vec_id, c.clabel, sum((v - c) * (v - c)) AS d2
+             FROM flat f JOIN cent c USING (i) GROUP BY 1, 2),
+      asg AS (SELECT vec_id, clabel AS cl FROM (
+                SELECT vec_id, clabel, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY d2, clabel) AS rn FROM d2) t
+              WHERE rn = 1),
+      fa AS (SELECT a.cl, f.vec_id, f.i, f.v FROM flat f JOIN asg a USING (vec_id)),
+      nrm AS (SELECT vec_id, sqrt(sum(v*v)) AS n FROM flat GROUP BY 1),
+      dots AS (SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.v * b.v) AS dot
+               FROM fa a JOIN fa b
+                 ON a.i = b.i AND a.cl = b.cl AND a.vec_id < b.vec_id
+               GROUP BY 1, 2),
+      p AS (SELECT va, vb FROM dots
+            JOIN nrm na ON va = na.vec_id JOIN nrm nb ON vb = nb.vec_id
+            WHERE round(dot / (na.n * nb.n), 6) >= $SemT),
+      e AS (SELECT va AS s, vb AS t FROM p UNION ALL SELECT vb, va FROM p),
+      r AS (SELECT vec_id AS node, vec_id AS comp FROM asg
+            UNION
+            SELECT e.s AS node, r.comp FROM e JOIN r ON e.t = r.node),
+      cc AS (SELECT node, min(comp) AS grp FROM r GROUP BY node)
+      SELECT a.vec_id, a.cl AS cluster, a.vec_id = cc.grp AS kept
+      FROM asg a JOIN cc ON a.vec_id = cc.node ORDER BY a.vec_id"""
+
   /** DuckDB twin of q109: truncated-prefix cosine candidates (top-30),
     * exact full-dim top-10, recall.
     */
@@ -638,6 +681,49 @@ object SimilarityQueries {
           .limit(20)
       },
       Some(hybridRrfOracleSql)),
+
+    // ---- q111: SEMANTIC dedup, SemDeDup-shaped (Abbas et al. 2023):
+    // cluster the embedding space (deterministic label-centroid
+    // quantizer + nearest-centroid assignment, as q80/q89), compute
+    // exact pairwise cosine ONLY within each cluster — the cluster
+    // bound is what makes embedding-space dedup tractable: the pair
+    // space is sum(cluster²), never n² — then connected components
+    // over the >= SemT pairs and keep the component minimum. Output:
+    // every vec with its cluster and a kept flag.
+    Q("q111_semantic_dedup",
+      (s, d) => {
+        val f = graft.CacheScope.retain(
+          flat(s, d).filter(col("vec_id") < SemVecLimit))
+        val cent = f.groupBy("label", "i").agg(avg("v").as("c"))
+          .select(col("label").as("clabel"), col("i").as("ci"), col("c"))
+        val asg = graft.CacheScope.retain(
+          f.join(broadcast(cent), col("i") === col("ci"))
+            .groupBy("vec_id", "clabel")
+            .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("d2"))
+            .groupBy("vec_id")
+            .agg(min(struct(col("d2"), col("clabel"))).as("m"))
+            .select(col("vec_id"), col("m.clabel").as("cl")))
+        val fa = f.join(asg, "vec_id")
+          .select(col("cl"), col("vec_id"), col("i"), col("v"))
+        val nrm = f.groupBy("vec_id").agg(sqrt(sum(col("v") * col("v"))).as("n"))
+        val b = fa.select(col("cl").as("clb"), col("vec_id").as("vb"),
+          col("i").as("ib"), col("v").as("wb"))
+        val pairs = fa.select(col("cl"), col("vec_id").as("va"),
+            col("i"), col("v").as("wa"))
+          .join(b, col("i") === col("ib") && col("cl") === col("clb")
+            && col("va") < col("vb"))
+          .groupBy("va", "vb").agg(sum(col("wa") * col("wb")).as("dot"))
+          .join(nrm.select(col("vec_id").as("va"), col("n").as("na")), "va")
+          .join(nrm.select(col("vec_id").as("vb"), col("n").as("nb")), "vb")
+          .filter(round(col("dot") / (col("na") * col("nb")), 6) >= SemT)
+          .select(col("va").as("s"), col("vb").as("t"))
+        val comp = graft.grid.Topology.graphComponents(pairs)
+        asg.join(comp, col("vec_id") === col("node"), "left")
+          .select(col("vec_id"), col("cl").as("cluster"),
+            (col("vec_id") === coalesce(col("comp"), col("vec_id"))).as("kept"))
+          .orderBy("vec_id")
+      },
+      Some(semanticDedupOracleSql)),
 
     // ---- q80: one k-means assignment step with the label centroids as
     // seeds: centroid = per-label mean vector (one aggregation), each
