@@ -506,6 +506,33 @@ object DedupQueries {
            AND doc_id NOT IN (SELECT doc_id FROM dup)
          ORDER BY doc_id""")),
 
+    // ---- q112: cross-source duplication matrix — for every unordered
+    // source pair, how many verified near-dup pairs (est >= 0.5) span
+    // it. The curation dashboard number that decides which feeds to
+    // drop or de-prioritize; one aggregation over the same banded pair
+    // graph q30 builds, so the cost is the LSH pipeline, not n².
+    Q("q112_source_overlap",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val src = docs.select(col("doc_id"), col("source"))
+        pairsFromSignaturesUnsorted(minhashSignaturesOf(docs))
+          .join(src.select(col("doc_id").as("doc_a"),
+            col("source").as("sa")), "doc_a")
+          .join(src.select(col("doc_id").as("doc_b"),
+            col("source").as("sb")), "doc_b")
+          .groupBy(least(col("sa"), col("sb")).as("source_a"),
+            greatest(col("sa"), col("sb")).as("source_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("source_a", "source_b")
+      },
+      Some(s"""WITH ${minhashCtes("")},
+         sp AS (SELECT da.source AS sa, db.source AS sb
+                FROM pairs p JOIN documents da ON p.doc_a = da.doc_id
+                             JOIN documents db ON p.doc_b = db.doc_id)
+         SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+                count(*) AS n_pairs
+         FROM sp GROUP BY 1, 2 ORDER BY source_a, source_b""")),
+
     // ---- q97: exact duplicated-substring detection — the suffix-free
     // Spark shape of "Deduplicating Training Data Makes Language Models
     // Better" (Lee et al. 2022): every w-token window is hashed (h60),
