@@ -160,4 +160,23 @@ class GridPropertiesSpec extends AnyFunSuite {
       assert(math.abs(value - (z + 2 * y + 3 * x)) < 1e-9, s"at s=$s")
     }
   }
+
+  test("n-d smoothing is axis-order independent (separable convolutions commute)") {
+    val n = 6
+    val vol = (for (iz <- 0 until n; iy <- 0 until n; ix <- 0 until n)
+      yield (0, iz, iy, ix, ((iz * 31 + iy * 13 + ix * 17) % 11).toDouble))
+      .toDF("it", "iz", "iy", "ix", "v")
+    def smooth(order: Seq[String]) =
+      GridOps.gaussianSmoothAxes(vol, "v", 1.0, order.map(_ -> n), "sm")
+        .select("iz", "iy", "ix", "sm").as[(Int, Int, Int, Double)]
+        .collect().map(r => (r._1, r._2, r._3) -> r._4).toMap
+    val zyx = smooth(Seq("iz", "iy", "ix"))
+    val xyz = smooth(Seq("ix", "iy", "iz"))
+    val yzx = smooth(Seq("iy", "iz", "ix"))
+    assert(zyx.keySet == xyz.keySet && zyx.keySet == yzx.keySet)
+    zyx.foreach { case (k, v) =>
+      assert(math.abs(v - xyz(k)) < 1e-9 && math.abs(v - yzx(k)) < 1e-9,
+        s"order-dependent smoothing at $k")
+    }
+  }
 }
