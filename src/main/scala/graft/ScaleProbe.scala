@@ -22,16 +22,18 @@ import org.apache.spark.sql.functions._
   * plan.
   *
   * neardup_stream (stream-static band-index join, 200k-entry index
-  * from the 10x corpus): 500-doc micro-batches process in 1.6-2.6 s
-  * flat across batches — per-row signatures keep the stream side
-  * shuffle-free, and even 23M candidate hits per batch (every arrival
-  * has 10 exact twins + the shared-vocabulary bucket collisions) fan
-  * out to the sink without touching the driver.
+  * from the 10x corpus): 500-doc micro-batches process in ~4.5 s
+  * steady state (first batch ~8 s: plan + codegen warmup), timed from
+  * BEFORE data lands so the number is the full arrival-to-drained
+  * latency — per-row signatures keep the stream side shuffle-free,
+  * and even 23M candidate hits per batch (every arrival has 10 exact
+  * twins + the shared-vocabulary bucket collisions) fan out to the
+  * sink without touching the driver.
   *
   * skew_join (3M-row fact, ONE key carrying 40%, dim too big to
-  * broadcast): plain SMJ 1.0 s, AQE skew-join 0.83 s, uniform
-  * saltedJoin 0.84 s, saltedJoinHotKeys 2.58 s. HONEST reading: at
-  * probe scale AQE's runtime split already wins, and the hot-key
+  * broadcast): plain SMJ 1.0-1.6 s, AQE skew-join 0.8-1.0 s, uniform
+  * saltedJoin 0.8-1.3 s, saltedJoinHotKeys 2.6-3.0 s. HONEST reading:
+  * at probe scale AQE's runtime split already wins, and the hot-key
   * census (two extra joins + a union of two plans) costs more than
   * the straggler it removes — the declarative salting paths earn
   * their keep only where AQE cannot act (shuffle-hash joins, skew
@@ -125,10 +127,14 @@ object ScaleProbe {
         .filter(col("doc_id") < 500)
         .select("doc_id", "text").as[(Long, String)].collect()
       for (b <- 0 until 3) {
-        mem.addData(arrivals.map { case (id, t) =>
-          (id + 900000000L + b * 1000L, t) }.toSeq)
+        // reset + start the clock BEFORE addData: the running query may
+        // begin (even finish) the micro-batch the moment data lands, so
+        // resetting afterwards could wipe an already-counted batch and
+        // start the timer mid-processing.
         counts.set(0)
         val t0 = System.nanoTime()
+        mem.addData(arrivals.map { case (id, t) =>
+          (id + 900000000L + b * 1000L, t) }.toSeq)
         q.processAllAvailable()
         println(f"[scale] neardup_stream batch=$b docs=500 " +
           f"candidates=${counts.get()} " +
@@ -160,7 +166,9 @@ object ScaleProbe {
     val confs = Seq(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1m",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1m")
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1m",
+      // mutated per-case below; listed here so the restore covers it
+      "spark.sql.adaptive.skewJoin.enabled" -> "false")
     val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {

@@ -30,6 +30,15 @@ object DedupQueries {
   /** 60-bit token hash with an exact cross-engine twin — see
     * [[graft.functions.Hashing]].
     */
+  /** Signature-agreement count between two aliased signature tables —
+    * the single Scala twin of the SQL `agreeSql` (three consumers:
+    * pairwise est, star-edge verify, q110 ingest verify).
+    */
+  private def agreeExpr(a: String, b: String): Column =
+    (0 until NumHashes)
+      .map(i => when(col(s"$a.h$i") === col(s"$b.h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+
   private def h60(c: Column): Column = graft.functions.Hashing.h60(c)
   private def h60Sql(e: String): String = graft.functions.Hashing.h60Sql(e)
 
@@ -184,9 +193,7 @@ object DedupQueries {
     val sig = graft.CacheScope.retain(signatures)
     val cand = minhashCandidatesFrom(sig)
     val a = sig.as("a"); val b = sig.as("b")
-    val agree = (0 until NumHashes)
-      .map(i => when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0))
-      .reduce(_ + _)
+    val agree = agreeExpr("a", "b")
     cand.join(a, col("doc_a") === col("a.doc_id"))
       .join(b, col("doc_b") === col("b.doc_id"))
       .select(col("doc_a"), col("doc_b"),
@@ -471,9 +478,7 @@ object DedupQueries {
               .select(col("doc_id").as("corpus_doc"), col("band"), col("bucket")),
             Seq("band", "bucket"))
           .select("doc_id", "corpus_doc").distinct()
-        val agree = (0 until NumHashes)
-          .map(i => when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0))
-          .reduce(_ + _)
+        val agree = agreeExpr("a", "b")
         val dupArrivals = cand
           .select(col("doc_id").as("arr_doc"), col("corpus_doc"))
           .join(sigArr.as("a"), col("arr_doc") === col("a.doc_id"))
@@ -910,9 +915,7 @@ object DedupQueries {
   def dedupClustersStarFrom(docs: DataFrame, sig: DataFrame): DataFrame = {
     val se = starEdges(sig)
     val a = sig.as("a"); val b = sig.as("b")
-    val agree = (0 until NumHashes)
-      .map(i => when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0))
-      .reduce(_ + _)
+    val agree = agreeExpr("a", "b")
     val edges = se.join(a, col("s") === col("a.doc_id"))
       .join(b, col("t") === col("b.doc_id"))
       .filter(agree >= (NumHashes + 1) / 2)
@@ -1050,17 +1053,17 @@ object DedupQueries {
       "SELECT count(*) AS n_docs FROM sub", t)
 
   /** DuckDB twin of the q106 shingle-unit variant: identical body, tok
-    * holds w-token shingles WITH multiplicity, n_docs counts all docs.
+    * holds w-token shingles WITH multiplicity (the canonical shingle
+    * CTE minus its DISTINCT — derived, not copied, so the shingle
+    * arithmetic lives in exactly one string), n_docs counts all docs.
     */
-  private lazy val sparseCosShingleOracleSql: String =
-    sparseCosOracleBody(
-      s"""tok AS (SELECT doc_id,
-           array_to_string(list_slice(toks, i, i + ${ShingleW - 1}), ' ') AS token
-         FROM (SELECT doc_id, toks,
-                 unnest(range(1, greatest(len(toks) - ${ShingleW - 2}, 1))) AS i
-               FROM (SELECT doc_id, string_split(text, ' ') AS toks
-                     FROM documents) d) x)""",
+  private lazy val sparseCosShingleOracleSql: String = {
+    val occurrences = shingleTokCteSql
+      .replace("SELECT DISTINCT doc_id", "SELECT doc_id")
+    require(occurrences != shingleTokCteSql, "DISTINCT strip failed")
+    sparseCosOracleBody(occurrences,
       "SELECT count(*) AS n_docs FROM documents", SparseCosFullT)
+  }
 
   private def sparseCosOracleBody(tokCtes: String, nSql: String, t: Double): String =
     s"""WITH $tokCtes,

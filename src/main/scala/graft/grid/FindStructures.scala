@@ -94,9 +94,14 @@ object FindStructures {
     val seps = Topology.separatrices(hess, "flux_fn", timeIdx, xCoords,
       nz, nx, dPerDe * deTol)
 
-    // current sheets on smoothed jy (hardcoded name, :482)
+    // current sheets on smoothed jy (hardcoded name, :482). Explicit
+    // 2-D projection: a VPIC-loaded variable still carries its
+    // (singleton, squeezed-from-mesh) iy index column, which the n-d
+    // window guard rightly rejects as an unlisted dimension.
     val csOpt = ds.variables.get(jyName).map { jy =>
-      val jySm = GridOps.gaussianSmooth(jy.df, "value", smoothing, nz, nx, "jy_smooth")
+      val jySm = GridOps.gaussianSmooth(
+        jy.df.select(col("it"), col("iz"), col("ix"), col("value")),
+        "value", smoothing, nz, nx, "jy_smooth")
       Topology.currentSheets(
         jySm.select(col("it"), col("iz"), col("ix"), col("jy_smooth")),
         "jy_smooth", nz, nx, csLimit)

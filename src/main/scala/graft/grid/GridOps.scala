@@ -16,6 +16,20 @@ import org.apache.spark.sql.expressions.Window
   */
 object GridOps {
 
+  /** Guard for the n-d window operators: (it + dims) must uniquely key
+    * the rows, so every index column present in the frame has to be
+    * LISTED in dims — a 2-D smoothing call on a grid that still carries
+    * an `iy` column would otherwise window over interleaved y planes
+    * and silently mix values across them.
+    */
+  private def requireAllIndexDims(df: DataFrame, dims: Seq[String]): Unit = {
+    val leftover = df.columns.toSet
+      .intersect(Set("iz", "iy", "ix")) -- dims
+    require(leftover.isEmpty,
+      s"grid has index dimensions ${leftover.mkString(", ")} not listed in " +
+        s"dims (${dims.mkString(", ")}): the window would mix planes")
+  }
+
   /** scipy boundary mode 'reflect' ((d c b a | a b c d | d c b a)):
     * j < 0 -> -j-1 ; j >= n -> 2n-1-j. Valid for |offset| <= n.
     * Cited semantics: scipy.ndimage.gaussian_filter default mode, used at
@@ -156,6 +170,7 @@ object GridOps {
     */
   def gaussianSmoothAxes(df: DataFrame, value: String, sigma: Double,
       dims: Seq[(String, Int)], out: String): DataFrame = {
+    requireAllIndexDims(df, dims.map(_._1))
     val kern = gaussianKernel(sigma)
     val r = kern.map(_._1).max
     val idx = "it" +: dims.map(_._1)
@@ -210,6 +225,7 @@ object GridOps {
     */
   def extremumFilterAxes(df: DataFrame, value: String,
       dims: Seq[(String, Int)], isMax: Boolean, out: String): DataFrame = {
+    requireAllIndexDims(df, dims.map(_._1))
     val idx = "it" +: dims.map(_._1)
     val names = dims.indices.map(i =>
       if (i == dims.length - 1) out else s"tmp_$i")
@@ -227,6 +243,7 @@ object GridOps {
     */
   def minmaxFilter(df: DataFrame, value: String, nz: Int, nx: Int,
       outMax: String, outMin: String): DataFrame = {
+    requireAllIndexDims(df, Seq("iz", "ix"))
     val zp = extremumPass(df.select("it", "iz", "ix", value), "iz", nz,
       Seq("it", "ix"), Seq((value, "zmax", true), (value, "zmin", false)))
       .select("it", "iz", "ix", "zmax", "zmin")

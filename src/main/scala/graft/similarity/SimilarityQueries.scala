@@ -120,7 +120,8 @@ object SimilarityQueries {
       qv AS (SELECT i, v AS qv FROM flat WHERE vec_id = 0),
       qn AS (SELECT sum(qv*qv) AS qn FROM qv),
       dots AS (SELECT f.vec_id, sum(f.v*q.qv) AS dot, sum(f.v*f.v) AS nrm
-               FROM flat f JOIN qv q USING (i) GROUP BY f.vec_id),
+               FROM flat f JOIN qv q USING (i) WHERE f.vec_id <> 0
+               GROUP BY f.vec_id),
       dense AS (SELECT vec_id AS doc_id,
                   round(dot / (sqrt(nrm) * sqrt(qn)), 6) AS cos_sim
                 FROM dots, qn),
@@ -128,7 +129,8 @@ object SimilarityQueries {
                (ORDER BY cos_sim DESC, doc_id) AS r_dense FROM dense),
       ${graft.text.TextQueries.bm25Cte},
       sr AS (SELECT doc_id, row_number() OVER
-               (ORDER BY bm25 DESC, doc_id) AS r_sparse FROM bm)
+               (ORDER BY bm25 DESC, doc_id) AS r_sparse FROM bm
+             WHERE doc_id <> 0)
       SELECT doc_id, r_sparse, r_dense,
              round(1.0 / ($RrfK + r_dense) + 1.0 / ($RrfK + r_sparse), 6)
                AS rrf
@@ -658,7 +660,11 @@ object SimilarityQueries {
         val qv = f.filter(col("vec_id") === 0)
           .select(col("i").as("qi"), col("v").as("qv"))
         val qn = qv.agg(sum(col("qv") * col("qv")).as("qn"))
-        val dense = f.join(broadcast(qv), col("i") === col("qi"))
+        // doc 0 IS the query (its embedding is the dense probe): exclude
+        // it from both legs so the self-match cannot occupy rank 1 and
+        // shift every real document down.
+        val dense = f.filter(col("vec_id") =!= 0)
+          .join(broadcast(qv), col("i") === col("qi"))
           .groupBy("vec_id")
           .agg(sum(col("v") * col("qv")).as("dot"),
             sum(col("v") * col("v")).as("nrm"))
@@ -672,6 +678,7 @@ object SimilarityQueries {
           .orderBy(col("bm25").desc, col("doc_id"))
         dense.withColumn("r_dense", row_number().over(wD).cast("long"))
           .join(graft.text.TextQueries.bm25Scores(s, d)
+            .filter(col("doc_id") =!= 0)
             .withColumn("r_sparse", row_number().over(wS).cast("long")),
             "doc_id")
           .select(col("doc_id"), col("r_sparse"), col("r_dense"),
