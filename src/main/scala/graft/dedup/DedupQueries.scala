@@ -371,6 +371,11 @@ object DedupQueries {
     // and postings sparse (max df 25 at sf0.1 vs 3.9k for tokens), so
     // the full corpus runs unbounded in both engines and the twin
     // pairs separate cleanly (twins >= 0.8, noise < 0.5 cosine).
+    // Caveat shared by every exact pair ENUMERATOR (q95's note): on a
+    // k-fold twin-replicated corpus the qualifying OUTPUT itself grows
+    // k² — heavy duplication belongs to the clustering reducers (q50),
+    // which stay linear by contraction; the pair list is the audit
+    // view for corpora where near-dups are the exception.
     Q("q106_sparse_cosine_full",
       (s, d) => {
         val docs = Tables.documents(s, d)
