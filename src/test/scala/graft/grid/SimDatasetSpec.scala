@@ -40,6 +40,24 @@ class SimDatasetSpec extends AnyFunSuite {
     assert(ds.variables("a").df.count() == 3 * 4 * 4)
   }
 
+  test("ndslice applies per-variable when meshes and timeseries differ") {
+    // the reference stores per-var axes when a variable's grid differs
+    // from the default (vpicdataset.py:218-228; TODO at dataset.py:102);
+    // a shared slice must filter each variable against ITS OWN axes
+    val ds = SimDataset(Map.empty, Map(
+      "a" -> mkVar("a", 3, 4, 4, 1.0),   // t 0..2, z 0..1.5
+      "b" -> mkVar("b", 2, 8, 4, 2.0)))  // t 0..1, z 0..3.5
+    val sliced = ds.ndslice(timelims = Some((1.0, 2.0)),
+      zooms = Map("z" -> (0.5, 2.0)))
+    val va = sliced.variables("a"); val vb = sliced.variables("b")
+    assert(va.timeAxis.toSeq == Seq(1.0, 2.0))
+    assert(vb.timeAxis.toSeq == Seq(1.0)) // b has no t=2 step
+    assert(va.spaceAxes.head._2.toSeq == Seq(0.5, 1.0, 1.5))
+    assert(vb.spaceAxes.head._2.toSeq == Seq(0.5, 1.0, 1.5, 2.0))
+    assert(va.df.count() == 2L * 3 * 4)
+    assert(vb.df.count() == 1L * 4 * 4)
+  }
+
   test("export/load round-trips params, axes, and data") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ds").toString
     val ds = SimDataset(Map("d_per_de" -> "2", "note" -> "a\"b"),
