@@ -90,6 +90,7 @@ object GridOps {
     */
   def gradientAxes(df: DataFrame, value: String, dim: String,
       others: Seq[String], h: Double, out: String): DataFrame = {
+    requireAllIndexDims(df, others :+ dim)
     val w = Window.partitionBy(others.map(col): _*).orderBy(dim)
     val fp = lead(col(value), 1).over(w)
     val fm = lag(col(value), 1).over(w)

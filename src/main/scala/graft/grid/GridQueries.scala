@@ -432,6 +432,51 @@ object GridQueries {
            GROUP BY g.it, c.i0, c.s ORDER BY g.it, c.i0"""
       }),
 
+    // ---- g18: np.gradient on the 3-D volume — one-sided edges +
+    // central interior along EVERY spatial axis via gradientAxes (the
+    // reference's np.gradient(..., axis=(1,2)) generalized to the full
+    // z,y,x rank it would take on a 3-D run). One window per axis,
+    // partitioned by time + the other two axes.
+    Q("g18_gradient_3d",
+      (s, d) => {
+        val g = grid3(s, d)
+        val gz = GridOps.gradientAxes(g, "b1", "iz",
+          Seq("it", "iy", "ix"), Dz, "db1_dz")
+        val gy = GridOps.gradientAxes(gz, "b1", "iy",
+          Seq("it", "iz", "ix"), Dz, "db1_dy")
+        val gx = GridOps.gradientAxes(gy, "b1", "ix",
+          Seq("it", "iz", "iy"), Dz, "db1_dx")
+        gx.select(col("it"), col("iz"), col("iy"), col("ix"),
+            round(col("db1_dz"), 6).as("db1_dz"),
+            round(col("db1_dy"), 6).as("db1_dy"),
+            round(col("db1_dx"), 6).as("db1_dx"))
+          .orderBy("it", "iz", "iy", "ix")
+      },
+      Some {
+        def passSql(src: String, dim: String, others: Seq[String],
+            out: String): String =
+          s"""${out}_w AS (SELECT *,
+               lead(b1) OVER (PARTITION BY ${others.mkString(", ")}
+                 ORDER BY $dim) AS fp_$out,
+               lag(b1) OVER (PARTITION BY ${others.mkString(", ")}
+                 ORDER BY $dim) AS fm_$out
+             FROM $src),
+             $out AS (SELECT it, iz, iy, ix, b1,
+               ${if (src == "grid3") "" else
+                 s"db1_dz${if (src == "gy") ", db1_dy" else ""},"}
+               CASE WHEN fm_$out IS NULL THEN (fp_$out - b1) / $Dz
+                    WHEN fp_$out IS NULL THEN (b1 - fm_$out) / $Dz
+                    ELSE (fp_$out - fm_$out) / (2 * $Dz) END AS db1_d${dim.stripPrefix("i")}
+             FROM ${out}_w)"""
+        s"""WITH $grid3Cte,
+           ${passSql("grid3", "iz", Seq("it", "iy", "ix"), "gz")},
+           ${passSql("gz", "iy", Seq("it", "iz", "ix"), "gy")},
+           ${passSql("gy", "ix", Seq("it", "iz", "iy"), "gx")}
+           SELECT it, iz, iy, ix, round(db1_dz, 6) AS db1_dz,
+                  round(db1_dy, 6) AS db1_dy, round(db1_dx, 6) AS db1_dx
+           FROM gx ORDER BY it, iz, iy, ix"""
+      }),
+
     // ---- q73: Z-order (Morton) layout key — the data-layout primitive
     // for multi-dimensional clustering: interleaving (iz, ix) bits makes
     // 1-D key ranges cover 2-D tiles, so range pruning on the sort key
