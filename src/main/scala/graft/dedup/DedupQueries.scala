@@ -462,14 +462,18 @@ object DedupQueries {
 
     // ---- q110: the incremental-ingest dedup flow COMPOSED end to end:
     // arriving docs (upper split, as q101) band-join the existing
-    // corpus index for candidates, candidates verify by signature
-    // agreement (est >= 0.5), and the corpus snapshot advances —
-    // existing docs stay, unique arrivals append, near-dup arrivals
-    // drop. q101 -> verify -> upsert in one plan: how a deduped
-    // training corpus is maintained day over day. Per-row signatures
-    // on the arrival side (the streaming shape, zero shuffles before
-    // the band join); the oracle rebuilds both legs through the
-    // explode-path CTEs (bit-identical, DedupSpec parity).
+    // corpus index AND each other for candidates, candidates verify by
+    // signature agreement (est >= 0.5), and the corpus snapshot
+    // advances — existing docs stay, unique arrivals append, near-dup
+    // arrivals drop. An arrival drops when it matches the corpus OR
+    // any LOWER-id arrival of the same batch (the deterministic greedy
+    // within-batch policy: without the intra-batch leg, two twins
+    // arriving together would BOTH enter the corpus forever). q101 ->
+    // verify -> upsert in one plan: how a deduped training corpus is
+    // maintained day over day. Per-row signatures on the arrival side
+    // (the streaming shape, zero shuffles before the band join); the
+    // oracle rebuilds both legs through the explode-path CTEs
+    // (bit-identical, DedupSpec parity).
     Q("q110_incremental_ingest",
       (s, d) => {
         val docs = Tables.documents(s, d)
@@ -478,16 +482,23 @@ object DedupQueries {
           signaturesPerRow(docs.filter(col("doc_id") >= split)))
         val sigCorp = graft.CacheScope.retain(
           signaturesPerRow(docs.filter(col("doc_id") < split)))
-        val cand = bandsOf(sigArr)
+        val arrBands = bandsOf(sigArr)
+        val candCorp = arrBands
           .join(bandsOf(sigCorp)
-              .select(col("doc_id").as("corpus_doc"), col("band"), col("bucket")),
+              .select(col("doc_id").as("prior_doc"), col("band"), col("bucket")),
             Seq("band", "bucket"))
-          .select("doc_id", "corpus_doc").distinct()
+          .select(col("doc_id").as("arr_doc"), col("prior_doc"))
+        val candIntra = arrBands.as("l")
+          .join(arrBands.as("r"),
+            col("l.band") === col("r.band")
+              && col("l.bucket") === col("r.bucket")
+              && col("l.doc_id") > col("r.doc_id"))
+          .select(col("l.doc_id").as("arr_doc"), col("r.doc_id").as("prior_doc"))
+        val sigAll = sigArr.unionByName(sigCorp)
         val agree = agreeExpr("a", "b")
-        val dupArrivals = cand
-          .select(col("doc_id").as("arr_doc"), col("corpus_doc"))
+        val dupArrivals = candCorp.unionAll(candIntra).distinct()
           .join(sigArr.as("a"), col("arr_doc") === col("a.doc_id"))
-          .join(sigCorp.as("b"), col("corpus_doc") === col("b.doc_id"))
+          .join(sigAll.as("b"), col("prior_doc") === col("b.doc_id"))
           .filter(agree >= (NumHashes + 1) / 2)
           .select(col("arr_doc").as("doc_id")).distinct()
         docs.filter(col("doc_id") < split)
@@ -500,13 +511,17 @@ object DedupQueries {
       Some(s"""WITH ${sigBandCtes("")},
          inc AS (SELECT doc_id, band, bucket FROM bands
                  WHERE doc_id >= $NeardupArrivalSplit),
-         corp AS (SELECT doc_id AS corpus_doc, band, bucket FROM bands
+         corp AS (SELECT doc_id AS prior_doc, band, bucket FROM bands
                   WHERE doc_id < $NeardupArrivalSplit),
-         cand AS (SELECT DISTINCT inc.doc_id, corp.corpus_doc
-                  FROM inc JOIN corp USING (band, bucket)),
+         cand AS (SELECT DISTINCT inc.doc_id, corp.prior_doc
+                  FROM inc JOIN corp USING (band, bucket)
+                  UNION
+                  SELECT DISTINCT l.doc_id, r.doc_id AS prior_doc
+                  FROM inc l JOIN inc r USING (band, bucket)
+                  WHERE l.doc_id > r.doc_id),
          dup AS (SELECT DISTINCT c.doc_id FROM cand c
                  JOIN sig a ON c.doc_id = a.doc_id
-                 JOIN sig b ON c.corpus_doc = b.doc_id
+                 JOIN sig b ON c.prior_doc = b.doc_id
                  WHERE $agreeSql >= ${(NumHashes + 1) / 2})
          SELECT doc_id, 'existing' AS status FROM documents
          WHERE doc_id < $NeardupArrivalSplit

@@ -61,6 +61,7 @@ object GridOps {
     */
   def fluxfn(df: DataFrame, b1: String, b2: String,
       d0: Double, d1: Double): DataFrame = {
+    requireAllIndexDims(df, Seq("iz", "ix"))
     val wz = Window.partitionBy("it").orderBy("iz")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ic = df.filter(col("ix") === 0)
@@ -110,6 +111,7 @@ object GridOps {
     */
   def gradientNonUniform(df: DataFrame, value: String, dim: String,
       coordCol: String, out: String): DataFrame = {
+    requireAllIndexDims(df, Seq("iz", "ix"))
     val part = if (dim == "iz") Seq("it", "ix") else Seq("it", "iz")
     val w = Window.partitionBy(part.map(col): _*).orderBy(dim)
     val fp = lead(col(value), 1).over(w); val fm = lag(col(value), 1).over(w)

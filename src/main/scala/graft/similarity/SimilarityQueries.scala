@@ -81,6 +81,25 @@ object SimilarityQueries {
       SELECT a.vec_id, a.cl AS cluster, a.vec_id = cc.grp AS kept
       FROM asg a JOIN cc ON a.vec_id = cc.node ORDER BY a.vec_id"""
 
+  /** SQL twin of [[cosineVsProbe]]/[[exactTop10]]: probe components,
+    * probe norm, and every other vector's dot/self-norm from a CTE
+    * named `flat` — ONE copy of the re-ranking chain for the oracles
+    * that share it (q102/q89 predate it and keep equivalent inline
+    * text).
+    */
+  private val cosineVsProbeCteSql: String =
+    """qv AS (SELECT i, v AS qv FROM flat WHERE vec_id = 0),
+      qn AS (SELECT sum(qv*qv) AS qn FROM qv),
+      dots AS (SELECT f.vec_id, sum(f.v*q.qv) AS dot, sum(f.v*f.v) AS nrm
+               FROM flat f JOIN qv q USING (i) WHERE f.vec_id <> 0
+               GROUP BY f.vec_id)"""
+
+  private val exactTop10CteSql: String =
+    cosineVsProbeCteSql + """,
+      exact AS (SELECT vec_id,
+                  round(dot / (sqrt(nrm) * sqrt(qn)), 6) AS cos_sim
+                FROM dots, qn ORDER BY cos_sim DESC, vec_id LIMIT 10)"""
+
   /** DuckDB twin of q109: truncated-prefix cosine candidates (top-30),
     * exact full-dim top-10, recall.
     */
@@ -98,14 +117,7 @@ object SimilarityQueries {
                  SELECT vec_id, round(dot / (sqrt(nrm) * sqrt(qn)), 6) AS tcos
                  FROM tdots, tqn
                  ORDER BY tcos DESC, vec_id LIMIT $MrlCand) t),
-      qv AS (SELECT i, v AS qv FROM flat WHERE vec_id = 0),
-      qn AS (SELECT sum(qv*qv) AS qn FROM qv),
-      dots AS (SELECT f.vec_id, sum(f.v*q.qv) AS dot, sum(f.v*f.v) AS nrm
-               FROM flat f JOIN qv q USING (i) WHERE f.vec_id <> 0
-               GROUP BY f.vec_id),
-      exact AS (SELECT vec_id,
-                  round(dot / (sqrt(nrm) * sqrt(qn)), 6) AS cos_sim
-                FROM dots, qn ORDER BY cos_sim DESC, vec_id LIMIT 10),
+      ${exactTop10CteSql},
       h AS (SELECT count(*) AS hits FROM exact
             WHERE vec_id IN (SELECT vec_id FROM cand))
       SELECT h.hits, round(h.hits / 10.0, 4) AS recall_at_10 FROM h"""
@@ -117,11 +129,7 @@ object SimilarityQueries {
     s"""WITH flat AS (SELECT vec_id, CAST(v AS DOUBLE) AS v, i FROM (
            SELECT vec_id, unnest(embedding) AS v,
                   generate_subscripts(embedding, 1) AS i FROM embeddings) x),
-      qv AS (SELECT i, v AS qv FROM flat WHERE vec_id = 0),
-      qn AS (SELECT sum(qv*qv) AS qn FROM qv),
-      dots AS (SELECT f.vec_id, sum(f.v*q.qv) AS dot, sum(f.v*f.v) AS nrm
-               FROM flat f JOIN qv q USING (i) WHERE f.vec_id <> 0
-               GROUP BY f.vec_id),
+      ${cosineVsProbeCteSql},
       dense AS (SELECT vec_id AS doc_id,
                   round(dot / (sqrt(nrm) * sqrt(qn)), 6) AS cos_sim
                 FROM dots, qn),
@@ -277,6 +285,29 @@ object SimilarityQueries {
       .select(col("vec_id"), col("label"),
         posexplode(col("embedding")).as(Seq("i", "v")))
       .withColumn("v", col("v").cast("double"))
+
+  /** Exact cosine of every vector (vec_id != 0) against the probe
+    * (vec 0), 6-dp rounded — the ONE copy of the re-ranking rule every
+    * recall query and q108's dense leg share (its SQL twin is
+    * [[cosineVsProbeCte]]/[[exactTop10Cte]]).
+    */
+  private def cosineVsProbe(f: DataFrame): DataFrame = {
+    val qv = f.filter(col("vec_id") === 0)
+      .select(col("i").as("qi"), col("v").as("qv"))
+    val qn = qv.agg(sum(col("qv") * col("qv")).as("qn"))
+    f.filter(col("vec_id") =!= 0)
+      .join(broadcast(qv), col("i") === col("qi"))
+      .groupBy("vec_id")
+      .agg(sum(col("v") * col("qv")).as("dot"),
+        sum(col("v") * col("v")).as("nrm"))
+      .crossJoin(broadcast(qn))
+      .select(col("vec_id"),
+        round(col("dot") / (sqrt(col("nrm")) * sqrt(col("qn"))), 6)
+          .as("cos_sim"))
+  }
+
+  private def exactTop10(f: DataFrame): DataFrame =
+    cosineVsProbe(f).orderBy(col("cos_sim").desc, col("vec_id")).limit(10)
 
   def defs: Seq[Q] = Seq(
     // ---- exact cosine top-10 vs probe vec_id=0. Ranking happens on the
@@ -455,23 +486,7 @@ object SimilarityQueries {
         val cand = bk.filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(probeB)).filter(anyShared)
           .select("vec_id")
-        val exact10 = { // identical ranking rule to q31
-          val f = flat(s, d)
-          val qv = f.filter(col("vec_id") === 0)
-            .select(col("i").as("qi"), col("v").as("qv"))
-          val qn = qv.agg(sum(col("qv") * col("qv")).as("qn"))
-          f.filter(col("vec_id") =!= 0)
-            .join(broadcast(qv), col("i") === col("qi"))
-            .groupBy("vec_id")
-            .agg(sum(col("v") * col("qv")).as("dot"),
-              sum(col("v") * col("v")).as("nrm"))
-            .crossJoin(broadcast(qn))
-            .select(col("vec_id"),
-              round(col("dot") / (sqrt(col("nrm")) * sqrt(col("qn"))), 6)
-                .as("cos_sim"))
-            .orderBy(col("cos_sim").desc, col("vec_id"))
-            .limit(10)
-        }
+        val exact10 = exactTop10(flat(s, d)) // identical ranking rule to q31
         val nCand = cand.agg(count(lit(1)).as("n_candidates"))
         val hits = exact10.join(cand, Seq("vec_id"), "left_semi")
           .agg(count(lit(1)).as("hits"))
@@ -506,22 +521,7 @@ object SimilarityQueries {
           .select(col("clabel").as("lst"))
         val cand = assign.filter(col("vec_id") =!= 0)
           .join(broadcast(probe2), "lst").select("vec_id")
-        val exact10 = {
-          val qv = f.filter(col("vec_id") === 0)
-            .select(col("i").as("qi"), col("v").as("qv"))
-          val qn = qv.agg(sum(col("qv") * col("qv")).as("qn"))
-          f.filter(col("vec_id") =!= 0)
-            .join(broadcast(qv), col("i") === col("qi"))
-            .groupBy("vec_id")
-            .agg(sum(col("v") * col("qv")).as("dot"),
-              sum(col("v") * col("v")).as("nrm"))
-            .crossJoin(broadcast(qn))
-            .select(col("vec_id"),
-              round(col("dot") / (sqrt(col("nrm")) * sqrt(col("qn"))), 6)
-                .as("cos_sim"))
-            .orderBy(col("cos_sim").desc, col("vec_id"))
-            .limit(10)
-        }
+        val exact10 = exactTop10(f)
         val nCand = cand.agg(count(lit(1)).as("n_candidates"))
         val hits = exact10.join(cand, Seq("vec_id"), "left_semi")
           .agg(count(lit(1)).as("hits"))
@@ -570,23 +570,7 @@ object SimilarityQueries {
           .orderBy(col("qcos").desc, col("vec_id"))
           .limit(30)
           .select("vec_id")
-        val exact10 = { // identical ranking rule to q31
-          val f = flat(s, d)
-          val qv = f.filter(col("vec_id") === 0)
-            .select(col("i").as("qi"), col("v").as("qv"))
-          val qn = qv.agg(sum(col("qv") * col("qv")).as("qn"))
-          f.filter(col("vec_id") =!= 0)
-            .join(broadcast(qv), col("i") === col("qi"))
-            .groupBy("vec_id")
-            .agg(sum(col("v") * col("qv")).as("dot"),
-              sum(col("v") * col("v")).as("nrm"))
-            .crossJoin(broadcast(qn))
-            .select(col("vec_id"),
-              round(col("dot") / (sqrt(col("nrm")) * sqrt(col("qn"))), 6)
-                .as("cos_sim"))
-            .orderBy(col("cos_sim").desc, col("vec_id"))
-            .limit(10)
-        }
+        val exact10 = exactTop10(flat(s, d)) // identical ranking rule to q31
         val hits = exact10.join(cand, Seq("vec_id"), "left_semi")
           .agg(count(lit(1)).as("hits"))
         hits.select(col("hits"),
@@ -623,22 +607,7 @@ object SimilarityQueries {
           .orderBy(col("tcos").desc, col("vec_id"))
           .limit(MrlCand)
           .select("vec_id")
-        val exact10 = {
-          val qv = f.filter(col("vec_id") === 0)
-            .select(col("i").as("qi"), col("v").as("qv"))
-          val qn = qv.agg(sum(col("qv") * col("qv")).as("qn"))
-          f.filter(col("vec_id") =!= 0)
-            .join(broadcast(qv), col("i") === col("qi"))
-            .groupBy("vec_id")
-            .agg(sum(col("v") * col("qv")).as("dot"),
-              sum(col("v") * col("v")).as("nrm"))
-            .crossJoin(broadcast(qn))
-            .select(col("vec_id"),
-              round(col("dot") / (sqrt(col("nrm")) * sqrt(col("qn"))), 6)
-                .as("cos_sim"))
-            .orderBy(col("cos_sim").desc, col("vec_id"))
-            .limit(10)
-        }
+        val exact10 = exactTop10(f)
         val hits = exact10.join(cand, Seq("vec_id"), "left_semi")
           .agg(count(lit(1)).as("hits"))
         hits.select(col("hits"),
@@ -663,15 +632,8 @@ object SimilarityQueries {
         // doc 0 IS the query (its embedding is the dense probe): exclude
         // it from both legs so the self-match cannot occupy rank 1 and
         // shift every real document down.
-        val dense = f.filter(col("vec_id") =!= 0)
-          .join(broadcast(qv), col("i") === col("qi"))
-          .groupBy("vec_id")
-          .agg(sum(col("v") * col("qv")).as("dot"),
-            sum(col("v") * col("v")).as("nrm"))
-          .crossJoin(broadcast(qn))
-          .select(col("vec_id").as("doc_id"),
-            round(col("dot") / (sqrt(col("nrm")) * sqrt(col("qn"))), 6)
-              .as("cos_sim"))
+        val dense = cosineVsProbe(f)
+          .select(col("vec_id").as("doc_id"), col("cos_sim"))
         val wD = org.apache.spark.sql.expressions.Window
           .orderBy(col("cos_sim").desc, col("doc_id"))
         val wS = org.apache.spark.sql.expressions.Window
