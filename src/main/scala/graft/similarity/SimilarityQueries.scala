@@ -39,25 +39,26 @@ object SimilarityQueries {
   private val RrfK = 60
 
   /** q111 SemDeDup geometry: the cosine bar for "semantically
-    * duplicate" within a cluster, and the vec bound that keeps the
-    * per-cluster quadratic pair space bench-sized (the deterministic
-    * label quantizer is fixed at 10 clusters; SemDeDup at scale grows k
-    * with n to bound cluster populations instead).
+    * duplicate" within a cluster, and the quantizer stride — cluster
+    * seeds are the vectors whose id is a multiple of the stride, so
+    * k = ceil(n / stride) GROWS with corpus size and the expected
+    * cluster population stays ~stride. That is what makes the
+    * sum(cluster²) pair bound linear in n by construction (≈ n·stride),
+    * the way SemDeDup at scale grows k with n.
     */
   private val SemT = 0.4
-  private val SemVecLimit = 1000
+  private val SemSeedStride = 100
 
-  /** DuckDB twin of q111: label centroids, nearest-centroid assignment,
-    * within-cluster pairwise cosine >= SemT, recursive-CTE CC, keep =
-    * component minimum.
+  /** DuckDB twin of q111: stride-seed centroids, nearest-seed
+    * assignment, within-cluster pairwise cosine >= SemT, recursive-CTE
+    * CC, keep = component minimum.
     */
   private lazy val semanticDedupOracleSql: String =
-    s"""WITH RECURSIVE flat AS (SELECT vec_id, label, CAST(v AS DOUBLE) AS v, i FROM (
-           SELECT vec_id, label, unnest(embedding) AS v,
-                  generate_subscripts(embedding, 1) AS i FROM embeddings
-           WHERE vec_id < $SemVecLimit) x),
-      cent AS (SELECT label AS clabel, i, avg(v) AS c
-               FROM flat GROUP BY 1, 2),
+    s"""WITH RECURSIVE flat AS (SELECT vec_id, CAST(v AS DOUBLE) AS v, i FROM (
+           SELECT vec_id, unnest(embedding) AS v,
+                  generate_subscripts(embedding, 1) AS i FROM embeddings) x),
+      cent AS (SELECT vec_id AS clabel, i, v AS c FROM flat
+               WHERE vec_id % $SemSeedStride = 0),
       d2 AS (SELECT f.vec_id, c.clabel, sum((v - c) * (v - c)) AS d2
              FROM flat f JOIN cent c USING (i) GROUP BY 1, 2),
       asg AS (SELECT vec_id, clabel AS cl FROM (
@@ -620,29 +621,29 @@ object SimilarityQueries {
     // is exact cosine vs the embedded query (vec 0), fused as
     // 1/(k+r_s) + 1/(k+r_d), k=60 (Cormack & Clarke's RRF). Ranks
     // break ties on doc_id over ROUNDED scores, so both engines rank
-    // identically. The full-corpus global windows here keep the oracle
-    // total; at scale each leg is a TakeOrdered top-K and fusion runs
-    // on K+K rows.
+    // identically. Doc 0 IS the query (its embedding is the dense
+    // probe): excluded from both legs so the self-match cannot occupy
+    // rank 1 and shift every real document down.
+    //
+    // Exact full-depth RRF needs BOTH global ranks for every doc (a
+    // top-K-per-leg fusion cannot price a doc that is rank 3 dense but
+    // rank 3000 sparse), so each leg runs through the distributed
+    // global-rank operator ([[graft.relational.Ranking.globalRank]]:
+    // range-partition + parallel per-partition windows + cumulative
+    // offsets) instead of a single-task unpartitioned window. Systems
+    // that accept approximate fusion can swap each leg for a
+    // TakeOrdered top-K; this query declares the exact contract.
     Q("q108_hybrid_rrf",
       (s, d) => {
-        val f = flat(s, d)
-        val qv = f.filter(col("vec_id") === 0)
-          .select(col("i").as("qi"), col("v").as("qv"))
-        val qn = qv.agg(sum(col("qv") * col("qv")).as("qn"))
-        // doc 0 IS the query (its embedding is the dense probe): exclude
-        // it from both legs so the self-match cannot occupy rank 1 and
-        // shift every real document down.
-        val dense = cosineVsProbe(f)
-          .select(col("vec_id").as("doc_id"), col("cos_sim"))
-        val wD = org.apache.spark.sql.expressions.Window
-          .orderBy(col("cos_sim").desc, col("doc_id"))
-        val wS = org.apache.spark.sql.expressions.Window
-          .orderBy(col("bm25").desc, col("doc_id"))
-        dense.withColumn("r_dense", row_number().over(wD).cast("long"))
-          .join(graft.text.TextQueries.bm25Scores(s, d)
-            .filter(col("doc_id") =!= 0)
-            .withColumn("r_sparse", row_number().over(wS).cast("long")),
-            "doc_id")
+        val dense = graft.relational.Ranking.globalRank(
+          cosineVsProbe(flat(s, d))
+            .select(col("vec_id").as("doc_id"), col("cos_sim")),
+          "r_dense", col("cos_sim").desc, col("doc_id").asc)
+        val sparse = graft.relational.Ranking.globalRank(
+          graft.text.TextQueries.bm25Scores(s, d)
+            .filter(col("doc_id") =!= 0),
+          "r_sparse", col("bm25").desc, col("doc_id").asc)
+        dense.join(sparse, "doc_id")
           .select(col("doc_id"), col("r_sparse"), col("r_dense"),
             round(lit(1.0) / (lit(RrfK) + col("r_dense"))
               + lit(1.0) / (lit(RrfK) + col("r_sparse")), 6).as("rrf"))
@@ -652,19 +653,26 @@ object SimilarityQueries {
       Some(hybridRrfOracleSql)),
 
     // ---- q111: SEMANTIC dedup, SemDeDup-shaped (Abbas et al. 2023):
-    // cluster the embedding space (deterministic label-centroid
-    // quantizer + nearest-centroid assignment, as q80/q89), compute
-    // exact pairwise cosine ONLY within each cluster — the cluster
-    // bound is what makes embedding-space dedup tractable: the pair
-    // space is sum(cluster²), never n² — then connected components
-    // over the >= SemT pairs and keep the component minimum. Output:
-    // every vec with its cluster and a kept flag.
+    // cluster the embedding space, compute exact pairwise cosine ONLY
+    // within each cluster, then connected components over the >= SemT
+    // pairs and keep the component minimum. Output: every vec with its
+    // cluster and a kept flag, over the FULL corpus.
+    //
+    // The quantizer is k stride-seed vectors (ids ≡ 0 mod
+    // [[SemSeedStride]]), so k = ceil(n/stride) grows with corpus size
+    // and expected cluster population stays ~stride: the pair space is
+    // sum(cluster²) ≈ n·stride — linear in n BY CONSTRUCTION, which is
+    // the whole SemDeDup bargain (real deployments fit k-means with
+    // k ≈ n/target; the stride seeds are the deterministic,
+    // oracle-reproducible stand-in). Assignment is one broadcast join
+    // (centroids are k·dim ≈ n/stride·dim — metadata-scale relative to
+    // the corpus; shard the centroid table if k outgrows a broadcast).
     Q("q111_semantic_dedup",
       (s, d) => {
-        val f = graft.CacheScope.retain(
-          flat(s, d).filter(col("vec_id") < SemVecLimit))
-        val cent = f.groupBy("label", "i").agg(avg("v").as("c"))
-          .select(col("label").as("clabel"), col("i").as("ci"), col("c"))
+        val f = graft.CacheScope.retain(flat(s, d))
+        val cent = f.filter(col("vec_id") % SemSeedStride === 0)
+          .select(col("vec_id").as("clabel"), col("i").as("ci"),
+            col("v").as("c"))
         val asg = graft.CacheScope.retain(
           f.join(broadcast(cent), col("i") === col("ci"))
             .groupBy("vec_id", "clabel")
