@@ -99,7 +99,7 @@ object GridQueries {
     * CTE/table names; `idx` lists ALL index columns of the grid (the
     * pass dimension plus the partition keys).
     */
-  private def stencilPassSql(src: String, valueCol: String, dim: String,
+  private[grid] def stencilPassSql(src: String, valueCol: String, dim: String,
       n: Int, offsets: Seq[(Int, Double)], aggFn: String, out: String,
       idx: Seq[String] = Seq("it", "iz", "ix")): String = {
     val others = idx.filterNot(_ == dim)
@@ -115,8 +115,8 @@ object GridQueries {
          GROUP BY $gIdx)"""
   }
 
-  private val kern: Seq[(Int, Double)] = GridOps.gaussianKernel(1.0)
-  private val boxOffs: Seq[(Int, Double)] = (-5 to 4).map(_ -> 1.0)
+  private[grid] val kern: Seq[(Int, Double)] = GridOps.gaussianKernel(1.0)
+  private[grid] val boxOffs: Seq[(Int, Double)] = (-5 to 4).map(_ -> 1.0)
 
   def defs: Seq[Q] = Seq(
     // ---- g01: ndslice = inclusive time + spatial range filters (reference
