@@ -60,8 +60,14 @@ object GridQueries {
         })
       }
       val e = Tables.events(s, d).select("event_id", "value")
-      val nCells = (e.count() / Cells) * Cells
-      val g = e.filter(col("event_id") < nCells)
+      // nCells as a broadcast scalar, not a driver-side e.count(): the
+      // fixture builds without running a job, so declared queries stay
+      // fully lazy until their own action (round-6 verdict nit). The
+      // persist is lazy too — the first consuming action materializes.
+      val nCells = broadcast(
+        e.agg((count(lit(1)) / Cells).cast("long").as("nc")))
+      e.crossJoin(nCells)
+        .filter(col("event_id") < col("nc") * Cells)
         .select(
           expr(s"CAST(event_id div $Cells AS INT)").as("it"),
           expr(s"CAST((event_id % $Cells) div $NX AS INT)").as("iz"),
@@ -72,8 +78,6 @@ object GridQueries {
         .withColumn("z", col("iz") * Dz)
         .withColumn("x", col("ix") * Dx)
         .persist()
-      g.count() // materialize once
-      g
     })
 
   /** DuckDB CTE mirroring [[grid]] exactly. */
@@ -535,8 +539,11 @@ object GridQueries {
   val Cells3: Int = N3 * N3 * N3
   private def grid3(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d).select("event_id", "value")
-    val nCells = (e.count() / Cells3) * Cells3
-    e.filter(col("event_id") < nCells)
+    // lazy broadcast-scalar cell count, as in [[grid]]
+    val nCells = broadcast(
+      e.agg((count(lit(1)) / Cells3).cast("long").as("nc")))
+    e.crossJoin(nCells)
+      .filter(col("event_id") < col("nc") * Cells3)
       .select(
         expr(s"CAST(event_id div $Cells3 AS INT)").as("it"),
         expr(s"CAST((event_id % $Cells3) div ${N3 * N3} AS INT)").as("iz"),

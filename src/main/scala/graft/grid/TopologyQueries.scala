@@ -124,11 +124,11 @@ object TopologyQueries {
         })
       }
       val g = grid(s, d)
-      val n = Topology.segmentIntersections(
+      // lazy persist: the first consuming action (g11 or g12) pays the
+      // materialization; building the query triggers no job
+      Topology.segmentIntersections(
         Topology.contourSegments(g, "b1", L1),
         Topology.contourSegments(g, "b2", L2)).persist()
-      n.count()
-      n
     })
 
   def defs: Seq[Q] = Seq(

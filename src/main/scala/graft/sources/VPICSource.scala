@@ -301,18 +301,30 @@ private[sources] class VPICReaderFactory(fields: Array[String])
   */
 private[sources] class VPICPartitionReader(p: VPICInputPartition,
     fields: Array[String]) extends PartitionReader[InternalRow] {
+  private val dataPath = Paths.get(p.path, VPICSource.DataFile)
+  locally {
+    // validate length up front: FileInputStream.skip may seek past EOF
+    // and return a positive count, so a truncated data.bin would
+    // otherwise surface as a bare EOFException from readDouble deep in
+    // the scan — this check names the file and the missing chunk.
+    val need = VPICSource.HeaderBytes.toLong +
+      (p.t1 + 1).toLong * p.nz * p.ny * p.nx * 8
+    val have = java.nio.file.Files.size(dataPath)
+    if (have < need) throw new java.io.EOFException(
+      s"truncated $dataPath: $have bytes, " +
+        s"chunk it=[${p.t0},${p.t1}] needs $need")
+  }
   private val in = new DataInputStream(new BufferedInputStream(
-    new FileInputStream(Paths.get(p.path, VPICSource.DataFile).toFile)))
+    new FileInputStream(dataPath.toFile)))
   locally {
     var toSkip = VPICSource.HeaderBytes.toLong +
       p.t0.toLong * p.nz * p.ny * p.nx * 8
     while (toSkip > 0) {
       val n = in.skip(toSkip)
-      // skip() returns 0 at EOF on a truncated data.bin — fail the task
-      // with a diagnosable error instead of spinning forever.
+      // unreachable for regular files after the size check above; kept
+      // so a non-seekable stream can never spin forever
       if (n <= 0) throw new java.io.EOFException(
-        s"truncated ${p.path}/${VPICSource.DataFile}: " +
-          s"$toSkip bytes short of chunk it=${p.t0}")
+        s"skip stalled at $toSkip bytes before chunk it=${p.t0} ($dataPath)")
       toSkip -= n
     }
   }
