@@ -59,6 +59,16 @@ object VPICSource {
   /** data.bin header: nt, nz, ny, nx as big-endian ints. */
   val HeaderBytes = 16
 
+  /** Band-INTERLEAVED single-file layout (the reference's
+    * `interleave=True` reader mode, vpicdataset.py:171-183 via
+    * pyvpic.open: one file carries every variable, values of ALL
+    * variables adjacent per grid point — array-of-structs — instead of
+    * one contiguous block per variable). Same 16-byte header; the
+    * variable list and its on-disk band order live in info.json as
+    * `ivars`.
+    */
+  val InterleavedFile = "interleaved.bin"
+
   /** Write a mock VPIC tree: `vars` maps dataset paths ("fields/ex") to
     * value generators f(it, iz, iy, ix). Dev/test producer for the
     * reader. Layout is row-major in z,y,x order (time outermost), the
@@ -98,6 +108,46 @@ object VPICSource {
         p -> ((it: Int, iz: Int, _: Int, ix: Int) => f(it, iz, ix))
       })
 
+  /** Mock producer for the INTERLEAVED layout: one `interleaved.bin`
+    * at the tree root, cells in the same t,z,y,x row-major order, and
+    * within each cell one value per variable in `vars` order (the band
+    * order recorded as `ivars` in info.json).
+    */
+  def writeMockInterleaved(dir: String, time: Array[Double],
+      zAxis: Array[Double], yAxis: Array[Double], xAxis: Array[Double],
+      vars: Seq[(String, (Int, Int, Int, Int) => Double)]): Unit = {
+    val root = Paths.get(dir)
+    Files.createDirectories(root)
+    val info =
+      s"""{"time":${time.mkString("[", ",", "]")},
+         |"axes":{"iz":${zAxis.mkString("[", ",", "]")},
+         |"iy":${yAxis.mkString("[", ",", "]")},
+         |"ix":${xAxis.mkString("[", ",", "]")}},
+         |"ivars":${vars.map("\"" + _._1 + "\"").mkString("[", ",", "]")}}""".stripMargin
+    Files.writeString(root.resolve(InfoFile), info)
+    val out = new DataOutputStream(new java.io.BufferedOutputStream(
+      new FileOutputStream(root.resolve(InterleavedFile).toFile)))
+    try {
+      out.writeInt(time.length); out.writeInt(zAxis.length)
+      out.writeInt(yAxis.length); out.writeInt(xAxis.length)
+      for (it <- time.indices; iz <- zAxis.indices;
+           iy <- yAxis.indices; ix <- xAxis.indices; (_, f) <- vars)
+        out.writeDouble(f(it, iz, iy, ix))
+    } finally out.close()
+  }
+
+  /** The interleaved tree's variable list in BAND ORDER (path, leaf),
+    * from info.json `ivars`; empty when the tree is not interleaved.
+    */
+  def interleavedVars(root: String): Seq[(String, String)] = {
+    val ip = Paths.get(root, InfoFile)
+    if (!Files.isRegularFile(Paths.get(root, InterleavedFile))
+      || !Files.isRegularFile(ip)) return Seq.empty
+    val info = graft.grid.ujsonLite.parse(Files.readString(ip))
+    val paths = info.obj.get("ivars").map(_.arr.map(_.str)).getOrElse(Vector.empty)
+    requireUniqueLeaves(paths.map(p => (p, p.split('/').last)))
+  }
+
   /** All dataset paths under root (dirs containing data.bin), sorted —
     * the reader.datasets listing (vpicdataset.py:196).
     */
@@ -115,18 +165,23 @@ object VPICSource {
       subdirs.sortBy(_.toString).foreach(walk)
     }
     walk(r)
-    // Rows and the SimDataset variable map key on the LEAF name, so two
-    // dataset paths with the same leaf (fields/ex vs hydro2/ex) would
-    // silently shadow each other downstream — reject them here with the
-    // colliding paths named, rather than return ambiguous labels.
-    val out = found.sortBy(_._1).toSeq
-    val dups = out.groupBy(_._2).filter(_._2.length > 1)
+    requireUniqueLeaves(found.sortBy(_._1).toSeq)
+  }
+
+  /** Rows and the SimDataset variable map key on the LEAF name, so two
+    * dataset paths with the same leaf (fields/ex vs hydro2/ex) would
+    * silently shadow each other downstream — reject them with the
+    * colliding paths named, rather than return ambiguous labels.
+    */
+  private def requireUniqueLeaves(
+      vars: Seq[(String, String)]): Seq[(String, String)] = {
+    val dups = vars.groupBy(_._2).filter(_._2.length > 1)
     if (dups.nonEmpty)
       throw new IllegalArgumentException(
         "duplicate VPIC dataset leaf names (labels must be unique): " +
           dups.map { case (l, ps) =>
             s"$l <- ${ps.map(_._1).mkString(", ")}" }.mkString("; "))
-    out
+    vars
   }
 
   /** get_vars projection: case-sensitive substring, FIRST match wins per
@@ -139,9 +194,9 @@ object VPICSource {
     if (patterns.isEmpty || patterns.head == "all") all
     else patterns.flatMap(p => all.find { case (path, _) => path.contains(p) }).distinct
 
-  def readHeader(dir: String): (Int, Int, Int, Int) = {
+  def readHeader(dir: String, file: String = DataFile): (Int, Int, Int, Int) = {
     val in = new DataInputStream(new FileInputStream(
-      Paths.get(dir, DataFile).toFile))
+      Paths.get(dir, file).toFile))
     try (in.readInt(), in.readInt(), in.readInt(), in.readInt())
     finally in.close()
   }
@@ -166,7 +221,8 @@ object VPICSource {
     }.toSeq
     // squeeze: singleton axes leave the mesh (indices stay in the rows)
     val axes = axesAll.filter(_._2.length > 1)
-    val selected = selectLabels(listVars(dir), getVars)
+    val iv = interleavedVars(dir)
+    val selected = selectLabels(if (iv.nonEmpty) iv else listVars(dir), getVars)
     val scan = spark.read.format("graft-vpic")
       .option("path", dir)
       .option("vars", getVars.mkString(","))
@@ -243,8 +299,15 @@ private[sources] class VPICScan(root: String, vars: Seq[String], chunkSteps: Int
     s"vpic scan of $root, vars=${vars.mkString("/")}, pushed=${pushed.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
+    // layout detection: an interleaved tree declares its band order in
+    // info.json and carries one shared file; band indices come from the
+    // FULL list even when pruning selects a subset
+    val ivars = VPICSource.interleavedVars(root)
+    val interleaved = ivars.nonEmpty
+    val bandOf = ivars.map(_._1).zipWithIndex.toMap
     // file-level pruning: get_vars projection, then pushed var filters
-    var labels = VPICSource.selectLabels(VPICSource.listVars(root), vars)
+    var labels = VPICSource.selectLabels(
+      if (interleaved) ivars else VPICSource.listVars(root), vars)
     pushed.foreach {
       case EqualTo("var", v: String) => labels = labels.filter(_._2 == v)
       case In("var", vs) =>
@@ -266,11 +329,23 @@ private[sources] class VPICScan(root: String, vars: Seq[String], chunkSteps: Int
       case _ => ()
     }
     labels.flatMap { case (path, label) =>
-      val (nt, nz, ny, nx) = VPICSource.readHeader(path)
-      val lo = math.max(0, itLo); val hi = math.min(nt - 1, itHi)
-      (lo to hi by chunkSteps).map { t0 =>
-        VPICInputPartition(path, label, t0,
-          math.min(t0 + chunkSteps - 1, hi), nz, ny, nx)
+      if (interleaved) {
+        val (nt, nz, ny, nx) =
+          VPICSource.readHeader(root, VPICSource.InterleavedFile)
+        val lo = math.max(0, itLo); val hi = math.min(nt - 1, itHi)
+        (lo to hi by chunkSteps).map { t0 =>
+          VPICInputPartition(root, label, t0,
+            math.min(t0 + chunkSteps - 1, hi), nz, ny, nx,
+            file = VPICSource.InterleavedFile,
+            nvars = ivars.length, vidx = bandOf(path))
+        }
+      } else {
+        val (nt, nz, ny, nx) = VPICSource.readHeader(path)
+        val lo = math.max(0, itLo); val hi = math.min(nt - 1, itHi)
+        (lo to hi by chunkSteps).map { t0 =>
+          VPICInputPartition(path, label, t0,
+            math.min(t0 + chunkSteps - 1, hi), nz, ny, nx)
+        }
       }
     }.toArray
   }
@@ -279,8 +354,14 @@ private[sources] class VPICScan(root: String, vars: Seq[String], chunkSteps: Int
     new VPICReaderFactory(required.fieldNames)
 }
 
+/** `file`/`nvars`/`vidx` carry the layout: the per-variable tree reads
+  * `data.bin` with stride 1, the interleaved tree reads the shared
+  * `interleaved.bin` taking band `vidx` of `nvars` per cell.
+  */
 private[sources] case class VPICInputPartition(path: String, label: String,
-    t0: Int, t1: Int, nz: Int, ny: Int, nx: Int) extends InputPartition
+    t0: Int, t1: Int, nz: Int, ny: Int, nx: Int,
+    file: String = VPICSource.DataFile, nvars: Int = 1,
+    vidx: Int = 0) extends InputPartition
 
 private[sources] class VPICReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {
@@ -301,14 +382,25 @@ private[sources] class VPICReaderFactory(fields: Array[String])
   */
 private[sources] class VPICPartitionReader(p: VPICInputPartition,
     fields: Array[String]) extends PartitionReader[InternalRow] {
-  private val dataPath = Paths.get(p.path, VPICSource.DataFile)
+  private val dataPath = Paths.get(p.path, p.file)
+  private def skipFully(n: Long): Unit = {
+    var toSkip = n
+    while (toSkip > 0) {
+      val k = in.skip(toSkip)
+      // unreachable for regular files after the size check below; kept
+      // so a non-seekable stream can never spin forever
+      if (k <= 0) throw new java.io.EOFException(
+        s"skip stalled at $toSkip bytes before chunk it=${p.t0} ($dataPath)")
+      toSkip -= k
+    }
+  }
   locally {
     // validate length up front: FileInputStream.skip may seek past EOF
-    // and return a positive count, so a truncated data.bin would
-    // otherwise surface as a bare EOFException from readDouble deep in
-    // the scan — this check names the file and the missing chunk.
+    // and return a positive count, so a truncated file would otherwise
+    // surface as a bare EOFException from readDouble deep in the scan —
+    // this check names the file and the missing chunk.
     val need = VPICSource.HeaderBytes.toLong +
-      (p.t1 + 1).toLong * p.nz * p.ny * p.nx * 8
+      (p.t1 + 1).toLong * p.nz * p.ny * p.nx * p.nvars * 8
     val have = java.nio.file.Files.size(dataPath)
     if (have < need) throw new java.io.EOFException(
       s"truncated $dataPath: $have bytes, " +
@@ -317,17 +409,14 @@ private[sources] class VPICPartitionReader(p: VPICInputPartition,
   private val in = new DataInputStream(new BufferedInputStream(
     new FileInputStream(dataPath.toFile)))
   locally {
-    var toSkip = VPICSource.HeaderBytes.toLong +
-      p.t0.toLong * p.nz * p.ny * p.nx * 8
-    while (toSkip > 0) {
-      val n = in.skip(toSkip)
-      // unreachable for regular files after the size check above; kept
-      // so a non-seekable stream can never spin forever
-      if (n <= 0) throw new java.io.EOFException(
-        s"skip stalled at $toSkip bytes before chunk it=${p.t0} ($dataPath)")
-      toSkip -= n
-    }
+    // seek to this chunk's first value of band `vidx` (stride 1 and
+    // vidx 0 for the per-variable layout)
+    skipFully(VPICSource.HeaderBytes.toLong +
+      (p.t0.toLong * p.nz * p.ny * p.nx * p.nvars + p.vidx) * 8)
   }
+  /** bytes between consecutive values of this band */
+  private val gap = (p.nvars - 1).toLong * 8
+  private var first = true
   private var it = p.t0; private var iz = 0; private var iy = 0
   private var ix = -1
   private var v = 0.0
@@ -347,6 +436,9 @@ private[sources] class VPICPartitionReader(p: VPICInputPartition,
     if (iy == p.ny) { iy = 0; iz += 1 }
     if (iz == p.nz) { iz = 0; it += 1 }
     if (it > p.t1) return false
+    // interleaved band: hop over the other variables' values between
+    // cells (gap = 0 on the per-variable layout — no-op)
+    if (first) first = false else if (gap > 0) skipFully(gap)
     v = in.readDouble()
     true
   }

@@ -158,4 +158,56 @@ class VPICSourceSpec extends AnyFunSuite {
       && col("iy") === 0 && col("ix") === 3).head()
     assert(r0.getAs[Double]("value") === f(1, 0, 1, 3)) // rebased indices
   }
+
+  test("interleaved layout reads identically to the per-variable tree") {
+    // the reference's interleave=True mode (vpicdataset.py:171-183):
+    // one file, all variables' values adjacent per cell. Write the SAME
+    // generators both ways and require row-for-row equality.
+    def fe(it: Int, iz: Int, iy: Int, ix: Int): Double =
+      it * 1000.0 + iz * 100.0 + iy * 10.0 + ix
+    def fb(it: Int, iz: Int, iy: Int, ix: Int): Double =
+      it - iz + 2.0 * iy - 3.0 * ix
+    val time = Array(0.0, 1.0, 2.0)
+    val z = Array(0.0, 0.5); val y = Array(0.0, 0.25, 0.5)
+    val x = Array(0.0, 1.0, 2.0, 3.0)
+    val dPlain = java.nio.file.Files.createTempDirectory("vpic_p").toString
+    VPICSource.writeMock(dPlain, time, z, y, x,
+      Map("fields/ex" -> (fe _), "fields/bz" -> (fb _)))
+    val dInter = java.nio.file.Files.createTempDirectory("vpic_i").toString
+    VPICSource.writeMockInterleaved(dInter, time, z, y, x,
+      Seq("fields/ex" -> (fe _), "fields/bz" -> (fb _)))
+    def rows(d: String) = spark.read.format("graft-vpic")
+      .option("path", d).option("chunkSteps", "2").load()
+      .orderBy("var", "it", "iz", "iy", "ix").collect().toSeq
+    assert(rows(dInter) == rows(dPlain))
+    assert(rows(dInter).length == 2 * 3 * 2 * 3 * 4)
+    // var + it pruning still plans per-(band, chunk) partitions
+    val one = spark.read.format("graft-vpic")
+      .option("path", dInter).option("chunkSteps", "2").load()
+      .filter(col("var") === "bz" && col("it") <= 1)
+    assert(one.rdd.getNumPartitions === 1)
+    assert(one.count() === 2L * 2 * 3 * 4)
+    // and loadDataset reconstructs the same SimDataset surface
+    val ds = VPICSource.loadDataset(spark, dInter)
+    assert(ds.variables.keySet === Set("ex", "bz"))
+    val r = ds.variables("bz").df.filter(col("it") === 1
+      && col("iz") === 1 && col("iy") === 2 && col("ix") === 3).head()
+    assert(r.getAs[Double]("value") === fb(1, 1, 2, 3))
+  }
+
+  test("truncated interleaved.bin fails with the named EOF diagnostic") {
+    val d = java.nio.file.Files.createTempDirectory("vpic_it").toString
+    VPICSource.writeMockInterleaved(d, Array(0.0, 1.0), Array(0.0, 1.0),
+      Array(0.0), Array(0.0, 1.0),
+      Seq("f/a" -> ((it, _, _, _) => it.toDouble),
+        "f/b" -> ((_, _, _, ix) => ix.toDouble)))
+    val bin = java.nio.file.Paths.get(d, VPICSource.InterleavedFile)
+    val full = java.nio.file.Files.readAllBytes(bin)
+    java.nio.file.Files.write(bin, full.take(full.length - 8))
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("graft-vpic").option("path", d).load().count()
+    }
+    assert(e.getCause.toString.contains("EOFException")
+      || e.getMessage.contains("EOFException"))
+  }
 }
