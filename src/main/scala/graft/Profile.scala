@@ -84,6 +84,92 @@ object Profile {
     time("q100 full query")(
       DedupQueries.sparseCosinePairs(sub, DedupQueries.SparseCosT).count())
 
+    // g19 job-count breakdown: how many Spark jobs does the master
+    // pipeline schedule, and where does the wall time sit? (The bench
+    // cost is fixed per-job overhead, invariant in grid size — this
+    // section keeps that claim measured rather than asserted.)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val jobListener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(jobListener)
+    def jcount(label: String)(f: => Long): Unit = {
+      val j0 = jobs.get; val t0 = System.nanoTime()
+      val n = f
+      println(f"[profile] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n  jobs=${jobs.get - j0}")
+    }
+    import graft.grid.{FindStructures, TopologyQueries}
+    val ds19 = TopologyQueries.g19Input(spark, sfDir)
+    jcount("g19 input materialize")(ds19.variables("b1").df.count())
+    // stage split mirroring FindStructures' wiring (24x24, smoothing=1)
+    locally {
+      val b1 = ds19.variables("b1"); val b2 = ds19.variables("b2")
+      val zAxis = b1.spaceAxes(0)._2; val xAxis = b1.spaceAxes(1)._2
+      val dz = zAxis(1) - zAxis(0); val dxx = xAxis(1) - xAxis(0)
+      val nz19 = zAxis.length; val nx19 = xAxis.length
+      val joined = b1.df.select(col("it"), col("iz"), col("ix"), col("t"),
+          col("value").as("b1v"))
+        .join(b2.df.select(col("it").as("it2"), col("iz").as("iz2"),
+          col("ix").as("ix2"), col("value").as("b2v")),
+          col("it") === col("it2") && col("iz") === col("iz2")
+            && col("ix") === col("ix2"))
+        .drop("it2", "iz2", "ix2")
+      val smoothed = CacheScope.retain(
+        GridOps.gaussianSmooth(joined, "b1v", 1.0, nz19, nx19, "b1_smooth")
+          .join(GridOps.gaussianSmooth(joined, "b2v", 1.0, nz19, nx19,
+            "b2_smooth"), Seq("it", "iz", "ix")))
+      jcount("g19 smoothing")(smoothed.count())
+      val flux = CacheScope.retain(
+        GridOps.fluxfn(smoothed, "b1_smooth", "b2_smooth", dz, dxx)
+          .withColumnRenamed("psi", "flux_fn"))
+      jcount("g19 fluxfn")(flux.count())
+      val g1 = GridOps.gradient(flux, "b1_smooth", "iz", dz, "db1_d1")
+      val g2 = GridOps.gradient(g1, "b1_smooth", "ix", dxx, "db1_d2")
+      val g3 = GridOps.gradient(g2, "b2_smooth", "iz", dz, "db2_d1")
+      val g4 = GridOps.gradient(g3, "b2_smooth", "ix", dxx, "db2_d2")
+      val hess = CacheScope.retain(g4.withColumn("fluxfn_hessian_det",
+        col("db1_d2") * (-col("db2_d1")) - (-col("db2_d2")) * col("db1_d1")))
+      jcount("g19 gradients+hessian")(hess.count())
+      val nulls = Topology.segmentIntersections(
+        Topology.contourSegments(hess, "b1_smooth", 0.0),
+        Topology.contourSegments(hess, "b2_smooth", 0.0))
+      var xC: Seq[(Double, Double)] = null
+      jcount("g19 nulls+classify collect") {
+        val cls = Topology.bilinearSample(hess, "fluxfn_hessian_det",
+            nulls.select(col("it"), col("py"), col("px")), "hdi")
+          .filter(col("it") === 0).collect()
+        xC = cls.filter(r => math.signum(r.getAs[Double]("hdi")) == -1.0)
+          .map(r => (r.getAs[Double]("py"), r.getAs[Double]("px"))).toSeq
+        cls.length.toLong
+      }
+      val dPerDe = ((1 / dz + 1 / dxx) / 2).toInt
+      jcount("g19 separatrices")(Topology.separatrices(hess, "flux_fn", 0,
+        xC, nz19, nx19, dPerDe * 5.0).count())
+      val jy = ds19.variables("jy")
+      val jySm = GridOps.gaussianSmooth(
+        jy.df.select(col("it"), col("iz"), col("ix"), col("value")),
+        "value", 1.0, nz19, nx19, "jy_smooth")
+      jcount("g19 currentSheets")(Topology.currentSheets(
+        jySm.select(col("it"), col("iz"), col("ix"), col("jy_smooth")),
+        "jy_smooth", nz19, nx19, 0.5).count())
+      CacheScope.flush(spark)
+    }
+    var res: FindStructures.Result = null
+    jcount("g19 FindStructures (build+collect)") {
+      res = FindStructures(ds19, smoothing = 1.0, deTol = 5.0)
+      res.xCoords.size.toLong
+    }
+    jcount("g19 separatrices action")(
+      res.dataset.variables("separatrices").df.count())
+    jcount("g19 o_structures action")(
+      res.dataset.variables("o_structures").df.count())
+    jcount("g19 current_sheets action")(
+      res.dataset.variables("current_sheets").df.count())
+    CacheScope.flush(spark)
+    spark.sparkContext.removeSparkListener(jobListener)
+
     spark.stop()
   }
 }

@@ -376,6 +376,43 @@ object Topology {
     * Labels equal the min linear cell id reachable, identical to the
     * plain iterative scheme ([[ccIterative]], kept for parity tests).
     */
+  /** Min/max (tz, tx) extent observed during the tile-labeling pass —
+    * merging is idempotent, so task retries cannot corrupt the answer
+    * (an overcounted extent could only WIDEN, and widening only ever
+    * demotes the fast path to the always-correct full solve).
+    */
+  private class TileExtentAccumulator
+      extends org.apache.spark.util.AccumulatorV2[(Int, Int), (Int, Int, Int, Int)] {
+    @volatile private var z0 = Int.MaxValue
+    @volatile private var z1 = Int.MinValue
+    @volatile private var x0 = Int.MaxValue
+    @volatile private var x1 = Int.MinValue
+    def isZero: Boolean = z0 == Int.MaxValue
+    def copy(): TileExtentAccumulator = {
+      val c = new TileExtentAccumulator
+      c.z0 = z0; c.z1 = z1; c.x0 = x0; c.x1 = x1; c
+    }
+    def reset(): Unit = {
+      z0 = Int.MaxValue; z1 = Int.MinValue
+      x0 = Int.MaxValue; x1 = Int.MinValue
+    }
+    def add(v: (Int, Int)): Unit = {
+      z0 = math.min(z0, v._1); z1 = math.max(z1, v._1)
+      x0 = math.min(x0, v._2); x1 = math.max(x1, v._2)
+    }
+    def merge(o: org.apache.spark.util.AccumulatorV2[(Int, Int), (Int, Int, Int, Int)]): Unit =
+      o match {
+        case t: TileExtentAccumulator =>
+          z0 = math.min(z0, t.z0); z1 = math.max(z1, t.z1)
+          x0 = math.min(x0, t.x0); x1 = math.max(x1, t.x1)
+      }
+    def value: (Int, Int, Int, Int) = (z0, z1, x0, x1)
+    /** true when no cells were seen (trivially local) or every cell sits
+      * in the same tile.
+      */
+    def isSingleTile: Boolean = isZero || (z0 == z1 && x0 == x1)
+  }
+
   private def ccTiled(cells: DataFrame, nx: Int, dirs8: Boolean,
       keys: Seq[String], maxIter: Int, tile: Int): DataFrame = {
     import org.apache.spark.sql.Row
@@ -400,6 +437,12 @@ object Topology {
       .withColumn("tz", floor(col("iz").cast("double") / tile).cast("int"))
       .withColumn("tx", floor(col("ix").cast("double") / tile).cast("int"))
     val gcols = keys.map(col) :+ col("tz") :+ col("tx")
+    // tile-extent accumulator rides the labeling pass: min/max merging
+    // is idempotent under task retries, and it makes the single-tile
+    // check below cost ZERO extra jobs (the value is final once
+    // `labeled` materializes, which the localCheckpoint does eagerly)
+    val extent = new TileExtentAccumulator
+    spark.sparkContext.register(extent, "cc tile extent")
     val labeledRdd = withTile
       .repartition(gcols: _*).sortWithinPartitions(gcols: _*)
       .rdd.mapPartitions { it =>
@@ -411,6 +454,7 @@ object Topology {
           def next(): Iterator[Row] = {
             val k = gk(bit.head)
             val kv = bit.head.toSeq.take(nk)
+            extent.add((bit.head.getInt(nk + 2), bit.head.getInt(nk + 3)))
             val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
             while (bit.hasNext && gk(bit.head) == k) {
               val r = bit.next(); buf += ((r.getInt(nk), r.getInt(nk + 1)))
@@ -453,6 +497,19 @@ object Topology {
       .select((keys.map(col) :+ col("s") :+ col("t")): _*)
       .filter(col("s") =!= col("t"))
       .distinct()
+
+    // Single-tile fast path: the extent accumulator (final here — the
+    // checkpoint above was eager) detects when the whole grid lives in
+    // ONE tile. Every component is then tile-local and the labels ARE
+    // the local roots, so the contracted-graph solve (localCheckpoint +
+    // per-iteration jobs, all on empty inputs) is skipped outright at
+    // zero added cost. This is the common case for per-plane keyed
+    // solves (a key group rarely spans 512 cells per axis at the sizes
+    // the per-X-point and per-region stages produce); multi-tile grids
+    // fall through to the full two-level solve.
+    if (extent.isSingleTile)
+      return labeled.withColumn("comp", col("root"))
+        .select((keys.map(col) :+ col("iz") :+ col("ix") :+ col("comp")): _*)
 
     // 3. solve the contracted graph, map back
     val mapping = graphCC(edges, keys, maxIter)
@@ -527,46 +584,56 @@ object Topology {
       (avg("fmin") - lit(3) * stddev_pop("fmin")).as("min_thr"))
     val gt = g.join(broadcast(thr), Seq("it"))
 
-    def sheets(maskCol: Column, positive: Boolean): DataFrame = {
-      val regions = connectedComponents(gt.filter(maskCol), nx)
-      val withV = regions.join(grid, Seq("it", "iz", "ix"))
-      // per-region extremum of the smoothed field (nd.maximum_position /
-      // nd.maximum; ties broken by (iz, ix) order like np argmax)
-      val ext = withV.groupBy("it", "comp")
-        .agg((if (positive)
-          max_by(struct(col(field).as("v"), col("iz"), col("ix")),
-            struct(col(field), -col("iz"), -col("ix")))
-        else
-          min_by(struct(col(field).as("v"), col("iz"), col("ix")),
-            struct(col(field), col("iz"), col("ix")))).as("e"))
-        .select(col("it").as("r_it"), col("comp").as("rid"),
-          col("e.v").as("peak"), col("e.iz").as("eiz"), col("e.ix").as("eix"))
-      // region-grow for ALL regions at once: tag threshold-mask cells
-      // with every region whose per-peak condition they satisfy, then one
-      // keyed CC; keep the component containing each region's seed.
-      val cond = if (positive) col(field) > col("peak") * csLimit
-      else col(field) < col("peak") * 0.5 // hardcoded 0.5 (vpicdataset.py:516)
-      val tagged = grid.join(broadcast(ext),
-          col("it") === col("r_it") && cond)
-        .select(col("rid"), col("it"), col("iz"), col("ix"))
-      val cc = connectedComponents(tagged, nx, keys = Seq("rid", "it"))
-      val seeds = cc.join(broadcast(ext),
-          cc("rid") === ext("rid") && cc("it") === col("r_it")
-            && cc("iz") === col("eiz") && cc("ix") === col("eix"))
-        .select(cc("rid").as("s_rid"), cc("it").as("s_it"),
-          col("comp").as("seed_comp"))
-      cc.join(broadcast(seeds), col("rid") === col("s_rid")
-          && col("it") === col("s_it") && col("comp") === col("seed_comp"))
-        .select("it", "iz", "ix").distinct()
-    }
-
-    val pos = sheets(col("fmax") > col("max_thr"), positive = true)
-      .withColumn("s", lit(1))
-    val neg = sheets(col("fmin") < col("min_thr"), positive = false)
-      .withColumn("s", lit(-1))
+    // BOTH sign branches in one sign-keyed plan: the keyed CC solver
+    // makes +/- a key extension, so the two region solves and the two
+    // grow solves the per-branch version paid collapse to one each
+    // (at any scale this halves the eager solve points; the results are
+    // identical — components never cross the sgn key). A cell exceeding
+    // both thresholds joins both branches, as in the per-branch union.
+    val cells = gt.select(col("it"), col("iz"), col("ix"), explode(array(
+        when(col("fmax") > col("max_thr"), lit(1)),
+        when(col("fmin") < col("min_thr"), lit(-1)))).as("sgn"))
+      .filter(col("sgn").isNotNull)
+    val regions = connectedComponents(cells, nx, keys = Seq("sgn", "it"))
+    val withV = regions.join(grid, Seq("it", "iz", "ix"))
+    // per-region extremum of the smoothed field (nd.maximum_position /
+    // nd.maximum; ties broken by (iz, ix) order like np argmax).
+    // One agg for both signs: maximizing (sgn*field, -iz, -ix) is the
+    // positive branch's max_by key at sgn=+1 and exactly the negative
+    // branch's min_by of (field, iz, ix) at sgn=-1.
+    val ext = withV.groupBy("sgn", "it", "comp")
+      .agg(max_by(struct(col(field).as("v"), col("iz"), col("ix")),
+        struct(col("sgn") * col(field), -col("iz"), -col("ix"))).as("e"))
+      .select(col("sgn").as("r_sgn"), col("it").as("r_it"),
+        col("comp").as("rid"),
+        col("e.v").as("peak"), col("e.iz").as("eiz"), col("e.ix").as("eix"))
+    // region-grow for ALL regions of BOTH signs at once: tag cells with
+    // every region whose per-peak condition they satisfy, one keyed CC,
+    // keep the component containing each region's seed.
+    val cond = when(col("r_sgn") === 1, col(field) > col("peak") * csLimit)
+      .otherwise(col(field) < col("peak") * 0.5) // hardcoded 0.5 (vpicdataset.py:516)
+    val tagged = grid.join(broadcast(ext),
+        col("it") === col("r_it") && cond)
+      .select(col("r_sgn").as("sgn"), col("rid"), col("it"),
+        col("iz"), col("ix"))
+    // scoped persist: the grow labels feed both the seed lookup and
+    // the final membership join — without it the solve's output plan
+    // (checkpoint-join or fast-path projection) re-evaluates per use
+    val cc = graft.CacheScope.retain(
+      connectedComponents(tagged, nx, keys = Seq("sgn", "rid", "it")))
+    val seeds = cc.join(broadcast(ext),
+        cc("sgn") === col("r_sgn") && cc("rid") === ext("rid")
+          && cc("it") === col("r_it")
+          && cc("iz") === col("eiz") && cc("ix") === col("eix"))
+      .select(cc("sgn").as("s_sgn"), cc("rid").as("s_rid"),
+        cc("it").as("s_it"), col("comp").as("seed_comp"))
+    val members = cc.join(broadcast(seeds), col("sgn") === col("s_sgn")
+        && col("rid") === col("s_rid")
+        && col("it") === col("s_it") && col("comp") === col("seed_comp"))
+      .select("sgn", "it", "iz", "ix").distinct()
     grid.select("it", "iz", "ix")
-      .join(pos.unionAll(neg).groupBy("it", "iz", "ix")
-        .agg(sum("s").as("cs0")), Seq("it", "iz", "ix"), "left")
+      .join(members.groupBy("it", "iz", "ix")
+        .agg(sum("sgn").as("cs0")), Seq("it", "iz", "ix"), "left")
       .withColumn("cs", coalesce(col("cs0"), lit(0L)).cast("int"))
       .select("it", "iz", "ix", "cs")
   }

@@ -344,27 +344,7 @@ object TopologyQueries {
     // overhead at toy scale, not a data-scaling term.
     Q("g19_find_structures",
       (s, d) => {
-        val n2 = G19N * G19N
-        val g0 = graft.Tables.events(s, d)
-          .filter(col("event_id") < n2)
-          .select(lit(0).as("it"),
-            expr(s"CAST(event_id div $G19N AS INT)").as("iz"),
-            expr(s"CAST(event_id % $G19N AS INT)").as("ix"),
-            lit(0.0).as("t"),
-            (col("value") - G19Shift1).as("b1v"),
-            (expr("CAST((event_id * 31 + 7) % 101 AS DOUBLE)")
-              - G19Shift2).as("b2v"))
-        val axes = (0 until G19N).map(_ * GridQueries.Dz).toArray
-        def v(label: String, c: org.apache.spark.sql.Column) =
-          GridVar(label, Array(0.0),
-            Seq(("iz", axes), ("ix", axes)),
-            g0.select(col("it"), col("iz"), col("ix"), col("t"),
-              c.as("value")))
-        val ds = SimDataset(Map.empty, Map(
-          "b1" -> v("b1", col("b1v")),
-          "b2" -> v("b2", col("b2v")),
-          "jy" -> v("jy", col("b2v"))))
-        val res = FindStructures(ds, smoothing = 1.0, deTol = 5.0)
+        val res = FindStructures(g19Input(s, d), smoothing = 1.0, deTol = 5.0)
         val dsv = res.dataset.variables
         def m(name: String, out: String) = dsv(name).df
           .select(col("it"), col("iz"), col("ix"), col("value").as(out))
@@ -414,6 +394,33 @@ object TopologyQueries {
   private val G19N = 24
   private val G19Shift1 = 60.0
   private val G19Shift2 = 50.0
+
+  /** The g19 input dataset — the events-refold fixture the master
+    * pipeline runs on. Factored out of the query so the Profile harness
+    * can drive [[FindStructures]] stages on the same input.
+    */
+  def g19Input(s: SparkSession, d: String): SimDataset = {
+    val n2 = G19N * G19N
+    val g0 = graft.Tables.events(s, d)
+      .filter(col("event_id") < n2)
+      .select(lit(0).as("it"),
+        expr(s"CAST(event_id div $G19N AS INT)").as("iz"),
+        expr(s"CAST(event_id % $G19N AS INT)").as("ix"),
+        lit(0.0).as("t"),
+        (col("value") - G19Shift1).as("b1v"),
+        (expr("CAST((event_id * 31 + 7) % 101 AS DOUBLE)")
+          - G19Shift2).as("b2v"))
+    val axes = (0 until G19N).map(_ * GridQueries.Dz).toArray
+    def v(label: String, c: org.apache.spark.sql.Column) =
+      GridVar(label, Array(0.0),
+        Seq(("iz", axes), ("ix", axes)),
+        g0.select(col("it"), col("iz"), col("ix"), col("t"),
+          c.as("value")))
+    SimDataset(Map.empty, Map(
+      "b1" -> v("b1", col("b1v")),
+      "b2" -> v("b2", col("b2v")),
+      "jy" -> v("jy", col("b2v"))))
+  }
 
   /** DuckDB twin of g19 — all nine find_structures stages in SQL. */
   private lazy val g19OracleSql: String = {
