@@ -117,18 +117,18 @@ object Profile {
             && col("ix") === col("ix2"))
         .drop("it2", "iz2", "ix2")
       val smoothed = CacheScope.retain(
-        GridOps.gaussianSmooth(joined, "b1v", 1.0, nz19, nx19, "b1_smooth")
-          .join(GridOps.gaussianSmooth(joined, "b2v", 1.0, nz19, nx19,
-            "b2_smooth"), Seq("it", "iz", "ix")))
+        GridOps.gaussianSmoothAxesMulti(joined,
+          Seq("b1v" -> "b1_smooth", "b2v" -> "b2_smooth"), 1.0,
+          Seq("iz" -> nz19, "ix" -> nx19)))
       jcount("g19 smoothing")(smoothed.count())
       val flux = CacheScope.retain(
         GridOps.fluxfn(smoothed, "b1_smooth", "b2_smooth", dz, dxx)
           .withColumnRenamed("psi", "flux_fn"))
       jcount("g19 fluxfn")(flux.count())
       val g1 = GridOps.gradient(flux, "b1_smooth", "iz", dz, "db1_d1")
-      val g2 = GridOps.gradient(g1, "b1_smooth", "ix", dxx, "db1_d2")
-      val g3 = GridOps.gradient(g2, "b2_smooth", "iz", dz, "db2_d1")
-      val g4 = GridOps.gradient(g3, "b2_smooth", "ix", dxx, "db2_d2")
+      val g3 = GridOps.gradient(g1, "b2_smooth", "iz", dz, "db2_d1")
+      val g2 = GridOps.gradient(g3, "b1_smooth", "ix", dxx, "db1_d2")
+      val g4 = GridOps.gradient(g2, "b2_smooth", "ix", dxx, "db2_d2")
       val hess = CacheScope.retain(g4.withColumn("fluxfn_hessian_det",
         col("db1_d2") * (-col("db2_d1")) - (-col("db2_d2")) * col("db1_d1")))
       jcount("g19 gradients+hessian")(hess.count())

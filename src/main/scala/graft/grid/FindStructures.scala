@@ -53,24 +53,47 @@ object FindStructures {
       .drop("it2", "iz2", "ix2")
 
     // Gaussian smoothing (sigma_t = 0: the reference default never
-    // smooths time, vpicdataset.py:351-361)
+    // smooths time, vpicdataset.py:351-361). Both field components ride
+    // the SAME separable passes (one grid read, two shuffles — not two
+    // smooths + a join); per-column math is bit-equal to the
+    // single-column operator.
     // scoped persists throughout: each stage feeds several consumers;
     // CacheScope bounds the block lifetime to the harness query scope.
     val smoothed = graft.CacheScope.retain(
-      GridOps.gaussianSmooth(joined, "b1v", smoothing, nz, nx, "b1_smooth")
-        .join(GridOps.gaussianSmooth(joined, "b2v", smoothing, nz, nx, "b2_smooth"),
-          Seq("it", "iz", "ix")))
+      GridOps.gaussianSmoothAxesMulti(joined,
+        Seq("b1v" -> "b1_smooth", "b2v" -> "b2_smooth"), smoothing,
+        Seq("iz" -> nz, "ix" -> nx)))
+
+    // current sheets need only smoothed jy — a chain fully independent
+    // of the flux/gradient/null/separatrix spine. Build it on another
+    // thread: the solver's eager points (the region/grow CC labelings)
+    // overlap the spine's collect instead of queueing behind it, and at
+    // cluster scale the two plans' stages interleave across executors.
+    // (Concurrent job submission from one SparkSession is a supported
+    // Spark pattern; CacheScope registration is a concurrent TrieMap.)
+    val csFut = ds.variables.get(jyName).map { jy =>
+      scala.concurrent.Future {
+        val jySm = GridOps.gaussianSmooth(
+          jy.df.select(col("it"), col("iz"), col("ix"), col("value")),
+          "value", smoothing, nz, nx, "jy_smooth")
+        Topology.currentSheets(
+          jySm.select(col("it"), col("iz"), col("ix"), col("jy_smooth")),
+          "jy_smooth", nz, nx, csLimit)
+      }(scala.concurrent.ExecutionContext.global)
+    }
 
     // flux function from the SMOOTHED fields (vpicdataset.py:372)
     val flux = graft.CacheScope.retain(
       GridOps.fluxfn(smoothed, "b1_smooth", "b2_smooth", dz, dx)
         .withColumnRenamed("psi", "flux_fn"))
 
-    // gradients + Hessian determinant (index-agnostic physical spacing)
+    // gradients + Hessian determinant (index-agnostic physical spacing).
+    // Same-axis gradients are adjacent so Catalyst's CollapseWindow
+    // merges each pair into ONE window pass: two shuffles, not four.
     val g1 = GridOps.gradient(flux, "b1_smooth", "iz", dz, "db1_d1")
-    val g2 = GridOps.gradient(g1, "b1_smooth", "ix", dx, "db1_d2")
-    val g3 = GridOps.gradient(g2, "b2_smooth", "iz", dz, "db2_d1")
-    val g4 = GridOps.gradient(g3, "b2_smooth", "ix", dx, "db2_d2")
+    val g3 = GridOps.gradient(g1, "b2_smooth", "iz", dz, "db2_d1")
+    val g2 = GridOps.gradient(g3, "b1_smooth", "ix", dx, "db1_d2")
+    val g4 = GridOps.gradient(g2, "b2_smooth", "ix", dx, "db2_d2")
     val hess = graft.CacheScope.retain(g4.withColumn("fluxfn_hessian_det",
       col("db1_d2") * (-col("db2_d1")) - (-col("db2_d2")) * col("db1_d1")))
 
@@ -94,18 +117,13 @@ object FindStructures {
     val seps = Topology.separatrices(hess, "flux_fn", timeIdx, xCoords,
       nz, nx, dPerDe * deTol)
 
-    // current sheets on smoothed jy (hardcoded name, :482). Explicit
-    // 2-D projection: a VPIC-loaded variable still carries its
-    // (singleton, squeezed-from-mesh) iy index column, which the n-d
-    // window guard rightly rejects as an unlisted dimension.
-    val csOpt = ds.variables.get(jyName).map { jy =>
-      val jySm = GridOps.gaussianSmooth(
-        jy.df.select(col("it"), col("iz"), col("ix"), col("value")),
-        "value", smoothing, nz, nx, "jy_smooth")
-      Topology.currentSheets(
-        jySm.select(col("it"), col("iz"), col("ix"), col("jy_smooth")),
-        "jy_smooth", nz, nx, csLimit)
-    }
+    // current sheets on smoothed jy (hardcoded name, :482; chain built
+    // concurrently above). Explicit 2-D projection note: a VPIC-loaded
+    // variable still carries its (singleton, squeezed-from-mesh) iy
+    // index column, which the n-d window guard rightly rejects as an
+    // unlisted dimension — hence the jy.df.select in the Future.
+    val csOpt = csFut.map(f =>
+      scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
 
     def asVar(label: String, df: DataFrame, valueCol: String): GridVar =
       GridVar(label, b1.timeAxis, b1.spaceAxes,

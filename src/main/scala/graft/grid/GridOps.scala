@@ -172,29 +172,47 @@ object GridOps {
     * dimension count a loop, not a new operator.
     */
   def gaussianSmoothAxes(df: DataFrame, value: String, sigma: Double,
-      dims: Seq[(String, Int)], out: String): DataFrame = {
+      dims: Seq[(String, Int)], out: String): DataFrame =
+    gaussianSmoothAxesMulti(df, Seq(value -> out), sigma, dims)
+
+  /** [[gaussianSmoothAxes]] over SEVERAL value columns in the same
+    * separable passes: each per-dimension window carries every field, so
+    * smoothing d fields costs the same d shuffles as smoothing one —
+    * vs d separate smooths plus a (d-1)-way join to recombine them. At
+    * the 100 TB design point that is one read of the grid instead of d.
+    * Per-column expressions are identical to the single-column path, so
+    * results are bit-equal.
+    */
+  def gaussianSmoothAxesMulti(df: DataFrame, values: Seq[(String, String)],
+      sigma: Double, dims: Seq[(String, Int)]): DataFrame = {
     requireAllIndexDims(df, dims.map(_._1))
     val kern = gaussianKernel(sigma)
     val r = kern.map(_._1).max
     val idx = "it" +: dims.map(_._1)
-    def pass(src: DataFrame, dim: String, n: Int, in: String,
-        o: String): DataFrame = {
+    def pass(src: DataFrame, dim: String, n: Int,
+        io: Seq[(String, String)]): DataFrame = {
       val others = idx.filterNot(_ == dim)
       val w = Window.partitionBy(others.map(col): _*).orderBy(dim)
-      def at(k: Int): Column =
+      def at(in: String, k: Int): Column =
         if (k == 0) col(in) else if (k < 0) lag(col(in), -k).over(w)
         else lead(col(in), k).over(w)
-      withReflectGhosts(src, dim, n, r, r)
-        .withColumn(o, kern.map { case (k, wk) => at(k) * wk }.reduce(_ + _))
-        .filter(col(dim) >= 0 && col(dim) < n)
+      io.foldLeft(withReflectGhosts(src, dim, n, r, r)) {
+        case (acc, (in, o)) =>
+          acc.withColumn(o,
+            kern.map { case (k, wk) => at(in, k) * wk }.reduce(_ + _))
+      }.filter(col(dim) >= 0 && col(dim) < n)
     }
-    val names = dims.indices.map(i =>
-      if (i == dims.length - 1) out else s"tmp_$i")
-    dims.zipWithIndex.foldLeft(df.select((idx :+ value).map(col): _*)) {
+    val stageNames: Seq[Seq[String]] = dims.indices.map { i =>
+      values.indices.map { j =>
+        if (i == dims.length - 1) values(j)._2 else s"tmp_${i}_$j" }
+    }
+    dims.zipWithIndex.foldLeft(
+      df.select((idx.map(col) ++ values.map(v => col(v._1))): _*)) {
       case (acc, ((dim, n), i)) =>
-        val in = if (i == 0) value else names(i - 1)
-        pass(acc.select((idx :+ in).map(col): _*), dim, n, in, names(i))
-    }.select((idx :+ out).map(col): _*)
+        val ins = if (i == 0) values.map(_._1) else stageNames(i - 1)
+        pass(acc.select((idx.map(col) ++ ins.map(col)): _*), dim, n,
+          ins.zip(stageNames(i)))
+    }.select((idx.map(col) ++ values.map(v => col(v._2))): _*)
   }
 
   /** One separable size-10 extremum pass along `dim` over ghost-padded

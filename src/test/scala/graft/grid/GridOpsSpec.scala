@@ -57,6 +57,25 @@ class GridOpsSpec extends AnyFunSuite {
     k.foreach { case (i, w) => assert(w == k(-i)) }
   }
 
+  test("multi-column smoothing is bit-equal to per-column smooths") {
+    val g = mkGrid(12, 9)((_, iz, ix) => math.sin(iz * 0.7) + ix * 0.3)
+      .withColumn("w", col("v") * col("v") - 2.0)
+    val multi = GridOps.gaussianSmoothAxesMulti(g,
+        Seq("v" -> "sv", "w" -> "sw"), 1.0, Seq("iz" -> 12, "ix" -> 9))
+      .select("it", "iz", "ix", "sv", "sw")
+      .as[(Int, Int, Int, Double, Double)].collect().sortBy(r => (r._1, r._2, r._3))
+    val sv = GridOps.gaussianSmooth(g, "v", 1.0, 12, 9, "sv")
+      .select("it", "iz", "ix", "sv")
+      .as[(Int, Int, Int, Double)].collect().sortBy(r => (r._1, r._2, r._3))
+    val sw = GridOps.gaussianSmooth(g, "w", 1.0, 12, 9, "sw")
+      .select("it", "iz", "ix", "sw")
+      .as[(Int, Int, Int, Double)].collect().sortBy(r => (r._1, r._2, r._3))
+    // bit equality, not tolerance: the fused pass must run the exact
+    // same per-column expression tree as the single-column operator
+    assert(multi.map(r => (r._1, r._2, r._3, r._4)).sameElements(sv))
+    assert(multi.map(r => (r._1, r._2, r._3, r._5)).sameElements(sw))
+  }
+
   test("gaussian smoothing preserves a constant field") {
     val g = mkGrid(8, 8)((_, _, _) => 7.0)
     val out = GridOps.gaussianSmooth(g, "v", 1.0, 8, 8, "sm")
