@@ -89,16 +89,26 @@ object Profile {
     // cost is fixed per-job overhead, invariant in grid size — this
     // section keeps that claim measured rather than asserted.)
     val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stageMs = new java.util.concurrent.atomic.AtomicLong
     val jobListener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        for (s <- si.submissionTime; c <- si.completionTime)
+          stageMs.addAndGet(c - s)
+      }
     }
     spark.sparkContext.addSparkListener(jobListener)
+    // `stage` = summed in-stage execution time: the gap between it and
+    // wall is driver-side work (planning, AQE re-optimization, codegen,
+    // job scheduling) — the part that does NOT grow with data.
     def jcount(label: String)(f: => Long): Unit = {
-      val j0 = jobs.get; val t0 = System.nanoTime()
+      val j0 = jobs.get; val s0 = stageMs.get; val t0 = System.nanoTime()
       val n = f
-      println(f"[profile] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n  jobs=${jobs.get - j0}")
+      println(f"[profile] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n  jobs=${jobs.get - j0}  stage=${(stageMs.get - s0) / 1e3}%.2f s")
     }
     import graft.grid.{FindStructures, TopologyQueries}
     val ds19 = TopologyQueries.g19Input(spark, sfDir)

@@ -595,7 +595,122 @@ object TextQueries {
               SELECT doc_id, round(-sum(p * log2(p)), 4) AS entropy,
                      max(n) AS n_tokens
               FROM p GROUP BY 1 ORDER BY 1"""))
+
+    // ---- PII scrubbing: detect + redact emails / IPv4 addresses /
+    // phone numbers, reporting per-doc match counts and the scrubbed
+    // length. A stateless codegen'd projection (regexp_extract_all /
+    // chained regexp_replace) — embarrassingly parallel at 100 TB, no
+    // shuffle except the oracle-parity sort. The synthetic corpus has
+    // no PII, so each doc is first augmented with DETERMINISTIC
+    // doc_id-derived contacts (both engines build the same string);
+    // patterns stay in the Java-regex/RE2 common subset so Spark and
+    // DuckDB must agree match-for-match.
+    , Q("q113_pii_scrub",
+      (s, d) => {
+        val id = col("doc_id")
+        val aug = concat(col("text"),
+          when(id % 3 =!= 0, concat(lit(" contact user"),
+            id.cast("string"), lit("@mail.example.com"))).otherwise(lit("")),
+          concat(lit(" from 10."), (id % 200).cast("string"), lit("."),
+            (id % 250).cast("string"), lit(".7")),
+          when(id % 2 === 0, concat(lit(" peer 192.168."),
+            (id % 100).cast("string"), lit(".9"))).otherwise(lit("")),
+          when(id % 5 === 0, concat(lit(" call +1-555-"),
+            lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit("")))
+        val scrubbed = regexp_replace(regexp_replace(regexp_replace(
+          aug, lit(PiiEmail), lit("<EMAIL>")),
+          lit(PiiIp), lit("<IP>")), lit(PiiPhone), lit("<PHONE>"))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(regexp_extract_all(aug, lit(PiiEmail), lit(0)))
+              .cast("long").as("n_email"),
+            size(regexp_extract_all(aug, lit(PiiIp), lit(0)))
+              .cast("long").as("n_ip"),
+            size(regexp_extract_all(aug, lit(PiiPhone), lit(0)))
+              .cast("long").as("n_phone"),
+            length(aug).cast("long").as("len_raw"),
+            length(scrubbed).cast("long").as("len_scrubbed"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH aug AS (SELECT doc_id, text ||
+               CASE WHEN doc_id % 3 <> 0 THEN ' contact user' ||
+                 CAST(doc_id AS VARCHAR) || '@mail.example.com'
+                 ELSE '' END ||
+               ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.' ||
+                 CAST(doc_id % 250 AS VARCHAR) || '.7' ||
+               CASE WHEN doc_id % 2 = 0 THEN ' peer 192.168.' ||
+                 CAST(doc_id % 100 AS VARCHAR) || '.9' ELSE '' END ||
+               CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-' ||
+                 lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS t
+             FROM documents)
+             SELECT doc_id,
+               len(regexp_extract_all(t, '$PiiEmail')) AS n_email,
+               len(regexp_extract_all(t, '$PiiIp')) AS n_ip,
+               len(regexp_extract_all(t, '$PiiPhone')) AS n_phone,
+               length(t) AS len_raw,
+               length(regexp_replace(regexp_replace(regexp_replace(t,
+                 '$PiiEmail', '<EMAIL>', 'g'),
+                 '$PiiIp', '<IP>', 'g'),
+                 '$PiiPhone', '<PHONE>', 'g')) AS len_scrubbed
+             FROM aug ORDER BY doc_id""")),
+
+    // ---- source-mixing weights: temperature-reweighted sampling
+    // shares (p_i ∝ share_i^alpha, the multilingual/multi-source
+    // upsampling rule) and the effective epochs each source runs at a
+    // fixed token budget. One map-side-combined aggregation over the
+    // corpus + a broadcast scalar join — the per-source row count is
+    // tiny at any corpus size.
+    Q("q114_source_mixing",
+      (s, d) => {
+        val perSrc = Tables.documents(s, d)
+          .select(col("source"),
+            size(split(col("text"), " ")).cast("long").as("toks"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+        val tot = perSrc.agg(sum("n_tokens").as("tot_tokens"))
+        val shared = perSrc.crossJoin(broadcast(tot))
+          .withColumn("share",
+            col("n_tokens").cast("double") / col("tot_tokens").cast("double"))
+          .withColumn("pw", pow(col("share"), lit(MixAlpha)))
+        val z = shared.agg(sum("pw").as("z"))
+        shared.crossJoin(broadcast(z))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            round(col("share"), 6).as("token_share"),
+            round(col("pw") / col("z"), 6).as("mix_weight"),
+            round((col("pw") / col("z")) * lit(MixBudget)
+              / col("n_tokens").cast("double"), 4).as("eff_epochs"))
+          .orderBy("source")
+      },
+      Some(s"""WITH per AS (SELECT source, count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+             FROM documents GROUP BY 1),
+             tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens
+                     FROM per),
+             sh AS (SELECT per.*,
+                      CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)
+                        AS share,
+                      power(CAST(n_tokens AS DOUBLE)
+                        / CAST(tot_tokens AS DOUBLE), $MixAlpha) AS pw
+                    FROM per CROSS JOIN tot),
+             z AS (SELECT sum(pw) AS z FROM sh)
+             SELECT source, n_docs, n_tokens,
+               round(share, 6) AS token_share,
+               round(pw / z, 6) AS mix_weight,
+               round((pw / z) * $MixBudget
+                 / CAST(n_tokens AS DOUBLE), 4) AS eff_epochs
+             FROM sh CROSS JOIN z ORDER BY source"""))
   )
+
+  /** PII patterns — restricted to the Java-regex ∩ RE2 common subset so
+    * the Spark and DuckDB engines agree match-for-match.
+    */
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIp = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PiiPhone = "\\+\\d{1,2}-\\d{3}-\\d{4}"
+  /** Mixing temperature (alpha) and token budget for q114. */
+  val MixAlpha = 0.7
+  val MixBudget = 1e9
 
   /** Decontamination n-gram width (the community-standard 13) and the
     * packing context size in tokens.

@@ -25,6 +25,29 @@ class QueriesSpec extends AnyFunSuite {
       s"unexpected: $noOracle")
   }
 
+  test("q113 PII counts follow the augmentation rule; scrubbing shrinks") {
+    QueryRegistry.queries("q113_pii_scrub")(spark, sf).collect().foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_email") == (if (id % 3 != 0) 1L else 0L), s"doc $id email")
+      assert(r.getAs[Long]("n_ip") == (if (id % 2 == 0) 2L else 1L), s"doc $id ip")
+      assert(r.getAs[Long]("n_phone") == (if (id % 5 == 0) 1L else 0L), s"doc $id phone")
+      assert(r.getAs[Long]("len_scrubbed") < r.getAs[Long]("len_raw"), s"doc $id len")
+    }
+  }
+
+  test("q114 mixing weights are a distribution and alpha<1 flattens") {
+    val rows = QueryRegistry.queries("q114_source_mixing")(spark, sf).collect()
+    val wSum = rows.map(_.getAs[Double]("mix_weight")).sum
+    assert(math.abs(wSum - 1.0) < 1e-4, s"weights sum $wSum")
+    // temperature < 1 upsamples the smallest source, downsamples the largest
+    val bySh = rows.sortBy(_.getAs[Double]("token_share"))
+    assert(bySh.head.getAs[Double]("mix_weight") >=
+      bySh.head.getAs[Double]("token_share"))
+    assert(bySh.last.getAs[Double]("mix_weight") <=
+      bySh.last.getAs[Double]("token_share"))
+    rows.foreach(r => assert(r.getAs[Double]("eff_epochs") > 0))
+  }
+
   test("q42 sketch error bounds hold (ok_* booleans all true)") {
     val r = QueryRegistry.queries("q42_approx_distinct")(spark, sf).head()
     Seq("ok_orders", "ok_parts", "ok_supps").foreach { c =>
