@@ -334,14 +334,19 @@ object TopologyQueries {
     // "registered outputs" of the reference pipeline, canonically
     // ordered. The DuckDB twin recomputes all nine stages in SQL.
     //
-    // Bench note: ~12 s at any SF, and ~all of it is per-job FIXED
-    // overhead — the pipeline is ~50 Spark jobs (six CC solves, each
-    // converging in zero pointer-jump rounds on this fixture, plus the
-    // eager X-point collect the reference's API shape requires), each
-    // job ~0.2 s of scheduling/codegen on 576 cells. The job count is
-    // invariant in grid size, so the same plan on a billion-cell plane
-    // pays the same ~50 scheduling quanta — this is composition
-    // overhead at toy scale, not a data-scaling term.
+    // Bench note: ~10 s at any SF, and ~all of it is per-job FIXED
+    // overhead — the pipeline is ~50 Spark jobs (CC solves, broadcast
+    // exchanges, the eager X-point collect the reference's API shape
+    // requires). Profile's stage accounting splits it: summed in-stage
+    // execution is ~25% of wall (e.g. separatrices 7.0 s wall / 2.3 s
+    // stage); the rest is driver-side planning + AQE + codegen +
+    // scheduling per job — invariant in grid size, so a billion-cell
+    // plane pays the same ~50 quanta. Round-7 structural cuts (fused
+    // smoothing passes, CollapseWindow-adjacent gradients, the
+    // current-sheet chain overlapped on its own thread, single-tile CC
+    // fast path, sign-keyed currentSheets) took it from 21.5 s to
+    // ~10 s; what remains is composition overhead at toy scale, not a
+    // data-scaling term.
     Q("g19_find_structures",
       (s, d) => {
         val res = FindStructures(g19Input(s, d), smoothing = 1.0, deTol = 5.0)
