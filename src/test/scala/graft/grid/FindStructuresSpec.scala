@@ -67,6 +67,33 @@ class FindStructuresSpec extends AnyFunSuite {
     assert(csVals.subsetOf(Set(-1, 0, 1)))
   }
 
+  test("constant field: no structures, all masks empty (degenerate paths)") {
+    // exercises: zero contour segments -> no nulls -> empty xCoords ->
+    // separatrices' empty-X-point early return; currentSheets' strict
+    // mean±3σ thresholds on a constant filtered field -> empty region
+    // masks -> the CC solver's zero-cell (accumulator isZero) fast path.
+    val n = 12
+    val rows = for (iz <- 0 until n; ix <- 0 until n)
+      yield (0, iz, ix, 0.0, 3.0, -2.0, 1.0)
+    val df = rows.toDF("it", "iz", "ix", "t", "b1v", "b2v", "jyv")
+    val axes = Seq(("iz", (0 until n).map(_.toDouble).toArray),
+      ("ix", (0 until n).map(_.toDouble).toArray))
+    def v(label: String, c: String) = GridVar(label, Array(0.0), axes,
+      df.select(col("it"), col("iz"), col("ix"), col("t"),
+        col(c).as("value")))
+    val ds = SimDataset(Map.empty,
+      Map("b1" -> v("b1", "b1v"), "b2" -> v("b2", "b2v"),
+        "jy" -> v("jy", "jyv")))
+    val res = FindStructures(ds, smoothing = 1.0, deTol = 5.0)
+    assert(res.xCoords.isEmpty && res.oCoords.isEmpty)
+    val dsv = res.dataset.variables
+    assert(dsv("separatrices").df.filter(col("value") =!= 0).count() == 0)
+    assert(dsv("o_structures").df.filter(col("value") =!= 0).count() == 0)
+    assert(dsv("current_sheets").df.filter(col("value") =!= 0).count() == 0)
+    // masks still cover the full grid (left joins, not inner)
+    assert(dsv("separatrices").df.count() == n.toLong * n)
+  }
+
   test("VPIC tree -> loadDataset -> find_structures end-to-end") {
     // the full reference entry-point composition (ingest vpicdataset.py:
     // 142-230, analytics :295-533) through the DSv2 source: write the
