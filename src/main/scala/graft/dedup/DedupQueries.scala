@@ -496,8 +496,7 @@ object DedupQueries {
         val sigArr = graft.CacheScope.retain(
           signaturesPerRow(docs.filter(col("doc_id") >= split)))
         val sigCorp = graft.CacheScope.retain(
-          signaturesFromTokens(tokenStreamOf(
-            docs.filter(col("doc_id") < split))))
+          minhashSignaturesOf(docs.filter(col("doc_id") < split)))
         val arrBands = graft.CacheScope.retain(bandsOf(sigArr))
         val candCorp = arrBands
           .join(bandsOf(sigCorp)

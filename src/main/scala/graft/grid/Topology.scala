@@ -95,55 +95,14 @@ object Topology {
       .withColumn("c10", col("f10") - level)
       .withColumn("c11", col("f11") - level), Seq.empty)
 
-  /** [[cellCorners]] for SEVERAL fields in the same two window passes
-    * (columns `<field>_00` .. `<field>_11`): contouring d fields costs
-    * the same two shuffles — and one grid read — as contouring one.
-    * Assumes the fields are non-null on the same cell support (true for
-    * any dense grid); a cell is kept iff every field has all four
-    * corners, which for shared support matches the per-field operator.
-    *
-    * Sharing requires persisting the corner frame (each consumer plan
-    * would otherwise re-derive it). Measured on g19's 24x24 fixture the
-    * persist write of the wide frame costs MORE than the two window
-    * passes it saves (12.5 s vs 10.0 s for the pipeline), so
-    * [[FindStructures]] keeps per-field [[contourSegments]] over the
-    * already-cached grid; the fused form is the right call when corner
-    * extraction dominates — many fields, or a grid too large to cache
-    * upstream of the window passes.
-    */
-  def cellCornersMulti(df: DataFrame, fields: Seq[String]): DataFrame = {
-    val wx = Window.partitionBy("it", "iz").orderBy("ix")
-    val wz = Window.partitionBy("it", "ix").orderBy("iz")
-    val base = df.select((Seq(col("it"), col("iz"), col("ix"))
-      ++ fields.map(f => col(f).as(s"${f}_00"))): _*)
-      .withColumn("xs", lead(col("ix"), 1).over(wx) === col("ix") + 1)
-    val afterX = fields.foldLeft(base) { (acc, f) =>
-      acc.withColumn(s"${f}_01",
-        when(col("xs"), lead(col(s"${f}_00"), 1).over(wx)))
-    }.drop("xs")
-      .withColumn("zs", lead(col("iz"), 1).over(wz) === col("iz") + 1)
-    fields.foldLeft(afterX) { (acc, f) =>
-      acc.withColumn(s"${f}_10",
-          when(col("zs"), lead(col(s"${f}_00"), 1).over(wz)))
-        .withColumn(s"${f}_11",
-          when(col("zs"), lead(col(s"${f}_01"), 1).over(wz)))
-    }.drop("zs")
-      .filter(fields.map(f => col(s"${f}_01").isNotNull
-        && col(s"${f}_10").isNotNull && col(s"${f}_11").isNotNull)
-        .reduce(_ && _))
-  }
-
-  /** Marching squares on an existing [[cellCornersMulti]] frame — lets
-    * several contour families share one corner computation (and one
-    * scoped persist) instead of re-deriving corners per field.
-    */
-  def contourSegmentsFromCorners(corners: DataFrame, field: String,
-      level: Double): DataFrame =
-    emitSegments(corners
-      .withColumn("c00", col(s"${field}_00") - level)
-      .withColumn("c01", col(s"${field}_01") - level)
-      .withColumn("c10", col(s"${field}_10") - level)
-      .withColumn("c11", col(s"${field}_11") - level), Seq.empty)
+  // Negative result, measured round 7: a multi-field cellCorners (both
+  // fields' corners in the same two window passes, persisted so the
+  // intersection join's two sides share it) made g19 SLOWER — 12.5 s vs
+  // 10.0 s — because every contour consumer here reads an
+  // already-cached grid, and the persist write of the wide corner frame
+  // costs more than the two window passes it saves. Re-fuse only if a
+  // consumer appears whose corner extraction reads an uncached
+  // grid-sized input (many fields, or a grid too large to cache).
 
   /** Multi-level variant: one contour family per row of `levels`
     * (columns: xid, level). All levels extracted in a single pass —

@@ -433,11 +433,13 @@ object TopologyQueries {
     val n = G19N
     val dPerDe = ((1 / Dz + 1 / Dx) / 2).toInt // vpicdataset.py:345-349
     val tol = dPerDe * 5.0 // deTol = 5.0
-    // one-sided-edge central difference at physical spacing (g04 rule)
-    def grad(p: String, m: String, v: String) =
-      s"""CASE WHEN $m IS NULL THEN ($p - $v) / $Dz
-              WHEN $p IS NULL THEN ($v - $m) / $Dz
-              ELSE ($p - $m) / ${2 * Dz} END"""
+    // one-sided-edge central difference at physical spacing (g04 rule);
+    // `h` is the spacing of the DIFFERENTIATED axis (Dz for iz, Dx for
+    // ix — equal on this fixture, but the twin must not assume it)
+    def grad(p: String, m: String, v: String, h: Double) =
+      s"""CASE WHEN $m IS NULL THEN ($p - $v) / $h
+              WHEN $p IS NULL THEN ($v - $m) / $h
+              ELSE ($p - $m) / ${2 * h} END"""
     // 4-corner bilinear weight table (g09/g12 rule)
     def bilW(src: String, py: String, px: String, keep: String) =
       s"""SELECT $keep
@@ -512,16 +514,16 @@ object TopologyQueries {
          lead(b2s) OVER wz AS b2p, lag(b2s) OVER wz AS b2m
          FROM sm WINDOW wz AS (PARTITION BY it, ix ORDER BY iz)),
        hd1 AS (SELECT it, iz, ix, b1s, b2s,
-         ${grad("b1p", "b1m", "b1s")} AS db1_d1,
-         ${grad("b2p", "b2m", "b2s")} AS db2_d1
+         ${grad("b1p", "b1m", "b1s", Dz)} AS db1_d1,
+         ${grad("b2p", "b2m", "b2s", Dz)} AS db2_d1
          FROM hz),
        hx AS (SELECT it, iz, ix, db1_d1, db2_d1, b1s, b2s,
          lead(b1s) OVER wx AS b1p, lag(b1s) OVER wx AS b1m,
          lead(b2s) OVER wx AS b2p, lag(b2s) OVER wx AS b2m
          FROM hd1 WINDOW wx AS (PARTITION BY it, iz ORDER BY ix)),
        hess AS MATERIALIZED (SELECT it, iz, ix,
-         (${grad("b1p", "b1m", "b1s")}) * (-db2_d1)
-         - (-(${grad("b2p", "b2m", "b2s")})) * db1_d1 AS hd
+         (${grad("b1p", "b1m", "b1s", Dx)}) * (-db2_d1)
+         - (-(${grad("b2p", "b2m", "b2s", Dx)})) * db1_d1 AS hd
          FROM hx),
        ${segsSqlGen("sm", "b1s", "0.0", "fa")},
        ${segsSqlGen("sm", "b2s", "0.0", "fb")},

@@ -1,19 +1,23 @@
 package graft.relational
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField}
 
 /** Distributed exact global ranking. A bare `row_number() OVER (ORDER
   * BY ...)` funnels every row through ONE task (Spark warns "No
   * Partition Defined" and the stage serializes); this computes the
   * identical rank in parallel: range-partition on the total sort key
   * (partition ids ascend with the key by RangePartitioning's
-  * contract), rank within each partition, then add the cumulative row
-  * counts of the partitions before it. The counts/offsets tables are
+  * contract), sort within partitions, number rows with a narrow
+  * per-partition pass, then add the cumulative row counts of the
+  * partitions before it. The counts/offsets tables are
   * partition-count-sized (metadata scale, broadcast back), so the only
   * data-sized costs are the range exchange and the per-partition sort
-  * — what a global sort already pays.
+  * — what a global sort already pays. (A `Window.partitionBy(pid)`
+  * would NOT do: range partitioning does not satisfy the window's
+  * hash-clustering requirement, so Catalyst would re-shuffle the whole
+  * dataset a second time.)
   */
 object Ranking {
 
@@ -23,12 +27,23 @@ object Ranking {
     * otherwise make ranks partitioning-dependent.
     */
   def globalRank(df: DataFrame, out: String, sortCols: Column*): DataFrame = {
+    val spark = df.sparkSession
     // retained: partition ids must be consistent between the rank pass
-    // and the counts pass (spark_partition_id is plan-dependent)
+    // and the counts pass, and both read the one range exchange + sort
     val parted = graft.CacheScope.retain(
-      df.repartitionByRange(sortCols: _*)
-        .withColumn("__pid", spark_partition_id()))
-    val counts = parted.groupBy("__pid").agg(count(lit(1)).as("__c"))
+      df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*))
+    val schema = parted.schema
+      .add(StructField("__pid", IntegerType, nullable = false))
+      .add(StructField("__r", LongType, nullable = false))
+    // narrow pass: rows arrive in sorted order per partition, so a
+    // running counter IS the in-partition row_number — no window, no
+    // second exchange
+    val withR = spark.createDataFrame(
+      parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var i = 0L
+        it.map { r => i += 1; Row.fromSeq(r.toSeq :+ pid :+ i) }
+      }, schema)
+    val counts = withR.groupBy("__pid").agg(count(lit(1)).as("__c"))
     // cumulative offset via a triangular self-join of the tiny counts
     // table — not a global window (that would reintroduce the
     // single-task stage this operator exists to avoid)
@@ -36,9 +51,7 @@ object Ranking {
       .join(counts.as("b"), col("b.__pid") < col("a.__pid"), "left")
       .groupBy(col("a.__pid").as("__pid"))
       .agg(coalesce(sum(col("b.__c")), lit(0L)).as("__off"))
-    val w = Window.partitionBy("__pid").orderBy(sortCols: _*)
-    parted.withColumn("__r", row_number().over(w))
-      .join(broadcast(offs), "__pid")
+    withR.join(broadcast(offs), "__pid")
       .withColumn(out, (col("__off") + col("__r")).cast("long"))
       .drop("__pid", "__r", "__off")
   }

@@ -328,10 +328,13 @@ private[sources] class VPICScan(root: String, vars: Seq[String], chunkSteps: Int
       case LessThanOrEqual("it", v) => itHi = math.min(itHi, long(v))
       case _ => ()
     }
+    // one shared header for the whole interleaved file — read once, not
+    // once per selected band
+    lazy val sharedHeader =
+      VPICSource.readHeader(root, VPICSource.InterleavedFile)
     labels.flatMap { case (path, label) =>
       if (interleaved) {
-        val (nt, nz, ny, nx) =
-          VPICSource.readHeader(root, VPICSource.InterleavedFile)
+        val (nt, nz, ny, nx) = sharedHeader
         val lo = math.max(0, itLo); val hi = math.min(nt - 1, itHi)
         (lo to hi by chunkSteps).map { t0 =>
           VPICInputPartition(root, label, t0,

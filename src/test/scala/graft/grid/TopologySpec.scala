@@ -40,19 +40,6 @@ class TopologySpec extends AnyFunSuite {
     }
   }
 
-  test("fused corner pass reproduces per-field contour segments exactly") {
-    val g = island
-    def canon(df: DataFrame) = df
-      .select("it", "iz", "ix", "y1", "x1", "y2", "x2")
-      .collect().map(_.toSeq).sortBy(_.mkString(","))
-    val corners = Topology.cellCornersMulti(g, Seq("b1", "b2"))
-    Seq("b1", "b2").foreach { f =>
-      val fused = canon(Topology.contourSegmentsFromCorners(corners, f, 0.0))
-      val single = canon(Topology.contourSegments(g, f, 0.0))
-      assert(fused.sameElements(single), s"field $f")
-    }
-  }
-
   test("segment intersection finds the crossing of two known segments") {
     val a = Seq((0, 0, 0, 0.0, 0.5, 1.0, 0.5)).toDF("it", "iz", "ix", "y1", "x1", "y2", "x2")
     val b = Seq((0, 0, 0, 0.5, 0.0, 0.5, 1.0)).toDF("it", "iz", "ix", "y1", "x1", "y2", "x2")
