@@ -138,6 +138,45 @@ class PlanSpec extends AnyFunSuite {
       s"3-D smoothing should shuffle at most 3 times, got $hashShuffles")
   }
 
+  test("globalRank never re-shuffles: one range exchange, no pid hash exchange") {
+    import org.apache.spark.sql.functions._
+    val df = graft.relational.Ranking.globalRank(
+      Tables.orders(spark, sf).select("o_orderkey", "o_totalprice"),
+      "rnk", col("o_totalprice").desc, col("o_orderkey"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the in-partition rank is a narrow pass over the range
+    // partitioning — no Window operator anywhere (the old
+    // Window.partitionBy(__pid) form re-shuffled the full rows)
+    assert(!p.contains("Window"), p)
+    // __pid exchanges may exist only on the counts/offsets side, i.e.
+    // directly above a partial aggregate or a __pid-only projection —
+    // never carrying the full-width row data
+    val lines = p.linesIterator.toSeq
+    lines.zipWithIndex.filter(_._1.contains("Exchange hashpartitioning(__pid"))
+      .foreach { case (l, i) =>
+        val child = lines.drop(i + 1).take(1).mkString
+        assert(child.contains("HashAggregate") || child.contains("Project [__pid"),
+          s"data-sized __pid exchange:\n$l\n$child")
+      }
+  }
+
+  test("find_structures gradient chain collapses to one window per axis") {
+    import org.apache.spark.sql.functions._
+    // same wiring as FindStructures: iz-pair then ix-pair, adjacent so
+    // CollapseWindow merges each pair into ONE Window operator
+    val g = grid.GridQueries.grid(spark, sf)
+      .select("it", "iz", "ix", "b1", "b2")
+    val g1 = grid.GridOps.gradient(g, "b1", "iz", 0.5, "db1_d1")
+    val g3 = grid.GridOps.gradient(g1, "b2", "iz", 0.5, "db2_d1")
+    val g2 = grid.GridOps.gradient(g3, "b1", "ix", 0.5, "db1_d2")
+    val g4 = grid.GridOps.gradient(g2, "b2", "ix", 0.5, "db2_d2")
+    val wins = g4.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.length == 2, s"expected 2 collapsed windows, got ${wins.length}")
+  }
+
   test("q110 incremental ingest keeps the anti-join and reuses cached signatures") {
     val p = plan("q110_incremental_ingest")
     assert(p.contains("LeftAnti"), "survivor selection must be an anti-join")
