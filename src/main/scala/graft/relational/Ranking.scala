@@ -55,4 +55,36 @@ object Ranking {
       .withColumn(out, (col("__off") + col("__r")).cast("long"))
       .drop("__pid", "__r", "__off")
   }
+
+  /** Append the INCLUSIVE global running sum of long column `valueCol`
+    * in `sortCols` order — same machinery as [[globalRank]] (range
+    * exchange + in-partition sort + narrow accumulation + broadcast
+    * per-partition offsets), same cost model: one data-sized exchange.
+    * The exclusive prefix (e.g. a byte start-offset) is
+    * `out - valueCol`.
+    */
+  def globalCumSum(df: DataFrame, valueCol: String, out: String,
+      sortCols: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val parted = graft.CacheScope.retain(
+      df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*))
+    val vIdx = parted.schema.fieldIndex(valueCol)
+    val schema = parted.schema
+      .add(StructField("__pid", IntegerType, nullable = false))
+      .add(StructField("__cum", LongType, nullable = false))
+    val withC = spark.createDataFrame(
+      parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var acc = 0L
+        it.map { r => acc += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ pid :+ acc) }
+      }, schema)
+    // per-partition totals = the max inclusive cum of each partition
+    val sums = withC.groupBy("__pid").agg(max("__cum").as("__c"))
+    val offs = sums.as("a")
+      .join(sums.as("b"), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(coalesce(sum(col("b.__c")), lit(0L)).as("__off"))
+    withC.join(broadcast(offs), "__pid")
+      .withColumn(out, col("__off") + col("__cum"))
+      .drop("__pid", "__cum", "__off")
+  }
 }

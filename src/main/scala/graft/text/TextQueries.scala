@@ -699,8 +699,45 @@ object TextQueries {
                round(pw / z, 6) AS mix_weight,
                round((pw / z) * $MixBudget
                  / CAST(n_tokens AS DOUBLE), 4) AS eff_epochs
-             FROM sh CROSS JOIN z ORDER BY source"""))
+             FROM sh CROSS JOIN z ORDER BY source""")),
+
+    // ---- size-balanced contiguous sharding: assign each doc to shard
+    // floor(byte_start / target) of the doc_id-ordered corpus — the
+    // write-layout primitive for turning a corpus into evenly sized,
+    // order-preserving training shards. The byte start-offset is a
+    // GLOBAL running sum, computed distributed via
+    // [[graft.relational.Ranking.globalCumSum]] (range exchange +
+    // narrow per-partition accumulation + broadcast offsets — never a
+    // single-task global window); the oracle's OVER (ORDER BY) is the
+    // single-node equivalent DuckDB can afford. Per-shard stats prove
+    // shards are contiguous in doc_id and balanced around the target.
+    Q("q115_shard_layout",
+      (s, d) => {
+        val cum = graft.relational.Ranking.globalCumSum(
+          Tables.documents(s, d).select("doc_id", "n_chars"),
+          "n_chars", "cum", col("doc_id"))
+        cum.withColumn("shard",
+            expr(s"(cum - n_chars) div $ShardTargetBytes"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("bytes"),
+            min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+          .orderBy("shard")
+      },
+      Some(s"""WITH c AS (SELECT doc_id, n_chars,
+               CAST(sum(n_chars) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum
+             FROM documents)
+             SELECT CAST((cum - n_chars) // $ShardTargetBytes AS BIGINT)
+                 AS shard,
+               count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS bytes,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+             FROM c GROUP BY 1 ORDER BY 1"""))
   )
+
+  /** q115 shard size target (bytes of text per shard). */
+  val ShardTargetBytes = 65536L
 
   /** PII patterns — restricted to the Java-regex ∩ RE2 common subset so
     * the Spark and DuckDB engines agree match-for-match.

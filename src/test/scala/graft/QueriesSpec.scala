@@ -48,6 +48,25 @@ class QueriesSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Double]("eff_epochs") > 0))
   }
 
+  test("q115 shards are contiguous in doc order and balanced") {
+    val rows = QueryRegistry.queries("q115_shard_layout")(spark, sf).collect()
+    val target = graft.text.TextQueries.ShardTargetBytes
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("shard") + 1 == b.getAs[Long]("shard"))
+        // contiguity: next shard starts where this one ends
+        assert(a.getAs[Long]("last_doc") + 1 == b.getAs[Long]("first_doc"))
+      case _ => ()
+    }
+    // balance: every shard except the last reaches the target boundary
+    // (a doc whose START is inside the shard belongs to it, so a shard
+    // can only end once its byte range is filled)
+    rows.dropRight(1).foreach { r =>
+      assert(r.getAs[Long]("bytes") >= target - 10000,
+        s"shard ${r.getAs[Long]("shard")} under-filled")
+    }
+  }
+
   test("q42 sketch error bounds hold (ok_* booleans all true)") {
     val r = QueryRegistry.queries("q42_approx_distinct")(spark, sf).head()
     Seq("ok_orders", "ok_parts", "ok_supps").foreach { c =>
