@@ -1,67 +1,76 @@
 package graft.relational
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType, StructField}
+import org.apache.spark.sql.types.{LongType, StructField}
 
 /** Distributed exact global ranking. A bare `row_number() OVER (ORDER
   * BY ...)` funnels every row through ONE task (Spark warns "No
   * Partition Defined" and the stage serializes); this computes the
   * identical rank in parallel: range-partition on the total sort key
   * (partition ids ascend with the key by RangePartitioning's
-  * contract), sort within partitions, number rows with a narrow
-  * per-partition pass, then add the cumulative row counts of the
-  * partitions before it. The counts/offsets tables are
-  * partition-count-sized (metadata scale, broadcast back), so the only
-  * data-sized costs are the range exchange and the per-partition sort
-  * — what a global sort already pays. (A `Window.partitionBy(pid)`
-  * would NOT do: range partitioning does not satisfy the window's
-  * hash-clustering requirement, so Catalyst would re-shuffle the whole
-  * dataset a second time.)
+  * contract), sort within partitions, count rows per partition with a
+  * narrow pass, collect the partition-count-sized (metadata scale)
+  * counts to the driver, prefix-sum them there, and broadcast the
+  * offsets into the numbering pass. The only data-sized costs are the
+  * range exchange and the per-partition sort — what a global sort
+  * already pays; the offsets side does zero joins and zero shuffles.
+  * (A `Window.partitionBy(pid)` would NOT do: range partitioning does
+  * not satisfy the window's hash-clustering requirement, so Catalyst
+  * would re-shuffle the whole dataset a second time. A counts-table
+  * self-join would do, but is O(P²) intermediate rows for no benefit
+  * when P rows fit on the driver by definition.)
   */
 object Ranking {
+
+  /** Exclusive prefix sums of per-partition totals, keyed by partition
+    * id. Input order is irrelevant (sorted here); P entries, driver
+    * side.
+    */
+  private def exclusivePrefix(totals: Array[(Int, Long)]): Map[Int, Long] = {
+    var acc = 0L
+    totals.sortBy(_._1).map { case (pid, n) =>
+      val off = acc; acc += n; (pid, off)
+    }.toMap
+  }
 
   /** Append exact global rank `out` (1-based long) ordering by
     * `sortCols`, which must form a TOTAL order (append a unique
     * tiebreak column) — ties across a partition boundary would
     * otherwise make ranks partitioning-dependent.
+    *
+    * Runs one eager metadata-scale job at construction time (the
+    * per-partition counts); the cached range exchange it materializes
+    * is reused by the numbering pass.
     */
   def globalRank(df: DataFrame, out: String, sortCols: Column*): DataFrame = {
     val spark = df.sparkSession
-    // retained: partition ids must be consistent between the rank pass
-    // and the counts pass, and both read the one range exchange + sort
+    // retained: partition ids must be consistent between the counts
+    // pass and the numbering pass, and both read the one range
+    // exchange + sort
     val parted = graft.CacheScope.retain(
       df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*))
-    val schema = parted.schema
-      .add(StructField("__pid", IntegerType, nullable = false))
-      .add(StructField("__r", LongType, nullable = false))
+    val counts = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var n = 0L; it.foreach(_ => n += 1); Iterator((pid, n))
+    }.collect()
+    val bc = spark.sparkContext.broadcast(exclusivePrefix(counts))
+    val schema = parted.schema.add(StructField(out, LongType, nullable = false))
     // narrow pass: rows arrive in sorted order per partition, so a
-    // running counter IS the in-partition row_number — no window, no
-    // second exchange
-    val withR = spark.createDataFrame(
+    // running counter started at the partition's global offset IS the
+    // global rank — no window, no join, no second exchange
+    spark.createDataFrame(
       parted.rdd.mapPartitionsWithIndex { (pid, it) =>
-        var i = 0L
-        it.map { r => i += 1; Row.fromSeq(r.toSeq :+ pid :+ i) }
+        var i = bc.value(pid)
+        it.map { r => i += 1; Row.fromSeq(r.toSeq :+ i) }
       }, schema)
-    val counts = withR.groupBy("__pid").agg(count(lit(1)).as("__c"))
-    // cumulative offset via a triangular self-join of the tiny counts
-    // table — not a global window (that would reintroduce the
-    // single-task stage this operator exists to avoid)
-    val offs = counts.as("a")
-      .join(counts.as("b"), col("b.__pid") < col("a.__pid"), "left")
-      .groupBy(col("a.__pid").as("__pid"))
-      .agg(coalesce(sum(col("b.__c")), lit(0L)).as("__off"))
-    withR.join(broadcast(offs), "__pid")
-      .withColumn(out, (col("__off") + col("__r")).cast("long"))
-      .drop("__pid", "__r", "__off")
   }
 
   /** Append the INCLUSIVE global running sum of long column `valueCol`
     * in `sortCols` order — same machinery as [[globalRank]] (range
     * exchange + in-partition sort + narrow accumulation + broadcast
-    * per-partition offsets), same cost model: one data-sized exchange.
-    * The exclusive prefix (e.g. a byte start-offset) is
-    * `out - valueCol`.
+    * driver-side prefix offsets), same cost model: one data-sized
+    * exchange. Partition totals are true sums, so negative values are
+    * handled correctly. The exclusive prefix (e.g. a byte
+    * start-offset) is `out - valueCol`.
     */
   def globalCumSum(df: DataFrame, valueCol: String, out: String,
       sortCols: Column*): DataFrame = {
@@ -69,22 +78,15 @@ object Ranking {
     val parted = graft.CacheScope.retain(
       df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*))
     val vIdx = parted.schema.fieldIndex(valueCol)
-    val schema = parted.schema
-      .add(StructField("__pid", IntegerType, nullable = false))
-      .add(StructField("__cum", LongType, nullable = false))
-    val withC = spark.createDataFrame(
+    val totals = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L; it.foreach(r => s += r.getLong(vIdx)); Iterator((pid, s))
+    }.collect()
+    val bc = spark.sparkContext.broadcast(exclusivePrefix(totals))
+    val schema = parted.schema.add(StructField(out, LongType, nullable = false))
+    spark.createDataFrame(
       parted.rdd.mapPartitionsWithIndex { (pid, it) =>
-        var acc = 0L
-        it.map { r => acc += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ pid :+ acc) }
+        var acc = bc.value(pid)
+        it.map { r => acc += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ acc) }
       }, schema)
-    // per-partition totals = the max inclusive cum of each partition
-    val sums = withC.groupBy("__pid").agg(max("__cum").as("__c"))
-    val offs = sums.as("a")
-      .join(sums.as("b"), col("b.__pid") < col("a.__pid"), "left")
-      .groupBy(col("a.__pid").as("__pid"))
-      .agg(coalesce(sum(col("b.__c")), lit(0L)).as("__off"))
-    withC.join(broadcast(offs), "__pid")
-      .withColumn(out, col("__off") + col("__cum"))
-      .drop("__pid", "__cum", "__off")
   }
 }

@@ -138,27 +138,21 @@ class PlanSpec extends AnyFunSuite {
       s"3-D smoothing should shuffle at most 3 times, got $hashShuffles")
   }
 
-  test("globalRank never re-shuffles: one range exchange, no pid hash exchange") {
+  test("globalRank never re-shuffles: no window, no join, no hash exchange") {
     import org.apache.spark.sql.functions._
     val df = graft.relational.Ranking.globalRank(
       Tables.orders(spark, sf).select("o_orderkey", "o_totalprice"),
       "rnk", col("o_totalprice").desc, col("o_orderkey"))
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    // the in-partition rank is a narrow pass over the range
-    // partitioning — no Window operator anywhere (the old
-    // Window.partitionBy(__pid) form re-shuffled the full rows)
+    // the rank is a narrow pass over the range partitioning with
+    // driver-side prefix offsets broadcast in — no Window operator
+    // (the old Window.partitionBy(__pid) form re-shuffled the full
+    // rows), no join of any kind (the old counts-table self-join is
+    // gone), and no hash exchange at all
     assert(!p.contains("Window"), p)
-    // __pid exchanges may exist only on the counts/offsets side, i.e.
-    // directly above a partial aggregate or a __pid-only projection —
-    // never carrying the full-width row data
-    val lines = p.linesIterator.toSeq
-    lines.zipWithIndex.filter(_._1.contains("Exchange hashpartitioning(__pid"))
-      .foreach { case (l, i) =>
-        val child = lines.drop(i + 1).take(1).mkString
-        assert(child.contains("HashAggregate") || child.contains("Project [__pid"),
-          s"data-sized __pid exchange:\n$l\n$child")
-      }
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
   test("find_structures gradient chain collapses to one window per axis") {
