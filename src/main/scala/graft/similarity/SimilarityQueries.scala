@@ -49,12 +49,15 @@ object SimilarityQueries {
   private val SemT = 0.4
   private val SemSeedStride = 100
 
-  /** DuckDB twin of q111: stride-seed centroids, nearest-seed
-    * assignment, within-cluster pairwise cosine >= SemT, recursive-CTE
-    * CC, keep = component minimum.
+  /** q116 kNN-graph fanout: neighbors kept per vector. */
+  private val KnnK = 5
+
+  /** Shared CTE chain of q111/q116: stride-seed centroids, nearest-seed
+    * assignment, within-cluster half-pair (va < vb) cosine rounded to
+    * 6 dp — the SQL twin of [[clusterBoundedCosine]].
     */
-  private lazy val semanticDedupOracleSql: String =
-    s"""WITH RECURSIVE flat AS (SELECT vec_id, CAST(v AS DOUBLE) AS v, i FROM (
+  private lazy val clusterCosineCteSql: String =
+    s"""flat AS (SELECT vec_id, CAST(v AS DOUBLE) AS v, i FROM (
            SELECT vec_id, unnest(embedding) AS v,
                   generate_subscripts(embedding, 1) AS i FROM embeddings) x),
       cent AS (SELECT vec_id AS clabel, i, v AS c FROM flat
@@ -71,9 +74,16 @@ object SimilarityQueries {
                FROM fa a JOIN fa b
                  ON a.i = b.i AND a.cl = b.cl AND a.vec_id < b.vec_id
                GROUP BY 1, 2),
-      p AS (SELECT va, vb FROM dots
-            JOIN nrm na ON va = na.vec_id JOIN nrm nb ON vb = nb.vec_id
-            WHERE round(dot / (na.n * nb.n), 6) >= $SemT),
+      half AS (SELECT va, vb, round(dot / (na.n * nb.n), 6) AS cos
+               FROM dots
+               JOIN nrm na ON va = na.vec_id JOIN nrm nb ON vb = nb.vec_id)"""
+
+  /** DuckDB twin of q111: the shared cluster-cosine chain, pairs
+    * >= SemT, recursive-CTE CC, keep = component minimum.
+    */
+  private lazy val semanticDedupOracleSql: String =
+    s"""WITH RECURSIVE ${clusterCosineCteSql},
+      p AS (SELECT va, vb FROM half WHERE cos >= $SemT),
       e AS (SELECT va AS s, vb AS t FROM p UNION ALL SELECT vb, va FROM p),
       r AS (SELECT vec_id AS node, vec_id AS comp FROM asg
             UNION
@@ -81,6 +91,20 @@ object SimilarityQueries {
       cc AS (SELECT node, min(comp) AS grp FROM r GROUP BY node)
       SELECT a.vec_id, a.cl AS cluster, a.vec_id = cc.grp AS kept
       FROM asg a JOIN cc ON a.vec_id = cc.node ORDER BY a.vec_id"""
+
+  /** DuckDB twin of q116: the shared cluster-cosine chain, half pairs
+    * mirrored, per-vector top-[[KnnK]] by (cos DESC, nbr_id).
+    */
+  private lazy val knnGraphOracleSql: String =
+    s"""WITH ${clusterCosineCteSql},
+      sym AS (SELECT va, vb, cos FROM half
+              UNION ALL SELECT vb, va, cos FROM half),
+      ranked AS (SELECT va AS vec_id, vb AS nbr_id, cos,
+                        row_number() OVER (PARTITION BY va
+                          ORDER BY cos DESC, vb) AS rnk
+                 FROM sym)
+      SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, nbr_id, cos
+      FROM ranked WHERE rnk <= $KnnK ORDER BY vec_id, rnk"""
 
   /** SQL twin of [[cosineVsProbe]]/[[exactTop10]]: probe components,
     * probe norm, and every other vector's dot/self-norm from a CTE
@@ -669,30 +693,8 @@ object SimilarityQueries {
     // the corpus; shard the centroid table if k outgrows a broadcast).
     Q("q111_semantic_dedup",
       (s, d) => {
-        val f = graft.CacheScope.retain(flat(s, d))
-        val cent = f.filter(col("vec_id") % SemSeedStride === 0)
-          .select(col("vec_id").as("clabel"), col("i").as("ci"),
-            col("v").as("c"))
-        val asg = graft.CacheScope.retain(
-          f.join(broadcast(cent), col("i") === col("ci"))
-            .groupBy("vec_id", "clabel")
-            .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("d2"))
-            .groupBy("vec_id")
-            .agg(min(struct(col("d2"), col("clabel"))).as("m"))
-            .select(col("vec_id"), col("m.clabel").as("cl")))
-        val fa = f.join(asg, "vec_id")
-          .select(col("cl"), col("vec_id"), col("i"), col("v"))
-        val nrm = f.groupBy("vec_id").agg(sqrt(sum(col("v") * col("v"))).as("n"))
-        val b = fa.select(col("cl").as("clb"), col("vec_id").as("vb"),
-          col("i").as("ib"), col("v").as("wb"))
-        val pairs = fa.select(col("cl"), col("vec_id").as("va"),
-            col("i"), col("v").as("wa"))
-          .join(b, col("i") === col("ib") && col("cl") === col("clb")
-            && col("va") < col("vb"))
-          .groupBy("va", "vb").agg(sum(col("wa") * col("wb")).as("dot"))
-          .join(nrm.select(col("vec_id").as("va"), col("n").as("na")), "va")
-          .join(nrm.select(col("vec_id").as("vb"), col("n").as("nb")), "vb")
-          .filter(round(col("dot") / (col("na") * col("nb")), 6) >= SemT)
+        val (asg, half) = clusterBoundedCosine(s, d)
+        val pairs = half.filter(col("cos") >= SemT)
           .select(col("va").as("s"), col("vb").as("t"))
         val comp = graft.grid.Topology.graphComponents(pairs)
         asg.join(comp, col("vec_id") === col("node"), "left")
@@ -701,6 +703,24 @@ object SimilarityQueries {
           .orderBy("vec_id")
       },
       Some(semanticDedupOracleSql)),
+
+    // ---- q116: batched kNN GRAPH — every vector's top-k neighbors in
+    // one pass (not one probe), the primitive SemDeDup audits, dedup
+    // forensics, and retrieval eval actually consume. Candidates are
+    // cluster-bounded exactly as q111 (the pair space is ≈ n·stride by
+    // construction — see [[SemSeedStride]]); each half pair is
+    // mirrored so both endpoints see the edge, then per-vector top-k
+    // by a PARTITIONED window (hash shuffle on vec_id, parallel by
+    // key — never the single-task global window). Tie-break is
+    // deterministic: 6-dp-rounded cosine desc, then neighbor id.
+    // Vectors alone in their cluster have no in-graph candidates and
+    // emit no rows — the documented coverage contract of a
+    // cluster-bounded kNN graph (raise k_clusters probed to trade
+    // cost for coverage; the exact variant is the q37-style full
+    // pair join).
+    Q("q116_knn_graph",
+      (s, d) => knnGraphOf(Tables.embeddings(s, d)).orderBy("vec_id", "rnk"),
+      Some(knnGraphOracleSql)),
 
     // ---- q80: one k-means assignment step with the label centroids as
     // seeds: centroid = per-label mean vector (one aggregation), each
@@ -744,6 +764,68 @@ object SimilarityQueries {
                     e.label != m.assigned AS moved
              FROM embeddings e JOIN m USING (vec_id) ORDER BY vec_id"""))
   )
+
+  /** Shared candidate machinery of q111 (SemDeDup) and q116 (kNN
+    * graph): stride-seed cluster assignment and the cluster-bounded
+    * half-pair cosine table. Returns (asg: vec_id -> cl, half:
+    * (va, vb, cos) with va < vb, cosine rounded to 6 dp). Assignment
+    * is one broadcast join (centroids are k·dim ≈ n/stride·dim —
+    * metadata-scale relative to the corpus; shard the centroid table
+    * if k outgrows a broadcast); the pair join is bounded to ≈
+    * n·stride rows by the quantizer geometry.
+    */
+  private def clusterBoundedCosine(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) =
+    clusterBoundedCosineOf(Tables.embeddings(s, d))
+
+  private[graft] def clusterBoundedCosineOf(emb: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val f = graft.CacheScope.retain(
+      emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+        .withColumn("v", col("v").cast("double")))
+    val cent = f.filter(col("vec_id") % SemSeedStride === 0)
+      .select(col("vec_id").as("clabel"), col("i").as("ci"),
+        col("v").as("c"))
+    val asg = graft.CacheScope.retain(
+      f.join(broadcast(cent), col("i") === col("ci"))
+        .groupBy("vec_id", "clabel")
+        .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("d2"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("d2"), col("clabel"))).as("m"))
+        .select(col("vec_id"), col("m.clabel").as("cl")))
+    val fa = f.join(asg, "vec_id")
+      .select(col("cl"), col("vec_id"), col("i"), col("v"))
+    val nrm = f.groupBy("vec_id").agg(sqrt(sum(col("v") * col("v"))).as("n"))
+    val b = fa.select(col("cl").as("clb"), col("vec_id").as("vb"),
+      col("i").as("ib"), col("v").as("wb"))
+    val half = fa.select(col("cl"), col("vec_id").as("va"),
+        col("i"), col("v").as("wa"))
+      .join(b, col("i") === col("ib") && col("cl") === col("clb")
+        && col("va") < col("vb"))
+      .groupBy("va", "vb").agg(sum(col("wa") * col("wb")).as("dot"))
+      .join(nrm.select(col("vec_id").as("va"), col("n").as("na")), "va")
+      .join(nrm.select(col("vec_id").as("vb"), col("n").as("nb")), "vb")
+      .select(col("va"), col("vb"),
+        round(col("dot") / (col("na") * col("nb")), 6).as("cos"))
+    (asg, half)
+  }
+
+  /** The q116 operator over an arbitrary embeddings table (vec_id,
+    * embedding): cluster-bounded candidates mirrored both ways, then
+    * per-vector top-`k` via a PARTITIONED window — public so ScaleProbe
+    * can drive it at replicated scale.
+    */
+  def knnGraphOf(emb: DataFrame, k: Int = KnnK): DataFrame = {
+    val (_, half) = clusterBoundedCosineOf(emb)
+    val sym = half.union(
+      half.select(col("vb").as("va"), col("va").as("vb"), col("cos")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("va").orderBy(col("cos").desc, col("vb").asc)
+    sym.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("va").as("vec_id"), col("rnk"),
+        col("vb").as("nbr_id"), col("cos"))
+  }
 
   /** Fit the IVF coarse quantizer on a deterministic 1-in-5 subset: at
     * 100 TB the quantizer is always fit on a sample — centroid quality
