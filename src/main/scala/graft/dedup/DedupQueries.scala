@@ -152,7 +152,7 @@ object DedupQueries {
     minhashCandidatesFrom(minhashSignatures(s, d))
 
   /** (doc_id, band, bucket) LSH band entries of a signature table. */
-  private def bandsOf(sig: DataFrame): DataFrame =
+  private[dedup] def bandsOf(sig: DataFrame): DataFrame =
     (0 until NumHashes / BandRows).map { b =>
       val cols = (b * BandRows until (b + 1) * BandRows).map(i => col(s"h$i"))
       sig.select(col("doc_id"), lit(b).as("band"),
@@ -492,62 +492,35 @@ object DedupQueries {
     Q("q110_incremental_ingest",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val split = NeardupArrivalSplit
-        val sigArr = graft.CacheScope.retain(
-          signaturesPerRow(docs.filter(col("doc_id") >= split)))
-        val sigCorp = graft.CacheScope.retain(
-          minhashSignaturesOf(docs.filter(col("doc_id") < split)))
-        val arrBands = graft.CacheScope.retain(bandsOf(sigArr))
-        val candCorp = arrBands
-          .join(bandsOf(sigCorp)
-              .select(col("doc_id").as("prior_doc"), col("band"), col("bucket")),
-            Seq("band", "bucket"))
-          .select(col("doc_id").as("arr_doc"), col("prior_doc"))
-        // star contraction (q50's starEdges shape on the arrival bands):
-        // groupBy-min combines map-side; a degenerate mega-bucket hits
-        // the join as an AQE-splittable skewed key, not a |bucket|² blowup
-        val bmArr = arrBands.groupBy("band", "bucket")
-          .agg(min("doc_id").as("m"))
-        val candIntra = arrBands.join(bmArr, Seq("band", "bucket"))
-          .filter(col("doc_id") > col("m"))
-          .select(col("doc_id").as("arr_doc"), col("m").as("prior_doc"))
-        val sigAll = sigArr.unionByName(sigCorp)
-        val agree = agreeExpr("a", "b")
-        val dupArrivals = candCorp.unionAll(candIntra).distinct()
-          .join(sigArr.as("a"), col("arr_doc") === col("a.doc_id"))
-          .join(sigAll.as("b"), col("prior_doc") === col("b.doc_id"))
-          .filter(agree >= (NumHashes + 1) / 2)
-          .select(col("arr_doc").as("doc_id")).distinct()
-        docs.filter(col("doc_id") < split)
-          .select(col("doc_id"), lit("existing").as("status"))
-          .unionAll(docs.filter(col("doc_id") >= split).select("doc_id")
-            .join(dupArrivals, Seq("doc_id"), "left_anti")
-            .select(col("doc_id"), lit("added").as("status")))
-          .orderBy("doc_id")
+        val sigCorp = graft.CacheScope.retain(minhashSignaturesOf(
+          docs.filter(col("doc_id") < NeardupArrivalSplit)))
+        incrementalIngest(docs, NeardupArrivalSplit, sigCorp, bandsOf(sigCorp))
       },
-      Some(s"""WITH ${sigBandCtes("")},
-         inc AS (SELECT doc_id, band, bucket FROM bands
-                 WHERE doc_id >= $NeardupArrivalSplit),
-         corp AS (SELECT doc_id AS prior_doc, band, bucket FROM bands
-                  WHERE doc_id < $NeardupArrivalSplit),
-         bm AS (SELECT band, bucket, min(doc_id) AS m FROM inc GROUP BY 1, 2),
-         cand AS (SELECT DISTINCT inc.doc_id, corp.prior_doc
-                  FROM inc JOIN corp USING (band, bucket)
-                  UNION
-                  SELECT DISTINCT l.doc_id, bm.m AS prior_doc
-                  FROM inc l JOIN bm USING (band, bucket)
-                  WHERE l.doc_id > bm.m),
-         dup AS (SELECT DISTINCT c.doc_id FROM cand c
-                 JOIN sig a ON c.doc_id = a.doc_id
-                 JOIN sig b ON c.prior_doc = b.doc_id
-                 WHERE $agreeSql >= ${(NumHashes + 1) / 2})
-         SELECT doc_id, 'existing' AS status FROM documents
-         WHERE doc_id < $NeardupArrivalSplit
-         UNION ALL
-         SELECT doc_id, 'added' AS status FROM documents
-         WHERE doc_id >= $NeardupArrivalSplit
-           AND doc_id NOT IN (SELECT doc_id FROM dup)
-         ORDER BY doc_id""")),
+      Some(incrementalIngestOracleSql)),
+
+    // ---- q117: the q110 ingest flow SERVED FROM THE PERSISTED INDEX
+    // artifact — corpus signatures and band entries read back from the
+    // parquet the build step wrote, never recomputed from raw text.
+    // This is the artifact lifecycle a 100 TB deployment runs: ONE
+    // index-build job per corpus snapshot ([[buildDedupIndex]],
+    // the fit-once shape of fitIvfQuantizer), then every ingest batch /
+    // dedup query is a columnar scan of the index plus per-row
+    // signatures on the (small) arrival side only. Built per-run here
+    // so the query is self-contained and deterministic; output is
+    // IDENTICAL to q110 (same oracle) — the artifact-read path and the
+    // recompute path must agree bit-for-bit, and DedupIndexSpec also
+    // asserts it frame-to-frame.
+    Q("q117_indexed_ingest",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft_dedup_index").toString
+        buildDedupIndex(docs.filter(col("doc_id") < NeardupArrivalSplit), idx)
+        incrementalIngest(docs, NeardupArrivalSplit,
+          graft.CacheScope.retain(indexSignatures(s, idx)),
+          indexBands(s, idx))
+      },
+      Some(incrementalIngestOracleSql)),
 
     // ---- q112: cross-source duplication matrix — for every unordered
     // source pair, how many verified near-dup pairs (est >= 0.5) span
@@ -703,6 +676,108 @@ object DedupQueries {
   private def agreeSql: String = (0 until NumHashes)
     .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
     .mkString(" + ")
+
+  /** The verify leg of the q110/q117 ingest flow: arrival doc_ids that
+    * near-dup the corpus or the lowest-id arrival of a shared band
+    * bucket. Star contraction on the intra-batch leg (q50's starEdges
+    * shape): groupBy-min combines map-side; a degenerate mega-bucket
+    * hits the join as an AQE-splittable skewed key, not a |bucket|²
+    * blowup. package-private so DedupIndexSpec can pin the policy's
+    * recall contract on crafted signatures.
+    */
+  private[dedup] def ingestDupArrivals(sigArr: DataFrame, arrBands: DataFrame,
+      sigCorp: DataFrame, corpBands: DataFrame): DataFrame = {
+    val candCorp = arrBands
+      .join(corpBands
+          .select(col("doc_id").as("prior_doc"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select(col("doc_id").as("arr_doc"), col("prior_doc"))
+    val bmArr = arrBands.groupBy("band", "bucket")
+      .agg(min("doc_id").as("m"))
+    val candIntra = arrBands.join(bmArr, Seq("band", "bucket"))
+      .filter(col("doc_id") > col("m"))
+      .select(col("doc_id").as("arr_doc"), col("m").as("prior_doc"))
+    val agree = agreeExpr("a", "b")
+    candCorp.unionAll(candIntra).distinct()
+      .join(sigArr.as("a"), col("arr_doc") === col("a.doc_id"))
+      .join(sigArr.unionByName(sigCorp).as("b"),
+        col("prior_doc") === col("b.doc_id"))
+      .filter(agree >= (NumHashes + 1) / 2)
+      .select(col("arr_doc").as("doc_id")).distinct()
+  }
+
+  /** The q110/q117 ingest flow given the corpus-side signature/band
+    * tables — recomputed from text (q110) or read from the persisted
+    * index artifact (q117). Per-row signatures ONLY on the arrival side
+    * (the streaming shape — zero shuffles before the band join).
+    */
+  private def incrementalIngest(docs: DataFrame, split: Long,
+      sigCorp: DataFrame, corpBands: DataFrame): DataFrame = {
+    val sigArr = graft.CacheScope.retain(
+      signaturesPerRow(docs.filter(col("doc_id") >= split)))
+    val arrBands = graft.CacheScope.retain(bandsOf(sigArr))
+    val dupArrivals = ingestDupArrivals(sigArr, arrBands, sigCorp, corpBands)
+    docs.filter(col("doc_id") < split)
+      .select(col("doc_id"), lit("existing").as("status"))
+      .unionAll(docs.filter(col("doc_id") >= split).select("doc_id")
+        .join(dupArrivals, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit("added").as("status")))
+      .orderBy("doc_id")
+  }
+
+  /** Shared DuckDB twin of q110 and q117 (their outputs are identical
+    * by contract: the artifact-read path must agree with recompute).
+    */
+  private lazy val incrementalIngestOracleSql: String =
+    s"""WITH ${sigBandCtes("")},
+         inc AS (SELECT doc_id, band, bucket FROM bands
+                 WHERE doc_id >= $NeardupArrivalSplit),
+         corp AS (SELECT doc_id AS prior_doc, band, bucket FROM bands
+                  WHERE doc_id < $NeardupArrivalSplit),
+         bm AS (SELECT band, bucket, min(doc_id) AS m FROM inc GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT inc.doc_id, corp.prior_doc
+                  FROM inc JOIN corp USING (band, bucket)
+                  UNION
+                  SELECT DISTINCT l.doc_id, bm.m AS prior_doc
+                  FROM inc l JOIN bm USING (band, bucket)
+                  WHERE l.doc_id > bm.m),
+         dup AS (SELECT DISTINCT c.doc_id FROM cand c
+                 JOIN sig a ON c.doc_id = a.doc_id
+                 JOIN sig b ON c.prior_doc = b.doc_id
+                 WHERE $agreeSql >= ${(NumHashes + 1) / 2})
+         SELECT doc_id, 'existing' AS status FROM documents
+         WHERE doc_id < $NeardupArrivalSplit
+         UNION ALL
+         SELECT doc_id, 'added' AS status FROM documents
+         WHERE doc_id >= $NeardupArrivalSplit
+           AND doc_id NOT IN (SELECT doc_id FROM dup)
+         ORDER BY doc_id"""
+
+  /** Artifact lifecycle of the dedup index (the fit-once/serve-many
+    * shape [[graft.similarity.SimilarityQueries.fitIvfQuantizer]]
+    * already has, applied to MinHash): ONE build job writes the
+    * signature and band tables as parquet; every later dedup/ingest
+    * query reads columnar artifacts instead of re-tokenizing and
+    * re-hashing the corpus text. At 100 TB the rebuild is hours of
+    * wasted compute PER QUERY — the index is maintained, not derived.
+    * The reference's only analogue is its flux-function memoization
+    * (vpicdataset.py:371-376); this is the same idea at corpus scale
+    * minus the stale-reuse quirk: the build is an explicit step keyed
+    * by the corpus snapshot, never an implicit cache.
+    */
+  def buildDedupIndex(docs: DataFrame, path: String): Unit = {
+    val sig = graft.CacheScope.retain(minhashSignaturesOf(docs))
+    sig.write.mode("overwrite").parquet(path + "/signatures")
+    bandsOf(sig).write.mode("overwrite").parquet(path + "/bands")
+  }
+
+  /** Read back the persisted signature table (doc_id, h0..h15). */
+  def indexSignatures(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path + "/signatures")
+
+  /** Read back the persisted band table (doc_id, band, bucket). */
+  def indexBands(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path + "/bands")
 
   /** CTE chain computing MinHash signatures (`sig`) and their band
     * buckets (`bands`) — the shared head of every LSH oracle.
