@@ -27,6 +27,33 @@ object FindStructures {
   final case class Result(dataset: SimDataset,
       xCoords: Seq[(Double, Double)], oCoords: Seq[(Double, Double)])
 
+  /** Dedicated EC for the concurrent current-sheet chain: a NAMED
+    * daemon thread so a wedged chain is diagnosable in a stack dump
+    * (and never holds a slot of the global pool that other libraries
+    * share). Cached pool: idle between queries costs nothing.
+    */
+  private lazy val csEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "graft-current-sheets")
+        t.setDaemon(true); t
+      }))
+
+  /** Spark local properties that must follow the chain onto its thread:
+    * job-group cancellation and scheduler-pool assignment are
+    * thread-local, so without this the concurrent jobs would escape
+    * both.
+    */
+  private val PropagatedProps = Seq("spark.jobGroup.id",
+    "spark.job.description", "spark.job.interruptOnCancel",
+    "spark.scheduler.pool")
+
+  /** Upper bound on the current-sheet await: generous enough for any
+    * real plan (the chain is minutes at most), finite so a wedged
+    * chain fails with a diagnostic instead of hanging the query.
+    */
+  private val CsTimeout = scala.concurrent.duration.Duration(1, "hour")
+
   def apply(ds: SimDataset, b1Name: String = "b1", b2Name: String = "b2",
       smoothing: Double = 3.0, timeIdx: Int = 0, deTol: Double = 5.0,
       csLimit: Double = 0.5, jyName: String = "jy"): Result = {
@@ -71,15 +98,20 @@ object FindStructures {
     // cluster scale the two plans' stages interleave across executors.
     // (Concurrent job submission from one SparkSession is a supported
     // Spark pattern; CacheScope registration is a concurrent TrieMap.)
+    val sc = b1.df.sparkSession.sparkContext
+    val callerProps = PropagatedProps.map(k => k -> sc.getLocalProperty(k))
     val csFut = ds.variables.get(jyName).map { jy =>
       scala.concurrent.Future {
+        // local properties are thread-local: re-set the caller's so
+        // job-group cancellation / pool assignment reach these jobs
+        callerProps.foreach { case (k, v) => sc.setLocalProperty(k, v) }
         val jySm = GridOps.gaussianSmooth(
           jy.df.select(col("it"), col("iz"), col("ix"), col("value")),
           "value", smoothing, nz, nx, "jy_smooth")
         Topology.currentSheets(
           jySm.select(col("it"), col("iz"), col("ix"), col("jy_smooth")),
           "jy_smooth", nz, nx, csLimit)
-      }(scala.concurrent.ExecutionContext.global)
+      }(csEc)
     }
 
     // flux function from the SMOOTHED fields (vpicdataset.py:372)
@@ -102,19 +134,26 @@ object FindStructures {
       Topology.contourSegments(hess, "b1_smooth", 0.0),
       Topology.contourSegments(hess, "b2_smooth", 0.0))
 
-    // X/O split by the sign of the interpolated Hessian det (:431-439)
-    val classified = Topology.bilinearSample(hess, "fluxfn_hessian_det",
-        nulls.select(col("it"), col("py"), col("px")), "hdi")
+    // X/O split by the sign of the interpolated Hessian det (:431-439).
+    // The flux level each X point's separatrix contour needs is sampled
+    // in the SAME pass (multi-field bilinear sample) and collected with
+    // the classification — one action instead of two sampling sub-plans,
+    // and the separatrix stage receives its level table as a local
+    // relation instead of re-deriving it distributed.
+    val classified = Topology.bilinearSampleMulti(hess,
+        Seq("fluxfn_hessian_det" -> "hdi", "flux_fn" -> "level"),
+        nulls.select(col("it"), col("py"), col("px")))
       .filter(col("it") === timeIdx)
       .collect()
       .map(r => (r.getAs[Double]("py"), r.getAs[Double]("px"),
-        math.signum(r.getAs[Double]("hdi"))))
+        math.signum(r.getAs[Double]("hdi")), r.getAs[Double]("level")))
     val xCoords = classified.filter(_._3 == -1.0).map(c => (c._1, c._2)).toSeq
     val oCoords = classified.filter(_._3 == 1.0).map(c => (c._1, c._2)).toSeq
 
     // separatrices + O-structures around the X points (:441-479)
     // hess still carries flux_fn (the gradient chain started from `flux`)
-    val seps = Topology.separatrices(hess, "flux_fn", timeIdx, xCoords,
+    val seps = Topology.separatricesWithLevels(hess, "flux_fn", timeIdx,
+      classified.filter(_._3 == -1.0).map(c => (c._1, c._2, c._4)).toSeq,
       nz, nx, dPerDe * deTol)
 
     // current sheets on smoothed jy (hardcoded name, :482; chain built
@@ -122,8 +161,15 @@ object FindStructures {
     // variable still carries its (singleton, squeezed-from-mesh) iy
     // index column, which the n-d window guard rightly rejects as an
     // unlisted dimension — hence the jy.df.select in the Future.
-    val csOpt = csFut.map(f =>
-      scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+    val csOpt = csFut.map { f =>
+      try scala.concurrent.Await.result(f, CsTimeout)
+      catch {
+        case e: java.util.concurrent.TimeoutException =>
+          throw new IllegalStateException(
+            "current-sheet chain did not complete within " + CsTimeout +
+              " — inspect thread 'graft-current-sheets'", e)
+      }
+    }
 
     def asVar(label: String, df: DataFrame, valueCol: String): GridVar =
       GridVar(label, b1.timeAxis, b1.spaceAxes,

@@ -159,7 +159,17 @@ object Topology {
     * of `pts` are preserved.
     */
   def bilinearSample(grid: DataFrame, field: String, pts: DataFrame,
-      out: String): DataFrame = {
+      out: String): DataFrame =
+    bilinearSampleMulti(grid, Seq(field -> out), pts)
+
+  /** Multi-field [[bilinearSample]]: all `fields` sampled in ONE corner
+    * join + aggregation — callers that need several surfaces at the
+    * same points (find_structures samples the Hessian determinant for
+    * X/O classification AND the flux level for the separatrix contour)
+    * pay one pass instead of one per field.
+    */
+  def bilinearSampleMulti(grid: DataFrame, fields: Seq[(String, String)],
+      pts: DataFrame): DataFrame = {
     val corners = pts
       .withColumn("c", explode(array(
         struct(lit(0).as("di"), lit(0).as("dj")),
@@ -173,15 +183,17 @@ object Topology {
           .otherwise(col("py") - floor(col("py")))) *
           (when(col("c.dj") === 0, lit(1) - (col("px") - floor(col("px"))))
             .otherwise(col("px") - floor(col("px")))))
-    val g = grid.select(col("it").as("g_it"), col("iz").as("g_iz"),
-      col("ix").as("g_ix"), col(field).as("g_v"))
+    val g = grid.select(Seq(col("it").as("g_it"), col("iz").as("g_iz"),
+      col("ix").as("g_ix")) ++
+      fields.map { case (f, o) => col(f).as(s"g_$o") }: _*)
     // sample points are few by design (null points / X points — the
     // reference collects them driver-side): broadcast them so the
     // grid-sized probe side never shuffles.
+    val aggs = fields.map { case (_, o) => sum(col("w") * col(s"g_$o")).as(o) }
     broadcast(corners).join(g, col("it") === col("g_it")
         && col("ci") === col("g_iz") && col("cj") === col("g_ix"))
       .groupBy(pts.columns.map(col): _*)
-      .agg(sum(col("w") * col("g_v")).as(out))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** Connected components of `cells` under 4- or 8-adjacency, computed
@@ -673,13 +685,43 @@ object Topology {
     if (xPoints.isEmpty)
       return g0.select("it", "iz", "ix")
         .withColumn("sep", lit(0)).withColumn("ostruct", lit(0))
-
     val xdf = xPoints.zipWithIndex
       .map { case ((py, px), i) => (i, it0, py, px) }
       .toDF("xid", "it", "py", "px")
+    // distributed level sample, then the shared body. Callers that
+    // already hold the levels driver-side (find_structures collects
+    // them with the X/O classification) use the WithLevels variant —
+    // the level table becomes a local relation and this whole sampling
+    // sub-plan (corner join + aggregation + persist) disappears.
     val levels = graft.CacheScope.retain(
       bilinearSample(g0, psiField, xdf, "level"))
+    separatricesBody(g0, psiField, it0, xPoints, nz, nx, tol, levels)
+  }
 
+  /** [[separatrices]] with the psi level at each X point already known
+    * (py, px, level) — no distributed sampling pass.
+    */
+  def separatricesWithLevels(grid: DataFrame, psiField: String, it0: Int,
+      xPointLevels: Seq[(Double, Double, Double)], nz: Int, nx: Int,
+      tol: Double): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    val g0 = grid.filter(col("it") === it0)
+    if (xPointLevels.isEmpty)
+      return g0.select("it", "iz", "ix")
+        .withColumn("sep", lit(0)).withColumn("ostruct", lit(0))
+    val levels = xPointLevels.zipWithIndex
+      .map { case ((py, px, lv), i) => (i, it0, py, px, lv) }
+      .toDF("xid", "it", "py", "px", "level")
+    separatricesBody(g0, psiField, it0,
+      xPointLevels.map(p => (p._1, p._2)), nz, nx, tol, levels)
+  }
+
+  private def separatricesBody(g0: DataFrame, psiField: String, it0: Int,
+      xPoints: Seq[(Double, Double)], nz: Int, nx: Int,
+      tol: Double, levels: DataFrame): DataFrame = {
+    val spark = g0.sparkSession
+    import spark.implicits._
     // retained: the CC solve's eager labeling forces the marching-
     // squares pass; without the persist `pts` would re-run it.
     val segs = graft.CacheScope.retain(contourSegmentsAt(g0, psiField,
