@@ -30,11 +30,13 @@ object Bench {
         val ok = try { fn(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
         (ok, (System.nanoTime() - t0) / 1e9)
-      } finally CacheScope.flush(spark)
+      } finally CacheScope.flush(spark, blocking = true)
       // flush AFTER both runs: run 2 legitimately hits the CacheManager's
       // plan-equality reuse of run 1's scoped persists (steady-state
       // latency of a warm deployment), while the blocks still die with
-      // the query instead of accumulating across the suite.
+      // the query instead of accumulating across the suite. BLOCKING
+      // here (Bench only): the removal must complete before the next
+      // query's clock starts, or its cost lands in that window.
       // min over SUCCESSFUL runs only — a fast failure must not mask a
       // slow success; a query with no successful run reports its max
       // elapsed (visible cost, never a bogus near-zero)

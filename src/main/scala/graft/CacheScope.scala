@@ -29,7 +29,16 @@ object CacheScope {
     df
   }
 
-  /** Unpersist everything retained for `s` since the last flush. */
-  def flush(s: SparkSession): Unit =
-    retained.remove(s).foreach(_.foreach(_.unpersist(blocking = false)))
+  /** Unpersist everything retained for `s` since the last flush.
+    * Non-blocking: production callers must not stall on block removal.
+    */
+  def flush(s: SparkSession): Unit = flush(s, blocking = false)
+
+  /** Blocking variant for measurement harnesses (Bench): waits for the
+    * blocks to actually drop so query N's cache debt is never paid
+    * inside query N+1's timing window — what made in-suite readings
+    * drift up to ~1.6x vs isolated reruns of the same code.
+    */
+  def flush(s: SparkSession, blocking: Boolean): Unit =
+    retained.remove(s).foreach(_.foreach(_.unpersist(blocking)))
 }
