@@ -58,19 +58,105 @@ object ScaleProbe {
         CacheScope.flush(spark)
         println(f"[scale] $name k=$k docs=${5000L * k} rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
-    probe("clusters", Seq(1, 4, 10))(c =>
+    // Dev aid: SPARK_GRAFT_PROBE=g19,knn restricts to matching probes
+    // (substring), mirroring Bench's SPARK_GRAFT_ONLY.
+    val only = sys.env.get("SPARK_GRAFT_PROBE").map(_.split(',').toSeq)
+    def enabled(name: String) = only.forall(_.exists(name.contains))
+    if (enabled("clusters")) probe("clusters", Seq(1, 4, 10))(c =>
       graft.dedup.DedupQueries.dedupClustersStarOf(c).count())
-    probe("dup_ngrams", Seq(1, 4, 10))(c =>
+    if (enabled("dup_ngrams")) probe("dup_ngrams", Seq(1, 4, 10))(c =>
       graft.dedup.DedupQueries.dupNgramStats(c, graft.dedup.DedupQueries.DupW).count())
     // pairwise est graph: k^2 pair growth by construction — k capped
-    probe("minhash_pairs", Seq(1, 4))(c =>
+    if (enabled("minhash_pairs")) probe("minhash_pairs", Seq(1, 4))(c =>
       graft.dedup.DedupQueries.minhashPairsOf(c).count())
 
-    vpicThroughput(spark)
-    streamingNearDupLatency(spark, corpus(10))
-    aqeVsSalting(spark)
-    g19GridSweep(spark)
+    if (enabled("knn")) knnGraphScale(spark)
+    if (enabled("dedup_index")) dedupIndexScale(spark)
+    if (enabled("vpic")) vpicThroughput(spark)
+    if (enabled("neardup_stream")) streamingNearDupLatency(spark, corpus(10))
+    if (enabled("skew_join")) aqeVsSalting(spark)
+    if (enabled("g19")) g19GridSweep(spark)
     spark.stop()
+  }
+
+  /** q116 kNN-graph scaling: replicate the embeddings corpus k-fold.
+    * Plain replication would be the DEGENERATE case (identical twins
+    * all land in one cluster -> pop k·stride -> pair space n·k·stride,
+    * quadratic in k — same lesson as minhash_pairs above), so each
+    * replica circular-shifts the embedding by one position: same value
+    * distribution, but every replica forms its own cluster structure.
+    * Seed density stays 1-in-stride (vec_id offsets are multiples of
+    * the stride), so k_clusters grows with n and expected population
+    * stays ~stride: candidate pairs ≈ n·stride — LINEAR in n by
+    * construction. `pairs` counts the cluster-bounded candidate space
+    * (the cost driver); `edges` the kept top-k rows (≤ n·K trivially).
+    */
+  private def knnGraphScale(spark: SparkSession): Unit = {
+    val base = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .select("vec_id", "embedding")
+    val dim = 64
+    for (k <- Seq(1, 2, 4)) {
+      val emb = (0 until k).map { i =>
+        val sh = i % dim
+        base.select(
+          (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+          (if (sh == 0) col("embedding")
+           else concat(slice(col("embedding"), sh + 1, dim - sh),
+             slice(col("embedding"), 1, sh))).as("embedding"))
+      }.reduce(_ unionAll _)
+      val t0 = System.nanoTime()
+      val (_, half) = graft.similarity.SimilarityQueries
+        .clusterBoundedCosineOf(emb)
+      val halfC = half.persist()
+      val pairs = halfC.count()
+      val edges = graft.similarity.SimilarityQueries.knnGraphOf(emb).count()
+      halfC.unpersist()
+      CacheScope.flush(spark)
+      println(f"[scale] knn_graph k=$k vecs=${5000L * k} pairs=$pairs " +
+        f"edges=$edges time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+  }
+
+  /** Dedup-index artifact economics: on a 10x corpus (50k docs), time
+    * (a) the recompute path — each query rebuilds MinHash signatures
+    * from raw text — vs (b) ONE buildDedupIndex job + queries that scan
+    * the parquet artifact. The per-query delta times the query count is
+    * what a deployment saves; the build cost is paid once per corpus
+    * snapshot. The consumer here is star-contracted clustering (q50's
+    * operator), the heaviest signature consumer in the suite.
+    */
+  private def dedupIndexScale(spark: SparkSession): Unit = {
+    val docs = {
+      val base = Tables.documents(spark, "/root/testdata/sf0.1")
+      (0 until 10).map { i =>
+        base.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+          col("text"))
+      }.reduce(_ unionAll _)
+    }.persist()
+    docs.count()
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scale] dedup_index $label time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    val idx = java.nio.file.Files.createTempDirectory("graft_idx_probe").toString
+    time("build (once per snapshot)")(
+      graft.dedup.DedupQueries.buildDedupIndex(docs, idx))
+    CacheScope.flush(spark)
+    for (q <- 1 to 2) {
+      time(s"query_recompute #$q (sigs from text)")(
+        graft.dedup.DedupQueries.dedupClustersStarOf(docs).count())
+      CacheScope.flush(spark)
+    }
+    for (q <- 1 to 2) {
+      time(s"query_indexed #$q (sigs from artifact)")(
+        graft.dedup.DedupQueries.dedupClustersStarFrom(docs,
+          graft.CacheScope.retain(
+            graft.dedup.DedupQueries.indexSignatures(spark, idx))).count())
+      CacheScope.flush(spark)
+    }
+    docs.unpersist()
   }
 
   /** find_structures grid-size sweep — the measured backing for g19's
