@@ -556,6 +556,42 @@ object SimilarityQueries {
       },
       Some(ivfRecallOracleSql)),
 
+    // ---- q118: q89's IVF recall SERVED FROM THE PERSISTED INDEX —
+    // centroid table and nearest-centroid assignments read back from
+    // the parquet the build step wrote, never recomputed from the
+    // corpus. The ANN-side twin of q117's dedup index: at 100 TB the
+    // IVF index is an artifact built once per corpus snapshot (the
+    // assignment pass is the expensive corpus-sized join) and served
+    // by every probe; a probe pays only (a) its own distance to the
+    // k centroid rows (metadata-scale) and (b) the re-rank over its
+    // candidate lists. Shares q89's oracle verbatim: the artifact-read
+    // path must agree bit-for-bit with the recompute path.
+    Q("q118_indexed_ann",
+      (s, d) => {
+        val f = graft.CacheScope.retain(flat(s, d))
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft_ivf_index").toString
+        buildIvfIndex(f, idx)
+        val cent = s.read.parquet(idx + "/centroids")
+        val assign = s.read.parquet(idx + "/assignments")
+        val probe2 = f.filter(col("vec_id") === 0)
+          .join(broadcast(cent), col("i") === col("ci"))
+          .groupBy("clabel")
+          .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("d2"))
+          .orderBy("d2", "clabel").limit(2)
+          .select(col("clabel").as("lst"))
+        val cand = assign.filter(col("vec_id") =!= 0)
+          .join(broadcast(probe2), "lst").select("vec_id")
+        val exact10 = exactTop10(f)
+        val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+        val hits = exact10.join(cand, Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+        nCand.crossJoin(hits)
+          .select(col("n_candidates"), col("hits"),
+            round(col("hits").cast("double") / 10.0, 4).as("recall_at_10"))
+      },
+      Some(ivfRecallOracleSql)),
+
     // ---- q102: the SEARCH leg of the int8 quantization story (q61
     // stores; this searches): candidates = top-30 by QUANTIZED cosine
     // (integer dot products of the q61-quantized vectors — exact 64-bit
@@ -838,6 +874,31 @@ object SimilarityQueries {
     new org.apache.spark.ml.clustering.KMeans()
       .setK(nClusters).setSeed(seed).setMaxIter(10)
       .fit(emb.filter(col("vec_id") % 5 === 0).select("features"))
+
+  /** Artifact lifecycle of the IVF index (the ANN-side analogue of
+    * [[graft.dedup.DedupQueries.buildDedupIndex]]): ONE build job
+    * writes the centroid table and the nearest-centroid assignment of
+    * every vector as parquet; every later probe reads them instead of
+    * re-running the corpus-sized assignment join. Uses the q89/q80
+    * deterministic per-label-mean quantizer so the artifact path stays
+    * oracle-checkable (the trained-KMeans path keeps
+    * [[fitIvfQuantizer]]'s in-memory model).
+    *
+    * `f` is the flat (vec_id, label, i, v) view of the embeddings.
+    */
+  def buildIvfIndex(f: DataFrame, path: String): Unit = {
+    val cent = graft.CacheScope.retain(
+      f.groupBy("label", "i").agg(avg("v").as("c"))
+        .select(col("label").as("clabel"), col("i").as("ci"), col("c")))
+    cent.write.mode("overwrite").parquet(path + "/centroids")
+    f.join(broadcast(cent), col("i") === col("ci"))
+      .groupBy("vec_id", "clabel")
+      .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("d2"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("clabel"))).as("m"))
+      .select(col("vec_id"), col("m.clabel").as("lst"))
+      .write.mode("overwrite").parquet(path + "/assignments")
+  }
 
   private def embWithFeatures(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
