@@ -752,23 +752,66 @@ object Topology {
         yield (i, py.toInt + di, px.toInt + dj)
     }.filter { case (_, a, b) => a >= 0 && a < nz && b >= 0 && b < nx }
       .toDF("xid", "iz", "ix")
-    val localMask = raster.unionAll(xpix).distinct()
-      .withColumn("it", lit(it0)).withColumn("m", lit(1))
-    // full grid per xid + gap_fill, keyed by xid
-    val xids = xPoints.indices.toDF("xid")
-    val full = g0.select("it", "iz", "ix").crossJoin(broadcast(xids))
+    val localMask = graft.CacheScope.retain(raster.unionAll(xpix).distinct()
+      .withColumn("it", lit(it0)).withColumn("m", lit(1)))
+    // SUPPORT-BOUNDED per-xid cell set instead of full-grid × xids:
+    // gap_fill can only set cells within one step of a mask cell, and a
+    // zero region that avoids the image border must be ENCLOSED by mask
+    // cells — so everything downstream is decided inside the mask's
+    // bounding box + 1. Cells are GENERATED from the per-xid bbox
+    // (sequence × sequence — never a crossJoin against the grid), so
+    // the sep/O-structure stage costs Σ_xid bbox_area, not
+    // cells × xpoints: at a billion-cell plane with thousands of X
+    // points the full-grid variant is quadratic in domain size while
+    // this tracks the structures' actual extent. Cells OUTSIDE a
+    // bbox+1 are zero in the full-grid solve and provably connect to
+    // the image border (walk straight away from the box), so the
+    // border-touch test below treats the bbox edge as border —
+    // identical output by construction. gap_fill's toroidal wraparound
+    // (np.roll) is honored by widening any axis whose mask touches its
+    // edge to the full range.
+    val bbox = localMask.groupBy("xid").agg(
+      min("iz").as("mz0"), max("iz").as("mz1"),
+      min("ix").as("mx0"), max("ix").as("mx1"))
+      .select(col("xid"),
+        when(col("mz0") === 0 || col("mz1") === nz - 1, lit(0))
+          .otherwise(col("mz0") - 1).as("z0"),
+        when(col("mz0") === 0 || col("mz1") === nz - 1, lit(nz - 1))
+          .otherwise(col("mz1") + 1).as("z1"),
+        when(col("mx0") === 0 || col("mx1") === nx - 1, lit(0))
+          .otherwise(col("mx0") - 1).as("x0"),
+        when(col("mx0") === 0 || col("mx1") === nx - 1, lit(nx - 1))
+          .otherwise(col("mx1") + 1).as("x1"))
+    val full = bbox
+      .select(col("xid"), explode(sequence(col("z0"), col("z1"))).as("iz"),
+        col("x0"), col("x1"), col("z0"), col("z1"))
+      .select(col("xid"), col("iz"),
+        explode(sequence(col("x0"), col("x1"))).as("ix"),
+        col("z0"), col("z1"), col("x0"), col("x1"))
+      .withColumn("it", lit(it0))
       .join(localMask, Seq("xid", "it", "iz", "ix"), "left")
       .withColumn("m", coalesce(col("m"), lit(0)))
-    val filled = graft.CacheScope.retain(GridOps.gapFill(full, "m", nz, nx,
+    val filled = graft.CacheScope.retain(GridOps.gapFill(
+      full.select("xid", "it", "iz", "ix", "m"), "m", nz, nx,
       "filled", keys = Seq("xid", "it")))
 
     val seps = filled.groupBy("it", "iz", "ix").agg(max("filled").as("sep"))
-    // O-structures: zero regions per xid that touch no border
-    val zeros = filled.filter(col("filled") === 0)
-      .select("xid", "it", "iz", "ix")
-    val zcomp = connectedComponents(zeros, nx, keys = Seq("xid", "it"))
+    // O-structures: zero regions per xid that touch no border. `filled`
+    // carries a 1-cell scatter ring beyond the bbox (gap_fill's
+    // neighbor targets) — on-or-beyond-bbox-edge cells count as
+    // border-touching, which subsumes the ring.
+    val zeros = filled.join(broadcast(bbox), Seq("xid"))
+      .withColumn("touch_edge",
+        col("iz") <= col("z0") || col("iz") >= col("z1")
+          || col("ix") <= col("x0") || col("ix") >= col("x1"))
+      .filter(col("filled") === 0)
+      .select("xid", "it", "iz", "ix", "touch_edge")
+    val zcomp = connectedComponents(
+      zeros.select("xid", "it", "iz", "ix"), nx, keys = Seq("xid", "it"))
+      .join(zeros, Seq("xid", "it", "iz", "ix"))
     val interior = zcomp.groupBy("xid", "comp")
-      .agg(max(col("iz") === 0 || col("iz") === nz - 1 ||
+      .agg(max(col("touch_edge") ||
+        col("iz") === 0 || col("iz") === nz - 1 ||
         col("ix") === 0 || col("ix") === nx - 1).as("touches"))
       .filter(!col("touches")).select("xid", "comp")
     val ostr = zcomp.join(broadcast(interior), Seq("xid", "comp"))
