@@ -24,19 +24,30 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects unless `spark.sql.legacy.parquet.nanosAsLong` is on (set in
-    * GraftSession / Verify / Bench). We truncate nanos -> micros exactly like
-    * DuckDB's `epoch_ns(ts)//1000`, so oracle comparisons see identical
-    * microsecond timestamps. Column `ts` is TIMESTAMP_NTZ (UTC wall clock).
+  /** events.parquet has shipped with two physical `ts` layouts across
+    * driver data generations: TIMESTAMP(NANOS) — which Spark's parquet
+    * reader rejects unless `spark.sql.legacy.parquet.nanosAsLong` is on
+    * (set in GraftSession / Verify / Bench), surfacing the column as a
+    * nanosecond BIGINT we truncate to micros — and native TIMESTAMP(MICROS),
+    * which needs only the NTZ cast. Branching on the OBSERVED schema keeps
+    * the loader correct against either generation; both paths yield the
+    * same microsecond TIMESTAMP_NTZ (UTC wall clock) the oracles see via
+    * `epoch_ns(ts)//1000` (an identity on micro-precision values).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
   }
 
-  /** DuckDB CTE mirroring the events loader (nanos -> micros truncation).
+  /** DuckDB CTE mirroring the events loader (nanos -> micros truncation;
+    * identity when the file is already micro-precision).
     * Prefixed to every oracle that touches events.
     */
   val evCte: String =

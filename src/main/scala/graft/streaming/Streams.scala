@@ -20,12 +20,13 @@ object Streams {
   /** File-based streaming read of the events table (real deployments
     * would point this at an arriving-file directory or Kafka).
     *
-    * The raw parquet stores ts as TIMESTAMP(NANOS), surfaced as LongType
-    * under `nanosAsLong` — so the stream is declared with the RAW file
-    * schema (ts: long) and the same nanos -> micros conversion as
-    * Tables.events is applied on top. The result stays TIMESTAMP (ltz):
-    * event-time watermarks reject TIMESTAMP_NTZ, and the session runs
-    * UTC so the wall clock is identical.
+    * The raw parquet has shipped ts as either TIMESTAMP(NANOS) —
+    * surfaced as LongType under `nanosAsLong`, converted nanos -> micros
+    * like Tables.events — or native TIMESTAMP(MICROS) (read as NTZ). The
+    * stream is declared with the RAW file schema and the conversion is
+    * picked from the OBSERVED ts type. Either way the result is
+    * TIMESTAMP (ltz): event-time watermarks reject TIMESTAMP_NTZ, and
+    * the session runs UTC so the wall clock is identical.
     *
     * SIDE EFFECT (deliberate, cannot be scoped): sets
     * `spark.sql.legacy.parquet.nanosAsLong=true` on the session. The
@@ -40,9 +41,14 @@ object Streams {
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
     // events.parquet is a single file; the file stream source requires a
     // directory or glob, so match the file with a glob pattern.
-    spark.readStream.schema(rawSchema)
+    val stream = spark.readStream.schema(rawSchema)
       .parquet(s"$dir/{events.parquet}")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    rawSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        stream.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Tumbling 1-hour event-time counts with a 2-hour watermark: late rows
