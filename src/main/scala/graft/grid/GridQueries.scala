@@ -523,6 +523,59 @@ object GridQueries {
                   min(ix) AS x_lo, max(ix) AS x_hi,
                   round(sum(b1), 4) AS sum_b1
            FROM grid GROUP BY 1, 2 ORDER BY it, tile"""
+      }),
+
+    // ---- g20: spacetime slice along a MOVING measure point — the
+    // spacecraft-path sampler the reference names as a TODO
+    // (statmeshvar.py:8-10) and reserves DynMeshVar for
+    // (dynmeshvar.py:9-35; constructor raises). A probe flies a
+    // deterministic path (position is exact integer phase arithmetic
+    // times one double constant, so both engines compute bit-identical
+    // doubles) and LineSlice.pathSlice bilinearly samples b1 at the
+    // probe's position at the probe's own time: distributed searchsorted
+    // bracketing + a time-dependent corner equi-join. The oracle
+    // replays the identical bracket (count of axis knots <= p) and
+    // corner-weight arithmetic in SQL.
+    Q("g20_spacecraft_path",
+      (s, d) => {
+        val g = grid(s, d).withColumn("value", col("b1"))
+        val v = GridVar("b1", Array.emptyDoubleArray,
+          Seq(("iz", lineAxes), ("ix", lineAxes)), g)
+        val path = g.select(col("it")).distinct()
+          .withColumn("z", lit(0.3) + (col("it") % 20) * lit(0.36))
+          .withColumn("x", lit(0.2) + ((col("it") * 7) % 20) * lit(0.35))
+        LineSlice.pathSlice(v, path).df
+          .select(col("it"), round(col("z"), 6).as("z"),
+            round(col("x"), 6).as("x"), round(col("value"), 6).as("value"))
+          .orderBy("it")
+      },
+      Some {
+        val axisVals = lineAxes.map(a => s"($a)").mkString(", ")
+        s"""WITH $gridCte,
+           times AS (SELECT DISTINCT it FROM grid),
+           path AS (SELECT it, 0.3 + (it % 20) * 0.36 AS z,
+                           0.2 + ((it * 7) % 20) * 0.35 AS x
+                    FROM times),
+           axis(a) AS (VALUES $axisVals),
+           ax AS (SELECT list(a ORDER BY a) AS l FROM axis),
+           br AS (SELECT p.it, p.z, p.x,
+             least(greatest(CAST((SELECT count(*) FROM axis WHERE a <= p.z) AS INT) - 1, 0), ${NZ - 2}) AS zi0,
+             least(greatest(CAST((SELECT count(*) FROM axis WHERE a <= p.x) AS INT) - 1, 0), ${NX - 2}) AS xi0
+             FROM path p),
+           brf AS (SELECT br.*,
+             (z - l[zi0 + 1]) / (l[zi0 + 2] - l[zi0 + 1]) AS zf,
+             (x - l[xi0 + 1]) / (l[xi0 + 2] - l[xi0 + 1]) AS xf
+             FROM br CROSS JOIN ax),
+           corners(dz, dx) AS (VALUES (0, 0), (0, 1), (1, 0), (1, 1)),
+           w AS (SELECT it, z, x, zi0 + dz AS ci, xi0 + dx AS cj,
+             (CASE WHEN dz = 0 THEN 1 - zf ELSE zf END) *
+             (CASE WHEN dx = 0 THEN 1 - xf ELSE xf END) AS w
+             FROM brf CROSS JOIN corners)
+           SELECT w.it, round(w.z, 6) AS z, round(w.x, 6) AS x,
+                  round(sum(w.w * g.b1), 6) AS value
+           FROM w JOIN grid g
+             ON g.it = w.it AND g.iz = w.ci AND g.ix = w.cj
+           GROUP BY w.it, w.z, w.x ORDER BY w.it"""
       })
   )
 

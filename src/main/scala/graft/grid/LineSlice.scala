@@ -1,6 +1,6 @@
 package graft.grid
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -138,5 +138,96 @@ object LineSlice {
       .agg(sum(col("w") * col("value")).as("value"))
 
     GridVar(v.label, v.timeAxis, Seq(("i0", sParams)), sliced)
+  }
+
+  /** Spacetime slice along a MOVING measure point — the spacecraft-path
+    * sampler the reference names as a TODO (statmeshvar.py:8-10) and
+    * reserves `DynMeshVar` for (dynmeshvar.py:9-35, constructor raises).
+    * Given a static-mesh variable and a probe `path` — one row per
+    * sample with a time index `it` plus one PHYSICAL coordinate column
+    * per spatial dim (named like the variable's coordinate columns, e.g.
+    * z, x) — interpolate the field at the probe's position AT THE
+    * PROBE'S OWN TIME. Unlike [[slice]], whose sampling geometry is a
+    * driver-side constant, here the sample positions are DATA (the path
+    * may be a billion-row trajectory), so bracketing runs distributed:
+    *
+    *  - per-dim bracket index/fraction against the BROADCAST tiny axis
+    *    arrays, as codegen'd higher-order-function arithmetic
+    *    (`size(filter(axis <= p))` = searchsorted — identical semantics
+    *    to [[sampleCorners]]' binary-search bracket, incl. clamping to
+    *    the edge bracket, i.e. linear extrapolation out of bounds);
+    *  - 2^ndim corner explosion ('linear') or the single rounded corner
+    *    ('nearest'), zero-weight corners dropped like sampleCorners;
+    *  - ONE equi-join on (it, grid indices) + groupBy — time-dependent
+    *    by construction, so each path row meets only its own timestep's
+    *    cells. At scale both sides shuffle hash-partitioned on the join
+    *    key (AQE broadcasts whichever side is small); nothing is ever
+    *    driver-side materialized.
+    *
+    * Returns a [[DynVar]] with the path's columns plus the sampled
+    * `value` — a moving-measure-point variable, closing the reference's
+    * StatMeshVar -> (spacetime slice) -> DynMeshVar arc.
+    */
+  def pathSlice(v: GridVar, path: DataFrame,
+      interp: String = "linear"): DynVar = {
+    require(interp == "linear" || interp == "nearest",
+      s"Specified interpolation type $interp is not currently implemented")
+    require(v.spaceAxes.forall(_._2.length > 1),
+      "This interpolation method cannot handle degenerate dimensions")
+    val ndim = v.spaceAxes.length
+    val pathCols = path.columns.toSeq
+
+    // per-dim bracket: insertion point via count(axis <= p), then the
+    // clamped lower index + linear fraction (exactly sampleCorners'
+    // bracket: on-knot hits give f=0, last-knot gives f=1, out-of-range
+    // clamps to the edge bracket with f outside [0,1] = extrapolation)
+    var df = path
+    v.spaceAxes.foreach { case (idx, axis) =>
+      val p = col(v.coordCol(idx))
+      val axisLit = typedLit(axis.toSeq)
+      val ins = size(filter(axisLit, a => a <= p))
+      df = df
+        .withColumn(s"__i0_$idx",
+          least(greatest(ins - 1, lit(0)), lit(axis.length - 2)))
+        .withColumn(s"__f_$idx",
+          (p - element_at(axisLit, col(s"__i0_$idx") + 1)) /
+            (element_at(axisLit, col(s"__i0_$idx") + 2) -
+              element_at(axisLit, col(s"__i0_$idx") + 1)))
+    }
+
+    val cornered =
+      if (interp == "nearest") {
+        v.spaceAxes.foldLeft(df) { case (d, (idx, _)) =>
+          d.withColumn(s"__c_$idx",
+            when(col(s"__f_$idx") > 0.5, col(s"__i0_$idx") + 1)
+              .otherwise(col(s"__i0_$idx")))
+        }.withColumn("__w", lit(1.0))
+      } else {
+        // 2^ndim corners; weight = product of per-dim linear weights in
+        // axis order (matches sampleCorners' accumulation order bit-for-bit)
+        val cornerStructs = array((0 until (1 << ndim)).map { m =>
+          struct((0 until ndim).map(dim =>
+            lit(((m >> dim) & 1) == 1).as(s"h$dim")): _*)
+        }: _*)
+        var d = df.withColumn("__c", explode(cornerStructs))
+        var w: Column = lit(1.0)
+        v.spaceAxes.zipWithIndex.foreach { case ((idx, _), dim) =>
+          val hi = col(s"__c.h$dim")
+          d = d.withColumn(s"__c_$idx",
+            when(hi, col(s"__i0_$idx") + 1).otherwise(col(s"__i0_$idx")))
+          w = w * when(hi, col(s"__f_$idx")).otherwise(lit(1.0) - col(s"__f_$idx"))
+        }
+        d.withColumn("__w", w).filter(col("__w") =!= 0.0)
+      }
+
+    val idxCols = v.spaceAxes.map(_._1)
+    val gdf = v.df.select(
+      (("it" +: idxCols).map(c => col(c).as(s"__g_$c")) :+ col("value")): _*)
+    val joinCond = (col("it") === col("__g_it")) +: idxCols.map(c =>
+      col(s"__c_$c") === col(s"__g_$c"))
+    val joined = cornered.join(gdf, joinCond.reduce(_ && _))
+    val out = joined.groupBy(pathCols.map(col): _*)
+      .agg(sum(col("__w") * col("value")).as("value"))
+    DynVar(v.label, out)
   }
 }

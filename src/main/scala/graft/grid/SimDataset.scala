@@ -30,6 +30,19 @@ final case class GridVar(
       spaceAxes.map { case (_, a) => (a.min, a.max) }
 }
 
+/** A moving-measure-point variable — the reference's `DynMeshVar`
+  * surface (spacecraft-like data: constructor raises,
+  * /root/reference/src/variables/dynmeshvar.py:26; slice methods are
+  * `pass`, dynmeshvar.py:28-35). In long format the "dynamic mesh" needs
+  * no separate machinery: coordinates are ordinary columns that vary
+  * with `it`, so `df` is rows (it, t, <coords>..., value) and the SAME
+  * timeslice/zoom operators apply unchanged — they filter on coordinate
+  * columns, not on a static mesh table (DynMeshSpec). There are no
+  * driver-side axes: the mesh IS the data, which is exactly why the
+  * reference's array-shaped model couldn't express it.
+  */
+final case class DynVar(label: String, df: DataFrame)
+
 /** Dataset of named grid variables + open params map — the reference
   * Dataset (dataset.py:8). Pure/immutable: every transform returns a new
   * SimDataset (the reference's ndslice contract; its find_structures
@@ -133,6 +146,16 @@ final case class SimDataset(
     }
     copy(params = withParams, variables = newVars)
   }
+
+  /** Spacetime slice of a static-mesh variable along a moving probe
+    * path — the feature the reference's StatMeshVar TODO names
+    * ("a spacetime-slice which is e.g. a spacecraft path",
+    * statmeshvar.py:8-10) and DynMeshVar exists to hold. Returns the
+    * sampled [[DynVar]]; see [[LineSlice.pathSlice]] for semantics.
+    */
+  def pathSlice(varName: String, path: DataFrame,
+      interp: String = "linear"): DynVar =
+    LineSlice.pathSlice(variables(varName), path, interp)
 
   /** Export: parquet per variable + JSON sidecar for params/axes — the
     * declared-but-unimplemented reference surface (dataset.py:183-193

@@ -38,4 +38,77 @@ class DynMeshSpec extends AnyFunSuite {
       Seq(("x", 4.0, 8.0)))
     assert(out.select("it").as[Int].collect().sorted.toSeq == Seq(4, 5, 6, 7, 8))
   }
+
+  // ---- pathSlice: the spacecraft-path spacetime sampler producing a
+  // DynVar (reference statmeshvar.py:8-10 TODO / dynmeshvar.py stub).
+  // Field value = 2z + 3x + it is affine per timestep, so BILINEAR
+  // interpolation reproduces it exactly at ANY probe position — each
+  // sample checks the full bracket/weight/join pipeline, not a table of
+  // expected constants.
+
+  private val axes: Array[Double] = Array(0.0, 0.5, 1.0, 1.5)
+  private lazy val field: GridVar = {
+    val df = (for (it <- 0 until 3; iz <- 0 until 4; ix <- 0 until 4)
+      yield (it, iz, ix, iz * 0.5, ix * 0.5, 2 * (iz * 0.5) + 3 * (ix * 0.5) + it))
+      .toDF("it", "iz", "ix", "z", "x", "value")
+    GridVar("b", Array(0.0, 1.0, 2.0), Seq(("iz", axes), ("ix", axes)), df)
+  }
+  private def expected(it: Int, z: Double, x: Double): Double = 2 * z + 3 * x + it
+
+  test("pathSlice samples the field at the probe's position at its own time") {
+    val path = Seq((0, 0.3, 0.85), (1, 1.25, 0.1), (2, 0.6, 1.45))
+      .toDF("it", "z", "x")
+    val out = LineSlice.pathSlice(field, path).df
+      .select("it", "z", "x", "value").as[(Int, Double, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(out.length == 3)
+    out.foreach { case (it, z, x, v) =>
+      assert(math.abs(v - expected(it, z, x)) < 1e-9,
+        s"it=$it z=$z x=$x: got $v want ${expected(it, z, x)}")
+    }
+  }
+
+  test("pathSlice on-knot positions and edge clamping (extrapolation) are exact") {
+    // on-knot: f=0 path; past-the-edge: clamps to the last bracket, and
+    // linear extrapolation of an affine field is still exact
+    val path = Seq((0, 1.0, 0.5), (1, 1.9, 0.2), (2, 0.4, -0.2))
+      .toDF("it", "z", "x")
+    val out = LineSlice.pathSlice(field, path).df
+      .select("it", "z", "x", "value").as[(Int, Double, Double, Double)]
+      .collect()
+    out.foreach { case (it, z, x, v) =>
+      assert(math.abs(v - expected(it, z, x)) < 1e-9,
+        s"it=$it z=$z x=$x: got $v want ${expected(it, z, x)}")
+    }
+  }
+
+  test("pathSlice nearest mode picks the closest knot's value") {
+    val path = Seq((1, 0.6, 1.3)).toDF("it", "z", "x") // nearest knot (0.5, 1.5)
+    val out = LineSlice.pathSlice(field, path, "nearest").df
+      .select("value").as[Double].collect()
+    assert(out.toSeq == Seq(expected(1, 0.5, 1.5)))
+  }
+
+  test("pathSlice output is a DynVar the moving-mesh slicers compose over") {
+    val path = (0 until 3).map(it => (it, it.toDouble, 0.25 * it, 0.5 * it))
+      .toDF("it", "t", "z", "x")
+    val dv = LineSlice.pathSlice(field, path)
+    // timeslice/zoom operate on coordinate COLUMNS, so they apply to the
+    // sampled trajectory unchanged — the DynMeshVar contract
+    val sliced = GridOps.timeslice(dv.df, "t", 1.0, 2.0)
+    assert(sliced.select("it").as[Int].collect().sorted.toSeq == Seq(1, 2))
+    val zoomed = GridOps.zoom(dv.df, Seq(("z", 0.2, 0.6)))
+    assert(zoomed.select("it").as[Int].collect().sorted.toSeq == Seq(1, 2))
+  }
+
+  test("pathSlice rejects unknown interpolation and degenerate axes") {
+    val path = Seq((0, 0.5, 0.5)).toDF("it", "z", "x")
+    intercept[IllegalArgumentException] {
+      LineSlice.pathSlice(field, path, "cubic")
+    }
+    intercept[IllegalArgumentException] {
+      LineSlice.pathSlice(
+        field.copy(spaceAxes = Seq(("iz", Array(0.0)), ("ix", axes))), path)
+    }
+  }
 }
