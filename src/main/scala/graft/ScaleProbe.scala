@@ -76,7 +76,98 @@ object ScaleProbe {
     if (enabled("neardup_stream")) streamingNearDupLatency(spark, corpus(10))
     if (enabled("skew_join")) aqeVsSalting(spark)
     if (enabled("g19")) g19GridSweep(spark)
+    if (enabled("jobaudit")) g19JobAudit(spark)
     spark.stop()
+  }
+
+  /** Where do find_structures' ~65 scheduled jobs COME from? One n=48
+    * island-lattice run with a listener that histograms job call sites
+    * — the targeting data for any job-count reduction (the wall at toy
+    * scale is per-job quanta, so the biggest bucket is the lever).
+    *
+    * Measured (n=48, 25 X pts, local[32]): 65 jobs total. 47 are AQE
+    * query-stage materializations (every exchange runs as its own job
+    * under AQE), grouped by root action: 13 under one keyed-CC solve's
+    * execution (the separatrix leg: mask raster + bbox + keyed gap_fill
+    * + zeros), 8 under the X/O classify collect (smooth/flux/gradient/
+    * contour/null spine), 8 under another CC solve, the rest spread over
+    * the current-sheet chain and output counts. The non-AQE residue: 6
+    * CC tile-pass rdd jobs, 4 CC localCheckpoints, the 1 classify
+    * collect (6 jobs incl. its same-thread broadcast builds). Levers
+    * already pulled: single-tile CC fast path, sign-keyed sheets, fused
+    * smoothing, one-pass classify+levels. What remains is one job per
+    * exchange — cutting it means cutting exchanges, and the surviving
+    * ones each carry real data movement (gap_fill is one exchange,
+    * minmax two, CC two + checkpoint). At toy scale this floor is the
+    * wall; at cluster scale the same 65 quanta amortize over
+    * arbitrarily large stages (the sweep above shows the data term is
+    * flat), so the floor is a LOCAL artifact, not a scale risk.
+    */
+  private def g19JobAudit(spark: SparkSession): Unit = {
+    import graft.grid.{FindStructures, GridVar, SimDataset}
+    val sites = new java.util.concurrent.ConcurrentHashMap[String, Integer]
+    val durs = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+    val started =
+      new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]
+    val execSite = new java.util.concurrent.ConcurrentHashMap[String, String]
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          // AQE query-stage jobs carry the AQE pool's lambda as their
+          // stage name, but SHARE the root action's SQL execution id —
+          // key the histogram on (execId, root site): the root site is
+          // whichever job of the execution has a real call-site name
+          val infos = j.stageInfos.sortBy(_.stageId)
+          val raw = infos.lastOption.map(_.name).getOrElse("unknown")
+          val execId = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+            .getOrElse("-")
+          val site =
+            if (raw.contains("CompletableFuture")) s"exec=$execId (aqe stage)"
+            else { execSite.putIfAbsent(execId, raw); raw }
+          sites.merge(site, 1, (a, b) => a + b)
+          started.put(j.jobId, (site, j.time))
+        }
+        override def onJobEnd(
+            j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          Option(started.remove(j.jobId)).foreach { case (site, t0) =>
+            durs.merge(site, j.time - t0, (a, b) => a + b)
+          }
+      })
+    val n = 48
+    val k = 2 * math.Pi / 16
+    val ph = 0.3
+    val g0 = spark.range(n.toLong * n).select(lit(0).as("it"),
+        (col("id") / n).cast("int").as("iz"),
+        (col("id") % n).cast("int").as("ix"), lit(0.0).as("t"))
+      .withColumn("b1",
+        lit(k) * cos(lit(k) * (col("iz") + ph)) * sin(lit(k) * (col("ix") + ph)))
+      .withColumn("b2",
+        lit(k) * sin(lit(k) * (col("iz") + ph)) * cos(lit(k) * (col("ix") + ph)))
+    val axes = (0 until n).map(_ * 0.5).toArray
+    def v(label: String, c: org.apache.spark.sql.Column) =
+      GridVar(label, Array(0.0), Seq(("iz", axes), ("ix", axes)),
+        g0.select(col("it"), col("iz"), col("ix"), col("t"), c.as("value")))
+    val ds = SimDataset(Map.empty, Map("b1" -> v("b1", col("b1")),
+      "b2" -> v("b2", col("b2")), "jy" -> v("jy", col("b2"))))
+    val res = FindStructures(ds, smoothing = 1.0, deTol = 5.0)
+    res.dataset.variables("separatrices").df.filter(col("value") > 0).count()
+    res.dataset.variables("current_sheets").df.filter(col("value") =!= 0).count()
+    CacheScope.flush(spark)
+    import scala.jdk.CollectionConverters._
+    val total = sites.asScala.values.map(_.intValue).sum
+    val tTotal = durs.asScala.values.map(_.longValue).sum
+    println(s"[scale] g19_jobaudit total=$total jobms=$tTotal")
+    sites.asScala.toSeq.sortBy(-_._2.intValue).foreach { case (s, c) =>
+      val ms = Option(durs.get(s)).map(_.longValue).getOrElse(0L)
+      // resolve "exec=N (aqe stage)" buckets to the execution's root site
+      val label = if (s.startsWith("exec=")) {
+        val id = s.stripPrefix("exec=").takeWhile(_ != ' ')
+        s + Option(execSite.get(id)).map(r => s" root: $r").getOrElse("")
+      } else s
+      println(f"[scale]   $c%3d  ${ms}%6d ms  $label")
+    }
   }
 
   /** q116 kNN-graph scaling: replicate the embeddings corpus k-fold.
@@ -167,17 +258,20 @@ object ScaleProbe {
     * structure count grows with AREA (more X points, more keyed-CC
     * groups) while the plan — and the job count — stays the same shape.
     *
-    * Measured on local[32]:
+    * Measured on local[32] (round 7):
     *   n=24   (576 cells,   4 X pts)  jobs=65  14.6 s
     *   n=48  (2304 cells,  25 X pts)  jobs=65  14.2 s
     *   n=96  (9216 cells, 121 X pts)  jobs=65  25.4 s
-    * Job count EXACTLY constant; 16x the cells (and 30x the X points,
-    * each a keyed group in the separatrix fills) costs 1.7x wall — the
-    * extra time is honest data growth in the per-X-point stages, while
-    * the scheduling-quanta floor dominates both smaller sizes. The
+    * Round 8, after the support-bounded separatrix cell generation
+    * (sep/O-structure work tracks Σ bbox area instead of cells×xpoints):
+    *   n=24  jobs=65  17.4 s   n=48  jobs=65  12.9 s   n=96  jobs=65  14.9 s
+    * — the n=96 data term collapsed (25.4 -> 14.9 s, now ~flat in grid
+    * size); job count is still exactly constant. Job count EXACTLY
+    * constant; the scheduling-quanta floor dominates every size. The
     * smooth island jy never exceeds its mean±3σ threshold, so the
     * current-sheet legs run on empty masks (cs=0) — the chain's fixed
-    * cost is still in every number.
+    * cost is still in every number. See [[g19JobAudit]] for where the
+    * 65 jobs come from.
     */
   private def g19GridSweep(spark: SparkSession): Unit = {
     import graft.grid.{FindStructures, GridVar, SimDataset}

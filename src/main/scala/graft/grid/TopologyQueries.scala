@@ -335,9 +335,11 @@ object TopologyQueries {
     // ordered. The DuckDB twin recomputes all nine stages in SQL.
     //
     // Bench note: ~10 s at any SF, and ~all of it is per-job FIXED
-    // overhead — the pipeline is ~50 Spark jobs (CC solves, broadcast
-    // exchanges, the eager X-point collect the reference's API shape
-    // requires). Profile's stage accounting splits it: summed in-stage
+    // overhead — the pipeline is 65 Spark jobs (measured, see
+    // ScaleProbe.g19JobAudit: 47 AQE query-stage materializations —
+    // one per exchange — plus CC tile passes/checkpoints and the eager
+    // X-point collect the reference's API shape requires). Profile's
+    // stage accounting splits it: summed in-stage
     // execution is ~25% of wall (e.g. separatrices 7.0 s wall / 2.3 s
     // stage); the rest is driver-side planning + AQE + codegen +
     // scheduling per job — invariant in grid size, so a billion-cell
