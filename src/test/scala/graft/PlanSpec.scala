@@ -201,4 +201,21 @@ class PlanSpec extends AnyFunSuite {
         s"profile scan reads more than its own column: $rs")
     }
   }
+
+  test("g20 path slice is one equi-join; the bracket math stays codegen'd") {
+    val p = plan("g20_spacecraft_path")
+    // the time-dependent corner resolution must plan as a hash equi-join
+    // on (it, corner indices) — never a cartesian (a path of a billion
+    // rows times a grid would be fatal). The one BroadcastNestedLoopJoin
+    // in the tree is the cached grid FIXTURE's one-row scalar crossJoin
+    // (broadcast nCells), not the path join.
+    assert(!p.contains("CartesianProduct"),
+      "path-to-grid corner resolution must be an equi-join")
+    assert(p.contains("HashJoin"), "expected a hash equi-join")
+    // distributed searchsorted bracketing is HOF/arithmetic only — no
+    // Scala UDF black box breaking whole-stage codegen
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "bracketing must be expression-level, not a UDF")
+    assert(p.contains("*(") , "no whole-stage-codegen span in path slice")
+  }
 }

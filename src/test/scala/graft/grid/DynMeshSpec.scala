@@ -101,6 +101,28 @@ class DynMeshSpec extends AnyFunSuite {
     assert(zoomed.select("it").as[Int].collect().sorted.toSeq == Seq(1, 2))
   }
 
+  test("pathSlice is dimension-generic: trilinear through a 3-D volume") {
+    // 8 corners per sample; affine field keeps the oracle closed-form
+    val df3 = (for (it <- 0 until 2; iz <- 0 until 3; iy <- 0 until 3;
+        ix <- 0 until 3)
+      yield (it, iz, iy, ix,
+        2 * (iz * 0.5) + 5 * (iy * 0.5) + 3 * (ix * 0.5) + it))
+      .toDF("it", "iz", "iy", "ix", "value")
+    val ax3 = Array(0.0, 0.5, 1.0)
+    val v3 = GridVar("b", Array(0.0, 1.0),
+      Seq(("iz", ax3), ("iy", ax3), ("ix", ax3)), df3)
+    val path = Seq((0, 0.3, 0.7, 0.9), (1, 0.8, 0.2, 0.45))
+      .toDF("it", "z", "y", "x")
+    val out = LineSlice.pathSlice(v3, path).df
+      .select("it", "z", "y", "x", "value")
+      .as[(Int, Double, Double, Double, Double)].collect()
+    assert(out.length == 2)
+    out.foreach { case (it, z, y, x, v) =>
+      val want = 2 * z + 5 * y + 3 * x + it
+      assert(math.abs(v - want) < 1e-9, s"it=$it: got $v want $want")
+    }
+  }
+
   test("pathSlice rejects unknown interpolation and degenerate axes") {
     val path = Seq((0, 0.5, 0.5)).toDF("it", "z", "x")
     intercept[IllegalArgumentException] {
