@@ -50,13 +50,25 @@ final case class DynVar(label: String, df: DataFrame)
   */
 final case class SimDataset(
     params: Map[String, String],
-    variables: Map[String, GridVar]) {
+    variables: Map[String, GridVar],
+    dynVars: Map[String, DynVar] = Map.empty) {
 
   def addParam(k: String, v: String): SimDataset =
     copy(params = params + (k -> v))
 
+  /** Add-variable dispatch — the reference inspects the mesh argument's
+    * SHAPE at runtime (`hasattr(var_mesh[0][0],'__len__')`,
+    * dataset.py:103-108: a nested per-time mesh dispatches to
+    * DynMeshVar, a flat one to StatMeshVar). In a typed language the
+    * same dispatch is overload resolution: a static-mesh [[GridVar]]
+    * and a moving-point [[DynVar]] are distinct types, so the choice
+    * the reference makes by duck-typing is made here by the compiler.
+    */
   def addVar(v: GridVar): SimDataset =
     copy(variables = variables + (v.label -> v))
+
+  def addVar(v: DynVar): SimDataset =
+    copy(dynVars = dynVars + (v.label -> v))
 
   /** Dataset-wide bounds with "most inclusive" (union) semantics across
     * variables — implementing the reference DOCSTRING (dataset.py:163-166),
@@ -144,7 +156,25 @@ final case class SimDataset(
           ("zero_pt" -> pts.head.mkString(","))
       case None => params
     }
-    copy(params = withParams, variables = newVars)
+    // Moving-point variables slice by the SAME coordinate filters — the
+    // semantics the reference declares but stubs (DynMeshVar._timeslice/
+    // _zoom are `pass`, dynmeshvar.py:28-35). Filters apply to whichever
+    // coordinate columns the trajectory carries; there is no index
+    // rebasing (a DynVar has no driver-side axes to rebase against) and
+    // the line section does not apply (no static mesh to section).
+    val newDyn = dynVars.map { case (name, dv) =>
+      var df = dv.df
+      timelims.foreach { case (a, b) =>
+        val (lo, hi) = if (a <= b) (a, b) else (b, a)
+        if (df.columns.contains("t")) df = df.filter(col("t").between(lo, hi))
+      }
+      zooms.foreach { case (c, (a, b)) =>
+        val (lo, hi) = if (a <= b) (a, b) else (b, a)
+        if (df.columns.contains(c)) df = df.filter(col(c).between(lo, hi))
+      }
+      name -> dv.copy(df = df)
+    }
+    copy(params = withParams, variables = newVars, dynVars = newDyn)
   }
 
   /** Spacetime slice of a static-mesh variable along a moving probe
@@ -164,6 +194,12 @@ final case class SimDataset(
   def export(dir: String): Unit = {
     variables.values.foreach { v =>
       v.df.write.mode("overwrite").parquet(s"$dir/${v.label}.parquet")
+    }
+    // moving-point variables: data-only parquet (coords ride in the
+    // rows; there are no axes to sidecar). dyn_ prefix keeps a DynVar
+    // and a GridVar with the same label from clobbering each other.
+    dynVars.values.foreach { v =>
+      v.df.write.mode("overwrite").parquet(s"$dir/dyn_${v.label}.parquet")
     }
     val meta = SimDataset.metaJson(this)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
@@ -203,7 +239,8 @@ object SimDataset {
         .mkString("{", ",", "}")
       s"${jstr(v.label)}:{\"time\":${jarr(v.timeAxis)},\"axes\":$axes}"
     }.mkString("{", ",", "}")
-    s"""{"params":$params,"variables":$vars}"""
+    val dyn = ds.dynVars.keys.map(jstr).mkString("[", ",", "]")
+    s"""{"params":$params,"variables":$vars,"dynvars":$dyn}"""
   }
 
   /** Load an exported dataset (the reference's unimplemented `_init_file`,
@@ -221,7 +258,11 @@ object SimDataset {
       name -> GridVar(name, time, axes,
         spark.read.parquet(s"$dir/$name.parquet"))
     }
-    SimDataset(params.toMap, vars.toMap)
+    // dynvars absent from pre-DynVar sidecars: default to none
+    val dyn = meta.obj.get("dynvars").map(_.arr.map(_.str)).getOrElse(Vector.empty)
+      .map(name => name ->
+        DynVar(name, spark.read.parquet(s"$dir/dyn_$name.parquet")))
+    SimDataset(params.toMap, vars.toMap, dyn.toMap)
   }
 }
 

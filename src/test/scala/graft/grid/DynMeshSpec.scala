@@ -123,6 +123,29 @@ class DynMeshSpec extends AnyFunSuite {
     }
   }
 
+  test("DynVars are dataset members: add dispatch, ndslice, export/load") {
+    val path = (0 until 3).map(it => (it, it.toDouble, 0.25 * it, 0.5 * it))
+      .toDF("it", "t", "z", "x")
+    val dv = LineSlice.pathSlice(field, path)
+    // typed add dispatch (the reference's mesh-shape duck-typing,
+    // dataset.py:103-108, resolved by overload)
+    val ds = SimDataset(Map("who" -> "probe"), Map.empty).addVar(dv)
+    assert(ds.dynVars.keySet == Set("b") && ds.variables.isEmpty)
+    // ndslice's coordinate filters reach the trajectory (the semantics
+    // DynMeshVar declares but stubs)
+    val sliced = ds.ndslice(timelims = Some((1.0, 2.0)),
+      zooms = Map("z" -> (0.0, 0.3)))
+    assert(sliced.dynVars("b").df.select("it").as[Int].collect().toSeq == Seq(1))
+    // export/load round-trip carries the moving-point variable
+    val dir = java.nio.file.Files.createTempDirectory("graft_dyn").toString
+    ds.export(dir)
+    val back = SimDataset.load(spark, dir)
+    assert(back.dynVars.keySet == Set("b"))
+    val a = dv.df.orderBy("it").collect().toSeq
+    val b = back.dynVars("b").df.orderBy("it").collect().toSeq
+    assert(a == b)
+  }
+
   test("pathSlice rejects unknown interpolation and degenerate axes") {
     val path = Seq((0, 0.5, 0.5)).toDF("it", "z", "x")
     intercept[IllegalArgumentException] {
