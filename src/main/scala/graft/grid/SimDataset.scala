@@ -41,7 +41,23 @@ final case class GridVar(
   * driver-side axes: the mesh IS the data, which is exactly why the
   * reference's array-shaped model couldn't express it.
   */
-final case class DynVar(label: String, df: DataFrame)
+final case class DynVar(label: String, df: DataFrame) {
+  /** Inclusive [min,max] of every coordinate column (t first when
+    * present, then the spatial coords in column order) — the
+    * Variable.bounds contract extended to moving meshes. Unlike
+    * [[GridVar.bounds]], which reads driver-side axis metadata, here
+    * the mesh IS the data: bounds is one distributed aggregation (a
+    * Spark job). Deliberately NOT folded into [[SimDataset.bounds]],
+    * which stays a metadata-only call.
+    */
+  def bounds: Seq[(Double, Double)] = {
+    val cols = df.columns.filter(c => c != "it" && c != "value").toSeq
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.indices.map(i => (r.getDouble(2 * i), r.getDouble(2 * i + 1)))
+  }
+}
 
 /** Dataset of named grid variables + open params map — the reference
   * Dataset (dataset.py:8). Pure/immutable: every transform returns a new

@@ -146,6 +146,13 @@ class DynMeshSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("DynVar bounds aggregates the moving mesh (t, then coords)") {
+    val path = (0 until 3).map(it => (it, it.toDouble, 0.25 * it, 0.5 * it))
+      .toDF("it", "t", "z", "x")
+    val dv = LineSlice.pathSlice(field, path)
+    assert(dv.bounds == Seq((0.0, 2.0), (0.0, 0.5), (0.0, 1.0)))
+  }
+
   test("pathSlice rejects unknown interpolation and degenerate axes") {
     val path = Seq((0, 0.5, 0.5)).toDF("it", "z", "x")
     intercept[IllegalArgumentException] {
