@@ -167,6 +167,15 @@ object LineSlice {
     * Returns a [[DynVar]] with the path's columns plus the sampled
     * `value` — a moving-measure-point variable, closing the reference's
     * StatMeshVar -> (spacetime slice) -> DynMeshVar arc.
+    *
+    * Boundary semantics, deliberately asymmetric: SPATIAL out-of-range
+    * positions clamp to the edge bracket and extrapolate linearly
+    * (sampleCorners' contract); TEMPORAL out-of-range samples — an `it`
+    * with no grid rows — produce NO output row (relational semantics of
+    * the inner corner join: there is no field to sample, and inventing
+    * one by clamping time would fabricate data). Rows with a null
+    * coordinate likewise drop. Callers needing to detect lost samples
+    * compare output to input cardinality.
     */
   def pathSlice(v: GridVar, path: DataFrame,
       interp: String = "linear"): DynVar = {
@@ -174,14 +183,22 @@ object LineSlice {
       s"Specified interpolation type $interp is not currently implemented")
     require(v.spaceAxes.forall(_._2.length > 1),
       "This interpolation method cannot handle degenerate dimensions")
+    require(!path.columns.contains("value"),
+      "path must not carry a 'value' column — pathSlice appends the sampled value")
     val ndim = v.spaceAxes.length
     val pathCols = path.columns.toSeq
+    // unique per-row key so DUPLICATE path rows (a stationary probe
+    // sampled twice at one timestep) each produce their own output row
+    // instead of being collapsed into one group whose corner sum
+    // silently doubles the field value. The id is internal only —
+    // grouped on, never emitted.
+    val keyed = path.withColumn("__pid", monotonically_increasing_id())
 
     // per-dim bracket: insertion point via count(axis <= p), then the
     // clamped lower index + linear fraction (exactly sampleCorners'
     // bracket: on-knot hits give f=0, last-knot gives f=1, out-of-range
     // clamps to the edge bracket with f outside [0,1] = extrapolation)
-    var df = path
+    var df = keyed
     v.spaceAxes.foreach { case (idx, axis) =>
       val p = col(v.coordCol(idx))
       val axisLit = typedLit(axis.toSeq)
@@ -226,8 +243,9 @@ object LineSlice {
     val joinCond = (col("it") === col("__g_it")) +: idxCols.map(c =>
       col(s"__c_$c") === col(s"__g_$c"))
     val joined = cornered.join(gdf, joinCond.reduce(_ && _))
-    val out = joined.groupBy(pathCols.map(col): _*)
+    val out = joined.groupBy((col("__pid") +: pathCols.map(col)): _*)
       .agg(sum(col("__w") * col("value")).as("value"))
+      .drop("__pid")
     DynVar(v.label, out)
   }
 }

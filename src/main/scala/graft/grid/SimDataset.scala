@@ -51,11 +51,14 @@ final case class DynVar(label: String, df: DataFrame) {
     * which stays a metadata-only call.
     */
   def bounds: Seq[(Double, Double)] = {
-    val cols = df.columns.filter(c => c != "it" && c != "value").toSeq
+    val rest = df.columns.filter(c => c != "it" && c != "value" && c != "t")
+    val cols = (if (df.columns.contains("t")) Seq("t") else Nil) ++ rest
     val aggs = cols.flatMap(c =>
       Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
     val r = df.agg(aggs.head, aggs.tail: _*).head()
-    cols.indices.map(i => (r.getDouble(2 * i), r.getDouble(2 * i + 1)))
+    // empty trajectory: min/max aggregate to null — no bounds, not an NPE
+    if (r.isNullAt(0)) Seq.empty
+    else cols.indices.map(i => (r.getDouble(2 * i), r.getDouble(2 * i + 1)))
   }
 }
 
@@ -92,8 +95,12 @@ final case class SimDataset(
     * recorded in SURVEY §2A row 6).
     */
   def bounds: Seq[(Double, Double)] = {
+    // metadata-only by contract: DynVars (whose bounds are a data scan,
+    // DynVar.bounds) are deliberately excluded; a dataset with no
+    // static-mesh variables has no metadata bounds
     val all = variables.values.map(_.bounds).toSeq
-    all.reduce { (a, b) =>
+    if (all.isEmpty) Seq.empty
+    else all.reduce { (a, b) =>
       a.zip(b).map { case ((lo1, hi1), (lo2, hi2)) =>
         (math.min(lo1, lo2), math.max(hi1, hi2))
       }
@@ -178,6 +185,13 @@ final case class SimDataset(
     // coordinate columns the trajectory carries; there is no index
     // rebasing (a DynVar has no driver-side axes to rebase against) and
     // the line section does not apply (no static mesh to section).
+    // CAVEAT, deliberate: a DynVar's `it` stays ABSOLUTE. After a
+    // timeslice, GridVar `it` values are rebased into the filtered axis
+    // while DynVar rows keep their original indices (filtered by
+    // physical `t` when the trajectory carries one; left whole when it
+    // does not — there is no axis to translate a time RANGE into index
+    // space). Correlating dyn and grid `it` post-slice is the caller's
+    // rebase.
     val newDyn = dynVars.map { case (name, dv) =>
       var df = dv.df
       timelims.foreach { case (a, b) =>
@@ -213,7 +227,14 @@ final case class SimDataset(
     }
     // moving-point variables: data-only parquet (coords ride in the
     // rows; there are no axes to sidecar). dyn_ prefix keeps a DynVar
-    // and a GridVar with the same label from clobbering each other.
+    // and a GridVar with the same label from clobbering each other —
+    // and a GridVar literally named "dyn_<x>" colliding with DynVar
+    // "<x>" is refused rather than silently overwritten.
+    dynVars.keys.foreach { k =>
+      require(!variables.contains(s"dyn_$k"),
+        s"export collision: static variable 'dyn_$k' and moving variable '$k' " +
+          "would write the same file")
+    }
     dynVars.values.foreach { v =>
       v.df.write.mode("overwrite").parquet(s"$dir/dyn_${v.label}.parquet")
     }

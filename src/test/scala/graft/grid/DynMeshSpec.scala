@@ -153,6 +153,52 @@ class DynMeshSpec extends AnyFunSuite {
     assert(dv.bounds == Seq((0.0, 2.0), (0.0, 0.5), (0.0, 1.0)))
   }
 
+  test("duplicate path rows each yield their own (correct) sample") {
+    // a stationary probe sampled twice at one timestep: the values must
+    // NOT collapse into one doubled group
+    val path = Seq((1, 0.6, 0.9), (1, 0.6, 0.9)).toDF("it", "z", "x")
+    val out = LineSlice.pathSlice(field, path).df
+      .select("value").as[Double].collect()
+    assert(out.length == 2)
+    out.foreach(v => assert(math.abs(v - expected(1, 0.6, 0.9)) < 1e-9))
+  }
+
+  test("temporal out-of-range samples drop; spatial ones extrapolate") {
+    val path = Seq((99, 0.5, 0.5), (1, 2.5, 0.5)).toDF("it", "z", "x")
+    val out = LineSlice.pathSlice(field, path).df
+      .select("it", "z", "value").as[(Int, Double, Double)].collect()
+    // it=99 has no grid rows -> no output row; z=2.5 is past the last
+    // knot (1.5) -> edge-bracket extrapolation, exact on an affine field
+    assert(out.map(_._1).toSeq == Seq(1))
+    assert(math.abs(out.head._3 - expected(1, 2.5, 0.5)) < 1e-9)
+  }
+
+  test("a path carrying 'value' is refused, not silently ambiguous") {
+    val path = Seq((0, 0.5, 0.5, 42.0)).toDF("it", "z", "x", "value")
+    intercept[IllegalArgumentException] {
+      LineSlice.pathSlice(field, path)
+    }
+  }
+
+  test("bounds edge cases: dyn-only dataset and empty trajectory") {
+    val path = Seq((0, 0.5, 0.5)).toDF("it", "z", "x")
+    val dv = LineSlice.pathSlice(field, path)
+    // metadata bounds of a dyn-only dataset: empty, not empty.reduce crash
+    assert(SimDataset(Map.empty, Map.empty).addVar(dv).bounds.isEmpty)
+    // empty trajectory: no bounds, not an NPE on null aggregates
+    assert(dv.copy(df = dv.df.filter(lit(false))).bounds.isEmpty)
+  }
+
+  test("export refuses the dyn_ filename collision") {
+    val path = Seq((0, 0.5, 0.5)).toDF("it", "z", "x")
+    val dv = LineSlice.pathSlice(field, path)
+    val clash = SimDataset(Map.empty,
+      Map("dyn_b" -> field.copy(label = "dyn_b"))).addVar(dv)
+    intercept[IllegalArgumentException] {
+      clash.export(java.nio.file.Files.createTempDirectory("graft_clash").toString)
+    }
+  }
+
   test("pathSlice rejects unknown interpolation and degenerate axes") {
     val path = Seq((0, 0.5, 0.5)).toDF("it", "z", "x")
     intercept[IllegalArgumentException] {
