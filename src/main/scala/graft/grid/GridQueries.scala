@@ -530,8 +530,10 @@ object GridQueries {
     // (statmeshvar.py:8-10) and reserves DynMeshVar for
     // (dynmeshvar.py:9-35; constructor raises). A probe flies a
     // deterministic path (position is exact integer phase arithmetic
-    // times one double constant, so both engines compute bit-identical
-    // doubles) and LineSlice.pathSlice bilinearly samples b1 at the
+    // times one constant; the engines' evaluation may differ by an ulp
+    // — DuckDB folds the literals through DECIMAL — but positions never
+    // approach a knot, so brackets agree and 6-dp rounding absorbs the
+    // rest) and LineSlice.pathSlice bilinearly samples b1 at the
     // probe's position at the probe's own time: distributed searchsorted
     // bracketing + a time-dependent corner equi-join. The oracle
     // replays the identical bracket (count of axis knots <= p) and
