@@ -578,6 +578,69 @@ object GridQueries {
            FROM w JOIN grid g
              ON g.it = w.it AND g.iz = w.ci AND g.ix = w.cj
            GROUP BY w.it, w.z, w.x ORDER BY w.it"""
+      }),
+
+    // ---- g21: the CONTINUOUS spacetime slice — g20's probe, but
+    // sampling BETWEEN simulation outputs: every path time is a
+    // timestep + 0.25, so each sample blends the 2^3 surrounding
+    // (t, z, x) corners (timeInterp bracket on the time axis; the last
+    // timestep's sample extrapolates past the final knot, exercising
+    // the clamp in time). The time axis is driver-side GridVar metadata
+    // — at 100 TB it comes from the catalog, here from one count
+    // (the documented laziness exception for this query).
+    Q("g21_spacetime_path",
+      (s, d) => {
+        val nt = (Tables.events(s, d).count() / Cells).toInt
+        val g = grid(s, d).withColumn("value", col("b1"))
+        val v = GridVar("b1", Array.tabulate(nt)(_.toDouble),
+          Seq(("iz", lineAxes), ("ix", lineAxes)), g)
+        val path = g.select(col("it")).distinct()
+          .select((col("it") + lit(0.25)).as("t"),
+            (lit(0.15) + (col("it") % 18) * lit(0.4)).as("z"),
+            (lit(0.35) + ((col("it") * 11) % 18) * lit(0.38)).as("x"))
+        LineSlice.pathSlice(v, path, timeInterp = true).df
+          .select(round(col("t"), 6).as("t"), round(col("z"), 6).as("z"),
+            round(col("x"), 6).as("x"), round(col("value"), 6).as("value"))
+          .orderBy("t")
+      },
+      Some {
+        val axisVals = lineAxes.map(a => s"($a)").mkString(", ")
+        s"""WITH $gridCte,
+           times AS (SELECT DISTINCT it FROM grid),
+           taxis AS (SELECT list(it ORDER BY it) AS lt,
+                            CAST(count(*) AS INT) AS nt FROM times),
+           path AS (SELECT it + 0.25 AS t,
+                           0.15 + (it % 18) * 0.4 AS z,
+                           0.35 + ((it * 11) % 18) * 0.38 AS x
+                    FROM times),
+           axis(a) AS (VALUES $axisVals),
+           ax AS (SELECT list(a ORDER BY a) AS l FROM axis),
+           br AS (SELECT p.t, p.z, p.x,
+             least(greatest(CAST((SELECT count(*) FROM times tm
+                                  WHERE tm.it <= p.t) AS INT) - 1, 0),
+                   (SELECT nt FROM taxis) - 2) AS ti0,
+             least(greatest(CAST((SELECT count(*) FROM axis ax2
+                                  WHERE ax2.a <= p.z) AS INT) - 1, 0), ${NZ - 2}) AS zi0,
+             least(greatest(CAST((SELECT count(*) FROM axis ax3
+                                  WHERE ax3.a <= p.x) AS INT) - 1, 0), ${NX - 2}) AS xi0
+             FROM path p),
+           brf AS (SELECT br.*,
+             (t - lt[ti0 + 1]) / (lt[ti0 + 2] - lt[ti0 + 1]) AS tf,
+             (z - l[zi0 + 1]) / (l[zi0 + 2] - l[zi0 + 1]) AS zf,
+             (x - l[xi0 + 1]) / (l[xi0 + 2] - l[xi0 + 1]) AS xf
+             FROM br CROSS JOIN ax CROSS JOIN taxis),
+           corners(dt, dz, dx) AS (VALUES (0,0,0), (0,0,1), (0,1,0), (0,1,1),
+                                          (1,0,0), (1,0,1), (1,1,0), (1,1,1)),
+           w AS (SELECT t, z, x, ti0 + dt AS ct, zi0 + dz AS ci, xi0 + dx AS cj,
+             (CASE WHEN dt = 0 THEN 1 - tf ELSE tf END) *
+             (CASE WHEN dz = 0 THEN 1 - zf ELSE zf END) *
+             (CASE WHEN dx = 0 THEN 1 - xf ELSE xf END) AS w
+             FROM brf CROSS JOIN corners)
+           SELECT round(w.t, 6) AS t, round(w.z, 6) AS z, round(w.x, 6) AS x,
+                  round(sum(w.w * g.b1), 6) AS value
+           FROM w JOIN grid g
+             ON g.it = w.ct AND g.iz = w.ci AND g.ix = w.cj
+           GROUP BY w.t, w.z, w.x ORDER BY t"""
       })
   )
 

@@ -168,6 +168,13 @@ object LineSlice {
     * `value` — a moving-measure-point variable, closing the reference's
     * StatMeshVar -> (spacetime slice) -> DynMeshVar arc.
     *
+    * With `timeInterp = true` the slice interpolates in TIME as well —
+    * the path carries physical `t` (no `it`), time brackets against the
+    * variable's timeAxis like any spatial axis, and each sample blends
+    * the 2^(ndim+1) surrounding spacetime corners. This is the fully
+    * continuous spacecraft model: probes sample between simulation
+    * outputs, not only on them.
+    *
     * Boundary semantics, deliberately asymmetric: SPATIAL out-of-range
     * positions clamp to the edge bracket and extrapolate linearly
     * (sampleCorners' contract); TEMPORAL out-of-range samples — an `it`
@@ -177,15 +184,29 @@ object LineSlice {
     * coordinate likewise drop. Callers needing to detect lost samples
     * compare output to input cardinality.
     */
-  def pathSlice(v: GridVar, path: DataFrame,
-      interp: String = "linear"): DynVar = {
+  def pathSlice(v: GridVar, path: DataFrame, interp: String = "linear",
+      timeInterp: Boolean = false): DynVar = {
     require(interp == "linear" || interp == "nearest",
       s"Specified interpolation type $interp is not currently implemented")
     require(v.spaceAxes.forall(_._2.length > 1),
       "This interpolation method cannot handle degenerate dimensions")
     require(!path.columns.contains("value"),
       "path must not carry a 'value' column — pathSlice appends the sampled value")
-    val ndim = v.spaceAxes.length
+    if (timeInterp) {
+      require(v.timeAxis.length > 1,
+        "time interpolation needs a time axis with more than one sample")
+      require(path.columns.contains("t") && !path.columns.contains("it"),
+        "a time-interpolating path carries physical 't', not index 'it'")
+    }
+    // bracketed dimensions: (join/index column, axis, path column).
+    // With timeInterp the TIME axis is just one more bracketed dim —
+    // the corner set doubles (2^(ndim+1)) and each sample blends the
+    // two surrounding timesteps, the full "spacetime-slice" of the
+    // reference's TODO; without it, `it` must match a grid timestep
+    // exactly (the corner join below pins it).
+    val dims: Seq[(String, Array[Double], String)] =
+      (if (timeInterp) Seq(("it", v.timeAxis, "t")) else Nil) ++
+        v.spaceAxes.map { case (idx, a) => (idx, a, v.coordCol(idx)) }
     val pathCols = path.columns.toSeq
     // unique per-row key so DUPLICATE path rows (a stationary probe
     // sampled twice at one timestep) each produce their own output row
@@ -199,8 +220,8 @@ object LineSlice {
     // bracket: on-knot hits give f=0, last-knot gives f=1, out-of-range
     // clamps to the edge bracket with f outside [0,1] = extrapolation)
     var df = keyed
-    v.spaceAxes.foreach { case (idx, axis) =>
-      val p = col(v.coordCol(idx))
+    dims.foreach { case (idx, axis, pcol) =>
+      val p = col(pcol)
       val axisLit = typedLit(axis.toSeq)
       val ins = size(filter(axisLit, a => a <= p))
       df = df
@@ -212,23 +233,25 @@ object LineSlice {
               element_at(axisLit, col(s"__i0_$idx") + 1)))
     }
 
+    val nd = dims.length
     val cornered =
       if (interp == "nearest") {
-        v.spaceAxes.foldLeft(df) { case (d, (idx, _)) =>
+        dims.foldLeft(df) { case (d, (idx, _, _)) =>
           d.withColumn(s"__c_$idx",
             when(col(s"__f_$idx") > 0.5, col(s"__i0_$idx") + 1)
               .otherwise(col(s"__i0_$idx")))
         }.withColumn("__w", lit(1.0))
       } else {
-        // 2^ndim corners; weight = product of per-dim linear weights in
-        // axis order (matches sampleCorners' accumulation order bit-for-bit)
-        val cornerStructs = array((0 until (1 << ndim)).map { m =>
-          struct((0 until ndim).map(dim =>
+        // 2^nd corners; weight = product of per-dim linear weights in
+        // dim order — time (when interpolated) first, then the axes in
+        // mesh order, matching sampleCorners' accumulation bit-for-bit
+        val cornerStructs = array((0 until (1 << nd)).map { m =>
+          struct((0 until nd).map(dim =>
             lit(((m >> dim) & 1) == 1).as(s"h$dim")): _*)
         }: _*)
         var d = df.withColumn("__c", explode(cornerStructs))
         var w: Column = lit(1.0)
-        v.spaceAxes.zipWithIndex.foreach { case ((idx, _), dim) =>
+        dims.zipWithIndex.foreach { case ((idx, _, _), dim) =>
           val hi = col(s"__c.h$dim")
           d = d.withColumn(s"__c_$idx",
             when(hi, col(s"__i0_$idx") + 1).otherwise(col(s"__i0_$idx")))
@@ -240,7 +263,10 @@ object LineSlice {
     val idxCols = v.spaceAxes.map(_._1)
     val gdf = v.df.select(
       (("it" +: idxCols).map(c => col(c).as(s"__g_$c")) :+ col("value")): _*)
-    val joinCond = (col("it") === col("__g_it")) +: idxCols.map(c =>
+    val timeCond =
+      if (timeInterp) col("__c_it") === col("__g_it")
+      else col("it") === col("__g_it")
+    val joinCond = timeCond +: idxCols.map(c =>
       col(s"__c_$c") === col(s"__g_$c"))
     val joined = cornered.join(gdf, joinCond.reduce(_ && _))
     val out = joined.groupBy((col("__pid") +: pathCols.map(col)): _*)

@@ -214,8 +214,8 @@ final case class SimDataset(
     * sampled [[DynVar]]; see [[LineSlice.pathSlice]] for semantics.
     */
   def pathSlice(varName: String, path: DataFrame,
-      interp: String = "linear"): DynVar =
-    LineSlice.pathSlice(variables(varName), path, interp)
+      interp: String = "linear", timeInterp: Boolean = false): DynVar =
+    LineSlice.pathSlice(variables(varName), path, interp, timeInterp)
 
   /** Export: parquet per variable + JSON sidecar for params/axes — the
     * declared-but-unimplemented reference surface (dataset.py:183-193

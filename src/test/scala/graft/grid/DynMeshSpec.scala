@@ -153,6 +153,34 @@ class DynMeshSpec extends AnyFunSuite {
     assert(dv.bounds == Seq((0.0, 2.0), (0.0, 0.5), (0.0, 1.0)))
   }
 
+  test("timeInterp blends the surrounding timesteps (continuous spacetime)") {
+    // field affine in t as well (value = 2z + 3x + it with timeAxis =
+    // it): a sample at fractional t is exact under trilinear-in-
+    // spacetime blending
+    val path = Seq((0.5, 0.3, 0.85), (1.25, 1.1, 0.4), (1.75, 0.6, 1.2))
+      .toDF("t", "z", "x")
+    val out = LineSlice.pathSlice(field, path, timeInterp = true).df
+      .select("t", "z", "x", "value").as[(Double, Double, Double, Double)]
+      .collect()
+    assert(out.length == 3)
+    out.foreach { case (t, z, x, v) =>
+      val want = 2 * z + 3 * x + t
+      assert(math.abs(v - want) < 1e-9, s"t=$t z=$z x=$x: got $v want $want")
+    }
+  }
+
+  test("timeInterp requires physical t and a real time axis") {
+    val pathIt = Seq((1, 0.5, 0.5)).toDF("it", "z", "x")
+    intercept[IllegalArgumentException] {
+      LineSlice.pathSlice(field, pathIt, timeInterp = true)
+    }
+    val pathT = Seq((0.5, 0.5, 0.5)).toDF("t", "z", "x")
+    intercept[IllegalArgumentException] {
+      LineSlice.pathSlice(field.copy(timeAxis = Array(0.0)), pathT,
+        timeInterp = true)
+    }
+  }
+
   test("duplicate path rows each yield their own (correct) sample") {
     // a stationary probe sampled twice at one timestep: the values must
     // NOT collapse into one doubled group
