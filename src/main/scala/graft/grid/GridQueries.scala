@@ -586,12 +586,13 @@ object GridQueries {
     // (t, z, x) corners (timeInterp bracket on the time axis; the last
     // timestep's sample extrapolates past the final knot, exercising
     // the clamp in time). The time axis is driver-side GridVar metadata
-    // — at 100 TB it comes from the catalog, here from one count
-    // (the documented laziness exception for this query).
+    // — at 100 TB it comes from the catalog; here one max(it) on the
+    // MEMOIZED, persisted grid fixture (not a raw-events rescan) — the
+    // documented laziness exception for this query.
     Q("g21_spacetime_path",
       (s, d) => {
-        val nt = (Tables.events(s, d).count() / Cells).toInt
         val g = grid(s, d).withColumn("value", col("b1"))
+        val nt = g.agg(max("it")).head().getInt(0) + 1
         val v = GridVar("b1", Array.tabulate(nt)(_.toDouble),
           Seq(("iz", lineAxes), ("ix", lineAxes)), g)
         val path = g.select(col("it")).distinct()

@@ -175,13 +175,21 @@ object LineSlice {
     * continuous spacecraft model: probes sample between simulation
     * outputs, not only on them.
     *
-    * Boundary semantics, deliberately asymmetric: SPATIAL out-of-range
-    * positions clamp to the edge bracket and extrapolate linearly
-    * (sampleCorners' contract); TEMPORAL out-of-range samples — an `it`
-    * with no grid rows — produce NO output row (relational semantics of
-    * the inner corner join: there is no field to sample, and inventing
-    * one by clamping time would fabricate data). Rows with a null
-    * coordinate likewise drop. Callers needing to detect lost samples
+    * Boundary semantics: SPATIAL out-of-range positions clamp to the
+    * edge bracket and extrapolate linearly (sampleCorners' contract).
+    * TIME depends on the mode: in index mode (timeInterp = false) an
+    * `it` with no grid rows produces NO output row (relational
+    * semantics of the inner corner join — there is no field to sample,
+    * and inventing one by clamping a time INDEX would fabricate data);
+    * with timeInterp = true, time IS an interpolation axis and behaves
+    * exactly like the spatial ones — out-of-range t clamps to the edge
+    * time bracket and extrapolates. Rows with a null coordinate drop.
+    * A sample whose corners are only PARTIALLY present in the grid (a
+    * sparse grid violating the dense-GridVar invariant every grid
+    * operator here assumes) is dropped rather than emitted as a
+    * silently scaled partial sum — the weight-sum identity
+    * Σw = 1 (which holds for interpolation AND extrapolation) is
+    * checked per sample. Callers needing to detect lost samples
     * compare output to input cardinality.
     */
   def pathSlice(v: GridVar, path: DataFrame, interp: String = "linear",
@@ -269,9 +277,16 @@ object LineSlice {
     val joinCond = timeCond +: idxCols.map(c =>
       col(s"__c_$c") === col(s"__g_$c"))
     val joined = cornered.join(gdf, joinCond.reduce(_ && _))
+    // Σw = 1 guards against a sparse grid: if some corners of a sample
+    // found no grid row (missing timestep/cell), the partial sum would
+    // silently scale the field by the surviving weight mass — drop the
+    // sample instead, matching the no-data-no-row contract. Zero-weight
+    // corners were filtered above but contribute nothing to Σw anyway.
     val out = joined.groupBy((col("__pid") +: pathCols.map(col)): _*)
-      .agg(sum(col("__w") * col("value")).as("value"))
-      .drop("__pid")
+      .agg(sum(col("__w") * col("value")).as("value"),
+        sum(col("__w")).as("__wsum"))
+      .filter(abs(col("__wsum") - 1.0) < 1e-6)
+      .drop("__pid", "__wsum")
     DynVar(v.label, out)
   }
 }

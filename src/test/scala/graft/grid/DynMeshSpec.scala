@@ -157,16 +157,29 @@ class DynMeshSpec extends AnyFunSuite {
     // field affine in t as well (value = 2z + 3x + it with timeAxis =
     // it): a sample at fractional t is exact under trilinear-in-
     // spacetime blending
-    val path = Seq((0.5, 0.3, 0.85), (1.25, 1.1, 0.4), (1.75, 0.6, 1.2))
+    // 2.5 > last knot (2.0): the time bracket clamps and EXTRAPOLATES
+    // (tf = 1.5), exact on the affine field — the clamp regression the
+    // g21 oracle cannot catch (both engines share the formula)
+    val path = Seq((0.5, 0.3, 0.85), (1.25, 1.1, 0.4), (1.75, 0.6, 1.2),
+        (2.5, 0.9, 0.9))
       .toDF("t", "z", "x")
     val out = LineSlice.pathSlice(field, path, timeInterp = true).df
       .select("t", "z", "x", "value").as[(Double, Double, Double, Double)]
       .collect()
-    assert(out.length == 3)
+    assert(out.length == 4)
     out.foreach { case (t, z, x, v) =>
       val want = 2 * z + 3 * x + t
       assert(math.abs(v - want) < 1e-9, s"t=$t z=$z x=$x: got $v want $want")
     }
+  }
+
+  test("a sample straddling a MISSING timestep drops instead of scaling") {
+    // sparse grid (violates the dense invariant): the dt=1 corners find
+    // no rows; the weight-sum guard drops the sample rather than
+    // emitting (1-tf) * field as if it were the value
+    val sparse = field.copy(df = field.df.filter($"it" =!= 2))
+    val path = Seq((1.5, 0.5, 0.5)).toDF("t", "z", "x")
+    assert(LineSlice.pathSlice(sparse, path, timeInterp = true).df.count() == 0)
   }
 
   test("timeInterp requires physical t and a real time axis") {
