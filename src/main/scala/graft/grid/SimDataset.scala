@@ -114,7 +114,12 @@ final case class SimDataset(
   def selectVars(patterns: Seq[String]): SimDataset = {
     val names = variables.keys.toSeq.sorted
     val keep = patterns.flatMap(p => names.find(_.contains(p))).distinct
-    copy(variables = variables.filter { case (k, _) => keep.contains(k) })
+    // same projection over the moving-point variables (their names sort
+    // and match independently — a pattern can select from either pool)
+    val dynNames = dynVars.keys.toSeq.sorted
+    val keepDyn = patterns.flatMap(p => dynNames.find(_.contains(p))).distinct
+    copy(variables = variables.filter { case (k, _) => keep.contains(k) },
+      dynVars = dynVars.filter { case (k, _) => keepDyn.contains(k) })
   }
 
   /** Slice every variable: inclusive time filter, per-dim inclusive

@@ -146,6 +146,16 @@ class DynMeshSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("selectVars projects moving-point variables too") {
+    val path = Seq((0, 0.5, 0.5)).toDF("it", "z", "x")
+    val dv = LineSlice.pathSlice(field, path)
+    val ds = SimDataset(Map.empty, Map("b1" -> field))
+      .addVar(dv.copy(label = "probe_b"))
+    assert(ds.selectVars(Seq("probe")).dynVars.keySet == Set("probe_b"))
+    assert(ds.selectVars(Seq("probe")).variables.isEmpty)
+    assert(ds.selectVars(Seq("b1")).dynVars.isEmpty)
+  }
+
   test("DynVar bounds aggregates the moving mesh (t, then coords)") {
     val path = (0 until 3).map(it => (it, it.toDouble, 0.25 * it, 0.5 * it))
       .toDF("it", "t", "z", "x")
