@@ -1,6 +1,69 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Bench harness: min-of-3 wall time per declared query, ONE JSON line.
+  *
+  * Round 9 adds per-query FORENSICS (a SparkListener window around each
+  * query's three runs): job/task counts, shuffle read/write bytes,
+  * task-attributed GC ms, spill bytes, plus a whole-JVM GC-time delta
+  * and the post-query size of Spark's scratch dirs. Motivation: two
+  * LSH-band queries (q30/q95) read 3.5-4.2x their isolated cost
+  * in-suite across rounds 7-8 with the code unchanged — the forensic
+  * fields make the inflation source (GC debt vs shuffle-dir growth vs
+  * genuine recompute) visible IN the bench artifact instead of needing
+  * a by-hand isolated re-measure every round.
+  */
 object Bench {
+  private class Forensics extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+    val jobs = new AtomicInteger; val tasks = new AtomicInteger
+    val gcMs = new AtomicLong
+    val shRead = new AtomicLong; val shWrite = new AtomicLong
+    val spill = new AtomicLong
+    override def onJobStart(
+        j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      jobs.incrementAndGet(): Unit
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      Option(t.taskMetrics).foreach { m =>
+        tasks.incrementAndGet()
+        gcMs.addAndGet(m.jvmGCTime)
+        shRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled): Unit
+      }
+    def reset(): Unit = {
+      jobs.set(0); tasks.set(0)
+      gcMs.set(0); shRead.set(0); shWrite.set(0); spill.set(0)
+    }
+  }
+
+  /** Whole-JVM cumulative GC time (driver + executors: local mode is
+    * one JVM) — the delta across a query window catches collection
+    * debt the task-attributed jvmGCTime misses (e.g. GC during
+    * planning, or debt paid inside the System.gc() fence).
+    */
+  private def jvmGcMs(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
+  }
+
+  /** Total bytes under Spark's scratch dirs ("blockmgr-" and "spark-"
+    * prefixed dirs in the local dir root) — growth across the suite is
+    * the shuffle-file accumulation hypothesis, measured.
+    */
+  private def scratchBytes(): Long = {
+    def size(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles).map(_.map(size).sum).getOrElse(0L)
+      else f.length
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"))
+    Option(root.listFiles).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("blockmgr-")
+        || f.getName.startsWith("spark-"))
+      .map(size).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -14,6 +77,8 @@ object Bench {
         .as("k")).count().count()
       Tables.lineitem(spark, sfDir).limit(1000).count()
     } catch { case _: Throwable => () }
+    val forensics = new Forensics
+    spark.sparkContext.addSparkListener(forensics)
     // Three timed runs per query, report the min: the first run absorbs
     // parquet page-cache and codegen warmup plus host-VM noise; min-of-3
     // (vs min-of-2) cuts the residual run-to-run jitter that made
@@ -25,6 +90,8 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.exists(n.contains)) }
     val results = selected.map { case (name, fn) =>
+      forensics.reset()
+      val gc0 = jvmGcMs()
       val timed = try (0 until Runs).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -44,12 +111,34 @@ object Bench {
       // a GC fence between queries: collection debt from query N must not
       // be paid inside query N+1's timing window
       System.gc()
-      name -> (if (good.nonEmpty) good.min else timed.map(_._2).max)
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      // drain margin: listener bus is async; the fenced GC above plus
+      // this snapshot point leave job/task-end events ~always processed
+      val sec = if (good.nonEmpty) good.min else timed.map(_._2).max
+      val f = Map(
+        "runs" -> timed.map(t => f"${t._2}%.3f").mkString("[", ",", "]"),
+        "jobs" -> forensics.jobs.get.toString,
+        "tasks" -> forensics.tasks.get.toString,
+        "gc_task_ms" -> forensics.gcMs.get.toString,
+        "gc_jvm_ms" -> (jvmGcMs() - gc0).toString,
+        "shuffle_read_mb" ->
+          f"${forensics.shRead.get / 1048576.0}%.1f",
+        "shuffle_write_mb" ->
+          f"${forensics.shWrite.get / 1048576.0}%.1f",
+        "spill_mb" -> f"${forensics.spill.get / 1048576.0}%.1f",
+        "scratch_mb_after" -> f"${scratchBytes() / 1048576.0}%.1f")
+      (name, sec, f)
+    }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"queries":$qs,"sf":"$sfDir"}""")
+    val fo = results.map { case (k, _, f) =>
+      "\"" + k + "\":" + f.map { case (fk, fv) =>
+        val quoted = if (fk == "runs" || fv.forall(c =>
+          c.isDigit || c == '.' || c == '-')) fv else "\"" + fv + "\""
+        "\"" + fk + "\":" + quoted
+      }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"queries":$qs,"forensics":$fo,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
