@@ -41,6 +41,26 @@ class DedupIndexSpec extends AnyFunSuite {
     graft.CacheScope.flush(spark)
   }
 
+  test("advance: artifact-after-advance equals rebuild-from-advanced-corpus") {
+    val docs = graft.Tables.documents(spark, sf)
+    val idx = java.nio.file.Files.createTempDirectory("graft_idx_adv").toString
+    DedupQueries.buildDedupIndex(docs.filter(col("doc_id") < 25), idx)
+    DedupQueries.advanceDedupIndex(
+      docs.filter(col("doc_id") >= 25 && col("doc_id") < 40)
+        .select("doc_id", "text"), idx)
+    val rebuilt =
+      java.nio.file.Files.createTempDirectory("graft_idx_rebuild").toString
+    DedupQueries.buildDedupIndex(docs.filter(col("doc_id") < 40), rebuilt)
+    val sa = DedupQueries.indexSignatures(spark, idx)
+    val sb = DedupQueries.indexSignatures(spark, rebuilt)
+    assert(sa.count() == 40)
+    assert(sa.exceptAll(sb).isEmpty && sb.exceptAll(sa).isEmpty)
+    val ba = DedupQueries.indexBands(spark, idx)
+    val bb = DedupQueries.indexBands(spark, rebuilt)
+    assert(ba.exceptAll(bb).isEmpty && bb.exceptAll(ba).isEmpty)
+    graft.CacheScope.flush(spark)
+  }
+
   test("star-contracted intra-batch verification misses a twin pair " +
       "sharing only a bucket led by a non-twin (the documented trade)") {
     import spark.implicits._
