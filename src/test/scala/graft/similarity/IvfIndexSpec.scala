@@ -23,6 +23,27 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(a.nonEmpty && a == b)
   }
 
+  test("trained quantizer round-trips through save/load: identical " +
+      "centers, identical q46-shaped search output") {
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = graft.Tables.embeddings(spark, sf)
+      .withColumn("features",
+        array_to_vector(transform(col("embedding"), x => x.cast("double"))))
+    val fitted = SimilarityQueries.fitIvfQuantizer(emb)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_model_spec").toString
+    SimilarityQueries.saveIvfQuantizer(fitted, dir)
+    val loaded = SimilarityQueries.loadIvfQuantizer(spark, dir)
+    assert(fitted.clusterCenters.map(_.toArray.toSeq).toSeq
+      == loaded.clusterCenters.map(_.toArray.toSeq).toSeq)
+    val a = SimilarityQueries.annIvfWith(emb, fitted, probeId = 0, k = 10)
+      .collect().toSeq
+    val b = SimilarityQueries.annIvfWith(emb, loaded, probeId = 0, k = 10)
+      .collect().toSeq
+    assert(a.nonEmpty && a == b)
+    graft.CacheScope.flush(spark)
+  }
+
   test("index round-trip: assignments cover every vector exactly once " +
       "and centroids carry one row per (label, dim)") {
     val emb = graft.Tables.embeddings(spark, sf)
