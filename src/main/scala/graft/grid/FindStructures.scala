@@ -54,6 +54,32 @@ object FindStructures {
     */
   private val CsTimeout = scala.concurrent.duration.Duration(1, "hour")
 
+  /** Below this cell count the pipeline's eager legs run with AQE OFF
+    * and a narrow static shuffle width (8).
+    *
+    * Why: under AQE every exchange materializes as its own query-stage
+    * job, and the round-8 job audit (ScaleProbe.g19JobAudit) attributed
+    * 47 of g19's 65 jobs to exactly that, on stages whose payloads are
+    * KILOBYTES (the whole sf0.1 grid is ~10k cells). On a small
+    * fixed-topology uniform grid AQE has nothing to re-plan (no skew,
+    * nothing worth coalescing beyond a sane static width), so its
+    * per-stage job quanta are pure overhead. At or above the floor —
+    * where stage payloads reach real size, per-job quanta amortize,
+    * and runtime coalescing/skew handling earn their keep — AQE stays
+    * on. The floor is deliberately conservative: 10M cells ≈ 80 MB of
+    * doubles, still small for a cluster but far past where the quanta
+    * dominate.
+    *
+    * Measured (g19 bench, sf0.1, local[32], isolated min-of-3):
+    * AQE on 11.30 s / 57 jobs / 753 tasks per run; AQE off alone
+    * 12.25 s (SLOWER — coalescing lost, tasks 4x to 1382/run); AQE
+    * off + width 8: 10.01 s / 33 jobs / 398 tasks / task-GC 8.9 s ->
+    * 2.9 s per window. Width 4 gains nothing further (10.24 s) — past
+    * the task-count knee the floor is per-action planning plus the
+    * eager legs' irreducible work, not scheduling quanta.
+    */
+  private val AqeCellFloor = 10L * 1000 * 1000
+
   def apply(ds: SimDataset, b1Name: String = "b1", b2Name: String = "b2",
       smoothing: Double = 3.0, timeIdx: Int = 0, deTol: Double = 5.0,
       csLimit: Double = 0.5, jyName: String = "jy"): Result = {
@@ -70,6 +96,26 @@ object FindStructures {
     val dz = zAxis(1) - zAxis(0); val dx = xAxis(1) - xAxis(0)
     val nz = zAxis.length; val nx = xAxis.length
     val dPerDe = ((1 / dz + 1 / dx) / 2).toInt // vpicdataset.py:345-349
+
+    // Scope AQE off for the eager legs on small grids (see
+    // [[AqeCellFloor]]). Session-conf scoped: the cs Future plans
+    // under the same session inside this window (awaited before the
+    // restore), while the RETURNED variables' dataframes execute after
+    // it and keep the caller's AQE setting.
+    val session = b1.df.sparkSession
+    val aqeScoped =
+      b1.timeAxis.length.toLong * nz * nx < AqeCellFloor
+    val aqePrev = session.conf.get("spark.sql.adaptive.enabled", "true")
+    val shufPrev = session.conf.get("spark.sql.shuffle.partitions", "32")
+    if (aqeScoped) {
+      session.conf.set("spark.sql.adaptive.enabled", "false")
+      // AQE-off loses runtime coalescing, so pin the static shuffle
+      // width to what AQE would have coalesced these KB-scale stages
+      // to anyway — without this the task count quadruples and eats
+      // the job-count win (measured: AQE-off alone is SLOWER)
+      session.conf.set("spark.sql.shuffle.partitions", "8")
+    }
+    try {
 
     // join the two fields on the grid once
     val joined = b1.df.select(col("it"), col("iz"), col("ix"), col("t"),
@@ -193,5 +239,11 @@ object FindStructures {
         cs.select("it", "iz", "ix", "cs"), "cs"))
     }
     Result(out, xCoords, oCoords)
+    } finally {
+      if (aqeScoped) {
+        session.conf.set("spark.sql.adaptive.enabled", aqePrev)
+        session.conf.set("spark.sql.shuffle.partitions", shufPrev)
+      }
+    }
   }
 }
