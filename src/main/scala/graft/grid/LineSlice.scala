@@ -200,12 +200,25 @@ object LineSlice {
       "This interpolation method cannot handle degenerate dimensions")
     require(!path.columns.contains("value"),
       "path must not carry a 'value' column — pathSlice appends the sampled value")
+    require(!path.columns.exists(_.startsWith("__")),
+      "path columns must not start with '__' — reserved for pathSlice internals")
     if (timeInterp) {
       require(v.timeAxis.length > 1,
         "time interpolation needs a time axis with more than one sample")
       require(path.columns.contains("t") && !path.columns.contains("it"),
         "a time-interpolating path carries physical 't', not index 'it'")
     }
+    // strictly increasing axes: duplicate adjacent knots would zero a
+    // bracket denominator and silently DROP the sample through the
+    // weight-sum filter — refuse up front (the dense-GridVar invariant
+    // the interpolation already assumes)
+    (v.spaceAxes.map { case (idx, a) => (v.coordCol(idx), a) } ++
+        (if (timeInterp) Seq(("t", v.timeAxis)) else Nil))
+      .foreach { case (name, a) =>
+        require(a.indices.drop(1).forall(j => a(j - 1) < a(j)),
+          s"axis '$name' must be strictly increasing (duplicate or " +
+            "unsorted knots make bracket weights undefined)")
+      }
     // bracketed dimensions: (join/index column, axis, path column).
     // With timeInterp the TIME axis is just one more bracketed dim —
     // the corner set doubles (2^(ndim+1)) and each sample blends the

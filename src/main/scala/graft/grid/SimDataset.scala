@@ -56,9 +56,20 @@ final case class DynVar(label: String, df: DataFrame) {
     val aggs = cols.flatMap(c =>
       Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
     val r = df.agg(aggs.head, aggs.tail: _*).head()
-    // empty trajectory: min/max aggregate to null — no bounds, not an NPE
-    if (r.isNullAt(0)) Seq.empty
-    else cols.indices.map(i => (r.getDouble(2 * i), r.getDouble(2 * i + 1)))
+    // contract: an EMPTY trajectory (every aggregate null) has no
+    // bounds; a PARTIALLY-null coordinate set (some column all-null
+    // while another is not) is refused — per-column NaN bounds would
+    // poison downstream min/max silently, and such a trajectory is a
+    // data bug, not a boundary case
+    val nullCols = cols.indices.filter(i => r.isNullAt(2 * i))
+    if (nullCols.size == cols.size) Seq.empty
+    else {
+      require(nullCols.isEmpty,
+        s"DynVar '$label': coordinate column(s) " +
+          s"${nullCols.map(cols).mkString(", ")} are all-null while " +
+          "others are not — bounds undefined")
+      cols.indices.map(i => (r.getDouble(2 * i), r.getDouble(2 * i + 1)))
+    }
   }
 }
 
@@ -187,21 +198,38 @@ final case class SimDataset(
     // Moving-point variables slice by the SAME coordinate filters — the
     // semantics the reference declares but stubs (DynMeshVar._timeslice/
     // _zoom are `pass`, dynmeshvar.py:28-35). Filters apply to whichever
-    // coordinate columns the trajectory carries; there is no index
-    // rebasing (a DynVar has no driver-side axes to rebase against) and
-    // the line section does not apply (no static mesh to section).
-    // CAVEAT, deliberate: a DynVar's `it` stays ABSOLUTE. After a
-    // timeslice, GridVar `it` values are rebased into the filtered axis
-    // while DynVar rows keep their original indices (filtered by
-    // physical `t` when the trajectory carries one; left whole when it
-    // does not — there is no axis to translate a time RANGE into index
-    // space). Correlating dyn and grid `it` post-slice is the caller's
-    // rebase.
+    // coordinate columns the trajectory carries; the line section does
+    // not apply (no static mesh to section).
+    //
+    // `it` REBASE (round 9, closing the round-8 mixed-dataset
+    // foot-gun): when the dataset's static-mesh variables agree on how
+    // the timeslice maps into index space (one distinct (offset, kept)
+    // across their time axes — the universal case: variables of one
+    // simulation share the time axis), DynVar `it` is filtered to the
+    // kept index range and shifted by the SAME offset as every
+    // GridVar, so dyn and grid `it` stay congruent after slicing.
+    // With no static variables (or disagreeing axes — a mixed-source
+    // dataset where "the" index map is undefined) `it` stays absolute
+    // and only physical `t` filters, as before.
+    val dynItRebase: Option[(Int, Int)] = timelims.flatMap { case (a, b) =>
+      val (lo, hi) = if (a <= b) (a, b) else (b, a)
+      val maps = variables.values.map(v =>
+        (v.timeAxis.count(_ < lo),
+          v.timeAxis.count(t => t >= lo && t <= hi))).toSet
+      if (maps.size == 1) Some(maps.head) else None
+    }
     val newDyn = dynVars.map { case (name, dv) =>
       var df = dv.df
       timelims.foreach { case (a, b) =>
         val (lo, hi) = if (a <= b) (a, b) else (b, a)
         if (df.columns.contains("t")) df = df.filter(col("t").between(lo, hi))
+        dynItRebase.foreach { case (firstKept, kept) =>
+          if (df.columns.contains("it")) {
+            df = df.filter(col("it") >= firstKept
+              && col("it") < firstKept + kept)
+            if (firstKept > 0) df = df.withColumn("it", col("it") - firstKept)
+          }
+        }
       }
       zooms.foreach { case (c, (a, b)) =>
         val (lo, hi) = if (a <= b) (a, b) else (b, a)

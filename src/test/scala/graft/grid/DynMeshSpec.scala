@@ -240,6 +240,40 @@ class DynMeshSpec extends AnyFunSuite {
     assert(dv.copy(df = dv.df.filter(lit(false))).bounds.isEmpty)
   }
 
+  test("mixed dataset timeslice: DynVar it rebases congruently with " +
+      "GridVars; dyn-only stays absolute") {
+    val gdf = (for (it <- 0 until 4; iz <- 0 until 2)
+      yield (it, iz, it.toDouble, iz * 0.5, iz * 0.5))
+      .toDF("it", "iz", "t", "z", "value")
+    val gv = GridVar("g", Array(0.0, 1.0, 2.0, 3.0),
+      Seq(("iz", Array(0.0, 0.5))), gdf)
+    val dv = DynVar("p", (0 until 4)
+      .map(it => (it, it.toDouble, 0.1 * it, math.cos(it)))
+      .toDF("it", "t", "z", "value"))
+    val noT = DynVar("q", (0 until 4).map(it => (it, 0.1 * it, it * 1.0))
+      .toDF("it", "z", "value"))
+    val sliced = SimDataset(Map.empty, Map("g" -> gv))
+      .addVar(dv).addVar(noT).ndslice(timelims = Some((1.0, 3.0)))
+    assert(sliced.variables("g").df.select("it").distinct()
+      .as[Int].collect().sorted.toSeq == Seq(0, 1, 2))
+    // congruent: the dyn rows landed in the same rebased index space,
+    // and rebased it=0 is the original it=1 (t = 1.0)
+    assert(sliced.dynVars("p").df.select("it")
+      .as[Int].collect().sorted.toSeq == Seq(0, 1, 2))
+    assert(sliced.dynVars("p").df.filter(col("it") === 0)
+      .select("t").as[Double].head() == 1.0)
+    // a trajectory with no physical t still slices: the grid's index
+    // map IS the timeslice for it
+    assert(sliced.dynVars("q").df.select("it")
+      .as[Int].collect().sorted.toSeq == Seq(0, 1, 2))
+    // dyn-only dataset: no axis to rebase against — absolute indices,
+    // physical-t filter only
+    val dynOnly = SimDataset(Map.empty, Map.empty).addVar(dv)
+      .ndslice(timelims = Some((1.0, 3.0)))
+    assert(dynOnly.dynVars("p").df.select("it")
+      .as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+  }
+
   test("export refuses the dyn_ filename collision") {
     val path = Seq((0, 0.5, 0.5)).toDF("it", "z", "x")
     val dv = LineSlice.pathSlice(field, path)
