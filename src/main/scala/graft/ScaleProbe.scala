@@ -71,6 +71,7 @@ object ScaleProbe {
       graft.dedup.DedupQueries.minhashPairsOf(c).count())
 
     if (enabled("knn")) knnGraphScale(spark)
+    if (enabled("multiprobe")) multiProbeRecall(spark)
     if (enabled("dedup_index")) dedupIndexScale(spark)
     if (enabled("vpic")) vpicThroughput(spark)
     if (enabled("neardup_stream")) streamingNearDupLatency(spark, corpus(10))
@@ -121,28 +122,27 @@ object ScaleProbe {
     }
   }
 
-  /** Where do find_structures' ~65 scheduled jobs COME from? One n=48
+  /** Where do find_structures' scheduled jobs COME from? One n=48
     * island-lattice run with a listener that histograms job call sites
     * — the targeting data for any job-count reduction (the wall at toy
     * scale is per-job quanta, so the biggest bucket is the lever).
     *
-    * Measured (n=48, 25 X pts, local[32]): 65 jobs total. 47 are AQE
-    * query-stage materializations (every exchange runs as its own job
-    * under AQE), grouped by root action: 13 under one keyed-CC solve's
-    * execution (the separatrix leg: mask raster + bbox + keyed gap_fill
-    * + zeros), 8 under the X/O classify collect (smooth/flux/gradient/
-    * contour/null spine), 8 under another CC solve, the rest spread over
-    * the current-sheet chain and output counts. The non-AQE residue: 6
-    * CC tile-pass rdd jobs, 4 CC localCheckpoints, the 1 classify
-    * collect (6 jobs incl. its same-thread broadcast builds). Levers
-    * already pulled: single-tile CC fast path, sign-keyed sheets, fused
-    * smoothing, one-pass classify+levels. What remains is one job per
-    * exchange — cutting it means cutting exchanges, and the surviving
-    * ones each carry real data movement (gap_fill is one exchange,
-    * minmax two, CC two + checkpoint). At toy scale this floor is the
-    * wall; at cluster scale the same 65 quanta amortize over
+    * Round-8 audit (n=48, 25 X pts, local[32]): 65 jobs, 47 of them
+    * AQE query-stage materializations of KB-scale exchanges. Round 9
+    * SPENT that audit: FindStructures now scopes AQE off (+ static
+    * shuffle width 8) for small grids (its AqeCellFloor), and the
+    * same audit reads **30 jobs**: the AQE-stage
+    * residue comes only from the OUTPUT counts (executed by the
+    * caller, outside the scope, AQE back on — 7+5+4 stages under the
+    * two count actions), plus the 4 CC localCheckpoints, the CC
+    * tile-pass rdd jobs, and the classify collect. Isolated g19 bench:
+    * 11.30 s -> 10.01 s min-of-3 (AQE off ALONE is slower, 12.25 s —
+    * the static width matters; width 4 gains nothing, 10.24 s — past
+    * the knee the floor is per-action planning + the eager legs'
+    * irreducible work). At cluster scale the quanta amortize over
     * arbitrarily large stages (the sweep above shows the data term is
-    * flat), so the floor is a LOCAL artifact, not a scale risk.
+    * flat), so the remaining floor is a LOCAL artifact, not a scale
+    * risk.
     */
   private def g19JobAudit(spark: SparkSession): Unit = {
     import graft.grid.{FindStructures, GridVar, SimDataset}
@@ -151,7 +151,7 @@ object ScaleProbe {
     val started =
       new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]
     val execSite = new java.util.concurrent.ConcurrentHashMap[String, String]
-    spark.sparkContext.addSparkListener(
+    val listener =
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
             j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
@@ -175,7 +175,8 @@ object ScaleProbe {
           Option(started.remove(j.jobId)).foreach { case (site, t0) =>
             durs.merge(site, j.time - t0, (a, b) => a + b)
           }
-      })
+      }
+    spark.sparkContext.addSparkListener(listener)
     val n = 48
     val k = 2 * math.Pi / 16
     val ph = 0.3
@@ -209,6 +210,62 @@ object ScaleProbe {
       } else s
       println(f"[scale]   $c%3d  ${ms}%6d ms  $label")
     }
+    // probes running after this one must not keep feeding the audit
+    // maps (nor would a second audit call double-count)
+    spark.sparkContext.removeSparkListener(listener)
+  }
+
+  /** Multi-probe economics for the cluster-bounded family (q111/q116):
+    * on the sf0.1 embeddings (5k vectors), build the EXACT top-5 graph
+    * by brute force (n² vector-level cross join through the native
+    * cosine expression — affordable at probe scale, the thing the
+    * cluster bound exists to avoid at corpus scale), then measure the
+    * kNN graph's edge recall and candidate-pair cost at probe widths
+    * 1 and 2. The claim under test: top-2 probing recovers the
+    * cross-boundary edges single-probe structurally misses, for ≈2x
+    * the bounded pair space (both linear in n).
+    *
+    * Measured on local[32] (sf0.1, 2000 vecs, k=5, k_clusters=20):
+    * nprobe=1 pairs=100,060 recall=0.167; nprobe=2 pairs=387,924
+    * recall=0.443 — 2.7x the recalled edges for 3.9x the candidate
+    * pairs. The 2x geometry estimate understates the cost at this toy
+    * k_clusters=20 (probed-cluster populations overlap heavily); both
+    * counts stay ≈ nProbe²·n·stride — linear in n, which is the bound
+    * that matters at corpus scale. Absolute recall is low because
+    * synthetic label-blob embeddings put most true top-5 edges across
+    * blob boundaries — the structural miss multi-probe exists to
+    * shrink; the q89/q96/q118 recall gates measure the production ANN
+    * ladder instead.
+    */
+  private def multiProbeRecall(spark: SparkSession): Unit = {
+    import graft.similarity.SimilarityQueries
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .select("vec_id", "embedding").persist()
+    val k = 5
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("va").orderBy(col("cos").desc, col("vb").asc)
+    val exact = emb.select(col("vec_id").as("va"), col("embedding").as("ea"))
+      .join(emb.select(col("vec_id").as("vb"), col("embedding").as("eb")),
+        col("va") =!= col("vb"))
+      .select(col("va"), col("vb"),
+        round(graft.functions.VectorOps.cosine(col("ea"), col("eb")), 6)
+          .as("cos"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select("va", "vb").persist()
+    val nEdges = exact.count()
+    for (np <- Seq(1, 2)) {
+      val t0 = System.nanoTime()
+      val (_, half) = SimilarityQueries.clusterBoundedCosineOf(emb, np)
+      val nPairs = half.count()
+      val hit = SimilarityQueries.knnGraphOf(emb, k, np)
+        .select(col("vec_id").as("va"), col("nbr_id").as("vb"))
+        .join(exact, Seq("va", "vb"), "left_semi").count()
+      CacheScope.flush(spark)
+      println(f"[scale] multiprobe nprobe=$np pairs=$nPairs " +
+        f"recall=${hit.toDouble / nEdges}%.4f exact_edges=$nEdges " +
+        f"time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    exact.unpersist(); emb.unpersist()
   }
 
   /** q116 kNN-graph scaling: replicate the embeddings corpus k-fold.
@@ -307,12 +364,14 @@ object ScaleProbe {
     * (sep/O-structure work tracks Σ bbox area instead of cells×xpoints):
     *   n=24  jobs=65  17.4 s   n=48  jobs=65  12.9 s   n=96  jobs=65  14.9 s
     * — the n=96 data term collapsed (25.4 -> 14.9 s, now ~flat in grid
-    * size); job count is still exactly constant. Job count EXACTLY
-    * constant; the scheduling-quanta floor dominates every size. The
-    * smooth island jy never exceeds its mean±3σ threshold, so the
-    * current-sheet legs run on empty masks (cs=0) — the chain's fixed
-    * cost is still in every number. See [[g19JobAudit]] for where the
-    * 65 jobs come from.
+    * size); job count exactly constant. Round 9, after the scoped
+    * AQE-off + static-width-8 window inside FindStructures:
+    *   n=24  jobs=30  15.1 s   n=48  jobs=30  11.2 s   n=96  jobs=30  13.7 s
+    * — jobs 65 -> 30, still EXACTLY constant in grid size (n=24 pays
+    * first-run JVM/codegen warmup). The smooth island jy never exceeds
+    * its mean±3σ threshold, so the current-sheet legs run on empty
+    * masks (cs=0) — the chain's fixed cost is still in every number.
+    * See [[g19JobAudit]] for where the remaining 30 come from.
     */
   private def g19GridSweep(spark: SparkSession): Unit = {
     import graft.grid.{FindStructures, GridVar, SimDataset}
