@@ -337,6 +337,15 @@ object Topology {
     // a narrow plan over the persisted rows and is NOT deduplicated:
     // min-aggregation of messages is duplicate-tolerant, so a distinct()
     // here would buy nothing and cost a full shuffle of the edge list.
+    //
+    // NEGATIVE RESULT (round 9, don't retry): scoping AQE off (+ static
+    // width 8) around the iterative solve — the lever that won 11%
+    // inside FindStructures — cut job counts 2-3x here but REGRESSED
+    // wall on every CC-heavy query (q104 3.53->4.16 s, q50 3.08->3.29,
+    // q95 1.28->1.65, measured min-of-3 same-subset): each iteration's
+    // joins against the small materialized label table rely on AQE's
+    // runtime SMJ->broadcast conversion and aggressive coalescing,
+    // which static planning cannot see through a checkpointed lineage.
     val e0 = graft.CacheScope.retain(
       edges.select((k :+ col("s") :+ col("t")): _*))
     val e = e0
