@@ -248,6 +248,50 @@ object DedupQueries {
     Q("q30_minhash_lsh_pairs", (s, d) => minhashPairs(s, d),
       Some(minhashOracleSql)),
 
+    // ---- q120: fuzzy dedup with EDIT-DISTANCE verification — the
+    // RefinedWeb/Gopher-style decision, as a staged CASCADE of
+    // verifiers ordered by unit cost over STAR-CONTRACTED candidates:
+    // each doc pairs only with the lowest-id member of its band
+    // buckets (<= 4 edges per doc — LINEAR, the q50/q110 policy; an
+    // all-pairs formulation is quadratic in twin-family size and
+    // measured 6.5-7.5 s on this twin-heavy corpus where the verified
+    // pair graph alone is 6.1M edges), signature agreement (16 int
+    // compares) filters first, and only survivors pay exact
+    // Levenshtein, accepted when the distance clears BOTH an absolute
+    // cap and a relative bar (<= [[FuzzyEditFrac]] of the longer
+    // text). The Spark side uses the THRESHOLDED levenshtein
+    // (early-exit at [[FuzzyEditCap]]: O(cap·min(len)) per pair, not
+    // O(len²)); -1 marks "exceeded" and is filtered. Output: every
+    // doc with its keep flag — corpus-sized, never pair-sized.
+    Q("q120_fuzzy_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val sig = graft.CacheScope.retain(minhashSignaturesOf(docs))
+        val bands = bandsOf(sig)
+        val bm = bands.groupBy("band", "bucket").agg(min("doc_id").as("m"))
+        val edges = bands.join(bm, Seq("band", "bucket"))
+          .filter(col("doc_id") > col("m"))
+          .select(col("doc_id").as("e_doc"), col("m")).distinct()
+        val agree = agreeExpr("a", "b")
+        val dropped = edges
+          .join(sig.as("a"), col("e_doc") === col("a.doc_id"))
+          .join(sig.as("b"), col("m") === col("b.doc_id"))
+          .filter(agree >= (NumHashes + 1) / 2)
+          .select(col("e_doc"), col("m"))
+          .join(docs.select(col("doc_id").as("e_doc"), col("text").as("ta")),
+            "e_doc")
+          .join(docs.select(col("doc_id").as("m"), col("text").as("tb")), "m")
+          .withColumn("dist", levenshtein(col("ta"), col("tb"), FuzzyEditCap))
+          .filter(col("dist") >= 0 && col("dist") <=
+            lit(FuzzyEditFrac) * greatest(length(col("ta")), length(col("tb"))))
+          .select(col("e_doc").as("doc_id")).distinct()
+        docs.select("doc_id")
+          .join(dropped.withColumn("drp", lit(true)), Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(!col("drp"), lit(true)).as("kept"))
+          .orderBy("doc_id")
+      },
+      Some(fuzzyDedupOracleSql)),
+
     // ---- SimHash signatures (h60 per token, sign-sum per bit) —
     // oracle-checked bit-for-bit via the same cross-engine hash.
     Q("q36_simhash", (s, d) => simhash(s, d), Some(simhashOracleSql)),
@@ -968,6 +1012,38 @@ object DedupQueries {
   private lazy val minhashOracleSql: String =
     s"""WITH ${minhashCtes("")}
        SELECT doc_a, doc_b, est_jaccard FROM pairs ORDER BY doc_a, doc_b"""
+
+  /** q120 edit-distance verification bars: absolute early-exit cap and
+    * the relative fraction of the longer text. Both engines compute
+    * character-level Levenshtein; DuckDB has no thresholded form, so
+    * the oracle computes the full distance and applies the same two
+    * filters — identical surviving pairs and distances.
+    */
+  val FuzzyEditCap = 50
+  val FuzzyEditFrac = 0.3
+
+  /** DuckDB twin of q120: star edges to band-bucket minima, signature
+    * agreement filter, full levenshtein, same absolute + relative
+    * acceptance bars, keep flag per doc.
+    */
+  private lazy val fuzzyDedupOracleSql: String =
+    s"""WITH ${sigBandCtes("")},
+       bm AS (SELECT band, bucket, min(doc_id) AS m FROM bands GROUP BY 1, 2),
+       e AS (SELECT DISTINCT l.doc_id, bm.m
+             FROM bands l JOIN bm USING (band, bucket)
+             WHERE l.doc_id > bm.m),
+       se AS (SELECT e.doc_id, e.m FROM e
+              JOIN sig a ON e.doc_id = a.doc_id
+              JOIN sig b ON e.m = b.doc_id
+              WHERE $agreeSql >= ${(NumHashes + 1) / 2}),
+       drp AS (SELECT DISTINCT se.doc_id FROM se
+               JOIN documents da ON se.doc_id = da.doc_id
+               JOIN documents db ON se.m = db.doc_id
+               WHERE levenshtein(da.text, db.text) <= $FuzzyEditCap
+                 AND levenshtein(da.text, db.text)
+                     <= $FuzzyEditFrac * greatest(len(da.text), len(db.text)))
+       SELECT doc_id, doc_id NOT IN (SELECT doc_id FROM drp) AS kept
+       FROM documents ORDER BY doc_id"""
 
   val ShingleW = 3
 
