@@ -70,6 +70,23 @@ object ScaleProbe {
     if (enabled("minhash_pairs")) probe("minhash_pairs", Seq(1, 4))(c =>
       graft.dedup.DedupQueries.minhashPairsOf(c).count())
 
+    // q120 decision cost on the twin-heavy replicated corpus: the
+    // star-contracted cascade must stay ~linear where the verified
+    // PAIR graph grows k² (every doc gains k-1 exact twins — compare
+    // minhash_pairs above: 6.1M pairs at k=1, 97.9M at k=4).
+    // Measured: k=1 12.1 s (cold), k=4 5.9 s, k=10 10.0 s — 10x the
+    // docs costs 1.7x of k=4: linear with a fixed term. The kept
+    // counts (4954/17407/42313) also expose the star policy's recall
+    // trade at its degenerate worst: on this shared-vocabulary corpus
+    // the band buckets are mega-buckets whose ONE representative is a
+    // non-twin for most members, so twins verify against the wrong doc
+    // and survive — the q50/q110 linearity-for-recall bargain
+    // (DedupIndexSpec pins the mechanism on crafted signatures), made
+    // quantitative here. Natural corpora have sparse buckets; a
+    // deployment needing exhaustive recall on twin-heavy data runs the
+    // q104-style exact-pairwise audit instead.
+    if (enabled("fuzzy")) probe("fuzzy_dedup", Seq(1, 4, 10))(c =>
+      graft.dedup.DedupQueries.fuzzyDedupOf(c).filter(col("kept")).count())
     if (enabled("knn")) knnGraphScale(spark)
     if (enabled("multiprobe")) multiProbeRecall(spark)
     if (enabled("dedup_index")) dedupIndexScale(spark)

@@ -264,32 +264,7 @@ object DedupQueries {
     // O(len²)); -1 marks "exceeded" and is filtered. Output: every
     // doc with its keep flag — corpus-sized, never pair-sized.
     Q("q120_fuzzy_dedup",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        val sig = graft.CacheScope.retain(minhashSignaturesOf(docs))
-        val bands = bandsOf(sig)
-        val bm = bands.groupBy("band", "bucket").agg(min("doc_id").as("m"))
-        val edges = bands.join(bm, Seq("band", "bucket"))
-          .filter(col("doc_id") > col("m"))
-          .select(col("doc_id").as("e_doc"), col("m")).distinct()
-        val agree = agreeExpr("a", "b")
-        val dropped = edges
-          .join(sig.as("a"), col("e_doc") === col("a.doc_id"))
-          .join(sig.as("b"), col("m") === col("b.doc_id"))
-          .filter(agree >= (NumHashes + 1) / 2)
-          .select(col("e_doc"), col("m"))
-          .join(docs.select(col("doc_id").as("e_doc"), col("text").as("ta")),
-            "e_doc")
-          .join(docs.select(col("doc_id").as("m"), col("text").as("tb")), "m")
-          .withColumn("dist", levenshtein(col("ta"), col("tb"), FuzzyEditCap))
-          .filter(col("dist") >= 0 && col("dist") <=
-            lit(FuzzyEditFrac) * greatest(length(col("ta")), length(col("tb"))))
-          .select(col("e_doc").as("doc_id")).distinct()
-        docs.select("doc_id")
-          .join(dropped.withColumn("drp", lit(true)), Seq("doc_id"), "left")
-          .select(col("doc_id"), coalesce(!col("drp"), lit(true)).as("kept"))
-          .orderBy("doc_id")
-      },
+      (s, d) => fuzzyDedupOf(Tables.documents(s, d)).orderBy("doc_id"),
       Some(fuzzyDedupOracleSql)),
 
     // ---- SimHash signatures (h60 per token, sign-sum per bit) —
@@ -1021,6 +996,35 @@ object DedupQueries {
     */
   val FuzzyEditCap = 50
   val FuzzyEditFrac = 0.3
+
+  /** The q120 operator over an arbitrary documents table (doc_id,
+    * text): (doc_id, kept) for every doc — public so ScaleProbe can
+    * drive it at replicated scale.
+    */
+  def fuzzyDedupOf(docs: DataFrame): DataFrame = {
+    val sig = graft.CacheScope.retain(minhashSignaturesOf(docs))
+    val bands = bandsOf(sig)
+    val bm = bands.groupBy("band", "bucket").agg(min("doc_id").as("m"))
+    val edges = bands.join(bm, Seq("band", "bucket"))
+      .filter(col("doc_id") > col("m"))
+      .select(col("doc_id").as("e_doc"), col("m")).distinct()
+    val agree = agreeExpr("a", "b")
+    val dropped = edges
+      .join(sig.as("a"), col("e_doc") === col("a.doc_id"))
+      .join(sig.as("b"), col("m") === col("b.doc_id"))
+      .filter(agree >= (NumHashes + 1) / 2)
+      .select(col("e_doc"), col("m"))
+      .join(docs.select(col("doc_id").as("e_doc"), col("text").as("ta")),
+        "e_doc")
+      .join(docs.select(col("doc_id").as("m"), col("text").as("tb")), "m")
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), FuzzyEditCap))
+      .filter(col("dist") >= 0 && col("dist") <=
+        lit(FuzzyEditFrac) * greatest(length(col("ta")), length(col("tb"))))
+      .select(col("e_doc").as("doc_id")).distinct()
+    docs.select("doc_id")
+      .join(dropped.withColumn("drp", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(!col("drp"), lit(true)).as("kept"))
+  }
 
   /** DuckDB twin of q120: star edges to band-bucket minima, signature
     * agreement filter, full levenshtein, same absolute + relative

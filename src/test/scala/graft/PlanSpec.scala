@@ -202,6 +202,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q116 kNN graph scores pairs with the native dot product, " +
+      "partitioned window, no UDF") {
+    val p = plan("q116_knn_graph")
+    // pair cosines must run through the codegen'd DotProduct expression
+    // at vector level — the component-level explode+aggregate shape
+    // shuffled the pair-by-dimension blowup (measured 179 MB at sf0.1)
+    assert(p.toLowerCase.contains("dotproduct"),
+      "expected native dot-product scoring in the pair join")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      "vector scoring must be expression-level, not a UDF")
+    // per-vector top-k is a hash-partitioned window, never global
+    assert(p.contains("Window"), "expected a window for per-vector top-k")
+  }
+
   test("g20 path slice is one equi-join; the bracket math stays codegen'd") {
     val p = plan("g20_spacecraft_path")
     // the time-dependent corner resolution must plan as a hash equi-join
