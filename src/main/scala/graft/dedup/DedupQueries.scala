@@ -555,30 +555,8 @@ object DedupQueries {
     // per call: advance MUTATES the artifact, so sharing q117's
     // serve-only copy would poison it.
     Q("q119_advance_ingest",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        val idx = tempIndexDir("graft_dedup_advance")
-        buildDedupIndex(docs.filter(col("doc_id") < NeardupArrivalSplit), idx)
-        val phase1 = incrementalIngest(
-          docs.filter(col("doc_id") < AdvanceSplit2), NeardupArrivalSplit,
-          graft.CacheScope.retain(indexSignatures(s, idx)),
-          indexBands(s, idx)).localCheckpoint(true)
-        advanceDedupIndex(
-          docs.join(phase1.filter(col("status") === "added"
-              && col("doc_id") >= NeardupArrivalSplit).select("doc_id"),
-            "doc_id").select("doc_id", "text"), idx)
-        val sigArr2 = graft.CacheScope.retain(
-          signaturesPerRow(docs.filter(col("doc_id") >= AdvanceSplit2)))
-        val dup2 = ingestDupArrivals(sigArr2,
-          graft.CacheScope.retain(bandsOf(sigArr2)),
-          graft.CacheScope.retain(indexSignatures(s, idx)),
-          indexBands(s, idx))
-        phase1.unionAll(
-            docs.filter(col("doc_id") >= AdvanceSplit2).select("doc_id")
-              .join(dup2, Seq("doc_id"), "left_anti")
-              .select(col("doc_id"), lit("added").as("status")))
-          .orderBy("doc_id")
-      },
+      (s, d) => advanceIngestFlow(s, Tables.documents(s, d),
+        NeardupArrivalSplit, AdvanceSplit2),
       Some(advanceIngestOracleSql)),
 
     // ---- q112: cross-source duplication matrix — for every unordered
@@ -812,6 +790,38 @@ object DedupQueries {
            AND doc_id NOT IN (SELECT doc_id FROM dup)
          ORDER BY doc_id"""
 
+  /** The q119 two-phase lifecycle over an arbitrary documents table —
+    * build on ids < split1, serve batch 1 [split1, split2) from the
+    * artifact, commit its decision (eager localCheckpoint), advance
+    * the artifact with the admitted docs, serve batch 2 (>= split2)
+    * from the ADVANCED artifact. package-private so DedupIndexSpec can
+    * pin the advance visibility contract on crafted corpora.
+    */
+  private[dedup] def advanceIngestFlow(s: SparkSession, docs: DataFrame,
+      split1: Long, split2: Long): DataFrame = {
+    val idx = tempIndexDir("graft_dedup_advance")
+    buildDedupIndex(docs.filter(col("doc_id") < split1), idx)
+    val phase1 = incrementalIngest(
+      docs.filter(col("doc_id") < split2), split1,
+      graft.CacheScope.retain(indexSignatures(s, idx)),
+      indexBands(s, idx)).localCheckpoint(true)
+    advanceDedupIndex(
+      docs.join(phase1.filter(col("status") === "added"
+          && col("doc_id") >= split1).select("doc_id"),
+        "doc_id").select("doc_id", "text"), idx)
+    val sigArr2 = graft.CacheScope.retain(
+      signaturesPerRow(docs.filter(col("doc_id") >= split2)))
+    val dup2 = ingestDupArrivals(sigArr2,
+      graft.CacheScope.retain(bandsOf(sigArr2)),
+      graft.CacheScope.retain(indexSignatures(s, idx)),
+      indexBands(s, idx))
+    phase1.unionAll(
+        docs.filter(col("doc_id") >= split2).select("doc_id")
+          .join(dup2, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), lit("added").as("status")))
+      .orderBy("doc_id")
+  }
+
   /** DuckDB twin of q119: the two-phase ingest with the advanced
     * corpus. corp2 = corp1 plus the band entries of batch-1 docs that
     * survived phase 1 — the SQL image of [[advanceDedupIndex]]'s
@@ -904,6 +914,15 @@ object DedupQueries {
     val sig = graft.CacheScope.retain(signaturesPerRow(admitted))
     sig.write.mode("append").parquet(path + "/signatures")
     bandsOf(sig).write.mode("append").parquet(path + "/bands")
+    // Visibility guarantee: a pre-advance read of this artifact may be
+    // cached (q119's phase 1 retains the signature read of the same
+    // path). Measured on this Spark version the fresh post-advance
+    // read does NOT match the cached plan (DedupIndexSpec's "advance
+    // visibility" case passes with this line removed) — but that
+    // hinges on CacheManager plan-matching internals, so the contract
+    // is made explicit: invalidate and recache everything under the
+    // artifact path before returning.
+    admitted.sparkSession.catalog.refreshByPath(path)
   }
 
   /** Per-JVM memoized dedup-index artifact for the q117 serve path:

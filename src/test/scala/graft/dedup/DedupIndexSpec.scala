@@ -61,6 +61,25 @@ class DedupIndexSpec extends AnyFunSuite {
     graft.CacheScope.flush(spark)
   }
 
+  test("advance visibility: a batch-2 twin of an ADMITTED batch-1 doc " +
+      "drops — post-advance artifact reads must see the appended rows " +
+      "even though phase 1 cached the same path") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (10L, "one two three four five six seven"),
+      (20L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    // doc 20 near-dups ONLY doc 10 (admitted in batch 1, absent from
+    // the built corpus): it can drop if and only if phase 2 reads the
+    // ADVANCED artifact — a stale cached read keeps it
+    val out = DedupQueries.advanceIngestFlow(spark, docs, 10L, 20L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((0L, "existing"), (10L, "added")),
+      s"got $out — doc 20 surviving means phase 2 served a stale cache")
+    graft.CacheScope.flush(spark)
+  }
+
   test("star-contracted intra-batch verification misses a twin pair " +
       "sharing only a bucket led by a non-twin (the documented trade)") {
     import spark.implicits._
