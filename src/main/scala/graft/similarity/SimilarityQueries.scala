@@ -259,6 +259,43 @@ object SimilarityQueries {
              round(h.hits / 10.0, 4) AS recall_at_10
       FROM nc, h"""
 
+  /** DuckDB twin of q121: the same per-label subspace codebooks,
+    * struct-min encode (row_number over (d2, cl)), probe distance
+    * table, 8-lookup ADC sum, and exact-L2 top-10 — every step plain
+    * double arithmetic with the ordering done on 6-dp-rounded values.
+    */
+  private val pqAdcRecallOracleSql: String =
+    """WITH flat AS (SELECT vec_id, label, CAST(v AS DOUBLE) AS v, i FROM (
+           SELECT vec_id, label, unnest(embedding) AS v,
+                  generate_subscripts(embedding, 1) AS i FROM embeddings) x),
+      sub AS (SELECT vec_id, label, v, i,
+                CAST(floor((i - 1) / 4) AS INT) AS m FROM flat),
+      cb AS (SELECT m, label AS cl, i, avg(v) AS c FROM sub GROUP BY 1, 2, 3),
+      d2 AS (SELECT s.vec_id, cb.m, cb.cl,
+               sum((s.v - cb.c) * (s.v - cb.c)) AS d2
+             FROM sub s JOIN cb ON s.i = cb.i GROUP BY 1, 2, 3),
+      code AS (SELECT vec_id, m, cl FROM (
+                 SELECT vec_id, m, cl,
+                        row_number() OVER (PARTITION BY vec_id, m
+                          ORDER BY d2, cl) AS rn FROM d2) t
+               WHERE rn = 1),
+      qtab AS (SELECT m, cl, d2 AS td FROM d2 WHERE vec_id = 0),
+      adc AS (SELECT c.vec_id, round(sum(q.td), 6) AS adist
+              FROM code c JOIN qtab q ON c.m = q.m AND c.cl = q.cl
+              WHERE c.vec_id <> 0 GROUP BY 1),
+      cand AS (SELECT vec_id FROM adc ORDER BY adist, vec_id LIMIT 50),
+      qv AS (SELECT i, v AS qv FROM flat WHERE vec_id = 0),
+      exact AS (SELECT f.vec_id,
+                  round(sum((f.v - q.qv) * (f.v - q.qv)), 6) AS l2
+                FROM flat f JOIN qv q USING (i) WHERE f.vec_id <> 0
+                GROUP BY f.vec_id ORDER BY l2, vec_id LIMIT 10),
+      nc AS (SELECT count(*) AS n_candidates FROM cand),
+      h AS (SELECT count(*) AS hits FROM exact
+            WHERE vec_id IN (SELECT vec_id FROM cand))
+      SELECT nc.n_candidates, h.hits,
+             round(h.hits / 10.0, 4) AS recall_at_10
+      FROM nc, h"""
+
   /** DuckDB twin of q96: regenerates the hyperplane signs from md5
     * parity, rebuilds the quantized sign buckets, takes candidates
     * sharing any of the 4 table buckets with probe vec_id=0, and scores
@@ -350,6 +387,34 @@ object SimilarityQueries {
 
   private def exactTop10(f: DataFrame): DataFrame =
     cosineVsProbe(f).orderBy(col("cos_sim").desc, col("vec_id")).limit(10)
+
+  /** Exact squared-L2 top-10 vs the probe (vec 0), 6-dp rounded before
+    * ordering with a vec_id tie-break — the L2 twin of [[exactTop10]],
+    * the ground truth for the PQ/ADC path (q121) whose natural metric
+    * is L2, not cosine.
+    */
+  private def exactL2Top10(f: DataFrame): DataFrame = {
+    val qv = f.filter(col("vec_id") === 0)
+      .select(col("i").as("qi"), col("v").as("qv"))
+    f.filter(col("vec_id") =!= 0)
+      .join(broadcast(qv), col("i") === col("qi"))
+      .groupBy("vec_id")
+      .agg(round(sum((col("v") - col("qv")) * (col("v") - col("qv"))), 6)
+        .as("l2"))
+      .orderBy(col("l2"), col("vec_id"))
+      .limit(10)
+  }
+
+  /** Subspace width of the PQ code (q121): 64 dims / 4 = 16 subspaces.
+    * Measured on sf0.01 (DuckDB parameter sweep): 8-dim subspaces @
+    * top-30 candidates give recall@10 = 0.3; 4-dim @ top-50 = 1.0 —
+    * the classic PQ trade, finer subspaces cut quantization distortion
+    * faster than they grow the code (16 bytes/vector here).
+    */
+  private val PqSubDim = 4
+
+  /** ADC candidate depth of q121 (re-rank budget: 10% of the corpus). */
+  private val PqNCand = 50
 
   def defs: Seq[Q] = Seq(
     // ---- exact cosine top-10 vs probe vec_id=0. Ranking happens on the
@@ -821,7 +886,60 @@ object SimilarityQueries {
              SELECT e.vec_id, e.label AS old_label, m.assigned,
                     round(sqrt(m.d2), 6) AS dist,
                     e.label != m.assigned AS moved
-             FROM embeddings e JOIN m USING (vec_id) ORDER BY vec_id"""))
+             FROM embeddings e JOIN m USING (vec_id) ORDER BY vec_id""")),
+
+    // ---- q121: PRODUCT QUANTIZATION with asymmetric-distance (ADC)
+    // scoring — the memory-scale rung of the ANN ladder the repo didn't
+    // have yet (LSH buckets q96, IVF lists q89, int8 q102, matryoshka
+    // q109; PQ is the one that shrinks the SCAN ITSELF to M bytes/vector).
+    // Codebooks: the 64-dim space splits into 16 contiguous 4-dim
+    // subspaces; per subspace the 10 sub-centroids are the per-label
+    // means (the q80/q89 deterministic quantizer restricted to the
+    // subspace — no trained k-means, so DuckDB reproduces every byte).
+    // Encode: each vector -> 16 codes, each the (d2, label)-struct-min
+    // nearest sub-centroid (argmin agrees cross-engine; q80 proves the
+    // pattern). Search: the probe computes ONE 16x10 distance table
+    // (metadata-scale, broadcast); every vector's approx distance is 16
+    // table lookups summed — no float vector is touched until the
+    // re-rank. Candidates = top-50 by 6-dp-rounded ADC distance (vec_id
+    // tie-break); recall@10 against the exact squared-L2 top-10 (L2 is
+    // PQ's native metric, so the recall number is apples-to-apples) —
+    // 1.0 at these parameters (see [[PqSubDim]] for the sweep).
+    // The 100 TB story: codes are 16 bytes/vector vs 256 bytes of
+    // float32 — a 16x smaller scan that is pure codegen'd long
+    // arithmetic; the codebook + probe table stay broadcast-sized
+    // (KB); encode cost is n x M x K, linear in n.
+    Q("q121_pq_adc_recall",
+      (s, d) => {
+        val f = graft.CacheScope.retain(flat(s, d))
+        val cb = f.withColumn("m", floor(col("i") / PqSubDim).cast("int"))
+          .groupBy("m", "label", "i").agg(avg("v").as("c"))
+          .select(col("m").as("cm"), col("label").as("cl"),
+            col("i").as("ci"), col("c"))
+        val d2 = graft.CacheScope.retain(
+          f.join(broadcast(cb), col("i") === col("ci"))
+            .groupBy("vec_id", "cm", "cl")
+            .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("d2")))
+        val code = d2.groupBy("vec_id", "cm")
+          .agg(min(struct(col("d2"), col("cl"))).as("mn"))
+          .select(col("vec_id"), col("cm"), col("mn.cl").as("cl"))
+        val qtab = d2.filter(col("vec_id") === 0)
+          .select(col("cm").as("qm"), col("cl").as("qcl"), col("d2").as("td"))
+        val cand = code.filter(col("vec_id") =!= 0)
+          .join(broadcast(qtab),
+            col("cm") === col("qm") && col("cl") === col("qcl"))
+          .groupBy("vec_id").agg(round(sum(col("td")), 6).as("adist"))
+          .orderBy(col("adist"), col("vec_id")).limit(PqNCand)
+          .select("vec_id")
+        val exact10 = exactL2Top10(f)
+        val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+        val hits = exact10.join(cand, Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+        nCand.crossJoin(hits)
+          .select(col("n_candidates"), col("hits"),
+            round(col("hits").cast("double") / 10.0, 4).as("recall_at_10"))
+      },
+      Some(pqAdcRecallOracleSql))
   )
 
   /** Shared candidate machinery of q111 (SemDeDup) and q116 (kNN

@@ -86,7 +86,43 @@ object StreamingQueries {
       },
       Some(s"""WITH ${Tables.evCte}
               SELECT user_id, count(*) AS n, round(sum(value), 4) AS total
-              FROM ev GROUP BY 1 ORDER BY user_id"""))
+              FROM ev GROUP BY 1 ORDER BY user_id""")),
+
+    // ---- q123: batch twin of the streaming dedup leg
+    // (Streams.dedupStream / dropDuplicatesWithinWatermark, state
+    // behavior pinned in StreamsSpec). Streaming dedup keeps the first
+    // ARRIVAL per key — undefined in batch — so the declared batch
+    // rule is the deterministic keep-earliest-(ts, event_id) via one
+    // struct-min aggregation (the q99 keep-rule on the events table).
+    // The logical dedup key coarsens value to floor(value) — the
+    // telemetry replay/at-least-once shape where payloads re-arrive
+    // slightly re-serialized (and the synthetic table has no exact
+    // double collisions at small SF). Output: each duplicated key with
+    // the surviving row and the multiplicity. One hash shuffle on the
+    // dedup key, map-side combined; never a window over all events.
+    Q("q123_event_dedup",
+      (s, d) =>
+        Tables.events(s, d)
+          .withColumn("vkey", floor(col("value")).cast("long"))
+          .groupBy(col("user_id"), col("event_type"), col("vkey"))
+          .agg(min(struct(col("ts"), col("event_id"))).as("m"),
+            count(lit(1)).as("n_dups"))
+          .filter(col("n_dups") > 1)
+          .select(col("user_id"), col("event_type"), col("vkey"),
+            col("m.event_id").as("kept_event_id"),
+            col("m.ts").cast("timestamp_ntz").as("kept_ts"),
+            col("n_dups"))
+          .orderBy("user_id", "event_type", "vkey"),
+      Some(s"""WITH ${Tables.evCte},
+              g AS (SELECT user_id, event_type,
+                      CAST(floor(value) AS BIGINT) AS vkey,
+                      min(struct_pack(ts := ts, event_id := event_id)) AS m,
+                      count(*) AS n_dups
+                    FROM ev GROUP BY 1, 2, 3)
+              SELECT user_id, event_type, vkey,
+                     m.event_id AS kept_event_id, m.ts AS kept_ts, n_dups
+              FROM g WHERE n_dups > 1
+              ORDER BY user_id, event_type, vkey"""))
   ) ++ Seq(
 
     // ---- q107: batch twin of the STREAM-STREAM interval join

@@ -733,11 +733,63 @@ object TextQueries {
                  AS shard,
                count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS bytes,
                min(doc_id) AS first_doc, max(doc_id) AS last_doc
-             FROM c GROUP BY 1 ORDER BY 1"""))
+             FROM c GROUP BY 1 ORDER BY 1""")),
+
+    // ---- RAG/context-window chunking: split every document into
+    // overlapping token windows (width ChunkW, stride ChunkS, overlap
+    // W-S) — the retrieval-corpus/sequence-prep primitive between raw
+    // docs and q79's packing. Chunk k covers tokens [k*S, k*S + W);
+    // every doc emits at least one chunk; the last chunk may be short
+    // (slice clamps). Spark side is sequence + posexplode + slice —
+    // one stateless projection, no shuffle at all until the final
+    // ORDER BY (which only the oracle compare needs): at 100 TB this
+    // runs scan-speed, parallel by input split, and the explode factor
+    // (~n_tokens/S per doc) is bounded by design. Tokenization is the
+    // corpus-wide single-space rule (q22/q23) so both engines see
+    // identical token arrays.
+    Q("q122_doc_chunking",
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("n", size(col("toks")))
+          .withColumn("nchunks",
+            when(col("n") <= ChunkW, lit(1L)).otherwise(
+              lit(1L) + ceil((col("n") - lit(ChunkW))
+                / lit(ChunkS.toDouble)).cast("long")))
+          .select(col("doc_id"), col("toks"),
+            posexplode(sequence(lit(0L), col("nchunks") - 1))
+              .as(Seq("chunk_id", "k")))
+          .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+            (col("k") * ChunkS + 1).as("start_tok"),
+            size(slice(col("toks"), (col("k") * ChunkS + 1).cast("int"),
+              lit(ChunkW))).cast("long").as("n_chunk_tokens"),
+            array_join(slice(col("toks"),
+              (col("k") * ChunkS + 1).cast("int"), lit(ChunkW)), " ")
+              .as("chunk_text"))
+          .orderBy("doc_id", "chunk_id"),
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n FROM documents),
+             nk AS (SELECT doc_id, toks,
+               CASE WHEN n <= $ChunkW THEN 1
+                 ELSE 1 + CAST(ceil((n - $ChunkW) / $ChunkS.0) AS BIGINT)
+               END AS nchunks FROM t),
+             ch AS (SELECT doc_id, toks,
+               unnest(generate_series(0, nchunks - 1)) AS k FROM nk)
+             SELECT doc_id, k AS chunk_id, k * $ChunkS + 1 AS start_tok,
+               len(list_slice(toks, CAST(k * $ChunkS + 1 AS BIGINT),
+                 CAST(k * $ChunkS + $ChunkW AS BIGINT))) AS n_chunk_tokens,
+               array_to_string(list_slice(toks,
+                 CAST(k * $ChunkS + 1 AS BIGINT),
+                 CAST(k * $ChunkS + $ChunkW AS BIGINT)), ' ') AS chunk_text
+             FROM ch ORDER BY doc_id, chunk_id"""))
   )
 
   /** q115 shard size target (bytes of text per shard). */
   val ShardTargetBytes = 65536L
+
+  /** q122 chunk width and stride in tokens (overlap = W - S = 10). */
+  val ChunkW = 40
+  val ChunkS = 30
 
   /** PII patterns — restricted to the Java-regex ∩ RE2 common subset so
     * the Spark and DuckDB engines agree match-for-match.

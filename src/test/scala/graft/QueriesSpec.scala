@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, floor}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Sanity over the declared inventory on sf0.001 (full oracle equivalence
@@ -64,6 +65,64 @@ class QueriesSpec extends AnyFunSuite {
     rows.dropRight(1).foreach { r =>
       assert(r.getAs[Long]("bytes") >= target - 10000,
         s"shard ${r.getAs[Long]("shard")} under-filled")
+    }
+  }
+
+  test("q121 PQ/ADC: full candidate budget, recall within [0,1]") {
+    val r = QueryRegistry.queries("q121_pq_adc_recall")(spark, sf).head()
+    assert(r.getAs[Long]("n_candidates") == 50L)
+    val rec = r.getAs[Double]("recall_at_10")
+    assert(rec >= 0.0 && rec <= 1.0)
+    assert(r.getAs[Long]("hits") == math.round(rec * 10))
+    // the 16x-smaller-scan path must stay useful: at least half the
+    // exact top-10 inside a 10%-of-corpus re-rank budget
+    assert(rec >= 0.5, s"PQ recall degraded to $rec")
+  }
+
+  test("q122 chunks tile each document: stride, clamp, full coverage") {
+    import graft.text.TextQueries.{ChunkW, ChunkS}
+    val rows = QueryRegistry.queries("q122_doc_chunking")(spark, sf)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+    assert(rows.nonEmpty)
+    rows.foreach { case (doc, ch) =>
+      val sorted = ch.sortBy(_.getAs[Long]("chunk_id"))
+      assert(sorted.head.getAs[Long]("start_tok") == 1L, s"doc $doc start")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("start_tok") -
+            a.getAs[Long]("start_tok") == ChunkS, s"doc $doc stride")
+        case _ => ()
+      }
+      sorted.foreach { r =>
+        val n = r.getAs[Long]("n_chunk_tokens")
+        assert(n > 0 && n <= ChunkW, s"doc $doc chunk width $n")
+        assert(r.getAs[String]("chunk_text").split(" ").length == n)
+      }
+      // all but the last chunk are full-width; consecutive chunks
+      // overlap by W - S tokens
+      sorted.dropRight(1).foreach(r =>
+        assert(r.getAs[Long]("n_chunk_tokens") == ChunkW))
+    }
+  }
+
+  test("q123 surviving row is the earliest (ts, event_id) of its key") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        floor(col("value")).cast("long").as("vkey"),
+        col("ts"), col("event_id")).collect()
+      .groupBy(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val rows = QueryRegistry.queries("q123_event_dedup")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("vkey"))
+      val grp = ev(key)
+      assert(grp.length == r.getAs[Long]("n_dups"))
+      val kept = grp.minBy(g =>
+        (g.getAs[java.time.LocalDateTime]("ts")
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli,
+          g.getAs[Long]("event_id")))
+      assert(kept.getAs[Long]("event_id") == r.getAs[Long]("kept_event_id"))
     }
   }
 
