@@ -596,13 +596,130 @@ object DedupQueries {
     // count join touches distinct hashes per doc, never raw occurrences.
     Q("q97_dup_ngram_stats",
       (s, d) => dupNgramStats(Tables.documents(s, d), DupW),
-      Some(dupNgramOracleSql))
+      Some(dupNgramOracleSql)),
+
+    // ---- q124: CORPUS-WIDE SEGMENT DEDUP (the C4/CCNet paragraph rule,
+    // on deterministic fixed-width segmentation since the synthetic
+    // corpus has no newline structure): every doc is cut into
+    // non-overlapping [[SegW]]-token segments, a segment survives only
+    // at its FIRST corpus occurrence (ordered by doc_id, then position),
+    // and each doc reports its segment count, survivors, and the
+    // reassembled deduplicated text. One shuffle, hash-partitioned on
+    // segment text — the window's per-partition groups are dup-family
+    // sized (tiny), so at 100 TB this is exactly the word-count shape:
+    // no pair joins, no quadratic term, skew bounded by the most-copied
+    // boilerplate segment (which is the thing being deleted).
+    Q("q124_segment_dedup",
+      (s, d) => segmentDedupOf(Tables.documents(s, d)).orderBy("doc_id"),
+      Some(segmentDedupOracleSql)),
+
+    // ---- q125: CONTAINMENT near-dup pairs — |S_a ∩ S_b| / |S_a| >=
+    // [[ContainT]] over distinct 3-token shingles. The ASYMMETRIC
+    // companion of Jaccard (q105): it fires when a short doc is wholly
+    // embedded in a longer one (quote, concatenation, page-with-chrome),
+    // which symmetric Jaccard misses because the union is dominated by
+    // the longer side. Ordered pairs out, both directions scored.
+    // Candidate generation is the shingle posting-list equi-join (cost
+    // Σ df² over shingles, linear on natural text where long postings
+    // are rare phrases — the q105/q106 cost model, documented there).
+    Q("q125_containment_pairs",
+      (s, d) => containmentPairsOf(
+          graft.CacheScope.retain(
+            shingleSets(Tables.documents(s, d), ShingleW)), ContainT)
+        .orderBy("doc_a", "doc_b"),
+      Some(containmentOracleSql))
   )
 
   /** Window size for q97's duplicated-substring scan: long enough that a
     * match means copied phrasing, short enough to fire on the corpus.
     */
   val DupW = 10
+
+  /** q124 segment width (tokens). Non-overlapping: segment k of a doc is
+    * tokens [k*W, (k+1)*W); the final segment may be shorter.
+    */
+  val SegW = 10
+
+  /** q125 containment threshold: the fraction of a doc's shingles that
+    * must appear in the other doc.
+    */
+  val ContainT = 0.9
+
+  /** q124: corpus-wide keep-first segment dedup. Segment identity is the
+    * exact segment text; the survivor of each distinct segment is its
+    * first occurrence in (doc_id, position) order; docs report counts and
+    * the reassembled text. See the q124 registry comment for the scale
+    * argument (one hash shuffle on segment text, no pairwise work).
+    */
+  def segmentDedupOf(docs: DataFrame): DataFrame = {
+    val segs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L),
+          ceil(size(col("toks")) / lit(SegW.toDouble)).cast("long") - 1))
+          .as("k"))
+      .select(col("doc_id"), col("k"),
+        array_join(slice(col("toks"),
+          (col("k") * SegW + 1).cast("int"), lit(SegW)), " ").as("seg"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("seg").orderBy("doc_id", "k")
+    segs.withColumn("rn", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        // collect_list skips the nulls the `when` leaves for dropped
+        // segments; the sort key (k) restores document order
+        array_join(transform(array_sort(collect_list(
+            when(col("rn") === 1, struct(col("k"), col("seg"))))),
+          x => x.getField("seg")), " ").as("text_kept"))
+  }
+
+  private lazy val segmentDedupOracleSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+       segs AS (SELECT doc_id, toks, unnest(generate_series(0,
+           CAST(ceil(len(toks) / $SegW.0) AS BIGINT) - 1)) AS k FROM t),
+       st AS (SELECT doc_id, k, array_to_string(
+           list_slice(toks, k * $SegW + 1, k * $SegW + $SegW), ' ') AS seg
+         FROM segs),
+       rn AS (SELECT doc_id, k, seg,
+           row_number() OVER (PARTITION BY seg ORDER BY doc_id, k) AS rn
+         FROM st)
+       SELECT doc_id, count(*) AS n_segments,
+         count(*) FILTER (WHERE rn = 1) AS n_kept,
+         coalesce(string_agg(seg, ' ' ORDER BY k) FILTER (WHERE rn = 1),
+           '') AS text_kept
+       FROM rn GROUP BY doc_id ORDER BY doc_id"""
+
+  /** q125: ordered containment pairs over a distinct (doc_id, token)
+    * shingle relation — posting-list equi-join, per-pair intersection
+    * count, divided by the LEFT doc's set size.
+    */
+  def containmentPairsOf(sh: DataFrame, t: Double): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("doc_a"), col("token"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("token")), "token")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n")), "doc_a")
+      .filter(col("ni") * lit(1.0) / col("n") >= t)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("ni") * lit(1.0) / col("n"), 4).as("containment"))
+  }
+
+  private lazy val containmentOracleSql: String =
+    s"""WITH $shingleTokCteSql,
+       sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS ni
+         FROM tok a JOIN tok b ON a.token = b.token
+           AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+       SELECT doc_a, doc_b,
+         round(ni * 1.0 / n, 4) AS containment
+       FROM inter JOIN sizes ON doc_a = doc_id
+       WHERE ni * 1.0 / n >= $ContainT
+       ORDER BY doc_a, doc_b"""
 
   /** Per-doc duplicated w-token-window stats (q97). `n_windows` counts
     * window POSITIONS (not distinct windows); a position is duplicated

@@ -781,11 +781,204 @@ object TextQueries {
                array_to_string(list_slice(toks,
                  CAST(k * $ChunkS + 1 AS BIGINT),
                  CAST(k * $ChunkS + $ChunkW AS BIGINT)), ' ') AS chunk_text
-             FROM ch ORDER BY doc_id, chunk_id"""))
+             FROM ch ORDER BY doc_id, chunk_id""")),
+
+    // ---- q126: RETRIEVE-THEN-RERANK — the two-stage retrieval shape
+    // every RAG/search pipeline runs. Stage 1 (cheap, corpus-wide):
+    // candidate docs ranked by 3-token-shingle posting-list overlap
+    // with each query doc (doc_id % $RetrQMod == 0), top [[RetrK]]
+    // kept — an inverted-index probe whose cost is the query docs'
+    // posting lists, never the corpus cross join. Stage 2 (expensive,
+    // bounded): exact full-token-set Jaccard recomputed ONLY for the
+    // RetrK survivors (the "cross-encoder" slot — any per-pair scorer
+    // plugs in here at a cost that is queries x RetrK, not queries x
+    // corpus), reranked, top [[RerankK]] emitted. All ranking keys are
+    // integers or int-ratio doubles with doc_id tie-breaks — exactly
+    // reproducible cross-engine.
+    Q("q126_retrieve_rerank",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val toks = graft.CacheScope.retain(docs.select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("token")))
+        val sh = graft.CacheScope.retain(graft.dedup.DedupQueries
+          .shingleSets(docs, graft.dedup.DedupQueries.ShingleW))
+        val qsh = sh.filter(col("doc_id") % RetrQMod === 0)
+          .select(col("doc_id").as("qid"), col("token"))
+        val overlap = qsh
+          .join(sh.select(col("doc_id"), col("token")), "token")
+          .filter(col("doc_id") =!= col("qid"))
+          .groupBy("qid", "doc_id").agg(count(lit(1)).as("ov"))
+        val w1 = Window.partitionBy("qid")
+          .orderBy(col("ov").desc, col("doc_id"))
+        val cands = overlap.withColumn("r1", row_number().over(w1))
+          .filter(col("r1") <= RetrK).select("qid", "doc_id")
+        // stage 2 pair-bounded intersection: candidates are queries x
+        // RetrK rows — broadcast them; the posting relation is touched
+        // once per side, filtered down by the candidate semi-structure
+        val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = broadcast(cands)
+          .join(toks.select(col("doc_id").as("qid"),
+            col("token").as("qtok")), "qid")
+          .join(toks.select(col("doc_id"), col("token").as("qtok")),
+            Seq("doc_id", "qtok"))
+          .groupBy("qid", "doc_id").agg(count(lit(1)).as("ni"))
+        val jac = inter
+          .join(sizes.select(col("doc_id").as("qid"),
+            col("n").as("nq")), "qid")
+          .join(sizes.select(col("doc_id"), col("n").as("nd")), "doc_id")
+          .withColumn("jaccard",
+            col("ni") * lit(1.0) / (col("nq") + col("nd") - col("ni")))
+        val w2 = Window.partitionBy("qid")
+          .orderBy(col("jaccard").desc, col("doc_id"))
+        jac.withColumn("rank", row_number().over(w2))
+          .filter(col("rank") <= RerankK)
+          .select(col("qid"), col("rank").cast("long").as("rank"),
+            col("doc_id"), round(col("jaccard"), 4).as("score"))
+          .orderBy("qid", "rank")
+      },
+      Some(retrieveRerankOracleSql)),
+
+    // ---- q127: STRATIFIED DETERMINISTIC SAMPLING — per-stratum keep
+    // rates (en kept at ${SampleEnPermille}‰, other languages at
+    // ${SampleOtherPermille}‰) decided per row by a portable integer
+    // LCG on doc_id: one stateless pass, no global count, no RNG seed
+    // coordination across executors — the only sampling discipline
+    // that stays reproducible when the corpus is re-partitioned or
+    // re-run (rand(seed) is partition-layout-dependent; this is not).
+    Q("q127_stratified_sample",
+      (s, d) =>
+        Tables.documents(s, d)
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_total"),
+            sum(when((col("doc_id") * LcgA + LcgC) % LcgM <
+              when(col("lang") === "en", SampleEnPermille)
+                .otherwise(SampleOtherPermille), 1L).otherwise(0L))
+              .as("n_sampled"))
+          .orderBy("source", "lang"),
+      Some(s"""SELECT source, lang, count(*) AS n_total,
+             count(*) FILTER (WHERE (doc_id * $LcgA + $LcgC) % $LcgM <
+               CASE WHEN lang = 'en' THEN $SampleEnPermille
+                 ELSE $SampleOtherPermille END) AS n_sampled
+             FROM documents GROUP BY 1, 2 ORDER BY source, lang""")),
+
+    // ---- q128: BPE MERGE INDUCTION (first iteration) — the
+    // tokenizer-training primitive: count every adjacent character
+    // pair inside every word, rank by frequency; the top pair IS the
+    // first BPE merge rule. The full trainer is this exact job run per
+    // merge on re-segmented text; one iteration is the oracle-checkable
+    // unit. Word-count shape: explode + map-side combine, shuffle is
+    // distinct-pair sized (bounded by charset², tiny).
+    Q("q128_bpe_pair_merges",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"))
+            .as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair"))
+          .limit(BpeTopN),
+      Some(s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS w
+               FROM documents),
+             p AS (SELECT substr(w, CAST(i AS INT), 2) AS pair
+               FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+                     FROM w WHERE len(w) >= 2))
+             SELECT pair, count(*) AS cnt FROM p GROUP BY 1
+             ORDER BY cnt DESC, pair LIMIT $BpeTopN""")),
+
+    // ---- q129: POSITIONAL PHRASE SEARCH — exact phrase match
+    // "${PhraseA} ${PhraseB}" through a positional inverted index:
+    // filter to the two phrase terms' postings BEFORE any shuffle
+    // (only phrase-term occurrences move — at 100 TB the moved bytes
+    // are the terms' df, not the corpus), then adjacency equi-join on
+    // (doc_id, position + 1). The search-engine phrase plan; never a
+    // corpus-wide window or regex scan.
+    Q("q129_phrase_search",
+      (s, d) => {
+        val pos = Tables.documents(s, d).select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("p", "token")))
+        val a = pos.filter(col("token") === PhraseA)
+          .select(col("doc_id"), (col("p") + 1).cast("long").as("pa"))
+        val b = pos.filter(col("token") === PhraseB)
+          .select(col("doc_id"), (col("p") + 1).cast("long").as("pb"))
+        a.join(b, Seq("doc_id")).filter(col("pb") === col("pa") + 1)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_hits"), min("pa").as("first_pos"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+             p AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS i,
+               toks FROM t)
+             SELECT doc_id, count(*) AS n_hits, min(i) AS first_pos
+             FROM p WHERE toks[i] = '$PhraseA'
+               AND i < len(toks) AND toks[i + 1] = '$PhraseB'
+             GROUP BY doc_id ORDER BY doc_id"""))
   )
 
   /** q115 shard size target (bytes of text per shard). */
   val ShardTargetBytes = 65536L
+
+  /** q126 retrieval params: query-doc selector modulus, stage-1 retrieve
+    * depth, stage-2 rerank output depth.
+    */
+  val RetrQMod = 100
+  val RetrK = 20
+  val RerankK = 5
+
+  /** q126 DuckDB twin — the same two stages as CTEs: shingle postings ->
+    * overlap top-RetrK -> bounded exact-Jaccard rerank top-RerankK.
+    */
+  private lazy val retrieveRerankOracleSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+           array_to_string(list_slice(toks, i, i + 2), ' ') AS s
+         FROM (SELECT doc_id, toks,
+               unnest(range(1, greatest(len(toks) - 1, 1))) AS i FROM t)),
+       ov AS (SELECT a.doc_id AS qid, b.doc_id AS doc_id, count(*) AS ov
+         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+         WHERE a.doc_id % $RetrQMod = 0 GROUP BY 1, 2),
+       c AS (SELECT qid, doc_id FROM (SELECT qid, doc_id,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY ov DESC, doc_id) AS r1 FROM ov)
+         WHERE r1 <= $RetrK),
+       tok AS (SELECT DISTINCT doc_id, token FROM
+           (SELECT doc_id, unnest(toks) AS token FROM t)),
+       sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+       it AS (SELECT c.qid, c.doc_id, count(*) AS ni
+         FROM c JOIN tok qt ON qt.doc_id = c.qid
+              JOIN tok dt ON dt.doc_id = c.doc_id
+                AND dt.token = qt.token
+         GROUP BY 1, 2),
+       j AS (SELECT qid, it.doc_id,
+           ni * 1.0 / (nq.n + nd.n - ni) AS jaccard
+         FROM it JOIN sz nq ON nq.doc_id = it.qid
+              JOIN sz nd ON nd.doc_id = it.doc_id)
+       SELECT qid, rank, doc_id, round(jaccard, 4) AS score FROM (
+         SELECT qid, doc_id, jaccard,
+           row_number() OVER (PARTITION BY qid
+             ORDER BY jaccard DESC, doc_id) AS rank FROM j)
+       WHERE rank <= $RerankK ORDER BY qid, rank"""
+
+  /** q127 sampling: portable LCG (glibc constants) on doc_id, compared
+    * against per-language permille keep rates — identical integer
+    * arithmetic in Spark and DuckDB.
+    */
+  val LcgA = 1103515245L
+  val LcgC = 12345L
+  val LcgM = 1000L
+  val SampleEnPermille = 500L
+  val SampleOtherPermille = 200L
+
+  /** q128: how many top merges to emit. */
+  val BpeTopN = 30
+
+  /** q129 phrase (chosen for non-trivial df at every SF). */
+  val PhraseA = "table"
+  val PhraseB = "hash"
 
   /** q122 chunk width and stride in tokens (overlap = W - S = 10). */
   val ChunkW = 40

@@ -221,4 +221,107 @@ class QueriesSpec extends AnyFunSuite {
       assert(exact.columns.toSeq == Seq("doc_id", "jaccard"))
     }
   }
+
+  test("q124 segment dedup conserves segments; survivors = distinct segs") {
+    import org.apache.spark.sql.functions._
+    val rows = QueryRegistry.queries("q124_segment_dedup")(spark, sf).collect()
+    rows.foreach { r =>
+      val (tot, kept) = (r.getAs[Long]("n_segments"), r.getAs[Long]("n_kept"))
+      assert(kept <= tot && kept >= 0, s"doc ${r.get(0)}: kept $kept of $tot")
+      // the reassembled text holds exactly the kept segments
+      val txt = r.getAs[String]("text_kept")
+      if (kept == 0) assert(txt.isEmpty)
+    }
+    // every distinct segment survives exactly once corpus-wide
+    val segs = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(explode(expr(
+        s"transform(sequence(0, cast(ceil(size(toks) / ${dedup.DedupQueries.SegW}.0) as int) - 1, 1), " +
+          s"k -> concat_ws(' ', slice(toks, k * ${dedup.DedupQueries.SegW} + 1, ${dedup.DedupQueries.SegW})))"))
+        .as("seg"))
+    val distinctSegs = segs.distinct().count()
+    assert(rows.map(_.getAs[Long]("n_kept")).sum == distinctSegs)
+    assert(rows.map(_.getAs[Long]("n_segments")).sum == segs.count())
+  }
+
+  test("q125 containment is asymmetric and above threshold") {
+    val rows =
+      QueryRegistry.queries("q125_containment_pairs")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val t = dedup.DedupQueries.ContainT
+    rows.foreach { r =>
+      val c = r.getAs[Double]("containment")
+      assert(c >= t - 1e-9 && c <= 1.0 + 1e-9, s"containment $c out of band")
+      assert(r.getAs[Long]("doc_a") != r.getAs[Long]("doc_b"))
+    }
+    // near-identical docs must contain each other in BOTH directions
+    // (a fully-contained SMALLER doc needn't contain the larger one,
+    // so only the existence of one mutual pair is asserted)
+    val both = rows.map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(both.exists { case (a, b) => both.contains((b, a)) },
+      "expected at least one mutually-containing (near-identical) pair")
+  }
+
+  test("q126 rerank emits dense ranks with non-increasing scores per query") {
+    val rows =
+      QueryRegistry.queries("q126_retrieve_rerank")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (qid, rs) =>
+      assert(qid % text.TextQueries.RetrQMod == 0, s"qid $qid not a query doc")
+      val byRank = rs.sortBy(_.getAs[Long]("rank"))
+      assert(byRank.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to byRank.length).toSeq, s"ranks not dense for $qid")
+      assert(byRank.length <= text.TextQueries.RerankK)
+      val scores = byRank.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.drop(1)).forall { case (a, b) => a >= b },
+        s"scores increase within query $qid")
+    }
+  }
+
+  test("q127 stratified sample: per-stratum counts bounded and en-biased") {
+    val rows =
+      QueryRegistry.queries("q127_stratified_sample")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_sampled") <= r.getAs[Long]("n_total")) }
+    // aggregate rates: en keeps ~50%, others ~20%; with LCG determinism
+    // the corpus-level totals must at least ORDER that way when both
+    // strata are populated
+    val en = rows.filter(_.getAs[String]("lang") == "en")
+    val other = rows.filter(_.getAs[String]("lang") != "en")
+    if (en.nonEmpty && other.nonEmpty) {
+      def rate(rs: Array[org.apache.spark.sql.Row]) =
+        rs.map(_.getAs[Long]("n_sampled")).sum.toDouble /
+          math.max(1L, rs.map(_.getAs[Long]("n_total")).sum)
+      assert(rate(en) > rate(other),
+        s"en rate ${rate(en)} not above other ${rate(other)}")
+    }
+  }
+
+  test("q128 BPE pairs: 2-char pairs, counts non-increasing, top cap") {
+    val rows =
+      QueryRegistry.queries("q128_bpe_pair_merges")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= text.TextQueries.BpeTopN)
+    rows.foreach(r => assert(r.getAs[String]("pair").length == 2))
+    val cnts = rows.map(_.getAs[Long]("cnt"))
+    assert(cnts.zip(cnts.drop(1)).forall { case (a, b) => a >= b })
+  }
+
+  test("q129 phrase hits point at real adjacent occurrences") {
+    import org.apache.spark.sql.functions._
+    val rows = QueryRegistry.queries("q129_phrase_search")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val texts = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    rows.foreach { r =>
+      val toks = texts(r.getAs[Long]("doc_id")).split(" ")
+      val p = r.getAs[Long]("first_pos").toInt // 1-based
+      assert(toks(p - 1) == text.TextQueries.PhraseA
+        && toks(p) == text.TextQueries.PhraseB,
+        s"first_pos $p is not a phrase occurrence in doc ${r.get(0)}")
+      assert(r.getAs[Long]("n_hits") >= 1)
+    }
+  }
 }
