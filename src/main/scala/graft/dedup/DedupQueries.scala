@@ -1064,16 +1064,8 @@ object DedupQueries {
     * accumulate across bench/verify invocations (the pre-round-9 q117
     * leaked three copies per bench run).
     */
-  private def tempIndexDir(prefix: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix).toFile
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(dir)
-    }
-    dir.toString
-  }
+  private def tempIndexDir(prefix: String): String =
+    graft.TempArtifacts.dir(prefix)
 
   /** Read back the persisted signature table (doc_id, h0..h15). */
   def indexSignatures(s: SparkSession, path: String): DataFrame =

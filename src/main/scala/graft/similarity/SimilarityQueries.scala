@@ -224,15 +224,17 @@ object SimilarityQueries {
             WHERE vec_id IN (SELECT vec_id FROM cand))
       SELECT h.hits, round(h.hits / 10.0, 4) AS recall_at_10 FROM h"""
 
-  /** DuckDB twin of q89: label-centroid quantizer + nprobe=2 candidate
-    * lists + the q31 exact top-10, recall computed in SQL.
+  /** DuckDB twin of q89/q118 (and, with `centFilter` restricting the
+    * centroid estimation to the base corpus, of q130): label-centroid
+    * quantizer + nprobe=2 candidate lists + the q31 exact top-10,
+    * recall computed in SQL.
     */
-  private val ivfRecallOracleSql: String =
-    """WITH flat AS (SELECT vec_id, label, CAST(v AS DOUBLE) AS v, i FROM (
+  private def ivfRecallOracleSqlWith(centFilter: String): String =
+    s"""WITH flat AS (SELECT vec_id, label, CAST(v AS DOUBLE) AS v, i FROM (
            SELECT vec_id, label, unnest(embedding) AS v,
                   generate_subscripts(embedding, 1) AS i FROM embeddings) x),
       cent AS (SELECT label AS clabel, i, avg(v) AS c
-               FROM flat GROUP BY 1, 2),
+               FROM flat $centFilter GROUP BY 1, 2),
       d2 AS (SELECT f.vec_id, c.clabel, sum((v - c) * (v - c)) AS d2
              FROM flat f JOIN cent c USING (i) GROUP BY 1, 2),
       asg AS (SELECT vec_id, clabel AS lst FROM (
@@ -258,6 +260,14 @@ object SimilarityQueries {
       SELECT nc.n_candidates, h.hits,
              round(h.hits / 10.0, 4) AS recall_at_10
       FROM nc, h"""
+
+  private lazy val ivfRecallOracleSql: String = ivfRecallOracleSqlWith("")
+
+  /** q130's twin: centroids estimated from the BASE corpus only — the
+    * frozen geometry an advanced artifact serves.
+    */
+  private lazy val advanceAnnOracleSql: String =
+    ivfRecallOracleSqlWith(s"WHERE vec_id < $AnnAdvanceSplit")
 
   /** DuckDB twin of q121: the same per-label subspace codebooks,
     * struct-min encode (row_number over (d2, cl)), probe distance
@@ -651,28 +661,40 @@ object SimilarityQueries {
     Q("q118_indexed_ann",
       (s, d) => {
         val f = graft.CacheScope.retain(flat(s, d))
-        val idx = java.nio.file.Files
-          .createTempDirectory("graft_ivf_index").toString
-        buildIvfIndex(f, idx)
-        val cent = s.read.parquet(idx + "/centroids")
-        val assign = s.read.parquet(idx + "/assignments")
-        val probe2 = f.filter(col("vec_id") === 0)
-          .join(broadcast(cent), col("i") === col("ci"))
-          .groupBy("clabel")
-          .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("d2"))
-          .orderBy("d2", "clabel").limit(2)
-          .select(col("clabel").as("lst"))
-        val cand = assign.filter(col("vec_id") =!= 0)
-          .join(broadcast(probe2), "lst").select("vec_id")
-        val exact10 = exactTop10(f)
-        val nCand = cand.agg(count(lit(1)).as("n_candidates"))
-        val hits = exact10.join(cand, Seq("vec_id"), "left_semi")
-          .agg(count(lit(1)).as("hits"))
-        nCand.crossJoin(hits)
-          .select(col("n_candidates"), col("hits"),
-            round(col("hits").cast("double") / 10.0, 4).as("recall_at_10"))
+        // per-JVM memoized build (the q117 discipline): run 1 pays the
+        // build, later runs measure SERVE-ONLY — and no index copy
+        // accumulates on disk across bench/verify invocations
+        val idx = ivfIndexCache.computeIfAbsent(d, _ => {
+          val p = graft.TempArtifacts.dir("graft_ivf_index")
+          buildIvfIndex(f, p)
+          p
+        })
+        serveIvfRecall(s, f, idx)
       },
       Some(ivfRecallOracleSql)),
+
+    // ---- q130: the IVF index ADVANCE lifecycle — the ANN twin of
+    // q119's dedup advance. Build the index from the BASE corpus
+    // (vec_id < [[AnnAdvanceSplit]]) only; arriving vectors are
+    // assigned to the FROZEN centroids and their assignments APPENDED
+    // to the artifact — the standard incremental-add discipline of a
+    // production IVF index (centroids drift only at the next full
+    // rebuild; re-running the clustering per batch would re-pay the
+    // corpus-sized build). Serving is identical to q118, now over
+    // base + advanced lists. The oracle recomputes the same frozen-
+    // centroid geometry in SQL; IvfIndexSpec asserts advance ≡
+    // assigning the full corpus against the base centroids.
+    Q("q130_advance_ann",
+      (s, d) => {
+        val f = graft.CacheScope.retain(flat(s, d))
+        // fresh dir per call: advance MUTATES the artifact — sharing
+        // q118's memoized serve-only copy would poison it
+        val idx = graft.TempArtifacts.dir("graft_ivf_advance")
+        buildIvfIndex(f.filter(col("vec_id") < AnnAdvanceSplit), idx)
+        advanceIvfIndex(f.filter(col("vec_id") >= AnnAdvanceSplit), idx)
+        serveIvfRecall(s, f, idx)
+      },
+      Some(advanceAnnOracleSql)),
 
     // ---- q102: the SEARCH leg of the int8 quantization story (q61
     // stores; this searches): candidates = top-30 by QUANTIZED cosine
@@ -1086,14 +1108,65 @@ object SimilarityQueries {
       f.groupBy("label", "i").agg(avg("v").as("c"))
         .select(col("label").as("clabel"), col("i").as("ci"), col("c")))
     cent.write.mode("overwrite").parquet(path + "/centroids")
+    assignToCentroids(f, cent)
+      .write.mode("overwrite").parquet(path + "/assignments")
+  }
+
+  /** Nearest-centroid list assignment of a flat (vec_id, i, v) relation
+    * against a centroid table — the one copy of the rule the build and
+    * advance paths share (they must agree exactly, or an advanced
+    * artifact would diverge from a rebuild).
+    */
+  private def assignToCentroids(f: DataFrame, cent: DataFrame): DataFrame =
     f.join(broadcast(cent), col("i") === col("ci"))
       .groupBy("vec_id", "clabel")
       .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("d2"))
       .groupBy("vec_id")
       .agg(min(struct(col("d2"), col("clabel"))).as("m"))
       .select(col("vec_id"), col("m.clabel").as("lst"))
-      .write.mode("overwrite").parquet(path + "/assignments")
+
+  /** q130: append arriving vectors' list assignments to a persisted IVF
+    * index, against its FROZEN centroids. Cost per batch: the batch's
+    * rows x k centroid rows (broadcast) — never a corpus re-scan.
+    */
+  def advanceIvfIndex(arrivals: DataFrame, path: String): Unit = {
+    val cent = arrivals.sparkSession.read.parquet(path + "/centroids")
+    assignToCentroids(arrivals, cent)
+      .write.mode("append").parquet(path + "/assignments")
   }
+
+  /** The q118/q130 serve path: probe vec 0's nprobe=2 nearest lists from
+    * the artifact's centroid table, candidates from its assignment
+    * table, recall vs the exact top-10.
+    */
+  private def serveIvfRecall(s: SparkSession, f: DataFrame,
+      idx: String): DataFrame = {
+    val cent = s.read.parquet(idx + "/centroids")
+    val assign = s.read.parquet(idx + "/assignments")
+    val probe2 = f.filter(col("vec_id") === 0)
+      .join(broadcast(cent), col("i") === col("ci"))
+      .groupBy("clabel")
+      .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("d2"))
+      .orderBy("d2", "clabel").limit(2)
+      .select(col("clabel").as("lst"))
+    val cand = assign.filter(col("vec_id") =!= 0)
+      .join(broadcast(probe2), "lst").select("vec_id")
+    val exact10 = exactTop10(f)
+    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+    val hits = exact10.join(cand, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    nCand.crossJoin(hits)
+      .select(col("n_candidates"), col("hits"),
+        round(col("hits").cast("double") / 10.0, 4).as("recall_at_10"))
+  }
+
+  private val ivfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** q130: vectors below are the base (index-build) corpus; the rest
+    * arrive and are advanced into the artifact.
+    */
+  val AnnAdvanceSplit = 375L
 
   private def embWithFeatures(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector

@@ -216,6 +216,38 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), "expected a window for per-vector top-k")
   }
 
+  test("q124 segment dedup: window keyed on segment text, no pair join") {
+    val p = plan("q124_segment_dedup")
+    // the survivor decision is a row_number window hash-partitioned on
+    // the segment text — corpus dedup must never become a self-join
+    assert(p.contains("Window"), "expected the keep-first window")
+    assert(p.contains("hashpartitioning(seg"),
+      "window must partition on segment text")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "segment dedup must not plan any join")
+  }
+
+  test("q126 rerank stage broadcasts the bounded candidate set") {
+    val p = plan("q126_retrieve_rerank")
+    // stage 2's per-pair intersection joins the full posting relation
+    // against queries x RetrK candidate rows — that side must broadcast
+    assert(p.contains("BroadcastHashJoin"),
+      "expected the candidate set broadcast into the rerank join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q129 phrase search filters postings before the adjacency join") {
+    val p = plan("q129_phrase_search")
+    // both legs must reduce to the phrase terms' postings pre-shuffle:
+    // the moved bytes are the terms' df, never the full corpus
+    assert(p.contains(text.TextQueries.PhraseA)
+      && p.contains(text.TextQueries.PhraseB),
+      "expected per-term posting filters in the plan")
+    assert(!p.contains("CartesianProduct"),
+      "adjacency must be an equi-join on (doc_id, position)")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"))
+  }
+
   test("g20 path slice is one equi-join; the bracket math stays codegen'd") {
     val p = plan("g20_spacecraft_path")
     // the time-dependent corner resolution must plan as a hash equi-join

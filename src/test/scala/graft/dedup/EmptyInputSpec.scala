@@ -61,4 +61,33 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(pairs.head.getAs[Long]("doc_a") == 0L
       && pairs.head.getAs[Long]("doc_b") == 1L)
   }
+
+  test("segment dedup: empty corpus empty; twins keep one copy of each seg") {
+    assert(DedupQueries.segmentDedupOf(empty).count() == 0)
+    // two identical docs, each longer than one segment: the first doc
+    // keeps everything, the twin keeps nothing
+    val long = (1 to 25).map(i => s"w$i").mkString(" ")
+    val twins = Seq((0L, long), (1L, long)).toDF("doc_id", "text")
+    val out = DedupQueries.segmentDedupOf(twins).orderBy("doc_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n_kept") == out(0).getAs[Long]("n_segments"))
+    assert(out(0).getAs[String]("text_kept") == long)
+    assert(out(1).getAs[Long]("n_kept") == 0L
+      && out(1).getAs[String]("text_kept").isEmpty)
+  }
+
+  test("containment: empty corpus empty; strict-subset doc fires one way") {
+    assert(DedupQueries.containmentPairsOf(
+      DedupQueries.shingleSets(empty, 3), 0.5).count() == 0)
+    // doc 1's shingles are a strict subset of doc 0's: containment(1->0)
+    // is 1.0, the reverse is below threshold — exactly one ordered pair
+    val sub = Seq((0L, "aa bb cc dd ee ff gg hh"), (1L, "aa bb cc dd"))
+      .toDF("doc_id", "text")
+    val rows = DedupQueries.containmentPairsOf(
+      DedupQueries.shingleSets(sub, 3), 0.9).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("doc_a") == 1L
+      && rows.head.getAs[Long]("doc_b") == 0L
+      && rows.head.getAs[Double]("containment") == 1.0)
+  }
 }

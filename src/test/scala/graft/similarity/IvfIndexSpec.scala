@@ -65,4 +65,40 @@ class IvfIndexSpec extends AnyFunSuite {
       Seq("lst"), "left_anti").isEmpty)
     graft.CacheScope.flush(spark)
   }
+
+  test("advance ≡ assigning the full corpus against the frozen base " +
+      "centroids; q130 serves base + advanced lists") {
+    val f = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("i", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val split = SimilarityQueries.AnnAdvanceSplit
+    // build from the base half, advance the arrivals in
+    val adv = java.nio.file.Files
+      .createTempDirectory("graft_ivf_adv_spec").toString
+    SimilarityQueries.buildIvfIndex(f.filter(col("vec_id") < split), adv)
+    SimilarityQueries.advanceIvfIndex(
+      f.filter(col("vec_id") >= split), adv)
+    // reference: one shot, every vector against the SAME base centroids
+    val ref = java.nio.file.Files
+      .createTempDirectory("graft_ivf_ref_spec").toString
+    SimilarityQueries.buildIvfIndex(f.filter(col("vec_id") < split), ref)
+    val refAssign = spark.read.parquet(ref + "/centroids")
+    val allToBase = f.join(broadcast(refAssign), col("i") === col("ci"))
+      .groupBy("vec_id", "clabel")
+      .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("d2"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("clabel"))).as("m"))
+      .select(col("vec_id"), col("m.clabel").as("lst"))
+    val advanced = spark.read.parquet(adv + "/assignments")
+    assert(advanced.count() == f.select("vec_id").distinct().count())
+    assert(advanced.join(allToBase, Seq("vec_id", "lst"), "left_anti")
+      .isEmpty, "advanced artifact diverges from frozen-centroid rule")
+    // the query itself runs and emits the one recall row
+    val rows = graft.QueryRegistry.queries("q130_advance_ann")(spark, sf)
+      .collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("n_candidates") > 0)
+    graft.CacheScope.flush(spark)
+  }
 }
