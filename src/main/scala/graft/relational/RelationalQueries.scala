@@ -956,7 +956,44 @@ object RelationalQueries {
              FROM lineitem"""
         }
         parts.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
-      })
+      }),
+
+    // ---- q131: SCD2 HISTORY COMPACTION — build the type-2 dimension
+    // of each user's event_type "state" from the raw event log: emit a
+    // row per state CHANGE (consecutive repeats collapse), valid from
+    // its first event to the next change (open intervals close at a
+    // sentinel — no NULL in the output keys). Both windows share one
+    // (user_id) hash partitioning, so the plan pays ONE shuffle: lag
+    // to detect changes, lead over the filtered changes to close the
+    // intervals. The warehouse CDC-to-dimension shape: per-key windows
+    // scale out with users; no self-join, no global sort besides the
+    // presentation orderBy.
+    Q("q131_scd2_history",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"),
+            col("event_id"))
+          .withColumn("prev", lag("event_type", 1).over(w))
+          .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+          .withColumn("valid_to", coalesce(lead("ts", 1).over(w),
+            lit("9999-12-31 00:00:00").cast("timestamp_ntz")))
+          .select(col("user_id"), col("event_type"),
+            col("ts").as("valid_from"), col("valid_to"))
+          .orderBy("user_id", "valid_from")
+      },
+      Some(s"""WITH ${Tables.evCte},
+         o AS (SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev FROM ev),
+         ch AS (SELECT user_id, event_type, ts, event_id FROM o
+             WHERE prev IS NULL OR prev <> event_type)
+         SELECT user_id, event_type, ts AS valid_from,
+           coalesce(lead(ts) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id), TIMESTAMP '9999-12-31 00:00:00')
+             AS valid_to
+         FROM ch ORDER BY user_id, valid_from"""))
   )
 
   /** Shared verbatim by the Spark SQL API and the DuckDB oracle. */

@@ -895,6 +895,60 @@ object TextQueries {
     // are the terms' df, not the corpus), then adjacency equi-join on
     // (doc_id, position + 1). The search-engine phrase plan; never a
     // corpus-wide window or regex scan.
+    // ---- q132: COMPOSITE QUALITY FILTER — the Gopher/RefinedWeb-style
+    // keep/drop DECISION with per-rule reason flags: minimum length,
+    // mean-word-length band, stopword floor, and a repetition guard
+    // (most frequent token's share). Every stat is computed PER ROW by
+    // codegen'd array HOFs — one narrow stateless pass, no explode, no
+    // shuffle at all before the presentation sort: the shape that lets
+    // a 100 TB curation run fuse the filter into the scan. All ratios
+    // are int/int doubles, so the booleans agree exactly cross-engine.
+    Q("q132_quality_filter",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .withColumn("n", size(col("toks")))
+          .withColumn("charsum", aggregate(
+            transform(col("toks"), w => length(w)), lit(0), (a, x) => a + x))
+          .withColumn("nstop", size(filter(col("toks"),
+            w => w.isInCollection(stopwords))))
+          .withColumn("maxtok", array_max(transform(
+            array_distinct(col("toks")),
+            t => size(filter(col("toks"), x => x === t)))))
+          .select(col("doc_id"),
+            (col("n") >= QfMinTokens).as("ok_len"),
+            (col("charsum") * lit(1.0) / col("n") >= QfWordLenLo
+              && col("charsum") * lit(1.0) / col("n") <= QfWordLenHi)
+              .as("ok_wordlen"),
+            (col("nstop") * lit(1.0) / col("n") >= QfStopFloor)
+              .as("ok_stop"),
+            (col("maxtok") * lit(1.0) / col("n") <= QfRepCap).as("ok_rep"))
+          .withColumn("keep", col("ok_len") && col("ok_wordlen")
+            && col("ok_stop") && col("ok_rep"))
+          .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+             ex AS (SELECT doc_id, unnest(toks) AS x FROM t),
+             agg AS (SELECT doc_id, count(*) AS n,
+                 sum(len(x)) AS charsum,
+                 count(*) FILTER (WHERE x IN ($stopSql)) AS nstop
+               FROM ex GROUP BY 1),
+             mt AS (SELECT doc_id, max(c) AS mx FROM (
+                 SELECT doc_id, x, count(*) AS c FROM ex GROUP BY 1, 2)
+               GROUP BY 1)
+             SELECT a.doc_id,
+               n >= $QfMinTokens AS ok_len,
+               charsum * 1.0 / n >= $QfWordLenLo
+                 AND charsum * 1.0 / n <= $QfWordLenHi AS ok_wordlen,
+               nstop * 1.0 / n >= $QfStopFloor AS ok_stop,
+               mx * 1.0 / n <= $QfRepCap AS ok_rep,
+               (n >= $QfMinTokens
+                 AND charsum * 1.0 / n >= $QfWordLenLo
+                 AND charsum * 1.0 / n <= $QfWordLenHi
+                 AND nstop * 1.0 / n >= $QfStopFloor
+                 AND mx * 1.0 / n <= $QfRepCap) AS keep
+             FROM agg a JOIN mt USING (doc_id) ORDER BY doc_id""")),
+
     Q("q129_phrase_search",
       (s, d) => {
         val pos = Tables.documents(s, d).select(col("doc_id"),
@@ -979,6 +1033,16 @@ object TextQueries {
   /** q129 phrase (chosen for non-trivial df at every SF). */
   val PhraseA = "table"
   val PhraseB = "hash"
+
+  /** q132 quality-rule thresholds, tuned so each rule fires on part of
+    * the synthetic corpus (token counts 10-99, mean word length
+    * 3.7-5.3, stopword share 0-0.22, top-token share 0.05-0.30).
+    */
+  val QfMinTokens = 30
+  val QfWordLenLo = 3.0
+  val QfWordLenHi = 5.0
+  val QfStopFloor = 0.02
+  val QfRepCap = 0.2
 
   /** q122 chunk width and stride in tokens (overlap = W - S = 10). */
   val ChunkW = 40

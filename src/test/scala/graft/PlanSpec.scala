@@ -248,6 +248,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"))
   }
 
+  test("q131 SCD2: both windows ride ONE hash exchange on user_id") {
+    // count only the FINAL adaptive plan: executedPlan.toString echoes
+    // the initial plan below it, which would double-count the exchange
+    val p = plan("q131_scd2_history")
+    val finalP = p.split("== Initial Plan ==").head
+    val hashEx = finalP.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1,
+      s"lag and lead must reuse one (user_id) partitioning, saw $hashEx")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q132 quality filter is one narrow pass: no exchange before sort") {
+    val p = plan("q132_quality_filter")
+    // per-row HOF stats: the only exchange allowed is the presentation
+    // sort's range partitioning
+    assert(!p.contains("Exchange hashpartitioning"),
+      "quality stats must compute per-row, not via explode+groupBy")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"))
+  }
+
   test("g20 path slice is one equi-join; the bracket math stays codegen'd") {
     val p = plan("g20_spacecraft_path")
     // the time-dependent corner resolution must plan as a hash equi-join

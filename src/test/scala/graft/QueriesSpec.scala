@@ -308,6 +308,42 @@ class QueriesSpec extends AnyFunSuite {
     assert(cnts.zip(cnts.drop(1)).forall { case (a, b) => a >= b })
   }
 
+  test("q131 SCD2 intervals tile each user's history without overlap") {
+    val rows = QueryRegistry.queries("q131_scd2_history")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rs) =>
+      val seq = rs.sortBy(_.getAs[java.time.LocalDateTime]("valid_from"))
+      seq.sliding(2).foreach {
+        case Array(a, b) =>
+          // contiguous: each interval closes exactly where the next opens
+          assert(a.getAs[java.time.LocalDateTime]("valid_to") ==
+            b.getAs[java.time.LocalDateTime]("valid_from"),
+            s"gap/overlap in user $u history")
+          // compacted: consecutive states differ
+          assert(a.getAs[String]("event_type") !=
+            b.getAs[String]("event_type"), s"uncompacted repeat for $u")
+        case _ => ()
+      }
+      // the open interval closes at the sentinel
+      assert(seq.last.getAs[java.time.LocalDateTime]("valid_to")
+        .getYear == 9999, s"user $u last interval not open-ended")
+    }
+  }
+
+  test("q132 keep is the conjunction of its rule flags; rules both fire") {
+    val rows = QueryRegistry.queries("q132_quality_filter")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val conj = r.getAs[Boolean]("ok_len") && r.getAs[Boolean]("ok_wordlen") &&
+        r.getAs[Boolean]("ok_stop") && r.getAs[Boolean]("ok_rep")
+      assert(r.getAs[Boolean]("keep") == conj, s"keep != conjunction: $r")
+    }
+    // the thresholds are tuned to split the corpus: some kept, some not
+    assert(rows.exists(_.getAs[Boolean]("keep"))
+      && rows.exists(!_.getAs[Boolean]("keep")),
+      "quality filter did not split the corpus")
+  }
+
   test("q129 phrase hits point at real adjacent occurrences") {
     import org.apache.spark.sql.functions._
     val rows = QueryRegistry.queries("q129_phrase_search")(spark, sf).collect()
