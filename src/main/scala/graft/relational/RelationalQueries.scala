@@ -993,7 +993,147 @@ object RelationalQueries {
            coalesce(lead(ts) OVER (PARTITION BY user_id
              ORDER BY ts, event_id), TIMESTAMP '9999-12-31 00:00:00')
              AS valid_to
-         FROM ch ORDER BY user_id, valid_from"""))
+         FROM ch ORDER BY user_id, valid_from""")),
+
+    // ---- q133: CO-PURCHASE PAGERANK — iterative fixpoint computation
+    // on the relational surface (the grid side's CC solver is the other
+    // iterative op; this is the graph-centrality shape: importance
+    // propagation for curation/sampling weights). Graph: parts are
+    // nodes, an edge (a, b) weighted by the number of ORDERS containing
+    // both; edges are symmetric, so every node in the graph has
+    // out-weight and the damping term never strands rank mass. Three
+    // damped iterations (d = 0.85) from the uniform start — fixed
+    // count, so the DuckDB twin just unrolls the same three CTEs.
+    // Scale shape: edge generation is an equi-self-join on l_orderkey
+    // (per-order groups are basket-sized, so pairs are
+    // sum-of-squares-of-basket — linear, never corpus-quadratic); the
+    // normalized edge table is built once, cached, and re-shuffled on
+    // src each iteration against the node-sized rank table — the
+    // canonical PageRank join. At cluster scale you'd bucket edges and
+    // ranks on the join key once and every iteration rides the same
+    // co-partitioning (sources/Bucketing.scala shows the machinery);
+    // iterations are a fixed small constant, not data-dependent.
+    Q("q133_copurchase_pagerank",
+      (s, d) => {
+        val Damp = 0.85; val Iters = 3
+        val op = li(s, d).select(col("l_orderkey").as("ok"),
+          col("l_partkey").as("pk")).distinct()
+        // cache the weighted edge table: it feeds the out-weight
+        // aggregate, the normalized table, AND the final report join —
+        // uncached, the basket self-join would replay for each
+        val e = graft.CacheScope.retain(
+          op.as("a").join(op.as("b"),
+              col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+            .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+            .agg(count(lit(1)).cast("double").as("w")))
+        val outw = e.groupBy("src").agg(sum("w").as("wout"))
+        val p = graft.CacheScope.retain(
+          e.join(broadcast(outw), "src")
+            .select(col("src"), col("dst"), (col("w") / col("wout")).as("p")))
+        val nodes = graft.CacheScope.retain(p.select(col("src").as("pk")).distinct())
+        // node count: a driver scalar (metadata-scale — it sizes the
+        // teleport term, exactly like the classify collect in g19)
+        val n = nodes.count().toDouble
+        var r = nodes.withColumn("r", lit(1.0 / n))
+        // the rank table is NODE-sized (parts, not baskets) — broadcast
+        // it into each iteration so the edge table never re-shuffles
+        // (measured at sf0.1: 148 MB of exchange -> the map-side-combined
+        // contribution aggregate only); past broadcastable node counts,
+        // pre-bucket p and r on the key instead
+        for (_ <- 1 to Iters)
+          r = p.join(broadcast(r), p("src") === r("pk"))
+            .groupBy("dst")
+            .agg(sum(col("p") * col("r")).as("acc"))
+            .select(col("dst").as("pk"),
+              (lit((1 - Damp) / n) + lit(Damp) * col("acc")).as("r"))
+        r.join(outw, r("pk") === outw("src"))
+          .select(col("pk").as("part_id"), round(col("r"), 8).as("pagerank"),
+            col("wout").cast("bigint").as("copurchase_w"))
+          .orderBy(col("pagerank").desc, col("part_id")).limit(20)
+      },
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           e AS (SELECT a.pk AS src, b.pk AS dst, CAST(count(*) AS DOUBLE) AS w
+                 FROM op a JOIN op b ON a.ok = b.ok AND a.pk <> b.pk
+                 GROUP BY 1, 2),
+           ow AS (SELECT src, sum(w) AS wout FROM e GROUP BY 1),
+           p AS (SELECT e.src, e.dst, e.w / ow.wout AS p
+                 FROM e JOIN ow USING (src)),
+           nodes AS (SELECT DISTINCT src AS pk FROM e),
+           nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+           r0 AS (SELECT pk, 1.0 / nn.n AS r FROM nodes, nn),
+           r1 AS (SELECT p.dst AS pk, (1 - 0.85) / nn.n + 0.85 * sum(p.p * r0.r) AS r
+                  FROM p JOIN r0 ON p.src = r0.pk, nn GROUP BY p.dst, nn.n),
+           r2 AS (SELECT p.dst AS pk, (1 - 0.85) / nn.n + 0.85 * sum(p.p * r1.r) AS r
+                  FROM p JOIN r1 ON p.src = r1.pk, nn GROUP BY p.dst, nn.n),
+           r3 AS (SELECT p.dst AS pk, (1 - 0.85) / nn.n + 0.85 * sum(p.p * r2.r) AS r
+                  FROM p JOIN r2 ON p.src = r2.pk, nn GROUP BY p.dst, nn.n)
+           SELECT r3.pk AS part_id, round(r3.r, 8) AS pagerank,
+             CAST(ow.wout AS BIGINT) AS copurchase_w
+           FROM r3 JOIN ow ON r3.pk = ow.src
+           ORDER BY pagerank DESC, part_id LIMIT 20""")),
+
+    // ---- q135: PEAK CONCURRENCY — the sweep-line interval aggregation
+    // (max simultaneous open sessions, and when it first happens) over
+    // the q10 sessionization. A bare global running sum would funnel
+    // the timeline through ONE task; this rides Ranking.globalCumSum —
+    // range-exchange + in-partition accumulation + driver-side prefix
+    // offsets — so the sweep scales out like a sort. Boundary rule: a
+    // session is active on its CLOSED interval [first_ts, last_ts], so
+    // at equal timestamps starts (flag 0) order before ends (flag 1)
+    // and an instantaneous session still counts. The peak is read off
+    // start rows only (concurrency can only peak at a start), which
+    // also makes the result invariant to intra-timestamp orderings the
+    // (ts, flag, user, session) total order already pins down.
+    Q("q135_peak_concurrency",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val cum = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val sess = ev(s, d)
+          .withColumn("prev_ts", lag("ts", 1).over(w))
+          .withColumn("is_new",
+            when(col("prev_ts").isNull
+              || unix_micros(col("ts").cast("timestamp"))
+                - unix_micros(col("prev_ts").cast("timestamp")) > 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_id", sum("is_new").over(cum))
+          .groupBy("user_id", "session_id")
+          .agg(min("ts").as("st"), max("ts").as("en"))
+        val sessC = graft.CacheScope.retain(sess)
+        val b = sessC.select(col("st").as("ts"), lit(0).as("flag"),
+            lit(1L).as("delta"), col("user_id"), col("session_id"))
+          .unionAll(sessC.select(col("en").as("ts"), lit(1).as("flag"),
+            lit(-1L).as("delta"), col("user_id"), col("session_id")))
+        val starts = graft.CacheScope.retain(
+          Ranking.globalCumSum(b, "delta", "conc",
+              col("ts"), col("flag"), col("user_id"), col("session_id"))
+            .filter(col("flag") === 0).select("ts", "conc"))
+        val peak = starts.agg(max("conc").as("peak"))
+        starts.join(broadcast(peak), col("conc") === col("peak"))
+          .agg(max("peak").as("peak_sessions"), min("ts").as("at_ts"))
+          .crossJoin(broadcast(sessC.agg(count(lit(1)).as("n_sessions"))))
+          .select(col("peak_sessions"), col("at_ts"), col("n_sessions"))
+      },
+      Some(s"""WITH ${Tables.evCte},
+           g AS (SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new FROM ev),
+           sa AS (SELECT user_id, ts,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM g),
+           sess AS (SELECT user_id, session_id, min(ts) AS st, max(ts) AS en
+                    FROM sa GROUP BY 1, 2),
+           b AS (SELECT st AS ts, 0 AS flag, 1 AS delta, user_id, session_id FROM sess
+                 UNION ALL
+                 SELECT en, 1, -1, user_id, session_id FROM sess),
+           c AS (SELECT ts, flag, sum(delta) OVER (ORDER BY ts, flag, user_id, session_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc FROM b),
+           st AS (SELECT ts, conc FROM c WHERE flag = 0),
+           pk AS (SELECT max(conc) AS peak FROM st)
+           SELECT CAST(pk.peak AS BIGINT) AS peak_sessions, min(st.ts) AS at_ts,
+             (SELECT count(*) FROM sess) AS n_sessions
+           FROM st, pk WHERE st.conc = pk.peak GROUP BY pk.peak"""))
   )
 
   /** Shared verbatim by the Spark SQL API and the DuckDB oracle. */

@@ -421,6 +421,13 @@ object SimilarityQueries {
     * the classic PQ trade, finer subspaces cut quantization distortion
     * faster than they grow the code (16 bytes/vector here).
     */
+  /** q134: a member scoring this many population-stddevs LESS similar
+    * to its label centroid than the label's mean member is flagged.
+    * 1.0 on a 600-member label flags the atypical tail (~15% under
+    * normality) — a curation prune rate, not an anomaly-detector one.
+    */
+  private val OutlierZ = 1.0
+
   private val PqSubDim = 4
 
   /** ADC candidate depth of q121 (re-rank budget: 10% of the corpus). */
@@ -961,7 +968,57 @@ object SimilarityQueries {
           .select(col("n_candidates"), col("hits"),
             round(col("hits").cast("double") / 10.0, 4).as("recall_at_10"))
       },
-      Some(pqAdcRecallOracleSql))
+      Some(pqAdcRecallOracleSql)),
+
+    // ---- q134: WITHIN-LABEL OUTLIER SCORING — the curation filter
+    // that flags mislabeled / atypical samples before training (the
+    // distance-to-centroid prune of SemDeDup-style cluster curation,
+    // turned inward on the LABEL): each vector's cosine to its OWN
+    // label centroid, z-scored against that label's similarity
+    // distribution (population stddev — no n-1 ambiguity across
+    // engines), outlier = z above [[OutlierZ]]. Differs from q80
+    // (which re-ASSIGNS to the nearest centroid): here the label is
+    // trusted and the question is how typical the member is of it.
+    // Scale shape: centroids are k x dim rows (metadata-scale,
+    // broadcast), the scoring join is a narrow broadcast-hash pass
+    // over the flattened corpus, and the per-label moment table is
+    // k rows — nothing pairwise, nothing quadratic, two tiny
+    // broadcasts and one map-side-combined aggregation per stage.
+    Q("q134_embedding_outlier",
+      (s, d) => {
+        val f = graft.CacheScope.retain(flat(s, d))
+        val cent = f.groupBy("label", "i").agg(avg("v").as("c"))
+        val cos = graft.CacheScope.retain(
+          f.join(broadcast(cent), Seq("label", "i"))
+            .groupBy("vec_id", "label")
+            .agg(sum(col("v") * col("c")).as("dot"),
+              sum(col("v") * col("v")).as("nv"),
+              sum(col("c") * col("c")).as("nc"))
+            .select(col("vec_id"), col("label"),
+              (col("dot") / sqrt(col("nv") * col("nc"))).as("cos")))
+        val stats = cos.groupBy("label")
+          .agg(avg("cos").as("mu"), stddev_pop("cos").as("sig"))
+        val z = round((col("mu") - col("cos")) / col("sig"), 4)
+        cos.join(broadcast(stats), "label")
+          .select(col("vec_id"), col("label"),
+            round(col("cos"), 6).as("cos_centroid"),
+            z.as("z"), (z > lit(OutlierZ)).as("is_outlier"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH flat AS (SELECT vec_id, label, CAST(v AS DOUBLE) AS v, i FROM (
+             SELECT vec_id, label, unnest(embedding) AS v,
+                    generate_subscripts(embedding, 1) AS i FROM embeddings) x),
+           cent AS (SELECT label, i, avg(v) AS c FROM flat GROUP BY 1, 2),
+           sc AS (SELECT f.vec_id, f.label,
+                    sum(f.v * c.c) / sqrt(sum(f.v * f.v) * sum(c.c * c.c)) AS cos
+                  FROM flat f JOIN cent c ON f.label = c.label AND f.i = c.i
+                  GROUP BY 1, 2),
+           st AS (SELECT label, avg(cos) AS mu, stddev_pop(cos) AS sig
+                  FROM sc GROUP BY 1)
+           SELECT s.vec_id, s.label, round(s.cos, 6) AS cos_centroid,
+             round((t.mu - s.cos) / t.sig, 4) AS z,
+             round((t.mu - s.cos) / t.sig, 4) > $OutlierZ AS is_outlier
+           FROM sc s JOIN st t ON s.label = t.label ORDER BY s.vec_id"""))
   )
 
   /** Shared candidate machinery of q111 (SemDeDup) and q116 (kNN

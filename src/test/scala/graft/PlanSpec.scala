@@ -285,4 +285,32 @@ class PlanSpec extends AnyFunSuite {
       "bracketing must be expression-level, not a UDF")
     assert(p.contains("*(") , "no whole-stage-codegen span in path slice")
   }
+
+  test("q133 pagerank: equi-joins only, edge generation never cartesian") {
+    val p = plan("q133_copurchase_pagerank")
+    // the per-order pair self-join and every iteration's rank join must
+    // be hash/sort-merge equi-joins — a cartesian anywhere would be
+    // baskets x corpus at scale
+    assert(!p.contains("CartesianProduct"))
+    // the only nested-loop join allowed is the single-row teleport-term
+    // literal, which is folded at the driver — it never appears at all
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"))
+  }
+
+  test("q135 sweep rides the range exchange, not a global window") {
+    val df = QueryRegistry.queries("q135_peak_concurrency")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the timeline cumsum is Ranking.globalCumSum (range exchange +
+    // narrow accumulation); the only Windows in the tree are the
+    // per-user sessionization ones, so every window spec must be
+    // PARTITIONED — an empty partitionBy would serialize the timeline
+    // through one task
+    p.linesIterator.filter(_.contains("windowspecdefinition")).foreach { l =>
+      assert(l.contains("user_id"),
+        s"unpartitioned window in the sweep plan: $l")
+    }
+    assert(!p.contains("CartesianProduct"))
+  }
 }

@@ -360,4 +360,58 @@ class QueriesSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_hits") >= 1)
     }
   }
+
+  test("q133 pagerank: top-20 ordered, positive, mass below the total") {
+    val rows =
+      QueryRegistry.queries("q133_copurchase_pagerank")(spark, sf).collect()
+    assert(rows.length == 20)
+    val ranks = rows.map(_.getAs[Double]("pagerank"))
+    assert(ranks.zip(ranks.drop(1)).forall { case (a, b) => a >= b },
+      "top-20 not rank-ordered")
+    assert(ranks.forall(_ > 0) && ranks.sum < 1.0,
+      "ranks must be a positive sub-unit share of total mass")
+    rows.foreach(r => assert(r.getAs[Long]("copurchase_w") >= 1))
+  }
+
+  test("q134 outlier flag is the z-threshold; the filter splits labels") {
+    val rows =
+      QueryRegistry.queries("q134_embedding_outlier")(spark, sf).collect()
+    assert(rows.length ==
+      Tables.embeddings(spark, sf).count().toInt)
+    rows.foreach { r =>
+      val cos = r.getAs[Double]("cos_centroid")
+      assert(cos <= 1.000001 && cos >= -1.000001)
+      assert(r.getAs[Boolean]("is_outlier") == (r.getAs[Double]("z") > 1.0))
+    }
+    assert(rows.exists(_.getAs[Boolean]("is_outlier"))
+      && rows.exists(!_.getAs[Boolean]("is_outlier")),
+      "z-threshold did not split the corpus")
+  }
+
+  test("q135 peak concurrency matches a driver-side sweep of the sessions") {
+    val row =
+      QueryRegistry.queries("q135_peak_concurrency")(spark, sf).collect()
+    assert(row.length == 1)
+    // independent oracle: re-derive sessions naively from the raw events
+    // and sweep the closed intervals in plain Scala
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"),
+        org.apache.spark.sql.functions.unix_micros(col("ts").cast("timestamp")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sessions = evs.groupBy(_._1).values.flatMap { es =>
+      val ts = es.map(_._2).sorted
+      val bounds = scala.collection.mutable.ArrayBuffer((ts.head, ts.head))
+      ts.drop(1).foreach { t =>
+        if (t - bounds.last._2 > 1800000000L) bounds += ((t, t))
+        else bounds(bounds.length - 1) = (bounds.last._1, t)
+      }
+      bounds
+    }.toSeq
+    val peaks = sessions.map(_._1).distinct.map { t =>
+      sessions.count { case (s, e) => s <= t && e >= t }
+    }
+    assert(row.head.getAs[Long]("peak_sessions") == peaks.max.toLong,
+      s"sweep-line peak ${row.head} != naive ${peaks.max}")
+    assert(row.head.getAs[Long]("n_sessions") == sessions.size.toLong)
+  }
 }
