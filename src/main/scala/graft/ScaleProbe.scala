@@ -93,6 +93,8 @@ object ScaleProbe {
     if (enabled("vpic")) vpicThroughput(spark)
     if (enabled("neardup_stream")) streamingNearDupLatency(spark, corpus(10))
     if (enabled("skew_join")) aqeVsSalting(spark)
+    if (enabled("pagerank")) pagerankScale(spark)
+    if (enabled("sweepline")) sweepLineScale(spark)
     if (enabled("g19")) g19GridSweep(spark)
     if (enabled("jobaudit")) g19JobAudit(spark)
     if (enabled("pathslice")) pathSliceScale(spark)
@@ -390,6 +392,62 @@ object ScaleProbe {
     * masks (cs=0) — the chain's fixed cost is still in every number.
     * See [[g19JobAudit]] for where the remaining 30 come from.
     */
+  /** q133 cost vs order count: replicate sf0.1 lineitem k x with
+    * disjoint order keys (same parts — the node set stays fixed, the
+    * basket count scales k x). Edge generation is the only data-sized
+    * stage (self-join + pair aggregate); iterations touch the
+    * DISTINCT-pair table, whose size is capped by the (unchanged)
+    * node-pair space — so time should grow sublinearly in k once the
+    * distinct pair space saturates, and never quadratically.
+    *
+    * Measured on local[32]: k=1 13.5 s (cold session), k=4 9.3 s,
+    * k=10 25.3 s — 2.5x the baskets from k=4 costs 2.7x: linear in
+    * basket count (the self-join + pair aggregate), no quadratic term.
+    */
+  private def pagerankScale(spark: SparkSession): Unit = {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.1")
+      .select("l_orderkey", "l_partkey")
+    def rep(k: Int) = (0 until k).map { i =>
+      li.select((col("l_orderkey") + lit(i.toLong * 1000000000L))
+        .as("l_orderkey"), col("l_partkey"))
+    }.reduce(_ unionAll _)
+    for (k <- Seq(1, 4, 10)) {
+      val t0 = System.nanoTime()
+      val n = graft.relational.RelationalQueries
+        .copurchasePagerankOf(rep(k)).count()
+      CacheScope.flush(spark)
+      println(f"[scale] pagerank k=$k rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+  }
+
+  /** q135 cost vs event count: replicate sf0.1 events k x with
+    * disjoint user ids (sessions and sweep boundaries scale k x, the
+    * peak multiplies). The sweep is a range exchange + narrow
+    * accumulation (globalCumSum), so time should track boundary count
+    * ~linearly — the property that lets the timeline of a year of
+    * cluster-wide events be swept without a single-task sort.
+    *
+    * Measured on local[32]: k=1 4.5 s (cold), k=4 2.7 s, k=10 2.7 s —
+    * 10x the sessions at the k=4 cost: the wall is the fixed per-stage
+    * quanta, the data term is not yet visible at ~1M sessions. The
+    * peak multiplying exactly by k (9/36/90) checks the replication.
+    */
+  private def sweepLineScale(spark: SparkSession): Unit = {
+    val ev = Tables.events(spark, "/root/testdata/sf0.1")
+    def rep(k: Int) = (0 until k).map { i =>
+      ev.select(col("event_id"), col("ts"),
+        (col("user_id") + lit(i.toLong * 1000000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionAll _)
+    for (k <- Seq(1, 4, 10)) {
+      val t0 = System.nanoTime()
+      val r = graft.relational.RelationalQueries
+        .peakConcurrencyOf(rep(k)).collect()(0)
+      CacheScope.flush(spark)
+      println(f"[scale] sweepline k=$k peak=${r.getLong(0)} nsess=${r.getLong(2)} time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+  }
+
   private def g19GridSweep(spark: SparkSession): Unit = {
     import graft.grid.{FindStructures, GridVar, SimDataset}
     val jobs = new java.util.concurrent.atomic.AtomicInteger

@@ -1014,43 +1014,7 @@ object RelationalQueries {
     // co-partitioning (sources/Bucketing.scala shows the machinery);
     // iterations are a fixed small constant, not data-dependent.
     Q("q133_copurchase_pagerank",
-      (s, d) => {
-        val Damp = 0.85; val Iters = 3
-        val op = li(s, d).select(col("l_orderkey").as("ok"),
-          col("l_partkey").as("pk")).distinct()
-        // cache the weighted edge table: it feeds the out-weight
-        // aggregate, the normalized table, AND the final report join —
-        // uncached, the basket self-join would replay for each
-        val e = graft.CacheScope.retain(
-          op.as("a").join(op.as("b"),
-              col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
-            .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
-            .agg(count(lit(1)).cast("double").as("w")))
-        val outw = e.groupBy("src").agg(sum("w").as("wout"))
-        val p = graft.CacheScope.retain(
-          e.join(broadcast(outw), "src")
-            .select(col("src"), col("dst"), (col("w") / col("wout")).as("p")))
-        val nodes = graft.CacheScope.retain(p.select(col("src").as("pk")).distinct())
-        // node count: a driver scalar (metadata-scale — it sizes the
-        // teleport term, exactly like the classify collect in g19)
-        val n = nodes.count().toDouble
-        var r = nodes.withColumn("r", lit(1.0 / n))
-        // the rank table is NODE-sized (parts, not baskets) — broadcast
-        // it into each iteration so the edge table never re-shuffles
-        // (measured at sf0.1: 148 MB of exchange -> the map-side-combined
-        // contribution aggregate only); past broadcastable node counts,
-        // pre-bucket p and r on the key instead
-        for (_ <- 1 to Iters)
-          r = p.join(broadcast(r), p("src") === r("pk"))
-            .groupBy("dst")
-            .agg(sum(col("p") * col("r")).as("acc"))
-            .select(col("dst").as("pk"),
-              (lit((1 - Damp) / n) + lit(Damp) * col("acc")).as("r"))
-        r.join(outw, r("pk") === outw("src"))
-          .select(col("pk").as("part_id"), round(col("r"), 8).as("pagerank"),
-            col("wout").cast("bigint").as("copurchase_w"))
-          .orderBy(col("pagerank").desc, col("part_id")).limit(20)
-      },
+      (s, d) => copurchasePagerankOf(li(s, d)),
       Some("""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
            e AS (SELECT a.pk AS src, b.pk AS dst, CAST(count(*) AS DOUBLE) AS w
                  FROM op a JOIN op b ON a.ok = b.ok AND a.pk <> b.pk
@@ -1085,35 +1049,7 @@ object RelationalQueries {
     // also makes the result invariant to intra-timestamp orderings the
     // (ts, flag, user, session) total order already pins down.
     Q("q135_peak_concurrency",
-      (s, d) => {
-        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        val cum = Window.partitionBy("user_id").orderBy("ts", "event_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val sess = ev(s, d)
-          .withColumn("prev_ts", lag("ts", 1).over(w))
-          .withColumn("is_new",
-            when(col("prev_ts").isNull
-              || unix_micros(col("ts").cast("timestamp"))
-                - unix_micros(col("prev_ts").cast("timestamp")) > 1800000000L, 1L)
-              .otherwise(0L))
-          .withColumn("session_id", sum("is_new").over(cum))
-          .groupBy("user_id", "session_id")
-          .agg(min("ts").as("st"), max("ts").as("en"))
-        val sessC = graft.CacheScope.retain(sess)
-        val b = sessC.select(col("st").as("ts"), lit(0).as("flag"),
-            lit(1L).as("delta"), col("user_id"), col("session_id"))
-          .unionAll(sessC.select(col("en").as("ts"), lit(1).as("flag"),
-            lit(-1L).as("delta"), col("user_id"), col("session_id")))
-        val starts = graft.CacheScope.retain(
-          Ranking.globalCumSum(b, "delta", "conc",
-              col("ts"), col("flag"), col("user_id"), col("session_id"))
-            .filter(col("flag") === 0).select("ts", "conc"))
-        val peak = starts.agg(max("conc").as("peak"))
-        starts.join(broadcast(peak), col("conc") === col("peak"))
-          .agg(max("peak").as("peak_sessions"), min("ts").as("at_ts"))
-          .crossJoin(broadcast(sessC.agg(count(lit(1)).as("n_sessions"))))
-          .select(col("peak_sessions"), col("at_ts"), col("n_sessions"))
-      },
+      (s, d) => peakConcurrencyOf(ev(s, d)),
       Some(s"""WITH ${Tables.evCte},
            g AS (SELECT user_id, event_id, ts,
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -1135,6 +1071,82 @@ object RelationalQueries {
              (SELECT count(*) FROM sess) AS n_sessions
            FROM st, pk WHERE st.conc = pk.peak GROUP BY pk.peak"""))
   )
+
+  /** q133's body, parameterized on the lineitem relation so ScaleProbe
+    * can sweep replicated inputs. See the q133 entry for semantics and
+    * the scale rationale of each step.
+    */
+  def copurchasePagerankOf(lineitem: DataFrame): DataFrame = {
+    val Damp = 0.85; val Iters = 3
+    val op = lineitem.select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("pk")).distinct()
+    // cache the weighted edge table: it feeds the out-weight
+    // aggregate, the normalized table, AND the final report join —
+    // uncached, the basket self-join would replay for each
+    val e = graft.CacheScope.retain(
+      op.as("a").join(op.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+        .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+        .agg(count(lit(1)).cast("double").as("w")))
+    val outw = e.groupBy("src").agg(sum("w").as("wout"))
+    val p = graft.CacheScope.retain(
+      e.join(broadcast(outw), "src")
+        .select(col("src"), col("dst"), (col("w") / col("wout")).as("p")))
+    val nodes = graft.CacheScope.retain(p.select(col("src").as("pk")).distinct())
+    // node count: a driver scalar (metadata-scale — it sizes the
+    // teleport term, exactly like the classify collect in g19)
+    val n = nodes.count().toDouble
+    var r = nodes.withColumn("r", lit(1.0 / n))
+    // the rank table is NODE-sized (parts, not baskets) — broadcast
+    // it into each iteration so the edge table never re-shuffles
+    // (measured at sf0.1: 148 MB of exchange -> the map-side-combined
+    // contribution aggregate only); past broadcastable node counts,
+    // pre-bucket p and r on the key instead
+    for (_ <- 1 to Iters)
+      r = p.join(broadcast(r), p("src") === r("pk"))
+        .groupBy("dst")
+        .agg(sum(col("p") * col("r")).as("acc"))
+        .select(col("dst").as("pk"),
+          (lit((1 - Damp) / n) + lit(Damp) * col("acc")).as("r"))
+    r.join(outw, r("pk") === outw("src"))
+      .select(col("pk").as("part_id"), round(col("r"), 8).as("pagerank"),
+        col("wout").cast("bigint").as("copurchase_w"))
+      .orderBy(col("pagerank").desc, col("part_id")).limit(20)
+  }
+
+  /** q135's body, parameterized on the events relation so ScaleProbe
+    * can sweep replicated inputs. See the q135 entry for the boundary
+    * rule and why the sweep rides [[Ranking.globalCumSum]].
+    */
+  def peakConcurrencyOf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = events
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull
+          || unix_micros(col("ts").cast("timestamp"))
+            - unix_micros(col("prev_ts").cast("timestamp")) > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("is_new").over(cum))
+      .groupBy("user_id", "session_id")
+      .agg(min("ts").as("st"), max("ts").as("en"))
+    val sessC = graft.CacheScope.retain(sess)
+    val b = sessC.select(col("st").as("ts"), lit(0).as("flag"),
+        lit(1L).as("delta"), col("user_id"), col("session_id"))
+      .unionAll(sessC.select(col("en").as("ts"), lit(1).as("flag"),
+        lit(-1L).as("delta"), col("user_id"), col("session_id")))
+    val starts = graft.CacheScope.retain(
+      Ranking.globalCumSum(b, "delta", "conc",
+          col("ts"), col("flag"), col("user_id"), col("session_id"))
+        .filter(col("flag") === 0).select("ts", "conc"))
+    val peak = starts.agg(max("conc").as("peak"))
+    starts.join(broadcast(peak), col("conc") === col("peak"))
+      .agg(max("peak").as("peak_sessions"), min("ts").as("at_ts"))
+      .crossJoin(broadcast(sessC.agg(count(lit(1)).as("n_sessions"))))
+      .select(col("peak_sessions"), col("at_ts"), col("n_sessions"))
+  }
 
   /** Shared verbatim by the Spark SQL API and the DuckDB oracle. */
   private val groupingSetsSql: String =
