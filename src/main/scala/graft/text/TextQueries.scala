@@ -862,6 +862,42 @@ object TextQueries {
                  ELSE $SampleOtherPermille END) AS n_sampled
              FROM documents GROUP BY 1, 2 ORDER BY source, lang""")),
 
+    // ---- q136: WEIGHTED SAMPLING WITHOUT REPLACEMENT (Efraimidis-
+    // Spirakis A-ES) — the quality-weighted subset selection a curated
+    // training mix needs: per source, keep the [[EsK]] docs with the
+    // largest u^(1/w) where u is the q127 portable-LCG uniform on
+    // doc_id and the weight w is the doc's length. The A-ES key makes
+    // inclusion probability proportional to weight WITHOUT replacement
+    // and — the scale property — turns sampling into a top-k-per-group
+    // aggregation: the bounded TopK Aggregator keeps k-row buffers
+    // map-side (one small shuffle of O(k) per group per task), so a
+    // stratum of a billion docs never sorts and never coordinates an
+    // RNG across executors. The same LCG determinism as q127: re-runs
+    // and re-partitions reproduce the sample bit-for-bit.
+    Q("q136_weighted_sample",
+      (s, d) => {
+        val topk = udaf(new graft.functions.Aggregators.TopK(EsK))
+        val u = ((col("doc_id") * LcgA + LcgC) % LcgM).cast("double") / LcgM.toDouble
+        val key = pow(u, lit(1.0) / col("n_chars").cast("double"))
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), key.as("k"))
+          .groupBy("source")
+          .agg(topk(-col("k"), col("doc_id")).as("t"))
+          .select(col("source"), posexplode(col("t.items")).as(Seq("pos", "r")))
+          .select(col("source"), (col("pos") + 1).cast("long").as("rk"),
+            col("r.id").as("doc_id"), round(-col("r.ord"), 8).as("es_key"))
+          .orderBy("source", "rk")
+      },
+      Some(s"""SELECT source, rk, doc_id, es_key FROM (
+             SELECT source, doc_id,
+               CAST(row_number() OVER (PARTITION BY source ORDER BY
+                 pow(CAST((doc_id * $LcgA + $LcgC) % $LcgM AS DOUBLE) / $LcgM,
+                     1.0 / n_chars) DESC, doc_id) AS BIGINT) AS rk,
+               round(pow(CAST((doc_id * $LcgA + $LcgC) % $LcgM AS DOUBLE) / $LcgM,
+                     1.0 / n_chars), 8) AS es_key
+             FROM documents) t
+             WHERE rk <= $EsK ORDER BY source, rk""")),
+
     // ---- q128: BPE MERGE INDUCTION (first iteration) — the
     // tokenizer-training primitive: count every adjacent character
     // pair inside every word, rank by frequency; the top pair IS the
@@ -1029,6 +1065,9 @@ object TextQueries {
 
   /** q128: how many top merges to emit. */
   val BpeTopN = 30
+
+  /** q136: A-ES sample size per source stratum. */
+  val EsK = 10
 
   /** q129 phrase (chosen for non-trivial df at every SF). */
   val PhraseA = "table"

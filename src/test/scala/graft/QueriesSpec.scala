@@ -414,4 +414,27 @@ class QueriesSpec extends AnyFunSuite {
       s"sweep-line peak ${row.head} != naive ${peaks.max}")
     assert(row.head.getAs[Long]("n_sessions") == sessions.size.toLong)
   }
+
+  test("q136 A-ES sample: dense ranks, keys in [0,1] descending, long-doc bias") {
+    val rows =
+      QueryRegistry.queries("q136_weighted_sample")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val seq = rs.sortBy(_.getAs[Long]("rk"))
+      assert(seq.map(_.getAs[Long]("rk")).toSeq == (1L to seq.length).toSeq)
+      val keys = seq.map(_.getAs[Double]("es_key"))
+      assert(keys.forall(k => k >= 0.0 && k <= 1.0))
+      assert(keys.zip(keys.drop(1)).forall { case (a, b) => a >= b })
+    }
+    // weight = n_chars: the weighted sample must skew longer than the
+    // corpus average (the property A-ES exists to provide)
+    val lens = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sampledMean = rows.map(r => lens(r.getAs[Long]("doc_id"))).sum
+      .toDouble / rows.length
+    val corpusMean = lens.values.sum.toDouble / lens.size
+    assert(sampledMean > corpusMean,
+      s"weighted sample mean length $sampledMean not above corpus $corpusMean")
+  }
 }
