@@ -1018,8 +1018,55 @@ object SimilarityQueries {
            SELECT s.vec_id, s.label, round(s.cos, 6) AS cos_centroid,
              round((t.mu - s.cos) / t.sig, 4) AS z,
              round((t.mu - s.cos) / t.sig, 4) > $OutlierZ AS is_outlier
-           FROM sc s JOIN st t ON s.label = t.label ORDER BY s.vec_id"""))
+           FROM sc s JOIN st t ON s.label = t.label ORDER BY s.vec_id""")),
+
+    // ---- q137: HARD-NEGATIVE MINING — for every vector, the most
+    // similar vector carrying a DIFFERENT label: the contrastive-
+    // training data op (dense-retrieval / embedding-model training
+    // wants exactly these pairs; random negatives are too easy).
+    // Candidates are the q111/q116 multi-probe cluster-bounded pairs
+    // (linear in corpus, never n²), labels ride two vec-count-sized
+    // equi-joins, the winner is a top-1 PARTITIONED window with the
+    // q116 tie-break. A vector whose candidates are all same-label
+    // emits nothing — at production scale nProbe widens until the
+    // negative pool suffices (the q111 multiprobe trade, measured in
+    // ScaleProbe).
+    Q("q137_hard_negatives",
+      (s, d) => hardNegativesOf(Tables.embeddings(s, d)).orderBy("vec_id"),
+      Some(s"""WITH ${clusterCosineCteSql},
+        sym AS (SELECT va, vb, cos FROM half
+                UNION ALL SELECT vb, va, cos FROM half),
+        lab AS (SELECT vec_id, label FROM embeddings),
+        x AS (SELECT s.va, s.vb, s.cos, la.label AS la, lb.label AS lb
+              FROM sym s JOIN lab la ON s.va = la.vec_id
+                         JOIN lab lb ON s.vb = lb.vec_id
+              WHERE la.label <> lb.label),
+        r AS (SELECT va, vb, cos, la, lb,
+                row_number() OVER (PARTITION BY va
+                  ORDER BY cos DESC, vb) AS rn FROM x)
+        SELECT va AS vec_id, la AS label, vb AS neg_id, lb AS neg_label,
+          cos FROM r WHERE rn = 1 ORDER BY vec_id"""))
   )
+
+  /** q137's body: cluster-bounded candidate pairs, cross-label filter,
+    * per-vector top-1 by (cos DESC, neighbor id).
+    */
+  def hardNegativesOf(emb: DataFrame,
+      nProbe: Int = SemNProbe): DataFrame = {
+    val (_, half) = clusterBoundedCosineOf(emb, nProbe)
+    val lab = emb.select(col("vec_id"), col("label"))
+    val sym = half.union(
+      half.select(col("vb").as("va"), col("va").as("vb"), col("cos")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("va").orderBy(col("cos").desc, col("vb").asc)
+    sym.join(lab.select(col("vec_id").as("va"), col("label").as("la")), "va")
+      .join(lab.select(col("vec_id").as("vb"), col("label").as("lb")), "vb")
+      .filter(col("la") =!= col("lb"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("va").as("vec_id"), col("la").as("label"),
+        col("vb").as("neg_id"), col("lb").as("neg_label"), col("cos"))
+  }
 
   /** Shared candidate machinery of q111 (SemDeDup) and q116 (kNN
     * graph): stride-seed cluster assignment and the cluster-bounded

@@ -437,4 +437,19 @@ class QueriesSpec extends AnyFunSuite {
     assert(sampledMean > corpusMean,
       s"weighted sample mean length $sampledMean not above corpus $corpusMean")
   }
+
+  test("q137 hard negatives: one per vector, strictly cross-label, valid cos") {
+    val rows =
+      QueryRegistry.queries("q137_hard_negatives")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == rows.length,
+      "more than one negative emitted for some vector")
+    rows.foreach { r =>
+      assert(r.getAs[Int]("label") != r.getAs[Int]("neg_label"),
+        s"same-label pair leaked: $r")
+      assert(r.getAs[Long]("vec_id") != r.getAs[Long]("neg_id"))
+      val c = r.getAs[Double]("cos")
+      assert(c <= 1.000001 && c >= -1.000001)
+    }
+  }
 }
