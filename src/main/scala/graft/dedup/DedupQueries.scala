@@ -627,7 +627,78 @@ object DedupQueries {
           graft.CacheScope.retain(
             shingleSets(Tables.documents(s, d), ShingleW)), ContainT)
         .orderBy("doc_a", "doc_b"),
-      Some(containmentOracleSql))
+      Some(containmentOracleSql)),
+
+    // ---- q138: SOURCE-LEVEL SKETCH UNION — MinHash MERGEABILITY as a
+    // first-class operator: per-doc signatures merge into per-SOURCE
+    // signatures by element-wise min (min over a union = min over the
+    // mins), giving the cross-source estimated-Jaccard dashboard from
+    // metadata-sized state. The oracle computes each source's sketch
+    // DIRECTLY from its union token set — hash-equality of the two
+    // routes IS the mergeability proof, cross-engine. Exact per-pair
+    // Jaccard rides along for calibration. The 100 TB story: doc
+    // sketches fold into source sketches map-side (a 16-long buffer
+    // per group), so corpus-pair similarity costs one tiny aggregation
+    // — never a token-level cross-source join; the exact leg here is
+    // the calibration-time audit, not the steady-state path.
+    Q("q138_source_sketch_union",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val srcOf = docs.select(col("doc_id"), col("source"))
+        val srcSigs = graft.CacheScope.retain {
+          val m = (0 until NumHashes).map(i => min(col(s"h$i")).as(s"h$i"))
+          minhashSignaturesOf(docs).join(srcOf, "doc_id")
+            .groupBy("source").agg(m.head, m.tail: _*)
+        }
+        val toks = graft.CacheScope.retain(
+          tokenStreamOf(docs).join(srcOf, "doc_id")
+            .select("source", "token").distinct())
+        val sizes = toks.groupBy("source").agg(count(lit(1)).as("n"))
+        val inter = toks.as("ta").join(toks.as("tb"),
+            col("ta.token") === col("tb.token")
+              && col("ta.source") < col("tb.source"))
+          .groupBy(col("ta.source").as("sa"), col("tb.source").as("sb"))
+          .agg(count(lit(1)).as("ninter"))
+        srcSigs.as("a").crossJoin(srcSigs.as("b"))
+          .filter(col("a.source") < col("b.source"))
+          .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+            round(agreeExpr("a", "b").cast("double") / NumHashes, 4)
+              .as("est_jaccard"))
+          .join(inter, col("src_a") === col("sa") && col("src_b") === col("sb"))
+          .join(sizes.select(col("source").as("src_a"), col("n").as("na")), "src_a")
+          .join(sizes.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
+          .select(col("src_a"), col("src_b"), col("est_jaccard"),
+            round(col("ninter").cast("double")
+              / (col("na") + col("nb") - col("ninter")), 6).as("exact_jaccard"))
+          .orderBy("src_a", "src_b")
+      },
+      Some {
+        val mins = (0 until NumHashes).map(i =>
+          s"min((x1 * ${permA(i)} % $P + x2 * ${permB(i)} % $P + ${permC(i)}) % $P) AS h$i")
+          .mkString(",\n  ")
+        s"""WITH stok AS (SELECT DISTINCT source, token FROM
+             (SELECT source, unnest(string_split(text, ' ')) AS token
+              FROM documents) x),
+           hb AS (SELECT source,
+                  CAST(concat('0x', substr(md5(token),1,15)) AS BIGINT) % $P AS x1,
+                  CAST(concat('0x', substr(md5(token),17,15)) AS BIGINT) % $P AS x2
+                  FROM stok),
+           ssig AS (SELECT source, $mins FROM hb GROUP BY source),
+           sz AS (SELECT source, count(*) AS n FROM stok GROUP BY source),
+           iv AS (SELECT ta.source AS sa, tb.source AS sb, count(*) AS ninter
+                  FROM stok ta JOIN stok tb
+                    ON ta.token = tb.token AND ta.source < tb.source
+                  GROUP BY 1, 2)
+           SELECT a.source AS src_a, b.source AS src_b,
+             round(CAST($agreeSql AS DOUBLE) / $NumHashes, 4) AS est_jaccard,
+             round(CAST(iv.ninter AS DOUBLE)
+               / (za.n + zb.n - iv.ninter), 6) AS exact_jaccard
+           FROM ssig a JOIN ssig b ON a.source < b.source
+           JOIN iv ON iv.sa = a.source AND iv.sb = b.source
+           JOIN sz za ON za.source = a.source
+           JOIN sz zb ON zb.source = b.source
+           ORDER BY src_a, src_b"""
+      })
   )
 
   /** Window size for q97's duplicated-substring scan: long enough that a

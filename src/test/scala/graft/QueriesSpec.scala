@@ -452,4 +452,21 @@ class QueriesSpec extends AnyFunSuite {
       assert(c <= 1.000001 && c >= -1.000001)
     }
   }
+
+  test("q138 source sketches: ordered pairs, estimates track exact jaccard") {
+    val rows =
+      QueryRegistry.queries("q138_source_sketch_union")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"))
+      val est = r.getAs[Double]("est_jaccard")
+      val ex = r.getAs[Double]("exact_jaccard")
+      assert(est >= 0.0 && est <= 1.0 && ex >= 0.0 && ex <= 1.0)
+      // 16 permutations: sd = sqrt(J(1-J)/16) <= 0.125; 4 sd is a
+      // conservative band — a break means the sketch merge is wrong,
+      // not that the estimator is noisy
+      assert(math.abs(est - ex) <= 0.5,
+        s"sketch estimate $est implausibly far from exact $ex")
+    }
+  }
 }
