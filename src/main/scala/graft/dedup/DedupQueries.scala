@@ -659,7 +659,10 @@ object DedupQueries {
               && col("ta.source") < col("tb.source"))
           .groupBy(col("ta.source").as("sa"), col("tb.source").as("sb"))
           .agg(count(lit(1)).as("ninter"))
-        srcSigs.as("a").crossJoin(srcSigs.as("b"))
+        // source-pair enumeration: sources are metadata-scale (dozens),
+        // so the pair space rides a broadcast nested loop, never a
+        // data-sized cartesian
+        srcSigs.as("a").crossJoin(broadcast(srcSigs.as("b")))
           .filter(col("a.source") < col("b.source"))
           .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
             round(agreeExpr("a", "b").cast("double") / NumHashes, 4)
