@@ -368,6 +368,75 @@ object TextQueries {
              SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams, avg_logprob
              FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""")),
 
+    // ---- q139: DOMAIN-MISMATCH MATRIX — score every source's text
+    // under every source's bigram LM (add-1 smoothing over the corpus
+    // vocabulary): avg ln P(w2|w1) per (lm_source, scored_source).
+    // The importance-weighting / domain-filter signal (CCNet-style
+    // perplexity filtering generalized to a matrix): the diagonal is
+    // the in-domain baseline, an off-diagonal gap measures how foreign
+    // source B looks to source A's model. Scale shape: LM tables are
+    // (source x distinct-bigram)-sized aggregates; instances replicate
+    // only by the SOURCE COUNT (metadata-scale broadcast), the scoring
+    // joins are left equi-joins on (lm, w1[, w2]), and everything
+    // map-side-combines down to an S x S matrix.
+    Q("q139_domain_mismatch",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val bg = graft.CacheScope.retain(
+          docs.select(col("source"), split(col("text"), " ").as("toks"))
+            .select(col("source"), explode(expr(
+              """CASE WHEN size(toks) >= 2
+                 THEN transform(sequence(1, size(toks) - 1),
+                   i -> struct(element_at(toks, i) AS w1,
+                               element_at(toks, i + 1) AS w2))
+                 ELSE array() END""")).as("b"))
+            .select(col("source"), col("b.w1").as("w1"), col("b.w2").as("w2")))
+        val cb = bg.groupBy(col("source").as("lm"), col("w1"), col("w2"))
+          .agg(count(lit(1)).as("nb"))
+        val cu = bg.groupBy(col("source").as("lm"), col("w1"))
+          .agg(count(lit(1)).as("nu"))
+        val vdf = docs.select(explode(split(col("text"), " ")).as("t"))
+          .agg(countDistinct("t").cast("double").as("vocab"))
+        val lms = bg.select(col("source").as("lm")).distinct()
+        bg.crossJoin(broadcast(lms))
+          .join(cb, Seq("lm", "w1", "w2"), "left")
+          .join(cu, Seq("lm", "w1"), "left")
+          .crossJoin(broadcast(vdf))
+          .select(col("lm").as("lm_source"), col("source").as("scored_source"),
+            log((coalesce(col("nb"), lit(0L)).cast("double") + 1.0)
+              / (coalesce(col("nu"), lit(0L)).cast("double") + col("vocab")))
+              .as("lp"))
+          .groupBy("lm_source", "scored_source")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(avg("lp"), 4).as("avg_logprob"))
+          .orderBy("lm_source", "scored_source")
+      },
+      Some("""WITH bg AS (SELECT source, toks[i] AS w1, toks[i + 1] AS w2
+               FROM (SELECT source, toks,
+                       unnest(range(1, greatest(len(toks), 1))) AS i
+                     FROM (SELECT source, string_split(text, ' ') AS toks
+                           FROM documents) t) x),
+             cb AS (SELECT source AS lm, w1, w2, count(*) AS nb
+                    FROM bg GROUP BY 1, 2, 3),
+             cu AS (SELECT source AS lm, w1, count(*) AS nu
+                    FROM bg GROUP BY 1, 2),
+             vv AS (SELECT CAST(count(DISTINCT token) AS DOUBLE) AS vocab
+                    FROM (SELECT unnest(string_split(text, ' ')) AS token
+                          FROM documents) tt),
+             lms AS (SELECT DISTINCT source AS lm FROM bg),
+             sc AS (SELECT i.lm, i.scored,
+                      ln((coalesce(cb.nb, 0) + 1.0)
+                         / (coalesce(cu.nu, 0) + vv.vocab)) AS lp
+                    FROM (SELECT l.lm, b.source AS scored, b.w1, b.w2
+                          FROM bg b, lms l) i
+                    LEFT JOIN cb ON cb.lm = i.lm AND cb.w1 = i.w1
+                                AND cb.w2 = i.w2
+                    LEFT JOIN cu ON cu.lm = i.lm AND cu.w1 = i.w1, vv)
+             SELECT lm AS lm_source, scored AS scored_source,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(lp), 4) AS avg_logprob
+             FROM sc GROUP BY 1, 2 ORDER BY lm_source, scored_source""")),
+
     // ---- q75: deterministic hash-based train/val split — the
     // reproducible dataset-split op (same row -> same split on any
     // engine, any run, any partitioning; no RNG, no state). Uses the

@@ -469,4 +469,16 @@ class QueriesSpec extends AnyFunSuite {
         s"sketch estimate $est implausibly far from exact $ex")
     }
   }
+
+  test("q139 domain matrix: full SxS, own-domain model scores its text best") {
+    val rows =
+      QueryRegistry.queries("q139_domain_mismatch")(spark, sf).collect()
+    val srcs = rows.map(_.getAs[String]("lm_source")).distinct
+    assert(rows.length == srcs.length * srcs.length, "matrix not full SxS")
+    rows.groupBy(_.getAs[String]("scored_source")).foreach { case (sc, rs) =>
+      val best = rs.maxBy(_.getAs[Double]("avg_logprob"))
+      assert(best.getAs[String]("lm_source") == sc,
+        s"source $sc scored higher under ${best.getAs[String]("lm_source")}'s LM")
+    }
+  }
 }
