@@ -138,7 +138,22 @@ object Bench {
       }.mkString("{", ",", "}")
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"queries":$qs,"forensics":$fo,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"queries":$qs,"forensics":$fo,"sf":"$sfDir"}"""
+    println(json)
+    // The driver captures sbt stdout, where the `[info] ` prefix and tail
+    // truncation have defeated its JSON parser three rounds straight
+    // (BENCH_r07-r09 all `parsed: null`). Persist the identical line to a
+    // file as the machine-readable artifact of record: repo-root
+    // BENCH_LOCAL.json (committed each round) or SPARK_GRAFT_BENCH_OUT.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outPath),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] could not write $outPath: $e")
+    }
     spark.stop()
   }
 }

@@ -38,7 +38,16 @@ object CacheScope {
     * blocks to actually drop so query N's cache debt is never paid
     * inside query N+1's timing window — what made in-suite readings
     * drift up to ~1.6x vs isolated reruns of the same code.
+    *
+    * Flushes every session sharing `s`'s SparkContext, not just `s`:
+    * operators that scope confs through a child `newSession` (e.g.
+    * FindStructures' small-grid AQE scoping) register retains under
+    * the child, and the harness only knows the parent. Blocks live in
+    * the shared context, so cross-session unpersist is the correct
+    * lifetime boundary.
     */
   def flush(s: SparkSession, blocking: Boolean): Unit =
-    retained.remove(s).foreach(_.foreach(_.unpersist(blocking)))
+    retained.keys.filter(_.sparkContext eq s.sparkContext)
+      .foreach(k => retained.remove(k)
+        .foreach(_.foreach(_.unpersist(blocking))))
 }

@@ -18,6 +18,7 @@ object QueryRegistry {
     relational.RelationalQueries.defs ++
       relational.JoinOps.defs ++
       text.TextQueries.defs ++
+      text.BpeTrainer.defs ++
       dedup.DedupQueries.defs ++
       similarity.SimilarityQueries.defs ++
       grid.GridQueries.defs ++

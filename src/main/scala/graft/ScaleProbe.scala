@@ -87,6 +87,69 @@ object ScaleProbe {
     // q104-style exact-pairwise audit instead.
     if (enabled("fuzzy")) probe("fuzzy_dedup", Seq(1, 4, 10))(c =>
       graft.dedup.DedupQueries.fuzzyDedupOf(c).filter(col("kept")).count())
+    // q125 containment: the Sigma df^2 posting-list cost model probed
+    // on NATURAL subsets (doc_id strides), not the replicated corpus —
+    // replication multiplies every shingle's df by k, so the replicated
+    // shape IS the k^2 degenerate the cost model warns about, while
+    // natural text keeps long postings rare. Expect ~linear in docs.
+    if (enabled("containment")) {
+      import graft.dedup.DedupQueries
+      for (m <- Seq(4, 2, 1)) {
+        val sub = base.filter(col("doc_id") % m === 0)
+        val t0 = System.nanoTime()
+        val n = DedupQueries.containmentPairsOf(
+          CacheScope.retain(DedupQueries.shingleSets(sub,
+            DedupQueries.ShingleW)), DedupQueries.ContainT).count()
+        CacheScope.flush(spark)
+        println(f"[scale] containment docs=${5000 / m} pairs=$n " +
+          f"time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    }
+    // q136 A-ES sampling under k-fold strata growth: output stays
+    // EsK rows per source (the TopK buffers never exceed k entries
+    // map-side), so time must track the scan, not the stratum size.
+    if (enabled("weighted_sample")) {
+      val baseFull = Tables.documents(spark, "/root/testdata/sf0.1")
+      for (k <- Seq(1, 4, 10)) {
+        val c = (0 until k).map(i => baseFull.select(
+            (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+            col("source"), col("n_chars")))
+          .reduce(_ unionAll _)
+        val t0 = System.nanoTime()
+        val n = graft.text.TextQueries.weightedSampleOf(c).count()
+        CacheScope.flush(spark)
+        println(f"[scale] weighted_sample k=$k docs=${5000L * k} rows=$n " +
+          f"time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    }
+    // q138 source-sketch union: the fold is map-side (16-slot buffers
+    // per source), output is source-pair sized regardless of k —
+    // expect linear scan cost, constant rows. The exact-Jaccard
+    // CALIBRATION leg (token-level cross-source join, deliberately NOT
+    // in the declared query) runs once at k=1 and reports the worst
+    // estimate deviation.
+    if (enabled("sketch_union")) {
+      import graft.dedup.DedupQueries
+      val baseFull = Tables.documents(spark, "/root/testdata/sf0.1")
+      for (k <- Seq(1, 4, 10)) {
+        val c = (0 until k).map(i => baseFull.select(
+            (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+            col("source"), col("text")))
+          .reduce(_ unionAll _)
+        val t0 = System.nanoTime()
+        val n = DedupQueries.sourceSketchUnionOf(c).count()
+        CacheScope.flush(spark)
+        println(f"[scale] sketch_union k=$k docs=${5000L * k} rows=$n " +
+          f"time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      val t0 = System.nanoTime()
+      val cal = DedupQueries.exactSourceJaccardOf(baseFull).collect()
+      CacheScope.flush(spark)
+      val worst = cal.map(r => math.abs(r.getAs[Double]("est_jaccard")
+        - r.getAs[Double]("exact_jaccard"))).max
+      println(f"[scale] sketch_union_calibration pairs=${cal.length} " +
+        f"worst_abs_err=$worst%.4f time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     if (enabled("knn")) knnGraphScale(spark)
     if (enabled("multiprobe")) multiProbeRecall(spark)
     if (enabled("dedup_index")) dedupIndexScale(spark)

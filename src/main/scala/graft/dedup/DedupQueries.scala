@@ -635,46 +635,20 @@ object DedupQueries {
     // mins), giving the cross-source estimated-Jaccard dashboard from
     // metadata-sized state. The oracle computes each source's sketch
     // DIRECTLY from its union token set — hash-equality of the two
-    // routes IS the mergeability proof, cross-engine. Exact per-pair
-    // Jaccard rides along for calibration. The 100 TB story: doc
-    // sketches fold into source sketches map-side (a 16-long buffer
-    // per group), so corpus-pair similarity costs one tiny aggregation
-    // — never a token-level cross-source join; the exact leg here is
-    // the calibration-time audit, not the steady-state path.
+    // routes IS the mergeability proof, cross-engine. The 100 TB
+    // story: doc sketches fold into source sketches map-side (a
+    // 16-long buffer per group), so corpus-pair similarity costs one
+    // tiny aggregation — never a token-level cross-source join. The
+    // exact-Jaccard calibration audit ([[exactSourceJaccardOf]]) is
+    // deliberately NOT part of the declared query: it is a token-level
+    // cross-source join, a calibration-time probe (ScaleProbe), never
+    // the steady-state path — and with it gone, every source pair
+    // appears in the dashboard (previously a zero-token-overlap pair
+    // vanished through the inner join to the exact table, exactly
+    // where the estimate is most misleading).
     Q("q138_source_sketch_union",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        val srcOf = docs.select(col("doc_id"), col("source"))
-        val srcSigs = graft.CacheScope.retain {
-          val m = (0 until NumHashes).map(i => min(col(s"h$i")).as(s"h$i"))
-          minhashSignaturesOf(docs).join(srcOf, "doc_id")
-            .groupBy("source").agg(m.head, m.tail: _*)
-        }
-        val toks = graft.CacheScope.retain(
-          tokenStreamOf(docs).join(srcOf, "doc_id")
-            .select("source", "token").distinct())
-        val sizes = toks.groupBy("source").agg(count(lit(1)).as("n"))
-        val inter = toks.as("ta").join(toks.as("tb"),
-            col("ta.token") === col("tb.token")
-              && col("ta.source") < col("tb.source"))
-          .groupBy(col("ta.source").as("sa"), col("tb.source").as("sb"))
-          .agg(count(lit(1)).as("ninter"))
-        // source-pair enumeration: sources are metadata-scale (dozens),
-        // so the pair space rides a broadcast nested loop, never a
-        // data-sized cartesian
-        srcSigs.as("a").crossJoin(broadcast(srcSigs.as("b")))
-          .filter(col("a.source") < col("b.source"))
-          .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
-            round(agreeExpr("a", "b").cast("double") / NumHashes, 4)
-              .as("est_jaccard"))
-          .join(inter, col("src_a") === col("sa") && col("src_b") === col("sb"))
-          .join(sizes.select(col("source").as("src_a"), col("n").as("na")), "src_a")
-          .join(sizes.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
-          .select(col("src_a"), col("src_b"), col("est_jaccard"),
-            round(col("ninter").cast("double")
-              / (col("na") + col("nb") - col("ninter")), 6).as("exact_jaccard"))
-          .orderBy("src_a", "src_b")
-      },
+      (s, d) => sourceSketchUnionOf(Tables.documents(s, d))
+        .orderBy("src_a", "src_b"),
       Some {
         val mins = (0 until NumHashes).map(i =>
           s"min((x1 * ${permA(i)} % $P + x2 * ${permB(i)} % $P + ${permC(i)}) % $P) AS h$i")
@@ -686,23 +660,65 @@ object DedupQueries {
                   CAST(concat('0x', substr(md5(token),1,15)) AS BIGINT) % $P AS x1,
                   CAST(concat('0x', substr(md5(token),17,15)) AS BIGINT) % $P AS x2
                   FROM stok),
-           ssig AS (SELECT source, $mins FROM hb GROUP BY source),
-           sz AS (SELECT source, count(*) AS n FROM stok GROUP BY source),
-           iv AS (SELECT ta.source AS sa, tb.source AS sb, count(*) AS ninter
-                  FROM stok ta JOIN stok tb
-                    ON ta.token = tb.token AND ta.source < tb.source
-                  GROUP BY 1, 2)
+           ssig AS (SELECT source, $mins FROM hb GROUP BY source)
            SELECT a.source AS src_a, b.source AS src_b,
-             round(CAST($agreeSql AS DOUBLE) / $NumHashes, 4) AS est_jaccard,
-             round(CAST(iv.ninter AS DOUBLE)
-               / (za.n + zb.n - iv.ninter), 6) AS exact_jaccard
+             round(CAST($agreeSql AS DOUBLE) / $NumHashes, 4) AS est_jaccard
            FROM ssig a JOIN ssig b ON a.source < b.source
-           JOIN iv ON iv.sa = a.source AND iv.sb = b.source
-           JOIN sz za ON za.source = a.source
-           JOIN sz zb ON zb.source = b.source
            ORDER BY src_a, src_b"""
       })
   )
+
+  /** q138's body: per-source MinHash sketches folded from per-doc
+    * signatures (element-wise min), every unordered source pair scored
+    * by sketch agreement. Sources are metadata-scale (dozens), so the
+    * pair space rides a broadcast nested loop, never a data-sized
+    * cartesian.
+    */
+  def sourceSketchUnionOf(docs: DataFrame): DataFrame = {
+    val srcOf = docs.select(col("doc_id"), col("source"))
+    val srcSigs = graft.CacheScope.retain {
+      val m = (0 until NumHashes).map(i => min(col(s"h$i")).as(s"h$i"))
+      minhashSignaturesOf(docs).join(srcOf, "doc_id")
+        .groupBy("source").agg(m.head, m.tail: _*)
+    }
+    srcSigs.as("a").crossJoin(broadcast(srcSigs.as("b")))
+      .filter(col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        round(agreeExpr("a", "b").cast("double") / NumHashes, 4)
+          .as("est_jaccard"))
+  }
+
+  /** The q138 calibration audit: EXACT token-level Jaccard per source
+    * pair, LEFT-joined under the sketch dashboard so zero-overlap pairs
+    * report exact_jaccard = 0 next to their (possibly nonzero, hash-
+    * agreement) estimate. This is a distinct-(source, token) cross-
+    * source self-join — linear in the union vocabulary but token-scale,
+    * not metadata-scale, so it runs as a calibration-time probe
+    * (ScaleProbe `q138_calibration`), never in the declared query.
+    */
+  def exactSourceJaccardOf(docs: DataFrame): DataFrame = {
+    val srcOf = docs.select(col("doc_id"), col("source"))
+    val toks = graft.CacheScope.retain(
+      tokenStreamOf(docs).join(srcOf, "doc_id")
+        .select("source", "token").distinct())
+    val sizes = toks.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = toks.as("ta").join(toks.as("tb"),
+        col("ta.token") === col("tb.token")
+          && col("ta.source") < col("tb.source"))
+      .groupBy(col("ta.source").as("sa"), col("tb.source").as("sb"))
+      .agg(count(lit(1)).as("ninter"))
+    sourceSketchUnionOf(docs)
+      .join(inter,
+        col("src_a") === col("sa") && col("src_b") === col("sb"), "left")
+      .join(broadcast(sizes.select(col("source").as("src_a"),
+        col("n").as("na"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"),
+        col("n").as("nb"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("est_jaccard"),
+        round(coalesce(col("ninter"), lit(0L)).cast("double")
+          / (col("na") + col("nb") - coalesce(col("ninter"), lit(0L))), 6)
+          .as("exact_jaccard"))
+  }
 
   /** Window size for q97's duplicated-substring scan: long enough that a
     * match means copied phrasing, short enough to fire on the corpus.
@@ -988,7 +1004,7 @@ object DedupQueries {
     * from the ADVANCED artifact. package-private so DedupIndexSpec can
     * pin the advance visibility contract on crafted corpora.
     */
-  private[dedup] def advanceIngestFlow(s: SparkSession, docs: DataFrame,
+  private[graft] def advanceIngestFlow(s: SparkSession, docs: DataFrame,
       split1: Long, split2: Long): DataFrame = {
     val idx = tempIndexDir("graft_dedup_advance")
     buildDedupIndex(docs.filter(col("doc_id") < split1), idx)
@@ -1101,6 +1117,33 @@ object DedupQueries {
     * this with an eager localCheckpoint of the batch decision, the
     * in-engine stand-in for a pipeline's batch-output commit.
     */
+  /** One micro-batch of the STREAMING ingest path
+    * (Streams.nearDupIngestSink): admission decisions for `batch`
+    * against the persisted index at `path`, with the same candidate /
+    * verify machinery as q101/q117/q119 (band join vs index + star-
+    * contracted intra-batch leg, signature-agreement verify). The
+    * result is eagerly localCheckpoint-ed — the batch-commit the
+    * advance contract requires — so the caller can advance the
+    * artifact immediately after. Local persists (not CacheScope) keep
+    * the batch's cache lifetime inside this call: a foreachBatch body
+    * must not flush retains that belong to the enclosing query.
+    */
+  def ingestBatchDecisions(batch: DataFrame, path: String): DataFrame = {
+    val s = batch.sparkSession
+    val sigArr = signaturesPerRow(batch).persist()
+    val arrBands = bandsOf(sigArr).persist()
+    val idxSig = indexSignatures(s, path).persist()
+    try {
+      val dups = ingestDupArrivals(sigArr, arrBands, idxSig,
+        indexBands(s, path))
+      batch.select("doc_id").join(dups, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit("added").as("status"))
+        .localCheckpoint(true)
+    } finally {
+      sigArr.unpersist(); arrBands.unpersist(); idxSig.unpersist(): Unit
+    }
+  }
+
   def advanceDedupIndex(admitted: DataFrame, path: String): Unit = {
     val sig = graft.CacheScope.retain(signaturesPerRow(admitted))
     sig.write.mode("append").parquet(path + "/signatures")

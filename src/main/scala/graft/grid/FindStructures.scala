@@ -97,30 +97,36 @@ object FindStructures {
     val nz = zAxis.length; val nx = xAxis.length
     val dPerDe = ((1 / dz + 1 / dx) / 2).toInt // vpicdataset.py:345-349
 
-    // Scope AQE off for the eager legs on small grids (see
-    // [[AqeCellFloor]]). Session-conf scoped: the cs Future plans
-    // under the same session inside this window (awaited before the
-    // restore), while the RETURNED variables' dataframes execute after
-    // it and keep the caller's AQE setting.
+    // Scope AQE off for small grids (see [[AqeCellFloor]]) through a
+    // CHILD session: `newSession()` shares the SparkContext, cache and
+    // data, but isolates SQL confs — a concurrent query on the
+    // caller's session can never inherit the flip (the round-9
+    // mutate-and-restore was session-global for the window's
+    // duration). Every dataframe of this pipeline — including the
+    // RETURNED variables — is rebound to the child, so the consumer's
+    // final joins over these toy-scale masks also skip AQE's per-stage
+    // job quanta instead of paying ~16 of them after the old restore
+    // point (measured in ScaleProbe.g19JobAudit).
     val session = b1.df.sparkSession
     val aqeScoped =
       b1.timeAxis.length.toLong * nz * nx < AqeCellFloor
-    val aqePrev = session.conf.get("spark.sql.adaptive.enabled", "true")
-    val shufPrev = session.conf.get("spark.sql.shuffle.partitions", "32")
-    if (aqeScoped) {
-      session.conf.set("spark.sql.adaptive.enabled", "false")
+    val (b1Df, b2Df, jyDfOpt) = if (aqeScoped) {
+      val child = session.newSession()
+      child.conf.set("spark.sql.adaptive.enabled", "false")
       // AQE-off loses runtime coalescing, so pin the static shuffle
       // width to what AQE would have coalesced these KB-scale stages
       // to anyway — without this the task count quadruples and eats
       // the job-count win (measured: AQE-off alone is SLOWER)
-      session.conf.set("spark.sql.shuffle.partitions", "8")
-    }
-    try {
+      child.conf.set("spark.sql.shuffle.partitions", "8")
+      import org.apache.spark.sql.graftbridge.Bridge
+      (Bridge.withSession(child, b1.df), Bridge.withSession(child, b2.df),
+        ds.variables.get(jyName).map(v => Bridge.withSession(child, v.df)))
+    } else (b1.df, b2.df, ds.variables.get(jyName).map(_.df))
 
     // join the two fields on the grid once
-    val joined = b1.df.select(col("it"), col("iz"), col("ix"), col("t"),
+    val joined = b1Df.select(col("it"), col("iz"), col("ix"), col("t"),
         col("value").as("b1v"))
-      .join(b2.df.select(col("it").as("it2"), col("iz").as("iz2"),
+      .join(b2Df.select(col("it").as("it2"), col("iz").as("iz2"),
         col("ix").as("ix2"), col("value").as("b2v")),
         col("it") === col("it2") && col("iz") === col("iz2") && col("ix") === col("ix2"))
       .drop("it2", "iz2", "ix2")
@@ -144,19 +150,24 @@ object FindStructures {
     // cluster scale the two plans' stages interleave across executors.
     // (Concurrent job submission from one SparkSession is a supported
     // Spark pattern; CacheScope registration is a concurrent TrieMap.)
-    val sc = b1.df.sparkSession.sparkContext
+    val sc = session.sparkContext
     val callerProps = PropagatedProps.map(k => k -> sc.getLocalProperty(k))
-    val csFut = ds.variables.get(jyName).map { jy =>
+    val csFut = jyDfOpt.map { jyDf =>
       scala.concurrent.Future {
         // local properties are thread-local: re-set the caller's so
         // job-group cancellation / pool assignment reach these jobs
         callerProps.foreach { case (k, v) => sc.setLocalProperty(k, v) }
         val jySm = GridOps.gaussianSmooth(
-          jy.df.select(col("it"), col("iz"), col("ix"), col("value")),
+          jyDf.select(col("it"), col("iz"), col("ix"), col("value")),
           "value", smoothing, nz, nx, "jy_smooth")
-        Topology.currentSheets(
+        val cs = Topology.currentSheets(
           jySm.select(col("it"), col("iz"), col("ix"), col("jy_smooth")),
           "jy_smooth", nz, nx, csLimit)
+        // small grids: materialize the (tiny) mask HERE, on the chain's
+        // thread, overlapped with the spine — the consumer then reads a
+        // checkpointed local table instead of re-planning the chain's
+        // tail joins as post-return query stages
+        if (aqeScoped) cs.localCheckpoint(true) else cs
       }(csEc)
     }
 
@@ -198,9 +209,16 @@ object FindStructures {
 
     // separatrices + O-structures around the X points (:441-479)
     // hess still carries flux_fn (the gradient chain started from `flux`)
-    val seps = Topology.separatricesWithLevels(hess, "flux_fn", timeIdx,
+    val sepsLazy = Topology.separatricesWithLevels(hess, "flux_fn", timeIdx,
       classified.filter(_._3 == -1.0).map(c => (c._1, c._2, c._4)).toSeq,
       nz, nx, dPerDe * deTol)
+    // the sep/ostruct masks are read TWICE downstream (one variable
+    // each): small grids checkpoint the tiny result eagerly (one
+    // in-window job replaces the consumer's re-derivation), big grids
+    // scope a persist
+    val seps =
+      if (aqeScoped) sepsLazy.localCheckpoint(true)
+      else graft.CacheScope.retain(sepsLazy)
 
     // current sheets on smoothed jy (hardcoded name, :482; chain built
     // concurrently above). Explicit 2-D projection note: a VPIC-loaded
@@ -239,11 +257,5 @@ object FindStructures {
         cs.select("it", "iz", "ix", "cs"), "cs"))
     }
     Result(out, xCoords, oCoords)
-    } finally {
-      if (aqeScoped) {
-        session.conf.set("spark.sql.adaptive.enabled", aqePrev)
-        session.conf.set("spark.sql.shuffle.partitions", shufPrev)
-      }
-    }
   }
 }

@@ -444,7 +444,8 @@ object Topology {
   }
 
   private def ccTiled(cells: DataFrame, nx: Int, dirs8: Boolean,
-      keys: Seq[String], maxIter: Int, tile: Int): DataFrame = {
+      keys: Seq[String], maxIter: Int, tile: Int,
+      staticSingleTile: Boolean = false): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val spark = cells.sparkSession
@@ -470,9 +471,12 @@ object Topology {
     // tile-extent accumulator rides the labeling pass: min/max merging
     // is idempotent under task retries, and it makes the single-tile
     // check below cost ZERO extra jobs (the value is final once
-    // `labeled` materializes, which the localCheckpoint does eagerly)
-    val extent = new TileExtentAccumulator
-    spark.sparkContext.register(extent, "cc tile extent")
+    // `labeled` materializes, which the localCheckpoint does eagerly).
+    // Skipped entirely on the STATIC single-tile path (no accumulator
+    // reader exists there).
+    val extentOpt =
+      if (staticSingleTile) None else Some(new TileExtentAccumulator)
+    extentOpt.foreach(spark.sparkContext.register(_, "cc tile extent"))
     val labeledRdd = withTile
       .repartition(gcols: _*).sortWithinPartitions(gcols: _*)
       .rdd.mapPartitions { it =>
@@ -484,7 +488,8 @@ object Topology {
           def next(): Iterator[Row] = {
             val k = gk(bit.head)
             val kv = bit.head.toSeq.take(nk)
-            extent.add((bit.head.getInt(nk + 2), bit.head.getInt(nk + 3)))
+            extentOpt.foreach(
+              _.add((bit.head.getInt(nk + 2), bit.head.getInt(nk + 3))))
             val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
             while (bit.hasNext && gk(bit.head) == k) {
               val r = bit.next(); buf += ((r.getInt(nk), r.getInt(nk + 1)))
@@ -499,6 +504,22 @@ object Topology {
     val labSchema = StructType(keyFields ++ Seq(
       StructField("iz", IntegerType), StructField("ix", IntegerType),
       StructField("root", LongType)))
+    // STATIC single-tile path: when the caller knows every cell index
+    // lies in [0, tile) on both axes (a grid with nz, nx <= tile), the
+    // whole grid is ONE tile by construction — local roots ARE the
+    // components and no boundary graph can exist. The labeling then
+    // stays a LAZY plan (shuffle + in-task union-find) that fuses into
+    // whichever job consumes it: no eager localCheckpoint, no extent
+    // accumulator, no per-solve scheduling quantum. This is the
+    // composition-overhead fix for pipelines that chain several CC
+    // solves on toy-scale grids (g19: four solves = four eager jobs
+    // before this path); consumers that read the result twice must
+    // retain it, since there is no checkpoint to absorb a re-scan.
+    if (staticSingleTile)
+      return spark.createDataFrame(labeledRdd, labSchema)
+        .withColumn("comp", col("root"))
+        .select((keys.map(col) :+ col("iz") :+ col("ix") :+ col("comp")): _*)
+    val extent = extentOpt.get
     // localCheckpoint (not persist): the backing blocks are cleaned by the
     // ContextCleaner once unreferenced — no cache-manager pinning.
     val labeled = spark.createDataFrame(labeledRdd, labSchema)
@@ -564,14 +585,21 @@ object Topology {
     */
   def connectedComponents(cells: DataFrame, nx: Int,
       keys: Seq[String] = Seq("it"), maxIter: Int = 1000,
-      tile: Int = 512): DataFrame =
-    ccTiled(cells, nx, dirs8 = false, keys, maxIter, tile)
+      tile: Int = 512, staticSingleTile: Boolean = false): DataFrame =
+    ccTiled(cells, nx, dirs8 = false, keys, maxIter, tile, staticSingleTile)
 
   /** Connected components under 8-adjacency (contour-cell grouping). */
   def connectedComponents8(cells: DataFrame, nx: Int,
       keys: Seq[String] = Seq("it"), maxIter: Int = 1000,
-      tile: Int = 512): DataFrame =
-    ccTiled(cells, nx, dirs8 = true, keys, maxIter, tile)
+      tile: Int = 512, staticSingleTile: Boolean = false): DataFrame =
+    ccTiled(cells, nx, dirs8 = true, keys, maxIter, tile, staticSingleTile)
+
+  /** True when a grid with extents (nz, nx) provably fits one CC tile
+    * (all indices in [0, tile) on both axes) — callers pass this as
+    * `staticSingleTile` to get the lazy, checkpoint-free solve.
+    */
+  def fitsOneTile(nz: Int, nx: Int, tile: Int = 512): Boolean =
+    nz <= tile && nx <= tile
 
   /** Public entry to the contracted-graph CC solver: connected
     * components over an arbitrary (s, t) edge list, returning
@@ -624,19 +652,23 @@ object Topology {
         when(col("fmax") > col("max_thr"), lit(1)),
         when(col("fmin") < col("min_thr"), lit(-1)))).as("sgn"))
       .filter(col("sgn").isNotNull)
-    val regions = connectedComponents(cells, nx, keys = Seq("sgn", "it"))
+    val regions = connectedComponents(cells, nx, keys = Seq("sgn", "it"),
+      staticSingleTile = fitsOneTile(nz, nx))
     val withV = regions.join(grid, Seq("it", "iz", "ix"))
     // per-region extremum of the smoothed field (nd.maximum_position /
     // nd.maximum; ties broken by (iz, ix) order like np argmax).
     // One agg for both signs: maximizing (sgn*field, -iz, -ix) is the
     // positive branch's max_by key at sgn=+1 and exactly the negative
     // branch's min_by of (field, iz, ix) at sgn=-1.
-    val ext = withV.groupBy("sgn", "it", "comp")
+    // retained: ext is broadcast in TWO separate sub-plans (tagged and
+    // seeds) — two exchanges, and on the lazy single-tile CC path each
+    // would otherwise re-run the region labeling.
+    val ext = graft.CacheScope.retain(withV.groupBy("sgn", "it", "comp")
       .agg(max_by(struct(col(field).as("v"), col("iz"), col("ix")),
         struct(col("sgn") * col(field), -col("iz"), -col("ix"))).as("e"))
       .select(col("sgn").as("r_sgn"), col("it").as("r_it"),
         col("comp").as("rid"),
-        col("e.v").as("peak"), col("e.iz").as("eiz"), col("e.ix").as("eix"))
+        col("e.v").as("peak"), col("e.iz").as("eiz"), col("e.ix").as("eix")))
     // region-grow for ALL regions of BOTH signs at once: tag cells with
     // every region whose per-peak condition they satisfy, one keyed CC,
     // keep the component containing each region's seed.
@@ -650,7 +682,8 @@ object Topology {
     // the final membership join — without it the solve's output plan
     // (checkpoint-join or fast-path projection) re-evaluates per use
     val cc = graft.CacheScope.retain(
-      connectedComponents(tagged, nx, keys = Seq("sgn", "rid", "it")))
+      connectedComponents(tagged, nx, keys = Seq("sgn", "rid", "it"),
+        staticSingleTile = fitsOneTile(nz, nx)))
     val seeds = cc.join(broadcast(ext),
         cc("sgn") === col("r_sgn") && cc("rid") === ext("rid")
           && cc("it") === col("r_it")
@@ -736,18 +769,22 @@ object Topology {
     val segs = graft.CacheScope.retain(contourSegmentsAt(g0, psiField,
       levels.select(col("xid"), col("level"))))
     val segCells = segs.select("xid", "it", "iz", "ix").distinct()
-    val comp = connectedComponents8(segCells, nx, keys = Seq("xid", "it"))
-    // endpoint distances to the owning X point
-    val pts = segs.join(comp, Seq("xid", "it", "iz", "ix"))
-      .select(col("xid"), col("comp"),
-        explode(array(struct(col("y1").as("y"), col("x1").as("x")),
-          struct(col("y2").as("y"), col("x2").as("x")))).as("p"))
-      .join(broadcast(levels.select(col("xid").as("l_xid"),
-        col("py"), col("px"))), col("xid") === col("l_xid"))
-      .select(col("xid"), col("comp"),
-        sqrt((col("p.y") - col("py")) * (col("p.y") - col("py")) +
-          (col("p.x") - col("px")) * (col("p.x") - col("px"))).as("dist"),
-        col("p.y").as("y"), col("p.x").as("x"))
+    val comp = connectedComponents8(segCells, nx, keys = Seq("xid", "it"),
+      staticSingleTile = fitsOneTile(nz, nx))
+    // endpoint distances to the owning X point. Retained: consumed by
+    // both `keep` and `raster`, and on the lazy single-tile CC path a
+    // re-scan would re-run the contour-component labeling.
+    val pts = graft.CacheScope.retain(
+      segs.join(comp, Seq("xid", "it", "iz", "ix"))
+        .select(col("xid"), col("comp"),
+          explode(array(struct(col("y1").as("y"), col("x1").as("x")),
+            struct(col("y2").as("y"), col("x2").as("x")))).as("p"))
+        .join(broadcast(levels.select(col("xid").as("l_xid"),
+          col("py"), col("px"))), col("xid") === col("l_xid"))
+        .select(col("xid"), col("comp"),
+          sqrt((col("p.y") - col("py")) * (col("p.y") - col("py")) +
+            (col("p.x") - col("px")) * (col("p.x") - col("px"))).as("dist"),
+          col("p.y").as("y"), col("p.x").as("x")))
     val keep = pts.groupBy("xid", "comp").agg(min("dist").as("mind"))
       .filter(col("mind") <= tol).select("xid", "comp")
     val raster = pts.join(broadcast(keep), Seq("xid", "comp"))
@@ -815,9 +852,12 @@ object Topology {
           || col("ix") <= col("x0") || col("ix") >= col("x1"))
       .filter(col("filled") === 0)
       .select("xid", "it", "iz", "ix", "touch_edge")
-    val zcomp = connectedComponents(
-      zeros.select("xid", "it", "iz", "ix"), nx, keys = Seq("xid", "it"))
-      .join(zeros, Seq("xid", "it", "iz", "ix"))
+    // retained: zcomp feeds both the interior test and the final member
+    // join; on the lazy single-tile CC path a re-scan would re-label.
+    val zcomp = graft.CacheScope.retain(connectedComponents(
+      zeros.select("xid", "it", "iz", "ix"), nx, keys = Seq("xid", "it"),
+      staticSingleTile = fitsOneTile(nz, nx))
+      .join(zeros, Seq("xid", "it", "iz", "ix")))
     val interior = zcomp.groupBy("xid", "comp")
       .agg(max(col("touch_edge") ||
         col("iz") === 0 || col("iz") === nz - 1 ||

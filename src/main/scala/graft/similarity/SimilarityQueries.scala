@@ -998,7 +998,13 @@ object SimilarityQueries {
               (col("dot") / sqrt(col("nv") * col("nc"))).as("cos")))
         val stats = cos.groupBy("label")
           .agg(avg("cos").as("mu"), stddev_pop("cos").as("sig"))
-        val z = round((col("mu") - col("cos")) / col("sig"), 4)
+        // sig=0 guard (degenerate/single-member label): Spark's x/0
+        // yields NULL but DuckDB double division can yield inf/NaN
+        // depending on ieee_floating_point_ops — nullify the divisor
+        // symmetrically on both engines so z (and is_outlier) are NULL
+        // for labels with no similarity spread.
+        val z = round((col("mu") - col("cos")) /
+          when(col("sig") === 0, lit(null)).otherwise(col("sig")), 4)
         cos.join(broadcast(stats), "label")
           .select(col("vec_id"), col("label"),
             round(col("cos"), 6).as("cos_centroid"),
@@ -1016,8 +1022,8 @@ object SimilarityQueries {
            st AS (SELECT label, avg(cos) AS mu, stddev_pop(cos) AS sig
                   FROM sc GROUP BY 1)
            SELECT s.vec_id, s.label, round(s.cos, 6) AS cos_centroid,
-             round((t.mu - s.cos) / t.sig, 4) AS z,
-             round((t.mu - s.cos) / t.sig, 4) > $OutlierZ AS is_outlier
+             round((t.mu - s.cos) / nullif(t.sig, 0), 4) AS z,
+             round((t.mu - s.cos) / nullif(t.sig, 0), 4) > $OutlierZ AS is_outlier
            FROM sc s JOIN st t ON s.label = t.label ORDER BY s.vec_id""")),
 
     // ---- q137: HARD-NEGATIVE MINING — for every vector, the most

@@ -141,6 +141,62 @@ object Streams {
       .foreachBatch(f)
       .start()
 
+  /** STREAMING INDEX ADVANCE: the near-dup ingest loop as a live
+    * stream. Each micro-batch of arriving documents (doc_id, text) is
+    * scored against the PERSISTED dedup index
+    * (DedupQueries.ingestBatchDecisions: band join + intra-batch star
+    * leg + signature verify), the admission decisions are committed to
+    * `outDir` (tagged with the replayable batchId — the exactly-once
+    * hook), and the artifact at `indexPath` is ADVANCED with the
+    * admitted docs before the next batch reads it. Batch N+1 therefore
+    * dedups against batch N's admissions — the q119 lifecycle
+    * (build -> serve -> advance -> serve) driven by the stream itself;
+    * StreamsSpec asserts the stream-advanced artifact and decisions
+    * match the batch flow on the same splits.
+    *
+    * 100 TB shape: per-batch work is arrival-side only (per-row sigs,
+    * band equi-join against the index, appends sized by admissions);
+    * the index is never rebuilt. Replay caveat: a crashed-and-replayed
+    * batch would re-append its admissions — a production sink fences
+    * the advance on recorded batchIds exactly as it fences `outDir`.
+    */
+  def nearDupIngestSink(docs: DataFrame, indexPath: String,
+      checkpointDir: String, outDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val decisions =
+          graft.dedup.DedupQueries.ingestBatchDecisions(batch, indexPath)
+        decisions.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+        graft.dedup.DedupQueries.advanceDedupIndex(
+          batch.join(decisions.select("doc_id"), "doc_id")
+            .select("doc_id", "text"), indexPath)
+      }
+      .start()
+
+  /** Streaming advance of the IVF index — the ANN-side twin of
+    * [[nearDupIngestSink]]: each micro-batch of arriving FLAT vectors
+    * (vec_id, i, v) is assigned to the artifact's FROZEN centroids and
+    * appended to its inverted lists
+    * (SimilarityQueries.advanceIvfIndex). Per-batch cost is batch rows
+    * x k broadcast centroid rows — never a corpus re-scan, and because
+    * centroids are frozen the advanced artifact is IDENTICAL to a
+    * one-shot assignment of the same vectors regardless of how the
+    * stream batches them (StreamsSpec pins this batching-invariance).
+    * Same replay caveat as nearDupIngestSink: production fences the
+    * append on recorded batchIds.
+    */
+  def ivfAdvanceSink(vecs: DataFrame, indexPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.similarity.SimilarityQueries.advanceIvfIndex(batch, indexPath)
+      }
+      .start()
+
   /** Custom state: running per-user count/total via
     * flatMapGroupsWithState (reference has no streaming; this is the
     * §2B custom-state surface).

@@ -1,0 +1,182 @@
+package graft.text
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** q140: MULTI-ITERATION BPE TRAINING — the real tokenizer-trainer
+  * loop, extending q128's single merge induction: count adjacent
+  * symbol pairs (weighted by word frequency), adopt the most frequent
+  * pair as a merge rule, RE-SEGMENT every word with it, recount, next
+  * merge. [[BpeIters]] iterations are unrolled (the q133 fixed-
+  * iteration oracle pattern) so the whole trainer is one lazy plan
+  * with a DuckDB CTE twin.
+  *
+  * Representation: a word's segmentation is its symbols each wrapped
+  * in \u001f ("\u001fa\u001f\u001fb\u001f..."), so applying a merge
+  * (a, b) is a plain `replace` of "\u001fa\u001f\u001fb\u001f" with
+  * "\u001fab\u001f" — and because adjacent wrapped symbols share NO
+  * characters, string replace's leftmost-non-overlapping scan is
+  * EXACTLY BPE's left-to-right merge order, identically in Spark and
+  * DuckDB ("aaa" + merge (a,a) -> [aa, a]; "abab" + (a,b) ->
+  * [ab, ab]).
+  *
+  * Scale shape: the corpus collapses ONCE to the distinct-word table
+  * with counts (the classic trainer preprocessing — vocabulary-scale,
+  * millions of rows, not corpus-scale); every iteration is then an
+  * explode + map-side-combined count over that table plus a broadcast
+  * of the single winning pair — no driver-side action anywhere, no
+  * shuffle wider than the distinct-pair space (bounded by vocab²,
+  * in practice tiny). A merge exhausting all pairs yields an empty
+  * winner and every later step degrades to zero rows, matching a real
+  * trainer stopping early.
+  */
+object BpeTrainer {
+  /** Unrolled trainer iterations (and oracle CTE stages). */
+  val BpeIters = 4
+
+  private val US = "\u001f"
+
+  /** Adjacent symbol pairs of each segmentation row (a, b, wcnt). */
+  private def pairsOf(w: DataFrame): DataFrame = {
+    val syms = split(trim(col("seg"), US), US + US)
+    // slice length max(n-1, 0): a fully-merged word has ONE symbol and
+    // contributes no pairs (sequence(1, n-1) would throw on n = 1)
+    val n1 = greatest(size(syms) - 1, lit(0))
+    w.select(explode(zip_with(slice(syms, lit(1), n1),
+        slice(syms, lit(2), n1),
+        (a: Column, b: Column) => struct(a.as("a"), b.as("b")))).as("p"),
+        col("wcnt"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("wcnt"))
+      .groupBy("a", "b").agg(sum("wcnt").as("cnt"))
+  }
+
+  /** The shared trainer loop: per-step winner tables plus the FINAL
+    * vocabulary segmentation (w, seg, wcnt) after all adopted merges.
+    * The vocab table is lazily defined (persist registration costs
+    * nothing unless a consumer materializes it), so trainer-only
+    * callers never pay for the last re-segmentation.
+    */
+  private def trained(docs: DataFrame,
+      iters: Int): (Seq[DataFrame], DataFrame) = {
+    val words = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2 && !col("w").contains(US))
+      .groupBy("w").agg(count(lit(1)).as("wcnt"))
+    var w = graft.CacheScope.retain(words.select(col("w"),
+      concat(lit(US),
+        array_join(transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))), US + US),
+        lit(US)).as("seg"),
+      col("wcnt")))
+    val steps = (1 to iters).map { step =>
+      val top1 = graft.CacheScope.retain(
+        pairsOf(w).orderBy(col("cnt").desc, col("a"), col("b")).limit(1))
+      // adopt the merge: one broadcast row against the vocab table
+      w = graft.CacheScope.retain(
+        w.crossJoin(broadcast(top1.select(col("a").as("ma"),
+            col("b").as("mb"))))
+          .select(col("w"), replace(col("seg"),
+            concat(lit(US), col("ma"), lit(US + US), col("mb"), lit(US)),
+            concat(lit(US), col("ma"), col("mb"), lit(US))).as("seg"),
+            col("wcnt")))
+      top1.select(lit(step).as("step"),
+        concat_ws(" ", col("a"), col("b")).as("pair"), col("cnt"))
+    }
+    (steps, w)
+  }
+
+  /** The trainer output: (step, pair "a b", cnt) for each adopted merge. */
+  def bpeTrainerOf(docs: DataFrame, iters: Int = BpeIters): DataFrame =
+    trained(docs, iters)._1.reduce(_ unionAll _).orderBy("step")
+
+  /** q141: ENCODE the corpus with the learned merges — the application
+    * half of the trainer: each document's token count under the
+    * trained segmentation (every word costs its post-merge symbol
+    * count; words outside the trained vocab — single characters — cost
+    * 1), plus the chars-per-token compression the tokenizer achieves.
+    * Scale shape: the vocab (w -> n_sym, one small int per distinct
+    * word) joins the doc-word stream on the word hash — skew bounded
+    * by natural word frequency, payload metadata-scale; the merges
+    * themselves were already only broadcast rows.
+    */
+  def bpeEncodeOf(docs: DataFrame, iters: Int = BpeIters): DataFrame = {
+    val vocab = trained(docs, iters)._2
+    val vsize = vocab.select(col("w"),
+      size(split(trim(col("seg"), US), US + US)).as("n_sym"))
+    val nTok = sum(coalesce(col("n_sym"), lit(1)))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(vsize, Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), nTok.as("n_tokens"),
+        round(sum(length(col("w"))).cast("double") / nTok, 4)
+          .as("chars_per_token"))
+  }
+
+  /** One oracle iteration: pairs over w$i-1, winner m$i, re-segmented
+    * w$i. chr(31) is the \u001f wrapper.
+    */
+  private def iterSql(i: Int): String = {
+    val prev = s"w${i - 1}"
+    s"""p$i AS (
+       SELECT s[i] AS a, s[i + 1] AS b, CAST(sum(wcnt) AS BIGINT) AS cnt
+       FROM (SELECT s, wcnt,
+               unnest(generate_series(1, len(s) - 1)) AS i
+             FROM (SELECT string_split(trim(seg, chr(31)),
+                     chr(31) || chr(31)) AS s, wcnt FROM $prev) x) y
+       GROUP BY 1, 2),
+       m$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+       w$i AS (SELECT w, replace(seg,
+                 chr(31) || m.a || chr(31) || chr(31) || m.b || chr(31),
+                 chr(31) || m.a || m.b || chr(31)) AS seg, wcnt
+               FROM $prev, m$i m)"""
+  }
+
+  /** The words/w0 + unrolled-iteration CTE prefix both oracles share. */
+  private def trainerCtes: String = {
+    val iters = (1 to BpeIters).map(iterSql).mkString(",\n")
+    s"""words AS (
+       SELECT w, count(*) AS wcnt FROM (
+         SELECT unnest(string_split(text, ' ')) AS w FROM documents) x
+       WHERE len(w) >= 2 AND NOT contains(w, chr(31))
+       GROUP BY w),
+       w0 AS (
+       SELECT w, chr(31) || array_to_string(
+           list_transform(generate_series(1, len(w)),
+             i -> substr(w, CAST(i AS INT), 1)),
+           chr(31) || chr(31)) || chr(31) AS seg, wcnt
+       FROM words),
+       $iters"""
+  }
+
+  private def oracleSql: String = {
+    val out = (1 to BpeIters).map(i =>
+      s"SELECT $i AS step, a || ' ' || b AS pair, cnt FROM m$i")
+      .mkString("\n UNION ALL ")
+    s"""WITH $trainerCtes
+       SELECT * FROM ($out) ORDER BY step"""
+  }
+
+  private def encodeOracleSql: String =
+    s"""WITH $trainerCtes,
+       vs AS (SELECT w, len(string_split(trim(seg, chr(31)),
+                chr(31) || chr(31))) AS n_sym FROM w$BpeIters),
+       dw AS (SELECT doc_id, w FROM (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           FROM documents) x WHERE w <> '')
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(coalesce(n_sym, 1)) AS BIGINT) AS n_tokens,
+         round(CAST(sum(len(w)) AS DOUBLE) / sum(coalesce(n_sym, 1)), 4)
+           AS chars_per_token
+       FROM dw LEFT JOIN vs USING (w)
+       GROUP BY doc_id ORDER BY doc_id"""
+
+  def defs: Seq[Q] = Seq(
+    Q("q140_bpe_trainer",
+      (s, d) => bpeTrainerOf(Tables.documents(s, d)),
+      Some(oracleSql)),
+    Q("q141_bpe_encode",
+      (s, d) => bpeEncodeOf(Tables.documents(s, d)).orderBy("doc_id"),
+      Some(encodeOracleSql)))
+}

@@ -934,8 +934,10 @@ object TextQueries {
     // ---- q136: WEIGHTED SAMPLING WITHOUT REPLACEMENT (Efraimidis-
     // Spirakis A-ES) — the quality-weighted subset selection a curated
     // training mix needs: per source, keep the [[EsK]] docs with the
-    // largest u^(1/w) where u is the q127 portable-LCG uniform on
-    // doc_id and the weight w is the doc's length. The A-ES key makes
+    // largest u^(1/w) where u is a portable-LCG uniform on doc_id
+    // ([[EsLcgM]]: q127's recurrence at 2^31 period — full resolution,
+    // no mod-1000 tie mass) and the weight w is the doc's length. The
+    // A-ES key makes
     // inclusion probability proportional to weight WITHOUT replacement
     // and — the scale property — turns sampling into a top-k-per-group
     // aggregation: the bounded TopK Aggregator keeps k-row buffers
@@ -944,25 +946,14 @@ object TextQueries {
     // RNG across executors. The same LCG determinism as q127: re-runs
     // and re-partitions reproduce the sample bit-for-bit.
     Q("q136_weighted_sample",
-      (s, d) => {
-        val topk = udaf(new graft.functions.Aggregators.TopK(EsK))
-        val u = ((col("doc_id") * LcgA + LcgC) % LcgM).cast("double") / LcgM.toDouble
-        val key = pow(u, lit(1.0) / col("n_chars").cast("double"))
-        Tables.documents(s, d)
-          .select(col("source"), col("doc_id"), key.as("k"))
-          .groupBy("source")
-          .agg(topk(-col("k"), col("doc_id")).as("t"))
-          .select(col("source"), posexplode(col("t.items")).as(Seq("pos", "r")))
-          .select(col("source"), (col("pos") + 1).cast("long").as("rk"),
-            col("r.id").as("doc_id"), round(-col("r.ord"), 8).as("es_key"))
-          .orderBy("source", "rk")
-      },
+      (s, d) => weightedSampleOf(Tables.documents(s, d))
+        .orderBy("source", "rk"),
       Some(s"""SELECT source, rk, doc_id, es_key FROM (
              SELECT source, doc_id,
                CAST(row_number() OVER (PARTITION BY source ORDER BY
-                 pow(CAST((doc_id * $LcgA + $LcgC) % $LcgM AS DOUBLE) / $LcgM,
+                 pow(CAST((doc_id % $EsLcgM * $LcgA + $LcgC) % $EsLcgM AS DOUBLE) / $EsLcgM,
                      1.0 / n_chars) DESC, doc_id) AS BIGINT) AS rk,
-               round(pow(CAST((doc_id * $LcgA + $LcgC) % $LcgM AS DOUBLE) / $LcgM,
+               round(pow(CAST((doc_id % $EsLcgM * $LcgA + $LcgC) % $EsLcgM AS DOUBLE) / $EsLcgM,
                      1.0 / n_chars), 8) AS es_key
              FROM documents) t
              WHERE rk <= $EsK ORDER BY source, rk""")),
@@ -970,9 +961,10 @@ object TextQueries {
     // ---- q128: BPE MERGE INDUCTION (first iteration) — the
     // tokenizer-training primitive: count every adjacent character
     // pair inside every word, rank by frequency; the top pair IS the
-    // first BPE merge rule. The full trainer is this exact job run per
-    // merge on re-segmented text; one iteration is the oracle-checkable
-    // unit. Word-count shape: explode + map-side combine, shuffle is
+    // first BPE merge rule. The full trainer loop (re-segment with the
+    // won merge, recount, next merge) is q140 ([[BpeTrainer]]); its
+    // first merge provably equals this query's top pair (QueriesSpec).
+    // Word-count shape: explode + map-side combine, shuffle is
     // distinct-pair sized (bounded by charset², tiny).
     Q("q128_bpe_pair_merges",
       (s, d) =>
@@ -1017,9 +1009,7 @@ object TextQueries {
             transform(col("toks"), w => length(w)), lit(0), (a, x) => a + x))
           .withColumn("nstop", size(filter(col("toks"),
             w => w.isInCollection(stopwords))))
-          .withColumn("maxtok", array_max(transform(
-            array_distinct(col("toks")),
-            t => size(filter(col("toks"), x => x === t)))))
+          .withColumn("maxtok", maxTokenCount(col("toks")))
           .select(col("doc_id"),
             (col("n") >= QfMinTokens).as("ok_len"),
             (col("charsum") * lit(1.0) / col("n") >= QfWordLenLo
@@ -1138,9 +1128,64 @@ object TextQueries {
   /** q136: A-ES sample size per source stratum. */
   val EsK = 10
 
+  /** q136 uniform: the q127 LCG but with a 2^31 modulus. The q127
+    * form (mod 1000, right for permille gates) gives u only 1000
+    * distinct values keyed on doc_id mod 1000 — ~1/1000 of docs land
+    * u=0 (categorically unsampleable) and frequent u-ties collapse the
+    * Efraimidis-Spirakis proportional-to-weight guarantee to a weight
+    * sort. 2^31 gives u full double-visible resolution. doc_id is
+    * reduced mod 2^31 BEFORE the multiply: the product then stays
+    * < 2^63 for any doc_id, so Spark and DuckDB (which ERRORS on
+    * BIGINT overflow rather than wrapping) compute identical values.
+    */
+  val EsLcgM = 2147483648L
+
   /** q129 phrase (chosen for non-trivial df at every SF). */
   val PhraseA = "table"
   val PhraseB = "hash"
+
+  /** q136's body: Efraimidis-Spirakis A-ES weighted sampling without
+    * replacement per source stratum through the bounded TopK UDAF —
+    * k-row map-side buffers, one O(k)-per-group shuffle, no sort of
+    * the stratum (ScaleProbe's weighted_sample sweep measures the
+    * shape on replicated strata).
+    */
+  def weightedSampleOf(docs: DataFrame): DataFrame = {
+    val topk = udaf(new graft.functions.Aggregators.TopK(EsK))
+    val u = ((col("doc_id") % EsLcgM * LcgA + LcgC) % EsLcgM)
+      .cast("double") / EsLcgM.toDouble
+    val key = pow(u, lit(1.0) / col("n_chars").cast("double"))
+    docs
+      .select(col("source"), col("doc_id"), key.as("k"))
+      .groupBy("source")
+      .agg(topk(-col("k"), col("doc_id")).as("t"))
+      .select(col("source"), posexplode(col("t.items")).as(Seq("pos", "r")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rk"),
+        col("r.id").as("doc_id"), round(-col("r.ord"), 8).as("es_key"))
+  }
+
+  /** q132's repetition stat: count of the most frequent token, per row.
+    * array_sort + ONE aggregate pass tracking the longest run of equal
+    * adjacent elements — O(L log L) per document. The previous shape
+    * (for each DISTINCT token, a filter scan of the full array) was
+    * O(L²) inside codegen: correct and shuffle-free, but a single
+    * 100k-token document made that one row cost 10^10 comparisons.
+    * Runs start at run=0, so the null sentinel can never collide with
+    * a real token's run accounting. Empty arrays yield 0.
+    */
+  private[graft] def maxTokenCount(toks: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    aggregate(
+      array_sort(toks),
+      struct(lit(null).cast("string").as("prev"),
+        lit(0).as("run"), lit(0).as("mx")),
+      (st, t) => {
+        val run = when(t === st.getField("prev"),
+          st.getField("run") + 1).otherwise(lit(1))
+        struct(t.as("prev"), run.as("run"),
+          greatest(st.getField("mx"), run).as("mx"))
+      },
+      st => st.getField("mx"))
 
   /** q132 quality-rule thresholds, tuned so each rule fires on part of
     * the synthetic corpus (token counts 10-99, mean word length

@@ -26,4 +26,14 @@ object Bridge {
       schema: StructType): DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
+
+  /** Rebind `df`'s (analyzed) logical plan to another session — the
+    * mechanism behind conf-scoped child sessions (`newSession()` shares
+    * the SparkContext and SharedState, so data/cache are common while
+    * SQL confs like AQE isolate per session).
+    */
+  def withSession(spark: SparkSession, df: DataFrame): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      df.queryExecution.analyzed)
 }

@@ -454,20 +454,102 @@ class QueriesSpec extends AnyFunSuite {
   }
 
   test("q138 source sketches: ordered pairs, estimates track exact jaccard") {
+    val docs = Tables.documents(spark, sf)
     val rows =
       QueryRegistry.queries("q138_source_sketch_union")(spark, sf).collect()
     assert(rows.nonEmpty)
+    // every unordered source pair appears (the declared query is the
+    // sketch-only dashboard — no pair can vanish through an exact join)
+    val nSrc = docs.select("source").distinct().count()
+    assert(rows.length == (nSrc * (nSrc - 1) / 2).toInt)
     rows.foreach { r =>
       assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"))
       val est = r.getAs[Double]("est_jaccard")
+      assert(est >= 0.0 && est <= 1.0)
+    }
+    // calibration probe: estimates track token-level exact Jaccard.
+    // 16 permutations: sd = sqrt(J(1-J)/16) <= 0.125; the 0.5 band is
+    // conservative — a break means the sketch merge is wrong, not that
+    // the estimator is noisy
+    val cal = graft.dedup.DedupQueries.exactSourceJaccardOf(docs).collect()
+    assert(cal.length == rows.length)
+    cal.foreach { r =>
+      val est = r.getAs[Double]("est_jaccard")
       val ex = r.getAs[Double]("exact_jaccard")
-      assert(est >= 0.0 && est <= 1.0 && ex >= 0.0 && ex <= 1.0)
-      // 16 permutations: sd = sqrt(J(1-J)/16) <= 0.125; 4 sd is a
-      // conservative band — a break means the sketch merge is wrong,
-      // not that the estimator is noisy
+      assert(ex >= 0.0 && ex <= 1.0)
       assert(math.abs(est - ex) <= 0.5,
         s"sketch estimate $est implausibly far from exact $ex")
     }
+    graft.CacheScope.flush(spark)
+  }
+
+  test("q140 BPE trainer: hand-computed merges, leftmost re-segmentation") {
+    import spark.implicits._
+    // words: aaab x3, ab x2.
+    //  iter1 pairs: (a,a)=6, (a,b)=5        -> merge (a,a)
+    //  iter2 (aaab=[aa,a,b]): (a,b)=3+2=5, (aa,a)=3 -> merge (a,b)
+    //  iter3 (aaab=[aa,ab], ab=[ab]): (aa,ab)=3     -> merge (aa,ab)
+    //  iter4: no pairs left -> no row (trainer stops early)
+    val docs = Seq((0L, "aaab aaab ab"), (1L, "aaab ab"))
+      .toDF("doc_id", "text")
+    val out = graft.text.BpeTrainer.bpeTrainerOf(docs)
+      .collect().map(r => (r.getAs[Int]("step"), r.getAs[String]("pair"),
+        r.getAs[Long]("cnt"))).toSeq
+    assert(out == Seq((1, "a a", 6L), (2, "a b", 5L), (3, "aa ab", 3L)))
+    graft.CacheScope.flush(spark)
+  }
+
+  test("q140 BPE trainer first merge agrees with q128's top pair") {
+    val trained = QueryRegistry.queries("q140_bpe_trainer")(spark, sf)
+      .collect()
+    assert(trained.length == graft.text.BpeTrainer.BpeIters)
+    val first = trained.minBy(_.getAs[Int]("step"))
+    val q128 = QueryRegistry.queries("q128_bpe_pair_merges")(spark, sf)
+      .collect().head
+    assert(first.getAs[String]("pair").replace(" ", "")
+      == q128.getAs[String]("pair"))
+    assert(first.getAs[Long]("cnt") == q128.getAs[Long]("cnt"))
+    graft.CacheScope.flush(spark)
+  }
+
+  test("q141 BPE encode: token counts bracketed; trained merges compress") {
+    val rows = QueryRegistry.queries("q141_bpe_encode")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nw = r.getAs[Long]("n_words"); val nt = r.getAs[Long]("n_tokens")
+      assert(nw >= 1 && nt >= nw,
+        s"each word costs at least one symbol: $r")
+      assert(r.getAs[Double]("chars_per_token") >= 1.0)
+    }
+    // against a 0-merge (pure character) encoding, the 4 adopted merges
+    // must strictly shrink the corpus token count
+    val docs = Tables.documents(spark, sf)
+    val t4 = rows.map(_.getAs[Long]("n_tokens")).sum
+    val t0 = graft.text.BpeTrainer.bpeEncodeOf(docs, 0).collect()
+      .map(_.getAs[Long]("n_tokens")).sum
+    assert(t4 < t0, s"merges did not compress: $t4 !< $t0")
+    graft.CacheScope.flush(spark)
+  }
+
+  test("q132 repetition stat is the max token count, linear on long docs") {
+    import spark.implicits._
+    // 200k tokens, all distinct except one token repeated 37 times:
+    // the retired per-distinct-token scan shape was O(L^2) here
+    // (~4x10^10 comparisons); the one-pass sorted-run form must handle
+    // it in bounded time
+    val n = 200000
+    val toks = (0 until n).map(i => s"t$i") ++ Seq.fill(36)("t42")
+    val df = Seq((toks.mkString(" "))).toDF("text")
+    val got = df.select(graft.text.TextQueries.maxTokenCount(
+      org.apache.spark.sql.functions.split(col("text"), " ")).as("m"))
+      .head().getAs[Int]("m")
+    assert(got == 37)
+    // degenerate shapes
+    val e = Seq(("solo"), ("x x x")).toDF("text")
+      .select(graft.text.TextQueries.maxTokenCount(
+        org.apache.spark.sql.functions.split(col("text"), " ")).as("m"))
+      .collect().map(_.getAs[Int]("m")).toSeq
+    assert(e == Seq(1, 3))
   }
 
   test("q139 domain matrix: full SxS, own-domain model scores its text best") {

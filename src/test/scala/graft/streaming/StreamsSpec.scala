@@ -309,4 +309,94 @@ class StreamsSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("streaming index advance: foreachBatch lifecycle matches the q119 batch flow") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val allDocs = graft.Tables.documents(spark, sf)
+    val docs = allDocs.select("doc_id", "text")
+    val split1 = 25L; val split2 = 40L
+    // reference: the q119 batch lifecycle on the same splits
+    val batchFlow = graft.dedup.DedupQueries
+      .advanceIngestFlow(spark, allDocs, split1, split2).collect().toSeq
+    graft.CacheScope.flush(spark)
+    // stream: same base index, two micro-batches at the same boundaries
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val idx = tmp("graft_idx_stream")
+    graft.dedup.DedupQueries.buildDedupIndex(
+      docs.filter(col("doc_id") < split1), idx)
+    val out = tmp("graft_stream_out") + "/decisions"
+    val b1 = docs.filter(col("doc_id") >= split1 && col("doc_id") < split2)
+      .as[(Long, String)].collect().toSeq
+    val b2 = docs.filter(col("doc_id") >= split2)
+      .as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.nearDupIngestSink(
+      mem.toDF.toDF("doc_id", "text"), idx, tmp("graft_stream_ckpt"), out)
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // decisions: static 'existing' + streamed admissions == batch flow
+    val streamed = spark.read.parquet(out)
+    val total = docs.filter(col("doc_id") < split1)
+      .select(col("doc_id"), lit("existing").as("status"))
+      .unionAll(streamed.select("doc_id", "status"))
+      .orderBy("doc_id").collect().toSeq
+    assert(batchFlow.nonEmpty && total == batchFlow)
+    // batch 2 really ran against the ADVANCED artifact: the artifact
+    // now equals a rebuild from (base corpus + all stream admissions)
+    val admitted = streamed.filter(col("status") === "added")
+      .select("doc_id")
+    val rebuilt = tmp("graft_idx_stream_rebuild")
+    graft.dedup.DedupQueries.buildDedupIndex(
+      docs.filter(col("doc_id") < split1)
+        .unionAll(docs.join(admitted, "doc_id").select("doc_id", "text")),
+      rebuilt)
+    val sa = graft.dedup.DedupQueries.indexSignatures(spark, idx)
+    val sb = graft.dedup.DedupQueries.indexSignatures(spark, rebuilt)
+    assert(sa.exceptAll(sb).isEmpty && sb.exceptAll(sa).isEmpty)
+    graft.CacheScope.flush(spark)
+  }
+
+  test("streaming IVF advance: batching-invariant vs one-shot advance") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    import graft.similarity.SimilarityQueries
+    val f = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("i", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val split = SimilarityQueries.AnnAdvanceSplit
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    // reference: build base, advance ALL arrivals in one shot
+    val ref = tmp("graft_ivf_stream_ref")
+    SimilarityQueries.buildIvfIndex(f.filter(col("vec_id") < split), ref)
+    SimilarityQueries.advanceIvfIndex(f.filter(col("vec_id") >= split), ref)
+    // stream: same base, arrivals split across two micro-batches
+    val idx = tmp("graft_ivf_stream")
+    SimilarityQueries.buildIvfIndex(f.filter(col("vec_id") < split), idx)
+    val mid = split + 60
+    val b1 = f.filter(col("vec_id") >= split && col("vec_id") < mid)
+      .as[(Long, Int, Int, Double)].collect().toSeq
+    val b2 = f.filter(col("vec_id") >= mid)
+      .as[(Long, Int, Int, Double)].collect().toSeq
+    val mem = MemoryStream[(Long, Int, Int, Double)]
+    val q = Streams.ivfAdvanceSink(
+      mem.toDF.toDF("vec_id", "label", "i", "v"), idx,
+      tmp("graft_ivf_stream_ckpt"))
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val aa = spark.read.parquet(idx + "/assignments")
+    val ab = spark.read.parquet(ref + "/assignments")
+    assert(aa.count() > 0)
+    assert(aa.exceptAll(ab).isEmpty && ab.exceptAll(aa).isEmpty)
+    graft.CacheScope.flush(spark)
+  }
 }
