@@ -92,6 +92,10 @@ object ScaleProbe {
     // replication multiplies every shingle's df by k, so the replicated
     // shape IS the k^2 degenerate the cost model warns about, while
     // natural text keeps long postings rare. Expect ~linear in docs.
+    // Measured (local[32], sf0.1 strides): 1250 docs 5.5 s (cold:
+    // plan + codegen warmup), 2500 docs 2.3 s, 5000 docs 4.4 s —
+    // 2x docs costs 1.9x warm while the PAIR count grows ~4x
+    // (31/132/505): the join cost tracks Sigma df^2, not pairs^2.
     if (enabled("containment")) {
       import graft.dedup.DedupQueries
       for (m <- Seq(4, 2, 1)) {
@@ -108,6 +112,9 @@ object ScaleProbe {
     // q136 A-ES sampling under k-fold strata growth: output stays
     // EsK rows per source (the TopK buffers never exceed k entries
     // map-side), so time must track the scan, not the stratum size.
+    // Measured: k=1 1.3 s, k=4 0.9 s, k=10 1.3 s — 10x the stratum,
+    // FLAT wall and constant 200 output rows: the bounded-buffer
+    // claim, observed.
     if (enabled("weighted_sample")) {
       val baseFull = Tables.documents(spark, "/root/testdata/sf0.1")
       for (k <- Seq(1, 4, 10)) {
@@ -128,6 +135,14 @@ object ScaleProbe {
     // CALIBRATION leg (token-level cross-source join, deliberately NOT
     // in the declared query) runs once at k=1 and reports the worst
     // estimate deviation.
+    // Measured: k=1 3.2 s, k=4 3.0 s, k=10 3.8 s — 10x the docs costs
+    // 1.2x, 190 pair rows throughout. Calibration worst_abs_err =
+    // 0.0000, with a caveat recorded honestly: the synthetic corpus
+    // draws every source from ONE 31-token vocabulary, so all exact
+    // pair Jaccards are literally 1.0 and the sketches agree
+    // perfectly — the probe proves the merge law, not estimator noise
+    // (QueriesSpec's minhash-vs-exact case covers the noisy regime on
+    // doc-level sketches).
     if (enabled("sketch_union")) {
       import graft.dedup.DedupQueries
       val baseFull = Tables.documents(spark, "/root/testdata/sf0.1")

@@ -236,6 +236,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q140 trainer adopts each merge via a broadcast, never a cartesian") {
+    val p = plan("q140_bpe_trainer")
+    // each iteration's single winning pair joins the vocab table as a
+    // one-row broadcast build side (BroadcastNestedLoopJoin over
+    // limit(1) is the intended shape; a CartesianProduct never is)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "expected the winning merge broadcast into the re-segmentation")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q129 phrase search filters postings before the adjacency join") {
     val p = plan("q129_phrase_search")
     // both legs must reduce to the phrase terms' postings pre-shuffle:

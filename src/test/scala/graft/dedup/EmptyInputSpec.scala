@@ -90,4 +90,21 @@ class EmptyInputSpec extends AnyFunSuite {
       && rows.head.getAs[Long]("doc_b") == 0L
       && rows.head.getAs[Double]("containment") == 1.0)
   }
+
+  test("BPE trainer/encode survive empty and single-char corpora") {
+    import graft.text.BpeTrainer
+    // empty corpus: no merges, no encoded docs — and no error
+    assert(BpeTrainer.bpeTrainerOf(empty).count() == 0)
+    assert(BpeTrainer.bpeEncodeOf(empty).count() == 0)
+    // single-char words only: nothing enters the vocab (len >= 2), so
+    // no pairs and no merges; the encoder still prices every word at
+    // one symbol
+    val chars = Seq((0L, "a b c a")).toDF("doc_id", "text")
+    assert(BpeTrainer.bpeTrainerOf(chars).count() == 0)
+    val enc = BpeTrainer.bpeEncodeOf(chars).head()
+    assert(enc.getAs[Long]("n_words") == 4L
+      && enc.getAs[Long]("n_tokens") == 4L
+      && enc.getAs[Double]("chars_per_token") == 1.0)
+    graft.CacheScope.flush(spark)
+  }
 }

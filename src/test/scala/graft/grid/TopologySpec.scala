@@ -113,6 +113,39 @@ class TopologySpec extends AnyFunSuite {
     }
   }
 
+  test("static single-tile CC (lazy, checkpoint-free) matches the default solve") {
+    // same mask as the boundary test, solved with the default tile=512
+    // (one tile -> accumulator fast path, eager checkpoint) vs the
+    // staticSingleTile hint (lazy plan, no accumulator, no checkpoint):
+    // labels must be identical, and the lazy result must survive TWO
+    // independent materializations (no checkpoint to hide a
+    // non-deterministic re-run)
+    val cells = (for (it <- 0 until 2; iz <- 0 until 24; ix <- 0 until 24
+      if ((iz * 37 + ix * 61 + it * 13) % 7) < 3)
+      yield (it, iz, ix)).toDF("it", "iz", "ix")
+    for (dirs8 <- Seq(false, true)) {
+      def solve(hint: Boolean) =
+        (if (dirs8) Topology.connectedComponents8(cells, 24,
+          staticSingleTile = hint)
+        else Topology.connectedComponents(cells, 24,
+          staticSingleTile = hint))
+          .select("it", "iz", "ix", "comp")
+          .as[(Int, Int, Int, Long)].collect().toSet
+      val lazySolve = if (dirs8) Topology.connectedComponents8(cells, 24,
+        staticSingleTile = true)
+      else Topology.connectedComponents(cells, 24, staticSingleTile = true)
+      val a = solve(hint = false)
+      val b = solve(hint = true)
+      assert(a == b, s"dirs8=$dirs8: static single-tile labels differ")
+      val m1 = lazySolve.select("it", "iz", "ix", "comp")
+        .as[(Int, Int, Int, Long)].collect().toSet
+      val m2 = lazySolve.select("it", "iz", "ix", "comp")
+        .as[(Int, Int, Int, Long)].collect().toSet
+      assert(m1 == m2 && m1 == a,
+        s"dirs8=$dirs8: lazy re-materialization not stable")
+    }
+  }
+
   test("tiled CC on a 256x256 mask matches a driver union-find ground truth") {
     // scale guard: 16 tiles (tile=64), thousands of cross-boundary
     // adjacencies; labels must equal the min-reachable-id ground truth
