@@ -1051,8 +1051,77 @@ object SimilarityQueries {
                 row_number() OVER (PARTITION BY va
                   ORDER BY cos DESC, vb) AS rn FROM x)
         SELECT va AS vec_id, la AS label, vb AS neg_id, lb AS neg_label,
-          cos FROM r WHERE rn = 1 ORDER BY vec_id"""))
+          cos FROM r WHERE rn = 1 ORDER BY vec_id""")),
+
+    // ---- q142: CENTROID DRIFT AFTER INGEST — the REBUILD TRIGGER that
+    // closes the IVF lifecycle loop (build -> serve -> advance against
+    // FROZEN centroids q130 -> measure drift -> full rebuild when
+    // drift exceeds budget): for each base list, the L2 distance
+    // between its frozen centroid and the centroid RECOMPUTED from its
+    // current members (base + advanced arrivals, all assigned by the
+    // frozen quantizer), plus the member count. A production pipeline
+    // schedules rebuilds off exactly this table instead of a cadence
+    // guess. Scale shape: centroids broadcast (k x dim rows), ONE
+    // corpus-scale assignment aggregation (map-side combined), then
+    // list-sized joins — metadata-scale output, nothing pairwise.
+    Q("q142_centroid_drift",
+      (s, d) => centroidDriftOf(flat(s, d), AnnAdvanceSplit)
+        .orderBy("lst"),
+      Some(s"""WITH flat AS (SELECT vec_id, label, CAST(v AS DOUBLE) AS v, i FROM (
+             SELECT vec_id, label, unnest(embedding) AS v,
+                    generate_subscripts(embedding, 1) AS i FROM embeddings) x),
+           cent AS (SELECT label AS clabel, i AS ci, avg(v) AS c FROM flat
+                    WHERE vec_id < $AnnAdvanceSplit GROUP BY 1, 2),
+           d2 AS (SELECT f.vec_id, c.clabel,
+                    sum((f.v - c.c) * (f.v - c.c)) AS d2
+                  FROM flat f JOIN cent c ON f.i = c.ci GROUP BY 1, 2),
+           asg AS (SELECT vec_id, clabel AS lst FROM (
+                  SELECT vec_id, clabel, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY d2, clabel) AS rn FROM d2)
+                  WHERE rn = 1),
+           nm AS (SELECT lst, count(*) AS n FROM asg GROUP BY 1),
+           newc AS (SELECT a.lst, f.i, avg(f.v) AS cn
+                    FROM flat f JOIN asg a USING (vec_id) GROUP BY 1, 2),
+           dr AS (SELECT c.clabel AS lst,
+                    sqrt(sum((n.cn - c.c) * (n.cn - c.c))) AS dv
+                  FROM cent c JOIN newc n
+                    ON n.lst = c.clabel AND n.i = c.ci GROUP BY 1)
+           SELECT l.lst, CAST(coalesce(nm.n, 0) AS BIGINT) AS n_members,
+             round(dr.dv, 4) AS drift
+           FROM (SELECT DISTINCT clabel AS lst FROM cent) l
+           LEFT JOIN nm USING (lst) LEFT JOIN dr USING (lst)
+           ORDER BY lst"""))
   )
+
+  /** q142's body over a flat (vec_id, label, i, v) view: frozen
+    * label-mean centroids from vectors below `split`, every vector
+    * (base + arrivals) assigned by the frozen quantizer, each list's
+    * centroid recomputed from its members, drift = L2(old, new). A
+    * base list that attracts no members reports n_members = 0 and a
+    * NULL drift.
+    */
+  def centroidDriftOf(f: DataFrame, split: Long): DataFrame = {
+    val fc = graft.CacheScope.retain(f)
+    val cent = graft.CacheScope.retain(
+      fc.filter(col("vec_id") < split)
+        .groupBy("label", "i").agg(avg("v").as("c"))
+        .select(col("label").as("clabel"), col("i").as("ci"), col("c")))
+    // the ONE shared assignment rule (build/advance/drift must agree)
+    val assign = graft.CacheScope.retain(assignToCentroids(fc, cent))
+    val nm = assign.groupBy("lst").agg(count(lit(1)).as("n"))
+    val newc = fc.join(assign, "vec_id").groupBy("lst", "i")
+      .agg(avg("v").as("cn"))
+    val dr = newc.join(broadcast(cent),
+        col("lst") === col("clabel") && col("i") === col("ci"))
+      .groupBy("lst")
+      .agg(sqrt(sum((col("cn") - col("c")) * (col("cn") - col("c"))))
+        .as("dv"))
+    cent.select(col("clabel").as("lst")).distinct()
+      .join(broadcast(nm), Seq("lst"), "left")
+      .join(broadcast(dr), Seq("lst"), "left")
+      .select(col("lst"), coalesce(col("n"), lit(0L)).as("n_members"),
+        round(col("dv"), 4).as("drift"))
+  }
 
   /** q137's body: cluster-bounded candidate pairs, cross-label filter,
     * per-vector top-1 by (cos DESC, neighbor id).

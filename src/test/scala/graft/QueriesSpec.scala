@@ -552,6 +552,22 @@ class QueriesSpec extends AnyFunSuite {
     assert(e == Seq(1, 3))
   }
 
+  test("q142 centroid drift: every vector lands in exactly one base list") {
+    val rows = QueryRegistry.queries("q142_centroid_drift")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    // the frozen quantizer assigns the WHOLE corpus (base + arrivals):
+    // membership must total the corpus exactly
+    val total = rows.map(_.getAs[Long]("n_members")).sum
+    val n = Tables.embeddings(spark, sf).count()
+    assert(total == n, s"list membership $total != corpus size $n")
+    rows.filter(_.getAs[Long]("n_members") > 0).foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("drift"))
+        && r.getAs[Double]("drift") >= 0.0, s"bad drift: $r")
+    }
+    graft.CacheScope.flush(spark)
+  }
+
   test("q139 domain matrix: full SxS, own-domain model scores its text best") {
     val rows =
       QueryRegistry.queries("q139_domain_mismatch")(spark, sf).collect()
