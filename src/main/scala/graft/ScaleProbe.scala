@@ -165,6 +165,15 @@ object ScaleProbe {
       println(f"[scale] sketch_union_calibration pairs=${cal.length} " +
         f"worst_abs_err=$worst%.4f time=${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    // q140 BPE trainer under corpus replication: the trainer runs on
+    // the DISTINCT-WORD table, and the synthetic vocabulary saturates,
+    // so k-fold more docs leave the iteration state identical — only
+    // the one pre-aggregation scan grows. Expect near-flat wall.
+    // Measured: k=1 6.1 s (cold), k=4 2.0 s, k=10 1.9 s — 10x the
+    // docs, FLAT warm wall: training cost is vocabulary-scale, not
+    // corpus-scale.
+    if (enabled("bpe")) probe("bpe_trainer", Seq(1, 4, 10))(c =>
+      graft.text.BpeTrainer.bpeTrainerOf(c).count())
     if (enabled("knn")) knnGraphScale(spark)
     if (enabled("multiprobe")) multiProbeRecall(spark)
     if (enabled("dedup_index")) dedupIndexScale(spark)

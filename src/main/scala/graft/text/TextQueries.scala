@@ -985,6 +985,47 @@ object TextQueries {
              SELECT pair, count(*) AS cnt FROM p GROUP BY 1
              ORDER BY cnt DESC, pair LIMIT $BpeTopN""")),
 
+    // ---- q143: HEAVY HITTERS VIA COUNT-MIN SKETCH — the vocabulary
+    // heavy-hitter report through a MERGEABLE sketch (the q42/q52
+    // family's third member): one distributed count_min_sketch
+    // aggregation (partial sketches merge map-side — the property that
+    // makes token-frequency monitoring a single small-state pass over
+    // 100 TB), the exact top-[[HhTopK]] recomputed alongside, and the
+    // CMS guarantees surfaced as oracle-checkable booleans: the
+    // estimate NEVER undercounts (ok_over) and overshoots by at most
+    // eps * stream-length at the sketch's confidence (ok_bound). The
+    // estimates themselves are sketch-internal (seeded hashing) — the
+    // bound booleans are the cross-engine contract, exactly the q42
+    // pattern. Driver-side work is the top-k token list only
+    // (metadata-scale).
+    Q("q143_heavy_hitters",
+      (s, d) => {
+        import s.implicits._
+        val toks = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("token"))
+          .filter(col("token") =!= "")
+        val topk = toks.groupBy("token").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token")).limit(HhTopK)
+          .as[(String, Long)].collect()
+        val cmsBytes = toks.agg(count_min_sketch(col("token"),
+            lit(HhEps), lit(HhConf), lit(HhSeed)).as("cms"))
+          .head().getAs[Array[Byte]]("cms")
+        val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(cmsBytes))
+        val slack = math.ceil(HhEps * cms.totalCount()).toLong
+        topk.map { case (tok, n) =>
+          val est = cms.estimateCount(tok)
+          (tok, n, est >= n, est <= n + slack)
+        }.toSeq.toDF("token", "n", "ok_over", "ok_bound")
+          .orderBy(col("n").desc, col("token"))
+      },
+      Some(s"""SELECT token, CAST(count(*) AS BIGINT) AS n,
+             TRUE AS ok_over, TRUE AS ok_bound
+           FROM (SELECT unnest(string_split(text, ' ')) AS token
+                 FROM documents) x
+           WHERE token <> ''
+           GROUP BY token ORDER BY n DESC, token LIMIT $HhTopK""")),
+
     // ---- q129: POSITIONAL PHRASE SEARCH — exact phrase match
     // "${PhraseA} ${PhraseB}" through a positional inverted index:
     // filter to the two phrase terms' postings BEFORE any shuffle
@@ -1124,6 +1165,14 @@ object TextQueries {
 
   /** q128: how many top merges to emit. */
   val BpeTopN = 30
+
+  /** q143 heavy hitters: top-k size and CMS parameters (seeded for
+    * determinism; eps bounds the overcount at eps * stream length).
+    */
+  val HhTopK = 20
+  val HhEps = 0.01
+  val HhConf = 0.99
+  val HhSeed = 42
 
   /** q136: A-ES sample size per source stratum. */
   val EsK = 10

@@ -552,6 +552,31 @@ class QueriesSpec extends AnyFunSuite {
     assert(e == Seq(1, 3))
   }
 
+  test("q143 CMS mergeability: half-corpus sketches merge to the whole") {
+    import org.apache.spark.sql.functions._
+    import graft.text.TextQueries.{HhEps, HhConf, HhSeed}
+    val docs = Tables.documents(spark, sf)
+    def toks(d: org.apache.spark.sql.DataFrame) =
+      d.select(explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+    def sketch(d: org.apache.spark.sql.DataFrame) =
+      org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(
+          toks(d).agg(count_min_sketch(col("token"), lit(HhEps),
+            lit(HhConf), lit(HhSeed)).as("c"))
+            .head().getAs[Array[Byte]]("c")))
+    val whole = sketch(docs)
+    val merged = sketch(docs.filter(col("doc_id") % 2 === 0))
+    merged.mergeInPlace(sketch(docs.filter(col("doc_id") % 2 === 1)))
+    assert(merged.totalCount() == whole.totalCount())
+    val vocab = toks(docs).distinct().collect().map(_.getString(0))
+    assert(vocab.nonEmpty)
+    vocab.foreach { t =>
+      assert(merged.estimateCount(t) == whole.estimateCount(t),
+        s"merge law broken for token '$t'")
+    }
+  }
+
   test("q142 centroid drift: every vector lands in exactly one base list") {
     val rows = QueryRegistry.queries("q142_centroid_drift")(spark, sf)
       .collect()
