@@ -1042,26 +1042,7 @@ object TextQueries {
     // a 100 TB curation run fuse the filter into the scan. All ratios
     // are int/int doubles, so the booleans agree exactly cross-engine.
     Q("q132_quality_filter",
-      (s, d) =>
-        Tables.documents(s, d)
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .withColumn("n", size(col("toks")))
-          .withColumn("charsum", aggregate(
-            transform(col("toks"), w => length(w)), lit(0), (a, x) => a + x))
-          .withColumn("nstop", size(filter(col("toks"),
-            w => w.isInCollection(stopwords))))
-          .withColumn("maxtok", maxTokenCount(col("toks")))
-          .select(col("doc_id"),
-            (col("n") >= QfMinTokens).as("ok_len"),
-            (col("charsum") * lit(1.0) / col("n") >= QfWordLenLo
-              && col("charsum") * lit(1.0) / col("n") <= QfWordLenHi)
-              .as("ok_wordlen"),
-            (col("nstop") * lit(1.0) / col("n") >= QfStopFloor)
-              .as("ok_stop"),
-            (col("maxtok") * lit(1.0) / col("n") <= QfRepCap).as("ok_rep"))
-          .withColumn("keep", col("ok_len") && col("ok_wordlen")
-            && col("ok_stop") && col("ok_rep"))
-          .orderBy("doc_id"),
+      (s, d) => qualityFlagsOf(Tables.documents(s, d)).orderBy("doc_id"),
       Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
                FROM documents),
              ex AS (SELECT doc_id, unnest(toks) AS x FROM t),
@@ -1084,6 +1065,38 @@ object TextQueries {
                  AND nstop * 1.0 / n >= $QfStopFloor
                  AND mx * 1.0 / n <= $QfRepCap) AS keep
              FROM agg a JOIN mt USING (doc_id) ORDER BY doc_id""")),
+
+    // ---- q144: THE COMPOSED CURATION PIPELINE — quality filter
+    // (q132 rules) -> corpus-wide exact dedup (keep-first by content
+    // hash, q28 rule) -> stratified deterministic sampling (q127 LCG
+    // gate), reported as per-source attrition counts (n_raw ->
+    // n_quality -> n_dedup -> n_sampled). The point is COMPOSITION:
+    // the whole curation pass is ONE lazy plan — the quality rules
+    // fuse into the scan, the dedup window shuffles once on the
+    // content hash, the sampling gate is stateless — so a 100 TB run
+    // is scan + one hash shuffle + one aggregation, and the attrition
+    // table is the dashboard a curation team actually reads.
+    Q("q144_curation_pipeline",
+      (s, d) => curationPipelineOf(Tables.documents(s, d))
+        .orderBy("source"),
+      Some(s"""WITH $qualityKeepCtesSql,
+           q AS (SELECT d.doc_id, d.text FROM documents d
+                 JOIN qflags f USING (doc_id) WHERE f.keep),
+           dd AS (SELECT doc_id, row_number() OVER (
+                    PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM q),
+           per AS (SELECT d.source, f.keep,
+                     coalesce(dd.rn = 1, FALSE) AS is_dd,
+                     coalesce(dd.rn = 1, FALSE) AND
+                       ((d.doc_id * $LcgA + $LcgC) % $LcgM <
+                        CASE WHEN d.lang = 'en' THEN $SampleEnPermille
+                          ELSE $SampleOtherPermille END) AS is_s
+                   FROM documents d JOIN qflags f USING (doc_id)
+                   LEFT JOIN dd USING (doc_id))
+           SELECT source, CAST(count(*) AS BIGINT) AS n_raw,
+             CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_quality,
+             CAST(count(*) FILTER (WHERE is_dd) AS BIGINT) AS n_dedup,
+             CAST(count(*) FILTER (WHERE is_s) AS BIGINT) AS n_sampled
+           FROM per GROUP BY source ORDER BY source""")),
 
     Q("q129_phrase_search",
       (s, d) => {
@@ -1192,6 +1205,78 @@ object TextQueries {
   /** q129 phrase (chosen for non-trivial df at every SF). */
   val PhraseA = "table"
   val PhraseB = "hash"
+
+  /** q132's body: the Gopher/RefinedWeb-style quality rules as one
+    * narrow per-row HOF pass — (doc_id, ok_len, ok_wordlen, ok_stop,
+    * ok_rep, keep). Shared by the composed curation pipeline (q144).
+    */
+  def qualityFlagsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("charsum", aggregate(
+        transform(col("toks"), w => length(w)), lit(0), (a, x) => a + x))
+      .withColumn("nstop", size(filter(col("toks"),
+        w => w.isInCollection(stopwords))))
+      .withColumn("maxtok", maxTokenCount(col("toks")))
+      .select(col("doc_id"),
+        (col("n") >= QfMinTokens).as("ok_len"),
+        (col("charsum") * lit(1.0) / col("n") >= QfWordLenLo
+          && col("charsum") * lit(1.0) / col("n") <= QfWordLenHi)
+          .as("ok_wordlen"),
+        (col("nstop") * lit(1.0) / col("n") >= QfStopFloor)
+          .as("ok_stop"),
+        (col("maxtok") * lit(1.0) / col("n") <= QfRepCap).as("ok_rep"))
+      .withColumn("keep", col("ok_len") && col("ok_wordlen")
+        && col("ok_stop") && col("ok_rep"))
+
+  /** q144's quality-keep CTE block (the q132 rules reduced to one
+    * boolean) — DuckDB image of [[qualityFlagsOf]]'s `keep` column.
+    */
+  private def qualityKeepCtesSql: String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         FROM documents),
+       ex AS (SELECT doc_id, unnest(toks) AS x FROM t),
+       agg AS (SELECT doc_id, count(*) AS n, sum(len(x)) AS charsum,
+           count(*) FILTER (WHERE x IN ($stopSql)) AS nstop
+         FROM ex GROUP BY 1),
+       mt AS (SELECT doc_id, max(c) AS mx FROM (
+           SELECT doc_id, x, count(*) AS c FROM ex GROUP BY 1, 2)
+         GROUP BY 1),
+       qflags AS (SELECT a.doc_id,
+           (n >= $QfMinTokens
+             AND charsum * 1.0 / n >= $QfWordLenLo
+             AND charsum * 1.0 / n <= $QfWordLenHi
+             AND nstop * 1.0 / n >= $QfStopFloor
+             AND mx * 1.0 / n <= $QfRepCap) AS keep
+         FROM agg a JOIN mt USING (doc_id))"""
+
+  /** q144's body: quality -> exact-dedup-keep-first -> LCG sample as
+    * one lazy plan; per-source attrition counts out.
+    */
+  def curationPipelineOf(docs: DataFrame): DataFrame = {
+    val flags = qualityFlagsOf(docs).select("doc_id", "keep")
+    val d = graft.CacheScope.retain(
+      docs.select(col("doc_id"), col("source"), col("lang"), col("text"))
+        .join(flags, "doc_id"))
+    val firsts = d.filter(col("keep"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("text"))).orderBy("doc_id")))
+      .filter(col("rn") === 1).select(col("doc_id"), lit(true).as("dd"))
+    val gate = (col("doc_id") * LcgA + LcgC) % LcgM <
+      when(col("lang") === "en", SampleEnPermille)
+        .otherwise(SampleOtherPermille)
+    d.join(firsts, Seq("doc_id"), "left")
+      .select(col("source"), col("keep"),
+        coalesce(col("dd"), lit(false)).as("is_dd"),
+        (coalesce(col("dd"), lit(false)) && gate).as("is_s"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("is_dd"), 1L).otherwise(0L)).as("n_dedup"),
+        sum(when(col("is_s"), 1L).otherwise(0L)).as("n_sampled"))
+  }
 
   /** q136's body: Efraimidis-Spirakis A-ES weighted sampling without
     * replacement per source stratum through the bounded TopK UDAF —

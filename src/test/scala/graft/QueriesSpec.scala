@@ -552,6 +552,25 @@ class QueriesSpec extends AnyFunSuite {
     assert(e == Seq(1, 3))
   }
 
+  test("q144 curation attrition is monotone and consistent with q132") {
+    val rows = QueryRegistry.queries("q144_curation_pipeline")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (raw, q, dd, s) = (r.getAs[Long]("n_raw"),
+        r.getAs[Long]("n_quality"), r.getAs[Long]("n_dedup"),
+        r.getAs[Long]("n_sampled"))
+      assert(raw >= q && q >= dd && dd >= s && s >= 0,
+        s"attrition not monotone: $r")
+    }
+    // stage-1 totals must equal q132's keep count exactly
+    val qTotal = rows.map(_.getAs[Long]("n_quality")).sum
+    val q132Keep = QueryRegistry.queries("q132_quality_filter")(spark, sf)
+      .filter(col("keep")).count()
+    assert(qTotal == q132Keep, s"quality stage $qTotal != q132 $q132Keep")
+    graft.CacheScope.flush(spark)
+  }
+
   test("q143 CMS mergeability: half-corpus sketches merge to the whole") {
     import org.apache.spark.sql.functions._
     import graft.text.TextQueries.{HhEps, HhConf, HhSeed}
