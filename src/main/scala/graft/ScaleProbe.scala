@@ -235,17 +235,19 @@ object ScaleProbe {
     *
     * Round-8 audit (n=48, 25 X pts, local[32]): 65 jobs, 47 of them
     * AQE query-stage materializations of KB-scale exchanges. Round 9
-    * SPENT that audit: FindStructures now scopes AQE off (+ static
-    * shuffle width 8) for small grids (its AqeCellFloor), and the
-    * same audit reads **30 jobs**: the AQE-stage
-    * residue comes only from the OUTPUT counts (executed by the
-    * caller, outside the scope, AQE back on — 7+5+4 stages under the
-    * two count actions), plus the 4 CC localCheckpoints, the CC
-    * tile-pass rdd jobs, and the classify collect. Isolated g19 bench:
-    * 11.30 s -> 10.01 s min-of-3 (AQE off ALONE is slower, 12.25 s —
-    * the static width matters; width 4 gains nothing, 10.24 s — past
-    * the knee the floor is per-action planning + the eager legs'
-    * irreducible work). At cluster scale the quanta amortize over
+    * SPENT that audit: FindStructures scopes AQE off (+ static
+    * shuffle width 8) for small grids (its AqeCellFloor) — 30 jobs.
+    * Round 10 spent the rest: the scope moved into a child
+    * newSession, so the RETURNED mask dataframes execute AQE-off too
+    * (the 16 post-return query stages under the two output counts
+    * collapsed to 2 one-job counts), and statically single-tile CC
+    * solves became LAZY (4 eager localCheckpoints folded into their
+    * consumers) — **20 jobs**, isolated g19 bench 10.28 -> 7.39 s
+    * min-of-3. What remains: the classify collect + its broadcasts,
+    * the seps/cs checkpoints, and the overlapped current-sheet
+    * chain's jobs. (Round-9 negative results, don't retry: AQE off
+    * ALONE is slower, 12.25 s — the static width matters; width 4
+    * gains nothing over 8.) At cluster scale the quanta amortize over
     * arbitrarily large stages (the sweep above shows the data term is
     * flat), so the remaining floor is a LOCAL artifact, not a scale
     * risk.

@@ -334,21 +334,24 @@ object TopologyQueries {
     // "registered outputs" of the reference pipeline, canonically
     // ordered. The DuckDB twin recomputes all nine stages in SQL.
     //
-    // Bench note: ~10 s at any SF, and ~all of it is per-job FIXED
-    // overhead — the pipeline is 65 Spark jobs (measured, see
-    // ScaleProbe.g19JobAudit: 47 AQE query-stage materializations —
-    // one per exchange — plus CC tile passes/checkpoints and the eager
-    // X-point collect the reference's API shape requires). Profile's
-    // stage accounting splits it: summed in-stage
-    // execution is ~25% of wall (e.g. separatrices 7.0 s wall / 2.3 s
-    // stage); the rest is driver-side planning + AQE + codegen +
-    // scheduling per job — invariant in grid size, so a billion-cell
-    // plane pays the same ~50 quanta. Round-7 structural cuts (fused
-    // smoothing passes, CollapseWindow-adjacent gradients, the
-    // current-sheet chain overlapped on its own thread, single-tile CC
-    // fast path, sign-keyed currentSheets) took it from 21.5 s to
-    // ~10 s; what remains is composition overhead at toy scale, not a
-    // data-scaling term.
+    // Bench note: 7.4-7.8 s min-of-3 at any SF, and most of it is
+    // fixed per-run cost (planning + codegen + scheduling), not a
+    // data-scaling term. The job-count history, each step measured by
+    // ScaleProbe.g19JobAudit: 65 jobs (round 8: 47 were AQE
+    // query-stage materializations of KB-scale exchanges) -> 30
+    // (round 9: AQE scoped off + static width 8 for sub-floor grids)
+    // -> 20 (round 10: the scope moved into a child newSession so the
+    // RETURNED masks also execute AQE-off — the ~16 post-return query
+    // stages collapsed to 2 one-job counts — and statically
+    // single-tile CC solves became lazy, folding 4 eager checkpoints
+    // into their consumers). Round-7 structural cuts (fused smoothing
+    // passes, CollapseWindow-adjacent gradients, the current-sheet
+    // chain overlapped on its own thread, sign-keyed currentSheets)
+    // took 21.5 s to ~10 s; rounds 9-10 took the composition overhead
+    // 10 -> 7.4 s. What remains is the spine collect, the separatrix
+    // solve, and the overlapped current-sheet chain — real work plus
+    // ~20 scheduling quanta that amortize at cluster scale (the grid
+    // sweep's data term is ~flat through n=96).
     Q("g19_find_structures",
       (s, d) => {
         val res = FindStructures(g19Input(s, d), smoothing = 1.0, deTol = 5.0)
