@@ -1069,8 +1069,61 @@ object RelationalQueries {
            pk AS (SELECT max(conc) AS peak FROM st)
            SELECT CAST(pk.peak AS BIGINT) AS peak_sessions, min(st.ts) AS at_ts,
              (SELECT count(*) FROM sess) AS n_sessions
-           FROM st, pk WHERE st.conc = pk.peak GROUP BY pk.peak"""))
+           FROM st, pk WHERE st.conc = pk.peak GROUP BY pk.peak""")),
+
+    // ---- q145: JOIN-KEY SKEW PROFILE — the diagnostic you run BEFORE
+    // choosing a join strategy at scale (broadcast vs salt vs AQE skew
+    // split, the q49 decision): per hottest key its count, share of
+    // the table, cumulative share, and x_mean (count over the mean
+    // group size — the number a salting width is derived from). Shape:
+    // ONE map-side-combined aggregation over the fact table, a
+    // metadata-scale scalar (total, n_keys) broadcast, and top-k via
+    // TakeOrdered — the rank/cum-share window runs over the K
+    // SELECTED rows only, never over the full key space (at 100 TB
+    // distinct keys can be billions; a global window there is the
+    // exact mistake this operator exists to prevent).
+    Q("q145_skew_profile",
+      (s, d) => skewProfileOf(ev(s, d), "user_id", SkewTopK),
+      Some(s"""WITH ${Tables.evCte},
+           g AS (SELECT user_id AS key, count(*) AS cnt FROM ev GROUP BY 1),
+           t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+                   count(*) AS n_keys FROM g),
+           k AS (SELECT key, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, key) AS rk,
+                   sum(cnt) OVER (ORDER BY cnt DESC, key
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                 FROM g)
+           SELECT CAST(rk AS BIGINT) AS rk, key, CAST(cnt AS BIGINT) AS cnt,
+             round(100.0 * cnt / total, 4) AS share_pct,
+             round(100.0 * cum / total, 4) AS cum_share_pct,
+             round(cnt * n_keys * 1.0 / total, 4) AS x_mean
+           FROM k, t WHERE rk <= $SkewTopK ORDER BY rk"""))
   )
+
+  /** q145: how many heavy keys to report. */
+  val SkewTopK = 20
+
+  /** q145's body over any relation: heaviest `k` values of `key` with
+    * share / cumulative-share / times-mean-group-size.
+    */
+  def skewProfileOf(df: DataFrame, key: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = graft.CacheScope.retain(
+      df.groupBy(key).agg(count(lit(1)).as("cnt")))
+    val tot = g.agg(sum("cnt").as("total"), count(lit(1)).as("n_keys"))
+    val ord = Window.orderBy(col("cnt").desc, col(key))
+    g.orderBy(col("cnt").desc, col(key)).limit(k)
+      .crossJoin(broadcast(tot))
+      .withColumn("rk", row_number().over(ord).cast("long"))
+      .withColumn("cum", sum("cnt").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("rk"), col(key).as("key"), col("cnt"),
+        round(lit(100.0) * col("cnt") / col("total"), 4).as("share_pct"),
+        round(lit(100.0) * col("cum") / col("total"), 4).as("cum_share_pct"),
+        round(col("cnt") * col("n_keys") * lit(1.0) / col("total"), 4)
+          .as("x_mean"))
+      .orderBy("rk")
+  }
 
   /** q133's body, parameterized on the lineitem relation so ScaleProbe
     * can sweep replicated inputs. See the q133 entry for semantics and

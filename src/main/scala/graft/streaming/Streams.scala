@@ -197,6 +197,24 @@ object Streams {
       }
       .start()
 
+  /** Streaming advance of the CORPUS-STATISTICS artifact (the q143
+    * CMS as a persisted profile): each micro-batch's token sketch is
+    * merged into the file at `sketchPath`. CMS merge is element-wise
+    * counter addition, so the stream-advanced profile equals the
+    * whole-corpus sketch EXACTLY regardless of batching (StreamsSpec
+    * pins it) — token-frequency monitoring over an unbounded ingest
+    * stream with a few KB of state and no reprocessing. Same replay
+    * caveat as the other advance sinks.
+    */
+  def cmsAdvanceSink(docs: DataFrame, sketchPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.text.TextQueries.advanceTokenSketch(batch, sketchPath)
+      }
+      .start()
+
   /** Custom state: running per-user count/total via
     * flatMapGroupsWithState (reference has no streaming; this is the
     * §2B custom-state surface).

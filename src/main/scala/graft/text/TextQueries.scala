@@ -1230,6 +1230,53 @@ object TextQueries {
       .withColumn("keep", col("ok_len") && col("ok_wordlen")
         && col("ok_stop") && col("ok_rep"))
 
+  /** q143's sketch as a PERSISTED, ADVANCEABLE artifact — the
+    * statistics-side analogue of the dedup/IVF index lifecycles:
+    * [[buildTokenSketch]] writes the corpus CMS once;
+    * [[advanceTokenSketch]] merges an arrival batch's sketch in
+    * (CMS merge is element-wise counter addition, so advance ≡
+    * rebuild EXACTLY — not approximately — for the same seed).
+    * Streams.cmsAdvanceSink drives it per micro-batch. Local-file IO
+    * here; at scale the bytes live in the object store next to the
+    * other index artifacts (a CMS at these parameters is a few KB —
+    * metadata, not data).
+    */
+  def tokenSketchOf(docs: DataFrame)
+      : org.apache.spark.util.sketch.CountMinSketch = {
+    val bytes = docs
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .agg(count_min_sketch(col("token"), lit(HhEps), lit(HhConf),
+        lit(HhSeed)).as("cms"))
+      .head().getAs[Array[Byte]]("cms")
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+  }
+
+  def buildTokenSketch(docs: DataFrame, path: String): Unit =
+    writeSketch(tokenSketchOf(docs), path)
+
+  def advanceTokenSketch(docs: DataFrame, path: String): Unit = {
+    val cur = readTokenSketch(path)
+    cur.mergeInPlace(tokenSketchOf(docs))
+    writeSketch(cur, path)
+  }
+
+  def readTokenSketch(path: String)
+      : org.apache.spark.util.sketch.CountMinSketch = {
+    val in = new java.io.BufferedInputStream(
+      new java.io.FileInputStream(path))
+    try org.apache.spark.util.sketch.CountMinSketch.readFrom(in)
+    finally in.close()
+  }
+
+  private def writeSketch(
+      s: org.apache.spark.util.sketch.CountMinSketch, path: String): Unit = {
+    val out = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(path))
+    try s.writeTo(out) finally out.close()
+  }
+
   /** q144's quality-keep CTE block (the q132 rules reduced to one
     * boolean) — DuckDB image of [[qualityFlagsOf]]'s `keep` column.
     */

@@ -552,6 +552,27 @@ class QueriesSpec extends AnyFunSuite {
     assert(e == Seq(1, 3))
   }
 
+  test("q145 skew profile: dense ranks, non-increasing counts, sane shares") {
+    val rows = QueryRegistry.queries("q145_skew_profile")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty
+      && rows.length <= relational.RelationalQueries.SkewTopK)
+    assert(rows.map(_.getAs[Long]("rk")).toSeq
+      == (1L to rows.length).toSeq)
+    val cnts = rows.map(_.getAs[Long]("cnt"))
+    assert(cnts.zip(cnts.drop(1)).forall { case (a, b) => a >= b })
+    var cum = 0.0
+    rows.foreach { r =>
+      val share = r.getAs[Double]("share_pct")
+      val cumShare = r.getAs[Double]("cum_share_pct")
+      assert(share > 0.0 && share <= 100.0)
+      assert(cumShare >= cum - 1e-9 && cumShare <= 100.0 + 1e-9)
+      cum = cumShare
+      assert(r.getAs[Double]("x_mean") > 0.0)
+    }
+    graft.CacheScope.flush(spark)
+  }
+
   test("q144 curation attrition is monotone and consistent with q132") {
     val rows = QueryRegistry.queries("q144_curation_pipeline")(spark, sf)
       .collect()

@@ -361,6 +361,39 @@ class StreamsSpec extends AnyFunSuite {
     graft.CacheScope.flush(spark)
   }
 
+  test("streaming CMS profile advance equals the whole-corpus sketch") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.text.TextQueries
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val whole = TextQueries.tokenSketchOf(docs)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_cms_stream").toString + "/profile.cms"
+    TextQueries.buildTokenSketch(docs.filter(col("doc_id") < 25), path)
+    val b1 = docs.filter(col("doc_id") >= 25 && col("doc_id") < 40)
+      .as[(Long, String)].collect().toSeq
+    val b2 = docs.filter(col("doc_id") >= 40)
+      .as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.cmsAdvanceSink(mem.toDF.toDF("doc_id", "text"), path,
+      java.nio.file.Files.createTempDirectory("graft_cms_ckpt").toString)
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val advanced = TextQueries.readTokenSketch(path)
+    assert(advanced.totalCount() == whole.totalCount())
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "").distinct().collect().map(_.getString(0))
+    assert(vocab.nonEmpty)
+    vocab.foreach { t =>
+      assert(advanced.estimateCount(t) == whole.estimateCount(t),
+        s"stream-advanced profile diverges on token '$t'")
+    }
+  }
+
   test("streaming IVF advance: batching-invariant vs one-shot advance") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
