@@ -172,11 +172,64 @@ object BpeTrainer {
        FROM dw LEFT JOIN vs USING (w)
        GROUP BY doc_id ORDER BY doc_id"""
 
+  /** The TOKENIZER ARTIFACT lifecycle (the q117/q118 pattern for BPE):
+    * [[saveBpeModel]] persists the trained merge list and the derived
+    * vocabulary segmentation as parquet — the artifact a production
+    * pipeline trains once and ships to every encode job;
+    * [[encodeWithModel]] prices documents against the artifact's
+    * (word, n_sym) table WITHOUT re-training. q146 serves from a
+    * per-JVM memoized artifact and must agree with q141's recompute
+    * hash-for-hash (the artifact-read ≡ recompute contract, the same
+    * gate q110/q117 pin for the dedup index).
+    */
+  def saveBpeModel(docs: DataFrame, path: String,
+      iters: Int = BpeIters): Unit = {
+    val (steps, vocab) = trained(docs, iters)
+    steps.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(path + "/merges")
+    vocab.select(col("w"),
+        size(split(trim(col("seg"), US), US + US)).as("n_sym"))
+      .write.mode("overwrite").parquet(path + "/vocab")
+  }
+
+  /** q141's encode against a PERSISTED model — no trainer in the plan:
+    * the vocab artifact joins the doc-word stream directly.
+    */
+  def encodeWithModel(docs: DataFrame, path: String): DataFrame = {
+    val vsize = docs.sparkSession.read.parquet(path + "/vocab")
+    val nTok = sum(coalesce(col("n_sym"), lit(1)))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(vsize, Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), nTok.as("n_tokens"),
+        round(sum(length(col("w"))).cast("double") / nTok, 4)
+          .as("chars_per_token"))
+  }
+
+  /** Per-JVM memoized model artifact (the servedDedupIndex pattern):
+    * bench run 1 pays training, runs 2-3 measure the SERVE-ONLY cost
+    * the artifact exists to provide.
+    */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def servedModel(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    modelCache.computeIfAbsent(d, _ => {
+      val dir = graft.TempArtifacts.dir("graft_bpe_model")
+      saveBpeModel(Tables.documents(s, d), dir)
+      dir
+    })
+
   def defs: Seq[Q] = Seq(
     Q("q140_bpe_trainer",
       (s, d) => bpeTrainerOf(Tables.documents(s, d)),
       Some(oracleSql)),
     Q("q141_bpe_encode",
       (s, d) => bpeEncodeOf(Tables.documents(s, d)).orderBy("doc_id"),
+      Some(encodeOracleSql)),
+    Q("q146_bpe_encode_served",
+      (s, d) => encodeWithModel(Tables.documents(s, d), servedModel(s, d))
+        .orderBy("doc_id"),
       Some(encodeOracleSql)))
 }

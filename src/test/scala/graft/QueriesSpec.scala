@@ -531,6 +531,16 @@ class QueriesSpec extends AnyFunSuite {
     graft.CacheScope.flush(spark)
   }
 
+  test("q146 (artifact-served encode) equals q141 (recompute) row for row") {
+    val a = QueryRegistry.queries("q141_bpe_encode")(spark, sf)
+      .collect().toSeq
+    graft.CacheScope.flush(spark)
+    val b = QueryRegistry.queries("q146_bpe_encode_served")(spark, sf)
+      .collect().toSeq
+    graft.CacheScope.flush(spark)
+    assert(a.nonEmpty && a == b)
+  }
+
   test("q132 repetition stat is the max token count, linear on long docs") {
     import spark.implicits._
     // 200k tokens, all distinct except one token repeated 37 times:
