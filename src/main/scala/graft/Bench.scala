@@ -145,14 +145,26 @@ object Bench {
     // (BENCH_r07-r09 all `parsed: null`). Persist the identical line to a
     // file as the machine-readable artifact of record: repo-root
     // BENCH_LOCAL.json (committed each round) or SPARK_GRAFT_BENCH_OUT.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
-    try {
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(outPath),
-        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch {
-      case e: Throwable =>
-        System.err.println(s"[bench] could not write $outPath: $e")
+    // The committed default is FULL-SUITE ONLY — a SPARK_GRAFT_ONLY dev
+    // iteration must not clobber the round's official numbers with a
+    // partial total (point SPARK_GRAFT_BENCH_OUT somewhere to keep a
+    // filtered run's JSON).
+    val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .orElse(if (only.isEmpty) Some("BENCH_LOCAL.json") else None)
+    outPath match {
+      case Some(p) =>
+        try {
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(p),
+            (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] could not write $p: $e")
+        }
+      case None =>
+        System.err.println(
+          "[bench] filtered run: BENCH_LOCAL.json left untouched " +
+            "(set SPARK_GRAFT_BENCH_OUT to keep this run's JSON)")
     }
     spark.stop()
   }

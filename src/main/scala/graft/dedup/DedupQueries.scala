@@ -1145,9 +1145,15 @@ object DedupQueries {
   }
 
   def advanceDedupIndex(admitted: DataFrame, path: String): Unit = {
-    val sig = graft.CacheScope.retain(signaturesPerRow(admitted))
-    sig.write.mode("append").parquet(path + "/signatures")
-    bandsOf(sig).write.mode("append").parquet(path + "/bands")
+    // LOCAL persist, not CacheScope: the streaming sink calls this once
+    // per micro-batch and never reaches a harness flush point — a
+    // retain here would pin one signature frame per batch for the
+    // stream's lifetime. The cache lifetime is exactly this call.
+    val sig = signaturesPerRow(admitted).persist()
+    try {
+      sig.write.mode("append").parquet(path + "/signatures")
+      bandsOf(sig).write.mode("append").parquet(path + "/bands")
+    } finally sig.unpersist(): Unit
     // Visibility guarantee: a pre-advance read of this artifact may be
     // cached (q119's phase 1 retains the signature read of the same
     // path). Measured on this Spark version the fresh post-advance

@@ -492,7 +492,18 @@ object Topology {
               _.add((bit.head.getInt(nk + 2), bit.head.getInt(nk + 3))))
             val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
             while (bit.hasNext && gk(bit.head) == k) {
-              val r = bit.next(); buf += ((r.getInt(nk), r.getInt(nk + 1)))
+              val r = bit.next()
+              val iz = r.getInt(nk); val ix = r.getInt(nk + 1)
+              // the static hint is a caller CONTRACT (the accumulator
+              // path demotes out-of-tile grids to the full solve; this
+              // path has no accumulator) — violating it must fail
+              // loudly, never silently split a component
+              if (staticSingleTile
+                  && (iz < 0 || iz >= tile || ix < 0 || ix >= tile))
+                throw new IllegalArgumentException(
+                  s"staticSingleTile CC received cell ($iz, $ix) outside" +
+                    s" [0, $tile) - caller's single-tile hint is wrong")
+              buf += ((iz, ix))
             }
             localLabels(buf, nx, offs).map { case (iz, ix, root) =>
               // Seq[Any]: a bare Seq(iz, ix, root) would widen Int -> Long

@@ -1096,7 +1096,7 @@ object RelationalQueries {
            SELECT CAST(rk AS BIGINT) AS rk, key, CAST(cnt AS BIGINT) AS cnt,
              round(100.0 * cnt / total, 4) AS share_pct,
              round(100.0 * cum / total, 4) AS cum_share_pct,
-             round(cnt * n_keys * 1.0 / total, 4) AS x_mean
+             round(cnt * 1.0 * n_keys / total, 4) AS x_mean
            FROM k, t WHERE rk <= $SkewTopK ORDER BY rk"""))
   )
 
@@ -1120,7 +1120,10 @@ object RelationalQueries {
       .select(col("rk"), col(key).as("key"), col("cnt"),
         round(lit(100.0) * col("cnt") / col("total"), 4).as("share_pct"),
         round(lit(100.0) * col("cum") / col("total"), 4).as("cum_share_pct"),
-        round(col("cnt") * col("n_keys") * lit(1.0) / col("total"), 4)
+        // cnt * 1.0 FIRST: a long*long product overflows exactly at the
+        // billion-keys-times-hot-key scale this profiler exists for
+        // (and DuckDB would hard-error where Spark silently wraps)
+        round(col("cnt") * lit(1.0) * col("n_keys") / col("total"), 4)
           .as("x_mean"))
       .orderBy("rk")
   }

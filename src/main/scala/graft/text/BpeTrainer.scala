@@ -100,10 +100,19 @@ object BpeTrainer {
     * by natural word frequency, payload metadata-scale; the merges
     * themselves were already only broadcast rows.
     */
-  def bpeEncodeOf(docs: DataFrame, iters: Int = BpeIters): DataFrame = {
-    val vocab = trained(docs, iters)._2
-    val vsize = vocab.select(col("w"),
+  def bpeEncodeOf(docs: DataFrame, iters: Int = BpeIters): DataFrame =
+    encode(docs, vocabSizes(trained(docs, iters)._2))
+
+  /** The vocab reduced to its pricing table (w, n_sym). */
+  private def vocabSizes(vocab: DataFrame): DataFrame =
+    vocab.select(col("w"),
       size(split(trim(col("seg"), US), US + US)).as("n_sym"))
+
+  /** The ONE copy of the pricing aggregation — q141 (recompute) and
+    * q146 (artifact-served) must stay bit-identical, and do so by
+    * construction: they differ only in where `vsize` comes from.
+    */
+  private def encode(docs: DataFrame, vsize: DataFrame): DataFrame = {
     val nTok = sum(coalesce(col("n_sym"), lit(1)))
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
@@ -187,25 +196,14 @@ object BpeTrainer {
     val (steps, vocab) = trained(docs, iters)
     steps.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(path + "/merges")
-    vocab.select(col("w"),
-        size(split(trim(col("seg"), US), US + US)).as("n_sym"))
-      .write.mode("overwrite").parquet(path + "/vocab")
+    vocabSizes(vocab).write.mode("overwrite").parquet(path + "/vocab")
   }
 
   /** q141's encode against a PERSISTED model — no trainer in the plan:
     * the vocab artifact joins the doc-word stream directly.
     */
-  def encodeWithModel(docs: DataFrame, path: String): DataFrame = {
-    val vsize = docs.sparkSession.read.parquet(path + "/vocab")
-    val nTok = sum(coalesce(col("n_sym"), lit(1)))
-    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "")
-      .join(vsize, Seq("w"), "left")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_words"), nTok.as("n_tokens"),
-        round(sum(length(col("w"))).cast("double") / nTok, 4)
-          .as("chars_per_token"))
-  }
+  def encodeWithModel(docs: DataFrame, path: String): DataFrame =
+    encode(docs, docs.sparkSession.read.parquet(path + "/vocab"))
 
   /** Per-JVM memoized model artifact (the servedDedupIndex pattern):
     * bench run 1 pays training, runs 2-3 measure the SERVE-ONLY cost

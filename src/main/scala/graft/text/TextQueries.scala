@@ -1001,9 +1001,11 @@ object TextQueries {
     Q("q143_heavy_hitters",
       (s, d) => {
         import s.implicits._
-        val toks = Tables.documents(s, d)
+        // retained: both the exact top-k and the sketch aggregation
+        // scan the exploded token stream (2 actions)
+        val toks = graft.CacheScope.retain(Tables.documents(s, d)
           .select(explode(split(col("text"), " ")).as("token"))
-          .filter(col("token") =!= "")
+          .filter(col("token") =!= ""))
         val topk = toks.groupBy("token").agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("token")).limit(HhTopK)
           .as[(String, Long)].collect()
@@ -1012,7 +1014,14 @@ object TextQueries {
           .head().getAs[Array[Byte]]("cms")
         val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
           new java.io.ByteArrayInputStream(cmsBytes))
-        val slack = math.ceil(HhEps * cms.totalCount()).toLong
+        // the eps*N overcount bound holds per query only at the
+        // sketch's confidence (0.99) — an oracle-parity gate needs a
+        // practically-certain band, so ok_bound checks
+        // [[HhBoundFactor]] * eps * N (exceedance probability decays
+        // exponentially in the factor; a broken merge inflating
+        // counts by orders of magnitude still trips it loudly)
+        val slack =
+          math.ceil(HhBoundFactor * HhEps * cms.totalCount()).toLong
         topk.map { case (tok, n) =>
           val est = cms.estimateCount(tok)
           (tok, n, est >= n, est <= n + slack)
@@ -1043,16 +1052,7 @@ object TextQueries {
     // are int/int doubles, so the booleans agree exactly cross-engine.
     Q("q132_quality_filter",
       (s, d) => qualityFlagsOf(Tables.documents(s, d)).orderBy("doc_id"),
-      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-               FROM documents),
-             ex AS (SELECT doc_id, unnest(toks) AS x FROM t),
-             agg AS (SELECT doc_id, count(*) AS n,
-                 sum(len(x)) AS charsum,
-                 count(*) FILTER (WHERE x IN ($stopSql)) AS nstop
-               FROM ex GROUP BY 1),
-             mt AS (SELECT doc_id, max(c) AS mx FROM (
-                 SELECT doc_id, x, count(*) AS c FROM ex GROUP BY 1, 2)
-               GROUP BY 1)
+      Some(s"""WITH $qualityStatsCtesSql
              SELECT a.doc_id,
                n >= $QfMinTokens AS ok_len,
                charsum * 1.0 / n >= $QfWordLenLo
@@ -1187,6 +1187,12 @@ object TextQueries {
   val HhConf = 0.99
   val HhSeed = 42
 
+  /** q143: widen the checked overcount band to HhBoundFactor * eps * N
+    * so the oracle-parity boolean is practically certain (the raw
+    * eps*N bound only holds at confidence [[HhConf]] per query).
+    */
+  val HhBoundFactor = 3
+
   /** q136: A-ES sample size per source stratum. */
   val EsK = 10
 
@@ -1270,17 +1276,32 @@ object TextQueries {
     finally in.close()
   }
 
+  /** Atomic artifact replace: write to a sibling temp file, fsync,
+    * rename over the target. A crash mid-write must never truncate the
+    * ONLY copy of the accumulated profile — unlike the parquet-append
+    * advance paths (where replay merely duplicates), an in-place
+    * rewrite here would lose the stream's whole state.
+    */
   private def writeSketch(
       s: org.apache.spark.util.sketch.CountMinSketch, path: String): Unit = {
-    val out = new java.io.BufferedOutputStream(
-      new java.io.FileOutputStream(path))
-    try s.writeTo(out) finally out.close()
+    val target = java.nio.file.Paths.get(path)
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    val out = new java.io.FileOutputStream(tmp.toFile)
+    try {
+      val buf = new java.io.BufferedOutputStream(out)
+      s.writeTo(buf); buf.flush()
+      out.getFD.sync()
+    } finally out.close()
+    java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
   }
 
-  /** q144's quality-keep CTE block (the q132 rules reduced to one
-    * boolean) — DuckDB image of [[qualityFlagsOf]]'s `keep` column.
+  /** The ONE copy of the q132 per-doc token-stat CTE head (t/ex/agg/
+    * mt) — shared by the q132 oracle and q144's quality-keep block so
+    * the rule SQL cannot drift between them.
     */
-  private def qualityKeepCtesSql: String =
+  private def qualityStatsCtesSql: String =
     s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks
          FROM documents),
        ex AS (SELECT doc_id, unnest(toks) AS x FROM t),
@@ -1289,7 +1310,13 @@ object TextQueries {
          FROM ex GROUP BY 1),
        mt AS (SELECT doc_id, max(c) AS mx FROM (
            SELECT doc_id, x, count(*) AS c FROM ex GROUP BY 1, 2)
-         GROUP BY 1),
+         GROUP BY 1)"""
+
+  /** q144's quality-keep CTE block (the q132 rules reduced to one
+    * boolean) — DuckDB image of [[qualityFlagsOf]]'s `keep` column.
+    */
+  private def qualityKeepCtesSql: String =
+    s"""$qualityStatsCtesSql,
        qflags AS (SELECT a.doc_id,
            (n >= $QfMinTokens
              AND charsum * 1.0 / n >= $QfWordLenLo
