@@ -1,0 +1,84 @@
+package graft.text
+
+import graft.SharedSpark
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property test for the BPE trainer's trickiest machinery — the
+  * \u001f-wrapped string `replace` must implement EXACTLY the leftmost
+  * non-overlapping merge scan of a reference BPE trainer, including
+  * self-overlapping pairs ("aaa" + (a,a) -> [aa, a]) and back-to-back
+  * occurrences ("abab" + (a,b) -> [ab, ab]). A driver-side reference
+  * implementation (explicit symbol lists, index-walking merge) is run
+  * on random small corpora and compared merge-for-merge, count-for-
+  * count against the distributed trainer.
+  */
+class BpePropertiesSpec extends AnyFunSuite {
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(97L + i)))
+
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  /** Reference trainer: word multiset -> adopted merges (pair, cnt). */
+  private def refBpe(words: Map[String, Long],
+      iters: Int): Seq[(String, Long)] = {
+    var segs: Seq[(Vector[String], Long)] =
+      words.toSeq.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    var step = 0
+    var done = false
+    while (step < iters && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      segs.foreach { case (s, c) =>
+        (0 until s.length - 1).foreach { i =>
+          val k = (s(i), s(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + c
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        // max count; ties by (a, b) ascending — the trainer's
+        // orderBy(cnt desc, a, b) rule
+        val ((a, b), cnt) = counts.toSeq
+          .sortBy { case ((x, y), n) => (-n, x, y) }.head
+        out += ((s"$a $b", cnt))
+        segs = segs.map { case (s, c) =>
+          val nb = Vector.newBuilder[String]
+          var i = 0
+          while (i < s.length) {
+            if (i < s.length - 1 && s(i) == a && s(i + 1) == b) {
+              nb += (a + b); i += 2 // leftmost, non-overlapping
+            } else { nb += s(i); i += 1 }
+          }
+          (nb.result(), c)
+        }
+        step += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("trainer merges match the reference implementation on random corpora") {
+    // small alphabet forces heavy pair collisions, self-overlaps, and
+    // multi-char merged symbols within 4 iterations
+    val word = Gen.choose(2, 6)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val corpus = Gen.listOfN(8,
+      word.flatMap(w => Gen.choose(1, 4).map(c => (w, c))))
+    samples(corpus, 8).zipWithIndex.foreach { case (ws, i) =>
+      val words = ws.groupBy(_._1).view
+        .mapValues(_.map(_._2.toLong).sum).toMap
+      val text = ws.flatMap { case (w, c) => Seq.fill(c)(w) }.mkString(" ")
+      val docs = Seq((i.toLong, text)).toDF("doc_id", "text")
+      val got = BpeTrainer.bpeTrainerOf(docs)
+        .collect()
+        .map(r => (r.getAs[String]("pair"), r.getAs[Long]("cnt"))).toSeq
+      val want = refBpe(words, BpeTrainer.BpeIters)
+      assert(got == want,
+        s"corpus '$text': trainer $got != reference $want")
+      graft.CacheScope.flush(spark)
+    }
+  }
+}
