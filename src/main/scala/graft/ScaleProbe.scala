@@ -479,7 +479,7 @@ object ScaleProbe {
     * first-run JVM/codegen warmup). The smooth island jy never exceeds
     * its mean±3σ threshold, so the current-sheet legs run on empty
     * masks (cs=0) — the chain's fixed cost is still in every number.
-    * See [[g19JobAudit]] for where the remaining 30 come from.
+    * See [[g19JobAudit]] for where the remaining ~20 come from.
     */
   /** q133 cost vs order count: replicate sf0.1 lineitem k x with
     * disjoint order keys (same parts — the node set stays fixed, the
