@@ -430,6 +430,12 @@ object SimilarityQueries {
 
   private val PqSubDim = 4
 
+  /** q147's metadata predicate (odd labels — selective enough that the
+    * filtered result genuinely differs from q89's unfiltered one).
+    */
+  private def FilteredAnnPred: org.apache.spark.sql.Column =
+    col("label") % 2 === 1
+
   /** ADC candidate depth of q121 (re-rank budget: 10% of the corpus). */
   private val PqNCand = 50
 
@@ -1052,6 +1058,91 @@ object SimilarityQueries {
                   ORDER BY cos DESC, vb) AS rn FROM x)
         SELECT va AS vec_id, la AS label, vb AS neg_id, lb AS neg_label,
           cos FROM r WHERE rn = 1 ORDER BY vec_id""")),
+
+    // ---- q147: FILTERED ANN — vector search under a metadata
+    // predicate (the filtered-vector-search capability every
+    // production vector store needs: "nearest neighbors among docs
+    // with license X / language Y"). Strategy is PRE-filter: the
+    // predicate (here label odd — [[FilteredAnnPred]]) intersects the
+    // probe's nprobe=2 inverted lists BEFORE the exact re-rank, so a
+    // selective filter SHRINKS the work instead of starving the top-k
+    // the way post-filtering a fixed candidate list does. Scale shape:
+    // lists from the broadcast centroid table, the label lookup is a
+    // vec-count-sized equi-join, exact cosine touches surviving
+    // candidates only; ranking on the 6-dp-rounded similarity keeps
+    // the order ulp-stable cross-engine.
+    Q("q147_filtered_ann",
+      (s, d) => {
+        val f = graft.CacheScope.retain(flat(s, d))
+        val cent = f.groupBy("label", "i").agg(avg("v").as("c"))
+          .select(col("label").as("clabel"), col("i").as("ci"), col("c"))
+        val d2 = graft.CacheScope.retain(
+          f.join(broadcast(cent), col("i") === col("ci"))
+            .groupBy("vec_id", "clabel")
+            .agg(sum((col("v") - col("c")) * (col("v") - col("c")))
+              .as("d2")))
+        val asg = d2.groupBy("vec_id")
+          .agg(min(struct(col("d2"), col("clabel"))).as("m"))
+          .select(col("vec_id"), col("m.clabel").as("lst"))
+        val probe2 = d2.filter(col("vec_id") === 0)
+          .orderBy(col("d2"), col("clabel")).limit(2)
+          .select(col("clabel").as("lst"))
+        val lab = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+        val cand = asg.join(broadcast(probe2), "lst")
+          .filter(col("vec_id") =!= 0)
+          .join(lab, "vec_id").filter(FilteredAnnPred)
+          .select("vec_id", "label")
+        val qv = f.filter(col("vec_id") === 0)
+          .select(col("i").as("qi"), col("v").as("qv"))
+        val qn = qv.agg(sum(col("qv") * col("qv")).as("qn"))
+        val ranked = f.filter(col("vec_id") =!= 0)
+          .join(cand.select("vec_id"), "vec_id") // f already carries label
+          .join(broadcast(qv), col("i") === col("qi"))
+          .groupBy("vec_id", "label")
+          .agg(sum(col("v") * col("qv")).as("dot"),
+            sum(col("v") * col("v")).as("nrm"))
+          .crossJoin(broadcast(qn))
+          .select(col("vec_id"), col("label"),
+            round(col("dot") / (sqrt(col("nrm")) * sqrt(col("qn"))), 6)
+              .as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id")).limit(10)
+        ranked.withColumn("rank",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("cos_sim").desc, col("vec_id"))).cast("long"))
+          .select("rank", "vec_id", "label", "cos_sim")
+          .orderBy("rank")
+      },
+      Some(s"""WITH flat AS (SELECT vec_id, label, CAST(v AS DOUBLE) AS v, i FROM (
+             SELECT vec_id, label, unnest(embedding) AS v,
+                    generate_subscripts(embedding, 1) AS i FROM embeddings) x),
+           cent AS (SELECT label AS clabel, i, avg(v) AS c FROM flat
+                    GROUP BY 1, 2),
+           d2 AS (SELECT f.vec_id, c.clabel, sum((v - c) * (v - c)) AS d2
+                  FROM flat f JOIN cent c USING (i) GROUP BY 1, 2),
+           asg AS (SELECT vec_id, clabel AS lst FROM (
+                     SELECT vec_id, clabel, row_number() OVER (
+                       PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+                     FROM d2) t WHERE rn = 1),
+           probe2 AS (SELECT clabel AS lst FROM d2 WHERE vec_id = 0
+                      ORDER BY d2, clabel LIMIT 2),
+           lab AS (SELECT vec_id, label FROM embeddings),
+           cand AS (SELECT a.vec_id, l.label
+                    FROM asg a JOIN probe2 USING (lst)
+                    JOIN lab l USING (vec_id)
+                    WHERE a.vec_id <> 0 AND l.label % 2 = 1),
+           qv AS (SELECT i, v AS qv FROM flat WHERE vec_id = 0),
+           qn AS (SELECT sum(qv * qv) AS qn FROM qv),
+           dots AS (SELECT f.vec_id, c.label,
+                      sum(f.v * q.qv) AS dot, sum(f.v * f.v) AS nrm
+                    FROM flat f JOIN qv q USING (i)
+                    JOIN cand c ON c.vec_id = f.vec_id GROUP BY 1, 2),
+           sc AS (SELECT vec_id, label,
+                    round(dot / (sqrt(nrm) * sqrt(qn)), 6) AS cos_sim
+                  FROM dots, qn)
+           SELECT CAST(row_number() OVER (
+                    ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank,
+                  vec_id, label, cos_sim
+           FROM sc ORDER BY cos_sim DESC, vec_id LIMIT 10""")),
 
     // ---- q142: CENTROID DRIFT AFTER INGEST — the REBUILD TRIGGER that
     // closes the IVF lifecycle loop (build -> serve -> advance against

@@ -627,6 +627,23 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q147 filtered ANN: predicate enforced, dense ranks, ordered sims") {
+    val rows = QueryRegistry.queries("q147_filtered_ann")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq
+      == (1L to rows.length).toSeq)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("label") % 2 == 1,
+        s"even-label vector leaked through the filter: $r")
+      val c = r.getAs[Double]("cos_sim")
+      assert(c >= -1.000001 && c <= 1.000001)
+    }
+    val sims = rows.map(_.getAs[Double]("cos_sim"))
+    assert(sims.zip(sims.drop(1)).forall { case (a, b) => a >= b })
+    graft.CacheScope.flush(spark)
+  }
+
   test("q142 centroid drift: every vector lands in exactly one base list") {
     val rows = QueryRegistry.queries("q142_centroid_drift")(spark, sf)
       .collect()
