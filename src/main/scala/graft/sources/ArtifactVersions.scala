@@ -1,0 +1,62 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Versioned artifact roots with an atomically-swapped CURRENT pointer
+  * — the zero-downtime REBUILD half of the index lifecycle (the
+  * advance paths mutate a live artifact in place; a centroid-drift
+  * trigger firing, q142, demands a FULL rebuild, and that rebuild
+  * must not disturb readers of the live version):
+  *
+  *   - a root contains immutable version directories `v1, v2, ...`
+  *     plus a tiny `CURRENT` file naming the live one;
+  *   - [[prepareNext]] allocates the next version dir — writers build
+  *     the new artifact there while readers keep resolving the old;
+  *   - [[publish]] flips `CURRENT` via temp-file + atomic rename, so
+  *     a reader sees either the old or the new version, never a torn
+  *     pointer, and a crash mid-publish leaves the old version live;
+  *   - versions are never rewritten: a reader that resolved a path
+  *     keeps a consistent artifact for its whole query, even across a
+  *     concurrent publish.
+  *
+  * Local-filesystem IO here; on a cluster the same protocol runs
+  * against any store with atomic rename (HDFS) or conditional put —
+  * the pointer file is exactly how table formats commit snapshots.
+  */
+object ArtifactVersions {
+  private val Pointer = "CURRENT"
+
+  /** The live version's directory, if a publish has happened. */
+  def current(root: String): Option[String] = {
+    val p = Paths.get(root, Pointer)
+    if (!Files.exists(p)) None
+    else Some(Paths.get(root,
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim)
+      .toString)
+  }
+
+  /** Allocate (and create) the next version directory — NOT yet live. */
+  def prepareNext(root: String): String = {
+    val r = Paths.get(root)
+    Files.createDirectories(r)
+    val next = 1 + Option(r.toFile.listFiles).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.getName.drop(1).toInt).foldLeft(0)(math.max)
+    val dir = r.resolve(s"v$next")
+    Files.createDirectories(dir)
+    dir.toString
+  }
+
+  /** Atomically make a prepared version the live one. */
+  def publish(root: String, versionDir: String): Unit = {
+    val name = Paths.get(versionDir).getFileName.toString
+    require(Files.isDirectory(Paths.get(root, name)),
+      s"$versionDir is not a version dir under $root")
+    val tmp = Paths.get(root, Pointer + ".tmp")
+    Files.write(tmp, name.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(root, Pointer),
+      StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE): Unit
+  }
+}
