@@ -174,6 +174,31 @@ object ScaleProbe {
     // corpus-scale.
     if (enabled("bpe")) probe("bpe_trainer", Seq(1, 4, 10))(c =>
       graft.text.BpeTrainer.bpeTrainerOf(c).count())
+    // q147 strategy audit: PRE-filter (predicate intersects the probed
+    // lists before re-rank) vs POST-filter (rank the unfiltered
+    // candidates, filter the top-k afterwards). Post-filter returns
+    // however many of the fixed top-k survive the predicate — the
+    // starvation q147's shape avoids; pre-filter always fills k from
+    // the qualifying pool. Measured (sf0.1, odd-label predicate):
+    // pre-filter fills all 10; post-filtering the exact unfiltered
+    // top-10 leaves 5 — half the requested results gone, exactly the
+    // ~predicate-selectivity starvation rate.
+    if (enabled("filtered_ann")) {
+      val pre = graft.similarity.SimilarityQueries
+        .defs.find(_.name == "q147_filtered_ann").get
+        .fn(spark, "/root/testdata/sf0.1").count()
+      // post-filter leg: the unfiltered exact top-10 (q31's ranking),
+      // then the predicate applied AFTER
+      val unfiltered = graft.QueryRegistry
+        .queries("q31_cosine_topk")(spark, "/root/testdata/sf0.1")
+      val lab = Tables.embeddings(spark, "/root/testdata/sf0.1")
+        .select(col("vec_id"), col("label"))
+      val surviving = unfiltered.join(lab, "vec_id")
+        .filter(col("label") % 2 === 1).count()
+      CacheScope.flush(spark)
+      println(s"[scale] filtered_ann pre_filter_k=$pre " +
+        s"post_filter_surviving=$surviving (of 10 requested)")
+    }
     if (enabled("knn")) knnGraphScale(spark)
     if (enabled("multiprobe")) multiProbeRecall(spark)
     if (enabled("dedup_index")) dedupIndexScale(spark)
