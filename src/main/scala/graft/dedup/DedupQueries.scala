@@ -646,6 +646,43 @@ object DedupQueries {
     // appears in the dashboard (previously a zero-token-overlap pair
     // vanished through the inner join to the exact table, exactly
     // where the estimate is most misleading).
+    // ---- q148: the cost-ordered dedup CASCADE (exact -> MinHash ->
+    // semantic), each stage deciding only among the previous stage's
+    // survivors — see [[dedupCascadeOf]] for the semantics and the
+    // stage-filter equivalence argument.
+    Q("q148_dedup_cascade",
+      (s, d) => dedupCascadeOf(Tables.documents(s, d),
+        graft.Tables.embeddings(s, d)).orderBy("doc_id"),
+      Some {
+        import graft.similarity.SimilarityQueries
+        s"""WITH ${minhashCtes("")},
+           ${SimilarityQueries.clusterCosineCteSql},
+           s1 AS (SELECT doc_id, row_number() OVER (
+                    PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                  FROM documents),
+           ed AS (SELECT doc_id FROM s1 WHERE rn > 1),
+           sv1 AS (SELECT doc_id FROM s1 WHERE rn = 1),
+           nd AS (SELECT DISTINCT greatest(doc_a, doc_b) AS doc_id
+                  FROM pairs
+                  WHERE doc_a IN (SELECT doc_id FROM sv1)
+                    AND doc_b IN (SELECT doc_id FROM sv1)),
+           sv2 AS (SELECT doc_id FROM sv1
+                   WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
+           sd AS (SELECT DISTINCT greatest(va, vb) AS doc_id FROM half
+                  WHERE cos >= ${SimilarityQueries.SemT}
+                    AND va IN (SELECT doc_id FROM sv2)
+                    AND vb IN (SELECT doc_id FROM sv2))
+           SELECT d.doc_id,
+             CASE WHEN d.doc_id IN (SELECT doc_id FROM ed)
+                    THEN 'exact_dup'
+                  WHEN d.doc_id IN (SELECT doc_id FROM nd)
+                    THEN 'near_dup'
+                  WHEN d.doc_id IN (SELECT doc_id FROM sd)
+                    THEN 'semantic_dup'
+                  ELSE 'kept' END AS status
+           FROM documents d ORDER BY doc_id"""
+      }),
+
     Q("q138_source_sketch_union",
       (s, d) => sourceSketchUnionOf(Tables.documents(s, d))
         .orderBy("src_a", "src_b"),
@@ -667,6 +704,55 @@ object DedupQueries {
            ORDER BY src_a, src_b"""
       })
   )
+
+  /** q148's body: the COST-ORDERED DEDUP CASCADE — exact (content
+    * hash) -> MinHash near-dup -> semantic (embedding cosine), each
+    * stage deciding only among the PREVIOUS stage's survivors, each
+    * doc labeled with the first stage that drops it. This is the
+    * production architecture: cheap stages shrink the population the
+    * expensive ones see. Pair machinery is reused unchanged from
+    * q30/q111 — both pair sets are per-pair functions of the two
+    * endpoints (signatures; multi-probe memberships), so computing
+    * them corpus-wide and FILTERING to survivor-survivor pairs is
+    * exactly equivalent to recomputing per stage, and an exact-dup's
+    * surviving twin carries identical signatures, so no near-dup
+    * evidence is lost to stage ordering. Drop rule per stage: a doc
+    * with any verified partner of SMALLER id drops (the q110 arrival
+    * rule, corpus-wide). Docs without an embedding row simply cannot
+    * be semantic dups — both engines agree by construction.
+    */
+  def dedupCascadeOf(docs: DataFrame, emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rn = row_number()
+      .over(Window.partitionBy(md5(col("text"))).orderBy("doc_id"))
+    val s1 = graft.CacheScope.retain(
+      docs.select(col("doc_id"), col("text"))
+        .withColumn("exact_dup", rn =!= 1))
+    val surv1 = s1.filter(!col("exact_dup")).select("doc_id")
+    val nearDrop = graft.CacheScope.retain(
+      pairsFromSignaturesUnsorted(minhashSignaturesOf(docs))
+        .join(surv1.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(surv1.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .select(greatest(col("doc_a"), col("doc_b")).as("doc_id"))
+        .distinct())
+    val surv2 = graft.CacheScope.retain(
+      surv1.join(nearDrop, Seq("doc_id"), "left_anti"))
+    import graft.similarity.SimilarityQueries
+    val half = SimilarityQueries.clusterBoundedCosineOf(emb)._2
+    val semDrop = half.filter(col("cos") >= SimilarityQueries.SemT)
+      .join(surv2.withColumnRenamed("doc_id", "va"), "va")
+      .join(surv2.withColumnRenamed("doc_id", "vb"), "vb")
+      .select(greatest(col("va"), col("vb")).as("doc_id"))
+      .distinct()
+    s1.select(col("doc_id"), col("exact_dup"))
+      .join(nearDrop.withColumn("nd", lit(true)), Seq("doc_id"), "left")
+      .join(semDrop.withColumn("sd", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_dup"), "exact_dup")
+          .when(col("nd"), "near_dup")
+          .when(col("sd"), "semantic_dup")
+          .otherwise("kept").as("status"))
+  }
 
   /** q138's body: per-source MinHash sketches folded from per-doc
     * signatures (element-wise min), every unordered source pair scored

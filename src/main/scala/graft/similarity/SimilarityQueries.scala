@@ -46,7 +46,7 @@ object SimilarityQueries {
     * sum(cluster²) pair bound linear in n by construction (≈ n·stride),
     * the way SemDeDup at scale grows k with n.
     */
-  private val SemT = 0.4
+  private[graft] val SemT = 0.4
   private val SemSeedStride = 100
 
   /** Multi-probe width of the cluster-bounded candidate space: every
@@ -69,7 +69,7 @@ object SimilarityQueries {
     * rounded to 6 dp, deduped across shared memberships — the SQL twin
     * of [[clusterBoundedCosine]].
     */
-  private lazy val clusterCosineCteSql: String =
+  private[graft] lazy val clusterCosineCteSql: String =
     s"""flat AS (SELECT vec_id, CAST(v AS DOUBLE) AS v, i FROM (
            SELECT vec_id, unnest(embedding) AS v,
                   generate_subscripts(embedding, 1) AS i FROM embeddings) x),

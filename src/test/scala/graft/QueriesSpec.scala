@@ -627,6 +627,23 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q148 cascade: total partition of the corpus, exact stage exact") {
+    val rows = QueryRegistry.queries("q148_dedup_cascade")(spark, sf)
+      .collect()
+    val docs = Tables.documents(spark, sf)
+    assert(rows.length == docs.count())
+    val byStatus = rows.groupBy(_.getAs[String]("status"))
+      .view.mapValues(_.length).toMap
+    assert(byStatus.keySet.subsetOf(
+      Set("kept", "exact_dup", "near_dup", "semantic_dup")))
+    assert(byStatus.getOrElse("kept", 0) > 0)
+    // the exact stage must drop exactly (docs - distinct texts)
+    val distinctTexts = docs.select("text").distinct().count()
+    assert(byStatus.getOrElse("exact_dup", 0)
+      == (docs.count() - distinctTexts))
+    graft.CacheScope.flush(spark)
+  }
+
   test("q147 filtered ANN: predicate enforced, dense ranks, ordered sims") {
     val rows = QueryRegistry.queries("q147_filtered_ann")(spark, sf)
       .collect()
