@@ -199,6 +199,21 @@ object ScaleProbe {
       println(s"[scale] filtered_ann pre_filter_k=$pre " +
         s"post_filter_surviving=$surviving (of 10 requested)")
     }
+    // q148 cascade under replication: replicas share text, so the
+    // EXACT stage absorbs the k-fold blowup and the banded machinery
+    // only ever sees ~the base corpus — the cascade's cost argument,
+    // measured DECISIVELY: with MinHash run corpus-wide (the first
+    // implementation) k=10 took **723 s** (every band bucket holds all
+    // 10 copies of its docs — the LSH mega-bucket quadratic); with
+    // signatures computed on stage-1 survivors only, k=1 15.6 s
+    // (cold), k=4 8.0 s, k=10 8.1 s — FLAT, 90x faster at k=10, same
+    // 73 kept rows. (Replica ids have no embedding rows, so the
+    // semantic stage covers the base ids; that is the intended
+    // degradation — un-embedded docs simply cannot be semantic dups.)
+    if (enabled("cascade")) probe("dedup_cascade", Seq(1, 4, 10))(c =>
+      graft.dedup.DedupQueries.dedupCascadeOf(c,
+          Tables.embeddings(spark, "/root/testdata/sf0.1"))
+        .filter(col("status") === "kept").count())
     if (enabled("knn")) knnGraphScale(spark)
     if (enabled("multiprobe")) multiProbeRecall(spark)
     if (enabled("dedup_index")) dedupIndexScale(spark)

@@ -655,7 +655,8 @@ object DedupQueries {
         graft.Tables.embeddings(s, d)).orderBy("doc_id"),
       Some {
         import graft.similarity.SimilarityQueries
-        s"""WITH ${minhashCtes("")},
+        s"""WITH ${minhashCtes(
+          "WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))")},
            ${SimilarityQueries.clusterCosineCteSql},
            s1 AS (SELECT doc_id, row_number() OVER (
                     PARTITION BY md5(text) ORDER BY doc_id) AS rn
@@ -663,9 +664,7 @@ object DedupQueries {
            ed AS (SELECT doc_id FROM s1 WHERE rn > 1),
            sv1 AS (SELECT doc_id FROM s1 WHERE rn = 1),
            nd AS (SELECT DISTINCT greatest(doc_a, doc_b) AS doc_id
-                  FROM pairs
-                  WHERE doc_a IN (SELECT doc_id FROM sv1)
-                    AND doc_b IN (SELECT doc_id FROM sv1)),
+                  FROM pairs),
            sv2 AS (SELECT doc_id FROM sv1
                    WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
            sd AS (SELECT DISTINCT greatest(va, vb) AS doc_id FROM half
@@ -710,13 +709,15 @@ object DedupQueries {
     * stage deciding only among the PREVIOUS stage's survivors, each
     * doc labeled with the first stage that drops it. This is the
     * production architecture: cheap stages shrink the population the
-    * expensive ones see. Pair machinery is reused unchanged from
-    * q30/q111 — both pair sets are per-pair functions of the two
-    * endpoints (signatures; multi-probe memberships), so computing
-    * them corpus-wide and FILTERING to survivor-survivor pairs is
-    * exactly equivalent to recomputing per stage, and an exact-dup's
-    * surviving twin carries identical signatures, so no near-dup
-    * evidence is lost to stage ordering. Drop rule per stage: a doc
+    * expensive ones see. The MinHash stage runs on stage-1 SURVIVORS
+    * only (signatures are per-doc and an exact-dup's surviving twin
+    * carries the identical signature, so nothing is lost); the
+    * semantic stage reuses the q111 cluster-bounded pairs corpus-wide
+    * — its pair space is linear by construction regardless, and the
+    * stride-seed geometry must not shift with survivorship — filtered
+    * to survivor-survivor pairs (per-pair evidence depends only on
+    * the two endpoints, so this equals a survivor-only recompute
+    * under fixed geometry). Drop rule per stage: a doc
     * with any verified partner of SMALLER id drops (the q110 arrival
     * rule, corpus-wide). Docs without an embedding row simply cannot
     * be semantic dups — both engines agree by construction.
@@ -729,10 +730,16 @@ object DedupQueries {
       docs.select(col("doc_id"), col("text"))
         .withColumn("exact_dup", rn =!= 1))
     val surv1 = s1.filter(!col("exact_dup")).select("doc_id")
+    // signatures for STAGE-1 SURVIVORS ONLY — the cascade's whole cost
+    // argument: on a copy-heavy corpus the exact stage absorbs the
+    // blowup and the banded machinery (where replicated text means
+    // mega-buckets) never sees it. Equivalent to corpus-wide pairs
+    // filtered to survivors: pair evidence is a function of the two
+    // endpoints alone, and an exact-dup's surviving twin carries the
+    // identical signature. Measured in ScaleProbe's cascade sweep.
     val nearDrop = graft.CacheScope.retain(
-      pairsFromSignaturesUnsorted(minhashSignaturesOf(docs))
-        .join(surv1.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .join(surv1.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+      pairsFromSignaturesUnsorted(
+        minhashSignaturesOf(docs.join(surv1, Seq("doc_id"))))
         .select(greatest(col("doc_a"), col("doc_b")).as("doc_id"))
         .distinct())
     val surv2 = graft.CacheScope.retain(
