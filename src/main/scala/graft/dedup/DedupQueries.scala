@@ -646,6 +646,41 @@ object DedupQueries {
     // appears in the dashboard (previously a zero-token-overlap pair
     // vanished through the inner join to the exact table, exactly
     // where the estimate is most misleading).
+    // ---- q149: NEAR-DUP EXPLAIN — for every verified q30 pair, WHICH
+    // bands collided (the evidence trail): the dedup-QA surface that
+    // answers "why were these two merged" without rerunning anything
+    // by hand. One extra equi-join of the pair list against the band
+    // table per side — pair-bounded, never corpus-quadratic; the band
+    // list is emitted as a sorted comma string so both engines hash
+    // identically.
+    Q("q149_neardup_explain",
+      (s, d) => {
+        val sig = graft.CacheScope.retain(
+          minhashSignaturesOf(Tables.documents(s, d)))
+        val bands = graft.CacheScope.retain(bandsOf(sig))
+        pairsFromSignaturesUnsorted(sig)
+          .join(bands.select(col("doc_id").as("doc_a"), col("band"),
+            col("bucket")), "doc_a")
+          .join(bands.select(col("doc_id").as("doc_b"), col("band"),
+            col("bucket")), Seq("doc_b", "band", "bucket"))
+          .groupBy("doc_a", "doc_b", "est_jaccard")
+          .agg(array_join(sort_array(collect_set(col("band"))), ",")
+            .as("shared_bands"),
+            countDistinct(col("band")).as("n_shared"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH ${minhashCtes("")},
+           sb AS (SELECT p.doc_a, p.doc_b, p.est_jaccard, l.band
+                  FROM pairs p
+                  JOIN bands l ON p.doc_a = l.doc_id
+                  JOIN bands r ON p.doc_b = r.doc_id
+                   AND l.band = r.band AND l.bucket = r.bucket)
+           SELECT doc_a, doc_b, est_jaccard,
+             array_to_string(list_sort(list(DISTINCT band)), ',')
+               AS shared_bands,
+             CAST(count(DISTINCT band) AS BIGINT) AS n_shared
+           FROM sb GROUP BY 1, 2, 3 ORDER BY doc_a, doc_b""")),
+
     // ---- q148: the cost-ordered dedup CASCADE (exact -> MinHash ->
     // semantic), each stage deciding only among the previous stage's
     // survivors — see [[dedupCascadeOf]] for the semantics and the

@@ -627,6 +627,28 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q149 explain covers every q30 pair with a real band trail") {
+    val pairs = QueryRegistry.queries("q30_minhash_lsh_pairs")(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.CacheScope.flush(spark)
+    val rows = QueryRegistry.queries("q149_neardup_explain")(spark, sf)
+      .collect()
+    // every verified pair appears exactly once, and vice versa
+    assert(rows.map(r => (r.getAs[Long]("doc_a"),
+      r.getAs[Long]("doc_b"))).toSet == pairs)
+    assert(rows.length == pairs.size)
+    val nBands = graft.dedup.DedupQueries.NumHashes /
+      graft.dedup.DedupQueries.BandRows
+    rows.foreach { r =>
+      val bands = r.getAs[String]("shared_bands").split(",").map(_.toInt)
+      assert(bands.nonEmpty && bands.sameElements(bands.sorted))
+      assert(bands.forall(b => b >= 0 && b < nBands))
+      assert(r.getAs[Long]("n_shared") == bands.length)
+    }
+    graft.CacheScope.flush(spark)
+  }
+
   test("q148 cascade: total partition of the corpus, exact stage exact") {
     val rows = QueryRegistry.queries("q148_dedup_cascade")(spark, sf)
       .collect()
