@@ -159,8 +159,14 @@ object DedupQueries {
         concat_ws(",", cols: _*).as("bucket"))
     }.reduce(_ unionAll _)
 
-  def minhashCandidatesFrom(sig: DataFrame): DataFrame = {
-    val bands = bandsOf(sig)
+  def minhashCandidatesFrom(sig: DataFrame): DataFrame =
+    candidatesFromBands(bandsOf(sig))
+
+  /** LSH candidate pairs from an already-materialized (doc_id, band,
+    * bucket) table — the serve-side entry: the persisted index's band
+    * parquet joins itself directly, no re-derivation from signatures.
+    */
+  private[dedup] def candidatesFromBands(bands: DataFrame): DataFrame = {
     val l = bands.as("l"); val r = bands.as("r")
     l.join(r, col("l.band") === col("r.band")
         && col("l.bucket") === col("r.bucket")
@@ -191,7 +197,15 @@ object DedupQueries {
     // pair join; CacheScope bounds the lifetime (harness flushes between
     // queries) without localCheckpoint's extra materialization job.
     val sig = graft.CacheScope.retain(signatures)
-    val cand = minhashCandidatesFrom(sig)
+    verifiedPairsFrom(minhashCandidatesFrom(sig), sig)
+  }
+
+  /** The verify leg shared by the recompute and the artifact-served
+    * pair pipelines: estimated Jaccard from signature agreement over a
+    * candidate list, thresholded at 0.5. `sig` should already be
+    * retained by the caller — it feeds both sides of the join.
+    */
+  private def verifiedPairsFrom(cand: DataFrame, sig: DataFrame): DataFrame = {
     val a = sig.as("a"); val b = sig.as("b")
     val agree = agreeExpr("a", "b")
     cand.join(a, col("doc_a") === col("a.doc_id"))
@@ -199,6 +213,21 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"),
         round(agree.cast("double") / NumHashes, 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
+  }
+
+  /** Verified near-dup pairs SERVED FROM the persisted index at `path`
+    * — the q117 discipline applied to the pair-graph dashboards
+    * (q112/q149): signatures and band buckets are columnar parquet
+    * reads, never re-derived from corpus text. Hash-identical to
+    * [[minhashPairsOf]] over the same corpus (DedupIndexSpec pins the
+    * parity); what changes is the suite's resident footprint — the
+    * explode+tokenize+groupBy lineage runs once at build time instead
+    * of being recomputed and re-retained by every dashboard query.
+    */
+  private[dedup] def pairsFromIndexUnsorted(s: SparkSession,
+      path: String): DataFrame = {
+    val sig = graft.CacheScope.retain(indexSignatures(s, path))
+    verifiedPairsFrom(candidatesFromBands(indexBands(s, path)), sig)
   }
 
   def defs: Seq[Q] = Seq(
@@ -562,13 +591,18 @@ object DedupQueries {
     // ---- q112: cross-source duplication matrix — for every unordered
     // source pair, how many verified near-dup pairs (est >= 0.5) span
     // it. The curation dashboard number that decides which feeds to
-    // drop or de-prioritize; one aggregation over the same banded pair
-    // graph q30 builds, so the cost is the LSH pipeline, not n².
+    // drop or de-prioritize; one aggregation over the banded pair
+    // graph, SERVED from the persisted full-corpus dedup index
+    // ([[servedFullDedupIndex]]) — the dashboard reads columnar
+    // signature/band parquet instead of being the suite's third
+    // from-scratch LSH recompute (the r10 bench showed exactly these
+    // retained recomputes detonating 4-10x under heap pressure).
     Q("q112_source_overlap",
       (s, d) => {
         val docs = Tables.documents(s, d)
+        val idx = servedFullDedupIndex(s, docs, d)
         val src = docs.select(col("doc_id"), col("source"))
-        pairsFromSignaturesUnsorted(minhashSignaturesOf(docs))
+        pairsFromIndexUnsorted(s, idx)
           .join(src.select(col("doc_id").as("doc_a"),
             col("source").as("sa")), "doc_a")
           .join(src.select(col("doc_id").as("doc_b"),
@@ -652,13 +686,16 @@ object DedupQueries {
     // by hand. One extra equi-join of the pair list against the band
     // table per side — pair-bounded, never corpus-quadratic; the band
     // list is emitted as a sorted comma string so both engines hash
-    // identically.
+    // identically. Signatures AND bands come from the persisted
+    // full-corpus index (the q117 serve discipline): the retained
+    // frames here are cheap columnar parquet reads, not a fourth
+    // resident copy of the tokenize+hash lineage.
     Q("q149_neardup_explain",
       (s, d) => {
-        val sig = graft.CacheScope.retain(
-          minhashSignaturesOf(Tables.documents(s, d)))
-        val bands = graft.CacheScope.retain(bandsOf(sig))
-        pairsFromSignaturesUnsorted(sig)
+        val idx = servedFullDedupIndex(s, Tables.documents(s, d), d)
+        val sig = graft.CacheScope.retain(indexSignatures(s, idx))
+        val bands = graft.CacheScope.retain(indexBands(s, idx))
+        verifiedPairsFrom(candidatesFromBands(bands), sig)
           .join(bands.select(col("doc_id").as("doc_a"), col("band"),
             col("bucket")), "doc_a")
           .join(bands.select(col("doc_id").as("doc_b"), col("band"),
@@ -1308,6 +1345,19 @@ object DedupQueries {
     dedupIndexCache.computeIfAbsent(d, _ => {
       val idx = tempIndexDir("graft_dedup_index")
       buildDedupIndex(docs.filter(col("doc_id") < NeardupArrivalSplit), idx)
+      idx
+    })
+
+  /** FULL-corpus twin of [[servedDedupIndex]] (which indexes only the
+    * pre-arrival subset for the ingest flow): one build per corpus per
+    * JVM, serving the pair-graph dashboard queries (q112, q149). Keyed
+    * separately — the two artifacts cover different document sets.
+    */
+  private def servedFullDedupIndex(s: SparkSession, docs: DataFrame,
+      d: String): String =
+    dedupIndexCache.computeIfAbsent(d + "|full", _ => {
+      val idx = tempIndexDir("graft_dedup_index_full")
+      buildDedupIndex(docs, idx)
       idx
     })
 

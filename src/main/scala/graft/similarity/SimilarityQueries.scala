@@ -1181,8 +1181,127 @@ object SimilarityQueries {
              round(dr.dv, 4) AS drift
            FROM (SELECT DISTINCT clabel AS lst FROM cent) l
            LEFT JOIN nm USING (lst) LEFT JOIN dr USING (lst)
-           ORDER BY lst"""))
+           ORDER BY lst""")),
+
+    // ---- q150: the DRIFT-TRIGGERED VERSIONED REBUILD — the lifecycle
+    // stage that ties q142's trigger to ArtifactVersions' zero-downtime
+    // protocol, as ONE declared flow: build v1 from the base corpus and
+    // publish; ADVANCE arrivals into the live version against its
+    // frozen centroids (q130); measure centroid drift (q142); when max
+    // drift exceeds [[DriftBudget]], rebuild the FULL index under v2
+    // and atomically publish — readers of v1 are never disturbed; serve
+    // the q118 recall probe from whatever CURRENT resolves to. The only
+    // driver-side decision is the trigger itself — a max over the
+    // k-row drift table (metadata-scale by construction), exactly the
+    // scalar a production scheduler would poll. The oracle recomputes
+    // the whole flow in SQL: the served centroids are base-or-full
+    // conditioned on the same drift scalar, since v1-advanced ≡ "all
+    // vectors assigned to base centroids" and v2 ≡ "all vectors
+    // assigned to full-corpus centroids".
+    Q("q150_index_rebuild",
+      (s, d) => indexRebuildFlow(s, graft.CacheScope.retain(flat(s, d)),
+        AnnAdvanceSplit, DriftBudget),
+      Some(indexRebuildOracleSql))
   )
+
+  /** q150: max centroid drift (4-dp, q142's metric) above which the
+    * full rebuild fires. 0.05 is exceeded at every shipped SF — the
+    * non-firing branch is pinned by IvfIndexSpec with a large budget.
+    */
+  val DriftBudget = 0.05
+
+  /** q150's body: versioned build -> publish -> advance -> drift
+    * trigger -> conditional full rebuild under the next version ->
+    * serve from CURRENT. Fresh version root per call (advance mutates
+    * v1; a memoized copy would be poisoned, the q119/q130 discipline).
+    */
+  def indexRebuildFlow(s: SparkSession, f: DataFrame, split: Long,
+      budget: Double): DataFrame = {
+    import graft.sources.ArtifactVersions
+    val root = graft.TempArtifacts.dir("graft_ivf_versions")
+    val v1 = ArtifactVersions.prepareNext(root)
+    buildIvfIndex(f.filter(col("vec_id") < split), v1)
+    ArtifactVersions.publish(root, v1)
+    val live = ArtifactVersions.current(root).get
+    advanceIvfIndex(f.filter(col("vec_id") >= split), live)
+    // the trigger: one scalar off the k-row drift table (k = number of
+    // lists — metadata-scale; this collect is the scheduler's poll,
+    // not a data-sized driver loop)
+    val maxDrift = centroidDriftOf(f, split)
+      .agg(max("drift")).head().getDouble(0)
+    val rebuilt = maxDrift > budget
+    if (rebuilt) {
+      val v2 = ArtifactVersions.prepareNext(root)
+      buildIvfIndex(f, v2)
+      ArtifactVersions.publish(root, v2)
+    }
+    val serveDir = ArtifactVersions.current(root).get
+    val version = java.nio.file.Paths.get(serveDir).getFileName.toString
+    serveIvfRecall(s, f, serveDir)
+      .select(lit(version).as("live_version"), lit(rebuilt).as("rebuilt"),
+        lit(maxDrift).as("max_drift"),
+        col("n_candidates"), col("hits"), col("recall_at_10"))
+  }
+
+  /** DuckDB twin of q150: q142's drift CTEs produce the trigger
+    * scalar; the served geometry is full-corpus centroids when it
+    * exceeds the budget, base centroids otherwise (≡ v1 + advance);
+    * then the q89/q118 recall probe over that geometry.
+    */
+  private lazy val indexRebuildOracleSql: String =
+    s"""WITH flat AS (SELECT vec_id, label, CAST(v AS DOUBLE) AS v, i FROM (
+           SELECT vec_id, label, unnest(embedding) AS v,
+                  generate_subscripts(embedding, 1) AS i FROM embeddings) x),
+      cent AS (SELECT label AS clabel, i AS ci, avg(v) AS c FROM flat
+               WHERE vec_id < $AnnAdvanceSplit GROUP BY 1, 2),
+      d2 AS (SELECT f.vec_id, c.clabel,
+               sum((f.v - c.c) * (f.v - c.c)) AS d2
+             FROM flat f JOIN cent c ON f.i = c.ci GROUP BY 1, 2),
+      asg AS (SELECT vec_id, clabel AS lst FROM (
+               SELECT vec_id, clabel, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY d2, clabel) AS rn FROM d2) t
+              WHERE rn = 1),
+      newc AS (SELECT a.lst, f.i, avg(f.v) AS cn
+               FROM flat f JOIN asg a USING (vec_id) GROUP BY 1, 2),
+      dr AS (SELECT c.clabel AS lst,
+               sqrt(sum((n.cn - c.c) * (n.cn - c.c))) AS dv
+             FROM cent c JOIN newc n
+               ON n.lst = c.clabel AND n.i = c.ci GROUP BY 1),
+      mx AS (SELECT max(round(dv, 4)) AS md FROM dr),
+      centf AS (SELECT label AS clabel, i AS ci, avg(v) AS c FROM flat
+                GROUP BY 1, 2),
+      cs AS (SELECT * FROM centf WHERE (SELECT md FROM mx) > $DriftBudget
+             UNION ALL
+             SELECT * FROM cent WHERE (SELECT md FROM mx) <= $DriftBudget),
+      d2s AS (SELECT f.vec_id, c.clabel,
+                sum((f.v - c.c) * (f.v - c.c)) AS d2
+              FROM flat f JOIN cs c ON f.i = c.ci GROUP BY 1, 2),
+      asgs AS (SELECT vec_id, clabel AS lst FROM (
+                SELECT vec_id, clabel, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY d2, clabel) AS rn FROM d2s) t
+               WHERE rn = 1),
+      probe2 AS (SELECT clabel AS lst FROM d2s WHERE vec_id = 0
+                 ORDER BY d2, clabel LIMIT 2),
+      cand AS (SELECT vec_id FROM asgs JOIN probe2 USING (lst)
+               WHERE vec_id <> 0),
+      qv AS (SELECT i, v AS qv FROM flat WHERE vec_id = 0),
+      qn AS (SELECT sum(qv*qv) AS qn FROM qv),
+      dots AS (SELECT f.vec_id, sum(f.v*q.qv) AS dot, sum(f.v*f.v) AS nrm
+               FROM flat f JOIN qv q USING (i) WHERE f.vec_id <> 0
+               GROUP BY f.vec_id),
+      exact AS (SELECT vec_id,
+                  round(dot / (sqrt(nrm) * sqrt(qn)), 6) AS cos_sim
+                FROM dots, qn ORDER BY cos_sim DESC, vec_id LIMIT 10),
+      nc AS (SELECT count(*) AS n_candidates FROM cand),
+      h AS (SELECT count(*) AS hits FROM exact
+            WHERE vec_id IN (SELECT vec_id FROM cand))
+      SELECT CASE WHEN (SELECT md FROM mx) > $DriftBudget
+               THEN 'v2' ELSE 'v1' END AS live_version,
+        (SELECT md FROM mx) > $DriftBudget AS rebuilt,
+        (SELECT md FROM mx) AS max_drift,
+        nc.n_candidates, h.hits,
+        round(h.hits / 10.0, 4) AS recall_at_10
+      FROM nc, h"""
 
   /** q142's body over a flat (vec_id, label, i, v) view: frozen
     * label-mean centroids from vectors below `split`, every vector

@@ -36,25 +36,49 @@ object ArtifactVersions {
       .toString)
   }
 
-  /** Allocate (and create) the next version directory — NOT yet live. */
+  /** Allocate (and create) the next version directory — NOT yet live.
+    * Concurrent-writer safe: the dir is claimed with an atomic
+    * `createDirectory` (not create-if-absent), so two racing writers
+    * can never be handed the same vN — the loser's
+    * FileAlreadyExistsException just advances it to the next number.
+    */
   def prepareNext(root: String): String = {
     val r = Paths.get(root)
     Files.createDirectories(r)
-    val next = 1 + Option(r.toFile.listFiles).getOrElse(Array.empty)
+    var next = 1 + Option(r.toFile.listFiles).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
       .map(_.getName.drop(1).toInt).foldLeft(0)(math.max)
-    val dir = r.resolve(s"v$next")
-    Files.createDirectories(dir)
-    dir.toString
+    while (true) {
+      try {
+        val dir = r.resolve(s"v$next")
+        Files.createDirectory(dir)
+        return dir.toString
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => next += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
-  /** Atomically make a prepared version the live one. */
+  /** Atomically make a prepared version the live one. The pointer
+    * bytes are fsynced BEFORE the atomic rename (write-then-rename
+    * without the sync can surface an empty/torn CURRENT after a power
+    * loss on ext4-style filesystems — the rename commits the name, not
+    * the data), and each publish uses a unique temp name so concurrent
+    * publishers never clobber each other's staging file: last rename
+    * wins the pointer, which is the documented semantics.
+    */
   def publish(root: String, versionDir: String): Unit = {
     val name = Paths.get(versionDir).getFileName.toString
     require(Files.isDirectory(Paths.get(root, name)),
       s"$versionDir is not a version dir under $root")
-    val tmp = Paths.get(root, Pointer + ".tmp")
-    Files.write(tmp, name.getBytes(StandardCharsets.UTF_8))
+    val tmp = Files.createTempFile(Paths.get(root), Pointer + ".", ".tmp")
+    val out = new java.io.FileOutputStream(tmp.toFile)
+    try {
+      out.write(name.getBytes(StandardCharsets.UTF_8))
+      out.flush()
+      out.getFD.sync()
+    } finally out.close()
     Files.move(tmp, Paths.get(root, Pointer),
       StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE): Unit

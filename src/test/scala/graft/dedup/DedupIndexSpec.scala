@@ -41,6 +41,18 @@ class DedupIndexSpec extends AnyFunSuite {
     graft.CacheScope.flush(spark)
   }
 
+  test("pair graph served from the artifact equals the recompute path " +
+      "(the q112/q149 serve discipline)") {
+    val docs = graft.Tables.documents(spark, sf)
+    val idx = java.nio.file.Files.createTempDirectory("graft_idx_pairs").toString
+    DedupQueries.buildDedupIndex(docs, idx)
+    val served = DedupQueries.pairsFromIndexUnsorted(spark, idx)
+      .collect().toSet
+    val recomputed = DedupQueries.minhashPairsOf(docs).collect().toSet
+    assert(served.nonEmpty && served == recomputed)
+    graft.CacheScope.flush(spark)
+  }
+
   test("advance: artifact-after-advance equals rebuild-from-advanced-corpus") {
     val docs = graft.Tables.documents(spark, sf)
     val idx = java.nio.file.Files.createTempDirectory("graft_idx_adv").toString

@@ -23,6 +23,35 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(a.nonEmpty && a == b)
   }
 
+  test("q150: drift over budget publishes v2 (serve ≡ full rebuild); " +
+      "a huge budget keeps v1 live (serve ≡ the q130 advanced index)") {
+    val f = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("i", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val fired = SimilarityQueries.indexRebuildFlow(spark, f,
+      SimilarityQueries.AnnAdvanceSplit, SimilarityQueries.DriftBudget)
+      .collect().head
+    assert(fired.getString(0) == "v2" && fired.getBoolean(1))
+    graft.CacheScope.flush(spark)
+    val held = SimilarityQueries.indexRebuildFlow(spark, f,
+      SimilarityQueries.AnnAdvanceSplit, 1e9).collect().head
+    assert(held.getString(0) == "v1" && !held.getBoolean(1))
+    graft.CacheScope.flush(spark)
+    // the non-firing serve is the advanced-v1 geometry: q130's output
+    val q130 = graft.QueryRegistry.queries("q130_advance_ann")(spark, sf)
+      .collect().head
+    assert(held.getLong(3) == q130.getLong(0)
+      && held.getLong(4) == q130.getLong(1))
+    graft.CacheScope.flush(spark)
+    // the post-publish serve is the fresh full-corpus geometry: q118's
+    val q118 = graft.QueryRegistry.queries("q118_indexed_ann")(spark, sf)
+      .collect().head
+    assert(fired.getLong(3) == q118.getLong(0)
+      && fired.getLong(4) == q118.getLong(1))
+    graft.CacheScope.flush(spark)
+  }
+
   test("trained quantizer round-trips through save/load: identical " +
       "centers, identical q46-shaped search output") {
     import org.apache.spark.ml.functions.array_to_vector
