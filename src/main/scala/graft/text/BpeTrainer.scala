@@ -92,31 +92,84 @@ object BpeTrainer {
 
   /** q141: ENCODE the corpus with the learned merges — the application
     * half of the trainer: each document's token count under the
-    * trained segmentation (every word costs its post-merge symbol
-    * count; words outside the trained vocab — single characters — cost
-    * 1), plus the chars-per-token compression the tokenizer achieves.
-    * Scale shape: the vocab (w -> n_sym, one small int per distinct
-    * word) joins the doc-word stream on the word hash — skew bounded
-    * by natural word frequency, payload metadata-scale; the merges
-    * themselves were already only broadcast rows.
+    * trained segmentation. A word in the trained vocab costs its
+    * post-merge symbol count (a join against the pricing table); a
+    * word OUTSIDE the vocab is segmented by greedily APPLYING the
+    * learned merge list at encode time (the same unit-separator
+    * replace unrolling the trainer uses, per row) — the served-
+    * tokenizer contract: unseen text must be priced by the rules, not
+    * flat-priced. Scale shape: the vocab (w -> n_sym, one small int
+    * per distinct word) joins the doc-word stream on the word hash —
+    * skew bounded by natural word frequency; the merges are ONE
+    * pivoted broadcast row, and the OOV replace chain is a per-row
+    * projection that codegen evaluates only on vocab misses
+    * (coalesce short-circuits).
     */
-  def bpeEncodeOf(docs: DataFrame, iters: Int = BpeIters): DataFrame =
-    encode(docs, vocabSizes(trained(docs, iters)._2))
+  def bpeEncodeOf(docs: DataFrame, iters: Int = BpeIters): DataFrame = {
+    val (steps, vocab) = trained(docs, iters)
+    encode(docs, vocabSizes(vocab), steps.reduce(_ unionAll _))
+  }
 
   /** The vocab reduced to its pricing table (w, n_sym). */
   private def vocabSizes(vocab: DataFrame): DataFrame =
     vocab.select(col("w"),
       size(split(trim(col("seg"), US), US + US)).as("n_sym"))
 
-  /** The ONE copy of the pricing aggregation — q141 (recompute) and
-    * q146 (artifact-served) must stay bit-identical, and do so by
-    * construction: they differ only in where `vsize` comes from.
+  /** The adopted merges pivoted to ONE broadcastable row
+    * (ma1, mb1, ..., ma<iters>, mb<iters>) — a missing step (trainer
+    * exhausted pairs early) yields NULL halves, which the OOV chain
+    * coalesces to a four-US pattern no real segmentation contains
+    * (symbols are never empty), making that replace a no-op.
     */
-  private def encode(docs: DataFrame, vsize: DataFrame): DataFrame = {
-    val nTok = sum(coalesce(col("n_sym"), lit(1)))
+  private def mergeRow(merges: DataFrame): DataFrame = {
+    val aggs = (1 to BpeIters).flatMap { i => Seq(
+      max(when(col("step") === i, split(col("pair"), " ")(0))).as(s"ma$i"),
+      max(when(col("step") === i, split(col("pair"), " ")(1))).as(s"mb$i"))
+    }
+    merges.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Greedy merge application to one word (expects the mergeRow
+    * columns in scope): wrap each char in US, apply the learned merges
+    * in adoption order — identical semantics to the trainer's
+    * re-segmentation, so a TRAINING word priced through this path gets
+    * exactly its vocab n_sym (BpePropertiesSpec pins it).
+    */
+  private def oovSegment(w: Column): Column = {
+    val wrapped = concat(lit(US),
+      array_join(transform(sequence(lit(1), length(w)),
+        i => w.substr(i, lit(1))), US + US), lit(US))
+    (1 to BpeIters).foldLeft(wrapped) { (seg, i) =>
+      replace(seg,
+        concat(lit(US), coalesce(col(s"ma$i"), lit("")), lit(US + US),
+          coalesce(col(s"mb$i"), lit("")), lit(US)),
+        concat(lit(US), coalesce(col(s"ma$i"), lit("")),
+          coalesce(col(s"mb$i"), lit("")), lit(US)))
+    }
+  }
+
+  private def oovSymbolCount(w: Column): Column =
+    size(split(trim(oovSegment(w), US), US + US))
+
+  /** Per-occurrence priced word stream (doc_id, w, n_sym nullable,
+    * n_eff) — the ONE copy of the pricing rule every encode query
+    * aggregates over (q141 recompute, q146 artifact-served, q151
+    * held-out): vocab hit -> n_sym, miss -> greedy merge application.
+    */
+  private def pricedWords(docs: DataFrame, vsize: DataFrame,
+      merges: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
       .join(vsize, Seq("w"), "left")
+      .crossJoin(broadcast(mergeRow(merges)))
+      .select(col("doc_id"), col("w"), col("n_sym"),
+        coalesce(col("n_sym"), oovSymbolCount(col("w"))).as("n_eff"))
+
+  /** The shared pricing aggregation of q141/q146. */
+  private def encode(docs: DataFrame, vsize: DataFrame,
+      merges: DataFrame): DataFrame = {
+    val nTok = sum(col("n_eff"))
+    pricedWords(docs, vsize, merges)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), nTok.as("n_tokens"),
         round(sum(length(col("w"))).cast("double") / nTok, 4)
@@ -142,12 +195,14 @@ object BpeTrainer {
                FROM $prev, m$i m)"""
   }
 
-  /** The words/w0 + unrolled-iteration CTE prefix both oracles share. */
-  private def trainerCtes: String = {
+  /** The words/w0 + unrolled-iteration CTE prefix both oracles share;
+    * `where` restricts the TRAINING corpus (q151's held-out split).
+    */
+  private def trainerCtes(where: String = ""): String = {
     val iters = (1 to BpeIters).map(iterSql).mkString(",\n")
     s"""words AS (
        SELECT w, count(*) AS wcnt FROM (
-         SELECT unnest(string_split(text, ' ')) AS w FROM documents) x
+         SELECT unnest(string_split(text, ' ')) AS w FROM documents $where) x
        WHERE len(w) >= 2 AND NOT contains(w, chr(31))
        GROUP BY w),
        w0 AS (
@@ -163,22 +218,116 @@ object BpeTrainer {
     val out = (1 to BpeIters).map(i =>
       s"SELECT $i AS step, a || ' ' || b AS pair, cnt FROM m$i")
       .mkString("\n UNION ALL ")
-    s"""WITH $trainerCtes
+    s"""WITH ${trainerCtes()}
        SELECT * FROM ($out) ORDER BY step"""
   }
 
+  /** The one-row merge pivot (a1, b1, ..., a<iters>, b<iters>) off the
+    * m$i winner CTEs — scalar subqueries so an exhausted step yields
+    * NULLs, coalesced to '' in the chain exactly as the Scala side.
+    */
+  private def mergeRowCte: String = {
+    val cols = (1 to BpeIters).map(i =>
+      s"(SELECT a FROM m$i) AS a$i, (SELECT b FROM m$i) AS b$i")
+      .mkString(", ")
+    s"mg AS (SELECT $cols)"
+  }
+
+  /** DuckDB twin of [[oovSymbolCount]]: wrap each char of `w` in
+    * chr(31), apply the adopted merges in order, count symbols.
+    */
+  private def oovCountSql(w: String): String = {
+    val wrapped = s"chr(31) || array_to_string(list_transform(" +
+      s"generate_series(1, len($w)), i -> substr($w, CAST(i AS INT), 1))," +
+      s" chr(31) || chr(31)) || chr(31)"
+    val applied = (1 to BpeIters).foldLeft(wrapped) { (seg, i) =>
+      s"""replace($seg,
+         chr(31) || coalesce(a$i, '') || chr(31) || chr(31)
+           || coalesce(b$i, '') || chr(31),
+         chr(31) || coalesce(a$i, '') || coalesce(b$i, '') || chr(31))"""
+    }
+    s"len(string_split(trim($applied, chr(31)), chr(31) || chr(31)))"
+  }
+
   private def encodeOracleSql: String =
-    s"""WITH $trainerCtes,
+    s"""WITH ${trainerCtes()},
        vs AS (SELECT w, len(string_split(trim(seg, chr(31)),
                 chr(31) || chr(31))) AS n_sym FROM w$BpeIters),
+       $mergeRowCte,
        dw AS (SELECT doc_id, w FROM (
            SELECT doc_id, unnest(string_split(text, ' ')) AS w
-           FROM documents) x WHERE w <> '')
+           FROM documents) x WHERE w <> ''),
+       pr AS (SELECT doc_id, w,
+                coalesce(n_sym, ${oovCountSql("w")}) AS n_eff
+              FROM dw LEFT JOIN vs USING (w), mg)
        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-         CAST(sum(coalesce(n_sym, 1)) AS BIGINT) AS n_tokens,
-         round(CAST(sum(len(w)) AS DOUBLE) / sum(coalesce(n_sym, 1)), 4)
+         CAST(sum(n_eff) AS BIGINT) AS n_tokens,
+         round(CAST(sum(len(w)) AS DOUBLE) / sum(n_eff), 4)
            AS chars_per_token
-       FROM dw LEFT JOIN vs USING (w)
+       FROM pr
+       GROUP BY doc_id ORDER BY doc_id"""
+
+  /** q151: the TRAIN/SERVE SPLIT — merges learned on three quarters of
+    * the corpus (doc_id % 4 <> 3), the held-out quarter encoded
+    * against them. The pricing vocab is additionally pruned to words
+    * holding at least 1/[[MinShareDen]] of the training token mass —
+    * the min-frequency cutoff every real tokenizer trainer applies
+    * (rare words never get whole-word entries; they fall back to
+    * subword merges) — so the greedy-application path genuinely fires
+    * (n_oov counts the misses per doc). Pricing is INVARIANT to the
+    * cutoff: a vocab hit prices at the trainer's segmentation, which
+    * is exactly what the merge chain recomputes on a miss
+    * (BpePropertiesSpec pins the equality) — what the cutoff changes
+    * at 100 TB is the size of the shipped pricing table.
+    */
+  val HeldOutMod = 4L
+
+  /** Vocab admission: wcnt / total >= 1/MinShareDen (integer math). */
+  val MinShareDen = 100L
+
+  def bpeEncodeHeldOut(docs: DataFrame,
+      iters: Int = BpeIters): DataFrame = {
+    val train = docs.filter(col("doc_id") % HeldOutMod =!= HeldOutMod - 1)
+    val held = docs.filter(col("doc_id") % HeldOutMod === HeldOutMod - 1)
+    val (steps, vocab) = trained(train, iters)
+    val tot = vocab.agg(sum("wcnt").as("t"))
+    val vs = vocab.crossJoin(broadcast(tot))
+      .filter(col("wcnt") * MinShareDen >= col("t"))
+      .select(col("w"),
+        size(split(trim(col("seg"), US), US + US)).as("n_sym"))
+    val nTok = sum(col("n_eff"))
+    pricedWords(held, vs, steps.reduce(_ unionAll _))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("n_sym").isNull && length(col("w")) >= 2, 1)
+          .otherwise(0)).as("n_oov"),
+        nTok.as("n_tokens"),
+        round(sum(length(col("w"))).cast("double") / nTok, 4)
+          .as("chars_per_token"))
+  }
+
+  private def heldOutOracleSql: String =
+    s"""WITH ${trainerCtes(s"WHERE doc_id % $HeldOutMod <> ${HeldOutMod - 1}")},
+       vs AS (SELECT w, len(string_split(trim(seg, chr(31)),
+                chr(31) || chr(31))) AS n_sym
+              FROM w$BpeIters, (SELECT sum(wcnt) AS t FROM words) tot
+              WHERE wcnt * $MinShareDen >= t),
+       $mergeRowCte,
+       dw AS (SELECT doc_id, w FROM (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           FROM documents
+           WHERE doc_id % $HeldOutMod = ${HeldOutMod - 1}) x
+         WHERE w <> ''),
+       pr AS (SELECT doc_id, w, n_sym,
+                coalesce(n_sym, ${oovCountSql("w")}) AS n_eff
+              FROM dw LEFT JOIN vs USING (w), mg)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(CASE WHEN n_sym IS NULL AND len(w) >= 2
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         CAST(sum(n_eff) AS BIGINT) AS n_tokens,
+         round(CAST(sum(len(w)) AS DOUBLE) / sum(n_eff), 4)
+           AS chars_per_token
+       FROM pr
        GROUP BY doc_id ORDER BY doc_id"""
 
   /** The TOKENIZER ARTIFACT lifecycle (the q117/q118 pattern for BPE):
@@ -200,10 +349,13 @@ object BpeTrainer {
   }
 
   /** q141's encode against a PERSISTED model — no trainer in the plan:
-    * the vocab artifact joins the doc-word stream directly.
+    * the vocab artifact joins the doc-word stream directly, and the
+    * artifact's merge list (a <=BpeIters-row parquet) prices OOV words
+    * through the same greedy-application chain.
     */
   def encodeWithModel(docs: DataFrame, path: String): DataFrame =
-    encode(docs, docs.sparkSession.read.parquet(path + "/vocab"))
+    encode(docs, docs.sparkSession.read.parquet(path + "/vocab"),
+      docs.sparkSession.read.parquet(path + "/merges"))
 
   /** Per-JVM memoized model artifact (the servedDedupIndex pattern):
     * bench run 1 pays training, runs 2-3 measure the SERVE-ONLY cost
@@ -229,5 +381,12 @@ object BpeTrainer {
     Q("q146_bpe_encode_served",
       (s, d) => encodeWithModel(Tables.documents(s, d), servedModel(s, d))
         .orderBy("doc_id"),
-      Some(encodeOracleSql)))
+      Some(encodeOracleSql)),
+    // ---- q151: the OOV path under a real train/serve split — see
+    // [[bpeEncodeHeldOut]]: merges trained on 3/4 of the corpus price
+    // the held-out quarter, unseen words segmented by greedy merge
+    // application instead of a flat unk cost.
+    Q("q151_bpe_oov_encode",
+      (s, d) => bpeEncodeHeldOut(Tables.documents(s, d)).orderBy("doc_id"),
+      Some(heldOutOracleSql)))
 }

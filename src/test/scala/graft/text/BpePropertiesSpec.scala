@@ -60,6 +60,70 @@ class BpePropertiesSpec extends AnyFunSuite {
     out.toSeq
   }
 
+  /** Reference encoder: apply the adopted merges in order (leftmost,
+    * non-overlapping) to one word; its price is the symbol count —
+    * identical machinery whether the word was seen in training or not.
+    */
+  private def refEncode(merges: Seq[(String, String)], w: String): Int = {
+    var s: Vector[String] = w.map(_.toString).toVector
+    merges.foreach { case (a, b) =>
+      val nb = Vector.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        if (i < s.length - 1 && s(i) == a && s(i + 1) == b) {
+          nb += (a + b); i += 2
+        } else { nb += s(i); i += 1 }
+      }
+      s = nb.result()
+    }
+    s.length
+  }
+
+  test("held-out encode prices every word — vocab hit or OOV — exactly " +
+      "as the reference greedy merge application (q151)") {
+    val word = Gen.choose(2, 6)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val docGen = Gen.listOfN(6, word).map(_.mkString(" "))
+    val corpus = Gen.listOfN(8, docGen)
+    samples(corpus, 6).foreach { docsTexts =>
+      val docs = docsTexts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val trainWords = docsTexts.zipWithIndex.filter(_._2 % 4 != 3)
+        .flatMap(_._1.split(" ")).filter(_.length >= 2)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val merges = refBpe(trainWords, BpeTrainer.BpeIters)
+        .map { p => val Array(a, b) = p._1.split(" "); (a, b) }
+      val got = BpeTrainer.bpeEncodeHeldOut(docs).collect()
+        .map(r => r.getLong(0) -> r.getAs[Long]("n_tokens")).toMap
+      val want = docsTexts.zipWithIndex.filter(_._2 % 4 == 3)
+        .map { case (t, i) =>
+          i.toLong -> t.split(" ").filter(_.nonEmpty)
+            .map(w => refEncode(merges, w).toLong).sum
+        }.toMap
+      assert(got == want,
+        s"held-out pricing $got != reference $want on corpus $docsTexts")
+      graft.CacheScope.flush(spark)
+    }
+  }
+
+  test("a long unseen word is priced > 1 by applying the learned merges " +
+      "(the flat unk=1 pricing is dead)") {
+    val docs = Seq(
+      (0L, "aaab aaab aaab"), (1L, "aaab aaab aaab"),
+      (2L, "aaab aaab ccdd"),
+      (3L, "aaaa"), (7L, "aaab zz")).toDF("doc_id", "text")
+    // merges learned on docs 0-2: (a,a), (a,b), (aa,ab), (c,c)
+    val out = BpeTrainer.bpeEncodeHeldOut(docs).orderBy("doc_id").collect()
+    // doc 3: "aaaa" unseen -> (a,a) applies twice -> [aa][aa] = 2 tokens
+    assert(out(0).getLong(0) == 3L && out(0).getLong(1) == 1L
+      && out(0).getLong(2) == 1L && out(0).getLong(3) == 2L,
+      s"got ${out(0)}")
+    // doc 7: vocab "aaab" fully merged (1) + unseen "zz" (no merge: 2)
+    assert(out(1).getLong(0) == 7L && out(1).getLong(2) == 1L
+      && out(1).getLong(3) == 3L, s"got ${out(1)}")
+    graft.CacheScope.flush(spark)
+  }
+
   test("trainer merges match the reference implementation on random corpora") {
     // small alphabet forces heavy pair collisions, self-overlaps, and
     // multi-char merged symbols within 4 iterations
