@@ -85,10 +85,37 @@ object JoinOps {
     * (broadcast back); result is identical to `big.join(small, key)`.
     */
   def saltedJoinHotKeys(big: DataFrame, small: DataFrame, key: String,
-      salt: Int, hotThreshold: Long): DataFrame = {
-    val hot = big.groupBy(key).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > hotThreshold).select(key)
-      .withColumn("__hot", lit(true))
+      salt: Int, hotThreshold: Long): DataFrame =
+    saltedJoinWithHotSet(big, small, key, salt,
+      big.groupBy(key).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > hotThreshold).select(key))
+
+  /** The PROFILE -> THRESHOLD -> SALT composition: the hot-key set is
+    * derived from the q145 skew census itself — keys whose group size
+    * exceeds `hotXMean` times the mean group size (the profiler's
+    * x_mean column) are salted; everything else takes the plain path.
+    * This closes the remediation loop the profiler exists for: no
+    * hand-picked absolute threshold, the same census that diagnoses
+    * the skew selects the keys, and the whole thing stays ONE lazy
+    * plan (the census is a map-side-combined agg plus a one-row
+    * scalar broadcast — no driver-side decision). Result is identical
+    * to `big.join(small, key)`; ScaleProbe's skew_remediation sweep
+    * records the per-task shuffle spread collapsing.
+    */
+  def profiledSaltedJoin(big: DataFrame, small: DataFrame, key: String,
+      salt: Int, hotXMean: Double = 4.0): DataFrame = {
+    val g = big.groupBy(key).agg(count(lit(1)).as("__n"))
+    val tot = g.agg(sum("__n").as("__t"), count(lit(1)).as("__k"))
+    // __n * __k > hotXMean * __t  <=>  __n / (__t / __k) > hotXMean
+    val hot = g.crossJoin(broadcast(tot))
+      .filter(col("__n") * col("__k") > lit(hotXMean) * col("__t"))
+      .select(key)
+    saltedJoinWithHotSet(big, small, key, salt, hot)
+  }
+
+  private def saltedJoinWithHotSet(big: DataFrame, small: DataFrame,
+      key: String, salt: Int, hotKeys: DataFrame): DataFrame = {
+    val hot = hotKeys.withColumn("__hot", lit(true))
     val b = big.join(broadcast(hot), Seq(key), "left")
     val s = small.join(broadcast(hot), Seq(key), "left")
     val coldPart = b.filter(col("__hot").isNull).drop("__hot")

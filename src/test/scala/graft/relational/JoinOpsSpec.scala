@@ -84,6 +84,28 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(fast == plain)
   }
 
+  test("profiledSaltedJoin (census-derived hot set) equals the plain " +
+      "join, hot key present or not") {
+    import spark.implicits._
+    // key 1 is 60/69 of the big side (x_mean >> 4 -> salted); the
+    // cold keys take the plain path; key 99 never matches
+    val big = ((1 to 60).map(i => (1L, s"b$i")) ++
+      (2L to 9L).map(k => (k, s"c$k")) :+ ((99L, "x"))).toDF("k", "bv")
+    val small = (1L to 9L).map(k => (k, k * 10)).toDF("k", "sv")
+    val fast = JoinOps.profiledSaltedJoin(big, small, "k", salt = 4)
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val plain = big.join(small, "k")
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(fast == plain)
+    // uniform data: the census selects nothing, the salted leg is
+    // empty, and the result is still exactly the plain join
+    val uni = (1L to 9L).map(k => (k, s"u$k")).toDF("k", "bv")
+    val fastU = JoinOps.profiledSaltedJoin(uni, small, "k", salt = 4)
+      .collect().map(_.toSeq).toSet
+    val plainU = uni.join(small, "k").collect().map(_.toSeq).toSet
+    assert(fastU == plainU)
+  }
+
   test("asofBackward leaves left rows with no match (null payload)") {
     import spark.implicits._
     val left = Seq((1L, 10L, "a"), (1L, 5L, "b"), (2L, 7L, "c"))
