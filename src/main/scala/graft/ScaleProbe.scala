@@ -221,6 +221,7 @@ object ScaleProbe {
     if (enabled("neardup_stream")) streamingNearDupLatency(spark, corpus(10))
     if (enabled("skew_join")) aqeVsSalting(spark)
     if (enabled("skew_remediation")) skewRemediation(spark)
+    if (enabled("longdoc")) longDocStress(spark)
     if (enabled("pagerank")) pagerankScale(spark)
     if (enabled("sweepline")) sweepLineScale(spark)
     if (enabled("g19")) g19GridSweep(spark)
@@ -695,6 +696,51 @@ object ScaleProbe {
     * the dim does not broadcast). AQE thresholds tuned down so the
     * optimizer can see the skew at probe scale.
     */
+  /** Per-row text HOFs under LONG documents — q132's one-pass
+    * repetition stat, q122's chunk explode, q97's windowed hashing
+    * were built for 100k-token docs, but the gate corpus tops out
+    * around 100 tokens. Sweep synthetic docs of 1k/10k/100k tokens at
+    * CONSTANT total token mass (2M tokens), so linear-in-length cost
+    * shows as ~flat wall-clock across the sweep — the O(L²)
+    * distinct×filter shape q132 used to have would blow the 100k
+    * point up ~100x (10^10 comparisons in one row). Measured
+    * (local[32], warm at len >= 10k): q132 0.72/0.68 s, q122
+    * 0.18/0.15 s, q97 2.03/2.29 s at 10k/100k — flat, the expected
+    * slope.
+    */
+  private def longDocStress(spark: SparkSession): Unit = {
+    val vocab = array((0 until 30).map(i => lit(s"w$i")): _*)
+    def mk(n: Int, len: Int) =
+      spark.range(n.toLong).select(col("id").as("doc_id"),
+        array_join(transform(sequence(lit(1), lit(len)),
+          i => element_at(vocab,
+            (pmod(i * 2654435761L + col("id") * 97L, lit(30)) + 1)
+              .cast("int"))), " ").as("text"))
+    for ((n, len) <- Seq((2000, 1000), (200, 10000), (20, 100000))) {
+      val c = mk(n, len).persist()
+      c.count() // doc synthesis paid outside the timed ops
+      def time(label: String)(f: => Any): Unit = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[scale] longdoc $label len=$len docs=$n out=$r " +
+          f"time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      // aggregates force the expensive columns (count() would let
+      // Spark prune the HOFs away and time nothing)
+      time("q132_quality")(
+        graft.text.TextQueries.qualityFlagsOf(c)
+          .agg(sum(col("keep").cast("long"))).head.getLong(0))
+      time("q122_chunking")(
+        graft.text.TextQueries.chunksOf(c)
+          .agg(sum(length(col("chunk_text")))).head.getLong(0))
+      time("q97_dup_ngrams")(
+        graft.dedup.DedupQueries.dupNgramStats(c,
+            graft.dedup.DedupQueries.DupW)
+          .agg(sum("n_dup")).head.getLong(0))
+      c.unpersist(): Unit
+    }
+  }
+
   /** The deliberately-skewed join inputs the skew probes share: 20x
     * replicated orders with 40% of rows landing on hot custkey 1.
     * Caller unpersists the returned fact.

@@ -817,25 +817,8 @@ object TextQueries {
     // corpus-wide single-space rule (q22/q23) so both engines see
     // identical token arrays.
     Q("q122_doc_chunking",
-      (s, d) =>
-        Tables.documents(s, d)
-          .withColumn("toks", split(col("text"), " "))
-          .withColumn("n", size(col("toks")))
-          .withColumn("nchunks",
-            when(col("n") <= ChunkW, lit(1L)).otherwise(
-              lit(1L) + ceil((col("n") - lit(ChunkW))
-                / lit(ChunkS.toDouble)).cast("long")))
-          .select(col("doc_id"), col("toks"),
-            posexplode(sequence(lit(0L), col("nchunks") - 1))
-              .as(Seq("chunk_id", "k")))
-          .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
-            (col("k") * ChunkS + 1).as("start_tok"),
-            size(slice(col("toks"), (col("k") * ChunkS + 1).cast("int"),
-              lit(ChunkW))).cast("long").as("n_chunk_tokens"),
-            array_join(slice(col("toks"),
-              (col("k") * ChunkS + 1).cast("int"), lit(ChunkW)), " ")
-              .as("chunk_text"))
-          .orderBy("doc_id", "chunk_id"),
+      (s, d) => chunksOf(Tables.documents(s, d))
+        .orderBy("doc_id", "chunk_id"),
       Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
                len(string_split(text, ' ')) AS n FROM documents),
              nk AS (SELECT doc_id, toks,
@@ -1211,6 +1194,31 @@ object TextQueries {
   /** q129 phrase (chosen for non-trivial df at every SF). */
   val PhraseA = "table"
   val PhraseB = "hash"
+
+  /** q122's body over any documents relation — chunk k covers tokens
+    * [k*S, k*S + W); one stateless projection, explode factor
+    * ~n_tokens/S per doc. Public so ScaleProbe can sweep synthetic
+    * long-doc corpora (the 100k-token shape the operator was built
+    * for but the gate corpus never exercises).
+    */
+  def chunksOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")))
+      .withColumn("nchunks",
+        when(col("n") <= ChunkW, lit(1L)).otherwise(
+          lit(1L) + ceil((col("n") - lit(ChunkW))
+            / lit(ChunkS.toDouble)).cast("long")))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0L), col("nchunks") - 1))
+          .as(Seq("chunk_id", "k")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        (col("k") * ChunkS + 1).as("start_tok"),
+        size(slice(col("toks"), (col("k") * ChunkS + 1).cast("int"),
+          lit(ChunkW))).cast("long").as("n_chunk_tokens"),
+        array_join(slice(col("toks"),
+          (col("k") * ChunkS + 1).cast("int"), lit(ChunkW)), " ")
+          .as("chunk_text"))
 
   /** q132's body: the Gopher/RefinedWeb-style quality rules as one
     * narrow per-row HOF pass — (doc_id, ok_len, ok_wordlen, ok_stop,
