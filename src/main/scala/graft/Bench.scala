@@ -140,6 +140,12 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val json = s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"queries":$qs,"forensics":$fo,"sf":"$sfDir"}"""
     println(json)
+    // The driver parses a bounded TAIL of captured stdout; the full
+    // line above overflows it (170+ queries of forensics), which has
+    // left BENCH_r*.json `parsed: null` for several rounds. End stdout
+    // with a COMPACT summary line (no per-query map) so the tail is
+    // parseable JSON; the full artifact of record is the file below.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"n_queries":${results.size},"sf":"$sfDir","detail":"BENCH_LOCAL.json"}""")
     // The driver captures sbt stdout, where the `[info] ` prefix and tail
     // truncation have defeated its JSON parser three rounds straight
     // (BENCH_r07-r09 all `parsed: null`). Persist the identical line to a

@@ -1299,10 +1299,18 @@ object DedupQueries {
     val arrBands = bandsOf(sigArr).persist()
     val idxSig = indexSignatures(s, path).persist()
     try {
+      // EVERY arrival gets a decision row ('added' or 'dup') — a
+      // downstream auditor must be able to distinguish a doc dropped
+      // as a near-dup from one that never arrived; only the 'added'
+      // side feeds the index advance. (ingestDupArrivals returns
+      // distinct doc_ids, so the left join cannot fan out.)
       val dups = ingestDupArrivals(sigArr, arrBands, idxSig,
         indexBands(s, path))
-      batch.select("doc_id").join(dups, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), lit("added").as("status"))
+      batch.select("doc_id")
+        .join(dups.withColumn("__dup", lit(true)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("__dup").isNotNull, lit("dup")).otherwise(lit("added"))
+            .as("status"))
         .localCheckpoint(true)
     } finally {
       sigArr.unpersist(); arrBands.unpersist(); idxSig.unpersist(): Unit

@@ -1111,6 +1111,9 @@ object RelationalQueries {
     val g = graft.CacheScope.retain(
       df.groupBy(key).agg(count(lit(1)).as("cnt")))
     val tot = g.agg(sum("cnt").as("total"), count(lit(1)).as("n_keys"))
+    // unpartitioned window, but only ever over the limit(k) frame
+    // below (k = SkewTopK rows) — bounded by construction, so the
+    // single-task warning Spark emits is noise
     val ord = Window.orderBy(col("cnt").desc, col(key))
     g.orderBy(col("cnt").desc, col(key)).limit(k)
       .crossJoin(broadcast(tot))

@@ -1106,6 +1106,8 @@ object SimilarityQueries {
             round(col("dot") / (sqrt(col("nrm")) * sqrt(col("qn"))), 6)
               .as("cos_sim"))
           .orderBy(col("cos_sim").desc, col("vec_id")).limit(10)
+        // unpartitioned window over the post-limit(10) frame only —
+        // bounded by k, so Spark's single-task warning is noise here
         ranked.withColumn("rank",
             row_number().over(org.apache.spark.sql.expressions.Window
               .orderBy(col("cos_sim").desc, col("vec_id"))).cast("long"))

@@ -166,12 +166,16 @@ object Streams {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // decisions carry EVERY arrival ('added' or 'dup') so outDir is
+        // auditable — absence means "never arrived", not "dropped";
+        // only the admitted side advances the artifact
         val decisions =
           graft.dedup.DedupQueries.ingestBatchDecisions(batch, indexPath)
         decisions.withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(outDir)
         graft.dedup.DedupQueries.advanceDedupIndex(
-          batch.join(decisions.select("doc_id"), "doc_id")
+          batch.join(decisions.filter(col("status") === "added")
+              .select("doc_id"), "doc_id")
             .select("doc_id", "text"), indexPath)
       }
       .start()

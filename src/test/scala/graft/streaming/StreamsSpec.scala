@@ -339,13 +339,22 @@ class StreamsSpec extends AnyFunSuite {
       mem.addData(b1: _*); q.processAllAvailable()
       mem.addData(b2: _*); q.processAllAvailable()
     } finally q.stop()
-    // decisions: static 'existing' + streamed admissions == batch flow
+    // decisions: static 'existing' + streamed ADMISSIONS == batch flow
+    // (the batch flow's contract emits no rows for drops; the stream's
+    // outDir additionally records them as 'dup' for auditability)
     val streamed = spark.read.parquet(out)
     val total = docs.filter(col("doc_id") < split1)
       .select(col("doc_id"), lit("existing").as("status"))
-      .unionAll(streamed.select("doc_id", "status"))
+      .unionAll(streamed.filter(col("status") === "added")
+        .select("doc_id", "status"))
       .orderBy("doc_id").collect().toSeq
     assert(batchFlow.nonEmpty && total == batchFlow)
+    // EVERY arrival left exactly one decision row: added + dup
+    // partitions the arrival set (absence == never arrived)
+    val decided = streamed.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(decided == (b1 ++ b2).map(_._1).sorted.toSeq)
+    assert(streamed.filter(col("status") === "dup").count() ==
+      decided.size - total.count(_.getString(1) == "added"))
     // batch 2 really ran against the ADVANCED artifact: the artifact
     // now equals a rebuild from (base corpus + all stream admissions)
     val admitted = streamed.filter(col("status") === "added")

@@ -2,7 +2,7 @@
 """Compare two Bench JSON artifacts (BENCH_LOCAL.json files or raw
 `{"metric": ...}` lines embedded in logs) and report per-query movers.
 
-Usage: python3 tools/bench_diff.py OLD NEW [--thresh 1.3] [--floor 0.5]
+Usage: python3 tools/bench_diff.py OLD NEW [--thresh=1.3] [--floor=0.5]
 
 Movers are queries present in both runs, above `--floor` seconds in the
 old run, whose new/old ratio falls outside [1/thresh, thresh]. Queries
