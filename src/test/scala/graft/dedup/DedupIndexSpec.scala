@@ -51,6 +51,20 @@ class DedupIndexSpec extends AnyFunSuite {
     val recomputed = DedupQueries.minhashPairsOf(docs).collect().toSet
     assert(served.nonEmpty && served == recomputed)
     graft.CacheScope.flush(spark)
+    // same layout, shingle signatures (the q51/q95 serve route)
+    val sIdx = java.nio.file.Files.createTempDirectory("graft_idx_shingle")
+      .toString
+    DedupQueries.buildDedupIndexFrom(DedupQueries.signaturesFromTokens(
+      DedupQueries.shingleSets(docs, DedupQueries.ShingleW)), sIdx)
+    graft.CacheScope.flush(spark)
+    val servedS = DedupQueries.pairsFromIndexUnsorted(spark, sIdx)
+      .collect().toSet
+    val recomputedS = DedupQueries.pairsFromSignaturesUnsorted(
+      DedupQueries.signaturesFromTokens(
+        DedupQueries.shingleSets(docs, DedupQueries.ShingleW)))
+      .collect().toSet
+    assert(servedS == recomputedS && servedS.nonEmpty)
+    graft.CacheScope.flush(spark)
   }
 
   test("advance: artifact-after-advance equals rebuild-from-advanced-corpus") {
