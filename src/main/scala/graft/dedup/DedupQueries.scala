@@ -699,12 +699,21 @@ object DedupQueries {
       (s, d) => {
         val idx = servedFullDedupIndex(s, Tables.documents(s, d), d)
         val sig = graft.CacheScope.retain(indexSignatures(s, idx))
-        val bands = graft.CacheScope.retain(indexBands(s, idx))
-        verifiedPairsFrom(candidatesFromBands(bands), sig)
-          .join(bands.select(col("doc_id").as("doc_a"), col("band"),
-            col("bucket")), "doc_a")
-          .join(bands.select(col("doc_id").as("doc_b"), col("band"),
-            col("bucket")), Seq("doc_b", "band", "bucket"))
+        val bands = indexBands(s, idx)
+        // ONE band-collision join, kept at band granularity and reused
+        // for BOTH the candidate list and the explain rollup — the
+        // collision rows ARE the evidence, so re-joining verified
+        // pairs back against the band table per side would recompute
+        // what this table already holds
+        val bc = graft.CacheScope.retain(
+          bands.as("l").join(bands.as("r"),
+            col("l.band") === col("r.band")
+              && col("l.bucket") === col("r.bucket")
+              && col("l.doc_id") < col("r.doc_id"))
+            .select(col("l.doc_id").as("doc_a"),
+              col("r.doc_id").as("doc_b"), col("l.band").as("band")))
+        verifiedPairsFrom(bc.select("doc_a", "doc_b").distinct(), sig)
+          .join(bc, Seq("doc_a", "doc_b"))
           .groupBy("doc_a", "doc_b", "est_jaccard")
           .agg(array_join(sort_array(collect_set(col("band"))), ",")
             .as("shared_bands"),

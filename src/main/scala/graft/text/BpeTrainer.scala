@@ -107,8 +107,19 @@ object BpeTrainer {
     */
   def bpeEncodeOf(docs: DataFrame, iters: Int = BpeIters): DataFrame = {
     val (steps, vocab) = trained(docs, iters)
-    encode(docs, vocabSizes(vocab), steps.reduce(_ unionAll _))
+    encode(docs, vocabSizes(vocab), mergesFrame(docs, steps))
   }
+
+  /** The adopted-merge rows as one frame; a 0-iteration trainer yields
+    * an EMPTY (step, pair, cnt) frame, whose mergeRow pivot is one
+    * all-NULL row — every replace in the OOV chain a no-op, i.e. pure
+    * character pricing, exactly the 0-merge semantics.
+    */
+  private def mergesFrame(docs: DataFrame,
+      steps: Seq[DataFrame]): DataFrame =
+    if (steps.nonEmpty) steps.reduce(_ unionAll _)
+    else docs.sparkSession.range(0)
+      .select(lit(0).as("step"), lit("").as("pair"), lit(0L).as("cnt"))
 
   /** The vocab reduced to its pricing table (w, n_sym). */
   private def vocabSizes(vocab: DataFrame): DataFrame =
@@ -296,7 +307,7 @@ object BpeTrainer {
       .select(col("w"),
         size(split(trim(col("seg"), US), US + US)).as("n_sym"))
     val nTok = sum(col("n_eff"))
-    pricedWords(held, vs, steps.reduce(_ unionAll _))
+    pricedWords(held, vs, mergesFrame(docs, steps))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
         sum(when(col("n_sym").isNull && length(col("w")) >= 2, 1)
