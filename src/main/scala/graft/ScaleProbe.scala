@@ -689,13 +689,6 @@ object ScaleProbe {
     } finally { q.stop(); index.unpersist() }
   }
 
-  /** AQE skew-join vs declarative salting on the same skewed join —
-    * which path actually fixes the straggler, and what uniform salting
-    * costs. Fact = orders x20 with 40%% of rows remapped to ONE hot
-    * custkey; dim = customer; broadcast disabled (the 100 TB case where
-    * the dim does not broadcast). AQE thresholds tuned down so the
-    * optimizer can see the skew at probe scale.
-    */
   /** Per-row text HOFs under LONG documents — q132's one-pass
     * repetition stat, q122's chunk explode, q97's windowed hashing
     * were built for 100k-token docs, but the gate corpus tops out
@@ -803,14 +796,18 @@ object ScaleProbe {
         sh.clear()
         val t0 = System.nanoTime()
         val n = f
+        val secs = (System.nanoTime() - t0) / 1e9 // clock stops BEFORE the drain sleep
         Thread.sleep(500) // local listener bus drain
-        // join tasks are the ones that actually read shuffle; the
-        // census/scalar stages contribute zero-read tasks, excluded
+        // zero-read tasks (scans, scalar stages) are excluded; the
+        // salted run's census reducers DO read a few records and drag
+        // the mean down a little — the comparable headline metric is
+        // max_task_records, the straggler's load, which sets stage
+        // wall-clock and is what the summary line reports
         val reads = sh.asScala.map(_.toLong).filter(_ > 0).toSeq
         val mx = if (reads.nonEmpty) reads.max else 0L
         val mean = if (reads.nonEmpty) reads.sum / reads.size else 0L
         println(f"[scale] skew_remediation $label rows=$n " +
-          f"time=${(System.nanoTime() - t0) / 1e9}%.2f s " +
+          f"time=$secs%.2f s " +
           f"max_task_records=$mx mean_task_records=$mean")
         mx
       }
@@ -833,6 +830,13 @@ object ScaleProbe {
     }
   }
 
+  /** AQE skew-join vs declarative salting on the same skewed join —
+    * which path actually fixes the straggler, and what uniform salting
+    * costs. Fact = orders x20 with 40%% of rows remapped to ONE hot
+    * custkey; dim = customer; broadcast disabled (the 100 TB case where
+    * the dim does not broadcast). AQE thresholds tuned down so the
+    * optimizer can see the skew at probe scale.
+    */
   private def aqeVsSalting(spark: SparkSession): Unit = {
     val (fact, cust) = skewedFactCust(spark)
     println(s"[scale] skew_join fact rows=${fact.count()} (hot key = 40%)")

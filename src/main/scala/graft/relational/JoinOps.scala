@@ -106,9 +106,12 @@ object JoinOps {
       salt: Int, hotXMean: Double = 4.0): DataFrame = {
     val g = big.groupBy(key).agg(count(lit(1)).as("__n"))
     val tot = g.agg(sum("__n").as("__t"), count(lit(1)).as("__k"))
-    // __n * __k > hotXMean * __t  <=>  __n / (__t / __k) > hotXMean
+    // __n / (__t / __k) > hotXMean, in DOUBLE: a long __n * __k product
+    // overflows exactly at the billions-of-keys x hot-key scale this
+    // operator exists for, silently un-salting the hot key (the q145
+    // x_mean column dodges the same trap)
     val hot = g.crossJoin(broadcast(tot))
-      .filter(col("__n") * col("__k") > lit(hotXMean) * col("__t"))
+      .filter(col("__n") * lit(1.0) * col("__k") > lit(hotXMean) * col("__t"))
       .select(key)
     saltedJoinWithHotSet(big, small, key, salt, hot)
   }

@@ -73,14 +73,20 @@ object ArtifactVersions {
     require(Files.isDirectory(Paths.get(root, name)),
       s"$versionDir is not a version dir under $root")
     val tmp = Files.createTempFile(Paths.get(root), Pointer + ".", ".tmp")
-    val out = new java.io.FileOutputStream(tmp.toFile)
     try {
-      out.write(name.getBytes(StandardCharsets.UTF_8))
-      out.flush()
-      out.getFD.sync()
-    } finally out.close()
-    Files.move(tmp, Paths.get(root, Pointer),
-      StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE): Unit
+      val out = new java.io.FileOutputStream(tmp.toFile)
+      try {
+        out.write(name.getBytes(StandardCharsets.UTF_8))
+        out.flush()
+        out.getFD.sync()
+      } finally out.close()
+      Files.move(tmp, Paths.get(root, Pointer),
+        StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE): Unit
+    } finally
+      // a failed publish must not strand its uniquely-named staging
+      // file (after a successful move this is a no-op); a POWER loss
+      // can still leave one behind — harmless, prepareNext ignores it
+      Files.deleteIfExists(tmp): Unit
   }
 }

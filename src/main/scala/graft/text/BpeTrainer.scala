@@ -107,7 +107,7 @@ object BpeTrainer {
     */
   def bpeEncodeOf(docs: DataFrame, iters: Int = BpeIters): DataFrame = {
     val (steps, vocab) = trained(docs, iters)
-    encode(docs, vocabSizes(vocab), mergesFrame(docs, steps))
+    encode(docs, vocabSizes(vocab), mergesFrame(docs, steps), iters)
   }
 
   /** The adopted-merge rows as one frame; a 0-iteration trainer yields
@@ -132,13 +132,16 @@ object BpeTrainer {
     * coalesces to a four-US pattern no real segmentation contains
     * (symbols are never empty), making that replace a no-op.
     */
-  private def mergeRow(merges: DataFrame): DataFrame = {
-    val aggs = (1 to BpeIters).flatMap { i => Seq(
-      max(when(col("step") === i, split(col("pair"), " ")(0))).as(s"ma$i"),
-      max(when(col("step") === i, split(col("pair"), " ")(1))).as(s"mb$i"))
+  private def mergeRow(merges: DataFrame, iters: Int): DataFrame =
+    if (iters == 0) // no merges: a 1-row placeholder, chain is empty
+      merges.sparkSession.range(1).select(lit(1).as("__nomerges"))
+    else {
+      val aggs = (1 to iters).flatMap { i => Seq(
+        max(when(col("step") === i, split(col("pair"), " ")(0))).as(s"ma$i"),
+        max(when(col("step") === i, split(col("pair"), " ")(1))).as(s"mb$i"))
+      }
+      merges.agg(aggs.head, aggs.tail: _*)
     }
-    merges.agg(aggs.head, aggs.tail: _*)
-  }
 
   /** Greedy merge application to one word (expects the mergeRow
     * columns in scope): wrap each char in US, apply the learned merges
@@ -146,11 +149,11 @@ object BpeTrainer {
     * re-segmentation, so a TRAINING word priced through this path gets
     * exactly its vocab n_sym (BpePropertiesSpec pins it).
     */
-  private def oovSegment(w: Column): Column = {
+  private def oovSegment(w: Column, iters: Int): Column = {
     val wrapped = concat(lit(US),
       array_join(transform(sequence(lit(1), length(w)),
         i => w.substr(i, lit(1))), US + US), lit(US))
-    (1 to BpeIters).foldLeft(wrapped) { (seg, i) =>
+    (1 to iters).foldLeft(wrapped) { (seg, i) =>
       replace(seg,
         concat(lit(US), coalesce(col(s"ma$i"), lit("")), lit(US + US),
           coalesce(col(s"mb$i"), lit("")), lit(US)),
@@ -159,8 +162,8 @@ object BpeTrainer {
     }
   }
 
-  private def oovSymbolCount(w: Column): Column =
-    size(split(trim(oovSegment(w), US), US + US))
+  private def oovSymbolCount(w: Column, iters: Int): Column =
+    size(split(trim(oovSegment(w, iters), US), US + US))
 
   /** Per-occurrence priced word stream (doc_id, w, n_sym nullable,
     * n_eff) — the ONE copy of the pricing rule every encode query
@@ -168,19 +171,19 @@ object BpeTrainer {
     * held-out): vocab hit -> n_sym, miss -> greedy merge application.
     */
   private def pricedWords(docs: DataFrame, vsize: DataFrame,
-      merges: DataFrame): DataFrame =
+      merges: DataFrame, iters: Int): DataFrame =
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
       .join(vsize, Seq("w"), "left")
-      .crossJoin(broadcast(mergeRow(merges)))
+      .crossJoin(broadcast(mergeRow(merges, iters)))
       .select(col("doc_id"), col("w"), col("n_sym"),
-        coalesce(col("n_sym"), oovSymbolCount(col("w"))).as("n_eff"))
+        coalesce(col("n_sym"), oovSymbolCount(col("w"), iters)).as("n_eff"))
 
   /** The shared pricing aggregation of q141/q146. */
   private def encode(docs: DataFrame, vsize: DataFrame,
-      merges: DataFrame): DataFrame = {
+      merges: DataFrame, iters: Int): DataFrame = {
     val nTok = sum(col("n_eff"))
-    pricedWords(docs, vsize, merges)
+    pricedWords(docs, vsize, merges, iters)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), nTok.as("n_tokens"),
         round(sum(length(col("w"))).cast("double") / nTok, 4)
@@ -307,7 +310,7 @@ object BpeTrainer {
       .select(col("w"),
         size(split(trim(col("seg"), US), US + US)).as("n_sym"))
     val nTok = sum(col("n_eff"))
-    pricedWords(held, vs, mergesFrame(docs, steps))
+    pricedWords(held, vs, mergesFrame(docs, steps), iters)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
         sum(when(col("n_sym").isNull && length(col("w")) >= 2, 1)
@@ -354,7 +357,7 @@ object BpeTrainer {
   def saveBpeModel(docs: DataFrame, path: String,
       iters: Int = BpeIters): Unit = {
     val (steps, vocab) = trained(docs, iters)
-    steps.reduce(_ unionAll _)
+    mergesFrame(docs, steps)
       .write.mode("overwrite").parquet(path + "/merges")
     vocabSizes(vocab).write.mode("overwrite").parquet(path + "/vocab")
   }
@@ -364,9 +367,17 @@ object BpeTrainer {
     * artifact's merge list (a <=BpeIters-row parquet) prices OOV words
     * through the same greedy-application chain.
     */
-  def encodeWithModel(docs: DataFrame, path: String): DataFrame =
+  def encodeWithModel(docs: DataFrame, path: String): DataFrame = {
+    val merges = docs.sparkSession.read.parquet(path + "/merges")
+    // the ARTIFACT decides the chain depth — a model trained with a
+    // non-default iteration count must price OOV words with ALL its
+    // merges, or the vocab-hit ≡ merge-chain invariance breaks; this
+    // is a <= iters-row metadata read, not a data-sized action
+    val iters = merges.agg(coalesce(max("step"), lit(0)))
+      .head.getInt(0)
     encode(docs, docs.sparkSession.read.parquet(path + "/vocab"),
-      docs.sparkSession.read.parquet(path + "/merges"))
+      merges, iters)
+  }
 
   /** Per-JVM memoized model artifact (the servedDedupIndex pattern):
     * bench run 1 pays training, runs 2-3 measure the SERVE-ONLY cost

@@ -24,10 +24,22 @@ def load(path):
     try:
         return json.loads(text)
     except json.JSONDecodeError:
-        m = re.search(r'\{"metric".*', text)
-        if not m:
-            raise SystemExit(f"{path}: no bench JSON found")
-        return json.loads(m.group(0))
+        # a log may hold several {"metric"...} lines (the full
+        # forensics line, then the compact tail summary) and truncation
+        # can corrupt any of them — prefer the first PARSEABLE one that
+        # carries the per-query map
+        parsed = []
+        for m in re.finditer(r'\{"metric".*', text):
+            try:
+                parsed.append(json.loads(m.group(0)))
+            except json.JSONDecodeError:
+                pass
+        full = [d for d in parsed if "queries" in d]
+        if full:
+            return full[0]
+        if parsed:
+            return parsed[0]
+        raise SystemExit(f"{path}: no parseable bench JSON found")
 
 
 def main():
@@ -39,6 +51,14 @@ def main():
     if len(args) != 2:
         raise SystemExit(__doc__)
     old, new = load(args[0]), load(args[1])
+    for label, d in (("OLD", old), ("NEW", new)):
+        if "queries" not in d:
+            # Bench's stdout now ENDS with a compact summary line (no
+            # per-query map) for the driver's tail parser; a truncated
+            # log may only contain that line
+            raise SystemExit(
+                f"{label} artifact has no per-query map (compact summary "
+                f"line only?) — use the full BENCH_LOCAL.json instead")
     oq, nq = old["queries"], new["queries"]
     both = sorted(set(oq) & set(nq))
     movers = [(k, oq[k], nq[k]) for k in both
