@@ -66,6 +66,17 @@ object ScaleProbe {
       graft.dedup.DedupQueries.dedupClustersStarOf(c).count())
     if (enabled("dup_ngrams")) probe("dup_ngrams", Seq(1, 4, 10))(c =>
       graft.dedup.DedupQueries.dupNgramStats(c, graft.dedup.DedupQueries.DupW).count())
+    // q152 span removal on the replicated corpus: every replica is
+    // fully duplicated, so the removable stream is (k-1)/k of ALL
+    // windows — the islands window's worst case — while the firsts
+    // agg collapses each window's k occurrences map-side before the
+    // exchange. Expect ~linear in k. Forces clean_text via a length
+    // sum (count() would let pruning drop the reassembly fold).
+    if (enabled("span_removal")) probe("span_removal", Seq(1, 4, 10))(c =>
+      graft.dedup.DedupQueries
+        .dupSpanRemoval(c, graft.dedup.DedupQueries.DupW)
+        .agg(sum(length(col("clean_text"))) + sum(col("n_removed")))
+        .head.getLong(0))
     // pairwise est graph: k^2 pair growth by construction — k capped
     if (enabled("minhash_pairs")) probe("minhash_pairs", Seq(1, 4))(c =>
       graft.dedup.DedupQueries.minhashPairsOf(c).count())

@@ -637,6 +637,50 @@ object DedupQueries {
       (s, d) => dupNgramStats(Tables.documents(s, d), DupW),
       Some(dupNgramOracleSql)),
 
+    // ---- q152: exact-substring span REMOVAL — the other half of the
+    // Lee et al. contract q97 only measures: every duplicated w-token
+    // window occurrence EXCEPT the corpus-first one (min (doc_id, pos)
+    // per window content) is cut, overlapping cut windows merge into
+    // maximal spans (gaps-and-islands), and each doc emits its cleaned
+    // text. (Standard ExactSubstr boundary behavior: a kept first
+    // window can still lose tail tokens to an overlapping removable
+    // span — e.g. intra-doc runs like "a a a a" — so the guarantee is
+    // per-OCCURRENCE, not one-surviving-copy-per-region.)
+    // Shuffles: one hash-keyed agg (map-side-combined min,
+    // so mega-duplicated boilerplate collapses in the mapper before the
+    // exchange), one hash join back, one doc-keyed window; reassembly
+    // is a doc-local O(n) fold over the span list — the raw token
+    // stream is never exploded or re-grouped.
+    Q("q152_dup_span_removal",
+      (s, d) => dupSpanRemoval(Tables.documents(s, d), DupW)
+        .orderBy("doc_id"),
+      Some(dupSpanRemovalOracleSql)),
+
+    // ---- q154: span scrubbing AT INGEST, served from the persisted
+    // n-gram window index — arriving docs lose every span the corpus
+    // already contains (build -> serve here; the ADVANCE append is
+    // DedupSpec-pinned through a two-batch flow). The arrival-side
+    // window stream semi-joins the columnar artifact; per-JVM memoized
+    // build, so bench min-of-3 measures the serve-only cost.
+    Q("q154_ingest_span_scrub",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        spanScrubAgainstIndex(s,
+          docs.filter(col("doc_id") >= NeardupArrivalSplit),
+          servedNgramIndex(s, docs, d), DupW).orderBy("doc_id")
+      },
+      Some(ingestSpanScrubOracleSql)),
+
+    // ---- q155: span-level benchmark DECONTAMINATION — q78 flags the
+    // doc, this cuts exactly the contaminated 13-gram spans and keeps
+    // the rest (see [[decontaminationSpanScrub]]). The benchmark gram
+    // set is tiny -> broadcast semi join; everything else is q152's
+    // islands machinery.
+    Q("q155_decontamination_scrub",
+      (s, d) => decontaminationSpanScrub(Tables.documents(s, d),
+        graft.text.TextQueries.DecontamW).orderBy("doc_id"),
+      Some(decontamScrubOracleSql)),
+
     // ---- q124: CORPUS-WIDE SEGMENT DEDUP (the C4/CCNet paragraph rule,
     // on deterministic fixed-width segmentation since the synthetic
     // corpus has no newline structure): every doc is cut into
@@ -1045,6 +1089,227 @@ object DedupQueries {
                 4) AS dup_frac
        FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id"""
 
+  /** Exact-substring span removal (q152): ExactSubstr dedup with
+    * first-copy retention. A w-token window occurrence (doc, pos) is
+    * removable iff it is NOT the corpus-first occurrence of its content
+    * (lexicographic min over (doc_id, pos) per 60-bit window hash — so
+    * a unique window is never removable and intra-doc repeats after the
+    * first are). Removable windows merge into maximal token spans per
+    * doc; the cleaned text is the concatenation of the gaps.
+    *
+    * Scale shape: the window stream is n_tokens rows/doc. The firsts
+    * agg is `min(struct)` keyed on the hash — partial aggregation means
+    * a window duplicated a million times corpus-wide ships ONE candidate
+    * row per map task, not a million; the join back is 1:N on the same
+    * key (AQE skew split handles pathological boilerplate). The islands
+    * window sorts only REMOVABLE positions per doc (<= n_tokens), and
+    * reassembly folds the (few) spans over the doc's own token array —
+    * no token-level explode/join/regroup anywhere.
+    */
+  def dupSpanRemoval(docs: DataFrame, w: Int): DataFrame = {
+    val wins = windowHashesOf(docs, w)
+    val firsts = wins.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+    val removable = wins.join(firsts, "h")
+      .where(struct(col("doc_id"), col("pos")) =!= col("f"))
+      .select("doc_id", "pos")
+    scrubSpans(docs, removable, w)
+  }
+
+  /** (doc_id, pos, h) stream of w-token window hashes — shared by the
+    * corpus-wide removal (q152) and the ingest-time scrub (q154).
+    */
+  private def windowHashesOf(docs: DataFrame, w: Int): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""CASE WHEN size(toks) >= $w
+           THEN transform(sequence(0, size(toks) - $w),
+                          i -> concat_ws(' ', slice(toks, i + 1, $w)))
+           ELSE cast(array() as array<string>) END""")))
+      .select(col("doc_id"), col("pos"), h60(col("col")).as("h"))
+
+  /** Merge removable window starts into maximal spans and reassemble
+    * each doc's cleaned text (the islands + fold half of q152/q154).
+    * UNSORTED — the declared queries add the oracle-parity
+    * `orderBy(doc_id)` themselves, so the streaming sink and the
+    * ScaleProbe sweeps never pay a per-batch global sort for an
+    * output order nothing consumes.
+    */
+  private def scrubSpans(docs: DataFrame, removable: DataFrame,
+      w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val before = byDoc.rowsBetween(Window.unboundedPreceding, -1)
+    val islands = removable
+      // new island iff this window starts past everything merged so far
+      .withColumn("brk", when(
+        col("pos") > coalesce(max(col("pos") + w).over(before), lit(-1)),
+        1).otherwise(0))
+      .withColumn("isl", sum("brk").over(byDoc))
+      .groupBy("doc_id", "isl")
+      .agg(min("pos").as("s"), (max(col("pos")) + lit(w)).as("e"))
+    val spans = islands.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("spans"),
+        count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s")).cast("long").as("n_removed"))
+    toks.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        when(col("spans").isNull, concat_ws(" ", col("toks")))
+          .otherwise(expr(
+            """array_join(aggregate(spans,
+                 named_struct('prev', 0, 'acc', cast(array() as array<string>)),
+                 (st, sp) -> named_struct('prev', sp.e,
+                   'acc', concat(st.acc, slice(toks, st.prev + 1, sp.s - st.prev))),
+                 st -> concat(st.acc,
+                   slice(toks, st.prev + 1, size(toks) - st.prev))), ' ')"""))
+          .as("clean_text"))
+  }
+
+  /** Shared oracle CTEs: toks (`t`) and the hashed window stream
+    * (`hh`) — the front half of the q152/q154/q155 twins.
+    */
+  private def spanWindowCtes(w: Int = DupW): String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents),
+       g AS (SELECT doc_id, i - 1 AS pos,
+               array_to_string(list_slice(toks, i, i + ${w - 1}), ' ') AS gram
+             FROM (SELECT doc_id, toks,
+                     unnest(range(1, greatest(len(toks) - ${w - 2}, 1))) AS i
+                   FROM t) x),
+       hh AS (SELECT doc_id, pos, ${h60Sql("gram")} AS h FROM g)"""
+
+  /** DuckDB twin of [[dupSpanRemoval]] at w = [[DupW]] (exact via h60;
+    * reassembly goes token-unnest + anti-join there — same values, the
+    * oracle does not need the fold's O(n) shape).
+    */
+  private lazy val dupSpanRemovalOracleSql: String =
+    s"""WITH ${spanWindowCtes()},
+       rem AS (SELECT doc_id, pos FROM (
+                 SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+                 FROM hh) r WHERE rn > 1),
+       ${spanScrubSqlTail("TRUE")}"""
+
+  /** Islands + reassembly SQL tail shared by q152/q154/q155: expects
+    * `t` and a removable-window CTE `rem(doc_id, pos)` in scope; emits
+    * one row per doc passing `docWhere` (over alias d).
+    */
+  private def spanScrubSqlTail(docWhere: String, w: Int = DupW): String =
+    s"""brk AS (SELECT doc_id, pos,
+                 CASE WHEN pos > coalesce(max(pos + $w) OVER
+                   (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                 THEN 1 ELSE 0 END AS b FROM rem),
+       isl1 AS (SELECT doc_id, pos,
+                  sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+                FROM brk),
+       isl AS (SELECT doc_id, isl, min(pos) AS s, max(pos) + $w AS e
+               FROM isl1 GROUP BY 1, 2),
+       sp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                CAST(sum(e - s) AS BIGINT) AS n_removed
+              FROM isl GROUP BY 1),
+       tok AS (SELECT doc_id, i - 1 AS idx, toks[i] AS tok
+               FROM (SELECT doc_id, toks,
+                       unnest(range(1, len(toks) + 1)) AS i FROM t) y),
+       keep AS (SELECT k.doc_id, k.idx, k.tok FROM tok k
+                LEFT JOIN isl ON k.doc_id = isl.doc_id
+                  AND k.idx >= isl.s AND k.idx < isl.e
+                WHERE isl.doc_id IS NULL),
+       agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean_text
+               FROM keep GROUP BY 1)
+       SELECT d.doc_id,
+              CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+              CAST(coalesce(sp.n_spans, 0) AS BIGINT) AS n_spans,
+              CAST(coalesce(sp.n_removed, 0) AS BIGINT) AS n_removed,
+              coalesce(a.clean_text, '') AS clean_text
+       FROM documents d LEFT JOIN sp ON d.doc_id = sp.doc_id
+            LEFT JOIN agg a ON d.doc_id = a.doc_id
+       WHERE $docWhere
+       ORDER BY d.doc_id"""
+
+  /** N-GRAM WINDOW INDEX — the persisted-artifact form of the q152
+    * machinery, for span scrubbing AT INGEST (q154): the corpus's
+    * distinct w-token window hashes are built once as a columnar
+    * artifact; every arriving doc is scrubbed of any span the corpus
+    * already contains (no first-copy exception — the retained copy
+    * lives in the corpus), and admitted text ADVANCES the index by
+    * appending its own distinct window hashes. Consumers are
+    * set-semantics (left-semi), so the advance is a pure append —
+    * re-added hashes are harmless, never a rewrite.
+    */
+  def buildNgramIndex(docs: DataFrame, w: Int, path: String): Unit =
+    windowHashesOf(docs, w).select("h").distinct()
+      .write.mode("overwrite").parquet(path + "/grams")
+
+  /** Append the admitted (post-scrub) docs' window hashes. */
+  def advanceNgramIndex(admitted: DataFrame, w: Int, path: String): Unit =
+    windowHashesOf(admitted, w).select("h").distinct()
+      .write.mode("append").parquet(path + "/grams")
+
+  /** Scrub arrivals against the persisted index: a window is removable
+    * iff its hash EXISTS in the artifact (left-semi join — arrival-side
+    * work only; the index is a columnar scan, never re-derived).
+    */
+  def spanScrubAgainstIndex(s: SparkSession, arrivals: DataFrame,
+      path: String, w: Int): DataFrame = {
+    val grams = s.read.parquet(path + "/grams")
+    scrubSpans(arrivals,
+      windowHashesOf(arrivals, w).join(grams, Seq("h"), "left_semi")
+        .select("doc_id", "pos"), w)
+  }
+
+  /** DuckDB twin of q154: index = distinct window hashes of the
+    * pre-arrival corpus, arrivals scrubbed via set membership.
+    */
+  private lazy val ingestSpanScrubOracleSql: String =
+    s"""WITH ${spanWindowCtes()},
+       idx AS (SELECT DISTINCT h FROM hh
+               WHERE doc_id < $NeardupArrivalSplit),
+       rem AS (SELECT doc_id, pos FROM hh
+               WHERE doc_id >= $NeardupArrivalSplit
+                 AND h IN (SELECT h FROM idx)),
+       ${spanScrubSqlTail(s"d.doc_id >= $NeardupArrivalSplit")}"""
+
+  /** The benchmark-stand-in split — the ONE definition q78's doc-level
+    * flag and q155's span scrub share ([[graft.text.TextQueries]]).
+    */
+  private def DecontamBench: Long = graft.text.TextQueries.DecontamBench
+
+  /** q155: SPAN-LEVEL benchmark decontamination — the surgical upgrade
+    * of q78's doc-level flag: instead of dropping every document that
+    * shares one 13-gram with the eval set (q78's `contaminated`
+    * boolean), only the contaminated SPANS are cut — the standard
+    * middle path when whole-doc removal would throw away good text.
+    * Removable = any w-token window whose hash appears in the
+    * benchmark's (tiny, broadcast) gram set; islands + reassembly as
+    * in q152. By construction: q78 flags a doc iff q155 removes > 0
+    * tokens from it (DedupSpec pins the equivalence).
+    */
+  def decontaminationSpanScrub(docs: DataFrame, w: Int): DataFrame = {
+    val wins = windowHashesOf(docs, w)
+    val bench = wins.filter(col("doc_id") < DecontamBench)
+      .select("h").distinct()
+    val removable = wins.filter(col("doc_id") >= DecontamBench)
+      .join(broadcast(bench), Seq("h"), "left_semi")
+      .select("doc_id", "pos")
+    scrubSpans(docs.filter(col("doc_id") >= DecontamBench), removable, w)
+  }
+
+  /** DuckDB twin of q155 at w = 13 (q78's width). */
+  private lazy val decontamScrubOracleSql: String = {
+    val w = graft.text.TextQueries.DecontamW
+    s"""WITH ${spanWindowCtes(w)},
+       idx AS (SELECT DISTINCT h FROM hh WHERE doc_id < $DecontamBench),
+       rem AS (SELECT doc_id, pos FROM hh
+               WHERE doc_id >= $DecontamBench
+                 AND h IN (SELECT h FROM idx)),
+       ${spanScrubSqlTail(s"d.doc_id >= $DecontamBench", w)}"""
+  }
+
   /** 60-bit SimHash per document: bit i set iff the sign-sum over token
     * hashes' bit i is positive. One explode + one groupBy with 60
     * codegen'd conditional sums — no UDF, fully distributed.
@@ -1401,6 +1666,18 @@ object DedupQueries {
       val idx = tempIndexDir("graft_dedup_index_shingle")
       buildDedupIndexFrom(
         signaturesFromTokens(shingleSets(docs, ShingleW)), idx)
+      idx
+    })
+
+  /** N-gram window index over the pre-arrival corpus, built once per
+    * corpus per JVM (the servedDedupIndex pattern) — q154's serve path.
+    */
+  private def servedNgramIndex(s: SparkSession, docs: DataFrame,
+      d: String): String =
+    dedupIndexCache.computeIfAbsent(d + "|ngram", _ => {
+      val idx = tempIndexDir("graft_ngram_index")
+      buildNgramIndex(docs.filter(col("doc_id") < NeardupArrivalSplit),
+        DupW, idx)
       idx
     })
 

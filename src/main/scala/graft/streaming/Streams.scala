@@ -180,6 +180,37 @@ object Streams {
       }
       .start()
 
+  /** Streaming span scrub + index advance — q154's loop live: each
+    * micro-batch of arriving docs is scrubbed against the persisted
+    * n-gram window index (spans the corpus already holds are cut), the
+    * cleaned docs land in `outDir` batch-tagged, and the index
+    * ADVANCES with the admitted CLEANED text's window hashes — batch
+    * N+1 is scrubbed against batch N's surviving novelty too.
+    * Per-batch cost: arrival-side windows semi-joined to the columnar
+    * artifact; the advance is a pure append (the index's consumers are
+    * set-semantics). Same replay caveat as the other advance sinks.
+    */
+  def spanScrubSink(docs: DataFrame, indexPath: String, w: Int,
+      checkpointDir: String, outDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // local persist, never CacheScope.retain (no flush point in a
+        // stream); cleaned feeds TWO actions (commit + advance)
+        val cleaned = graft.dedup.DedupQueries
+          .spanScrubAgainstIndex(batch.sparkSession, batch, indexPath, w)
+          .persist()
+        try {
+          cleaned.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outDir)
+          graft.dedup.DedupQueries.advanceNgramIndex(
+            cleaned.select(col("doc_id"), col("clean_text").as("text")),
+            w, indexPath)
+        } finally { cleaned.unpersist(); () }
+      }
+      .start()
+
   /** Streaming advance of the IVF index — the ANN-side twin of
     * [[nearDupIngestSink]]: each micro-batch of arriving FLAT vectors
     * (vec_id, i, v) is assigned to the artifact's FROZEN centroids and

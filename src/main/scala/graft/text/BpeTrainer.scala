@@ -368,16 +368,82 @@ object BpeTrainer {
     * through the same greedy-application chain.
     */
   def encodeWithModel(docs: DataFrame, path: String): DataFrame = {
-    val merges = docs.sparkSession.read.parquet(path + "/merges")
-    // the ARTIFACT decides the chain depth — a model trained with a
-    // non-default iteration count must price OOV words with ALL its
-    // merges, or the vocab-hit ≡ merge-chain invariance breaks; this
-    // is a <= iters-row metadata read, not a data-sized action
-    val iters = merges.agg(coalesce(max("step"), lit(0)))
-      .head.getInt(0)
-    encode(docs, docs.sparkSession.read.parquet(path + "/vocab"),
-      merges, iters)
+    val (merges, vocab, iters) = loadModel(docs.sparkSession, path)
+    encode(docs, vocab, merges, iters)
   }
+
+  /** Read the persisted model once: (merges, vocab, chain depth). The
+    * ARTIFACT decides the chain depth — a model trained with a
+    * non-default iteration count must price OOV words with ALL its
+    * merges, or the vocab-hit ≡ merge-chain invariance breaks; the
+    * depth read is a <= iters-row metadata action, not data-sized.
+    */
+  private def loadModel(s: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, DataFrame, Int) = {
+    val merges = s.read.parquet(path + "/merges")
+    val iters = merges.agg(coalesce(max("step"), lit(0))).head.getInt(0)
+    (merges, s.read.parquet(path + "/vocab"), iters)
+  }
+
+  /** q153: per-SOURCE token-compression drift, served from the
+    * persisted tokenizer artifact — the production monitor that says
+    * which feed's text suddenly prices worse (chars/token falling
+    * means more OOV-ish or noisier text from that source). One pass
+    * over the priced word stream, pre-aggregated to DOC granularity
+    * before `source` enters the plan (the word stream collapses
+    * map-side on doc_id, so the join and the source rollup move
+    * doc-sized rows, never word-sized); the corpus reference ratio
+    * comes from a window over the per-source rows (bounded by source
+    * cardinality, never data-sized).
+    */
+  def tokenCompressionBySource(docs: DataFrame,
+      path: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (merges, vocab, iters) = loadModel(docs.sparkSession, path)
+    val perDoc = pricedWords(docs, vocab, merges, iters)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_eff").as("n_tokens"),
+        sum(length(col("w"))).as("n_chars"))
+    val per = perDoc
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"),
+        sum("n_tokens").as("n_tokens"),
+        sum("n_chars").as("n_chars"))
+    val all = Window.partitionBy() // one row per SOURCE: bounded
+    val ratio = col("n_chars").cast("double") / col("n_tokens")
+    per.select(col("source"), col("n_docs"), col("n_words"),
+        col("n_tokens"),
+        round(ratio, 4).as("chars_per_token"),
+        round(ratio / (sum("n_chars").over(all).cast("double")
+          / sum("n_tokens").over(all)), 4).as("vs_corpus"))
+      .orderBy("source")
+  }
+
+  private def compressionOracleSql: String =
+    s"""WITH ${trainerCtes()},
+       vs AS (SELECT w, len(string_split(trim(seg, chr(31)),
+                chr(31) || chr(31))) AS n_sym FROM w$BpeIters),
+       $mergeRowCte,
+       dw AS (SELECT doc_id, source, w FROM (
+           SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+           FROM documents) x WHERE w <> ''),
+       pr AS (SELECT source, doc_id, w,
+                coalesce(n_sym, ${oovCountSql("w")}) AS n_eff
+              FROM dw LEFT JOIN vs USING (w), mg),
+       per AS (SELECT source,
+                 CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                 CAST(count(*) AS BIGINT) AS n_words,
+                 CAST(sum(n_eff) AS BIGINT) AS n_tokens,
+                 CAST(sum(len(w)) AS BIGINT) AS n_chars
+               FROM pr GROUP BY source)
+       SELECT source, n_docs, n_words, n_tokens,
+         round(CAST(n_chars AS DOUBLE) / n_tokens, 4) AS chars_per_token,
+         round((CAST(n_chars AS DOUBLE) / n_tokens) /
+           (CAST(sum(n_chars) OVER () AS DOUBLE) / sum(n_tokens) OVER ()),
+           4) AS vs_corpus
+       FROM per ORDER BY source"""
 
   /** Per-JVM memoized model artifact (the servedDedupIndex pattern):
     * bench run 1 pays training, runs 2-3 measure the SERVE-ONLY cost
@@ -410,5 +476,12 @@ object BpeTrainer {
     // application instead of a flat unk cost.
     Q("q151_bpe_oov_encode",
       (s, d) => bpeEncodeHeldOut(Tables.documents(s, d)).orderBy("doc_id"),
-      Some(heldOutOracleSql)))
+      Some(heldOutOracleSql)),
+    // ---- q153: compression-ratio drift per source off the SERVED
+    // artifact — the tokenizer-health dashboard a feed-quality rotation
+    // watches; see [[tokenCompressionBySource]].
+    Q("q153_token_compression",
+      (s, d) => tokenCompressionBySource(Tables.documents(s, d),
+        servedModel(s, d)),
+      Some(compressionOracleSql)))
 }

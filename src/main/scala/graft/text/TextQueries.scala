@@ -496,7 +496,7 @@ object TextQueries {
         val w = DecontamW
         val grams = graft.dedup.DedupQueries.shingleSets(
           Tables.documents(s, d), w)
-        val bench = grams.filter(col("doc_id") < 5)
+        val bench = grams.filter(col("doc_id") < DecontamBench)
           .select(col("token").as("bgram")).distinct()
         val nGrams = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
         val hits = grams.join(broadcast(bench), col("token") === col("bgram"))
@@ -518,7 +518,8 @@ object TextQueries {
                    unnest(range(1, greatest(len(toks) - ${w - 2}, 1))) AS i
                  FROM (SELECT doc_id, string_split(text, ' ') AS toks
                        FROM documents) d) x),
-           bench AS (SELECT DISTINCT token FROM tok WHERE doc_id < 5),
+           bench AS (SELECT DISTINCT token FROM tok
+                     WHERE doc_id < $DecontamBench),
            ng AS (SELECT doc_id, count(*) AS n_grams FROM tok GROUP BY 1),
            h AS (SELECT doc_id, count(*) AS n_hits FROM tok
                  JOIN bench USING (token) GROUP BY 1)
@@ -1427,10 +1428,13 @@ object TextQueries {
   val MixAlpha = 0.7
   val MixBudget = 1e9
 
-  /** Decontamination n-gram width (the community-standard 13) and the
-    * packing context size in tokens.
+  /** Decontamination n-gram width (the community-standard 13), the
+    * benchmark-stand-in split (docs 0 to DecontamBench-1 play the eval
+    * set — the ONE definition q78's flag and q155's span scrub share),
+    * and the packing context size in tokens.
     */
   val DecontamW = 13
+  val DecontamBench = 5L
   val PackCtxTokens = 2048
 
   /** PMI co-occurrence params: window of +1..+2 token offsets, count

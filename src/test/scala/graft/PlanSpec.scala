@@ -227,6 +227,26 @@ class PlanSpec extends AnyFunSuite {
       "segment dedup must not plan any join")
   }
 
+  test("q152 span removal: map-side-combined firsts agg, no cartesian") {
+    val p = plan("q152_dup_span_removal")
+    // the corpus-first decision must be a partial-aggregated min on the
+    // window hash (mega-duplicated boilerplate collapses in the
+    // mapper), never a sort-per-hash-group window over raw occurrences
+    assert(p.contains("partial_min"),
+      "expected map-side partial min for the firsts agg")
+    assert(!p.contains("CartesianProduct"), "span removal planned a cross")
+  }
+
+  test("q154 ingest scrub reads the gram artifact, never rebuilds it") {
+    val p = plan("q154_ingest_span_scrub")
+    // the index side must be the ARTIFACT's columnar scan — its temp-dir
+    // prefix shows up in the scan location ('Scan parquet' alone would
+    // be vacuously true of the documents.parquet scan)
+    assert(p.contains("graft_ngram_index"),
+      "expected a scan of the persisted gram artifact")
+    assert(p.contains("LeftSemi"), "expected the set-membership semi join")
+  }
+
   test("q126 rerank stage broadcasts the bounded candidate set") {
     val p = plan("q126_retrieve_rerank")
     // stage 2's per-pair intersection joins the full posting relation

@@ -105,6 +105,78 @@ class DedupSpec extends AnyFunSuite {
     assert(rows(4) == ((0L, 0L, 0.0)), "sub-window doc has no windows")
   }
 
+  test("dupSpanRemoval: first copy survives, later copies cut as one span") {
+    val w = 3
+    // doc 0 carries the original block; doc 1 embeds the same 5-token
+    // block inside otherwise-unique text; doc 2 is fully unique; doc 3
+    // is shorter than w; doc 4 is an exact twin of doc 2 (fully removed)
+    val docs = Seq(
+      (0L, "a b c d e"),
+      (1L, "u1 u2 a b c d e u3 u4"),
+      (2L, "m n o p q r"),
+      (3L, "s t"),
+      (4L, "m n o p q r"))
+      .toDF("doc_id", "text")
+    val rows = DedupQueries.dupSpanRemoval(docs, w).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(rows(0) == ((5L, 0L, 0L, "a b c d e")), "first copy untouched")
+    // doc 1: windows at pos 2..4 duplicate doc 0's -> one island [2, 7)
+    assert(rows(1) == ((9L, 1L, 5L, "u1 u2 u3 u4")),
+      "embedded block excised as one merged span")
+    assert(rows(2) == ((6L, 0L, 0L, "m n o p q r")))
+    assert(rows(3) == ((2L, 0L, 0L, "s t")), "sub-window doc untouched")
+    assert(rows(4) == ((6L, 1L, 6L, "")), "exact twin fully removed")
+  }
+
+  test("q154 ingest scrub + index advance: corpus spans cut on arrival; " +
+      "admitted novelty scrubs the NEXT batch") {
+    val w = 3
+    val dir = graft.TempArtifacts.dir("ngram_idx_test")
+    val corpus = Seq((0L, "a b c d e")).toDF("doc_id", "text")
+    DedupQueries.buildNgramIndex(corpus, w, dir)
+    // batch 1: the corpus block is scrubbed even though it is this
+    // batch's FIRST occurrence (contrast q152); novelty survives
+    val b1 = Seq((10L, "p q a b c d e r s"), (11L, "x y z w v"))
+      .toDF("doc_id", "text")
+    val out1 = DedupQueries.spanScrubAgainstIndex(spark, b1, dir, w)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(out1 == Map(10L -> "p q r s", 11L -> "x y z w v"), s"$out1")
+    // advance with the admitted novel text; batch 2 embedding it is cut
+    DedupQueries.advanceNgramIndex(
+      Seq((11L, "x y z w v")).toDF("doc_id", "text"), w, dir)
+    val out2 = DedupQueries.spanScrubAgainstIndex(spark,
+        Seq((20L, "k1 k2 x y z w v k3 k4")).toDF("doc_id", "text"), dir, w)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(out2 == Map(20L -> "k1 k2 k3 k4"), s"$out2")
+  }
+
+  test("q155 decontamination scrub removes tokens exactly from the docs " +
+      "q78 flags as contaminated") {
+    val flagged = graft.QueryRegistry.queries("q78_decontamination")(spark, sf)
+      .filter(col("contaminated")
+        && col("doc_id") >= graft.text.TextQueries.DecontamBench)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val scrubbed = graft.QueryRegistry
+      .queries("q155_decontamination_scrub")(spark, sf)
+      .filter(col("n_removed") > 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(scrubbed == flagged, s"scrubbed=$scrubbed flagged=$flagged")
+  }
+
+  test("dupSpanRemoval conserves tokens: kept + removed = total (sf0.001)") {
+    val rows = graft.QueryRegistry
+      .queries("q152_dup_span_removal")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tot, rem) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"))
+      val clean = r.getAs[String]("clean_text")
+      val kept = if (clean.isEmpty) 0L else clean.split(" ").length.toLong
+      assert(kept == tot - rem, s"doc ${r.get(0)}: $kept != $tot - $rem")
+      assert(r.getAs[Long]("n_spans") <= rem, s"doc ${r.get(0)} span count")
+    }
+  }
+
   test("per-row HOF simhash is bit-identical to the explode+groupBy path") {
     val docs = graft.Tables.documents(spark, sf)
     val agg = DedupQueries.simhashOf(docs)

@@ -91,6 +91,25 @@ class EmptyInputSpec extends AnyFunSuite {
       && rows.head.getAs[Double]("containment") == 1.0)
   }
 
+  test("span removal family handles empty corpora and empty indexes") {
+    assert(DedupQueries.dupSpanRemoval(empty, 3).count() == 0)
+    assert(DedupQueries.decontaminationSpanScrub(empty, 3).count() == 0)
+    // an index built from an EMPTY corpus serves as a no-op scrub (the
+    // grams artifact is a schema-only parquet; the semi join keeps
+    // nothing, the doc passes through intact)
+    val dir = graft.TempArtifacts.dir("ngram_idx_empty")
+    DedupQueries.buildNgramIndex(empty, 3, dir)
+    val out = DedupQueries.spanScrubAgainstIndex(spark,
+      Seq((7L, "a b c d")).toDF("doc_id", "text"), dir, 3).head()
+    assert(out.getAs[Long]("n_removed") == 0L
+      && out.getAs[String]("clean_text") == "a b c d")
+    // scrubbing an EMPTY arrival batch against a real index is empty
+    DedupQueries.advanceNgramIndex(
+      Seq((0L, "a b c d")).toDF("doc_id", "text"), 3, dir)
+    assert(DedupQueries.spanScrubAgainstIndex(spark, empty, dir, 3)
+      .count() == 0)
+  }
+
   test("BPE trainer/encode survive empty and single-char corpora") {
     import graft.text.BpeTrainer
     // empty corpus: no merges, no encoded docs — and no error

@@ -310,6 +310,58 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming span scrub: foreachBatch lifecycle matches the q154 batch flow") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.dedup.DedupQueries
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val w = DedupQueries.DupW
+    val split1 = 25L; val split2 = 40L
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    // batch 1 gets a guaranteed-duplicated arrival: an exact copy of
+    // doc 0 (indexed), so the scrub provably fires
+    val dup = docs.filter(col("doc_id") === 0L)
+      .as[(Long, String)].head()._2
+    val b1 = docs.filter(col("doc_id") >= split1 && col("doc_id") < split2)
+      .as[(Long, String)].collect().toSeq :+ (100000L, dup)
+    val b2 = docs.filter(col("doc_id") >= split2)
+      .as[(Long, String)].collect().toSeq
+    def row5(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+    // batch twin: scrub b1, advance with b1's CLEANED text, scrub b2
+    val idxB = tmp("graft_ngram_batch")
+    DedupQueries.buildNgramIndex(docs.filter(col("doc_id") < split1), w, idxB)
+    val c1 = DedupQueries.spanScrubAgainstIndex(spark,
+      b1.toDF("doc_id", "text"), idxB, w).collect().toSeq
+    DedupQueries.advanceNgramIndex(
+      c1.map(r => (r.getLong(0), r.getString(4))).toDF("doc_id", "text"),
+      w, idxB)
+    val c2 = DedupQueries.spanScrubAgainstIndex(spark,
+      b2.toDF("doc_id", "text"), idxB, w).collect().toSeq
+    val want = (c1 ++ c2).map(row5).sortBy(_._1)
+    // stream: same base index, same micro-batch boundaries
+    val idxS = tmp("graft_ngram_stream")
+    DedupQueries.buildNgramIndex(docs.filter(col("doc_id") < split1), w, idxS)
+    val out = tmp("graft_span_out") + "/cleaned"
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.spanScrubSink(mem.toDF.toDF("doc_id", "text"), idxS, w,
+      tmp("graft_span_ckpt"), out)
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out)
+      .select("doc_id", "n_tokens", "n_spans", "n_removed", "clean_text")
+      .collect().toSeq.map(row5).sortBy(_._1)
+    assert(got.nonEmpty && got == want)
+    // the planted twin was fully scrubbed — the equality is not vacuous
+    assert(got.find(_._1 == 100000L).exists(r => r._4 == r._2 && r._5 == ""),
+      s"planted twin not scrubbed: ${got.find(_._1 == 100000L)}")
+    graft.CacheScope.flush(spark)
+  }
+
   test("streaming index advance: foreachBatch lifecycle matches the q119 batch flow") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

@@ -145,4 +145,25 @@ class BpePropertiesSpec extends AnyFunSuite {
       graft.CacheScope.flush(spark)
     }
   }
+
+  test("q153 compression drift: per-source totals tie to the per-doc " +
+      "encode; vs_corpus straddles 1") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = graft.TempArtifacts.dir("bpe_q153_test")
+    BpeTrainer.saveBpeModel(docs, dir)
+    val rows = BpeTrainer.tokenCompressionBySource(docs, dir).collect()
+    assert(rows.length > 1, "needs several sources to be a drift monitor")
+    // artifact-served per-source masses == recompute per-doc masses
+    val perDoc = BpeTrainer.bpeEncodeOf(docs).collect()
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum
+      == perDoc.map(_.getAs[Long]("n_tokens")).sum)
+    assert(rows.map(_.getAs[Long]("n_words")).sum
+      == perDoc.map(_.getAs[Long]("n_words")).sum)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == perDoc.length.toLong)
+    // vs_corpus is a token-weighted mean-1 ratio: some source sits at
+    // or below the corpus ratio, some at or above
+    val vs = rows.map(_.getAs[Double]("vs_corpus"))
+    assert(vs.min <= 1.0 && 1.0 <= vs.max, vs.mkString(","))
+    graft.CacheScope.flush(spark)
+  }
 }
