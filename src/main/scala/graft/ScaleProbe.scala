@@ -77,6 +77,25 @@ object ScaleProbe {
         .dupSpanRemoval(c, graft.dedup.DedupQueries.DupW)
         .agg(sum(length(col("clean_text"))) + sum(col("n_removed")))
         .head.getLong(0))
+    // q154 serve cost: index built ONCE on the base corpus, arrivals
+    // replicated k-fold — every arrival is an exact twin of an indexed
+    // doc, so ALL its windows are removable (the scrub's worst case:
+    // maximal islands, maximal removal). Cost must be linear in the
+    // ARRIVAL volume and independent of k on the index side.
+    // Measured (local[32], sf0.1 base): k=1 4.3 s (plan/codegen
+    // warmup), k=4 3.4 s, k=10 4.1 s — 10x the arrivals stays inside
+    // the fixed-cost envelope; the data-sized terms (window stream,
+    // semi join, islands, fold) are a minority of wall time at probe
+    // scale.
+    if (enabled("span_scrub")) {
+      val w = graft.dedup.DedupQueries.DupW
+      val idx = TempArtifacts.dir("probe_ngram_idx")
+      graft.dedup.DedupQueries.buildNgramIndex(base, w, idx)
+      probe("span_scrub", Seq(1, 4, 10))(c =>
+        graft.dedup.DedupQueries.spanScrubAgainstIndex(spark, c, idx, w)
+          .agg(sum(length(col("clean_text"))) + sum(col("n_removed")))
+          .head.getLong(0))
+    }
     // pairwise est graph: k^2 pair growth by construction — k capped
     if (enabled("minhash_pairs")) probe("minhash_pairs", Seq(1, 4))(c =>
       graft.dedup.DedupQueries.minhashPairsOf(c).count())

@@ -681,6 +681,19 @@ object DedupQueries {
         graft.text.TextQueries.DecontamW).orderBy("doc_id"),
       Some(decontamScrubOracleSql)),
 
+    // ---- q156: n-gram index COMPACTION — the maintenance stage of the
+    // q154 lifecycle. Advance is a pure append, so replayed batches
+    // (the at-least-once sink caveat) bloat the artifact with duplicate
+    // hash rows and small files; compaction rewrites the distinct set
+    // under v2 behind the atomic CURRENT pointer and provably changes
+    // nothing a set-semantics consumer can see. See
+    // [[indexCompactionFlow]]; the oracle derives every count and the
+    // post-compaction re-scrub from the same set algebra.
+    Q("q156_index_compaction",
+      (s, d) => indexCompactionFlow(s, Tables.documents(s, d),
+        NeardupArrivalSplit, DupW),
+      Some(indexCompactionOracleSql)),
+
     // ---- q124: CORPUS-WIDE SEGMENT DEDUP (the C4/CCNet paragraph rule,
     // on deterministic fixed-width segmentation since the synthetic
     // corpus has no newline structure): every doc is cut into
@@ -1194,33 +1207,51 @@ object DedupQueries {
                  FROM hh) r WHERE rn > 1),
        ${spanScrubSqlTail("TRUE")}"""
 
+  /** tok(doc_id, idx, tok) over the `t` token arrays — shared by the
+    * scrub chains (named spanTok: `tokCte` above is the shingle one).
+    */
+  private val spanTokCteSql: String =
+    """spantok AS (SELECT doc_id, i - 1 AS idx, toks[i] AS tok
+               FROM (SELECT doc_id, toks,
+                       unnest(range(1, len(toks) + 1)) AS i FROM t) y)"""
+
+  /** Islands + reassembly CTE chain, all names prefixed with `p` so
+    * two scrubs can coexist in one statement (q156 runs pre- and
+    * post-advance scrubs): expects `spantok` and a removable-window
+    * relation `rem(doc_id, pos)` in scope; ends with
+    * `${p}sp(doc_id, n_spans, n_removed)` and
+    * `${p}agg(doc_id, clean_text)` — a doc missing from `agg` kept
+    * zero tokens, a doc missing from `sp` had nothing removed.
+    */
+  private def spanScrubChainSql(p: String, rem: String, w: Int): String =
+    s"""${p}brk AS (SELECT doc_id, pos,
+                 CASE WHEN pos > coalesce(max(pos + $w) OVER
+                   (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                 THEN 1 ELSE 0 END AS b FROM $rem),
+       ${p}isl1 AS (SELECT doc_id, pos,
+                  sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+                FROM ${p}brk),
+       ${p}isl AS (SELECT doc_id, isl, min(pos) AS s, max(pos) + $w AS e
+               FROM ${p}isl1 GROUP BY 1, 2),
+       ${p}sp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                CAST(sum(e - s) AS BIGINT) AS n_removed
+              FROM ${p}isl GROUP BY 1),
+       ${p}keep AS (SELECT k.doc_id, k.idx, k.tok FROM spantok k
+                LEFT JOIN ${p}isl ON k.doc_id = ${p}isl.doc_id
+                  AND k.idx >= ${p}isl.s AND k.idx < ${p}isl.e
+                WHERE ${p}isl.doc_id IS NULL),
+       ${p}agg AS (SELECT doc_id,
+                 string_agg(tok, ' ' ORDER BY idx) AS clean_text
+               FROM ${p}keep GROUP BY 1)"""
+
   /** Islands + reassembly SQL tail shared by q152/q154/q155: expects
     * `t` and a removable-window CTE `rem(doc_id, pos)` in scope; emits
     * one row per doc passing `docWhere` (over alias d).
     */
   private def spanScrubSqlTail(docWhere: String, w: Int = DupW): String =
-    s"""brk AS (SELECT doc_id, pos,
-                 CASE WHEN pos > coalesce(max(pos + $w) OVER
-                   (PARTITION BY doc_id ORDER BY pos
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-                 THEN 1 ELSE 0 END AS b FROM rem),
-       isl1 AS (SELECT doc_id, pos,
-                  sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
-                FROM brk),
-       isl AS (SELECT doc_id, isl, min(pos) AS s, max(pos) + $w AS e
-               FROM isl1 GROUP BY 1, 2),
-       sp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
-                CAST(sum(e - s) AS BIGINT) AS n_removed
-              FROM isl GROUP BY 1),
-       tok AS (SELECT doc_id, i - 1 AS idx, toks[i] AS tok
-               FROM (SELECT doc_id, toks,
-                       unnest(range(1, len(toks) + 1)) AS i FROM t) y),
-       keep AS (SELECT k.doc_id, k.idx, k.tok FROM tok k
-                LEFT JOIN isl ON k.doc_id = isl.doc_id
-                  AND k.idx >= isl.s AND k.idx < isl.e
-                WHERE isl.doc_id IS NULL),
-       agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean_text
-               FROM keep GROUP BY 1)
+    s"""$spanTokCteSql,
+       ${spanScrubChainSql("", "rem", w)}
        SELECT d.doc_id,
               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
               CAST(coalesce(sp.n_spans, 0) AS BIGINT) AS n_spans,
@@ -1240,26 +1271,156 @@ object DedupQueries {
     * appending its own distinct window hashes. Consumers are
     * set-semantics (left-semi), so the advance is a pure append —
     * re-added hashes are harmless, never a rewrite.
+    *
+    * The artifact lives under a VERSIONED root
+    * ([[graft.sources.ArtifactVersions]]): build and
+    * [[compactNgramIndex]] publish immutable `vN` directories behind
+    * the atomic CURRENT pointer; only the LIVE version's grams dir
+    * ever receives advance appends. Appends accumulate one file and
+    * one distinct-set per batch — replays (the at-least-once sink
+    * caveat) and cross-batch overlap add duplicate rows — so
+    * compaction periodically rewrites the distinct set under the next
+    * version and flips the pointer, with in-flight readers keeping
+    * whichever version they resolved (q156 declares the whole loop).
     */
-  def buildNgramIndex(docs: DataFrame, w: Int, path: String): Unit =
+  def buildNgramIndex(docs: DataFrame, w: Int, root: String): Unit = {
+    val v = graft.sources.ArtifactVersions.prepareNext(root)
     windowHashesOf(docs, w).select("h").distinct()
-      .write.mode("overwrite").parquet(path + "/grams")
+      .write.parquet(v + "/grams")
+    graft.sources.ArtifactVersions.publish(root, v)
+  }
+
+  /** The live version's grams dir — build/compact publish versions,
+    * the advance path appends into the live one.
+    */
+  private def liveGramsDir(root: String): String =
+    graft.sources.ArtifactVersions.current(root)
+      .getOrElse(sys.error(s"no published n-gram index under $root")) +
+      "/grams"
 
   /** Append the admitted (post-scrub) docs' window hashes. */
-  def advanceNgramIndex(admitted: DataFrame, w: Int, path: String): Unit =
+  def advanceNgramIndex(admitted: DataFrame, w: Int, root: String): Unit =
     windowHashesOf(admitted, w).select("h").distinct()
-      .write.mode("append").parquet(path + "/grams")
+      .write.mode("append").parquet(liveGramsDir(root))
+
+  /** COMPACT the live grams artifact into the next version: one
+    * distinct over the accumulated appends, written fresh and
+    * atomically published. Scrub results are provably unchanged
+    * (left-semi consumers are set-semantics; DedupSpec pins frame
+    * equality), the duplicate rows replayed appends left behind are
+    * gone, and the small-files accumulation resets to one write.
+    */
+  def compactNgramIndex(s: SparkSession, root: String): Unit = {
+    val v = graft.sources.ArtifactVersions.prepareNext(root)
+    s.read.parquet(liveGramsDir(root)).distinct()
+      .write.parquet(v + "/grams")
+    graft.sources.ArtifactVersions.publish(root, v)
+  }
 
   /** Scrub arrivals against the persisted index: a window is removable
     * iff its hash EXISTS in the artifact (left-semi join — arrival-side
     * work only; the index is a columnar scan, never re-derived).
     */
   def spanScrubAgainstIndex(s: SparkSession, arrivals: DataFrame,
-      path: String, w: Int): DataFrame = {
-    val grams = s.read.parquet(path + "/grams")
+      root: String, w: Int): DataFrame = {
+    val grams = s.read.parquet(liveGramsDir(root))
     scrubSpans(arrivals,
       windowHashesOf(arrivals, w).join(grams, Seq("h"), "left_semi")
         .select("doc_id", "pos"), w)
+  }
+
+  /** q156: the index MAINTENANCE loop — build v1, scrub the arrival
+    * wave, advance with its admitted text TWICE (the documented
+    * at-least-once replay), COMPACT under v2, re-serve. One output
+    * row: artifact row counts around compaction (the replayed advance
+    * makes the shrink provable — n_before = n_base + 2·n_adv,
+    * n_after = |base ∪ adv|) plus the re-scrub aggregate off the
+    * compacted index: re-sending already-admitted docs yields almost
+    * no novelty, because the advance put their cleaned content IN the
+    * index — only seam windows created by the first span removal
+    * survive. Fresh version root per call (advance mutates the live
+    * version; a memoized copy would be poisoned — the q119/q150
+    * discipline); the counts are scheduler-grade scalars, not
+    * data-sized collects.
+    */
+  def indexCompactionFlow(s: SparkSession, docs: DataFrame, split: Long,
+      w: Int): DataFrame = {
+    val root = graft.TempArtifacts.dir("graft_ngram_versions")
+    buildNgramIndex(docs.filter(col("doc_id") < split), w, root)
+    val nBase = s.read.parquet(liveGramsDir(root)).count()
+    val arrivals = docs.filter(col("doc_id") >= split)
+    // materialize the admitted batch BEFORE advancing: a replayed batch
+    // re-delivers the same bytes, so the replay must append the same
+    // payload — a lazy (even cached) scrub plan would NOT model that,
+    // because the first append refreshes the grams path and the
+    // re-materialized plan would scrub against the already-advanced
+    // index, turning the "replay" into an empty append
+    spanScrubAgainstIndex(s, arrivals, root, w)
+      .select(col("doc_id"), col("clean_text").as("text"))
+      .write.parquet(root + "/admitted")
+    val admitted = s.read.parquet(root + "/admitted")
+    advanceNgramIndex(admitted, w, root) // the normal advance...
+    advanceNgramIndex(admitted, w, root) // ...and its at-least-once replay
+    val nBefore = s.read.parquet(liveGramsDir(root)).count()
+    compactNgramIndex(s, root)
+    val nAfter = s.read.parquet(liveGramsDir(root)).count()
+    val live = java.nio.file.Paths.get(graft.sources.ArtifactVersions
+      .current(root).get).getFileName.toString
+    spanScrubAgainstIndex(s, arrivals, root, w)
+      .agg(count(lit(1)).as("rescrub_docs"),
+        sum("n_removed").as("rescrub_removed"),
+        sum(length(col("clean_text"))).cast("long")
+          .as("rescrub_clean_chars"))
+      .select(lit(live).as("live_version"), lit(nBase).as("n_base"),
+        lit((nBefore - nBase) / 2).as("n_adv"),
+        lit(nBefore).as("n_before"), lit(nAfter).as("n_after"),
+        col("rescrub_docs"), col("rescrub_removed"),
+        col("rescrub_clean_chars"))
+  }
+
+  /** DuckDB twin of q156: the whole lifecycle in set algebra — idx =
+    * corpus grams, the first scrub's cleaned arrival text re-windowed
+    * into the advance payload `ch`, idx2 = idx ∪ ch, and the re-scrub
+    * chain run against idx2.
+    */
+  private lazy val indexCompactionOracleSql: String = {
+    val sp = NeardupArrivalSplit
+    s"""WITH ${spanWindowCtes()},
+       idx AS (SELECT DISTINCT h FROM hh WHERE doc_id < $sp),
+       rem AS (SELECT doc_id, pos FROM hh
+               WHERE doc_id >= $sp AND h IN (SELECT h FROM idx)),
+       $spanTokCteSql,
+       ${spanScrubChainSql("", "rem", DupW)},
+       cw AS (SELECT doc_id, string_split(clean_text, ' ') AS toks
+              FROM agg WHERE doc_id >= $sp),
+       cg AS (SELECT doc_id,
+                array_to_string(list_slice(toks, i, i + ${DupW - 1}), ' ')
+                  AS gram
+              FROM (SELECT doc_id, toks,
+                      unnest(range(1, greatest(len(toks) - ${DupW - 2}, 1)))
+                        AS i FROM cw) x),
+       ch AS (SELECT DISTINCT ${h60Sql("gram")} AS h FROM cg),
+       idx2 AS (SELECT h FROM idx UNION SELECT h FROM ch),
+       rem2 AS (SELECT doc_id, pos FROM hh
+                WHERE doc_id >= $sp AND h IN (SELECT h FROM idx2)),
+       ${spanScrubChainSql("r", "rem2", DupW)},
+       res AS (SELECT CAST(count(*) AS BIGINT) AS rescrub_docs,
+                 CAST(coalesce(sum(coalesce(rsp.n_removed, 0)), 0)
+                   AS BIGINT) AS rescrub_removed,
+                 CAST(coalesce(sum(len(coalesce(ragg.clean_text, ''))), 0)
+                   AS BIGINT) AS rescrub_clean_chars
+               FROM documents d
+               LEFT JOIN rsp ON d.doc_id = rsp.doc_id
+               LEFT JOIN ragg ON d.doc_id = ragg.doc_id
+               WHERE d.doc_id >= $sp)
+       SELECT 'v2' AS live_version,
+         (SELECT CAST(count(*) AS BIGINT) FROM idx) AS n_base,
+         (SELECT CAST(count(*) AS BIGINT) FROM ch) AS n_adv,
+         CAST((SELECT count(*) FROM idx) + 2 * (SELECT count(*) FROM ch)
+           AS BIGINT) AS n_before,
+         (SELECT CAST(count(*) AS BIGINT) FROM idx2) AS n_after,
+         rescrub_docs, rescrub_removed, rescrub_clean_chars
+       FROM res"""
   }
 
   /** DuckDB twin of q154: index = distinct window hashes of the

@@ -91,23 +91,39 @@ object TextQueries {
     // ---- quality score: integer-exact arithmetic so both engines agree
     // bit-for-bit before rounding.
     Q("q26_quality_score",
-      (s, d) =>
-        Tables.documents(s, d)
-          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
-          .withColumn("avg_len",
-            (length(col("text")).cast("long") - col("n_tokens") + 1).cast("double") / col("n_tokens"))
-          .withColumn("score", round(
-            least(col("n_tokens"), lit(200L)).cast("double") / 200d * 0.6
-              + when(col("avg_len").between(3d, 8d), 0.4).otherwise(0.1), 4))
-          .select("doc_id", "n_tokens", "score")
-          .orderBy("doc_id"),
-      Some("""SELECT doc_id, n_tokens,
-             round(CAST(least(n_tokens, 200) AS DOUBLE) / 200 * 0.6 +
-                   CASE WHEN avg_len BETWEEN 3 AND 8 THEN 0.4 ELSE 0.1 END, 4) AS score
-             FROM (SELECT doc_id, len(string_split(text,' ')) AS n_tokens,
-                   CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE)
-                     / len(string_split(text,' ')) AS avg_len
-                   FROM documents) t ORDER BY doc_id""")),
+      (s, d) => qualityScored(Tables.documents(s, d))
+        .select("doc_id", "n_tokens", "score")
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, n_tokens, score FROM ($qualityScoredSql) t
+             ORDER BY doc_id""")),
+
+    // ---- q157: per-source RELATIVE quality gate — absolute quality
+    // thresholds don't transfer across heterogeneous feeds (short-post
+    // and long-article sources have different score distributions), so
+    // the standard curation knob is "keep the top share of EACH
+    // source". percent_rank within the source partition, tie-aware
+    // (equal scores share a percentile — the gate never splits ties
+    // arbitrarily), keep iff pct >= theta. The rank window is a
+    // sort-per-source — the exact path; the 100 TB approximate path
+    // swaps it for a per-source quantile sketch broadcast against the
+    // scan (q52's machinery), same gate with no global sort.
+    Q("q157_source_quality_gate",
+      (s, d) => {
+        val byScore = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("score")
+        qualityScored(Tables.documents(s, d))
+          .select(col("source"), col("doc_id"), col("score"),
+            round(percent_rank().over(byScore), 4).as("pct"))
+          .withColumn("keep", col("pct") >= lit(QgTheta))
+          .orderBy("source", "doc_id")
+      },
+      Some(s"""SELECT source, doc_id, score, pct,
+               pct >= $QgTheta AS keep FROM (
+             SELECT source, doc_id, score,
+               round(percent_rank() OVER (
+                 PARTITION BY source ORDER BY score), 4) AS pct
+             FROM ($qualityScoredSql) s1) s2
+             ORDER BY source, doc_id""")),
 
     // ---- BPE-ish regex tokenization: letter runs / digit runs / single
     // punctuation, top 50 by frequency. Same regex class syntax in Java
@@ -1427,6 +1443,36 @@ object TextQueries {
   /** Mixing temperature (alpha) and token budget for q114. */
   val MixAlpha = 0.7
   val MixBudget = 1e9
+
+  /** q157's gate: drop each source's bottom quartile by quality. */
+  val QgTheta = 0.25
+
+  /** q26's continuous quality score per doc — the ONE definition of
+    * the length/word-length heuristic, shared by q157's relative gate
+    * (and mirrored column-for-column by [[qualityScoredSql]]).
+    */
+  private def qualityScored(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("avg_len",
+        (length(col("text")).cast("long") - col("n_tokens") + 1)
+          .cast("double") / col("n_tokens"))
+      .withColumn("score", round(
+        least(col("n_tokens"), lit(200L)).cast("double") / 200d * 0.6
+          + when(col("avg_len").between(3d, 8d), 0.4).otherwise(0.1), 4))
+
+  /** DuckDB twin of [[qualityScored]]'s (source, doc_id, n_tokens,
+    * score) columns.
+    */
+  private val qualityScoredSql: String =
+    """SELECT source, doc_id, n_tokens,
+             round(CAST(least(n_tokens, 200) AS DOUBLE) / 200 * 0.6 +
+                   CASE WHEN avg_len BETWEEN 3 AND 8 THEN 0.4 ELSE 0.1 END,
+                   4) AS score
+       FROM (SELECT source, doc_id, len(string_split(text,' ')) AS n_tokens,
+               CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE)
+                 / len(string_split(text,' ')) AS avg_len
+             FROM documents) t0"""
 
   /** Decontamination n-gram width (the community-standard 13), the
     * benchmark-stand-in split (docs 0 to DecontamBench-1 play the eval

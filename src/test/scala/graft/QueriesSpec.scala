@@ -699,6 +699,29 @@ class QueriesSpec extends AnyFunSuite {
     graft.CacheScope.flush(spark)
   }
 
+  test("q157 relative gate: per-source score cut is clean, ties uniform") {
+    val rows =
+      QueryRegistry.queries("q157_source_quality_gate")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val (kept, dropped) = rs.partition(_.getAs[Boolean]("keep"))
+      assert(kept.nonEmpty, s"source $src kept nothing")
+      // the gate is a clean score cut: every kept doc scores at least
+      // as high as every dropped one, and equal scores share a fate
+      if (dropped.nonEmpty) {
+        assert(kept.map(_.getAs[Double]("score")).min
+          >= dropped.map(_.getAs[Double]("score")).max, s"$src cut not clean")
+        assert(kept.map(_.getAs[Double]("score")).min
+          > dropped.map(_.getAs[Double]("score")).max,
+          s"$src split a score tie across the gate")
+      }
+      // tie-aware percentile: same score -> same pct
+      rs.groupBy(_.getAs[Double]("score")).foreach { case (_, g) =>
+        assert(g.map(_.getAs[Double]("pct")).distinct.length == 1)
+      }
+    }
+  }
+
   test("q139 domain matrix: full SxS, own-domain model scores its text best") {
     val rows =
       QueryRegistry.queries("q139_domain_mismatch")(spark, sf).collect()

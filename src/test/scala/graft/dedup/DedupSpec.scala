@@ -151,6 +151,39 @@ class DedupSpec extends AnyFunSuite {
     assert(out2 == Map(20L -> "k1 k2 k3 k4"), s"$out2")
   }
 
+  test("q156 compaction: scrub frames identical across the version flip; " +
+      "replayed advances shrink away") {
+    val w = 3
+    val root = graft.TempArtifacts.dir("ngram_compact_test")
+    val corpus = Seq((0L, "a b c d e"), (1L, "m n o p q"))
+      .toDF("doc_id", "text")
+    DedupQueries.buildNgramIndex(corpus, w, root)
+    val arrivals = Seq((10L, "x y a b c d e z"), (11L, "f g h i j"))
+      .toDF("doc_id", "text")
+    // materialize the admitted batch so the replay re-delivers the
+    // SAME payload (a lazy scrub plan re-materializes against the
+    // already-advanced index and appends nothing — the flow comment
+    // at indexCompactionFlow explains)
+    DedupQueries.spanScrubAgainstIndex(spark, arrivals, root, w)
+      .select(col("doc_id"), col("clean_text").as("text"))
+      .write.parquet(root + "/admitted")
+    val admitted = spark.read.parquet(root + "/admitted")
+    DedupQueries.advanceNgramIndex(admitted, w, root)
+    DedupQueries.advanceNgramIndex(admitted, w, root) // at-least-once replay
+    def scrub() = DedupQueries
+      .spanScrubAgainstIndex(spark, arrivals, root, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSet
+    def grams() = spark.read.parquet(
+      graft.sources.ArtifactVersions.current(root).get + "/grams").count()
+    val (before, nBefore) = (scrub(), grams())
+    DedupQueries.compactNgramIndex(spark, root)
+    assert(graft.sources.ArtifactVersions.current(root).get.endsWith("v2"),
+      "compaction must publish the next version")
+    assert(grams() < nBefore, "the replayed duplicate rows must be gone")
+    assert(scrub() == before, "compaction changed scrub results")
+  }
+
   test("q155 decontamination scrub removes tokens exactly from the docs " +
       "q78 flags as contaminated") {
     val flagged = graft.QueryRegistry.queries("q78_decontamination")(spark, sf)
