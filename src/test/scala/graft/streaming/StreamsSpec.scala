@@ -341,17 +341,22 @@ class StreamsSpec extends AnyFunSuite {
     val c2 = DedupQueries.spanScrubAgainstIndex(spark,
       b2.toDF("doc_id", "text"), idxB, w).collect().toSeq
     val want = (c1 ++ c2).map(row5).sortBy(_._1)
-    // stream: same base index, same micro-batch boundaries
+    // stream: same base index, same micro-batch boundaries — and the
+    // in-stream COMPACTION trigger on every batch, which must be
+    // invisible in the output (the batch twin above never compacts)
     val idxS = tmp("graft_ngram_stream")
     DedupQueries.buildNgramIndex(docs.filter(col("doc_id") < split1), w, idxS)
     val out = tmp("graft_span_out") + "/cleaned"
     val mem = MemoryStream[(Long, String)]
     val q = Streams.spanScrubSink(mem.toDF.toDF("doc_id", "text"), idxS, w,
-      tmp("graft_span_ckpt"), out)
+      tmp("graft_span_ckpt"), out, compactEvery = 1)
     try {
       mem.addData(b1: _*); q.processAllAvailable()
       mem.addData(b2: _*); q.processAllAvailable()
     } finally q.stop()
+    // two advances, two compactions: v1 (build) -> v2 -> v3 live
+    assert(graft.sources.ArtifactVersions.current(idxS).get.endsWith("v3"),
+      "per-batch compaction must have published v3")
     val got = spark.read.parquet(out)
       .select("doc_id", "n_tokens", "n_spans", "n_removed", "clean_text")
       .collect().toSeq.map(row5).sortBy(_._1)

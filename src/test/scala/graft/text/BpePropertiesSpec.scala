@@ -146,6 +146,18 @@ class BpePropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("q151 served from the persisted split model equals the recompute") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = graft.TempArtifacts.dir("bpe_heldout_test")
+    BpeTrainer.saveHeldOutModel(docs, dir)
+    val served = BpeTrainer.heldOutEncodeWithModel(docs, dir)
+      .orderBy("doc_id").collect()
+    val rec = BpeTrainer.bpeEncodeHeldOut(docs).orderBy("doc_id").collect()
+    assert(served.nonEmpty && served.sameElements(rec),
+      "artifact-served held-out pricing diverged from the recompute")
+    graft.CacheScope.flush(spark)
+  }
+
   test("q153 compression drift: per-source totals tie to the per-doc " +
       "encode; vs_corpus straddles 1") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
