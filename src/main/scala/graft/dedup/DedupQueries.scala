@@ -1053,14 +1053,10 @@ object DedupQueries {
     * repeats count too, matching the substring-dedup contract).
     */
   def dupNgramStats(docs: DataFrame, w: Int): DataFrame = {
-    val grams = docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), explode(expr(
-        s"""CASE WHEN size(toks) >= $w
-           THEN transform(sequence(0, size(toks) - $w),
-                          i -> concat_ws(' ', slice(toks, i + 1, $w)))
-           ELSE array() END""")).as("gram"))
-      .select(col("doc_id"), h60(col("gram")).as("h"))
+    // the ONE window-hash stream definition shared with the span
+    // removal family (q97's stats and q152's cuts must stay
+    // hash-identical — same Lee et al. contract)
+    val grams = windowHashesOf(docs, w).select("doc_id", "h")
     // (doc, hash) pre-aggregation: map-side combine collapses intra-doc
     // repeats before any shuffle
     val dh = grams.groupBy("doc_id", "h").agg(count(lit(1)).as("c"))

@@ -301,13 +301,16 @@ object BpeTrainer {
 
   def bpeEncodeHeldOut(docs: DataFrame,
       iters: Int = BpeIters): DataFrame = {
-    val train = docs.filter(col("doc_id") % HeldOutMod =!= HeldOutMod - 1)
-    val (steps, vocab) = trained(train, iters)
+    val (steps, vocab) = trained(trainSplit(docs), iters)
     heldOutPricing(heldSplit(docs), prunedVocabSizes(vocab),
       mergesFrame(docs, steps), iters)
   }
 
-  /** The held-out quarter of the corpus (q151's serve-side split). */
+  /** q151's split, defined ONCE as complementary halves: train on
+    * three quarters, hold out the rest.
+    */
+  private def trainSplit(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % HeldOutMod =!= HeldOutMod - 1)
   private def heldSplit(docs: DataFrame): DataFrame =
     docs.filter(col("doc_id") % HeldOutMod === HeldOutMod - 1)
 
@@ -347,8 +350,7 @@ object BpeTrainer {
     */
   def saveHeldOutModel(docs: DataFrame, path: String,
       iters: Int = BpeIters): Unit = {
-    val train = docs.filter(col("doc_id") % HeldOutMod =!= HeldOutMod - 1)
-    val (steps, vocab) = trained(train, iters)
+    val (steps, vocab) = trained(trainSplit(docs), iters)
     mergesFrame(docs, steps).write.mode("overwrite")
       .parquet(path + "/merges")
     prunedVocabSizes(vocab).write.mode("overwrite").parquet(path + "/vocab")

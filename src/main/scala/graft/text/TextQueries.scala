@@ -100,27 +100,23 @@ object TextQueries {
     // ---- q157: per-source RELATIVE quality gate — absolute quality
     // thresholds don't transfer across heterogeneous feeds (short-post
     // and long-article sources have different score distributions), so
-    // the standard curation knob is "keep the top share of EACH
-    // source". percent_rank within the source partition, tie-aware
-    // (equal scores share a percentile — the gate never splits ties
-    // arbitrarily), keep iff pct >= theta. The rank window is a
-    // sort-per-source — the exact path; the 100 TB approximate path
-    // swaps it for a per-source quantile sketch broadcast against the
-    // scan (q52's machinery), same gate with no global sort.
+    // the standard curation knob is "drop the bottom share of EACH
+    // source". cume_dist within the source partition — tie-aware
+    // (equal scores share a fate) AND degenerate-safe: an all-tied or
+    // single-doc source has cume_dist 1.0 everywhere, so the gate
+    // keeps it whole (there IS no bottom share when everyone is
+    // equal; percent_rank would be 0.0 there and drop the entire
+    // feed). The rank window is a sort-per-source — the exact path;
+    // the 100 TB approximate path swaps it for a per-source quantile
+    // sketch broadcast against the scan (q52's machinery), same gate
+    // with no global sort.
     Q("q157_source_quality_gate",
-      (s, d) => {
-        val byScore = org.apache.spark.sql.expressions.Window
-          .partitionBy("source").orderBy("score")
-        qualityScored(Tables.documents(s, d))
-          .select(col("source"), col("doc_id"), col("score"),
-            round(percent_rank().over(byScore), 4).as("pct"))
-          .withColumn("keep", col("pct") >= lit(QgTheta))
-          .orderBy("source", "doc_id")
-      },
+      (s, d) => sourceQualityGate(Tables.documents(s, d))
+        .orderBy("source", "doc_id"),
       Some(s"""SELECT source, doc_id, score, pct,
-               pct >= $QgTheta AS keep FROM (
+               pct > $QgTheta AS keep FROM (
              SELECT source, doc_id, score,
-               round(percent_rank() OVER (
+               round(cume_dist() OVER (
                  PARTITION BY source ORDER BY score), 4) AS pct
              FROM ($qualityScoredSql) s1) s2
              ORDER BY source, doc_id""")),
@@ -1446,6 +1442,20 @@ object TextQueries {
 
   /** q157's gate: drop each source's bottom quartile by quality. */
   val QgTheta = 0.25
+
+  /** q157's body (see the Q entry comment): per-source cume_dist over
+    * the q26 score, keep iff strictly above [[QgTheta]] — extracted so
+    * the degenerate all-tied-source case is unit-testable on a
+    * constructed corpus.
+    */
+  def sourceQualityGate(docs: DataFrame): DataFrame = {
+    val byScore = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("score")
+    qualityScored(docs)
+      .select(col("source"), col("doc_id"), col("score"),
+        round(cume_dist().over(byScore), 4).as("pct"))
+      .withColumn("keep", col("pct") > lit(QgTheta))
+  }
 
   /** q26's continuous quality score per doc — the ONE definition of
     * the length/word-length heuristic, shared by q157's relative gate

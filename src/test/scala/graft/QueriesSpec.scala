@@ -699,27 +699,35 @@ class QueriesSpec extends AnyFunSuite {
     graft.CacheScope.flush(spark)
   }
 
-  test("q157 relative gate: per-source score cut is clean, ties uniform") {
+  test("q157 relative gate: per-source score cut is clean, ties uniform, " +
+      "degenerate sources kept whole") {
+    import spark.implicits._
     val rows =
       QueryRegistry.queries("q157_source_quality_gate")(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
       val (kept, dropped) = rs.partition(_.getAs[Boolean]("keep"))
       assert(kept.nonEmpty, s"source $src kept nothing")
-      // the gate is a clean score cut: every kept doc scores at least
-      // as high as every dropped one, and equal scores share a fate
-      if (dropped.nonEmpty) {
-        assert(kept.map(_.getAs[Double]("score")).min
-          >= dropped.map(_.getAs[Double]("score")).max, s"$src cut not clean")
+      // the gate is a clean score cut, strict because equal scores
+      // must share a fate
+      if (dropped.nonEmpty)
         assert(kept.map(_.getAs[Double]("score")).min
           > dropped.map(_.getAs[Double]("score")).max,
-          s"$src split a score tie across the gate")
-      }
+          s"$src cut not clean / split a score tie across the gate")
       // tie-aware percentile: same score -> same pct
       rs.groupBy(_.getAs[Double]("score")).foreach { case (_, g) =>
         assert(g.map(_.getAs[Double]("pct")).distinct.length == 1)
       }
     }
+    // degenerate partitions: an all-tied source and a single-doc source
+    // have NO bottom share — the gate must keep them whole (cume_dist
+    // is 1.0 everywhere; percent_rank would drop the entire feed)
+    val tied = graft.text.TextQueries.sourceQualityGate(Seq(
+      (0L, "alpha beta gamma", "tied"), (1L, "alpha beta gamma", "tied"),
+      (2L, "alpha beta gamma", "tied"), (3L, "solo doc here", "single"))
+      .toDF("doc_id", "text", "source")).collect()
+    assert(tied.length == 4 && tied.forall(_.getAs[Boolean]("keep")),
+      s"degenerate sources must be kept whole: ${tied.mkString(",")}")
   }
 
   test("q139 domain matrix: full SxS, own-domain model scores its text best") {
