@@ -729,7 +729,11 @@ object ScaleProbe {
     * point up ~100x (10^10 comparisons in one row). Measured
     * (local[32], warm at len >= 10k): q132 0.72/0.68 s, q122
     * 0.18/0.15 s, q97 2.03/2.29 s at 10k/100k — flat, the expected
-    * slope.
+    * slope. q152's span removal (islands window + reassembly fold,
+    * near-maximal removable stream on this shared-vocab synthesis):
+    * 3.7/3.2/2.8 s at 1k/10k/100k — flat too, so a single 100k-token
+    * doc's per-doc sort and fold are no worse than the same mass
+    * spread over 100 docs.
     */
   private def longDocStress(spark: SparkSession): Unit = {
     val vocab = array((0 until 30).map(i => lit(s"w$i")): _*)
@@ -760,6 +764,15 @@ object ScaleProbe {
         graft.dedup.DedupQueries.dupNgramStats(c,
             graft.dedup.DedupQueries.DupW)
           .agg(sum("n_dup")).head.getLong(0))
+      // q152's islands window (per-doc sort of removable positions)
+      // and the reassembly fold both see n_tokens rows/doc here; the
+      // shared-vocab synthesis makes most windows corpus-duplicated,
+      // so the removable stream is near-maximal
+      time("q152_span_removal")(
+        graft.dedup.DedupQueries.dupSpanRemoval(c,
+            graft.dedup.DedupQueries.DupW)
+          .agg(sum(length(col("clean_text"))) + sum(col("n_removed")))
+          .head.getLong(0))
       c.unpersist(): Unit
     }
   }
