@@ -757,24 +757,27 @@ object DedupQueries {
         val idx = servedFullDedupIndex(s, Tables.documents(s, d), d)
         val sig = graft.CacheScope.retain(indexSignatures(s, idx))
         val bands = indexBands(s, idx)
-        // ONE band-collision join, kept at band granularity and reused
-        // for BOTH the candidate list and the explain rollup — the
-        // collision rows ARE the evidence, so re-joining verified
-        // pairs back against the band table per side would recompute
-        // what this table already holds
+        // ONE band-collision join, immediately rolled up to PAIR
+        // granularity — the aggregated evidence rows feed both the
+        // candidate list and the final join, so the band-granularity
+        // collision stream is shuffled exactly once (re-joining
+        // verified pairs against per-band rows and re-grouping, the
+        // old shape, shuffled the same evidence twice)
         val bc = graft.CacheScope.retain(
           bands.as("l").join(bands.as("r"),
             col("l.band") === col("r.band")
               && col("l.bucket") === col("r.bucket")
               && col("l.doc_id") < col("r.doc_id"))
             .select(col("l.doc_id").as("doc_a"),
-              col("r.doc_id").as("doc_b"), col("l.band").as("band")))
-        verifiedPairsFrom(bc.select("doc_a", "doc_b").distinct(), sig)
+              col("r.doc_id").as("doc_b"), col("l.band").as("band"))
+            .groupBy("doc_a", "doc_b")
+            .agg(array_join(sort_array(collect_set(col("band"))), ",")
+              .as("shared_bands"),
+              countDistinct(col("band")).as("n_shared")))
+        verifiedPairsFrom(bc.select("doc_a", "doc_b"), sig)
           .join(bc, Seq("doc_a", "doc_b"))
-          .groupBy("doc_a", "doc_b", "est_jaccard")
-          .agg(array_join(sort_array(collect_set(col("band"))), ",")
-            .as("shared_bands"),
-            countDistinct(col("band")).as("n_shared"))
+          .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+            col("shared_bands"), col("n_shared"))
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""WITH ${minhashCtes("")},
