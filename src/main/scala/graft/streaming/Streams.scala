@@ -224,6 +224,68 @@ object Streams {
       }
       .start()
 
+  /** THE COMPOSED INGEST LOOP — q144's curation pipeline live, wired
+    * through the persisted artifacts: each micro-batch is
+    * (1) SPAN-SCRUBBED against the n-gram window index (substrings the
+    * corpus already holds are cut — q154), (2) QUALITY-GATED on the
+    * cleaned text (q132's rules, stateless — an arrival that was
+    * entirely known substrings scrubs to empty and dies here), and
+    * (3) NEAR-DUP SCORED against the dedup index (q119's decisions).
+    * Every arrival lands in `outDir` with its audit row (batch id,
+    * tokens span-removed, first-drop-wins status: quality_drop / dup /
+    * added — the q148 label discipline), and BOTH artifacts advance
+    * with the admitted docs' CLEANED text before the next batch reads
+    * them; `compactEvery` runs the q156 compaction on cadence. The
+    * admitted frame is localCheckpoint'ed BEFORE the first advance:
+    * the n-gram append refreshes the grams path, which invalidates any
+    * cached plan that scans it — a lineage-bearing frame would
+    * re-scrub against the already-advanced index for the second
+    * advance and desynchronize the two artifacts.
+    * Per-batch cost: all three stages are arrival-side joins against
+    * columnar artifacts plus one stateless scan — nothing rescans the
+    * corpus. Same replay caveat as the other advance sinks.
+    */
+  def curationIngestSink(docs: DataFrame, ngramIdx: String,
+      dedupIdx: String, w: Int, checkpointDir: String, outDir: String,
+      compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.dedup.DedupQueries
+        val s = batch.sparkSession
+        val cleaned = DedupQueries
+          .spanScrubAgainstIndex(s, batch, ngramIdx, w)
+          .select(col("doc_id"), col("clean_text").as("text"),
+            col("n_removed"))
+          .persist()
+        try {
+          val flags = graft.text.TextQueries.qualityFlagsOf(cleaned)
+            .select(col("doc_id"), col("keep"))
+          val survivors = cleaned.join(flags, "doc_id")
+            .filter(col("keep")).select("doc_id", "text")
+          // localCheckpoint'ed inside — stable across the advances
+          val decisions =
+            DedupQueries.ingestBatchDecisions(survivors, dedupIdx)
+          cleaned.join(flags, "doc_id")
+            .join(decisions, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("n_removed"),
+              when(!col("keep"), lit("quality_drop"))
+                .otherwise(col("status")).as("status"),
+              lit(batchId).as("batch_id"))
+            .write.mode("append").parquet(outDir)
+          val admitted = survivors
+            .join(decisions.filter(col("status") === "added")
+              .select("doc_id"), "doc_id")
+            .localCheckpoint(true)
+          DedupQueries.advanceNgramIndex(admitted, w, ngramIdx)
+          DedupQueries.advanceDedupIndex(admitted, dedupIdx)
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+            DedupQueries.compactNgramIndex(s, ngramIdx)
+        } finally { cleaned.unpersist(); () }
+      }
+      .start()
+
   /** Streaming advance of the IVF index — the ANN-side twin of
     * [[nearDupIngestSink]]: each micro-batch of arriving FLAT vectors
     * (vec_id, i, v) is assigned to the artifact's FROZEN centroids and

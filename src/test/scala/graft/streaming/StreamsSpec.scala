@@ -367,6 +367,96 @@ class StreamsSpec extends AnyFunSuite {
     graft.CacheScope.flush(spark)
   }
 
+  test("composed curation ingest: stream ≡ hand-composed batch flow; " +
+      "span/quality/dedup stages each catch their planted doc") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.dedup.DedupQueries
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val w = DedupQueries.DupW
+    val split1 = 25L; val split2 = 40L
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    // planted arrivals: an exact twin of indexed doc 0 (scrubs to
+    // empty -> quality_drop), and two copies of a NOVEL quality-passing
+    // doc (the span stage can't see intra-batch copies; the dedup
+    // stage's intra-batch leg must catch the second)
+    val dup = docs.filter(col("doc_id") === 0L).as[(Long, String)].head()._2
+    val novel = ((1 to 38).map(i => s"nv$i") ++ Seq("the", "of"))
+      .mkString(" ")
+    val b1 = docs.filter(col("doc_id") >= split1 && col("doc_id") < split2)
+      .as[(Long, String)].collect().toSeq ++
+      Seq((200000L, dup), (200001L, novel), (200002L, novel))
+    val b2 = docs.filter(col("doc_id") >= split2)
+      .as[(Long, String)].collect().toSeq
+    val corpus = docs.filter(col("doc_id") < split1)
+    def freshIdx(tag: String): (String, String) = {
+      val ng = tmp("graft_cur_ng_" + tag)
+      val dd = tmp("graft_cur_dd_" + tag)
+      DedupQueries.buildNgramIndex(corpus, w, ng)
+      DedupQueries.buildDedupIndex(corpus, dd)
+      (ng, dd)
+    }
+    // the hand-composed batch twin of one sink iteration
+    def batchStep(b: Seq[(Long, String)], ng: String, dd: String,
+        bid: Long): Seq[(Long, Long, String, Long)] = {
+      val cleaned = DedupQueries.spanScrubAgainstIndex(spark,
+          b.toDF("doc_id", "text"), ng, w)
+        .select(col("doc_id"), col("clean_text").as("text"),
+          col("n_removed")).persist()
+      try {
+        val flags = graft.text.TextQueries.qualityFlagsOf(cleaned)
+          .select(col("doc_id"), col("keep"))
+        val survivors = cleaned.join(flags, "doc_id")
+          .filter(col("keep")).select("doc_id", "text")
+        val decisions = DedupQueries.ingestBatchDecisions(survivors, dd)
+        val audit = cleaned.join(flags, "doc_id")
+          .join(decisions, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_removed"),
+            when(!col("keep"), lit("quality_drop"))
+              .otherwise(col("status")).as("status"),
+            lit(bid).as("batch_id"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+            r.getLong(3))).toSeq
+        val admitted = survivors.join(
+          decisions.filter(col("status") === "added").select("doc_id"),
+          "doc_id").localCheckpoint(true)
+        DedupQueries.advanceNgramIndex(admitted, w, ng)
+        DedupQueries.advanceDedupIndex(admitted, dd)
+        audit
+      } finally { cleaned.unpersist(); () }
+    }
+    val (ngB, ddB) = freshIdx("batch")
+    val want = (batchStep(b1, ngB, ddB, 0L) ++ batchStep(b2, ngB, ddB, 1L))
+      .sortBy(_._1)
+    // the stream, same base artifacts, same batch boundaries, plus the
+    // in-stream compaction cadence (must be invisible in the audit)
+    val (ngS, ddS) = freshIdx("stream")
+    val out = tmp("graft_cur_out") + "/audit"
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.curationIngestSink(mem.toDF.toDF("doc_id", "text"),
+      ngS, ddS, w, tmp("graft_cur_ckpt"), out, compactEvery = 1)
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out)
+      .select("doc_id", "n_removed", "status", "batch_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    assert(got.nonEmpty && got == want)
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(200000L)._3 == "quality_drop" && byId(200000L)._2 > 0,
+      s"scrubbed-to-empty twin: ${byId(200000L)}")
+    assert(byId(200001L)._3 == "added" && byId(200001L)._2 == 0,
+      s"novel doc: ${byId(200001L)}")
+    assert(byId(200002L)._3 == "dup",
+      s"intra-batch copy: ${byId(200002L)}")
+    graft.CacheScope.flush(spark)
+  }
+
   test("streaming index advance: foreachBatch lifecycle matches the q119 batch flow") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
