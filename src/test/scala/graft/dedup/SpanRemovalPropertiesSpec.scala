@@ -40,21 +40,28 @@ class SpanRemovalPropertiesSpec extends AnyFunSuite {
     val removable = occ.filter(o => first(o._3) != ((o._1, o._2)))
       .groupBy(_._1).map { case (id, os) => id -> os.map(_._2).sorted }
     docs.map { case (id, toks) =>
-      // interval union of [p, p+w) over removable starts
-      val spans = removable.getOrElse(id, Seq.empty)
-        .foldLeft(Vector.empty[(Int, Int)]) { case (acc, p) =>
-          acc.lastOption match {
-            case Some((s, e)) if p <= e => acc.init :+ ((s, math.max(e, p + w)))
-            case _ => acc :+ ((p, p + w))
-          }
-        }
-      val cut = spans.flatMap { case (s, e) => s until e }.toSet
-      val clean = toks.zipWithIndex.collect {
-        case (t, i) if !cut.contains(i) => t
-      }.mkString(" ")
-      id -> ((toks.length.toLong, spans.length.toLong,
-        spans.map { case (s, e) => e - s }.sum.toLong, clean))
+      id -> refClean(toks, removable.getOrElse(id, Seq.empty), w)
     }.toMap
+  }
+
+  /** Reference islands + reassembly for ONE doc given its sorted
+    * removable window starts.
+    */
+  private def refClean(toks: Vector[String], rem: Seq[Int],
+      w: Int): (Long, Long, Long, String) = {
+    // interval union of [p, p+w) over removable starts
+    val spans = rem.foldLeft(Vector.empty[(Int, Int)]) { case (acc, p) =>
+      acc.lastOption match {
+        case Some((s, e)) if p <= e => acc.init :+ ((s, math.max(e, p + w)))
+        case _ => acc :+ ((p, p + w))
+      }
+    }
+    val cut = spans.flatMap { case (s, e) => s until e }.toSet
+    val clean = toks.zipWithIndex.collect {
+      case (t, i) if !cut.contains(i) => t
+    }.mkString(" ")
+    (toks.length.toLong, spans.length.toLong,
+      spans.map { case (s, e) => e - s }.sum.toLong, clean)
   }
 
   test("random small-vocab corpora: distributed span removal matches the " +
@@ -85,6 +92,49 @@ class SpanRemovalPropertiesSpec extends AnyFunSuite {
       assert(got == want,
         s"mismatch on corpus ${corpus.map(_._2.mkString(" "))}: " +
           s"got=$got want=$want")
+    }
+    graft.CacheScope.flush(spark)
+  }
+
+  test("random corpora: ingest scrub matches the reference set-membership " +
+      "semantics (no first-copy exception)") {
+    val w = 3
+    val gen = for {
+      nCorpus <- Gen.choose(1, 4)
+      nArr <- Gen.choose(1, 5)
+      docs <- Gen.sequence[Vector[Vector[String]], Vector[String]](
+        Vector.fill(nCorpus + nArr)(for {
+          len <- Gen.choose(0, 14)
+          toks <- Gen.listOfN(len, Gen.oneOf("a", "b", "c"))
+        } yield toks.toVector))
+    } yield (docs.take(nCorpus).zipWithIndex.map { case (t, i) =>
+      (i.toLong, t) },
+      docs.drop(nCorpus).zipWithIndex.map { case (t, i) =>
+        (100L + i, t) })
+    samples(gen, 25).foreach { case (corpus, arrivals) =>
+      val idx = graft.TempArtifacts.dir("span_prop_idx")
+      DedupQueries.buildNgramIndex(
+        corpus.map { case (id, t) => (id, t.mkString(" ")) }
+          .toDF("doc_id", "text"), w, idx)
+      val got = DedupQueries.spanScrubAgainstIndex(spark,
+          arrivals.map { case (id, t) => (id, t.mkString(" ")) }
+            .toDF("doc_id", "text"), idx, w)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4)))).toMap
+      // reference: a window is removable iff its content is ANY corpus
+      // window's content — the arrival holds no retained copy
+      val known = (for {
+        (_, toks) <- corpus
+        p <- 0 to toks.length - w
+      } yield toks.slice(p, p + w).mkString(" ")).toSet
+      val want = arrivals.map { case (id, toks) =>
+        val rem = (0 to toks.length - w)
+          .filter(p => known.contains(toks.slice(p, p + w).mkString(" ")))
+        val (n, s, rm, c) = refClean(toks, rem, w)
+        id -> ((math.max(n, 1L), s, rm, c))
+      }.toMap
+      assert(got == want, s"corpus=${corpus.map(_._2.mkString(" "))} " +
+        s"arrivals=${arrivals.map(_._2.mkString(" "))} got=$got want=$want")
     }
     graft.CacheScope.flush(spark)
   }
