@@ -16,6 +16,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forward the forked program's stdout UNPREFIXED: sbt's default logger
+// wraps every line in "[info] ", which has kept the driver's tail JSON
+// parser from ever reading Bench's final summary line.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

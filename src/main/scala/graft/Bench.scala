@@ -145,7 +145,10 @@ object Bench {
     // left BENCH_r*.json `parsed: null` for several rounds. End stdout
     // with a COMPACT summary line (no per-query map) so the tail is
     // parseable JSON; the full artifact of record is the file below.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"n_queries":${results.size},"sf":"$sfDir","detail":"BENCH_LOCAL.json"}""")
+    // "total_summary", not "total": line-oriented consumers that grep
+    // or sum metric:total lines must not conflate this tail line with
+    // the full forensics line above or double-count the suite.
+    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","runs":$Runs,"n_queries":${results.size},"sf":"$sfDir","detail":"BENCH_LOCAL.json"}""")
     // The driver captures sbt stdout, where the `[info] ` prefix and tail
     // truncation have defeated its JSON parser three rounds straight
     // (BENCH_r07-r09 all `parsed: null`). Persist the identical line to a

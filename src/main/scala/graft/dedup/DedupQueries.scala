@@ -468,11 +468,13 @@ object DedupQueries {
     Q("q104_cluster_policy_compare",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val sig = graft.CacheScope.retain(
-          signaturesFromTokens(shingleSets(docs, ShingleW)))
-        val star = dedupClustersStarFrom(docs, sig)
+        // both policies serve from the SAME persisted shingle index as
+        // q51/q95 — the signature/band lineage is built once per corpus
+        val idx = servedShingleDedupIndex(s, docs, d)
+        val sig = graft.CacheScope.retain(indexSignatures(s, idx))
+        val star = dedupClustersStarParts(docs, indexBands(s, idx), sig)
           .select(col("doc_id"), col("cluster").as("cs"))
-        val ex = dedupClustersPairwiseOf(docs, sig)
+        val ex = dedupClustersFromIndex(docs, idx)
           .select(col("doc_id"), col("cluster").as("ce"))
         val j = graft.CacheScope.retain(star.join(ex, "doc_id"))
         def pairCount(keys: Seq[String], out: String) =
@@ -1297,22 +1299,56 @@ object DedupQueries {
       .getOrElse(sys.error(s"no published n-gram index under $root")) +
       "/grams"
 
-  /** Append the admitted (post-scrub) docs' window hashes. */
-  def advanceNgramIndex(admitted: DataFrame, w: Int, root: String): Unit =
-    windowHashesOf(admitted, w).select("h").distinct()
-      .write.mode("append").parquet(liveGramsDir(root))
+  /** The live grams table — recursive-lookup read (build files plus
+    * committed streaming-advance batch dirs).
+    */
+  private[graft] def liveGrams(s: SparkSession, root: String): DataFrame =
+    graft.sources.BatchCommits.readComponent(s, liveGramsDir(root))
+
+  /** Append the admitted (post-scrub) docs' window hashes. With a
+    * `batchId`, the append is an atomic fenced batch commit — a
+    * replayed micro-batch is skipped ([[graft.sources.BatchCommits]]),
+    * so the streaming advance is exactly-once; without one (the batch
+    * lifecycle flows, which model replay explicitly, e.g. q156) it is
+    * a plain append.
+    */
+  def advanceNgramIndex(admitted: DataFrame, w: Int, root: String,
+      batchId: Option[Long] = None): Unit = {
+    val grams = windowHashesOf(admitted, w).select("h").distinct()
+    batchId match {
+      case Some(id) =>
+        graft.sources.BatchCommits.appendBatch(grams, liveGramsDir(root), id): Unit
+      case None =>
+        grams.write.mode("append").parquet(liveGramsDir(root))
+    }
+  }
 
   /** COMPACT the live grams artifact into the next version: one
     * distinct over the accumulated appends, written fresh and
     * atomically published. Scrub results are provably unchanged
     * (left-semi consumers are set-semantics; DedupSpec pins frame
-    * equality), the duplicate rows replayed appends left behind are
-    * gone, and the small-files accumulation resets to one write.
+    * equality), the duplicate rows the batch lifecycle flows' modelled
+    * replays leave behind are gone, and the small-files accumulation
+    * resets to one write.
+    *
+    * The old version's `batch-<id>` fence markers carry over as EMPTY
+    * marker dirs in the new version (readers see no files; the fence
+    * sees the id): without this, a batch whose advance committed into
+    * vN, followed by a compaction publishing vN+1 and a crash before
+    * the stream checkpoint, would replay its (set-harmless but
+    * duplicate) append into vN+1.
     */
   def compactNgramIndex(s: SparkSession, root: String): Unit = {
+    val old = liveGramsDir(root)
     val v = graft.sources.ArtifactVersions.prepareNext(root)
-    s.read.parquet(liveGramsDir(root)).distinct()
+    liveGrams(s, root).distinct()
       .write.parquet(v + "/grams")
+    Option(new java.io.File(old).listFiles).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch-"))
+      .foreach { f =>
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(v, "grams", f.getName)): Unit
+      }
     graft.sources.ArtifactVersions.publish(root, v)
   }
 
@@ -1322,7 +1358,7 @@ object DedupQueries {
     */
   def spanScrubAgainstIndex(s: SparkSession, arrivals: DataFrame,
       root: String, w: Int): DataFrame = {
-    val grams = s.read.parquet(liveGramsDir(root))
+    val grams = liveGrams(s, root)
     scrubSpans(arrivals,
       windowHashesOf(arrivals, w).join(grams, Seq("h"), "left_semi")
         .select("doc_id", "pos"), w)
@@ -1346,7 +1382,7 @@ object DedupQueries {
       w: Int): DataFrame = {
     val root = graft.TempArtifacts.dir("graft_ngram_versions")
     buildNgramIndex(docs.filter(col("doc_id") < split), w, root)
-    val nBase = s.read.parquet(liveGramsDir(root)).count()
+    val nBase = liveGrams(s, root).count()
     val arrivals = docs.filter(col("doc_id") >= split)
     // materialize the admitted batch BEFORE advancing: a replayed batch
     // re-delivers the same bytes, so the replay must append the same
@@ -1360,9 +1396,9 @@ object DedupQueries {
     val admitted = s.read.parquet(root + "/admitted")
     advanceNgramIndex(admitted, w, root) // the normal advance...
     advanceNgramIndex(admitted, w, root) // ...and its at-least-once replay
-    val nBefore = s.read.parquet(liveGramsDir(root)).count()
+    val nBefore = liveGrams(s, root).count()
     compactNgramIndex(s, root)
-    val nAfter = s.read.parquet(liveGramsDir(root)).count()
+    val nAfter = liveGrams(s, root).count()
     val live = java.nio.file.Paths.get(graft.sources.ArtifactVersions
       .current(root).get).getFileName.toString
     spanScrubAgainstIndex(s, arrivals, root, w)
@@ -1763,15 +1799,26 @@ object DedupQueries {
     }
   }
 
-  def advanceDedupIndex(admitted: DataFrame, path: String): Unit = {
+  /** With a `batchId`, both component appends are atomic fenced batch
+    * commits ([[graft.sources.BatchCommits]]): a replayed micro-batch
+    * skips the committed component(s) and completes only what a crash
+    * left missing — the streaming advance is exactly-once. Without
+    * one, plain appends (the single-JVM batch lifecycle flows).
+    */
+  def advanceDedupIndex(admitted: DataFrame, path: String,
+      batchId: Option[Long] = None): Unit = {
     // LOCAL persist, not CacheScope: the streaming sink calls this once
     // per micro-batch and never reaches a harness flush point — a
     // retain here would pin one signature frame per batch for the
     // stream's lifetime. The cache lifetime is exactly this call.
     val sig = signaturesPerRow(admitted).persist()
-    try {
-      sig.write.mode("append").parquet(path + "/signatures")
-      bandsOf(sig).write.mode("append").parquet(path + "/bands")
+    try batchId match {
+      case Some(id) =>
+        graft.sources.BatchCommits.appendBatch(sig, path + "/signatures", id)
+        graft.sources.BatchCommits.appendBatch(bandsOf(sig), path + "/bands", id): Unit
+      case None =>
+        sig.write.mode("append").parquet(path + "/signatures")
+        bandsOf(sig).write.mode("append").parquet(path + "/bands")
     } finally sig.unpersist(): Unit
     // Visibility guarantee: a pre-advance read of this artifact may be
     // cached (q119's phase 1 retains the signature read of the same
@@ -1848,13 +1895,16 @@ object DedupQueries {
   private def tempIndexDir(prefix: String): String =
     graft.TempArtifacts.dir(prefix)
 
-  /** Read back the persisted signature table (doc_id, h0..h15). */
+  /** Read back the persisted signature table (doc_id, h0..h15).
+    * Recursive-lookup read: the component holds the build's flat files
+    * plus the streaming advance's committed `batch-<id>` dirs.
+    */
   def indexSignatures(s: SparkSession, path: String): DataFrame =
-    s.read.parquet(path + "/signatures")
+    graft.sources.BatchCommits.readComponent(s, path + "/signatures")
 
   /** Read back the persisted band table (doc_id, band, bucket). */
   def indexBands(s: SparkSession, path: String): DataFrame =
-    s.read.parquet(path + "/bands")
+    graft.sources.BatchCommits.readComponent(s, path + "/bands")
 
   /** CTE chain computing MinHash signatures (`sig`) and their band
     * buckets (`bands`) — the shared head of every LSH oracle.
@@ -2101,8 +2151,13 @@ object DedupQueries {
     * combines map-side, and a degenerate mega-bucket hits the join as a
     * skewed key (AQE-splittable) instead of pinning one window task.
     */
-  def starEdges(sig: DataFrame): DataFrame = {
-    val bands = bandsOf(sig)
+  def starEdges(sig: DataFrame): DataFrame = starEdgesFromBands(bandsOf(sig))
+
+  /** Star contraction over an already-materialized (doc_id, band,
+    * bucket) table — the serve-side entry (the persisted index's band
+    * parquet feeds it directly, no signature re-derivation).
+    */
+  private[dedup] def starEdgesFromBands(bands: DataFrame): DataFrame = {
     val bm = bands.groupBy("band", "bucket").agg(min("doc_id").as("m"))
     bands.join(bm, Seq("band", "bucket"))
       .filter(col("doc_id") =!= col("m"))
@@ -2124,16 +2179,28 @@ object DedupQueries {
     * that rare. The exact pairwise-threshold policy remains available as
     * [[dedupClustersPairwiseOf]] (q95 runs it where the pair graph is
     * sparse — shingles).
+    *
+    * SERVED from the persisted full-corpus index (the q112/q149
+    * discipline): the star edges come from the artifact's band parquet
+    * and verification from its signature parquet — the
+    * explode+tokenize+hash lineage runs once at build time, shared
+    * with every other full-corpus LSH dashboard, instead of being
+    * recomputed and re-retained per query (DedupIndexSpec pins
+    * served ≡ recomputed cluster-for-cluster).
     */
-  def dedupClusters(s: SparkSession, d: String): DataFrame =
-    dedupClustersStarOf(Tables.documents(s, d)).orderBy("doc_id")
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    dedupClustersStarFromIndex(docs, servedFullDedupIndex(s, docs, d))
+      .orderBy("doc_id")
+  }
 
   /** Keep-best dedup reduction (q99): the star-contracted clusters joined
     * with the q26 quality score; each cluster keeps its highest-scoring
     * member (ties on min doc_id) — the production "which copy survives"
     * policy, where min-doc_id canonicalization is just the tiebreak. One
     * extra broadcast-scale join + per-cluster argmax over the clustering
-    * pipeline.
+    * pipeline, which serves from the same persisted full-corpus index
+    * as q50/q112/q149.
     */
   def dedupKeepBest(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -2145,7 +2212,8 @@ object DedupQueries {
       .select(col("doc_id"),
         (least(col("n_tokens"), lit(200L)).cast("double") / 200d * 0.6
           + when(col("avg_len").between(3d, 8d), 0.4).otherwise(0.1)).as("score"))
-    dedupClustersStarOf(docs).select("doc_id", "cluster")
+    dedupClustersStarFromIndex(docs, servedFullDedupIndex(s, docs, d))
+      .select("doc_id", "cluster")
       .join(scored, "doc_id")
       .groupBy("cluster")
       .agg(count(lit(1)).as("n_members"),
@@ -2163,8 +2231,19 @@ object DedupQueries {
     * or shingle unit) — `sig` is read twice (edges + verification), so
     * callers should pass a retained/persisted frame.
     */
-  def dedupClustersStarFrom(docs: DataFrame, sig: DataFrame): DataFrame = {
-    val se = starEdges(sig)
+  def dedupClustersStarFrom(docs: DataFrame, sig: DataFrame): DataFrame =
+    dedupClustersStarParts(docs, bandsOf(sig), sig)
+
+  /** The star policy over caller-supplied band and signature tables —
+    * the shared core of the recompute path ([[dedupClustersStarFrom]],
+    * which derives bands from the signatures) and the artifact-served
+    * path ([[dedupClustersStarFromIndex]], which reads both tables as
+    * columnar parquet). `sig` feeds both sides of the verify join, so
+    * callers pass a retained frame.
+    */
+  private[dedup] def dedupClustersStarParts(docs: DataFrame,
+      bands: DataFrame, sig: DataFrame): DataFrame = {
+    val se = starEdgesFromBands(bands)
     val a = sig.as("a"); val b = sig.as("b")
     val agree = agreeExpr("a", "b")
     val edges = se.join(a, col("s") === col("a.doc_id"))
@@ -2172,6 +2251,17 @@ object DedupQueries {
       .filter(agree >= (NumHashes + 1) / 2)
       .select("s", "t")
     clustersFromEdges(docs, edges)
+  }
+
+  /** The q50/q99 serve path: star-contracted clusters with both the
+    * band and signature tables read from the persisted index at
+    * `path` (the star twin of [[dedupClustersFromIndex]]).
+    */
+  private[dedup] def dedupClustersStarFromIndex(docs: DataFrame,
+      path: String): DataFrame = {
+    val s = docs.sparkSession
+    dedupClustersStarParts(docs, indexBands(s, path),
+      graft.CacheScope.retain(indexSignatures(s, path)))
   }
 
   /** Exact pairwise-threshold clustering: CC over the [[minhashPairs]]

@@ -104,7 +104,12 @@ object JoinOps {
     */
   def profiledSaltedJoin(big: DataFrame, small: DataFrame, key: String,
       salt: Int, hotXMean: Double = 4.0): DataFrame = {
-    val g = big.groupBy(key).agg(count(lit(1)).as("__n"))
+    // retained: the census feeds BOTH the total/key-count scalar and
+    // the hot-key filter — unretained, the full groupBy over the
+    // (by-construction huge, skewed) big side runs twice in one plan
+    // unless exchange reuse happens to kick in
+    val g = graft.CacheScope.retain(
+      big.groupBy(key).agg(count(lit(1)).as("__n")))
     val tot = g.agg(sum("__n").as("__t"), count(lit(1)).as("__k"))
     // __n / (__t / __k) > hotXMean, in DOUBLE: a long __n * __k product
     // overflows exactly at the billions-of-keys x hot-key scale this

@@ -1524,12 +1524,27 @@ object SimilarityQueries {
   /** q130: append arriving vectors' list assignments to a persisted IVF
     * index, against its FROZEN centroids. Cost per batch: the batch's
     * rows x k centroid rows (broadcast) — never a corpus re-scan.
+    * With a `batchId`, the append is an atomic fenced batch commit
+    * ([[graft.sources.BatchCommits]]) — replayed micro-batches are
+    * skipped, so the streaming advance is exactly-once.
     */
-  def advanceIvfIndex(arrivals: DataFrame, path: String): Unit = {
+  def advanceIvfIndex(arrivals: DataFrame, path: String,
+      batchId: Option[Long] = None): Unit = {
     val cent = arrivals.sparkSession.read.parquet(path + "/centroids")
-    assignToCentroids(arrivals, cent)
-      .write.mode("append").parquet(path + "/assignments")
+    val assigned = assignToCentroids(arrivals, cent)
+    batchId match {
+      case Some(id) => graft.sources.BatchCommits.appendBatch(
+        assigned, path + "/assignments", id): Unit
+      case None =>
+        assigned.write.mode("append").parquet(path + "/assignments")
+    }
   }
+
+  /** Read back the persisted assignment lists — recursive-lookup read
+    * (build files plus committed streaming-advance batch dirs).
+    */
+  def indexAssignments(s: SparkSession, path: String): DataFrame =
+    graft.sources.BatchCommits.readComponent(s, path + "/assignments")
 
   /** The q118/q130 serve path: probe vec 0's nprobe=2 nearest lists from
     * the artifact's centroid table, candidates from its assignment
@@ -1538,7 +1553,7 @@ object SimilarityQueries {
   private def serveIvfRecall(s: SparkSession, f: DataFrame,
       idx: String): DataFrame = {
     val cent = s.read.parquet(idx + "/centroids")
-    val assign = s.read.parquet(idx + "/assignments")
+    val assign = indexAssignments(s, idx)
     val probe2 = f.filter(col("vec_id") === 0)
       .join(broadcast(cent), col("i") === col("ci"))
       .groupBy("clabel")

@@ -89,4 +89,38 @@ object ArtifactVersions {
       // can still leave one behind — harmless, prepareNext ignores it
       Files.deleteIfExists(tmp): Unit
   }
+
+  /** RETIRE old versions — the retention half of the lifecycle,
+    * without which every compaction/rebuild leaks a full artifact
+    * copy forever. Deletes version dirs numerically MORE than
+    * `keep - 1` behind the live one: the live version always
+    * survives, the `keep - 1` most recent predecessors survive as a
+    * grace window for readers that resolved their path just before a
+    * publish, and versions NEWER than CURRENT (prepared but not yet
+    * published) are never touched. Callers pick `keep` so the grace
+    * window outlives their longest reader (a reader pinned across
+    * `keep` consecutive publishes is the documented out-of-contract
+    * case). Returns the retired dirs. No-op before the first publish.
+    */
+  def pruneVersions(root: String, keep: Int = 2): Seq[String] = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    current(root) match {
+      case None => Seq.empty
+      case Some(cur) =>
+        val curN = Paths.get(cur).getFileName.toString.drop(1).toInt
+        Option(Paths.get(root).toFile.listFiles).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.matches("v\\d+")
+            && f.getName.drop(1).toInt <= curN - keep)
+          .sortBy(_.getName.drop(1).toInt)
+          .map { f => deleteRecursively(f.toPath); f.toString }
+          .toSeq
+    }
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p))
+      Option(p.toFile.listFiles).getOrElse(Array.empty)
+        .foreach(f => deleteRecursively(f.toPath))
+    Files.deleteIfExists(p): Unit
+  }
 }

@@ -146,19 +146,25 @@ object Streams {
     * scored against the PERSISTED dedup index
     * (DedupQueries.ingestBatchDecisions: band join + intra-batch star
     * leg + signature verify), the admission decisions are committed to
-    * `outDir` (tagged with the replayable batchId — the exactly-once
-    * hook), and the artifact at `indexPath` is ADVANCED with the
+    * `outDir`, and the artifact at `indexPath` is ADVANCED with the
     * admitted docs before the next batch reads it. Batch N+1 therefore
     * dedups against batch N's admissions — the q119 lifecycle
     * (build -> serve -> advance -> serve) driven by the stream itself;
     * StreamsSpec asserts the stream-advanced artifact and decisions
     * match the batch flow on the same splits.
     *
+    * EXACTLY-ONCE: every write is an atomic per-batch commit fenced on
+    * the replayable batchId ([[graft.sources.BatchCommits]]) — the
+    * decision log commits first, a replayed batch skips whatever a
+    * crash already committed and completes only the missing component
+    * appends, and the admitted set those appends derive from is read
+    * back from the COMMITTED decision rows, never recomputed against a
+    * half-advanced index (StreamsSpec forces a replay and asserts
+    * artifact equality).
+    *
     * 100 TB shape: per-batch work is arrival-side only (per-row sigs,
     * band equi-join against the index, appends sized by admissions);
-    * the index is never rebuilt. Replay caveat: a crashed-and-replayed
-    * batch would re-append its admissions — a production sink fences
-    * the advance on recorded batchIds exactly as it fences `outDir`.
+    * the index is never rebuilt.
     */
   def nearDupIngestSink(docs: DataFrame, indexPath: String,
       checkpointDir: String, outDir: String)
@@ -166,19 +172,33 @@ object Streams {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // decisions carry EVERY arrival ('added' or 'dup') so outDir is
-        // auditable — absence means "never arrived", not "dropped";
-        // only the admitted side advances the artifact
-        val decisions =
-          graft.dedup.DedupQueries.ingestBatchDecisions(batch, indexPath)
-        decisions.withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(outDir)
-        graft.dedup.DedupQueries.advanceDedupIndex(
-          batch.join(decisions.filter(col("status") === "added")
-              .select("doc_id"), "doc_id")
-            .select("doc_id", "text"), indexPath)
+        nearDupIngestBatch(batch, batchId, indexPath, outDir)
       }
       .start()
+
+  /** One micro-batch of [[nearDupIngestSink]] — exposed so the spec
+    * can force a replay (same batch, same id, twice) and assert the
+    * fence. Decisions carry EVERY arrival ('added' or 'dup') so outDir
+    * is auditable — absence means "never arrived", not "dropped";
+    * only the admitted side advances the artifact.
+    */
+  private[graft] def nearDupIngestBatch(batch: DataFrame, batchId: Long,
+      indexPath: String, outDir: String): Unit = {
+    import graft.sources.BatchCommits
+    if (!BatchCommits.isCommitted(outDir, batchId))
+      BatchCommits.appendBatch(
+        graft.dedup.DedupQueries.ingestBatchDecisions(batch, indexPath)
+          .withColumn("batch_id", lit(batchId)),
+        outDir, batchId): Unit
+    // the advance payload derives from the COMMITTED decisions (plus
+    // the source's replayed bytes), so a post-crash replay appends
+    // exactly what the original attempt decided
+    val committed = batch.sparkSession.read.parquet(outDir + s"/batch-$batchId")
+    graft.dedup.DedupQueries.advanceDedupIndex(
+      batch.join(committed.filter(col("status") === "added")
+          .select("doc_id"), "doc_id")
+        .select("doc_id", "text"), indexPath, Some(batchId))
+  }
 
   /** Streaming span scrub + index advance — q154's loop live: each
     * micro-batch of arriving docs is scrubbed against the persisted
@@ -188,7 +208,15 @@ object Streams {
     * N+1 is scrubbed against batch N's surviving novelty too.
     * Per-batch cost: arrival-side windows semi-joined to the columnar
     * artifact; the advance is a pure append (the index's consumers are
-    * set-semantics). Same replay caveat as the other advance sinks.
+    * set-semantics).
+    *
+    * EXACTLY-ONCE: the cleaned batch commits to `outDir` under the
+    * batchId fence first, and the index advance derives its window
+    * hashes from the COMMITTED cleaned text — a replay can neither
+    * double-append nor re-scrub against an index its first attempt
+    * already advanced ([[graft.sources.BatchCommits]]). Compaction on
+    * a replayed cadence boundary just produces one more version with
+    * the identical distinct set — idempotent in effect.
     *
     * `compactEvery` > 0 runs [[graft.dedup.DedupQueries
     * .compactNgramIndex]] after every that-many batches — a live
@@ -206,23 +234,37 @@ object Streams {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // local persist, never CacheScope.retain (no flush point in a
-        // stream); cleaned feeds TWO actions (commit + advance)
-        val cleaned = graft.dedup.DedupQueries
-          .spanScrubAgainstIndex(batch.sparkSession, batch, indexPath, w)
-          .persist()
-        try {
-          cleaned.withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(outDir)
-          graft.dedup.DedupQueries.advanceNgramIndex(
-            cleaned.select(col("doc_id"), col("clean_text").as("text")),
-            w, indexPath)
-          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-            graft.dedup.DedupQueries.compactNgramIndex(
-              batch.sparkSession, indexPath)
-        } finally { cleaned.unpersist(); () }
+        spanScrubBatch(batch, batchId, indexPath, w, outDir, compactEvery)
       }
       .start()
+
+  /** One micro-batch of [[spanScrubSink]] — exposed for the forced-
+    * replay spec. The scrub is evaluated once, straight into the
+    * fenced commit; the advance reads the committed parquet back, so
+    * no persist is needed to keep the two consumers consistent.
+    */
+  private[graft] def spanScrubBatch(batch: DataFrame, batchId: Long,
+      indexPath: String, w: Int, outDir: String,
+      compactEvery: Int): Unit = {
+    import graft.sources.BatchCommits
+    val s = batch.sparkSession
+    if (!BatchCommits.isCommitted(outDir, batchId))
+      BatchCommits.appendBatch(
+        graft.dedup.DedupQueries
+          .spanScrubAgainstIndex(s, batch, indexPath, w)
+          .withColumn("batch_id", lit(batchId)),
+        outDir, batchId): Unit
+    val committed = s.read.parquet(outDir + s"/batch-$batchId")
+    graft.dedup.DedupQueries.advanceNgramIndex(
+      committed.select(col("doc_id"), col("clean_text").as("text")),
+      w, indexPath, Some(batchId))
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+      graft.dedup.DedupQueries.compactNgramIndex(s, indexPath)
+      // retention: a long-running stream must not accumulate one full
+      // index copy per compaction (keep = live + 1 grace version)
+      graft.sources.ArtifactVersions.pruneVersions(indexPath): Unit
+    }
+  }
 
   /** THE COMPOSED INGEST LOOP — q144's curation pipeline live, wired
     * through the persisted artifacts: each micro-batch is
@@ -232,18 +274,25 @@ object Streams {
     * entirely known substrings scrubs to empty and dies here), and
     * (3) NEAR-DUP SCORED against the dedup index (q119's decisions).
     * Every arrival lands in `outDir` with its audit row (batch id,
-    * tokens span-removed, first-drop-wins status: quality_drop / dup /
-    * added — the q148 label discipline), and BOTH artifacts advance
-    * with the admitted docs' CLEANED text before the next batch reads
-    * them; `compactEvery` runs the q156 compaction on cadence. The
-    * admitted frame is localCheckpoint'ed BEFORE the first advance:
-    * the n-gram append refreshes the grams path, which invalidates any
-    * cached plan that scans it — a lineage-bearing frame would
-    * re-scrub against the already-advanced index for the second
-    * advance and desynchronize the two artifacts.
+    * CLEANED text, tokens span-removed, first-drop-wins status:
+    * quality_drop / dup / added — the q148 label discipline), and BOTH
+    * artifacts advance with the admitted docs' cleaned text before the
+    * next batch reads them; `compactEvery` runs the q156 compaction on
+    * cadence.
+    *
+    * EXACTLY-ONCE: the audit rows (including the cleaned text — they
+    * ARE the curated output) commit to `outDir` under the batchId
+    * fence FIRST; both artifact advances then derive the admitted
+    * payload from the COMMITTED rows and fence on the same id. A
+    * replay after any crash point skips what committed and completes
+    * what didn't, with the original attempt's exact payload — the
+    * scrub is never re-run against an index the first attempt already
+    * advanced, which also retires the old localCheckpoint dance this
+    * sink needed to keep its two advances synchronized.
+    *
     * Per-batch cost: all three stages are arrival-side joins against
     * columnar artifacts plus one stateless scan — nothing rescans the
-    * corpus. Same replay caveat as the other advance sinks.
+    * corpus.
     */
   def curationIngestSink(docs: DataFrame, ngramIdx: String,
       dedupIdx: String, w: Int, checkpointDir: String, outDir: String,
@@ -252,39 +301,57 @@ object Streams {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        import graft.dedup.DedupQueries
-        val s = batch.sparkSession
-        val cleaned = DedupQueries
-          .spanScrubAgainstIndex(s, batch, ngramIdx, w)
-          .select(col("doc_id"), col("clean_text").as("text"),
-            col("n_removed"))
-          .persist()
-        try {
-          val flags = graft.text.TextQueries.qualityFlagsOf(cleaned)
-            .select(col("doc_id"), col("keep"))
-          val survivors = cleaned.join(flags, "doc_id")
-            .filter(col("keep")).select("doc_id", "text")
-          // localCheckpoint'ed inside — stable across the advances
-          val decisions =
-            DedupQueries.ingestBatchDecisions(survivors, dedupIdx)
-          cleaned.join(flags, "doc_id")
-            .join(decisions, Seq("doc_id"), "left")
-            .select(col("doc_id"), col("n_removed"),
-              when(!col("keep"), lit("quality_drop"))
-                .otherwise(col("status")).as("status"),
-              lit(batchId).as("batch_id"))
-            .write.mode("append").parquet(outDir)
-          val admitted = survivors
-            .join(decisions.filter(col("status") === "added")
-              .select("doc_id"), "doc_id")
-            .localCheckpoint(true)
-          DedupQueries.advanceNgramIndex(admitted, w, ngramIdx)
-          DedupQueries.advanceDedupIndex(admitted, dedupIdx)
-          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-            DedupQueries.compactNgramIndex(s, ngramIdx)
-        } finally { cleaned.unpersist(); () }
+        curationIngestBatch(batch, batchId, ngramIdx, dedupIdx, w,
+          outDir, compactEvery)
       }
       .start()
+
+  /** One micro-batch of [[curationIngestSink]] — exposed for the
+    * forced-replay spec.
+    */
+  private[graft] def curationIngestBatch(batch: DataFrame, batchId: Long,
+      ngramIdx: String, dedupIdx: String, w: Int, outDir: String,
+      compactEvery: Int): Unit = {
+    import graft.dedup.DedupQueries
+    import graft.sources.BatchCommits
+    val s = batch.sparkSession
+    if (!BatchCommits.isCommitted(outDir, batchId)) {
+      // local persist, never CacheScope.retain (no flush point in a
+      // stream); cleaned feeds the gate AND the audit projection
+      val cleaned = DedupQueries
+        .spanScrubAgainstIndex(s, batch, ngramIdx, w)
+        .select(col("doc_id"), col("clean_text"), col("n_removed"))
+        .persist()
+      try {
+        val flags = graft.text.TextQueries.qualityFlagsOf(
+            cleaned.select(col("doc_id"), col("clean_text").as("text")))
+          .select(col("doc_id"), col("keep"))
+        val survivors = cleaned.join(flags, "doc_id")
+          .filter(col("keep"))
+          .select(col("doc_id"), col("clean_text").as("text"))
+        // localCheckpoint'ed inside — one stable evaluation
+        val decisions =
+          DedupQueries.ingestBatchDecisions(survivors, dedupIdx)
+        BatchCommits.appendBatch(
+          cleaned.join(flags, "doc_id")
+            .join(decisions, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("clean_text"), col("n_removed"),
+              when(!col("keep"), lit("quality_drop"))
+                .otherwise(col("status")).as("status"),
+              lit(batchId).as("batch_id")),
+          outDir, batchId): Unit
+      } finally { cleaned.unpersist(); () }
+    }
+    val admitted = s.read.parquet(outDir + s"/batch-$batchId")
+      .filter(col("status") === "added")
+      .select(col("doc_id"), col("clean_text").as("text"))
+    DedupQueries.advanceNgramIndex(admitted, w, ngramIdx, Some(batchId))
+    DedupQueries.advanceDedupIndex(admitted, dedupIdx, Some(batchId))
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+      DedupQueries.compactNgramIndex(s, ngramIdx)
+      graft.sources.ArtifactVersions.pruneVersions(ngramIdx): Unit
+    }
+  }
 
   /** Streaming advance of the IVF index — the ANN-side twin of
     * [[nearDupIngestSink]]: each micro-batch of arriving FLAT vectors
@@ -295,15 +362,17 @@ object Streams {
     * centroids are frozen the advanced artifact is IDENTICAL to a
     * one-shot assignment of the same vectors regardless of how the
     * stream batches them (StreamsSpec pins this batching-invariance).
-    * Same replay caveat as nearDupIngestSink: production fences the
-    * append on recorded batchIds.
+    * EXACTLY-ONCE: the append is an atomic per-batch commit fenced on
+    * the batchId ([[graft.sources.BatchCommits]]) — a replayed batch
+    * finds its commit and skips.
     */
   def ivfAdvanceSink(vecs: DataFrame, indexPath: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.similarity.SimilarityQueries.advanceIvfIndex(batch, indexPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.similarity.SimilarityQueries.advanceIvfIndex(batch, indexPath,
+          Some(batchId))
       }
       .start()
 
@@ -313,15 +382,19 @@ object Streams {
     * counter addition, so the stream-advanced profile equals the
     * whole-corpus sketch EXACTLY regardless of batching (StreamsSpec
     * pins it) — token-frequency monitoring over an unbounded ingest
-    * stream with a few KB of state and no reprocessing. Same replay
-    * caveat as the other advance sinks.
+    * stream with a few KB of state and no reprocessing. EXACTLY-ONCE:
+    * the applied-batch-id set lives INSIDE the sketch file, so the
+    * counter merge and its fence record commit in one atomic file
+    * replace — no crash point can separate them, and a replayed batch
+    * no-ops.
     */
   def cmsAdvanceSink(docs: DataFrame, sketchPath: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.text.TextQueries.advanceTokenSketch(batch, sketchPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.text.TextQueries.advanceTokenSketch(batch, sketchPath,
+          Some(batchId))
       }
       .start()
 

@@ -98,12 +98,11 @@ object BpeTrainer {
     * learned merge list at encode time (the same unit-separator
     * replace unrolling the trainer uses, per row) — the served-
     * tokenizer contract: unseen text must be priced by the rules, not
-    * flat-priced. Scale shape: the vocab (w -> n_sym, one small int
-    * per distinct word) joins the doc-word stream on the word hash —
-    * skew bounded by natural word frequency; the merges are ONE
-    * pivoted broadcast row, and the OOV replace chain is a per-row
-    * projection that codegen evaluates only on vocab misses
-    * (coalesce short-circuits).
+    * flat-priced. Scale shape: pricing (vocab join + OOV chain) runs
+    * at DISTINCT-WORD granularity and the per-word price joins back
+    * to the doc-word stream on the word hash — skew bounded by
+    * natural word frequency; the merges are ONE pivoted broadcast
+    * row (see [[pricedWords]]).
     */
   def bpeEncodeOf(docs: DataFrame, iters: Int = BpeIters): DataFrame = {
     val (steps, vocab) = trained(docs, iters)
@@ -169,15 +168,38 @@ object BpeTrainer {
     * n_eff) — the ONE copy of the pricing rule every encode query
     * aggregates over (q141 recompute, q146 artifact-served, q151
     * held-out): vocab hit -> n_sym, miss -> greedy merge application.
+    *
+    * Priced at DISTINCT-WORD granularity, then joined back to the
+    * occurrence stream — the same collapse the trainer itself uses:
+    * the OOV replace chain is ~4·iters string replaces per row, and
+    * evaluating it per occurrence (500k rows at sf0.1) instead of per
+    * distinct word (vocab-scale) was a measured 5× regression on q141.
+    * The distinct() is a map-side-combining shuffle of bare words; the
+    * price join back is vocab-vs-occurrences on the word — the exact
+    * shape of the vocab join it replaces.
+    *
+    * Words CONTAINING the U+001F wrapper are priced per-character: the
+    * trainer excludes them from its vocab (a symbol boundary inside a
+    * symbol is unrepresentable), and running them through the replace
+    * chain is unsound — their wrapped form contains runs of
+    * consecutive US chars that a NULL (exhausted-step) merge's
+    * four-US no-op pattern would spuriously match and corrupt.
     */
   private def pricedWords(docs: DataFrame, vsize: DataFrame,
-      merges: DataFrame, iters: Int): DataFrame =
-    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      merges: DataFrame, iters: Int): DataFrame = {
+    val occ = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
+    val priced = occ.select("w").distinct()
       .join(vsize, Seq("w"), "left")
       .crossJoin(broadcast(mergeRow(merges, iters)))
-      .select(col("doc_id"), col("w"), col("n_sym"),
-        coalesce(col("n_sym"), oovSymbolCount(col("w"), iters)).as("n_eff"))
+      .select(col("w"), col("n_sym"),
+        coalesce(col("n_sym"),
+          when(col("w").contains(US), length(col("w")))
+            .otherwise(oovSymbolCount(col("w"), iters))).as("n_eff"))
+    occ.join(priced, Seq("w"))
+      .select(col("doc_id"), col("w"), col("n_sym"), col("n_eff"))
+  }
 
   /** The shared pricing aggregation of q141/q146. */
   private def encode(docs: DataFrame, vsize: DataFrame,
@@ -263,6 +285,14 @@ object BpeTrainer {
     s"len(string_split(trim($applied, chr(31)), chr(31) || chr(31)))"
   }
 
+  /** DuckDB twin of the full pricing rule: vocab n_sym, else
+    * per-character for words containing the chr(31) wrapper (the
+    * Scala-side US guard), else the greedy merge chain.
+    */
+  private def pricedNEffSql(w: String): String =
+    s"""coalesce(n_sym, CASE WHEN contains($w, chr(31)) THEN len($w)
+       ELSE ${oovCountSql(w)} END)"""
+
   private def encodeOracleSql: String =
     s"""WITH ${trainerCtes()},
        vs AS (SELECT w, len(string_split(trim(seg, chr(31)),
@@ -272,7 +302,7 @@ object BpeTrainer {
            SELECT doc_id, unnest(string_split(text, ' ')) AS w
            FROM documents) x WHERE w <> ''),
        pr AS (SELECT doc_id, w,
-                coalesce(n_sym, ${oovCountSql("w")}) AS n_eff
+                ${pricedNEffSql("w")} AS n_eff
               FROM dw LEFT JOIN vs USING (w), mg)
        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
          CAST(sum(n_eff) AS BIGINT) AS n_tokens,
@@ -377,7 +407,7 @@ object BpeTrainer {
            WHERE doc_id % $HeldOutMod = ${HeldOutMod - 1}) x
          WHERE w <> ''),
        pr AS (SELECT doc_id, w, n_sym,
-                coalesce(n_sym, ${oovCountSql("w")}) AS n_eff
+                ${pricedNEffSql("w")} AS n_eff
               FROM dw LEFT JOIN vs USING (w), mg)
        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
          CAST(sum(CASE WHEN n_sym IS NULL AND len(w) >= 2
@@ -474,7 +504,7 @@ object BpeTrainer {
            SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
            FROM documents) x WHERE w <> ''),
        pr AS (SELECT source, doc_id, w,
-                coalesce(n_sym, ${oovCountSql("w")}) AS n_eff
+                ${pricedNEffSql("w")} AS n_eff
               FROM dw LEFT JOIN vs USING (w), mg),
        per AS (SELECT source,
                  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,

@@ -1257,6 +1257,94 @@ object TextQueries {
       .withColumn("keep", col("ok_len") && col("ok_wordlen")
         && col("ok_stop") && col("ok_rep"))
 
+  /** Gopher repetition thresholds (Rae et al. 2021, Table A1, the
+    * n-gram half): max allowed fraction per signal. */
+  val RepTopNs: Seq[Int] = Seq(2, 3, 4)
+  val RepDupNs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10)
+  val RepThreshold: Map[Int, Double] = Map(
+    2 -> 0.20, 3 -> 0.18, 4 -> 0.16,
+    5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+
+  /** q158's body: the GOPHER INTRA-DOCUMENT REPETITION SIGNALS —
+    * top_{2,3,4}_frac (fraction of non-space characters contained in
+    * the occurrences of the doc's most frequent n-gram; ties broken
+    * deterministically by the lexicographically LARGEST gram, so both
+    * engines pick the same winner) and dup_{5..10}_frac (fraction of
+    * characters covered by n-grams occurring more than once, each
+    * covered token position counted ONCE — the overlap-aware union
+    * Gopher specifies, not a per-occurrence sum), plus the
+    * conjunctive keep gate at the published thresholds. The corpus
+    * has no line structure, so the line/paragraph half of the Gopher
+    * table is inapplicable; the n-gram half is complete.
+    *
+    * Scale shape: ONE explode into (doc, n, pos, gram) windows for all
+    * nine n (~9x token mass, linear), a map-side-combining count per
+    * (doc, n, gram), an argmax-by-struct for the top family, a
+    * left-semi back-join plus a bounded (x n <= 10) position fan-out
+    * for the duplicated-coverage family — no window function, no
+    * driver action; everything shuffles on (doc, gram) hashes.
+    */
+  def repetitionSignalsOf(docs: DataFrame): DataFrame = {
+    val allNs = RepTopNs ++ RepDupNs
+    val winSql = allNs.map { n =>
+      s"""CASE WHEN size(toks) >= $n
+         THEN transform(sequence(1, size(toks) - ${n - 1}),
+           i -> named_struct('n', $n, 'pos', i,
+             'gram', concat_ws(' ', slice(toks, i, $n))))
+         ELSE CAST(array() AS array<struct<n:int,pos:int,gram:string>>)
+         END"""
+    }.mkString(", ")
+    val base = docs.select(col("doc_id"),
+      split(col("text"), " ").as("toks"),
+      greatest(length(replace(col("text"), lit(" "), lit(""))), lit(1))
+        .as("tot"))
+    // retained: the window stream feeds the per-gram count AND the
+    // duplicated-coverage back-join
+    val wins = graft.CacheScope.retain(
+      base.select(col("doc_id"),
+          explode(expr(s"flatten(array($winSql))")).as("w"))
+        .select(col("doc_id"), col("w.n").as("n"), col("w.pos").as("pos"),
+          col("w.gram").as("gram")))
+    val cnts = graft.CacheScope.retain(
+      wins.groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("c")))
+    val topA = cnts.filter(col("n") <= RepTopNs.max)
+      .groupBy("doc_id", "n")
+      .agg(max(struct(col("c"), col("gram"))).as("m"))
+      .select(col("doc_id"), col("n"),
+        (col("m.c") * (length(col("m.gram")) - (col("n") - 1)))
+          .as("rep_chars"))
+    val dupGrams = cnts.filter(col("n") >= RepDupNs.min && col("c") >= 2)
+      .select("doc_id", "n", "gram")
+    val covered = wins.filter(col("n") >= RepDupNs.min)
+      .join(dupGrams, Seq("doc_id", "n", "gram"), "left_semi")
+      .select(col("doc_id"), col("n"),
+        explode(sequence(col("pos"), col("pos") + col("n") - 1)).as("p"))
+      .distinct()
+    val tokLens = base.select(col("doc_id"),
+        posexplode(col("toks")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"),
+        length(col("tok")).as("l"))
+    val dupB = covered.join(tokLens, Seq("doc_id", "p"))
+      .groupBy("doc_id", "n")
+      .agg(sum("l").as("rep_chars"))
+    val wide = topA.unionByName(dupB)
+      .groupBy("doc_id")
+      .agg(max(when(col("n") === allNs.head, col("rep_chars")))
+          .as(s"rc${allNs.head}"),
+        allNs.tail.map(n =>
+          max(when(col("n") === n, col("rep_chars"))).as(s"rc$n")): _*)
+    def fracName(n: Int) =
+      if (RepTopNs.contains(n)) s"top_${n}_frac" else s"dup_${n}_frac"
+    def frac(n: Int) =
+      round(coalesce(col(s"rc$n"), lit(0L)).cast("double") / col("tot"), 4)
+    base.select("doc_id", "tot")
+      .join(wide, Seq("doc_id"), "left")
+      .select(col("doc_id") +:
+        allNs.map(n => frac(n).as(fracName(n))) :+
+        allNs.map(n => frac(n) <= RepThreshold(n))
+          .reduce(_ && _).as("keep_repetition"): _*)
+  }
+
   /** q143's sketch as a PERSISTED, ADVANCEABLE artifact — the
     * statistics-side analogue of the dedup/IVF index lifecycles:
     * [[buildTokenSketch]] writes the corpus CMS once;
@@ -1281,35 +1369,59 @@ object TextQueries {
   }
 
   def buildTokenSketch(docs: DataFrame, path: String): Unit =
-    writeSketch(tokenSketchOf(docs), path)
+    writeSketch(tokenSketchOf(docs), Set.empty, path)
 
-  def advanceTokenSketch(docs: DataFrame, path: String): Unit = {
-    val cur = readTokenSketch(path)
+  /** Merge an arrival batch's sketch into the persisted profile. With
+    * a `batchId`, the advance is EXACTLY-ONCE: the set of applied
+    * batch ids lives INSIDE the sketch file, so the counter merge and
+    * its fence record commit in the same atomic file replace — a
+    * replayed micro-batch finds its id recorded and no-ops, and no
+    * crash point can separate the merge from the record.
+    */
+  def advanceTokenSketch(docs: DataFrame, path: String,
+      batchId: Option[Long] = None): Unit = {
+    val (ids, cur) = readSketchFile(path)
+    if (batchId.exists(ids.contains)) return // replayed batch: no-op
     cur.mergeInPlace(tokenSketchOf(docs))
-    writeSketch(cur, path)
+    writeSketch(cur, ids ++ batchId, path)
   }
 
   def readTokenSketch(path: String)
-      : org.apache.spark.util.sketch.CountMinSketch = {
-    val in = new java.io.BufferedInputStream(
-      new java.io.FileInputStream(path))
-    try org.apache.spark.util.sketch.CountMinSketch.readFrom(in)
-    finally in.close()
+      : org.apache.spark.util.sketch.CountMinSketch = readSketchFile(path)._2
+
+  private val SketchMagic = 0x47434d53 // "GCMS"
+
+  private def readSketchFile(path: String)
+      : (Set[Long], org.apache.spark.util.sketch.CountMinSketch) = {
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      new java.io.FileInputStream(path)))
+    try {
+      require(in.readInt() == SketchMagic, s"$path: not a sketch artifact")
+      val ids = (0 until in.readInt()).map(_ => in.readLong()).toSet
+      (ids, org.apache.spark.util.sketch.CountMinSketch.readFrom(in))
+    } finally in.close()
   }
 
   /** Atomic artifact replace: write to a sibling temp file, fsync,
     * rename over the target. A crash mid-write must never truncate the
     * ONLY copy of the accumulated profile — unlike the parquet-append
-    * advance paths (where replay merely duplicates), an in-place
-    * rewrite here would lose the stream's whole state.
+    * advance paths (whose per-batch dirs commit independently), an
+    * in-place rewrite here would lose the stream's whole state. The
+    * applied-batch-id set rides in the file header (see
+    * [[advanceTokenSketch]]).
     */
   private def writeSketch(
-      s: org.apache.spark.util.sketch.CountMinSketch, path: String): Unit = {
+      s: org.apache.spark.util.sketch.CountMinSketch, ids: Set[Long],
+      path: String): Unit = {
     val target = java.nio.file.Paths.get(path)
     val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
     val out = new java.io.FileOutputStream(tmp.toFile)
     try {
-      val buf = new java.io.BufferedOutputStream(out)
+      val buf = new java.io.DataOutputStream(
+        new java.io.BufferedOutputStream(out))
+      buf.writeInt(SketchMagic)
+      buf.writeInt(ids.size)
+      ids.toSeq.sorted.foreach(buf.writeLong)
       s.writeTo(buf); buf.flush()
       out.getFD.sync()
     } finally out.close()

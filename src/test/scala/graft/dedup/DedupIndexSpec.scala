@@ -67,6 +67,19 @@ class DedupIndexSpec extends AnyFunSuite {
     graft.CacheScope.flush(spark)
   }
 
+  test("star clusters served from the artifact equal the recompute path " +
+      "(the q50/q99 serve discipline)") {
+    val docs = graft.Tables.documents(spark, sf)
+    val idx = java.nio.file.Files.createTempDirectory("graft_idx_star").toString
+    DedupQueries.buildDedupIndex(docs, idx)
+    val served = DedupQueries.dedupClustersStarFromIndex(docs, idx)
+      .collect().toSet
+    graft.CacheScope.flush(spark)
+    val recomputed = DedupQueries.dedupClustersStarOf(docs).collect().toSet
+    assert(served.nonEmpty && served == recomputed)
+    graft.CacheScope.flush(spark)
+  }
+
   test("advance: artifact-after-advance equals rebuild-from-advanced-corpus") {
     val docs = graft.Tables.documents(spark, sf)
     val idx = java.nio.file.Files.createTempDirectory("graft_idx_adv").toString

@@ -31,6 +31,37 @@ class ArtifactVersionsSpec extends AnyFunSuite {
     assert(ArtifactVersions.current(root).contains(v2))
   }
 
+  test("pruneVersions retires only versions beyond the grace window, " +
+      "never the live one or prepared-but-unpublished ones") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_artver_prune").toString
+    // nothing published yet: prune is a no-op even with dirs present
+    val v1 = ArtifactVersions.prepareNext(root)
+    assert(ArtifactVersions.pruneVersions(root).isEmpty)
+    ArtifactVersions.publish(root, v1)
+    def mk(): String = {
+      val v = ArtifactVersions.prepareNext(root)
+      ArtifactVersions.publish(root, v); v
+    }
+    val v2 = mk(); val v3 = mk(); val v4 = mk()
+    // a prepared NEWER version must survive any prune
+    val v5 = ArtifactVersions.prepareNext(root)
+    val retired = ArtifactVersions.pruneVersions(root, keep = 2)
+    assert(retired.map(p => java.nio.file.Paths.get(p).getFileName.toString)
+      == Seq("v1", "v2"))
+    def exists(v: String) = java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(v))
+    assert(!exists(v1) && !exists(v2) && exists(v3) && exists(v4)
+      && exists(v5))
+    assert(ArtifactVersions.current(root).contains(v4))
+    // idempotent; keep=1 then retires the remaining predecessor
+    assert(ArtifactVersions.pruneVersions(root, keep = 2).isEmpty)
+    assert(ArtifactVersions.pruneVersions(root, keep = 1)
+      .map(p => java.nio.file.Paths.get(p).getFileName.toString)
+      == Seq("v3"))
+    assert(exists(v4) && exists(v5))
+  }
+
   test("zero-downtime dedup-index rebuild: old version serves during and after") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "text")

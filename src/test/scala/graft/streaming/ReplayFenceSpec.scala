@@ -1,0 +1,190 @@
+package graft.streaming
+
+import graft.SharedSpark
+import graft.dedup.DedupQueries
+import graft.sources.BatchCommits
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The exactly-once batch fence: a foreachBatch micro-batch replayed
+  * after any crash point leaves every artifact byte-identical to the
+  * no-crash run. Each test drives the sinks' extracted per-batch
+  * bodies directly (the only way to force a same-id replay
+  * deterministically) and asserts artifact equality — the contract
+  * the old "replay caveat" scaladocs disclaimed.
+  */
+class ReplayFenceSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def tmp(p: String) =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  private def docs = graft.Tables.documents(spark, sf)
+    .select("doc_id", "text")
+
+  private def snap(df: DataFrame): (Long, Set[String]) =
+    (df.count(), df.collect().map(_.toString).toSet)
+
+  test("BatchCommits: second commit of the same batch is a no-op; " +
+      "readComponent sees flat files plus committed batch dirs; " +
+      "a stranded staging dir stays invisible and is reclaimed") {
+    import spark.implicits._
+    val dir = tmp("graft_bc") + "/component"
+    Seq(1L, 2L).toDF("x").write.parquet(dir) // the flat build write
+    assert(!BatchCommits.isCommitted(dir, 7L))
+    assert(BatchCommits.appendBatch(Seq(3L).toDF("x"), dir, 7L))
+    assert(BatchCommits.isCommitted(dir, 7L))
+    // the replay: different payload on purpose — it must NOT land
+    assert(!BatchCommits.appendBatch(Seq(99L).toDF("x"), dir, 7L))
+    // a crashed attempt's staging dir is hidden from readers...
+    Seq(42L).toDF("x").write.parquet(dir + "/.staging-8")
+    assert(BatchCommits.readComponent(spark, dir)
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // ...and the retried commit reclaims it
+    assert(BatchCommits.appendBatch(Seq(4L).toDF("x"), dir, 8L))
+    assert(BatchCommits.readComponent(spark, dir)
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("nearDupIngestBatch: full replay and crash-after-decisions " +
+      "replay both leave the artifact and decision log unchanged") {
+    val split = 25L
+    val base = docs.filter(col("doc_id") < split)
+    val b1 = docs.filter(col("doc_id") >= split).localCheckpoint(true)
+
+    // reference: one clean run
+    val idxRef = tmp("graft_rf_nd_ref"); val outRef = tmp("graft_rf_nd_refout")
+    DedupQueries.buildDedupIndex(base, idxRef)
+    Streams.nearDupIngestBatch(b1, 0L, idxRef, outRef)
+    val wantSig = snap(DedupQueries.indexSignatures(spark, idxRef))
+    val wantBand = snap(DedupQueries.indexBands(spark, idxRef))
+    val wantOut = snap(BatchCommits.readComponent(spark, outRef))
+
+    // full replay: the whole batch body runs twice with the same id
+    val idxA = tmp("graft_rf_nd_a"); val outA = tmp("graft_rf_nd_aout")
+    DedupQueries.buildDedupIndex(base, idxA)
+    Streams.nearDupIngestBatch(b1, 0L, idxA, outA)
+    Streams.nearDupIngestBatch(b1, 0L, idxA, outA)
+    assert(snap(DedupQueries.indexSignatures(spark, idxA)) == wantSig)
+    assert(snap(DedupQueries.indexBands(spark, idxA)) == wantBand)
+    assert(snap(BatchCommits.readComponent(spark, outA)) == wantOut)
+
+    // crash window: decisions committed, advance never ran — the
+    // replay must complete the advance from the COMMITTED decisions
+    val idxB = tmp("graft_rf_nd_b"); val outB = tmp("graft_rf_nd_bout")
+    DedupQueries.buildDedupIndex(base, idxB)
+    BatchCommits.appendBatch(
+      DedupQueries.ingestBatchDecisions(b1, idxB)
+        .withColumn("batch_id", lit(0L)),
+      outB, 0L)
+    Streams.nearDupIngestBatch(b1, 0L, idxB, outB)
+    assert(snap(DedupQueries.indexSignatures(spark, idxB)) == wantSig)
+    assert(snap(DedupQueries.indexBands(spark, idxB)) == wantBand)
+    assert(snap(BatchCommits.readComponent(spark, outB)) == wantOut)
+    graft.CacheScope.flush(spark)
+  }
+
+  test("spanScrubBatch: replaying a committed batch appends nothing " +
+      "and re-reads the ORIGINAL cleaned text, not a re-scrub against " +
+      "the advanced index") {
+    val w = DedupQueries.DupW
+    val split = 25L
+    val base = docs.filter(col("doc_id") < split)
+    val b1 = docs.filter(col("doc_id") >= split).localCheckpoint(true)
+
+    val idxRef = tmp("graft_rf_ss_ref"); val outRef = tmp("graft_rf_ss_refout")
+    DedupQueries.buildNgramIndex(base, w, idxRef)
+    Streams.spanScrubBatch(b1, 0L, idxRef, w, outRef, 0)
+    val wantOut = snap(BatchCommits.readComponent(spark, outRef))
+
+    val idx = tmp("graft_rf_ss"); val out = tmp("graft_rf_ss_out")
+    DedupQueries.buildNgramIndex(base, w, idx)
+    Streams.spanScrubBatch(b1, 0L, idx, w, out, 0)
+    val grams1 = snap(DedupQueries.liveGrams(spark, idx))
+    Streams.spanScrubBatch(b1, 0L, idx, w, out, 0) // the replay
+    assert(snap(DedupQueries.liveGrams(spark, idx)) == grams1,
+      "replay appended grams despite the fence")
+    assert(snap(BatchCommits.readComponent(spark, out)) == wantOut)
+    graft.CacheScope.flush(spark)
+  }
+
+  test("curationIngestBatch: full replay is a no-op on all three " +
+      "artifacts; a crash between the two advances completes, not " +
+      "duplicates") {
+    val w = DedupQueries.DupW
+    val split = 25L
+    val base = docs.filter(col("doc_id") < split)
+    val b1 = docs.filter(col("doc_id") >= split).localCheckpoint(true)
+    def fresh(tag: String): (String, String, String) = {
+      val ng = tmp("graft_rf_cu_ng" + tag)
+      val dd = tmp("graft_rf_cu_dd" + tag)
+      DedupQueries.buildNgramIndex(base, w, ng)
+      DedupQueries.buildDedupIndex(base, dd)
+      (ng, dd, tmp("graft_rf_cu_out" + tag))
+    }
+    val (ngR, ddR, outR) = fresh("ref")
+    Streams.curationIngestBatch(b1, 0L, ngR, ddR, w, outR, 0)
+    val wantGrams = snap(DedupQueries.liveGrams(spark, ngR))
+    val wantSig = snap(DedupQueries.indexSignatures(spark, ddR))
+    val wantOut = snap(BatchCommits.readComponent(spark, outR))
+
+    val (ngA, ddA, outA) = fresh("a")
+    Streams.curationIngestBatch(b1, 0L, ngA, ddA, w, outA, 0)
+    Streams.curationIngestBatch(b1, 0L, ngA, ddA, w, outA, 0)
+    assert(snap(DedupQueries.liveGrams(spark, ngA)) == wantGrams)
+    assert(snap(DedupQueries.indexSignatures(spark, ddA)) == wantSig)
+    assert(snap(BatchCommits.readComponent(spark, outA)) == wantOut)
+
+    // crash between the n-gram advance and the dedup advance: model it
+    // by deleting the dedup components' batch commits after a full run
+    val (ngB, ddB, outB) = fresh("b")
+    Streams.curationIngestBatch(b1, 0L, ngB, ddB, w, outB, 0)
+    for (c <- Seq("/signatures/batch-0", "/bands/batch-0")) {
+      val p = java.nio.file.Paths.get(ddB + c)
+      Option(p.toFile.listFiles).getOrElse(Array.empty)
+        .foreach(f => java.nio.file.Files.delete(f.toPath))
+      java.nio.file.Files.delete(p)
+    }
+    // the manual deletion bypasses the advance path's refreshByPath —
+    // drop any cached listing before re-reading
+    spark.catalog.refreshByPath(ddB)
+    Streams.curationIngestBatch(b1, 0L, ngB, ddB, w, outB, 0) // replay
+    assert(snap(DedupQueries.liveGrams(spark, ngB)) == wantGrams,
+      "replay double-advanced the n-gram index")
+    assert(snap(DedupQueries.indexSignatures(spark, ddB)) == wantSig,
+      "replay did not complete the missing dedup advance exactly once")
+    assert(snap(BatchCommits.readComponent(spark, outB)) == wantOut)
+    graft.CacheScope.flush(spark)
+  }
+
+  test("IVF and CMS advances: same-id replay is a no-op") {
+    import graft.similarity.SimilarityQueries
+    import graft.text.TextQueries
+    val f = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("i", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val split = SimilarityQueries.AnnAdvanceSplit
+    val idx = tmp("graft_rf_ivf")
+    SimilarityQueries.buildIvfIndex(f.filter(col("vec_id") < split), idx)
+    val arr = f.filter(col("vec_id") >= split).localCheckpoint(true)
+    SimilarityQueries.advanceIvfIndex(arr, idx, Some(3L))
+    val want = snap(SimilarityQueries.indexAssignments(spark, idx))
+    SimilarityQueries.advanceIvfIndex(arr, idx, Some(3L))
+    assert(snap(SimilarityQueries.indexAssignments(spark, idx)) == want)
+
+    val d = docs
+    val path = tmp("graft_rf_cms") + "/profile.cms"
+    TextQueries.buildTokenSketch(d.filter(col("doc_id") < 25), path)
+    val batch = d.filter(col("doc_id") >= 25).localCheckpoint(true)
+    TextQueries.advanceTokenSketch(batch, path, Some(5L))
+    val once = TextQueries.readTokenSketch(path)
+    TextQueries.advanceTokenSketch(batch, path, Some(5L)) // replay
+    val twice = TextQueries.readTokenSketch(path)
+    assert(twice.totalCount() == once.totalCount(),
+      "replayed CMS merge double-counted")
+    graft.CacheScope.flush(spark)
+  }
+}

@@ -357,7 +357,7 @@ class StreamsSpec extends AnyFunSuite {
     // two advances, two compactions: v1 (build) -> v2 -> v3 live
     assert(graft.sources.ArtifactVersions.current(idxS).get.endsWith("v3"),
       "per-batch compaction must have published v3")
-    val got = spark.read.parquet(out)
+    val got = graft.sources.BatchCommits.readComponent(spark, out)
       .select("doc_id", "n_tokens", "n_spans", "n_removed", "clean_text")
       .collect().toSeq.map(row5).sortBy(_._1)
     assert(got.nonEmpty && got == want)
@@ -442,7 +442,7 @@ class StreamsSpec extends AnyFunSuite {
       mem.addData(b1: _*); q.processAllAvailable()
       mem.addData(b2: _*); q.processAllAvailable()
     } finally q.stop()
-    val got = spark.read.parquet(out)
+    val got = graft.sources.BatchCommits.readComponent(spark, out)
       .select("doc_id", "n_removed", "status", "batch_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
       .toSeq.sortBy(_._1)
@@ -489,7 +489,7 @@ class StreamsSpec extends AnyFunSuite {
     // decisions: static 'existing' + streamed ADMISSIONS == batch flow
     // (the batch flow's contract emits no rows for drops; the stream's
     // outDir additionally records them as 'dup' for auditability)
-    val streamed = spark.read.parquet(out)
+    val streamed = graft.sources.BatchCommits.readComponent(spark, out)
     val total = docs.filter(col("doc_id") < split1)
       .select(col("doc_id"), lit("existing").as("status"))
       .unionAll(streamed.filter(col("status") === "added")
@@ -582,8 +582,8 @@ class StreamsSpec extends AnyFunSuite {
       mem.addData(b1: _*); q.processAllAvailable()
       mem.addData(b2: _*); q.processAllAvailable()
     } finally q.stop()
-    val aa = spark.read.parquet(idx + "/assignments")
-    val ab = spark.read.parquet(ref + "/assignments")
+    val aa = SimilarityQueries.indexAssignments(spark, idx)
+    val ab = SimilarityQueries.indexAssignments(spark, ref)
     assert(aa.count() > 0)
     assert(aa.exceptAll(ab).isEmpty && ab.exceptAll(aa).isEmpty)
     graft.CacheScope.flush(spark)

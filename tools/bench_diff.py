@@ -2,10 +2,11 @@
 """Compare two Bench JSON artifacts (BENCH_LOCAL.json files or raw
 `{"metric": ...}` lines embedded in logs) and report per-query movers.
 
-Usage: python3 tools/bench_diff.py OLD NEW [--thresh=1.3] [--floor=0.5]
+Usage: python3 tools/bench_diff.py OLD NEW [--thresh=1.3] [--floor=0.2]
 
 Movers are queries present in both runs, above `--floor` seconds in the
-old run, whose new/old ratio falls outside [1/thresh, thresh]. Queries
+old run (default 0.2 s — low enough that a sub-second query regressing
+5x, like r11's q141, still surfaces), whose new/old ratio falls outside [1/thresh, thresh]. Queries
 only in one run are listed separately. Exit code is always 0 — this is
 a reporting tool, not a gate (sub-second timings jitter run to run;
 confirm a suspected regression with an isolated
@@ -47,7 +48,7 @@ def main():
     opts = dict(a.split("=") for a in sys.argv[1:]
                 if a.startswith("--") and "=" in a)
     thresh = float(opts.get("--thresh", 1.3))
-    floor = float(opts.get("--floor", 0.5))
+    floor = float(opts.get("--floor", 0.2))
     if len(args) != 2:
         raise SystemExit(__doc__)
     old, new = load(args[0]), load(args[1])
