@@ -32,6 +32,25 @@ object Profile {
     // warmup
     spark.range(100000).groupBy((col("id") % 7).as("k")).count().count()
 
+    // fast loop for one query family: SPARK_GRAFT_PROFILE_ONLY=q158
+    if (sys.env.get("SPARK_GRAFT_PROFILE_ONLY").contains("q158")) {
+      import graft.text.TextQueries
+      val d = Tables.documents(spark, sfDir).select("doc_id", "text")
+      val aug = TextQueries.repetitionAugmented(d)
+      time("q158 aug materialize")(aug.count())
+      time("q158 ngram half")(TextQueries.repetitionSignalsOf(aug).count())
+      CacheScope.flush(spark)
+      time("q158 line half")(
+        TextQueries.lineRepetitionSignalsOf(aug).count())
+      CacheScope.flush(spark)
+      time("q158 full gate")(TextQueries.repetitionGate(d).count())
+      CacheScope.flush(spark)
+      time("q158 full gate again")(TextQueries.repetitionGate(d).count())
+      CacheScope.flush(spark)
+      spark.stop()
+      return
+    }
+
     import graft.grid.{GridQueries, GridOps, Topology}
     val g = GridQueries.grid(spark, sfDir)
     time("grid materialize")(g.count())

@@ -1114,7 +1114,125 @@ object TextQueries {
              SELECT doc_id, count(*) AS n_hits, min(i) AS first_pos
              FROM p WHERE toks[i] = '$PhraseA'
                AND i < len(toks) AND toks[i + 1] = '$PhraseB'
-             GROUP BY doc_id ORDER BY doc_id"""))
+             GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- q158: the GOPHER REPETITION GATE (Rae et al. 2021 Table A1,
+    // both halves) — see [[repetitionSignalsOf]] /
+    // [[lineRepetitionSignalsOf]] / [[repetitionAugmented]] for the
+    // semantics, tie-breaks, and the deterministic augmentation that
+    // makes every signal family fire on the synthetic corpus.
+    Q("q158_repetition_signals",
+      (s, d) => repetitionGate(Tables.documents(s, d)).orderBy("doc_id"),
+      Some(s"""WITH aug AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % $RepAugSelfEvery = 0 THEN text || ' ' ||
+      array_to_string(list_slice(string_split(text, ' '), 1, $RepAugSelfK), ' ')
+    ELSE text END AS text
+  FROM documents),
+base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         greatest(length(replace(text, ' ', '')), 1) AS tot
+  FROM aug),
+wins AS (
+  SELECT doc_id, n, pos,
+         array_to_string(list_slice(toks, pos, pos + n - 1), ' ') AS gram
+  FROM (SELECT doc_id, toks, n,
+          unnest(generate_series(1, len(toks) - n + 1)) AS pos
+        FROM base, (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n) ns
+        WHERE len(toks) >= n) t),
+cnts AS (
+  SELECT doc_id, n, gram, count(*) AS c FROM wins GROUP BY 1, 2, 3),
+topg AS (
+  SELECT doc_id, n, c * (length(gram) - (n - 1)) AS rep_chars
+  FROM (SELECT doc_id, n, gram, c,
+          row_number() OVER (PARTITION BY doc_id, n
+            ORDER BY c DESC, gram DESC) AS rn
+        FROM cnts WHERE n <= 4) r WHERE rn = 1),
+dupg AS (SELECT doc_id, n, gram FROM cnts WHERE n >= 5 AND c >= 2),
+cov AS (
+  SELECT DISTINCT doc_id, n, p FROM (
+    SELECT w.doc_id, w.n,
+      unnest(generate_series(w.pos, w.pos + w.n - 1)) AS p
+    FROM wins w JOIN dupg USING (doc_id, n, gram)) u),
+toklens AS (
+  SELECT doc_id, p, length(toks[p]) AS l
+  FROM (SELECT doc_id, toks,
+          unnest(generate_series(1, len(toks))) AS p FROM base) t),
+dupb AS (
+  SELECT cov.doc_id, cov.n, CAST(sum(l) AS BIGINT) AS rep_chars
+  FROM cov JOIN toklens ON cov.doc_id = toklens.doc_id AND cov.p = toklens.p
+  GROUP BY 1, 2),
+wide AS (
+  SELECT doc_id,
+    max(CASE WHEN n = 2 THEN rep_chars END) AS rc2,
+    max(CASE WHEN n = 3 THEN rep_chars END) AS rc3,
+    max(CASE WHEN n = 4 THEN rep_chars END) AS rc4,
+    max(CASE WHEN n = 5 THEN rep_chars END) AS rc5,
+    max(CASE WHEN n = 6 THEN rep_chars END) AS rc6,
+    max(CASE WHEN n = 7 THEN rep_chars END) AS rc7,
+    max(CASE WHEN n = 8 THEN rep_chars END) AS rc8,
+    max(CASE WHEN n = 9 THEN rep_chars END) AS rc9,
+    max(CASE WHEN n = 10 THEN rep_chars END) AS rc10
+  FROM (SELECT * FROM topg UNION ALL SELECT * FROM dupb) a GROUP BY 1),
+ngram AS (
+  SELECT b.doc_id,
+    round(CAST(coalesce(rc2, 0) AS DOUBLE) / tot, 4) AS top_2_frac,
+    round(CAST(coalesce(rc3, 0) AS DOUBLE) / tot, 4) AS top_3_frac,
+    round(CAST(coalesce(rc4, 0) AS DOUBLE) / tot, 4) AS top_4_frac,
+    round(CAST(coalesce(rc5, 0) AS DOUBLE) / tot, 4) AS dup_5_frac,
+    round(CAST(coalesce(rc6, 0) AS DOUBLE) / tot, 4) AS dup_6_frac,
+    round(CAST(coalesce(rc7, 0) AS DOUBLE) / tot, 4) AS dup_7_frac,
+    round(CAST(coalesce(rc8, 0) AS DOUBLE) / tot, 4) AS dup_8_frac,
+    round(CAST(coalesce(rc9, 0) AS DOUBLE) / tot, 4) AS dup_9_frac,
+    round(CAST(coalesce(rc10, 0) AS DOUBLE) / tot, 4) AS dup_10_frac
+  FROM base b LEFT JOIN wide USING (doc_id)),
+lraw AS (
+  SELECT doc_id, P, list_slice(lines, 1, P) AS ls, lines FROM (
+    SELECT doc_id, P,
+      list_transform(generate_series(0, nlines - 1),
+        j -> array_to_string(list_slice(toks, j * L + 1, j * L + L), ' '))
+        AS lines
+    FROM (SELECT doc_id, toks, 3 + doc_id % 5 AS L, 2 + doc_id % 3 AS P,
+            CAST(ceil(len(toks) / CAST(3 + doc_id % 5 AS DOUBLE)) AS INT)
+              AS nlines
+          FROM base) lb) ld),
+ldocs AS (
+  SELECT doc_id, P,
+    CASE WHEN doc_id % $RepAugLineEvery = 0 THEN lines || ls || ls || ls
+    ELSE lines END AS lines
+  FROM lraw),
+pdocs AS (
+  SELECT doc_id,
+    list_transform(
+      generate_series(0,
+        CAST(ceil(len(lines) / CAST(P AS DOUBLE)) AS INT) - 1),
+      k -> array_to_string(list_slice(lines, k * P + 1, k * P + P), chr(10)))
+      AS paras
+  FROM ldocs),
+lstat AS (
+  SELECT doc_id,
+    round(CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE) / sum(c), 4)
+      AS dup_line_frac
+  FROM (SELECT doc_id, line, count(*) AS c
+        FROM (SELECT doc_id, unnest(lines) AS line FROM ldocs) x
+        GROUP BY 1, 2) y GROUP BY 1),
+pstat AS (
+  SELECT doc_id,
+    round(CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE) / sum(c), 4)
+      AS dup_para_frac
+  FROM (SELECT doc_id, para, count(*) AS c
+        FROM (SELECT doc_id, unnest(paras) AS para FROM pdocs) x
+        GROUP BY 1, 2) y GROUP BY 1)
+SELECT n.*, dup_line_frac, dup_para_frac,
+  (top_2_frac <= ${RepThreshold(2)} AND top_3_frac <= ${RepThreshold(3)}
+   AND top_4_frac <= ${RepThreshold(4)} AND dup_5_frac <= ${RepThreshold(5)}
+   AND dup_6_frac <= ${RepThreshold(6)} AND dup_7_frac <= ${RepThreshold(7)}
+   AND dup_8_frac <= ${RepThreshold(8)} AND dup_9_frac <= ${RepThreshold(9)}
+   AND dup_10_frac <= ${RepThreshold(10)}
+   AND dup_line_frac <= $RepLineThreshold
+   AND dup_para_frac <= $RepParaThreshold) AS keep_repetition
+FROM ngram n JOIN lstat USING (doc_id) JOIN pstat USING (doc_id)
+ORDER BY doc_id"""))
   )
 
   /** q115 shard size target (bytes of text per shard). */
@@ -1265,17 +1383,17 @@ object TextQueries {
     2 -> 0.20, 3 -> 0.18, 4 -> 0.16,
     5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
 
-  /** q158's body: the GOPHER INTRA-DOCUMENT REPETITION SIGNALS —
-    * top_{2,3,4}_frac (fraction of non-space characters contained in
-    * the occurrences of the doc's most frequent n-gram; ties broken
-    * deterministically by the lexicographically LARGEST gram, so both
-    * engines pick the same winner) and dup_{5..10}_frac (fraction of
-    * characters covered by n-grams occurring more than once, each
-    * covered token position counted ONCE — the overlap-aware union
-    * Gopher specifies, not a per-occurrence sum), plus the
-    * conjunctive keep gate at the published thresholds. The corpus
-    * has no line structure, so the line/paragraph half of the Gopher
-    * table is inapplicable; the n-gram half is complete.
+  /** The n-gram half of q158's GOPHER INTRA-DOCUMENT REPETITION
+    * SIGNALS — top_{2,3,4}_frac (fraction of non-space characters
+    * contained in the occurrences of the doc's most frequent n-gram;
+    * ties broken deterministically by the lexicographically LARGEST
+    * gram, so both engines pick the same winner) and dup_{5..10}_frac
+    * (fraction of characters covered by n-grams occurring more than
+    * once, each covered token position counted ONCE — the
+    * overlap-aware union Gopher specifies, not a per-occurrence sum),
+    * plus the conjunctive `keep_ngram` gate at the published
+    * thresholds. [[lineRepetitionSignalsOf]] is the line/paragraph
+    * half; [[repetitionGate]] composes the two into q158.
     *
     * Scale shape: ONE explode into (doc, n, pos, gram) windows for all
     * nine n (~9x token mass, linear), a map-side-combining count per
@@ -1342,7 +1460,112 @@ object TextQueries {
       .select(col("doc_id") +:
         allNs.map(n => frac(n).as(fracName(n))) :+
         allNs.map(n => frac(n) <= RepThreshold(n))
-          .reduce(_ && _).as("keep_repetition"): _*)
+          .reduce(_ && _).as("keep_ngram"): _*)
+  }
+
+  /** Gopher line/paragraph duplicate thresholds (Rae et al. 2021,
+    * Table A1, the structural half): max allowed duplicate fraction.
+    */
+  val RepLineThreshold = 0.30
+  val RepParaThreshold = 0.30
+
+  /** q158 augmentation knobs. The synthetic corpus has neither
+    * within-doc >=5-gram repeats nor line structure, so — the q113 PII
+    * pattern — q158 synthesizes both DETERMINISTICALLY from doc_id
+    * (each engine builds the identical augmented doc, so the oracle
+    * checks the signals where they actually fire, not a field of
+    * zeros): every `RepAugSelfEvery`-th doc re-appends its own first
+    * `RepAugSelfK` tokens (fires the duplicated-n-gram family), and
+    * every `RepAugLineEvery`-th doc re-appends its first paragraph's
+    * lines three times (fires the duplicated-line family, and — three
+    * adjacent copies of a P-periodic block always contain two full
+    * P-line windows with identical content regardless of alignment —
+    * the duplicated-paragraph family too).
+    */
+  val RepAugSelfEvery = 4
+  val RepAugSelfK = 12
+  val RepAugLineEvery = 6
+
+  /** The deterministic self-repeat augmentation (see the knobs above).
+    */
+  private[graft] def repetitionAugmented(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(col("doc_id") % RepAugSelfEvery === 0,
+        concat(col("text"), lit(" "),
+          array_join(slice(split(col("text"), " "), 1, RepAugSelfK), " ")))
+        .otherwise(col("text")).as("text"))
+
+  /** The line/paragraph half of q158's Gopher repetition signals:
+    * lines are `L = 3 + doc_id % 5` consecutive tokens, paragraphs
+    * `P = 2 + doc_id % 3` consecutive lines (doc_id-derived so the
+    * corpus exercises every shape), with the duplicate-line
+    * augmentation above appended at the LINE level. dup_line_frac /
+    * dup_para_frac count each SLOT whose text occurs more than once in
+    * the doc (all occurrences of a duplicated line count — Gopher's
+    * duplicate-line fraction), over the total slot count.
+    *
+    * Scale shape: per-row higher-order functions build the line and
+    * paragraph arrays with no shuffle; the duplicate counting is one
+    * explode + two-level map-side-combining aggregation per family,
+    * shuffling on (doc, line-text) hashes — linear, no window
+    * function, no driver action.
+    */
+  def lineRepetitionSignalsOf(docs: DataFrame): DataFrame = {
+    // The line/paragraph arrays are interpreted HOFs (no codegen), and
+    // projection collapse INLINES every reference to a derived column —
+    // left as one chained plan, the lines -> ls -> augmented-lines ->
+    // paras chain re-evaluates the line-building transform ~10x per
+    // row across the two dupFrac legs (measured: 10.3 s of q158's
+    // 9.9 s suite cost at sf0.1; 0.9 s with the barriers). Two
+    // retained row-count-preserving caches pin each HOF result so it
+    // is computed exactly once per row; downstream references then
+    // slice/concat the MATERIALIZED array, which is cheap.
+    val lined = graft.CacheScope.retain(docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("L", (lit(3) + col("doc_id") % 5).cast("int"))
+      .withColumn("P", (lit(2) + col("doc_id") % 3).cast("int"))
+      .withColumn("nlines",
+        ceil(size(col("toks")) / col("L").cast("double")).cast("int"))
+      .select(col("doc_id"), col("P"), expr(
+        """transform(sequence(0, nlines - 1),
+           j -> array_join(slice(toks, j * L + 1, L), ' '))""").as("lines0")))
+    val base = graft.CacheScope.retain(lined
+      .select(col("doc_id"), col("P"), expr(
+        s"""CASE WHEN doc_id % $RepAugLineEvery = 0
+            THEN concat(lines0, slice(lines0, 1, P),
+                        slice(lines0, 1, P), slice(lines0, 1, P))
+            ELSE lines0 END""").as("lines"))
+      .withColumn("paras", expr(
+        """transform(
+             sequence(0, cast(ceil(size(lines) / cast(P as double)) as int) - 1),
+             k -> array_join(slice(lines, k * P + 1, P), '\n'))""")))
+    def dupFrac(src: String, out: String) =
+      base.select(col("doc_id"), explode(col(src)).as("u"))
+        .groupBy("doc_id", "u").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(round(
+          sum(when(col("c") >= 2, col("c")).otherwise(0L)).cast("double")
+            / sum("c"), 4).as(out))
+    dupFrac("lines", "dup_line_frac")
+      .join(dupFrac("paras", "dup_para_frac"), Seq("doc_id"))
+      .withColumn("keep_line",
+        col("dup_line_frac") <= RepLineThreshold
+          && col("dup_para_frac") <= RepParaThreshold)
+  }
+
+  /** q158's body: both Gopher repetition halves over the augmented
+    * corpus, one row per doc with all eleven signals and the
+    * conjunctive `keep_repetition` gate.
+    */
+  def repetitionGate(docs: DataFrame): DataFrame = {
+    val aug = repetitionAugmented(docs)
+    val sigCols = (RepTopNs.map(n => s"top_${n}_frac")
+      ++ RepDupNs.map(n => s"dup_${n}_frac")
+      ++ Seq("dup_line_frac", "dup_para_frac")).map(col)
+    repetitionSignalsOf(aug)
+      .join(lineRepetitionSignalsOf(aug), Seq("doc_id"))
+      .select(col("doc_id") +: sigCols :+
+        (col("keep_ngram") && col("keep_line")).as("keep_repetition"): _*)
   }
 
   /** q143's sketch as a PERSISTED, ADVANCEABLE artifact — the

@@ -562,6 +562,85 @@ class QueriesSpec extends AnyFunSuite {
     assert(e == Seq(1, 3))
   }
 
+  test("q158 n-gram repetition signals match hand-computed fixtures") {
+    import spark.implicits._
+    // doc 1 "a b a b a b": top 2-gram 'a b' x3 covers 3*2=6 of 6 chars
+    // (frac 1.0); 3-gram tie (2x each) breaks to the LARGER gram
+    // 'b a b' -> 2*3=6 (1.0); 4-gram 'a b a b' x2 -> 2*4=8 (1.3333);
+    // no 5-gram repeats. doc 2: 30 distinct 2-char tokens -> every
+    // top gram is a 1-count (lex-largest wins), all dup fracs 0, keeps.
+    val toks30 = (1 to 30).map(i => f"t${i}%02d")
+    val df = Seq((1L, "a b a b a b"), (2L, toks30.mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = graft.text.TextQueries.repetitionSignalsOf(df)
+      .orderBy("doc_id").collect()
+    val a = rows(0)
+    assert(a.getAs[Double]("top_2_frac") == 1.0)
+    assert(a.getAs[Double]("top_3_frac") == 1.0)
+    assert(a.getAs[Double]("top_4_frac") == 1.3333)
+    assert(a.getAs[Double]("dup_5_frac") == 0.0)
+    assert(!a.getAs[Boolean]("keep_ngram"))
+    val b = rows(1)
+    // 30 tokens x 3 chars = 90; lex-largest among the 1-count 2-grams
+    // is 't29 t30' (7 chars) -> 1*(7-1)/90 = 0.0667
+    assert(b.getAs[Double]("top_2_frac") == 0.0667)
+    assert(b.getAs[Double]("top_3_frac") == 0.1)
+    assert(b.getAs[Double]("top_4_frac") == 0.1333)
+    assert(b.getAs[Double]("dup_10_frac") == 0.0)
+    assert(b.getAs[Boolean]("keep_ngram"))
+    graft.CacheScope.flush(spark)
+  }
+
+  test("q158 line/paragraph repetition signals match hand-computed fixtures") {
+    import spark.implicits._
+    // doc 1 (no line augmentation): L=4, P=3; 12 toks -> lines
+    // [pqrs, pqrs, abcd] -> 2 of 3 slots duplicated (0.6667); one
+    // paragraph -> dup_para 0. doc 6 (augmented): L=4, P=2; 8 distinct
+    // toks -> [l1,l2] ++ 3x[l1,l2] -> all 8 slots dup (1.0), all 4
+    // paragraphs identical (1.0).
+    val df = Seq(
+      (1L, "p q r s p q r s a b c d"),
+      (6L, "e f g h i j k l")).toDF("doc_id", "text")
+    val rows = graft.text.TextQueries.lineRepetitionSignalsOf(df)
+      .orderBy("doc_id").collect()
+    assert(rows(0).getAs[Double]("dup_line_frac") == 0.6667)
+    assert(rows(0).getAs[Double]("dup_para_frac") == 0.0)
+    assert(!rows(0).getAs[Boolean]("keep_line"))
+    assert(rows(1).getAs[Double]("dup_line_frac") == 1.0)
+    assert(rows(1).getAs[Double]("dup_para_frac") == 1.0)
+    assert(!rows(1).getAs[Boolean]("keep_line"))
+  }
+
+  test("q158 augmentation fires every signal family; keep is the conjunction") {
+    val rows = QueryRegistry.queries("q158_repetition_signals")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val th = graft.text.TextQueries.RepThreshold
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      // the self-repeat augmentation guarantees within-doc >=5-gram
+      // repeats on every 4th doc; line re-append guarantees duplicate
+      // lines AND paragraphs on every 6th
+      if (id % 4 == 0) assert(r.getAs[Double]("dup_5_frac") > 0, s"doc $id")
+      if (id % 6 == 0) {
+        assert(r.getAs[Double]("dup_line_frac") > 0, s"doc $id")
+        assert(r.getAs[Double]("dup_para_frac") > 0, s"doc $id")
+      }
+      val keep = (2 to 4).forall(n =>
+        r.getAs[Double](s"top_${n}_frac") <= th(n)) &&
+        (5 to 10).forall(n => r.getAs[Double](s"dup_${n}_frac") <= th(n)) &&
+        r.getAs[Double]("dup_line_frac") <=
+          graft.text.TextQueries.RepLineThreshold &&
+        r.getAs[Double]("dup_para_frac") <=
+          graft.text.TextQueries.RepParaThreshold
+      assert(r.getAs[Boolean]("keep_repetition") == keep, s"doc $id keep")
+    }
+    // both fates occur — the gate is not vacuous on the corpus
+    assert(rows.exists(_.getAs[Boolean]("keep_repetition")))
+    assert(rows.exists(!_.getAs[Boolean]("keep_repetition")))
+    graft.CacheScope.flush(spark)
+  }
+
   test("q145 skew profile: dense ranks, non-increasing counts, sane shares") {
     val rows = QueryRegistry.queries("q145_skew_profile")(spark, sf)
       .collect()
