@@ -1331,24 +1331,24 @@ object DedupQueries {
     * replays leave behind are gone, and the small-files accumulation
     * resets to one write.
     *
-    * The old version's `batch-<id>` fence markers carry over as EMPTY
-    * marker dirs in the new version (readers see no files; the fence
-    * sees the id): without this, a batch whose advance committed into
-    * vN, followed by a compaction publishing vN+1 and a crash before
-    * the stream checkpoint, would replay its (set-harmless but
-    * duplicate) append into vN+1.
+    * The old version's NEWEST `batch-<id>` fence markers carry over as
+    * EMPTY marker dirs in the new version (readers see no files; the
+    * fence sees the id): without the carry, a batch whose advance
+    * committed into vN, followed by a compaction publishing vN+1 and a
+    * crash before the stream checkpoint, would replay its (set-harmless
+    * but duplicate) append into vN+1. Only the
+    * [[graft.sources.BatchCommits.MarkerKeep]] newest ids are carried —
+    * older ids are beyond the checkpoint's replay horizon, and carrying
+    * all of them forever is an unbounded inode leak. Stranded staging
+    * dirs of crashed attempts are swept at the same time.
     */
   def compactNgramIndex(s: SparkSession, root: String): Unit = {
     val old = liveGramsDir(root)
     val v = graft.sources.ArtifactVersions.prepareNext(root)
     liveGrams(s, root).distinct()
       .write.parquet(v + "/grams")
-    Option(new java.io.File(old).listFiles).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("batch-"))
-      .foreach { f =>
-        java.nio.file.Files.createDirectories(
-          java.nio.file.Paths.get(v, "grams", f.getName)): Unit
-      }
+    graft.sources.BatchCommits.carryMarkers(old, v + "/grams")
+    graft.sources.BatchCommits.sweepStaging(old)
     graft.sources.ArtifactVersions.publish(root, v)
   }
 
@@ -1799,6 +1799,15 @@ object DedupQueries {
     }
   }
 
+  /** The dedup index's live component root: `path` itself for the flat
+    * build layout, or the live version dir once [[compactDedupIndex]]
+    * has moved the artifact under [[graft.sources.ArtifactVersions]]
+    * (the flat layout is the implicit v0 — every pre-compaction flow
+    * and spec keeps its exact semantics).
+    */
+  private def liveDedupDir(path: String): String =
+    graft.sources.ArtifactVersions.current(path).getOrElse(path)
+
   /** With a `batchId`, both component appends are atomic fenced batch
     * commits ([[graft.sources.BatchCommits]]): a replayed micro-batch
     * skips the committed component(s) and completes only what a crash
@@ -1807,6 +1816,7 @@ object DedupQueries {
     */
   def advanceDedupIndex(admitted: DataFrame, path: String,
       batchId: Option[Long] = None): Unit = {
+    val live = liveDedupDir(path)
     // LOCAL persist, not CacheScope: the streaming sink calls this once
     // per micro-batch and never reaches a harness flush point — a
     // retain here would pin one signature frame per batch for the
@@ -1814,11 +1824,11 @@ object DedupQueries {
     val sig = signaturesPerRow(admitted).persist()
     try batchId match {
       case Some(id) =>
-        graft.sources.BatchCommits.appendBatch(sig, path + "/signatures", id)
-        graft.sources.BatchCommits.appendBatch(bandsOf(sig), path + "/bands", id): Unit
+        graft.sources.BatchCommits.appendBatch(sig, live + "/signatures", id)
+        graft.sources.BatchCommits.appendBatch(bandsOf(sig), live + "/bands", id): Unit
       case None =>
-        sig.write.mode("append").parquet(path + "/signatures")
-        bandsOf(sig).write.mode("append").parquet(path + "/bands")
+        sig.write.mode("append").parquet(live + "/signatures")
+        bandsOf(sig).write.mode("append").parquet(live + "/bands")
     } finally sig.unpersist(): Unit
     // Visibility guarantee: a pre-advance read of this artifact may be
     // cached (q119's phase 1 retains the signature read of the same
@@ -1896,15 +1906,56 @@ object DedupQueries {
     graft.TempArtifacts.dir(prefix)
 
   /** Read back the persisted signature table (doc_id, h0..h15).
-    * Recursive-lookup read: the component holds the build's flat files
-    * plus the streaming advance's committed `batch-<id>` dirs.
+    * Recursive-lookup read of the LIVE version's component: the build's
+    * flat files plus the streaming advance's committed `batch-<id>`
+    * dirs.
     */
   def indexSignatures(s: SparkSession, path: String): DataFrame =
-    graft.sources.BatchCommits.readComponent(s, path + "/signatures")
+    graft.sources.BatchCommits.readComponent(s,
+      liveDedupDir(path) + "/signatures")
 
   /** Read back the persisted band table (doc_id, band, bucket). */
   def indexBands(s: SparkSession, path: String): DataFrame =
-    graft.sources.BatchCommits.readComponent(s, path + "/bands")
+    graft.sources.BatchCommits.readComponent(s, liveDedupDir(path) + "/bands")
+
+  /** COMPACT the live dedup index into the next
+    * [[graft.sources.ArtifactVersions]] version — the q156 grams
+    * discipline transplanted to `signatures/` + `bands/`: a streaming
+    * ingest otherwise accumulates one `batch-<id>` parquet dir per
+    * micro-batch forever, degrading every recursive-lookup read (the
+    * listing is linear in committed batches — ScaleProbe's
+    * `batch_dirs` sweep puts a number on the knee). One distinct
+    * rewrite per component, keyed the way grams are keyed by hash:
+    * signatures by doc_id, bands by (doc_id, band) — a doc's rows are
+    * pure functions of its text, so the duplicates the UNfenced batch
+    * lifecycle flows' modelled replays leave are byte-identical and
+    * collapse exactly; serve results are provably unchanged (every
+    * consumer is keyed-lookup/join semantics; DedupIndexSpec pins
+    * frame equality across the flip). Fence markers carry over
+    * (newest [[graft.sources.BatchCommits.MarkerKeep]] — see
+    * [[compactNgramIndex]]) and stranded staging dirs are swept.
+    *
+    * The FIRST compaction moves a flat-layout index under version
+    * dirs (flat = implicit v0, left in place as the grace copy for
+    * readers that resolved it pre-flip; `pruneVersions` governs every
+    * later version's retirement).
+    */
+  def compactDedupIndex(s: SparkSession, path: String): Unit = {
+    val old = liveDedupDir(path)
+    val v = graft.sources.ArtifactVersions.prepareNext(path)
+    indexSignatures(s, path).dropDuplicates("doc_id")
+      .write.parquet(v + "/signatures")
+    indexBands(s, path).dropDuplicates("doc_id", "band")
+      .write.parquet(v + "/bands")
+    for (c <- Seq("/signatures", "/bands")) {
+      graft.sources.BatchCommits.carryMarkers(old + c, v + c)
+      graft.sources.BatchCommits.sweepStaging(old + c)
+    }
+    graft.sources.ArtifactVersions.publish(path, v)
+    // same contract as advance: drop any cached plans over the old
+    // resolved paths so post-compaction reads see the live version
+    s.catalog.refreshByPath(path)
+  }
 
   /** CTE chain computing MinHash signatures (`sig`) and their band
     * buckets (`bands`) — the shared head of every LSH oracle.

@@ -1530,21 +1530,61 @@ object SimilarityQueries {
     */
   def advanceIvfIndex(arrivals: DataFrame, path: String,
       batchId: Option[Long] = None): Unit = {
-    val cent = arrivals.sparkSession.read.parquet(path + "/centroids")
+    val live = liveIvfDir(path)
+    val cent = arrivals.sparkSession.read.parquet(live + "/centroids")
     val assigned = assignToCentroids(arrivals, cent)
     batchId match {
       case Some(id) => graft.sources.BatchCommits.appendBatch(
-        assigned, path + "/assignments", id): Unit
+        assigned, live + "/assignments", id): Unit
       case None =>
-        assigned.write.mode("append").parquet(path + "/assignments")
+        assigned.write.mode("append").parquet(live + "/assignments")
     }
   }
 
+  /** The IVF index's live component root: `path` itself for the flat
+    * build layout, or the live version dir once [[compactIvfIndex]]
+    * has moved the artifact under [[graft.sources.ArtifactVersions]]
+    * (flat = implicit v0; pre-compaction flows keep their exact
+    * semantics).
+    */
+  private def liveIvfDir(path: String): String =
+    graft.sources.ArtifactVersions.current(path).getOrElse(path)
+
   /** Read back the persisted assignment lists — recursive-lookup read
-    * (build files plus committed streaming-advance batch dirs).
+    * of the LIVE version (build files plus committed streaming-advance
+    * batch dirs).
     */
   def indexAssignments(s: SparkSession, path: String): DataFrame =
-    graft.sources.BatchCommits.readComponent(s, path + "/assignments")
+    graft.sources.BatchCommits.readComponent(s,
+      liveIvfDir(path) + "/assignments")
+
+  /** The persisted centroid table of the LIVE version. */
+  def indexCentroids(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(liveIvfDir(path) + "/centroids")
+
+  /** COMPACT the live IVF index into the next versioned copy — the
+    * [[graft.dedup.DedupQueries.compactDedupIndex]] discipline for
+    * `assignments/` (one distinct rewrite keyed by vec_id: an
+    * assignment row is a pure function of the vector and the FROZEN
+    * centroids, so duplicate rows from unfenced modelled replays are
+    * byte-identical and collapse exactly). The tiny frozen centroid
+    * table is copied into the new version so every version dir is a
+    * complete, self-contained artifact. Fence markers carry (newest
+    * [[graft.sources.BatchCommits.MarkerKeep]]); stranded staging dirs
+    * are swept.
+    */
+  def compactIvfIndex(s: SparkSession, path: String): Unit = {
+    val old = liveIvfDir(path)
+    val v = graft.sources.ArtifactVersions.prepareNext(path)
+    s.read.parquet(old + "/centroids").write.parquet(v + "/centroids")
+    indexAssignments(s, path).dropDuplicates("vec_id")
+      .write.parquet(v + "/assignments")
+    graft.sources.BatchCommits.carryMarkers(
+      old + "/assignments", v + "/assignments")
+    graft.sources.BatchCommits.sweepStaging(old + "/assignments")
+    graft.sources.ArtifactVersions.publish(path, v)
+    s.catalog.refreshByPath(path)
+  }
 
   /** The q118/q130 serve path: probe vec 0's nprobe=2 nearest lists from
     * the artifact's centroid table, candidates from its assignment
@@ -1552,7 +1592,7 @@ object SimilarityQueries {
     */
   private def serveIvfRecall(s: SparkSession, f: DataFrame,
       idx: String): DataFrame = {
-    val cent = s.read.parquet(idx + "/centroids")
+    val cent = indexCentroids(s, idx)
     val assign = indexAssignments(s, idx)
     val probe2 = f.filter(col("vec_id") === 0)
       .join(broadcast(cent), col("i") === col("ci"))

@@ -1,7 +1,6 @@
 package graft.sources
 
-import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths,
-  StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -37,6 +36,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * atomic directory rename (HDFS); on S3-style stores the rename
   * becomes a manifest write, which is exactly the _spark_metadata /
   * table-format commit design this models.
+  *
+  * CONTRACT: a fenced component is paired 1:1 with ONE streaming
+  * checkpoint location for its whole life. The fence keys on the
+  * batchId alone — batch ids restart at 0 under a fresh checkpoint, so
+  * pointing a new stream (new checkpoint) at a component that already
+  * holds `batch-<id>` commits from a previous run would silently skip
+  * the new stream's early batches as "already committed". Retiring a
+  * checkpoint means retiring (or compacting away the batch dirs of)
+  * its component; a deployment that must survive checkpoint resets
+  * should put the query's runId in the component path.
   */
 object BatchCommits {
   private def batchDir(dir: String, batchId: Long): Path =
@@ -49,24 +58,95 @@ object BatchCommits {
   /** Commit `df`'s rows as batch `batchId`'s ONE append to the
     * component at `dir`. Returns false (and evaluates nothing) when
     * the batch is already committed — the replay fence.
+    *
+    * The staging dir is per-ATTEMPT unique (`.staging-<id>-<uuid>`),
+    * so two racing attempts of the same batch (a zombie driver plus
+    * its restarted successor) each stage only bytes they wrote and the
+    * rename promotes a wholly-one-attempt directory — never an
+    * interleaving. A lost rename race is the ONLY swallowed failure:
+    * it requires the committed target to actually exist (a peer wrote
+    * our exact payload — the fence's at-most-once guarantee holds);
+    * any other FileSystemException (permissions, a half-copied manual
+    * restore at the target name, media errors) rethrows rather than
+    * silently discarding the batch.
     */
   def appendBatch(df: DataFrame, dir: String, batchId: Long): Boolean = {
     val target = batchDir(dir, batchId)
     if (Files.isDirectory(target)) return false
     Files.createDirectories(Paths.get(dir))
-    val staging = Paths.get(dir, s".staging-$batchId")
-    deleteRecursively(staging) // leftover of a crashed attempt
+    // retire DEAD attempts' leftovers for this id (unique names don't
+    // self-clean the way the old shared name did); a LIVE same-id
+    // attempt can't exist under the single-committer-per-checkpoint
+    // contract above — and a zombie that loses its staging dir here
+    // fails its rename loudly instead of promoting mixed bytes
+    sweepStaging(dir, Some(batchId))
+    val staging = Paths.get(dir,
+      s".staging-$batchId-${java.util.UUID.randomUUID().toString.take(8)}")
     df.write.mode("overwrite").parquet(staging.toString)
     try {
       Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
       true
     } catch {
-      // a concurrent/replayed committer won the rename — discard ours
-      case e: java.nio.file.FileSystemException
-          if Files.isDirectory(target) || e.isInstanceOf[FileAlreadyExistsException] =>
+      // a concurrent/replayed committer won the rename — the target is
+      // a committed DIRECTORY holding our exact payload, discard ours
+      case _: java.nio.file.FileSystemException if Files.isDirectory(target) =>
         deleteRecursively(staging)
         false
+      case e: java.nio.file.FileSystemException =>
+        // NOT the commit race (no committed directory at the target —
+        // e.g. a stray file from a botched manual restore): surface it;
+        // a silent false here would drop the batch's rows forever
+        deleteRecursively(staging)
+        throw e
     }
+  }
+
+  /** Retire stranded `.staging-*` dirs under a component — crashed
+    * attempts' leftovers (invisible to readers, but the disk they hold
+    * is real). `batchId` restricts the sweep to one batch's attempts
+    * (the appendBatch entry sweep); `None` sweeps them all — only safe
+    * from the committer's own thread between attempts, which is where
+    * the compaction paths run.
+    */
+  def sweepStaging(dir: String, batchId: Option[Long] = None): Unit = {
+    val prefix = batchId.fold(".staging-")(id => s".staging-$id-")
+    Option(new java.io.File(dir).listFiles).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+      .foreach(f => deleteRecursively(f.toPath))
+  }
+
+  /** How many of a component's newest batch fence markers a compaction
+    * carries into the successor version. A replayed batch id is always
+    * inside the checkpoint's uncommitted tail — in practice the single
+    * latest batch, and never older than the last offsets commit — so
+    * carrying the 16 newest ids is a wide margin; an older id could
+    * only replay if the checkpoint itself regressed 16+ batches, which
+    * the 1:1 checkpoint-component pairing contract rules out. Without
+    * this cap a long-running stream accumulates one empty marker dir
+    * per batch EVER committed, forever, through every compaction.
+    */
+  val MarkerKeep = 16
+
+  /** Carry a component's `batch-<id>` fence markers into a successor
+    * component dir as EMPTY marker dirs (readers see no files; the
+    * fence sees the ids — without the carry, a batch committed into
+    * the old version followed by a compaction flip and a crash before
+    * the stream checkpoint would replay its append into the new one).
+    * Keeps only the `keep` newest ids (see [[MarkerKeep]]). Returns
+    * the carried ids.
+    */
+  def carryMarkers(oldDir: String, newDir: String,
+      keep: Int = MarkerKeep): Seq[Long] = {
+    val ids = Option(new java.io.File(oldDir).listFiles)
+      .getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .flatMap(f => scala.util.Try(
+        f.getName.stripPrefix("batch-").toLong).toOption
+        .filter(_ => f.getName.startsWith("batch-")))
+      .sorted.takeRight(keep).toSeq
+    ids.foreach(id =>
+      Files.createDirectories(Paths.get(newDir, s"batch-$id")): Unit)
+    ids
   }
 
   /** Read a component that may hold flat build files plus committed

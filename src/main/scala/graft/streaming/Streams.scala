@@ -167,12 +167,12 @@ object Streams {
     * the index is never rebuilt.
     */
   def nearDupIngestSink(docs: DataFrame, indexPath: String,
-      checkpointDir: String, outDir: String)
+      checkpointDir: String, outDir: String, compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        nearDupIngestBatch(batch, batchId, indexPath, outDir)
+        nearDupIngestBatch(batch, batchId, indexPath, outDir, compactEvery)
       }
       .start()
 
@@ -183,7 +183,7 @@ object Streams {
     * only the admitted side advances the artifact.
     */
   private[graft] def nearDupIngestBatch(batch: DataFrame, batchId: Long,
-      indexPath: String, outDir: String): Unit = {
+      indexPath: String, outDir: String, compactEvery: Int = 0): Unit = {
     import graft.sources.BatchCommits
     if (!BatchCommits.isCommitted(outDir, batchId))
       BatchCommits.appendBatch(
@@ -198,6 +198,11 @@ object Streams {
       batch.join(committed.filter(col("status") === "added")
           .select("doc_id"), "doc_id")
         .select("doc_id", "text"), indexPath, Some(batchId))
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+      graft.dedup.DedupQueries.compactDedupIndex(
+        batch.sparkSession, indexPath)
+      graft.sources.ArtifactVersions.pruneVersions(indexPath): Unit
+    }
   }
 
   /** Streaming span scrub + index advance — q154's loop live: each
@@ -290,6 +295,17 @@ object Streams {
     * advanced, which also retires the old localCheckpoint dance this
     * sink needed to keep its two advances synchronized.
     *
+    * RETENTION (deliberate asymmetry, all advance sinks): `outDir`
+    * grows one committed batch dir per micro-batch FOREVER and is NOT
+    * compacted here — it is the sink's PRODUCT (the curated docs +
+    * audit trail), an append-only export stream the DOWNSTREAM
+    * consumer owns, exactly like any other output dataset it would
+    * archive or expire on its own schedule. The pipeline itself only
+    * ever re-reads `batch-<current>` (during the advance), so outDir's
+    * growth never touches the hot path — unlike the index components,
+    * whose every serve read lists all batch dirs, which is why THEY
+    * compact on the cadence and outDir does not.
+    *
     * Per-batch cost: all three stages are arrival-side joins against
     * columnar artifacts plus one stateless scan — nothing rescans the
     * corpus.
@@ -348,8 +364,14 @@ object Streams {
     DedupQueries.advanceNgramIndex(admitted, w, ngramIdx, Some(batchId))
     DedupQueries.advanceDedupIndex(admitted, dedupIdx, Some(batchId))
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+      // BOTH artifacts compact on the cadence — grams (q156) and the
+      // dedup signatures/bands (its transplant): a live stream is
+      // exactly where per-batch dirs pile up; retention (live + one
+      // grace version) runs with each flip
       DedupQueries.compactNgramIndex(s, ngramIdx)
       graft.sources.ArtifactVersions.pruneVersions(ngramIdx): Unit
+      DedupQueries.compactDedupIndex(s, dedupIdx)
+      graft.sources.ArtifactVersions.pruneVersions(dedupIdx): Unit
     }
   }
 
@@ -367,12 +389,18 @@ object Streams {
     * finds its commit and skips.
     */
   def ivfAdvanceSink(vecs: DataFrame, indexPath: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpointDir: String, compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.similarity.SimilarityQueries.advanceIvfIndex(batch, indexPath,
           Some(batchId))
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          graft.similarity.SimilarityQueries.compactIvfIndex(
+            batch.sparkSession, indexPath)
+          graft.sources.ArtifactVersions.pruneVersions(indexPath): Unit
+        }
       }
       .start()
 

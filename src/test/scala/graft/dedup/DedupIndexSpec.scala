@@ -100,6 +100,46 @@ class DedupIndexSpec extends AnyFunSuite {
     graft.CacheScope.flush(spark)
   }
 
+  test("compactDedupIndex: serve results identical across the flip, " +
+      "duplicate rows from unfenced modelled replays collapse, and a " +
+      "post-flip advance lands in the live version") {
+    val docs = graft.Tables.documents(spark, sf)
+    val idx = java.nio.file.Files.createTempDirectory("graft_idx_cmp").toString
+    DedupQueries.buildDedupIndex(docs.filter(col("doc_id") < 25), idx)
+    val adv = docs.filter(col("doc_id") >= 25 && col("doc_id") < 40)
+      .select("doc_id", "text").localCheckpoint(true)
+    // two UNfenced advances of the same rows — the modelled at-least-
+    // once replay whose byte-identical duplicates compaction collapses
+    DedupQueries.advanceDedupIndex(adv, idx)
+    DedupQueries.advanceDedupIndex(adv, idx)
+    assert(DedupQueries.indexSignatures(spark, idx).count() == 55)
+    val wantSig = DedupQueries.indexSignatures(spark, idx)
+      .dropDuplicates("doc_id").collect().toSet
+    val wantBands = DedupQueries.indexBands(spark, idx)
+      .dropDuplicates("doc_id", "band").collect().toSet
+    val wantPairs = DedupQueries.pairsFromIndexUnsorted(spark, idx)
+      .collect().toSet
+    graft.CacheScope.flush(spark)
+    DedupQueries.compactDedupIndex(spark, idx)
+    // exactly the distinct set survives; the serve graph is unchanged
+    assert(DedupQueries.indexSignatures(spark, idx).count() == 40)
+    assert(DedupQueries.indexSignatures(spark, idx).collect().toSet
+      == wantSig)
+    assert(DedupQueries.indexBands(spark, idx).collect().toSet == wantBands)
+    assert(DedupQueries.pairsFromIndexUnsorted(spark, idx).collect().toSet
+      == wantPairs)
+    // the flat pre-compaction layout is v0: a live version dir now
+    // resolves, and a post-flip advance must land INSIDE it
+    val live = graft.sources.ArtifactVersions.current(idx)
+    assert(live.nonEmpty && live.get != idx)
+    DedupQueries.advanceDedupIndex(
+      docs.filter(col("doc_id") >= 40 && col("doc_id") < 45)
+        .select("doc_id", "text"), idx)
+    assert(DedupQueries.indexSignatures(spark, idx).count() == 45)
+    assert(new java.io.File(live.get + "/signatures").exists)
+    graft.CacheScope.flush(spark)
+  }
+
   test("advance visibility: a batch-2 twin of an ADMITTED batch-1 doc " +
       "drops — post-advance artifact reads must see the appended rows " +
       "even though phase 1 cached the same path") {

@@ -95,6 +95,45 @@ class IvfIndexSpec extends AnyFunSuite {
     graft.CacheScope.flush(spark)
   }
 
+  test("compactIvfIndex: assignments and centroids identical across " +
+      "the flip, unfenced-replay duplicates collapse, post-flip " +
+      "advances land in the live version") {
+    val f = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("i", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val split = SimilarityQueries.AnnAdvanceSplit
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ivf_cmp_spec").toString
+    SimilarityQueries.buildIvfIndex(f.filter(col("vec_id") < split), idx)
+    val arr = f.filter(col("vec_id") >= split).localCheckpoint(true)
+    // two UNfenced advances — the modelled at-least-once duplicates
+    SimilarityQueries.advanceIvfIndex(arr, idx)
+    SimilarityQueries.advanceIvfIndex(arr, idx)
+    val n = f.select("vec_id").distinct().count()
+    val nArr = arr.select("vec_id").distinct().count()
+    assert(SimilarityQueries.indexAssignments(spark, idx).count()
+      == n + nArr)
+    val wantAssign = SimilarityQueries.indexAssignments(spark, idx)
+      .dropDuplicates("vec_id").collect().toSet
+    val wantCent = SimilarityQueries.indexCentroids(spark, idx)
+      .collect().toSet
+    SimilarityQueries.compactIvfIndex(spark, idx)
+    assert(SimilarityQueries.indexAssignments(spark, idx).count() == n)
+    assert(SimilarityQueries.indexAssignments(spark, idx).collect().toSet
+      == wantAssign)
+    // the frozen centroid table rides into the new version unchanged
+    assert(SimilarityQueries.indexCentroids(spark, idx).collect().toSet
+      == wantCent)
+    val live = graft.sources.ArtifactVersions.current(idx)
+    assert(live.nonEmpty && live.get != idx)
+    // a post-flip advance lands inside the live version
+    SimilarityQueries.advanceIvfIndex(arr, idx)
+    assert(SimilarityQueries.indexAssignments(spark, idx).count()
+      == n + nArr)
+    graft.CacheScope.flush(spark)
+  }
+
   test("advance ≡ assigning the full corpus against the frozen base " +
       "centroids; q130 serves base + advanced lists") {
     val f = graft.Tables.embeddings(spark, sf)

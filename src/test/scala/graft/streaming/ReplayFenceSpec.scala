@@ -38,14 +38,40 @@ class ReplayFenceSpec extends AnyFunSuite {
     assert(BatchCommits.isCommitted(dir, 7L))
     // the replay: different payload on purpose — it must NOT land
     assert(!BatchCommits.appendBatch(Seq(99L).toDF("x"), dir, 7L))
-    // a crashed attempt's staging dir is hidden from readers...
-    Seq(42L).toDF("x").write.parquet(dir + "/.staging-8")
+    // a crashed attempt's (per-attempt-unique) staging dir is hidden
+    // from readers...
+    Seq(42L).toDF("x").write.parquet(dir + "/.staging-8-deadcafe")
     assert(BatchCommits.readComponent(spark, dir)
       .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
-    // ...and the retried commit reclaims it
+    // ...and the retried commit of the same batch reclaims it
     assert(BatchCommits.appendBatch(Seq(4L).toDF("x"), dir, 8L))
     assert(BatchCommits.readComponent(spark, dir)
       .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, ".staging-8-deadcafe")))
+  }
+
+  test("BatchCommits: a stray FILE at the target name is an error, " +
+      "not a swallowed race — and the fence still holds afterwards") {
+    import spark.implicits._
+    val dir = tmp("graft_bc_exotic") + "/component"
+    Seq(1L).toDF("x").write.parquet(dir)
+    // simulate the exotic failure: something that is NOT a committed
+    // batch directory (e.g. a botched manual restore) sits at the name
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(dir, "batch-9"))
+    val e = intercept[java.nio.file.FileSystemException] {
+      BatchCommits.appendBatch(Seq(2L).toDF("x"), dir, 9L)
+    }
+    assert(e != null)
+    // the failed attempt left no staging litter behind
+    assert(Option(new java.io.File(dir).listFiles).get
+      .forall(f => !f.getName.startsWith(".staging-")))
+    // a real committed dir still fences: remove the stray, commit, replay
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "batch-9"))
+    assert(BatchCommits.appendBatch(Seq(2L).toDF("x"), dir, 9L))
+    assert(!BatchCommits.appendBatch(Seq(99L).toDF("x"), dir, 9L))
+    assert(BatchCommits.readComponent(spark, dir)
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
   test("nearDupIngestBatch: full replay and crash-after-decisions " +
@@ -157,6 +183,54 @@ class ReplayFenceSpec extends AnyFunSuite {
       "replay did not complete the missing dedup advance exactly once")
     assert(snap(BatchCommits.readComponent(spark, outB)) == wantOut)
     graft.CacheScope.flush(spark)
+  }
+
+  test("a fenced advance replayed AFTER a compaction flip is still a " +
+      "no-op: the carried markers fence across versions") {
+    val split = 25L
+    val base = docs.filter(col("doc_id") < split)
+    val b1 = docs.filter(col("doc_id") >= split).localCheckpoint(true)
+    val idx = tmp("graft_rf_flip")
+    DedupQueries.buildDedupIndex(base, idx)
+    DedupQueries.advanceDedupIndex(b1, idx, Some(0L))
+    DedupQueries.compactDedupIndex(spark, idx)
+    val wantSig = snap(DedupQueries.indexSignatures(spark, idx))
+    val wantBand = snap(DedupQueries.indexBands(spark, idx))
+    // the crash window: advance committed into the OLD version, the
+    // compaction flipped, the stream checkpoint was never written —
+    // the replay targets the NEW live version and must hit the fence
+    DedupQueries.advanceDedupIndex(b1, idx, Some(0L))
+    assert(snap(DedupQueries.indexSignatures(spark, idx)) == wantSig,
+      "replay advanced the compacted index despite the carried marker")
+    assert(snap(DedupQueries.indexBands(spark, idx)) == wantBand)
+    // a genuinely NEW batch still lands
+    DedupQueries.advanceDedupIndex(
+      docs.filter(col("doc_id") < 5).select("doc_id", "text"), idx, Some(1L))
+    assert(DedupQueries.indexSignatures(spark, idx).count()
+      == wantSig._1 + 5)
+    graft.CacheScope.flush(spark)
+  }
+
+  test("carryMarkers keeps only the newest MarkerKeep ids; sweepStaging " +
+      "retires stranded attempt dirs") {
+    val oldDir = tmp("graft_rf_mk") + "/c"; val newDir = tmp("graft_rf_mk2")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(oldDir))
+    val n = BatchCommits.MarkerKeep + 9
+    (0 until n).foreach(i => java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(oldDir, s"batch-$i")))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(oldDir, ".staging-3-cafe"))
+    val carried = BatchCommits.carryMarkers(oldDir, newDir)
+    assert(carried == (9L until n.toLong),
+      s"wanted the ${BatchCommits.MarkerKeep} newest, got $carried")
+    val landed = Option(new java.io.File(newDir).listFiles).get
+      .map(_.getName).toSet
+    assert(landed == (9 until n).map(i => s"batch-$i").toSet)
+    // markers are EMPTY (fence-only) — readers see no rows in them
+    assert(new java.io.File(newDir, "batch-9").listFiles.isEmpty)
+    BatchCommits.sweepStaging(oldDir)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(oldDir, ".staging-3-cafe")))
   }
 
   test("IVF and CMS advances: same-id replay is a no-op") {
