@@ -480,8 +480,12 @@ class StreamsSpec extends AnyFunSuite {
     val b2 = docs.filter(col("doc_id") >= split2)
       .as[(Long, String)].collect().toSeq
     val mem = MemoryStream[(Long, String)]
+    // compactEvery = 1: the in-stream dedup-index compaction must be
+    // invisible in every assertion below (decisions, partition of the
+    // arrival set, artifact ≡ rebuild)
     val q = Streams.nearDupIngestSink(
-      mem.toDF.toDF("doc_id", "text"), idx, tmp("graft_stream_ckpt"), out)
+      mem.toDF.toDF("doc_id", "text"), idx, tmp("graft_stream_ckpt"), out,
+      compactEvery = 1)
     try {
       mem.addData(b1: _*); q.processAllAvailable()
       mem.addData(b2: _*); q.processAllAvailable()
@@ -575,9 +579,11 @@ class StreamsSpec extends AnyFunSuite {
     val b2 = f.filter(col("vec_id") >= mid)
       .as[(Long, Int, Int, Double)].collect().toSeq
     val mem = MemoryStream[(Long, Int, Int, Double)]
+    // compactEvery = 1: the in-stream IVF compaction must be invisible
+    // in the ≡ one-shot-advance equality below
     val q = Streams.ivfAdvanceSink(
       mem.toDF.toDF("vec_id", "label", "i", "v"), idx,
-      tmp("graft_ivf_stream_ckpt"))
+      tmp("graft_ivf_stream_ckpt"), compactEvery = 1)
     try {
       mem.addData(b1: _*); q.processAllAvailable()
       mem.addData(b2: _*); q.processAllAvailable()
