@@ -1343,13 +1343,8 @@ object DedupQueries {
     * dirs of crashed attempts are swept at the same time.
     */
   def compactNgramIndex(s: SparkSession, root: String): Unit = {
-    val old = liveGramsDir(root)
-    val v = graft.sources.ArtifactVersions.prepareNext(root)
-    liveGrams(s, root).distinct()
-      .write.parquet(v + "/grams")
-    graft.sources.BatchCommits.carryMarkers(old, v + "/grams")
-    graft.sources.BatchCommits.sweepStaging(old)
-    graft.sources.ArtifactVersions.publish(root, v)
+    liveGramsDir(root): Unit // fail fast if no version was ever published
+    graft.sources.BatchCommits.compactArtifact(s, root, Seq("grams"))
   }
 
   /** Scrub arrivals against the persisted index: a window is removable
@@ -1924,38 +1919,20 @@ object DedupQueries {
     * ingest otherwise accumulates one `batch-<id>` parquet dir per
     * micro-batch forever, degrading every recursive-lookup read (the
     * listing is linear in committed batches — ScaleProbe's
-    * `batch_dirs` sweep puts a number on the knee). One distinct
-    * rewrite per component, keyed the way grams are keyed by hash:
-    * signatures by doc_id, bands by (doc_id, band) — a doc's rows are
-    * pure functions of its text, so the duplicates the UNfenced batch
+    * `batch_dirs` sweep puts a number on the knee). The shared
+    * [[graft.sources.BatchCommits.compactArtifact]] lifecycle: one
+    * FULL-ROW distinct rewrite per component (a doc's rows are pure
+    * functions of its text, so the duplicates the UNfenced batch
     * lifecycle flows' modelled replays leave are byte-identical and
-    * collapse exactly; serve results are provably unchanged (every
-    * consumer is keyed-lookup/join semantics; DedupIndexSpec pins
-    * frame equality across the flip). Fence markers carry over
-    * (newest [[graft.sources.BatchCommits.MarkerKeep]] — see
-    * [[compactNgramIndex]]) and stranded staging dirs are swept.
-    *
-    * The FIRST compaction moves a flat-layout index under version
-    * dirs (flat = implicit v0, left in place as the grace copy for
-    * readers that resolved it pre-flip; `pruneVersions` governs every
-    * later version's retirement).
+    * collapse exactly, while a doc_id genuinely re-admitted with new
+    * text keeps both rows — the served frame is identical to the
+    * uncompacted read either way; DedupIndexSpec pins frame equality
+    * across the flip), fence markers carried, staging swept, flat v0
+    * retired after its grace flip.
     */
-  def compactDedupIndex(s: SparkSession, path: String): Unit = {
-    val old = liveDedupDir(path)
-    val v = graft.sources.ArtifactVersions.prepareNext(path)
-    indexSignatures(s, path).dropDuplicates("doc_id")
-      .write.parquet(v + "/signatures")
-    indexBands(s, path).dropDuplicates("doc_id", "band")
-      .write.parquet(v + "/bands")
-    for (c <- Seq("/signatures", "/bands")) {
-      graft.sources.BatchCommits.carryMarkers(old + c, v + c)
-      graft.sources.BatchCommits.sweepStaging(old + c)
-    }
-    graft.sources.ArtifactVersions.publish(path, v)
-    // same contract as advance: drop any cached plans over the old
-    // resolved paths so post-compaction reads see the live version
-    s.catalog.refreshByPath(path)
-  }
+  def compactDedupIndex(s: SparkSession, path: String): Unit =
+    graft.sources.BatchCommits.compactArtifact(
+      s, path, Seq("signatures", "bands"))
 
   /** CTE chain computing MinHash signatures (`sig`) and their band
     * buckets (`bands`) — the shared head of every LSH oracle.

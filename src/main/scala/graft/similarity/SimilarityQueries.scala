@@ -1563,28 +1563,20 @@ object SimilarityQueries {
     s.read.parquet(liveIvfDir(path) + "/centroids")
 
   /** COMPACT the live IVF index into the next versioned copy — the
-    * [[graft.dedup.DedupQueries.compactDedupIndex]] discipline for
-    * `assignments/` (one distinct rewrite keyed by vec_id: an
-    * assignment row is a pure function of the vector and the FROZEN
-    * centroids, so duplicate rows from unfenced modelled replays are
-    * byte-identical and collapse exactly). The tiny frozen centroid
+    * shared [[graft.sources.BatchCommits.compactArtifact]] lifecycle
+    * for `assignments/` (one FULL-ROW distinct rewrite: an assignment
+    * row is a pure function of the vector and the FROZEN centroids, so
+    * duplicate rows from unfenced modelled replays are byte-identical
+    * and collapse exactly, while a vec_id re-streamed with a corrected
+    * embedding keeps both rows — the served candidate set is identical
+    * to the uncompacted read either way). The tiny frozen centroid
     * table is copied into the new version so every version dir is a
-    * complete, self-contained artifact. Fence markers carry (newest
-    * [[graft.sources.BatchCommits.MarkerKeep]]); stranded staging dirs
-    * are swept.
+    * complete, self-contained artifact; fence markers carry, staging
+    * is swept, flat v0 is retired after its grace flip.
     */
-  def compactIvfIndex(s: SparkSession, path: String): Unit = {
-    val old = liveIvfDir(path)
-    val v = graft.sources.ArtifactVersions.prepareNext(path)
-    s.read.parquet(old + "/centroids").write.parquet(v + "/centroids")
-    indexAssignments(s, path).dropDuplicates("vec_id")
-      .write.parquet(v + "/assignments")
-    graft.sources.BatchCommits.carryMarkers(
-      old + "/assignments", v + "/assignments")
-    graft.sources.BatchCommits.sweepStaging(old + "/assignments")
-    graft.sources.ArtifactVersions.publish(path, v)
-    s.catalog.refreshByPath(path)
-  }
+  def compactIvfIndex(s: SparkSession, path: String): Unit =
+    graft.sources.BatchCommits.compactArtifact(
+      s, path, Seq("assignments"), copied = Seq("centroids"))
 
   /** The q118/q130 serve path: probe vec 0's nprobe=2 nearest lists from
     * the artifact's centroid table, candidates from its assignment

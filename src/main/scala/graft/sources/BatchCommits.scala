@@ -109,9 +109,13 @@ object BatchCommits {
     * the compaction paths run.
     */
   def sweepStaging(dir: String, batchId: Option[Long] = None): Unit = {
+    // the pre-uuid layout staged at exactly `.staging-<id>` — a crashed
+    // attempt from an older binary must still be reclaimed
+    val legacy = batchId.map(id => s".staging-$id")
     val prefix = batchId.fold(".staging-")(id => s".staging-$id-")
     Option(new java.io.File(dir).listFiles).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+      .filter(f => f.isDirectory && (f.getName.startsWith(prefix)
+        || legacy.contains(f.getName)))
       .foreach(f => deleteRecursively(f.toPath))
   }
 
@@ -156,6 +160,55 @@ object BatchCommits {
     */
   def readComponent(s: SparkSession, dir: String): DataFrame =
     s.read.option("recursiveFileLookup", "true").parquet(dir)
+
+  /** COMPACT an artifact's batch-committed components into the next
+    * [[ArtifactVersions]] version — the ONE lifecycle all three
+    * persisted indexes share (grams, dedup signatures/bands, IVF
+    * assignments). Streaming ingest leaves one committed `batch-<id>`
+    * dir per micro-batch and [[readComponent]]'s listing is linear in
+    * them (ScaleProbe's `batch_dirs` sweep: 2.19 s at 1000 dirs vs
+    * 0.14 s compacted), so a long-running stream must fold them back
+    * into one write on a cadence. Per component: the FULL-ROW distinct
+    * set is rewritten under vN+1 — replayed appends from the UNfenced
+    * batch lifecycle flows are byte-identical and collapse exactly,
+    * while rows that genuinely differ (a key re-delivered with new
+    * content) are all preserved, keeping the served frame identical to
+    * the uncompacted read (a KEYED dedup here would pick a
+    * nondeterministic winner and change serve results across the
+    * flip); the newest [[MarkerKeep]] fence markers carry over so a
+    * replay landing after the flip still fences; stranded staging dirs
+    * are swept. `copied` components (tiny frozen tables — IVF
+    * centroids) are rewritten verbatim so every version dir is a
+    * complete, self-contained artifact.
+    *
+    * Flat-layout handling: an index built directly under `root` (no
+    * published version — the implicit v0) compacts into v1 and the
+    * flat component dirs then serve as the grace copy for readers that
+    * resolved pre-flip; the NEXT compaction retires them (old != root
+    * means the flat copy has been out of live for a full flip — the
+    * same keep=2 grace [[ArtifactVersions.pruneVersions]] grants real
+    * versions, which otherwise would never match the flat dirs).
+    *
+    * Ends by dropping cached plans resolved against the old version's
+    * paths, so post-compaction reads see the live version.
+    */
+  def compactArtifact(s: SparkSession, root: String,
+      components: Seq[String], copied: Seq[String] = Nil): Unit = {
+    val old = ArtifactVersions.current(root).getOrElse(root)
+    val v = ArtifactVersions.prepareNext(root)
+    for (c <- components) {
+      readComponent(s, s"$old/$c").distinct().write.parquet(s"$v/$c")
+      carryMarkers(s"$old/$c", s"$v/$c")
+      sweepStaging(s"$old/$c")
+    }
+    for (c <- copied)
+      s.read.parquet(s"$old/$c").write.parquet(s"$v/$c")
+    ArtifactVersions.publish(root, v)
+    if (old != root)
+      (components ++ copied).foreach(c =>
+        deleteRecursively(Paths.get(root, c)))
+    s.catalog.refreshByPath(root)
+  }
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.exists(p)) {

@@ -198,12 +198,26 @@ object Streams {
       batch.join(committed.filter(col("status") === "added")
           .select("doc_id"), "doc_id")
         .select("doc_id", "text"), indexPath, Some(batchId))
-    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-      graft.dedup.DedupQueries.compactDedupIndex(
-        batch.sparkSession, indexPath)
-      graft.sources.ArtifactVersions.pruneVersions(indexPath): Unit
-    }
+    compactOnCadence(batch.sparkSession, batchId, compactEvery,
+      Seq(indexPath -> graft.dedup.DedupQueries.compactDedupIndex _))
   }
+
+  /** The advance sinks' shared compaction cadence: every `every`
+    * committed batches, fold each artifact's batch dirs into the next
+    * version ([[graft.sources.BatchCommits.compactArtifact]] via the
+    * per-index compact functions) and retire old versions — a
+    * long-running stream must not accumulate one batch dir per
+    * micro-batch (the serve-read listing is linear in them) nor one
+    * full index copy per compaction (retention keeps live + one grace
+    * version). `every <= 0` disables.
+    */
+  private def compactOnCadence(s: SparkSession, batchId: Long, every: Int,
+      artifacts: Seq[(String, (SparkSession, String) => Unit)]): Unit =
+    if (every > 0 && (batchId + 1) % every == 0)
+      artifacts.foreach { case (path, compact) =>
+        compact(s, path)
+        graft.sources.ArtifactVersions.pruneVersions(path): Unit
+      }
 
   /** Streaming span scrub + index advance — q154's loop live: each
     * micro-batch of arriving docs is scrubbed against the persisted
@@ -263,12 +277,8 @@ object Streams {
     graft.dedup.DedupQueries.advanceNgramIndex(
       committed.select(col("doc_id"), col("clean_text").as("text")),
       w, indexPath, Some(batchId))
-    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-      graft.dedup.DedupQueries.compactNgramIndex(s, indexPath)
-      // retention: a long-running stream must not accumulate one full
-      // index copy per compaction (keep = live + 1 grace version)
-      graft.sources.ArtifactVersions.pruneVersions(indexPath): Unit
-    }
+    compactOnCadence(s, batchId, compactEvery,
+      Seq(indexPath -> graft.dedup.DedupQueries.compactNgramIndex _))
   }
 
   /** THE COMPOSED INGEST LOOP — q144's curation pipeline live, wired
@@ -363,16 +373,12 @@ object Streams {
       .select(col("doc_id"), col("clean_text").as("text"))
     DedupQueries.advanceNgramIndex(admitted, w, ngramIdx, Some(batchId))
     DedupQueries.advanceDedupIndex(admitted, dedupIdx, Some(batchId))
-    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-      // BOTH artifacts compact on the cadence — grams (q156) and the
-      // dedup signatures/bands (its transplant): a live stream is
-      // exactly where per-batch dirs pile up; retention (live + one
-      // grace version) runs with each flip
-      DedupQueries.compactNgramIndex(s, ngramIdx)
-      graft.sources.ArtifactVersions.pruneVersions(ngramIdx): Unit
-      DedupQueries.compactDedupIndex(s, dedupIdx)
-      graft.sources.ArtifactVersions.pruneVersions(dedupIdx): Unit
-    }
+    // BOTH artifacts compact on the cadence — grams (q156) and the
+    // dedup signatures/bands (its transplant): a live stream is
+    // exactly where per-batch dirs pile up
+    compactOnCadence(s, batchId, compactEvery, Seq(
+      ngramIdx -> DedupQueries.compactNgramIndex _,
+      dedupIdx -> DedupQueries.compactDedupIndex _))
   }
 
   /** Streaming advance of the IVF index — the ANN-side twin of
@@ -396,11 +402,9 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.similarity.SimilarityQueries.advanceIvfIndex(batch, indexPath,
           Some(batchId))
-        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-          graft.similarity.SimilarityQueries.compactIvfIndex(
-            batch.sparkSession, indexPath)
-          graft.sources.ArtifactVersions.pruneVersions(indexPath): Unit
-        }
+        compactOnCadence(batch.sparkSession, batchId, compactEvery,
+          Seq(indexPath ->
+            graft.similarity.SimilarityQueries.compactIvfIndex _))
       }
       .start()
 

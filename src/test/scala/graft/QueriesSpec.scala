@@ -609,6 +609,7 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows(1).getAs[Double]("dup_line_frac") == 1.0)
     assert(rows(1).getAs[Double]("dup_para_frac") == 1.0)
     assert(!rows(1).getAs[Boolean]("keep_line"))
+    graft.CacheScope.flush(spark)
   }
 
   test("q158 augmentation fires every signal family; keep is the conjunction") {

@@ -211,6 +211,34 @@ class ReplayFenceSpec extends AnyFunSuite {
     graft.CacheScope.flush(spark)
   }
 
+  test("a fenced IVF advance replayed AFTER a compaction flip is still " +
+      "a no-op; the second flip retires the flat v0 components") {
+    import graft.similarity.SimilarityQueries
+    val f = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("i", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val split = SimilarityQueries.AnnAdvanceSplit
+    val idx = tmp("graft_rf_ivf_flip")
+    SimilarityQueries.buildIvfIndex(f.filter(col("vec_id") < split), idx)
+    val arr = f.filter(col("vec_id") >= split).localCheckpoint(true)
+    SimilarityQueries.advanceIvfIndex(arr, idx, Some(0L))
+    SimilarityQueries.compactIvfIndex(spark, idx)
+    val want = snap(SimilarityQueries.indexAssignments(spark, idx))
+    SimilarityQueries.advanceIvfIndex(arr, idx, Some(0L)) // the replay
+    assert(snap(SimilarityQueries.indexAssignments(spark, idx)) == want,
+      "replay advanced the compacted IVF index despite the carried marker")
+    // the flat build layout survives the FIRST flip as the grace copy...
+    assert(new java.io.File(idx, "assignments").isDirectory)
+    SimilarityQueries.compactIvfIndex(spark, idx)
+    // ...and the SECOND flip retires it (grace window over); the
+    // served frame is unchanged
+    assert(!new java.io.File(idx, "assignments").exists)
+    assert(!new java.io.File(idx, "centroids").exists)
+    assert(snap(SimilarityQueries.indexAssignments(spark, idx)) == want)
+    graft.CacheScope.flush(spark)
+  }
+
   test("carryMarkers keeps only the newest MarkerKeep ids; sweepStaging " +
       "retires stranded attempt dirs") {
     val oldDir = tmp("graft_rf_mk") + "/c"; val newDir = tmp("graft_rf_mk2")
