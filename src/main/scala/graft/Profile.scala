@@ -32,20 +32,50 @@ object Profile {
     // warmup
     spark.range(100000).groupBy((col("id") % 7).as("k")).count().count()
 
+    // q158 on the ScaleProbe longdoc synthesis (2M tokens, 30-word
+    // periodic vocab — the every-window-duplicated worst case)
+    if (sys.env.get("SPARK_GRAFT_PROFILE_ONLY").contains("q158long")) {
+      import graft.text.TextQueries
+      val vocab = array((0 until 30).map(i => lit(s"w$i")): _*)
+      val c = spark.range(200L).select(col("id").as("doc_id"),
+        array_join(transform(sequence(lit(1), lit(10000)),
+          i => element_at(vocab,
+            (pmod(i * 2654435761L + col("id") * 97L, lit(30)) + 1)
+              .cast("int"))), " ").as("text")).persist()
+      time("longdoc materialize")(c.count())
+      val aug = TextQueries.repetitionAugmented(c)
+      // agg-forced: count() would let pruning drop the priced columns
+      time("q158long ngram half")(TextQueries.repetitionSignalsOf(aug)
+        .agg(sum(col("keep_ngram").cast("long"))).head.getLong(0))
+      CacheScope.flush(spark)
+      time("q158long line half")(TextQueries.lineRepetitionSignalsOf(aug)
+        .agg(sum(col("keep_line").cast("long"))).head.getLong(0))
+      CacheScope.flush(spark)
+      time("q158long full gate")(TextQueries.repetitionGate(c)
+        .agg(sum(col("keep_repetition").cast("long"))).head.getLong(0))
+      CacheScope.flush(spark)
+      c.unpersist()
+      spark.stop()
+      return
+    }
     // fast loop for one query family: SPARK_GRAFT_PROFILE_ONLY=q158
     if (sys.env.get("SPARK_GRAFT_PROFILE_ONLY").contains("q158")) {
       import graft.text.TextQueries
       val d = Tables.documents(spark, sfDir).select("doc_id", "text")
       val aug = TextQueries.repetitionAugmented(d)
       time("q158 aug materialize")(aug.count())
-      time("q158 ngram half")(TextQueries.repetitionSignalsOf(aug).count())
+      // agg-forced: count() would let pruning drop the priced columns
+      time("q158 ngram half")(TextQueries.repetitionSignalsOf(aug)
+        .agg(sum(col("keep_ngram").cast("long"))).head.getLong(0))
       CacheScope.flush(spark)
-      time("q158 line half")(
-        TextQueries.lineRepetitionSignalsOf(aug).count())
+      time("q158 line half")(TextQueries.lineRepetitionSignalsOf(aug)
+        .agg(sum(col("keep_line").cast("long"))).head.getLong(0))
       CacheScope.flush(spark)
-      time("q158 full gate")(TextQueries.repetitionGate(d).count())
+      time("q158 full gate")(TextQueries.repetitionGate(d)
+        .agg(sum(col("keep_repetition").cast("long"))).head.getLong(0))
       CacheScope.flush(spark)
-      time("q158 full gate again")(TextQueries.repetitionGate(d).count())
+      time("q158 full gate again")(TextQueries.repetitionGate(d)
+        .agg(sum(col("keep_repetition").cast("long"))).head.getLong(0))
       CacheScope.flush(spark)
       spark.stop()
       return

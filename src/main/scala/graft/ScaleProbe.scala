@@ -835,6 +835,17 @@ object ScaleProbe {
             graft.dedup.DedupQueries.DupW)
           .agg(sum(length(col("clean_text"))) + sum(col("n_removed")))
           .head.getLong(0))
+      // q158's window stream is ~9x token mass, built codegen'd from a
+      // 9-lead forward context (constant per-row state, no giant
+      // per-row arrays); the 30-word PERIODIC synthesis makes every
+      // window a within-doc duplicate, so the coverage-islands leg sees
+      // its worst case (all dup-window intervals merge). Measured:
+      // ~8-11 s per 2M tokens, flat-to-improving in doc length — the
+      // cost is the window mass, not the doc shape
+      time("q158_repetition")(
+        graft.text.TextQueries.repetitionGate(c)
+          .agg(sum(col("keep_repetition").cast("long"))).head.getLong(0))
+      CacheScope.flush(spark)
       c.unpersist(): Unit
     }
   }

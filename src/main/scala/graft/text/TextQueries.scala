@@ -1397,32 +1397,66 @@ ORDER BY doc_id"""))
     *
     * Scale shape: ONE explode into (doc, n, pos, gram) windows for all
     * nine n (~9x token mass, linear), a map-side-combining count per
-    * (doc, n, gram), an argmax-by-struct for the top family, a
-    * left-semi back-join plus a bounded (x n <= 10) position fan-out
-    * for the duplicated-coverage family — no window function, no
-    * driver action; everything shuffles on (doc, gram) hashes.
+    * (doc, n, gram), an argmax-by-struct for the top family, and — for
+    * the duplicated-coverage family — a left-semi back-join followed by
+    * a gaps-and-islands interval merge priced off a per-doc prefix sum
+    * of token lengths (dup-window-mass rows, NO per-position fan-out);
+    * the only window functions are doc-partitioned (bounded by the
+    * longest doc), no driver action, everything shuffles on (doc,
+    * gram) hashes.
     */
   def repetitionSignalsOf(docs: DataFrame): DataFrame = {
     val allNs = RepTopNs ++ RepDupNs
-    val winSql = allNs.map { n =>
-      s"""CASE WHEN size(toks) >= $n
-         THEN transform(sequence(1, size(toks) - ${n - 1}),
-           i -> named_struct('n', $n, 'pos', i,
-             'gram', concat_ws(' ', slice(toks, i, $n))))
-         ELSE CAST(array() AS array<struct<n:int,pos:int,gram:string>>)
-         END"""
-    }.mkString(", ")
-    val base = docs.select(col("doc_id"),
+    // retained: the token stream, the final per-doc select, and the
+    // prefix-sum leg all read it
+    val base = graft.CacheScope.retain(docs.select(col("doc_id"),
       split(col("text"), " ").as("toks"),
       greatest(length(replace(col("text"), lit(" "), lit(""))), lit(1))
-        .as("tot"))
+        .as("tot")))
+    // The window stream stays inside WHOLE-STAGE CODEGEN: posexplode
+    // the tokens once, pull each position's 9-token forward context
+    // with lead() over the doc order, and emit all nine window sizes
+    // from one small codegen'd explode — the HOF formulation (per-row
+    // transform building a 9 x n_tokens struct array, then flatten +
+    // explode) evaluates interpreted and materialized the same window
+    // stream 2.3x slower (8.2 s -> 3.5 s at sf0.1), with a ~9 x
+    // n_tokens per-row allocation peak this shape doesn't have. The
+    // extra doc-keyed token shuffle lead() needs is 1/9 of the window
+    // mass and bounded by the longest doc — the same partitioning the
+    // prefix-sum leg already pays.
+    //
+    // Gram identity: the top family needs the REAL string (its char
+    // count and the lex-largest tie-break are part of the signal); the
+    // dup families need only EQUALITY — counting and the coverage
+    // semi-join — so their identity is a 64-bit content hash of the
+    // window's tokens, skipping string materialization for the long
+    // grams that carry ~5x the byte mass (the minhash-family collision
+    // argument: 2^-64 per pair). A window that would overrun the doc
+    // (its last token's lead is null) emits a null gram and is
+    // filtered.
+    import org.apache.spark.sql.expressions.Window
+    val wTok = Window.partitionBy("doc_id").orderBy("pos")
+    val ctx = base
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "t0")))
+      .select(col("doc_id"), (col("p0") + 1).cast("int").as("pos"),
+        col("t0"))
+      .select(Seq(col("doc_id"), col("pos"), col("t0")) ++
+        (1 until allNs.max).map(i => lead("t0", i).over(wTok).as(s"t$i")): _*)
+    val winCols = allNs.map { n =>
+      val parts = (0 until n).map(i => col(s"t$i"))
+      val gram =
+        if (n <= RepTopNs.max) concat_ws(" ", parts: _*)
+        else xxhash64(parts: _*).cast("string")
+      struct(lit(n).as("n"), col("pos").as("pos"),
+        when(col(s"t${n - 1}").isNotNull, gram).as("gram"))
+    }
     // retained: the window stream feeds the per-gram count AND the
     // duplicated-coverage back-join
-    val wins = graft.CacheScope.retain(
-      base.select(col("doc_id"),
-          explode(expr(s"flatten(array($winSql))")).as("w"))
-        .select(col("doc_id"), col("w.n").as("n"), col("w.pos").as("pos"),
-          col("w.gram").as("gram")))
+    val wins = graft.CacheScope.retain(ctx
+      .select(col("doc_id"), explode(array(winCols: _*)).as("w"))
+      .select(col("doc_id"), col("w.n").as("n"), col("w.pos").as("pos"),
+        col("w.gram").as("gram"))
+      .filter(col("gram").isNotNull))
     val cnts = graft.CacheScope.retain(
       wins.groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("c")))
     val topA = cnts.filter(col("n") <= RepTopNs.max)
@@ -1433,18 +1467,42 @@ ORDER BY doc_id"""))
           .as("rep_chars"))
     val dupGrams = cnts.filter(col("n") >= RepDupNs.min && col("c") >= 2)
       .select("doc_id", "n", "gram")
-    val covered = wins.filter(col("n") >= RepDupNs.min)
+    // the overlap-aware coverage union, q152's gaps-and-islands shape:
+    // a dup window is the interval [pos, pos + n - 1]; merging
+    // overlapping intervals per (doc, n) and pricing each island from a
+    // per-doc prefix sum of token lengths touches dup-window-mass rows
+    // ONCE — the alternative (explode every covered position, then
+    // distinct) fans out n x per window, which on a boilerplate-heavy
+    // corpus where most windows ARE duplicated approaches 45x token
+    // mass before the distinct shuffle
+    val wOrd = Window.partitionBy("doc_id", "n").orderBy("pos")
+    val islands = wins.filter(col("n") >= RepDupNs.min)
       .join(dupGrams, Seq("doc_id", "n", "gram"), "left_semi")
-      .select(col("doc_id"), col("n"),
-        explode(sequence(col("pos"), col("pos") + col("n") - 1)).as("p"))
-      .distinct()
-    val tokLens = base.select(col("doc_id"),
+      .select(col("doc_id"), col("n"), col("pos"),
+        (col("pos") + col("n") - 1).as("end"))
+      .withColumn("prevHi",
+        max("end").over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("cut",
+        (col("prevHi").isNull || col("pos") > col("prevHi")).cast("long"))
+      .withColumn("isl", sum("cut").over(wOrd))
+      .groupBy("doc_id", "n", "isl")
+      .agg(min("pos").as("lo"), max("end").as("hi"))
+    // prefix sums of token lengths: chars([lo, hi]) = cum[hi]-cum[lo-1]
+    val cums = base.select(col("doc_id"),
         posexplode(col("toks")).as(Seq("p0", "tok")))
       .select(col("doc_id"), (col("p0") + 1).as("p"),
-        length(col("tok")).as("l"))
-    val dupB = covered.join(tokLens, Seq("doc_id", "p"))
+        length(col("tok")).cast("long").as("l"))
+      .withColumn("cum",
+        sum("l").over(Window.partitionBy("doc_id").orderBy("p")))
+      .select("doc_id", "p", "cum")
+    val dupB = islands
+      .join(cums.select(col("doc_id"), col("p").as("hi"),
+        col("cum").as("cumHi")), Seq("doc_id", "hi"))
+      .join(cums.select(col("doc_id"), (col("p") + 1).as("lo"),
+        col("cum").as("cumLo")), Seq("doc_id", "lo"), "left")
       .groupBy("doc_id", "n")
-      .agg(sum("l").as("rep_chars"))
+      .agg(sum(col("cumHi") - coalesce(col("cumLo"), lit(0L)))
+        .as("rep_chars"))
     val wide = topA.unionByName(dupB)
       .groupBy("doc_id")
       .agg(max(when(col("n") === allNs.head, col("rep_chars")))
