@@ -3,6 +3,17 @@ import org.apache.spark.sql.SparkSession
 
 /** Bench harness: min-of-3 wall time per declared query, ONE JSON line.
   *
+  * MEASUREMENT SEMANTICS: each query is forced with count(), so
+  * Catalyst may prune value-only expressions in the final projection
+  * that cannot change the row count — the number is "time to compute
+  * the result set", applied identically every round, which keeps
+  * round-over-round comparisons valid. Full-materialization costs
+  * (every column priced, the plan a consumer writing results would
+  * pay) are measured where they are the point: Verify writes parquet,
+  * and Profile/ScaleProbe force priced columns with agg(sum(...)) —
+  * the round-13 q158 work was found and fixed through exactly that
+  * forced path after count() had hidden a 15 s evaluation cost.
+  *
   * Round 9 adds per-query FORENSICS (a SparkListener window around each
   * query's three runs): job/task counts, shuffle read/write bytes,
   * task-attributed GC ms, spill bytes, plus a whole-JVM GC-time delta
