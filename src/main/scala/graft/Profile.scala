@@ -36,12 +36,7 @@ object Profile {
     // periodic vocab — the every-window-duplicated worst case)
     if (sys.env.get("SPARK_GRAFT_PROFILE_ONLY").contains("q158long")) {
       import graft.text.TextQueries
-      val vocab = array((0 until 30).map(i => lit(s"w$i")): _*)
-      val c = spark.range(200L).select(col("id").as("doc_id"),
-        array_join(transform(sequence(lit(1), lit(10000)),
-          i => element_at(vocab,
-            (pmod(i * 2654435761L + col("id") * 97L, lit(30)) + 1)
-              .cast("int"))), " ").as("text")).persist()
+      val c = ScaleProbe.longDocCorpus(spark, 200, 10000).persist()
       time("longdoc materialize")(c.count())
       val aug = TextQueries.repetitionAugmented(c)
       // agg-forced: count() would let pruning drop the priced columns

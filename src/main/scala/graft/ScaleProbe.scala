@@ -797,16 +797,27 @@ object ScaleProbe {
     * doc's per-doc sort and fold are no worse than the same mass
     * spread over 100 docs.
     */
-  private def longDocStress(spark: SparkSession): Unit = {
+  /** The longdoc synthesis, shared with Profile's q158long section so
+    * the profile always reproduces EXACTLY the probe's workload: `n`
+    * docs of `len` tokens from a 30-word vocab, token at position i a
+    * fixed function of (i, doc). NOTE the multiplier is ≡ 1 (mod 30),
+    * so each doc is a rotated 30-token CYCLE — every window repeats
+    * every 30 positions, the every-window-duplicated worst case for
+    * the repetition/span families.
+    */
+  private[graft] def longDocCorpus(spark: SparkSession, n: Int, len: Int)
+      : org.apache.spark.sql.DataFrame = {
     val vocab = array((0 until 30).map(i => lit(s"w$i")): _*)
-    def mk(n: Int, len: Int) =
-      spark.range(n.toLong).select(col("id").as("doc_id"),
-        array_join(transform(sequence(lit(1), lit(len)),
-          i => element_at(vocab,
-            (pmod(i * 2654435761L + col("id") * 97L, lit(30)) + 1)
-              .cast("int"))), " ").as("text"))
+    spark.range(n.toLong).select(col("id").as("doc_id"),
+      array_join(transform(sequence(lit(1), lit(len)),
+        i => element_at(vocab,
+          (pmod(i * 2654435761L + col("id") * 97L, lit(30)) + 1)
+            .cast("int"))), " ").as("text"))
+  }
+
+  private def longDocStress(spark: SparkSession): Unit = {
     for ((n, len) <- Seq((2000, 1000), (200, 10000), (20, 100000))) {
-      val c = mk(n, len).persist()
+      val c = longDocCorpus(spark, n, len).persist()
       c.count() // doc synthesis paid outside the timed ops
       def time(label: String)(f: => Any): Unit = {
         val t0 = System.nanoTime()

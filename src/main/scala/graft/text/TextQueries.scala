@@ -1487,14 +1487,16 @@ ORDER BY doc_id"""))
       .withColumn("isl", sum("cut").over(wOrd))
       .groupBy("doc_id", "n", "isl")
       .agg(min("pos").as("lo"), max("end").as("hi"))
-    // prefix sums of token lengths: chars([lo, hi]) = cum[hi]-cum[lo-1]
-    val cums = base.select(col("doc_id"),
+    // prefix sums of token lengths: chars([lo, hi]) = cum[hi]-cum[lo-1];
+    // retained — the island pricing joins it twice (hi and lo-1) and
+    // Spark has no common-subplan reuse above the exchange
+    val cums = graft.CacheScope.retain(base.select(col("doc_id"),
         posexplode(col("toks")).as(Seq("p0", "tok")))
       .select(col("doc_id"), (col("p0") + 1).as("p"),
         length(col("tok")).cast("long").as("l"))
       .withColumn("cum",
         sum("l").over(Window.partitionBy("doc_id").orderBy("p")))
-      .select("doc_id", "p", "cum")
+      .select("doc_id", "p", "cum"))
     val dupB = islands
       .join(cums.select(col("doc_id"), col("p").as("hi"),
         col("cum").as("cumHi")), Seq("doc_id", "hi"))
