@@ -44,8 +44,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * holds `batch-<id>` commits from a previous run would silently skip
   * the new stream's early batches as "already committed". Retiring a
   * checkpoint means retiring (or compacting away the batch dirs of)
-  * its component; a deployment that must survive checkpoint resets
-  * should put the query's runId in the component path.
+  * its component. A deployment that must tolerate checkpoint resets
+  * should key the component path on the CHECKPOINT LOCATION's identity
+  * (e.g. a hash of its path) — NOT the query runId, which changes on
+  * every restart of the same checkpoint and would orphan the prior
+  * run's commits exactly when the fence must see them.
   */
 object BatchCommits {
   private def batchDir(dir: String, batchId: Long): Path =
