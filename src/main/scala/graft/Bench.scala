@@ -98,6 +98,16 @@ object Bench {
     // Dev aid: SPARK_GRAFT_ONLY=q1,q2 restricts to a comma-separated
     // subset (substring match) for single-query iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
+    // Dev aid: SPARK_GRAFT_BENCH_FORCE=1 forces FULL materialization of
+    // every column via the noop sink instead of count() — the number a
+    // consumer writing results would pay (count() lets Catalyst prune
+    // value-only projections; see the measurement-semantics note
+    // above). Diagnostics only: the driver's round-over-round gate and
+    // BENCH_LOCAL.json stay count()-based for comparability.
+    val forceAll = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
+    def force(df: org.apache.spark.sql.DataFrame): Unit =
+      if (forceAll) df.write.format("noop").mode("overwrite").save()
+      else { df.count(); () }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.exists(n.contains)) }
     val results = selected.map { case (name, fn) =>
@@ -105,7 +115,7 @@ object Bench {
       val gc0 = jvmGcMs()
       val timed = try (0 until Runs).map { _ =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
+        val ok = try { force(fn(spark, sfDir)); true }
         catch { case _: Throwable => false }
         (ok, (System.nanoTime() - t0) / 1e9)
       } finally CacheScope.flush(spark, blocking = true)
@@ -169,8 +179,11 @@ object Bench {
     // iteration must not clobber the round's official numbers with a
     // partial total (point SPARK_GRAFT_BENCH_OUT somewhere to keep a
     // filtered run's JSON).
+    // forced-materialization runs never overwrite the committed
+    // count()-based artifact — they measure different semantics
     val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
-      .orElse(if (only.isEmpty) Some("BENCH_LOCAL.json") else None)
+      .orElse(if (only.isEmpty && !forceAll) Some("BENCH_LOCAL.json")
+        else None)
     outPath match {
       case Some(p) =>
         try {
