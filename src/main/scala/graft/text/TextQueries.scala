@@ -239,11 +239,14 @@ object TextQueries {
       (s, d) => {
         // per-row array_distinct builds each doc's gram SET without a
         // corpus-wide distinct shuffle; set sizes fall out as size()
-        // with no aggregation at all.
-        val base = Tables.documents(s, d)
+        // with no aggregation at all. Retained: the gram HOF evaluates
+        // interpreted and has three consumers (doc-0 probe, sizes,
+        // intersection explode) — uncached it re-runs per consumer
+        // (forced-bench finding: 4.0 s -> one evaluation).
+        val base = graft.CacheScope.retain(Tables.documents(s, d)
           .select(col("doc_id"),
             expr("array_distinct(transform(sequence(1, greatest(1, length(text) - 3)), " +
-              "i -> substring(text, i, 4)))").as("grams"))
+              "i -> substring(text, i, 4)))").as("grams")))
         val g0 = base.filter(col("doc_id") === 0)
           .select(explode(col("grams")).as("gram0"))
         val sizes = base.select(col("doc_id"), size(col("grams")).cast("long").as("n"))
@@ -344,7 +347,11 @@ object TextQueries {
     // doc's bigrams against them.
     Q("q74_bigram_lm_score",
       (s, d) => {
-        val bg = Tables.documents(s, d)
+        // retained: the bigram stream feeds the bigram counts, the
+        // unigram counts, AND the scoring join — uncached, the
+        // interpreted transform re-runs per consumer (forced-bench
+        // finding: 3 evaluations)
+        val bg = graft.CacheScope.retain(Tables.documents(s, d)
           .select(col("doc_id"), split(col("text"), " ").as("toks"))
           .select(col("doc_id"), explode(expr(
             """CASE WHEN size(toks) >= 2
@@ -352,7 +359,7 @@ object TextQueries {
                  i -> struct(element_at(toks, i) AS w1,
                              element_at(toks, i + 1) AS w2))
                ELSE array() END""")).as("b"))
-          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2")))
         val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("nb"))
         val cu = bg.groupBy("w1").agg(count(lit(1)).as("nu"))
         val scored = bg.join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
@@ -506,8 +513,11 @@ object TextQueries {
     Q("q78_decontamination",
       (s, d) => {
         val w = DecontamW
-        val grams = graft.dedup.DedupQueries.shingleSets(
-          Tables.documents(s, d), w)
+        // retained: the gram stream feeds the benchmark set, the
+        // per-doc totals, AND the hit join (three consumers)
+        val grams = graft.CacheScope.retain(
+          graft.dedup.DedupQueries.shingleSets(
+            Tables.documents(s, d), w))
         val bench = grams.filter(col("doc_id") < DecontamBench)
           .select(col("token").as("bgram")).distinct()
         val nGrams = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
