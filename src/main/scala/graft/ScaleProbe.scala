@@ -86,7 +86,8 @@ object ScaleProbe {
     // warmup), k=4 3.4 s, k=10 4.1 s — 10x the arrivals stays inside
     // the fixed-cost envelope; the data-sized terms (window stream,
     // semi join, islands, fold) are a minority of wall time at probe
-    // scale.
+    // scale. (r13 re-measure after the lead-context window rewrite:
+    // k=1 2.2 s, k=4 2.7 s, k=10 3.6 s.)
     if (enabled("span_scrub")) {
       val w = graft.dedup.DedupQueries.DupW
       val idx = TempArtifacts.dir("probe_ngram_idx")
