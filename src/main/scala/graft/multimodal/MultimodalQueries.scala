@@ -145,6 +145,48 @@ object MultimodalQueries {
                     md5(small) AS fp,
                     CAST(greatest(1, w // 4) AS BIGINT) AS thumb_w,
                     CAST(greatest(1, h // 4) AS BIGINT) AS thumb_h
-             FROM sm ORDER BY media_id"""))
+             FROM sm ORDER BY media_id""")),
+
+    // ---- q159: the REAL codec leg — valid binary PPMs (P6 needs no
+    // codec library, unlike the stubbed JPEG/audio paths) are decoded
+    // by a validating parser and resampled with real nearest-neighbor
+    // pixel math, batched per partition. The synthesized payload bytes
+    // are reconstructible in SQL (pixel j = text byte j mod len), so
+    // the oracle computes the expected 4x3 thumbnail's channel means
+    // INDEPENDENTLY — any header-parse, payload-offset, or resample
+    // bug hash-mismatches.
+    Q("q159_ppm_thumbnail",
+      (s, d) => Multimodal.ppmThumbStats(s, d).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          round(col("r_mean"), 4).as("r_mean"),
+          round(col("g_mean"), 4).as("g_mean"),
+          round(col("b_mean"), 4).as("b_mean"))
+        .orderBy("media_id"),
+      Some(s"""WITH img AS (SELECT doc_id AS media_id, text,
+               len(text) AS L,
+               doc_id % 9 + 8 AS w, doc_id % 7 + 6 AS h
+               FROM documents WHERE doc_id % 3 = 0 AND length(text) > 0),
+             px AS (SELECT media_id, w, h, L, text,
+                      unnest(range(0, ${Multimodal.ThumbW *
+                        Multimodal.ThumbH})) AS k
+                    FROM img),
+             src AS (SELECT media_id, w, h, L, text,
+                       ((k // ${Multimodal.ThumbW}) * h
+                          // ${Multimodal.ThumbH} * w
+                        + (k % ${Multimodal.ThumbW}) * w
+                          // ${Multimodal.ThumbW}) * 3 AS p0
+                     FROM px),
+             ch AS (SELECT media_id, w, h,
+                      ord(substr(text, CAST(p0 % L AS INT) + 1, 1)) AS r,
+                      ord(substr(text, CAST((p0 + 1) % L AS INT) + 1, 1)) AS g,
+                      ord(substr(text, CAST((p0 + 2) % L AS INT) + 1, 1)) AS b
+                    FROM src)
+             SELECT media_id,
+               CAST(any_value(w) AS INT) AS width,
+               CAST(any_value(h) AS INT) AS height,
+               round(avg(r), 4) AS r_mean,
+               round(avg(g), 4) AS g_mean,
+               round(avg(b), 4) AS b_mean
+             FROM ch GROUP BY media_id ORDER BY media_id"""))
   )
 }

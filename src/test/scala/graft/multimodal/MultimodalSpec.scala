@@ -30,4 +30,78 @@ class MultimodalSpec extends AnyFunSuite {
       if (r.kind != "video") assert(r.frames_sampled == 1)
     }
   }
+
+  test("PPM codec: encode/decode round-trips exactly, incl. header comments") {
+    val rnd = new scala.util.Random(41)
+    for (_ <- 1 to 25) {
+      val w = 1 + rnd.nextInt(12); val h = 1 + rnd.nextInt(9)
+      val px = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+      val img = Multimodal.PpmImage(w, h, px)
+      val back = Multimodal.decodePpm(Multimodal.ppmEncode(img))
+      assert(back.width == w && back.height == h)
+      assert(java.util.Arrays.equals(back.pixels, px))
+    }
+    // the spec's `#` comment form decodes too
+    val withComment = ("P6\n# a comment\n2 1\n255\n"
+      .getBytes("US-ASCII") ++ Array[Byte](1, 2, 3, 4, 5, 6))
+    val c = Multimodal.decodePpm(withComment)
+    assert(c.width == 2 && c.height == 1 && c.pixels.toSeq == Seq[Byte](1, 2, 3, 4, 5, 6))
+  }
+
+  test("PPM codec: malformed streams are rejected loudly") {
+    val good = Multimodal.ppmEncode(
+      Multimodal.PpmImage(2, 2, Array.fill(12)(7.toByte)))
+    intercept[IllegalArgumentException](
+      Multimodal.decodePpm("P5\n2 2\n255\n".getBytes("US-ASCII"))) // wrong magic
+    intercept[IllegalArgumentException](
+      Multimodal.decodePpm(good.dropRight(1))) // truncated payload
+    intercept[IllegalArgumentException](
+      Multimodal.decodePpm(good ++ Array[Byte](0))) // trailing junk
+    intercept[IllegalArgumentException](Multimodal.decodePpm(
+      "P6\n2 2\n65535\n".getBytes("US-ASCII")
+        ++ Array.fill(24)(0.toByte))) // 16-bit maxval unsupported
+  }
+
+  test("nearest-neighbor resample: hand-computed mappings") {
+    // 2x2 with distinct corner colors: 1x1 takes the top-left texel
+    val corners = Array[Byte](
+      10, 11, 12, /**/ 20, 21, 22,
+      30, 31, 32, /**/ 40, 41, 42)
+    val img = Multimodal.PpmImage(2, 2, corners)
+    assert(Multimodal.resizeNearest(img, 1, 1).pixels.toSeq
+      == Seq[Byte](10, 11, 12))
+    // 2x upscale: each source texel replicates into a 2x2 block
+    val up = Multimodal.resizeNearest(img, 4, 4)
+    val texel = (x: Int, y: Int) =>
+      up.pixels.slice((y * 4 + x) * 3, (y * 4 + x) * 3 + 3).toSeq
+    assert(texel(0, 0) == Seq[Byte](10, 11, 12)
+      && texel(1, 1) == Seq[Byte](10, 11, 12))
+    assert(texel(2, 0) == Seq[Byte](20, 21, 22))
+    assert(texel(0, 2) == Seq[Byte](30, 31, 32))
+    assert(texel(3, 3) == Seq[Byte](40, 41, 42))
+    // 3x1 -> 2x1 keeps texels 0 and 1 (floor mapping: 0*3/2=0, 1*3/2=1)
+    val row = Multimodal.PpmImage(3, 1,
+      Array[Byte](1, 1, 1, 2, 2, 2, 3, 3, 3))
+    assert(Multimodal.resizeNearest(row, 2, 1).pixels.toSeq
+      == Seq[Byte](1, 1, 1, 2, 2, 2))
+  }
+
+  test("q159 pipeline: every image-kind doc yields one decoded thumbnail " +
+      "row with in-range channel means; synthesis is a valid P6 corpus") {
+    val media = Multimodal.ppmMediaFromDocuments(spark, sf).collect()
+    assert(media.nonEmpty)
+    media.foreach { m =>
+      val img = Multimodal.decodePpm(m.ppm) // validating parse
+      assert(img.width == (8 + m.media_id % 9).toInt
+        && img.height == (6 + m.media_id % 7).toInt)
+    }
+    val stats = Multimodal.ppmThumbStats(spark, sf).collect()
+    assert(stats.length == media.length)
+    stats.foreach { s =>
+      // the payload cycles ASCII text bytes: printable range
+      assert(s.r_mean >= 32 && s.r_mean < 127, s"doc ${s.media_id}")
+      assert(s.g_mean >= 32 && s.g_mean < 127)
+      assert(s.b_mean >= 32 && s.b_mean < 127)
+    }
+  }
 }
