@@ -195,8 +195,9 @@ object Bench {
             System.err.println(s"[bench] could not write $p: $e")
         }
       case None =>
+        val why = if (forceAll) "forced-materialization run" else "filtered run"
         System.err.println(
-          "[bench] filtered run: BENCH_LOCAL.json left untouched " +
+          s"[bench] $why: BENCH_LOCAL.json left untouched " +
             "(set SPARK_GRAFT_BENCH_OUT to keep this run's JSON)")
     }
     spark.stop()

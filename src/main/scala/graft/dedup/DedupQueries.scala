@@ -1144,16 +1144,26 @@ object DedupQueries {
     * formulation (per-row transform building the full gram array, then
     * posexplode) evaluates interpreted. A window overrunning the doc
     * (last lead null) is filtered, reproducing the size(toks) >= w
-    * bound; the doc-keyed exchange the window adds is token-mass-sized
-    * and batch-local on the streaming paths.
+    * bound; the exchange the window adds is token-mass-sized and
+    * batch-local on the streaming paths.
+    *
+    * The window partitions on a per-ROW id, not doc_id: input rows are
+    * self-contained token sequences (exactly the per-row HOF
+    * semantics), so duplicate doc_id rows — upstream data errors, an
+    * at-least-once source double-delivering into one micro-batch —
+    * each produce their own windows rather than nondeterministically
+    * interleaving tokens across copies (a doc_id-keyed window would
+    * tie on pos and corrupt every gram near the tie).
     */
-  private def windowHashesOf(docs: DataFrame, w: Int): DataFrame = {
+  private[graft] def windowHashesOf(docs: DataFrame, w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    docs.select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "t0")))
-      .select(Seq(col("doc_id"), col("pos"), col("t0")) ++
-        (1 until w).map(i => lead("t0", i).over(byDoc).as(s"t$i")): _*)
+    val byRow = Window.partitionBy("rid").orderBy("pos")
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("rid", monotonically_increasing_id())
+      .select(col("doc_id"), col("rid"),
+        posexplode(col("toks")).as(Seq("pos", "t0")))
+      .select(Seq(col("doc_id"), col("rid"), col("pos"), col("t0")) ++
+        (1 until w).map(i => lead("t0", i).over(byRow).as(s"t$i")): _*)
       .filter(col(s"t${w - 1}").isNotNull)
       .select(col("doc_id"), col("pos"),
         h60(concat_ws(" ", (0 until w).map(i => col(s"t$i")): _*)).as("h"))
@@ -1498,7 +1508,9 @@ object DedupQueries {
     * tokens from it (DedupSpec pins the equivalence).
     */
   def decontaminationSpanScrub(docs: DataFrame, w: Int): DataFrame = {
-    val wins = windowHashesOf(docs, w)
+    // retained: the window-hash stream feeds the benchmark gram set AND
+    // the removable join (batch-only path — the q155 declared query)
+    val wins = graft.CacheScope.retain(windowHashesOf(docs, w))
     val bench = wins.filter(col("doc_id") < DecontamBench)
       .select("h").distinct()
     val removable = wins.filter(col("doc_id") >= DecontamBench)

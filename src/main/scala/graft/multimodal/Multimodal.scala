@@ -119,8 +119,11 @@ object Multimodal {
     require(i < bytes.length && isWs(bytes(i)),
       "PPM: missing single-whitespace header terminator")
     i += 1
-    val need = w * h * 3
-    require(bytes.length - i == need,
+    // Long arithmetic: crafted header dims must not wrap Int and slip a
+    // mismatched payload past the check (the parser IS the validation)
+    val need = w.toLong * h * 3
+    require(need <= Int.MaxValue, s"PPM: dimensions ${w}x$h overflow")
+    require((bytes.length - i).toLong == need,
       s"PPM: payload ${bytes.length - i} bytes, need $need")
     PpmImage(w, h, java.util.Arrays.copyOfRange(bytes, i, bytes.length))
   }
@@ -151,13 +154,18 @@ object Multimodal {
   /** VALID P6 payloads synthesized deterministically from the
     * image-kind docs: w = 8 + id % 9, h = 6 + id % 7, pixel byte j =
     * text byte (j mod len) — so the oracle can reconstruct every pixel
-    * from SQL and check the real decode + resample end to end.
+    * from SQL and check the real decode + resample end to end. ASCII
+    * docs only, ENFORCED on both engines (bytes == chars): on
+    * non-ASCII text the byte-mod cycling and SQL's codepoint ord()
+    * would silently diverge — the guard makes the contract explicit
+    * instead of latent (the synthetic corpus is all-ASCII today).
     */
   def ppmMediaFromDocuments(spark: SparkSession,
       dir: String): Dataset[PpmMedia] = {
     import spark.implicits._
     graft.Tables.documents(spark, dir)
-      .filter(col("doc_id") % 3 === 0 && length(col("text")) > 0)
+      .filter(col("doc_id") % 3 === 0 && length(col("text")) > 0
+        && octet_length(col("text")) === length(col("text")))
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         val w = (8 + id % 9).toInt

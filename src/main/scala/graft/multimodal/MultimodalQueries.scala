@@ -165,7 +165,8 @@ object MultimodalQueries {
       Some(s"""WITH img AS (SELECT doc_id AS media_id, text,
                len(text) AS L,
                doc_id % 9 + 8 AS w, doc_id % 7 + 6 AS h
-               FROM documents WHERE doc_id % 3 = 0 AND length(text) > 0),
+               FROM documents WHERE doc_id % 3 = 0 AND length(text) > 0
+                 AND octet_length(CAST(text AS BLOB)) = length(text)),
              px AS (SELECT media_id, w, h, L, text,
                       unnest(range(0, ${Multimodal.ThumbW *
                         Multimodal.ThumbH})) AS k

@@ -9,6 +9,31 @@ class DedupSpec extends AnyFunSuite {
   import spark.implicits._
   val sf = "/root/testdata/sf0.001"
 
+  test("windowHashesOf: duplicate doc_id rows each window their OWN " +
+      "tokens — never interleave across copies") {
+    val w = 3
+    // two rows share doc_id 7 with DIFFERENT texts (an upstream data
+    // error / at-least-once double-delivery): a doc_id-keyed window
+    // would tie on pos and interleave tokens across the copies
+    val dup = Seq(
+      (7L, "a b c d"),
+      (7L, "x y z q"),
+      (8L, "m n o p")).toDF("doc_id", "text")
+    val got = DedupQueries.windowHashesOf(dup, w)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSeq.sorted
+    // reference: each ROW computed alone, union of its windows
+    val want = Seq((7L, "a b c d"), (7L, "x y z q"), (8L, "m n o p"))
+      .flatMap { case (id, t) =>
+        DedupQueries.windowHashesOf(Seq((id, t)).toDF("doc_id", "text"), w)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      }.sorted
+    assert(got == want,
+      s"duplicate-doc_id windows diverged from per-row evaluation")
+    assert(got.count(_._1 == 7L) == 4, "two 4-token copies -> 2+2 windows")
+    graft.CacheScope.flush(spark)
+  }
+
   test("simhash: permuting token order leaves the signature unchanged") {
     val sig = DedupQueries.simhash(spark, sf)
       .limit(5).as[(Long, Long)].collect().toMap

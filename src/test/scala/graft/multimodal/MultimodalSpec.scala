@@ -60,6 +60,11 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Multimodal.decodePpm(
       "P6\n2 2\n65535\n".getBytes("US-ASCII")
         ++ Array.fill(24)(0.toByte))) // 16-bit maxval unsupported
+    // crafted dims whose w*h*3 wraps Int must fail LOUDLY, not slip a
+    // mismatched payload past the length check
+    intercept[IllegalArgumentException](Multimodal.decodePpm(
+      "P6\n43691 32768\n255\n".getBytes("US-ASCII")
+        ++ Array.fill(12)(0.toByte)))
   }
 
   test("nearest-neighbor resample: hand-computed mappings") {
