@@ -77,6 +77,26 @@ object BatchCommits {
     val target = batchDir(dir, batchId)
     if (Files.isDirectory(target)) return false
     Files.createDirectories(Paths.get(dir))
+    // FENCE-DEPTH GUARD: compaction carries only the MarkerKeep newest
+    // fence markers, so an id deeper than that below the newest
+    // committed id may have had its marker dropped — this append could
+    // be a replay that the fence can no longer stop, i.e. a SILENT
+    // double-append. Under the 1:1 checkpoint-component contract a
+    // replayed id is always in the checkpoint's uncommitted tail
+    // (never this deep), so reaching here means the contract was
+    // violated (e.g. a checkpoint restored from an old backup) —
+    // reject loudly instead of corrupting the artifact.
+    committedIds(dir).maxOption.foreach { mx =>
+      if (batchId < mx - MarkerKeep)
+        throw new IllegalStateException(
+          s"appendBatch($dir, batch $batchId): id is more than " +
+            s"MarkerKeep=$MarkerKeep below the newest committed id $mx. " +
+            "A compaction may have dropped this id's fence marker, so " +
+            "this append could silently duplicate a batch that already " +
+            "landed. This indicates a violated 1:1 checkpoint-component " +
+            "pairing (e.g. a checkpoint restored from backup); rebuild " +
+            "the component or restore the matching checkpoint.")
+    }
     // retire DEAD attempts' leftovers for this id (unique names don't
     // self-clean the way the old shared name did); a LIVE same-id
     // attempt can't exist under the single-committer-per-checkpoint
@@ -144,17 +164,34 @@ object BatchCommits {
     */
   def carryMarkers(oldDir: String, newDir: String,
       keep: Int = MarkerKeep): Seq[Long] = {
-    val ids = Option(new java.io.File(oldDir).listFiles)
+    val all = committedIds(oldDir).sorted
+    val ids = all.takeRight(keep)
+    // the dropped ids are no longer fenced — an out-of-contract replay
+    // of one would double-append, and [[appendBatch]]'s depth guard is
+    // what turns that into an error; log the drop so the compaction
+    // trail records which ids lost their markers and when
+    val dropped = all.dropRight(keep)
+    if (dropped.nonEmpty)
+      System.err.println(s"[compact] $oldDir: dropping fence markers " +
+        s"for batch ids ${dropped.mkString(",")} (older than the " +
+        s"$keep newest); appendBatch rejects ids below " +
+        s"${ids.lastOption.getOrElse(0L)} - MarkerKeep from here on")
+    ids.foreach(id =>
+      Files.createDirectories(Paths.get(newDir, s"batch-$id")): Unit)
+    ids
+  }
+
+  /** All `batch-<id>` ids present under a component — committed data
+    * dirs and carried (empty) fence markers alike.
+    */
+  private def committedIds(dir: String): Seq[Long] =
+    Option(new java.io.File(dir).listFiles)
       .getOrElse(Array.empty)
       .filter(_.isDirectory)
       .flatMap(f => scala.util.Try(
         f.getName.stripPrefix("batch-").toLong).toOption
         .filter(_ => f.getName.startsWith("batch-")))
-      .sorted.takeRight(keep).toSeq
-    ids.foreach(id =>
-      Files.createDirectories(Paths.get(newDir, s"batch-$id")): Unit)
-    ids
-  }
+      .toSeq
 
   /** Read a component that may hold flat build files plus committed
     * `batch-<id>` subdirectories. Recursive lookup (with Spark's
@@ -194,23 +231,99 @@ object BatchCommits {
     *
     * Ends by dropping cached plans resolved against the old version's
     * paths, so post-compaction reads see the live version.
+    *
+    * COST BUDGET (what a flip should charge): one distinct rewrite —
+    * a full scan + one hash shuffle + one write — per component that
+    * may hold MULTIPLE parquet writes (2+ committed batch dirs, any
+    * flat files: the unfenced lifecycle flows append flat part-files,
+    * so flat bytes can be several writes including modelled replays).
+    * A component whose state is EXACTLY ONE committed `batch-<id>`
+    * dir and nothing else is provably one atomic rename of one
+    * attempt's output — it cannot hold cross-write replay duplicates,
+    * so it takes the IDENTITY FAST PATH: a verbatim file copy, no
+    * Spark job, no shuffle. `copied` components (tiny frozen tables)
+    * are a verbatim copy whenever they are flat — the old Spark
+    * rewrite never dedup'd them either, so the copy is byte-stronger
+    * and job-free. At sf0.1 a grams+signatures+bands+assignments flip
+    * with fresh arrivals in every component is ~12 Spark jobs / a few
+    * seconds; a flip where a component did not grow past one batch is
+    * proportionally cheaper because it copies instead of rewriting.
     */
   def compactArtifact(s: SparkSession, root: String,
       components: Seq[String], copied: Seq[String] = Nil): Unit = {
     val old = ArtifactVersions.current(root).getOrElse(root)
     val v = ArtifactVersions.prepareNext(root)
     for (c <- components) {
-      readComponent(s, s"$old/$c").distinct().write.parquet(s"$v/$c")
+      singleWriteFiles(s"$old/$c") match {
+        case Some(files) => copyFilesInto(files, s"$v/$c")
+        case None =>
+          readComponent(s, s"$old/$c").distinct().write.parquet(s"$v/$c")
+      }
       carryMarkers(s"$old/$c", s"$v/$c")
       sweepStaging(s"$old/$c")
     }
+    // frozen tables: verbatim copy when flat (the rewrite here never
+    // distinct'd, so the copy is semantics-identical and job-free);
+    // Spark rewrite only if the layout is unexpectedly nested
     for (c <- copied)
-      s.read.parquet(s"$old/$c").write.parquet(s"$v/$c")
+      flatFiles(s"$old/$c") match {
+        case Some(files) => copyFilesInto(files, s"$v/$c")
+        case None => s.read.parquet(s"$old/$c").write.parquet(s"$v/$c")
+      }
     ArtifactVersions.publish(root, v)
     if (old != root)
       (components ++ copied).foreach(c =>
         deleteRecursively(Paths.get(root, c)))
     s.catalog.refreshByPath(root)
+  }
+
+  /** The IDENTITY-COMPACTION detector: if the component's current
+    * state is exactly ONE committed `batch-<id>` dir (non-empty, with
+    * siblings at most empty marker dirs) and NO flat data files, that
+    * state is one atomic rename of one attempt's output — it cannot
+    * contain cross-write replay duplicates (the thing the distinct
+    * rewrite exists to collapse), and a verbatim file copy preserves
+    * the served frame EXACTLY (including any legitimate duplicate
+    * rows within the one write, which a distinct would wrongly
+    * merge). Flat files do NOT qualify: the unfenced lifecycle flows
+    * append flat part-files, so flat bytes may span several writes.
+    * Returns the data files to copy, or None when a real rewrite is
+    * required.
+    */
+  private def singleWriteFiles(dir: String): Option[Seq[java.io.File]] = {
+    val entries = visible(
+      Option(new java.io.File(dir).listFiles).getOrElse(Array.empty))
+    val (dirs, files) = entries.partition(_.isDirectory)
+    if (files.nonEmpty || !dirs.forall(_.getName.startsWith("batch-"))) None
+    else {
+      val nonEmpty = dirs.filter(d =>
+        visible(Option(d.listFiles).getOrElse(Array.empty)).nonEmpty)
+      if (nonEmpty.length == 1)
+        Some(visible(nonEmpty.head.listFiles).filter(_.isFile).toSeq)
+      else None
+    }
+  }
+
+  /** A flat dir's data files (no subdirectories at all), or None. */
+  private def flatFiles(dir: String): Option[Seq[java.io.File]] = {
+    val entries = visible(
+      Option(new java.io.File(dir).listFiles).getOrElse(Array.empty))
+    if (entries.nonEmpty && entries.forall(_.isFile)) Some(entries.toSeq)
+    else None
+  }
+
+  private def visible(fs: Array[java.io.File]): Array[java.io.File] =
+    fs.filterNot(f =>
+      f.getName.startsWith(".") || f.getName.startsWith("_"))
+
+  /** Copy one write's data files verbatim into `dest` (names within a
+    * single parquet write are already unique part-files). On an object
+    * store this is a server-side copy — still no scan, no shuffle.
+    */
+  private def copyFilesInto(files: Seq[java.io.File], dest: String): Unit = {
+    Files.createDirectories(Paths.get(dest))
+    files.foreach(f => Files.copy(f.toPath,
+      Paths.get(dest, f.getName), StandardCopyOption.REPLACE_EXISTING): Unit)
   }
 
   private def deleteRecursively(p: Path): Unit = {

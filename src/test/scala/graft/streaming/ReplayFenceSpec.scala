@@ -261,6 +261,59 @@ class ReplayFenceSpec extends AnyFunSuite {
       java.nio.file.Paths.get(oldDir, ".staging-3-cafe")))
   }
 
+  test("appendBatch rejects an id deeper than MarkerKeep below the " +
+      "newest committed id — an out-of-contract replay surfaces " +
+      "loudly instead of double-appending") {
+    import spark.implicits._
+    val dir = tmp("graft_rf_deep") + "/component"
+    assert(BatchCommits.appendBatch(Seq(1L).toDF("x"), dir, 0L))
+    assert(BatchCommits.appendBatch(Seq(2L).toDF("x"), dir, 20L))
+    // inside the fence window: allowed (its marker would still exist)
+    assert(BatchCommits.appendBatch(Seq(3L).toDF("x"), dir,
+      20L - BatchCommits.MarkerKeep))
+    // deeper than the window: a compaction may have dropped the
+    // fence — must throw, not silently append
+    val e = intercept[IllegalStateException] {
+      BatchCommits.appendBatch(Seq(4L).toDF("x"), dir, 1L)
+    }
+    assert(e.getMessage.contains("MarkerKeep"))
+    // ...and nothing landed for the rejected id
+    assert(!BatchCommits.isCommitted(dir, 1L))
+  }
+
+  test("identity compaction: a single-write component is copied " +
+      "verbatim (in-write duplicate rows preserved, marker carried); " +
+      "a multi-write component still collapses replayed rows") {
+    import spark.implicits._
+    import graft.sources.ArtifactVersions
+    // single write WITH legitimate duplicate rows: the fast path must
+    // not distinct them away
+    val root1 = tmp("graft_rf_idc1")
+    val c1 = s"$root1/grams"
+    assert(BatchCommits.appendBatch(Seq(7L, 7L, 8L).toDF("x"), c1, 0L))
+    BatchCommits.compactArtifact(spark, root1, Seq("grams"))
+    val v1 = ArtifactVersions.current(root1).get
+    assert(spark.read.parquet(s"$v1/grams")
+      .as[Long].collect().sorted.toSeq == Seq(7L, 7L, 8L),
+      "identity compaction altered a single write's rows")
+    assert(new java.io.File(s"$v1/grams", "batch-0").isDirectory,
+      "fence marker not carried by the fast path")
+    // the fast path wrote plain files, not a nested batch dir
+    assert(Option(new java.io.File(s"$v1/grams").listFiles).get
+      .exists(f => f.isFile && f.getName.endsWith(".parquet")))
+    // two writes with a byte-identical replayed payload (the unfenced
+    // lifecycle flow compaction exists for): the rewrite path dedups
+    val root2 = tmp("graft_rf_idc2")
+    val c2 = s"$root2/grams"
+    assert(BatchCommits.appendBatch(Seq(1L, 2L).toDF("x"), c2, 0L))
+    assert(BatchCommits.appendBatch(Seq(1L, 2L).toDF("x"), c2, 1L))
+    BatchCommits.compactArtifact(spark, root2, Seq("grams"))
+    val v2 = ArtifactVersions.current(root2).get
+    assert(spark.read.parquet(s"$v2/grams")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L),
+      "multi-write compaction no longer collapses replayed rows")
+  }
+
   test("IVF and CMS advances: same-id replay is a no-op") {
     import graft.similarity.SimilarityQueries
     import graft.text.TextQueries
