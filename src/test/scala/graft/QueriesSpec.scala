@@ -17,13 +17,12 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
-  test("oracle SQL exists for all SQL-expressible queries") {
+  test("oracle SQL exists for EVERY query — no rows-only exceptions") {
     val noOracle = QueryRegistry.all.filter(_.oracle.isEmpty).map(_.name).toSet
-    // probabilistic-recall / trained ops only (the sketch queries q42/q52
-    // are oracle-checked through their error-bound booleans; the LSH
-    // recall guarantee is oracle-checked as q96)
-    assert(noOracle == Set("q38_ann_lsh", "q46_ann_ivf"),
-      s"unexpected: $noOracle")
+    // q38/q46 were the last two (probabilistic / trained): both now
+    // train and search with cross-engine-deterministic arithmetic and
+    // output per-probe recall the oracle hash-matches
+    assert(noOracle.isEmpty, s"unexpected rows-only queries: $noOracle")
   }
 
   test("q113 PII counts follow the augmentation rule; scrubbing shrinks") {
@@ -133,25 +132,40 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
-  test("q46 IVF ANN scores agree with the exact ranking for overlaps") {
-    val ivf = QueryRegistry.queries("q46_ann_ivf")(spark, sf).collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val exact = QueryRegistry.queries("q31_cosine_topk")(spark, sf).collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    assert(ivf.nonEmpty, "IVF returned no candidates")
-    val overlap = ivf.keySet intersect exact.keySet
-    overlap.foreach(id => assert(ivf(id) == exact(id), s"score mismatch for $id"))
+  test("q46 IVF recall rows: one per probe, hits <= k <= n_candidates " +
+      "bound, recall consistent with hits") {
+    val rows = QueryRegistry.queries("q46_ann_ivf")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("probe_id")).toSet
+      == (0L until 10L).toSet, "expected all 10 probes")
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("hits")
+      assert(hits >= 0 && hits <= 10)
+      assert(r.getAs[Long]("n_candidates") > 0)
+      assert(r.getAs[Double]("recall_at_10") == hits / 10.0)
+    }
   }
 
-  test("q38 ANN returns exact cosine scores for its candidates") {
-    val ann = QueryRegistry.queries("q38_ann_lsh")(spark, sf).collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+  test("q38 LSH ANN: probe 0's ranked neighbors carry the exact cosine " +
+      "(agrees with q31 where they overlap) and per-probe recall is " +
+      "consistent") {
+    val rows = QueryRegistry.queries("q38_ann_lsh")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("probe_id")).toSet == (0L until 10L).toSet)
     val exact = QueryRegistry.queries("q31_cosine_topk")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    assert(ann.nonEmpty, "ANN returned no candidates")
-    // scores for overlapping ids must agree exactly (same arithmetic)
-    val overlap = ann.keySet intersect exact.keySet
-    overlap.foreach(id => assert(ann(id) == exact(id), s"score mismatch for $id"))
+    val p0 = rows.filter(_.getAs[Long]("probe_id") == 0L)
+    assert(p0.nonEmpty, "probe 0 returned no neighbors")
+    // same re-ranking arithmetic as the brute force: overlapping ids
+    // must score identically
+    p0.foreach { r =>
+      exact.get(r.getAs[Long]("nbr_id")).foreach(c =>
+        assert(c == r.getAs[Double]("cos_sim"),
+          s"score mismatch for ${r.getAs[Long]("nbr_id")}"))
+    }
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("hits")
+      assert(r.getAs[Double]("recall_at_10") == hits / 10.0)
+      assert(r.getAs[Long]("rnk") >= 1 && r.getAs[Long]("rnk") <= 10)
+    }
   }
 
   test("q52 sketch percentiles stay within the declared bound per group") {
