@@ -286,11 +286,16 @@ object Streams {
     * (1) SPAN-SCRUBBED against the n-gram window index (substrings the
     * corpus already holds are cut — q154), (2) QUALITY-GATED on the
     * cleaned text (q132's rules, stateless — an arrival that was
-    * entirely known substrings scrubs to empty and dies here), and
-    * (3) NEAR-DUP SCORED against the dedup index (q119's decisions).
-    * Every arrival lands in `outDir` with its audit row (batch id,
-    * CLEANED text, tokens span-removed, first-drop-wins status:
-    * quality_drop / dup / added — the q148 label discipline), and BOTH
+    * entirely known substrings scrubs to empty and dies here),
+    * (3) REPETITION-GATED (q158's Gopher signals over the quality
+    * survivors — stage-ordered after the cheap rules, before the
+    * index probes; its evaluation barriers are LOCAL persists scoped
+    * to the batch, since CacheScope.retain is forbidden in
+    * foreachBatch), and (4) NEAR-DUP SCORED against the dedup index
+    * (q119's decisions). Every arrival lands in `outDir` with its
+    * audit row (batch id, CLEANED text, tokens span-removed,
+    * first-drop-wins status: quality_drop / repetition_drop / dup /
+    * added — the q148 label discipline), and BOTH
     * artifacts advance with the admitted docs' cleaned text before the
     * next batch reads them; `compactEvery` runs the q156 compaction on
     * cadence.
@@ -342,8 +347,13 @@ object Streams {
     import graft.sources.BatchCommits
     val s = batch.sparkSession
     if (!BatchCommits.isCommitted(outDir, batchId)) {
-      // local persist, never CacheScope.retain (no flush point in a
-      // stream); cleaned feeds the gate AND the audit projection
+      // local persists, never CacheScope.retain (no flush point in a
+      // stream); cleaned feeds the gate AND the audit projection, and
+      // the repetition gate's internal barriers go through `pin` so
+      // they unpersist with the batch instead of accumulating forever
+      val localPins = scala.collection.mutable.Buffer.empty[DataFrame]
+      val pin: DataFrame => DataFrame =
+        df => { val p = df.persist(); localPins += p; p }
       val cleaned = DedupQueries
         .spanScrubAgainstIndex(s, batch, ngramIdx, w)
         .select(col("doc_id"), col("clean_text"), col("n_removed"))
@@ -352,21 +362,32 @@ object Streams {
         val flags = graft.text.TextQueries.qualityFlagsOf(
             cleaned.select(col("doc_id"), col("clean_text").as("text")))
           .select(col("doc_id"), col("keep"))
-        val survivors = cleaned.join(flags, "doc_id")
+        val qSurv = cleaned.join(flags, "doc_id")
           .filter(col("keep"))
           .select(col("doc_id"), col("clean_text").as("text"))
+        // Gopher repetition gate (q158), survivor-only — the same
+        // stage order as q144's batch pipeline, so stream ≡ batch
+        val rep = graft.text.TextQueries.repetitionGate(qSurv, pin)
+          .select(col("doc_id"), col("keep_repetition"))
+        val survivors = qSurv.join(rep, "doc_id")
+          .filter(col("keep_repetition")).select("doc_id", "text")
         // localCheckpoint'ed inside — one stable evaluation
         val decisions =
           DedupQueries.ingestBatchDecisions(survivors, dedupIdx)
         BatchCommits.appendBatch(
           cleaned.join(flags, "doc_id")
+            .join(rep, Seq("doc_id"), "left")
             .join(decisions, Seq("doc_id"), "left")
             .select(col("doc_id"), col("clean_text"), col("n_removed"),
               when(!col("keep"), lit("quality_drop"))
+                .when(!col("keep_repetition"), lit("repetition_drop"))
                 .otherwise(col("status")).as("status"),
               lit(batchId).as("batch_id")),
           outDir, batchId): Unit
-      } finally { cleaned.unpersist(); () }
+      } finally {
+        cleaned.unpersist()
+        localPins.foreach(_.unpersist()): Unit
+      }
     }
     val admitted = s.read.parquet(outDir + s"/batch-$batchId")
       .filter(col("status") === "added")

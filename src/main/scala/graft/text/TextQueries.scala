@@ -1073,33 +1073,46 @@ object TextQueries {
              FROM agg a JOIN mt USING (doc_id) ORDER BY doc_id""")),
 
     // ---- q144: THE COMPOSED CURATION PIPELINE — quality filter
-    // (q132 rules) -> corpus-wide exact dedup (keep-first by content
-    // hash, q28 rule) -> stratified deterministic sampling (q127 LCG
-    // gate), reported as per-source attrition counts (n_raw ->
-    // n_quality -> n_dedup -> n_sampled). The point is COMPOSITION:
+    // (q132 rules) -> Gopher repetition gate (q158, survivor-only) ->
+    // corpus-wide exact dedup (keep-first by content hash, q28 rule)
+    // -> stratified deterministic sampling (q127 LCG gate), reported
+    // as per-source attrition counts (n_raw -> n_quality ->
+    // n_repetition -> n_dedup -> n_sampled). The point is COMPOSITION:
     // the whole curation pass is ONE lazy plan — the quality rules
-    // fuse into the scan, the dedup window shuffles once on the
+    // fuse into the scan, the repetition window stream prices only
+    // quality survivors, the dedup window shuffles once on the
     // content hash, the sampling gate is stateless — so a 100 TB run
-    // is scan + one hash shuffle + one aggregation, and the attrition
-    // table is the dashboard a curation team actually reads.
+    // is scan + the survivor-bounded repetition pass + one hash
+    // shuffle + one aggregation, and the attrition table is the
+    // dashboard a curation team actually reads.
     Q("q144_curation_pipeline",
       (s, d) => curationPipelineOf(Tables.documents(s, d))
         .orderBy("source"),
+      // the repetition stage reuses q158's whole CTE chain verbatim
+      // (repetitionCtesSql ends in `rep`) — the oracle computes the
+      // gate corpus-wide where Spark prices only quality survivors;
+      // identical on survivors because every signal is intra-document
       Some(s"""WITH $qualityKeepCtesSql,
+           $repetitionCtesSql,
+           kr AS (SELECT f.doc_id, f.keep,
+                    f.keep AND r.keep_repetition AS keep_r
+                  FROM qflags f JOIN rep r USING (doc_id)),
            q AS (SELECT d.doc_id, d.text FROM documents d
-                 JOIN qflags f USING (doc_id) WHERE f.keep),
+                 JOIN kr USING (doc_id) WHERE kr.keep_r),
            dd AS (SELECT doc_id, row_number() OVER (
                     PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM q),
-           per AS (SELECT d.source, f.keep,
+           per AS (SELECT d.source, kr.keep, kr.keep_r,
                      coalesce(dd.rn = 1, FALSE) AS is_dd,
                      coalesce(dd.rn = 1, FALSE) AND
                        ((d.doc_id * $LcgA + $LcgC) % $LcgM <
                         CASE WHEN d.lang = 'en' THEN $SampleEnPermille
                           ELSE $SampleOtherPermille END) AS is_s
-                   FROM documents d JOIN qflags f USING (doc_id)
+                   FROM documents d JOIN kr USING (doc_id)
                    LEFT JOIN dd USING (doc_id))
            SELECT source, CAST(count(*) AS BIGINT) AS n_raw,
              CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_quality,
+             CAST(count(*) FILTER (WHERE keep_r) AS BIGINT)
+               AS n_repetition,
              CAST(count(*) FILTER (WHERE is_dd) AS BIGINT) AS n_dedup,
              CAST(count(*) FILTER (WHERE is_s) AS BIGINT) AS n_sampled
            FROM per GROUP BY source ORDER BY source""")),
@@ -1133,7 +1146,18 @@ object TextQueries {
     // makes every signal family fire on the synthetic corpus.
     Q("q158_repetition_signals",
       (s, d) => repetitionGate(Tables.documents(s, d)).orderBy("doc_id"),
-      Some(s"""WITH aug AS (
+      Some(s"""WITH $repetitionCtesSql
+SELECT * FROM rep ORDER BY doc_id"""))
+  )
+
+  /** The ONE copy of the q158 repetition-gate CTE chain (both Gopher
+    * halves over the deterministic augmentation, ending in `rep` —
+    * one row per doc: the eleven signals + `keep_repetition`) — shared
+    * by the q158 oracle and q144's composed-pipeline oracle so the
+    * gate SQL cannot drift between the standalone dashboard and the
+    * curation cascade. DuckDB image of [[repetitionGate]].
+    */
+  private def repetitionCtesSql: String = s"""aug AS (
   SELECT doc_id,
     CASE WHEN doc_id % $RepAugSelfEvery = 0 THEN text || ' ' ||
       array_to_string(list_slice(string_split(text, ' '), 1, $RepAugSelfK), ' ')
@@ -1232,18 +1256,17 @@ pstat AS (
       AS dup_para_frac
   FROM (SELECT doc_id, para, count(*) AS c
         FROM (SELECT doc_id, unnest(paras) AS para FROM pdocs) x
-        GROUP BY 1, 2) y GROUP BY 1)
-SELECT n.*, dup_line_frac, dup_para_frac,
-  (top_2_frac <= ${RepThreshold(2)} AND top_3_frac <= ${RepThreshold(3)}
-   AND top_4_frac <= ${RepThreshold(4)} AND dup_5_frac <= ${RepThreshold(5)}
-   AND dup_6_frac <= ${RepThreshold(6)} AND dup_7_frac <= ${RepThreshold(7)}
-   AND dup_8_frac <= ${RepThreshold(8)} AND dup_9_frac <= ${RepThreshold(9)}
-   AND dup_10_frac <= ${RepThreshold(10)}
-   AND dup_line_frac <= $RepLineThreshold
-   AND dup_para_frac <= $RepParaThreshold) AS keep_repetition
-FROM ngram n JOIN lstat USING (doc_id) JOIN pstat USING (doc_id)
-ORDER BY doc_id"""))
-  )
+        GROUP BY 1, 2) y GROUP BY 1),
+rep AS (
+  SELECT n.*, dup_line_frac, dup_para_frac,
+    (top_2_frac <= ${RepThreshold(2)} AND top_3_frac <= ${RepThreshold(3)}
+     AND top_4_frac <= ${RepThreshold(4)} AND dup_5_frac <= ${RepThreshold(5)}
+     AND dup_6_frac <= ${RepThreshold(6)} AND dup_7_frac <= ${RepThreshold(7)}
+     AND dup_8_frac <= ${RepThreshold(8)} AND dup_9_frac <= ${RepThreshold(9)}
+     AND dup_10_frac <= ${RepThreshold(10)}
+     AND dup_line_frac <= $RepLineThreshold
+     AND dup_para_frac <= $RepParaThreshold) AS keep_repetition
+  FROM ngram n JOIN lstat USING (doc_id) JOIN pstat USING (doc_id))"""
 
   /** q115 shard size target (bytes of text per shard). */
   val ShardTargetBytes = 65536L
@@ -1415,11 +1438,12 @@ ORDER BY doc_id"""))
     * longest doc), no driver action, everything shuffles on (doc,
     * gram) hashes.
     */
-  def repetitionSignalsOf(docs: DataFrame): DataFrame = {
+  def repetitionSignalsOf(docs: DataFrame,
+      pin: DataFrame => DataFrame = graft.CacheScope.retain): DataFrame = {
     val allNs = RepTopNs ++ RepDupNs
-    // retained: the token stream, the final per-doc select, and the
+    // pinned: the token stream, the final per-doc select, and the
     // prefix-sum leg all read it
-    val base = graft.CacheScope.retain(docs.select(col("doc_id"),
+    val base = pin(docs.select(col("doc_id"),
       split(col("text"), " ").as("toks"),
       greatest(length(replace(col("text"), lit(" "), lit(""))), lit(1))
         .as("tot")))
@@ -1460,14 +1484,14 @@ ORDER BY doc_id"""))
       struct(lit(n).as("n"), col("pos").as("pos"),
         when(col(s"t${n - 1}").isNotNull, gram).as("gram"))
     }
-    // retained: the window stream feeds the per-gram count AND the
+    // pinned: the window stream feeds the per-gram count AND the
     // duplicated-coverage back-join
-    val wins = graft.CacheScope.retain(ctx
+    val wins = pin(ctx
       .select(col("doc_id"), explode(array(winCols: _*)).as("w"))
       .select(col("doc_id"), col("w.n").as("n"), col("w.pos").as("pos"),
         col("w.gram").as("gram"))
       .filter(col("gram").isNotNull))
-    val cnts = graft.CacheScope.retain(
+    val cnts = pin(
       wins.groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("c")))
     val topA = cnts.filter(col("n") <= RepTopNs.max)
       .groupBy("doc_id", "n")
@@ -1498,9 +1522,9 @@ ORDER BY doc_id"""))
       .groupBy("doc_id", "n", "isl")
       .agg(min("pos").as("lo"), max("end").as("hi"))
     // prefix sums of token lengths: chars([lo, hi]) = cum[hi]-cum[lo-1];
-    // retained — the island pricing joins it twice (hi and lo-1) and
+    // pinned — the island pricing joins it twice (hi and lo-1) and
     // Spark has no common-subplan reuse above the exchange
-    val cums = graft.CacheScope.retain(base.select(col("doc_id"),
+    val cums = pin(base.select(col("doc_id"),
         posexplode(col("toks")).as(Seq("p0", "tok")))
       .select(col("doc_id"), (col("p0") + 1).as("p"),
         length(col("tok")).cast("long").as("l"))
@@ -1580,17 +1604,18 @@ ORDER BY doc_id"""))
     * shuffling on (doc, line-text) hashes — linear, no window
     * function, no driver action.
     */
-  def lineRepetitionSignalsOf(docs: DataFrame): DataFrame = {
+  def lineRepetitionSignalsOf(docs: DataFrame,
+      pin: DataFrame => DataFrame = graft.CacheScope.retain): DataFrame = {
     // The line/paragraph arrays are interpreted HOFs (no codegen), and
     // projection collapse INLINES every reference to a derived column —
     // left as one chained plan, the lines -> ls -> augmented-lines ->
     // paras chain re-evaluates the line-building transform ~10x per
     // row across the two dupFrac legs (measured: 10.3 s of q158's
     // 9.9 s suite cost at sf0.1; 0.9 s with the barriers). Two
-    // retained row-count-preserving caches pin each HOF result so it
+    // pinned row-count-preserving caches fix each HOF result so it
     // is computed exactly once per row; downstream references then
     // slice/concat the MATERIALIZED array, which is cheap.
-    val lined = graft.CacheScope.retain(docs
+    val lined = pin(docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("L", (lit(3) + col("doc_id") % 5).cast("int"))
       .withColumn("P", (lit(2) + col("doc_id") % 3).cast("int"))
@@ -1599,7 +1624,7 @@ ORDER BY doc_id"""))
       .select(col("doc_id"), col("P"), expr(
         """transform(sequence(0, nlines - 1),
            j -> array_join(slice(toks, j * L + 1, L), ' '))""").as("lines0")))
-    val base = graft.CacheScope.retain(lined
+    val base = pin(lined
       .select(col("doc_id"), col("P"), expr(
         s"""CASE WHEN doc_id % $RepAugLineEvery = 0
             THEN concat(lines0, slice(lines0, 1, P),
@@ -1626,14 +1651,24 @@ ORDER BY doc_id"""))
   /** q158's body: both Gopher repetition halves over the augmented
     * corpus, one row per doc with all eleven signals and the
     * conjunctive `keep_repetition` gate.
+    *
+    * `pin` injects the evaluation barriers the two halves need (each
+    * derived frame is read by 2+ consumers, and the line half's
+    * interpreted HOFs re-evaluate ~10x without one): batch queries use
+    * the default [[graft.CacheScope.retain]] (the harness flushes it);
+    * a `foreachBatch` caller MUST pass a local-persist pin and
+    * unpersist after its actions — retain inside a stream pins one
+    * frame per micro-batch forever (see Streams.curationIngestBatch
+    * for the canonical stream-side pin).
     */
-  def repetitionGate(docs: DataFrame): DataFrame = {
+  def repetitionGate(docs: DataFrame,
+      pin: DataFrame => DataFrame = graft.CacheScope.retain): DataFrame = {
     val aug = repetitionAugmented(docs)
     val sigCols = (RepTopNs.map(n => s"top_${n}_frac")
       ++ RepDupNs.map(n => s"dup_${n}_frac")
       ++ Seq("dup_line_frac", "dup_para_frac")).map(col)
-    repetitionSignalsOf(aug)
-      .join(lineRepetitionSignalsOf(aug), Seq("doc_id"))
+    repetitionSignalsOf(aug, pin)
+      .join(lineRepetitionSignalsOf(aug, pin), Seq("doc_id"))
       .select(col("doc_id") +: sigCols :+
         (col("keep_ngram") && col("keep_line")).as("keep_repetition"): _*)
   }
@@ -1751,15 +1786,32 @@ ORDER BY doc_id"""))
              AND mx * 1.0 / n <= $QfRepCap) AS keep
          FROM agg a JOIN mt USING (doc_id))"""
 
-  /** q144's body: quality -> exact-dedup-keep-first -> LCG sample as
-    * one lazy plan; per-source attrition counts out.
+  /** q144's body: quality -> GOPHER REPETITION GATE (q158) ->
+    * exact-dedup-keep-first -> LCG sample as one lazy plan; per-source
+    * attrition counts out. Stage order is cost order: the per-row
+    * quality rules fuse into the scan and the ~9x-token-mass
+    * repetition window stream prices only their SURVIVORS (the q148
+    * survivor-only discipline) — legal because every repetition signal
+    * is intra-document, so gating survivors ≡ gating the corpus. The
+    * gate is evaluated over the same deterministic doc_id augmentation
+    * q158 declares (the q113 pattern: the synthetic corpus has no
+    * native within-doc repeats, so without it the stage would be a
+    * vacuous all-pass the oracle couldn't distinguish from a no-op).
     */
   def curationPipelineOf(docs: DataFrame): DataFrame = {
     val flags = qualityFlagsOf(docs).select("doc_id", "keep")
     val d = graft.CacheScope.retain(
       docs.select(col("doc_id"), col("source"), col("lang"), col("text"))
         .join(flags, "doc_id"))
-    val firsts = d.filter(col("keep"))
+    val rep = repetitionGate(
+        d.filter(col("keep")).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("keep_repetition"))
+    // left join: quality drops never reach the gate; keep_r folds the
+    // two stages into the survivor bit the downstream stages read
+    val dr = graft.CacheScope.retain(d.join(rep, Seq("doc_id"), "left")
+      .withColumn("keep_r",
+        col("keep") && coalesce(col("keep_repetition"), lit(false))))
+    val firsts = dr.filter(col("keep_r"))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(md5(col("text"))).orderBy("doc_id")))
@@ -1767,13 +1819,14 @@ ORDER BY doc_id"""))
     val gate = (col("doc_id") * LcgA + LcgC) % LcgM <
       when(col("lang") === "en", SampleEnPermille)
         .otherwise(SampleOtherPermille)
-    d.join(firsts, Seq("doc_id"), "left")
-      .select(col("source"), col("keep"),
+    dr.join(firsts, Seq("doc_id"), "left")
+      .select(col("source"), col("keep"), col("keep_r"),
         coalesce(col("dd"), lit(false)).as("is_dd"),
         (coalesce(col("dd"), lit(false)) && gate).as("is_s"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_raw"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("keep_r"), 1L).otherwise(0L)).as("n_repetition"),
         sum(when(col("is_dd"), 1L).otherwise(0L)).as("n_dedup"),
         sum(when(col("is_s"), 1L).otherwise(0L)).as("n_sampled"))
   }

@@ -677,15 +677,16 @@ class QueriesSpec extends AnyFunSuite {
     graft.CacheScope.flush(spark)
   }
 
-  test("q144 curation attrition is monotone and consistent with q132") {
+  test("q144 curation attrition is monotone and consistent with " +
+      "q132 and q158") {
     val rows = QueryRegistry.queries("q144_curation_pipeline")(spark, sf)
       .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val (raw, q, dd, s) = (r.getAs[Long]("n_raw"),
-        r.getAs[Long]("n_quality"), r.getAs[Long]("n_dedup"),
-        r.getAs[Long]("n_sampled"))
-      assert(raw >= q && q >= dd && dd >= s && s >= 0,
+      val (raw, q, rep, dd, s) = (r.getAs[Long]("n_raw"),
+        r.getAs[Long]("n_quality"), r.getAs[Long]("n_repetition"),
+        r.getAs[Long]("n_dedup"), r.getAs[Long]("n_sampled"))
+      assert(raw >= q && q >= rep && rep >= dd && dd >= s && s >= 0,
         s"attrition not monotone: $r")
     }
     // stage-1 totals must equal q132's keep count exactly
@@ -693,6 +694,18 @@ class QueriesSpec extends AnyFunSuite {
     val q132Keep = QueryRegistry.queries("q132_quality_filter")(spark, sf)
       .filter(col("keep")).count()
     assert(qTotal == q132Keep, s"quality stage $qTotal != q132 $q132Keep")
+    // stage-2 totals must equal |q132 keep ∩ q158 keep_repetition|:
+    // the composed gate IS the standalone dashboards' conjunction
+    val repTotal = rows.map(_.getAs[Long]("n_repetition")).sum
+    val want = QueryRegistry.queries("q132_quality_filter")(spark, sf)
+      .filter(col("keep")).select("doc_id")
+      .join(QueryRegistry.queries("q158_repetition_signals")(spark, sf)
+        .filter(col("keep_repetition")).select("doc_id"), "doc_id")
+      .count()
+    assert(repTotal == want, s"repetition stage $repTotal != $want")
+    // the stage must genuinely fire on the synthetic corpus
+    assert(repTotal < qTotal,
+      "repetition gate dropped nothing — augmentation not firing?")
     graft.CacheScope.flush(spark)
   }
 

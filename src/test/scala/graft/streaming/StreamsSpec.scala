@@ -368,7 +368,8 @@ class StreamsSpec extends AnyFunSuite {
   }
 
   test("composed curation ingest: stream ≡ hand-composed batch flow; " +
-      "span/quality/dedup stages each catch their planted doc") {
+      "span/quality/repetition/dedup stages each catch their planted " +
+      "doc") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
     import graft.dedup.DedupQueries
@@ -379,15 +380,22 @@ class StreamsSpec extends AnyFunSuite {
     def tmp(p: String) =
       java.nio.file.Files.createTempDirectory(p).toString
     // planted arrivals: an exact twin of indexed doc 0 (scrubs to
-    // empty -> quality_drop), and two copies of a NOVEL quality-passing
+    // empty -> quality_drop), two copies of a NOVEL quality-passing
     // doc (the span stage can't see intra-batch copies; the dedup
-    // stage's intra-batch leg must catch the second)
+    // stage's intra-batch leg must catch the second), and a SELF-
+    // REPEATING doc — novel tokens, quality-passing, but its second
+    // half duplicates its first, so the duplicated 5..10-gram windows
+    // cover the whole doc and the repetition stage must catch it
     val dup = docs.filter(col("doc_id") === 0L).as[(Long, String)].head()._2
     val novel = ((1 to 38).map(i => s"nv$i") ++ Seq("the", "of"))
       .mkString(" ")
+    val repHalf = ((1 to 18).map(i => s"rp$i") ++ Seq("the", "of"))
+      .mkString(" ")
+    val repet = repHalf + " " + repHalf
     val b1 = docs.filter(col("doc_id") >= split1 && col("doc_id") < split2)
       .as[(Long, String)].collect().toSeq ++
-      Seq((200000L, dup), (200001L, novel), (200002L, novel))
+      Seq((200000L, dup), (200001L, novel), (200002L, novel),
+        (200003L, repet))
     val b2 = docs.filter(col("doc_id") >= split2)
       .as[(Long, String)].collect().toSeq
     val corpus = docs.filter(col("doc_id") < split1)
@@ -398,9 +406,15 @@ class StreamsSpec extends AnyFunSuite {
       DedupQueries.buildDedupIndex(corpus, dd)
       (ng, dd)
     }
-    // the hand-composed batch twin of one sink iteration
+    // the hand-composed batch twin of one sink iteration (same stage
+    // order as the sink: scrub -> quality -> repetition gate -> dedup)
     def batchStep(b: Seq[(Long, String)], ng: String, dd: String,
         bid: Long): Seq[(Long, Long, String, Long)] = {
+      val pins = scala.collection.mutable.Buffer
+        .empty[org.apache.spark.sql.DataFrame]
+      val pin: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame =
+        df => { val p = df.persist(); pins += p; p }
       val cleaned = DedupQueries.spanScrubAgainstIndex(spark,
           b.toDF("doc_id", "text"), ng, w)
         .select(col("doc_id"), col("clean_text").as("text"),
@@ -408,13 +422,19 @@ class StreamsSpec extends AnyFunSuite {
       try {
         val flags = graft.text.TextQueries.qualityFlagsOf(cleaned)
           .select(col("doc_id"), col("keep"))
-        val survivors = cleaned.join(flags, "doc_id")
+        val qSurv = cleaned.join(flags, "doc_id")
           .filter(col("keep")).select("doc_id", "text")
+        val rep = graft.text.TextQueries.repetitionGate(qSurv, pin)
+          .select(col("doc_id"), col("keep_repetition"))
+        val survivors = qSurv.join(rep, "doc_id")
+          .filter(col("keep_repetition")).select("doc_id", "text")
         val decisions = DedupQueries.ingestBatchDecisions(survivors, dd)
         val audit = cleaned.join(flags, "doc_id")
+          .join(rep, Seq("doc_id"), "left")
           .join(decisions, Seq("doc_id"), "left")
           .select(col("doc_id"), col("n_removed"),
             when(!col("keep"), lit("quality_drop"))
+              .when(!col("keep_repetition"), lit("repetition_drop"))
               .otherwise(col("status")).as("status"),
             lit(bid).as("batch_id"))
           .collect()
@@ -426,7 +446,10 @@ class StreamsSpec extends AnyFunSuite {
         DedupQueries.advanceNgramIndex(admitted, w, ng)
         DedupQueries.advanceDedupIndex(admitted, dd)
         audit
-      } finally { cleaned.unpersist(); () }
+      } finally {
+        cleaned.unpersist()
+        pins.foreach(_.unpersist()): Unit
+      }
     }
     val (ngB, ddB) = freshIdx("batch")
     val want = (batchStep(b1, ngB, ddB, 0L) ++ batchStep(b2, ngB, ddB, 1L))
@@ -454,6 +477,8 @@ class StreamsSpec extends AnyFunSuite {
       s"novel doc: ${byId(200001L)}")
     assert(byId(200002L)._3 == "dup",
       s"intra-batch copy: ${byId(200002L)}")
+    assert(byId(200003L)._3 == "repetition_drop",
+      s"self-repeating doc: ${byId(200003L)}")
     graft.CacheScope.flush(spark)
   }
 
