@@ -4,12 +4,15 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media as opaque `binary` columns with a
-  * typed metadata struct. The actual image/audio codecs are NOT in this
-  * environment, so the decode kernel is a clearly-marked deterministic
-  * fake — but everything Spark-side is real: schema, batched
+  * typed metadata struct. The feature extractor dispatches on CONTENT:
+  * binary PPM (P6) payloads go through a REAL validating decoder and
+  * real pixel math (PPM needs no codec library); JPEG/PNG/audio codecs
+  * are NOT in this environment, so every other payload rides a
+  * clearly-marked deterministic stub ([[byteStats]] over the encoded
+  * stream) — but everything Spark-side is real: schema, batched
   * per-partition execution (the Scala analogue of mapInPandas), feature
-  * schema, and partition sizing. Swapping `fakeDecode` for a real codec
-  * is a one-function change.
+  * schema, and partition sizing. Swapping the stub leg for a real codec
+  * is a one-function change, and the PPM leg proves the seam works.
   */
 object Multimodal {
   final case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte],
@@ -34,11 +37,13 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** STUB — deterministic fake decode: a real build would call an image
-    * codec here (??? in spirit). Returns pseudo-pixel statistics derived
-    * only from the bytes, so tests are reproducible.
+  /** Byte-histogram statistics (shannon entropy in bits, mean byte).
+    * Over DECODED PIXELS this is a real image statistic; over an
+    * encoded payload it is the STUB leg — a deterministic stand-in for
+    * the absent JPEG/PNG/audio codecs (??? in spirit), reproducible so
+    * the oracle can mirror it.
     */
-  private def fakeDecode(bytes: Array[Byte]): (Double, Double) = {
+  private def byteStats(bytes: Array[Byte]): (Double, Double) = {
     var h = 1125899906842597L
     var sum = 0L
     val counts = new Array[Long](256)
@@ -56,7 +61,7 @@ object Multimodal {
 
   // ---------------------------------------------------------------
   // REAL codec path: PPM (P6). Unlike JPEG/PNG/audio — whose codec
-  // libraries are absent from this environment, hence fakeDecode —
+  // libraries are absent from this environment, hence the stub leg —
   // binary PPM is a header plus raw interleaved RGB and needs no
   // library, so the decode leg of the decode/resize/frame-sample trio
   // can be genuinely real here: a validating parser, real pixel
@@ -168,12 +173,19 @@ object Multimodal {
         && octet_length(col("text")) === length(col("text")))
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
-        val w = (8 + id % 9).toInt
-        val h = (6 + id % 7).toInt
-        val t = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        val px = Array.tabulate(w * h * 3)(j => t((j % t.length).toInt))
-        PpmMedia(id, ppmEncode(PpmImage(w, h, px)))
+        PpmMedia(id, ppmEncode(synthPpm(id,
+          text.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
       }
+  }
+
+  /** The ONE copy of the synthesized-PPM geometry (shared by q159's
+    * media and [[mediaWithPpm]]): w = 8 + id % 9, h = 6 + id % 7,
+    * pixel byte j = text byte (j mod len).
+    */
+  private def synthPpm(id: Long, t: Array[Byte]): PpmImage = {
+    val w = (8 + id % 9).toInt
+    val h = (6 + id % 7).toInt
+    PpmImage(w, h, Array.tabulate(w * h * 3)(j => t(j % t.length)))
   }
 
   /** q159's body: the REAL decode -> resize -> stats pipeline, batched
@@ -206,20 +218,61 @@ object Multimodal {
   /** Per-partition batched feature extraction — the Scala analogue of
     * mapInPandas: one pass per partition, no per-row task overhead, stays
     * distributed. Frame sampling takes every k-th frame up to 8; resize
-    * targets a 64x64 thumbnail (metadata only under the stub codec).
+    * targets a 64x64 thumbnail.
+    *
+    * DISPATCH IS ON CONTENT, NOT METADATA: a payload opening with the
+    * P6 magic goes through the REAL validating PPM decoder — entropy /
+    * mean over the DECODED PIXELS, thumbnail geometry from the DECODED
+    * dimensions (the header is ground truth; the metadata columns are
+    * hints) — and a malformed P6 stream fails loudly mid-scan, the
+    * behavior a real ingest wants. Everything else falls back to the
+    * stub byte-stats leg standing in for the absent JPEG/PNG/audio
+    * codecs.
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val (entropy, meanByte) = fakeDecode(r.bytes)
+        val isPpm = r.bytes.length >= 2 &&
+          r.bytes(0) == 'P'.toByte && r.bytes(1) == '6'.toByte
+        val (entropy, meanByte, w, h) =
+          if (isPpm) {
+            val img = decodePpm(r.bytes)
+            val (e, m) = byteStats(img.pixels)
+            (e, m, img.width, img.height)
+          } else {
+            val (e, m) = byteStats(r.bytes)
+            (e, m, r.width, r.height)
+          }
         val frames = math.min(8, math.max(1, r.n_frames / 8))
-        val scale = 64.0 / math.max(r.width, r.height)
+        val scale = 64.0 / math.max(w, h)
         MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong, entropy,
           meanByte, if (r.kind == "video") frames else 1,
-          math.max(1, math.round(r.width * scale).toInt),
-          math.max(1, math.round(r.height * scale).toInt))
+          math.max(1, math.round(w * scale).toInt),
+          math.max(1, math.round(h * scale).toInt))
       }
+    }
+  }
+
+  /** q41's input: [[mediaFromDocuments]] with every image-kind row
+    * whose text is non-empty ASCII re-encoded as a REAL binary PPM
+    * (the q159 synthesis — pixel j = text byte j mod len — so the
+    * oracle reconstructs every pixel in SQL) and its width/height
+    * metadata aligned to the encoded dimensions. Rows the synthesis
+    * can't cover (empty / non-ASCII text, mirroring
+    * [[ppmMediaFromDocuments]]'s guard) keep the raw payload and ride
+    * the stub leg — so the extractor's content-sniffing dispatch is
+    * exercised on both paths in one table.
+    */
+  def mediaWithPpm(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    mediaFromDocuments(spark, dir).map { r =>
+      val ascii = r.bytes.nonEmpty && r.bytes.forall(b => (b & 0xff) < 128)
+      if (r.kind == "image" && ascii) {
+        val img = synthPpm(r.media_id, r.bytes)
+        r.copy(bytes = ppmEncode(img),
+          width = img.width, height = img.height)
+      } else r
     }
   }
 }

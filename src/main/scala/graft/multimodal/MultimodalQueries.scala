@@ -5,9 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Harness queries for the multimodal surface. q40 checks the binary
   * column + metadata plumbing against DuckDB; q41 runs the batched
-  * feature-extraction pipeline. The stub codec's outputs are pure byte
-  * statistics and the corpus is ASCII, so even q41 is oracle-checked
-  * (per-char frequency entropy, mean byte, integer frame/thumb math).
+  * feature-extraction pipeline over a MIXED table — image rows are
+  * real binary PPMs routed through the validating decoder (pixel
+  * entropy / mean / decoded-dimension thumbnails), audio/video rows
+  * ride the stub byte-stats leg — and both legs are oracle-checked
+  * because the synthesized pixels and the stub statistics are each
+  * reconstructible in SQL over the ASCII corpus.
   */
 object MultimodalQueries {
   def defs: Seq[Q] = Seq(
@@ -29,9 +32,18 @@ object MultimodalQueries {
              round(avg(doc_id % 480 + 16), 4) AS avg_h
              FROM documents GROUP BY 1 ORDER BY 1""")),
 
+    // q41 feeds the extractor a MIXED table — image rows carry real
+    // binary PPMs (the q159 synthesis), audio/video rows raw payloads —
+    // so the content-sniffing dispatch runs BOTH legs: the oracle
+    // reconstructs the image rows' pixel histogram from the cycled-
+    // text-byte geometry (position i of an L-char text occurs
+    // N//L + (i <= N%L) times in an N-byte pixel payload) and checks
+    // entropy/mean over DECODED PIXELS, n_bytes = header + payload,
+    // thumbnail geometry from the DECODED dims; the stub legs check as
+    // before. A decode or dispatch bug hash-mismatches.
     Q("q41_media_features",
       (s, d) =>
-        Multimodal.extractFeatures(Multimodal.mediaFromDocuments(s, d)).toDF()
+        Multimodal.extractFeatures(Multimodal.mediaWithPpm(s, d)).toDF()
           .select(col("media_id"), col("kind"), col("n_bytes"),
             round(col("entropy"), 6).as("entropy"),
             round(col("mean_byte"), 6).as("mean_byte"),
@@ -40,29 +52,54 @@ object MultimodalQueries {
       Some("""WITH m AS (SELECT doc_id AS media_id,
                CASE WHEN doc_id % 3 = 0 THEN 'image'
                     WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-               text, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-               doc_id % 640 + 16 AS width, doc_id % 480 + 16 AS height,
+               text, len(text) AS L,
+               CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS raw_bytes,
+               length(text) > 0 AND
+                 octet_length(CAST(text AS BLOB)) = length(text) AS ascii_ok,
+               doc_id % 640 + 16 AS raw_w, doc_id % 480 + 16 AS raw_h,
+               doc_id % 9 + 8 AS pw, doc_id % 7 + 6 AS ph,
                doc_id % 120 + 1 AS n_frames
                FROM documents),
-             ch AS (SELECT media_id, ord(c) AS byte, count(*) AS c
-                    FROM (SELECT media_id, unnest(string_split(text, '')) AS c FROM m)
-                    GROUP BY 1, 2),
+             mm AS (SELECT media_id, kind, text, L, n_frames,
+               kind = 'image' AND ascii_ok AS is_ppm,
+               CASE WHEN kind = 'image' AND ascii_ok THEN pw
+                    ELSE raw_w END AS width,
+               CASE WHEN kind = 'image' AND ascii_ok THEN ph
+                    ELSE raw_h END AS height,
+               CASE WHEN kind = 'image' AND ascii_ok
+                 THEN 9 + len(CAST(pw AS VARCHAR)) + len(CAST(ph AS VARCHAR))
+                      + pw * ph * 3
+                 ELSE raw_bytes END AS n_bytes,
+               CASE WHEN kind = 'image' AND ascii_ok THEN pw * ph * 3
+                    ELSE raw_bytes END AS n_eff
+               FROM m),
+             pos AS (SELECT media_id,
+                       ord(substr(text, CAST(i AS INT), 1)) AS byte,
+                       CASE WHEN is_ppm
+                         THEN n_eff // L +
+                              CASE WHEN i <= n_eff % L THEN 1 ELSE 0 END
+                         ELSE 1 END AS cnt
+                     FROM (SELECT media_id, text, L, is_ppm, n_eff,
+                             unnest(range(1, CAST(L AS BIGINT) + 1)) AS i
+                           FROM mm) x),
+             ch AS (SELECT media_id, byte, CAST(sum(cnt) AS BIGINT) AS c
+                    FROM pos GROUP BY 1, 2 HAVING sum(cnt) > 0),
              tot AS (SELECT media_id, sum(c) AS n FROM ch GROUP BY 1),
              st AS (SELECT ch.media_id,
                       sum(-(CAST(c AS DOUBLE)/n) * log2(CAST(c AS DOUBLE)/n)) AS entropy,
                       CAST(sum(byte*c) AS DOUBLE)/any_value(n) AS mean_byte
                     FROM ch JOIN tot ON ch.media_id = tot.media_id
                     GROUP BY ch.media_id)
-             SELECT m.media_id, m.kind, m.n_bytes,
+             SELECT mm.media_id, mm.kind, mm.n_bytes,
                round(coalesce(st.entropy, 0), 6) AS entropy,
                round(coalesce(st.mean_byte, 0), 6) AS mean_byte,
-               CAST(CASE WHEN m.kind = 'video'
-                    THEN least(8, greatest(1, m.n_frames // 8))
+               CAST(CASE WHEN mm.kind = 'video'
+                    THEN least(8, greatest(1, mm.n_frames // 8))
                     ELSE 1 END AS INT) AS frames_sampled,
-               CAST(greatest(1, round(m.width * (64.0/greatest(m.width, m.height)))) AS INT) AS thumb_w,
-               CAST(greatest(1, round(m.height * (64.0/greatest(m.width, m.height)))) AS INT) AS thumb_h
-             FROM m LEFT JOIN st ON m.media_id = st.media_id
-             ORDER BY m.media_id"""))
+               CAST(greatest(1, round(mm.width * (64.0/greatest(mm.width, mm.height)))) AS INT) AS thumb_w,
+               CAST(greatest(1, round(mm.height * (64.0/greatest(mm.width, mm.height)))) AS INT) AS thumb_h
+             FROM mm LEFT JOIN st ON mm.media_id = st.media_id
+             ORDER BY mm.media_id"""))
   ,
 
     // ---- q62: video frame sampling — every (n_frames/k)-th frame of

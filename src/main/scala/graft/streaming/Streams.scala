@@ -210,6 +210,17 @@ object Streams {
     * micro-batch (the serve-read listing is linear in them) nor one
     * full index copy per compaction (retention keeps live + one grace
     * version). `every <= 0` disables.
+    *
+    * COST MODEL: the compaction runs SYNCHRONOUSLY inside the
+    * foreachBatch that hits the cadence, so that one micro-batch
+    * stalls for a full-index rewrite — a latency spike that grows
+    * with index size over the stream's lifetime even though the
+    * cadence bounds batch-dir count. `compactEvery` therefore trades
+    * one slow batch per cycle for bounded serve reads; a deployment
+    * with hard per-batch SLAs should disable it here and trigger the
+    * same per-index compact functions out-of-band (they use the same
+    * versioned-flip protocol and are safe to run between batches of a
+    * live stream — the fence markers carry across the flip).
     */
   private def compactOnCadence(s: SparkSession, batchId: Long, every: Int,
       artifacts: Seq[(String, (SparkSession, String) => Unit)]): Unit =

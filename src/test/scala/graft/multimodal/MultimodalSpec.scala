@@ -109,4 +109,66 @@ class MultimodalSpec extends AnyFunSuite {
       assert(s.b_mean >= 32 && s.b_mean < 127)
     }
   }
+
+  test("extractFeatures dispatches on the P6 magic: pixel stats and " +
+      "DECODED dims for PPM payloads (metadata is only a hint), stub " +
+      "byte stats otherwise; malformed P6 fails loudly") {
+    import spark.implicits._
+    // constant-color 4x2 image: pixel entropy is EXACTLY 0 — while the
+    // stub leg over the same ENCODED stream would see the header bytes
+    // too and report entropy > 0, so the zero proves the decode ran
+    val flat = Multimodal.PpmImage(4, 2, Array.fill(4 * 2 * 3)(65.toByte))
+    val ppmBytes = Multimodal.ppmEncode(flat)
+    // metadata width/height deliberately LIE (999x999): thumb must
+    // come from the decoded 4x2
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", ppmBytes, 999, 999, 1),
+      Multimodal.MediaRow(2L, "audio", ppmBytes.map(b => b), 8, 8, 1),
+      Multimodal.MediaRow(3L, "audio",
+        "only stub bytes here".getBytes("US-ASCII"), 10, 20, 1))
+    // row 2 ALSO opens with P6 — dispatch is on content, so it decodes
+    // despite the audio kind label; rename its magic to keep it stub
+    val stub2 = rows(1).copy(bytes = {
+      val b = rows(1).bytes.clone(); b(0) = 'X'.toByte; b
+    })
+    val got = Multimodal.extractFeatures(
+        Seq(rows(0), stub2, rows(2)).toDS()).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(got(1L).entropy == 0.0, "PPM row must report PIXEL entropy")
+    assert(got(1L).mean_byte == 65.0)
+    assert(got(1L).n_bytes == ppmBytes.length.toLong)
+    // 64/max(4,2) = 16 => 64x32 thumbnail from the DECODED dims
+    assert(got(1L).thumb_w == 64 && got(1L).thumb_h == 32,
+      s"thumb must derive from decoded dims: ${got(1L)}")
+    assert(got(2L).entropy > 0.0,
+      "non-P6 stream must ride the stub leg (header bytes included)")
+    assert(got(3L).entropy > 0.0 && got(3L).thumb_w <= 64)
+    // truncated payload: the validating decoder must throw, not emit
+    // garbage features
+    val bad = Multimodal.MediaRow(9L, "image",
+      ppmBytes.dropRight(3), 4, 2, 1)
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.extractFeatures(Seq(bad).toDS()).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("mediaWithPpm: image rows become valid P6 with aligned " +
+      "metadata; audio/video rows untouched") {
+    val base = Multimodal.mediaFromDocuments(spark, sf).collect()
+      .map(r => r.media_id -> r).toMap
+    val m = Multimodal.mediaWithPpm(spark, sf).collect()
+    assert(m.length == base.size)
+    m.foreach { r =>
+      if (r.kind == "image") {
+        val img = Multimodal.decodePpm(r.bytes) // validating parse
+        assert(img.width == r.width && img.height == r.height,
+          s"metadata must match the encoded image: ${r.media_id}")
+        assert(img.width == (8 + r.media_id % 9).toInt)
+      } else {
+        assert(java.util.Arrays.equals(r.bytes, base(r.media_id).bytes)
+          && r.width == base(r.media_id).width)
+      }
+    }
+  }
 }
