@@ -796,7 +796,12 @@ object ScaleProbe {
     * near-maximal removable stream on this shared-vocab synthesis):
     * 3.7/3.2/2.8 s at 1k/10k/100k — flat too, so a single 100k-token
     * doc's per-doc sort and fold are no worse than the same mass
-    * spread over 100 docs.
+    * spread over 100 docs. q158's line/paragraph half in isolation
+    * (interpreted HOF line/para assembly behind pinned barriers —
+    * the one leg NOT rewritten to the codegen lead stream):
+    * 1.2/1.0/1.3 s at 1k/10k/100k — flat-to-noise in doc length, no
+    * knee, confirming the per-row slices are O(L) total and the
+    * barrier shape needs no lead rewrite even at 100k-token docs.
     */
   /** The longdoc synthesis, shared with Profile's q158long section so
     * the profile always reproduces EXACTLY the probe's workload: `n`
@@ -857,6 +862,16 @@ object ScaleProbe {
       time("q158_repetition")(
         graft.text.TextQueries.repetitionGate(c)
           .agg(sum(col("keep_repetition").cast("long"))).head.getLong(0))
+      // the line/paragraph half in ISOLATION — the one q158 leg built
+      // from interpreted per-row HOFs behind pinned barriers rather
+      // than the codegen'd lead stream; priced via the dup fractions
+      // (agg of the VALUE columns — count() would prune the assembly
+      // away and time an empty plan). Line count per doc is
+      // len/L ~ len/5, so the explode legs see ~2x line+para mass.
+      time("q158_linepara")(
+        graft.text.TextQueries.lineRepetitionSignalsOf(c)
+          .agg(round(sum(col("dup_line_frac") + col("dup_para_frac")), 2))
+          .head.getDouble(0))
       CacheScope.flush(spark)
       c.unpersist(): Unit
     }
