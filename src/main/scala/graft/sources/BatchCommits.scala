@@ -277,6 +277,46 @@ object BatchCommits {
     s.catalog.refreshByPath(root)
   }
 
+  /** An artifact's FRAGMENTATION: the largest `batch-*` dir count
+    * across the live version's components (data dirs and carried
+    * fence markers alike — both are what every serve read must LIST,
+    * which is the cost the `batch_dirs` probe measures: ~15x slower
+    * at 1000 dirs, 1-2 orders worse on an object store). Components
+    * are discovered as the live version's immediate subdirectories,
+    * so callers need not know an index's component layout.
+    */
+  def fragmentation(root: String): Int = {
+    val live = ArtifactVersions.current(root).getOrElse(root)
+    Option(new java.io.File(live).listFiles).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .map(c => committedIds(c.getPath).size)
+      .maxOption.getOrElse(0)
+  }
+
+  /** Out-of-band maintenance trigger — the SLA-friendly alternative to
+    * the in-stream cadence (Streams.compactOnCadence runs the rewrite
+    * INSIDE a micro-batch, stalling it): compact `root` via the
+    * index's own `compact` function only when some component has
+    * accumulated at least `minBatchDirs` batch dirs, then retire old
+    * versions. Safe to run between batches of a live stream — the
+    * compaction publishes under the same versioned flip and carries
+    * the fence markers, so in-flight replays still fence. Threshold
+    * guidance from the `batch_dirs` probe: serve reads stay near-flat
+    * through ~100 dirs, so a threshold around 64-100 keeps listing
+    * cost bounded while amortizing the rewrite over many batches.
+    * Returns true iff a compaction ran.
+    */
+  def compactIfFragmented(s: SparkSession, root: String,
+      minBatchDirs: Int)(compact: (SparkSession, String) => Unit)
+      : Boolean = {
+    val frag = fragmentation(root) >= minBatchDirs
+    if (frag) {
+      compact(s, root)
+      ArtifactVersions.pruneVersions(root): Unit
+    }
+    frag
+  }
+
   /** The IDENTITY-COMPACTION detector: if the component's current
     * state is exactly ONE committed `batch-<id>` dir (non-empty, with
     * siblings at most empty marker dirs) and NO flat data files, that

@@ -217,10 +217,12 @@ object Streams {
     * with index size over the stream's lifetime even though the
     * cadence bounds batch-dir count. `compactEvery` therefore trades
     * one slow batch per cycle for bounded serve reads; a deployment
-    * with hard per-batch SLAs should disable it here and trigger the
-    * same per-index compact functions out-of-band (they use the same
-    * versioned-flip protocol and are safe to run between batches of a
-    * live stream — the fence markers carry across the flip).
+    * with hard per-batch SLAs should disable it here and run
+    * [[graft.sources.BatchCommits.compactIfFragmented]] out-of-band
+    * instead (same per-index compact functions, same versioned-flip
+    * protocol, safe between batches of a live stream — the fence
+    * markers carry across the flip — and threshold-gated on the
+    * actual batch-dir count rather than a blind cadence).
     */
   private def compactOnCadence(s: SparkSession, batchId: Long, every: Int,
       artifacts: Seq[(String, (SparkSession, String) => Unit)]): Unit =

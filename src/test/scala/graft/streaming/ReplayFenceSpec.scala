@@ -342,4 +342,40 @@ class ReplayFenceSpec extends AnyFunSuite {
       "replayed CMS merge double-counted")
     graft.CacheScope.flush(spark)
   }
+
+  test("compactIfFragmented: below threshold is a no-op (version " +
+      "unchanged); at threshold it compacts, serves identically, and " +
+      "fragmentation collapses") {
+    import graft.sources.ArtifactVersions
+    val w = DedupQueries.DupW
+    val split = 25L
+    val idx = tmp("graft_rf_frag")
+    DedupQueries.buildNgramIndex(docs.filter(col("doc_id") < split), w, idx)
+    // three fenced advances -> three committed batch dirs
+    for ((lo, hi, bid) <- Seq((25L, 30L, 0L), (30L, 35L, 1L),
+        (35L, 40L, 2L))) {
+      DedupQueries.advanceNgramIndex(
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .localCheckpoint(true), w, idx, Some(bid))
+    }
+    val fragBefore = BatchCommits.fragmentation(idx)
+    assert(fragBefore >= 3, s"expected >=3 batch dirs, got $fragBefore")
+    val want = snap(DedupQueries.liveGrams(spark, idx))
+    val verBefore = ArtifactVersions.current(idx)
+    // below threshold: nothing happens
+    assert(!BatchCommits.compactIfFragmented(spark, idx,
+      fragBefore + 1)(DedupQueries.compactNgramIndex))
+    assert(ArtifactVersions.current(idx) == verBefore,
+      "no-op trigger must not publish a version")
+    // at threshold: compacts, fragmentation drops to the marker carry,
+    // served grams identical
+    assert(BatchCommits.compactIfFragmented(spark, idx,
+      fragBefore)(DedupQueries.compactNgramIndex))
+    assert(ArtifactVersions.current(idx) != verBefore)
+    assert(snap(DedupQueries.liveGrams(spark, idx)) == want,
+      "compaction changed the served grams")
+    assert(BatchCommits.fragmentation(idx) <= BatchCommits.MarkerKeep,
+      "fragmentation did not collapse")
+    graft.CacheScope.flush(spark)
+  }
 }
