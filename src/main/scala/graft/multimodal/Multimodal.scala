@@ -4,12 +4,13 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media as opaque `binary` columns with a
-  * typed metadata struct. The feature extractor dispatches on CONTENT:
-  * binary PPM (P6) payloads go through a REAL validating decoder and
-  * real pixel math (PPM needs no codec library); JPEG/PNG/audio codecs
-  * are NOT in this environment, so every other payload rides a
-  * clearly-marked deterministic stub ([[byteStats]] over the encoded
-  * stream) — but everything Spark-side is real: schema, batched
+  * typed metadata struct. The feature extractor routes by MODALITY
+  * then by MAGIC: image-kind binary PPM (P6) payloads go through a
+  * REAL validating decoder and real pixel math (PPM needs no codec
+  * library); JPEG/PNG/audio codecs are NOT in this environment, so
+  * every other payload rides a clearly-marked deterministic stub
+  * ([[byteStats]] over the encoded stream) — but everything
+  * Spark-side is real: schema, batched
   * per-partition execution (the Scala analogue of mapInPandas), feature
   * schema, and partition sizing. Swapping the stub leg for a real codec
   * is a one-function change, and the PPM leg proves the seam works.
@@ -220,20 +221,27 @@ object Multimodal {
     * distributed. Frame sampling takes every k-th frame up to 8; resize
     * targets a 64x64 thumbnail.
     *
-    * DISPATCH IS ON CONTENT, NOT METADATA: a payload opening with the
-    * P6 magic goes through the REAL validating PPM decoder — entropy /
-    * mean over the DECODED PIXELS, thumbnail geometry from the DECODED
-    * dimensions (the header is ground truth; the metadata columns are
-    * hints) — and a malformed P6 stream fails loudly mid-scan, the
-    * behavior a real ingest wants. Everything else falls back to the
-    * stub byte-stats leg standing in for the absent JPEG/PNG/audio
-    * codecs.
+    * DISPATCH: the `kind` column routes the DECODER FAMILY (how a real
+    * pipeline dispatches — the modality column picks image vs audio
+    * handling) and the payload's magic selects the codec within it: an
+    * image-kind payload opening with the P6 magic goes through the
+    * REAL validating PPM decoder — entropy / mean over the DECODED
+    * PIXELS, thumbnail geometry from the DECODED dimensions (the
+    * header is ground truth; width/height metadata only hints) — and a
+    * malformed P6 stream fails loudly mid-scan, the behavior a real
+    * ingest wants. Everything else (other kinds, image payloads
+    * without the magic) rides the stub byte-stats leg standing in for
+    * the absent JPEG/PNG/audio codecs. The kind guard is what keeps
+    * the dispatch total: an audio/video payload whose first bytes
+    * happen to spell "P6" must not be forced through an image parser
+    * (it would throw on the first real stream), and it keeps the
+    * routing aligned with the q41 oracle's kind-based dispatch.
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val isPpm = r.bytes.length >= 2 &&
+        val isPpm = r.kind == "image" && r.bytes.length >= 2 &&
           r.bytes(0) == 'P'.toByte && r.bytes(1) == '6'.toByte
         val (entropy, meanByte, w, h) =
           if (isPpm) {
@@ -261,7 +269,7 @@ object Multimodal {
     * metadata aligned to the encoded dimensions. Rows the synthesis
     * can't cover (empty / non-ASCII text, mirroring
     * [[ppmMediaFromDocuments]]'s guard) keep the raw payload and ride
-    * the stub leg — so the extractor's content-sniffing dispatch is
+    * the stub leg — so the extractor's kind+magic dispatch is
     * exercised on both paths in one table.
     */
   def mediaWithPpm(spark: SparkSession, dir: String): Dataset[MediaRow] = {

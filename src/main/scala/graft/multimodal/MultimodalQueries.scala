@@ -34,7 +34,7 @@ object MultimodalQueries {
 
     // q41 feeds the extractor a MIXED table — image rows carry real
     // binary PPMs (the q159 synthesis), audio/video rows raw payloads —
-    // so the content-sniffing dispatch runs BOTH legs: the oracle
+    // so the kind+magic dispatch runs BOTH legs: the oracle
     // reconstructs the image rows' pixel histogram from the cycled-
     // text-byte geometry (position i of an L-char text occurs
     // N//L + (i <= N%L) times in an N-byte pixel payload) and checks

@@ -86,8 +86,12 @@ object BatchCommits {
     // (never this deep), so reaching here means the contract was
     // violated (e.g. a checkpoint restored from an old backup) —
     // reject loudly instead of corrupting the artifact.
+    // boundary: carryMarkers keeps the MarkerKeep NEWEST ids, so with
+    // dense ids the kept window is (mx - MarkerKeep, mx] — the id
+    // EXACTLY MarkerKeep below mx is already outside it (an id whose
+    // marker DID survive returns false above before reaching here)
     committedIds(dir).maxOption.foreach { mx =>
-      if (batchId < mx - MarkerKeep)
+      if (batchId <= mx - MarkerKeep)
         throw new IllegalStateException(
           s"appendBatch($dir, batch $batchId): id is more than " +
             s"MarkerKeep=$MarkerKeep below the newest committed id $mx. " +
@@ -255,7 +259,14 @@ object BatchCommits {
     val v = ArtifactVersions.prepareNext(root)
     for (c <- components) {
       singleWriteFiles(s"$old/$c") match {
-        case Some(files) => copyFilesInto(files, s"$v/$c")
+        // the copy PRESERVES the batch-dir name: the new version's
+        // component is again exactly one committed batch dir, so the
+        // NEXT flip takes the identity path too (a flat copy would
+        // make the next flip's detector see flat files, fall back to
+        // the distinct rewrite, and merge the in-write duplicate rows
+        // this path exists to preserve)
+        case Some((batchName, files)) =>
+          copyFilesInto(files, s"$v/$c/$batchName")
         case None =>
           readComponent(s, s"$old/$c").distinct().write.parquet(s"$v/$c")
       }
@@ -277,19 +288,27 @@ object BatchCommits {
     s.catalog.refreshByPath(root)
   }
 
-  /** An artifact's FRAGMENTATION: the largest `batch-*` dir count
-    * across the live version's components (data dirs and carried
-    * fence markers alike — both are what every serve read must LIST,
-    * which is the cost the `batch_dirs` probe measures: ~15x slower
-    * at 1000 dirs, 1-2 orders worse on an object store). Components
-    * are discovered as the live version's immediate subdirectories,
-    * so callers need not know an index's component layout.
+  /** An artifact's FRAGMENTATION: the largest NON-EMPTY `batch-*` dir
+    * count across the live version's components — the unbounded
+    * growth driver every serve read must LIST (the `batch_dirs`
+    * probe: ~15x slower at 1000 dirs, 1-2 orders worse on an object
+    * store). Carried fence MARKERS (empty dirs) are deliberately
+    * excluded: a compaction leaves up to [[MarkerKeep]] of them, a
+    * bounded constant — counting them would hold the metric at
+    * MarkerKeep forever and make any trigger threshold <= MarkerKeep
+    * re-compact on every call without ever converging. Components are
+    * discovered as the live version's immediate subdirectories, so
+    * callers need not know an index's component layout.
     */
   def fragmentation(root: String): Int = {
     val live = ArtifactVersions.current(root).getOrElse(root)
     Option(new java.io.File(live).listFiles).getOrElse(Array.empty)
       .filter(_.isDirectory)
-      .map(c => committedIds(c.getPath).size)
+      .map { c =>
+        Option(c.listFiles).getOrElse(Array.empty)
+          .count(d => d.isDirectory && d.getName.startsWith("batch-")
+            && visible(Option(d.listFiles).getOrElse(Array.empty)).nonEmpty)
+      }
       .maxOption.getOrElse(0)
   }
 
@@ -327,10 +346,11 @@ object BatchCommits {
     * rows within the one write, which a distinct would wrongly
     * merge). Flat files do NOT qualify: the unfenced lifecycle flows
     * append flat part-files, so flat bytes may span several writes.
-    * Returns the data files to copy, or None when a real rewrite is
-    * required.
+    * Returns the batch dir's name plus its data files, or None when a
+    * real rewrite is required.
     */
-  private def singleWriteFiles(dir: String): Option[Seq[java.io.File]] = {
+  private def singleWriteFiles(dir: String)
+      : Option[(String, Seq[java.io.File])] = {
     val entries = visible(
       Option(new java.io.File(dir).listFiles).getOrElse(Array.empty))
     val (dirs, files) = entries.partition(_.isDirectory)
@@ -339,7 +359,8 @@ object BatchCommits {
       val nonEmpty = dirs.filter(d =>
         visible(Option(d.listFiles).getOrElse(Array.empty)).nonEmpty)
       if (nonEmpty.length == 1)
-        Some(visible(nonEmpty.head.listFiles).filter(_.isFile).toSeq)
+        Some((nonEmpty.head.getName,
+          visible(nonEmpty.head.listFiles).filter(_.isFile).toSeq))
       else None
     }
   }

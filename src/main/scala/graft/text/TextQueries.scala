@@ -1145,7 +1145,8 @@ object TextQueries {
     // semantics, tie-breaks, and the deterministic augmentation that
     // makes every signal family fire on the synthetic corpus.
     Q("q158_repetition_signals",
-      (s, d) => repetitionGate(Tables.documents(s, d)).orderBy("doc_id"),
+      (s, d) => repetitionGate(
+        repetitionAugmented(Tables.documents(s, d))).orderBy("doc_id"),
       Some(s"""WITH $repetitionCtesSql
 SELECT * FROM rep ORDER BY doc_id"""))
   )
@@ -1648,9 +1649,16 @@ rep AS (
           && col("dup_para_frac") <= RepParaThreshold)
   }
 
-  /** q158's body: both Gopher repetition halves over the augmented
-    * corpus, one row per doc with all eleven signals and the
-    * conjunctive `keep_repetition` gate.
+  /** The GOPHER REPETITION GATE: both halves over the docs AS GIVEN,
+    * one row per doc with all eleven signals and the conjunctive
+    * `keep_repetition` gate. The gate itself is production-clean — it
+    * inspects exactly the text it is handed. The q158/q144 DECLARED
+    * queries wrap their input in [[repetitionAugmented]] (the q113
+    * fixture pattern: the synthetic corpus has no native within-doc
+    * repeats, so without it their oracles could not distinguish the
+    * gate from a no-op); pipeline consumers like the curation ingest
+    * sink call it on the real text — a real arrival must never be
+    * dropped because test scaffolding appended a synthetic repeat.
     *
     * `pin` injects the evaluation barriers the two halves need (each
     * derived frame is read by 2+ consumers, and the line half's
@@ -1663,12 +1671,11 @@ rep AS (
     */
   def repetitionGate(docs: DataFrame,
       pin: DataFrame => DataFrame = graft.CacheScope.retain): DataFrame = {
-    val aug = repetitionAugmented(docs)
     val sigCols = (RepTopNs.map(n => s"top_${n}_frac")
       ++ RepDupNs.map(n => s"dup_${n}_frac")
       ++ Seq("dup_line_frac", "dup_para_frac")).map(col)
-    repetitionSignalsOf(aug, pin)
-      .join(lineRepetitionSignalsOf(aug, pin), Seq("doc_id"))
+    repetitionSignalsOf(docs, pin)
+      .join(lineRepetitionSignalsOf(docs, pin), Seq("doc_id"))
       .select(col("doc_id") +: sigCols :+
         (col("keep_ngram") && col("keep_line")).as("keep_repetition"): _*)
   }
@@ -1793,18 +1800,20 @@ rep AS (
     * repetition window stream prices only their SURVIVORS (the q148
     * survivor-only discipline) — legal because every repetition signal
     * is intra-document, so gating survivors ≡ gating the corpus. The
-    * gate is evaluated over the same deterministic doc_id augmentation
-    * q158 declares (the q113 pattern: the synthetic corpus has no
-    * native within-doc repeats, so without it the stage would be a
-    * vacuous all-pass the oracle couldn't distinguish from a no-op).
+    * gate input is wrapped in the same deterministic doc_id
+    * augmentation q158 declares (the q113 pattern: the synthetic
+    * corpus has no native within-doc repeats, so without it the stage
+    * would be a vacuous all-pass the oracle couldn't distinguish from
+    * a no-op); the PRODUCTION composition — Streams.curationIngestBatch
+    * — calls the clean gate on the real text.
     */
   def curationPipelineOf(docs: DataFrame): DataFrame = {
     val flags = qualityFlagsOf(docs).select("doc_id", "keep")
     val d = graft.CacheScope.retain(
       docs.select(col("doc_id"), col("source"), col("lang"), col("text"))
         .join(flags, "doc_id"))
-    val rep = repetitionGate(
-        d.filter(col("keep")).select(col("doc_id"), col("text")))
+    val rep = repetitionGate(repetitionAugmented(
+        d.filter(col("keep")).select(col("doc_id"), col("text"))))
       .select(col("doc_id"), col("keep_repetition"))
     // left join: quality drops never reach the gate; keep_r folds the
     // two stages into the survivor bit the downstream stages read

@@ -110,29 +110,31 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("extractFeatures dispatches on the P6 magic: pixel stats and " +
-      "DECODED dims for PPM payloads (metadata is only a hint), stub " +
-      "byte stats otherwise; malformed P6 fails loudly") {
+  test("extractFeatures routes image-kind P6 payloads through the " +
+      "real decoder (pixel stats, DECODED dims — width/height " +
+      "metadata only a hint); other kinds and non-P6 images ride the " +
+      "stub; malformed image P6 fails loudly") {
     import spark.implicits._
     // constant-color 4x2 image: pixel entropy is EXACTLY 0 — while the
     // stub leg over the same ENCODED stream would see the header bytes
     // too and report entropy > 0, so the zero proves the decode ran
     val flat = Multimodal.PpmImage(4, 2, Array.fill(4 * 2 * 3)(65.toByte))
     val ppmBytes = Multimodal.ppmEncode(flat)
-    // metadata width/height deliberately LIE (999x999): thumb must
-    // come from the decoded 4x2
     val rows = Seq(
+      // metadata width/height deliberately LIE (999x999): thumb must
+      // come from the decoded 4x2
       Multimodal.MediaRow(1L, "image", ppmBytes, 999, 999, 1),
-      Multimodal.MediaRow(2L, "audio", ppmBytes.map(b => b), 8, 8, 1),
-      Multimodal.MediaRow(3L, "audio",
+      // an AUDIO payload that happens to open with the P6 bytes: the
+      // kind guard must keep it on the stub leg — forcing it through
+      // an image parser would throw on the first real audio stream
+      // whose bytes start that way (and diverge from the oracle's
+      // kind-based dispatch)
+      Multimodal.MediaRow(2L, "audio", ppmBytes.clone(), 8, 8, 1),
+      // image kind WITHOUT the magic (the empty/non-ASCII fallback
+      // shape): stub leg
+      Multimodal.MediaRow(3L, "image",
         "only stub bytes here".getBytes("US-ASCII"), 10, 20, 1))
-    // row 2 ALSO opens with P6 — dispatch is on content, so it decodes
-    // despite the audio kind label; rename its magic to keep it stub
-    val stub2 = rows(1).copy(bytes = {
-      val b = rows(1).bytes.clone(); b(0) = 'X'.toByte; b
-    })
-    val got = Multimodal.extractFeatures(
-        Seq(rows(0), stub2, rows(2)).toDS()).collect()
+    val got = Multimodal.extractFeatures(rows.toDS()).collect()
       .map(r => r.media_id -> r).toMap
     assert(got(1L).entropy == 0.0, "PPM row must report PIXEL entropy")
     assert(got(1L).mean_byte == 65.0)
@@ -141,7 +143,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(1L).thumb_w == 64 && got(1L).thumb_h == 32,
       s"thumb must derive from decoded dims: ${got(1L)}")
     assert(got(2L).entropy > 0.0,
-      "non-P6 stream must ride the stub leg (header bytes included)")
+      "audio kind must ride the stub leg even with P6-looking bytes")
     assert(got(3L).entropy > 0.0 && got(3L).thumb_w <= 64)
     // truncated payload: the validating decoder must throw, not emit
     // garbage features

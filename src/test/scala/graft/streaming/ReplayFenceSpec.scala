@@ -268,9 +268,20 @@ class ReplayFenceSpec extends AnyFunSuite {
     val dir = tmp("graft_rf_deep") + "/component"
     assert(BatchCommits.appendBatch(Seq(1L).toDF("x"), dir, 0L))
     assert(BatchCommits.appendBatch(Seq(2L).toDF("x"), dir, 20L))
-    // inside the fence window: allowed (its marker would still exist)
+    // inside the fence window: allowed. With dense ids 0..mx a
+    // compaction keeps the MarkerKeep NEWEST markers — the window
+    // (mx - MarkerKeep, mx] — so mx - MarkerKeep + 1 is the oldest id
+    // whose marker is guaranteed to survive
     assert(BatchCommits.appendBatch(Seq(3L).toDF("x"), dir,
-      20L - BatchCommits.MarkerKeep))
+      20L - BatchCommits.MarkerKeep + 1))
+    // AT the boundary: in the dense case this id's marker is exactly
+    // the first one a compaction drops — must throw, not silently
+    // append (regression: the old `<` guard admitted it)
+    val eb = intercept[IllegalStateException] {
+      BatchCommits.appendBatch(Seq(9L).toDF("x"), dir,
+        20L - BatchCommits.MarkerKeep)
+    }
+    assert(eb.getMessage.contains("MarkerKeep"))
     // deeper than the window: a compaction may have dropped the
     // fence — must throw, not silently append
     val e = intercept[IllegalStateException] {
@@ -293,14 +304,25 @@ class ReplayFenceSpec extends AnyFunSuite {
     assert(BatchCommits.appendBatch(Seq(7L, 7L, 8L).toDF("x"), c1, 0L))
     BatchCommits.compactArtifact(spark, root1, Seq("grams"))
     val v1 = ArtifactVersions.current(root1).get
-    assert(spark.read.parquet(s"$v1/grams")
+    assert(BatchCommits.readComponent(spark, s"$v1/grams")
       .as[Long].collect().sorted.toSeq == Seq(7L, 7L, 8L),
       "identity compaction altered a single write's rows")
     assert(new java.io.File(s"$v1/grams", "batch-0").isDirectory,
       "fence marker not carried by the fast path")
-    // the fast path wrote plain files, not a nested batch dir
-    assert(Option(new java.io.File(s"$v1/grams").listFiles).get
-      .exists(f => f.isFile && f.getName.endsWith(".parquet")))
+    // the copy PRESERVES the batch-dir provenance (a flat copy would
+    // make the NEXT flip's detector fall back to the distinct rewrite
+    // and merge the in-write duplicates)...
+    assert(Option(new java.io.File(s"$v1/grams/batch-0").listFiles).get
+      .exists(f => f.isFile && f.getName.endsWith(".parquet")),
+      "fast path must copy into the committed batch dir, not flat")
+    // ...so a SECOND flip with no new writes is identity again and the
+    // duplicate rows survive it too
+    BatchCommits.compactArtifact(spark, root1, Seq("grams"))
+    val v1b = ArtifactVersions.current(root1).get
+    assert(v1b != v1)
+    assert(BatchCommits.readComponent(spark, s"$v1b/grams")
+      .as[Long].collect().sorted.toSeq == Seq(7L, 7L, 8L),
+      "second identity flip merged the single write's duplicate rows")
     // two writes with a byte-identical replayed payload (the unfenced
     // lifecycle flow compaction exists for): the rewrite path dedups
     val root2 = tmp("graft_rf_idc2")
@@ -367,15 +389,23 @@ class ReplayFenceSpec extends AnyFunSuite {
       fragBefore + 1)(DedupQueries.compactNgramIndex))
     assert(ArtifactVersions.current(idx) == verBefore,
       "no-op trigger must not publish a version")
-    // at threshold: compacts, fragmentation drops to the marker carry,
-    // served grams identical
+    // at threshold: compacts, fragmentation collapses (markers are
+    // excluded from the metric — else any threshold <= MarkerKeep
+    // would re-trigger forever), served grams identical
     assert(BatchCommits.compactIfFragmented(spark, idx,
       fragBefore)(DedupQueries.compactNgramIndex))
-    assert(ArtifactVersions.current(idx) != verBefore)
+    val verAfter = ArtifactVersions.current(idx)
+    assert(verAfter != verBefore)
     assert(snap(DedupQueries.liveGrams(spark, idx)) == want,
       "compaction changed the served grams")
-    assert(BatchCommits.fragmentation(idx) <= BatchCommits.MarkerKeep,
+    assert(BatchCommits.fragmentation(idx) <= 1,
       "fragmentation did not collapse")
+    // the trigger CONVERGES: an immediate re-run at the same
+    // threshold finds nothing to do and publishes nothing
+    assert(!BatchCommits.compactIfFragmented(spark, idx,
+      fragBefore)(DedupQueries.compactNgramIndex))
+    assert(ArtifactVersions.current(idx) == verAfter,
+      "converged trigger must not publish another version")
     graft.CacheScope.flush(spark)
   }
 }

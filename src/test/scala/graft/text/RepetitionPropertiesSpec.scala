@@ -141,7 +141,8 @@ class RepetitionPropertiesSpec extends AnyFunSuite {
     val docs = samples(docGen, 24).zipWithIndex
       .map { case (t, i) => (i.toLong, t) } // consecutive ids: every
     val df = docs.toDF("doc_id", "text")    // augmentation cadence fires
-    val got = TextQueries.repetitionGate(df).collect()
+    val got = TextQueries.repetitionGate(
+      TextQueries.repetitionAugmented(df)).collect()
       .map(r => r.getLong(0) -> r).toMap
     docs.foreach { case (id, text) =>
       // the gate runs BOTH halves over the self-repeat-augmented text
