@@ -1890,8 +1890,17 @@ object SimilarityQueries {
     * oracle-checkable twin of record.
     */
   def annIvfRecall(s: SparkSession, d: String,
+      nProbes: Int = AnnNProbes, k: Int = 10): DataFrame =
+    annIvfRecallOf(flat(s, d), nProbes, k)
+
+  /** Same, over an arbitrary flat (vec_id, i, v) frame — lets the
+    * ScaleProbe `ann_train` rung feed replicated corpora through the
+    * identical training loop (q46 adds its table read at the query
+    * edge).
+    */
+  def annIvfRecallOf(flat0: DataFrame,
       nProbes: Int = AnnNProbes, k: Int = 10): DataFrame = {
-    val f = graft.CacheScope.retain(flat(s, d))
+    val f = graft.CacheScope.retain(flat0)
     val qf = graft.CacheScope.retain(f.select(col("vec_id"), col("i"),
       floor(col("v") * KmScale + lit(0.5)).cast("long").as("q")))
     val seedW = org.apache.spark.sql.expressions.Window
