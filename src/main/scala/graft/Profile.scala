@@ -46,9 +46,8 @@ object Profile {
       time("q158long line half")(TextQueries.lineRepetitionSignalsOf(aug)
         .agg(sum(col("keep_line").cast("long"))).head.getLong(0))
       CacheScope.flush(spark)
-      time("q158long full gate")(
-        TextQueries.repetitionGate(TextQueries.repetitionAugmented(c))
-          .agg(sum(col("keep_repetition").cast("long"))).head.getLong(0))
+      time("q158long full gate")(TextQueries.repetitionGate(aug)
+        .agg(sum(col("keep_repetition").cast("long"))).head.getLong(0))
       CacheScope.flush(spark)
       c.unpersist()
       spark.stop()

@@ -270,11 +270,11 @@ object ScaleProbe {
     * corpus x K narrow integer rows, so total cost must be LINEAR in
     * the vector count with no pair blowup — the property that lets
     * the oracle-checkable trainer double as a (sampled) production
-    * trainer. Replicates the sf0.1 embeddings k-fold with shifted
-    * vec_ids (the probe set stays the original first 10 ids) and
-    * forces the recall output.
+    * trainer. Replicates the sf0.1 embeddings (2000 vectors) k-fold
+    * with shifted vec_ids (the probe set stays the original first 10
+    * ids) and forces the recall output.
     *
-    * Measured (local[32], sf0.1 embeddings x 64 dims): 12.2/8.2/9.4 s
+    * Measured (local[32], 2k/8k/20k vectors x 64 dims): 12.2/8.2/9.4 s
     * at k=1/4/10 (k=1 carries first-run codegen warmup — k=4 is
     * cheaper): 10x the vectors moves warm wall-clock ~15%, so at probe
     * scale the loop is fixed-cost dominated (4 iterations x ~6 jobs)
@@ -295,7 +295,7 @@ object ScaleProbe {
       val t0 = System.nanoTime()
       val r = graft.similarity.SimilarityQueries.annIvfRecallOf(f)
         .agg(sum("recall_at_10")).head.getDouble(0)
-      println(f"[scale] ann_train k=$k vecs~${6000L * k} recall_sum=$r%.2f " +
+      println(f"[scale] ann_train k=$k vecs=${2000L * k} recall_sum=$r%.2f " +
         f"time=${(System.nanoTime() - t0) / 1e9}%.2f s")
       CacheScope.flush(spark)
     }
@@ -309,9 +309,11 @@ object ScaleProbe {
     * quality drops, repetition drops, dups, and admissions all occur
     * (the audit statuses are printed to prove the stages fire). The
     * repetition gate — the stage this round composed in — is also
-    * timed ALONE on the same batch with the same local-persist pins,
-    * so the composition's incremental cost reads directly off the two
-    * lines. Expect ~linear in arrival volume; the index side is fixed.
+    * timed ALONE, over the whole raw batch with the same local-persist
+    * pins: an UPPER BOUND on its in-sink incremental cost (inside the
+    * sink the gate prices only the scrubbed quality SURVIVORS, ~70%
+    * of arrivals here). Expect ~linear in arrival volume; the index
+    * side is fixed.
     *
     * Measured (local[32], sf0.1 halves): gate 6.3/6.3/7.6 s, full
     * batch 44.4/31.7/39.4 s at k=1/4/10 (2.5k/10k/25k arriving docs;

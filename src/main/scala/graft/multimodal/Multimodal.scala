@@ -231,11 +231,18 @@ object Multimodal {
     * malformed P6 stream fails loudly mid-scan, the behavior a real
     * ingest wants. Everything else (other kinds, image payloads
     * without the magic) rides the stub byte-stats leg standing in for
-    * the absent JPEG/PNG/audio codecs. The kind guard is what keeps
-    * the dispatch total: an audio/video payload whose first bytes
-    * happen to spell "P6" must not be forced through an image parser
-    * (it would throw on the first real stream), and it keeps the
-    * routing aligned with the q41 oracle's kind-based dispatch.
+    * the absent JPEG/PNG/audio codecs. The kind guard keeps the
+    * dispatch total across modalities: an audio/video payload whose
+    * first bytes happen to spell "P6" must not be forced through an
+    * image parser (it would throw on the first real stream). Within
+    * the image kind the magic is trusted: an image payload that
+    * DECLARES P6 but fails to parse throws — by design (a corrupt
+    * image should fail loudly, not emit stub features). One latent
+    * caveat for the q41 oracle (which routes on kind + ascii, the
+    * condition [[mediaWithPpm]] encodes): an image row whose RAW text
+    * starts with "P6" yet is non-ASCII would throw here while the
+    * oracle computes a stub row — a crash, never a silent wrong
+    * answer, and unreachable on the all-ASCII corpus.
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._

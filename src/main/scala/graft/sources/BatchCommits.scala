@@ -93,7 +93,7 @@ object BatchCommits {
     committedIds(dir).maxOption.foreach { mx =>
       if (batchId <= mx - MarkerKeep)
         throw new IllegalStateException(
-          s"appendBatch($dir, batch $batchId): id is more than " +
+          s"appendBatch($dir, batch $batchId): id is at least " +
             s"MarkerKeep=$MarkerKeep below the newest committed id $mx. " +
             "A compaction may have dropped this id's fence marker, so " +
             "this append could silently duplicate a batch that already " +
@@ -323,11 +323,19 @@ object BatchCommits {
     * guidance from the `batch_dirs` probe: serve reads stay near-flat
     * through ~100 dirs, so a threshold around 64-100 keeps listing
     * cost bounded while amortizing the rewrite over many batches.
-    * Returns true iff a compaction ran.
+    * The floor is 2: a single-batch-dir component is already optimal
+    * (and the identity fast path re-emits it as one batch dir, so a
+    * threshold of 1 would re-publish a version on every call, never
+    * converging). Returns true iff a compaction ran.
     */
   def compactIfFragmented(s: SparkSession, root: String,
       minBatchDirs: Int)(compact: (SparkSession, String) => Unit)
       : Boolean = {
+    require(minBatchDirs >= 2,
+      s"compactIfFragmented($root): minBatchDirs=$minBatchDirs — one " +
+        "committed batch dir is already the compact state (the " +
+        "identity fast path preserves it), so a threshold below 2 " +
+        "would publish a new version on every call without converging")
     val frag = fragmentation(root) >= minBatchDirs
     if (frag) {
       compact(s, root)
