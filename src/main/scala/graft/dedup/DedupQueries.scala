@@ -872,11 +872,17 @@ object DedupQueries {
     */
   def dedupCascadeOf(docs: DataFrame, emb: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // stage 1 shuffles (doc_id, content hash) — ~40 bytes/row — not
+    // full documents: nothing downstream reads s1's text (signatures
+    // re-join `docs` by id), so projecting before the window's
+    // exchange keeps the corpus's byte mass out of both the shuffle
+    // and the retained cache
     val rn = row_number()
-      .over(Window.partitionBy(md5(col("text"))).orderBy("doc_id"))
+      .over(Window.partitionBy("th").orderBy("doc_id"))
     val s1 = graft.CacheScope.retain(
-      docs.select(col("doc_id"), col("text"))
-        .withColumn("exact_dup", rn =!= 1))
+      docs.select(col("doc_id"), md5(col("text")).as("th"))
+        .withColumn("exact_dup", rn =!= 1)
+        .select("doc_id", "exact_dup"))
     val surv1 = s1.filter(!col("exact_dup")).select("doc_id")
     // signatures for STAGE-1 SURVIVORS ONLY — the cascade's whole cost
     // argument: on a copy-heavy corpus the exact stage absorbs the

@@ -1390,24 +1390,33 @@ rep AS (
     * ok_rep, keep). Shared by the composed curation pipeline (q144).
     */
   def qualityFlagsOf(docs: DataFrame): DataFrame =
+    withQualityFlags(docs.select("doc_id", "text"))
+      .select("doc_id", "ok_len", "ok_wordlen", "ok_stop", "ok_rep",
+        "keep")
+
+  /** `docs` with the q132 per-rule flags and `keep` appended IN PLACE
+    * — every stat is a per-row HOF over the text column, so the rules
+    * fuse into whatever scan (or cached frame) produced `docs`, with
+    * NO shuffle and no flags-back-on-doc_id self-join. Composers
+    * (q144, the curation sink's twin) should use this; the
+    * doc_id+flags dashboard shape is [[qualityFlagsOf]].
+    */
+  def withQualityFlags(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    val charsum = aggregate(
+      transform(toks, w => length(w)), lit(0), (a, x) => a + x)
+    val nstop = size(filter(toks, w => w.isInCollection(stopwords)))
     docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .withColumn("n", size(col("toks")))
-      .withColumn("charsum", aggregate(
-        transform(col("toks"), w => length(w)), lit(0), (a, x) => a + x))
-      .withColumn("nstop", size(filter(col("toks"),
-        w => w.isInCollection(stopwords))))
-      .withColumn("maxtok", maxTokenCount(col("toks")))
-      .select(col("doc_id"),
-        (col("n") >= QfMinTokens).as("ok_len"),
-        (col("charsum") * lit(1.0) / col("n") >= QfWordLenLo
-          && col("charsum") * lit(1.0) / col("n") <= QfWordLenHi)
-          .as("ok_wordlen"),
-        (col("nstop") * lit(1.0) / col("n") >= QfStopFloor)
-          .as("ok_stop"),
-        (col("maxtok") * lit(1.0) / col("n") <= QfRepCap).as("ok_rep"))
+      .withColumn("ok_len", n >= QfMinTokens)
+      .withColumn("ok_wordlen",
+        charsum * lit(1.0) / n >= QfWordLenLo
+          && charsum * lit(1.0) / n <= QfWordLenHi)
+      .withColumn("ok_stop", nstop * lit(1.0) / n >= QfStopFloor)
+      .withColumn("ok_rep", maxTokenCount(toks) * lit(1.0) / n <= QfRepCap)
       .withColumn("keep", col("ok_len") && col("ok_wordlen")
         && col("ok_stop") && col("ok_rep"))
+  }
 
   /** Gopher repetition thresholds (Rae et al. 2021, Table A1, the
     * n-gram half): max allowed fraction per signal. */
@@ -1808,10 +1817,14 @@ rep AS (
     * — calls the clean gate on the real text.
     */
   def curationPipelineOf(docs: DataFrame): DataFrame = {
-    val flags = qualityFlagsOf(docs).select("doc_id", "keep")
+    // the q132 rules are computed IN PLACE on the scan projection —
+    // no flags-back-on-doc_id self-join, no shuffle before the gate
     val d = graft.CacheScope.retain(
-      docs.select(col("doc_id"), col("source"), col("lang"), col("text"))
-        .join(flags, "doc_id"))
+      withQualityFlags(
+          docs.select(col("doc_id"), col("source"), col("lang"),
+            col("text")))
+        .select(col("doc_id"), col("source"), col("lang"), col("text"),
+          col("keep")))
     val rep = repetitionGate(repetitionAugmented(
         d.filter(col("keep")).select(col("doc_id"), col("text"))))
       .select(col("doc_id"), col("keep_repetition"))
@@ -1820,10 +1833,16 @@ rep AS (
     val dr = graft.CacheScope.retain(d.join(rep, Seq("doc_id"), "left")
       .withColumn("keep_r",
         col("keep") && coalesce(col("keep_repetition"), lit(false))))
+    // dedup leg: project to (doc_id, content hash) BEFORE the window's
+    // exchange — the shuffle then moves ~40-byte fingerprints instead
+    // of full documents (text is the corpus's byte mass; at scale this
+    // is the difference between shuffling the corpus and shuffling
+    // hashes)
     val firsts = dr.filter(col("keep_r"))
+      .select(col("doc_id"), md5(col("text")).as("th"))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy(md5(col("text"))).orderBy("doc_id")))
+          .partitionBy("th").orderBy("doc_id")))
       .filter(col("rn") === 1).select(col("doc_id"), lit(true).as("dd"))
     val gate = (col("doc_id") * LcgA + LcgC) % LcgM <
       when(col("lang") === "en", SampleEnPermille)
