@@ -372,12 +372,14 @@ object Streams {
         .select(col("doc_id"), col("clean_text"), col("n_removed"))
         .persist()
       try {
-        val flags = graft.text.TextQueries.qualityFlagsOf(
-            cleaned.select(col("doc_id"), col("clean_text").as("text")))
-          .select(col("doc_id"), col("keep"))
-        val qSurv = cleaned.join(flags, "doc_id")
-          .filter(col("keep"))
-          .select(col("doc_id"), col("clean_text").as("text"))
+        // quality rules IN PLACE on the persisted batch (per-row HOFs,
+        // no flags-back-on-doc_id self-join per micro-batch)
+        val flagged = graft.text.TextQueries.withQualityFlags(
+            cleaned.select(col("doc_id"), col("clean_text").as("text"),
+              col("n_removed")))
+          .select("doc_id", "text", "n_removed", "keep")
+        val qSurv = flagged.filter(col("keep"))
+          .select("doc_id", "text")
         // Gopher repetition gate (q158), survivor-only — the same
         // stage order as q144's batch pipeline, so stream ≡ batch
         val rep = graft.text.TextQueries.repetitionGate(qSurv, pin)
@@ -388,10 +390,11 @@ object Streams {
         val decisions =
           DedupQueries.ingestBatchDecisions(survivors, dedupIdx)
         BatchCommits.appendBatch(
-          cleaned.join(flags, "doc_id")
+          flagged
             .join(rep, Seq("doc_id"), "left")
             .join(decisions, Seq("doc_id"), "left")
-            .select(col("doc_id"), col("clean_text"), col("n_removed"),
+            .select(col("doc_id"), col("text").as("clean_text"),
+              col("n_removed"),
               when(!col("keep"), lit("quality_drop"))
                 .when(!col("keep_repetition"), lit("repetition_drop"))
                 .otherwise(col("status")).as("status"),

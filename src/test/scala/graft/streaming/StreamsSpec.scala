@@ -420,16 +420,15 @@ class StreamsSpec extends AnyFunSuite {
         .select(col("doc_id"), col("clean_text").as("text"),
           col("n_removed")).persist()
       try {
-        val flags = graft.text.TextQueries.qualityFlagsOf(cleaned)
-          .select(col("doc_id"), col("keep"))
-        val qSurv = cleaned.join(flags, "doc_id")
-          .filter(col("keep")).select("doc_id", "text")
+        val flagged = graft.text.TextQueries.withQualityFlags(cleaned)
+          .select("doc_id", "text", "n_removed", "keep")
+        val qSurv = flagged.filter(col("keep")).select("doc_id", "text")
         val rep = graft.text.TextQueries.repetitionGate(qSurv, pin)
           .select(col("doc_id"), col("keep_repetition"))
         val survivors = qSurv.join(rep, "doc_id")
           .filter(col("keep_repetition")).select("doc_id", "text")
         val decisions = DedupQueries.ingestBatchDecisions(survivors, dd)
-        val audit = cleaned.join(flags, "doc_id")
+        val audit = flagged
           .join(rep, Seq("doc_id"), "left")
           .join(decisions, Seq("doc_id"), "left")
           .select(col("doc_id"), col("n_removed"),
