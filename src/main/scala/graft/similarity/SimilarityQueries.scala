@@ -38,10 +38,10 @@ object SimilarityQueries {
   // and therefore the whole trained quantizer, is bit-reproducible by
   // the DuckDB oracle; the q96 QuantScale trick applied to TRAINING).
   private[graft] val AnnNProbes = 10
-  private val KmK = 10
-  private val KmIters = 4
-  private val KmScale = 4096L // 2^12
-  private val KmNProbe = 2
+  private[graft] val KmK = 10
+  private[graft] val KmIters = 4
+  private[graft] val KmScale = 4096L // 2^12
+  private[graft] val KmNProbe = 2
 
   /** q109 matryoshka geometry: candidates ranked on the FIRST 16 of 64
     * dims (the MRL prefix), re-ranked exactly; q108 rank-fusion
