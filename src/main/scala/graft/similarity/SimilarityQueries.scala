@@ -13,10 +13,10 @@ object SimilarityQueries {
   // ---- q96 fixed LSH geometry: 4 tables x 4 sign bits over the 64-dim
   // embeddings, components quantized at 2^20 so the per-bit sums are
   // exact 64-bit integers in both engines (no float summation order).
-  private val Dim = 64
-  private val LshTables = 4
-  private val LshBits = 4
-  private val QuantScale = 1048576L // 2^20
+  private[graft] val Dim = 64
+  private[graft] val LshTables = 4
+  private[graft] val LshBits = 4
+  private[graft] val QuantScale = 1048576L // 2^20
 
   /** Hyperplane sign in {-1, +1} for (table t, bit b, dim i): parity of
     * the same 60-bit md5 hash family the dedup surface uses
@@ -1850,9 +1850,16 @@ object SimilarityQueries {
     * (probe_id, vec_id) hashes; the probe bucket rows are broadcast.
     */
   def annLshRecall(s: SparkSession, d: String,
+      nProbes: Int = AnnNProbes, k: Int = 10): DataFrame =
+    annLshRecallOf(Tables.embeddings(s, d), nProbes, k)
+
+  /** Same, over an arbitrary (vec_id, embedding) frame — lets the
+    * property spec feed random corpora through the identical bucket +
+    * re-rank pipeline (q38 adds its table read at the query edge).
+    */
+  def annLshRecallOf(emb: DataFrame,
       nProbes: Int = AnnNProbes, k: Int = 10): DataFrame = {
-    val bk = graft.CacheScope.retain(
-      signBuckets(Tables.embeddings(s, d)))
+    val bk = graft.CacheScope.retain(signBuckets(emb))
     val probes = bk.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id") +:
         (0 until LshTables).map(t => col(s"bk$t").as(s"pb$t")): _*)
@@ -1862,7 +1869,10 @@ object SimilarityQueries {
       bk.join(broadcast(probes),
           anyShared && col("vec_id") =!= col("probe_id"))
         .select("probe_id", "vec_id"))
-    val cos = graft.CacheScope.retain(multiProbeCosine(flat(s, d), nProbes))
+    val f = emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("i", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val cos = graft.CacheScope.retain(multiProbeCosine(f, nProbes))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("probe_id").orderBy(col("cos_sim").desc, col("vec_id"))
     val annTopk = cos.join(cand, Seq("probe_id", "vec_id"), "left_semi")
