@@ -577,7 +577,7 @@ object SimilarityQueries {
     */
   private val OutlierZ = 1.0
 
-  private val PqSubDim = 4
+  private[graft] val PqSubDim = 4
 
   /** q147's metadata predicate (odd labels — selective enough that the
     * filtered result genuinely differs from q89's unfiltered one).
@@ -586,7 +586,37 @@ object SimilarityQueries {
     col("label") % 2 === 1
 
   /** ADC candidate depth of q121 (re-rank budget: 10% of the corpus). */
-  private val PqNCand = 50
+  private[graft] val PqNCand = 50
+
+  /** q121's encode + ADC scan over an arbitrary flat (vec_id, label,
+    * i, v) frame: per-label [[PqSubDim]]-wide subspace codebooks from
+    * component means, per-(vector, subspace) nearest-codeword encode
+    * (exact argmin with a (d2, label) tie-break), the probe's 16-entry
+    * distance table, and vectors scored by table lookups — returning
+    * the [[PqNCand]] nearest candidates as ordered (vec_id, adist)
+    * rows. Split out so the property spec can feed synthetic corpora
+    * through the identical pipeline; q121 consumes just the vec_ids.
+    */
+  private[graft] def pqAdcCandidatesOf(f: DataFrame): DataFrame = {
+    val cb = f.withColumn("m", floor(col("i") / PqSubDim).cast("int"))
+      .groupBy("m", "label", "i").agg(avg("v").as("c"))
+      .select(col("m").as("cm"), col("label").as("cl"),
+        col("i").as("ci"), col("c"))
+    val d2 = graft.CacheScope.retain(
+      f.join(broadcast(cb), col("i") === col("ci"))
+        .groupBy("vec_id", "cm", "cl")
+        .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("d2")))
+    val code = d2.groupBy("vec_id", "cm")
+      .agg(min(struct(col("d2"), col("cl"))).as("mn"))
+      .select(col("vec_id"), col("cm"), col("mn.cl").as("cl"))
+    val qtab = d2.filter(col("vec_id") === 0)
+      .select(col("cm").as("qm"), col("cl").as("qcl"), col("d2").as("td"))
+    code.filter(col("vec_id") =!= 0)
+      .join(broadcast(qtab),
+        col("cm") === col("qm") && col("cl") === col("qcl"))
+      .groupBy("vec_id").agg(round(sum(col("td")), 6).as("adist"))
+      .orderBy(col("adist"), col("vec_id")).limit(PqNCand)
+  }
 
   def defs: Seq[Q] = Seq(
     // ---- exact cosine top-10 vs probe vec_id=0. Ranking happens on the
@@ -1100,25 +1130,7 @@ object SimilarityQueries {
     Q("q121_pq_adc_recall",
       (s, d) => {
         val f = graft.CacheScope.retain(flat(s, d))
-        val cb = f.withColumn("m", floor(col("i") / PqSubDim).cast("int"))
-          .groupBy("m", "label", "i").agg(avg("v").as("c"))
-          .select(col("m").as("cm"), col("label").as("cl"),
-            col("i").as("ci"), col("c"))
-        val d2 = graft.CacheScope.retain(
-          f.join(broadcast(cb), col("i") === col("ci"))
-            .groupBy("vec_id", "cm", "cl")
-            .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("d2")))
-        val code = d2.groupBy("vec_id", "cm")
-          .agg(min(struct(col("d2"), col("cl"))).as("mn"))
-          .select(col("vec_id"), col("cm"), col("mn.cl").as("cl"))
-        val qtab = d2.filter(col("vec_id") === 0)
-          .select(col("cm").as("qm"), col("cl").as("qcl"), col("d2").as("td"))
-        val cand = code.filter(col("vec_id") =!= 0)
-          .join(broadcast(qtab),
-            col("cm") === col("qm") && col("cl") === col("qcl"))
-          .groupBy("vec_id").agg(round(sum(col("td")), 6).as("adist"))
-          .orderBy(col("adist"), col("vec_id")).limit(PqNCand)
-          .select("vec_id")
+        val cand = pqAdcCandidatesOf(f).select("vec_id")
         val exact10 = exactL2Top10(f)
         val nCand = cand.agg(count(lit(1)).as("n_candidates"))
         val hits = exact10.join(cand, Seq("vec_id"), "left_semi")
