@@ -60,7 +60,7 @@ object SimilarityQueries {
     * the way SemDeDup at scale grows k with n.
     */
   private[graft] val SemT = 0.4
-  private val SemSeedStride = 100
+  private[graft] val SemSeedStride = 100
 
   /** Multi-probe width of the cluster-bounded candidate space: every
     * vector is a CANDIDATE MEMBER of its [[SemNProbe]] nearest
@@ -71,10 +71,10 @@ object SimilarityQueries {
     * (still linear in n by the quantizer geometry). ScaleProbe's
     * `multiprobe` probe measures the recall gained and the cost paid.
     */
-  private val SemNProbe = 2
+  private[graft] val SemNProbe = 2
 
   /** q116 kNN-graph fanout: neighbors kept per vector. */
-  private val KnnK = 5
+  private[graft] val KnnK = 5
 
   /** Shared CTE chain of q111/q116: stride-seed centroids, top-
     * [[SemNProbe]] nearest-seed candidate membership (rank-1 = the
