@@ -24,7 +24,8 @@ object QueryRegistry {
       grid.GridQueries.defs ++
       grid.TopologyQueries.defs ++
       streaming.StreamingQueries.defs ++
-      multimodal.MultimodalQueries.defs
+      multimodal.MultimodalQueries.defs ++
+      multimodal.CodecQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,330 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import javax.imageio.ImageIO
+
+import Multimodal.PpmImage
+
+/** REAL codecs, JDK-only. Earlier rounds carried "JPEG/PNG/audio codecs
+  * are not in this environment" as an adjudicated gap — but the JDK
+  * itself ships codecs: `javax.imageio` (java.desktop) decodes and
+  * encodes PNG and JPEG (zlib inflate + PNG defiltering, baseline JPEG
+  * Huffman/DCT), headless. This module retires the stub adjudication:
+  *
+  *   - PNG: encode/decode via ImageIO. Lossless, so a DuckDB oracle can
+  *     reconstruct every pixel of a synthesized image and hash-check the
+  *     decode end to end (q160) — same discipline as the PPM leg (q159).
+  *   - JPEG: encode/decode via ImageIO. Lossy — decoded pixels are
+  *     decoder-defined and NOT SQL-reconstructible, so its oracle checks
+  *     the exactly-determined outputs only (decoded dimensions, pixel
+  *     count); pixel statistics are asserted with tolerances in the spec.
+  *   - WAV: a hand-written VALIDATING RIFF/PCM parser (chunk walk, pad
+  *     bytes, unknown-chunk skip, fmt-before-data, 16-bit PCM). Needs no
+  *     library at all; integer samples make the oracle exact (q161).
+  *   - Y4M (YUV4MPEG2, ffmpeg's raw-video interchange format): a
+  *     validating header parse + O(1) frame seek — frames are fixed-size
+  *     in this container, so sampling frame k of n touches only frame
+  *     k's bytes. That IS the 100 TB story for frame sampling: a demuxer
+  *     that reads what it samples, not the whole stream (q162).
+  *
+  * All decoders fail LOUDLY on malformed streams — a real ingest wants
+  * the error, not a silent garbage frame. Batched per partition by the
+  * callers (the Scala analogue of mapInPandas), same seam as
+  * [[Multimodal.extractFeatures]].
+  */
+object Codecs {
+  // Headless AWT (no X server in any executor) and no ImageIO disk
+  // cache: by default ImageIO spools streams through temp FILES — a
+  // per-row fsync in the decode hot path. Memory-only caching keeps the
+  // per-partition loop pure CPU.
+  locally {
+    System.setProperty("java.awt.headless", "true")
+    ImageIO.setUseCache(false)
+  }
+
+  // ------------------------------------------------------------------
+  // PNG / JPEG via the JDK's ImageIO
+  // ------------------------------------------------------------------
+
+  def isPng(b: Array[Byte]): Boolean =
+    b.length >= 8 && b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' &&
+      b(3) == 'G' && b(4) == 0x0d && b(5) == 0x0a && b(6) == 0x1a &&
+      b(7) == 0x0a
+
+  def isJpeg(b: Array[Byte]): Boolean =
+    b.length >= 3 && b(0) == 0xff.toByte && b(1) == 0xd8.toByte &&
+      b(2) == 0xff.toByte
+
+  def isRiffWave(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
+      b(11) == 'E'
+
+  def isY4m(b: Array[Byte]): Boolean =
+    b.length >= 9 && new String(b, 0, 9,
+      java.nio.charset.StandardCharsets.US_ASCII) == "YUV4MPEG2"
+
+  /** Encode row-major interleaved RGB as PNG (JDK writer: 8-bit
+    * truecolor, non-interlaced, real zlib deflate).
+    */
+  def encodePng(img: PpmImage): Array[Byte] = encodeImage(img, "png")
+
+  /** Encode as baseline JPEG (JDK writer, default quality). Lossy. */
+  def encodeJpeg(img: PpmImage): Array[Byte] = encodeImage(img, "jpg")
+
+  private def encodeImage(img: PpmImage, fmt: String): Array[Byte] = {
+    val bi = new BufferedImage(img.width, img.height,
+      BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val p = (y * img.width + x) * 3
+        bi.setRGB(x, y, ((img.pixels(p) & 0xff) << 16) |
+          ((img.pixels(p + 1) & 0xff) << 8) | (img.pixels(p + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    require(ImageIO.write(bi, fmt, bos), s"$fmt: no JDK ImageIO writer")
+    bos.toByteArray
+  }
+
+  /** Decode a PNG stream to interleaved RGB. Validates the magic first
+    * (a clear error beats ImageIO's null), then runs the JDK's real
+    * inflate + defilter decoder. Malformed streams throw.
+    */
+  def decodePng(bytes: Array[Byte]): PpmImage = {
+    require(isPng(bytes), "PNG: not a PNG stream (bad signature)")
+    decodeImage(bytes, "PNG")
+  }
+
+  /** Decode a JPEG stream to interleaved RGB (JDK Huffman/IDCT). The
+    * DIMENSIONS are exact; pixel values are decoder-defined (lossy).
+    */
+  def decodeJpeg(bytes: Array[Byte]): PpmImage = {
+    require(isJpeg(bytes), "JPEG: not a JPEG stream (bad SOI marker)")
+    decodeImage(bytes, "JPEG")
+  }
+
+  private def decodeImage(bytes: Array[Byte], what: String): PpmImage = {
+    val bi = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(bi != null, s"$what: ImageIO could not decode the stream")
+    val w = bi.getWidth
+    val h = bi.getHeight
+    val out = new Array[Byte](w * h * 3)
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      bi.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) {
+        val p = (y * w + x) * 3
+        out(p) = ((row(x) >> 16) & 0xff).toByte
+        out(p + 1) = ((row(x) >> 8) & 0xff).toByte
+        out(p + 2) = (row(x) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    PpmImage(w, h, out)
+  }
+
+  // ------------------------------------------------------------------
+  // WAV: RIFF/WAVE, 16-bit PCM. Hand-written validating parser — the
+  // container is a chunk list and needs no codec library.
+  // ------------------------------------------------------------------
+
+  /** Decoded PCM audio: interleaved 16-bit samples. */
+  final case class WavAudio(sampleRate: Int, channels: Int,
+      samples: Array[Short])
+
+  /** Encode interleaved 16-bit PCM as a canonical RIFF/WAVE stream. */
+  def encodeWav(a: WavAudio): Array[Byte] = {
+    require(a.channels >= 1, s"WAV encode: ${a.channels} channels")
+    require(a.samples.length % a.channels == 0,
+      s"WAV encode: ${a.samples.length} samples not a multiple of " +
+        s"${a.channels} channels")
+    val dataLen = a.samples.length * 2
+    val buf = ByteBuffer.allocate(44 + dataLen)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    val blockAlign = a.channels * 2
+    buf.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16)
+      .putShort(1) // PCM
+      .putShort(a.channels.toShort)
+      .putInt(a.sampleRate)
+      .putInt(a.sampleRate * blockAlign) // byte rate
+      .putShort(blockAlign.toShort)
+      .putShort(16) // bits per sample
+    buf.put("data".getBytes).putInt(dataLen)
+    a.samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Decode + VALIDATE a RIFF/WAVE stream: walks the chunk list (odd
+    * chunks padded to word boundaries per the RIFF spec; unknown chunks
+    * like LIST/INFO skipped — real files carry them), requires `fmt `
+    * before `data`, and accepts only what it can honestly decode
+    * (PCM format 1, 16-bit). Anything malformed or unsupported throws
+    * with a precise message.
+    */
+  def decodeWav(bytes: Array[Byte]): WavAudio = {
+    require(isRiffWave(bytes), "WAV: not a RIFF/WAVE stream")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val riffSize = buf.getInt(4)
+    require(riffSize.toLong + 8 == bytes.length,
+      s"WAV: RIFF size $riffSize + 8 != stream length ${bytes.length}")
+    var pos = 12
+    var rate = -1; var channels = -1; var blockAlign = -1
+    var samples: Array[Short] = null
+    while (pos + 8 <= bytes.length) {
+      val id = new String(bytes, pos, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      val len = buf.getInt(pos + 4)
+      require(len >= 0 && pos + 8 + len.toLong <= bytes.length,
+        s"WAV: chunk '$id' length $len overruns the stream at byte $pos")
+      id match {
+        case "fmt " =>
+          require(len >= 16, s"WAV: fmt chunk too short ($len bytes)")
+          val fmt = buf.getShort(pos + 8)
+          require(fmt == 1, s"WAV: unsupported audio format $fmt (PCM=1)")
+          channels = buf.getShort(pos + 10)
+          require(channels >= 1, s"WAV: $channels channels")
+          rate = buf.getInt(pos + 12)
+          require(rate > 0, s"WAV: sample rate $rate")
+          val byteRate = buf.getInt(pos + 16)
+          blockAlign = buf.getShort(pos + 20)
+          val bits = buf.getShort(pos + 22)
+          require(bits == 16, s"WAV: unsupported $bits bits per sample")
+          require(blockAlign == channels * 2,
+            s"WAV: blockAlign $blockAlign != channels*2 ${channels * 2}")
+          require(byteRate == rate * blockAlign,
+            s"WAV: byteRate $byteRate != rate*blockAlign " +
+              s"${rate * blockAlign}")
+        case "data" =>
+          require(rate > 0, "WAV: data chunk before fmt chunk")
+          require(len % blockAlign == 0,
+            s"WAV: data length $len not a multiple of blockAlign " +
+              s"$blockAlign")
+          samples = new Array[Short](len / 2)
+          var i = 0
+          while (i < samples.length) {
+            samples(i) = buf.getShort(pos + 8 + i * 2)
+            i += 1
+          }
+        case _ => () // unknown chunk (LIST, INFO, fact, ...): skip
+      }
+      pos += 8 + len + (len & 1) // RIFF pads odd chunks to even offsets
+    }
+    require(pos == bytes.length,
+      s"WAV: trailing garbage after last chunk (at byte $pos of " +
+        s"${bytes.length})")
+    require(samples != null, "WAV: no data chunk")
+    WavAudio(rate, channels, samples)
+  }
+
+  // ------------------------------------------------------------------
+  // Y4M (YUV4MPEG2): validating header parse + O(1) frame seek.
+  // ------------------------------------------------------------------
+
+  /** A parsed Y4M stream handle: header fields plus the frame geometry
+    * needed to seek any frame in O(1). `bytes` is the whole stream —
+    * plane reads slice it lazily per sampled frame.
+    */
+  final case class Y4mStream(width: Int, height: Int, fpsNum: Int,
+      fpsDen: Int, nFrames: Int, headerLen: Int, bytes: Array[Byte]) {
+    /** bytes per frame: the `FRAME\n` marker + three full C444 planes */
+    def frameBytes: Int = 6 + 3 * width * height
+  }
+
+  /** Parse + VALIDATE a YUV4MPEG2 header. Supports what it can honestly
+    * decode: C444 (three full-resolution planes — declared or defaulted
+    * here by our encoder; the spec default 420 is rejected loudly, not
+    * silently mis-sliced) and bare `FRAME\n` markers (fixed-size frames,
+    * the property that makes O(1) seek possible). Frame count derives
+    * from the payload length, which must divide exactly.
+    */
+  def parseY4m(bytes: Array[Byte]): Y4mStream = {
+    require(isY4m(bytes), "Y4M: not a YUV4MPEG2 stream")
+    var eol = 9
+    while (eol < bytes.length && bytes(eol) != '\n') eol += 1
+    require(eol < bytes.length, "Y4M: unterminated stream header")
+    val params = new String(bytes, 9, eol - 9,
+      java.nio.charset.StandardCharsets.US_ASCII)
+      .split(' ').filter(_.nonEmpty)
+    var w = -1; var h = -1; var fn = 30; var fd = 1; var colour = "444"
+    params.foreach { p =>
+      p.charAt(0) match {
+        case 'W' => w = p.tail.toInt
+        case 'H' => h = p.tail.toInt
+        case 'F' =>
+          val Array(a, b) = p.tail.split(':'); fn = a.toInt; fd = b.toInt
+        case 'C' => colour = p.tail
+        case _ => () // I (interlace), A (aspect), X (extension): ignored
+      }
+    }
+    require(w > 0 && h > 0, s"Y4M: missing or bad dimensions ${w}x$h")
+    require(fn > 0 && fd > 0, s"Y4M: bad frame rate $fn:$fd")
+    require(colour == "444",
+      s"Y4M: unsupported colourspace C$colour (only C444 is decodable " +
+        "here; a 420 stream would be silently mis-sliced)")
+    val headerLen = eol + 1
+    val body = bytes.length - headerLen
+    val fb = 6 + 3 * w * h
+    require(body % fb == 0,
+      s"Y4M: body $body bytes not a multiple of frame size $fb")
+    Y4mStream(w, h, fn, fd, body / fb, headerLen, bytes)
+  }
+
+  /** Sum each plane of frame `idx` — an O(1) SEEK into the stream (only
+    * this frame's bytes are touched; that is the point of the fixed-size
+    * container). The frame marker is validated at the seek target, so a
+    * corrupt or variable-size stream fails loudly instead of returning
+    * sums of the wrong bytes.
+    */
+  def y4mPlaneSums(s: Y4mStream, idx: Int): (Long, Long, Long) = {
+    require(idx >= 0 && idx < s.nFrames,
+      s"Y4M: frame $idx of ${s.nFrames}")
+    val off = s.headerLen + idx.toLong * s.frameBytes
+    val o = off.toInt
+    require(s.bytes(o) == 'F' && s.bytes(o + 1) == 'R' &&
+      s.bytes(o + 2) == 'A' && s.bytes(o + 3) == 'M' &&
+      s.bytes(o + 4) == 'E' && s.bytes(o + 5) == '\n',
+      s"Y4M: no FRAME marker at frame $idx (byte $o) — corrupt stream " +
+        "or per-frame parameters (unsupported: they break fixed-size " +
+        "seek)")
+    val n = s.width * s.height
+    var y = 0L; var u = 0L; var v = 0L
+    var i = 0
+    val base = o + 6
+    while (i < n) {
+      y += s.bytes(base + i) & 0xff
+      u += s.bytes(base + n + i) & 0xff
+      v += s.bytes(base + 2 * n + i) & 0xff
+      i += 1
+    }
+    (y, u, v)
+  }
+
+  /** Encode C444 frames (each `w*h*3` plane-ordered bytes: Y then U
+    * then V) as a canonical YUV4MPEG2 stream with bare frame markers.
+    */
+  def encodeY4m(w: Int, h: Int, fpsNum: Int, fpsDen: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    frames.foreach(f => require(f.length == 3 * w * h,
+      s"Y4M encode: frame has ${f.length} bytes, need ${3 * w * h}"))
+    val header = s"YUV4MPEG2 W$w H$h F$fpsNum:$fpsDen Ip A1:1 C444\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val marker = "FRAME\n".getBytes(
+      java.nio.charset.StandardCharsets.US_ASCII)
+    val out = ByteBuffer.allocate(
+      header.length + frames.map(_.length + 6).sum)
+    out.put(header)
+    frames.foreach { f => out.put(marker); out.put(f) }
+    out.array()
+  }
+}

@@ -6,14 +6,16 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media as opaque `binary` columns with a
   * typed metadata struct. The feature extractor routes by MODALITY
   * then by MAGIC: image-kind binary PPM (P6) payloads go through a
-  * REAL validating decoder and real pixel math (PPM needs no codec
-  * library); JPEG/PNG/audio codecs are NOT in this environment, so
-  * every other payload rides a clearly-marked deterministic stub
-  * ([[byteStats]] over the encoded stream) — but everything
-  * Spark-side is real: schema, batched
+  * REAL validating decoder and real pixel math; payloads with no
+  * recognized magic ride a clearly-marked deterministic stub
+  * ([[byteStats]] over the encoded stream) so this table's
+  * raw-text-payload rows stay oracle-checkable. The REAL codec stack
+  * for the public formats lives in [[Codecs]] — PNG/JPEG via the JDK's
+  * own ImageIO, WAV and Y4M via hand-written validating parsers — with
+  * its own oracle-checked queries (q160-q163, [[CodecQueries]]).
+  * Everything Spark-side is real on both legs: schema, batched
   * per-partition execution (the Scala analogue of mapInPandas), feature
-  * schema, and partition sizing. Swapping the stub leg for a real codec
-  * is a one-function change, and the PPM leg proves the seam works.
+  * schema, and partition sizing.
   */
 object Multimodal {
   final case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte],
@@ -40,9 +42,11 @@ object Multimodal {
 
   /** Byte-histogram statistics (shannon entropy in bits, mean byte).
     * Over DECODED PIXELS this is a real image statistic; over an
-    * encoded payload it is the STUB leg — a deterministic stand-in for
-    * the absent JPEG/PNG/audio codecs (??? in spirit), reproducible so
-    * the oracle can mirror it.
+    * encoded payload it is the STUB leg — a deterministic stand-in
+    * (??? in spirit) for payloads with no recognized codec magic,
+    * reproducible so the oracle can mirror it. Payloads in a real
+    * public format go through the real decoders ([[decodePpm]] here,
+    * PNG/JPEG/WAV/Y4M in [[Codecs]]).
     */
   private def byteStats(bytes: Array[Byte]): (Double, Double) = {
     var h = 1125899906842597L
@@ -61,15 +65,14 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------
-  // REAL codec path: PPM (P6). Unlike JPEG/PNG/audio — whose codec
-  // libraries are absent from this environment, hence the stub leg —
-  // binary PPM is a header plus raw interleaved RGB and needs no
-  // library, so the decode leg of the decode/resize/frame-sample trio
-  // can be genuinely real here: a validating parser, real pixel
-  // resampling, and an end-to-end DuckDB oracle (the synthesized
+  // REAL codec path: PPM (P6) — a header plus raw interleaved RGB,
+  // parsed by a hand-written validating decoder with real pixel
+  // resampling and an end-to-end DuckDB oracle (the synthesized
   // payload bytes are reconstructible in SQL, so the oracle computes
   // the expected thumbnail independently and any decode/resize bug
-  // hash-mismatches).
+  // hash-mismatches). The other real codecs — PNG/JPEG via the JDK's
+  // ImageIO, WAV, Y4M — live in Codecs with the same oracle
+  // discipline (q160-q163).
   // ---------------------------------------------------------------
 
   /** A decoded P6 image: row-major interleaved RGB, maxval 255. */
@@ -230,14 +233,19 @@ object Multimodal {
     * header is ground truth; width/height metadata only hints) — and a
     * malformed P6 stream fails loudly mid-scan, the behavior a real
     * ingest wants. Everything else (other kinds, image payloads
-    * without the magic) rides the stub byte-stats leg standing in for
-    * the absent JPEG/PNG/audio codecs. The kind guard keeps the
+    * without the magic) rides the stub byte-stats leg — this table's
+    * payloads are raw text bytes, not encoded streams. The kind guard
+    * keeps the
     * dispatch total across modalities: an audio/video payload whose
     * first bytes happen to spell "P6" must not be forced through an
     * image parser (it would throw on the first real stream). Within
     * the image kind the magic is trusted: an image payload that
     * DECLARES P6 but fails to parse throws — by design (a corrupt
-    * image should fail loudly, not emit stub features). One latent
+    * image should fail loudly, not emit stub features). This table's
+    * non-PPM payloads are raw text bytes with no codec magic, so they
+    * ride the stub; payloads in the real public formats go through
+    * [[CodecQueries.mediaSummary]]'s five-codec dispatch (q163), the
+    * production router. One latent
     * caveat for the q41 oracle (which routes on kind + ascii, the
     * condition [[mediaWithPpm]] encodes): an image row whose RAW text
     * starts with "P6" yet is non-ASCII would throw here while the

@@ -105,7 +105,8 @@ object MultimodalQueries {
     // ---- q62: video frame sampling — every (n_frames/k)-th frame of
     // each video, k = min(8, max(1, n_frames/8)), each frame a byte
     // slice of the encoded payload (frame boundaries are the stub
-    // codec's equal-split; a real demuxer swaps in at the same seam).
+    // codec's equal-split; q162 is the REAL demuxer at the same seam —
+    // a validating Y4M parse with O(1) frame seek).
     // explode(sequence) keeps the fan-out distributed and the slicing
     // is pure column work on the binary — no driver loop, no UDF.
     Q("q62_frame_sample",
@@ -146,8 +147,8 @@ object MultimodalQueries {
 
     // ---- q82: image downsample / thumbnail stub — the "resize" leg of
     // the decode/resize/frame-sample trio. Under the stub codec a 4x
-    // downsample keeps every 4th payload byte (a real build swaps in a
-    // codec resample); metadata scales with it. Pure per-row work —
+    // downsample keeps every 4th payload byte (q159/q160 run the REAL
+    // codec resample on decoded pixels); metadata scales with it. Pure per-row work —
     // distributes with the scan, no shuffle until the final sort. Both
     // engines fingerprint the identical downsampled payload.
     Q("q82_image_downsample",
@@ -184,8 +185,7 @@ object MultimodalQueries {
                     CAST(greatest(1, h // 4) AS BIGINT) AS thumb_h
              FROM sm ORDER BY media_id""")),
 
-    // ---- q159: the REAL codec leg — valid binary PPMs (P6 needs no
-    // codec library, unlike the stubbed JPEG/audio paths) are decoded
+    // ---- q159: the first REAL codec leg — valid binary PPMs decoded
     // by a validating parser and resampled with real nearest-neighbor
     // pixel math, batched per partition. The synthesized payload bytes
     // are reconstructible in SQL (pixel j = text byte j mod len), so

@@ -1,0 +1,304 @@
+package graft.multimodal
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import graft.SharedSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+import Multimodal.PpmImage
+import Codecs.WavAudio
+
+class CodecsSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def randImage(rnd: scala.util.Random): PpmImage = {
+    val w = 1 + rnd.nextInt(40)
+    val h = 1 + rnd.nextInt(30)
+    PpmImage(w, h, Array.fill(w * h * 3)(rnd.nextInt(256).toByte))
+  }
+
+  // ---------------- PNG ----------------
+
+  test("PNG: ImageIO encode/decode round-trips pixels exactly") {
+    val rnd = new scala.util.Random(160)
+    for (_ <- 1 to 30) {
+      val img = randImage(rnd)
+      val back = Codecs.decodePng(Codecs.encodePng(img))
+      assert(back.width == img.width && back.height == img.height)
+      assert(java.util.Arrays.equals(back.pixels, img.pixels))
+    }
+  }
+
+  test("PNG: ImageIO agrees byte-for-byte with the independent " +
+    "reference decoder on encoder-chosen filters") {
+    val rnd = new scala.util.Random(161)
+    for (_ <- 1 to 30) {
+      val img = randImage(rnd)
+      val png = Codecs.encodePng(img)
+      val a = Codecs.decodePng(png)
+      val b = PngRefDecoder.decode(png)
+      assert(a.width == b.width && a.height == b.height)
+      assert(java.util.Arrays.equals(a.pixels, b.pixels))
+    }
+  }
+
+  test("PNG: every filter type (None/Sub/Up/Average/Paeth) decodes " +
+    "correctly in BOTH decoders") {
+    val rnd = new scala.util.Random(162)
+    for (filter <- 0 to 4; _ <- 1 to 5) {
+      val img = randImage(rnd)
+      val png = PngRefDecoder.encodeWithFilter(img, filter)
+      val viaJdk = Codecs.decodePng(png)
+      val viaRef = PngRefDecoder.decode(png)
+      assert(java.util.Arrays.equals(viaJdk.pixels, img.pixels),
+        s"ImageIO mis-decoded filter $filter")
+      assert(java.util.Arrays.equals(viaRef.pixels, img.pixels),
+        s"reference decoder mis-decoded filter $filter")
+    }
+  }
+
+  test("PNG: malformed streams are rejected loudly") {
+    val good = Codecs.encodePng(PpmImage(3, 2, Array.fill(18)(9.toByte)))
+    intercept[IllegalArgumentException](
+      Codecs.decodePng("nope".getBytes))
+    intercept[Exception](Codecs.decodePng(good.take(20))) // truncated
+    // flipped payload byte: the reference decoder's CRC check trips
+    val corrupt = good.clone()
+    corrupt(good.length / 2) = (corrupt(good.length / 2) ^ 0x55).toByte
+    intercept[Exception](PngRefDecoder.decode(corrupt))
+  }
+
+  // ---------------- JPEG ----------------
+
+  test("JPEG: decoded dimensions are exact; decode is deterministic; " +
+    "pixel values land within lossy tolerance on a smooth image") {
+    val rnd = new scala.util.Random(163)
+    for (_ <- 1 to 10) {
+      val w = 8 + rnd.nextInt(40)
+      val h = 8 + rnd.nextInt(30)
+      // smooth horizontal gradient: JPEG should reproduce it closely
+      val base = rnd.nextInt(128)
+      val px = Array.tabulate(w * h * 3) { i =>
+        val x = (i / 3) % w
+        (base + x * 64 / w).toByte
+      }
+      val jpg = Codecs.encodeJpeg(PpmImage(w, h, px))
+      val a = Codecs.decodeJpeg(jpg)
+      val b = Codecs.decodeJpeg(jpg)
+      assert(a.width == w && a.height == h)
+      assert(java.util.Arrays.equals(a.pixels, b.pixels))
+      val meanSrc = px.map(_ & 0xff).map(_.toLong).sum.toDouble / px.length
+      val meanDec =
+        a.pixels.map(_ & 0xff).map(_.toLong).sum.toDouble / a.pixels.length
+      assert(math.abs(meanSrc - meanDec) < 4.0,
+        s"JPEG mean drifted: $meanSrc vs $meanDec")
+    }
+  }
+
+  test("JPEG: non-JPEG bytes are rejected") {
+    intercept[IllegalArgumentException](
+      Codecs.decodeJpeg("RIFFxxxxWAVE".getBytes))
+  }
+
+  // ---------------- WAV ----------------
+
+  test("WAV: encode/decode round-trips samples, rate, channels exactly") {
+    val rnd = new scala.util.Random(164)
+    for (channels <- Seq(1, 2); _ <- 1 to 10) {
+      val n = channels * (1 + rnd.nextInt(500))
+      val a = WavAudio(8000 + rnd.nextInt(40000), channels,
+        Array.fill(n)(rnd.nextInt(65536).toShort))
+      val back = Codecs.decodeWav(Codecs.encodeWav(a))
+      assert(back.sampleRate == a.sampleRate)
+      assert(back.channels == a.channels)
+      assert(java.util.Arrays.equals(back.samples, a.samples))
+    }
+  }
+
+  test("WAV: unknown chunks are skipped and odd chunks padded, like " +
+    "real files") {
+    val samples = Array[Short](100, -200, 300, -400)
+    // hand-assemble: fmt, an odd-length LIST chunk (padded), data
+    val fmt = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16).array()
+    val list = "INFOabc".getBytes // 7 bytes -> odd, needs a pad byte
+    val dataLen = samples.length * 2
+    val body = 4 + (8 + 16) + (8 + list.length + 1) + (8 + dataLen)
+    val buf = ByteBuffer.allocate(8 + body).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(body).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16).put(fmt)
+    buf.put("LIST".getBytes).putInt(list.length).put(list).put(0.toByte)
+    buf.put("data".getBytes).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    val wav = Codecs.decodeWav(buf.array())
+    assert(wav.sampleRate == 8000 && wav.channels == 1)
+    assert(wav.samples.toSeq == samples.toSeq)
+  }
+
+  test("WAV: malformed or unsupported streams are rejected loudly") {
+    val good = Codecs.encodeWav(WavAudio(8000, 1, Array[Short](1, 2, 3, 4)))
+    def mutate(f: Array[Byte] => Array[Byte]): Array[Byte] = f(good.clone())
+
+    // not RIFF/WAVE at all
+    intercept[IllegalArgumentException](Codecs.decodeWav("x".getBytes))
+    // RIFF size disagrees with stream length
+    intercept[IllegalArgumentException](Codecs.decodeWav(mutate { b =>
+      ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).putInt(4, 999); b
+    }))
+    // truncated mid-chunk
+    intercept[IllegalArgumentException](Codecs.decodeWav(mutate { b =>
+      val t = b.dropRight(3)
+      ByteBuffer.wrap(t).order(ByteOrder.LITTLE_ENDIAN)
+        .putInt(4, t.length - 8)
+      t
+    }))
+    // non-PCM format code
+    intercept[IllegalArgumentException](Codecs.decodeWav(mutate { b =>
+      ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+        .putShort(20, 3.toShort); b // 3 = IEEE float
+    }))
+    // 8-bit samples unsupported
+    intercept[IllegalArgumentException](Codecs.decodeWav(mutate { b =>
+      val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putShort(34, 8.toShort) // bits
+      bb.putShort(32, 1.toShort) // blockAlign = channels*1
+      bb.putInt(28, 8000)        // byteRate
+      b
+    }))
+    // data before fmt
+    val noFmt = {
+      val dataLen = 4
+      val body = 4 + 8 + dataLen
+      val bb = ByteBuffer.allocate(8 + body).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(body).put("WAVE".getBytes)
+      bb.put("data".getBytes).putInt(dataLen).putShort(1).putShort(2)
+      bb.array()
+    }
+    intercept[IllegalArgumentException](Codecs.decodeWav(noFmt))
+  }
+
+  // ---------------- Y4M ----------------
+
+  test("Y4M: encode/parse round-trips geometry and plane sums; frame " +
+    "seek reads the right frame") {
+    val rnd = new scala.util.Random(165)
+    for (_ <- 1 to 10) {
+      val w = 1 + rnd.nextInt(8)
+      val h = 1 + rnd.nextInt(8)
+      val nf = 1 + rnd.nextInt(10)
+      val frames =
+        Seq.fill(nf)(Array.fill(3 * w * h)(rnd.nextInt(256).toByte))
+      val s = Codecs.parseY4m(Codecs.encodeY4m(w, h, 30, 1, frames))
+      assert(s.width == w && s.height == h && s.nFrames == nf)
+      for (f <- 0 until nf) {
+        val (y, u, v) = Codecs.y4mPlaneSums(s, f)
+        val n = w * h
+        def sum(off: Int) =
+          frames(f).slice(off * n, (off + 1) * n).map(_ & 0xff)
+            .map(_.toLong).sum
+        assert(y == sum(0) && u == sum(1) && v == sum(2),
+          s"frame $f plane sums")
+      }
+    }
+  }
+
+  test("Y4M: header parameters parse; unsupported colourspace and " +
+    "malformed streams are rejected loudly") {
+    val frame = Array.fill(3 * 2 * 2)(5.toByte)
+    val good = Codecs.encodeY4m(2, 2, 7, 2, Seq(frame))
+    val s = Codecs.parseY4m(good)
+    assert(s.fpsNum == 7 && s.fpsDen == 2)
+
+    intercept[IllegalArgumentException](
+      Codecs.parseY4m("JUNK".getBytes)) // magic
+    // C420 (the spec default) must be rejected, not mis-sliced
+    val c420 = ("YUV4MPEG2 W2 H2 F30:1 C420\n" + "FRAME\n")
+      .getBytes ++ Array.fill(6)(0.toByte)
+    intercept[IllegalArgumentException](Codecs.parseY4m(c420))
+    // unterminated header
+    intercept[IllegalArgumentException](
+      Codecs.parseY4m("YUV4MPEG2 W2 H2".getBytes))
+    // body not a multiple of the frame size
+    intercept[IllegalArgumentException](
+      Codecs.parseY4m(good.dropRight(1)))
+    // corrupt FRAME marker at a seek target
+    val corrupt = good.clone()
+    val markerAt = good.length - frame.length - 6
+    corrupt(markerAt) = 'X'.toByte
+    intercept[IllegalArgumentException](
+      Codecs.y4mPlaneSums(Codecs.parseY4m(corrupt), 0))
+    // out-of-range frame index
+    intercept[IllegalArgumentException](Codecs.y4mPlaneSums(s, 1))
+  }
+
+  // ---------------- dispatch ----------------
+
+  test("mediaSummary dispatch: kind routes the family, magic the codec; " +
+    "unrecognizable payloads fail loudly") {
+    val img = CodecQueries.synthImage(6L)
+    assert(CodecQueries.mediaSummary("image",
+      Multimodal.ppmEncode(img)).codec == "ppm")
+    assert(CodecQueries.mediaSummary("image",
+      Codecs.encodePng(img)).codec == "png")
+    val j = CodecQueries.mediaSummary("image", Codecs.encodeJpeg(img))
+    assert(j.codec == "jpeg" && j.exactSum == -1L
+      && j.width == img.width && j.height == img.height)
+    assert(CodecQueries.mediaSummary("audio",
+      Codecs.encodeWav(CodecQueries.synthWav(7L))).codec == "wav")
+    assert(CodecQueries.mediaSummary("video",
+      CodecQueries.synthY4m(8L)).codec == "y4m")
+
+    // the PNG/PPM leg and the formula agree: decoded content sum is the
+    // synthesis formula's sum
+    val expected = (0 until img.width * img.height * 3)
+      .map(jj => (6L * 7 + jj.toLong * 131) % 256).sum
+    assert(CodecQueries.mediaSummary("image",
+      Codecs.encodePng(img)).exactSum == expected)
+    assert(CodecQueries.mediaSummary("image",
+      Multimodal.ppmEncode(img)).exactSum == expected)
+
+    // kind guard: an audio payload that spells P6 is NOT an image
+    intercept[IllegalArgumentException](
+      CodecQueries.mediaSummary("audio", "P6\n1 1\n255\nabc".getBytes))
+    // an image payload carrying a WAV stream has no image magic
+    intercept[IllegalArgumentException](CodecQueries.mediaSummary("image",
+      Codecs.encodeWav(CodecQueries.synthWav(1L))))
+    intercept[IllegalArgumentException](
+      CodecQueries.mediaSummary("text", Array[Byte](1)))
+  }
+
+  // ---------------- query-level ----------------
+
+  test("q160-q163 run end to end on sf0.001 with the expected shapes") {
+    val byName = CodecQueries.defs.map(q => q.name -> q).toMap
+    val png = byName("q160_png_decode").fn(spark, sf).collect()
+    assert(png.length > 100)
+    // spot-check one row against the synthesis formula by hand
+    val row = png.minBy(_.getLong(0))
+    val id = row.getLong(0)
+    val w = (16 + id % 17).toInt
+    val h = (12 + id % 13).toInt
+    assert(row.getInt(1) == w && row.getInt(2) == h)
+    val rSum = (0 until w * h).map(p => (id * 7 + 3L * p * 131) % 256).sum
+    assert(row.getLong(3) == rSum, "decoded r_sum != formula")
+
+    val wav = byName("q161_wav_features").fn(spark, sf).collect()
+    assert(wav.length > 100)
+    wav.foreach { r =>
+      assert(r.getInt(4) <= 2000, "peak beyond synthesis range")
+      assert(r.getLong(7) > 0, "a 997-step signal must cross zero")
+    }
+
+    val y4m = byName("q162_y4m_frame_sample").fn(spark, sf).collect()
+    assert(y4m.length > 300) // >= 3 frames per video row
+    val dispatch = byName("q163_codec_dispatch").fn(spark, sf).collect()
+    assert(dispatch.length == 500)
+    val codecs = dispatch.map(_.getString(1)).toSet
+    assert(codecs == Set("ppm", "png", "jpeg", "wav", "y4m"))
+    // every lossless row carries a real content sum
+    dispatch.filter(_.getString(1) != "jpeg")
+      .foreach(r => assert(r.getLong(5) >= 0))
+  }
+}
