@@ -138,6 +138,74 @@ object CodecQueries {
     s
   }
 
+  /** One synthesized arrival for the mixed five-codec table (q163/
+    * q164): image ids rotate PPM / PNG / JPEG, audio ids are WAV,
+    * video ids Y4M.
+    */
+  def synthPayload(id: Long): (String, Array[Byte]) = (id % 3) match {
+    case 0 =>
+      val img = synthImage(id)
+      ("image", (id % 9) match {
+        case 0 => Multimodal.ppmEncode(img)
+        case 3 => Codecs.encodePng(img)
+        case _ => Codecs.encodeJpeg(img)
+      })
+    case 1 => ("audio", Codecs.encodeWav(synthWav(id)))
+    case _ => ("video", synthY4m(id))
+  }
+
+  /** One media row's ingest decision: decodable payloads carry their
+    * decoded summary with status `ok`; payloads the dispatch cannot
+    * decode are QUARANTINED with the decoder's error — a corrupt
+    * stream must neither crash the pipeline nor silently contribute
+    * garbage features, and every arrival stays accounted for.
+    */
+  final case class MediaDecision(media_id: Long, kind: String,
+      status: String, codec: String, width: Int, height: Int,
+      n_units: Long, exact_sum: Long, error: String)
+
+  /** Decode-validate a media table (media_id, kind, bytes) through the
+    * five-codec dispatch, per-row fault-isolated. Batched per
+    * partition, zero shuffle — at 100 TB each partition decodes its own
+    * payloads and the quarantine decision rides the same pass.
+    */
+  def mediaDecisions(media: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.Dataset[MediaDecision] = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("media_id").cast("long"), col("kind"), col("bytes"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, kind, bytes) =>
+        try {
+          val m = mediaSummary(kind, bytes)
+          MediaDecision(id, kind, "ok", m.codec, m.width, m.height,
+            m.nUnits, m.exactSum, "")
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            MediaDecision(id, kind, "quarantined", "", 0, 0, 0L, 0L,
+              Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+                .take(160))
+        }
+      })
+  }
+
+  /** Serve the media-stats artifact a [[graft.streaming.Streams
+    * .mediaIngestSink]] stream maintains (live version's `stats`
+    * component: committed batch dirs and/or compacted rows).
+    */
+  def servedMediaStats(s: org.apache.spark.sql.SparkSession,
+      root: String): org.apache.spark.sql.DataFrame =
+    graft.sources.BatchCommits.readComponent(s,
+      graft.sources.ArtifactVersions.current(root).getOrElse(root)
+        + "/stats")
+
+  /** Compaction hook for the media-stats artifact (the decision log is
+    * its only component).
+    */
+  def compactMediaStats(s: org.apache.spark.sql.SparkSession,
+      root: String): Unit =
+    graft.sources.BatchCommits.compactArtifact(s, root, Seq("stats"))
+
   /** q160's thumbnail geometry (distinct from q159's 4x3). */
   val PngThumbW = 5
   val PngThumbH = 4
@@ -337,18 +405,7 @@ object CodecQueries {
         graft.Tables.documents(s, d)
           .select(col("doc_id")).as[Long]
           .mapPartitions(_.map { id =>
-            val (kind, bytes) = (id % 3) match {
-              case 0 =>
-                val img = synthImage(id)
-                val payload = (id % 9) match {
-                  case 0 => Multimodal.ppmEncode(img)
-                  case 3 => Codecs.encodePng(img)
-                  case _ => Codecs.encodeJpeg(img)
-                }
-                ("image", payload)
-              case 1 => ("audio", Codecs.encodeWav(synthWav(id)))
-              case _ => ("video", synthY4m(id))
-            }
+            val (kind, bytes) = synthPayload(id)
             val m = mediaSummary(kind, bytes)
             (id, m.codec, m.width, m.height, m.nUnits, m.exactSum)
           })
@@ -402,6 +459,105 @@ object CodecQueries {
              SELECT * FROM imgout
              UNION ALL SELECT * FROM audout
              UNION ALL SELECT * FROM vidout
-             ORDER BY media_id"""))
+             ORDER BY media_id""")),
+
+    // ---- q164: the media ingest GATE — the batch twin of
+    // Streams.mediaIngestSink's per-batch body (stream ≡ batch is
+    // pinned in StreamsSpec). Arrivals are the q163 mixed table with a
+    // deterministic corruption rule (ids divisible by 31 lose their
+    // magic bytes); the dispatch decodes what it can and QUARANTINES
+    // what it can't, per-row fault-isolated — a corrupt payload must
+    // neither crash the pipeline nor emit garbage features, and every
+    // arrival is accounted for in the output. The oracle reconstructs
+    // both legs: quarantined rows from the corruption rule, decoded
+    // rows from the synthesis formulas.
+    Q("q164_media_ingest_gate",
+      (s, d) => {
+        import s.implicits._
+        val media = graft.Tables.documents(s, d)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val (kind, bytes) = synthPayload(id)
+            (id, kind, corruptIf(id, bytes))
+          })
+          .toDF("media_id", "kind", "bytes")
+        mediaDecisions(media).toDF()
+          .select("media_id", "kind", "status", "codec", "width",
+            "height", "n_units", "exact_sum")
+          .orderBy("media_id")
+      },
+      Some("""WITH img AS (SELECT doc_id AS id,
+               CASE WHEN doc_id % 9 = 0 THEN 'ppm'
+                    WHEN doc_id % 9 = 3 THEN 'png'
+                    ELSE 'jpeg' END AS codec,
+               16 + doc_id % 17 AS w, 12 + doc_id % 13 AS h
+               FROM documents WHERE doc_id % 3 = 0),
+             imgsum AS (SELECT id, any_value(codec) AS codec,
+                          any_value(w) AS w, any_value(h) AS h,
+                          sum((id*7 + j*131) % 256) AS total
+                        FROM (SELECT id, codec, w, h,
+                                unnest(range(0, w*h*3)) AS j FROM img) x
+                        GROUP BY id),
+             imgout AS (SELECT id AS media_id, 'image' AS kind, codec,
+                          CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                          CAST(w*h AS BIGINT) AS n_units,
+                          CAST(CASE WHEN codec = 'jpeg' THEN -1
+                               ELSE total END AS BIGINT) AS exact_sum
+                        FROM imgsum),
+             aud AS (SELECT doc_id AS id, 256 + doc_id % 257 AS n
+                     FROM documents WHERE doc_id % 3 = 1),
+             audout AS (SELECT id AS media_id, 'audio' AS kind,
+                          'wav' AS codec,
+                          CAST(0 AS INT) AS width, CAST(0 AS INT) AS height,
+                          CAST(any_value(n) AS BIGINT) AS n_units,
+                          CAST(sum(abs((id*31 + t*997) % 4001 - 2000))
+                            AS BIGINT) AS exact_sum
+                        FROM (SELECT id, n, unnest(range(0, n)) AS t
+                              FROM aud) x
+                        GROUP BY id),
+             vid AS (SELECT doc_id AS id, 4 + doc_id % 5 AS w,
+                       4 + doc_id % 4 AS h, 3 + doc_id % 10 AS nf
+                     FROM documents WHERE doc_id % 3 = 2),
+             vidout AS (SELECT id AS media_id, 'video' AS kind,
+                          'y4m' AS codec,
+                          CAST(any_value(w) AS INT) AS width,
+                          CAST(any_value(h) AS INT) AS height,
+                          CAST(any_value(nf) AS BIGINT) AS n_units,
+                          CAST(sum((id*13 + f*101 + pl*29 + j*7) % 256)
+                            AS BIGINT) AS exact_sum
+                        FROM (SELECT id, w, h, nf,
+                                unnest(range(0, nf)) AS f FROM vid) a,
+                             (SELECT unnest(range(0, 3)) AS pl) b,
+                             LATERAL (SELECT unnest(range(0, a.w * a.h))
+                                        AS j) c
+                        GROUP BY id),
+             ok AS (SELECT * FROM imgout
+                    UNION ALL SELECT * FROM audout
+                    UNION ALL SELECT * FROM vidout)
+             SELECT media_id, kind,
+               CASE WHEN media_id % 31 = 0 THEN 'quarantined'
+                    ELSE 'ok' END AS status,
+               CASE WHEN media_id % 31 = 0 THEN '' ELSE codec END AS codec,
+               CAST(CASE WHEN media_id % 31 = 0 THEN 0 ELSE width END
+                 AS INT) AS width,
+               CAST(CASE WHEN media_id % 31 = 0 THEN 0 ELSE height END
+                 AS INT) AS height,
+               CAST(CASE WHEN media_id % 31 = 0 THEN 0 ELSE n_units END
+                 AS BIGINT) AS n_units,
+               CAST(CASE WHEN media_id % 31 = 0 THEN 0 ELSE exact_sum END
+                 AS BIGINT) AS exact_sum
+             FROM ok ORDER BY media_id"""))
   )
+
+  /** q164's deterministic corruption rule: ids divisible by 31 lose
+    * their leading magic bytes — every codec's dispatch then fails the
+    * magic sniff, so the quarantine leg fires across all five codecs.
+    */
+  def corruptIf(id: Long, bytes: Array[Byte]): Array[Byte] =
+    if (id % 31 == 0) {
+      val b = bytes.clone()
+      var i = 0
+      while (i < math.min(4, b.length)) { b(i) = 0; i += 1 }
+      b
+    } else bytes
 }

@@ -445,6 +445,53 @@ object Streams {
       }
       .start()
 
+  /** STREAMING MEDIA INGEST GATE: decode-validate-on-ingest for the
+    * multimodal codec stack. Each micro-batch of arriving media rows
+    * (media_id, kind, bytes) goes through the five-codec kind+magic
+    * dispatch ([[graft.multimodal.CodecQueries.mediaDecisions]]):
+    * decodable payloads commit their decoded summary with status `ok`,
+    * malformed payloads are QUARANTINED with the decoder's error —
+    * per-row fault isolation, so one corrupt stream can neither crash
+    * the pipeline nor silently contribute garbage features, and every
+    * arrival is accounted for in the stats artifact. q164 is the batch
+    * twin; StreamsSpec pins stream ≡ batch on the same arrivals.
+    *
+    * EXACTLY-ONCE: one atomic per-batch commit fenced on the
+    * replayable batchId ([[graft.sources.BatchCommits]]); a replayed
+    * batch finds its fence and skips. The stats log compacts on the
+    * cadence like every other long-running artifact.
+    *
+    * 100 TB shape: the batch body is per-row CPU batched per partition
+    * — ZERO shuffles (decode, summarize, and the quarantine decision
+    * ride one pass over the arrival partitions); artifact maintenance
+    * is the only non-arrival cost and is cadence-bounded.
+    */
+  def mediaIngestSink(media: DataFrame, checkpointDir: String,
+      outDir: String, compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mediaIngestBatch(batch, batchId, outDir, compactEvery)
+      }
+      .start()
+
+  /** One micro-batch of [[mediaIngestSink]] — exposed for the
+    * forced-replay spec.
+    */
+  private[graft] def mediaIngestBatch(batch: DataFrame, batchId: Long,
+      outDir: String, compactEvery: Int): Unit = {
+    import graft.sources.{ArtifactVersions, BatchCommits}
+    val live = ArtifactVersions.current(outDir).getOrElse(outDir)
+    if (!BatchCommits.isCommitted(s"$live/stats", batchId))
+      BatchCommits.appendBatch(
+        graft.multimodal.CodecQueries.mediaDecisions(batch).toDF()
+          .withColumn("batch_id", lit(batchId)),
+        s"$live/stats", batchId): Unit
+    compactOnCadence(batch.sparkSession, batchId, compactEvery,
+      Seq(outDir -> graft.multimodal.CodecQueries.compactMediaStats _))
+  }
+
   /** Streaming advance of the CORPUS-STATISTICS artifact (the q143
     * CMS as a persisted profile): each micro-batch's token sketch is
     * merged into the file at `sketchPath`. CMS merge is element-wise

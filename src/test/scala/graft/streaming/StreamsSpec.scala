@@ -618,4 +618,63 @@ class StreamsSpec extends AnyFunSuite {
     assert(aa.exceptAll(ab).isEmpty && ab.exceptAll(aa).isEmpty)
     graft.CacheScope.flush(spark)
   }
+
+  test("streaming media ingest gate: stream ≡ batch decisions, " +
+    "quarantine fires, replay fences, compaction invisible") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.multimodal.CodecQueries
+    val sf = "/root/testdata/sf0.001"
+    val ids = graft.Tables.documents(spark, sf)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    def arrivals(of: Seq[Long]) = of.map { id =>
+      val (kind, bytes) = CodecQueries.synthPayload(id)
+      (id, kind, CodecQueries.corruptIf(id, bytes))
+    }
+    val (b1ids, b2ids) = ids.splitAt(ids.length / 2)
+    val b1 = arrivals(b1ids)
+    val b2 = arrivals(b2ids)
+    // reference: the batch twin over the SAME arrivals
+    val want = CodecQueries
+      .mediaDecisions(arrivals(ids).toDF("media_id", "kind", "bytes"))
+      .collect().map(d => (d.media_id, d.kind, d.status, d.codec,
+        d.width, d.height, d.n_units, d.exact_sum, d.error))
+      .sortBy(_._1).toSeq
+    // the stream, two micro-batches, compacting after EVERY batch —
+    // the stats artifact the sink maintains must still equal the batch
+    // decisions exactly
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val out = tmp("graft_media_out")
+    val mem = MemoryStream[(Long, String, Array[Byte])]
+    val q = Streams.mediaIngestSink(
+      mem.toDF.toDF("media_id", "kind", "bytes"),
+      tmp("graft_media_ckpt"), out, compactEvery = 1)
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def served() = CodecQueries.servedMediaStats(spark, out)
+      .select("media_id", "kind", "status", "codec", "width", "height",
+        "n_units", "exact_sum", "error")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getInt(4), r.getInt(5), r.getLong(6),
+        r.getLong(7), r.getString(8)))
+      .sortBy(_._1).toSeq
+    val got = served()
+    assert(got.nonEmpty && got == want)
+    // the corruption rule quarantined exactly the id % 31 == 0 rows,
+    // each with a loud error, and nothing decoded garbage
+    val quarantined = got.filter(_._3 == "quarantined")
+    assert(quarantined.nonEmpty)
+    assert(quarantined.map(_._1).toSet == ids.filter(_ % 31 == 0).toSet)
+    quarantined.foreach(r => assert(r._9.nonEmpty, s"silent quarantine: $r"))
+    got.filter(_._3 == "ok").foreach(r => assert(r._9.isEmpty))
+    // replay fence: re-running batch 1's body (post-compaction, so the
+    // fence marker carried across the version flip) changes nothing
+    Streams.mediaIngestBatch(
+      b2.toDF("media_id", "kind", "bytes"), 1L, out, compactEvery = 0)
+    assert(served() == want, "replayed batch re-appended")
+    graft.CacheScope.flush(spark)
+  }
 }
