@@ -261,7 +261,65 @@ object ScaleProbe {
     if (enabled("batch_dirs")) batchDirListing(spark, base)
     if (enabled("curation_stream")) curationSinkLatency(spark, base)
     if (enabled("ann_train")) annTrainScale(spark)
+    if (enabled("codec")) codecScale(spark)
     spark.stop()
+  }
+
+  /** The real-codec stack (q160-q164) under growth on BOTH axes that
+    * matter for a 100 TB media corpus:
+    *
+    *   - ROW axis (`codec_rows`): k-fold arrivals through the full
+    *     five-codec dispatch (encode+decode round-trip per row). The
+    *     decode is per-row CPU batched per partition with zero
+    *     shuffles, so wall-clock must be linear in rows and saturate
+    *     the cores (mapPartitions parallelism, not a driver loop).
+    *   - PIXEL axis (`codec_pixels`): constant rows, image area scaled
+    *     s^2 via PNG (the heaviest real decoder: zlib + defilter).
+    *     Cost must track DECODED BYTES, not row count — a decoder
+    *     that re-buffers or spools per row would show a knee here.
+    *
+    * Measured (local[32], sf0.1): codec_rows 3.3 s at k=1 (codegen
+    * warmup) then 1.30/1.27 s at k=4/10 — 10x the rows inside the
+    * fixed-cost envelope, 50k mixed-codec round-trips ≈ 1.3 s wall.
+    * codec_pixels 1.34/1.37/3.63 s at s=1/2/4 (2.2M/8.6M/34.5M
+    * pixels): 16x the pixels costs 2.7x — per-row overhead dominates
+    * the small rungs and the top rung decodes ~9.5M px/s with no
+    * knee (ImageIO.setUseCache(false) matters here: the default
+    * disk-backed stream cache would put a temp-file write in every
+    * row's decode).
+    */
+  private def codecScale(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import graft.multimodal.{CodecQueries, Codecs, Multimodal}
+    val ids = Tables.documents(spark, "/root/testdata/sf0.1")
+      .select(col("doc_id")).as[Long]
+    for (k <- Seq(1, 4, 10)) {
+      val rows = (0 until k).map(i =>
+        ids.map(_ + i.toLong * 10000000L)).reduce(_ unionAll _)
+      val t0 = System.nanoTime()
+      val n = rows.mapPartitions(_.map { id =>
+        val (kind, bytes) = CodecQueries.synthPayload(id)
+        CodecQueries.mediaSummary(kind, bytes).nUnits
+      }).agg(sum("value")).head().getLong(0)
+      println(f"[scale] codec_rows k=$k rows=${5000 * k} units=$n " +
+        f"time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    for (s <- Seq(1, 2, 4)) {
+      val t0 = System.nanoTime()
+      val (nPix, nBytes) = ids.mapPartitions(_.map { id =>
+        val small = CodecQueries.synthImage(id)
+        val img = Multimodal.PpmImage(small.width * s, small.height * s,
+          Array.tabulate(small.width * s * small.height * s * 3)(j =>
+            ((id * 7 + j.toLong * 131) % 256).toByte))
+        val png = Codecs.encodePng(img)
+        val dec = Codecs.decodePng(png)
+        (dec.width.toLong * dec.height, png.length.toLong)
+      }).toDF("pix", "bytes").agg(sum("pix"), sum("bytes")).head() match {
+        case r => (r.getLong(0), r.getLong(1))
+      }
+      println(f"[scale] codec_pixels s=$s pixels=$nPix png_bytes=$nBytes " +
+        f"time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
   }
 
   /** q46's IN-QUERY integer-Lloyd training loop under corpus growth:

@@ -137,6 +137,34 @@ class CodecsSpec extends AnyFunSuite {
     assert(wav.samples.toSeq == samples.toSeq)
   }
 
+  test("WAV: the hand-written parser agrees with the JDK's own " +
+    "AudioSystem parser (an independent implementation) on random " +
+    "streams") {
+    import javax.sound.sampled.AudioSystem
+    val rnd = new scala.util.Random(166)
+    for (_ <- 1 to 15) {
+      val channels = 1 + rnd.nextInt(2)
+      val n = channels * (1 + rnd.nextInt(300))
+      val a = WavAudio(8000 + rnd.nextInt(40000), channels,
+        Array.fill(n)(rnd.nextInt(65536).toShort))
+      val bytes = Codecs.encodeWav(a)
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      assert(fmt.getSampleRate.toInt == a.sampleRate)
+      assert(fmt.getChannels == channels)
+      assert(fmt.getSampleSizeInBits == 16)
+      assert(!fmt.isBigEndian)
+      val raw = in.readAllBytes()
+      val jdk = new Array[Short](raw.length / 2)
+      ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+        .asShortBuffer().get(jdk)
+      val ours = Codecs.decodeWav(bytes)
+      assert(java.util.Arrays.equals(jdk, ours.samples),
+        "sample disagreement between the two parsers")
+    }
+  }
+
   test("WAV: malformed or unsupported streams are rejected loudly") {
     val good = Codecs.encodeWav(WavAudio(8000, 1, Array[Short](1, 2, 3, 4)))
     def mutate(f: Array[Byte] => Array[Byte]): Array[Byte] = f(good.clone())
