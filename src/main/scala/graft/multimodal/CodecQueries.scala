@@ -210,6 +210,70 @@ object CodecQueries {
   val PngThumbW = 5
   val PngThumbH = 4
 
+  /** q165's pair-curation size floors (each splits its synthesis
+    * range, so both branches of every rule fire on the corpus):
+    * images 192..768 px, audio 256..512 samples, video 3..12 frames.
+    */
+  val PairMinPixels = 300
+  val PairMinSamples = 300
+  val PairMinFrames = 5
+
+  /** The ONE copy of the mixed five-codec table's oracle CTE chain
+    * (ends in `ok`: media_id, kind, codec, width, height, n_units,
+    * exact_sum — the [[synthPayload]] synthesis reconstructed in SQL),
+    * shared by the q163/q164/q165 oracles so the formula SQL cannot
+    * drift between them.
+    */
+  private def mixedMediaCtesSql: String =
+    """img AS (SELECT doc_id AS id,
+               CASE WHEN doc_id % 9 = 0 THEN 'ppm'
+                    WHEN doc_id % 9 = 3 THEN 'png'
+                    ELSE 'jpeg' END AS codec,
+               16 + doc_id % 17 AS w, 12 + doc_id % 13 AS h
+               FROM documents WHERE doc_id % 3 = 0),
+             imgsum AS (SELECT id, any_value(codec) AS codec,
+                          any_value(w) AS w, any_value(h) AS h,
+                          sum((id*7 + j*131) % 256) AS total
+                        FROM (SELECT id, codec, w, h,
+                                unnest(range(0, w*h*3)) AS j FROM img) x
+                        GROUP BY id),
+             imgout AS (SELECT id AS media_id, 'image' AS kind, codec,
+                          CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                          CAST(w*h AS BIGINT) AS n_units,
+                          CAST(CASE WHEN codec = 'jpeg' THEN -1
+                               ELSE total END AS BIGINT) AS exact_sum
+                        FROM imgsum),
+             aud AS (SELECT doc_id AS id, 256 + doc_id % 257 AS n
+                     FROM documents WHERE doc_id % 3 = 1),
+             audout AS (SELECT id AS media_id, 'audio' AS kind,
+                          'wav' AS codec,
+                          CAST(0 AS INT) AS width, CAST(0 AS INT) AS height,
+                          CAST(any_value(n) AS BIGINT) AS n_units,
+                          CAST(sum(abs((id*31 + t*997) % 4001 - 2000))
+                            AS BIGINT) AS exact_sum
+                        FROM (SELECT id, n, unnest(range(0, n)) AS t
+                              FROM aud) x
+                        GROUP BY id),
+             vid AS (SELECT doc_id AS id, 4 + doc_id % 5 AS w,
+                       4 + doc_id % 4 AS h, 3 + doc_id % 10 AS nf
+                     FROM documents WHERE doc_id % 3 = 2),
+             vidout AS (SELECT id AS media_id, 'video' AS kind,
+                          'y4m' AS codec,
+                          CAST(any_value(w) AS INT) AS width,
+                          CAST(any_value(h) AS INT) AS height,
+                          CAST(any_value(nf) AS BIGINT) AS n_units,
+                          CAST(sum((id*13 + f*101 + pl*29 + j*7) % 256)
+                            AS BIGINT) AS exact_sum
+                        FROM (SELECT id, w, h, nf,
+                                unnest(range(0, nf)) AS f FROM vid) a,
+                             (SELECT unnest(range(0, 3)) AS pl) b,
+                             LATERAL (SELECT unnest(range(0, a.w * a.h))
+                                        AS j) c
+                        GROUP BY id),
+             ok AS (SELECT * FROM imgout
+                    UNION ALL SELECT * FROM audout
+                    UNION ALL SELECT * FROM vidout)"""
+
   def defs: Seq[Q] = Seq(
     // ---- q160: REAL PNG decode. The payload is a genuine PNG stream
     // (JDK encoder: zlib deflate, adaptive row filters) and the decode
@@ -413,53 +477,9 @@ object CodecQueries {
             "exact_sum")
           .orderBy("media_id")
       },
-      Some("""WITH img AS (SELECT doc_id AS id,
-               CASE WHEN doc_id % 9 = 0 THEN 'ppm'
-                    WHEN doc_id % 9 = 3 THEN 'png'
-                    ELSE 'jpeg' END AS codec,
-               16 + doc_id % 17 AS w, 12 + doc_id % 13 AS h
-               FROM documents WHERE doc_id % 3 = 0),
-             imgsum AS (SELECT id, any_value(codec) AS codec,
-                          any_value(w) AS w, any_value(h) AS h,
-                          sum((id*7 + j*131) % 256) AS total
-                        FROM (SELECT id, codec, w, h,
-                                unnest(range(0, w*h*3)) AS j FROM img) x
-                        GROUP BY id),
-             imgout AS (SELECT id AS media_id, codec,
-                          CAST(w AS INT) AS width, CAST(h AS INT) AS height,
-                          CAST(w*h AS BIGINT) AS n_units,
-                          CAST(CASE WHEN codec = 'jpeg' THEN -1
-                               ELSE total END AS BIGINT) AS exact_sum
-                        FROM imgsum),
-             aud AS (SELECT doc_id AS id, 256 + doc_id % 257 AS n
-                     FROM documents WHERE doc_id % 3 = 1),
-             audout AS (SELECT id AS media_id, 'wav' AS codec,
-                          CAST(0 AS INT) AS width, CAST(0 AS INT) AS height,
-                          CAST(any_value(n) AS BIGINT) AS n_units,
-                          CAST(sum(abs((id*31 + t*997) % 4001 - 2000))
-                            AS BIGINT) AS exact_sum
-                        FROM (SELECT id, n, unnest(range(0, n)) AS t
-                              FROM aud) x
-                        GROUP BY id),
-             vid AS (SELECT doc_id AS id, 4 + doc_id % 5 AS w,
-                       4 + doc_id % 4 AS h, 3 + doc_id % 10 AS nf
-                     FROM documents WHERE doc_id % 3 = 2),
-             vidout AS (SELECT id AS media_id, 'y4m' AS codec,
-                          CAST(any_value(w) AS INT) AS width,
-                          CAST(any_value(h) AS INT) AS height,
-                          CAST(any_value(nf) AS BIGINT) AS n_units,
-                          CAST(sum((id*13 + f*101 + pl*29 + j*7) % 256)
-                            AS BIGINT) AS exact_sum
-                        FROM (SELECT id, w, h, nf,
-                                unnest(range(0, nf)) AS f FROM vid) a,
-                             (SELECT unnest(range(0, 3)) AS pl) b,
-                             LATERAL (SELECT unnest(range(0, a.w * a.h))
-                                        AS j) c
-                        GROUP BY id)
-             SELECT * FROM imgout
-             UNION ALL SELECT * FROM audout
-             UNION ALL SELECT * FROM vidout
-             ORDER BY media_id""")),
+      Some(s"""WITH $mixedMediaCtesSql
+             SELECT media_id, codec, width, height, n_units, exact_sum
+             FROM ok ORDER BY media_id""")),
 
     // ---- q164: the media ingest GATE — the batch twin of
     // Streams.mediaIngestSink's per-batch body (stream ≡ batch is
@@ -486,54 +506,7 @@ object CodecQueries {
             "height", "n_units", "exact_sum")
           .orderBy("media_id")
       },
-      Some("""WITH img AS (SELECT doc_id AS id,
-               CASE WHEN doc_id % 9 = 0 THEN 'ppm'
-                    WHEN doc_id % 9 = 3 THEN 'png'
-                    ELSE 'jpeg' END AS codec,
-               16 + doc_id % 17 AS w, 12 + doc_id % 13 AS h
-               FROM documents WHERE doc_id % 3 = 0),
-             imgsum AS (SELECT id, any_value(codec) AS codec,
-                          any_value(w) AS w, any_value(h) AS h,
-                          sum((id*7 + j*131) % 256) AS total
-                        FROM (SELECT id, codec, w, h,
-                                unnest(range(0, w*h*3)) AS j FROM img) x
-                        GROUP BY id),
-             imgout AS (SELECT id AS media_id, 'image' AS kind, codec,
-                          CAST(w AS INT) AS width, CAST(h AS INT) AS height,
-                          CAST(w*h AS BIGINT) AS n_units,
-                          CAST(CASE WHEN codec = 'jpeg' THEN -1
-                               ELSE total END AS BIGINT) AS exact_sum
-                        FROM imgsum),
-             aud AS (SELECT doc_id AS id, 256 + doc_id % 257 AS n
-                     FROM documents WHERE doc_id % 3 = 1),
-             audout AS (SELECT id AS media_id, 'audio' AS kind,
-                          'wav' AS codec,
-                          CAST(0 AS INT) AS width, CAST(0 AS INT) AS height,
-                          CAST(any_value(n) AS BIGINT) AS n_units,
-                          CAST(sum(abs((id*31 + t*997) % 4001 - 2000))
-                            AS BIGINT) AS exact_sum
-                        FROM (SELECT id, n, unnest(range(0, n)) AS t
-                              FROM aud) x
-                        GROUP BY id),
-             vid AS (SELECT doc_id AS id, 4 + doc_id % 5 AS w,
-                       4 + doc_id % 4 AS h, 3 + doc_id % 10 AS nf
-                     FROM documents WHERE doc_id % 3 = 2),
-             vidout AS (SELECT id AS media_id, 'video' AS kind,
-                          'y4m' AS codec,
-                          CAST(any_value(w) AS INT) AS width,
-                          CAST(any_value(h) AS INT) AS height,
-                          CAST(any_value(nf) AS BIGINT) AS n_units,
-                          CAST(sum((id*13 + f*101 + pl*29 + j*7) % 256)
-                            AS BIGINT) AS exact_sum
-                        FROM (SELECT id, w, h, nf,
-                                unnest(range(0, nf)) AS f FROM vid) a,
-                             (SELECT unnest(range(0, 3)) AS pl) b,
-                             LATERAL (SELECT unnest(range(0, a.w * a.h))
-                                        AS j) c
-                        GROUP BY id),
-             ok AS (SELECT * FROM imgout
-                    UNION ALL SELECT * FROM audout
-                    UNION ALL SELECT * FROM vidout)
+      Some(s"""WITH $mixedMediaCtesSql
              SELECT media_id, kind,
                CASE WHEN media_id % 31 = 0 THEN 'quarantined'
                     ELSE 'ok' END AS status,
@@ -546,7 +519,69 @@ object CodecQueries {
                  AS BIGINT) AS n_units,
                CAST(CASE WHEN media_id % 31 = 0 THEN 0 ELSE exact_sum END
                  AS BIGINT) AS exact_sum
-             FROM ok ORDER BY media_id"""))
+             FROM ok ORDER BY media_id""")),
+
+    // ---- q165: MULTIMODAL PAIR CURATION — the (media, caption)
+    // filtering step a CLIP/LAION-style training set is built with,
+    // composed from this round's surfaces: a pair is kept iff its
+    // media DECODES (the q164 gate — corrupt payloads fail the magic
+    // sniff), meets a per-modality SIZE floor computed from DECODED
+    // facts (min pixels / samples / frames — metadata is never
+    // trusted), and its caption passes the q132 quality rules. Every
+    // rule fires both ways on the corpus (the floors split each
+    // synthesis range). Scale shape: decode rides the media
+    // partitions shuffle-free, the caption rules fuse into the
+    // documents scan, and the pair decision is ONE equi-join of two
+    // corpus-keyed boolean tables — the standard co-partitioned join,
+    // no broadcast needed and nothing corpus-sized moves twice.
+    Q("q165_pair_curation",
+      (s, d) => {
+        import s.implicits._
+        val media = graft.Tables.documents(s, d)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val (kind, bytes) = synthPayload(id)
+            (id, kind, corruptIf(id, bytes))
+          })
+          .toDF("media_id", "kind", "bytes")
+        val decisions = mediaDecisions(media).toDF()
+        val captions = graft.text.TextQueries.withQualityFlags(
+            graft.Tables.documents(s, d).select(col("doc_id"), col("text")))
+          .select(col("doc_id").as("media_id"),
+            col("keep").as("caption_ok"))
+        decisions.join(captions, "media_id")
+          .withColumn("media_ok", col("status") === "ok")
+          .withColumn("size_ok", col("media_ok") &&
+            when(col("kind") === "image",
+              col("width") * col("height") >= lit(PairMinPixels))
+              .when(col("kind") === "audio",
+                col("n_units") >= lit(PairMinSamples))
+              .otherwise(col("n_units") >= lit(PairMinFrames)))
+          .withColumn("kept",
+            col("media_ok") && col("size_ok") && col("caption_ok"))
+          .select("media_id", "kind", "codec", "media_ok", "size_ok",
+            "caption_ok", "kept")
+          .orderBy("media_id")
+      },
+      Some(s"""WITH ${graft.text.TextQueries.qualityKeepCtesSql},
+             $mixedMediaCtesSql,
+             med AS (SELECT media_id, kind,
+                       CASE WHEN media_id % 31 = 0 THEN ''
+                            ELSE codec END AS codec,
+                       media_id % 31 <> 0 AS media_ok,
+                       CASE WHEN media_id % 31 = 0 THEN FALSE
+                            WHEN kind = 'image'
+                              THEN width * height >= $PairMinPixels
+                            WHEN kind = 'audio'
+                              THEN n_units >= $PairMinSamples
+                            ELSE n_units >= $PairMinFrames
+                       END AS size_ok
+                     FROM ok)
+             SELECT m.media_id, m.kind, m.codec, m.media_ok, m.size_ok,
+               q.keep AS caption_ok,
+               (m.media_ok AND m.size_ok AND q.keep) AS kept
+             FROM med m JOIN qflags q ON m.media_id = q.doc_id
+             ORDER BY m.media_id"""))
   )
 
   /** q164's deterministic corruption rule: ids divisible by 31 lose

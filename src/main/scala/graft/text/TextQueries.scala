@@ -1791,8 +1791,10 @@ rep AS (
 
   /** q144's quality-keep CTE block (the q132 rules reduced to one
     * boolean) — DuckDB image of [[qualityFlagsOf]]'s `keep` column.
+    * `private[graft]`: q165's pair-curation oracle composes the same
+    * block, so the rule SQL keeps its one copy.
     */
-  private def qualityKeepCtesSql: String =
+  private[graft] def qualityKeepCtesSql: String =
     s"""$qualityStatsCtesSql,
        qflags AS (SELECT a.doc_id,
            (n >= $QfMinTokens

@@ -329,4 +329,27 @@ class CodecsSpec extends AnyFunSuite {
     dispatch.filter(_.getString(1) != "jpeg")
       .foreach(r => assert(r.getLong(5) >= 0))
   }
+
+  test("q165 pair curation: every rule fires both ways and kept is " +
+    "their conjunction") {
+    val q165 = CodecQueries.defs.find(_.name == "q165_pair_curation").get
+    val rows = q165.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6)))
+    assert(rows.length == 500)
+    // media gate: exactly the corruption rule's ids fail to decode
+    assert(rows.filter(!_._3).map(_._1).toSet ==
+      rows.map(_._1).filter(_ % 31 == 0).toSet)
+    // each modality's size floor splits its synthesis range
+    for (kind <- Seq("image", "audio", "video")) {
+      val ofKind = rows.filter(r => r._2 == kind && r._3)
+      assert(ofKind.exists(_._4) && ofKind.exists(!_._4),
+        s"$kind size floor did not split the corpus")
+    }
+    // caption rules fire both ways too
+    assert(rows.exists(_._5) && rows.exists(!_._5))
+    // kept is exactly the conjunction
+    rows.foreach(r => assert(r._6 == (r._3 && r._4 && r._5)))
+    assert(rows.exists(_._6), "nothing survived pair curation")
+  }
 }
