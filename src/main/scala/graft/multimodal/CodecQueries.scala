@@ -493,15 +493,7 @@ object CodecQueries {
     // rows from the synthesis formulas.
     Q("q164_media_ingest_gate",
       (s, d) => {
-        import s.implicits._
-        val media = graft.Tables.documents(s, d)
-          .select(col("doc_id")).as[Long]
-          .mapPartitions(_.map { id =>
-            val (kind, bytes) = synthPayload(id)
-            (id, kind, corruptIf(id, bytes))
-          })
-          .toDF("media_id", "kind", "bytes")
-        mediaDecisions(media).toDF()
+        mediaDecisions(corruptedMediaTable(s, d)).toDF()
           .select("media_id", "kind", "status", "codec", "width",
             "height", "n_units", "exact_sum")
           .orderBy("media_id")
@@ -536,15 +528,7 @@ object CodecQueries {
     // no broadcast needed and nothing corpus-sized moves twice.
     Q("q165_pair_curation",
       (s, d) => {
-        import s.implicits._
-        val media = graft.Tables.documents(s, d)
-          .select(col("doc_id")).as[Long]
-          .mapPartitions(_.map { id =>
-            val (kind, bytes) = synthPayload(id)
-            (id, kind, corruptIf(id, bytes))
-          })
-          .toDF("media_id", "kind", "bytes")
-        val decisions = mediaDecisions(media).toDF()
+        val decisions = mediaDecisions(corruptedMediaTable(s, d)).toDF()
         val captions = graft.text.TextQueries.withQualityFlags(
             graft.Tables.documents(s, d).select(col("doc_id"), col("text")))
           .select(col("doc_id").as("media_id"),
@@ -583,6 +567,23 @@ object CodecQueries {
              FROM med m JOIN qflags q ON m.media_id = q.doc_id
              ORDER BY m.media_id"""))
   )
+
+  /** The q164/q165 arrival table: the mixed five-codec synthesis over
+    * `documents` with the [[corruptIf]] corruption applied — ONE copy,
+    * so the two queries (and the StreamsSpec arrivals) cannot drift
+    * from each other or from the `%31` rule in their oracles.
+    */
+  def corruptedMediaTable(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (kind, bytes) = synthPayload(id)
+        (id, kind, corruptIf(id, bytes))
+      })
+      .toDF("media_id", "kind", "bytes")
+  }
 
   /** q164's deterministic corruption rule: ids divisible by 31 lose
     * their leading magic bytes — every codec's dispatch then fails the

@@ -189,6 +189,7 @@ object Codecs {
         s"WAV: chunk '$id' length $len overruns the stream at byte $pos")
       id match {
         case "fmt " =>
+          require(rate < 0, "WAV: duplicate fmt chunk")
           require(len >= 16, s"WAV: fmt chunk too short ($len bytes)")
           val fmt = buf.getShort(pos + 8)
           require(fmt == 1, s"WAV: unsupported audio format $fmt (PCM=1)")
@@ -207,6 +208,7 @@ object Codecs {
               s"${rate * blockAlign}")
         case "data" =>
           require(rate > 0, "WAV: data chunk before fmt chunk")
+          require(samples == null, "WAV: duplicate data chunk")
           require(len % blockAlign == 0,
             s"WAV: data length $len not a multiple of blockAlign " +
               s"$blockAlign")
@@ -272,9 +274,14 @@ object Codecs {
     require(colour == "444",
       s"Y4M: unsupported colourspace C$colour (only C444 is decodable " +
         "here; a 420 stream would be silently mis-sliced)")
+    // Long arithmetic: crafted header dims must not wrap Int and turn
+    // the divisibility check into a false pass (the parser IS the
+    // validation — same guard as the PPM decoder)
+    val fbL = 6L + 3L * w * h
+    require(fbL <= Int.MaxValue, s"Y4M: dimensions ${w}x$h overflow")
+    val fb = fbL.toInt
     val headerLen = eol + 1
     val body = bytes.length - headerLen
-    val fb = 6 + 3 * w * h
     require(body % fb == 0,
       s"Y4M: body $body bytes not a multiple of frame size $fb")
     Y4mStream(w, h, fn, fd, body / fb, headerLen, bytes)

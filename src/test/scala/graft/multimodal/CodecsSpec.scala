@@ -205,6 +205,17 @@ class CodecsSpec extends AnyFunSuite {
       bb.array()
     }
     intercept[IllegalArgumentException](Codecs.decodeWav(noFmt))
+    // duplicate data chunk: would silently truncate the signal to the
+    // LAST chunk if accepted — must reject instead
+    val twoData = {
+      val extra = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+        .put("data".getBytes).putInt(4).putShort(9).putShort(9).array()
+      val b = good ++ extra
+      ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+        .putInt(4, b.length - 8)
+      b
+    }
+    intercept[IllegalArgumentException](Codecs.decodeWav(twoData))
   }
 
   // ---------------- Y4M ----------------
@@ -259,6 +270,10 @@ class CodecsSpec extends AnyFunSuite {
       Codecs.y4mPlaneSums(Codecs.parseY4m(corrupt), 0))
     // out-of-range frame index
     intercept[IllegalArgumentException](Codecs.y4mPlaneSums(s, 1))
+    // header dims that wrap Int must be a precise rejection, not a
+    // false divisibility pass on the wrapped frame size
+    intercept[IllegalArgumentException](
+      Codecs.parseY4m("YUV4MPEG2 W46341 H46341 C444\n".getBytes))
   }
 
   // ---------------- dispatch ----------------

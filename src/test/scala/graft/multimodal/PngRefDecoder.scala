@@ -61,8 +61,11 @@ object PngRefDecoder {
     var off = 0
     while (off < raw.length && !inf.finished()) {
       val n = inf.inflate(raw, off, raw.length - off)
-      require(n > 0 || inf.finished() || !inf.needsInput(),
-        "PngRef: inflate stalled (truncated IDAT)")
+      // n == 0 while unfinished means the stream is truncated OR wants
+      // input this decoder cannot supply (e.g. an FDICT preset
+      // dictionary) — both are rejections, never a spin
+      require(n > 0 || inf.finished(), "PngRef: inflate stalled " +
+        "(truncated or dictionary-demanding IDAT)")
       off += n
     }
     require(off == raw.length,
