@@ -218,6 +218,13 @@ object CodecQueries {
   val PairMinSamples = 300
   val PairMinFrames = 5
 
+  /** q166's token accounting: ViT-style square patch edge (image and
+    * video tokens per frame = ceil(w/14)*ceil(h/14)) and a
+    * wav2vec-style hop (audio tokens = ceil(samples/320)).
+    */
+  val VitPatch = 14
+  val AudioHop = 320
+
   /** The ONE copy of the mixed five-codec table's oracle CTE chain
     * (ends in `ok`: media_id, kind, codec, width, height, n_units,
     * exact_sum — the [[synthPayload]] synthesis reconstructed in SQL),
@@ -565,7 +572,115 @@ object CodecQueries {
                q.keep AS caption_ok,
                (m.media_ok AND m.size_ok AND q.keep) AS kept
              FROM med m JOIN qflags q ON m.media_id = q.doc_id
-             ORDER BY m.media_id"""))
+             ORDER BY m.media_id""")),
+
+    // ---- q166: MODALITY TOKEN BUDGET — what each modality costs to
+    // train on, accounted from DECODED facts: image tokens are ViT
+    // patches (ceil(w/14) * ceil(h/14)), audio tokens a wav2vec-style
+    // hop count (ceil(samples/320)), video tokens frames x patches;
+    // then the q114 temperature-mixing math (share^0.7 / Z) over the
+    // per-modality totals — the number a training-data team uses to
+    // set modality sampling weights under a token budget. Decode and
+    // token math ride the media partitions; the mixing arithmetic is
+    // three rows of metadata.
+    Q("q166_modality_token_budget",
+      (s, d) => {
+        import s.implicits._
+        val toks = graft.Tables.documents(s, d)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val (kind, bytes) = synthPayload(id)
+            val m = mediaSummary(kind, bytes)
+            val patches =
+              ((m.width + VitPatch - 1) / VitPatch).toLong *
+                ((m.height + VitPatch - 1) / VitPatch)
+            val t = kind match {
+              case "image" => patches
+              case "audio" => (m.nUnits + AudioHop - 1) / AudioHop
+              case _       => m.nUnits * patches
+            }
+            (kind, t)
+          }).toDF("kind", "tokens")
+        val per = toks.groupBy("kind")
+          .agg(count(lit(1)).as("n_items"),
+            sum("tokens").as("total_tokens"))
+        val tot = per.agg(sum("total_tokens").as("tot"))
+        val shared = per.crossJoin(broadcast(tot))
+          .withColumn("share", col("total_tokens").cast("double")
+            / col("tot").cast("double"))
+          .withColumn("pw",
+            pow(col("share"), lit(graft.text.TextQueries.MixAlpha)))
+        val z = shared.agg(sum("pw").as("z"))
+        shared.crossJoin(broadcast(z))
+          .select(col("kind"), col("n_items"), col("total_tokens"),
+            round(col("share"), 6).as("token_share"),
+            round(col("pw") / col("z"), 6).as("mix_weight"))
+          .orderBy("kind")
+      },
+      Some(s"""WITH $mixedMediaCtesSql,
+             tk AS (SELECT kind,
+                      CASE WHEN kind = 'image'
+                             THEN ((width + ${VitPatch - 1}) // $VitPatch)
+                                * ((height + ${VitPatch - 1}) // $VitPatch)
+                           WHEN kind = 'audio'
+                             THEN (n_units + ${AudioHop - 1}) // $AudioHop
+                           ELSE n_units
+                                * ((width + ${VitPatch - 1}) // $VitPatch)
+                                * ((height + ${VitPatch - 1}) // $VitPatch)
+                      END AS tokens
+                    FROM ok),
+             per AS (SELECT kind, count(*) AS n_items,
+                       CAST(sum(tokens) AS BIGINT) AS total_tokens
+                     FROM tk GROUP BY 1),
+             tot AS (SELECT CAST(sum(total_tokens) AS BIGINT) AS tot
+                     FROM per),
+             sh AS (SELECT per.*,
+                      CAST(total_tokens AS DOUBLE) / CAST(tot AS DOUBLE)
+                        AS share,
+                      power(CAST(total_tokens AS DOUBLE)
+                        / CAST(tot AS DOUBLE),
+                        ${graft.text.TextQueries.MixAlpha}) AS pw
+                    FROM per CROSS JOIN tot),
+             z AS (SELECT sum(pw) AS z FROM sh)
+             SELECT kind, n_items, total_tokens,
+               round(share, 6) AS token_share,
+               round(pw / z, 6) AS mix_weight
+             FROM sh CROSS JOIN z ORDER BY kind""")),
+
+    // ---- q167: SHOT-BOUNDARY SCORING — per-pixel luma difference
+    // between consecutive frames (Σ|Y_{f+1} − Y_f|), the classic
+    // temporal-activity / scene-cut signal, computed by the REAL
+    // demuxer with two O(1) frame seeks per pair: a detector sliding
+    // over an hours-long stream reads each frame exactly twice and
+    // nothing else, partition-parallel across videos. The oracle
+    // recomputes every pixel pair from the plane-byte formula.
+    Q("q167_shot_boundaries",
+      (s, d) => {
+        import s.implicits._
+        graft.Tables.documents(s, d).filter(col("doc_id") % 3 === 2)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.flatMap { id =>
+            val stream = Codecs.parseY4m(synthY4m(id))
+            (0 until stream.nFrames - 1).map { f =>
+              (id, f.toLong, Codecs.y4mFrameDeltaY(stream, f))
+            }
+          }).toDF("media_id", "frame_idx", "y_delta")
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""WITH vid AS (SELECT doc_id AS media_id,
+               4 + doc_id % 5 AS w, 4 + doc_id % 4 AS h,
+               3 + doc_id % 10 AS nf
+               FROM documents WHERE doc_id % 3 = 2),
+             f AS (SELECT media_id, w, h, unnest(range(0, nf - 1)) AS fi
+                   FROM vid),
+             p AS (SELECT media_id, fi,
+                     abs((media_id*13 + (fi+1)*101 + j*7) % 256
+                       - (media_id*13 + fi*101 + j*7) % 256) AS d
+                   FROM (SELECT media_id, w, h, fi,
+                           unnest(range(0, w*h)) AS j FROM f) x)
+             SELECT media_id, CAST(fi AS BIGINT) AS frame_idx,
+               CAST(sum(d) AS BIGINT) AS y_delta
+             FROM p GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 
   /** The q164/q165 arrival table: the mixed five-codec synthesis over

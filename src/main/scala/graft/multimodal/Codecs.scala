@@ -317,6 +317,36 @@ object Codecs {
     (y, u, v)
   }
 
+  /** Per-pixel luma difference between frames `idx` and `idx+1` —
+    * Σ|Y_{idx+1}(j) − Y_{idx}(j)| over the Y plane, the classic shot-
+    * boundary / temporal-activity signal. Like [[y4mPlaneSums]] this
+    * SEEKS: only the two frames' bytes are touched, so a detector
+    * sliding over an hours-long stream reads each frame twice and
+    * nothing else.
+    */
+  def y4mFrameDeltaY(s: Y4mStream, idx: Int): Long = {
+    require(idx >= 0 && idx + 1 < s.nFrames,
+      s"Y4M: delta needs frames $idx and ${idx + 1} of ${s.nFrames}")
+    val n = s.width * s.height
+    def yBase(i: Int): Int = {
+      val o = s.headerLen + i * s.frameBytes
+      require(s.bytes(o) == 'F' && s.bytes(o + 1) == 'R' &&
+        s.bytes(o + 2) == 'A' && s.bytes(o + 3) == 'M' &&
+        s.bytes(o + 4) == 'E' && s.bytes(o + 5) == '\n',
+        s"Y4M: no FRAME marker at frame $i (byte $o)")
+      o + 6
+    }
+    val a = yBase(idx)
+    val b = yBase(idx + 1)
+    var d = 0L
+    var j = 0
+    while (j < n) {
+      d += math.abs((s.bytes(b + j) & 0xff) - (s.bytes(a + j) & 0xff))
+      j += 1
+    }
+    d
+  }
+
   /** Encode C444 frames (each `w*h*3` plane-ordered bytes: Y then U
     * then V) as a canonical YUV4MPEG2 stream with bare frame markers.
     */

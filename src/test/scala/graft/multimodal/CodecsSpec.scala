@@ -243,6 +243,43 @@ class CodecsSpec extends AnyFunSuite {
     }
   }
 
+  test("Y4M: frame delta matches a direct per-pixel computation and " +
+    "only ever reads the two seeked frames") {
+    val rnd = new scala.util.Random(167)
+    for (_ <- 1 to 8) {
+      val w = 1 + rnd.nextInt(6)
+      val h = 1 + rnd.nextInt(6)
+      val nf = 2 + rnd.nextInt(8)
+      val frames =
+        Seq.fill(nf)(Array.fill(3 * w * h)(rnd.nextInt(256).toByte))
+      val s = Codecs.parseY4m(Codecs.encodeY4m(w, h, 30, 1, frames))
+      for (f <- 0 until nf - 1) {
+        val want = (0 until w * h).map(j =>
+          math.abs((frames(f + 1)(j) & 0xff) - (frames(f)(j) & 0xff))
+            .toLong).sum
+        assert(Codecs.y4mFrameDeltaY(s, f) == want, s"delta at frame $f")
+      }
+      intercept[IllegalArgumentException](
+        Codecs.y4mFrameDeltaY(s, nf - 1)) // needs a successor frame
+    }
+  }
+
+  test("q166 modality budget: one row per modality, weights normalize, " +
+    "temperature flattens the shares") {
+    val q166 = CodecQueries.defs
+      .find(_.name == "q166_modality_token_budget").get
+    val rows = q166.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == Seq("audio", "image", "video"))
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-4)
+    // alpha < 1 compresses the spread: max/min of weights < of shares
+    def spread(v: Seq[Double]) = v.max / v.min
+    assert(spread(rows.map(_._5).toSeq) < spread(rows.map(_._4).toSeq),
+      "temperature mixing did not flatten")
+  }
+
   test("Y4M: header parameters parse; unsupported colourspace and " +
     "malformed streams are rejected loudly") {
     val frame = Array.fill(3 * 2 * 2)(5.toByte)
