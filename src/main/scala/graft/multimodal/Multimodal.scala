@@ -258,9 +258,18 @@ object Multimodal {
       rows.map { r =>
         val isPpm = r.kind == "image" && r.bytes.length >= 2 &&
           r.bytes(0) == 'P'.toByte && r.bytes(1) == '6'.toByte
+        // within the image kind, every REAL codec magic routes to its
+        // real decoder; q41's table only ever carries P6 or raw text,
+        // so its oracle is untouched — the PNG/JPEG legs are pinned by
+        // MultimodalSpec against direct decodes
+        val isPng = r.kind == "image" && Codecs.isPng(r.bytes)
+        val isJpeg = r.kind == "image" && Codecs.isJpeg(r.bytes)
         val (entropy, meanByte, w, h) =
-          if (isPpm) {
-            val img = decodePpm(r.bytes)
+          if (isPpm || isPng || isJpeg) {
+            val img =
+              if (isPpm) decodePpm(r.bytes)
+              else if (isPng) Codecs.decodePng(r.bytes)
+              else Codecs.decodeJpeg(r.bytes)
             val (e, m) = byteStats(img.pixels)
             (e, m, img.width, img.height)
           } else {

@@ -155,6 +155,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("extractFeatures routes image-kind PNG and JPEG magics through " +
+      "the real JDK decoders (pixel stats + decoded dims, metadata " +
+      "only a hint)") {
+    import spark.implicits._
+    val flat = Multimodal.PpmImage(4, 2, Array.fill(4 * 2 * 3)(65.toByte))
+    val png = Codecs.encodePng(flat)
+    val jpg = Codecs.encodeJpeg(flat)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", png, 999, 999, 1),
+      Multimodal.MediaRow(2L, "image", jpg, 999, 999, 1),
+      // audio kind with a PNG payload: kind guard keeps it on the stub
+      Multimodal.MediaRow(3L, "audio", png.clone(), 8, 8, 1))
+    val got = Multimodal.extractFeatures(rows.toDS()).collect()
+      .map(r => r.media_id -> r).toMap
+    // lossless: constant image decodes to constant pixels — entropy 0
+    // proves PIXELS were measured, not the zlib-compressed stream
+    assert(got(1L).entropy == 0.0 && got(1L).mean_byte == 65.0)
+    assert(got(1L).thumb_w == 64 && got(1L).thumb_h == 32,
+      s"thumb must derive from decoded dims: ${got(1L)}")
+    // JPEG: dims exact; pixel stats near the flat source within lossy
+    // tolerance (and NOT the encoded stream's byte stats)
+    assert(got(2L).thumb_w == 64 && got(2L).thumb_h == 32)
+    assert(math.abs(got(2L).mean_byte - 65.0) < 4.0, s"${got(2L)}")
+    assert(got(3L).entropy > 0.0,
+      "audio kind must ride the stub even with PNG-looking bytes")
+  }
+
   test("mediaWithPpm: image rows become valid P6 with aligned " +
       "metadata; audio/video rows untouched") {
     val base = Multimodal.mediaFromDocuments(spark, sf).collect()
