@@ -225,6 +225,103 @@ object CodecQueries {
   val VitPatch = 14
   val AudioHop = 320
 
+  /** q168's VAD frame geometry: 32-sample analysis frames (full frames
+    * only), active when the frame's energy Σs² exceeds the threshold —
+    * set at the synthesis's expected frame energy (uniform ±2000 →
+    * E[s²]≈1.33M, ×32 ≈ 42.7M) so activity flips pseudo-randomly
+    * across frames and both branches plus the island merge all fire.
+    */
+  val VadFrame = 32
+  val VadThreshold = 42700000L
+
+  /** q168's per-stream VAD pass: frame the PCM ([[VadFrame]] samples,
+    * full frames only), gate on energy Σs² > [[VadThreshold]], merge
+    * consecutive active frames into (media_id, seg_start, seg_end,
+    * n_frames, energy) segments. Sequential per-stream state that
+    * never leaves the row — the whole detector runs inside one
+    * partition pass.
+    */
+  def vadSegmentsOf(id: Long, samples: Array[Short])
+      : Seq[(Long, Long, Long, Long, Long)] = {
+    val nf = samples.length / VadFrame
+    val segs = scala.collection.mutable.Buffer
+      .empty[(Long, Long, Long, Long, Long)]
+    var segStart = -1
+    var segEnergy = 0L
+    var f = 0
+    while (f < nf) {
+      var e = 0L
+      var i = f * VadFrame
+      val end = i + VadFrame
+      while (i < end) {
+        val v = samples(i).toLong
+        e += v * v
+        i += 1
+      }
+      if (e > VadThreshold) {
+        if (segStart < 0) { segStart = f; segEnergy = 0L }
+        segEnergy += e
+      } else if (segStart >= 0) {
+        segs += ((id, segStart.toLong, (f - 1).toLong,
+          (f - segStart).toLong, segEnergy))
+        segStart = -1
+      }
+      f += 1
+    }
+    if (segStart >= 0)
+      segs += ((id, segStart.toLong, (nf - 1).toLong,
+        (nf - segStart).toLong, segEnergy))
+    segs.toSeq
+  }
+
+  /** q169's dHash geometry: a 9-wide x 7-tall NN-sampled grayscale
+    * grid compared horizontally → 8x7 = 56 bits (56, not 64, so the
+    * hash lives comfortably in a signed BIGINT on both engines), and
+    * 4 x 14-bit LSH bands — by pigeonhole any pair within hamming
+    * distance 3 shares at least one exact band, so the banded
+    * candidate join loses nothing at the verify threshold.
+    */
+  val PhashGridW = 9
+  val PhashGridH = 7
+  val PhashBands = 4
+  val PhashBandBits = 14
+  val PhashMaxHamming = 3
+
+  /** dHash over a decoded image: integer grayscale (r+g+b)/3,
+    * nearest-neighbor point sample onto the grid, horizontal
+    * brighter-than comparisons packed LSB-first.
+    */
+  def dHashOf(img: Multimodal.PpmImage): Long = {
+    val gs = new Array[Int](PhashGridW * PhashGridH)
+    var gy = 0
+    while (gy < PhashGridH) {
+      val sy = gy * img.height / PhashGridH
+      var gx = 0
+      while (gx < PhashGridW) {
+        val sx = gx * img.width / PhashGridW
+        val p = (sy * img.width + sx) * 3
+        gs(gy * PhashGridW + gx) = ((img.pixels(p) & 0xff)
+          + (img.pixels(p + 1) & 0xff) + (img.pixels(p + 2) & 0xff)) / 3
+        gx += 1
+      }
+      gy += 1
+    }
+    var hash = 0L
+    var k = 0
+    var y = 0
+    while (y < PhashGridH) {
+      var x = 0
+      while (x < PhashGridW - 1) {
+        if (gs(y * PhashGridW + x + 1) > gs(y * PhashGridW + x))
+          hash |= 1L << k
+        k += 1
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
   /** The ONE copy of the mixed five-codec table's oracle CTE chain
     * (ends in `ok`: media_id, kind, codec, width, height, n_units,
     * exact_sum — the [[synthPayload]] synthesis reconstructed in SQL),
@@ -680,7 +777,136 @@ object CodecQueries {
                            unnest(range(0, w*h)) AS j FROM f) x)
              SELECT media_id, CAST(fi AS BIGINT) AS frame_idx,
                CAST(sum(d) AS BIGINT) AS y_delta
-             FROM p GROUP BY 1, 2 ORDER BY 1, 2"""))
+             FROM p GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- q168: VOICE-ACTIVITY DETECTION — the speech-curation
+    // primitive: real decoded PCM is framed (32 samples, full frames
+    // only), each frame's energy Σs² gates active/silent, and
+    // consecutive active frames merge into segments (gaps-and-islands)
+    // with their span and energy mass. VAD is per-stream sequential
+    // work, so the segments are emitted directly from each row's
+    // sample array inside the partition pass — zero shuffles until the
+    // presentation sort, exactly how an hours-of-audio corpus wants it
+    // (state never leaves the row). The oracle rebuilds the same
+    // segments with window-function islands over the sample formula.
+    Q("q168_voice_activity",
+      (s, d) => {
+        import s.implicits._
+        graft.Tables.documents(s, d).filter(col("doc_id") % 3 === 1)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.flatMap { id =>
+            val wav = Codecs.decodeWav(Codecs.encodeWav(synthWav(id)))
+            vadSegmentsOf(id, wav.samples)
+          })
+          .toDF("media_id", "seg_start", "seg_end", "n_frames", "energy")
+          .orderBy("media_id", "seg_start")
+      },
+      Some(s"""WITH a AS (SELECT doc_id AS media_id,
+               256 + doc_id % 257 AS n
+               FROM documents WHERE doc_id % 3 = 1),
+             smp AS (SELECT media_id, t // $VadFrame AS f,
+                       (media_id*31 + t*997) % 4001 - 2000 AS v
+                     FROM (SELECT media_id, n,
+                             unnest(range(0, (n // $VadFrame)
+                               * $VadFrame)) AS t FROM a) x),
+             fe AS (SELECT media_id, f, sum(v*v) AS e
+                    FROM smp GROUP BY 1, 2),
+             act AS (SELECT media_id, f, e, e > $VadThreshold AS active,
+                       f - row_number() OVER (
+                         PARTITION BY media_id, e > $VadThreshold
+                         ORDER BY f) AS grp
+                     FROM fe),
+             seg AS (SELECT media_id, min(f) AS seg_start,
+                       max(f) AS seg_end, count(*) AS n_frames,
+                       sum(e) AS energy
+                     FROM act WHERE active GROUP BY media_id, grp)
+             SELECT media_id, CAST(seg_start AS BIGINT) AS seg_start,
+               CAST(seg_end AS BIGINT) AS seg_end,
+               CAST(n_frames AS BIGINT) AS n_frames,
+               CAST(energy AS BIGINT) AS energy
+             FROM seg ORDER BY media_id, seg_start""")),
+
+    // ---- q169: PERCEPTUAL IMAGE DEDUP — near-dup detection over
+    // DECODED PIXELS (dHash: NN-sampled grayscale grid, horizontal
+    // brighter-than bits), the image-side twin of the q68 SimHash
+    // pipeline. The corpus plants real cross-codec duplicates: ids
+    // 6k and 6k+3 carry the SAME pixels, one as PPM and one as PNG —
+    // lossless decode makes their hashes identical, so the dedup
+    // finds content duplicates the BYTE-level fingerprint (q27/q82)
+    // cannot see. Scale shape: candidates come from a banded
+    // equi-join (4 x 14-bit bands; pigeonhole guarantees recall at
+    // hamming <= 3), never the O(n²) pairwise comparison; the exact
+    // bit_count verify prices only candidates. The oracle rebuilds
+    // every hash from the pixel formula and brute-forces the pairs.
+    Q("q169_image_phash_pairs",
+      (s, d) => {
+        import s.implicits._
+        val hashes = graft.CacheScope.retain(
+          graft.Tables.documents(s, d).filter(col("doc_id") % 3 === 0)
+            .select(col("doc_id")).as[Long]
+            .mapPartitions(_.map { id =>
+              val cid = id / 6
+              val w = (16 + cid % 17).toInt
+              val h = (12 + cid % 13).toInt
+              val img = Multimodal.PpmImage(w, h, Array.tabulate(w * h * 3)(
+                j => ((cid * 7 + j.toLong * 131) % 256).toByte))
+              // a REAL encode/decode round-trip per row: the planted
+              // twins reach the hash through two different codecs
+              val decoded =
+                if (id % 6 == 0) Multimodal.decodePpm(Multimodal.ppmEncode(img))
+                else Codecs.decodePng(Codecs.encodePng(img))
+              (id, dHashOf(decoded))
+            }).toDF("doc_id", "hash"))
+        val bandCols = (0 until PhashBands).map(b =>
+          shiftright(col("hash"), b * PhashBandBits)
+            .bitwiseAND((1L << PhashBandBits) - 1))
+        val bands = hashes.select(col("doc_id"),
+          posexplode(array(bandCols: _*)))
+          .toDF("doc_id", "band", "v")
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.v") === col("b.v")
+              && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .distinct()
+        cand
+          .join(hashes.select(col("doc_id").as("id_a"),
+            col("hash").as("ha")), "id_a")
+          .join(hashes.select(col("doc_id").as("id_b"),
+            col("hash").as("hb")), "id_b")
+          .withColumn("hamming",
+            bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+          .filter(col("hamming") <= PhashMaxHamming)
+          .select("id_a", "id_b", "hamming")
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH dims AS (SELECT doc_id AS id, doc_id // 6 AS cid,
+               16 + (doc_id // 6) % 17 AS w, 12 + (doc_id // 6) % 13 AS h
+               FROM documents WHERE doc_id % 3 = 0),
+             grid AS (SELECT id, cid, gy, gx,
+                        (gy * h // $PhashGridH * w
+                         + gx * w // $PhashGridW) * 3 AS p
+                      FROM dims,
+                        (SELECT unnest(range(0, $PhashGridH)) AS gy) a,
+                        (SELECT unnest(range(0, $PhashGridW)) AS gx) b),
+             gray AS (SELECT id, gy, gx,
+                        ((cid*7 + p*131) % 256 + (cid*7 + (p+1)*131) % 256
+                         + (cid*7 + (p+2)*131) % 256) // 3 AS g
+                      FROM grid),
+             bits AS (SELECT l.id,
+                        l.gy * ${PhashGridW - 1} + l.gx AS k,
+                        CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit
+                      FROM gray l JOIN gray r ON l.id = r.id
+                        AND l.gy = r.gy AND r.gx = l.gx + 1
+                      WHERE l.gx < ${PhashGridW - 1}),
+             hashes AS (SELECT id,
+                          CAST(sum(CAST(bit AS BIGINT) << k) AS BIGINT)
+                            AS hash
+                        FROM bits GROUP BY id)
+             SELECT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.hash, b.hash)) AS BIGINT) AS hamming
+             FROM hashes a JOIN hashes b ON a.id < b.id
+             WHERE bit_count(xor(a.hash, b.hash)) <= $PhashMaxHamming
+             ORDER BY 1, 2"""))
   )
 
   /** The q164/q165 arrival table: the mixed five-codec synthesis over

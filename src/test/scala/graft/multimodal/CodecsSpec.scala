@@ -382,6 +382,66 @@ class CodecsSpec extends AnyFunSuite {
       .foreach(r => assert(r.getLong(5) >= 0))
   }
 
+  test("VAD: hand-built loud/silent pattern yields exactly the " +
+    "expected segments; partial tail frame is ignored") {
+    val F = CodecQueries.VadFrame
+    def frames(pattern: String): Array[Short] =
+      pattern.toSeq.flatMap {
+        case 'L' => Seq.fill[Short](F)(3000) // 32*9M = 288M > T
+        case _   => Seq.fill[Short](F)(0)
+      }.toArray
+    // loud-loud-silent-loud-silent-silent-loud  -> [0,1], [3,3], [6,6]
+    val segs = CodecQueries.vadSegmentsOf(7L,
+      frames("LLsLssL") ++ Array.fill[Short](F / 2)(3000)) // partial tail
+    assert(segs.map(s => (s._2, s._3, s._4)) ==
+      Seq((0L, 1L, 2L), (3L, 3L, 1L), (6L, 6L, 1L)))
+    assert(segs.forall(_._5 > 0))
+    assert(segs.head._5 == 2L * F * 3000L * 3000L, "segment energy mass")
+    // all-silent and too-short streams produce nothing
+    assert(CodecQueries.vadSegmentsOf(1L, frames("sss")).isEmpty)
+    assert(CodecQueries.vadSegmentsOf(1L,
+      Array.fill[Short](F - 1)(3000)).isEmpty)
+  }
+
+  test("q169: planted cross-codec twins dedup at hamming 0, and the " +
+    "banded candidates lose nothing vs brute force") {
+    val q169 = CodecQueries.defs
+      .find(_.name == "q169_image_phash_pairs").get
+    val pairs = q169.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    graft.CacheScope.flush(spark)
+    // every planted twin (ids 6k and 6k+3, same pixels via PPM vs PNG)
+    // must be found with hamming EXACTLY 0 — lossless decode
+    import spark.implicits._
+    val imageIds = graft.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 0)
+      .select("doc_id").as[Long].collect().toSet
+    val planted = imageIds.filter(id => id % 6 == 0
+      && imageIds.contains(id + 3)).map(id => (id, id + 3))
+    assert(planted.nonEmpty)
+    planted.foreach { p =>
+      val hit = pairs.find(r => (r._1, r._2) == p)
+      assert(hit.exists(_._3 == 0L), s"planted twin $p: $hit")
+    }
+    // banding is complete at the verify threshold: brute-force the
+    // hashes and compare pair sets
+    val hashes = imageIds.toSeq.sorted.map { id =>
+      val cid = id / 6
+      val w = (16 + cid % 17).toInt
+      val h = (12 + cid % 13).toInt
+      id -> CodecQueries.dHashOf(Multimodal.PpmImage(w, h,
+        Array.tabulate(w * h * 3)(j =>
+          ((cid * 7 + j.toLong * 131) % 256).toByte)))
+    }
+    val brute = for {
+      (a, ha) <- hashes
+      (b, hb) <- hashes
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <=
+        CodecQueries.PhashMaxHamming
+    } yield (a, b, java.lang.Long.bitCount(ha ^ hb).toLong)
+    assert(pairs.toSeq.sorted == brute.sorted)
+  }
+
   test("q165 pair curation: every rule fires both ways and kept is " +
     "their conjunction") {
     val q165 = CodecQueries.defs.find(_.name == "q165_pair_curation").get
