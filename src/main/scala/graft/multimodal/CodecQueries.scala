@@ -906,7 +906,51 @@ object CodecQueries {
                CAST(bit_count(xor(a.hash, b.hash)) AS BIGINT) AS hamming
              FROM hashes a JOIN hashes b ON a.id < b.id
              WHERE bit_count(xor(a.hash, b.hash)) <= $PhashMaxHamming
-             ORDER BY 1, 2"""))
+             ORDER BY 1, 2""")),
+
+    // ---- q170: the media-stats ARTIFACT LIFECYCLE, served — the
+    // q164 gate run through the actual sink machinery inside the
+    // correctness gate: two fenced batch commits (even ids then odd
+    // ids), a deliberate REPLAY of batch 0 (the fence must skip it —
+    // across the compaction's version flip, where the carried markers
+    // do the fencing), compaction after every batch, then the
+    // dashboard SERVED from the committed artifact: per (kind, status,
+    // codec) counts and content mass. The oracle aggregates the same
+    // corruption-rule synthesis directly — the artifact must equal it
+    // REGARDLESS of batching, replay, or compaction, which is the
+    // whole exactly-once claim made hash-checkable.
+    Q("q170_media_stats_served",
+      (s, d) => {
+        val root = graft.TempArtifacts.dir("graft_media_stats")
+        val media = corruptedMediaTable(s, d)
+        val even = media.filter(col("media_id") % 2 === 0)
+        val odd = media.filter(col("media_id") % 2 === 1)
+        graft.streaming.Streams.mediaIngestBatch(even, 0L, root,
+          compactEvery = 1)
+        graft.streaming.Streams.mediaIngestBatch(odd, 1L, root,
+          compactEvery = 1)
+        // replay batch 0 after the flips: must be fenced, not re-append
+        graft.streaming.Streams.mediaIngestBatch(even, 0L, root,
+          compactEvery = 0)
+        servedMediaStats(s, root)
+          .groupBy("kind", "status", "codec")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("exact_sum") >= 0, col("exact_sum"))
+              .otherwise(lit(0L))).as("content_mass"))
+          .orderBy("kind", "status", "codec")
+      },
+      Some(s"""WITH $mixedMediaCtesSql,
+             dec AS (SELECT media_id, kind,
+                       CASE WHEN media_id % 31 = 0 THEN 'quarantined'
+                            ELSE 'ok' END AS status,
+                       CASE WHEN media_id % 31 = 0 THEN ''
+                            ELSE codec END AS codec,
+                       CASE WHEN media_id % 31 = 0 OR exact_sum < 0
+                            THEN 0 ELSE exact_sum END AS mass
+                     FROM ok)
+             SELECT kind, status, codec, count(*) AS n,
+               CAST(sum(mass) AS BIGINT) AS content_mass
+             FROM dec GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
   )
 
   /** The q164/q165 arrival table: the mixed five-codec synthesis over
