@@ -287,6 +287,66 @@ object CodecQueries {
   val PhashBandBits = 14
   val PhashMaxHamming = 3
 
+  /** q171's corpus/arrival split: the indexed corpus is the PPM
+    * variants (ids ≡ 0 mod 6) below the cutoff, arrivals the PNG
+    * variants (ids ≡ 3 mod 6) — every arrival whose pixel-twin sits in
+    * the corpus must come back `dup`, twins above the cutoff `added`,
+    * so both decision branches fire.
+    */
+  val PhashCorpusCutoff = 250L
+
+  /** Decode + dHash the image corpus (the q169 synthesis: content id
+    * = doc_id/6, so ids 6k and 6k+3 carry the same pixels through PPM
+    * and PNG respectively), restricted by `pred` BEFORE decoding — an
+    * arrival batch decodes only its own payloads.
+    */
+  def phashHashesOf(s: org.apache.spark.sql.SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, dir)
+      .filter(col("doc_id") % 3 === 0 && pred)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val cid = id / 6
+        val w = (16 + cid % 17).toInt
+        val h = (12 + cid % 13).toInt
+        val img = Multimodal.PpmImage(w, h, Array.tabulate(w * h * 3)(
+          j => ((cid * 7 + j.toLong * 131) % 256).toByte))
+        val decoded =
+          if (id % 6 == 0) Multimodal.decodePpm(Multimodal.ppmEncode(img))
+          else Codecs.decodePng(Codecs.encodePng(img))
+        (id, dHashOf(decoded))
+      }).toDF("doc_id", "hash")
+  }
+
+  /** The ONE copy of the dHash oracle CTE chain (ends in `hashes`:
+    * id, hash), shared by the q169/q171 oracles.
+    */
+  private def phashHashCtesSql: String =
+    s"""dims AS (SELECT doc_id AS id, doc_id // 6 AS cid,
+               16 + (doc_id // 6) % 17 AS w, 12 + (doc_id // 6) % 13 AS h
+               FROM documents WHERE doc_id % 3 = 0),
+             grid AS (SELECT id, cid, gy, gx,
+                        (gy * h // $PhashGridH * w
+                         + gx * w // $PhashGridW) * 3 AS p
+                      FROM dims,
+                        (SELECT unnest(range(0, $PhashGridH)) AS gy) a,
+                        (SELECT unnest(range(0, $PhashGridW)) AS gx) b),
+             gray AS (SELECT id, gy, gx,
+                        ((cid*7 + p*131) % 256 + (cid*7 + (p+1)*131) % 256
+                         + (cid*7 + (p+2)*131) % 256) // 3 AS g
+                      FROM grid),
+             bits AS (SELECT l.id,
+                        l.gy * ${PhashGridW - 1} + l.gx AS k,
+                        CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit
+                      FROM gray l JOIN gray r ON l.id = r.id
+                        AND l.gy = r.gy AND r.gx = l.gx + 1
+                      WHERE l.gx < ${PhashGridW - 1}),
+             hashes AS (SELECT id,
+                          CAST(sum(CAST(bit AS BIGINT) << k) AS BIGINT)
+                            AS hash
+                        FROM bits GROUP BY id)"""
+
   /** dHash over a decoded image: integer grayscale (r+g+b)/3,
     * nearest-neighbor point sample onto the grid, horizontal
     * brighter-than comparisons packed LSB-first.
@@ -840,29 +900,11 @@ object CodecQueries {
     // every hash from the pixel formula and brute-forces the pairs.
     Q("q169_image_phash_pairs",
       (s, d) => {
-        import s.implicits._
+        // a REAL encode/decode round-trip per row: the planted twins
+        // reach the hash through two different codecs
         val hashes = graft.CacheScope.retain(
-          graft.Tables.documents(s, d).filter(col("doc_id") % 3 === 0)
-            .select(col("doc_id")).as[Long]
-            .mapPartitions(_.map { id =>
-              val cid = id / 6
-              val w = (16 + cid % 17).toInt
-              val h = (12 + cid % 13).toInt
-              val img = Multimodal.PpmImage(w, h, Array.tabulate(w * h * 3)(
-                j => ((cid * 7 + j.toLong * 131) % 256).toByte))
-              // a REAL encode/decode round-trip per row: the planted
-              // twins reach the hash through two different codecs
-              val decoded =
-                if (id % 6 == 0) Multimodal.decodePpm(Multimodal.ppmEncode(img))
-                else Codecs.decodePng(Codecs.encodePng(img))
-              (id, dHashOf(decoded))
-            }).toDF("doc_id", "hash"))
-        val bandCols = (0 until PhashBands).map(b =>
-          shiftright(col("hash"), b * PhashBandBits)
-            .bitwiseAND((1L << PhashBandBits) - 1))
-        val bands = hashes.select(col("doc_id"),
-          posexplode(array(bandCols: _*)))
-          .toDF("doc_id", "band", "v")
+          phashHashesOf(s, d, lit(true)))
+        val bands = PhashIndex.bandsOf(hashes)
         val cand = bands.as("a").join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.v") === col("b.v")
               && col("a.doc_id") < col("b.doc_id"))
@@ -879,29 +921,7 @@ object CodecQueries {
           .select("id_a", "id_b", "hamming")
           .orderBy("id_a", "id_b")
       },
-      Some(s"""WITH dims AS (SELECT doc_id AS id, doc_id // 6 AS cid,
-               16 + (doc_id // 6) % 17 AS w, 12 + (doc_id // 6) % 13 AS h
-               FROM documents WHERE doc_id % 3 = 0),
-             grid AS (SELECT id, cid, gy, gx,
-                        (gy * h // $PhashGridH * w
-                         + gx * w // $PhashGridW) * 3 AS p
-                      FROM dims,
-                        (SELECT unnest(range(0, $PhashGridH)) AS gy) a,
-                        (SELECT unnest(range(0, $PhashGridW)) AS gx) b),
-             gray AS (SELECT id, gy, gx,
-                        ((cid*7 + p*131) % 256 + (cid*7 + (p+1)*131) % 256
-                         + (cid*7 + (p+2)*131) % 256) // 3 AS g
-                      FROM grid),
-             bits AS (SELECT l.id,
-                        l.gy * ${PhashGridW - 1} + l.gx AS k,
-                        CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit
-                      FROM gray l JOIN gray r ON l.id = r.id
-                        AND l.gy = r.gy AND r.gx = l.gx + 1
-                      WHERE l.gx < ${PhashGridW - 1}),
-             hashes AS (SELECT id,
-                          CAST(sum(CAST(bit AS BIGINT) << k) AS BIGINT)
-                            AS hash
-                        FROM bits GROUP BY id)
+      Some(s"""WITH $phashHashCtesSql
              SELECT a.id AS id_a, b.id AS id_b,
                CAST(bit_count(xor(a.hash, b.hash)) AS BIGINT) AS hamming
              FROM hashes a JOIN hashes b ON a.id < b.id
@@ -950,7 +970,44 @@ object CodecQueries {
                      FROM ok)
              SELECT kind, status, codec, count(*) AS n,
                CAST(sum(mass) AS BIGINT) AS content_mass
-             FROM dec GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+             FROM dec GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    // ---- q171: IMAGE NEAR-DUP INGEST from the PERSISTED phash index
+    // — the image-side q117: the corpus's PPM variants (ids ≡ 0 mod 6,
+    // below the cutoff) are hashed ONCE into the artifact
+    // (hashes + bands components), then the arriving PNG variants
+    // (ids ≡ 3 mod 6) are gated against it: banded candidates
+    // (pigeonhole-complete at the verify threshold) → exact hamming
+    // verify → `dup` with the lowest matching corpus doc, or `added`.
+    // Every arrival whose pixel-twin is indexed must come back dup
+    // (lossless decode → hamming 0); twins above the cutoff come back
+    // added — both branches fire and the oracle brute-forces the same
+    // decisions from the hash formula. Ingest cost is arrival-side
+    // only; the corpus is never re-decoded.
+    Q("q171_phash_ingest",
+      (s, d) => {
+        val idx = graft.TempArtifacts.dir("graft_phash_idx")
+        PhashIndex.buildPhashIndex(
+          phashHashesOf(s, d, col("doc_id") % 6 === 0
+            && col("doc_id") < PhashCorpusCutoff), idx)
+        PhashIndex.phashIngestDecisions(
+            phashHashesOf(s, d, col("doc_id") % 6 === 3), idx)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $phashHashCtesSql,
+             corpus AS (SELECT id, hash FROM hashes
+                        WHERE id % 6 = 0 AND id < $PhashCorpusCutoff),
+             arr AS (SELECT id, hash FROM hashes WHERE id % 6 = 3),
+             m AS (SELECT a.id, min(c.id) AS dup_of
+                   FROM arr a JOIN corpus c
+                     ON bit_count(xor(a.hash, c.hash)) <= $PhashMaxHamming
+                   GROUP BY a.id)
+             SELECT a.id AS doc_id, a.hash,
+               CASE WHEN m.dup_of IS NULL THEN 'added'
+                    ELSE 'dup' END AS status,
+               CAST(coalesce(m.dup_of, -1) AS BIGINT) AS dup_of
+             FROM arr a LEFT JOIN m ON a.id = m.id
+             ORDER BY a.id"""))
   )
 
   /** The q164/q165 arrival table: the mixed five-codec synthesis over
