@@ -492,6 +492,47 @@ object Streams {
       Seq(outDir -> graft.multimodal.CodecQueries.compactMediaStats _))
   }
 
+  /** STREAMING IMAGE NEAR-DUP INGEST — [[nearDupIngestSink]]'s image
+    * twin on the persisted perceptual-hash index (q171's machinery,
+    * live): each micro-batch of arriving image hashes (doc_id, hash)
+    * is gated against the artifact (banded candidates + exact hamming
+    * verify), decisions commit fenced, and the index ADVANCES with the
+    * admitted images before the next batch reads it. EXACTLY-ONCE:
+    * decisions commit first; the advance payload derives from the
+    * COMMITTED decision rows, so a post-crash replay appends exactly
+    * what the original attempt decided; compaction on the cadence.
+    */
+  def phashIngestSink(hashes: DataFrame, indexPath: String,
+      checkpointDir: String, outDir: String, compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    hashes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        phashIngestBatch(batch, batchId, indexPath, outDir, compactEvery)
+      }
+      .start()
+
+  /** One micro-batch of [[phashIngestSink]] — exposed for the
+    * forced-replay spec.
+    */
+  private[graft] def phashIngestBatch(batch: DataFrame, batchId: Long,
+      indexPath: String, outDir: String, compactEvery: Int): Unit = {
+    import graft.multimodal.PhashIndex
+    import graft.sources.BatchCommits
+    if (!BatchCommits.isCommitted(outDir, batchId))
+      BatchCommits.appendBatch(
+        PhashIndex.phashIngestDecisions(batch, indexPath)
+          .withColumn("batch_id", lit(batchId)),
+        outDir, batchId): Unit
+    val committed = batch.sparkSession.read
+      .parquet(outDir + s"/batch-$batchId")
+    PhashIndex.advancePhashIndex(
+      committed.filter(col("status") === "added")
+        .select("doc_id", "hash"), indexPath, Some(batchId))
+    compactOnCadence(batch.sparkSession, batchId, compactEvery,
+      Seq(indexPath -> PhashIndex.compactPhashIndex _))
+  }
+
   /** Streaming advance of the CORPUS-STATISTICS artifact (the q143
     * CMS as a persisted profile): each micro-batch's token sketch is
     * merged into the file at `sketchPath`. CMS merge is element-wise

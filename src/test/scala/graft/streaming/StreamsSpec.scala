@@ -619,6 +619,68 @@ class StreamsSpec extends AnyFunSuite {
     graft.CacheScope.flush(spark)
   }
 
+  test("streaming phash ingest: batch-2 dups against batch-1 " +
+    "admissions, index ≡ rebuild, replay fenced under compaction") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.multimodal.{CodecQueries, PhashIndex}
+    val sf = "/root/testdata/sf0.001"
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val idx = tmp("graft_phash_stream")
+    // corpus: PPM variants below 100
+    PhashIndex.buildPhashIndex(
+      CodecQueries.phashHashesOf(spark, sf,
+        col("doc_id") % 6 === 0 && col("doc_id") < 100), idx)
+    // batch 1: PPM variants in [100, 200) — novel, must admit AND
+    // advance; batch 2: their PNG pixel-twins (ids+3) — every one must
+    // then dup against batch 1's admissions, proving batch 2 read the
+    // ADVANCED artifact
+    val b1 = CodecQueries.phashHashesOf(spark, sf,
+      col("doc_id") % 6 === 0 && col("doc_id") >= 100
+        && col("doc_id") < 200)
+      .as[(Long, Long)].collect().toSeq
+    val b2 = b1.map { case (id, _) => id + 3 }
+    val b2Hashes = CodecQueries.phashHashesOf(spark, sf,
+      col("doc_id").isInCollection(b2))
+      .as[(Long, Long)].collect().toSeq
+    assert(b1.nonEmpty && b2Hashes.nonEmpty)
+    val out = tmp("graft_phash_out") + "/decisions"
+    val mem = MemoryStream[(Long, Long)]
+    val q = Streams.phashIngestSink(
+      mem.toDF.toDF("doc_id", "hash"), idx,
+      tmp("graft_phash_ckpt"), out, compactEvery = 1)
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2Hashes: _*); q.processAllAvailable()
+    } finally q.stop()
+    val dec = graft.sources.BatchCommits.readComponent(spark, out)
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getLong(3)))
+      .toMap
+    b1.foreach { case (id, _) =>
+      assert(dec(id)._1 == "added", s"novel corpus image $id") }
+    b2Hashes.foreach { case (id, _) =>
+      assert(dec(id) == ("dup", id - 3),
+        s"pixel-twin $id must dup against batch 1's admission") }
+    // the advanced artifact ≡ a rebuild from (corpus + all admissions)
+    val rebuilt = tmp("graft_phash_stream_rebuild")
+    PhashIndex.buildPhashIndex(
+      CodecQueries.phashHashesOf(spark, sf,
+        (col("doc_id") % 6 === 0 && col("doc_id") < 100)
+          || (col("doc_id") % 6 === 0 && col("doc_id") >= 100
+            && col("doc_id") < 200)), rebuilt)
+    def frame(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(frame(PhashIndex.indexHashes(spark, idx)) ==
+      frame(PhashIndex.indexHashes(spark, rebuilt)))
+    // replay batch 1 after the compaction flips: fenced, no change
+    val before = frame(PhashIndex.indexHashes(spark, idx))
+    Streams.phashIngestBatch(b1.toDF("doc_id", "hash"), 0L, idx, out,
+      compactEvery = 0)
+    assert(frame(PhashIndex.indexHashes(spark, idx)) == before)
+    graft.CacheScope.flush(spark)
+  }
+
   test("streaming media ingest gate: stream ≡ batch decisions, " +
     "quarantine fires, replay fences, compaction invisible") {
     import spark.implicits._
