@@ -262,7 +262,46 @@ object ScaleProbe {
     if (enabled("curation_stream")) curationSinkLatency(spark, base)
     if (enabled("ann_train")) annTrainScale(spark)
     if (enabled("codec")) codecScale(spark)
+    if (enabled("phash")) phashIngestScale(spark)
     spark.stop()
+  }
+
+  /** q171's ingest path under arrival growth, WORST CASE by
+    * construction: the index holds every PPM variant of the sf0.1
+    * corpus and the arrivals are k-fold replicas of every PNG
+    * pixel-twin (ids offset, hashes identical) — every arrival is a
+    * dup, every band of every arrival hits its twin's buckets, so the
+    * candidate volume is the maximum the corpus admits. Cost must be
+    * linear in arrivals (decode+hash per arrival, one band equi-join,
+    * verify on candidates) with the index side fixed.
+    *
+    * Measured (local[32], 833-image index): 3.77/1.94/1.35 s at
+    * k=1/4/10 (833/3332/8330 arrivals, 100% dup) — k=1 carries plan +
+    * codegen warmup; 10x the arrivals lands BELOW it, i.e. the whole
+    * worst-case ingest is fixed-cost dominated at probe scale with a
+    * shallow linear data term.
+    */
+  private def phashIngestScale(spark: SparkSession): Unit = {
+    import graft.multimodal.{CodecQueries, PhashIndex}
+    val dir = "/root/testdata/sf0.1"
+    val idx = TempArtifacts.dir("probe_phash_idx")
+    PhashIndex.buildPhashIndex(
+      CodecQueries.phashHashesOf(spark, dir, col("doc_id") % 6 === 0),
+      idx)
+    // decode+hash ONCE; replicas are projections over the checkpoint
+    val base = CodecQueries
+      .phashHashesOf(spark, dir, col("doc_id") % 6 === 3)
+      .localCheckpoint(true)
+    for (k <- Seq(1, 4, 10)) {
+      val arr = (0 until k).map(i =>
+        base.select((col("doc_id") + lit(i.toLong * 10000000L))
+          .as("doc_id"), col("hash"))).reduce(_ unionAll _)
+      val t0 = System.nanoTime()
+      val dec = PhashIndex.phashIngestDecisions(arr, idx)
+      val dups = dec.filter(col("status") === "dup").count()
+      println(f"[scale] phash_ingest k=$k arrivals=${dec.count()} " +
+        f"dups=$dups time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
   }
 
   /** The real-codec stack (q160-q164) under growth on BOTH axes that
