@@ -234,6 +234,18 @@ object CodecQueries {
   val VadFrame = 32
   val VadThreshold = 42700000L
 
+  /** q172's plausibility band, tokens/second (synthetic durations are
+    * milliseconds-scale, so the band is set where this corpus's rate
+    * distribution actually splits).
+    */
+  val SpeechRateLo = 500L
+  val SpeechRateHi = 2500L
+
+  /** q173's blank threshold: grayscale population variance floor
+    * (integer form: n·Σg² − (Σg)² < T·n²).
+    */
+  val BlankVarT = 100L
+
   /** q168's per-stream VAD pass: frame the PCM ([[VadFrame]] samples,
     * full frames only), gate on energy Σs² > [[VadThreshold]], merge
     * consecutive active frames into (media_id, seg_start, seg_end,
@@ -1007,7 +1019,109 @@ object CodecQueries {
                     ELSE 'dup' END AS status,
                CAST(coalesce(m.dup_of, -1) AS BIGINT) AS dup_of
              FROM arr a LEFT JOIN m ON a.id = m.id
-             ORDER BY a.id"""))
+             ORDER BY a.id""")),
+
+    // ---- q172: SPEECH-RATE GATE — the speech-corpus pair-integrity
+    // audit (the CommonVoice-style check): a (caption, audio) pair is
+    // implausible when its token rate, tokens per second computed from
+    // the DECODED duration, falls outside [RateLo, RateHi]. All
+    // integer arithmetic (rate scaled x1000 via integer division), so
+    // the oracle is exact; bounds chosen to split this corpus's
+    // synthesis so both branches fire. Decode rides the audio
+    // partitions; tokens are the caption's whitespace count; the pair
+    // decision is one co-partitioned equi-join.
+    Q("q172_speech_rate_gate",
+      (s, d) => {
+        import s.implicits._
+        val audio = graft.Tables.documents(s, d)
+          .filter(col("doc_id") % 3 === 1)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val wav = Codecs.decodeWav(Codecs.encodeWav(synthWav(id)))
+            (id, wav.samples.length.toLong * 1000 / wav.sampleRate)
+          }).toDF("doc_id", "duration_ms")
+        val captions = graft.Tables.documents(s, d)
+          .filter(col("doc_id") % 3 === 1)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        audio.join(captions, "doc_id")
+          .withColumn("rate_x1000",
+            (col("n_tokens") * 1000000L / col("duration_ms")).cast("long"))
+          .withColumn("ok_rate",
+            col("n_tokens") * 1000 >= lit(SpeechRateLo) * col("duration_ms")
+              && col("n_tokens") * 1000
+                <= lit(SpeechRateHi) * col("duration_ms"))
+          .select(col("doc_id").as("media_id"), col("n_tokens"),
+            col("duration_ms"), col("rate_x1000"), col("ok_rate"))
+          .orderBy("media_id")
+      },
+      Some(s"""WITH a AS (SELECT doc_id AS media_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               (256 + doc_id % 257) * 1000
+                 // (8000 + (doc_id % 4) * 4000) AS duration_ms
+               FROM documents WHERE doc_id % 3 = 1)
+             SELECT media_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(duration_ms AS BIGINT) AS duration_ms,
+               CAST(n_tokens * 1000000 // duration_ms AS BIGINT)
+                 AS rate_x1000,
+               n_tokens * 1000 >= $SpeechRateLo * duration_ms
+                 AND n_tokens * 1000 <= $SpeechRateHi * duration_ms
+                 AS ok_rate
+             FROM a ORDER BY media_id""")),
+
+    // ---- q173: BLANK-IMAGE GATE — the low-information visual filter
+    // (letterbox frames, solid fills, failed renders): an image is
+    // blank when its grayscale POPULATION VARIANCE is under the
+    // threshold, computed entirely in integers on DECODED pixels
+    // (n·Σg² − (Σg)² < T·n², no floating point anywhere). The corpus
+    // plants real blanks — every 7th content id encodes a constant
+    // image THROUGH THE REAL PNG CODEC — so both branches fire and a
+    // decode bug that perturbs even one pixel flips a planted blank.
+    Q("q173_blank_image_gate",
+      (s, d) => {
+        import s.implicits._
+        graft.Tables.documents(s, d).filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val w = (16 + id % 17).toInt
+            val h = (12 + id % 13).toInt
+            val img = Multimodal.PpmImage(w, h, Array.tabulate(w * h * 3) {
+              j =>
+                if (id % 21 == 0) (id % 256).toByte
+                else ((id * 7 + j.toLong * 131) % 256).toByte
+            })
+            val dec = Codecs.decodePng(Codecs.encodePng(img))
+            var sum = 0L; var sq = 0L
+            var p = 0
+            while (p < dec.pixels.length) {
+              val g = ((dec.pixels(p) & 0xff) + (dec.pixels(p + 1) & 0xff)
+                + (dec.pixels(p + 2) & 0xff)) / 3
+              sum += g; sq += g.toLong * g
+              p += 3
+            }
+            val n = (dec.width * dec.height).toLong
+            (id, n, sum, sq, n * sq - sum * sum < BlankVarT * n * n)
+          })
+          .toDF("media_id", "n_pix", "gray_sum", "gray_sq_sum", "is_blank")
+          .orderBy("media_id")
+      },
+      Some(s"""WITH img AS (SELECT doc_id AS id,
+               16 + doc_id % 17 AS w, 12 + doc_id % 13 AS h
+               FROM documents WHERE doc_id % 3 = 0),
+             g AS (SELECT id, w, h,
+                     CASE WHEN id % 21 = 0 THEN id % 256
+                       ELSE ((id*7 + (3*p)*131) % 256
+                         + (id*7 + (3*p+1)*131) % 256
+                         + (id*7 + (3*p+2)*131) % 256) // 3 END AS gray
+                   FROM (SELECT id, w, h, unnest(range(0, w*h)) AS p
+                         FROM img) x)
+             SELECT id AS media_id,
+               CAST(count(*) AS BIGINT) AS n_pix,
+               CAST(sum(gray) AS BIGINT) AS gray_sum,
+               CAST(sum(gray*gray) AS BIGINT) AS gray_sq_sum,
+               count(*) * sum(gray*gray) - sum(gray) * sum(gray)
+                 < $BlankVarT * count(*) * count(*) AS is_blank
+             FROM g GROUP BY id ORDER BY media_id"""))
   )
 
   /** The q164/q165 arrival table: the mixed five-codec synthesis over

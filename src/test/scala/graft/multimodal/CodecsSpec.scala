@@ -442,6 +442,27 @@ class CodecsSpec extends AnyFunSuite {
     assert(pairs.toSeq.sorted == brute.sorted)
   }
 
+  test("q172/q173 gates: both branches fire; planted blanks are " +
+    "exactly the constant-pixel ids and variance is integer-exact") {
+    val byName = CodecQueries.defs.map(q => q.name -> q).toMap
+    val rate = byName("q172_speech_rate_gate").fn(spark, sf).collect()
+    assert(rate.exists(_.getBoolean(4)) && rate.exists(!_.getBoolean(4)),
+      "speech-rate band did not split the corpus")
+    rate.foreach { r => // rate_x1000 consistent with its inputs
+      assert(r.getLong(3) == r.getLong(1) * 1000000L / r.getLong(2))
+    }
+    val blank = byName("q173_blank_image_gate").fn(spark, sf).collect()
+    val blanks = blank.filter(_.getBoolean(4)).map(_.getLong(0)).toSet
+    assert(blanks.nonEmpty)
+    assert(blanks == blank.map(_.getLong(0)).filter(_ % 21 == 0).toSet,
+      "blank set must be exactly the planted constant images")
+    // constant image: zero variance in the integer form
+    blank.filter(_.getBoolean(4)).foreach { r =>
+      assert(r.getLong(1) * r.getLong(3) == r.getLong(2) * r.getLong(2),
+        s"planted blank has nonzero variance: $r")
+    }
+  }
+
   test("q165 pair curation: every rule fires both ways and kept is " +
     "their conjunction") {
     val q165 = CodecQueries.defs.find(_.name == "q165_pair_curation").get
