@@ -246,6 +246,36 @@ object CodecQueries {
     */
   val BlankVarT = 100L
 
+  /** q174's clipping gate: a sample is clipped when |s| ≥ [[ClipAbs]]
+    * (the synthesis peaks at 2000, so 1900 is the top 5% of the
+    * amplitude range — the hard-limiter shelf), and a stream fails the
+    * gate when clipped samples exceed [[ClipPermille]] per mille.
+    * Measured on this corpus the per-stream clip rate spans
+    * 31–80 per mille, so 50 splits it (76 fail / 91 pass at sf0.01)
+    * and both branches fire.
+    */
+  val ClipAbs = 1900
+  val ClipPermille = 50L
+
+  /** q175's letterbox plant: image ids divisible by [[LetterboxMod]]
+    * get 1 + id%4 constant rows at BOTH edges (through the real PNG
+    * codec); the formula's consecutive bytes differ by 131 mod 256,
+    * so no content row is ever uniform and the detected borders are
+    * exactly the planted ones.
+    */
+  val LetterboxMod = 11L
+
+  /** q176's keyframes per video (nf ≥ 3 ⇒ ≥ 2 boundaries, so the
+    * rank window always fills).
+    */
+  val KeyframeK = 2
+
+  /** q177's canonical training rate: the synthesis rates are 8, 12,
+    * 16, 20 kHz, so resampling to 16 kHz exercises upsampling (×2,
+    * ×4/3), identity, and downsampling (×4/5) on one corpus.
+    */
+  val ResampleRate = 16000
+
   /** q168's per-stream VAD pass: frame the PCM ([[VadFrame]] samples,
     * full frames only), gate on energy Σs² > [[VadThreshold]], merge
     * consecutive active frames into (media_id, seg_start, seg_end,
@@ -284,6 +314,34 @@ object CodecQueries {
       segs += ((id, segStart.toLong, (nf - 1).toLong,
         (nf - segStart).toLong, segEnergy))
     segs.toSeq
+  }
+
+  /** q175's border scan: leading and trailing UNIFORM pixel rows (all
+    * bytes in the row equal — a solid fill regardless of its color),
+    * the letterbox/pillarbox signal a visual-curation pass crops on.
+    * Returns (top, bottom); a fully-uniform image reports (h, 0) — it
+    * is all border (and q173 already gates it as blank).
+    */
+  def uniformRowBorders(img: Multimodal.PpmImage): (Int, Int) = {
+    val rowBytes = img.width * 3
+    def rowUniform(y: Int): Boolean = {
+      val start = y * rowBytes
+      val v = img.pixels(start)
+      var i = start + 1
+      while (i < start + rowBytes) {
+        if (img.pixels(i) != v) return false
+        i += 1
+      }
+      true
+    }
+    var top = 0
+    while (top < img.height && rowUniform(top)) top += 1
+    if (top == img.height) (img.height, 0)
+    else {
+      var bot = 0
+      while (rowUniform(img.height - 1 - bot)) bot += 1
+      (top, bot)
+    }
   }
 
   /** q169's dHash geometry: a 9-wide x 7-tall NN-sampled grayscale
@@ -1121,7 +1179,224 @@ object CodecQueries {
                CAST(sum(gray*gray) AS BIGINT) AS gray_sq_sum,
                count(*) * sum(gray*gray) - sum(gray) * sum(gray)
                  < $BlankVarT * count(*) * count(*) AS is_blank
-             FROM g GROUP BY id ORDER BY media_id"""))
+             FROM g GROUP BY id ORDER BY media_id""")),
+
+    // ---- q174: AUDIO CLIPPING GATE — the hard-limiter / blown-mic
+    // detector a speech corpus runs before ASR training (clipped
+    // recordings carry unrecoverable distortion): count DECODED
+    // samples at |s| ≥ ClipAbs, fail the stream when they exceed
+    // ClipPermille per mille. All integer arithmetic (rate scaled
+    // ×1000 via integer division), so the oracle recomputes every
+    // sample from the synthesis formula exactly. Decode + counting
+    // ride the audio partitions with zero shuffle.
+    Q("q174_audio_clip_gate",
+      (s, d) => {
+        import s.implicits._
+        graft.Tables.documents(s, d).filter(col("doc_id") % 3 === 1)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val wav = Codecs.decodeWav(Codecs.encodeWav(synthWav(id)))
+            val n = wav.samples.length.toLong
+            var nClip = 0L; var peak = 0
+            var t = 0
+            while (t < wav.samples.length) {
+              val a = math.abs(wav.samples(t).toInt)
+              if (a >= ClipAbs) nClip += 1
+              if (a > peak) peak = a
+              t += 1
+            }
+            (id, n, nClip, nClip * 1000 / n, peak,
+              nClip * 1000 < ClipPermille * n)
+          })
+          .toDF("media_id", "n_samples", "n_clipped", "clip_x1000",
+            "peak", "ok_clip")
+          .orderBy("media_id")
+      },
+      Some(s"""WITH a AS (SELECT doc_id AS media_id,
+               256 + doc_id % 257 AS n
+               FROM documents WHERE doc_id % 3 = 1),
+             v AS (SELECT media_id, n,
+                     abs((media_id*31 + t*997) % 4001 - 2000) AS s
+                   FROM (SELECT media_id, n, unnest(range(0, n)) AS t
+                         FROM a) x),
+             c AS (SELECT media_id, any_value(n) AS n,
+                     sum(CASE WHEN s >= $ClipAbs THEN 1 ELSE 0 END)
+                       AS n_clipped,
+                     max(s) AS peak
+                   FROM v GROUP BY 1)
+             SELECT media_id, CAST(n AS BIGINT) AS n_samples,
+               CAST(n_clipped AS BIGINT) AS n_clipped,
+               CAST(n_clipped * 1000 // n AS BIGINT) AS clip_x1000,
+               CAST(peak AS INT) AS peak,
+               n_clipped * 1000 < $ClipPermille * n AS ok_clip
+             FROM c ORDER BY media_id""")),
+
+    // ---- q175: LETTERBOX / BORDER-CROP DETECTION — the visual-
+    // curation pass that finds solid-fill bars (letterboxed stills,
+    // failed renders with padding) and reports the content crop box.
+    // The corpus PLANTS real letterboxes: ids divisible by LetterboxMod
+    // get 1 + id%4 constant rows at both edges, pushed THROUGH THE REAL
+    // PNG CODEC — so a decode bug that perturbs one border pixel
+    // changes a detected border. Detection is generic (leading/
+    // trailing uniform rows of DECODED pixels, any fill color); the
+    // oracle derives uniformity from the byte formula per row, not
+    // from the plant rule.
+    Q("q175_letterbox_crop",
+      (s, d) => {
+        import s.implicits._
+        graft.Tables.documents(s, d).filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val w = (16 + id % 17).toInt
+            val h = (12 + id % 13).toInt
+            val b = (1 + id % 4).toInt
+            val img = Multimodal.PpmImage(w, h, Array.tabulate(w * h * 3) {
+              j =>
+                val y = j / (w * 3)
+                if (id % LetterboxMod == 0 && (y < b || y >= h - b))
+                  (id % 256).toByte
+                else ((id * 7 + j.toLong * 131) % 256).toByte
+            })
+            val dec = Codecs.decodePng(Codecs.encodePng(img))
+            val (top, bot) = uniformRowBorders(dec)
+            (id, dec.width, dec.height, top.toLong, bot.toLong,
+              (dec.height - top - bot).toLong, top + bot > 0)
+          })
+          .toDF("media_id", "width", "height", "top_border",
+            "bottom_border", "content_h", "is_letterboxed")
+          .orderBy("media_id")
+      },
+      Some(s"""WITH img AS (SELECT doc_id AS id,
+               16 + doc_id % 17 AS w, 12 + doc_id % 13 AS h,
+               doc_id % $LetterboxMod = 0 AS planted,
+               1 + doc_id % 4 AS b
+               FROM documents WHERE doc_id % 3 = 0),
+             bts AS (SELECT id, planted, b, h, w, y,
+                       unnest(range(0, w*3)) AS k
+                     FROM (SELECT id, planted, b, h, w,
+                             unnest(range(0, h)) AS y FROM img) x),
+             v AS (SELECT id, y,
+                     CASE WHEN planted AND (y < b OR y >= h - b)
+                          THEN id % 256
+                          ELSE (id*7 + (y*w*3 + k)*131) % 256
+                     END AS v
+                   FROM bts),
+             ub AS (SELECT id, y, min(v) = max(v) AS uniform
+                    FROM v GROUP BY 1, 2),
+             nb AS (SELECT id,
+                      min(CASE WHEN NOT uniform THEN y END) AS first_nu,
+                      max(CASE WHEN NOT uniform THEN y END) AS last_nu
+                    FROM ub GROUP BY 1)
+             SELECT i.id AS media_id, CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               CAST(first_nu AS BIGINT) AS top_border,
+               CAST(h - 1 - last_nu AS BIGINT) AS bottom_border,
+               CAST(last_nu - first_nu + 1 AS BIGINT) AS content_h,
+               (first_nu > 0 OR last_nu < h - 1) AS is_letterboxed
+             FROM img i JOIN nb ON i.id = nb.id ORDER BY media_id""")),
+
+    // ---- q176: KEYFRAME SELECTION — pick each video's KeyframeK
+    // highest-activity frames (largest luma delta from the previous
+    // frame, the q167 signal), the standard frame-sampling policy for
+    // video-text training data: sample where the content CHANGES, not
+    // uniformly. Deltas come from the real demuxer's two O(1) frame
+    // seeks per pair; the per-video rank is a window over nf−1 rows,
+    // partition-parallel across videos; ties break on the earlier
+    // frame so both engines pick one winner.
+    Q("q176_keyframe_select",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val deltas = graft.Tables.documents(s, d)
+          .filter(col("doc_id") % 3 === 2)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.flatMap { id =>
+            val stream = Codecs.parseY4m(synthY4m(id))
+            (0 until stream.nFrames - 1).map { f =>
+              (id, (f + 1).toLong, Codecs.y4mFrameDeltaY(stream, f))
+            }
+          }).toDF("media_id", "keyframe", "y_delta")
+        deltas
+          .withColumn("rank", row_number().over(Window
+            .partitionBy("media_id")
+            .orderBy(col("y_delta").desc, col("keyframe"))))
+          .filter(col("rank") <= KeyframeK)
+          .select(col("media_id"), col("rank").cast("long").as("rank"),
+            col("keyframe"), col("y_delta"))
+          .orderBy("media_id", "rank")
+      },
+      Some(s"""WITH vid AS (SELECT doc_id AS media_id,
+               4 + doc_id % 5 AS w, 4 + doc_id % 4 AS h,
+               3 + doc_id % 10 AS nf
+               FROM documents WHERE doc_id % 3 = 2),
+             f AS (SELECT media_id, w, h, unnest(range(0, nf - 1)) AS fi
+                   FROM vid),
+             p AS (SELECT media_id, fi,
+                     abs((media_id*13 + (fi+1)*101 + j*7) % 256
+                       - (media_id*13 + fi*101 + j*7) % 256) AS d
+                   FROM (SELECT media_id, w, h, fi,
+                           unnest(range(0, w*h)) AS j FROM f) x),
+             del AS (SELECT media_id, fi, sum(d) AS yd
+                     FROM p GROUP BY 1, 2),
+             r AS (SELECT media_id, fi + 1 AS kf, yd, row_number() OVER (
+                     PARTITION BY media_id ORDER BY yd DESC, fi) AS rnk
+                   FROM del)
+             SELECT media_id, CAST(rnk AS BIGINT) AS rank,
+               CAST(kf AS BIGINT) AS keyframe, CAST(yd AS BIGINT) AS y_delta
+             FROM r WHERE rnk <= $KeyframeK
+             ORDER BY media_id, rank""")),
+
+    // ---- q177: AUDIO RESAMPLE CANONICALIZATION — bring the mixed-
+    // rate corpus (8/12/16/20 kHz) to one training rate with the real
+    // [[Codecs.resampleNearest]] kernel over DECODED PCM: pure integer
+    // index arithmetic (out[t] = in[t·src/dst]), so the oracle replays
+    // every output sample from the formula and the checksums are
+    // integer-exact across up-, down-, and identity legs. Decode +
+    // resample ride the audio partitions with zero shuffle — at 100 TB
+    // this is a map-only pass.
+    Q("q177_audio_resample",
+      (s, d) => {
+        import s.implicits._
+        graft.Tables.documents(s, d).filter(col("doc_id") % 3 === 1)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val wav = Codecs.decodeWav(Codecs.encodeWav(synthWav(id)))
+            val out = Codecs.resampleNearest(wav.samples,
+              wav.sampleRate, ResampleRate)
+            var sumAbs = 0L; var energy = 0L
+            var t = 0
+            while (t < out.length) {
+              val v = out(t).toInt
+              sumAbs += math.abs(v)
+              energy += v.toLong * v
+              t += 1
+            }
+            (id, wav.sampleRate, wav.samples.length.toLong,
+              out.length.toLong, sumAbs, energy)
+          })
+          .toDF("media_id", "src_rate", "n_in", "n_out", "out_sum_abs",
+            "out_energy")
+          .orderBy("media_id")
+      },
+      Some(s"""WITH a AS (SELECT doc_id AS media_id,
+               8000 + (doc_id % 4) * 4000 AS rate,
+               256 + doc_id % 257 AS n
+               FROM documents WHERE doc_id % 3 = 1),
+             o AS (SELECT media_id, rate, n,
+                     n * $ResampleRate // rate AS n_out FROM a),
+             v AS (SELECT media_id,
+                     (media_id*31 + (t2 * rate // $ResampleRate)*997)
+                       % 4001 - 2000 AS s
+                   FROM (SELECT media_id, rate,
+                           unnest(range(0, n_out)) AS t2 FROM o) x)
+             SELECT o.media_id, CAST(rate AS INT) AS src_rate,
+               CAST(n AS BIGINT) AS n_in,
+               CAST(n_out AS BIGINT) AS n_out,
+               CAST(sum(abs(s)) AS BIGINT) AS out_sum_abs,
+               CAST(sum(s*s) AS BIGINT) AS out_energy
+             FROM o JOIN v ON o.media_id = v.media_id
+             GROUP BY o.media_id, rate, n, n_out
+             ORDER BY o.media_id"""))
   )
 
   /** The q164/q165 arrival table: the mixed five-codec synthesis over

@@ -347,6 +347,30 @@ object Codecs {
     d
   }
 
+  /** Nearest-neighbor PCM resample — the rate canonicalization every
+    * speech corpus needs before training (mixed 8/12/16/20 kHz feeds
+    * to one model rate): out[t] = in[t * srcRate / dstRate] over
+    * n_out = n_in * dstRate / srcRate samples, all integer index
+    * arithmetic so the result is bit-reproducible cross-engine. NN is
+    * the right baseline here for the same reason as the image side
+    * ([[graft.multimodal.Multimodal.resizeNearest]]): a windowed-sinc
+    * kernel is a float filter no SQL oracle can replay exactly,
+    * whereas the index map is pure integer math.
+    */
+  def resampleNearest(samples: Array[Short], srcRate: Int,
+      dstRate: Int): Array[Short] = {
+    require(srcRate > 0 && dstRate > 0,
+      s"resample: rates must be positive, got $srcRate -> $dstRate")
+    val nOut = (samples.length.toLong * dstRate / srcRate).toInt
+    val out = new Array[Short](nOut)
+    var t = 0
+    while (t < nOut) {
+      out(t) = samples((t.toLong * srcRate / dstRate).toInt)
+      t += 1
+    }
+    out
+  }
+
   /** Encode C444 frames (each `w*h*3` plane-ordered bytes: Y then U
     * then V) as a canonical YUV4MPEG2 stream with bare frame markers.
     */

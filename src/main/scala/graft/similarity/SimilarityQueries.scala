@@ -579,6 +579,17 @@ object SimilarityQueries {
 
   private[graft] val PqSubDim = 4
 
+  /** q178's coarse probe width. This corpus is weakly L2-clustered:
+    * the probe's exact top-10 spans 8 of the 10 label lists (measured
+    * at sf0.001 — its OWN label centroid ranks only 3rd by distance),
+    * so nprobe must buy coverage directly: 2 lists → 3/10 recall,
+    * 4 → 4/10 at sf0.001 and 7/10 at sf0.01. 4 is the declared
+    * operating point; at production scale K grows ~√n and nprobe/K
+    * shrinks, which is the whole IVF bargain — the recall twin exists
+    * to MEASURE that loss honestly, not to hide it.
+    */
+  private[graft] val IvfPqNProbe = 4
+
   /** q147's metadata predicate (odd labels — selective enough that the
     * filtered result genuinely differs from q89's unfiltered one).
     */
@@ -1368,7 +1379,28 @@ object SimilarityQueries {
     Q("q150_index_rebuild",
       (s, d) => indexRebuildFlow(s, graft.CacheScope.retain(flat(s, d)),
         AnnAdvanceSplit, DriftBudget),
-      Some(indexRebuildOracleSql))
+      Some(indexRebuildOracleSql)),
+
+    // ---- q178: IVF-PQ (IVFADC) — the composed production index
+    // architecture (coarse inverted lists bound the scan, residual
+    // product-quantization codes shrink vector memory 16x, ADC prices
+    // candidates by table lookups): encode every vector's RESIDUAL
+    // against its coarse centroid with per-subspace codebooks, probe
+    // the KmNProbe nearest lists, score list members by summing the
+    // probe's per-(list, subspace, codeword) distance table, and
+    // re-rank only the top PqNCand by exact L2 — recall@10 vs the
+    // in-plan brute force alongside. Every training/encode/score step
+    // is EXACT 64-bit integer arithmetic on KmScale-quantized
+    // components (the q46 discipline: floor-rounded centroid and
+    // codeword means, (d2, id) tie-breaks), so the whole trained
+    // index — coarse cells, codebooks, codes, ADC order — is
+    // bit-reproducible by DuckDB and the output hash-matches.
+    // Scale shape: centroids (K x Dim) and codebooks (M x K x subdim)
+    // are metadata and broadcast; candidates come from nprobe/K of
+    // the corpus; only PqNCand rows ever touch raw vectors again.
+    Q("q178_ivfpq_recall",
+      (s, d) => ivfPqRecallOf(flat(s, d)),
+      Some(ivfPqRecallOracleSql))
   )
 
   /** q150: max centroid drift (4-dp, q142's metric) above which the
@@ -1963,4 +1995,153 @@ object SimilarityQueries {
     probeRecallSummary(multiProbeCosine(f, nProbes), cand, k)
       .orderBy("probe_id")
   }
+
+  /** q178's body: IVF-PQ with residual encoding and ADC scoring, over
+    * an arbitrary flat (vec_id, label, i, v) frame (the property spec
+    * feeds synthetic corpora through the identical pipeline).
+    *
+    * Determinism: components are [[KmScale]]-quantized integers;
+    * coarse centroids (one per label) and residual codewords (one per
+    * (subspace, label)) are floor(sum/count + 0.5) of exact integers;
+    * every argmin — coarse assignment, subspace encode, probe list
+    * pick — compares exact integer distances with an id tie-break;
+    * ADC itself sums integers, so the candidate order is exact. Only
+    * the final exact-L2 re-rank is float, 6-dp-rounded before
+    * ordering (the q121 rule).
+    */
+  private[graft] def ivfPqRecallOf(flat0: DataFrame): DataFrame = {
+    val f = graft.CacheScope.retain(flat0)
+    val cand = graft.CacheScope.retain(ivfPqCandidatesOf(f))
+    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+    val hits = exactL2Top10(f)
+      .join(cand.select("vec_id"), Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    nCand.crossJoin(hits)
+      .select(col("n_candidates"), col("hits"),
+        round(col("hits").cast("double") / 10.0, 4).as("recall_at_10"))
+  }
+
+  /** The IVF-PQ candidate stage of q178 (ordered (vec_id, adist),
+    * top [[PqNCand]]), split out so the property spec can compare the
+    * FULL ordered candidate list against an independent reference.
+    */
+  private[graft] def ivfPqCandidatesOf(f: DataFrame): DataFrame = {
+    val qf = graft.CacheScope.retain(f.select(col("vec_id"), col("label"),
+      col("i"), floor(col("v") * KmScale + lit(0.5)).cast("long").as("q")))
+    // coarse quantizer: one integer centroid per label
+    val cent = qf.groupBy(col("label").as("cl"), col("i").as("ci"))
+      .agg(floor(sum("q").cast("double") / count(lit(1)) + lit(0.5))
+        .cast("long").as("c"))
+    val d2 = graft.CacheScope.retain(
+      qf.join(broadcast(cent), col("i") === col("ci"))
+        .groupBy("vec_id", "cl")
+        .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("d2")))
+    val asg = graft.CacheScope.retain(d2.groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cl"))).as("m"))
+      .select(col("vec_id"), col("m.cl").as("lst")))
+    // residuals against the assigned coarse centroid
+    val res = graft.CacheScope.retain(qf.join(asg, "vec_id")
+      .join(broadcast(cent), col("lst") === col("cl")
+        && col("i") === col("ci"))
+      .select(col("vec_id"), col("label"), col("i"),
+        (col("q") - col("c")).as("r"))
+      .withColumn("m", floor(col("i") / PqSubDim).cast("int")))
+    // residual codebooks: one integer codeword per (subspace, label)
+    val cb = res.groupBy(col("m").as("cm"), col("label").as("ccl"),
+        col("i").as("cbi"))
+      .agg(floor(sum("r").cast("double") / count(lit(1)) + lit(0.5))
+        .cast("long").as("cw"))
+    // encode: nearest codeword per (vector, subspace), exact integers
+    val pd2 = res.join(broadcast(cb), col("i") === col("cbi"))
+      .groupBy("vec_id", "cm", "ccl")
+      .agg(sum((col("r") - col("cw")) * (col("r") - col("cw"))).as("pd2"))
+    val code = pd2.groupBy("vec_id", "cm")
+      .agg(min(struct(col("pd2"), col("ccl"))).as("mn"))
+      .select(col("vec_id"), col("cm"), col("mn.ccl").as("ccl"))
+    // the probe's nprobe nearest coarse lists
+    val plists = d2.filter(col("vec_id") === 0)
+      .orderBy(col("d2"), col("cl")).limit(IvfPqNProbe)
+      .select(col("cl").as("lst"))
+    // per-list query residual -> ADC distance table (metadata-scale:
+    // nprobe x M x K rows)
+    val qres = qf.filter(col("vec_id") === 0)
+      .join(broadcast(plists.join(cent, col("lst") === col("cl"))
+        .select(col("lst"), col("ci"), col("c"))), col("i") === col("ci"))
+      .select(col("lst"), col("i"), (col("q") - col("c")).as("qr"))
+    val td = qres.join(cb, col("i") === col("cbi"))
+      .groupBy("lst", "cm", "ccl")
+      .agg(sum((col("qr") - col("cw")) * (col("qr") - col("cw"))).as("td"))
+    // candidates: members of probed lists, priced by table lookups
+    val adc = asg.filter(col("vec_id") =!= 0)
+      .join(broadcast(plists), "lst")
+      .join(code, "vec_id")
+      .join(broadcast(td), Seq("lst", "cm", "ccl"))
+      .groupBy("vec_id").agg(sum("td").as("adist"))
+    adc.orderBy(col("adist"), col("vec_id")).limit(PqNCand)
+  }
+
+  /** DuckDB twin of q178: the identical integer IVF-PQ — quantize,
+    * label centroids, residuals, per-(subspace, label) codewords,
+    * argmin encodes with (d2, id) tie-breaks, probe lists, ADC table
+    * lookups — mirrored as CTEs, then the exact-L2 top-10 and recall.
+    */
+  private val ivfPqRecallOracleSql: String =
+    s"""WITH kqf AS (SELECT vec_id, label,
+           CAST(floor(CAST(v AS DOUBLE) * $KmScale + 0.5) AS BIGINT) AS q, i
+         FROM (SELECT vec_id, label, unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS i FROM embeddings) x),
+      cent AS (SELECT label AS cl, i AS ci,
+                 CAST(floor(sum(q) * 1.0 / count(*) + 0.5) AS BIGINT) AS c
+               FROM kqf GROUP BY 1, 2),
+      d2 AS (SELECT f.vec_id, c.cl, sum((f.q - c.c) * (f.q - c.c)) AS d2
+             FROM kqf f JOIN cent c ON f.i = c.ci GROUP BY 1, 2),
+      asg AS (SELECT vec_id, cl AS lst FROM (
+                SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY d2, cl) AS rn FROM d2) z WHERE rn = 1),
+      res AS (SELECT f.vec_id, f.label, f.i, f.q - c.c AS r,
+                CAST(floor((f.i - 1) / $PqSubDim) AS INT) AS m
+              FROM kqf f JOIN asg a USING (vec_id)
+              JOIN cent c ON c.cl = a.lst AND c.ci = f.i),
+      cb AS (SELECT m, label AS ccl, i,
+               CAST(floor(sum(r) * 1.0 / count(*) + 0.5) AS BIGINT) AS cw
+             FROM res GROUP BY 1, 2, 3),
+      pd2 AS (SELECT s.vec_id, cb.m, cb.ccl,
+                sum((s.r - cb.cw) * (s.r - cb.cw)) AS pd2
+              FROM res s JOIN cb ON s.i = cb.i GROUP BY 1, 2, 3),
+      code AS (SELECT vec_id, m, ccl FROM (
+                 SELECT vec_id, m, ccl, row_number() OVER (
+                   PARTITION BY vec_id, m ORDER BY pd2, ccl) AS rn
+                 FROM pd2) z WHERE rn = 1),
+      pl AS (SELECT cl AS lst FROM d2 WHERE vec_id = 0
+             ORDER BY d2, cl LIMIT $IvfPqNProbe),
+      qres AS (SELECT p.lst, f.i, f.q - c.c AS qr
+               FROM kqf f JOIN pl p ON TRUE
+               JOIN cent c ON c.cl = p.lst AND c.ci = f.i
+               WHERE f.vec_id = 0),
+      td AS (SELECT q.lst, cb.m, cb.ccl,
+               sum((q.qr - cb.cw) * (q.qr - cb.cw)) AS td
+             FROM qres q JOIN cb ON cb.i = q.i GROUP BY 1, 2, 3),
+      c0 AS (SELECT a.vec_id, a.lst FROM asg a JOIN pl USING (lst)
+             WHERE a.vec_id <> 0),
+      adc AS (SELECT c0.vec_id, sum(t.td) AS adist
+              FROM c0 JOIN code k USING (vec_id)
+              JOIN td t ON t.lst = c0.lst AND t.m = k.m AND t.ccl = k.ccl
+              GROUP BY 1),
+      cand AS (SELECT vec_id FROM adc ORDER BY adist, vec_id
+               LIMIT $PqNCand),
+      flat AS (SELECT vec_id, CAST(v AS DOUBLE) AS v, i FROM (
+                 SELECT vec_id, unnest(embedding) AS v,
+                        generate_subscripts(embedding, 1) AS i
+                 FROM embeddings) x),
+      qv AS (SELECT i, v AS qv FROM flat WHERE vec_id = 0),
+      exact AS (SELECT f.vec_id,
+                  round(sum((f.v - q.qv) * (f.v - q.qv)), 6) AS l2
+                FROM flat f JOIN qv q USING (i) WHERE f.vec_id <> 0
+                GROUP BY f.vec_id ORDER BY l2, vec_id LIMIT 10),
+      nc AS (SELECT count(*) AS n_candidates FROM cand),
+      h AS (SELECT count(*) AS hits FROM exact
+            WHERE vec_id IN (SELECT vec_id FROM cand))
+      SELECT nc.n_candidates, h.hits,
+             round(h.hits / 10.0, 4) AS recall_at_10
+      FROM nc, h"""
 }

@@ -485,4 +485,99 @@ class CodecsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r._6 == (r._3 && r._4 && r._5)))
     assert(rows.exists(_._6), "nothing survived pair curation")
   }
+
+  test("q174 clip gate: both branches fire and counts match a direct " +
+    "recount of the synthesis samples") {
+    val q174 = CodecQueries.defs.find(_.name == "q174_audio_clip_gate").get
+    val rows = q174.fn(spark, sf).collect()
+    assert(rows.exists(_.getBoolean(5)) && rows.exists(!_.getBoolean(5)),
+      "clip threshold did not split the corpus")
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val n = (256 + id % 257).toInt
+      var nClip = 0L; var peak = 0L
+      for (t <- 0 until n) {
+        val s = math.abs((id * 31 + t.toLong * 997) % 4001 - 2000)
+        if (s >= CodecQueries.ClipAbs) nClip += 1
+        if (s > peak) peak = s
+      }
+      assert(r.getLong(1) == n && r.getLong(2) == nClip
+        && r.getLong(3) == nClip * 1000 / n && r.getInt(4) == peak
+        && r.getBoolean(5) ==
+          (nClip * 1000 < CodecQueries.ClipPermille * n),
+        s"clip row disagrees with direct recount: $r")
+    }
+  }
+
+  test("q175 letterbox: detected borders are exactly the planted ones " +
+    "and zero everywhere else") {
+    val q175 = CodecQueries.defs.find(_.name == "q175_letterbox_crop").get
+    val rows = q175.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val h = 12 + id % 13
+      if (id % CodecQueries.LetterboxMod == 0) {
+        val b = 1 + id % 4
+        assert(r.getLong(3) == b && r.getLong(4) == b
+          && r.getLong(5) == h - 2 * b && r.getBoolean(6),
+          s"planted letterbox not detected exactly: $r")
+      } else {
+        assert(r.getLong(3) == 0 && r.getLong(4) == 0
+          && r.getLong(5) == h && !r.getBoolean(6),
+          s"false border on an unplanted image: $r")
+      }
+    }
+    assert(rows.exists(_.getBoolean(6)), "no planted letterbox in corpus")
+  }
+
+  test("q176 keyframes: per-video top-K by delta with the earlier-frame " +
+    "tie-break, against a brute-force rank of the q167 deltas") {
+    val byName = CodecQueries.defs.map(q => q.name -> q).toMap
+    val deltas = byName("q167_shot_boundaries").fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = deltas.groupBy(_._1).toSeq.flatMap { case (id, rows) =>
+      rows.sortBy(r => (-r._3, r._2)).take(CodecQueries.KeyframeK)
+        .zipWithIndex.map { case ((_, fi, yd), k) =>
+          (id, (k + 1).toLong, fi + 1, yd)
+        }
+    }.toSet
+    val got = byName("q176_keyframe_select").fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == brute)
+  }
+
+  test("q177 resample: identity at 16 kHz, exact x2 duplication from " +
+    "8 kHz, and NN kernel agreement on random streams") {
+    val rows = CodecQueries.defs
+      .find(_.name == "q177_audio_resample").get.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(Set(8000, 12000, 16000, 20000).subsetOf(rows.map(_._2).toSet))
+    rows.foreach { case (id, rate, nIn, nOut, sumAbs, energy) =>
+      val wav = CodecQueries.synthWav(id)
+      val inAbs = wav.samples.map(s => math.abs(s.toLong)).sum
+      val inE = wav.samples.map(s => s.toLong * s).sum
+      assert(nOut == nIn * CodecQueries.ResampleRate / rate)
+      if (rate == 16000)
+        assert(sumAbs == inAbs && energy == inE, s"identity leg broke: $id")
+      if (rate == 8000) // each input sample appears exactly twice
+        assert(sumAbs == 2 * inAbs && energy == 2 * inE,
+          s"x2 upsample leg broke: $id")
+    }
+    // the kernel itself, off-corpus: NN index map on random streams
+    val rnd = new scala.util.Random(177)
+    for (_ <- 1 to 20) {
+      val n = 1 + rnd.nextInt(500)
+      val src = 1 + rnd.nextInt(48000)
+      val dst = 1 + rnd.nextInt(48000)
+      val in = Array.fill(n)(rnd.nextInt(65536).toShort)
+      val out = Codecs.resampleNearest(in, src, dst)
+      assert(out.length == (n.toLong * dst / src).toInt)
+      out.zipWithIndex.foreach { case (v, t) =>
+        assert(v == in((t.toLong * src / dst).toInt))
+      }
+    }
+  }
 }
