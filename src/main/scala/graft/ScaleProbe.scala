@@ -261,6 +261,7 @@ object ScaleProbe {
     if (enabled("batch_dirs")) batchDirListing(spark, base)
     if (enabled("curation_stream")) curationSinkLatency(spark, base)
     if (enabled("ann_train")) annTrainScale(spark)
+    if (enabled("ivfpq")) ivfPqScale(spark)
     if (enabled("codec")) codecScale(spark)
     if (enabled("phash")) phashIngestScale(spark)
     spark.stop()
@@ -393,6 +394,36 @@ object ScaleProbe {
       val r = graft.similarity.SimilarityQueries.annIvfRecallOf(f)
         .agg(sum("recall_at_10")).head.getDouble(0)
       println(f"[scale] ann_train k=$k vecs=${2000L * k} recall_sum=$r%.2f " +
+        f"time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      CacheScope.flush(spark)
+    }
+  }
+
+  /** q178's IVF-PQ under corpus growth, in the regime that matters:
+    * coarse K stays fixed (10 label lists) while every list's
+    * membership grows k-fold, so the probed share of the corpus is a
+    * constant fraction (IvfPqNProbe/K) and the candidate + ADC stage
+    * must scale linearly in it; the exact re-rank stays bounded at
+    * PqNCand rows regardless of k. Replicas shift vec_id only, so
+    * codebook training mass also grows k-fold — the one super-linear
+    * risk would be an accidental pairwise term, which the probe would
+    * expose as super-linear time.
+    */
+  private def ivfPqScale(spark: SparkSession): Unit = {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    for (k <- Seq(1, 4, 10)) {
+      val f = (0 until k).map { i =>
+        emb.select(
+          (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+          col("label"),
+          posexplode(col("embedding")).as(Seq("i", "v")))
+      }.reduce(_ unionAll _)
+        .withColumn("v", col("v").cast("double"))
+      val t0 = System.nanoTime()
+      val row = graft.similarity.SimilarityQueries.ivfPqRecallOf(f)
+        .head()
+      println(f"[scale] ivfpq k=$k vecs=${2000L * k} " +
+        f"cand=${row.getLong(0)} hits=${row.getLong(1)} " +
         f"time=${(System.nanoTime() - t0) / 1e9}%.2f s")
       CacheScope.flush(spark)
     }

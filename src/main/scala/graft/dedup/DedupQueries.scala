@@ -627,6 +627,56 @@ object DedupQueries {
                 count(*) AS n_pairs
          FROM sp GROUP BY 1, 2 ORDER BY source_a, source_b""")),
 
+    // ---- q179: TRAIN/VAL SPLIT LEAKAGE AUDIT — the check a training-
+    // data team runs before shipping a split (the Lee et al. 2022
+    // motivation: near-duplicate leakage across the train/eval
+    // boundary silently inflates eval scores): every verified near-dup
+    // pair (the q30 graph, est >= 0.5) whose endpoints land in
+    // DIFFERENT q75 splits, normalized to (train_doc, val_doc) with
+    // the pair's estimated Jaccard — the rows a release gate either
+    // empties (move/drop one side) or blocks on. Composition is free
+    // at scale: the split is a pure hash of doc_id (a projection, no
+    // exchange), the pair graph is SERVED from the persisted dedup
+    // index (q112's discipline — no third LSH recompute in the suite),
+    // and the leak filter is pair-bounded.
+    Q("q179_split_leakage",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val idx = servedFullDedupIndex(s, docs, d)
+        val split = docs.select(col("doc_id"),
+          when(graft.functions.Hashing.h60(
+            concat(lit("doc-"), col("doc_id"))) % 100 < 90, "train")
+            .otherwise("val").as("split"))
+        pairsFromIndexUnsorted(s, idx)
+          .join(split.select(col("doc_id").as("doc_a"),
+            col("split").as("sa")), "doc_a")
+          .join(split.select(col("doc_id").as("doc_b"),
+            col("split").as("sb")), "doc_b")
+          .filter(col("sa") =!= col("sb"))
+          .select(
+            when(col("sa") === "train", col("doc_a"))
+              .otherwise(col("doc_b")).as("train_doc"),
+            when(col("sa") === "train", col("doc_b"))
+              .otherwise(col("doc_a")).as("val_doc"),
+            col("est_jaccard"))
+          .orderBy("train_doc", "val_doc")
+      },
+      Some(s"""WITH ${minhashCtes("")},
+         sp AS (SELECT doc_id,
+                  CASE WHEN ${graft.functions.Hashing
+                    .h60Sql("concat('doc-', doc_id)")} % 100 < 90
+                       THEN 'train' ELSE 'val' END AS split
+                FROM documents)
+         SELECT CASE WHEN sa.split = 'train' THEN p.doc_a ELSE p.doc_b END
+                  AS train_doc,
+                CASE WHEN sa.split = 'train' THEN p.doc_b ELSE p.doc_a END
+                  AS val_doc,
+                p.est_jaccard
+         FROM pairs p JOIN sp sa ON p.doc_a = sa.doc_id
+                      JOIN sp sb ON p.doc_b = sb.doc_id
+         WHERE sa.split <> sb.split
+         ORDER BY train_doc, val_doc""")),
+
     // ---- q97: exact duplicated-substring detection — the suffix-free
     // Spark shape of "Deduplicating Training Data Makes Language Models
     // Better" (Lee et al. 2022): every w-token window is hashed (h60),

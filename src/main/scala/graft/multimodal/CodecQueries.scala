@@ -276,6 +276,13 @@ object CodecQueries {
     */
   val ResampleRate = 16000
 
+  /** q180's static plant (video ids divisible by this get identical
+    * frames through the real Y4M codec) and mean-luma-delta floor: a
+    * video is static when its total Y delta is under 1 per (pixel,
+    * frame pair) — integer form total < n_pix · n_pairs.
+    */
+  val StaticVideoMod = 17L
+
   /** q168's per-stream VAD pass: frame the PCM ([[VadFrame]] samples,
     * full frames only), gate on energy Σs² > [[VadThreshold]], merge
     * consecutive active frames into (media_id, seg_start, seg_end,
@@ -1396,7 +1403,84 @@ object CodecQueries {
                CAST(sum(s*s) AS BIGINT) AS out_energy
              FROM o JOIN v ON o.media_id = v.media_id
              GROUP BY o.media_id, rate, n, n_out
-             ORDER BY o.media_id"""))
+             ORDER BY o.media_id""")),
+
+    // ---- q180: STATIC-VIDEO GATE — the video leg of the low-
+    // information trio (blank image q173, letterbox q175, static
+    // video here): a slideshow/frozen-encoder stream whose frames
+    // never change carries one frame of information for N frames of
+    // token budget. Gate: total luma delta across consecutive frame
+    // pairs under 1 per (pixel, pair) — integers throughout. The
+    // corpus PLANTS real statics (ids divisible by StaticVideoMod get
+    // identical frames THROUGH THE REAL Y4M CODEC), so the static set
+    // is exactly the planted ids and a demux/seek bug flips one; the
+    // oracle derives every pixel pair from the byte formula, planted
+    // or not.
+    Q("q180_static_video_gate",
+      (s, d) => {
+        import s.implicits._
+        graft.Tables.documents(s, d).filter(col("doc_id") % 3 === 2)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val bytes =
+              if (id % StaticVideoMod == 0) {
+                val w = (4 + id % 5).toInt
+                val h = (4 + id % 4).toInt
+                val nf = (3 + id % 10).toInt
+                val planeN = w * h
+                val one = Array.tabulate(3 * planeN) { i =>
+                  val pl = i / planeN
+                  val j = i % planeN
+                  ((id * 13 + pl.toLong * 29 + j.toLong * 7) % 256).toByte
+                }
+                Codecs.encodeY4m(w, h, 25, 1, Seq.fill(nf)(one))
+              } else synthY4m(id)
+            val stream = Codecs.parseY4m(bytes)
+            var total = 0L; var maxD = 0L
+            var f = 0
+            while (f < stream.nFrames - 1) {
+              val dl = Codecs.y4mFrameDeltaY(stream, f)
+              total += dl
+              if (dl > maxD) maxD = dl
+              f += 1
+            }
+            val nPix = stream.width.toLong * stream.height
+            val nPairs = (stream.nFrames - 1).toLong
+            (id, stream.nFrames.toLong, total, maxD,
+              total < nPix * nPairs)
+          })
+          .toDF("media_id", "n_frames", "total_delta", "max_delta",
+            "is_static")
+          .orderBy("media_id")
+      },
+      Some(s"""WITH vid AS (SELECT doc_id AS media_id,
+               4 + doc_id % 5 AS w, 4 + doc_id % 4 AS h,
+               3 + doc_id % 10 AS nf,
+               doc_id % $StaticVideoMod = 0 AS planted
+               FROM documents WHERE doc_id % 3 = 2),
+             f AS (SELECT media_id, w, h, nf, planted,
+                     unnest(range(0, nf - 1)) AS fi FROM vid),
+             p AS (SELECT media_id, fi,
+                     abs(CASE WHEN planted
+                           THEN (media_id*13 + j*7) % 256
+                           ELSE (media_id*13 + (fi+1)*101 + j*7) % 256 END
+                       - CASE WHEN planted
+                           THEN (media_id*13 + j*7) % 256
+                           ELSE (media_id*13 + fi*101 + j*7) % 256 END)
+                       AS d
+                   FROM (SELECT media_id, w, h, fi, planted,
+                           unnest(range(0, w*h)) AS j FROM f) x),
+             del AS (SELECT media_id, fi, sum(d) AS yd
+                     FROM p GROUP BY 1, 2),
+             agg AS (SELECT media_id, count(*) AS n_pairs,
+                       sum(yd) AS total_delta, max(yd) AS max_delta
+                     FROM del GROUP BY 1)
+             SELECT v.media_id, CAST(nf AS BIGINT) AS n_frames,
+               CAST(total_delta AS BIGINT) AS total_delta,
+               CAST(max_delta AS BIGINT) AS max_delta,
+               total_delta < w * h * n_pairs AS is_static
+             FROM vid v JOIN agg ON v.media_id = agg.media_id
+             ORDER BY v.media_id"""))
   )
 
   /** The q164/q165 arrival table: the mixed five-codec synthesis over

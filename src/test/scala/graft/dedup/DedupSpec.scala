@@ -255,4 +255,26 @@ class DedupSpec extends AnyFunSuite {
       assert(sig == agg(id), s"doc $id signature diverges")
     }
   }
+
+  test("q179 split leakage: exactly the cross-split subset of the q30 " +
+    "pair graph, sides normalized to their splits") {
+    val byName = DedupQueries.defs.map(q => q.name -> q).toMap
+    val pairs = byName("q30_minhash_lsh_pairs").fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the split rule comes from the declared q75 query itself
+    val split = graft.QueryRegistry.queries("q75_hash_split")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val want = pairs.filter { case (a, b, _) => split(a) != split(b) }
+      .map { case (a, b, j) =>
+        if (split(a) == "train") (a, b, j) else (b, a, j)
+      }.sortBy(r => (r._1, r._2))
+    val got = byName("q179_split_leakage").fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want.toSeq)
+    assert(got.nonEmpty, "no cross-split leakage found on this corpus")
+    got.foreach { case (t, v, _) =>
+      assert(split(t) == "train" && split(v) == "val",
+        s"mis-normalized leak pair ($t, $v)")
+    }
+  }
 }

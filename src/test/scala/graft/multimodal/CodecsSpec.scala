@@ -548,6 +548,27 @@ class CodecsSpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("q180 static gate: the static set is exactly the planted ids, " +
+    "planted deltas are zero through the real codec, and no formula " +
+    "video is anywhere near the floor") {
+    val rows = CodecQueries.defs
+      .find(_.name == "q180_static_video_gate").get.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    val statics = rows.filter(_._5).map(_._1).toSet
+    assert(statics.nonEmpty)
+    assert(statics ==
+      rows.map(_._1).filter(_ % CodecQueries.StaticVideoMod == 0).toSet)
+    rows.filter(_._5).foreach { r =>
+      assert(r._3 == 0L && r._4 == 0L, s"planted static has motion: $r")
+    }
+    rows.filterNot(_._5).foreach { r =>
+      // formula deltas are 101 or 155 per pixel — two orders above the
+      // floor, so the gate has real margin
+      assert(r._4 > 0, s"non-planted video with zero max delta: $r")
+    }
+  }
+
   test("q177 resample: identity at 16 kHz, exact x2 duplication from " +
     "8 kHz, and NN kernel agreement on random streams") {
     val rows = CodecQueries.defs
