@@ -408,6 +408,14 @@ object ScaleProbe {
     * codebook training mass also grows k-fold — the one super-linear
     * risk would be an accidental pairwise term, which the probe would
     * expose as super-linear time.
+    *
+    * Measured (local[32], sf0.1): k=1 10.7 s (codegen warmup), k=4
+    * 7.3 s, k=10 8.9 s — 10x the vectors costs 1.2x of k=4, so the
+    * probe scale is fixed-cost dominated and the data-sized terms
+    * (assign, encode, ADC) are the linear minority they should be.
+    * Recall rises with k (1/10 -> 9/10) because every replica of
+    * vec 0 is an exact twin landing in the probe's own coarse list —
+    * the exact top-10 concentrates into probed lists as k grows.
     */
   private def ivfPqScale(spark: SparkSession): Unit = {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")

@@ -1480,8 +1480,220 @@ object CodecQueries {
                CAST(max_delta AS BIGINT) AS max_delta,
                total_delta < w * h * n_pairs AS is_static
              FROM vid v JOIN agg ON v.media_id = agg.media_id
-             ORDER BY v.media_id"""))
+             ORDER BY v.media_id""")),
+
+    // ---- q181: UNIFIED MEDIA CURATION GATE — the media-side q144:
+    // one pass that decode-validates every arrival and then applies
+    // its modality's LOW-INFORMATION gate on the decoded content
+    // (image: blank variance, q173; audio: clip rate, q174; video:
+    // static delta, q180), first-drop-wins (quarantined > low-info >
+    // ok) with the gate's own integer statistic alongside so the
+    // audit is re-checkable. Every reason fires on this corpus: the
+    // table plants blanks and statics through their REAL codecs, the
+    // clip gate splits the audio synthesis naturally, and %31 strips
+    // magic bytes. Batched per partition, zero shuffles — at 100 TB
+    // this is one map-only pass; [[graft.streaming.Streams
+    // .mediaCurationSink]] is the same body run live with fenced
+    // commits (StreamsSpec pins stream ≡ batch).
+    Q("q181_media_curation_gate",
+      (s, d) => {
+        mediaCurationDecisions(curatedMediaTable(s, d)).toDF()
+          .select("media_id", "kind", "reason", "keep", "gate_stat")
+          .orderBy("media_id")
+      },
+      Some(s"""WITH img AS (SELECT doc_id AS id,
+               16 + doc_id % 17 AS w, 12 + doc_id % 13 AS h,
+               doc_id % 21 = 0 AS planted, doc_id % 31 = 0 AS corrupt
+               FROM documents WHERE doc_id % 3 = 0),
+             ig AS (SELECT id, CASE WHEN planted THEN id % 256
+                      ELSE ((id*7 + (3*p)*131) % 256
+                        + (id*7 + (3*p+1)*131) % 256
+                        + (id*7 + (3*p+2)*131) % 256) // 3 END AS g
+                    FROM (SELECT id, planted,
+                            unnest(range(0, w*h)) AS p FROM img) x),
+             iv AS (SELECT id, count(*) AS n, sum(g) AS sm,
+                      sum(g*g) AS sq FROM ig GROUP BY 1),
+             iout AS (SELECT i.id AS media_id, 'image' AS kind,
+                        CASE WHEN i.corrupt THEN 'quarantined'
+                             WHEN n*sq - sm*sm < $BlankVarT*n*n
+                               THEN 'blank'
+                             ELSE 'ok' END AS reason,
+                        CAST(CASE WHEN i.corrupt THEN 0
+                             ELSE n*sq - sm*sm END AS BIGINT) AS gate_stat
+                      FROM img i JOIN iv ON i.id = iv.id),
+             aud AS (SELECT doc_id AS id, 256 + doc_id % 257 AS n,
+                       doc_id % 31 = 0 AS corrupt
+                     FROM documents WHERE doc_id % 3 = 1),
+             ac AS (SELECT id, any_value(n) AS n,
+                      sum(CASE WHEN abs((id*31 + t*997) % 4001 - 2000)
+                            >= $ClipAbs THEN 1 ELSE 0 END) AS nclip
+                    FROM (SELECT id, n, unnest(range(0, n)) AS t
+                          FROM aud) x GROUP BY 1),
+             aout AS (SELECT a.id AS media_id, 'audio' AS kind,
+                        CASE WHEN a.corrupt THEN 'quarantined'
+                             WHEN nclip * 1000 >= $ClipPermille * ac.n
+                               THEN 'clipped'
+                             ELSE 'ok' END AS reason,
+                        CAST(CASE WHEN a.corrupt THEN 0
+                             ELSE nclip * 1000 // ac.n END AS BIGINT)
+                          AS gate_stat
+                      FROM aud a JOIN ac ON a.id = ac.id),
+             vid AS (SELECT doc_id AS id, 4 + doc_id % 5 AS w,
+                       4 + doc_id % 4 AS h, 3 + doc_id % 10 AS nf,
+                       doc_id % $StaticVideoMod = 0 AS planted,
+                       doc_id % 31 = 0 AS corrupt
+                     FROM documents WHERE doc_id % 3 = 2),
+             vp AS (SELECT id, sum(abs(
+                      CASE WHEN planted THEN (id*13 + j*7) % 256
+                        ELSE (id*13 + (fi+1)*101 + j*7) % 256 END
+                      - CASE WHEN planted THEN (id*13 + j*7) % 256
+                        ELSE (id*13 + fi*101 + j*7) % 256 END)) AS total
+                    FROM (SELECT id, planted, w, h, fi,
+                            unnest(range(0, w*h)) AS j
+                          FROM (SELECT id, planted, w, h, nf,
+                                  unnest(range(0, nf - 1)) AS fi
+                                FROM vid) y) x
+                    GROUP BY 1),
+             vout AS (SELECT v.id AS media_id, 'video' AS kind,
+                        CASE WHEN v.corrupt THEN 'quarantined'
+                             WHEN total < w * h * (nf - 1) THEN 'static'
+                             ELSE 'ok' END AS reason,
+                        CAST(CASE WHEN v.corrupt THEN 0
+                             ELSE total END AS BIGINT) AS gate_stat
+                      FROM vid v JOIN vp ON v.id = vp.id),
+             allr AS (SELECT * FROM iout UNION ALL SELECT * FROM aout
+                      UNION ALL SELECT * FROM vout)
+             SELECT media_id, kind, reason, reason = 'ok' AS keep,
+               gate_stat
+             FROM allr ORDER BY media_id"""))
   )
+
+  /** q181's arrival table: a mixed media table whose IMAGE leg is all
+    * lossless (PPM for ids ≡ 0 mod 6, PNG for ids ≡ 3 mod 6 — the
+    * lossy JPEG rotation would make the blank-variance gate
+    * decoder-defined) and which PLANTS one low-information row family
+    * per modality, each through its REAL codec: blank images (ids
+    * divisible by 21 — the q173 rule), static videos (ids divisible
+    * by [[StaticVideoMod]] — the q180 rule); clipped audio needs no
+    * plant (the q174 gate splits the synthesis naturally). The %31
+    * corruption rule applies on top, so the quarantine leg fires too.
+    */
+  def curatedMediaTable(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (kind, bytes) = (id % 3) match {
+          case 0 =>
+            val w = (16 + id % 17).toInt
+            val h = (12 + id % 13).toInt
+            val img = Multimodal.PpmImage(w, h,
+              Array.tabulate(w * h * 3) { j =>
+                if (id % 21 == 0) (id % 256).toByte
+                else ((id * 7 + j.toLong * 131) % 256).toByte
+              })
+            ("image", if (id % 6 == 0) Multimodal.ppmEncode(img)
+                      else Codecs.encodePng(img))
+          case 1 => ("audio", Codecs.encodeWav(synthWav(id)))
+          case _ =>
+            if (id % StaticVideoMod == 0) {
+              val w = (4 + id % 5).toInt
+              val h = (4 + id % 4).toInt
+              val nf = (3 + id % 10).toInt
+              val planeN = w * h
+              val one = Array.tabulate(3 * planeN) { i =>
+                val pl = i / planeN
+                val j = i % planeN
+                ((id * 13 + pl.toLong * 29 + j.toLong * 7) % 256).toByte
+              }
+              ("video", Codecs.encodeY4m(w, h, 25, 1, Seq.fill(nf)(one)))
+            } else ("video", synthY4m(id))
+        }
+        (id, kind, corruptIf(id, bytes))
+      })
+      .toDF("media_id", "kind", "bytes")
+  }
+
+  /** One row of the q181 unified gate: `reason` is first-drop-wins
+    * (quarantined > the modality's low-information gate > ok) and
+    * `gate_stat` is the gate's own integer statistic — image: the
+    * variance numerator n·Σg²−(Σg)², audio: the clip rate ×1000,
+    * video: the total luma delta — so the audit is re-checkable, not
+    * just a verdict.
+    */
+  final case class MediaCuration(media_id: Long, kind: String,
+      reason: String, keep: Boolean, gate_stat: Long)
+
+  /** The q181 gate body: decode-validate, then the per-modality
+    * low-information gate on DECODED content (blank variance /
+    * clip rate / static delta), per-row fault-isolated, batched per
+    * partition with zero shuffles — the media-side q144 stage order:
+    * drop what cannot decode, then what decodes to nothing worth
+    * training on.
+    */
+  def mediaCurationDecisions(media: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.Dataset[MediaCuration] = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("media_id").cast("long"), col("kind"), col("bytes"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, kind, bytes) =>
+        try {
+          kind match {
+            case "image" =>
+              val img =
+                if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6')
+                  Multimodal.decodePpm(bytes)
+                else if (Codecs.isPng(bytes)) Codecs.decodePng(bytes)
+                else throw new IllegalArgumentException(
+                  "image payload with no recognizable codec magic")
+              var sum = 0L; var sq = 0L
+              var p = 0
+              while (p < img.pixels.length) {
+                val g = ((img.pixels(p) & 0xff) + (img.pixels(p + 1) & 0xff)
+                  + (img.pixels(p + 2) & 0xff)) / 3
+                sum += g; sq += g.toLong * g
+                p += 3
+              }
+              val n = img.width.toLong * img.height
+              val varNum = n * sq - sum * sum
+              val blank = varNum < BlankVarT * n * n
+              MediaCuration(id, kind,
+                if (blank) "blank" else "ok", !blank, varNum)
+            case "audio" =>
+              val wav = Codecs.decodeWav(bytes)
+              val n = wav.samples.length.toLong
+              var nClip = 0L
+              var t = 0
+              while (t < wav.samples.length) {
+                if (math.abs(wav.samples(t).toInt) >= ClipAbs) nClip += 1
+                t += 1
+              }
+              val clipped = nClip * 1000 >= ClipPermille * n
+              MediaCuration(id, kind,
+                if (clipped) "clipped" else "ok", !clipped, nClip * 1000 / n)
+            case "video" =>
+              val stream = Codecs.parseY4m(bytes)
+              var total = 0L
+              var f = 0
+              while (f < stream.nFrames - 1) {
+                total += Codecs.y4mFrameDeltaY(stream, f)
+                f += 1
+              }
+              val nPix = stream.width.toLong * stream.height
+              val static = total < nPix * (stream.nFrames - 1)
+              MediaCuration(id, kind,
+                if (static) "static" else "ok", !static, total)
+            case other => throw new IllegalArgumentException(
+              s"unknown media kind '$other'")
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            MediaCuration(id, kind, "quarantined", keep = false, 0L)
+        }
+      })
+  }
 
   /** The q164/q165 arrival table: the mixed five-codec synthesis over
     * `documents` with the [[corruptIf]] corruption applied — ONE copy,

@@ -476,6 +476,42 @@ object Streams {
       }
       .start()
 
+  /** STREAMING MEDIA CURATION — the q181 unified gate run live:
+    * every arriving payload is decode-validated and its modality's
+    * low-information gate (blank / clipped / static) applied on the
+    * DECODED content, one audit row per arrival committed fenced to
+    * the artifact's `audit` component. Same exactly-once and
+    * compaction discipline as [[mediaIngestSink]]; the batch body is
+    * one map-only pass (zero shuffles). q181 is the batch twin;
+    * StreamsSpec pins stream ≡ batch on the same arrivals.
+    */
+  def mediaCurationSink(media: DataFrame, checkpointDir: String,
+      outDir: String, compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mediaCurationBatch(batch, batchId, outDir, compactEvery)
+      }
+      .start()
+
+  /** One micro-batch of [[mediaCurationSink]] — exposed for the
+    * forced-replay spec.
+    */
+  private[graft] def mediaCurationBatch(batch: DataFrame, batchId: Long,
+      outDir: String, compactEvery: Int): Unit = {
+    import graft.sources.{ArtifactVersions, BatchCommits}
+    val live = ArtifactVersions.current(outDir).getOrElse(outDir)
+    if (!BatchCommits.isCommitted(s"$live/audit", batchId))
+      BatchCommits.appendBatch(
+        graft.multimodal.CodecQueries.mediaCurationDecisions(batch).toDF()
+          .withColumn("batch_id", lit(batchId)),
+        s"$live/audit", batchId): Unit
+    compactOnCadence(batch.sparkSession, batchId, compactEvery,
+      Seq(outDir -> ((s: org.apache.spark.sql.SparkSession, r: String) =>
+        graft.sources.BatchCommits.compactArtifact(s, r, Seq("audit")))))
+  }
+
   /** One micro-batch of [[mediaIngestSink]] — exposed for the
     * forced-replay spec.
     */

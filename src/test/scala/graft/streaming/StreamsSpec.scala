@@ -739,4 +739,55 @@ class StreamsSpec extends AnyFunSuite {
     assert(served() == want, "replayed batch re-appended")
     graft.CacheScope.flush(spark)
   }
+
+  test("streaming media curation gate: stream ≡ q181 batch audit, " +
+    "every reason fires, replay fences across the compaction flip") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.multimodal.CodecQueries
+    val sf = "/root/testdata/sf0.001"
+    val all = CodecQueries.curatedMediaTable(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getAs[Array[Byte]](2))).sortBy(_._1).toSeq
+    val want = CodecQueries.mediaCurationDecisions(
+        all.toDF("media_id", "kind", "bytes"))
+      .collect().map(d => (d.media_id, d.kind, d.reason, d.keep,
+        d.gate_stat)).sortBy(_._1).toSeq
+    val (b1, b2) = all.splitAt(all.length / 2)
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val out = tmp("graft_mcur_out")
+    val mem = MemoryStream[(Long, String, Array[Byte])]
+    val q = Streams.mediaCurationSink(
+      mem.toDF.toDF("media_id", "kind", "bytes"),
+      tmp("graft_mcur_ckpt"), out, compactEvery = 1)
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def served() = {
+      val live = graft.sources.ArtifactVersions.current(out).getOrElse(out)
+      graft.sources.BatchCommits.readComponent(spark, s"$live/audit")
+        .select("media_id", "kind", "reason", "keep", "gate_stat")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getBoolean(3), r.getLong(4))).sortBy(_._1).toSeq
+    }
+    val got = served()
+    assert(got.nonEmpty && got == want)
+    // all four drop reasons + ok fire on this corpus
+    val reasons = got.map(_._3).toSet
+    assert(reasons == Set("quarantined", "blank", "clipped", "static", "ok"),
+      s"missing reasons: $reasons")
+    // the planted families are caught exactly
+    assert(got.filter(_._3 == "blank").map(_._1).toSet ==
+      all.map(_._1).filter(id => id % 21 == 0 && id % 31 != 0).toSet)
+    assert(got.filter(_._3 == "static").map(_._1).toSet ==
+      all.map(_._1).filter(id => id % 3 == 2
+        && id % CodecQueries.StaticVideoMod == 0 && id % 31 != 0).toSet)
+    // replay fence across the compaction flip: nothing re-appends
+    Streams.mediaCurationBatch(
+      b1.toDF("media_id", "kind", "bytes"), 0L, out, compactEvery = 0)
+    assert(served() == want, "replayed batch re-appended")
+    graft.CacheScope.flush(spark)
+  }
 }
