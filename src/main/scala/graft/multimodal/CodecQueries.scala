@@ -53,6 +53,57 @@ object CodecQueries {
       Array.tabulate(n)(t => ((id * 31 + t.toLong * 997) % 4001 - 2000).toShort))
   }
 
+  /** q173/q181's blank plant: image ids divisible by this encode a
+    * CONSTANT image (every byte id%256) through the real codec, so
+    * the blank-variance gate has genuine positives whose detection
+    * depends on an exact decode.
+    */
+  val BlankImageMod = 21L
+
+  /** The q173/q181 image synthesis — ONE copy of the plant rule:
+    * constant pixels for ids divisible by [[BlankImageMod]], the
+    * standard byte formula otherwise.
+    */
+  def synthImageWithBlankPlant(id: Long): PpmImage = {
+    val w = (16 + id % 17).toInt
+    val h = (12 + id % 13).toInt
+    PpmImage(w, h, Array.tabulate(w * h * 3) { j =>
+      if (id % BlankImageMod == 0) (id % 256).toByte
+      else ((id * 7 + j.toLong * 131) % 256).toByte
+    })
+  }
+
+  /** Integer grayscale moments of a decoded image — (n_pix, Σg, Σg²)
+    * with g = (r+g+b)/3 — the ONE copy of the q173/q181 blank-gate
+    * statistic.
+    */
+  def grayStats(img: PpmImage): (Long, Long, Long) = {
+    var sum = 0L; var sq = 0L
+    var p = 0
+    while (p < img.pixels.length) {
+      val g = ((img.pixels(p) & 0xff) + (img.pixels(p + 1) & 0xff)
+        + (img.pixels(p + 2) & 0xff)) / 3
+      sum += g; sq += g.toLong * g
+      p += 3
+    }
+    (img.width.toLong * img.height, sum, sq)
+  }
+
+  /** Clipped-sample count (|s| ≥ [[ClipAbs]]) and peak |s| of a PCM
+    * stream — the ONE copy of the q174/q181 clip-gate statistic.
+    */
+  def clipStats(samples: Array[Short]): (Long, Int) = {
+    var nClip = 0L; var peak = 0
+    var t = 0
+    while (t < samples.length) {
+      val a = math.abs(samples(t).toInt)
+      if (a >= ClipAbs) nClip += 1
+      if (a > peak) peak = a
+      t += 1
+    }
+    (nClip, peak)
+  }
+
   /** Synthesized video: w = 4 + id%5, h = 4 + id%4, nf = 3 + id%10
     * C444 frames at 25:1; plane `pl` byte j of frame f =
     * (id*13 + f*101 + pl*29 + j*7) mod 256.
@@ -70,6 +121,23 @@ object CodecQueries {
       }
     }
     Codecs.encodeY4m(w, h, 25, 1, frames)
+  }
+
+  /** The q180/q181 STATIC plant — ONE copy: [[synthY4m]]'s geometry
+    * with the frame term dropped, every frame identical, through the
+    * real Y4M encoder.
+    */
+  def synthStaticY4m(id: Long): Array[Byte] = {
+    val w = (4 + id % 5).toInt
+    val h = (4 + id % 4).toInt
+    val nf = (3 + id % 10).toInt
+    val planeN = w * h
+    val one = Array.tabulate(3 * planeN) { i =>
+      val pl = i / planeN
+      val j = i % planeN
+      ((id * 13 + pl.toLong * 29 + j.toLong * 7) % 256).toByte
+    }
+    Codecs.encodeY4m(w, h, 25, 1, Seq.fill(nf)(one))
   }
 
   /** One decoded medium, summarized with exactly-checkable numbers.
@@ -1148,23 +1216,9 @@ object CodecQueries {
         graft.Tables.documents(s, d).filter(col("doc_id") % 3 === 0)
           .select(col("doc_id")).as[Long]
           .mapPartitions(_.map { id =>
-            val w = (16 + id % 17).toInt
-            val h = (12 + id % 13).toInt
-            val img = Multimodal.PpmImage(w, h, Array.tabulate(w * h * 3) {
-              j =>
-                if (id % 21 == 0) (id % 256).toByte
-                else ((id * 7 + j.toLong * 131) % 256).toByte
-            })
-            val dec = Codecs.decodePng(Codecs.encodePng(img))
-            var sum = 0L; var sq = 0L
-            var p = 0
-            while (p < dec.pixels.length) {
-              val g = ((dec.pixels(p) & 0xff) + (dec.pixels(p + 1) & 0xff)
-                + (dec.pixels(p + 2) & 0xff)) / 3
-              sum += g; sq += g.toLong * g
-              p += 3
-            }
-            val n = (dec.width * dec.height).toLong
+            val dec = Codecs.decodePng(
+              Codecs.encodePng(synthImageWithBlankPlant(id)))
+            val (n, sum, sq) = grayStats(dec)
             (id, n, sum, sq, n * sq - sum * sum < BlankVarT * n * n)
           })
           .toDF("media_id", "n_pix", "gray_sum", "gray_sq_sum", "is_blank")
@@ -1174,7 +1228,7 @@ object CodecQueries {
                16 + doc_id % 17 AS w, 12 + doc_id % 13 AS h
                FROM documents WHERE doc_id % 3 = 0),
              g AS (SELECT id, w, h,
-                     CASE WHEN id % 21 = 0 THEN id % 256
+                     CASE WHEN id % $BlankImageMod = 0 THEN id % 256
                        ELSE ((id*7 + (3*p)*131) % 256
                          + (id*7 + (3*p+1)*131) % 256
                          + (id*7 + (3*p+2)*131) % 256) // 3 END AS gray
@@ -1204,14 +1258,7 @@ object CodecQueries {
           .mapPartitions(_.map { id =>
             val wav = Codecs.decodeWav(Codecs.encodeWav(synthWav(id)))
             val n = wav.samples.length.toLong
-            var nClip = 0L; var peak = 0
-            var t = 0
-            while (t < wav.samples.length) {
-              val a = math.abs(wav.samples(t).toInt)
-              if (a >= ClipAbs) nClip += 1
-              if (a > peak) peak = a
-              t += 1
-            }
+            val (nClip, peak) = clipStats(wav.samples)
             (id, n, nClip, nClip * 1000 / n, peak,
               nClip * 1000 < ClipPermille * n)
           })
@@ -1423,18 +1470,8 @@ object CodecQueries {
           .select(col("doc_id")).as[Long]
           .mapPartitions(_.map { id =>
             val bytes =
-              if (id % StaticVideoMod == 0) {
-                val w = (4 + id % 5).toInt
-                val h = (4 + id % 4).toInt
-                val nf = (3 + id % 10).toInt
-                val planeN = w * h
-                val one = Array.tabulate(3 * planeN) { i =>
-                  val pl = i / planeN
-                  val j = i % planeN
-                  ((id * 13 + pl.toLong * 29 + j.toLong * 7) % 256).toByte
-                }
-                Codecs.encodeY4m(w, h, 25, 1, Seq.fill(nf)(one))
-              } else synthY4m(id)
+              if (id % StaticVideoMod == 0) synthStaticY4m(id)
+              else synthY4m(id)
             val stream = Codecs.parseY4m(bytes)
             var total = 0L; var maxD = 0L
             var f = 0
@@ -1503,7 +1540,7 @@ object CodecQueries {
       },
       Some(s"""WITH img AS (SELECT doc_id AS id,
                16 + doc_id % 17 AS w, 12 + doc_id % 13 AS h,
-               doc_id % 21 = 0 AS planted, doc_id % 31 = 0 AS corrupt
+               doc_id % $BlankImageMod = 0 AS planted, doc_id % 31 = 0 AS corrupt
                FROM documents WHERE doc_id % 3 = 0),
              ig AS (SELECT id, CASE WHEN planted THEN id % 256
                       ELSE ((id*7 + (3*p)*131) % 256
@@ -1573,7 +1610,7 @@ object CodecQueries {
     * lossy JPEG rotation would make the blank-variance gate
     * decoder-defined) and which PLANTS one low-information row family
     * per modality, each through its REAL codec: blank images (ids
-    * divisible by 21 — the q173 rule), static videos (ids divisible
+    * divisible by [[BlankImageMod]] — the q173 rule), static videos (ids divisible
     * by [[StaticVideoMod]] — the q180 rule); clipped audio needs no
     * plant (the q174 gate splits the synthesis naturally). The %31
     * corruption rule applies on top, so the quarantine leg fires too.
@@ -1586,29 +1623,13 @@ object CodecQueries {
       .mapPartitions(_.map { id =>
         val (kind, bytes) = (id % 3) match {
           case 0 =>
-            val w = (16 + id % 17).toInt
-            val h = (12 + id % 13).toInt
-            val img = Multimodal.PpmImage(w, h,
-              Array.tabulate(w * h * 3) { j =>
-                if (id % 21 == 0) (id % 256).toByte
-                else ((id * 7 + j.toLong * 131) % 256).toByte
-              })
+            val img = synthImageWithBlankPlant(id)
             ("image", if (id % 6 == 0) Multimodal.ppmEncode(img)
                       else Codecs.encodePng(img))
           case 1 => ("audio", Codecs.encodeWav(synthWav(id)))
           case _ =>
-            if (id % StaticVideoMod == 0) {
-              val w = (4 + id % 5).toInt
-              val h = (4 + id % 4).toInt
-              val nf = (3 + id % 10).toInt
-              val planeN = w * h
-              val one = Array.tabulate(3 * planeN) { i =>
-                val pl = i / planeN
-                val j = i % planeN
-                ((id * 13 + pl.toLong * 29 + j.toLong * 7) % 256).toByte
-              }
-              ("video", Codecs.encodeY4m(w, h, 25, 1, Seq.fill(nf)(one)))
-            } else ("video", synthY4m(id))
+            ("video", if (id % StaticVideoMod == 0) synthStaticY4m(id)
+                      else synthY4m(id))
         }
         (id, kind, corruptIf(id, bytes))
       })
@@ -1648,15 +1669,7 @@ object CodecQueries {
                 else if (Codecs.isPng(bytes)) Codecs.decodePng(bytes)
                 else throw new IllegalArgumentException(
                   "image payload with no recognizable codec magic")
-              var sum = 0L; var sq = 0L
-              var p = 0
-              while (p < img.pixels.length) {
-                val g = ((img.pixels(p) & 0xff) + (img.pixels(p + 1) & 0xff)
-                  + (img.pixels(p + 2) & 0xff)) / 3
-                sum += g; sq += g.toLong * g
-                p += 3
-              }
-              val n = img.width.toLong * img.height
+              val (n, sum, sq) = grayStats(img)
               val varNum = n * sq - sum * sum
               val blank = varNum < BlankVarT * n * n
               MediaCuration(id, kind,
@@ -1664,12 +1677,7 @@ object CodecQueries {
             case "audio" =>
               val wav = Codecs.decodeWav(bytes)
               val n = wav.samples.length.toLong
-              var nClip = 0L
-              var t = 0
-              while (t < wav.samples.length) {
-                if (math.abs(wav.samples(t).toInt) >= ClipAbs) nClip += 1
-                t += 1
-              }
+              val (nClip, _) = clipStats(wav.samples)
               val clipped = nClip * 1000 >= ClipPermille * n
               MediaCuration(id, kind,
                 if (clipped) "clipped" else "ok", !clipped, nClip * 1000 / n)

@@ -361,7 +361,11 @@ object Codecs {
       dstRate: Int): Array[Short] = {
     require(srcRate > 0 && dstRate > 0,
       s"resample: rates must be positive, got $srcRate -> $dstRate")
-    val nOut = (samples.length.toLong * dstRate / srcRate).toInt
+    val nOutL = samples.length.toLong * dstRate / srcRate
+    require(nOutL <= Int.MaxValue,
+      s"resample: output of $nOutL samples exceeds array range " +
+        s"(${samples.length} @ $srcRate -> $dstRate)")
+    val nOut = nOutL.toInt
     val out = new Array[Short](nOut)
     var t = 0
     while (t < nOut) {

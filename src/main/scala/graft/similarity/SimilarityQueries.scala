@@ -1386,7 +1386,7 @@ object SimilarityQueries {
     // product-quantization codes shrink vector memory 16x, ADC prices
     // candidates by table lookups): encode every vector's RESIDUAL
     // against its coarse centroid with per-subspace codebooks, probe
-    // the KmNProbe nearest lists, score list members by summing the
+    // the IvfPqNProbe nearest lists, score list members by summing the
     // probe's per-(list, subspace, codeword) distance table, and
     // re-rank only the top PqNCand by exact L2 — recall@10 vs the
     // in-plan brute force alongside. Every training/encode/score step

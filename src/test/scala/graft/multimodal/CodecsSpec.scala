@@ -454,7 +454,8 @@ class CodecsSpec extends AnyFunSuite {
     val blank = byName("q173_blank_image_gate").fn(spark, sf).collect()
     val blanks = blank.filter(_.getBoolean(4)).map(_.getLong(0)).toSet
     assert(blanks.nonEmpty)
-    assert(blanks == blank.map(_.getLong(0)).filter(_ % 21 == 0).toSet,
+    assert(blanks == blank.map(_.getLong(0))
+        .filter(_ % CodecQueries.BlankImageMod == 0).toSet,
       "blank set must be exactly the planted constant images")
     // constant image: zero variance in the integer form
     blank.filter(_.getBoolean(4)).foreach { r =>

@@ -780,7 +780,8 @@ class StreamsSpec extends AnyFunSuite {
       s"missing reasons: $reasons")
     // the planted families are caught exactly
     assert(got.filter(_._3 == "blank").map(_._1).toSet ==
-      all.map(_._1).filter(id => id % 21 == 0 && id % 31 != 0).toSet)
+      all.map(_._1).filter(id =>
+        id % CodecQueries.BlankImageMod == 0 && id % 31 != 0).toSet)
     assert(got.filter(_._3 == "static").map(_._1).toSet ==
       all.map(_._1).filter(id => id % 3 == 2
         && id % CodecQueries.StaticVideoMod == 0 && id % 31 != 0).toSet)
