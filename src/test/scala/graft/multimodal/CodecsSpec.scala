@@ -549,6 +549,39 @@ class CodecsSpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("degenerate inputs: border scan on 1-row/fully-uniform images, " +
+    "resample on empty and collapsing rates, curation on empty/garbage") {
+    import spark.implicits._
+    // fully-uniform image reports all-border (h, 0); 1-row images both ways
+    val uni = PpmImage(4, 3, Array.fill(36)(7.toByte))
+    assert(CodecQueries.uniformRowBorders(uni) == (3, 0))
+    val oneRowU = PpmImage(5, 1, Array.fill(15)(0.toByte))
+    assert(CodecQueries.uniformRowBorders(oneRowU) == (1, 0))
+    val oneRowN = PpmImage(5, 1, Array.tabulate(15)(_.toByte))
+    assert(CodecQueries.uniformRowBorders(oneRowN) == (0, 0))
+    // resample: empty input, and a downsample so extreme n_out == 0
+    assert(Codecs.resampleNearest(Array.empty[Short], 8000, 16000).isEmpty)
+    assert(Codecs.resampleNearest(Array[Short](1, 2, 3), 48000, 1).isEmpty)
+    intercept[IllegalArgumentException](
+      Codecs.resampleNearest(Array[Short](1), 0, 16000))
+    // clip/gray stats on empty content
+    assert(CodecQueries.clipStats(Array.empty[Short]) == (0L, 0))
+    assert(CodecQueries.grayStats(PpmImage(0, 0, Array.empty[Byte]))
+      == (0L, 0L, 0L))
+    // the curation gate on an empty table and on garbage payloads
+    val emptyMedia = Seq.empty[(Long, String, Array[Byte])]
+      .toDF("media_id", "kind", "bytes")
+    assert(CodecQueries.mediaCurationDecisions(emptyMedia).count() == 0)
+    val garbage = Seq(
+      (1L, "image", "not an image".getBytes),
+      (2L, "audio", Array.empty[Byte]),
+      (3L, "bogus-kind", "x".getBytes)).toDF("media_id", "kind", "bytes")
+    val dec = CodecQueries.mediaCurationDecisions(garbage).collect()
+      .map(d => d.media_id -> d.reason).toMap
+    assert(dec == Map(1L -> "quarantined", 2L -> "quarantined",
+      3L -> "quarantined"))
+  }
+
   test("q180 static gate: the static set is exactly the planted ids, " +
     "planted deltas are zero through the real codec, and no formula " +
     "video is anywhere near the floor") {

@@ -121,6 +121,13 @@ class IvfPqPropertiesSpec extends AnyFunSuite {
     assert(row(0).getLong(1) == expHits.toLong,
       s"hits ${row(0).getLong(1)} != brute-force $expHits")
     assert(row(0).getDouble(2) == r6(expHits / 10.0))
+    // degenerate: an empty corpus yields the zero summary, not an error
+    import spark.implicits._
+    val emptyFlat = Seq.empty[(Long, Int, Int, Double)]
+      .toDF("vec_id", "label", "i", "v")
+    val z = SimilarityQueries.ivfPqRecallOf(emptyFlat).collect()
+    assert(z.length == 1 && z(0).getLong(0) == 0L && z(0).getLong(1) == 0L)
+
     // the composed index must be genuinely useful on this corpus.
     // This corpus is weakly L2-clustered (the exact top-10 spans 8 of
     // 10 coarse lists — see IvfPqNProbe's scaladoc), so 4 probed
