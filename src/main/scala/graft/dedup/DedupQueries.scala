@@ -677,6 +677,62 @@ object DedupQueries {
          WHERE sa.split <> sb.split
          ORDER BY train_doc, val_doc""")),
 
+    // ---- q182: SPLIT HEAL — the remediation step after the q179
+    // audit: every VAL doc that near-dups a TRAIN doc is DROPPED from
+    // the shipped split. Dropping (not reassigning) is the policy with
+    // a provable post-condition: a pair involving a dropped doc
+    // vanishes, and any surviving train/val pair would mean its val
+    // side was leaked and dropped — contradiction — so ZERO cross-
+    // split near-dup pairs survive in one pass (reassigning val→train
+    // can mint NEW leaks against other val docs and needs a fixpoint
+    // loop; DedupSpec pins the invariant). Output: every doc with its
+    // original split, whether it participated in a leak (train sides
+    // flagged too — the audit trail), and its final disposition.
+    // Same scale shape as q179 plus one doc-keyed left-semi join.
+    Q("q182_split_heal",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val idx = servedFullDedupIndex(s, docs, d)
+        val split = docs.select(col("doc_id"),
+          when(graft.functions.Hashing.h60(
+            concat(lit("doc-"), col("doc_id"))) % 100 < 90, "train")
+            .otherwise("val").as("split"))
+        val pairs = pairsFromIndexUnsorted(s, idx)
+          .join(split.select(col("doc_id").as("doc_a"),
+            col("split").as("sa")), "doc_a")
+          .join(split.select(col("doc_id").as("doc_b"),
+            col("split").as("sb")), "doc_b")
+          .filter(col("sa") =!= col("sb"))
+        val leakedIds = pairs.select(col("doc_a").as("doc_id"))
+          .unionAll(pairs.select(col("doc_b").as("doc_id")))
+          .distinct()
+        split
+          .join(leakedIds.withColumn("lk", lit(true)), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("split"),
+            coalesce(col("lk"), lit(false)).as("leaked"),
+            when(col("split") === "val" && coalesce(col("lk"), lit(false)),
+              lit("dropped")).otherwise(col("split")).as("final_split"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${minhashCtes("")},
+         sp AS (SELECT doc_id,
+                  CASE WHEN ${graft.functions.Hashing
+                    .h60Sql("concat('doc-', doc_id)")} % 100 < 90
+                       THEN 'train' ELSE 'val' END AS split
+                FROM documents),
+         cp AS (SELECT p.doc_a, p.doc_b
+                FROM pairs p JOIN sp sa ON p.doc_a = sa.doc_id
+                             JOIN sp sb ON p.doc_b = sb.doc_id
+                WHERE sa.split <> sb.split),
+         lk AS (SELECT doc_a AS doc_id FROM cp
+                UNION SELECT doc_b FROM cp)
+         SELECT sp.doc_id, sp.split,
+           sp.doc_id IN (SELECT doc_id FROM lk) AS leaked,
+           CASE WHEN sp.split = 'val'
+                  AND sp.doc_id IN (SELECT doc_id FROM lk)
+                THEN 'dropped' ELSE sp.split END AS final_split
+         FROM sp ORDER BY sp.doc_id""")),
+
     // ---- q97: exact duplicated-substring detection — the suffix-free
     // Spark shape of "Deduplicating Training Data Makes Language Models
     // Better" (Lee et al. 2022): every w-token window is hashed (h60),

@@ -277,4 +277,40 @@ class DedupSpec extends AnyFunSuite {
         s"mis-normalized leak pair ($t, $v)")
     }
   }
+
+  test("q182 split heal: dropped set is exactly the leaked val docs, " +
+    "and ZERO cross-split near-dup pairs survive the heal") {
+    val byName = DedupQueries.defs.map(q => q.name -> q).toMap
+    val heal = byName("q182_split_heal").fn(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getBoolean(2), r.getString(3))).toMap
+    val leaks = byName("q179_split_leakage").fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(leaks.nonEmpty)
+    // dropped == exactly the leaked val sides; train sides keep their
+    // split but carry the leak flag
+    val leakedVal = leaks.map(_._2).toSet
+    assert(heal.filter(_._2._3 == "dropped").keySet == leakedVal)
+    leaks.foreach { case (t, v) =>
+      assert(heal(t)._2 && heal(t)._3 == "train", s"train side $t wrong")
+      assert(heal(v)._2, s"val side $v not flagged")
+    }
+    // the post-condition the drop policy guarantees: no near-dup pair
+    // straddles the healed boundary (pairs with a dropped side vanish)
+    val pairs = byName("q30_minhash_lsh_pairs").fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val survivors = pairs.filter { case (a, b) =>
+      heal(a)._3 != "dropped" && heal(b)._3 != "dropped"
+    }
+    survivors.foreach { case (a, b) =>
+      assert(heal(a)._3 == heal(b)._3,
+        s"cross-split pair ($a, $b) survived the heal")
+    }
+    // and the heal is minimal on the val side: every non-leaked val
+    // doc ships
+    heal.foreach { case (id, (sp, lk, fin)) =>
+      if (sp == "val" && !lk) assert(fin == "val")
+      if (sp == "train") assert(fin == "train")
+    }
+  }
 }
