@@ -409,13 +409,14 @@ object ScaleProbe {
     * risk would be an accidental pairwise term, which the probe would
     * expose as super-linear time.
     *
-    * Measured (local[32], sf0.1): k=1 10.7 s (codegen warmup), k=4
-    * 7.3 s, k=10 8.9 s — 10x the vectors costs 1.2x of k=4, so the
-    * probe scale is fixed-cost dominated and the data-sized terms
-    * (assign, encode, ADC) are the linear minority they should be.
-    * Recall rises with k (1/10 -> 9/10) because every replica of
-    * vec 0 is an exact twin landing in the probe's own coarse list —
-    * the exact top-10 concentrates into probed lists as k grows.
+    * Measured (local[32], sf0.1, 10 probes): k=1 11.1 s (codegen
+    * warmup), k=4 8.2 s, k=10 10.1 s — 10x the vectors costs 1.2x of
+    * k=4, so the probe scale is fixed-cost dominated and the
+    * data-sized terms (assign, encode, ADC) are the linear minority
+    * they should be. Aggregate hits rise with k (26 -> 93 of 100)
+    * because every replica of a probe is an exact twin landing in the
+    * probe's own coarse list — the exact top-10 concentrates into
+    * probed lists as k grows.
     */
   private def ivfPqScale(spark: SparkSession): Unit = {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
@@ -429,7 +430,7 @@ object ScaleProbe {
         .withColumn("v", col("v").cast("double"))
       val t0 = System.nanoTime()
       val row = graft.similarity.SimilarityQueries.ivfPqRecallOf(f)
-        .head()
+        .agg(sum("n_candidates").as("nc"), sum("hits").as("h")).head()
       println(f"[scale] ivfpq k=$k vecs=${2000L * k} " +
         f"cand=${row.getLong(0)} hits=${row.getLong(1)} " +
         f"time=${(System.nanoTime() - t0) / 1e9}%.2f s")

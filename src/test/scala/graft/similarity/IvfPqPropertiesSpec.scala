@@ -4,20 +4,22 @@ import graft.SharedSpark
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Property test for the q178 IVF-PQ core — coarse integer centroids,
-  * residual codebooks, subspace encode argmins, probe-list pick, and
-  * the ADC table-lookup ranking — against an INDEPENDENT driver-side
-  * reference (plain loops over exact 64-bit integers) running the
-  * identical pipeline on the real corpus. The FULL ordered candidate
-  * list is compared, so a centroid rounding, residual, codebook,
-  * encode tie-break, table, or ranking bug reorders or replaces
-  * candidates and fails loudly. Because every compared quantity is an
-  * exact integer, there is no tolerance anywhere.
+  * residual codebooks, subspace encode argmins, per-probe list picks,
+  * and the ADC table-lookup ranking — against an INDEPENDENT
+  * driver-side reference (plain loops over exact 64-bit integers)
+  * running the identical pipeline on the real corpus. The FULL ordered
+  * candidate list of EVERY probe is compared, so a centroid rounding,
+  * residual, codebook, encode tie-break, table, or ranking bug
+  * reorders or replaces candidates and fails loudly. Because every
+  * compared quantity is an exact integer, there is no tolerance
+  * anywhere.
   */
 class IvfPqPropertiesSpec extends AnyFunSuite {
   lazy val spark = SharedSpark.spark
   val sf = "/root/testdata/sf0.001"
 
-  import SimilarityQueries.{KmScale, IvfPqNProbe, PqSubDim, PqNCand}
+  import SimilarityQueries.{KmScale, IvfPqNProbe, PqSubDim, PqNCand,
+    AnnNProbes}
 
   private def r6(x: Double): Double =
     BigDecimal.valueOf(x)
@@ -32,12 +34,13 @@ class IvfPqPropertiesSpec extends AnyFunSuite {
         r.getSeq[Float](1).map(_.toDouble).toArray))
       .sortBy(_._1).toVector
 
-  /** The reference: the whole integer IVF-PQ chain in plain loops. */
-  private def referenceCandidates(): Seq[(Long, Long)] = {
+  /** The reference: the whole integer IVF-PQ chain in plain loops —
+    * per probe, the ordered (vec_id, adist) candidate list.
+    */
+  private def referenceCandidates(): Map[Long, Seq[(Long, Long)]] = {
     val q: Map[Long, Array[Long]] = corpus.map { case (id, _, v) =>
       id -> v.map(x => math.floor(x * KmScale + 0.5).toLong)
     }.toMap
-    val labelOf: Map[Long, Int] = corpus.map(c => c._1 -> c._2).toMap
     val dim = corpus.head._3.length
     val labels = corpus.map(_._2).distinct.sorted
     def intMean(xs: Seq[Long]): Long =
@@ -72,26 +75,27 @@ class IvfPqPropertiesSpec extends AnyFunSuite {
       (id, _, _) <- corpus; m <- 0 until nSub
     } yield (id, m) ->
       labels.map(l => (subD2(res(id), m, cb((m, l))), l)).min._2).toMap
-    // probe lists + ADC tables
-    val pl = labels.map(l => (d2(q(0L), cent(l)), l)).sorted
-      .take(IvfPqNProbe).map(_._2)
-    val td: Map[(Int, Int, Int), Long] = (for {
-      l <- pl; m <- 0 until nSub; cl <- labels
-    } yield {
-      val qr = Array.tabulate(dim)(i => q(0L)(i) - cent(l)(i))
-      (l, m, cl) -> subD2(qr, m, cb((m, cl)))
-    }).toMap
-    val cand = corpus.filter(c => c._1 != 0L && pl.contains(lst(c._1)))
-      .map { case (id, _, _) =>
-        (id, (0 until nSub).map(m => td((lst(id), m, code((id, m))))).sum)
-      }
-    cand.sortBy { case (id, ad) => (ad, id) }.take(PqNCand)
-      .map { case (id, ad) => (id, ad) }
+    (0L until AnnNProbes).map { p =>
+      val pl = labels.map(l => (d2(q(p), cent(l)), l)).sorted
+        .take(IvfPqNProbe).map(_._2)
+      val td: Map[(Int, Int, Int), Long] = (for {
+        l <- pl; m <- 0 until nSub; cl <- labels
+      } yield {
+        val qr = Array.tabulate(dim)(i => q(p)(i) - cent(l)(i))
+        (l, m, cl) -> subD2(qr, m, cb((m, cl)))
+      }).toMap
+      val cand = corpus
+        .filter(c => c._1 != p && pl.contains(lst(c._1)))
+        .map { case (id, _, _) =>
+          (id, (0 until nSub).map(m => td((lst(id), m, code((id, m))))).sum)
+        }
+      p -> cand.sortBy { case (id, ad) => (ad, id) }.take(PqNCand)
+    }.toMap
   }
 
-  test("q178 IVF-PQ: the full ordered ADC candidate list equals the " +
-    "independent integer reference, and the declared summary row is " +
-    "consistent with a brute-force recall recount") {
+  test("q178 IVF-PQ: every probe's full ordered ADC candidate list " +
+    "equals the independent integer reference, and the per-probe " +
+    "summary rows are consistent with brute-force recall recounts") {
     val f = graft.Tables.embeddings(spark, sf)
       .select(org.apache.spark.sql.functions.col("vec_id"),
         org.apache.spark.sql.functions.col("label"),
@@ -101,38 +105,49 @@ class IvfPqPropertiesSpec extends AnyFunSuite {
       .withColumn("v",
         org.apache.spark.sql.functions.col("v").cast("double"))
     val got = SimilarityQueries.ivfPqCandidatesOf(f).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (p, rows) => p -> rows.map(r => (r._2, r._3)).toSeq }
     val ref = referenceCandidates()
-    assert(got == ref,
-      s"candidate list diverged: got ${got.take(5)}... vs ${ref.take(5)}...")
+    assert(got.keySet == ref.keySet,
+      s"probe set diverged: ${got.keySet} vs ${ref.keySet}")
+    ref.foreach { case (p, want) =>
+      assert(got(p) == want,
+        s"probe $p candidate list diverged: got ${got(p).take(3)}... " +
+          s"vs ${want.take(3)}...")
+    }
 
-    // summary: hits == |exact-L2 top-10 ∩ candidates| recomputed here
-    val candSet = ref.map(_._1).toSet
-    val q0 = corpus.find(_._1 == 0L).get._3
-    val top10 = corpus.filter(_._1 != 0L).map { case (id, _, v) =>
-      (id, r6((0 until v.length).map { i =>
-        val d = v(i) - q0(i); d * d
-      }.sum))
-    }.sortBy { case (id, l2) => (l2, id) }.take(10).map(_._1)
-    val expHits = top10.count(candSet)
-    val row = SimilarityQueries.ivfPqRecallOf(f).collect()
-    assert(row.length == 1)
-    assert(row(0).getLong(0) == ref.length.toLong)
-    assert(row(0).getLong(1) == expHits.toLong,
-      s"hits ${row(0).getLong(1)} != brute-force $expHits")
-    assert(row(0).getDouble(2) == r6(expHits / 10.0))
-    // degenerate: an empty corpus yields the zero summary, not an error
+    // summary: per probe, hits == |exact-L2 top-10 ∩ candidates|
+    val rows = SimilarityQueries.ivfPqRecallOf(f).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == (0L until AnnNProbes).toSeq)
+    var totalHits = 0L
+    rows.foreach { case (p, nCand, hits, recall) =>
+      val candSet = ref(p).map(_._1).toSet
+      assert(nCand == ref(p).length.toLong)
+      val qp = corpus.find(_._1 == p).get._3
+      val top10 = corpus.filter(_._1 != p).map { case (id, _, v) =>
+        (id, r6((0 until v.length).map { i =>
+          val d = v(i) - qp(i); d * d
+        }.sum))
+      }.sortBy { case (id, l2) => (l2, id) }.take(10).map(_._1)
+      val expHits = top10.count(candSet)
+      assert(hits == expHits.toLong,
+        s"probe $p hits $hits != brute-force $expHits")
+      assert(recall == r6(expHits / 10.0))
+      totalHits += hits
+    }
+    // the composed index must be genuinely useful on this corpus: the
+    // 10-probe aggregate recall clears 40% even though this corpus is
+    // weakly L2-clustered (see IvfPqNProbe's scaladoc)
+    assert(totalHits >= 4L * AnnNProbes,
+      s"IVF-PQ aggregate recall collapsed: $totalHits/${10 * AnnNProbes}")
+
+    // degenerate: an empty corpus yields an empty summary, not an error
     import spark.implicits._
     val emptyFlat = Seq.empty[(Long, Int, Int, Double)]
       .toDF("vec_id", "label", "i", "v")
-    val z = SimilarityQueries.ivfPqRecallOf(emptyFlat).collect()
-    assert(z.length == 1 && z(0).getLong(0) == 0L && z(0).getLong(1) == 0L)
-
-    // the composed index must be genuinely useful on this corpus.
-    // This corpus is weakly L2-clustered (the exact top-10 spans 8 of
-    // 10 coarse lists — see IvfPqNProbe's scaladoc), so 4 probed
-    // lists reach 4/10 at sf0.001; the recall twin measures that IVF
-    // loss honestly rather than hiding it.
-    assert(expHits >= 4, s"IVF-PQ recall collapsed: $expHits/10")
+    assert(SimilarityQueries.ivfPqRecallOf(emptyFlat).collect().isEmpty)
   }
 }
