@@ -104,6 +104,25 @@ object CodecQueries {
     (nClip, peak)
   }
 
+  /** q183's stereo synthesis: rate as [[synthWav]], nf = 200 + id%211
+    * frames, channels interleaved [L0, R0, L1, R1, …] with
+    * L[t] = (id*31 + t*997) % 4001 − 2000 and
+    * R[t] = (id*47 + t*641) % 4001 − 2000 — two decorrelated integer
+    * streams so the downmix is a genuine combination, not an identity.
+    */
+  def synthStereoWav(id: Long): WavAudio = {
+    val rate = (8000 + (id % 4) * 4000).toInt
+    val nf = (200 + id % 211).toInt
+    val inter = new Array[Short](2 * nf)
+    var t = 0
+    while (t < nf) {
+      inter(2 * t) = ((id * 31 + t.toLong * 997) % 4001 - 2000).toShort
+      inter(2 * t + 1) = ((id * 47 + t.toLong * 641) % 4001 - 2000).toShort
+      t += 1
+    }
+    WavAudio(rate, 2, inter)
+  }
+
   /** Synthesized video: w = 4 + id%5, h = 4 + id%4, nf = 3 + id%10
     * C444 frames at 25:1; plane `pl` byte j of frame f =
     * (id*13 + f*101 + pl*29 + j*7) mod 256.
@@ -1602,7 +1621,58 @@ object CodecQueries {
                       UNION ALL SELECT * FROM vout)
              SELECT media_id, kind, reason, reason = 'ok' AS keep,
                gate_stat
-             FROM allr ORDER BY media_id"""))
+             FROM allr ORDER BY media_id""")),
+
+    // ---- q183: STEREO→MONO DOWNMIX — the other audio canonicalizer
+    // (q177's sibling): speech corpora arrive mixed mono/stereo and
+    // train at one channel count, so stereo frames downmix to
+    // (L+R)/2. This is also the ONE declared query driving the WAV
+    // parser's multi-channel leg (channels=2 interleaved decode —
+    // unit-tested since r13, never query-covered until now). Division
+    // semantics are pinned: DuckDB's integer `//` TRUNCATES TOWARD
+    // ZERO ((-5)//2 = -2, verified — it is not Python floor
+    // division), which is exactly Java/Scala Int `/`, so the plain
+    // quotient is the cross-engine-exact choice and floorDiv would
+    // diverge on negative odd sums. Map-only at 100 TB.
+    Q("q183_stereo_downmix",
+      (s, d) => {
+        import s.implicits._
+        graft.Tables.documents(s, d).filter(col("doc_id") % 3 === 1)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val wav = Codecs.decodeWav(Codecs.encodeWav(synthStereoWav(id)))
+            require(wav.channels == 2,
+              s"q183: expected stereo, got ${wav.channels}")
+            val nf = wav.samples.length / 2
+            var sumAbs = 0L; var energy = 0L
+            var t = 0
+            while (t < nf) {
+              // truncating division — DuckDB's integer `//` semantics
+              val m = (wav.samples(2 * t) + wav.samples(2 * t + 1)) / 2
+              sumAbs += math.abs(m.toLong)
+              energy += m.toLong * m
+              t += 1
+            }
+            (id, wav.sampleRate, nf.toLong, sumAbs, energy)
+          })
+          .toDF("media_id", "sample_rate", "n_frames", "mono_sum_abs",
+            "mono_energy")
+          .orderBy("media_id")
+      },
+      Some("""WITH a AS (SELECT doc_id AS media_id,
+               8000 + (doc_id % 4) * 4000 AS rate,
+               200 + doc_id % 211 AS nf
+               FROM documents WHERE doc_id % 3 = 1),
+             v AS (SELECT media_id, rate, nf,
+                     ((media_id*31 + t*997) % 4001 - 2000
+                      + (media_id*47 + t*641) % 4001 - 2000) // 2 AS m
+                   FROM (SELECT media_id, rate, nf,
+                           unnest(range(0, nf)) AS t FROM a) x)
+             SELECT media_id, CAST(any_value(rate) AS INT) AS sample_rate,
+               CAST(any_value(nf) AS BIGINT) AS n_frames,
+               CAST(sum(abs(m)) AS BIGINT) AS mono_sum_abs,
+               CAST(sum(m*m) AS BIGINT) AS mono_energy
+             FROM v GROUP BY media_id ORDER BY media_id"""))
   )
 
   /** q181's arrival table: a mixed media table whose IMAGE leg is all

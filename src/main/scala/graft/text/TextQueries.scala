@@ -1148,7 +1148,50 @@ object TextQueries {
       (s, d) => repetitionGate(
         repetitionAugmented(Tables.documents(s, d))).orderBy("doc_id"),
       Some(s"""WITH $repetitionCtesSql
-SELECT * FROM rep ORDER BY doc_id"""))
+SELECT * FROM rep ORDER BY doc_id""")),
+
+    // ---- q184: VOCABULARY COVERAGE CURVE — the Zipf dashboard that
+    // SIZES a vocabulary: cumulative corpus-token share covered by the
+    // top-K token types in frequency order ("how many types cover
+    // 90%?" is how vocab budgets and OOV rates are set before training
+    // a tokenizer). Scale shape exactly q145's: one map-side-combined
+    // type-count aggregation, the top-K selected by a distributed
+    // TakeOrdered (never a global rank over the whole vocabulary —
+    // at 100 TB the type table is ~10^8 rows and a full-vocabulary
+    // window would funnel it through one task), and the rank/cumsum
+    // windows run over the K selected rows only; the corpus total is
+    // one scalar agg broadcast alongside.
+    Q("q184_vocab_coverage",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tok = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("token"))
+        val tot = tok.agg(count(lit(1)).as("total"))
+        val top = tok.groupBy("token").agg(count(lit(1)).as("n_occ"))
+          .orderBy(col("n_occ").desc, col("token")).limit(VocabCurveK)
+        val w = Window.orderBy(col("n_occ").desc, col("token"))
+        top
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .withColumn("cum", sum("n_occ").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .crossJoin(broadcast(tot))
+          .select(col("rank"), col("token"), col("n_occ"),
+            round(col("cum").cast("double") / col("total"), 6)
+              .as("cum_share"))
+          .orderBy("rank")
+      },
+      Some(s"""WITH tok AS (SELECT unnest(string_split(text, ' '))
+               AS token FROM documents),
+             n AS (SELECT count(*) AS total FROM tok),
+             f AS (SELECT token, count(*) AS n_occ FROM tok GROUP BY 1),
+             top AS (SELECT token, n_occ, row_number() OVER (
+                       ORDER BY n_occ DESC, token) AS rank
+                     FROM f ORDER BY n_occ DESC, token
+                     LIMIT $VocabCurveK)
+             SELECT rank, token, CAST(n_occ AS BIGINT) AS n_occ,
+               round(sum(n_occ) OVER (ORDER BY rank)
+                 / CAST(total AS DOUBLE), 6) AS cum_share
+             FROM top, n ORDER BY rank"""))
   )
 
   /** The ONE copy of the q158 repetition-gate CTE chain (both Gopher
@@ -1926,6 +1969,11 @@ rep AS (
   val PiiPhone = "\\+\\d{1,2}-\\d{3}-\\d{4}"
   /** Mixing temperature (alpha) and token budget for q114. */
   val MixAlpha = 0.7
+
+  /** q184's curve depth: the top-K token types whose cumulative
+    * coverage is reported (the dashboard's x-axis; K-row output).
+    */
+  val VocabCurveK = 50
   val MixBudget = 1e9
 
   /** q157's gate: drop each source's bottom quartile by quality. */

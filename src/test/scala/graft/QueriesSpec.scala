@@ -848,4 +848,38 @@ class QueriesSpec extends AnyFunSuite {
         s"source $sc scored higher under ${best.getAs[String]("lm_source")}'s LM")
     }
   }
+
+  test("q184 vocab coverage: Zipf curve agrees with a driver-side " +
+    "recount — ranks, counts, and cumulative shares") {
+    val rows = QueryRegistry.queries("q184_vocab_coverage")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    // driver-side recount from the same whitespace convention
+    val texts = graft.Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0))
+    val freq = texts.flatMap(_.split(" ", -1))
+      .groupBy(identity).map { case (t, o) => (t, o.length.toLong) }
+    // sf0.001's vocabulary is smaller than the curve depth — the
+    // curve covers what exists
+    assert(rows.length ==
+      math.min(graft.text.TextQueries.VocabCurveK, freq.size))
+    val total = freq.values.sum.toDouble
+    val want = freq.toSeq.sortBy { case (t, n) => (-n, t) }
+      .take(graft.text.TextQueries.VocabCurveK)
+    def r6(x: Double) = BigDecimal.valueOf(x)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    var cum = 0L
+    want.zipWithIndex.foreach { case ((tok, n), i) =>
+      cum += n
+      val (gRank, gTok, gN, gShare) = rows(i)
+      assert(gRank == i + 1 && gTok == tok && gN == n,
+        s"rank ${i + 1}: got ($gTok, $gN), want ($tok, $n)")
+      assert(gShare == r6(cum / total),
+        s"rank ${i + 1} share $gShare != ${r6(cum / total)}")
+    }
+    // the curve is monotone and the head carries real mass
+    assert(rows.map(_._4).sliding(2).forall(p => p(0) <= p(1)))
+    assert(rows.last._4 > 0.0 && rows.last._4 <= 1.0)
+  }
 }

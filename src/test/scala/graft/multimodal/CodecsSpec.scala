@@ -582,6 +582,35 @@ class CodecsSpec extends AnyFunSuite {
       3L -> "quarantined"))
   }
 
+  test("q183 downmix: stereo interleave decodes channel-true, the " +
+    "truncating division rule matches DuckDB //, and checksums match " +
+    "a direct formula recount") {
+    // the division rule on negative odd sums: toward zero, not floor
+    assert((-5) / 2 == -2 && 5 / 2 == 2)
+    // hand-built stereo round-trip: L/R stay in their slots
+    val st = WavAudio(8000, 2, Array[Short](10, -3, 7, 5, -9, -4))
+    val back = Codecs.decodeWav(Codecs.encodeWav(st))
+    assert(back.channels == 2 &&
+      java.util.Arrays.equals(back.samples, st.samples))
+    val rows = CodecQueries.defs
+      .find(_.name == "q183_stereo_downmix").get.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val nf = (200 + id % 211).toInt
+      assert(r.getLong(2) == nf)
+      var sumAbs = 0L; var energy = 0L
+      for (t <- 0 until nf) {
+        val l = ((id * 31 + t.toLong * 997) % 4001 - 2000).toInt
+        val rr = ((id * 47 + t.toLong * 641) % 4001 - 2000).toInt
+        val m = (l + rr) / 2
+        sumAbs += math.abs(m.toLong); energy += m.toLong * m
+      }
+      assert(r.getLong(3) == sumAbs && r.getLong(4) == energy,
+        s"downmix checksum diverged for $id")
+    }
+  }
+
   test("q180 static gate: the static set is exactly the planted ids, " +
     "planted deltas are zero through the real codec, and no formula " +
     "video is anywhere near the floor") {
