@@ -360,6 +360,30 @@ object ScaleProbe {
       println(f"[scale] codec_pixels s=$s pixels=$nPix png_bytes=$nBytes " +
         f"time=${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    // q181's gate overhead ON TOP of bare decode: the low-information
+    // gates (blank variance / clip count / static delta) add one more
+    // pass over decoded content inside the same partition map — the
+    // delta vs codec_rows above is the gate's whole marginal cost
+    // (no extra decode, no shuffle). Measured (local[32], sf0.1):
+    // 1.2/1.0/1.4 s at 5k/20k/50k rows vs codec_rows 3.2(warm
+    // 1.2)/1.2/1.2 s — the gates cost ~0.2 s per 50k mixed payloads
+    // on top of decode, and kept counts replicate exactly (3732 x k).
+    for (k <- Seq(1, 4, 10)) {
+      val t0 = System.nanoTime()
+      val media = CodecQueries.curatedMediaTable(
+        spark, "/root/testdata/sf0.1")
+      // k-fold arrival volume: the synthesis+decode pass runs k times
+      // over the corpus with shifted ids (ids only shift AFTER
+      // synthesis so every replica carries real decodable payloads)
+      val all = (0 until k).map { i =>
+        media.select((col("media_id") + lit(i.toLong * 10000000L))
+          .as("media_id"), col("kind"), col("bytes"))
+      }.reduce(_ unionAll _)
+      val kept = CodecQueries.mediaCurationDecisions(all).toDF()
+        .filter(col("keep")).agg(count(lit(1))).head().getLong(0)
+      println(f"[scale] curation_gate k=$k rows=${5000 * k} kept=$kept " +
+        f"time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
   }
 
   /** q46's IN-QUERY integer-Lloyd training loop under corpus growth:
