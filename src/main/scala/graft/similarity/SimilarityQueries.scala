@@ -1398,7 +1398,10 @@ object SimilarityQueries {
     // components (the q46 discipline: floor-rounded centroid and
     // codeword means, (d2, id) tie-breaks), so the whole trained
     // index — coarse cells, codebooks, codes, ADC order — is
-    // bit-reproducible by DuckDB and the output hash-matches.
+    // bit-reproducible by DuckDB and the output hash-matches. (As in
+    // q38/q46, a probe whose candidate set is empty would drop out of
+    // the summary — both engines agree, and it does not occur at
+    // these geometries.)
     // Scale shape: centroids (K x Dim) and codebooks (M x K x subdim)
     // are metadata and broadcast; candidates come from nprobe/K of
     // the corpus; only PqNCand rows ever touch raw vectors again.
@@ -1874,9 +1877,11 @@ object SimilarityQueries {
     * engines agree; does not occur at these geometries).
     */
   private def probeRecallSummary(cos: DataFrame, cand: DataFrame,
-      k: Int): DataFrame = {
+      k: Int, scoreCol: String = "cos_sim",
+      scoreAsc: Boolean = false): DataFrame = {
+    val ord = if (scoreAsc) col(scoreCol).asc else col(scoreCol).desc
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("probe_id").orderBy(col("cos_sim").desc, col("vec_id"))
+      .partitionBy("probe_id").orderBy(ord, col("vec_id"))
     val exactK = cos.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k).select("probe_id", "vec_id")
     val nCand = cand.groupBy("probe_id")
@@ -2028,19 +2033,10 @@ object SimilarityQueries {
       .groupBy("probe_id", "vec_id")
       .agg(round(sum((col("v") - col("qv")) * (col("v") - col("qv"))), 6)
         .as("l2"))
-    val wE = org.apache.spark.sql.expressions.Window
-      .partitionBy("probe_id").orderBy(col("l2"), col("vec_id"))
-    val exactK = ml2.withColumn("rn", row_number().over(wE))
-      .filter(col("rn") <= k).select("probe_id", "vec_id")
-    val nCand = cand.groupBy("probe_id")
-      .agg(count(lit(1)).as("n_candidates"))
-    val hits = exactK.join(cand, Seq("probe_id", "vec_id"), "left_semi")
-      .groupBy("probe_id").agg(count(lit(1)).as("hits"))
-    nCand.join(hits, Seq("probe_id"), "left")
-      .select(col("probe_id"), col("n_candidates"),
-        coalesce(col("hits"), lit(0L)).as("hits"),
-        round(coalesce(col("hits"), lit(0L)).cast("double") / k, 4)
-          .as("recall_at_10"))
+    // the shared q38/q46 bookkeeping, ranked ascending on L2; like
+    // those queries, a probe with an empty candidate set drops out
+    // (both engines agree; does not occur at these geometries)
+    probeRecallSummary(ml2, cand, k, scoreCol = "l2", scoreAsc = true)
       .orderBy("probe_id")
   }
 
@@ -2115,6 +2111,10 @@ object SimilarityQueries {
     adc.withColumn("rn", row_number().over(wC))
       .filter(col("rn") <= PqNCand)
       .select("probe_id", "vec_id", "adist")
+      // the documented ordering contract — never rely on the window
+      // operator's incidental partition-internal order surviving the
+      // rest of the plan
+      .orderBy("probe_id", "adist", "vec_id")
   }
 
   /** DuckDB twin of q178: the identical integer IVF-PQ — quantize,

@@ -1164,10 +1164,15 @@ SELECT * FROM rep ORDER BY doc_id""")),
     Q("q184_vocab_coverage",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val tok = Tables.documents(s, d)
-          .select(explode(split(col("text"), " ")).as("token"))
-        val tot = tok.agg(count(lit(1)).as("total"))
-        val top = tok.groupBy("token").agg(count(lit(1)).as("n_occ"))
+        // ONE tokenize+count pass (the q145 discipline): the corpus
+        // total is sum(n_occ) over the type table, not a second
+        // corpus-wide explode
+        val freq = graft.CacheScope.retain(
+          Tables.documents(s, d)
+            .select(explode(split(col("text"), " ")).as("token"))
+            .groupBy("token").agg(count(lit(1)).as("n_occ")))
+        val tot = freq.agg(sum("n_occ").as("total"))
+        val top = freq
           .orderBy(col("n_occ").desc, col("token")).limit(VocabCurveK)
         val w = Window.orderBy(col("n_occ").desc, col("token"))
         top
@@ -1969,12 +1974,12 @@ rep AS (
   val PiiPhone = "\\+\\d{1,2}-\\d{3}-\\d{4}"
   /** Mixing temperature (alpha) and token budget for q114. */
   val MixAlpha = 0.7
+  val MixBudget = 1e9
 
   /** q184's curve depth: the top-K token types whose cumulative
     * coverage is reported (the dashboard's x-axis; K-row output).
     */
   val VocabCurveK = 50
-  val MixBudget = 1e9
 
   /** q157's gate: drop each source's bottom quartile by quality. */
   val QgTheta = 0.25
