@@ -1623,15 +1623,20 @@ object DedupQueries {
     * tokens from it (DedupSpec pins the equivalence).
     */
   def decontaminationSpanScrub(docs: DataFrame, w: Int): DataFrame = {
-    // retained: the window-hash stream feeds the benchmark gram set AND
-    // the removable join (batch-only path — the q155 declared query)
-    val wins = graft.CacheScope.retain(windowHashesOf(docs, w))
-    val bench = wins.filter(col("doc_id") < DecontamBench)
+    // the doc_id split is applied to the INPUT frames, not after
+    // windowHashesOf: its monotonically_increasing_id projection is
+    // nondeterministic, so a filter above it can never push down to
+    // the scan — filtering first keeps each side's token-mass window
+    // priced only on the rows it owns, and the two sides are disjoint
+    // so no shared cache is warranted
+    val bench = windowHashesOf(
+        docs.filter(col("doc_id") < DecontamBench), w)
       .select("h").distinct()
-    val removable = wins.filter(col("doc_id") >= DecontamBench)
+    val corpus = docs.filter(col("doc_id") >= DecontamBench)
+    val removable = windowHashesOf(corpus, w)
       .join(broadcast(bench), Seq("h"), "left_semi")
       .select("doc_id", "pos")
-    scrubSpans(docs.filter(col("doc_id") >= DecontamBench), removable, w)
+    scrubSpans(corpus, removable, w)
   }
 
   /** DuckDB twin of q155 at w = 13 (q78's width). */

@@ -336,7 +336,8 @@ object CodecQueries {
   /** q174's clipping gate: a sample is clipped when |s| ≥ [[ClipAbs]]
     * (the synthesis peaks at 2000, so 1900 is the top 5% of the
     * amplitude range — the hard-limiter shelf), and a stream fails the
-    * gate when clipped samples exceed [[ClipPermille]] per mille.
+    * gate when clipped samples reach or exceed [[ClipPermille]] per
+    * mille (q174 and q181 both gate at >=).
     * Measured on this corpus the per-stream clip rate spans
     * 31–80 per mille, so 50 splits it (76 fail / 91 pass at sf0.01)
     * and both branches fire.
@@ -1362,10 +1363,17 @@ object CodecQueries {
                     FROM ub GROUP BY 1)
              SELECT i.id AS media_id, CAST(w AS INT) AS width,
                CAST(h AS INT) AS height,
-               CAST(first_nu AS BIGINT) AS top_border,
-               CAST(h - 1 - last_nu AS BIGINT) AS bottom_border,
-               CAST(last_nu - first_nu + 1 AS BIGINT) AS content_h,
-               (first_nu > 0 OR last_nu < h - 1) AS is_letterboxed
+               -- fully-uniform image (first_nu/last_nu NULL): engine's
+               -- uniformRowBorders reports (top=h, bottom=0, content=0,
+               -- letterboxed) — unreachable on this corpus (consecutive
+               -- content bytes differ by 131 mod 256) but pinned here so
+               -- the contract survives a synthesis-formula change
+               CAST(COALESCE(first_nu, h) AS BIGINT) AS top_border,
+               CAST(COALESCE(h - 1 - last_nu, 0) AS BIGINT) AS bottom_border,
+               CAST(COALESCE(last_nu - first_nu + 1, 0) AS BIGINT)
+                 AS content_h,
+               COALESCE(first_nu > 0 OR last_nu < h - 1, TRUE)
+                 AS is_letterboxed
              FROM img i JOIN nb ON i.id = nb.id ORDER BY media_id""")),
 
     // ---- q176: KEYFRAME SELECTION — pick each video's KeyframeK

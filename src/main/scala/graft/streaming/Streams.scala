@@ -373,13 +373,17 @@ object Streams {
         .persist()
       try {
         // quality rules IN PLACE on the persisted batch (per-row HOFs,
-        // no flags-back-on-doc_id self-join per micro-batch)
-        val flagged = graft.text.TextQueries.withQualityFlags(
-            cleaned.select(col("doc_id"), col("clean_text").as("text"),
-              col("n_removed")))
-          .select("doc_id", "text", "n_removed", "keep")
-        val qSurv = flagged.filter(col("keep"))
-          .select("doc_id", "text")
+        // no flags-back-on-doc_id self-join per micro-batch); the pin
+        // holds METADATA ONLY — (doc_id, keep), never the batch text
+        // a second time (the q144 r14 lesson: `cleaned` is the one
+        // text barrier, every other barrier is fingerprint-width)
+        val flags = pin(graft.text.TextQueries.withQualityFlags(
+            cleaned.select(col("doc_id"), col("clean_text").as("text")))
+          .select("doc_id", "keep"))
+        val qSurv = cleaned
+          .join(flags.filter(col("keep")).select("doc_id"),
+            Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("clean_text").as("text"))
         // Gopher repetition gate (q158), survivor-only — the same
         // stage order as q144's batch pipeline, so stream ≡ batch
         val rep = graft.text.TextQueries.repetitionGate(qSurv, pin)
@@ -390,10 +394,11 @@ object Streams {
         val decisions =
           DedupQueries.ingestBatchDecisions(survivors, dedupIdx)
         BatchCommits.appendBatch(
-          flagged
+          cleaned
+            .join(flags, Seq("doc_id"))
             .join(rep, Seq("doc_id"), "left")
             .join(decisions, Seq("doc_id"), "left")
-            .select(col("doc_id"), col("text").as("clean_text"),
+            .select(col("doc_id"), col("clean_text"),
               col("n_removed"),
               when(!col("keep"), lit("quality_drop"))
                 .when(!col("keep_repetition"), lit("repetition_drop"))

@@ -1867,29 +1867,43 @@ rep AS (
     * — calls the clean gate on the real text.
     */
   def curationPipelineOf(docs: DataFrame): DataFrame = {
-    // the q132 rules are computed IN PLACE on the scan projection —
-    // no flags-back-on-doc_id self-join, no shuffle before the gate
-    val d = graft.CacheScope.retain(
-      withQualityFlags(
-          docs.select(col("doc_id"), col("source"), col("lang"),
-            col("text")))
-        .select(col("doc_id"), col("source"), col("lang"), col("text"),
-          col("keep")))
-    val rep = repetitionGate(repetitionAugmented(
-        d.filter(col("keep")).select(col("doc_id"), col("text"))))
-      .select(col("doc_id"), col("keep_repetition"))
-    // left join: quality drops never reach the gate; keep_r folds the
-    // two stages into the survivor bit the downstream stages read
-    val dr = graft.CacheScope.retain(d.join(rep, Seq("doc_id"), "left")
+    // THE CACHE CARRIES NO TEXT (r14 finding: two full-text retains
+    // cached the corpus twice and froze AQE under the persist
+    // barriers — 473 tasks / ~15x the sum of the parts). One pass
+    // over the scan computes the q132 rules IN PLACE plus the md5
+    // content fingerprint, and retains ONLY (doc_id, source, lang,
+    // keep, th) — ~60 bytes/row at any corpus size. Every downstream
+    // leg reads this metadata frame; the one stage that needs text
+    // again (the repetition gate) re-reads it from the columnar scan,
+    // survivor-bounded by a semi-join against the cached keep bit.
+    val base = docs.select(col("doc_id"), col("source"), col("lang"),
+      col("text"))
+    val meta = graft.CacheScope.retain(
+      withQualityFlags(base)
+        .select(col("doc_id"), col("source"), col("lang"), col("keep"),
+          md5(col("text")).as("th")))
+    // quality drops never reach the ~9x-token-mass repetition window
+    // stream (the q148 survivor-only discipline) — legal because every
+    // repetition signal is intra-document. rep is itself retained
+    // (metadata-width) so the dr legs below never re-run the gate.
+    val rep = graft.CacheScope.retain(
+      repetitionGate(repetitionAugmented(
+          base.select(col("doc_id"), col("text")).join(
+            meta.filter(col("keep")).select("doc_id"),
+            Seq("doc_id"), "left_semi")))
+        .select(col("doc_id"), col("keep_repetition")))
+    // left join of two cached METADATA frames: quality drops carry
+    // keep_r = false; keep_r folds the two stages into the survivor
+    // bit the downstream stages read
+    val dr = meta.join(rep, Seq("doc_id"), "left")
       .withColumn("keep_r",
-        col("keep") && coalesce(col("keep_repetition"), lit(false))))
-    // dedup leg: project to (doc_id, content hash) BEFORE the window's
-    // exchange — the shuffle then moves ~40-byte fingerprints instead
-    // of full documents (text is the corpus's byte mass; at scale this
-    // is the difference between shuffling the corpus and shuffling
-    // hashes)
+        col("keep") && coalesce(col("keep_repetition"), lit(false)))
+    // dedup leg reads the CACHED fingerprint — the window's exchange
+    // moves ~40-byte hashes instead of full documents (text is the
+    // corpus's byte mass; at scale this is the difference between
+    // shuffling the corpus and shuffling hashes)
     val firsts = dr.filter(col("keep_r"))
-      .select(col("doc_id"), md5(col("text")).as("th"))
+      .select(col("doc_id"), col("th"))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("th").orderBy("doc_id")))
