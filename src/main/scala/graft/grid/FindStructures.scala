@@ -160,14 +160,26 @@ object FindStructures {
         val jySm = GridOps.gaussianSmooth(
           jyDf.select(col("it"), col("iz"), col("ix"), col("value")),
           "value", smoothing, nz, nx, "jy_smooth")
-        val cs = Topology.currentSheets(
-          jySm.select(col("it"), col("iz"), col("ix"), col("jy_smooth")),
-          "jy_smooth", nz, nx, csLimit)
+        val jySel =
+          jySm.select(col("it"), col("iz"), col("ix"), col("jy_smooth"))
         // small grids: materialize the (tiny) mask HERE, on the chain's
         // thread, overlapped with the spine — the consumer then reads a
         // checkpointed local table instead of re-planning the chain's
-        // tail joins as post-return query stages
-        if (aqeScoped) cs.localCheckpoint(true) else cs
+        // tail joins as post-return query stages. The chain's internal
+        // persists go through a LOCAL pin and are freed the moment the
+        // checkpoint lands (the r14 footprint finding: grid-sized
+        // intermediates whose consumers all finish inside this Future
+        // stayed resident until the harness flush, stacking cache
+        // pressure under every later stage); big grids keep the
+        // CacheScope default since the returned plan is lazy.
+        if (aqeScoped) {
+          val pins = scala.collection.mutable.Buffer.empty[DataFrame]
+          val cs = Topology.currentSheets(jySel, "jy_smooth", nz, nx,
+            csLimit, pin = df => { val p = df.persist(); pins += p; p })
+          val out = cs.localCheckpoint(true)
+          pins.foreach(_.unpersist(false))
+          out
+        } else Topology.currentSheets(jySel, "jy_smooth", nz, nx, csLimit)
       }(csEc)
     }
 
@@ -209,16 +221,25 @@ object FindStructures {
 
     // separatrices + O-structures around the X points (:441-479)
     // hess still carries flux_fn (the gradient chain started from `flux`)
-    val sepsLazy = Topology.separatricesWithLevels(hess, "flux_fn", timeIdx,
-      classified.filter(_._3 == -1.0).map(c => (c._1, c._2, c._4)).toSeq,
-      nz, nx, dPerDe * deTol)
+    val xLevels =
+      classified.filter(_._3 == -1.0).map(c => (c._1, c._2, c._4)).toSeq
     // the sep/ostruct masks are read TWICE downstream (one variable
     // each): small grids checkpoint the tiny result eagerly (one
-    // in-window job replaces the consumer's re-derivation), big grids
-    // scope a persist
+    // in-window job replaces the consumer's re-derivation) and free the
+    // body's internal grid-sized persists immediately via a local pin;
+    // big grids scope a persist through CacheScope (lazy result — the
+    // internals must survive until the consumer evaluates it)
     val seps =
-      if (aqeScoped) sepsLazy.localCheckpoint(true)
-      else graft.CacheScope.retain(sepsLazy)
+      if (aqeScoped) {
+        val pins = scala.collection.mutable.Buffer.empty[DataFrame]
+        val out = Topology.separatricesWithLevels(hess, "flux_fn",
+            timeIdx, xLevels, nz, nx, dPerDe * deTol,
+            pin = df => { val p = df.persist(); pins += p; p })
+          .localCheckpoint(true)
+        pins.foreach(_.unpersist(false))
+        out
+      } else graft.CacheScope.retain(Topology.separatricesWithLevels(
+        hess, "flux_fn", timeIdx, xLevels, nz, nx, dPerDe * deTol))
 
     // current sheets on smoothed jy (hardcoded name, :482; chain built
     // concurrently above). Explicit 2-D projection note: a VPIC-loaded

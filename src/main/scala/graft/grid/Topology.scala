@@ -223,6 +223,14 @@ object Topology {
     var lab = cut(cells.select((k :+ col("iz") :+ col("ix")): _*)
       .withColumn("id", col("iz").cast("long") * nx + col("ix"))
       .withColumn("comp", col("id")))
+    // superseded-iteration blocks are freed explicitly: every round's
+    // localCheckpoint pins MEMORY_AND_DISK blocks that would otherwise
+    // survive until the driver GCs the RDD reference — on a
+    // 20+-iteration solve that is 20 label tables resident at once.
+    // Once `next` is materialized the previous round's blocks are dead
+    // (each round rebuilds msgs/ptr from the NEW table only), so peak
+    // residency is two rounds, not the iteration count.
+    var prevRdd: Option[org.apache.spark.rdd.RDD[_]] = None
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -260,6 +268,8 @@ object Topology {
         spark, rdd, withCh.schema)
       next.count() // materialize; fills the accumulator
       changed = acc.value
+      prevRdd.foreach(_.unpersist(false))
+      prevRdd = Some(rdd)
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(f"[cc] iter=$iter changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2f s")
       lab = next.drop("ch")
@@ -353,6 +363,9 @@ object Topology {
     // node set: s-side of the symmetrized list covers every endpoint
     var lab = cut(e.select((k :+ col("s").as("node")): _*).distinct()
       .withColumn("comp", col("node")))
+    // free superseded iterations' checkpoint blocks (see ccImpl): peak
+    // residency two label tables, not one per round.
+    var prevRdd: Option[org.apache.spark.rdd.RDD[_]] = None
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -385,6 +398,8 @@ object Topology {
       val t0 = System.nanoTime()
       next.count() // materialize; fills the accumulator
       changed = acc.value
+      prevRdd.foreach(_.unpersist(false))
+      prevRdd = Some(rdd)
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(f"[graphcc] iter=$iter changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2f s")
       lab = next.drop("ch")
@@ -638,7 +653,8 @@ object Topology {
     * Returns (it, iz, ix, cs) with cs in {-1, 0, +1}.
     */
   def currentSheets(grid: DataFrame, field: String, nz: Int, nx: Int,
-      csLimit: Double): DataFrame = {
+      csLimit: Double,
+      pin: DataFrame => DataFrame = graft.CacheScope.retain): DataFrame = {
     val mm = GridOps.minmaxFilter(grid, field, nz, nx, "fmax", "fmin")
     // scoped persist: the filtered fields feed the threshold aggregate,
     // the probe join, and both sheet branches (4 consumers). A
@@ -646,8 +662,11 @@ object Topology {
     // forces every cell of a time step through ONE task — a non-starter
     // at the 100 TB design point where a single `it` plane is billions
     // of cells; groupBy partial-aggregates map-side and broadcasts a
-    // per-it row back. CacheScope bounds the block lifetime.
-    val g = graft.CacheScope.retain(grid.join(mm, Seq("it", "iz", "ix")))
+    // per-it row back. `pin` (default CacheScope.retain) bounds the
+    // block lifetime to the harness query scope; an eager caller that
+    // checkpoints the result (FindStructures' small-grid leg) passes a
+    // local persist and frees these grid-sized blocks immediately.
+    val g = pin(grid.join(mm, Seq("it", "iz", "ix")))
     val thr = g.groupBy("it").agg(
       (avg("fmax") + lit(3) * stddev_pop("fmax")).as("max_thr"),
       (avg("fmin") - lit(3) * stddev_pop("fmin")).as("min_thr"))
@@ -671,10 +690,10 @@ object Topology {
     // One agg for both signs: maximizing (sgn*field, -iz, -ix) is the
     // positive branch's max_by key at sgn=+1 and exactly the negative
     // branch's min_by of (field, iz, ix) at sgn=-1.
-    // retained: ext is broadcast in TWO separate sub-plans (tagged and
+    // pinned: ext is broadcast in TWO separate sub-plans (tagged and
     // seeds) — two exchanges, and on the lazy single-tile CC path each
     // would otherwise re-run the region labeling.
-    val ext = graft.CacheScope.retain(withV.groupBy("sgn", "it", "comp")
+    val ext = pin(withV.groupBy("sgn", "it", "comp")
       .agg(max_by(struct(col(field).as("v"), col("iz"), col("ix")),
         struct(col("sgn") * col(field), -col("iz"), -col("ix"))).as("e"))
       .select(col("sgn").as("r_sgn"), col("it").as("r_it"),
@@ -692,7 +711,7 @@ object Topology {
     // scoped persist: the grow labels feed both the seed lookup and
     // the final membership join — without it the solve's output plan
     // (checkpoint-join or fast-path projection) re-evaluates per use
-    val cc = graft.CacheScope.retain(
+    val cc = pin(
       connectedComponents(tagged, nx, keys = Seq("sgn", "rid", "it"),
         staticSingleTile = fitsOneTile(nz, nx)))
     val seeds = cc.join(broadcast(ext),
@@ -731,7 +750,8 @@ object Topology {
     */
   def separatrices(grid: DataFrame, psiField: String, it0: Int,
       xPoints: Seq[(Double, Double)], nz: Int, nx: Int,
-      tol: Double): DataFrame = {
+      tol: Double,
+      pin: DataFrame => DataFrame = graft.CacheScope.retain): DataFrame = {
     val spark = grid.sparkSession
     import spark.implicits._
     val g0 = grid.filter(col("it") === it0)
@@ -746,17 +766,21 @@ object Topology {
     // them with the X/O classification) use the WithLevels variant —
     // the level table becomes a local relation and this whole sampling
     // sub-plan (corner join + aggregation + persist) disappears.
-    val levels = graft.CacheScope.retain(
-      bilinearSample(g0, psiField, xdf, "level"))
-    separatricesBody(g0, psiField, it0, xPoints, nz, nx, tol, levels)
+    val levels = pin(bilinearSample(g0, psiField, xdf, "level"))
+    separatricesBody(g0, psiField, it0, xPoints, nz, nx, tol, levels, pin)
   }
 
   /** [[separatrices]] with the psi level at each X point already known
-    * (py, px, level) — no distributed sampling pass.
+    * (py, px, level) — no distributed sampling pass. `pin` scopes the
+    * body's intermediate persists: the default registers them with
+    * CacheScope (freed at the harness flush); a caller that eagerly
+    * checkpoints the returned masks passes a local persist and frees
+    * them as soon as the checkpoint lands.
     */
   def separatricesWithLevels(grid: DataFrame, psiField: String, it0: Int,
       xPointLevels: Seq[(Double, Double, Double)], nz: Int, nx: Int,
-      tol: Double): DataFrame = {
+      tol: Double,
+      pin: DataFrame => DataFrame = graft.CacheScope.retain): DataFrame = {
     val spark = grid.sparkSession
     import spark.implicits._
     val g0 = grid.filter(col("it") === it0)
@@ -767,25 +791,26 @@ object Topology {
       .map { case ((py, px, lv), i) => (i, it0, py, px, lv) }
       .toDF("xid", "it", "py", "px", "level")
     separatricesBody(g0, psiField, it0,
-      xPointLevels.map(p => (p._1, p._2)), nz, nx, tol, levels)
+      xPointLevels.map(p => (p._1, p._2)), nz, nx, tol, levels, pin)
   }
 
   private def separatricesBody(g0: DataFrame, psiField: String, it0: Int,
       xPoints: Seq[(Double, Double)], nz: Int, nx: Int,
-      tol: Double, levels: DataFrame): DataFrame = {
+      tol: Double, levels: DataFrame,
+      pin: DataFrame => DataFrame): DataFrame = {
     val spark = g0.sparkSession
     import spark.implicits._
-    // retained: the CC solve's eager labeling forces the marching-
+    // pinned: the CC solve's eager labeling forces the marching-
     // squares pass; without the persist `pts` would re-run it.
-    val segs = graft.CacheScope.retain(contourSegmentsAt(g0, psiField,
+    val segs = pin(contourSegmentsAt(g0, psiField,
       levels.select(col("xid"), col("level"))))
     val segCells = segs.select("xid", "it", "iz", "ix").distinct()
     val comp = connectedComponents8(segCells, nx, keys = Seq("xid", "it"),
       staticSingleTile = fitsOneTile(nz, nx))
-    // endpoint distances to the owning X point. Retained: consumed by
+    // endpoint distances to the owning X point. Pinned: consumed by
     // both `keep` and `raster`, and on the lazy single-tile CC path a
     // re-scan would re-run the contour-component labeling.
-    val pts = graft.CacheScope.retain(
+    val pts = pin(
       segs.join(comp, Seq("xid", "it", "iz", "ix"))
         .select(col("xid"), col("comp"),
           explode(array(struct(col("y1").as("y"), col("x1").as("x")),
@@ -809,7 +834,7 @@ object Topology {
         yield (i, py.toInt + di, px.toInt + dj)
     }.filter { case (_, a, b) => a >= 0 && a < nz && b >= 0 && b < nx }
       .toDF("xid", "iz", "ix")
-    val localMask = graft.CacheScope.retain(raster.unionAll(xpix).distinct()
+    val localMask = pin(raster.unionAll(xpix).distinct()
       .withColumn("it", lit(it0)).withColumn("m", lit(1)))
     // SUPPORT-BOUNDED per-xid cell set instead of full-grid × xids:
     // gap_fill can only set cells within one step of a mask cell, and a
@@ -848,7 +873,7 @@ object Topology {
       .withColumn("it", lit(it0))
       .join(localMask, Seq("xid", "it", "iz", "ix"), "left")
       .withColumn("m", coalesce(col("m"), lit(0)))
-    val filled = graft.CacheScope.retain(GridOps.gapFill(
+    val filled = pin(GridOps.gapFill(
       full.select("xid", "it", "iz", "ix", "m"), "m", nz, nx,
       "filled", keys = Seq("xid", "it")))
 
@@ -863,9 +888,9 @@ object Topology {
           || col("ix") <= col("x0") || col("ix") >= col("x1"))
       .filter(col("filled") === 0)
       .select("xid", "it", "iz", "ix", "touch_edge")
-    // retained: zcomp feeds both the interior test and the final member
+    // pinned: zcomp feeds both the interior test and the final member
     // join; on the lazy single-tile CC path a re-scan would re-label.
-    val zcomp = graft.CacheScope.retain(connectedComponents(
+    val zcomp = pin(connectedComponents(
       zeros.select("xid", "it", "iz", "ix"), nx, keys = Seq("xid", "it"),
       staticSingleTile = fitsOneTile(nz, nx))
       .join(zeros, Seq("xid", "it", "iz", "ix")))
