@@ -142,6 +142,27 @@ object CodecQueries {
     Codecs.encodeY4m(w, h, 25, 1, frames)
   }
 
+  /** q185's COMPRESSED-video synthesis: w = 8 + id%5, h = 8 + id%4,
+    * nf = 3 + id%7 frames at 25 fps; frame f's source RGB byte j =
+    * (id*17 + f*113 + j*11) mod 256, each frame pushed through the
+    * JDK's REAL JPEG encoder and muxed into the hand-written AVI
+    * container. Static plant (the q180 rule): ids divisible by
+    * [[StaticVideoMod]] mux ONE frame's JPEG bytes nf times, so the
+    * decoded inter-frame delta is exactly zero by construction.
+    */
+  def synthAviMjpeg(id: Long): Array[Byte] = {
+    val w = (8 + id % 5).toInt
+    val h = (8 + id % 4).toInt
+    val nf = (3 + id % 7).toInt
+    def frame(f: Int): Array[Byte] = Codecs.encodeJpeg(PpmImage(w, h,
+      Array.tabulate(w * h * 3)(j =>
+        ((id * 17 + f.toLong * 113 + j.toLong * 11) % 256).toByte)))
+    val frames =
+      if (id % StaticVideoMod == 0) { val one = frame(0); Seq.fill(nf)(one) }
+      else (0 until nf).map(frame)
+    Codecs.encodeAviMjpeg(w, h, 25, frames)
+  }
+
   /** The q180/q181 STATIC plant — ONE copy: [[synthY4m]]'s geometry
     * with the frame term dropped, every frame identical, through the
     * real Y4M encoder.
@@ -212,6 +233,12 @@ object CodecQueries {
             f += 1
           }
           MediaSummary("y4m", s.width, s.height, s.nFrames.toLong, total)
+        } else if (Codecs.isRiffAvi(bytes)) {
+          // MJPEG: container geometry and frame count are exact; the
+          // per-frame JPEG decode is lossy, so like the still-JPEG leg
+          // the content sum carries the documented -1 sentinel
+          val v = Codecs.parseAviMjpeg(bytes)
+          MediaSummary("mjpeg", v.width, v.height, v.nFrames.toLong, -1L)
         } else throw new IllegalArgumentException(
           "video payload with no recognizable codec magic")
       case other => throw new IllegalArgumentException(
@@ -1680,7 +1707,133 @@ object CodecQueries {
                CAST(any_value(nf) AS BIGINT) AS n_frames,
                CAST(sum(abs(m)) AS BIGINT) AS mono_sum_abs,
                CAST(sum(m*m) AS BIGINT) AS mono_energy
-             FROM v GROUP BY media_id ORDER BY media_id"""))
+             FROM v GROUP BY media_id ORDER BY media_id""")),
+
+    // ---- q185: COMPRESSED VIDEO — MJPEG in a hand-muxed AVI through
+    // the q163 dispatch and the q180 static gate. The payload is JPEG
+    // frames (the JDK's real encoder) in a minimal validating RIFF-AVI
+    // container; the dispatch routes it by the RIFF/'AVI ' magic, and
+    // the gate decodes every frame with the real JPEG decoder and
+    // measures inter-frame RGB delta. The q161-style oracle checks the
+    // EXACTLY-DETERMINED outputs: container dims, frame count, codec
+    // route, per-frame decoded-dims agreement, and the static verdict —
+    // a static plant muxes byte-identical JPEG chunks, so its decoded
+    // delta is exactly zero by construction, while a non-static row's
+    // frames differ by 113 per source byte mod 256, far beyond any
+    // JPEG quantization collapse (CodecsSpec pins the delta magnitudes
+    // and pixel statistics with tolerances — lossy values are decoder-
+    // defined and deliberately NOT in this oracle).
+    Q("q185_mjpeg_static_gate",
+      (s, d) => {
+        import s.implicits._
+        graft.Tables.documents(s, d).filter(col("doc_id") % 3 === 2)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val bytes = synthAviMjpeg(id)
+            val m = mediaSummary("video", bytes) // the q163 dispatch
+            val v = Codecs.parseAviMjpeg(bytes)
+            var prev: PpmImage = null
+            var maxDelta = 0L
+            var dimsOk = true
+            var f = 0
+            while (f < v.nFrames) {
+              val img = Codecs.decodeJpeg(v.frameJpeg(f))
+              dimsOk &&= img.width == v.width && img.height == v.height
+              if (prev != null) {
+                var dsum = 0L
+                var j = 0
+                while (j < img.pixels.length) {
+                  dsum += math.abs((img.pixels(j) & 0xff) -
+                    (prev.pixels(j) & 0xff))
+                  j += 1
+                }
+                if (dsum > maxDelta) maxDelta = dsum
+              }
+              prev = img
+              f += 1
+            }
+            (id, m.codec, m.width, m.height, m.nUnits, dimsOk,
+              maxDelta == 0L)
+          })
+          .toDF("media_id", "codec", "width", "height", "n_frames",
+            "dims_ok", "is_static")
+          .orderBy("media_id")
+      },
+      Some(s"""SELECT doc_id AS media_id, 'mjpeg' AS codec,
+               CAST(8 + doc_id % 5 AS INT) AS width,
+               CAST(8 + doc_id % 4 AS INT) AS height,
+               CAST(3 + doc_id % 7 AS BIGINT) AS n_frames,
+               TRUE AS dims_ok,
+               doc_id % $StaticVideoMod = 0 AS is_static
+             FROM documents WHERE doc_id % 3 = 2
+             ORDER BY media_id""")),
+
+    // ---- q186: COMPOSED IMAGE-CURATION INGEST — decode-validate +
+    // blank gate + SURVIVOR-ONLY near-dup against the persisted phash
+    // index, first-drop-wins (quarantined > blank > near_dup > ok).
+    // The arrival family is the q169 cid-twin convention with the
+    // blank/corruption plants on top, so every drop reason fires and
+    // the twin plant makes the near-dup leg exactly determined. The
+    // stage ORDER is load-bearing: a blank image's dHash is all-zero
+    // bits, so ungated blanks would all collide into one near-dup
+    // cluster — survivor-only hashing is a correctness property here,
+    // not just the q148 cost discipline. The corpus index is built
+    // from GATED corpus images (an index of admitted content, the
+    // production shape); ingest work is arrival-side only.
+    Q("q186_image_curation_neardup",
+      (s, d) => {
+        val idx = graft.TempArtifacts.dir("graft_phash_cur_idx")
+        val corpus = gatedImageHashes(twinImageTable(s, d,
+          col("doc_id") % 6 === 0
+            && col("doc_id") < PhashCorpusCutoff)).toDF()
+        PhashIndex.buildPhashIndex(
+          corpus.filter(col("keep"))
+            .select(col("media_id").as("doc_id"), col("hash")), idx)
+        imageCurationIngestDecisions(
+            twinImageTable(s, d, col("doc_id") % 6 === 3), idx)
+          .orderBy("media_id")
+      },
+      Some(s"""WITH $phashHashCtesSql,
+             pg AS (SELECT id,
+                      CASE WHEN cid % $BlankImageMod = 0 THEN cid % 256
+                        ELSE ((cid*7 + (3*p)*131) % 256
+                          + (cid*7 + (3*p+1)*131) % 256
+                          + (cid*7 + (3*p+2)*131) % 256) // 3 END AS g
+                    FROM (SELECT id, cid, unnest(range(0, w*h)) AS p
+                          FROM dims) x),
+             vr AS (SELECT id, count(*) AS n, sum(g) AS sm,
+                      sum(g*g) AS sq FROM pg GROUP BY 1),
+             gate AS (SELECT d.id,
+                        CASE WHEN d.id % 31 = 0 THEN 'quarantined'
+                             WHEN n*sq - sm*sm < $BlankVarT*n*n
+                               THEN 'blank'
+                             ELSE 'ok' END AS reason0,
+                        CAST(CASE WHEN d.id % 31 = 0 THEN 0
+                             ELSE n*sq - sm*sm END AS BIGINT) AS gate_stat
+                      FROM dims d JOIN vr ON d.id = vr.id),
+             corpus AS (SELECT g.id, h.hash
+                        FROM gate g JOIN hashes h ON g.id = h.id
+                        WHERE g.id % 6 = 0
+                          AND g.id < $PhashCorpusCutoff
+                          AND g.reason0 = 'ok'),
+             arr AS (SELECT g.id, g.reason0, g.gate_stat,
+                       CASE WHEN g.reason0 = 'ok' THEN h.hash
+                            ELSE 0 END AS hash
+                     FROM gate g JOIN hashes h ON g.id = h.id
+                     WHERE g.id % 6 = 3),
+             m AS (SELECT a.id, min(c.id) AS dup_of
+                   FROM arr a JOIN corpus c
+                     ON bit_count(xor(a.hash, c.hash)) <= $PhashMaxHamming
+                   WHERE a.reason0 = 'ok' GROUP BY a.id)
+             SELECT a.id AS media_id,
+               CASE WHEN a.reason0 <> 'ok' THEN a.reason0
+                    WHEN m.dup_of IS NOT NULL THEN 'near_dup'
+                    ELSE 'ok' END AS reason,
+               (a.reason0 = 'ok' AND m.dup_of IS NULL) AS keep,
+               a.gate_stat, CAST(a.hash AS BIGINT) AS hash,
+               CAST(coalesce(m.dup_of, -1) AS BIGINT) AS dup_of
+             FROM arr a LEFT JOIN m ON a.id = m.id
+             ORDER BY media_id"""))
   )
 
   /** q181's arrival table: a mixed media table whose IMAGE leg is all
@@ -1796,6 +1949,115 @@ object CodecQueries {
         (id, kind, corruptIf(id, bytes))
       })
       .toDF("media_id", "kind", "bytes")
+  }
+
+  // ------------------------------------------------------------------
+  // q186: the COMPOSED image-curation ingest — decode-validate +
+  // blank gate + SURVIVOR-ONLY near-dup against the persisted phash
+  // index, first-drop-wins (quarantined > blank > near_dup > ok).
+  // The media-side q144 lesson applied twice over: gates are ordered
+  // by cost (per-row decode before the index join), the near-dup
+  // stage prices only gate survivors, and — critically — a BLANK
+  // image's dHash is all-zeros, so ungated blanks would all collide
+  // into one giant near-dup cluster; dropping them first is a
+  // correctness property of the composition, not just a cost win.
+  // ------------------------------------------------------------------
+
+  /** One row of the q186 composed gate: `reason` is first-drop-wins,
+    * `gate_stat` the blank gate's variance numerator, `hash` the
+    * 56-bit dHash for rows that reached the near-dup stage (0 for
+    * quarantined/blank — never hashed), `dup_of` the lowest matching
+    * corpus doc or -1.
+    */
+  final case class ImageCuration(media_id: Long, reason: String,
+      keep: Boolean, gate_stat: Long, hash: Long)
+
+  /** Decode + blank-gate + dHash in ONE pass over the arrival
+    * partitions (zero shuffles; the hash rides the decode that the
+    * gate already paid for — never decode twice). Per-row
+    * fault-isolated like every ingest gate.
+    */
+  def gatedImageHashes(media: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.Dataset[ImageCuration] = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("media_id").cast("long"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        try {
+          val img =
+            if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6')
+              Multimodal.decodePpm(bytes)
+            else if (Codecs.isPng(bytes)) Codecs.decodePng(bytes)
+            else throw new IllegalArgumentException(
+              "image payload with no recognizable codec magic")
+          val (n, sum, sq) = grayStats(img)
+          val varNum = n * sq - sum * sum
+          val blank = varNum < BlankVarT * n * n
+          ImageCuration(id, if (blank) "blank" else "ok", !blank,
+            varNum, if (blank) 0L else dHashOf(img))
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            ImageCuration(id, "quarantined", keep = false, 0L, 0L)
+        }
+      })
+  }
+
+  /** q186's synthesis family: the q169 cid-twin convention (content
+    * id = doc_id/6; ids 6k carry the same pixels as 6k+3, through PPM
+    * and PNG respectively) with the standard plants on top — blank
+    * images for cids divisible by [[BlankImageMod]] (constant
+    * `cid % 256`), magic-stripped corruption for ids divisible by 31.
+    */
+  def twinImageTable(s: org.apache.spark.sql.SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, dir)
+      .filter(col("doc_id") % 3 === 0 && pred)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val cid = id / 6
+        val w = (16 + cid % 17).toInt
+        val h = (12 + cid % 13).toInt
+        val img =
+          if (cid % BlankImageMod == 0)
+            PpmImage(w, h, Array.fill(w * h * 3)((cid % 256).toByte))
+          else PpmImage(w, h, Array.tabulate(w * h * 3)(
+            j => ((cid * 7 + j.toLong * 131) % 256).toByte))
+        val bytes =
+          if (id % 6 == 0) Multimodal.ppmEncode(img)
+          else Codecs.encodePng(img)
+        (id, corruptIf(id, bytes))
+      })
+      .toDF("media_id", "bytes")
+  }
+
+  /** The composed q186 body: gate (one decode pass, METADATA-width pin
+    * — media_id/reason/stat/hash, never payloads) → survivor-only
+    * phash ingest against the persisted index → first-drop-wins merge.
+    * Batch callers use the CacheScope default; the streaming sink
+    * passes a local persist (no flush point in a stream).
+    */
+  def imageCurationIngestDecisions(arrivals: org.apache.spark.sql.DataFrame,
+      idxPath: String,
+      pin: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        graft.CacheScope.retain): org.apache.spark.sql.DataFrame = {
+    val gated = pin(gatedImageHashes(arrivals).toDF())
+    val dec = PhashIndex.phashIngestDecisions(
+      gated.filter(col("keep"))
+        .select(col("media_id").as("doc_id"), col("hash")), idxPath)
+    gated.join(
+        dec.select(col("doc_id").as("media_id"), col("status"),
+          col("dup_of")),
+        Seq("media_id"), "left")
+      .select(col("media_id"),
+        when(col("reason") =!= "ok", col("reason"))
+          .when(col("status") === "dup", lit("near_dup"))
+          .otherwise(lit("ok")).as("reason"),
+        (col("reason") === "ok" && col("status") === "added").as("keep"),
+        col("gate_stat"), col("hash"),
+        coalesce(when(col("status") === "dup", col("dup_of")), lit(-1L))
+          .as("dup_of"))
   }
 
   /** q164's deterministic corruption rule: ids divisible by 31 lose

@@ -375,6 +375,253 @@ object Codecs {
     out
   }
 
+  // ------------------------------------------------------------------
+  // AVI / MJPEG: JPEG frames in a minimal RIFF-AVI container — the
+  // COMPRESSED video leg. The container is hand-parsed with the same
+  // validating RIFF discipline as the WAV parser; the per-frame codec
+  // is the JDK's real JPEG (proven by q160/q163). Frame chunks are
+  // indexed at parse time, so sampling k of n frames decodes k JPEGs
+  // and touches no other frame's bytes — the compressed-stream
+  // analogue of the Y4M fixed-size seek.
+  // ------------------------------------------------------------------
+
+  def isRiffAvi(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'A' && b(9) == 'V' && b(10) == 'I' &&
+      b(11) == ' '
+
+  /** A parsed MJPEG-AVI handle: header geometry plus every video
+    * chunk's (payload offset, length) collected in one container walk.
+    * `frameJpeg(i)` slices ONLY frame i's bytes.
+    */
+  final case class AviMjpegStream(width: Int, height: Int, fps: Int,
+      nFrames: Int, frameOffsets: Array[Int], frameLengths: Array[Int],
+      bytes: Array[Byte]) {
+    /** Frame `i`'s JPEG stream — a slice of the container, validated
+      * to start with an SOI marker so a mis-indexed chunk fails loudly.
+      */
+    def frameJpeg(i: Int): Array[Byte] = {
+      require(i >= 0 && i < nFrames, s"AVI: frame $i of $nFrames")
+      val out = java.util.Arrays.copyOfRange(bytes, frameOffsets(i),
+        frameOffsets(i) + frameLengths(i))
+      require(isJpeg(out),
+        s"AVI: frame chunk $i does not start with a JPEG SOI marker")
+      out
+    }
+  }
+
+  /** Mux JPEG streams into a minimal standard AVI: RIFF('AVI '
+    * LIST('hdrl' avih LIST('strl' strh strf)) LIST('movi' '00dc'*)
+    * idx1), one 'vids'/'MJPG' stream, odd chunks padded per RIFF.
+    * idx1 offsets follow the common convention: relative to the
+    * 'movi' fourcc (first chunk at offset 4).
+    */
+  def encodeAviMjpeg(w: Int, h: Int, fps: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(w > 0 && h > 0, s"AVI encode: bad dimensions ${w}x$h")
+    require(fps > 0, s"AVI encode: bad fps $fps")
+    require(frames.nonEmpty, "AVI encode: no frames")
+    frames.foreach(f =>
+      require(isJpeg(f), "AVI encode: frame is not a JPEG stream"))
+    val strlLen = 4 + (8 + 56) + (8 + 40)
+    val hdrlLen = 4 + (8 + 56) + (8 + strlLen)
+    val moviLen = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
+    val idx1Len = 16 * frames.length
+    val riffLen = 4 + (8 + hdrlLen) + (8 + moviLen) + (8 + idx1Len)
+    val buf = ByteBuffer.allocate(8 + riffLen)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = { buf.put(s.getBytes(
+      java.nio.charset.StandardCharsets.US_ASCII)); () }
+    fourcc("RIFF"); buf.putInt(riffLen); fourcc("AVI ")
+    fourcc("LIST"); buf.putInt(hdrlLen); fourcc("hdrl")
+    fourcc("avih"); buf.putInt(56)
+    buf.putInt(1000000 / fps) // dwMicroSecPerFrame
+      .putInt(0).putInt(0) // maxBytesPerSec, paddingGranularity
+      .putInt(0x10) // AVIF_HASINDEX
+      .putInt(frames.length) // dwTotalFrames
+      .putInt(0).putInt(1).putInt(0) // initialFrames, streams, bufSize
+      .putInt(w).putInt(h)
+      .putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved[4]
+    fourcc("LIST"); buf.putInt(strlLen); fourcc("strl")
+    fourcc("strh"); buf.putInt(56)
+    fourcc("vids"); fourcc("MJPG")
+    buf.putInt(0) // flags
+      .putShort(0).putShort(0) // priority, language
+      .putInt(0) // initialFrames
+      .putInt(1).putInt(fps) // scale, rate -> fps frames/sec
+      .putInt(0).putInt(frames.length) // start, length
+      .putInt(0).putInt(-1).putInt(0) // bufSize, quality, sampleSize
+      .putShort(0).putShort(0) // rcFrame left, top
+      .putShort(w.toShort).putShort(h.toShort)
+    fourcc("strf"); buf.putInt(40)
+    buf.putInt(40).putInt(w).putInt(h) // biSize, biWidth, biHeight
+      .putShort(1).putShort(24) // biPlanes, biBitCount
+    fourcc("MJPG") // biCompression
+    buf.putInt(w * h * 3) // biSizeImage
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    val moviFcc = buf.position() + 8 // position of the 'movi' fourcc
+    fourcc("LIST"); buf.putInt(moviLen); fourcc("movi")
+    val offs = new Array[Int](frames.length)
+    frames.zipWithIndex.foreach { case (f, i) =>
+      offs(i) = buf.position() - moviFcc
+      fourcc("00dc"); buf.putInt(f.length); buf.put(f)
+      if ((f.length & 1) == 1) buf.put(0.toByte)
+    }
+    fourcc("idx1"); buf.putInt(idx1Len)
+    frames.zipWithIndex.foreach { case (f, i) =>
+      fourcc("00dc")
+      buf.putInt(0x10).putInt(offs(i)).putInt(f.length) // AVIIF_KEYFRAME
+    }
+    buf.array()
+  }
+
+  /** Parse + VALIDATE a single-stream MJPEG AVI: RIFF form check,
+    * chunk walk with pad bytes, avih/strh/strf cross-checks (one
+    * 'vids' stream, 'MJPG' handler AND biCompression, dims agree,
+    * frame counts agree), movi '00dc' chunk collection, and an idx1
+    * cross-check when present (entry count, per-entry offset/length
+    * against the walked chunks). Unknown chunks/LISTs skip; anything
+    * structurally wrong throws with a precise message.
+    */
+  def parseAviMjpeg(bytes: Array[Byte]): AviMjpegStream = {
+    require(isRiffAvi(bytes), "AVI: not a RIFF/AVI stream")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val riffSize = buf.getInt(4)
+    require(riffSize.toLong + 8 == bytes.length,
+      s"AVI: RIFF size $riffSize + 8 != stream length ${bytes.length}")
+    def fccAt(p: Int): String = new String(bytes, p, 4,
+      java.nio.charset.StandardCharsets.US_ASCII)
+    var w = -1; var h = -1; var totalFrames = -1; var fps = -1
+    var strhFrames = -1; var sawStrf = false
+    var moviFcc = -1
+    val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val lens = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var idx1Checked = false
+
+    def walkHdrl(start: Int, end: Int): Unit = {
+      var p = start
+      while (p + 8 <= end) {
+        val id = fccAt(p); val len = buf.getInt(p + 4)
+        require(len >= 0 && p + 8 + len.toLong <= end,
+          s"AVI: hdrl chunk '$id' length $len overruns at byte $p")
+        id match {
+          case "avih" =>
+            require(len >= 56, s"AVI: avih chunk too short ($len)")
+            require(w < 0, "AVI: duplicate avih chunk")
+            totalFrames = buf.getInt(p + 8 + 16)
+            val streams = buf.getInt(p + 8 + 24)
+            require(streams == 1,
+              s"AVI: $streams streams (only single-stream MJPEG here)")
+            w = buf.getInt(p + 8 + 32); h = buf.getInt(p + 8 + 36)
+            require(w > 0 && h > 0, s"AVI: bad dimensions ${w}x$h")
+          case "LIST" if fccAt(p + 8) == "strl" =>
+            walkStrl(p + 12, p + 8 + len)
+          case _ => ()
+        }
+        p += 8 + len + (len & 1)
+      }
+    }
+    def walkStrl(start: Int, end: Int): Unit = {
+      var p = start
+      while (p + 8 <= end) {
+        val id = fccAt(p); val len = buf.getInt(p + 4)
+        require(len >= 0 && p + 8 + len.toLong <= end,
+          s"AVI: strl chunk '$id' length $len overruns at byte $p")
+        id match {
+          case "strh" =>
+            require(len >= 56, s"AVI: strh chunk too short ($len)")
+            val fccType = fccAt(p + 8)
+            require(fccType == "vids",
+              s"AVI: stream type '$fccType' (need 'vids')")
+            val handler = fccAt(p + 12)
+            require(handler == "MJPG",
+              s"AVI: codec handler '$handler' (only MJPG is decodable " +
+                "here; any other handler would be silently garbage)")
+            val scale = buf.getInt(p + 8 + 20)
+            val rate = buf.getInt(p + 8 + 24)
+            require(scale > 0 && rate > 0,
+              s"AVI: bad strh rate $rate/$scale")
+            fps = rate / scale
+            strhFrames = buf.getInt(p + 8 + 32)
+          case "strf" =>
+            require(len >= 40, s"AVI: strf chunk too short ($len)")
+            val comp = fccAt(p + 8 + 16)
+            require(comp == "MJPG",
+              s"AVI: biCompression '$comp' != strh handler MJPG")
+            val bw = buf.getInt(p + 8 + 4)
+            val bh = buf.getInt(p + 8 + 8)
+            require(bw == w && math.abs(bh) == h,
+              s"AVI: strf dims ${bw}x$bh disagree with avih ${w}x$h")
+            sawStrf = true
+          case _ => ()
+        }
+        p += 8 + len + (len & 1)
+      }
+    }
+    def walkMovi(start: Int, end: Int): Unit = {
+      var p = start
+      while (p + 8 <= end) {
+        val id = fccAt(p); val len = buf.getInt(p + 4)
+        require(len >= 0 && p + 8 + len.toLong <= end,
+          s"AVI: movi chunk '$id' length $len overruns at byte $p")
+        if (id == "00dc") { offs += p + 8; lens += len }
+        p += 8 + len + (len & 1)
+      }
+    }
+
+    var pos = 12
+    while (pos + 8 <= bytes.length) {
+      val id = fccAt(pos); val len = buf.getInt(pos + 4)
+      require(len >= 0 && pos + 8 + len.toLong <= bytes.length,
+        s"AVI: chunk '$id' length $len overruns the stream at byte $pos")
+      id match {
+        case "LIST" =>
+          require(len >= 4, s"AVI: LIST chunk too short ($len)")
+          fccAt(pos + 8) match {
+            case "hdrl" => walkHdrl(pos + 12, pos + 8 + len)
+            case "movi" =>
+              require(moviFcc < 0, "AVI: duplicate movi list")
+              moviFcc = pos + 8
+              walkMovi(pos + 12, pos + 8 + len)
+            case _ => () // INFO etc.: skip
+          }
+        case "idx1" =>
+          require(moviFcc >= 0, "AVI: idx1 before movi list")
+          require(len % 16 == 0, s"AVI: idx1 length $len not 16-aligned")
+          val n = len / 16
+          require(n == offs.length,
+            s"AVI: idx1 has $n entries, movi has ${offs.length} chunks")
+          var i = 0
+          while (i < n) {
+            val e = pos + 8 + i * 16
+            require(fccAt(e) == "00dc",
+              s"AVI: idx1 entry $i id '${fccAt(e)}'")
+            val off = buf.getInt(e + 8); val elen = buf.getInt(e + 12)
+            require(moviFcc + off + 8 == offs(i) && elen == lens(i),
+              s"AVI: idx1 entry $i (off $off, len $elen) disagrees " +
+                s"with walked chunk (payload at ${offs(i)}, ${lens(i)})")
+            i += 1
+          }
+          idx1Checked = true
+        case _ => () // JUNK etc.: skip
+      }
+      pos += 8 + len + (len & 1)
+    }
+    require(pos == bytes.length,
+      s"AVI: trailing garbage after last chunk (at byte $pos of " +
+        s"${bytes.length})")
+    require(w > 0, "AVI: no avih header")
+    require(fps > 0, "AVI: no strh stream header")
+    require(sawStrf, "AVI: no strf stream format")
+    require(moviFcc >= 0, "AVI: no movi list")
+    require(idx1Checked, "AVI: no idx1 index (AVIF_HASINDEX declared)")
+    require(offs.length == totalFrames && totalFrames == strhFrames,
+      s"AVI: frame counts disagree (avih $totalFrames, strh " +
+        s"$strhFrames, movi ${offs.length})")
+    AviMjpegStream(w, h, fps, offs.length, offs.toArray, lens.toArray,
+      bytes)
+  }
+
   /** Encode C444 frames (each `w*h*3` plane-ordered bytes: Y then U
     * then V) as a canonical YUV4MPEG2 stream with bare frame markers.
     */

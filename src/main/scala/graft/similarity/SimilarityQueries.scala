@@ -1407,8 +1407,191 @@ object SimilarityQueries {
     // the corpus; only PqNCand rows ever touch raw vectors again.
     Q("q178_ivfpq_recall",
       (s, d) => ivfPqRecallOf(flat(s, d)),
-      Some(ivfPqRecallOracleSql))
+      Some(ivfPqRecallOracleSql)),
+
+    // ---- q187: SEMANTIC SPLIT-LEAKAGE AUDIT — the embedding-side
+    // q179: q179/q182 catch MinHash near-dups across the train/val
+    // boundary, but SemDeDup-level leakage (a val item semantically
+    // duplicating a train item, q111's signal) crosses undetected.
+    // Audit: build the persisted IVF index over the TRAIN side only
+    // (the served-index discipline — at 100 TB the index already
+    // exists for search; the audit is a consumer, not a new scan),
+    // probe each VAL vector's nprobe nearest lists from the FROZEN
+    // centroid table, exact-cosine only the list-bounded train
+    // candidates, and report pairs at or above [[SemLeakT]]. No
+    // pairwise val x train scan anywhere; like every banded/probed
+    // audit (q179's LSH included) the guarantee is over DETECTED
+    // pairs — a pair outside the probe width is the documented ANN
+    // recall trade-off, measured by q89/q118.
+    Q("q187_semantic_split_leakage",
+      (s, d) => semanticLeakPairs(s, d).orderBy("train_vec", "val_vec"),
+      Some(semanticLeakOracleSql(
+        s"SELECT train_vec, val_vec, cos FROM leaks " +
+          "ORDER BY train_vec, val_vec"))),
+
+    // ---- q188: SEMANTIC SPLIT HEAL — q182's drop-val policy on the
+    // q187 pair set, with the SAME one-pass post-condition: every
+    // detected pair is val x train, so dropping each leaked val vector
+    // removes every detected pair in one pass — no fixpoint, and no
+    // new pair can appear because dropping only shrinks the val side
+    // (SimilaritySpec pins zero surviving detected leaks). Train sides
+    // are flagged `leaked` for the audit trail but never dropped.
+    Q("q188_semantic_split_heal",
+      (s, d) => {
+        // retained: the two union arms below would otherwise each
+        // re-evaluate the probe + candidate-cosine plan (metadata-width
+        // rows: two ids and a double)
+        val pairs = graft.CacheScope.retain(semanticLeakPairs(s, d))
+        val leaked = pairs.select(col("train_vec").as("vec_id"))
+          .unionAll(pairs.select(col("val_vec").as("vec_id")))
+          .distinct()
+        vecSplitOf(s, d)
+          .join(leaked.withColumn("lk", lit(true)), Seq("vec_id"), "left")
+          .select(col("vec_id"), col("split"),
+            coalesce(col("lk"), lit(false)).as("leaked"),
+            when(col("split") === "val"
+                && coalesce(col("lk"), lit(false)),
+              lit("dropped")).otherwise(col("split")).as("final_split"))
+          .orderBy("vec_id")
+      },
+      Some(semanticLeakOracleSql(
+        """, lk AS (SELECT train_vec AS vec_id FROM leaks
+                UNION SELECT val_vec FROM leaks)
+           SELECT sp.vec_id, sp.split,
+             sp.vec_id IN (SELECT vec_id FROM lk) AS leaked,
+             CASE WHEN sp.split = 'val'
+                    AND sp.vec_id IN (SELECT vec_id FROM lk)
+                  THEN 'dropped' ELSE sp.split END AS final_split
+           FROM sp ORDER BY sp.vec_id""")))
   )
+
+  /** q187's leak bar: cosine (6-dp rounded, the suite's cross-engine
+    * float discipline) at or above which a val-train candidate pair is
+    * a reported leak. Lower than q111's within-cluster SemT bar: an
+    * audit wants the suspicious tail too, and 0.25 makes both branches
+    * fire on every shipped SF (measured: the corpus' cross-split
+    * probed-candidate cosines span ~[-0.44, 0.44], ~4% of candidate
+    * pairs at or above 0.25).
+    */
+  private[graft] val SemLeakT = 0.25
+
+  /** q187/q188's nprobe: lists probed per val vector. */
+  private[graft] val SemLeakNProbe = 2
+
+  /** The q187/q188 train/val split on vec_id — the q75/q179 hash-split
+    * discipline (pure projection, no exchange) under a distinct salt
+    * prefix so the vec split is independent of the doc split.
+    */
+  private def vecSplitOf(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"),
+      when(graft.functions.Hashing.h60(
+        concat(lit("vec-"), col("vec_id"))) % 100 < 90, "train")
+        .otherwise("val").as("split"))
+
+  /** The q187 pair set: (train_vec, val_vec, cos >= [[SemLeakT]]),
+    * cosines exact on the index-served, list-bounded candidates only.
+    */
+  private def semanticLeakPairs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val f = graft.CacheScope.retain(flat(s, d))
+    val split = vecSplitOf(s, d)
+    // per-JVM memoized build over the train side (the q118 serve-only
+    // discipline); the artifact is the search index the split's train
+    // half would ship with
+    val idx = semLeakIndexCache.computeIfAbsent(d, _ => {
+      val p = graft.TempArtifacts.dir("graft_ivf_split")
+      buildIvfIndex(f.join(
+        split.filter(col("split") === "train").select("vec_id"),
+        Seq("vec_id"), "left_semi"), p)
+      p
+    })
+    val cent = indexCentroids(s, idx)
+    // each val vector's nprobe nearest lists against the FROZEN
+    // centroid table (metadata-scale, broadcast)
+    val valf = f.join(split.filter(col("split") === "val").select("vec_id"),
+      Seq("vec_id"), "left_semi")
+    val probe = valf
+      .join(broadcast(cent), col("i") === col("ci"))
+      .groupBy("vec_id", "clabel")
+      .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy("d2", "clabel")))
+      .filter(col("rn") <= SemLeakNProbe)
+      .select(col("vec_id").as("val_vec"), col("clabel").as("lst"))
+    val cand = probe
+      .join(indexAssignments(s, idx)
+        .select(col("vec_id").as("train_vec"), col("lst")), "lst")
+      .select("val_vec", "train_vec").distinct()
+    val nrm = f.groupBy("vec_id").agg(sum(col("v") * col("v")).as("n2"))
+    cand
+      .join(f.select(col("vec_id").as("val_vec"), col("i"),
+        col("v").as("av")), "val_vec")
+      .join(f.select(col("vec_id").as("train_vec"), col("i"),
+        col("v").as("bv")), Seq("train_vec", "i"))
+      .groupBy("val_vec", "train_vec")
+      .agg(sum(col("av") * col("bv")).as("dot"))
+      .join(nrm.select(col("vec_id").as("val_vec"),
+        col("n2").as("na")), "val_vec")
+      .join(nrm.select(col("vec_id").as("train_vec"),
+        col("n2").as("nb")), "train_vec")
+      .select(col("train_vec"), col("val_vec"),
+        round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 6)
+          .as("cos"))
+      .filter(col("cos") >= SemLeakT)
+  }
+
+  private val semLeakIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** The shared q187/q188 oracle CTE chain (train-side centroids +
+    * assignments, val-side nprobe probe, candidate cosine, `leaks`),
+    * closed by the query-specific `tail`.
+    */
+  private def semanticLeakOracleSql(tail: String): String =
+    s"""WITH flat AS (SELECT vec_id, label, CAST(v AS DOUBLE) AS v, i FROM (
+           SELECT vec_id, label, unnest(embedding) AS v,
+                  generate_subscripts(embedding, 1) AS i FROM embeddings) x),
+      sp AS (SELECT vec_id,
+               CASE WHEN ${graft.functions.Hashing
+                 .h60Sql("concat('vec-', vec_id)")} % 100 < 90
+                    THEN 'train' ELSE 'val' END AS split
+             FROM embeddings),
+      tr AS (SELECT f.* FROM flat f JOIN sp USING (vec_id)
+             WHERE sp.split = 'train'),
+      vl AS (SELECT f.* FROM flat f JOIN sp USING (vec_id)
+             WHERE sp.split = 'val'),
+      cent AS (SELECT label AS clabel, i, avg(v) AS c
+               FROM tr GROUP BY 1, 2),
+      d2t AS (SELECT f.vec_id, c.clabel, sum((v - c) * (v - c)) AS d2
+              FROM tr f JOIN cent c USING (i) GROUP BY 1, 2),
+      asg AS (SELECT vec_id AS train_vec, clabel AS lst FROM (
+                SELECT vec_id, clabel,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY d2, clabel) AS rn FROM d2t) t
+              WHERE rn = 1),
+      d2v AS (SELECT f.vec_id, c.clabel, sum((v - c) * (v - c)) AS d2
+              FROM vl f JOIN cent c USING (i) GROUP BY 1, 2),
+      probe AS (SELECT vec_id AS val_vec, clabel AS lst FROM (
+                  SELECT vec_id, clabel,
+                         row_number() OVER (PARTITION BY vec_id
+                           ORDER BY d2, clabel) AS rn FROM d2v) t
+                WHERE rn <= $SemLeakNProbe),
+      cand AS (SELECT DISTINCT val_vec, train_vec
+               FROM probe JOIN asg USING (lst)),
+      nrm AS (SELECT vec_id, sum(v*v) AS n2 FROM flat GROUP BY 1),
+      dots AS (SELECT c.val_vec, c.train_vec, sum(a.v * b.v) AS dot
+               FROM cand c JOIN flat a ON a.vec_id = c.val_vec
+                           JOIN flat b ON b.vec_id = c.train_vec
+                             AND a.i = b.i
+               GROUP BY 1, 2),
+      leaks AS (SELECT train_vec, val_vec, cos FROM (
+                  SELECT d.train_vec, d.val_vec,
+                         round(d.dot / (sqrt(na.n2) * sqrt(nb.n2)), 6)
+                           AS cos
+                  FROM dots d JOIN nrm na ON d.val_vec = na.vec_id
+                              JOIN nrm nb ON d.train_vec = nb.vec_id) z
+                WHERE cos >= $SemLeakT)
+      $tail"""
 
   /** q150: max centroid drift (4-dp, q142's metric) above which the
     * full rebuild fires. 0.05 is exceeded at every shipped SF — the

@@ -574,6 +574,74 @@ object Streams {
       Seq(indexPath -> PhashIndex.compactPhashIndex _))
   }
 
+  /** STREAMING COMPOSED IMAGE CURATION — the q186 gate run live:
+    * each micro-batch of raw image arrivals (media_id, bytes) is
+    * decode-validated, blank-gated, and its SURVIVORS near-dup-gated
+    * against the persisted phash index (first-drop-wins: quarantined >
+    * blank > near_dup > ok); the composed audit row commits fenced and
+    * the index ADVANCES with the admitted images before the next batch
+    * reads it. EXACTLY-ONCE: audit commits first, the advance payload
+    * derives from the COMMITTED audit rows (the [[phashIngestSink]]
+    * discipline), so a post-crash replay appends exactly what the
+    * original attempt decided. The per-batch pin holds METADATA only
+    * (media_id/reason/stat/hash — never payloads or decoded pixels,
+    * the q144 lesson); q186 is the batch twin and StreamsSpec pins
+    * stream ≡ batch on the same arrivals.
+    */
+  def imageCurationSink(media: DataFrame, indexPath: String,
+      checkpointDir: String, outDir: String, compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        imageCurationBatch(batch, batchId, indexPath, outDir,
+          compactEvery)
+      }
+      .start()
+
+  /** One micro-batch of [[imageCurationSink]] — exposed for the
+    * forced-replay spec.
+    */
+  private[graft] def imageCurationBatch(batch: DataFrame, batchId: Long,
+      indexPath: String, outDir: String, compactEvery: Int): Unit = {
+    import graft.multimodal.{CodecQueries, PhashIndex}
+    import graft.sources.{ArtifactVersions, BatchCommits}
+    val s = batch.sparkSession
+    val live = ArtifactVersions.current(outDir).getOrElse(outDir)
+    if (!BatchCommits.isCommitted(s"$live/audit", batchId)) {
+      val localPins = scala.collection.mutable.Buffer.empty[DataFrame]
+      try
+        BatchCommits.appendBatch(
+          CodecQueries.imageCurationIngestDecisions(batch, indexPath,
+              pin = df => {
+                val p = df.persist(); localPins += p; p
+              })
+            .withColumn("batch_id", lit(batchId)),
+          s"$live/audit", batchId): Unit
+      finally localPins.foreach(_.unpersist(false))
+    }
+    // the advance payload derives from the COMMITTED audit rows. On a
+    // replay AFTER a compaction flip the batch dir survives only as an
+    // EMPTY carried fence marker (no part files): the audit compacts
+    // on the cadence, and compaction runs strictly AFTER the (itself
+    // fenced) index advance in this body — so a marker with no data
+    // proves the advance already landed and there is nothing to apply.
+    val batchDir = new java.io.File(s"$live/audit/batch-$batchId")
+    val hasData = Option(batchDir.listFiles).exists(_.exists(f =>
+      !f.getName.startsWith(".") && !f.getName.startsWith("_")))
+    if (hasData) {
+      val committed = s.read.parquet(batchDir.toString)
+      PhashIndex.advancePhashIndex(
+        committed.filter(col("keep"))
+          .select(col("media_id").as("doc_id"), col("hash")),
+        indexPath, Some(batchId))
+    }
+    compactOnCadence(s, batchId, compactEvery, Seq(
+      outDir -> ((ss: org.apache.spark.sql.SparkSession, r: String) =>
+        BatchCommits.compactArtifact(ss, r, Seq("audit"))),
+      indexPath -> PhashIndex.compactPhashIndex _))
+  }
+
   /** Streaming advance of the CORPUS-STATISTICS artifact (the q143
     * CMS as a persisted profile): each micro-batch's token sketch is
     * merged into the file at `sketchPath`. CMS merge is element-wise

@@ -664,4 +664,139 @@ class CodecsSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---------------- AVI / MJPEG ----------------
+
+  test("AVI/MJPEG: mux/demux round-trips geometry, frame count and the " +
+    "exact JPEG chunk bytes; frames decode to container dims") {
+    val rnd = new scala.util.Random(185)
+    for (_ <- 1 to 10) {
+      val w = 8 + rnd.nextInt(24)
+      val h = 8 + rnd.nextInt(16)
+      val nf = 1 + rnd.nextInt(8)
+      val jpegs = (0 until nf).map { _ =>
+        Codecs.encodeJpeg(
+          PpmImage(w, h, Array.fill(w * h * 3)(rnd.nextInt(256).toByte)))
+      }
+      val avi = Codecs.encodeAviMjpeg(w, h, 25, jpegs)
+      assert(Codecs.isRiffAvi(avi) && !Codecs.isRiffWave(avi))
+      val v = Codecs.parseAviMjpeg(avi)
+      assert(v.width == w && v.height == h && v.fps == 25 &&
+        v.nFrames == nf)
+      (0 until nf).foreach { i =>
+        // the demuxed chunk is the EXACT encoder output — the container
+        // adds framing, never touches the codec bytes
+        assert(java.util.Arrays.equals(v.frameJpeg(i), jpegs(i)))
+        val img = Codecs.decodeJpeg(v.frameJpeg(i))
+        assert(img.width == w && img.height == h)
+      }
+      intercept[IllegalArgumentException](v.frameJpeg(nf))
+    }
+  }
+
+  test("AVI/MJPEG: malformed or unsupported containers are rejected " +
+    "loudly") {
+    val good = Codecs.encodeAviMjpeg(8, 8, 25, Seq(Codecs.encodeJpeg(
+      PpmImage(8, 8, Array.tabulate(192)(i => (i % 256).toByte)))))
+    // not RIFF/AVI at all
+    intercept[IllegalArgumentException](
+      Codecs.parseAviMjpeg("YUV4MPEG2 W4 H4\n".getBytes))
+    // a WAV is RIFF but not AVI
+    intercept[IllegalArgumentException](Codecs.parseAviMjpeg(
+      Codecs.encodeWav(WavAudio(8000, 1, Array[Short](1, 2)))))
+    // truncation breaks the RIFF size check
+    intercept[IllegalArgumentException](
+      Codecs.parseAviMjpeg(good.dropRight(1)))
+    // flip the strh handler to a codec we cannot decode -> loud reject
+    val badHandler = good.clone()
+    val idx = {
+      var i = 0
+      var at = -1
+      while (at < 0 && i < badHandler.length - 8) {
+        if (badHandler(i) == 'v' && badHandler(i + 1) == 'i' &&
+          badHandler(i + 2) == 'd' && badHandler(i + 3) == 's') at = i + 4
+        i += 1
+      }
+      at
+    }
+    assert(idx > 0)
+    "XVID".getBytes.zipWithIndex.foreach { case (b, j) =>
+      badHandler(idx + j) = b }
+    intercept[IllegalArgumentException](Codecs.parseAviMjpeg(badHandler))
+    // corrupt a movi chunk id so idx1 disagrees with the walk
+    val badMovi = good.clone()
+    val dc = {
+      var i = 12
+      var at = -1
+      while (at < 0 && i < badMovi.length - 4) {
+        if (badMovi(i) == '0' && badMovi(i + 1) == '0' &&
+          badMovi(i + 2) == 'd' && badMovi(i + 3) == 'c') at = i
+        i += 1
+      }
+      at
+    }
+    assert(dc > 0)
+    badMovi(dc) = 'x'
+    intercept[IllegalArgumentException](Codecs.parseAviMjpeg(badMovi))
+  }
+
+  test("q185 synthesis: static plants decode to exactly zero delta, " +
+    "non-static frames land far from zero; pixel stats within lossy " +
+    "tolerance; the dispatch routes the container") {
+    for (id <- 0L to 40L) {
+      val bytes = CodecQueries.synthAviMjpeg(id)
+      val m = CodecQueries.mediaSummary("video", bytes)
+      assert(m.codec == "mjpeg" && m.exactSum == -1L)
+      val v = Codecs.parseAviMjpeg(bytes)
+      assert(m.width == v.width && m.height == v.height &&
+        m.nUnits == v.nFrames.toLong)
+      val frames = (0 until v.nFrames).map(i =>
+        Codecs.decodeJpeg(v.frameJpeg(i)))
+      val deltas = frames.sliding(2).collect { case Seq(a, b) =>
+        a.pixels.zip(b.pixels).map { case (x, y) =>
+          math.abs((x & 0xff) - (y & 0xff)).toLong }.sum
+      }.toSeq
+      if (id % CodecQueries.StaticVideoMod == 0)
+        assert(deltas.forall(_ == 0L),
+          s"static plant $id decoded a nonzero delta: $deltas")
+      else {
+        // source frames differ by 113 per byte mod 256 — far beyond any
+        // quantization collapse; demand a wide margin, not just nonzero
+        val floor = v.width.toLong * v.height * 3 * 8
+        assert(deltas.forall(_ > floor),
+          s"non-static $id deltas $deltas not above floor $floor")
+      }
+      // lossy tolerance on the mean of each decoded frame vs its source
+      frames.zipWithIndex.foreach { case (img, f) =>
+        val srcMean = (0 until v.width * v.height * 3).map(j =>
+          (id * 17 + (if (id % CodecQueries.StaticVideoMod == 0) 0
+                      else f).toLong * 113 + j.toLong * 11) % 256)
+          .sum.toDouble / (v.width * v.height * 3)
+        val decMean = img.pixels.map(_ & 0xff).map(_.toLong)
+          .sum.toDouble / img.pixels.length
+        assert(math.abs(srcMean - decMean) < 24.0,
+          s"JPEG frame mean drifted on $id/$f: $srcMean vs $decMean")
+      }
+    }
+  }
+
+  test("q185 runs end to end on sf0.001: statics are exactly the " +
+    "planted ids, dims_ok everywhere, dispatch says mjpeg") {
+    val rows = CodecQueries.defs
+      .find(_.name == "q185_mjpeg_static_gate").get.fn(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) == "mjpeg")
+      assert(r.getInt(2) == (8 + id % 5).toInt)
+      assert(r.getInt(3) == (8 + id % 4).toInt)
+      assert(r.getLong(4) == 3 + id % 7)
+      assert(r.getBoolean(5), s"dims_ok false for $id")
+      assert(r.getBoolean(6) == (id % CodecQueries.StaticVideoMod == 0),
+        s"is_static wrong for $id")
+    }
+    assert(rows.exists(_.getBoolean(6)) && rows.exists(!_.getBoolean(6)),
+      "both gate branches must fire on the corpus")
+  }
 }

@@ -169,4 +169,39 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(rows.head.getAs[Long]("n_candidates") > 0)
     graft.CacheScope.flush(spark)
   }
+
+  test("q187/q188 semantic split governance: both branches fire, the " +
+    "audit is val x train only, and the heal's one-pass post-condition " +
+    "holds — zero detected leaks survive the drop") {
+    val pairs = graft.QueryRegistry
+      .queries("q187_semantic_split_leakage")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    graft.CacheScope.flush(spark)
+    assert(pairs.nonEmpty, "the leak audit must fire on this corpus")
+    assert(pairs.forall(_._3 >= SimilarityQueries.SemLeakT))
+    val heal = graft.QueryRegistry
+      .queries("q188_semantic_split_heal")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getBoolean(2), r.getString(3))).toMap
+    graft.CacheScope.flush(spark)
+    // every embedding row is dispositioned; both splits and both leak
+    // flags occur
+    assert(heal.values.map(_._1).toSet == Set("train", "val"))
+    assert(heal.values.exists(_._2) && heal.values.exists(!_._2))
+    pairs.foreach { case (tr, vl, _) =>
+      assert(heal(tr) == (("train", true, "train")),
+        s"train side $tr must stay, flagged")
+      assert(heal(vl) == (("val", true, "dropped")),
+        s"leaked val side $vl must drop")
+    }
+    // the one-pass post-condition: no detected pair's val side survives
+    val survivingVal = heal.collect {
+      case (id, ("val", _, "val")) => id }.toSet
+    assert(pairs.forall(p => !survivingVal.contains(p._2)),
+      "a detected leak survived the heal")
+    // non-leaked rows are untouched
+    heal.foreach { case (id, (split, leaked, fin)) =>
+      if (!leaked) assert(fin == split, s"untouched row $id moved") }
+  }
 }

@@ -791,4 +791,96 @@ class StreamsSpec extends AnyFunSuite {
     assert(served() == want, "replayed batch re-appended")
     graft.CacheScope.flush(spark)
   }
+
+  test("streaming composed image curation: batch-1 audit ≡ the q186 " +
+    "batch body, re-keyed batch-2 twins near-dup against batch-1 " +
+    "admissions, stage order beats near-dup, replay fences") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.multimodal.{CodecQueries, PhashIndex}
+    val sf = "/root/testdata/sf0.001"
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    def buildIdx(): String = {
+      val idx = tmp("graft_icur_idx")
+      val corpus = CodecQueries.gatedImageHashes(
+        CodecQueries.twinImageTable(spark, sf, col("doc_id") % 6 === 0
+          && col("doc_id") < CodecQueries.PhashCorpusCutoff)).toDF()
+      PhashIndex.buildPhashIndex(
+        corpus.filter(col("keep"))
+          .select(col("media_id").as("doc_id"), col("hash")), idx)
+      idx
+    }
+    val idx = buildIdx()
+    val b1 = CodecQueries.twinImageTable(spark, sf, col("doc_id") % 6 === 3)
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+      .sortBy(_._1).toSeq
+    assert(b1.nonEmpty)
+    // batch 2: batch 1's exact payloads under FRESH ids — every
+    // decodable non-blank one must near-dup against what batch 1
+    // ADMITTED (proof batch 2 read the advanced index); blanks and
+    // corrupt rows must keep their earlier-stage reason (stage order)
+    val b2 = b1.map { case (id, bytes) => (id + 100000L, bytes) }
+    // the batch twin of batch 1 against the same corpus-only index
+    val wantB1 = CodecQueries.imageCurationIngestDecisions(
+        b1.toDF("media_id", "bytes"), buildIdx())
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    val out = tmp("graft_icur_out")
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = Streams.imageCurationSink(
+      mem.toDF.toDF("media_id", "bytes"), idx,
+      tmp("graft_icur_ckpt"), out, compactEvery = 1)
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def served() = {
+      val live = graft.sources.ArtifactVersions.current(out).getOrElse(out)
+      graft.sources.BatchCommits.readComponent(spark, s"$live/audit")
+        .select("media_id", "reason", "keep", "gate_stat", "hash",
+          "dup_of")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    }
+    val got = served()
+    val gotB1 = got.filter(_._1 < 100000L)
+    assert(gotB1 == wantB1, "stream batch 1 != q186 batch body")
+    assert(got.map(_._2).toSet ==
+      Set("quarantined", "blank", "near_dup", "ok"))
+    val byId = got.map(r => r._1 -> r).toMap
+    b1.foreach { case (id, _) =>
+      val first = byId(id); val second = byId(id + 100000L)
+      first._2 match {
+        case "quarantined" | "blank" =>
+          // earlier stages win over near-dup, and a dropped row never
+          // advanced the index — the re-keyed copy repeats the reason
+          assert(second._2 == first._2, s"stage order broke on $id")
+        case "ok" =>
+          // admitted in batch 1 -> the re-keyed copy is its near-dup
+          assert(second._2 == "near_dup" && second._6 == id,
+            s"re-keyed copy of admitted $id: $second")
+        case "near_dup" =>
+          // dropped as dup of the corpus -> still dups (same corpus row)
+          assert(second._2 == "near_dup", s"near-dup copy of $id: $second")
+      }
+    }
+    // advanced index ≡ rebuild from (gated corpus + every admitted row)
+    val admitted = got.filter(_._3).map(r => (r._1, r._5))
+    val rebuilt = buildIdx()
+    admitted.toDF("doc_id", "hash").createOrReplaceTempView("adm")
+    PhashIndex.advancePhashIndex(spark.table("adm"), rebuilt)
+    def frame(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(frame(PhashIndex.indexHashes(spark, idx)) ==
+      frame(PhashIndex.indexHashes(spark, rebuilt)))
+    // replay batch 1 after the compaction flips: fenced, no change
+    Streams.imageCurationBatch(b1.toDF("media_id", "bytes"), 0L, idx,
+      out, compactEvery = 0)
+    assert(served() == got, "replayed batch changed the audit")
+    assert(frame(PhashIndex.indexHashes(spark, idx)) ==
+      frame(PhashIndex.indexHashes(spark, rebuilt)),
+      "replayed batch changed the index")
+    graft.CacheScope.flush(spark)
+  }
 }
