@@ -174,11 +174,11 @@ object FindStructures {
         // CacheScope default since the returned plan is lazy.
         if (aqeScoped) {
           val pins = scala.collection.mutable.Buffer.empty[DataFrame]
-          val cs = Topology.currentSheets(jySel, "jy_smooth", nz, nx,
-            csLimit, pin = df => { val p = df.persist(); pins += p; p })
-          val out = cs.localCheckpoint(true)
-          pins.foreach(_.unpersist(false))
-          out
+          try {
+            val cs = Topology.currentSheets(jySel, "jy_smooth", nz, nx,
+              csLimit, pin = df => { val p = df.persist(); pins += p; p })
+            cs.localCheckpoint(true)
+          } finally pins.foreach(_.unpersist(false))
         } else Topology.currentSheets(jySel, "jy_smooth", nz, nx, csLimit)
       }(csEc)
     }
@@ -232,12 +232,11 @@ object FindStructures {
     val seps =
       if (aqeScoped) {
         val pins = scala.collection.mutable.Buffer.empty[DataFrame]
-        val out = Topology.separatricesWithLevels(hess, "flux_fn",
+        try Topology.separatricesWithLevels(hess, "flux_fn",
             timeIdx, xLevels, nz, nx, dPerDe * deTol,
             pin = df => { val p = df.persist(); pins += p; p })
           .localCheckpoint(true)
-        pins.foreach(_.unpersist(false))
-        out
+        finally pins.foreach(_.unpersist(false))
       } else graft.CacheScope.retain(Topology.separatricesWithLevels(
         hess, "flux_fn", timeIdx, xLevels, nz, nx, dPerDe * deTol))
 

@@ -73,6 +73,28 @@ object CodecQueries {
     })
   }
 
+  /** Decode a LOSSLESS image payload (PPM magic or PNG signature) —
+    * the ONE copy of the curation-side image sniff (q181's gate and
+    * q186's composed ingest; the dispatch's lossy JPEG leg stays in
+    * [[mediaSummary]], which gates nothing on pixel values).
+    */
+  private def decodeLosslessImage(bytes: Array[Byte]): PpmImage =
+    if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6')
+      Multimodal.decodePpm(bytes)
+    else if (Codecs.isPng(bytes)) Codecs.decodePng(bytes)
+    else throw new IllegalArgumentException(
+      "image payload with no recognizable codec magic")
+
+  /** The q173/q181/q186 blank verdict + its statistic: (is_blank,
+    * variance numerator n·Σg² − (Σg)²) — ONE copy of the threshold
+    * rule so composed gates cannot drift from the declared one.
+    */
+  private def blankGateOf(img: PpmImage): (Boolean, Long) = {
+    val (n, sum, sq) = grayStats(img)
+    val varNum = n * sq - sum * sum
+    (varNum < BlankVarT * n * n, varNum)
+  }
+
   /** Integer grayscale moments of a decoded image — (n_pix, Σg, Σg²)
     * with g = (r+g+b)/3 — the ONE copy of the q173/q181 blank-gate
     * statistic.
@@ -234,16 +256,22 @@ object CodecQueries {
           }
           MediaSummary("y4m", s.width, s.height, s.nFrames.toLong, total)
         } else if (Codecs.isRiffAvi(bytes)) {
-          // MJPEG: container geometry and frame count are exact; the
-          // per-frame JPEG decode is lossy, so like the still-JPEG leg
-          // the content sum carries the documented -1 sentinel
-          val v = Codecs.parseAviMjpeg(bytes)
-          MediaSummary("mjpeg", v.width, v.height, v.nFrames.toLong, -1L)
+          aviSummaryOf(Codecs.parseAviMjpeg(bytes))
         } else throw new IllegalArgumentException(
           "video payload with no recognizable codec magic")
       case other => throw new IllegalArgumentException(
         s"unknown media kind '$other'")
     }
+
+  /** The dispatch's MJPEG summary rule — ONE copy, shared by
+    * [[mediaSummary]]'s AVI branch and q185 (which already holds the
+    * parsed handle for its frame gate and must not re-walk the
+    * container): geometry and frame count are exact; the per-frame
+    * JPEG decode is lossy, so like the still-JPEG leg the content sum
+    * carries the documented -1 sentinel.
+    */
+  private def aviSummaryOf(v: Codecs.AviMjpegStream): MediaSummary =
+    MediaSummary("mjpeg", v.width, v.height, v.nFrames.toLong, -1L)
 
   private def byteSum(bytes: Array[Byte]): Long = {
     var s = 0L
@@ -1730,8 +1758,11 @@ object CodecQueries {
           .select(col("doc_id")).as[Long]
           .mapPartitions(_.map { id =>
             val bytes = synthAviMjpeg(id)
-            val m = mediaSummary("video", bytes) // the q163 dispatch
+            // ONE validating container walk per row; the summary rule
+            // is the dispatch's own aviSummaryOf (the kind+magic sniff
+            // that selects it is pinned by CodecsSpec's dispatch test)
             val v = Codecs.parseAviMjpeg(bytes)
+            val m = aviSummaryOf(v)
             var prev: PpmImage = null
             var maxDelta = 0L
             var dimsOk = true
@@ -1894,15 +1925,7 @@ object CodecQueries {
         try {
           kind match {
             case "image" =>
-              val img =
-                if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6')
-                  Multimodal.decodePpm(bytes)
-                else if (Codecs.isPng(bytes)) Codecs.decodePng(bytes)
-                else throw new IllegalArgumentException(
-                  "image payload with no recognizable codec magic")
-              val (n, sum, sq) = grayStats(img)
-              val varNum = n * sq - sum * sum
-              val blank = varNum < BlankVarT * n * n
+              val (blank, varNum) = blankGateOf(decodeLosslessImage(bytes))
               MediaCuration(id, kind,
                 if (blank) "blank" else "ok", !blank, varNum)
             case "audio" =>
@@ -1963,11 +1986,12 @@ object CodecQueries {
   // correctness property of the composition, not just a cost win.
   // ------------------------------------------------------------------
 
-  /** One row of the q186 composed gate: `reason` is first-drop-wins,
-    * `gate_stat` the blank gate's variance numerator, `hash` the
-    * 56-bit dHash for rows that reached the near-dup stage (0 for
-    * quarantined/blank — never hashed), `dup_of` the lowest matching
-    * corpus doc or -1.
+  /** One row of the q186 composed gate's FIRST stage: `reason` is
+    * first-drop-wins so far (quarantined/blank/ok), `gate_stat` the
+    * blank gate's variance numerator, `hash` the 56-bit dHash for rows
+    * that reached the near-dup stage (0 for quarantined/blank — never
+    * hashed). The near-dup verdict and its `dup_of` column are added
+    * by [[imageCurationIngestDecisions]]' index join, one stage later.
     */
   final case class ImageCuration(media_id: Long, reason: String,
       keep: Boolean, gate_stat: Long, hash: Long)
@@ -1975,7 +1999,9 @@ object CodecQueries {
   /** Decode + blank-gate + dHash in ONE pass over the arrival
     * partitions (zero shuffles; the hash rides the decode that the
     * gate already paid for — never decode twice). Per-row
-    * fault-isolated like every ingest gate.
+    * fault-isolated like every ingest gate; sniff and threshold are
+    * the shared [[decodeLosslessImage]]/[[blankGateOf]] copies, so
+    * this gate cannot drift from q181's.
     */
   def gatedImageHashes(media: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.Dataset[ImageCuration] = {
@@ -1985,15 +2011,8 @@ object CodecQueries {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         try {
-          val img =
-            if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6')
-              Multimodal.decodePpm(bytes)
-            else if (Codecs.isPng(bytes)) Codecs.decodePng(bytes)
-            else throw new IllegalArgumentException(
-              "image payload with no recognizable codec magic")
-          val (n, sum, sq) = grayStats(img)
-          val varNum = n * sq - sum * sum
-          val blank = varNum < BlankVarT * n * n
+          val img = decodeLosslessImage(bytes)
+          val (blank, varNum) = blankGateOf(img)
           ImageCuration(id, if (blank) "blank" else "ok", !blank,
             varNum, if (blank) 0L else dHashOf(img))
         } catch {

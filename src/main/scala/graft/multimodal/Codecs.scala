@@ -514,8 +514,13 @@ object Codecs {
               s"AVI: $streams streams (only single-stream MJPEG here)")
             w = buf.getInt(p + 8 + 32); h = buf.getInt(p + 8 + 36)
             require(w > 0 && h > 0, s"AVI: bad dimensions ${w}x$h")
-          case "LIST" if fccAt(p + 8) == "strl" =>
-            walkStrl(p + 12, p + 8 + len)
+          case "LIST" =>
+            // length check BEFORE reading the list-type fourcc: the
+            // overrun require above only bounds p+8+len, so a crafted
+            // len in 0..3 would otherwise read past the chunk (and
+            // possibly the stream) — same guard as the top-level walk
+            require(len >= 4, s"AVI: hdrl LIST chunk too short ($len)")
+            if (fccAt(p + 8) == "strl") walkStrl(p + 12, p + 8 + len)
           case _ => ()
         }
         p += 8 + len + (len & 1)
