@@ -21,12 +21,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * declared reference entry point with no parquet counterpart
   * (`pyvpic.open`, /root/reference/src/datasets/vpicdataset.py:194).
   *
-  * The environment has no HDF5, so the on-disk format is a MOCK of
-  * pyvpic's dataset tree with the same shape semantics: a directory per
-  * dataset path (e.g. `fields/ex/`) holding a raw big-endian array file
-  * `data.bin` (header nt,nz,nx then row-major doubles — an HDF5 chunk
-  * stand-in), plus an `info.json` sidecar carrying the timeseries and
-  * mesh axes (`reader.get_grid`, vpicdataset.py:197).
+  * Three on-disk layouts behind one scan:
+  *   - REAL HDF5 ([[Hdf5File]]): a genuine HDF5 container written and
+  *     validated by the pure-JVM [[Hdf5]] codec (no HDF5 library in
+  *     this environment — the format is implemented from the public
+  *     spec, the same play that retired the media-codec adjudication);
+  *     variables are 4-D contiguous f64 datasets, axes live in the
+  *     container under `grid/`.
+  *   - per-variable raw tree: a directory per dataset path (e.g.
+  *     `fields/ex/`) holding a raw big-endian array file `data.bin`
+  *     (header nt,nz,ny,nx then row-major doubles), plus an
+  *     `info.json` sidecar carrying the timeseries and mesh axes
+  *     (`reader.get_grid`, vpicdataset.py:197).
+  *   - band-interleaved raw file ([[InterleavedFile]]).
   *
   * The Spark-side plumbing is real DSv2:
   *   - one InputPartition per (variable, time-chunk): a 1000-executor
@@ -68,6 +75,70 @@ object VPICSource {
     * `ivars`.
     */
   val InterleavedFile = "interleaved.bin"
+
+  /** REAL HDF5 single-file layout (the format `pyvpic.open` actually
+    * ingests, vpicdataset.py:194) — a genuine HDF5 container written
+    * and validated by the pure-JVM [[Hdf5]] codec: every variable is a
+    * 4-D (nt, nz, ny, nx) contiguous f64 dataset at its tree path, and
+    * the grid lives IN the container as 1-D datasets `grid/time`,
+    * `grid/z`, `grid/y`, `grid/x` (no info.json sidecar — real dumps
+    * carry their coordinates). The scan seeks straight into a
+    * dataset's contiguous block per (variable, time-chunk), so a
+    * 1000-executor cluster reads only the chunks it owns.
+    */
+  val Hdf5File = "data.h5"
+  private val GridGroup = "grid/"
+
+  /** Write a REAL HDF5 VPIC tree (the [[Hdf5]] subset): axes under
+    * `grid/`, each variable a 4-D dataset. `littleEndian` selects the
+    * f64 byte order — HPC dumps ship both, and the scan handles both.
+    */
+  def writeHdf5Tree(dir: String, time: Array[Double],
+      zAxis: Array[Double], yAxis: Array[Double], xAxis: Array[Double],
+      vars: Map[String, (Int, Int, Int, Int) => Double],
+      littleEndian: Boolean = false): Unit = {
+    val root = Paths.get(dir)
+    Files.createDirectories(root)
+    val nt = time.length; val nz = zAxis.length
+    val ny = yAxis.length; val nx = xAxis.length
+    val dsets = Seq(
+      ("grid/time", Array(nt.toLong), time),
+      ("grid/z", Array(nz.toLong), zAxis),
+      ("grid/y", Array(ny.toLong), yAxis),
+      ("grid/x", Array(nx.toLong), xAxis)) ++
+      vars.toSeq.sortBy(_._1).map { case (path, f) =>
+        val data = new Array[Double](nt * nz * ny * nx)
+        var i = 0
+        for (it <- 0 until nt; iz <- 0 until nz;
+             iy <- 0 until ny; ix <- 0 until nx) {
+          data(i) = f(it, iz, iy, ix); i += 1
+        }
+        (path, Array(nt.toLong, nz.toLong, ny.toLong, nx.toLong), data)
+      }
+    Hdf5.write(root.resolve(Hdf5File).toString, dsets, littleEndian)
+  }
+
+  /** The HDF5 tree's dataset index, or empty when the tree is not an
+    * HDF5 one. Metadata-only parse (addresses + dims), driver-side.
+    */
+  def hdf5Index(root: String): Seq[Hdf5.H5Dataset] = {
+    val p = Paths.get(root, Hdf5File)
+    if (!Files.isRegularFile(p)) Seq.empty
+    else Hdf5.index(p.toString)
+  }
+
+  /** Variable list of an HDF5 tree: every non-`grid/` dataset, which
+    * must be rank-4 (nt, nz, ny, nx) — anything else is a malformed
+    * tree, rejected with the offending path named.
+    */
+  def hdf5Vars(idx: Seq[Hdf5.H5Dataset]): Seq[(String, String)] =
+    requireUniqueLeaves(idx.filterNot(_.path.startsWith(GridGroup))
+      .map { d =>
+        require(d.dims.length == 4,
+          s"VPIC HDF5: variable ${d.path} has rank ${d.dims.length}" +
+            " (need 4: nt, nz, ny, nx)")
+        (d.path, d.path.split('/').last)
+      })
 
   /** Write a mock VPIC tree: `vars` maps dataset paths ("fields/ex") to
     * value generators f(it, iz, iy, ix). Dev/test producer for the
@@ -154,6 +225,8 @@ object VPICSource {
   def listVars(root: String): Seq[(String, String)] = {
     val r = Paths.get(root)
     if (!Files.isDirectory(r)) return Seq.empty
+    val h5 = hdf5Index(root)
+    if (h5.nonEmpty) return hdf5Vars(h5)
     val found = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     def walk(p: Path): Unit = {
       if (Files.isRegularFile(p.resolve(DataFile)))
@@ -213,12 +286,31 @@ object VPICSource {
       getVars: Seq[String] = Seq("all"),
       paramFile: Option[String] = None): graft.grid.SimDataset = {
     import graft.grid.{GridVar, SimDataset, ujsonLite}
-    val info = ujsonLite.parse(
-      Files.readString(Paths.get(dir, InfoFile)))
-    val time = info.obj("time").arr.map(_.num).toArray
-    val axesAll = info.obj("axes").obj.map { case (n, v) =>
-      (n, v.arr.map(_.num).toArray)
-    }.toSeq
+    // axes: an HDF5 tree carries them IN the container (grid/ axis
+    // datasets — tiny, read driver-side); the raw layouts keep their
+    // info.json sidecar
+    val h5 = hdf5Index(dir)
+    val (time, axesAll) = if (h5.nonEmpty) {
+      val byPath = h5.map(d => d.path -> d).toMap
+      val h5Path = Paths.get(dir, Hdf5File).toString
+      def axis(name: String): Array[Double] = {
+        val d = byPath.getOrElse("grid/" + name,
+          throw new IllegalArgumentException(
+            s"VPIC HDF5: missing grid/$name axis dataset in $dir"))
+        require(d.dims.length == 1,
+          s"VPIC HDF5: grid/$name has rank ${d.dims.length} (need 1)")
+        Hdf5.readDoubles(h5Path, d, 0, d.nElems.toInt)
+      }
+      (axis("time"),
+        Seq("iz" -> axis("z"), "iy" -> axis("y"), "ix" -> axis("x")))
+    } else {
+      val info = ujsonLite.parse(
+        Files.readString(Paths.get(dir, InfoFile)))
+      (info.obj("time").arr.map(_.num).toArray,
+        info.obj("axes").obj.map { case (n, v) =>
+          (n, v.arr.map(_.num).toArray)
+        }.toSeq)
+    }
     // squeeze: singleton axes leave the mesh (indices stay in the rows)
     val axes = axesAll.filter(_._2.length > 1)
     val iv = interleavedVars(dir)
@@ -300,14 +392,20 @@ private[sources] class VPICScan(root: String, vars: Seq[String], chunkSteps: Int
 
   override def planInputPartitions(): Array[InputPartition] = {
     // layout detection: an interleaved tree declares its band order in
-    // info.json and carries one shared file; band indices come from the
-    // FULL list even when pruning selects a subset
+    // info.json and carries one shared file; an HDF5 tree carries one
+    // real container whose dataset index yields dims + data addresses;
+    // band indices come from the FULL list even when pruning selects a
+    // subset
     val ivars = VPICSource.interleavedVars(root)
     val interleaved = ivars.nonEmpty
     val bandOf = ivars.map(_._1).zipWithIndex.toMap
+    val h5 = if (interleaved) Seq.empty else VPICSource.hdf5Index(root)
+    val h5ByPath = h5.map(d => d.path -> d).toMap
     // file-level pruning: get_vars projection, then pushed var filters
     var labels = VPICSource.selectLabels(
-      if (interleaved) ivars else VPICSource.listVars(root), vars)
+      if (interleaved) ivars
+      else if (h5.nonEmpty) VPICSource.hdf5Vars(h5)
+      else VPICSource.listVars(root), vars)
     pushed.foreach {
       case EqualTo("var", v: String) => labels = labels.filter(_._2 == v)
       case In("var", vs) =>
@@ -342,6 +440,19 @@ private[sources] class VPICScan(root: String, vars: Seq[String], chunkSteps: Int
             file = VPICSource.InterleavedFile,
             nvars = ivars.length, vidx = bandOf(path))
         }
+      } else if (h5.nonEmpty) {
+        // HDF5: dims + contiguous data address come from the parsed
+        // index; each reader seeks into ITS time-chunk of the block
+        val d = h5ByPath(path)
+        val Array(ntL, nzL, nyL, nxL) = d.dims
+        val (nt, nz, ny, nx) = (ntL.toInt, nzL.toInt, nyL.toInt, nxL.toInt)
+        val lo = math.max(0, itLo); val hi = math.min(nt - 1, itHi)
+        (lo to hi by chunkSteps).map { t0 =>
+          VPICInputPartition(root, label, t0,
+            math.min(t0 + chunkSteps - 1, hi), nz, ny, nx,
+            file = VPICSource.Hdf5File,
+            dataOffset = d.dataAddress, littleEndian = d.littleEndian)
+        }
       } else {
         val (nt, nz, ny, nx) = VPICSource.readHeader(path)
         val lo = math.max(0, itLo); val hi = math.min(nt - 1, itHi)
@@ -359,12 +470,15 @@ private[sources] class VPICScan(root: String, vars: Seq[String], chunkSteps: Int
 
 /** `file`/`nvars`/`vidx` carry the layout: the per-variable tree reads
   * `data.bin` with stride 1, the interleaved tree reads the shared
-  * `interleaved.bin` taking band `vidx` of `nvars` per cell.
+  * `interleaved.bin` taking band `vidx` of `nvars` per cell, and the
+  * HDF5 tree reads `data.h5` with `dataOffset` pointing at the
+  * variable's contiguous block (and `littleEndian` its byte order).
   */
 private[sources] case class VPICInputPartition(path: String, label: String,
     t0: Int, t1: Int, nz: Int, ny: Int, nx: Int,
     file: String = VPICSource.DataFile, nvars: Int = 1,
-    vidx: Int = 0) extends InputPartition
+    vidx: Int = 0, dataOffset: Long = VPICSource.HeaderBytes.toLong,
+    littleEndian: Boolean = false) extends InputPartition
 
 private[sources] class VPICReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {
@@ -401,8 +515,10 @@ private[sources] class VPICPartitionReader(p: VPICInputPartition,
     // validate length up front: FileInputStream.skip may seek past EOF
     // and return a positive count, so a truncated file would otherwise
     // surface as a bare EOFException from readDouble deep in the scan —
-    // this check names the file and the missing chunk.
-    val need = VPICSource.HeaderBytes.toLong +
+    // this check names the file and the missing chunk. `dataOffset` is
+    // the 16-byte raw header for the .bin layouts and the dataset's
+    // contiguous-block address for the HDF5 layout.
+    val need = p.dataOffset +
       (p.t1 + 1).toLong * p.nz * p.ny * p.nx * p.nvars * 8
     val have = java.nio.file.Files.size(dataPath)
     if (have < need) throw new java.io.EOFException(
@@ -413,8 +529,8 @@ private[sources] class VPICPartitionReader(p: VPICInputPartition,
     new FileInputStream(dataPath.toFile)))
   locally {
     // seek to this chunk's first value of band `vidx` (stride 1 and
-    // vidx 0 for the per-variable layout)
-    skipFully(VPICSource.HeaderBytes.toLong +
+    // vidx 0 for the per-variable and HDF5 layouts)
+    skipFully(p.dataOffset +
       (p.t0.toLong * p.nz * p.ny * p.nx * p.nvars + p.vidx) * 8)
   }
   /** bytes between consecutive values of this band */
@@ -442,7 +558,11 @@ private[sources] class VPICPartitionReader(p: VPICInputPartition,
     // interleaved band: hop over the other variables' values between
     // cells (gap = 0 on the per-variable layout — no-op)
     if (first) first = false else if (gap > 0) skipFully(gap)
-    v = in.readDouble()
+    v =
+      if (p.littleEndian)
+        java.lang.Double.longBitsToDouble(
+          java.lang.Long.reverseBytes(in.readLong()))
+      else in.readDouble()
     true
   }
 

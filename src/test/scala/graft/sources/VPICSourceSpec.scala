@@ -195,6 +195,70 @@ class VPICSourceSpec extends AnyFunSuite {
     assert(r.getAs[Double]("value") === fb(1, 1, 2, 3))
   }
 
+  test("REAL HDF5 layout reads identically to the per-variable tree, " +
+    "both byte orders; pruning plans per-chunk; loadDataset rebuilds " +
+    "axes from the container") {
+    def fe(it: Int, iz: Int, iy: Int, ix: Int): Double =
+      it * 1000.0 + iz * 100.0 + iy * 10.0 + ix
+    def fb(it: Int, iz: Int, iy: Int, ix: Int): Double =
+      it - iz + 2.0 * iy - 3.0 * ix
+    val time = Array(0.0, 1.0, 2.0)
+    val z = Array(0.0, 0.5); val y = Array(0.0, 0.25, 0.5)
+    val x = Array(0.0, 1.0, 2.0, 3.0)
+    val vars = Map("fields/ex" -> (fe _), "fields/bz" -> (fb _))
+    val dPlain = java.nio.file.Files.createTempDirectory("vpic_hp").toString
+    VPICSource.writeMock(dPlain, time, z, y, x, vars)
+    def rows(d: String) = spark.read.format("graft-vpic")
+      .option("path", d).option("chunkSteps", "2").load()
+      .orderBy("var", "it", "iz", "iy", "ix").collect().toSeq
+    val want = rows(dPlain)
+    Seq(false, true).foreach { le =>
+      val dH5 = java.nio.file.Files
+        .createTempDirectory(s"vpic_h5_$le").toString
+      VPICSource.writeHdf5Tree(dH5, time, z, y, x, vars,
+        littleEndian = le)
+      // the container is REAL HDF5 bytes
+      val head = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dH5, VPICSource.Hdf5File)).take(8)
+      assert(Hdf5.isHdf5(head))
+      assert(rows(dH5) == want, s"littleEndian=$le")
+      // var + it pruning plans only the selected chunks
+      val one = spark.read.format("graft-vpic")
+        .option("path", dH5).option("chunkSteps", "2").load()
+        .filter(col("var") === "bz" && col("it") <= 1)
+      assert(one.rdd.getNumPartitions === 1)
+      assert(one.count() === 2L * 2 * 3 * 4)
+      // SimDataset reconstruction: axes come from grid/ IN the file
+      val ds = VPICSource.loadDataset(spark, dH5, Seq("fields/bz"))
+      assert(ds.variables.keySet === Set("bz"))
+      val v = ds.variables("bz")
+      assert(v.timeAxis.toSeq == time.toSeq)
+      assert(v.spaceAxes.map(_._1) == Seq("iz", "iy", "ix"))
+      val r = v.df.filter(col("it") === 2 && col("iz") === 1
+        && col("iy") === 2 && col("ix") === 3).head()
+      assert(r.getAs[Double]("value") === fb(2, 1, 2, 3))
+      assert(r.getAs[Double]("t") === 2.0)
+      assert(r.getAs[Double]("x") === 3.0)
+    }
+  }
+
+  test("an HDF5 tree missing a grid axis or carrying a non-rank-4 " +
+    "variable is rejected with the path named") {
+    val d = java.nio.file.Files.createTempDirectory("vpic_h5bad").toString
+    Hdf5.write(java.nio.file.Paths.get(d, VPICSource.Hdf5File).toString,
+      Seq(("grid/time", Array(2L), Array(0.0, 1.0)),
+        ("fields/flat", Array(4L), Array(1.0, 2, 3, 4))))
+    val e1 = intercept[IllegalArgumentException](VPICSource.listVars(d))
+    assert(e1.getMessage.contains("fields/flat"))
+    val d2 = java.nio.file.Files.createTempDirectory("vpic_h5bad2").toString
+    Hdf5.write(java.nio.file.Paths.get(d2, VPICSource.Hdf5File).toString,
+      Seq(("grid/time", Array(2L), Array(0.0, 1.0)),
+        ("f/v", Array(2L, 1L, 1L, 1L), Array(1.0, 2))))
+    val e2 = intercept[IllegalArgumentException](
+      VPICSource.loadDataset(spark, d2))
+    assert(e2.getMessage.contains("grid/z"))
+  }
+
   test("truncated interleaved.bin fails with the named EOF diagnostic") {
     val d = java.nio.file.Files.createTempDirectory("vpic_it").toString
     VPICSource.writeMockInterleaved(d, Array(0.0, 1.0), Array(0.0, 1.0),
