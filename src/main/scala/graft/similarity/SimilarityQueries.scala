@@ -1490,8 +1490,10 @@ object SimilarityQueries {
 
   /** The q187 pair set: (train_vec, val_vec, cos >= [[SemLeakT]]),
     * cosines exact on the index-served, list-bounded candidates only.
+    * `private[graft]`: ScaleProbe's `semantic_leak` sweep drives the
+    * same body over replicated corpora.
     */
-  private def semanticLeakPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def semanticLeakPairs(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val f = graft.CacheScope.retain(flat(s, d))
     val split = vecSplitOf(s, d)
@@ -1518,18 +1520,27 @@ object SimilarityQueries {
         Window.partitionBy("vec_id").orderBy("d2", "clabel")))
       .filter(col("rn") <= SemLeakNProbe)
       .select(col("vec_id").as("val_vec"), col("clabel").as("lst"))
-    val cand = probe
-      .join(indexAssignments(s, idx)
-        .select(col("vec_id").as("train_vec"), col("lst")), "lst")
-      .select("val_vec", "train_vec").distinct()
-    val nrm = f.groupBy("vec_id").agg(sum(col("v") * col("v")).as("n2"))
-    cand
-      .join(f.select(col("vec_id").as("val_vec"), col("i"),
+    // candidate dots in the q111 LIST-CO-GROUPED shape: both sides keyed
+    // by (lst, i), so the pair expansion happens only INSIDE the list
+    // join and each candidate pair is priced once per shared list (max
+    // dedupes the <= nprobe copies — the dot is identical). The earlier
+    // shape (materialize candidate pairs, then re-join each side's
+    // components per pair) expanded every pair 64x BEFORE its joins —
+    // measured 2.5x slower than the brute-force scan it was supposed to
+    // beat (ScaleProbe `semantic_leak`).
+    val valSide = probe.join(
+      valf.select(col("vec_id").as("val_vec"), col("i"),
         col("v").as("av")), "val_vec")
+    val trainSide = indexAssignments(s, idx)
+      .select(col("vec_id").as("train_vec"), col("lst"))
       .join(f.select(col("vec_id").as("train_vec"), col("i"),
-        col("v").as("bv")), Seq("train_vec", "i"))
+        col("v").as("bv")), "train_vec")
+    val nrm = f.groupBy("vec_id").agg(sum(col("v") * col("v")).as("n2"))
+    valSide.join(trainSide, Seq("lst", "i"))
+      .groupBy("lst", "val_vec", "train_vec")
+      .agg(sum(col("av") * col("bv")).as("dot0"))
       .groupBy("val_vec", "train_vec")
-      .agg(sum(col("av") * col("bv")).as("dot"))
+      .agg(max(col("dot0")).as("dot"))
       .join(nrm.select(col("vec_id").as("val_vec"),
         col("n2").as("na")), "val_vec")
       .join(nrm.select(col("vec_id").as("train_vec"),
