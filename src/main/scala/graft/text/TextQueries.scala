@@ -1196,8 +1196,90 @@ SELECT * FROM rep ORDER BY doc_id""")),
              SELECT rank, token, CAST(n_occ AS BIGINT) AS n_occ,
                round(sum(n_occ) OVER (ORDER BY rank)
                  / CAST(total AS DOUBLE), 6) AS cum_share
-             FROM top, n ORDER BY rank"""))
+             FROM top, n ORDER BY rank""")),
+
+    // ---- q189: MARKUP EXTRACTION — the web-corpus stage every
+    // LLM-data pipeline runs before any text gate (the trafilatura/
+    // resiliparse job): drop <script>/<style>/<head> machine blocks
+    // and <nav>/<footer> boilerplate elements, strip the remaining
+    // tags, decode entities (amp LAST — the standard order that never
+    // double-decodes), collapse whitespace. The corpus is plain text,
+    // so — the q113/q158 fixture pattern — the query wraps each doc in
+    // a deterministic HTML page (title, style, nav, script, entity
+    // tail, footer on every 3rd doc) built identically by both
+    // engines, and the extraction must recover exactly the original
+    // text plus the decoded tail. Everything is codegen'd
+    // regexp_replace/replace per row: zero shuffles until the
+    // presentation sort — at 100 TB this is a map-only pass over the
+    // crawl partitions.
+    Q("q189_markup_extract",
+      (s, d) => {
+        val html = concat(
+          lit("<html><head><title>doc "), col("doc_id").cast("string"),
+          lit("</title><style>p{margin:0}</style></head><body>" +
+            "<nav>home | about | contact</nav><script>var id="),
+          col("doc_id").cast("string"),
+          lit(";</script><p class=\"main\">"), col("text"),
+          lit("</p><p>from &lt;corpus&gt; &amp; doc &#65;"),
+          (col("doc_id") % 10).cast("string"), lit("</p>"),
+          when(col("doc_id") % 3 === 0,
+            lit("<footer>boilerplate footer</footer>")).otherwise(lit("")),
+          lit("</body></html>"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), markupExtract(html).as("clean_text"))
+          .withColumn("n_tokens", size(split(col("clean_text"), " ")))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id,
+               '<html><head><title>doc ' || doc_id ||
+               '</title><style>p{margin:0}</style></head><body>' ||
+               '<nav>home | about | contact</nav><script>var id=' ||
+               doc_id || ';</script><p class="main">' || text ||
+               '</p><p>from &lt;corpus&gt; &amp; doc &#65;' ||
+               (doc_id % 10) || '</p>' ||
+               CASE WHEN doc_id % 3 = 0
+                    THEN '<footer>boilerplate footer</footer>'
+                    ELSE '' END || '</body></html>' AS html
+               FROM documents),
+             x AS (SELECT doc_id, trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                 regexp_replace(
+                 regexp_replace(
+                 regexp_replace(
+                 regexp_replace(
+                 regexp_replace(
+                 regexp_replace(html,
+                   '(?s)<script.*?</script>', ' ', 'g'),
+                   '(?s)<style.*?</style>', ' ', 'g'),
+                   '(?s)<head.*?</head>', ' ', 'g'),
+                   '(?s)<nav.*?</nav>', ' ', 'g'),
+                   '(?s)<footer.*?</footer>', ' ', 'g'),
+                   '<[^>]*>', ' ', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&apos;', ''''), '&#65;', 'A'), '&amp;', '&'),
+               '\s+', ' ', 'g')) AS clean_text FROM w)
+             SELECT doc_id, clean_text,
+               CAST(len(string_split(clean_text, ' ')) AS INT) AS n_tokens
+             FROM x ORDER BY doc_id"""))
   )
+
+  /** The markup-extraction rule chain — ONE copy (q189 and any
+    * pipeline composition): machine blocks, boilerplate elements, tag
+    * strip, fixed-entity decode (`&amp;` last), whitespace collapse.
+    * All codegen'd built-ins, per-row, no UDF.
+    */
+  def markupExtract(html: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    var c = html
+    Seq("(?s)<script.*?</script>", "(?s)<style.*?</style>",
+        "(?s)<head.*?</head>", "(?s)<nav.*?</nav>",
+        "(?s)<footer.*?</footer>", "<[^>]*>")
+      .foreach(p => c = regexp_replace(c, p, " "))
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&apos;" -> "'", "&#65;" -> "A", "&amp;" -> "&")
+      .foreach { case (e, ch) => c = replace(c, lit(e), lit(ch)) }
+    trim(regexp_replace(c, "\\s+", " "))
+  }
 
   /** The ONE copy of the q158 repetition-gate CTE chain (both Gopher
     * halves over the deterministic augmentation, ending in `rep` —

@@ -882,4 +882,34 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.map(_._4).sliding(2).forall(p => p(0) <= p(1)))
     assert(rows.last._4 > 0.0 && rows.last._4 <= 1.0)
   }
+
+  test("q189 markup extraction recovers exactly the original text plus " +
+    "the decoded entity tail; no tag or entity survives") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = QueryRegistry.queries("q189_markup_extract")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(rows.length == docs.size)
+    rows.foreach { case (id, clean, n) =>
+      val want = s"${docs(id)} from <corpus> & doc A${id % 10}"
+      assert(clean == want, s"doc $id: '$clean' != '$want'")
+      assert(n == clean.split(" ", -1).length)
+      assert(!clean.contains("<script") && !clean.contains("&#")
+        && !clean.contains("boilerplate footer")
+        && !clean.contains("home | about"))
+    }
+    // the one-copy rule chain, off-corpus: nested/multiline blocks,
+    // every entity, quotes inside attributes, footer boilerplate
+    import spark.implicits._
+    val crafted = "<html><head><title>t</title>\n<style>\nbody{}\n" +
+      "</style></head><body><nav>\nmenu\n</nav><div class=\"a b\" " +
+      "data-x='1'>keep &quot;this&quot; &apos;text&apos; &lt;ok&gt; " +
+      "&amp; more</div><script>\nif (1 < 2) { x(); }\n</script>" +
+      "<footer>\ncopyright\n</footer></body></html>"
+    val got = Seq(crafted).toDF("h")
+      .select(graft.text.TextQueries.markupExtract(col("h")).as("c"))
+      .head().getString(0)
+    assert(got == "keep \"this\" 'text' <ok> & more", s"got '$got'")
+  }
 }
