@@ -279,31 +279,13 @@ object ScaleProbe {
     */
   private def hdf5ScanThroughput(spark: SparkSession): Unit = {
     import graft.sources.VPICSource
-    val time = Array.tabulate(40)(_.toDouble)
-    val z = Array.tabulate(32)(_ * 0.1)
-    val y = Array.tabulate(8)(_ * 0.1)
-    val x = Array.tabulate(64)(_ * 0.1)
-    val vars = Map[String, (Int, Int, Int, Int) => Double](
-      "a/v1" -> ((it, iz, iy, ix) => it + iz + iy + ix.toDouble),
-      "b/v2" -> ((it, iz, iy, ix) => it * 2.0 - iz + iy - ix))
-    val rows = 2L * 40 * 32 * 8 * 64
+    val (t, z, y, x) = probeGridAxes
     val dRaw = java.nio.file.Files.createTempDirectory("h5_raw").toString
-    VPICSource.writeMock(dRaw, time, z, y, x, vars)
+    VPICSource.writeMock(dRaw, t, z, y, x, ProbeGridVars)
     val dH5 = java.nio.file.Files.createTempDirectory("h5_h5").toString
-    VPICSource.writeHdf5Tree(dH5, time, z, y, x, vars)
-    for ((layout, dir) <- Seq(("raw", dRaw), ("hdf5", dH5))) {
-      def scan = spark.read.format("graft-vpic").option("path", dir).load()
-      for ((label, df, n) <- Seq(
-          ("full", scan, rows),
-          ("pruned(value)", scan.select("value"), rows),
-          ("it<10 chunk-pruned", scan.filter(col("it") < 10), rows / 4))) {
-        val t0 = System.nanoTime()
-        df.agg(sum(lit(1)).as("n")).collect()
-        val dt = (System.nanoTime() - t0) / 1e9
-        println(f"[scale] hdf5_scan $layout $label rows=$n " +
-          f"time=$dt%.2f s (${n / dt / 1e6}%.1f M rows/s)")
-      }
-    }
+    VPICSource.writeHdf5Tree(dH5, t, z, y, x, ProbeGridVars)
+    vpicScanLegs(spark, "hdf5_scan raw", dRaw)
+    vpicScanLegs(spark, "hdf5_scan hdf5", dH5)
   }
 
   /** q187's index-served semantic leakage audit vs the brute-force
@@ -1118,25 +1100,45 @@ object ScaleProbe {
   /** DSv2 VPIC scan throughput: one 3-D var streamed through the
     * zero-allocation reader (full schema, then column-pruned).
     */
+  /** ONE copy of the VPIC probe grid (40x32x8x64, two variables) and
+    * its measurement legs — the raw-vs-HDF5 comparison must measure the
+    * SAME corpus through the SAME plans, so both probes share this.
+    */
+  private val ProbeGridVars: Map[String, (Int, Int, Int, Int) => Double] =
+    Map("a/v1" -> ((it, iz, iy, ix) => it + iz + iy + ix.toDouble),
+        "b/v2" -> ((it, iz, iy, ix) => it * 2.0 - iz + iy - ix))
+  private def probeGridAxes = (Array.tabulate(40)(_.toDouble),
+    Array.tabulate(32)(_ * 0.1), Array.tabulate(8)(_ * 0.1),
+    Array.tabulate(64)(_ * 0.1))
+
+  private def vpicScanLegs(spark: SparkSession, tag: String,
+      dir: String): Unit = {
+    val rows = 2L * 40 * 32 * 8 * 64
+    def scan = spark.read.format("graft-vpic").option("path", dir).load()
+    // the 'full' leg must REFERENCE every column: V2 scan pushdown
+    // prunes the required schema to whatever the aggregate touches, so
+    // a bare sum(value) would make 'full' and 'pruned' the identical
+    // empty-ish plan and the comparison would measure nothing
+    for ((label, df, n) <- Seq[(String, org.apache.spark.sql.DataFrame, Long)](
+        ("full", scan.agg(sum("value"), max("it"), max("iz"),
+          max("iy"), max("ix"), count("var")), rows),
+        ("pruned(value)", scan.select("value").agg(sum("value")), rows),
+        ("it<10 chunk-pruned",
+          scan.filter(col("it") < 10).agg(sum("value")), rows / 4))) {
+      val t0 = System.nanoTime()
+      df.collect()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $tag $label rows=$n time=$dt%.2f s " +
+        f"(${n / dt / 1e6}%.1f M rows/s)")
+    }
+  }
+
   private def vpicThroughput(spark: SparkSession): Unit = {
     import graft.sources.VPICSource
     val dir = java.nio.file.Files.createTempDirectory("vpic_probe").toString
-    val rows = 2L * 40 * 32 * 8 * 64 // 2 vars x nt x nz x ny x nx
-    VPICSource.writeMock(dir, Array.tabulate(40)(_.toDouble),
-      Array.tabulate(32)(_ * 0.1), Array.tabulate(8)(_ * 0.1),
-      Array.tabulate(64)(_ * 0.1),
-      Map("a/v1" -> ((it, iz, iy, ix) => it + iz + iy + ix.toDouble),
-          "b/v2" -> ((it, iz, iy, ix) => it * 2.0 - iz + iy - ix)))
-    def scan = spark.read.format("graft-vpic").option("path", dir).load()
-    for ((label, df) <- Seq(
-        ("full schema", scan),
-        ("pruned(value)", scan.select("value")))) {
-      val t0 = System.nanoTime()
-      df.agg(sum("value")).collect()
-      val dt = (System.nanoTime() - t0) / 1e9
-      println(f"[scale] vpic_read $label rows=$rows time=$dt%.2f s " +
-        f"(${rows / dt / 1e6}%.1f M rows/s)")
-    }
+    val (t, z, y, x) = probeGridAxes
+    VPICSource.writeMock(dir, t, z, y, x, ProbeGridVars)
+    vpicScanLegs(spark, "vpic_read", dir)
   }
 
   /** Streaming incremental near-dup, micro-batch latency: arriving docs

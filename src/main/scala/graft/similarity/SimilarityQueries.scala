@@ -1531,8 +1531,14 @@ object SimilarityQueries {
     val valSide = probe.join(
       valf.select(col("vec_id").as("val_vec"), col("i"),
         col("v").as("av")), "val_vec")
+    // assignment rows are DISTINCT'd first: the artifact contract
+    // (compactIvfIndex) allows byte-identical duplicate rows from
+    // unfenced replays pre-compaction, and set semantics is what makes
+    // the served candidate set replay-invariant — without it a
+    // duplicated (vec_id, lst) row would double every component row
+    // and double dot0 (the old shape got this via cand.distinct())
     val trainSide = indexAssignments(s, idx)
-      .select(col("vec_id").as("train_vec"), col("lst"))
+      .select(col("vec_id").as("train_vec"), col("lst")).distinct()
       .join(f.select(col("vec_id").as("train_vec"), col("i"),
         col("v").as("bv")), "train_vec")
     val nrm = f.groupBy("vec_id").agg(sum(col("v") * col("v")).as("n2"))

@@ -348,7 +348,15 @@ object Hdf5 {
       parseOhGroupCheck(r, rootOh, rootBt, rootHeap)
 
       val out = scala.collection.mutable.ArrayBuffer.empty[H5Dataset]
+      // cycle guard: a crafted/corrupt file whose group entry points
+      // back at an ancestor (its symbol-table message genuinely matches
+      // the cached addresses, so parseOhGroupCheck passes) must fail
+      // loudly, not recurse to StackOverflowError
+      val visited = scala.collection.mutable.Set.empty[Long]
       def walkGroup(prefix: String, btAddr: Long, heapAddr: Long): Unit = {
+        require(visited.add(btAddr),
+          s"HDF5: group cycle — B-tree at $btAddr reached twice " +
+            s"(at '$prefix')")
         val hh = r.at(heapAddr, 32)
         val hsig = new Array[Byte](4); hh.get(hsig)
         require(new String(hsig, US_ASCII) == "HEAP",

@@ -1249,11 +1249,11 @@ SELECT * FROM rep ORDER BY doc_id""")),
                  regexp_replace(
                  regexp_replace(
                  regexp_replace(html,
-                   '(?s)<script.*?</script>', ' ', 'g'),
-                   '(?s)<style.*?</style>', ' ', 'g'),
-                   '(?s)<head.*?</head>', ' ', 'g'),
-                   '(?s)<nav.*?</nav>', ' ', 'g'),
-                   '(?s)<footer.*?</footer>', ' ', 'g'),
+                   '(?is)<script.*?</script>', ' ', 'g'),
+                   '(?is)<style.*?</style>', ' ', 'g'),
+                   '(?is)<head.*?</head>', ' ', 'g'),
+                   '(?is)<nav.*?</nav>', ' ', 'g'),
+                   '(?is)<footer.*?</footer>', ' ', 'g'),
                    '<[^>]*>', ' ', 'g'),
                  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
                  '&apos;', ''''), '&#65;', 'A'), '&amp;', '&'),
@@ -1271,9 +1271,12 @@ SELECT * FROM rep ORDER BY doc_id""")),
   def markupExtract(html: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {
     var c = html
-    Seq("(?s)<script.*?</script>", "(?s)<style.*?</style>",
-        "(?s)<head.*?</head>", "(?s)<nav.*?</nav>",
-        "(?s)<footer.*?</footer>", "<[^>]*>")
+    // (?i): HTML tag names are case-insensitive in real crawls — a
+    // case-sensitive block pattern would let <SCRIPT> content through
+    // the tag strip and into the clean corpus
+    Seq("(?is)<script.*?</script>", "(?is)<style.*?</style>",
+        "(?is)<head.*?</head>", "(?is)<nav.*?</nav>",
+        "(?is)<footer.*?</footer>", "<[^>]*>")
       .foreach(p => c = regexp_replace(c, p, " "))
     Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
         "&apos;" -> "'", "&#65;" -> "A", "&amp;" -> "&")

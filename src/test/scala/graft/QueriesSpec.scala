@@ -905,11 +905,14 @@ class QueriesSpec extends AnyFunSuite {
     val crafted = "<html><head><title>t</title>\n<style>\nbody{}\n" +
       "</style></head><body><nav>\nmenu\n</nav><div class=\"a b\" " +
       "data-x='1'>keep &quot;this&quot; &apos;text&apos; &lt;ok&gt; " +
-      "&amp; more</div><script>\nif (1 < 2) { x(); }\n</script>" +
-      "<footer>\ncopyright\n</footer></body></html>"
+      "&amp; more</div><SCRIPT>\nif (1 < 2) { x(); }\n</SCRIPT>" +
+      "<Footer>\ncopyright\n</Footer></body></html>"
     val got = Seq(crafted).toDF("h")
       .select(graft.text.TextQueries.markupExtract(col("h")).as("c"))
       .head().getString(0)
+    // uppercase/mixed-case blocks drop too — real crawls are not
+    // lowercase, and a case-sensitive block rule would tag-strip
+    // <SCRIPT> and admit the JavaScript text into the corpus
     assert(got == "keep \"this\" 'text' <ok> & more", s"got '$got'")
   }
 }
