@@ -343,4 +343,31 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q189 markup extraction is one narrow pass: no hash exchange, " +
+    "no UDF — the regexp chain stays codegen'd") {
+    val p = plan("q189_markup_extract")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "extraction must be per-row; only the presentation sort may " +
+        "exchange")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"))
+    assert(p.contains("*(1)"), "regexp chain fell out of codegen")
+  }
+
+  test("media decode gates are map-only: q185's plan carries no " +
+    "exchange before the presentation sort") {
+    val p = plan("q185_mjpeg_static_gate")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "the decode gate must ride the arrival partitions")
+  }
+
+  test("q186's gate stage shuffles only metadata: no exchange carries " +
+    "the bytes column") {
+    val p = plan("q186_image_curation_neardup")
+    // every exchange in the composed plan moves (ids, hashes, flags) —
+    // the raw payload column must die at the mapPartitions gate
+    p.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("bytes"), s"payload crossed a shuffle: $l")
+    }
+  }
 }
