@@ -1214,23 +1214,71 @@ SELECT * FROM rep ORDER BY doc_id""")),
     // crawl partitions.
     Q("q189_markup_extract",
       (s, d) => {
-        val html = concat(
-          lit("<html><head><title>doc "), col("doc_id").cast("string"),
-          lit("</title><style>p{margin:0}</style></head><body>" +
-            "<nav>home | about | contact</nav><script>var id="),
-          col("doc_id").cast("string"),
-          lit(";</script><p class=\"main\">"), col("text"),
-          lit("</p><p>from &lt;corpus&gt; &amp; doc &#65;"),
-          (col("doc_id") % 10).cast("string"), lit("</p>"),
-          when(col("doc_id") % 3 === 0,
-            lit("<footer>boilerplate footer</footer>")).otherwise(lit("")),
-          lit("</body></html>"))
         Tables.documents(s, d)
-          .select(col("doc_id"), markupExtract(html).as("clean_text"))
+          .select(col("doc_id"),
+            markupExtract(markupWrappedHtml).as("clean_text"))
           .withColumn("n_tokens", size(split(col("clean_text"), " ")))
           .orderBy("doc_id")
       },
-      Some("""WITH w AS (SELECT doc_id,
+      Some(s"""WITH $markupExtractCtesSql
+             SELECT doc_id, clean_text,
+               CAST(len(string_split(clean_text, ' ')) AS INT) AS n_tokens
+             FROM x ORDER BY doc_id""")),
+
+    // ---- q190: the WEB-INGEST COMPOSITION — markup extraction (q189)
+    // feeding the quality gate (q132) as stage 0 of the curation
+    // cascade, the order every web pipeline runs (gating raw HTML
+    // would score markup, not prose): wrap -> extract -> per-row
+    // quality rules ON THE EXTRACTED TEXT -> per-source attrition.
+    // One lazy plan, still map-only until the per-source aggregate;
+    // the oracle runs the SAME q132 rule chain over the extracted CTE
+    // (qualityKeepCtesSql parameterized by source table — one copy).
+    Q("q190_web_ingest_pipeline",
+      (s, d) => {
+        val extracted = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            markupExtract(markupWrappedHtml).as("text"))
+        withQualityFlags(extracted)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_raw"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+          .withColumn("keep_rate",
+            round(col("n_kept") * lit(1.0) / col("n_raw"), 4))
+          .orderBy("source")
+      },
+      Some(s"""WITH $markupExtractCtesSql,
+             webdocs AS (SELECT doc_id, clean_text AS text FROM x),
+             ${qualityKeepCtesSql("webdocs")}
+             SELECT d.source, CAST(count(*) AS BIGINT) AS n_raw,
+               CAST(sum(CASE WHEN q.keep THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept,
+               round(sum(CASE WHEN q.keep THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS keep_rate
+             FROM documents d JOIN qflags q USING (doc_id)
+             GROUP BY 1 ORDER BY 1"""))
+  )
+
+  /** The q189/q190 deterministic HTML page around each doc — ONE copy
+    * in each engine (its SQL image is [[markupExtractCtesSql]]'s `w`).
+    */
+  private def markupWrappedHtml: org.apache.spark.sql.Column = concat(
+    lit("<html><head><title>doc "), col("doc_id").cast("string"),
+    lit("</title><style>p{margin:0}</style></head><body>" +
+      "<nav>home | about | contact</nav><script>var id="),
+    col("doc_id").cast("string"),
+    lit(";</script><p class=\"main\">"), col("text"),
+    lit("</p><p>from &lt;corpus&gt; &amp; doc &#65;"),
+    (col("doc_id") % 10).cast("string"), lit("</p>"),
+    when(col("doc_id") % 3 === 0,
+      lit("<footer>boilerplate footer</footer>")).otherwise(lit("")),
+    lit("</body></html>"))
+
+  /** The ONE copy of the q189/q190 oracle CTE chain: `w` wraps each
+    * doc in the deterministic page, `x` applies [[markupExtract]]'s
+    * exact rule chain — (doc_id, clean_text).
+    */
+  private def markupExtractCtesSql: String =
+    """w AS (SELECT doc_id,
                '<html><head><title>doc ' || doc_id ||
                '</title><style>p{margin:0}</style></head><body>' ||
                '<nav>home | about | contact</nav><script>var id=' ||
@@ -1257,11 +1305,7 @@ SELECT * FROM rep ORDER BY doc_id""")),
                    '<[^>]*>', ' ', 'g'),
                  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
                  '&apos;', ''''), '&#65;', 'A'), '&amp;', '&'),
-               '\s+', ' ', 'g')) AS clean_text FROM w)
-             SELECT doc_id, clean_text,
-               CAST(len(string_split(clean_text, ' ')) AS INT) AS n_tokens
-             FROM x ORDER BY doc_id"""))
-  )
+               '\s+', ' ', 'g')) AS clean_text FROM w)"""
 
   /** The markup-extraction rule chain — ONE copy (q189 and any
     * pipeline composition): machine blocks, boilerplate elements, tag
@@ -1911,9 +1955,14 @@ rep AS (
     * mt) — shared by the q132 oracle and q144's quality-keep block so
     * the rule SQL cannot drift between them.
     */
-  private def qualityStatsCtesSql: String =
+  private def qualityStatsCtesSql: String = qualityStatsCtesSql()
+
+  /** `src` lets a composed oracle run the SAME rule chain over a
+    * derived doc table (q190 gates the markup-EXTRACTED text).
+    */
+  private def qualityStatsCtesSql(src: String = "documents"): String =
     s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks
-         FROM documents),
+         FROM $src),
        ex AS (SELECT doc_id, unnest(toks) AS x FROM t),
        agg AS (SELECT doc_id, count(*) AS n, sum(len(x)) AS charsum,
            count(*) FILTER (WHERE x IN ($stopSql)) AS nstop
@@ -1928,7 +1977,10 @@ rep AS (
     * block, so the rule SQL keeps its one copy.
     */
   private[graft] def qualityKeepCtesSql: String =
-    s"""$qualityStatsCtesSql,
+    qualityKeepCtesSql("documents")
+
+  private[graft] def qualityKeepCtesSql(src: String): String =
+    s"""${qualityStatsCtesSql(src)},
        qflags AS (SELECT a.doc_id,
            (n >= $QfMinTokens
              AND charsum * 1.0 / n >= $QfWordLenLo
