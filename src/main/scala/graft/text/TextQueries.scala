@@ -1955,12 +1955,12 @@ rep AS (
     * mt) — shared by the q132 oracle and q144's quality-keep block so
     * the rule SQL cannot drift between them.
     */
-  private def qualityStatsCtesSql: String = qualityStatsCtesSql()
+  private def qualityStatsCtesSql: String = qualityStatsCtesSql("documents")
 
   /** `src` lets a composed oracle run the SAME rule chain over a
     * derived doc table (q190 gates the markup-EXTRACTED text).
     */
-  private def qualityStatsCtesSql(src: String = "documents"): String =
+  private def qualityStatsCtesSql(src: String): String =
     s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks
          FROM $src),
        ex AS (SELECT doc_id, unnest(toks) AS x FROM t),

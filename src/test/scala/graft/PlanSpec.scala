@@ -361,6 +361,19 @@ class PlanSpec extends AnyFunSuite {
       "the decode gate must ride the arrival partitions")
   }
 
+  test("q190 web-ingest composition is map-only until the per-source " +
+    "aggregate: exactly one hash exchange, no UDF") {
+    val p = plan("q190_web_ingest_pipeline")
+    // AdaptiveSparkPlan prints the final AND the initial plan — count
+    // the final section only, or the one exchange appears twice
+    val finalPlan = p.split("== Initial Plan ==").head
+    val hashEx = finalPlan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1,
+      s"expected ONE exchange (the source aggregate), got $hashEx")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"))
+  }
+
   test("q186's gate stage shuffles only metadata: no exchange carries " +
     "the bytes column") {
     val p = plan("q186_image_curation_neardup")

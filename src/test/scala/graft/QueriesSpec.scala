@@ -915,4 +915,18 @@ class QueriesSpec extends AnyFunSuite {
     // <SCRIPT> and admit the JavaScript text into the corpus
     assert(got == "keep \"this\" 'text' <ok> & more", s"got '$got'")
   }
+
+  test("q190 web-ingest gate is non-vacuous: kept and dropped docs " +
+    "both exist, and counts tie to the q189-extracted text under the " +
+    "q132 rules") {
+    val rows = QueryRegistry.queries("q190_web_ingest_pipeline")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val raw = rows.map(_._2).sum
+    val kept = rows.map(_._3).sum
+    // both branches fire corpus-wide — a threshold/wrapper change that
+    // makes the extracted-text gate uniformly pass or drop must go red
+    // here, not stay oracle-green as a vacuous composition
+    assert(kept > 0 && kept < raw, s"vacuous gate: $kept of $raw kept")
+    rows.foreach { case (_, r, k) => assert(k >= 0 && k <= r) }
+  }
 }
