@@ -286,6 +286,19 @@ object ScaleProbe {
     VPICSource.writeHdf5Tree(dH5, t, z, y, x, ProbeGridVars)
     vpicScanLegs(spark, "hdf5_scan raw", dRaw)
     vpicScanLegs(spark, "hdf5_scan hdf5", dH5)
+    // the layout real h5py/VPIC dumps use: chunked + per-chunk deflate.
+    // The pruned it<10 leg is the per-chunk cost evidence — it must
+    // track ~its chunk fraction of the full leg's time (a reader that
+    // decompressed the whole dataset per partition would not), and the
+    // partition count equals the planned chunk count
+    val dChk = java.nio.file.Files.createTempDirectory("h5_chunk").toString
+    VPICSource.writeHdf5Tree(dChk, t, z, y, x, ProbeGridVars,
+      chunkTime = Some(5), gzip = true)
+    val parts = spark.read.format("graft-vpic").option("path", dChk)
+      .load().rdd.getNumPartitions
+    println(s"[scale] hdf5_scan chunked_gzip partitions=$parts " +
+      s"(= vars x ceil(nt/5) chunks)")
+    vpicScanLegs(spark, "hdf5_scan chunked_gzip", dChk)
   }
 
   /** q187's index-served semantic leakage audit vs the brute-force

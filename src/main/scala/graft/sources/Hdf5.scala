@@ -16,39 +16,91 @@ import java.nio.charset.StandardCharsets.US_ASCII
   *   - superblock v0, 8-byte offsets/lengths;
   *   - groups as the classic symbol-table machinery: v1 B-tree
   *     (node type 0) over SNOD symbol-table nodes with names in a
-  *     local heap — one level, up to 2·K_leaf links per node;
-  *   - datasets as v1 object headers carrying exactly the three
-  *     messages a contiguous array needs — Dataspace (v1, simple),
-  *     Datatype (class 1 floating-point, IEEE binary64), Data Layout
-  *     (v3, class 1 contiguous) — with the raw block stored
-  *     uncompressed at its declared address.
+  *     local heap — one level, up to 2·K_leaf links per node; nodes
+  *     are written at their FULL allocated size (2·K entry slots,
+  *     zero-filled) so a library that reads whole allocated nodes
+  *     never lands past end-of-allocation;
+  *   - datasets as v1 object headers carrying the messages an array
+  *     needs — Dataspace (v1, simple), Datatype (class 1
+  *     floating-point, IEEE binary32 OR binary64, either byte
+  *     order), Data Layout (v3, class 1 contiguous or class 2
+  *     CHUNKED), and for chunked data the optional Filter Pipeline
+  *     (v1, deflate) — real h5py/VPIC dumps are typically chunked
+  *     f32 with gzip, which is exactly this corner;
+  *   - chunked raw data behind a v1 B-tree of node type 1 (ANY
+  *     depth on read; the writer emits multi-level trees past 2·K
+  *     chunks per node), each chunk individually deflated so a
+  *     reader decompresses ONLY the chunks it touches.
   *
-  * Both byte orders of the f64 datatype are supported end to end
-  * (HPC dumps ship both); everything OUTSIDE the subset — later
-  * superblock versions, chunked/compressed layouts, non-f64 types,
-  * deeper B-trees, header continuation blocks — is rejected LOUDLY
-  * with a precise message, never silently mis-read (the WAV/AVI
-  * parser discipline).
+  * Everything OUTSIDE the subset — later superblock versions,
+  * compact layouts, non-float types, filters other than deflate,
+  * header continuation blocks, unallocated chunks — is rejected
+  * LOUDLY with a precise message, never silently mis-read (the
+  * WAV/AVI parser discipline).
   *
-  * The parser builds a metadata INDEX ONLY (paths, dims, data
-  * addresses) by seeking through header structures; dataset bytes are
-  * never materialized here — the DSv2 partition reader seeks straight
-  * into a dataset's contiguous block and streams its own time-chunk,
-  * which is the 100 TB ingest story ([[VPICSource]]).
+  * The parser builds a metadata INDEX ONLY (paths, dims, data/chunk
+  * addresses) by seeking through header structures; dataset bytes
+  * are never materialized here — the DSv2 partition reader seeks
+  * straight into its own contiguous block slice or its own chunks
+  * and decompresses per chunk, which is the 100 TB ingest story
+  * ([[VPICSource]]).
   */
 object Hdf5 {
   private val Signature: Array[Byte] =
     Array(0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, 0x0a)
   private val Undef = -1L // 0xFFFFFFFFFFFFFFFF: the undefined address
   private val LeafK = 4 // symbols per SNOD = 2 * LeafK
+  /** Chunk B-tree K. Superblock v0 carries no indexed-storage K field;
+    * libhdf5's default for v0 files is 32, so nodes hold up to 64
+    * chunk entries and are allocated at that size.
+    */
+  private val IstoreK = 32
+
+  /** Physical layout of one dataset's raw data. */
+  sealed trait H5Layout
+  /** One uncompressed block at `dataAddress`. */
+  final case class H5Contiguous(dataAddress: Long) extends H5Layout
+  /** Chunked storage: `chunkDims` are the SPATIAL chunk dims (same
+    * rank as the dataset; the on-disk key/layout carry a trailing
+    * element-size dim which is validated and dropped here), `gzip`
+    * says each chunk is a deflate stream, and `chunks` is the full
+    * chunk index in offset order — metadata only (one entry per
+    * chunk, no data).
+    */
+  final case class H5Chunked(chunkDims: Array[Long], gzip: Boolean,
+      chunks: Seq[H5Chunk]) extends H5Layout
+  /** One chunk: its dataset-space offset (rank values), its file
+    * address, and its STORED byte count (compressed size under gzip).
+    */
+  final case class H5Chunk(offset: Array[Long], addr: Long,
+      storedBytes: Long)
 
   /** One dataset in the index: slash-joined path, dimension sizes,
-    * the contiguous raw block's file address, and its byte order.
+    * byte order, element size (4 = binary32, 8 = binary64) and layout.
     */
   final case class H5Dataset(path: String, dims: Array[Long],
-      dataAddress: Long, littleEndian: Boolean) {
+      littleEndian: Boolean, elemSize: Int, layout: H5Layout) {
     def nElems: Long = dims.product
+    /** The contiguous block address — only meaningful for
+      * [[H5Contiguous]] datasets; callers on the chunked path go
+      * through the chunk index instead.
+      */
+    def dataAddress: Long = layout match {
+      case H5Contiguous(a) => a
+      case _: H5Chunked => throw new IllegalStateException(
+        s"HDF5: $path is chunked; it has no single data address")
+    }
   }
+
+  /** Writer-side description of one dataset. `chunkDims = None` is
+    * the contiguous layout; `Some(dims)` chunks the data (required
+    * for `gzip` — HDF5 filters apply to chunked layouts only).
+    * `f32` stores IEEE binary32 (values are narrowed; the reader
+    * widens back to doubles).
+    */
+  final case class H5Write(path: String, dims: Array[Long],
+      data: Array[Double], chunkDims: Option[Array[Long]] = None,
+      gzip: Boolean = false, f32: Boolean = false)
 
   // ------------------------------------------------------------------
   // Writer
@@ -78,6 +130,7 @@ object Hdf5 {
       b.putLong(v); bytes(b.array())
     }
     def pad8(): Unit = while (len % 8 != 0) u8(0)
+    def zeroTo(at: Long): Unit = { require(at >= pos); while (pos < at) u8(0) }
     def patchU64(at: Long, v: Long): Unit = {
       val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
       b.putLong(v)
@@ -87,27 +140,90 @@ object Hdf5 {
   }
 
   private sealed trait Node
-  private final case class DsNode(dims: Array[Long],
-      data: Array[Double]) extends Node
+  private final case class DsNode(spec: H5Write) extends Node
   private final case class GrpNode(
       children: scala.collection.mutable.LinkedHashMap[String, Node])
     extends Node
 
-  /** Write `datasets` (slash-joined path -> (dims, row-major f64
-    * values)) as a real HDF5 file. Intermediate groups are created;
-    * link order within a group is name-sorted (the B-tree contract).
+  /** Deflate `b` (zlib stream — the HDF5 deflate filter's format). */
+  private def deflate(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    try {
+      d.setInput(b); d.finish()
+      val out = new java.io.ByteArrayOutputStream(b.length / 2 + 64)
+      val tmp = new Array[Byte](8192)
+      while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+      out.toByteArray
+    } finally d.end()
+  }
+
+  /** Inflate a stored chunk to exactly `expect` bytes, rejecting
+    * truncated or oversize streams loudly.
+    */
+  def inflate(b: Array[Byte], expect: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(b)
+      val out = new Array[Byte](expect)
+      var off = 0
+      var stalled = false
+      while (off < expect && !inf.finished() && !stalled) {
+        val k =
+          try inf.inflate(out, off, expect - off)
+          catch {
+            case e: java.util.zip.DataFormatException =>
+              throw new IllegalArgumentException(
+                s"HDF5: corrupt deflate stream in chunk (${e.getMessage})")
+          }
+        if (k == 0 && inf.needsInput()) stalled = true
+        off += k
+      }
+      require(off == expect,
+        s"HDF5: chunk inflated to $off bytes, expected $expect " +
+          "(truncated or corrupt deflate stream)")
+      require(inf.finished() || inf.inflate(new Array[Byte](1)) == 0,
+        "HDF5: deflate stream longer than the declared chunk")
+      out
+    } finally inf.end()
+  }
+
+  /** Legacy entry point: contiguous f64 datasets (slash-joined path ->
+    * (dims, row-major values)).
     */
   def write(path: String,
       datasets: Seq[(String, Array[Long], Array[Double])],
+      littleEndian: Boolean = false): Unit =
+    writeSpecs(path, datasets.map { case (p, dims, data) =>
+      H5Write(p, dims, data)
+    }, littleEndian)
+
+  /** Write `datasets` as a real HDF5 file. Intermediate groups are
+    * created; link order within a group is name-sorted (the B-tree
+    * contract); chunked datasets get a node-type-1 chunk B-tree and,
+    * under `gzip`, per-chunk deflate streams.
+    */
+  def writeSpecs(path: String, datasets: Seq[H5Write],
       littleEndian: Boolean = false): Unit = {
-    datasets.foreach { case (p, dims, data) =>
-      require(dims.forall(_ > 0), s"HDF5 write: bad dims for $p")
-      require(dims.product == data.length,
-        s"HDF5 write: $p dims ${dims.mkString("x")} != ${data.length} values")
+    datasets.foreach { d =>
+      require(d.dims.forall(_ > 0), s"HDF5 write: bad dims for ${d.path}")
+      require(d.dims.product == d.data.length,
+        s"HDF5 write: ${d.path} dims ${d.dims.mkString("x")} != " +
+          s"${d.data.length} values")
+      d.chunkDims.foreach { cd =>
+        require(cd.length == d.dims.length,
+          s"HDF5 write: ${d.path} chunk rank ${cd.length} != ${d.dims.length}")
+        require(cd.forall(_ > 0), s"HDF5 write: bad chunk dims for ${d.path}")
+        require(cd.zip(d.dims).forall { case (c, n) => c <= n },
+          s"HDF5 write: ${d.path} chunk ${cd.mkString("x")} exceeds " +
+            s"dims ${d.dims.mkString("x")}")
+      }
+      require(!d.gzip || d.chunkDims.isDefined,
+        s"HDF5 write: ${d.path} gzip requires a chunked layout " +
+          "(HDF5 filters apply to chunks)")
     }
     val root = GrpNode(scala.collection.mutable.LinkedHashMap.empty)
-    datasets.foreach { case (p, dims, data) =>
-      val parts = p.split('/').filter(_.nonEmpty)
+    datasets.foreach { d =>
+      val parts = d.path.split('/').filter(_.nonEmpty)
       require(parts.nonEmpty, "HDF5 write: empty dataset path")
       var g = root
       parts.dropRight(1).foreach { seg =>
@@ -115,15 +231,17 @@ object Hdf5 {
           GrpNode(scala.collection.mutable.LinkedHashMap.empty)) match {
           case grp: GrpNode => grp
           case _: DsNode => throw new IllegalArgumentException(
-            s"HDF5 write: $seg is both a dataset and a group on path $p")
+            s"HDF5 write: $seg is both a dataset and a group on path ${d.path}")
         }
       }
       require(!g.children.contains(parts.last),
-        s"HDF5 write: duplicate path $p")
-      g.children(parts.last) = DsNode(dims, data)
+        s"HDF5 write: duplicate path ${d.path}")
+      g.children(parts.last) = DsNode(d)
     }
 
     val buf = new Buf
+    val order = if (littleEndian) ByteOrder.LITTLE_ENDIAN
+                else ByteOrder.BIG_ENDIAN
     // ---- superblock v0 (96 bytes; EOF + root entry patched at the end)
     buf.bytes(Signature)
     buf.u8(0); buf.u8(0); buf.u8(0); buf.u8(0) // versions + reserved
@@ -143,25 +261,152 @@ object Hdf5 {
     val rootHeapAt = buf.u64(0)
     require(rootLinkAt == 56, "HDF5 write: superblock layout drifted")
 
-    def writeDatasetOh(ds: DsNode): Long = {
+    def pad8len(n: Int): Int = (n + 7) & ~7
+
+    def serialize(spec: H5Write, vals: Array[Double]): Array[Byte] = {
+      val es = if (spec.f32) 4 else 8
+      val bb = ByteBuffer.allocate(vals.length * es).order(order)
+      if (spec.f32) vals.foreach(v => bb.putFloat(v.toFloat))
+      else vals.foreach(bb.putDouble)
+      bb.array()
+    }
+
+    /** Raw-data chunk B-tree key: stored size, filter mask 0, then
+      * rank+1 offsets (the trailing one — the element-size dim — is 0).
+      */
+    def chunkKey(storedBytes: Long, offsets: Array[Long]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + 8 * (offsets.length + 1))
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(storedBytes.toInt); b.putInt(0)
+      offsets.foreach(b.putLong); b.putLong(0L)
+      b.array()
+    }
+
+    /** Write a node-type-1 B-tree over `addrs` chunks with boundary
+      * keys `keys` (addrs.length + 1 of them: each chunk's key plus
+      * the past-the-end key). Builds as many levels as the 2·K node
+      * capacity requires; every node is zero-padded to its full
+      * allocated size and siblings are wired. Returns the root addr.
+      */
+    def writeChunkBtree(keys: IndexedSeq[Array[Byte]],
+        addrs: IndexedSeq[Long]): Long = {
+      val keySize = keys.head.length
+      val cap = 2 * IstoreK
+      val alloc = 24L + cap * 8 + (cap + 1) * keySize
+      def level(lvl: Int, ks: IndexedSeq[Array[Byte]],
+          children: IndexedSeq[Long]): Long = {
+        val groups = children.indices.grouped(cap).toIndexedSeq
+        val nodeAddrs = new Array[Long](groups.length)
+        groups.zipWithIndex.foreach { case (g, gi) =>
+          buf.pad8()
+          val at = buf.pos
+          nodeAddrs(gi) = at
+          buf.bytes("TREE".getBytes(US_ASCII))
+          buf.u8(1); buf.u8(lvl) // node type 1 (raw data), level
+          buf.u16(g.length)
+          buf.u64(if (gi == 0) Undef else nodeAddrs(gi - 1))
+          buf.u64(Undef) // right sibling, patched when the next lands
+          g.foreach { i => buf.bytes(ks(i)); buf.u64(children(i)) }
+          buf.bytes(ks(g.last + 1))
+          buf.zeroTo(at + alloc)
+          if (gi > 0) buf.patchU64(nodeAddrs(gi - 1) + 16, at)
+        }
+        if (groups.length == 1) nodeAddrs(0)
+        else level(lvl + 1,
+          groups.map(g => ks(g.head)) :+ ks.last,
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(nodeAddrs))
+      }
+      level(0, keys, addrs)
+    }
+
+    def writeDatasetOh(spec: H5Write): Long = {
+      val rank = spec.dims.length
+      val es = if (spec.f32) 4 else 8
       // raw data first (the layout message needs its address)
-      buf.pad8()
-      val dataAddr = buf.pos
-      val bb = ByteBuffer.allocate(ds.data.length * 8)
-        .order(if (littleEndian) ByteOrder.LITTLE_ENDIAN
-               else ByteOrder.BIG_ENDIAN)
-      ds.data.foreach(bb.putDouble)
-      buf.bytes(bb.array())
+      val layout: Array[Byte] = spec.chunkDims match {
+        case None =>
+          buf.pad8()
+          val dataAddr = buf.pos
+          buf.bytes(serialize(spec, spec.data))
+          val b = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+          b.put(3.toByte).put(1.toByte) // version 3, class 1 contiguous
+          b.putLong(dataAddr).putLong(spec.data.length.toLong * es)
+          b.array()
+        case Some(cd) =>
+          // chunk grid in row-major offset order — the increasing-key
+          // contract of the B-tree
+          val grid = spec.dims.zip(cd).map { case (n, c) =>
+            ((n + c - 1) / c).toInt
+          }
+          val chunkElems = cd.product.toInt
+          val strides = new Array[Long](rank)
+          strides(rank - 1) = 1
+          (rank - 2 to 0 by -1).foreach(d =>
+            strides(d) = strides(d + 1) * spec.dims(d + 1))
+          val coords = new Array[Int](rank)
+          val nChunks = grid.product
+          val keys = new Array[Array[Byte]](nChunks + 1)
+          val addrs = new Array[Long](nChunks)
+          (0 until nChunks).foreach { ci =>
+            val off = coords.zip(cd).map { case (g, c) => g * c }
+            // gather the FULL chunk (0.0 fill past the dataset edge)
+            val vals = new Array[Double](chunkElems)
+            val local = new Array[Int](rank)
+            (0 until chunkElems).foreach { li =>
+              var inBounds = true
+              var lin = 0L
+              var d = 0
+              while (d < rank) {
+                val g = off(d) + local(d)
+                if (g >= spec.dims(d)) inBounds = false
+                lin += g * strides(d)
+                d += 1
+              }
+              if (inBounds) vals(li) = spec.data(lin.toInt)
+              var k = rank - 1
+              while (k >= 0) {
+                local(k) += 1
+                if (local(k) < cd(k)) k = -1
+                else { local(k) = 0; k -= 1 }
+              }
+            }
+            val raw = serialize(spec, vals)
+            val stored = if (spec.gzip) deflate(raw) else raw
+            buf.pad8()
+            addrs(ci) = buf.bytes(stored)
+            keys(ci) = chunkKey(stored.length.toLong, off)
+            var k = rank - 1
+            while (k >= 0) {
+              coords(k) += 1
+              if (coords(k) < grid(k)) k = -1
+              else { coords(k) = 0; k -= 1 }
+            }
+          }
+          // past-the-end boundary key: the chunk-grid edge offsets
+          keys(nChunks) = chunkKey(0L,
+            grid.zip(cd).map { case (g, c) => g.toLong * c })
+          val btAddr = writeChunkBtree(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(keys),
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(addrs))
+          val b = ByteBuffer.allocate(pad8len(2 + 1 + 8 + 4 * (rank + 1)))
+            .order(ByteOrder.LITTLE_ENDIAN)
+          b.put(3.toByte).put(2.toByte) // version 3, class 2 chunked
+          b.put((rank + 1).toByte) // dimensionality incl. elem-size dim
+          b.putLong(btAddr)
+          cd.foreach(c => b.putInt(c.toInt))
+          b.putInt(es)
+          b.array()
+      }
       buf.pad8()
       val ohAddr = buf.pos
       // message bodies, 8-byte aligned
       val dspace = {
-        val b = ByteBuffer.allocate(8 + ds.dims.length * 8)
+        val b = ByteBuffer.allocate(8 + spec.dims.length * 8)
           .order(ByteOrder.LITTLE_ENDIAN)
-        b.put(1.toByte).put(ds.dims.length.toByte)
+        b.put(1.toByte).put(spec.dims.length.toByte)
           .put(0.toByte) // flags: no max dims
           .put(Array[Byte](0, 0, 0, 0, 0)) // reserved
-        ds.dims.foreach(b.putLong)
+        spec.dims.foreach(b.putLong)
         b.array()
       }
       val dtype = {
@@ -169,26 +414,42 @@ object Hdf5 {
         b.put(0x11.toByte) // version 1, class 1 (floating point)
         // class bit field: bit0 byte order, bits4-5 mantissa norm = 2
         b.put((0x20 | (if (littleEndian) 0 else 1)).toByte)
-        b.put(63.toByte).put(0.toByte) // sign location, reserved
-        b.putInt(8) // size
-        b.putShort(0).putShort(64) // bit offset, precision
-        b.put(52.toByte).put(11.toByte) // exponent location, size
-        b.put(0.toByte).put(52.toByte) // mantissa location, size
-        b.putInt(1023) // exponent bias
+        if (spec.f32) {
+          b.put(31.toByte).put(0.toByte) // sign location, reserved
+          b.putInt(4) // size
+          b.putShort(0).putShort(32) // bit offset, precision
+          b.put(23.toByte).put(8.toByte) // exponent location, size
+          b.put(0.toByte).put(23.toByte) // mantissa location, size
+          b.putInt(127) // exponent bias
+        } else {
+          b.put(63.toByte).put(0.toByte) // sign location, reserved
+          b.putInt(8) // size
+          b.putShort(0).putShort(64) // bit offset, precision
+          b.put(52.toByte).put(11.toByte) // exponent location, size
+          b.put(0.toByte).put(52.toByte) // mantissa location, size
+          b.putInt(1023) // exponent bias
+        }
         b.array() // 24 bytes (20 used + 4 implicit pad within alloc)
       }
-      val layout = {
-        val b = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
-        b.put(3.toByte).put(1.toByte) // version 3, class 1 contiguous
-        b.putLong(dataAddr).putLong(ds.data.length * 8L)
+      val msgs = scala.collection.mutable.ArrayBuffer(
+        (0x0001, dspace), (0x0003, dtype), (0x0008, layout))
+      if (spec.gzip) msgs += ((0x000B, {
+        val b = ByteBuffer.allocate(32).order(ByteOrder.LITTLE_ENDIAN)
+        b.put(1.toByte).put(1.toByte) // version 1, one filter
+        b.putShort(0).putInt(0) // reserved
+        b.putShort(1) // filter id 1: deflate
+        b.putShort(8) // name length (8-padded)
+        b.putShort(0) // flags
+        b.putShort(1) // one client data value
+        b.put("deflate".getBytes(US_ASCII)).put(0.toByte)
+        b.putInt(6) // client data: compression level
+        b.putInt(0) // pad (odd client-value count)
         b.array()
-      }
-      val msgs = Seq((0x0001, dspace), (0x0003, dtype), (0x0008, layout))
-      writeOh(ohAddr, msgs)
+      }))
+      writeOh(ohAddr, msgs.toSeq)
       ohAddr
     }
 
-    def pad8len(n: Int): Int = (n + 7) & ~7
     def writeOh(at: Long, msgs: Seq[(Int, Array[Byte])]): Unit = {
       require(buf.pos == at)
       val bodySize = msgs.map(m => 8 + pad8len(m._2.length)).sum
@@ -208,8 +469,8 @@ object Hdf5 {
     def writeGroup(g: GrpNode): (Long, Long, Long) = {
       // children first (their addresses go into this group's SNOD)
       val entries = g.children.toSeq.sortBy(_._1).map {
-        case (name, ds: DsNode) =>
-          (name, writeDatasetOh(ds), 0, Undef, Undef)
+        case (name, DsNode(spec)) =>
+          (name, writeDatasetOh(spec), 0, Undef, Undef)
         case (name, sub: GrpNode) =>
           val (oh, bt, hp) = writeGroup(sub)
           (name, oh, 1, bt, hp)
@@ -238,7 +499,9 @@ object Hdf5 {
       entries.foreach { case (name, _, _, _, _) =>
         buf.bytes(name.getBytes(US_ASCII)); buf.u8(0); buf.pad8()
       }
-      // SNOD with every entry (name-sorted — the B-tree key contract)
+      // SNOD with every entry (name-sorted — the B-tree key contract),
+      // padded to its full 2*LeafK-slot allocated size so a reader that
+      // fetches whole allocated nodes never lands past end-of-file
       buf.pad8()
       val snodAddr = buf.pos
       buf.bytes("SNOD".getBytes(US_ASCII))
@@ -251,7 +514,9 @@ object Hdf5 {
         if (cache == 1) { buf.u64(bt); buf.u64(hp) }
         else { buf.u64(0); buf.u64(0) }
       }
-      // B-tree: one leaf node, one child (the SNOD)
+      buf.zeroTo(snodAddr + 8 + 2L * LeafK * 40)
+      // B-tree: one leaf node, one child (the SNOD); padded to the
+      // full 2*LeafK-entry allocation like the SNOD
       buf.pad8()
       val btAddr = buf.pos
       buf.bytes("TREE".getBytes(US_ASCII))
@@ -261,6 +526,7 @@ object Hdf5 {
       buf.u64(0) // key 0: <= first name (empty string)
       buf.u64(snodAddr)
       buf.u64(entries.lastOption.map(e => nameOff(e._1)).getOrElse(0L))
+      buf.zeroTo(btAddr + 24 + 2L * LeafK * 8 + (2L * LeafK + 1) * 8)
       // group object header: one symbol table message
       buf.pad8()
       val ohAddr = buf.pos
@@ -298,11 +564,25 @@ object Hdf5 {
       raf.readFully(b)
       ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
     }
-    def cstring(addr: Long): String = {
+    /** NUL-terminated heap string, BOUNDED by the heap's declared data
+      * segment `[heapData, heapEnd)` — a corrupt name offset must fail
+      * loudly, never fabricate a name from unrelated file bytes.
+      */
+    def cstring(addr: Long, heapData: Long, heapEnd: Long): String = {
+      require(addr >= heapData && addr < heapEnd,
+        s"HDF5: heap name offset $addr outside the local heap " +
+          s"data segment [$heapData, $heapEnd)")
       val sb = new StringBuilder
       raf.seek(addr)
+      var pos = addr
       var c = raf.read()
-      while (c > 0) { sb.append(c.toChar); c = raf.read() }
+      while (c > 0) {
+        pos += 1
+        require(pos < heapEnd,
+          s"HDF5: heap string at $addr runs past the data segment " +
+            s"end $heapEnd without a terminator")
+        sb.append(c.toChar); c = raf.read()
+      }
       require(c == 0, s"HDF5: unterminated heap string at $addr")
       sb.toString
     }
@@ -310,7 +590,8 @@ object Hdf5 {
 
   /** Parse + VALIDATE the metadata of an HDF5 file in the supported
     * subset, returning the dataset index sorted by path. Dataset bytes
-    * are not read.
+    * are not read; chunked datasets carry their (metadata-only) chunk
+    * index.
     */
   def index(path: String): Seq[H5Dataset] = {
     val raf = new RandomAccessFile(path, "r")
@@ -363,7 +644,8 @@ object Hdf5 {
           s"HDF5: no local heap at $heapAddr")
         require(hh.get() == 0, "HDF5: unsupported local heap version")
         hh.get(); hh.get(); hh.get()
-        hh.getLong(); hh.getLong() // segment size, free list
+        val segSize = hh.getLong()
+        hh.getLong() // free list
         val heapData = hh.getLong()
         val th = r.at(btAddr, 24)
         val tsig = new Array[Byte](4); th.get(tsig)
@@ -372,8 +654,9 @@ object Hdf5 {
         require(th.get() == 0, "HDF5: B-tree node type != 0 (group)")
         val level = th.get()
         require(level == 0,
-          s"HDF5: B-tree level $level (only single-level trees are " +
-            "decodable here — a deeper tree would be silently truncated)")
+          s"HDF5: B-tree level $level (only single-level group trees " +
+            "are decodable here — a deeper tree would be silently " +
+            "truncated)")
         val nent = th.getShort() & 0xffff
         // siblings at +8, then nent+1 keys interleaved with nent children
         val kb = r.at(btAddr + 8, 16 + (2 * nent + 1) * 8)
@@ -395,7 +678,8 @@ object Hdf5 {
             val cache = eb.getInt()
             eb.getInt()
             val s0 = eb.getLong(); val s1 = eb.getLong()
-            val name = r.cstring(heapData + nameOff)
+            val name =
+              r.cstring(heapData + nameOff, heapData, heapData + segSize)
             require(name.nonEmpty,
               s"HDF5: empty link name in SNOD at $snodAddr")
             val full = if (prefix.isEmpty) name else s"$prefix/$name"
@@ -458,13 +742,61 @@ object Hdf5 {
         s"cached entry ($bt, $heap) at $addr")
   }
 
+  /** Walk a node-type-1 (raw data chunk) v1 B-tree of ANY depth,
+    * collecting (key offsets, chunk address, stored size, filter mask)
+    * from the leaves. Validates signatures, node types, the child
+    * level sequence, and guards against cycles.
+    */
+  private def walkChunkTree(r: Reader, rootAddr: Long, path: String,
+      rank: Int): Seq[(Array[Long], Long, Long, Int)] = {
+    val keySize = 8 + 8 * (rank + 1)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Array[Long], Long, Long, Int)]
+    val visited = scala.collection.mutable.Set.empty[Long]
+    def walk(addr: Long, expectLevel: Int): Unit = {
+      require(visited.add(addr),
+        s"HDF5: chunk B-tree cycle at $addr ($path)")
+      val h = r.at(addr, 8)
+      val sig = new Array[Byte](4); h.get(sig)
+      require(new String(sig, US_ASCII) == "TREE",
+        s"HDF5: no chunk B-tree node at $addr ($path)")
+      require(h.get() == 1,
+        s"HDF5: B-tree node type != 1 (raw data) at $addr ($path)")
+      val level = h.get() & 0xff
+      require(expectLevel < 0 || level == expectLevel,
+        s"HDF5: chunk B-tree level $level at $addr, expected " +
+          s"$expectLevel ($path)")
+      val nent = h.getShort() & 0xffff
+      val kb = r.at(addr + 8, 16 + nent * (keySize + 8) + keySize)
+      kb.getLong(); kb.getLong() // siblings
+      (0 until nent).foreach { _ =>
+        val stored = kb.getInt().toLong & 0xffffffffL
+        val mask = kb.getInt()
+        val offs = Array.fill(rank + 1)(kb.getLong())
+        val child = kb.getLong()
+        require(offs(rank) == 0,
+          s"HDF5: chunk key's element-dim offset ${offs(rank)} != 0 " +
+            s"($path)")
+        if (level == 0) out += ((offs.take(rank), child, stored, mask))
+        else walk(child, level - 1)
+      }
+      // the final boundary key is not a chunk; skip it
+    }
+    walk(rootAddr, -1)
+    out.toSeq
+  }
+
   private def parseDatasetOh(r: Reader, path: String,
       addr: Long): H5Dataset = {
     var dims: Array[Long] = null
     var le = false
-    var sawType = false
-    var dataAddr = Undef
-    var dataSize = -1L
+    var elemSize = -1
+    var layoutClass = -1
+    var contAddr = Undef
+    var contSize = -1L
+    var chunkBt = Undef
+    var chunkDimsRaw: Array[Long] = null
+    var gzip = false
     ohMessages(r, addr).foreach {
       case (0x0001, b) => // dataspace
         val ver = b.get()
@@ -484,52 +816,192 @@ object Hdf5 {
         le = (bits0 & 1) == 0
         b.get(); b.get()
         val size = b.getInt()
-        require(size == 8,
-          s"HDF5: $size-byte float on $path (only binary64 supported)")
+        require(size == 4 || size == 8,
+          s"HDF5: $size-byte float on $path (only binary32/binary64)")
         val bitOffset = b.getShort(); val precision = b.getShort()
-        require(bitOffset == 0 && precision == 64,
+        require(bitOffset == 0 && precision == size * 8,
           s"HDF5: nonstandard float layout on $path " +
-            s"(offset $bitOffset, precision $precision)")
-        sawType = true
+            s"(offset $bitOffset, precision $precision, size $size)")
+        elemSize = size
       case (0x0008, b) => // data layout
         val ver = b.get()
         require(ver == 3,
           s"HDF5: layout message version $ver on $path (only v3)")
-        val cls = b.get()
-        require(cls == 1,
-          s"HDF5: layout class $cls on $path (only contiguous — a " +
-            "chunked/compact dataset would be silently mis-read)")
-        dataAddr = b.getLong()
-        dataSize = b.getLong()
+        layoutClass = b.get() & 0xff
+        layoutClass match {
+          case 1 => // contiguous
+            contAddr = b.getLong()
+            contSize = b.getLong()
+          case 2 => // chunked: dimensionality, B-tree addr, chunk dims
+            val dimen = b.get() & 0xff
+            require(b.remaining() >= 8 + 4 * dimen,
+              s"HDF5: chunked layout message on $path truncated " +
+                s"(dimensionality $dimen)")
+            chunkBt = b.getLong()
+            chunkDimsRaw =
+              Array.fill(dimen)(b.getInt().toLong & 0xffffffffL)
+          case cls => throw new IllegalArgumentException(
+            s"HDF5: layout class $cls on $path (only contiguous (1) " +
+              "and chunked (2) are decodable here)")
+        }
+      case (0x000B, b) => // filter pipeline
+        val ver = b.get()
+        require(ver == 1,
+          s"HDF5: filter pipeline version $ver on $path (only v1)")
+        val nf = b.get() & 0xff
+        b.get(); b.get(); b.getInt() // reserved
+        (0 until nf).foreach { _ =>
+          val id = b.getShort() & 0xffff
+          val nameLen = b.getShort() & 0xffff
+          b.getShort() // flags
+          val ncv = b.getShort() & 0xffff
+          require(nameLen % 8 == 0,
+            s"HDF5: filter name length $nameLen not 8-aligned on $path")
+          b.position(b.position() + nameLen)
+          (0 until ncv).foreach(_ => b.getInt())
+          if (ncv % 2 == 1) b.getInt() // pad
+          require(id == 1,
+            s"HDF5: filter id $id on $path (only deflate (1) is " +
+              "decodable here — a shuffle/fletcher/szip chunk would " +
+              "be silently mis-read)")
+        }
+        gzip = nf > 0
       case _ => () // NIL and other messages: skip
     }
     require(dims != null, s"HDF5: dataset $path has no dataspace")
-    require(sawType, s"HDF5: dataset $path has no datatype")
-    require(dataAddr != Undef, s"HDF5: dataset $path has no data layout")
-    require(dataSize == dims.product * 8,
-      s"HDF5: $path layout size $dataSize != " +
-        s"${dims.mkString("x")} f64 elements")
-    H5Dataset(path, dims, dataAddr, le)
+    require(elemSize > 0, s"HDF5: dataset $path has no datatype")
+    require(layoutClass > 0, s"HDF5: dataset $path has no data layout")
+    val rank = dims.length
+    layoutClass match {
+      case 1 =>
+        require(!gzip,
+          s"HDF5: $path declares a filter pipeline on a contiguous " +
+            "layout (filters apply to chunks only)")
+        require(contAddr != Undef, s"HDF5: $path has no data address")
+        require(contSize == dims.product * elemSize,
+          s"HDF5: $path layout size $contSize != " +
+            s"${dims.mkString("x")} x $elemSize-byte elements")
+        H5Dataset(path, dims, le, elemSize, H5Contiguous(contAddr))
+      case _ =>
+        require(chunkDimsRaw.length == rank + 1,
+          s"HDF5: $path chunk dimensionality ${chunkDimsRaw.length} " +
+            s"!= rank+1 (${rank + 1})")
+        require(chunkDimsRaw.last == elemSize,
+          s"HDF5: $path chunk element-size dim ${chunkDimsRaw.last} " +
+            s"!= datatype size $elemSize")
+        val cd = chunkDimsRaw.dropRight(1)
+        require(cd.forall(_ > 0), s"HDF5: $path has a zero chunk dim")
+        require(cd.zip(dims).forall { case (c, n) => c <= n },
+          s"HDF5: $path chunk ${cd.mkString("x")} exceeds dims " +
+            s"${dims.mkString("x")}")
+        require(chunkBt != Undef, s"HDF5: $path has no chunk B-tree")
+        val found = walkChunkTree(r, chunkBt, path, rank)
+        val chunkElems = cd.product
+        found.foreach { case (off, caddr, stored, mask) =>
+          require(mask == 0,
+            s"HDF5: chunk filter mask $mask on $path (partial filter " +
+              "application is outside the subset)")
+          require(off.indices.forall(d =>
+              off(d) % cd(d) == 0 && off(d) >= 0 && off(d) < dims(d)),
+            s"HDF5: chunk offset ${off.mkString(",")} not on the " +
+              s"${cd.mkString("x")} grid of $path")
+          require(caddr != Undef && caddr >= 0,
+            s"HDF5: chunk at ${off.mkString(",")} of $path has no " +
+              "address")
+          if (!gzip) require(stored == chunkElems * elemSize,
+            s"HDF5: unfiltered chunk at ${off.mkString(",")} of $path " +
+              s"stores $stored bytes, expected ${chunkElems * elemSize}")
+        }
+        val expected = dims.zip(cd)
+          .map { case (n, c) => (n + c - 1) / c }.product
+        require(found.map(_._1.toSeq).distinct.length == found.length,
+          s"HDF5: duplicate chunk offsets in $path")
+        require(found.length == expected,
+          s"HDF5: $path has ${found.length} allocated chunks of " +
+            s"$expected — sparse/unallocated chunks (fill-value reads) " +
+            "are outside the subset")
+        // sort by offset lexicographically (B-tree order already is,
+        // but the index contract is explicit)
+        val sorted = found.sortWith { (a, b) =>
+          val x = a._1; val y = b._1
+          var d = 0
+          while (d < x.length && x(d) == y(d)) d += 1
+          d < x.length && x(d) < y(d)
+        }.map { case (off, caddr, stored, _) =>
+          H5Chunk(off, caddr, stored)
+        }
+        H5Dataset(path, dims, le, elemSize, H5Chunked(cd, gzip, sorted))
+    }
   }
 
-  /** Read `n` doubles of a dataset starting at element `offset` —
-    * driver-side accessor for the tiny axis datasets; bulk variable
-    * data goes through the DSv2 partition reader's own streaming.
+  /** Read `n` elements of a dataset starting at row-major element
+    * `offset`, widened to doubles — driver-side accessor for the tiny
+    * axis datasets (contiguous OR chunked; a chunked axis decompresses
+    * only the overlapping chunks); bulk variable data goes through the
+    * DSv2 partition reader's own streaming.
     */
   def readDoubles(path: String, ds: H5Dataset, offset: Long,
       n: Int): Array[Double] = {
     require(offset >= 0 && offset + n <= ds.nElems,
       s"HDF5: read [$offset, ${offset + n}) of ${ds.nElems} elements " +
         s"(${ds.path})")
+    val order = if (ds.littleEndian) ByteOrder.LITTLE_ENDIAN
+                else ByteOrder.BIG_ENDIAN
+    def decode(bb: ByteBuffer, i: Int): Double =
+      if (ds.elemSize == 4) bb.getFloat(i * 4).toDouble
+      else bb.getDouble(i * 8)
     val raf = new RandomAccessFile(path, "r")
-    try {
-      val b = new Array[Byte](n * 8)
-      raf.seek(ds.dataAddress + offset * 8)
-      raf.readFully(b)
-      val bb = ByteBuffer.wrap(b).order(
-        if (ds.littleEndian) ByteOrder.LITTLE_ENDIAN
-        else ByteOrder.BIG_ENDIAN)
-      Array.fill(n)(bb.getDouble())
+    try ds.layout match {
+      case H5Contiguous(dataAddress) =>
+        val b = new Array[Byte](n * ds.elemSize)
+        raf.seek(dataAddress + offset * ds.elemSize)
+        raf.readFully(b)
+        val bb = ByteBuffer.wrap(b).order(order)
+        Array.tabulate(n)(i => decode(bb, i))
+      case H5Chunked(cd, gzip, chunks) =>
+        val rank = ds.dims.length
+        val strides = new Array[Long](rank)
+        strides(rank - 1) = 1
+        (rank - 2 to 0 by -1).foreach(d =>
+          strides(d) = strides(d + 1) * ds.dims(d + 1))
+        val chunkElems = cd.product.toInt
+        val out = new Array[Double](n)
+        chunks.foreach { ch =>
+          // linear bounds of this chunk's in-bounds elements
+          val lo = (0 until rank).map(d => ch.offset(d) * strides(d)).sum
+          val hiCoord = (0 until rank).map(d =>
+            math.min(ch.offset(d) + cd(d) - 1, ds.dims(d) - 1))
+          val hi = (0 until rank).map(d => hiCoord(d) * strides(d)).sum
+          if (hi >= offset && lo < offset + n) {
+            val raw = new Array[Byte](ch.storedBytes.toInt)
+            raf.seek(ch.addr)
+            raf.readFully(raw)
+            val bytes =
+              if (gzip) inflate(raw, chunkElems * ds.elemSize) else raw
+            val bb = ByteBuffer.wrap(bytes).order(order)
+            val local = new Array[Int](rank)
+            (0 until chunkElems).foreach { li =>
+              var inBounds = true
+              var lin = 0L
+              var d = 0
+              while (d < rank) {
+                val g = ch.offset(d) + local(d)
+                if (g >= ds.dims(d)) inBounds = false
+                lin += g * strides(d)
+                d += 1
+              }
+              if (inBounds && lin >= offset && lin < offset + n)
+                out((lin - offset).toInt) = decode(bb, li)
+              var k = rank - 1
+              while (k >= 0) {
+                local(k) += 1
+                if (local(k) < cd(k)) k = -1
+                else { local(k) = 0; k -= 1 }
+              }
+            }
+          }
+        }
+        out
     } finally raf.close()
   }
 }

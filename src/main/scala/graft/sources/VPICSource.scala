@@ -91,31 +91,47 @@ object VPICSource {
 
   /** Write a REAL HDF5 VPIC tree (the [[Hdf5]] subset): axes under
     * `grid/`, each variable a 4-D dataset. `littleEndian` selects the
-    * f64 byte order — HPC dumps ship both, and the scan handles both.
+    * float byte order — HPC dumps ship both, and the scan handles both.
+    *
+    * `chunkTime = Some(ct)` switches to the layout real h5py/VPIC
+    * dumps actually use: variables CHUNKED (ct, nz, ny, nx) — one
+    * spatial slab per ct time steps — and the tiny axis datasets
+    * chunked too (exercising the driver-side chunked read); `gzip`
+    * deflates each chunk; `f32` stores variables as binary32 (axes
+    * stay f64 — coordinates keep full precision).
     */
   def writeHdf5Tree(dir: String, time: Array[Double],
       zAxis: Array[Double], yAxis: Array[Double], xAxis: Array[Double],
       vars: Map[String, (Int, Int, Int, Int) => Double],
-      littleEndian: Boolean = false): Unit = {
+      littleEndian: Boolean = false, chunkTime: Option[Int] = None,
+      gzip: Boolean = false, f32: Boolean = false): Unit = {
+    require(!gzip || chunkTime.isDefined,
+      "VPIC HDF5: gzip requires a chunked tree (chunkTime)")
     val root = Paths.get(dir)
     Files.createDirectories(root)
     val nt = time.length; val nz = zAxis.length
     val ny = yAxis.length; val nx = xAxis.length
-    val dsets = Seq(
-      ("grid/time", Array(nt.toLong), time),
-      ("grid/z", Array(nz.toLong), zAxis),
-      ("grid/y", Array(ny.toLong), yAxis),
-      ("grid/x", Array(nx.toLong), xAxis)) ++
-      vars.toSeq.sortBy(_._1).map { case (path, f) =>
-        val data = new Array[Double](nt * nz * ny * nx)
-        var i = 0
-        for (it <- 0 until nt; iz <- 0 until nz;
-             iy <- 0 until ny; ix <- 0 until nx) {
-          data(i) = f(it, iz, iy, ix); i += 1
-        }
-        (path, Array(nt.toLong, nz.toLong, ny.toLong, nx.toLong), data)
+    def axisChunk(n: Int): Option[Array[Long]] =
+      chunkTime.map(_ => Array(math.max(1L, (n + 1) / 2)))
+    val axes = Seq(("grid/time", time), ("grid/z", zAxis),
+      ("grid/y", yAxis), ("grid/x", xAxis)).map { case (p, a) =>
+      Hdf5.H5Write(p, Array(a.length.toLong), a,
+        chunkDims = axisChunk(a.length), gzip = gzip)
+    }
+    val varSpecs = vars.toSeq.sortBy(_._1).map { case (path, f) =>
+      val data = new Array[Double](nt * nz * ny * nx)
+      var i = 0
+      for (it <- 0 until nt; iz <- 0 until nz;
+           iy <- 0 until ny; ix <- 0 until nx) {
+        data(i) = f(it, iz, iy, ix); i += 1
       }
-    Hdf5.write(root.resolve(Hdf5File).toString, dsets, littleEndian)
+      Hdf5.H5Write(path, Array(nt.toLong, nz.toLong, ny.toLong, nx.toLong),
+        data, chunkDims = chunkTime.map(ct =>
+          Array(math.min(ct, nt).toLong, nz.toLong, ny.toLong, nx.toLong)),
+        gzip = gzip, f32 = f32)
+    }
+    Hdf5.writeSpecs(root.resolve(Hdf5File).toString, axes ++ varSpecs,
+      littleEndian)
   }
 
   /** The HDF5 tree's dataset index, or empty when the tree is not an
@@ -441,17 +457,41 @@ private[sources] class VPICScan(root: String, vars: Seq[String], chunkSteps: Int
             nvars = ivars.length, vidx = bandOf(path))
         }
       } else if (h5.nonEmpty) {
-        // HDF5: dims + contiguous data address come from the parsed
-        // index; each reader seeks into ITS time-chunk of the block
+        // HDF5: dims + data/chunk addresses come from the parsed index
         val d = h5ByPath(path)
         val Array(ntL, nzL, nyL, nxL) = d.dims
         val (nt, nz, ny, nx) = (ntL.toInt, nzL.toInt, nyL.toInt, nxL.toInt)
         val lo = math.max(0, itLo); val hi = math.min(nt - 1, itHi)
-        (lo to hi by chunkSteps).map { t0 =>
-          VPICInputPartition(root, label, t0,
-            math.min(t0 + chunkSteps - 1, hi), nz, ny, nx,
-            file = VPICSource.Hdf5File,
-            dataOffset = d.dataAddress, littleEndian = d.littleEndian)
+        d.layout match {
+          case Hdf5.H5Contiguous(_) =>
+            // each reader seeks into ITS time-chunk of the block
+            (lo to hi by chunkSteps).map { t0 =>
+              VPICInputPartition(root, label, t0,
+                math.min(t0 + chunkSteps - 1, hi), nz, ny, nx,
+                file = VPICSource.Hdf5File,
+                dataOffset = d.dataAddress, littleEndian = d.littleEndian,
+                elemSize = d.elemSize)
+            }
+          case Hdf5.H5Chunked(cd, gzip, chunks) =>
+            // the STORAGE chunk is the parallelism unit (a reader must
+            // decompress a whole chunk anyway): one partition per
+            // chunk, pruned to those whose time range intersects the
+            // pushed bounds — a 1000-executor cluster decompresses
+            // only the chunks it owns, never a neighbor's
+            val Array(k0, k1, k2, k3) = cd.map(_.toInt)
+            chunks.filter(c =>
+                c.offset(0) <= hi && c.offset(0) + k0 - 1 >= lo)
+              .map { c =>
+                VPICChunkPartition(root, label,
+                  addr = c.addr, storedBytes = c.storedBytes,
+                  gzip = gzip, littleEndian = d.littleEndian,
+                  elemSize = d.elemSize,
+                  c0 = c.offset(0).toInt, c1 = c.offset(1).toInt,
+                  c2 = c.offset(2).toInt, c3 = c.offset(3).toInt,
+                  k0 = k0, k1 = k1, k2 = k2, k3 = k3,
+                  n0 = nt, n1 = nz, n2 = ny, n3 = nx,
+                  itLo = lo, itHi = hi)
+              }
         }
       } else {
         val (nt, nz, ny, nx) = VPICSource.readHeader(path)
@@ -472,20 +512,35 @@ private[sources] class VPICScan(root: String, vars: Seq[String], chunkSteps: Int
   * `data.bin` with stride 1, the interleaved tree reads the shared
   * `interleaved.bin` taking band `vidx` of `nvars` per cell, and the
   * HDF5 tree reads `data.h5` with `dataOffset` pointing at the
-  * variable's contiguous block (and `littleEndian` its byte order).
+  * variable's contiguous block (`littleEndian` its byte order,
+  * `elemSize` 4 for binary32 datasets widened to doubles on read).
   */
 private[sources] case class VPICInputPartition(path: String, label: String,
     t0: Int, t1: Int, nz: Int, ny: Int, nx: Int,
     file: String = VPICSource.DataFile, nvars: Int = 1,
     vidx: Int = 0, dataOffset: Long = VPICSource.HeaderBytes.toLong,
-    littleEndian: Boolean = false) extends InputPartition
+    littleEndian: Boolean = false, elemSize: Int = 8) extends InputPartition
+
+/** One STORAGE chunk of a chunked HDF5 dataset: `addr`/`storedBytes`
+  * locate the (possibly deflated) stream, `c*` the chunk's dataset
+  * offset, `k*` the chunk dims, `n*` the dataset dims (edge chunks
+  * overhang and the overhang elements are skipped). The reader
+  * decompresses exactly this chunk — per-chunk IO and memory.
+  */
+private[sources] case class VPICChunkPartition(root: String, label: String,
+    addr: Long, storedBytes: Long, gzip: Boolean, littleEndian: Boolean,
+    elemSize: Int, c0: Int, c1: Int, c2: Int, c3: Int,
+    k0: Int, k1: Int, k2: Int, k3: Int,
+    n0: Int, n1: Int, n2: Int, n3: Int,
+    itLo: Int, itHi: Int) extends InputPartition
 
 private[sources] class VPICReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[VPICInputPartition]
-    new VPICPartitionReader(p, fields)
-  }
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case p: VPICInputPartition => new VPICPartitionReader(p, fields)
+      case p: VPICChunkPartition => new VPICChunkReader(p, fields)
+    }
 }
 
 /** Streams one (variable, time-chunk): seeks past the header and earlier
@@ -519,7 +574,7 @@ private[sources] class VPICPartitionReader(p: VPICInputPartition,
     // the 16-byte raw header for the .bin layouts and the dataset's
     // contiguous-block address for the HDF5 layout.
     val need = p.dataOffset +
-      (p.t1 + 1).toLong * p.nz * p.ny * p.nx * p.nvars * 8
+      (p.t1 + 1).toLong * p.nz * p.ny * p.nx * p.nvars * p.elemSize
     val have = java.nio.file.Files.size(dataPath)
     if (have < need) throw new java.io.EOFException(
       s"truncated $dataPath: $have bytes, " +
@@ -531,10 +586,10 @@ private[sources] class VPICPartitionReader(p: VPICInputPartition,
     // seek to this chunk's first value of band `vidx` (stride 1 and
     // vidx 0 for the per-variable and HDF5 layouts)
     skipFully(p.dataOffset +
-      (p.t0.toLong * p.nz * p.ny * p.nx * p.nvars + p.vidx) * 8)
+      (p.t0.toLong * p.nz * p.ny * p.nx * p.nvars + p.vidx) * p.elemSize)
   }
   /** bytes between consecutive values of this band */
-  private val gap = (p.nvars - 1).toLong * 8
+  private val gap = (p.nvars - 1).toLong * p.elemSize
   private var first = true
   private var it = p.t0; private var iz = 0; private var iy = 0
   private var ix = -1
@@ -559,7 +614,12 @@ private[sources] class VPICPartitionReader(p: VPICInputPartition,
     // cells (gap = 0 on the per-variable layout — no-op)
     if (first) first = false else if (gap > 0) skipFully(gap)
     v =
-      if (p.littleEndian)
+      if (p.elemSize == 4) {
+        val bits = if (p.littleEndian)
+          java.lang.Integer.reverseBytes(in.readInt())
+        else in.readInt()
+        java.lang.Float.intBitsToFloat(bits).toDouble
+      } else if (p.littleEndian)
         java.lang.Double.longBitsToDouble(
           java.lang.Long.reverseBytes(in.readLong()))
       else in.readDouble()
@@ -583,4 +643,93 @@ private[sources] class VPICPartitionReader(p: VPICInputPartition,
   }
 
   override def close(): Unit = in.close()
+}
+
+/** Reads ONE storage chunk of a chunked HDF5 dataset: seeks to the
+  * chunk's stored bytes, inflates them if deflated (per-chunk
+  * decompression — this partition never touches a neighbor chunk's
+  * bytes), then walks the chunk row-major emitting in-bounds cells.
+  * Memory high-water mark is one decoded chunk — the layout's own
+  * granularity. Same reused-mutable-row hot loop as the contiguous
+  * reader.
+  */
+private[sources] class VPICChunkReader(p: VPICChunkPartition,
+    fields: Array[String]) extends PartitionReader[InternalRow] {
+  private val bytes: Array[Byte] = {
+    val path = Paths.get(p.root, VPICSource.Hdf5File)
+    val raf = new java.io.RandomAccessFile(path.toFile, "r")
+    try {
+      if (p.addr + p.storedBytes > raf.length())
+        throw new java.io.EOFException(
+          s"truncated $path: chunk at ${p.addr} needs " +
+            s"${p.storedBytes} bytes, file has ${raf.length()}")
+      val raw = new Array[Byte](p.storedBytes.toInt)
+      raf.seek(p.addr)
+      raf.readFully(raw)
+      val expect = p.k0 * p.k1 * p.k2 * p.k3 * p.elemSize
+      if (p.gzip) Hdf5.inflate(raw, expect)
+      else {
+        if (raw.length != expect) throw new java.io.IOException(
+          s"$path: unfiltered chunk at ${p.addr} stores ${raw.length} " +
+            s"bytes, expected $expect")
+        raw
+      }
+    } finally raf.close()
+  }
+  private val bb = java.nio.ByteBuffer.wrap(bytes).order(
+    if (p.littleEndian) java.nio.ByteOrder.LITTLE_ENDIAN
+    else java.nio.ByteOrder.BIG_ENDIAN)
+
+  // local chunk coords, advanced incrementally (no div/mod per cell)
+  private var lt = 0; private var lz = 0; private var ly = 0
+  private var lx = -1
+  private var l = -1 // linear index within the decoded chunk
+  private var it = 0; private var iz = 0; private var iy = 0
+  private var ix = 0
+  private var v = 0.0
+
+  private val tags: Array[Int] = fields.map(Map(
+    "it" -> 0, "iz" -> 1, "iy" -> 2, "ix" -> 3, "value" -> 4, "var" -> 5))
+  private val row = new GenericInternalRow(fields.length)
+  locally {
+    val vi = tags.indexOf(5)
+    if (vi >= 0) row.update(vi, UTF8String.fromString(p.label))
+  }
+
+  override def next(): Boolean = {
+    while (true) {
+      lx += 1; l += 1
+      if (lx == p.k3) { lx = 0; ly += 1 }
+      if (ly == p.k2) { ly = 0; lz += 1 }
+      if (lz == p.k1) { lz = 0; lt += 1 }
+      if (lt == p.k0) return false
+      it = p.c0 + lt; iz = p.c1 + lz; iy = p.c2 + ly; ix = p.c3 + lx
+      // skip edge-chunk overhang and rows outside the pushed it range
+      if (it >= p.itLo && it <= p.itHi && it < p.n0
+          && iz < p.n1 && iy < p.n2 && ix < p.n3) {
+        v = if (p.elemSize == 4) bb.getFloat(l * 4).toDouble
+            else bb.getDouble(l * 8)
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = {
+    var i = 0
+    while (i < tags.length) {
+      tags(i) match {
+        case 0 => row.setInt(i, it)
+        case 1 => row.setInt(i, iz)
+        case 2 => row.setInt(i, iy)
+        case 3 => row.setInt(i, ix)
+        case 4 => row.setDouble(i, v)
+        case _ => () // var: constant, already set
+      }
+      i += 1
+    }
+    row
+  }
+
+  override def close(): Unit = ()
 }

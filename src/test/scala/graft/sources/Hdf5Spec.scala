@@ -134,6 +134,244 @@ class Hdf5Spec extends AnyFunSuite {
       at
     }
     assert(layAt > 0, "layout message not found in fixture")
-    reject(b => { b(layAt) = 2; b }, "layout class")
+    // class 2 without a real chunked body: loudly truncated
+    reject(b => { b(layAt) = 2; b }, "layout class garbage-chunked")
+    // class 0 (compact) is outside the subset
+    reject(b => { b(layAt) = 0; b }, "layout class compact")
+  }
+
+  // ---------------------------------------------------------------
+  // Chunked + deflate + f32 (the layout real h5py/VPIC dumps use)
+  // ---------------------------------------------------------------
+
+  private def chunkedRoundTrip(littleEndian: Boolean,
+      gzip: Boolean): Unit = {
+    val rnd = new scala.util.Random(
+      (if (littleEndian) 2 else 0) + (if (gzip) 1 else 0) + 60)
+    val p = tmp()
+    // dims deliberately NOT multiples of the chunk dims: edge chunks
+    // overhang and their fill must never leak into reads
+    val d3 = Array.fill(5 * 7 * 4)(rnd.nextDouble() * 100 - 50)
+    val d1 = Array.fill(11)(rnd.nextGaussian())
+    Hdf5.writeSpecs(p, Seq(
+      Hdf5.H5Write("g/a", Array(5L, 7L, 4L), d3,
+        chunkDims = Some(Array(2L, 3L, 4L)), gzip = gzip),
+      Hdf5.H5Write("b", Array(11L), d1,
+        chunkDims = Some(Array(4L)), gzip = gzip)), littleEndian)
+    val idx = Hdf5.index(p)
+    assert(idx.map(_.path) == Seq("b", "g/a"))
+    val a = idx.find(_.path == "g/a").get
+    a.layout match {
+      case Hdf5.H5Chunked(cd, gz, chunks) =>
+        assert(cd.toSeq == Seq(2L, 3L, 4L))
+        assert(gz == gzip)
+        assert(chunks.length == 3 * 3 * 1) // ceil(5/2)*ceil(7/3)*ceil(4/4)
+        // random doubles are incompressible — deflated chunk sizes just
+        // must be the real stream sizes (the round-trip below proves
+        // them); raw chunks are exactly chunkElems * 8
+        if (!gzip) assert(chunks.forall(_.storedBytes == 2 * 3 * 4 * 8))
+      case other => fail(s"expected chunked layout, got $other")
+    }
+    // full read and an interior slice both reproduce the exact doubles
+    assert(Hdf5.readDoubles(p, a, 0, a.nElems.toInt).toSeq == d3.toSeq)
+    assert(Hdf5.readDoubles(p, a, 13, 50).toSeq ==
+      d3.toSeq.slice(13, 63))
+    val b = idx.find(_.path == "b").get
+    assert(Hdf5.readDoubles(p, b, 0, 11).toSeq == d1.toSeq)
+    assert(Hdf5.readDoubles(p, b, 3, 5).toSeq == d1.toSeq.slice(3, 8))
+  }
+
+  test("chunked round-trip, edge chunks, big-endian, no filter") {
+    chunkedRoundTrip(littleEndian = false, gzip = false)
+  }
+  test("chunked round-trip, edge chunks, little-endian, deflate") {
+    chunkedRoundTrip(littleEndian = true, gzip = true)
+  }
+  test("chunked round-trip, edge chunks, big-endian, deflate") {
+    chunkedRoundTrip(littleEndian = false, gzip = true)
+  }
+
+  test("deflate genuinely compresses a compressible chunk") {
+    val p = tmp()
+    Hdf5.writeSpecs(p, Seq(Hdf5.H5Write("z", Array(1000L),
+      Array.fill(1000)(7.25), chunkDims = Some(Array(500L)),
+      gzip = true)))
+    val d = Hdf5.index(p).head
+    d.layout match {
+      case Hdf5.H5Chunked(_, true, chunks) =>
+        assert(chunks.forall(_.storedBytes < 500L * 8 / 10),
+          chunks.map(_.storedBytes))
+      case other => fail(s"$other")
+    }
+    assert(Hdf5.readDoubles(p, d, 0, 1000).forall(_ == 7.25))
+  }
+
+  test("a >64-chunk dataset round-trips through a MULTI-LEVEL chunk " +
+    "B-tree (node capacity is 2*K = 64)") {
+    val rnd = new scala.util.Random(70)
+    val p = tmp()
+    val n = 301 // ceil(301/2) = 151 chunks -> 3 leaves + 1 internal
+    val data = Array.fill(n)(rnd.nextDouble())
+    Hdf5.writeSpecs(p, Seq(Hdf5.H5Write("big", Array(n.toLong), data,
+      chunkDims = Some(Array(2L)), gzip = true)))
+    val d = Hdf5.index(p).head
+    d.layout match {
+      case Hdf5.H5Chunked(_, _, chunks) => assert(chunks.length == 151)
+      case other => fail(s"expected chunked, got $other")
+    }
+    assert(Hdf5.readDoubles(p, d, 0, n).toSeq == data.toSeq)
+    assert(Hdf5.readDoubles(p, d, 130, 100).toSeq ==
+      data.toSeq.slice(130, 230))
+  }
+
+  test("f32 datasets round-trip (values widened to doubles), both " +
+    "layouts, both endians") {
+    val rnd = new scala.util.Random(80)
+    Seq(false, true).foreach { le =>
+      val p = tmp()
+      val raw = Array.fill(24)(rnd.nextDouble() * 2000 - 1000)
+      val want = raw.map(v => v.toFloat.toDouble).toSeq
+      Hdf5.writeSpecs(p, Seq(
+        Hdf5.H5Write("cont", Array(4L, 6L), raw, f32 = true),
+        Hdf5.H5Write("chnk", Array(24L), raw,
+          chunkDims = Some(Array(5L)), gzip = true, f32 = true)), le)
+      val idx = Hdf5.index(p)
+      idx.foreach { d =>
+        assert(d.elemSize == 4, d.path)
+        assert(d.littleEndian == le)
+        assert(Hdf5.readDoubles(p, d, 0, 24).toSeq == want, d.path)
+      }
+      // f32 element size shows in the stored bytes of raw chunks
+      val p2 = tmp()
+      Hdf5.writeSpecs(p2, Seq(Hdf5.H5Write("c", Array(8L), raw.take(8),
+        chunkDims = Some(Array(4L)), f32 = true)), le)
+      Hdf5.index(p2).head.layout match {
+        case Hdf5.H5Chunked(_, _, chunks) =>
+          assert(chunks.forall(_.storedBytes == 4L * 4))
+        case other => fail(s"$other")
+      }
+    }
+  }
+
+  test("chunked/filter misuse is rejected loudly: gzip without " +
+    "chunks, non-deflate filter ids, corrupt deflate streams") {
+    val p = tmp()
+    // write-side contract
+    intercept[IllegalArgumentException](Hdf5.writeSpecs(p, Seq(
+      Hdf5.H5Write("x", Array(2L), Array(1.0, 2.0), gzip = true))))
+    // a real chunked+gzip file to mutate
+    Hdf5.writeSpecs(p, Seq(Hdf5.H5Write("x", Array(6L),
+      Array(1.0, 2, 3, 4, 5, 6), chunkDims = Some(Array(3L)),
+      gzip = true)))
+    val good = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    // locate the filter pipeline message body: header (0x0B, 0x00,
+    // size, flags...) then body (version 1, one filter, id 1 at +8)
+    val fAt = {
+      var at = -1
+      var i = 96
+      while (at < 0 && i < good.length - 18) {
+        if (good(i) == 0x0B && good(i + 1) == 0 && good(i + 4) == 0
+          && good(i + 8) == 1 && good(i + 9) == 1
+          && good(i + 16) == 1 && good(i + 17) == 0) at = i + 16
+        i += 1
+      }
+      at
+    }
+    assert(fAt > 0, "filter message not found in fixture")
+    val f1 = tmp()
+    val mut = good.clone(); mut(fAt) = 2 // filter id 2: shuffle
+    java.nio.file.Files.write(java.nio.file.Paths.get(f1), mut)
+    val e1 = intercept[IllegalArgumentException](Hdf5.index(f1))
+    assert(e1.getMessage.contains("filter id 2"), e1.getMessage)
+    // corrupt a byte inside the first chunk's deflate stream (chunks
+    // are written right after the 96-byte superblock); the INDEX still
+    // parses (metadata only) but the read must fail loudly
+    val f2 = tmp()
+    val mut2 = good.clone(); mut2(101) = (mut2(101) ^ 0x5a).toByte
+    java.nio.file.Files.write(java.nio.file.Paths.get(f2), mut2)
+    val d = Hdf5.index(f2).head
+    val e2 = intercept[IllegalArgumentException](
+      Hdf5.readDoubles(f2, d, 0, 6))
+    assert(e2.getMessage.contains("HDF5"), e2.getMessage)
+  }
+
+  test("GOLDEN BYTES: every structure of a minimal file sits at the " +
+    "spec-computed address and internal pointers agree") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val p = tmp()
+    Hdf5.write(p, Seq(("d", Array(2L), Array(1.5, -2.5))))
+    val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    def u16(at: Int): Int =
+      ByteBuffer.wrap(b, at, 2).order(ByteOrder.LITTLE_ENDIAN).getShort & 0xffff
+    def u32(at: Int): Long =
+      ByteBuffer.wrap(b, at, 4).order(ByteOrder.LITTLE_ENDIAN).getInt.toLong
+    def u64(at: Int): Long =
+      ByteBuffer.wrap(b, at, 8).order(ByteOrder.LITTLE_ENDIAN).getLong
+    def ascii(at: Int, s: String): Unit =
+      assert(new String(b, at, s.length, "US-ASCII") == s,
+        s"expected '$s' at $at")
+
+    // ---- spec-computed layout (HDF5 File Format Spec, v0 superblock)
+    val superblock = 96 // IV.A.1: 24 fixed + 3*8 + 8 + 40-byte root entry
+    val dataAddr = superblock // first 8-aligned byte after the superblock
+    val dataBytes = 2 * 8 // two f64 elements
+    val dsOh = dataAddr + dataBytes // already 8-aligned
+    // v1 OH prefix is 16 bytes (IV.A.2.V); messages are 8-byte-aligned
+    // 8-byte headers + bodies: dataspace 8+(8+1*8), datatype 8+24,
+    // layout 8+24
+    val dsOhSize = 16 + (8 + 16) + (8 + 24) + (8 + 24)
+    val heap = dsOh + dsOhSize
+    // local heap (IV.A.1.d): 32-byte header, data segment = 8 reserved
+    // + pad8("d\0") = 16
+    val heapData = heap + 32
+    val heapSeg = 8 + 8
+    val snod = heapData + heapSeg
+    // SNOD allocated at 8 + 2*K_leaf(=4) * 40-byte entries
+    val snodAlloc = 8 + 2 * 4 * 40
+    val btree = snod + snodAlloc
+    // group B-tree node allocated at 24 + 2K children + (2K+1) keys
+    val btreeAlloc = 24 + (2 * 4) * 8 + (2 * 4 + 1) * 8
+    val rootOh = btree + btreeAlloc
+    val rootOhSize = 16 + (8 + 16) // one symbol-table message
+    val eof = rootOh + rootOhSize
+
+    // ---- superblock fields at their spec offsets
+    assert(Hdf5.isHdf5(b.take(8)))
+    assert(b(8) == 0) // superblock version
+    assert(b(13) == 8 && b(14) == 8) // sizeof offsets / lengths
+    assert(u16(16) == 4 && u16(18) == 16) // leaf K, internal K
+    assert(u64(24) == 0) // base address
+    assert(u64(40) == eof && b.length == eof) // end-of-file address
+    assert(u64(64) == rootOh) // root entry: object header
+    assert(u32(72) == 1) // cache type 1
+    assert(u64(80) == btree && u64(88) == heap) // scratch pad
+    // ---- structures at the computed addresses, pointers agreeing
+    assert(b(dsOh) == 1 && u16(dsOh + 2) == 3) // v1 OH, 3 messages
+    assert(u16(dsOh + 16) == 0x0001) // first message: dataspace
+    // layout message body: contiguous class, data at dataAddr, 16 bytes
+    val layBody = dsOh + 16 + (8 + 16) + (8 + 24) + 8
+    assert(b(layBody) == 3 && b(layBody + 1) == 1)
+    assert(u64(layBody + 2) == dataAddr && u64(layBody + 10) == dataBytes)
+    ascii(heap, "HEAP")
+    assert(u64(heap + 8) == heapSeg) // declared data segment size
+    assert(u64(heap + 24) == heapData) // data segment address
+    ascii(snod, "SNOD")
+    assert(b(snod + 4) == 1 && u16(snod + 6) == 1) // v1, one symbol
+    assert(u64(snod + 8) == 8) // name offset of "d" in the heap
+    assert(u64(snod + 16) == dsOh) // link target
+    ascii(btree, "TREE")
+    assert(b(btree + 4) == 0 && b(btree + 5) == 0) // type 0, level 0
+    assert(u16(btree + 6) == 1) // one entry
+    assert(u64(btree + 32) == snod) // child 0
+    assert(b(rootOh) == 1 && u16(rootOh + 2) == 1)
+    assert(u16(rootOh + 16) == 0x0011) // symbol-table message
+    assert(u64(rootOh + 24) == btree && u64(rootOh + 32) == heap)
+    // and the big-endian doubles themselves
+    assert(ByteBuffer.wrap(b, dataAddr, 16).getDouble == 1.5)
+    assert(ByteBuffer.wrap(b, dataAddr + 8, 8).getDouble == -2.5)
+    // the reader agrees with all of it
+    val d = Hdf5.index(p).head
+    assert(d.path == "d" && d.dataAddress == dataAddr && !d.littleEndian)
+    assert(Hdf5.readDoubles(p, d, 0, 2).toSeq == Seq(1.5, -2.5))
   }
 }

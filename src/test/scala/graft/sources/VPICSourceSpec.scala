@@ -242,6 +242,57 @@ class VPICSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("a CHUNKED+gzip HDF5 tree reads through the same DSv2 plans: " +
+    "rows match the contiguous layout, partitions are per-chunk and " +
+    "time-pruned, f32 variables widen exactly") {
+    def fe(it: Int, iz: Int, iy: Int, ix: Int): Double =
+      it * 1000.0 + iz * 100.0 + iy * 10.0 + ix
+    def fb(it: Int, iz: Int, iy: Int, ix: Int): Double =
+      it - iz + 2.0 * iy - 3.0 * ix
+    val time = Array(0.0, 1.0, 2.0, 3.0, 4.0) // 5 steps, chunkTime 2
+    val z = Array(0.0, 0.5); val y = Array(0.0, 0.25, 0.5)
+    val x = Array(0.0, 1.0, 2.0, 3.0)
+    val vars = Map("fields/ex" -> (fe _), "fields/bz" -> (fb _))
+    val dCont = java.nio.file.Files.createTempDirectory("vpic_cc").toString
+    VPICSource.writeHdf5Tree(dCont, time, z, y, x, vars)
+    def rows(d: String) = spark.read.format("graft-vpic")
+      .option("path", d).load()
+      .orderBy("var", "it", "iz", "iy", "ix").collect().toSeq
+    val want = rows(dCont)
+    Seq(false, true).foreach { le =>
+      val dChk = java.nio.file.Files
+        .createTempDirectory(s"vpic_ck_$le").toString
+      VPICSource.writeHdf5Tree(dChk, time, z, y, x, vars,
+        littleEndian = le, chunkTime = Some(2), gzip = true)
+      assert(rows(dChk) == want, s"littleEndian=$le")
+      // per-chunk partitioning: ceil(5/2) = 3 time chunks per variable
+      val all = spark.read.format("graft-vpic").option("path", dChk).load()
+      assert(all.rdd.getNumPartitions === 2 * 3)
+      // pushed it-range prunes whole chunks (it=4 -> last chunk only)
+      val one = all.filter(col("var") === "bz" && col("it") === 4)
+      assert(one.rdd.getNumPartitions === 1)
+      assert(one.count() === 2L * 3 * 4)
+      // axes in the container are themselves chunked; SimDataset
+      // reconstruction reads them driver-side through the chunk index
+      val ds = VPICSource.loadDataset(spark, dChk, Seq("fields/bz"))
+      assert(ds.variables("bz").timeAxis.toSeq == time.toSeq)
+    }
+    // f32 variables: every value must equal the WIDENED float exactly
+    val dF32 = java.nio.file.Files.createTempDirectory("vpic_f32").toString
+    VPICSource.writeHdf5Tree(dF32, time, z, y, x,
+      Map("fields/w" -> ((it: Int, iz: Int, iy: Int, ix: Int) =>
+        fe(it, iz, iy, ix) / 3.0)),
+      chunkTime = Some(2), gzip = true, f32 = true)
+    val got = spark.read.format("graft-vpic").option("path", dF32).load()
+      .orderBy("it", "iz", "iy", "ix")
+      .select("it", "iz", "iy", "ix", "value").collect()
+    got.foreach { r =>
+      val w = fe(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) / 3.0
+      assert(r.getDouble(4) === w.toFloat.toDouble)
+    }
+    assert(got.length === 5 * 2 * 3 * 4)
+  }
+
   test("an HDF5 tree missing a grid axis or carrying a non-rank-4 " +
     "variable is rejected with the path named") {
     val d = java.nio.file.Files.createTempDirectory("vpic_h5bad").toString
