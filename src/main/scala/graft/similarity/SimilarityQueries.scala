@@ -519,8 +519,15 @@ object SimilarityQueries {
     * DuckDB oracle do identical float32 -> float64 promotion.
     */
   private def flat(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"),
+    flatVecs(Tables.embeddings(s, d))
+
+  /** Flatten (vec_id, label, embedding) rows to the (vec_id, i, v)
+    * plane with the SAME position base and float64 promotion as
+    * [[flat]] — arrival batches must score identically to the
+    * corpus-resident rows they twin.
+    */
+  private[graft] def flatVecs(vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"), col("label"),
         posexplode(col("embedding")).as(Seq("i", "v")))
       .withColumn("v", col("v").cast("double"))
 
@@ -1462,7 +1469,42 @@ object SimilarityQueries {
              CASE WHEN sp.split = 'val'
                     AND sp.vec_id IN (SELECT vec_id FROM lk)
                   THEN 'dropped' ELSE sp.split END AS final_split
-           FROM sp ORDER BY sp.vec_id""")))
+           FROM sp ORDER BY sp.vec_id"""))),
+
+    // ---- q192: the STREAMING SEMANTIC-LEAK GATE's batch twin — the
+    // q187 audit run the way the live sink runs it: val-candidate
+    // embeddings ARRIVE in micro-batches (evens then odds), each batch
+    // scored against the SERVED train-side index and committed fenced,
+    // batch 0 deliberately REPLAYED (the fence must skip it — the
+    // q170 discipline), then the audit artifact read back. The served
+    // pair set must equal q187's exactly — batching, replay, and the
+    // fence machinery must not change ONE detected pair — and each
+    // pair carries its batch provenance, which the synthesis makes
+    // exactly determined (batch = val_vec parity). The index is
+    // read-only throughout: a val arrival must never advance the
+    // train index — that WOULD be the leak.
+    Q("q192_semantic_leak_stream",
+      (s, d) => {
+        val idx = semanticLeakTrainIndex(s, d)
+        val audit = graft.TempArtifacts.dir("graft_semleak_audit")
+        val valVecs = Tables.embeddings(s, d)
+          .join(vecSplitOf(s, d).filter(col("split") === "val")
+            .select("vec_id"), Seq("vec_id"), "left_semi")
+        val b0 = valVecs.filter(col("vec_id") % 2 === 0)
+        val b1 = valVecs.filter(col("vec_id") % 2 === 1)
+        graft.streaming.Streams.semanticLeakAuditBatch(b0, 0L, d, idx, audit)
+        graft.streaming.Streams.semanticLeakAuditBatch(b1, 1L, d, idx, audit)
+        // replay batch 0 after batch 1: fenced, must not double pairs
+        graft.streaming.Streams.semanticLeakAuditBatch(b0, 0L, d, idx, audit)
+        graft.sources.BatchCommits.readComponent(s, audit)
+          .select(col("train_vec"), col("val_vec"), col("cos"),
+            col("batch_id"))
+          .orderBy("train_vec", "val_vec")
+      },
+      Some(semanticLeakOracleSql(
+        s"SELECT train_vec, val_vec, cos, " +
+          "CAST(val_vec % 2 AS BIGINT) AS batch_id FROM leaks " +
+          "ORDER BY train_vec, val_vec")))
   )
 
   /** q187's leak bar: cosine (6-dp rounded, the suite's cross-engine
@@ -1482,7 +1524,7 @@ object SimilarityQueries {
     * discipline (pure projection, no exchange) under a distinct salt
     * prefix so the vec split is independent of the doc split.
     */
-  private def vecSplitOf(s: SparkSession, d: String): DataFrame =
+  private[graft] def vecSplitOf(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(col("vec_id"),
       when(graft.functions.Hashing.h60(
         concat(lit("vec-"), col("vec_id"))) % 100 < 90, "train")
@@ -1494,24 +1536,49 @@ object SimilarityQueries {
     * same body over replicated corpora.
     */
   private[graft] def semanticLeakPairs(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val f = graft.CacheScope.retain(flat(s, d))
     val split = vecSplitOf(s, d)
-    // per-JVM memoized build over the train side (the q118 serve-only
-    // discipline); the artifact is the search index the split's train
-    // half would ship with
-    val idx = semLeakIndexCache.computeIfAbsent(d, _ => {
+    val valf = f.join(split.filter(col("split") === "val").select("vec_id"),
+      Seq("vec_id"), "left_semi")
+    semanticLeakPairsOf(s, d, valf, semanticLeakTrainIndex(s, d))
+  }
+
+  /** The persisted train-side IVF index the split would ship with —
+    * per-JVM memoized build (the q118 serve-only discipline). Keyed
+    * by a CONTENT fingerprint (file names + sizes + mtimes of the
+    * embeddings parquet), not the bare directory: an in-process
+    * overwrite into a reused dir must build a fresh index, never
+    * serve candidates from the stale one.
+    */
+  private[graft] def semanticLeakTrainIndex(s: SparkSession,
+      d: String): String =
+    semLeakIndexCache.computeIfAbsent(
+        embeddingsFingerprint(d), _ => {
+      val f = graft.CacheScope.retain(flat(s, d))
       val p = graft.TempArtifacts.dir("graft_ivf_split")
       buildIvfIndex(f.join(
-        split.filter(col("split") === "train").select("vec_id"),
+        vecSplitOf(s, d).filter(col("split") === "train")
+          .select("vec_id"),
         Seq("vec_id"), "left_semi"), p)
       p
     })
+
+  /** The q187 candidate-cosine body over an ARBITRARY flat val side
+    * (vec_id, i, v) served from the persisted index at `idx` — the
+    * shared core of the batch audit (q187: valf = the split's val
+    * half) and the STREAMING leak gate (valf = one micro-batch of
+    * arriving val-candidate embeddings, [[graft.streaming.Streams
+    * .semanticLeakAuditBatch]]). Train-side components and norms come
+    * from the corpus at `d`; val norms from `valf` itself, so a true
+    * arrival that is not in the corpus still scores exactly.
+    */
+  private[graft] def semanticLeakPairsOf(s: SparkSession, d: String,
+      valf: DataFrame, idx: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val f = graft.CacheScope.retain(flat(s, d))
     val cent = indexCentroids(s, idx)
     // each val vector's nprobe nearest lists against the FROZEN
     // centroid table (metadata-scale, broadcast)
-    val valf = f.join(split.filter(col("split") === "val").select("vec_id"),
-      Seq("vec_id"), "left_semi")
     val probe = valf
       .join(broadcast(cent), col("i") === col("ci"))
       .groupBy("vec_id", "clabel")
@@ -1541,15 +1608,18 @@ object SimilarityQueries {
       .select(col("vec_id").as("train_vec"), col("lst")).distinct()
       .join(f.select(col("vec_id").as("train_vec"), col("i"),
         col("v").as("bv")), "train_vec")
-    val nrm = f.groupBy("vec_id").agg(sum(col("v") * col("v")).as("n2"))
+    val valNrm = valf.groupBy("vec_id")
+      .agg(sum(col("v") * col("v")).as("n2"))
+    val trainNrm = f.groupBy("vec_id")
+      .agg(sum(col("v") * col("v")).as("n2"))
     valSide.join(trainSide, Seq("lst", "i"))
       .groupBy("lst", "val_vec", "train_vec")
       .agg(sum(col("av") * col("bv")).as("dot0"))
       .groupBy("val_vec", "train_vec")
       .agg(max(col("dot0")).as("dot"))
-      .join(nrm.select(col("vec_id").as("val_vec"),
+      .join(valNrm.select(col("vec_id").as("val_vec"),
         col("n2").as("na")), "val_vec")
-      .join(nrm.select(col("vec_id").as("train_vec"),
+      .join(trainNrm.select(col("vec_id").as("train_vec"),
         col("n2").as("nb")), "train_vec")
       .select(col("train_vec"), col("val_vec"),
         round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 6)
@@ -1559,6 +1629,30 @@ object SimilarityQueries {
 
   private val semLeakIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** Content fingerprint of a dataset dir's embeddings parquet: every
+    * regular file's name, size, and mtime, path-sorted — the
+    * [[semLeakIndexCache]] key, so rewriting the embeddings under a
+    * reused directory can never serve the previous data's index.
+    */
+  private def embeddingsFingerprint(d: String): String = {
+    val p = java.nio.file.Paths.get(d, "embeddings.parquet")
+    if (!java.nio.file.Files.exists(p)) return d
+    val sb = new StringBuilder(d).append('#')
+    val walk = java.nio.file.Files.walk(p)
+    try walk.sorted(java.util.Comparator.comparing[java.nio.file.Path,
+        String](_.toString))
+      .forEach { f =>
+        if (java.nio.file.Files.isRegularFile(f)) {
+          sb.append(p.relativize(f)).append(':')
+            .append(java.nio.file.Files.size(f)).append(':')
+            .append(java.nio.file.Files
+              .getLastModifiedTime(f).toMillis).append(';'): Unit
+        }
+      }
+    finally walk.close()
+    sb.toString
+  }
 
   /** The shared q187/q188 oracle CTE chain (train-side centroids +
     * assignments, val-side nprobe probe, candidate cosine, `leaks`),

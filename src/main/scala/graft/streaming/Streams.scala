@@ -642,6 +642,52 @@ object Streams {
       indexPath -> PhashIndex.compactPhashIndex _))
   }
 
+  /** STREAMING SEMANTIC-LEAK GATE — q187's embedding-level split-
+    * leakage audit run at ARRIVAL time: each micro-batch of val-
+    * candidate embeddings (vec_id, label, embedding) is scored
+    * against the persisted TRAIN-side IVF index (frozen centroids,
+    * nprobe lists, exact cosine on list-bounded candidates only —
+    * the q187 serve path, never a val x train scan), and the detected
+    * leak pairs commit to a fenced audit artifact. The index is READ-
+    * ONLY here by design: val arrivals must never advance the train
+    * index — that would be the leak. EXACTLY-ONCE: one atomic fenced
+    * commit per batch; a replayed batch finds its fence and skips.
+    * q192 is the batch twin (same arrivals re-batched + a forced
+    * replay must equal q187's pair set exactly); StreamsSpec pins
+    * stream ≡ batch through a real MemoryStream.
+    *
+    * 100 TB shape: per-batch cost is arrivals x (nprobe/K of the
+    * train side) — the audit rides the arrival partitions against a
+    * served artifact, and the corpus-sized legs (train components,
+    * norms) are the same columnar scans q187 already prices.
+    */
+  def semanticLeakSink(vecs: DataFrame, corpusDir: String,
+      indexPath: String, checkpointDir: String, outDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        semanticLeakAuditBatch(batch, batchId, corpusDir, indexPath,
+          outDir)
+      }
+      .start()
+
+  /** One micro-batch of [[semanticLeakSink]] — exposed for the
+    * forced-replay spec and q192's batch-twin harness.
+    */
+  private[graft] def semanticLeakAuditBatch(batch: DataFrame,
+      batchId: Long, corpusDir: String, indexPath: String,
+      outDir: String): Unit = {
+    import graft.sources.BatchCommits
+    import graft.similarity.SimilarityQueries
+    if (!BatchCommits.isCommitted(outDir, batchId))
+      BatchCommits.appendBatch(
+        SimilarityQueries.semanticLeakPairsOf(batch.sparkSession,
+            corpusDir, SimilarityQueries.flatVecs(batch), indexPath)
+          .withColumn("batch_id", lit(batchId)),
+        outDir, batchId): Unit
+  }
+
   /** Streaming advance of the CORPUS-STATISTICS artifact (the q143
     * CMS as a persisted profile): each micro-batch's token sketch is
     * merged into the file at `sketchPath`. CMS merge is element-wise

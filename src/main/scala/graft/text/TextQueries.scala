@@ -1264,7 +1264,13 @@ SELECT * FROM rep ORDER BY doc_id""")),
   private def markupWrappedHtml: org.apache.spark.sql.Column = concat(
     lit("<html><head><title>doc "), col("doc_id").cast("string"),
     lit("</title><style>p{margin:0}</style></head><body>" +
-      "<nav>home | about | contact</nav><script>var id="),
+      "<nav>home | about | contact</nav>" +
+      // real-crawl hazards: a comment CARRYING markup (must vanish
+      // whole, not unwrap its <p>) and a quoted '>' in an attribute
+      // value (must not truncate the tag strip mid-tag)
+      "<!-- draft <p>commented out</p> -->" +
+      "<img alt=\"width > height\" src=\"/i.png\">" +
+      "<script>var id="),
     col("doc_id").cast("string"),
     lit(";</script><p class=\"main\">"), col("text"),
     lit("</p><p>from &lt;corpus&gt; &amp; doc &#65;"),
@@ -1281,7 +1287,10 @@ SELECT * FROM rep ORDER BY doc_id""")),
     """w AS (SELECT doc_id,
                '<html><head><title>doc ' || doc_id ||
                '</title><style>p{margin:0}</style></head><body>' ||
-               '<nav>home | about | contact</nav><script>var id=' ||
+               '<nav>home | about | contact</nav>' ||
+               '<!-- draft <p>commented out</p> -->' ||
+               '<img alt="width > height" src="/i.png">' ||
+               '<script>var id=' ||
                doc_id || ';</script><p class="main">' || text ||
                '</p><p>from &lt;corpus&gt; &amp; doc &#65;' ||
                (doc_id % 10) || '</p>' ||
@@ -1296,21 +1305,34 @@ SELECT * FROM rep ORDER BY doc_id""")),
                  regexp_replace(
                  regexp_replace(
                  regexp_replace(
+                 regexp_replace(
                  regexp_replace(html,
+                   '(?s)<!--.*?-->', ' ', 'g'),
                    '(?is)<script.*?</script>', ' ', 'g'),
                    '(?is)<style.*?</style>', ' ', 'g'),
                    '(?is)<head.*?</head>', ' ', 'g'),
                    '(?is)<nav.*?</nav>', ' ', 'g'),
                    '(?is)<footer.*?</footer>', ' ', 'g'),
-                   '<[^>]*>', ' ', 'g'),
+                   '</?[a-zA-Z!][^>"'']*(?:"[^"]*"[^>"'']*|''[^'']*''[^>"'']*)*>', ' ', 'g'),
                  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
                  '&apos;', ''''), '&#65;', 'A'), '&amp;', '&'),
                '\s+', ' ', 'g')) AS clean_text FROM w)"""
 
   /** The markup-extraction rule chain — ONE copy (q189 and any
-    * pipeline composition): machine blocks, boilerplate elements, tag
-    * strip, fixed-entity decode (`&amp;` last), whitespace collapse.
-    * All codegen'd built-ins, per-row, no UDF.
+    * pipeline composition): HTML comments first, machine blocks,
+    * boilerplate elements, quote-aware tag strip, fixed-entity decode
+    * (`&amp;` last), whitespace collapse. All codegen'd built-ins,
+    * per-row, no UDF.
+    *
+    * Declared real-crawl subset: comments are removed WHOLE and
+    * BEFORE the block rules (so a commented-out `<script>` can never
+    * open a block match that swallows following prose), and the tag
+    * strip tracks quoted attribute values (`<img alt="a>b">` strips
+    * as one tag, not truncated at the quoted `>`). Still outside the
+    * subset and documented as such: CDATA sections and unquoted
+    * attribute values containing `>` — both vanishingly rare in
+    * crawl HTML and rejected nowhere (they degrade to extra stripped
+    * text, never to leaked markup).
     */
   def markupExtract(html: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {
@@ -1318,9 +1340,11 @@ SELECT * FROM rep ORDER BY doc_id""")),
     // (?i): HTML tag names are case-insensitive in real crawls — a
     // case-sensitive block pattern would let <SCRIPT> content through
     // the tag strip and into the clean corpus
-    Seq("(?is)<script.*?</script>", "(?is)<style.*?</style>",
+    Seq("(?s)<!--.*?-->",
+        "(?is)<script.*?</script>", "(?is)<style.*?</style>",
         "(?is)<head.*?</head>", "(?is)<nav.*?</nav>",
-        "(?is)<footer.*?</footer>", "<[^>]*>")
+        "(?is)<footer.*?</footer>",
+        "</?[a-zA-Z!][^>\"']*(?:\"[^\"]*\"[^>\"']*|'[^']*'[^>\"']*)*>")
       .foreach(p => c = regexp_replace(c, p, " "))
     Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
         "&apos;" -> "'", "&#65;" -> "A", "&amp;" -> "&")

@@ -799,4 +799,44 @@ class CodecsSpec extends AnyFunSuite {
     assert(rows.exists(_.getBoolean(6)) && rows.exists(!_.getBoolean(6)),
       "both gate branches must fire on the corpus")
   }
+
+  test("q191 synthesis + prefilter BYTE-TOUCH: cuts are exactly the " +
+    "planted scene cadence, the compressed-domain prefilter decodes " +
+    "only candidate pairs, and scene-interior frames cost zero decode") {
+    var sawCut = false; var sawNoCut = false
+    for (id <- 2L to 122L by 3L) { // the doc_id % 3 == 2 family
+      val v = Codecs.parseAviMjpeg(CodecQueries.synthAviMjpegScenes(id))
+      val nf = (4 + id % 7).toInt
+      val c = (2 + (id / 3) % 3).toInt
+      assert(v.nFrames == nf)
+      val plantedCuts = (1 until nf).filter(_ % c == 0)
+      // prefilter: byte-compare consecutive chunks, decode candidates
+      var decodedFrames = 0
+      var decodedBytes = 0L
+      val cuts = (1 until nf).filter { f =>
+        val a = v.frameJpeg(f - 1); val b = v.frameJpeg(f)
+        !java.util.Arrays.equals(a, b) && {
+          decodedFrames += 2; decodedBytes += a.length + b.length
+          val da = Codecs.decodeJpeg(a); val db = Codecs.decodeJpeg(b)
+          da.pixels.zip(db.pixels).exists { case (x, y) => x != y }
+        }
+      }
+      assert(cuts == plantedCuts, s"id=$id nf=$nf c=$c")
+      // the byte-touch claim: decode work is O(cuts), never O(frames)
+      assert(decodedFrames == 2 * plantedCuts.length, s"id=$id")
+      val allBytes = (0 until nf).map(v.frameJpeg(_).length.toLong).sum
+      if (plantedCuts.nonEmpty) {
+        sawCut = true
+        if (nf > 2 * plantedCuts.length)
+          assert(decodedBytes < allBytes,
+            s"id=$id decoded $decodedBytes of $allBytes — prefilter idle")
+      } else {
+        sawNoCut = true
+        assert(decodedFrames == 0,
+          s"id=$id single-scene video paid ${decodedFrames} decodes")
+      }
+    }
+    assert(sawCut && sawNoCut,
+      "corpus must exercise both the cut and the single-scene leg")
+  }
 }

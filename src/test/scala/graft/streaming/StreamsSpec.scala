@@ -883,4 +883,62 @@ class StreamsSpec extends AnyFunSuite {
       "replayed batch changed the index")
     graft.CacheScope.flush(spark)
   }
+
+  test("streaming semantic-leak gate: stream over val arrivals ≡ " +
+    "q187's batch pair set, replay fenced, served index READ-ONLY") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.similarity.SimilarityQueries
+    val sf = "/root/testdata/sf0.001"
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val idx = SimilarityQueries.semanticLeakTrainIndex(spark, sf)
+    // reference: the batch audit over the full val side
+    val expected = SimilarityQueries.semanticLeakPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(expected.nonEmpty, "corpus must yield at least one leak pair")
+    // the val half arrives as a stream, split into two micro-batches
+    val valRows = graft.Tables.embeddings(spark, sf)
+      .join(SimilarityQueries.vecSplitOf(spark, sf)
+        .filter(col("split") === "val").select("vec_id"),
+        Seq("vec_id"), "left_semi")
+      .select("vec_id", "label", "embedding")
+      .as[(Long, Int, Array[Float])].collect().toSeq
+    val (b1, b2) = valRows.partition(_._1 % 2 == 0)
+    assert(b1.nonEmpty && b2.nonEmpty)
+    def idxListing() = {
+      def walk(f: java.io.File): Seq[String] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk)
+        else Seq(s"${f.getPath}:${f.length}:${f.lastModified}")
+      walk(new java.io.File(idx)).sorted
+    }
+    val idxBefore = idxListing()
+    val out = tmp("graft_semleak_out")
+    val mem = MemoryStream[(Long, Int, Array[Float])]
+    val q = Streams.semanticLeakSink(
+      mem.toDF.toDF("vec_id", "label", "embedding"), sf, idx,
+      tmp("graft_semleak_ckpt"), out)
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def served() = graft.sources.BatchCommits.readComponent(spark, out)
+      .select("train_vec", "val_vec", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val got = served()
+    assert(got.toSet == expected,
+      "streamed audit must equal the batch pair set")
+    assert(got.length == expected.size, "duplicate pairs in the audit")
+    // forced replay of batch 0: the fence must skip it
+    Streams.semanticLeakAuditBatch(
+      b1.toDF("vec_id", "label", "embedding"), 0L, sf, idx, out)
+    assert(served().length == expected.size,
+      "replayed batch doubled audit rows")
+    // the served index is READ-ONLY for the gate: a val arrival must
+    // never advance the train index — that would BE the leak
+    assert(idxListing() == idxBefore,
+      "the leak gate modified the served train index")
+    graft.CacheScope.flush(spark)
+  }
 }
