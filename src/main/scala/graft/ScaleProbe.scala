@@ -392,7 +392,109 @@ object ScaleProbe {
       println(f"[scale] mjpeg k=$k frames=$nf avi_bytes=$nb " +
         f"decode=$dt%.2f s (${nf / dt}%.0f fps) y4m_frames=$y4mF " +
         f"y4m=$dt1%.2f s")
+      // q191's compressed-domain prefilter vs decode-every-frame on
+      // the scene-structured corpus: byte-compare gates the decoder
+      // to candidate cut pairs, so the prefiltered pass must decode
+      // a small fraction of the frames and win wall-clock — the
+      // O(cuts)-not-O(frames) claim, measured
+      val t2 = System.nanoTime()
+      val (cuts, decA) = rows.mapPartitions(_.map { id =>
+        val v = Codecs.parseAviMjpeg(CodecQueries.synthAviMjpegScenes(id))
+        var c = 0L; var dec = 0L
+        var prev = v.frameJpeg(0)
+        (1 until v.nFrames).foreach { f =>
+          val cur = v.frameJpeg(f)
+          if (!java.util.Arrays.equals(prev, cur)) {
+            dec += 2
+            val a = Codecs.decodeJpeg(prev); val b = Codecs.decodeJpeg(cur)
+            if (a.pixels.zip(b.pixels).exists(p => p._1 != p._2)) c += 1
+          }
+          prev = cur
+        }
+        (c, dec)
+      }).toDF("c", "d").agg(sum("c"), sum("d")).head() match {
+        case r => (r.getLong(0), r.getLong(1))
+      }
+      val dt2 = (System.nanoTime() - t2) / 1e9
+      val t3 = System.nanoTime()
+      val decAll = rows.mapPartitions(_.map { id =>
+        val v = Codecs.parseAviMjpeg(CodecQueries.synthAviMjpegScenes(id))
+        var prev = Codecs.decodeJpeg(v.frameJpeg(0))
+        var c = 0L
+        (1 until v.nFrames).foreach { f =>
+          val cur = Codecs.decodeJpeg(v.frameJpeg(f))
+          if (prev.pixels.zip(cur.pixels).exists(p => p._1 != p._2)) c += 1
+          prev = cur
+        }
+        v.nFrames.toLong
+      }).agg(sum("value")).head().getLong(0)
+      val dt3 = (System.nanoTime() - t3) / 1e9
+      println(f"[scale] mjpeg_cuts k=$k cuts=$cuts prefilter_decodes=" +
+        f"$decA of $decAll frames: prefiltered=$dt2%.2f s " +
+        f"decode_all=$dt3%.2f s (${dt3 / dt2}%.1fx)")
     }
+    // HONEST GEOMETRY: the q191 corpus has scene length 2-4, so the
+    // prefilter decodes ~2/c of the frames — roughly a wash there
+    // (measured ~1.1x). The claim scales with SCENE LENGTH: on the
+    // static-heavy streams the operator exists for (surveillance,
+    // slideshows, long takes), decode drops to 2*cuts of nf. Measure
+    // that regime directly: 240 frames in 60-frame scenes -> 3 cuts.
+    val longScene = {
+      val w = 32; val h = 32
+      def jpegOf(sc: Int) = Codecs.encodeJpeg(
+        graft.multimodal.Multimodal.PpmImage(w, h,
+          Array.tabulate(w * h * 3)(j =>
+            ((sc.toLong * 113 + j.toLong * 11) % 256).toByte)))
+      val scenes = (0 until 4).map(jpegOf)
+      Codecs.encodeAviMjpeg(w, h, 25,
+        (0 until 240).map(f => scenes(f / 60)))
+    }
+    val ls = spark.sparkContext.broadcast(longScene)
+    val vids = spark.range(0, 512, 1, 32)
+    def cutsPrefiltered(): (Long, Long) = {
+      import spark.implicits._
+      vids.mapPartitions(_.map { _ =>
+        val v = Codecs.parseAviMjpeg(ls.value)
+        var c = 0L; var dec = 0L
+        var prev = v.frameJpeg(0)
+        (1 until v.nFrames).foreach { f =>
+          val cur = v.frameJpeg(f)
+          if (!java.util.Arrays.equals(prev, cur)) {
+            dec += 2
+            val a = Codecs.decodeJpeg(prev); val b = Codecs.decodeJpeg(cur)
+            if (a.pixels.zip(b.pixels).exists(p => p._1 != p._2)) c += 1
+          }
+          prev = cur
+        }
+        (c, dec)
+      }).toDF("c", "d").agg(sum("c"), sum("d")).head() match {
+        case r => (r.getLong(0), r.getLong(1))
+      }
+    }
+    def cutsDecodeAll(): Long = {
+      import spark.implicits._
+      vids.mapPartitions(_.map { _ =>
+        val v = Codecs.parseAviMjpeg(ls.value)
+        var prev = Codecs.decodeJpeg(v.frameJpeg(0))
+        var c = 0L
+        (1 until v.nFrames).foreach { f =>
+          val cur = Codecs.decodeJpeg(v.frameJpeg(f))
+          if (prev.pixels.zip(cur.pixels).exists(p => p._1 != p._2)) c += 1
+          prev = cur
+        }
+        c
+      }).agg(sum("value")).head().getLong(0)
+    }
+    val tA = System.nanoTime()
+    val (lc, ld) = cutsPrefiltered()
+    val dA = (System.nanoTime() - tA) / 1e9
+    val tB = System.nanoTime()
+    val lcAll = cutsDecodeAll()
+    val dB = (System.nanoTime() - tB) / 1e9
+    println(f"[scale] mjpeg_cuts long-scene 512x240f: cuts=$lc " +
+      f"(=${lcAll} decode-all) prefilter_decodes=$ld of ${512 * 240} " +
+      f"frames: prefiltered=$dA%.2f s decode_all=$dB%.2f s " +
+      f"(${dB / dA}%.1fx)")
   }
 
   /** q171's ingest path under arrival growth, WORST CASE by

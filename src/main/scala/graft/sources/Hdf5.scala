@@ -14,12 +14,14 @@ import java.nio.charset.StandardCharsets.US_ASCII
   * (version 0 superblock — the format every HDF5 1.x library reads):
   *
   *   - superblock v0, 8-byte offsets/lengths;
-  *   - groups as the classic symbol-table machinery: v1 B-tree
-  *     (node type 0) over SNOD symbol-table nodes with names in a
-  *     local heap — one level, up to 2·K_leaf links per node; nodes
-  *     are written at their FULL allocated size (2·K entry slots,
-  *     zero-filled) so a library that reads whole allocated nodes
-  *     never lands past end-of-allocation;
+  *   - groups as the classic symbol-table machinery: a v1 B-tree
+  *     (node type 0) of ANY depth over SNOD symbol-table nodes with
+  *     names in a local heap — wide groups (real dumps put dozens of
+  *     variables in one group) split across SNODs and spill into
+  *     internal B-tree levels; nodes are written at their FULL
+  *     allocated size (2·K entry slots, zero-filled) so a library
+  *     that reads whole allocated nodes never lands past
+  *     end-of-allocation;
   *   - datasets as v1 object headers carrying the messages an array
   *     needs — Dataspace (v1, simple), Datatype (class 1
   *     floating-point, IEEE binary32 OR binary64, either byte
@@ -475,9 +477,6 @@ object Hdf5 {
           val (oh, bt, hp) = writeGroup(sub)
           (name, oh, 1, bt, hp)
       }
-      require(entries.length <= 2 * LeafK,
-        s"HDF5 write: ${entries.length} links in one group exceeds one " +
-          s"symbol-table node (${2 * LeafK}); split the tree")
       // local heap: 8 reserved bytes, then the names null-terminated,
       // 8-byte aligned (offset 0 names the empty string)
       val nameOff = scala.collection.mutable.LinkedHashMap.empty[String, Long]
@@ -499,34 +498,64 @@ object Hdf5 {
       entries.foreach { case (name, _, _, _, _) =>
         buf.bytes(name.getBytes(US_ASCII)); buf.u8(0); buf.pad8()
       }
-      // SNOD with every entry (name-sorted — the B-tree key contract),
-      // padded to its full 2*LeafK-slot allocated size so a reader that
-      // fetches whole allocated nodes never lands past end-of-file
-      buf.pad8()
-      val snodAddr = buf.pos
-      buf.bytes("SNOD".getBytes(US_ASCII))
-      buf.u8(1); buf.u8(0) // version, reserved
-      buf.u16(entries.length)
-      entries.foreach { case (name, oh, cache, bt, hp) =>
-        buf.u64(nameOff(name))
-        buf.u64(oh)
-        buf.u32(cache.toLong); buf.u32(0)
-        if (cache == 1) { buf.u64(bt); buf.u64(hp) }
-        else { buf.u64(0); buf.u64(0) }
+      // SNODs of up to 2*LeafK entries each (name-sorted — the B-tree
+      // key contract), every node padded to its full allocated size so
+      // a reader that fetches whole allocated nodes never lands past
+      // end-of-file; wide groups take several SNODs — real dumps put
+      // dozens of variables in one group
+      val snodGroups =
+        if (entries.isEmpty) Seq(Seq.empty) // an empty (root) group
+        else entries.grouped(2 * LeafK).toSeq
+      val snods = snodGroups.map { grp =>
+        buf.pad8()
+        val snodAddr = buf.pos
+        buf.bytes("SNOD".getBytes(US_ASCII))
+        buf.u8(1); buf.u8(0) // version, reserved
+        buf.u16(grp.length)
+        grp.foreach { case (name, oh, cache, bt, hp) =>
+          buf.u64(nameOff(name))
+          buf.u64(oh)
+          buf.u32(cache.toLong); buf.u32(0)
+          if (cache == 1) { buf.u64(bt); buf.u64(hp) }
+          else { buf.u64(0); buf.u64(0) }
+        }
+        buf.zeroTo(snodAddr + 8 + 2L * LeafK * 40)
+        (snodAddr, grp.lastOption.map(e => nameOff(e._1)).getOrElse(0L))
       }
-      buf.zeroTo(snodAddr + 8 + 2L * LeafK * 40)
-      // B-tree: one leaf node, one child (the SNOD); padded to the
-      // full 2*LeafK-entry allocation like the SNOD
-      buf.pad8()
-      val btAddr = buf.pos
-      buf.bytes("TREE".getBytes(US_ASCII))
-      buf.u8(0); buf.u8(0) // node type 0 (group), level 0
-      buf.u16(1) // entries used
-      buf.u64(Undef); buf.u64(Undef) // siblings
-      buf.u64(0) // key 0: <= first name (empty string)
-      buf.u64(snodAddr)
-      buf.u64(entries.lastOption.map(e => nameOff(e._1)).getOrElse(0L))
-      buf.zeroTo(btAddr + 24 + 2L * LeafK * 8 + (2L * LeafK + 1) * 8)
+      // group B-tree (node type 0) over the SNODs: as many levels as
+      // the 2*LeafK node capacity needs, siblings wired, every node
+      // padded to its allocation. Boundary keys are heap name offsets:
+      // key_0 = 0 (the empty string, <= every name), key_{i+1} = the
+      // LAST name of child i's subtree.
+      val cap = 2 * LeafK
+      val alloc = 24L + cap * 8 + (cap + 1) * 8
+      def level(lvl: Int, children: Seq[(Long, Long)]): Long = {
+        val groups = children.grouped(cap).toIndexedSeq
+        val nodeAddrs = new Array[Long](groups.length)
+        val summaries = groups.zipWithIndex.map { case (grp, gi) =>
+          buf.pad8()
+          val at = buf.pos
+          nodeAddrs(gi) = at
+          buf.bytes("TREE".getBytes(US_ASCII))
+          buf.u8(0); buf.u8(lvl) // node type 0 (group), level
+          buf.u16(grp.length)
+          buf.u64(if (gi == 0) Undef else nodeAddrs(gi - 1))
+          buf.u64(Undef) // right sibling, patched when the next lands
+          var prevLast = 0L
+          grp.foreach { case (child, lastName) =>
+            buf.u64(prevLast) // key <= first name of this child
+            buf.u64(child)
+            prevLast = lastName
+          }
+          buf.u64(prevLast) // final key: last name in the subtree
+          buf.zeroTo(at + alloc)
+          if (gi > 0) buf.patchU64(nodeAddrs(gi - 1) + 16, at)
+          (at, grp.last._2)
+        }
+        if (groups.length == 1) nodeAddrs(0)
+        else level(lvl + 1, summaries)
+      }
+      val btAddr = level(0, snods)
       // group object header: one symbol table message
       buf.pad8()
       val ohAddr = buf.pos
@@ -635,9 +664,7 @@ object Hdf5 {
       // loudly, not recurse to StackOverflowError
       val visited = scala.collection.mutable.Set.empty[Long]
       def walkGroup(prefix: String, btAddr: Long, heapAddr: Long): Unit = {
-        require(visited.add(btAddr),
-          s"HDF5: group cycle — B-tree at $btAddr reached twice " +
-            s"(at '$prefix')")
+        // cycle guard lives in walkNode (every B-tree node, any level)
         val hh = r.at(heapAddr, 32)
         val hsig = new Array[Byte](4); hh.get(hsig)
         require(new String(hsig, US_ASCII) == "HEAP",
@@ -647,23 +674,33 @@ object Hdf5 {
         val segSize = hh.getLong()
         hh.getLong() // free list
         val heapData = hh.getLong()
-        val th = r.at(btAddr, 24)
-        val tsig = new Array[Byte](4); th.get(tsig)
-        require(new String(tsig, US_ASCII) == "TREE",
-          s"HDF5: no B-tree node at $btAddr")
-        require(th.get() == 0, "HDF5: B-tree node type != 0 (group)")
-        val level = th.get()
-        require(level == 0,
-          s"HDF5: B-tree level $level (only single-level group trees " +
-            "are decodable here — a deeper tree would be silently " +
-            "truncated)")
-        val nent = th.getShort() & 0xffff
-        // siblings at +8, then nent+1 keys interleaved with nent children
-        val kb = r.at(btAddr + 8, 16 + (2 * nent + 1) * 8)
-        kb.getLong(); kb.getLong() // siblings
-        (0 until nent).foreach { _ =>
-          kb.getLong() // key
-          val snodAddr = kb.getLong()
+        // the group B-tree: node type 0, ANY depth (libhdf5 splits
+        // into internal nodes past 2K SNODs per node — wide real
+        // groups hit this), children of level-0 nodes are SNODs
+        def walkNode(addr: Long, expectLevel: Int): Unit = {
+          require(visited.add(addr),
+            s"HDF5: group B-tree cycle at $addr (at '$prefix')")
+          val th = r.at(addr, 24)
+          val tsig = new Array[Byte](4); th.get(tsig)
+          require(new String(tsig, US_ASCII) == "TREE",
+            s"HDF5: no B-tree node at $addr")
+          require(th.get() == 0, "HDF5: B-tree node type != 0 (group)")
+          val level = th.get() & 0xff
+          require(expectLevel < 0 || level == expectLevel,
+            s"HDF5: group B-tree level $level at $addr, expected " +
+              s"$expectLevel (at '$prefix')")
+          val nent = th.getShort() & 0xffff
+          // siblings at +8, then nent+1 keys interleaved with children
+          val kb = r.at(addr + 8, 16 + (2 * nent + 1) * 8)
+          kb.getLong(); kb.getLong() // siblings
+          (0 until nent).foreach { _ =>
+            kb.getLong() // key
+            val child = kb.getLong()
+            if (level > 0) walkNode(child, level - 1)
+            else walkSnod(child)
+          }
+        }
+        def walkSnod(snodAddr: Long): Unit = {
           val sh = r.at(snodAddr, 8)
           val ssig = new Array[Byte](4); sh.get(ssig)
           require(new String(ssig, US_ASCII) == "SNOD",
@@ -691,6 +728,7 @@ object Hdf5 {
             }
           }
         }
+        walkNode(btAddr, -1)
       }
       walkGroup("", rootBt, rootHeap)
       out.sortBy(_.path).toSeq

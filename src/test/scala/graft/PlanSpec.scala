@@ -383,4 +383,25 @@ class PlanSpec extends AnyFunSuite {
       assert(!l.contains("bytes"), s"payload crossed a shuffle: $l")
     }
   }
+
+  test("q191 MJPEG cut detection is map-only: decode rides the " +
+    "arrival partitions, no exchange before the presentation sort") {
+    val p = plan("q191_mjpeg_shot_keyframes")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "cut detection must be per-video, per-partition work")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q192's served audit read is a plain columnar scan: serving " +
+    "the committed leak pairs costs no join and no window") {
+    // the AUDIT side of the streaming gate: once batches commit, the
+    // dashboard read must be scan+sort — all candidate work happened
+    // at arrival time inside the fenced batches
+    val df = QueryRegistry.queries("q192_semantic_leak_stream")(spark, sf)
+    df.collect()
+    val served = df.queryExecution.executedPlan.toString
+    assert(!served.contains("SortMergeJoin")
+      && !served.contains("windowspecdefinition"),
+      "the served read re-derived pair work that belongs to the batches")
+  }
 }

@@ -900,10 +900,19 @@ class QueriesSpec extends AnyFunSuite {
         && !clean.contains("home | about"))
     }
     // the one-copy rule chain, off-corpus: nested/multiline blocks,
-    // every entity, quotes inside attributes, footer boilerplate
+    // every entity, quotes inside attributes, footer boilerplate,
+    // comments CARRYING markup (must vanish whole, before the block
+    // rules — a commented-out <script> must not open a block match),
+    // and a quoted '>' inside an attribute value (must not truncate
+    // the tag strip mid-tag)
     import spark.implicits._
     val crafted = "<html><head><title>t</title>\n<style>\nbody{}\n" +
-      "</style></head><body><nav>\nmenu\n</nav><div class=\"a b\" " +
+      "</style></head><body><nav>\nmenu\n</nav>" +
+      // UNCLOSED <script> inside the comment: if blocks ran before
+      // comments, (?is)<script.*?</script> would match from here
+      // through the real </SCRIPT> below and swallow the keep-text
+      "<!-- draft:\n<script>evil()\n<p>old copy</p> -->" +
+      "<img alt=\"w > h\" src=\"/i.png\"><div class=\"a b\" " +
       "data-x='1'>keep &quot;this&quot; &apos;text&apos; &lt;ok&gt; " +
       "&amp; more</div><SCRIPT>\nif (1 < 2) { x(); }\n</SCRIPT>" +
       "<Footer>\ncopyright\n</Footer></body></html>"

@@ -44,7 +44,7 @@ class Hdf5Spec extends AnyFunSuite {
   }
 
   test("groups nest; a path through a dataset or a duplicate path is " +
-    "rejected at write time; link fan-out beyond one SNOD is rejected") {
+    "rejected at write time") {
     val p = tmp()
     intercept[IllegalArgumentException](Hdf5.write(p, Seq(
       ("a/b", Array(1L), Array(1.0)),
@@ -52,12 +52,28 @@ class Hdf5Spec extends AnyFunSuite {
     intercept[IllegalArgumentException](Hdf5.write(p, Seq(
       ("a/b", Array(1L), Array(1.0)),
       ("a/b", Array(1L), Array(2.0)))))
-    intercept[IllegalArgumentException](Hdf5.write(p,
-      (0 to 8).map(i => (s"g/d$i", Array(1L), Array(i.toDouble)))))
-    // exactly 8 links (= 2 * leaf K) still fits one symbol-table node
-    Hdf5.write(p, (0 until 8).map(i =>
-      (s"g/d$i", Array(1L), Array(i.toDouble))))
-    assert(Hdf5.index(p).map(_.path) == (0 until 8).map(i => s"g/d$i"))
+  }
+
+  test("WIDE groups round-trip: 20 links span SNODs in one node, 530 " +
+    "links force a MULTI-LEVEL group B-tree, values survive exactly") {
+    // 20 links: 3 SNODs under a level-0 node (2*K_leaf = 8 per SNOD)
+    val p = tmp()
+    Hdf5.write(p, (0 until 20).map(i =>
+      (f"g/d$i%03d", Array(1L), Array(i * 1.5))))
+    val idx = Hdf5.index(p)
+    assert(idx.map(_.path) == (0 until 20).map(i => f"g/d$i%03d"))
+    idx.zipWithIndex.foreach { case (d, i) =>
+      assert(Hdf5.readDoubles(p, d, 0, 1).head == i * 1.5)
+    }
+    // 530 links: 67 SNODs > 64 node capacity -> a level-1 tree
+    val p2 = tmp()
+    Hdf5.write(p2, (0 until 530).map(i =>
+      (f"w/d$i%04d", Array(1L), Array(i + 0.25))))
+    val idx2 = Hdf5.index(p2)
+    assert(idx2.length == 530)
+    assert(idx2.map(_.path) == (0 until 530).map(i => f"w/d$i%04d"))
+    assert(Hdf5.readDoubles(p2, idx2(529), 0, 1).head == 529.25)
+    assert(Hdf5.readDoubles(p2, idx2(64), 0, 1).head == 64.25)
   }
 
   test("a crafted group cycle is rejected loudly, not a stack overflow") {
