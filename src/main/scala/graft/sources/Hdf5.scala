@@ -32,13 +32,17 @@ import java.nio.charset.StandardCharsets.US_ASCII
   *   - chunked raw data behind a v1 B-tree of node type 1 (ANY
   *     depth on read; the writer emits multi-level trees past 2·K
   *     chunks per node), each chunk individually deflated so a
-  *     reader decompresses ONLY the chunks it touches.
+  *     reader decompresses ONLY the chunks it touches;
+  *   - object header CONTINUATION blocks (libhdf5 overflows headers
+  *     into them routinely — filters, fill values, attributes): the
+  *     reader chains them cycle-guarded, and the writer spills past
+  *     three messages so every chunked+gzip dataset exercises the
+  *     path.
   *
   * Everything OUTSIDE the subset — later superblock versions,
   * compact layouts, non-float types, filters other than deflate,
-  * header continuation blocks, unallocated chunks — is rejected
-  * LOUDLY with a precise message, never silently mis-read (the
-  * WAV/AVI parser discipline).
+  * unallocated chunks — is rejected LOUDLY with a precise message,
+  * never silently mis-read (the WAV/AVI parser discipline).
   *
   * The parser builds a metadata INDEX ONLY (paths, dims, data/chunk
   * addresses) by seeking through header structures; dataset bytes
@@ -452,19 +456,43 @@ object Hdf5 {
       ohAddr
     }
 
+    def writeMsg(tpe: Int, body: Array[Byte]): Unit = {
+      buf.u16(tpe); buf.u16(pad8len(body.length))
+      buf.u8(0); buf.u8(0); buf.u8(0); buf.u8(0) // flags + reserved
+      buf.bytes(body)
+      buf.pad8()
+    }
+
+    /** v1 object header. Past three messages the remainder spills
+      * into an OBJECT HEADER CONTINUATION block (message 0x0010 —
+      * offset + length patched once the block lands), which is
+      * exactly what libhdf5 does when a header overflows: every
+      * chunked+gzip dataset here (4 messages) therefore exercises
+      * the continuation path end to end.
+      */
     def writeOh(at: Long, msgs: Seq[(Int, Array[Byte])]): Unit = {
       require(buf.pos == at)
-      val bodySize = msgs.map(m => 8 + pad8len(m._2.length)).sum
+      val (first, rest) =
+        if (msgs.length > 3) msgs.splitAt(3) else (msgs, Nil)
+      val contMsgSize = if (rest.isEmpty) 0 else 8 + 16
+      val bodySize =
+        first.map(m => 8 + pad8len(m._2.length)).sum + contMsgSize
       buf.u8(1); buf.u8(0) // version, reserved
-      buf.u16(msgs.length)
+      buf.u16(msgs.length + (if (rest.isEmpty) 0 else 1))
       buf.u32(1) // object reference count
       buf.u32(bodySize.toLong)
       buf.u32(0) // pad to 8-byte alignment of the message block
-      msgs.foreach { case (tpe, body) =>
-        buf.u16(tpe); buf.u16(pad8len(body.length))
-        buf.u8(0); buf.u8(0); buf.u8(0); buf.u8(0) // flags + reserved
-        buf.bytes(body)
+      first.foreach { case (tpe, body) => writeMsg(tpe, body) }
+      if (rest.nonEmpty) {
+        buf.u16(0x0010); buf.u16(16)
+        buf.u8(0); buf.u8(0); buf.u8(0); buf.u8(0)
+        val contOffAt = buf.u64(0) // patched below
+        val contLenAt = buf.u64(0)
         buf.pad8()
+        val contAddr = buf.pos
+        rest.foreach { case (tpe, body) => writeMsg(tpe, body) }
+        buf.patchU64(contOffAt, contAddr)
+        buf.patchU64(contLenAt, buf.pos - contAddr)
       }
     }
 
@@ -720,6 +748,9 @@ object Hdf5 {
             require(name.nonEmpty,
               s"HDF5: empty link name in SNOD at $snodAddr")
             val full = if (prefix.isEmpty) name else s"$prefix/$name"
+            require(cache == 0 || cache == 1,
+              s"HDF5: symbol-table cache type $cache on '$full' " +
+                "(symbolic links are outside the subset)")
             if (cache == 1) {
               parseOhGroupCheck(r, oh, s0, s1)
               walkGroup(full, s0, s1)
@@ -735,7 +766,16 @@ object Hdf5 {
     } finally raf.close()
   }
 
-  /** Parse a v1 object header's messages: Seq of (type, body). */
+  /** Parse a v1 object header's messages: Seq of (type, body).
+    * OBJECT HEADER CONTINUATION messages (0x0010) are followed — the
+    * prefix's size field covers the FIRST message block only; each
+    * continuation message carries the (offset, length) of a further
+    * block, and the total message count comes from the prefix. Real
+    * libhdf5 headers overflow into continuations routinely (filters,
+    * fill values, attributes), so a reader without them cannot open
+    * real dumps. Block addresses are cycle-guarded: a crafted
+    * self-pointing continuation fails loudly.
+    */
   private def ohMessages(r: Reader, addr: Long): Seq[(Int, ByteBuffer)] = {
     val h = r.at(addr, 16)
     val ver = h.get()
@@ -745,23 +785,39 @@ object Hdf5 {
     val nmsg = h.getShort() & 0xffff
     h.getInt() // ref count
     val size = h.getInt()
-    val body = r.at(addr + 16, size)
-    (0 until nmsg).map { _ =>
-      require(body.remaining() >= 8,
-        s"HDF5: object header at $addr truncated mid-message")
-      val tpe = body.getShort() & 0xffff
-      val msize = body.getShort() & 0xffff
-      body.get(); body.get(); body.get(); body.get()
-      require(body.remaining() >= msize,
-        s"HDF5: message body overruns object header at $addr")
-      require(tpe != 0x0010,
-        "HDF5: object header continuation blocks are not supported " +
-          "here — the subset writer never emits them")
-      val slice = body.slice().order(ByteOrder.LITTLE_ENDIAN)
-      slice.limit(msize)
-      body.position(body.position() + msize)
-      (tpe, slice)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, ByteBuffer)]
+    val blocks = scala.collection.mutable.Queue((addr + 16, size.toLong))
+    val seen = scala.collection.mutable.Set.empty[Long]
+    var remaining = nmsg
+    while (remaining > 0) {
+      require(blocks.nonEmpty,
+        s"HDF5: object header at $addr ran out of message blocks with " +
+          s"$remaining of $nmsg messages unread")
+      val (baddr, blen) = blocks.dequeue()
+      require(seen.add(baddr),
+        s"HDF5: object header continuation cycle at $baddr (header $addr)")
+      val body = r.at(baddr, blen.toInt)
+      // a block's tail may be <8 bytes of padding; messages never split
+      while (remaining > 0 && body.remaining() >= 8) {
+        val tpe = body.getShort() & 0xffff
+        val msize = body.getShort() & 0xffff
+        body.get(); body.get(); body.get(); body.get()
+        require(body.remaining() >= msize,
+          s"HDF5: message body overruns object header block at $baddr")
+        val slice = body.slice().order(ByteOrder.LITTLE_ENDIAN)
+        slice.limit(msize)
+        body.position(body.position() + msize)
+        if (tpe == 0x0010) {
+          require(msize >= 16,
+            s"HDF5: continuation message of $msize bytes at $baddr")
+          val off = slice.getLong(); val len = slice.getLong()
+          require(len > 0, s"HDF5: empty continuation block from $baddr")
+          blocks.enqueue((off, len))
+        } else out += ((tpe, slice))
+        remaining -= 1
+      }
     }
+    out.toSeq
   }
 
   /** A group's OH must carry the symbol-table message agreeing with the

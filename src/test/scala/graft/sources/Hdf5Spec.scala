@@ -311,6 +311,56 @@ class Hdf5Spec extends AnyFunSuite {
     assert(e2.getMessage.contains("HDF5"), e2.getMessage)
   }
 
+  test("object-header CONTINUATION blocks: a 4-message chunked+gzip " +
+    "header spills its filter message into a continuation and still " +
+    "round-trips; a crafted continuation cycle is rejected loudly") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val p = tmp()
+    Hdf5.writeSpecs(p, Seq(Hdf5.H5Write("c", Array(10L),
+      (0 until 10).map(_ * 1.25).toArray,
+      chunkDims = Some(Array(4L)), gzip = true)))
+    val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    // the continuation message (type 0x0010, size 16) must exist
+    val contAt = {
+      var at = -1
+      var i = 96
+      while (at < 0 && i < b.length - 8) {
+        if (b(i) == 0x10 && b(i + 1) == 0 && b(i + 2) == 16
+          && b(i + 3) == 0 && b(i + 4) == 0) at = i
+        i += 1
+      }
+      at
+    }
+    assert(contAt > 0, "no continuation message in the 4-message header")
+    val d = Hdf5.index(p).head
+    assert(d.layout.isInstanceOf[Hdf5.H5Chunked]) // filter msg was read
+    assert(d.layout.asInstanceOf[Hdf5.H5Chunked].gzip)
+    assert(Hdf5.readDoubles(p, d, 0, 10).toSeq ==
+      (0 until 10).map(_ * 1.25))
+    // craft a cycle: point the continuation back at the first block
+    val mut = b.clone()
+    // find the object header start: version 1, 5 messages (4 + cont)
+    val ohAt = {
+      var at = -1
+      var i = 96
+      while (at < 0 && i < contAt) {
+        if (mut(i) == 1 && mut(i + 1) == 0 && mut(i + 2) == 5
+          && mut(i + 3) == 0 && mut(i + 4) == 1) at = i
+        i += 1
+      }
+      at
+    }
+    assert(ohAt > 0, "object header prefix not found")
+    val bb = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putLong(ohAt + 16L) // the first message block's own address
+    System.arraycopy(bb.array(), 0, mut, contAt + 8, 8)
+    val f = tmp()
+    java.nio.file.Files.write(java.nio.file.Paths.get(f), mut)
+    val e = intercept[IllegalArgumentException](Hdf5.index(f))
+    assert(e.getMessage.contains("continuation cycle")
+      || e.getMessage.contains("HDF5"), e.getMessage)
+  }
+
   test("GOLDEN BYTES: every structure of a minimal file sits at the " +
     "spec-computed address and internal pointers agree") {
     import java.nio.{ByteBuffer, ByteOrder}
