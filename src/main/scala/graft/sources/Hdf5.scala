@@ -69,12 +69,14 @@ object Hdf5 {
   /** Chunked storage: `chunkDims` are the SPATIAL chunk dims (same
     * rank as the dataset; the on-disk key/layout carry a trailing
     * element-size dim which is validated and dropped here), `gzip`
-    * says each chunk is a deflate stream, and `chunks` is the full
-    * chunk index in offset order — metadata only (one entry per
-    * chunk, no data).
+    * says each chunk is a deflate stream, `shuffle` that the bytes
+    * were byte-transposed before deflate (the standard h5py
+    * `shuffle=True, compression='gzip'` combination), and `chunks`
+    * is the full chunk index in offset order — metadata only (one
+    * entry per chunk, no data).
     */
   final case class H5Chunked(chunkDims: Array[Long], gzip: Boolean,
-      chunks: Seq[H5Chunk]) extends H5Layout
+      shuffle: Boolean, chunks: Seq[H5Chunk]) extends H5Layout
   /** One chunk: its dataset-space offset (rank values), its file
     * address, and its STORED byte count (compressed size under gzip).
     */
@@ -100,13 +102,17 @@ object Hdf5 {
 
   /** Writer-side description of one dataset. `chunkDims = None` is
     * the contiguous layout; `Some(dims)` chunks the data (required
-    * for `gzip` — HDF5 filters apply to chunked layouts only).
+    * for `gzip`/`shuffle` — HDF5 filters apply to chunked layouts
+    * only). `shuffle` byte-transposes each chunk before deflate
+    * (h5py's default companion to gzip — same-significance bytes
+    * land adjacent, which is what makes float data compress).
     * `f32` stores IEEE binary32 (values are narrowed; the reader
     * widens back to doubles).
     */
   final case class H5Write(path: String, dims: Array[Long],
       data: Array[Double], chunkDims: Option[Array[Long]] = None,
-      gzip: Boolean = false, f32: Boolean = false)
+      gzip: Boolean = false, f32: Boolean = false,
+      shuffle: Boolean = false)
 
   // ------------------------------------------------------------------
   // Writer
@@ -193,6 +199,56 @@ object Hdf5 {
     } finally inf.end()
   }
 
+  /** The HDF5 shuffle filter (id 2): byte-transpose so every
+    * element's k-th byte lands in the k-th plane — what makes float
+    * chunks deflate. `b.length` must be a multiple of `elemSize`.
+    */
+  private def shuffleBytes(b: Array[Byte], elemSize: Int): Array[Byte] = {
+    val n = b.length / elemSize
+    val out = new Array[Byte](b.length)
+    var i = 0
+    while (i < n) {
+      var k = 0
+      while (k < elemSize) {
+        out(k * n + i) = b(i * elemSize + k)
+        k += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  private def unshuffleBytes(b: Array[Byte], elemSize: Int): Array[Byte] = {
+    val n = b.length / elemSize
+    val out = new Array[Byte](b.length)
+    var i = 0
+    while (i < n) {
+      var k = 0
+      while (k < elemSize) {
+        out(i * elemSize + k) = b(k * n + i)
+        k += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Decode one STORED chunk back to raw element bytes: inverse
+    * filters in reverse pipeline order (inflate, then un-shuffle).
+    * Shared by the driver-side reads and the DSv2 chunk partition
+    * reader — one copy of the filter semantics.
+    */
+  def decodeChunk(stored: Array[Byte], expectBytes: Int, gzip: Boolean,
+      shuffle: Boolean, elemSize: Int): Array[Byte] = {
+    val inflated = if (gzip) inflate(stored, expectBytes) else {
+      require(stored.length == expectBytes,
+        s"HDF5: unfiltered chunk stores ${stored.length} bytes, " +
+          s"expected $expectBytes")
+      stored
+    }
+    if (shuffle) unshuffleBytes(inflated, elemSize) else inflated
+  }
+
   /** Legacy entry point: contiguous f64 datasets (slash-joined path ->
     * (dims, row-major values)).
     */
@@ -223,8 +279,8 @@ object Hdf5 {
           s"HDF5 write: ${d.path} chunk ${cd.mkString("x")} exceeds " +
             s"dims ${d.dims.mkString("x")}")
       }
-      require(!d.gzip || d.chunkDims.isDefined,
-        s"HDF5 write: ${d.path} gzip requires a chunked layout " +
+      require((!d.gzip && !d.shuffle) || d.chunkDims.isDefined,
+        s"HDF5 write: ${d.path} gzip/shuffle requires a chunked layout " +
           "(HDF5 filters apply to chunks)")
     }
     val root = GrpNode(scala.collection.mutable.LinkedHashMap.empty)
@@ -377,7 +433,9 @@ object Hdf5 {
               }
             }
             val raw = serialize(spec, vals)
-            val stored = if (spec.gzip) deflate(raw) else raw
+            val shuffled =
+              if (spec.shuffle) shuffleBytes(raw, es) else raw
+            val stored = if (spec.gzip) deflate(shuffled) else shuffled
             buf.pad8()
             addrs(ci) = buf.bytes(stored)
             keys(ci) = chunkKey(stored.length.toLong, off)
@@ -439,17 +497,25 @@ object Hdf5 {
       }
       val msgs = scala.collection.mutable.ArrayBuffer(
         (0x0001, dspace), (0x0003, dtype), (0x0008, layout))
-      if (spec.gzip) msgs += ((0x000B, {
-        val b = ByteBuffer.allocate(32).order(ByteOrder.LITTLE_ENDIAN)
-        b.put(1.toByte).put(1.toByte) // version 1, one filter
+      if (spec.gzip || spec.shuffle) msgs += ((0x000B, {
+        // filters in APPLICATION order: shuffle (byte-transpose,
+        // client value = element size) then deflate
+        val fs = Seq(
+          if (spec.shuffle) Some((2, "shuffle", es)) else None,
+          if (spec.gzip) Some((1, "deflate", 6)) else None).flatten
+        val b = ByteBuffer.allocate(8 + 24 * fs.length)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        b.put(1.toByte).put(fs.length.toByte) // version 1, n filters
         b.putShort(0).putInt(0) // reserved
-        b.putShort(1) // filter id 1: deflate
-        b.putShort(8) // name length (8-padded)
-        b.putShort(0) // flags
-        b.putShort(1) // one client data value
-        b.put("deflate".getBytes(US_ASCII)).put(0.toByte)
-        b.putInt(6) // client data: compression level
-        b.putInt(0) // pad (odd client-value count)
+        fs.foreach { case (id, name, cval) =>
+          b.putShort(id.toShort)
+          b.putShort(8) // name length (8-padded)
+          b.putShort(0) // flags
+          b.putShort(1) // one client data value
+          b.put(name.getBytes(US_ASCII)).put(0.toByte)
+          b.putInt(cval) // client data
+          b.putInt(0) // pad (odd client-value count)
+        }
         b.array()
       }))
       writeOh(ohAddr, msgs.toSeq)
@@ -891,6 +957,8 @@ object Hdf5 {
     var chunkBt = Undef
     var chunkDimsRaw: Array[Long] = null
     var gzip = false
+    var shuffle = false
+    var shuffleElem = -1
     ohMessages(r, addr).foreach {
       case (0x0001, b) => // dataspace
         val ver = b.get()
@@ -944,7 +1012,7 @@ object Hdf5 {
           s"HDF5: filter pipeline version $ver on $path (only v1)")
         val nf = b.get() & 0xff
         b.get(); b.get(); b.getInt() // reserved
-        (0 until nf).foreach { _ =>
+        val ids = (0 until nf).map { _ =>
           val id = b.getShort() & 0xffff
           val nameLen = b.getShort() & 0xffff
           b.getShort() // flags
@@ -952,14 +1020,25 @@ object Hdf5 {
           require(nameLen % 8 == 0,
             s"HDF5: filter name length $nameLen not 8-aligned on $path")
           b.position(b.position() + nameLen)
-          (0 until ncv).foreach(_ => b.getInt())
+          val cvals = (0 until ncv).map(_ => b.getInt())
           if (ncv % 2 == 1) b.getInt() // pad
-          require(id == 1,
-            s"HDF5: filter id $id on $path (only deflate (1) is " +
-              "decodable here — a shuffle/fletcher/szip chunk would " +
-              "be silently mis-read)")
+          require(id == 1 || id == 2,
+            s"HDF5: filter id $id on $path (only deflate (1) and " +
+              "shuffle (2) are decodable here — a fletcher/szip chunk " +
+              "would be silently mis-read)")
+          (id, cvals)
         }
-        gzip = nf > 0
+        // application order must be shuffle-then-deflate (h5py's) —
+        // the inverse order would unshuffle compressed bytes
+        require(ids.map(_._1) match {
+          case Seq() | Seq(1) | Seq(2) | Seq(2, 1) => true
+          case _ => false
+        }, s"HDF5: filter order ${ids.map(_._1).mkString(",")} on " +
+          s"$path (only [shuffle,] deflate is decodable here)")
+        gzip = ids.exists(_._1 == 1)
+        shuffle = ids.exists(_._1 == 2)
+        shuffleElem = ids.collectFirst { case (2, cv) if cv.nonEmpty =>
+          cv.head }.getOrElse(-1)
       case _ => () // NIL and other messages: skip
     }
     require(dims != null, s"HDF5: dataset $path has no dataspace")
@@ -968,7 +1047,7 @@ object Hdf5 {
     val rank = dims.length
     layoutClass match {
       case 1 =>
-        require(!gzip,
+        require(!gzip && !shuffle,
           s"HDF5: $path declares a filter pipeline on a contiguous " +
             "layout (filters apply to chunks only)")
         require(contAddr != Undef, s"HDF5: $path has no data address")
@@ -989,6 +1068,9 @@ object Hdf5 {
           s"HDF5: $path chunk ${cd.mkString("x")} exceeds dims " +
             s"${dims.mkString("x")}")
         require(chunkBt != Undef, s"HDF5: $path has no chunk B-tree")
+        require(!shuffle || shuffleElem < 0 || shuffleElem == elemSize,
+          s"HDF5: shuffle filter's element size $shuffleElem on $path " +
+            s"disagrees with the $elemSize-byte datatype")
         val found = walkChunkTree(r, chunkBt, path, rank)
         val chunkElems = cd.product
         found.foreach { case (off, caddr, stored, mask) =>
@@ -1024,7 +1106,8 @@ object Hdf5 {
         }.map { case (off, caddr, stored, _) =>
           H5Chunk(off, caddr, stored)
         }
-        H5Dataset(path, dims, le, elemSize, H5Chunked(cd, gzip, sorted))
+        H5Dataset(path, dims, le, elemSize,
+          H5Chunked(cd, gzip, shuffle, sorted))
     }
   }
 
@@ -1052,7 +1135,7 @@ object Hdf5 {
         raf.readFully(b)
         val bb = ByteBuffer.wrap(b).order(order)
         Array.tabulate(n)(i => decode(bb, i))
-      case H5Chunked(cd, gzip, chunks) =>
+      case H5Chunked(cd, gzip, shuffle, chunks) =>
         val rank = ds.dims.length
         val strides = new Array[Long](rank)
         strides(rank - 1) = 1
@@ -1070,8 +1153,8 @@ object Hdf5 {
             val raw = new Array[Byte](ch.storedBytes.toInt)
             raf.seek(ch.addr)
             raf.readFully(raw)
-            val bytes =
-              if (gzip) inflate(raw, chunkElems * ds.elemSize) else raw
+            val bytes = decodeChunk(raw, chunkElems * ds.elemSize,
+              gzip, shuffle, ds.elemSize)
             val bb = ByteBuffer.wrap(bytes).order(order)
             val local = new Array[Int](rank)
             (0 until chunkElems).foreach { li =>

@@ -104,9 +104,10 @@ object VPICSource {
       zAxis: Array[Double], yAxis: Array[Double], xAxis: Array[Double],
       vars: Map[String, (Int, Int, Int, Int) => Double],
       littleEndian: Boolean = false, chunkTime: Option[Int] = None,
-      gzip: Boolean = false, f32: Boolean = false): Unit = {
-    require(!gzip || chunkTime.isDefined,
-      "VPIC HDF5: gzip requires a chunked tree (chunkTime)")
+      gzip: Boolean = false, f32: Boolean = false,
+      shuffle: Boolean = false): Unit = {
+    require((!gzip && !shuffle) || chunkTime.isDefined,
+      "VPIC HDF5: gzip/shuffle requires a chunked tree (chunkTime)")
     val root = Paths.get(dir)
     Files.createDirectories(root)
     val nt = time.length; val nz = zAxis.length
@@ -116,7 +117,7 @@ object VPICSource {
     val axes = Seq(("grid/time", time), ("grid/z", zAxis),
       ("grid/y", yAxis), ("grid/x", xAxis)).map { case (p, a) =>
       Hdf5.H5Write(p, Array(a.length.toLong), a,
-        chunkDims = axisChunk(a.length), gzip = gzip)
+        chunkDims = axisChunk(a.length), gzip = gzip, shuffle = shuffle)
     }
     val varSpecs = vars.toSeq.sortBy(_._1).map { case (path, f) =>
       val data = new Array[Double](nt * nz * ny * nx)
@@ -128,7 +129,7 @@ object VPICSource {
       Hdf5.H5Write(path, Array(nt.toLong, nz.toLong, ny.toLong, nx.toLong),
         data, chunkDims = chunkTime.map(ct =>
           Array(math.min(ct, nt).toLong, nz.toLong, ny.toLong, nx.toLong)),
-        gzip = gzip, f32 = f32)
+        gzip = gzip, f32 = f32, shuffle = shuffle)
     }
     Hdf5.writeSpecs(root.resolve(Hdf5File).toString, axes ++ varSpecs,
       littleEndian)
@@ -472,7 +473,7 @@ private[sources] class VPICScan(root: String, vars: Seq[String], chunkSteps: Int
                 dataOffset = d.dataAddress, littleEndian = d.littleEndian,
                 elemSize = d.elemSize)
             }
-          case Hdf5.H5Chunked(cd, gzip, chunks) =>
+          case Hdf5.H5Chunked(cd, gzip, shuffle, chunks) =>
             // the STORAGE chunk is the parallelism unit (a reader must
             // decompress a whole chunk anyway): one partition per
             // chunk, pruned to those whose time range intersects the
@@ -484,7 +485,8 @@ private[sources] class VPICScan(root: String, vars: Seq[String], chunkSteps: Int
               .map { c =>
                 VPICChunkPartition(root, label,
                   addr = c.addr, storedBytes = c.storedBytes,
-                  gzip = gzip, littleEndian = d.littleEndian,
+                  gzip = gzip, shuffle = shuffle,
+                  littleEndian = d.littleEndian,
                   elemSize = d.elemSize,
                   c0 = c.offset(0).toInt, c1 = c.offset(1).toInt,
                   c2 = c.offset(2).toInt, c3 = c.offset(3).toInt,
@@ -528,7 +530,8 @@ private[sources] case class VPICInputPartition(path: String, label: String,
   * decompresses exactly this chunk — per-chunk IO and memory.
   */
 private[sources] case class VPICChunkPartition(root: String, label: String,
-    addr: Long, storedBytes: Long, gzip: Boolean, littleEndian: Boolean,
+    addr: Long, storedBytes: Long, gzip: Boolean, shuffle: Boolean,
+    littleEndian: Boolean,
     elemSize: Int, c0: Int, c1: Int, c2: Int, c3: Int,
     k0: Int, k1: Int, k2: Int, k3: Int,
     n0: Int, n1: Int, n2: Int, n3: Int,
@@ -667,13 +670,7 @@ private[sources] class VPICChunkReader(p: VPICChunkPartition,
       raf.seek(p.addr)
       raf.readFully(raw)
       val expect = p.k0 * p.k1 * p.k2 * p.k3 * p.elemSize
-      if (p.gzip) Hdf5.inflate(raw, expect)
-      else {
-        if (raw.length != expect) throw new java.io.IOException(
-          s"$path: unfiltered chunk at ${p.addr} stores ${raw.length} " +
-            s"bytes, expected $expect")
-        raw
-      }
+      Hdf5.decodeChunk(raw, expect, p.gzip, p.shuffle, p.elemSize)
     } finally raf.close()
   }
   private val bb = java.nio.ByteBuffer.wrap(bytes).order(

@@ -178,7 +178,7 @@ class Hdf5Spec extends AnyFunSuite {
     assert(idx.map(_.path) == Seq("b", "g/a"))
     val a = idx.find(_.path == "g/a").get
     a.layout match {
-      case Hdf5.H5Chunked(cd, gz, chunks) =>
+      case Hdf5.H5Chunked(cd, gz, sh, chunks) =>
         assert(cd.toSeq == Seq(2L, 3L, 4L))
         assert(gz == gzip)
         assert(chunks.length == 3 * 3 * 1) // ceil(5/2)*ceil(7/3)*ceil(4/4)
@@ -207,6 +207,69 @@ class Hdf5Spec extends AnyFunSuite {
     chunkedRoundTrip(littleEndian = false, gzip = true)
   }
 
+  test("SHUFFLE filter: shuffle+deflate round-trips (the h5py " +
+    "default combo), shuffle measurably improves float compression, " +
+    "and a wrong filter order is rejected") {
+    val rnd = new scala.util.Random(90)
+    // smooth float data: high-byte planes are near-constant, so the
+    // byte transpose is what makes deflate bite
+    val data = Array.tabulate(2000)(i => 1000.0 + math.sin(i / 50.0))
+    def storedTotal(shuffle: Boolean): Long = {
+      val p = tmp()
+      Hdf5.writeSpecs(p, Seq(Hdf5.H5Write("s", Array(2000L), data,
+        chunkDims = Some(Array(500L)), gzip = true, shuffle = shuffle)))
+      val d = Hdf5.index(p).head
+      d.layout match {
+        case Hdf5.H5Chunked(_, true, sh, chunks) =>
+          assert(sh == shuffle)
+          // exact round-trip through inflate + unshuffle
+          assert(Hdf5.readDoubles(p, d, 0, 2000).toSeq == data.toSeq)
+          assert(Hdf5.readDoubles(p, d, 700, 100).toSeq ==
+            data.toSeq.slice(700, 800))
+          chunks.map(_.storedBytes).sum
+        case other => fail(s"$other")
+      }
+    }
+    val plain = storedTotal(shuffle = false)
+    val shuf = storedTotal(shuffle = true)
+    assert(shuf < plain,
+      s"shuffle did not improve compression: $shuf vs $plain")
+    // shuffle-only (no deflate) round-trips too
+    val p2 = tmp()
+    val vals = Array.fill(37)(rnd.nextDouble())
+    Hdf5.writeSpecs(p2, Seq(Hdf5.H5Write("o", Array(37L), vals,
+      chunkDims = Some(Array(16L)), shuffle = true)), littleEndian = true)
+    val d2 = Hdf5.index(p2).head
+    assert(Hdf5.readDoubles(p2, d2, 0, 37).toSeq == vals.toSeq)
+    // deflate-then-shuffle (wrong order) is out of subset: flip the
+    // two filter ids in the pipeline message of a shuffle+gzip file
+    val p3 = tmp()
+    Hdf5.writeSpecs(p3, Seq(Hdf5.H5Write("x", Array(8L),
+      Array.fill(8)(1.0), chunkDims = Some(Array(4L)), gzip = true,
+      shuffle = true)))
+    val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p3))
+    // filter message body: ver 1, nf 2, reserved(6), then filter descs
+    // (id u16 first) — find "01 02 0000 00000000 0200" = start
+    val fAt = {
+      var at = -1
+      var i = 96
+      while (at < 0 && i < b.length - 12) {
+        if (b(i) == 1 && b(i + 1) == 2 && b(i + 2) == 0 && b(i + 3) == 0
+          && b(i + 4) == 0 && b(i + 8) == 2 && b(i + 9) == 0) at = i
+        i += 1
+      }
+      at
+    }
+    assert(fAt > 0, "two-filter pipeline message not found")
+    val mut = b.clone()
+    mut(fAt + 8) = 1 // shuffle slot becomes deflate
+    mut(fAt + 8 + 24) = 2 // deflate slot becomes shuffle
+    val f = tmp()
+    java.nio.file.Files.write(java.nio.file.Paths.get(f), mut)
+    val e = intercept[IllegalArgumentException](Hdf5.index(f))
+    assert(e.getMessage.contains("filter order"), e.getMessage)
+  }
+
   test("deflate genuinely compresses a compressible chunk") {
     val p = tmp()
     Hdf5.writeSpecs(p, Seq(Hdf5.H5Write("z", Array(1000L),
@@ -214,7 +277,7 @@ class Hdf5Spec extends AnyFunSuite {
       gzip = true)))
     val d = Hdf5.index(p).head
     d.layout match {
-      case Hdf5.H5Chunked(_, true, chunks) =>
+      case Hdf5.H5Chunked(_, true, _, chunks) =>
         assert(chunks.forall(_.storedBytes < 500L * 8 / 10),
           chunks.map(_.storedBytes))
       case other => fail(s"$other")
@@ -232,7 +295,7 @@ class Hdf5Spec extends AnyFunSuite {
       chunkDims = Some(Array(2L)), gzip = true)))
     val d = Hdf5.index(p).head
     d.layout match {
-      case Hdf5.H5Chunked(_, _, chunks) => assert(chunks.length == 151)
+      case Hdf5.H5Chunked(_, _, _, chunks) => assert(chunks.length == 151)
       case other => fail(s"expected chunked, got $other")
     }
     assert(Hdf5.readDoubles(p, d, 0, n).toSeq == data.toSeq)
@@ -262,7 +325,7 @@ class Hdf5Spec extends AnyFunSuite {
       Hdf5.writeSpecs(p2, Seq(Hdf5.H5Write("c", Array(8L), raw.take(8),
         chunkDims = Some(Array(4L)), f32 = true)), le)
       Hdf5.index(p2).head.layout match {
-        case Hdf5.H5Chunked(_, _, chunks) =>
+        case Hdf5.H5Chunked(_, _, _, chunks) =>
           assert(chunks.forall(_.storedBytes == 4L * 4))
         case other => fail(s"$other")
       }
@@ -295,10 +358,17 @@ class Hdf5Spec extends AnyFunSuite {
     }
     assert(fAt > 0, "filter message not found in fixture")
     val f1 = tmp()
-    val mut = good.clone(); mut(fAt) = 2 // filter id 2: shuffle
+    val mut = good.clone(); mut(fAt) = 3 // filter id 3: fletcher32
     java.nio.file.Files.write(java.nio.file.Paths.get(f1), mut)
     val e1 = intercept[IllegalArgumentException](Hdf5.index(f1))
-    assert(e1.getMessage.contains("filter id 2"), e1.getMessage)
+    assert(e1.getMessage.contains("filter id 3"), e1.getMessage)
+    // flipping deflate to shuffle leaves its client value (the deflate
+    // level, 6) — caught as an element-size disagreement, still loud
+    val f1b = tmp()
+    val mutB = good.clone(); mutB(fAt) = 2
+    java.nio.file.Files.write(java.nio.file.Paths.get(f1b), mutB)
+    val e1b = intercept[IllegalArgumentException](Hdf5.index(f1b))
+    assert(e1b.getMessage.contains("element size 6"), e1b.getMessage)
     // corrupt a byte inside the first chunk's deflate stream (chunks
     // are written right after the 96-byte superblock); the INDEX still
     // parses (metadata only) but the read must fail loudly

@@ -262,8 +262,10 @@ class VPICSourceSpec extends AnyFunSuite {
     Seq(false, true).foreach { le =>
       val dChk = java.nio.file.Files
         .createTempDirectory(s"vpic_ck_$le").toString
+      // one leg plain-deflate, one shuffle+deflate (the h5py default)
       VPICSource.writeHdf5Tree(dChk, time, z, y, x, vars,
-        littleEndian = le, chunkTime = Some(2), gzip = true)
+        littleEndian = le, chunkTime = Some(2), gzip = true,
+        shuffle = le)
       assert(rows(dChk) == want, s"littleEndian=$le")
       // per-chunk partitioning: ceil(5/2) = 3 time chunks per variable
       val all = spark.read.format("graft-vpic").option("path", dChk).load()
