@@ -399,19 +399,10 @@ object ScaleProbe {
       // O(cuts)-not-O(frames) claim, measured
       val t2 = System.nanoTime()
       val (cuts, decA) = rows.mapPartitions(_.map { id =>
-        val v = Codecs.parseAviMjpeg(CodecQueries.synthAviMjpegScenes(id))
-        var c = 0L; var dec = 0L
-        var prev = v.frameJpeg(0)
-        (1 until v.nFrames).foreach { f =>
-          val cur = v.frameJpeg(f)
-          if (!java.util.Arrays.equals(prev, cur)) {
-            dec += 2
-            val a = Codecs.decodeJpeg(prev); val b = Codecs.decodeJpeg(cur)
-            if (a.pixels.zip(b.pixels).exists(p => p._1 != p._2)) c += 1
-          }
-          prev = cur
-        }
-        (c, dec)
+        // the SHIPPED q191 rule — one copy, so the probe cannot drift
+        val (c, dec, _) = CodecQueries.detectCuts(
+          Codecs.parseAviMjpeg(CodecQueries.synthAviMjpegScenes(id)))
+        (c.length.toLong, dec)
       }).toDF("c", "d").agg(sum("c"), sum("d")).head() match {
         case r => (r.getLong(0), r.getLong(1))
       }
@@ -454,19 +445,9 @@ object ScaleProbe {
     def cutsPrefiltered(): (Long, Long) = {
       import spark.implicits._
       vids.mapPartitions(_.map { _ =>
-        val v = Codecs.parseAviMjpeg(ls.value)
-        var c = 0L; var dec = 0L
-        var prev = v.frameJpeg(0)
-        (1 until v.nFrames).foreach { f =>
-          val cur = v.frameJpeg(f)
-          if (!java.util.Arrays.equals(prev, cur)) {
-            dec += 2
-            val a = Codecs.decodeJpeg(prev); val b = Codecs.decodeJpeg(cur)
-            if (a.pixels.zip(b.pixels).exists(p => p._1 != p._2)) c += 1
-          }
-          prev = cur
-        }
-        (c, dec)
+        val (c, dec, _) = CodecQueries.detectCuts(
+          Codecs.parseAviMjpeg(ls.value))
+        (c.length.toLong, dec)
       }).toDF("c", "d").agg(sum("c"), sum("d")).head() match {
         case r => (r.getLong(0), r.getLong(1))
       }

@@ -209,6 +209,41 @@ object CodecQueries {
     Codecs.encodeAviMjpeg(w, h, 25, (0 until nf).map(f => jpegOf(f / c)))
   }
 
+  /** q191's cut detector over a parsed MJPEG stream — ONE copy of the
+    * compressed-domain-prefilter semantics (byte-identical chunks
+    * cannot be a cut and skip decode entirely; only differing pairs
+    * pay the real JPEG decoder to confirm visual change), shared by
+    * the query body and both ScaleProbe legs so the probe always
+    * measures the shipped rule. Returns the cut frame indices plus
+    * the decode-work accounting (frames decoded, stored bytes
+    * decoded) that backs the O(cuts)-not-O(frames) claim.
+    */
+  def detectCuts(v: Codecs.AviMjpegStream): (Seq[Int], Long, Long) = {
+    val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var dec = 0L
+    var decBytes = 0L
+    var prev = v.frameJpeg(0)
+    var f = 1
+    while (f < v.nFrames) {
+      val cur = v.frameJpeg(f)
+      if (!java.util.Arrays.equals(prev, cur)) {
+        dec += 2; decBytes += prev.length.toLong + cur.length
+        val a = Codecs.decodeJpeg(prev)
+        val b = Codecs.decodeJpeg(cur)
+        var dsum = 0L
+        var j = 0
+        while (j < a.pixels.length) {
+          dsum += math.abs((a.pixels(j) & 0xff) - (b.pixels(j) & 0xff))
+          j += 1
+        }
+        if (dsum > 0) cuts += f
+      }
+      prev = cur
+      f += 1
+    }
+    (cuts.toSeq, dec, decBytes)
+  }
+
   /** The q180/q181 STATIC plant — ONE copy: [[synthY4m]]'s geometry
     * with the frame term dropped, every frame identical, through the
     * real Y4M encoder.
@@ -1846,31 +1881,9 @@ object CodecQueries {
           .select(col("doc_id")).as[Long]
           .mapPartitions(_.flatMap { id =>
             val v = Codecs.parseAviMjpeg(synthAviMjpegScenes(id))
-            val out = scala.collection.mutable.ArrayBuffer
-              .empty[(Long, Long, Long)]
-            var shot = 0L
-            var prev = v.frameJpeg(0)
-            var f = 1
-            while (f < v.nFrames) {
-              val cur = v.frameJpeg(f)
-              // compressed-domain prefilter: identical chunk bytes
-              // cannot be a cut; only differing pairs pay a decode
-              if (!java.util.Arrays.equals(prev, cur)) {
-                val a = Codecs.decodeJpeg(prev)
-                val b = Codecs.decodeJpeg(cur)
-                var dsum = 0L
-                var j = 0
-                while (j < a.pixels.length) {
-                  dsum += math.abs((a.pixels(j) & 0xff) -
-                    (b.pixels(j) & 0xff))
-                  j += 1
-                }
-                if (dsum > 0) { shot += 1; out += ((id, f.toLong, shot)) }
-              }
-              prev = cur
-              f += 1
+            detectCuts(v)._1.zipWithIndex.map { case (f, i) =>
+              (id, f.toLong, (i + 1).toLong)
             }
-            out
           }).toDF("media_id", "keyframe", "shot_idx")
           .orderBy("media_id", "keyframe")
       },

@@ -1571,11 +1571,18 @@ object SimilarityQueries {
     * .semanticLeakAuditBatch]]). Train-side components and norms come
     * from the corpus at `d`; val norms from `valf` itself, so a true
     * arrival that is not in the corpus still scores exactly.
+    *
+    * `pin` is how the corpus flat view gets persisted: batch callers
+    * keep the default [[graft.CacheScope.retain]] (flushed by the
+    * harness); STREAM callers must pass a batch-local persist freed
+    * in a finally — retain has no flush point in a stream and would
+    * pin one corpus copy per micro-batch forever.
     */
   private[graft] def semanticLeakPairsOf(s: SparkSession, d: String,
-      valf: DataFrame, idx: String): DataFrame = {
+      valf: DataFrame, idx: String,
+      pin: DataFrame => DataFrame = graft.CacheScope.retain): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val f = graft.CacheScope.retain(flat(s, d))
+    val f = pin(flat(s, d))
     val cent = indexCentroids(s, idx)
     // each val vector's nprobe nearest lists against the FROZEN
     // centroid table (metadata-scale, broadcast)

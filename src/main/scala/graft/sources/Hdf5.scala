@@ -187,7 +187,11 @@ object Hdf5 {
               throw new IllegalArgumentException(
                 s"HDF5: corrupt deflate stream in chunk (${e.getMessage})")
           }
-        if (k == 0 && inf.needsInput()) stalled = true
+        // needsDictionary: a zlib header with FDICT set makes inflate
+        // return 0 with needsInput()==false forever — treat as stalled
+        // (loud reject below), never spin
+        if (k == 0 && (inf.needsInput() || inf.needsDictionary()))
+          stalled = true
         off += k
       }
       require(off == expect,
@@ -635,7 +639,11 @@ object Hdf5 {
           buf.u16(grp.length)
           buf.u64(if (gi == 0) Undef else nodeAddrs(gi - 1))
           buf.u64(Undef) // right sibling, patched when the next lands
-          var prevLast = 0L
+          // siblings SHARE the split key (left.lastKey == right.key_0,
+          // the libhdf5 invariant): this node's left boundary is the
+          // previous sibling's last-name key, 0 only for the first
+          var prevLast =
+            if (gi == 0) 0L else groups(gi - 1).last._2
           grp.foreach { case (child, lastName) =>
             buf.u64(prevLast) // key <= first name of this child
             buf.u64(child)
@@ -877,7 +885,9 @@ object Hdf5 {
           require(msize >= 16,
             s"HDF5: continuation message of $msize bytes at $baddr")
           val off = slice.getLong(); val len = slice.getLong()
-          require(len > 0, s"HDF5: empty continuation block from $baddr")
+          require(len > 0 && len <= Int.MaxValue,
+            s"HDF5: continuation block length $len out of range " +
+              s"(from $baddr)")
           blocks.enqueue((off, len))
         } else out += ((tpe, slice))
         remaining -= 1

@@ -680,12 +680,20 @@ object Streams {
       outDir: String): Unit = {
     import graft.sources.BatchCommits
     import graft.similarity.SimilarityQueries
-    if (!BatchCommits.isCommitted(outDir, batchId))
-      BatchCommits.appendBatch(
-        SimilarityQueries.semanticLeakPairsOf(batch.sparkSession,
-            corpusDir, SimilarityQueries.flatVecs(batch), indexPath)
-          .withColumn("batch_id", lit(batchId)),
-        outDir, batchId): Unit
+    if (!BatchCommits.isCommitted(outDir, batchId)) {
+      // batch-LOCAL persist for the corpus flat view, freed in a
+      // finally — never CacheScope.retain here (no flush point in a
+      // stream; retaining would pin one corpus copy per micro-batch)
+      val localPins = scala.collection.mutable.Buffer.empty[DataFrame]
+      try
+        BatchCommits.appendBatch(
+          SimilarityQueries.semanticLeakPairsOf(batch.sparkSession,
+              corpusDir, SimilarityQueries.flatVecs(batch), indexPath,
+              pin = df => { val p = df.persist(); localPins += p; p })
+            .withColumn("batch_id", lit(batchId)),
+          outDir, batchId): Unit
+      finally localPins.foreach(_.unpersist(false))
+    }
   }
 
   /** Streaming advance of the CORPUS-STATISTICS artifact (the q143
