@@ -347,8 +347,25 @@ object ScaleProbe {
         .count()
       val dt1 = (System.nanoTime() - t1) / 1e9
       CacheScope.flush(spark)
+      // the STREAMING gate's per-arrival-batch cost: the same served
+      // body over the val half as ONE micro-batch, plus the fenced
+      // audit commit — the delta over `served` above is the commit
+      // machinery's price, which must stay a small constant
+      val idxPath = SimilarityQueries.semanticLeakTrainIndex(spark, d)
+      val valArr = spark.read.parquet(d + "/embeddings.parquet")
+        .join(SimilarityQueries.vecSplitOf(spark, d)
+          .filter(col("split") === "val").select("vec_id"),
+          Seq("vec_id"), "left_semi")
+      val auditDir = java.nio.file.Files
+        .createTempDirectory("semleak_audit").toString
+      val t2 = System.nanoTime()
+      graft.streaming.Streams.semanticLeakAuditBatch(
+        valArr, 0L, d, idxPath, auditDir)
+      val dt2 = (System.nanoTime() - t2) / 1e9
+      CacheScope.flush(spark)
       println(f"[scale] semantic_leak k=$k vecs=${500 * k} leaks=$leaks " +
-        f"served=$dt%.2f s brute_pairs=$bf brute=$dt1%.2f s")
+        f"served=$dt%.2f s brute_pairs=$bf brute=$dt1%.2f s " +
+        f"stream_batch=$dt2%.2f s")
     }
   }
 

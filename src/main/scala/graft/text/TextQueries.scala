@@ -1265,9 +1265,12 @@ SELECT * FROM rep ORDER BY doc_id""")),
     lit("<html><head><title>doc "), col("doc_id").cast("string"),
     lit("</title><style>p{margin:0}</style></head><body>" +
       "<nav>home | about | contact</nav>" +
-      // real-crawl hazards: a comment CARRYING markup (must vanish
-      // whole, not unwrap its <p>) and a quoted '>' in an attribute
-      // value (must not truncate the tag strip mid-tag)
+      // real-crawl hazards: a CDATA section (raw character data —
+      // must vanish whole before the tag strip can misread it), a
+      // comment CARRYING markup (must vanish whole, not unwrap its
+      // <p>) and a quoted '>' in an attribute value (must not
+      // truncate the tag strip mid-tag)
+      "<![CDATA[raw > data <b>inert</b> --> tail]]>" +
       "<!-- draft <p>commented out</p> -->" +
       "<img alt=\"width > height\" src=\"/i.png\">" +
       "<script>var id="),
@@ -1288,6 +1291,7 @@ SELECT * FROM rep ORDER BY doc_id""")),
                '<html><head><title>doc ' || doc_id ||
                '</title><style>p{margin:0}</style></head><body>' ||
                '<nav>home | about | contact</nav>' ||
+               '<![CDATA[raw > data <b>inert</b> --> tail]]>' ||
                '<!-- draft <p>commented out</p> -->' ||
                '<img alt="width > height" src="/i.png">' ||
                '<script>var id=' ||
@@ -1306,7 +1310,9 @@ SELECT * FROM rep ORDER BY doc_id""")),
                  regexp_replace(
                  regexp_replace(
                  regexp_replace(
+                 regexp_replace(
                  regexp_replace(html,
+                   '(?s)<!\[CDATA\[.*?\]\]>', ' ', 'g'),
                    '(?s)<!--.*?-->', ' ', 'g'),
                    '(?is)<script.*?</script>', ' ', 'g'),
                    '(?is)<style.*?</style>', ' ', 'g'),
@@ -1324,13 +1330,16 @@ SELECT * FROM rep ORDER BY doc_id""")),
     * (`&amp;` last), whitespace collapse. All codegen'd built-ins,
     * per-row, no UDF.
     *
-    * Declared real-crawl subset: comments are removed WHOLE and
-    * BEFORE the block rules (so a commented-out `<script>` can never
-    * open a block match that swallows following prose), and the tag
-    * strip tracks quoted attribute values (`<img alt="a>b">` strips
-    * as one tag, not truncated at the quoted `>`). Still outside the
-    * subset and documented as such: CDATA sections and unquoted
-    * attribute values containing `>` — both vanishingly rare in
+    * Declared real-crawl subset: CDATA sections vanish whole and
+    * FIRST (their contents are raw character data — any markup
+    * inside is inert, and the tag strip would otherwise misread
+    * `<![CDATA[` as a tag and leak the section's tail); comments are
+    * removed WHOLE and BEFORE the block rules (so a commented-out
+    * `<script>` can never open a block match that swallows following
+    * prose); the tag strip tracks quoted attribute values
+    * (`<img alt="a>b">` strips as one tag, not truncated at the
+    * quoted `>`). Still outside the subset and documented as such:
+    * unquoted attribute values containing `>` — vanishingly rare in
     * crawl HTML and rejected nowhere (they degrade to extra stripped
     * text, never to leaked markup).
     */
@@ -1340,7 +1349,8 @@ SELECT * FROM rep ORDER BY doc_id""")),
     // (?i): HTML tag names are case-insensitive in real crawls — a
     // case-sensitive block pattern would let <SCRIPT> content through
     // the tag strip and into the clean corpus
-    Seq("(?s)<!--.*?-->",
+    Seq("(?s)<!\\[CDATA\\[.*?\\]\\]>",
+        "(?s)<!--.*?-->",
         "(?is)<script.*?</script>", "(?is)<style.*?</style>",
         "(?is)<head.*?</head>", "(?is)<nav.*?</nav>",
         "(?is)<footer.*?</footer>",

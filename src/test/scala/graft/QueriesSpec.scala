@@ -908,6 +908,9 @@ class QueriesSpec extends AnyFunSuite {
     import spark.implicits._
     val crafted = "<html><head><title>t</title>\n<style>\nbody{}\n" +
       "</style></head><body><nav>\nmenu\n</nav>" +
+      // CDATA whose tail would LEAK if the tag strip saw it first
+      // (`<![CDATA[x >` parses as one tag, stranding `1]] >` etc.)
+      "<![CDATA[x > 1 && <b>raw</b> --> tail]]>" +
       // UNCLOSED <script> inside the comment: if blocks ran before
       // comments, (?is)<script.*?</script> would match from here
       // through the real </SCRIPT> below and swallow the keep-text
