@@ -2,52 +2,100 @@ package graft.sources
 
 import graft.SharedSpark
 import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
-import org.scalatest.funsuite.AnyFunSuite
 
-/** Property tests for the DSv2 VPIC reader: for random tree shapes,
-  * chunk sizes, and time-filter windows, the scan must return exactly
-  * the generator's cells — chunk boundaries and planning-time pruning
-  * must never drop or duplicate a row.
+/** End-to-end property test for the WHOLE DSv2 ingest surface: random
+  * grids through every on-disk layout — per-variable raw tree,
+  * band-interleaved file, and real-HDF5 trees (contiguous f64,
+  * chunked, chunked+deflate, chunked+deflate+shuffle, f32) — with a
+  * random `chunkSteps` and a random pushed `it` bound must all return
+  * EXACTLY the generator's cells. Fixture tests pin each layout's
+  * plumbing; this spec sweeps the combinatorics where a chunk-grid
+  * edge case, an interleave stride, an endianness/elem-size mix, or
+  * a pruning off-by-one would hide.
   */
 class VPICPropertiesSpec extends AnyFunSuite {
-  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
-    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(7L + i)))
-
   lazy val spark = SharedSpark.spark
 
-  private val shapes = for {
-    nt <- Gen.choose(1, 6)
-    nz <- Gen.choose(1, 4)
-    ny <- Gen.choose(1, 3) // 1 = the degenerate-y (2-D) case
-    nx <- Gen.choose(1, 5)
-    chunk <- Gen.choose(1, 7)
-    lo <- Gen.choose(0, nt - 1)
-    hi <- Gen.choose(lo, nt - 1)
-  } yield (nt, nz, ny, nx, chunk, lo, hi)
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(947L + i)))
 
-  test("random shapes x chunk sizes x it-windows read exactly the written cells") {
-    samples(shapes, 12).foreach { case (nt, nz, ny, nx, chunk, lo, hi) =>
-      val dir = java.nio.file.Files.createTempDirectory("vpic_prop").toString
-      def f(it: Int, iz: Int, iy: Int, ix: Int): Double =
-        it * 100000.0 + iz * 1000.0 + iy * 100.0 + ix
-      VPICSource.writeMock(dir,
-        Array.tabulate(nt)(_.toDouble), Array.tabulate(nz)(_ * 0.5),
-        Array.tabulate(ny)(_ * 0.75), Array.tabulate(nx)(_ * 0.25),
-        Map("g/v" -> (f _)))
-      val scan = spark.read.format("graft-vpic")
-        .option("path", dir).option("chunkSteps", chunk.toString).load()
-      val got = scan.filter(col("it") >= lo && col("it") <= hi)
-        .select("it", "iz", "iy", "ix", "value").collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3),
-          r.getDouble(4)))
+  private final case class Cfg(nt: Int, nz: Int, ny: Int, nx: Int,
+      nvars: Int, layout: String, le: Boolean, chunkTime: Int,
+      gzip: Boolean, shuffle: Boolean, f32: Boolean, chunkSteps: Int,
+      itLo: Int)
+
+  private val genCfg: Gen[Cfg] = for {
+    nt <- Gen.choose(1, 7)
+    nz <- Gen.choose(1, 5)
+    ny <- Gen.choose(1, 4)
+    nx <- Gen.choose(1, 6)
+    nvars <- Gen.choose(1, 3)
+    layout <- Gen.oneOf("raw", "interleaved", "h5cont", "h5chunk")
+    le <- Gen.oneOf(true, false)
+    chunkTime <- Gen.choose(1, 7)
+    gzip <- Gen.oneOf(true, false)
+    shuffle <- Gen.oneOf(true, false)
+    f32 <- Gen.oneOf(true, false)
+    chunkSteps <- Gen.choose(1, 8)
+    itLo <- Gen.choose(0, math.max(0, nt - 1))
+  } yield Cfg(nt, nz, ny, nx, nvars, layout, le, chunkTime, gzip,
+    shuffle, f32, chunkSteps, itLo)
+
+  /** The generator formula — exactly representable in binary32 for
+    * every grid in range, so the f32 legs compare EXACTLY too.
+    */
+  private def value(v: Int, it: Int, iz: Int, iy: Int, ix: Int): Double =
+    v * 8192.0 + it * 1024.0 + iz * 128.0 + iy * 16.0 + ix
+
+  test("every layout x compression x datatype x pruning combination " +
+    "returns exactly the generated cells") {
+    samples(genCfg, 36).zipWithIndex.foreach { case (c, ti) =>
+      val d = java.nio.file.Files
+        .createTempDirectory(s"vpic_prop$ti").toString
+      val time = Array.tabulate(c.nt)(_.toDouble)
+      val z = Array.tabulate(c.nz)(_ * 0.5)
+      val y = Array.tabulate(c.ny)(_ * 0.25)
+      val x = Array.tabulate(c.nx)(_ * 0.125)
+      val varNames = (0 until c.nvars).map(v => s"fields/v$v")
+      def f(v: Int) = (it: Int, iz: Int, iy: Int, ix: Int) =>
+        value(v, it, iz, iy, ix)
+      val vars = varNames.zipWithIndex
+        .map { case (n, v) => n -> f(v) }.toMap
+      c.layout match {
+        case "raw" => VPICSource.writeMock(d, time, z, y, x, vars)
+        case "interleaved" => VPICSource.writeMockInterleaved(
+          d, time, z, y, x, varNames.zipWithIndex
+            .map { case (n, v) => n -> f(v) })
+        case "h5cont" => VPICSource.writeHdf5Tree(d, time, z, y, x,
+          vars, littleEndian = c.le, f32 = false)
+        case "h5chunk" => VPICSource.writeHdf5Tree(d, time, z, y, x,
+          vars, littleEndian = c.le, chunkTime = Some(c.chunkTime),
+          gzip = c.gzip, shuffle = c.shuffle, f32 = c.f32)
+      }
+      val scan = spark.read.format("graft-vpic").option("path", d)
+        .option("chunkSteps", c.chunkSteps.toString).load()
+        .filter(col("it") >= c.itLo)
+      val got = scan
+        .select("var", "it", "iz", "iy", "ix", "value")
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+          r.getInt(3), r.getInt(4), r.getDouble(5)))
         .toSet
-      val want = (for (it <- lo to hi; iz <- 0 until nz; iy <- 0 until ny;
-          ix <- 0 until nx)
-        yield (it, iz, iy, ix, f(it, iz, iy, ix))).toSet
+      val want = (for {
+        (n, v) <- varNames.zipWithIndex
+        it <- c.itLo until c.nt
+        iz <- 0 until c.nz
+        iy <- 0 until c.ny
+        ix <- 0 until c.nx
+      } yield (n.split('/').last, it, iz, iy, ix,
+        value(v, it, iz, iy, ix))).toSet
       assert(got == want,
-        s"shape nt=$nt nz=$nz ny=$ny nx=$nx chunk=$chunk window=[$lo,$hi]")
+        s"cfg $ti $c: ${got.size} rows vs ${want.size} expected; " +
+          s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
     }
   }
 }
