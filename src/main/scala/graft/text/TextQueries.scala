@@ -1255,8 +1255,167 @@ SELECT * FROM rep ORDER BY doc_id""")),
                round(sum(CASE WHEN q.keep THEN 1 ELSE 0 END) * 1.0
                  / count(*), 4) AS keep_rate
              FROM documents d JOIN qflags q USING (doc_id)
-             GROUP BY 1 ORDER BY 1"""))
+             GROUP BY 1 ORDER BY 1""")),
+
+    // ---- q193: URL CANONICALIZATION + DEDUP + PER-DOMAIN CAPS — the
+    // web stage that runs BEFORE any fetch or text gate (the
+    // CommonCrawl/CCNet URL-level pass): crawl frontiers and WARC
+    // listings carry the same page under many spellings (scheme/host
+    // case, default ports, www, tracking params, trailing slashes,
+    // fragments), and a pipeline that fetches or keeps them all pays
+    // the whole dedup cascade to learn what one string pass knew.
+    // The corpus has no URL column, so — the q113/q189 fixture
+    // pattern — each doc gets a deterministic MESSY url built
+    // identically by both engines ([[messyUrl]]); canonicalization is
+    // a codegen'd replace/regexp chain ([[canonicalUrl]], rule order
+    // documented there), then one groupBy collapses spellings
+    // (keeper = lowest doc_id, the suite's first-copy-wins rule) and
+    // a per-domain rank applies the politeness/diversity cap real
+    // crawls enforce. Scale shape: the canonicalization is per-row
+    // map work; the groupBy shuffles canonical STRINGS (not docs) and
+    // the domain window rides a metadata-width table — at 100 TB the
+    // frontier dedup costs one hash exchange over the URL set.
+    Q("q193_url_canonical_dedup",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        Tables.documents(s, d)
+          .select(col("doc_id"), canonicalUrl(messyUrl).as("canonical_url"))
+          .groupBy("canonical_url")
+          .agg(min(col("doc_id")).as("keeper"),
+            count(lit(1)).as("n_docs"))
+          .withColumn("domain",
+            regexp_extract(col("canonical_url"), "://([^/]*)", 1))
+          .withColumn("domain_rank", row_number().over(
+            Window.partitionBy("domain").orderBy("keeper"))
+            .cast("long"))
+          .withColumn("kept", col("domain_rank") <= UrlDomainCap)
+          .select("canonical_url", "domain", "keeper", "n_docs",
+            "domain_rank", "kept")
+          .orderBy("canonical_url")
+      },
+      Some(s"""WITH u AS (SELECT doc_id,
+               CASE WHEN doc_id % 8 = 0 THEN 'HTTPS' ELSE 'https' END ||
+               '://' ||
+               CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END ||
+               CASE WHEN doc_id % 5 = 0
+                    THEN upper('site' || (doc_id % 7) || '.example.com')
+                    ELSE 'site' || (doc_id % 7) || '.example.com' END ||
+               CASE WHEN doc_id % 6 = 0 THEN ':443' ELSE '' END ||
+               '/docs/page-' || (doc_id % 53) ||
+               CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+               CASE WHEN doc_id % 11 = 0
+                    THEN '?utm_source=s' || (doc_id % 9) ||
+                         '&page=' || (doc_id % 3)
+                    WHEN doc_id % 2 = 0
+                    THEN '?utm_source=s' || (doc_id % 9)
+                    ELSE '' END ||
+               CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END AS raw
+               FROM documents),
+             c AS (SELECT doc_id,
+               regexp_replace(
+               regexp_replace(
+               regexp_replace(
+               replace(
+               replace(
+               regexp_replace(
+               replace(
+                 lower(regexp_extract(regexp_replace(raw, '#.*$$', ''),
+                   '^([^/]*//[^/]*)', 1)) ||
+                 regexp_extract(regexp_replace(raw, '#.*$$', ''),
+                   '^[^/]*//[^/]*(.*)$$', 1),
+                 ':443/', '/'),
+                 ':443$$', ''),
+                 '://www.', '://'),
+                 '/?', '?'),
+                 '\\?utm_[^&]*&', '?', 'g'),
+                 '[?&]utm_[^&]*', '', 'g'),
+                 '/$$', '') AS canonical_url
+               FROM u),
+             g AS (SELECT canonical_url,
+                     CAST(min(doc_id) AS BIGINT) AS keeper,
+                     CAST(count(*) AS BIGINT) AS n_docs
+                   FROM c GROUP BY 1)
+             SELECT canonical_url,
+               regexp_extract(canonical_url, '://([^/]*)', 1) AS domain,
+               keeper, n_docs,
+               CAST(row_number() OVER (
+                 PARTITION BY regexp_extract(canonical_url, '://([^/]*)', 1)
+                 ORDER BY keeper) AS BIGINT) AS domain_rank,
+               row_number() OVER (
+                 PARTITION BY regexp_extract(canonical_url, '://([^/]*)', 1)
+                 ORDER BY keeper) <= $UrlDomainCap AS kept
+             FROM g ORDER BY canonical_url"""))
   )
+
+  /** q193's per-domain keep cap — the politeness/diversity bound real
+    * crawl frontiers enforce; 5 against 7 synthetic domains x ~dozens
+    * of canonicals each makes both branches fire at every SF.
+    */
+  val UrlDomainCap = 5
+
+  /** q193's deterministic MESSY url per doc — ONE copy in each engine
+    * (its SQL image is the oracle's `u` CTE): scheme case (mod 8),
+    * `www.` (mod 4), host case (mod 5), default `:443` port (mod 6),
+    * 7 domains, 53 path slots, trailing slash (mod 3), tracking
+    * params with an occasionally-following REAL `page` param (mod
+    * 11 / mod 2), fragment (mod 7). Spellings differ per doc while
+    * canonicals collide on (domain, path slot, page) — so genuine
+    * dup clusters AND singletons both exist.
+    */
+  private def messyUrl: org.apache.spark.sql.Column = {
+    val id = col("doc_id")
+    val hostCore = concat(lit("site"), (id % 7).cast("string"),
+      lit(".example.com"))
+    concat(
+      when(id % 8 === 0, lit("HTTPS")).otherwise(lit("https")),
+      lit("://"),
+      when(id % 4 === 0, lit("www.")).otherwise(lit("")),
+      when(id % 5 === 0, upper(hostCore)).otherwise(hostCore),
+      when(id % 6 === 0, lit(":443")).otherwise(lit("")),
+      lit("/docs/page-"), (id % 53).cast("string"),
+      when(id % 3 === 0, lit("/")).otherwise(lit("")),
+      when(id % 11 === 0,
+        concat(lit("?utm_source=s"), (id % 9).cast("string"),
+          lit("&page="), (id % 3).cast("string")))
+        .when(id % 2 === 0,
+          concat(lit("?utm_source=s"), (id % 9).cast("string")))
+        .otherwise(lit("")),
+      when(id % 7 === 0, lit("#sec")).otherwise(lit("")))
+  }
+
+  /** The q193 canonicalization rule chain — ONE copy (its SQL image
+    * is the oracle's `c` CTE), all codegen'd built-ins, no UDF, no
+    * regex backrefs (Spark uses `$1` where RE2 uses `\\1`, so a
+    * backref could never be one shared rule; every rule here is
+    * backref-free by construction). ORDER IS LOAD-BEARING:
+    *   1. fragment off first (a `#` can contain anything);
+    *   2. lowercase the AUTHORITY only (scheme+host — paths and
+    *      query values are case-significant), then re-attach the
+    *      rest;
+    *   3. default-port strip (`:443/` plain replace + `:443$`);
+    *   4. `www.` strip AFTER lowering (or `WWW.` survives);
+    *   5. pre-query trailing slash (`/?` -> `?`) before the param
+    *      rules, so `/path/?utm=..` and `/path?utm=..` converge;
+    *   6. tracking-param strip in two backref-free steps: a leading
+    *      `?utm_...&` becomes `?` (promoting the next real param),
+    *      then any remaining `[?&]utm_...` drops;
+    *   7. trailing-slash strip last (a stripped `:443/` already
+    *      re-exposed the path).
+    */
+  private def canonicalUrl(raw: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val noFrag = regexp_replace(raw, "#.*$", "")
+    val lowered = concat(
+      lower(regexp_extract(noFrag, "^([^/]*//[^/]*)", 1)),
+      regexp_extract(noFrag, "^[^/]*//[^/]*(.*)$", 1))
+    var c = replace(lowered, lit(":443/"), lit("/"))
+    c = regexp_replace(c, ":443$", "")
+    c = replace(c, lit("://www."), lit("://"))
+    c = replace(c, lit("/?"), lit("?")) // pre-query trailing slash
+    c = regexp_replace(c, "\\?utm_[^&]*&", "?")
+    c = regexp_replace(c, "[?&]utm_[^&]*", "")
+    regexp_replace(c, "/$", "")
+  }
 
   /** The q189/q190 deterministic HTML page around each doc — ONE copy
     * in each engine (its SQL image is [[markupExtractCtesSql]]'s `w`).

