@@ -431,6 +431,79 @@ class Hdf5Spec extends AnyFunSuite {
       || e.getMessage.contains("HDF5"), e.getMessage)
   }
 
+  test("GOLDEN BYTES (chunked): the chunk B-tree node, its keys, and " +
+    "the class-2 layout message sit at spec-computed addresses with " +
+    "spec-computed field values") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val p = tmp()
+    // one rank-1 dataset, dims 5, chunk 2 -> chunks at 0,2,4 (edge
+    // chunk overhangs); UNCOMPRESSED so every size is computable
+    Hdf5.writeSpecs(p, Seq(Hdf5.H5Write("c", Array(5L),
+      Array(1.0, 2, 3, 4, 5), chunkDims = Some(Array(2L)))))
+    val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    def u16(at: Int): Int =
+      ByteBuffer.wrap(b, at, 2).order(ByteOrder.LITTLE_ENDIAN).getShort & 0xffff
+    def u32(at: Int): Long =
+      ByteBuffer.wrap(b, at, 4).order(ByteOrder.LITTLE_ENDIAN).getInt.toLong
+    def u64(at: Int): Long =
+      ByteBuffer.wrap(b, at, 8).order(ByteOrder.LITTLE_ENDIAN).getLong
+
+    // ---- spec-computed layout
+    val chunkBytes = 2 * 8 // chunk dims (2) x f64, full size incl fill
+    val chunk0 = 96 // first 8-aligned byte after the superblock
+    val chunk1 = chunk0 + chunkBytes
+    val chunk2 = chunk1 + chunkBytes
+    val btree = chunk2 + chunkBytes
+    // node-type-1 key: 4 size + 4 mask + (rank+1) x 8 offsets = 24
+    val keySize = 8 + 8 * 2
+    // allocated at 2K(=64) children + 65 keys past the 24-byte header
+    val btAlloc = 24 + 64 * 8 + 65 * keySize
+    val dsOh = btree + btAlloc
+    // v1 OH: 16 prefix + dataspace (8+16) + datatype (8+24) +
+    // layout (8 + pad8(2+1+8+4*2)=24) — exactly 3 messages, so no
+    // continuation block
+    val dsOhSize = 16 + (8 + 16) + (8 + 24) + (8 + 24)
+    val heap = dsOh + dsOhSize
+    val heapData = heap + 32
+    val snod = heapData + 16
+    val groupBt = snod + (8 + 2 * 4 * 40)
+    val rootOh = groupBt + (24 + 8 * 8 + 9 * 8)
+    val eof = rootOh + 16 + (8 + 16)
+
+    assert(u64(40) == eof && b.length == eof)
+    // ---- the chunk B-tree node, field by field
+    assert(new String(b, btree, 4, "US-ASCII") == "TREE")
+    assert(b(btree + 4) == 1 && b(btree + 5) == 0) // type 1, level 0
+    assert(u16(btree + 6) == 3) // three chunks
+    assert(u64(btree + 8) == -1L && u64(btree + 16) == -1L) // siblings
+    // keys/children: key_i = (stored size, mask 0, offset i*2, 0)
+    val e0 = btree + 24
+    Seq((0, chunk0.toLong, 0L), (1, chunk1.toLong, 2L),
+      (2, chunk2.toLong, 4L)).foreach { case (i, addr, off) =>
+      val k = e0 + i * (keySize + 8)
+      assert(u32(k) == chunkBytes, s"key $i stored size")
+      assert(u32(k + 4) == 0, s"key $i filter mask")
+      assert(u64(k + 8) == off && u64(k + 16) == 0, s"key $i offsets")
+      assert(u64(k + keySize) == addr, s"child $i address")
+    }
+    // the past-the-end boundary key: offset = chunk-grid edge (6)
+    val kEnd = e0 + 3 * (keySize + 8)
+    assert(u64(kEnd + 8) == 6L && u64(kEnd + 16) == 0L)
+    // ---- the class-2 layout message body
+    val layBody = dsOh + 16 + (8 + 16) + (8 + 24) + 8
+    assert(b(layBody) == 3 && b(layBody + 1) == 2) // v3, chunked
+    assert(b(layBody + 2) == 2) // dimensionality = rank + 1
+    assert(u64(layBody + 3) == btree)
+    assert(u32(layBody + 11) == 2 && u32(layBody + 15) == 8) // dims, elem
+    // ---- the raw chunk bytes themselves (big-endian f64; edge fill 0)
+    assert(ByteBuffer.wrap(b, chunk0, 8).getDouble == 1.0)
+    assert(ByteBuffer.wrap(b, chunk2, 8).getDouble == 5.0)
+    assert(ByteBuffer.wrap(b, chunk2 + 8, 8).getDouble == 0.0)
+    // and the reader agrees
+    val d = Hdf5.index(p).head
+    assert(Hdf5.readDoubles(p, d, 0, 5).toSeq == Seq(1.0, 2, 3, 4, 5))
+  }
+
   test("GOLDEN BYTES: every structure of a minimal file sits at the " +
     "spec-computed address and internal pointers agree") {
     import java.nio.{ByteBuffer, ByteOrder}
