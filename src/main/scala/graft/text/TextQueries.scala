@@ -1498,9 +1498,16 @@ SELECT * FROM rep ORDER BY doc_id""")),
     * prose); the tag strip tracks quoted attribute values
     * (`<img alt="a>b">` strips as one tag, not truncated at the
     * quoted `>`). Still outside the subset and documented as such:
-    * unquoted attribute values containing `>` — vanishingly rare in
-    * crawl HTML and rejected nowhere (they degrade to extra stripped
-    * text, never to leaked markup).
+    * (a) unquoted attribute values containing `>` — they degrade to
+    * extra stripped text; (b) a comment carrying an UNCLOSED
+    * `<![CDATA[` opener — the CDATA-first order (forced by the tag
+    * strip misreading `<![CDATA[`) means such a comment can swallow
+    * prose up to the next real `]]>` and leave its own head
+    * unstripped. (a) and (b) are mutually-exclusive order hazards of
+    * any shared regex chain (a comment can hide an unclosed opener
+    * of EITHER later rule); both are vanishingly rare in crawl HTML,
+    * and the chosen order protects the overwhelmingly more common
+    * commented-out-script case.
     */
   def markupExtract(html: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {

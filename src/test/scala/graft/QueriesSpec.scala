@@ -956,10 +956,22 @@ class QueriesSpec extends AnyFunSuite {
         && !u.endsWith("/") && u == u.toLowerCase, u)
       assert(u.contains(s"://$dom/") || u.split('?').head.endsWith(dom), u)
     }
-    // keeper is genuinely the lowest doc_id of its cluster: rebuild
-    // one cluster by hand from the shared synthesis rule
-    val dup = rows.filter(_._4 > 1).minBy(_._3)
-    assert(dup._3 >= 0)
+    // keeper/n_docs are genuine: rebuild EVERY cluster independently
+    // from the synthesis rule (canonical key = domain slot mod 7,
+    // path slot mod 53, page param only when doc_id % 11 == 0) and
+    // demand exact agreement — a keeper aggregation that regressed to
+    // anything but the cluster min goes red here, not just vs the
+    // oracle (which shares min() by construction)
+    import spark.implicits._
+    val ids = graft.Tables.documents(spark, sf)
+      .select("doc_id").as[Long].collect()
+    val rebuilt = ids.groupBy { id =>
+      val page = if (id % 11 == 0) s"?page=${id % 3}" else ""
+      s"https://site${id % 7}.example.com/docs/page-${id % 53}$page"
+    }.map { case (u, members) =>
+      u -> (members.min, members.length.toLong)
+    }
+    assert(rows.map(r => r._1 -> (r._3, r._4)).toMap == rebuilt)
   }
 
   test("q190 web-ingest gate is non-vacuous: kept and dropped docs " +

@@ -26,7 +26,7 @@ class VPICPropertiesSpec extends AnyFunSuite {
   private final case class Cfg(nt: Int, nz: Int, ny: Int, nx: Int,
       nvars: Int, layout: String, le: Boolean, chunkTime: Int,
       gzip: Boolean, shuffle: Boolean, f32: Boolean, chunkSteps: Int,
-      itLo: Int)
+      itLo: Int, itHi: Int)
 
   private val genCfg: Gen[Cfg] = for {
     nt <- Gen.choose(1, 7)
@@ -42,8 +42,9 @@ class VPICPropertiesSpec extends AnyFunSuite {
     f32 <- Gen.oneOf(true, false)
     chunkSteps <- Gen.choose(1, 8)
     itLo <- Gen.choose(0, math.max(0, nt - 1))
+    itHi <- Gen.choose(itLo, nt - 1)
   } yield Cfg(nt, nz, ny, nx, nvars, layout, le, chunkTime, gzip,
-    shuffle, f32, chunkSteps, itLo)
+    shuffle, f32, chunkSteps, itLo, itHi)
 
   /** The generator formula — exactly representable in binary32 for
     * every grid in range, so the f32 legs compare EXACTLY too.
@@ -76,9 +77,12 @@ class VPICPropertiesSpec extends AnyFunSuite {
           vars, littleEndian = c.le, chunkTime = Some(c.chunkTime),
           gzip = c.gzip, shuffle = c.shuffle, f32 = c.f32)
       }
+      // TWO-SIDED pushed time window: both the lower and the upper
+      // bound prune chunks at planning time (an off-by-one that keeps
+      // or drops a boundary chunk fails the exact-set compare below)
       val scan = spark.read.format("graft-vpic").option("path", d)
         .option("chunkSteps", c.chunkSteps.toString).load()
-        .filter(col("it") >= c.itLo)
+        .filter(col("it") >= c.itLo && col("it") <= c.itHi)
       val got = scan
         .select("var", "it", "iz", "iy", "ix", "value")
         .collect()
@@ -87,7 +91,7 @@ class VPICPropertiesSpec extends AnyFunSuite {
         .toSet
       val want = (for {
         (n, v) <- varNames.zipWithIndex
-        it <- c.itLo until c.nt
+        it <- c.itLo to c.itHi
         iz <- 0 until c.nz
         iy <- 0 until c.ny
         ix <- 0 until c.nx
