@@ -10,10 +10,15 @@ import java.nio.charset.StandardCharsets.US_ASCII
   * (/root/reference/src/datasets/vpicdataset.py:9,194), and with no
   * HDF5 library in this environment the tree had been mocked with
   * raw `data.bin` files. This module writes and validates a
-  * well-defined subset of the PUBLIC HDF5 File Format Specification
-  * (version 0 superblock — the format every HDF5 1.x library reads):
+  * well-defined subset of the PUBLIC HDF5 File Format Specification:
   *
-  *   - superblock v0, 8-byte offsets/lengths;
+  *   - superblocks v0-v3 on READ (v0 is what `libver='earliest'`
+  *     h5py emits and what this writer produces; v1 adds the
+  *     indexed-storage K; v2/v3 — `libver='latest'` h5py, NetCDF4 —
+  *     are 48-byte lookup3-checksummed superblocks pointing straight
+  *     at a root object header, usually a v2 "OHDR" header whose
+  *     COMPACT link messages this parser walks);
+  *   - 8-byte offsets/lengths;
   *   - groups as the classic symbol-table machinery: a v1 B-tree
   *     (node type 0) of ANY depth over SNOD symbol-table nodes with
   *     names in a local heap — wide groups (real dumps put dozens of
@@ -22,27 +27,35 @@ import java.nio.charset.StandardCharsets.US_ASCII
   *     allocated size (2·K entry slots, zero-filled) so a library
   *     that reads whole allocated nodes never lands past
   *     end-of-allocation;
-  *   - datasets as v1 object headers carrying the messages an array
-  *     needs — Dataspace (v1, simple), Datatype (class 1
+  *   - datasets as v1 OR v2 object headers carrying the messages an
+  *     array needs — Dataspace (v1/v2, simple), Datatype (class 1
   *     floating-point, IEEE binary32 OR binary64, either byte
-  *     order), Data Layout (v3, class 1 contiguous or class 2
-  *     CHUNKED), and for chunked data the optional Filter Pipeline
-  *     (v1, deflate) — real h5py/VPIC dumps are typically chunked
-  *     f32 with gzip, which is exactly this corner;
+  *     order; class 0 FIXED-POINT 1/2/4/8-byte ints widened to
+  *     doubles — VPIC auxiliary arrays are ints), Fill Value
+  *     (v1-v3 + old, decoded in the dataset's type), Data Layout
+  *     (v3, class 1 contiguous or class 2 CHUNKED), and for chunked
+  *     data the optional Filter Pipeline (v1, deflate) — real
+  *     h5py/VPIC dumps are typically chunked f32 with gzip, which
+  *     is exactly this corner;
   *   - chunked raw data behind a v1 B-tree of node type 1 (ANY
   *     depth on read; the writer emits multi-level trees past 2·K
   *     chunks per node), each chunk individually deflated so a
-  *     reader decompresses ONLY the chunks it touches;
+  *     reader decompresses ONLY the chunks it touches; SPARSE
+  *     (lazily-allocated) chunk grids read as the fill value —
+  *     h5py allocates chunks on write, so partially-written real
+  *     dumps (restart dumps, short final time chunks) have B-tree
+  *     gaps, never an error;
   *   - object header CONTINUATION blocks (libhdf5 overflows headers
   *     into them routinely — filters, fill values, attributes): the
   *     reader chains them cycle-guarded, and the writer spills past
   *     three messages so every chunked+gzip dataset exercises the
   *     path.
   *
-  * Everything OUTSIDE the subset — later superblock versions,
-  * compact layouts, non-float types, filters other than deflate,
-  * unallocated chunks — is rejected LOUDLY with a precise message,
-  * never silently mis-read (the WAV/AVI parser discipline).
+  * Everything OUTSIDE the subset — compact/v4 layouts, non-numeric
+  * types, filters other than shuffle+deflate, dense (fractal-heap)
+  * link storage, non-hard links, superblock extensions, >=2 GiB
+  * chunks — is rejected LOUDLY with a precise message, never
+  * silently mis-read (the WAV/AVI parser discipline).
   *
   * The parser builds a metadata INDEX ONLY (paths, dims, data/chunk
   * addresses) by seeking through header structures; dataset bytes
@@ -84,10 +97,21 @@ object Hdf5 {
       storedBytes: Long)
 
   /** One dataset in the index: slash-joined path, dimension sizes,
-    * byte order, element size (4 = binary32, 8 = binary64) and layout.
+    * byte order, element size (4 = binary32, 8 = binary64 for floats;
+    * 1/2/4/8 for fixed-point) and layout. `fill` is the dataset's
+    * fill value (Fill Value message, default 0.0) — what reads of
+    * UNALLOCATED chunks return: h5py allocates chunks lazily on
+    * write, so partially-written real dumps have B-tree gaps and
+    * `reader[var][:]` returns fill-filled arrays there
+    * (vpicdataset.py:229). `fixedPoint` marks a class-0 (integer)
+    * datatype, widened to doubles on read — VPIC auxiliary datasets
+    * (ranks, topology, species counts) are ints; `signed` is its
+    * two's-complement signedness (meaningless for floats).
     */
   final case class H5Dataset(path: String, dims: Array[Long],
-      littleEndian: Boolean, elemSize: Int, layout: H5Layout) {
+      littleEndian: Boolean, elemSize: Int, layout: H5Layout,
+      fill: Double = 0.0, fixedPoint: Boolean = false,
+      signed: Boolean = true) {
     def nElems: Long = dims.product
     /** The contiguous block address — only meaningful for
       * [[H5Contiguous]] datasets; callers on the chunked path go
@@ -107,12 +131,20 @@ object Hdf5 {
     * (h5py's default companion to gzip — same-significance bytes
     * land adjacent, which is what makes float data compress).
     * `f32` stores IEEE binary32 (values are narrowed; the reader
-    * widens back to doubles).
+    * widens back to doubles). `fixed` stores a class-0 FIXED-POINT
+    * (integer) datatype instead: (byte size in {1,2,4,8}, signed) —
+    * every value must be exactly representable. `sparse` is the
+    * lazy-allocation knob: chunks whose offset the predicate selects
+    * are NOT written (no B-tree entry — exactly what h5py produces
+    * for never-written extents); reads there return `fillValue`,
+    * which is stamped into a Fill Value message when non-zero.
     */
   final case class H5Write(path: String, dims: Array[Long],
       data: Array[Double], chunkDims: Option[Array[Long]] = None,
       gzip: Boolean = false, f32: Boolean = false,
-      shuffle: Boolean = false)
+      shuffle: Boolean = false, fixed: Option[(Int, Boolean)] = None,
+      fillValue: Double = 0.0,
+      sparse: Option[Array[Long] => Boolean] = None)
 
   // ------------------------------------------------------------------
   // Writer
@@ -286,6 +318,21 @@ object Hdf5 {
       require((!d.gzip && !d.shuffle) || d.chunkDims.isDefined,
         s"HDF5 write: ${d.path} gzip/shuffle requires a chunked layout " +
           "(HDF5 filters apply to chunks)")
+      require(d.sparse.isEmpty || d.chunkDims.isDefined,
+        s"HDF5 write: ${d.path} sparse (unallocated) chunks require a " +
+          "chunked layout")
+      d.fixed.foreach { case (sz, signed) =>
+        require(!d.f32,
+          s"HDF5 write: ${d.path} is both f32 and fixed-point")
+        require(Set(1, 2, 4, 8).contains(sz),
+          s"HDF5 write: ${d.path} fixed-point size $sz (need 1/2/4/8)")
+        val lo = if (!signed) 0.0 else -math.pow(2, sz * 8 - 1)
+        val hi = math.pow(2, if (signed) sz * 8 - 1 else sz * 8) - 1
+        (d.data :+ d.fillValue).foreach(v => require(
+          v == math.rint(v) && v >= lo && v <= hi,
+          s"HDF5 write: ${d.path} value $v not exactly representable " +
+            s"as a $sz-byte ${if (signed) "signed" else "unsigned"} int"))
+      }
     }
     val root = GrpNode(scala.collection.mutable.LinkedHashMap.empty)
     datasets.foreach { d =>
@@ -329,11 +376,26 @@ object Hdf5 {
 
     def pad8len(n: Int): Int = (n + 7) & ~7
 
+    def elemSizeOf(spec: H5Write): Int =
+      spec.fixed.map(_._1).getOrElse(if (spec.f32) 4 else 8)
+
     def serialize(spec: H5Write, vals: Array[Double]): Array[Byte] = {
-      val es = if (spec.f32) 4 else 8
+      val es = elemSizeOf(spec)
       val bb = ByteBuffer.allocate(vals.length * es).order(order)
-      if (spec.f32) vals.foreach(v => bb.putFloat(v.toFloat))
-      else vals.foreach(bb.putDouble)
+      spec.fixed match {
+        case Some((sz, _)) => vals.foreach { v =>
+          val l = v.toLong
+          sz match {
+            case 1 => bb.put(l.toByte)
+            case 2 => bb.putShort(l.toShort)
+            case 4 => bb.putInt(l.toInt)
+            case _ => bb.putLong(l)
+          }
+        }
+        case None =>
+          if (spec.f32) vals.foreach(v => bb.putFloat(v.toFloat))
+          else vals.foreach(bb.putDouble)
+      }
       bb.array()
     }
 
@@ -387,7 +449,7 @@ object Hdf5 {
 
     def writeDatasetOh(spec: H5Write): Long = {
       val rank = spec.dims.length
-      val es = if (spec.f32) 4 else 8
+      val es = elemSizeOf(spec)
       // raw data first (the layout message needs its address)
       val layout: Array[Byte] = spec.chunkDims match {
         case None =>
@@ -411,38 +473,43 @@ object Hdf5 {
             strides(d) = strides(d + 1) * spec.dims(d + 1))
           val coords = new Array[Int](rank)
           val nChunks = grid.product
-          val keys = new Array[Array[Byte]](nChunks + 1)
-          val addrs = new Array[Long](nChunks)
-          (0 until nChunks).foreach { ci =>
+          val keys = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+          val addrs = scala.collection.mutable.ArrayBuffer.empty[Long]
+          (0 until nChunks).foreach { _ =>
             val off = coords.zip(cd).map { case (g, c) => g * c }
-            // gather the FULL chunk (0.0 fill past the dataset edge)
-            val vals = new Array[Double](chunkElems)
-            val local = new Array[Int](rank)
-            (0 until chunkElems).foreach { li =>
-              var inBounds = true
-              var lin = 0L
-              var d = 0
-              while (d < rank) {
-                val g = off(d) + local(d)
-                if (g >= spec.dims(d)) inBounds = false
-                lin += g * strides(d)
-                d += 1
+            // lazy-allocation knob: a sparse-selected chunk is simply
+            // never written — no bytes, no B-tree entry (what h5py
+            // leaves behind for never-written extents)
+            if (!spec.sparse.exists(_(off))) {
+              // gather the FULL chunk (fill value past the dataset edge)
+              val vals = Array.fill(chunkElems)(spec.fillValue)
+              val local = new Array[Int](rank)
+              (0 until chunkElems).foreach { li =>
+                var inBounds = true
+                var lin = 0L
+                var d = 0
+                while (d < rank) {
+                  val g = off(d) + local(d)
+                  if (g >= spec.dims(d)) inBounds = false
+                  lin += g * strides(d)
+                  d += 1
+                }
+                if (inBounds) vals(li) = spec.data(lin.toInt)
+                var k = rank - 1
+                while (k >= 0) {
+                  local(k) += 1
+                  if (local(k) < cd(k)) k = -1
+                  else { local(k) = 0; k -= 1 }
+                }
               }
-              if (inBounds) vals(li) = spec.data(lin.toInt)
-              var k = rank - 1
-              while (k >= 0) {
-                local(k) += 1
-                if (local(k) < cd(k)) k = -1
-                else { local(k) = 0; k -= 1 }
-              }
+              val raw = serialize(spec, vals)
+              val shuffled =
+                if (spec.shuffle) shuffleBytes(raw, es) else raw
+              val stored = if (spec.gzip) deflate(shuffled) else shuffled
+              buf.pad8()
+              addrs += buf.bytes(stored)
+              keys += chunkKey(stored.length.toLong, off)
             }
-            val raw = serialize(spec, vals)
-            val shuffled =
-              if (spec.shuffle) shuffleBytes(raw, es) else raw
-            val stored = if (spec.gzip) deflate(shuffled) else shuffled
-            buf.pad8()
-            addrs(ci) = buf.bytes(stored)
-            keys(ci) = chunkKey(stored.length.toLong, off)
             var k = rank - 1
             while (k >= 0) {
               coords(k) += 1
@@ -450,12 +517,15 @@ object Hdf5 {
               else { coords(k) = 0; k -= 1 }
             }
           }
-          // past-the-end boundary key: the chunk-grid edge offsets
-          keys(nChunks) = chunkKey(0L,
+          // past-the-end boundary key: the chunk-grid edge offsets.
+          // ZERO allocated chunks (a fully lazily-allocated dataset —
+          // h5py before any write lands) → no B-tree at all: the
+          // layout message carries the undefined address.
+          keys += chunkKey(0L,
             grid.zip(cd).map { case (g, c) => g.toLong * c })
-          val btAddr = writeChunkBtree(
-            scala.collection.immutable.ArraySeq.unsafeWrapArray(keys),
-            scala.collection.immutable.ArraySeq.unsafeWrapArray(addrs))
+          val btAddr =
+            if (addrs.isEmpty) Undef
+            else writeChunkBtree(keys.toIndexedSeq, addrs.toIndexedSeq)
           val b = ByteBuffer.allocate(pad8len(2 + 1 + 8 + 4 * (rank + 1)))
             .order(ByteOrder.LITTLE_ENDIAN)
           b.put(3.toByte).put(2.toByte) // version 3, class 2 chunked
@@ -477,7 +547,19 @@ object Hdf5 {
         spec.dims.foreach(b.putLong)
         b.array()
       }
-      val dtype = {
+      val dtype = if (spec.fixed.isDefined) {
+        // class 0 FIXED-POINT: version 1; bit field: bit0 byte order,
+        // bit3 signed; properties are bit offset (0) + precision
+        val (sz, signed) = spec.fixed.get
+        val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+        b.put(0x10.toByte) // version 1, class 0
+        b.put(((if (littleEndian) 0 else 1)
+          | (if (signed) 8 else 0)).toByte)
+        b.put(0.toByte).put(0.toByte)
+        b.putInt(sz)
+        b.putShort(0).putShort((sz * 8).toShort) // bit offset, precision
+        b.array() // 12 used + 4 pad within alloc
+      } else {
         val b = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
         b.put(0x11.toByte) // version 1, class 1 (floating point)
         // class bit field: bit0 byte order, bits4-5 mantissa norm = 2
@@ -501,6 +583,18 @@ object Hdf5 {
       }
       val msgs = scala.collection.mutable.ArrayBuffer(
         (0x0001, dspace), (0x0003, dtype), (0x0008, layout))
+      if (spec.fillValue != 0.0) msgs += ((0x0005, {
+        // Fill Value v3: flags = alloc-time late (2) | write-time at
+        // allocation (0<<2) | defined (bit 5); value in the DATASET
+        // datatype and byte order
+        val fb = serialize(spec, Array(spec.fillValue))
+        val b = ByteBuffer.allocate(pad8len(2 + 4 + fb.length))
+          .order(ByteOrder.LITTLE_ENDIAN)
+        b.put(3.toByte).put((2 | 0x20).toByte)
+        b.putInt(fb.length)
+        b.put(fb)
+        b.array()
+      }))
       if (spec.gzip || spec.shuffle) msgs += ((0x000B, {
         // filters in APPLICATION order: shuffle (byte-transpose,
         // client value = element size) then deflate
@@ -685,6 +779,58 @@ object Hdf5 {
   def isHdf5(b: Array[Byte]): Boolean =
     b.length >= 8 && (0 until 8).forall(i => b(i) == Signature(i))
 
+  /** Jenkins lookup3 "hashlittle" with zero seed — the checksum HDF5
+    * stamps on v2/v3 superblocks and v2 object headers
+    * (H5_checksum_lookup3; Bob Jenkins' lookup3.c is public domain).
+    * Public so the fixture-crafting specs can stamp spec-faithful
+    * checksums into hand-built v2/v3 files (no HDF5 library in this
+    * environment) — pinned against lookup3.c's own published test
+    * vectors in Hdf5Spec so writer-and-reader can't agree on a wrong
+    * hash.
+    */
+  def lookup3(buf: Array[Byte], off: Int, len: Int): Int = {
+    def rot(x: Int, k: Int): Int = java.lang.Integer.rotateLeft(x, k)
+    def u(i: Int): Int = buf(i) & 0xff
+    var a = 0xdeadbeef + len
+    var b = a
+    var c = a
+    var i = off
+    var rem = len
+    while (rem > 12) {
+      a += u(i) | (u(i + 1) << 8) | (u(i + 2) << 16) | (u(i + 3) << 24)
+      b += u(i + 4) | (u(i + 5) << 8) | (u(i + 6) << 16) | (u(i + 7) << 24)
+      c += u(i + 8) | (u(i + 9) << 8) | (u(i + 10) << 16) | (u(i + 11) << 24)
+      a -= c; a ^= rot(c, 4); c += b
+      b -= a; b ^= rot(a, 6); a += c
+      c -= b; c ^= rot(b, 8); b += a
+      a -= c; a ^= rot(c, 16); c += b
+      b -= a; b ^= rot(a, 19); a += c
+      c -= b; c ^= rot(b, 4); b += a
+      i += 12; rem -= 12
+    }
+    if (rem == 0) return c // per lookup3.c: empty tail skips final()
+    if (rem >= 1) a += u(i)
+    if (rem >= 2) a += u(i + 1) << 8
+    if (rem >= 3) a += u(i + 2) << 16
+    if (rem >= 4) a += u(i + 3) << 24
+    if (rem >= 5) b += u(i + 4)
+    if (rem >= 6) b += u(i + 5) << 8
+    if (rem >= 7) b += u(i + 6) << 16
+    if (rem >= 8) b += u(i + 7) << 24
+    if (rem >= 9) c += u(i + 8)
+    if (rem >= 10) c += u(i + 9) << 8
+    if (rem >= 11) c += u(i + 10) << 16
+    if (rem >= 12) c += u(i + 11) << 24
+    c ^= b; c -= rot(b, 14)
+    a ^= c; a -= rot(c, 11)
+    b ^= a; b -= rot(a, 25)
+    c ^= b; c -= rot(b, 16)
+    a ^= c; a -= rot(c, 4)
+    b ^= a; b -= rot(a, 14)
+    c ^= b; c -= rot(b, 24)
+    c
+  }
+
   private final class Reader(raf: RandomAccessFile) {
     def at(addr: Long, n: Int): ByteBuffer = {
       require(addr >= 0 && addr + n <= raf.length(),
@@ -728,42 +874,19 @@ object Hdf5 {
     val raf = new RandomAccessFile(path, "r")
     try {
       val r = new Reader(raf)
-      val sb = r.at(0, 96)
-      val sig = new Array[Byte](8); sb.get(sig)
+      val hb = r.at(0, 9)
+      val sig = new Array[Byte](8); hb.get(sig)
       require(isHdf5(sig), "HDF5: bad signature")
-      val sver = sb.get()
-      require(sver == 0,
-        s"HDF5: superblock version $sver (only v0 is decodable here)")
-      sb.get(); sb.get(); sb.get() // fs/root versions, reserved
-      sb.get() // shared header version
-      val so = sb.get(); val sl = sb.get()
-      require(so == 8 && sl == 8,
-        s"HDF5: offsets/lengths of $so/$sl bytes (only 8/8 supported)")
-      sb.get() // reserved
-      sb.getShort(); sb.getShort() // K values (writer's are not binding)
-      sb.getInt() // consistency flags
-      val base = sb.getLong()
-      require(base == 0, s"HDF5: nonzero base address $base unsupported")
-      sb.getLong() // free space
-      val eof = sb.getLong()
-      require(eof == raf.length(),
-        s"HDF5: end-of-file address $eof != file length ${raf.length()} " +
-          "(truncated or appended-to file)")
-      sb.getLong() // driver info
-      sb.getLong() // root link name offset
-      val rootOh = sb.getLong()
-      val rootCache = sb.getInt()
-      require(rootCache == 1,
-        s"HDF5: root symbol-table entry cache type $rootCache (need 1)")
-      sb.getInt()
-      val rootBt = sb.getLong(); val rootHeap = sb.getLong()
-      parseOhGroupCheck(r, rootOh, rootBt, rootHeap)
+      val sver = hb.get() & 0xff
 
       val out = scala.collection.mutable.ArrayBuffer.empty[H5Dataset]
-      // cycle guard: a crafted/corrupt file whose group entry points
-      // back at an ancestor (its symbol-table message genuinely matches
-      // the cached addresses, so parseOhGroupCheck passes) must fail
-      // loudly, not recurse to StackOverflowError
+      // cycle guards: OBJECT headers (a new-style link or a crafted
+      // old-style entry pointing back at an ancestor — its
+      // symbol-table message genuinely matches the cached addresses,
+      // so the consistency check passes) and group B-tree nodes —
+      // either way a crafted/corrupt file must fail loudly, never
+      // recurse to StackOverflowError
+      val visitedOh = scala.collection.mutable.Set.empty[Long]
       val visited = scala.collection.mutable.Set.empty[Long]
       def walkGroup(prefix: String, btAddr: Long, heapAddr: Long): Unit = {
         // cycle guard lives in walkNode (every B-tree node, any level)
@@ -825,17 +948,144 @@ object Hdf5 {
             require(cache == 0 || cache == 1,
               s"HDF5: symbol-table cache type $cache on '$full' " +
                 "(symbolic links are outside the subset)")
-            if (cache == 1) {
-              parseOhGroupCheck(r, oh, s0, s1)
-              walkGroup(full, s0, s1)
-            } else {
-              out += parseDatasetOh(r, full, oh)
-            }
+            // cache type 1 carries the group's (btree, heap) scratch —
+            // walkObject verifies it against the header's own
+            // symbol-table message; cache 0 objects are classified by
+            // their messages (dataset or group)
+            walkObject(full, oh,
+              if (cache == 1) Some((s0, s1)) else None)
           }
         }
         walkNode(btAddr, -1)
       }
-      walkGroup("", rootBt, rootHeap)
+
+      /** Walk ANY object header, v1 or v2, classifying it by its
+        * messages: an old-style group (symbol-table message 0x0011),
+        * a new-style group (link 0x0006 / link-info 0x0002 messages —
+        * what `libver='latest'` h5py and NetCDF4 emit), or a dataset
+        * (dataspace + datatype). `cached` carries an old-style
+        * symbol-table entry's scratch (btree, heap) when the entry
+        * declared itself a group (cache type 1): it must agree with
+        * the header's own symbol-table message — catches a dataset OH
+        * wired as a group and stale caches.
+        */
+      def walkObject(prefix: String, ohAddr: Long,
+          cached: Option[(Long, Long)]): Unit = {
+        require(visitedOh.add(ohAddr),
+          s"HDF5: object graph cycle at header $ohAddr (at '$prefix')")
+        val msgs = ohMessagesAny(r, ohAddr)
+        val types = msgs.map(_._1)
+        if (types.contains(0x0011)) {
+          val b = msgs.collectFirst { case (0x0011, bb) => bb }.get
+          val bt = b.getLong(); val heap = b.getLong()
+          cached.foreach { case (cb, ch) =>
+            require(cb == bt && ch == heap,
+              s"HDF5: symbol-table message ($bt, $heap) disagrees " +
+                s"with the cached entry ($cb, $ch) at $ohAddr")
+          }
+          walkGroup(prefix, bt, heap)
+        } else if (types.contains(0x0006) || types.contains(0x0002)) {
+          require(cached.isEmpty,
+            s"HDF5: entry at '$prefix' caches old-style group " +
+              s"addresses but the header at $ohAddr is a new-style " +
+              "(link-message) group")
+          msgs.foreach {
+            case (0x0002, b) => // Link Info: COMPACT storage only
+              val ver = b.get()
+              require(ver == 0,
+                s"HDF5: link-info version $ver at '$prefix' (only v0)")
+              val flags = b.get() & 0xff
+              if ((flags & 1) != 0) b.getLong() // max creation index
+              val fheap = b.getLong()
+              require(fheap == Undef,
+                s"HDF5: dense (fractal-heap) link storage at " +
+                  s"'$prefix' is outside the subset")
+            case _ => ()
+          }
+          msgs.collect { case (0x0006, b) => parseLinkMsg(b, prefix) }
+            .sortBy(_._1)
+            .foreach { case (name, target) =>
+              val full = if (prefix.isEmpty) name else s"$prefix/$name"
+              walkObject(full, target, None)
+            }
+        } else if (types.contains(0x0001) && types.contains(0x0003)) {
+          require(cached.isEmpty,
+            s"HDF5: entry at '$prefix' caches group addresses but " +
+              s"the header at $ohAddr is a dataset")
+          out += parseDatasetMsgs(r, prefix, msgs)
+        } else throw new IllegalArgumentException(
+          s"HDF5: object header at $ohAddr ('$prefix') is neither a " +
+            "group nor a dataset in the decodable subset")
+      }
+
+      sver match {
+        case 0 | 1 =>
+          // v0 superblock (96 bytes); v1 is identical plus 4 bytes
+          // (indexed-storage internal K + reserved) before the base
+          // address
+          val extra = if (sver == 1) 4 else 0
+          val sb = r.at(9, 87 + extra)
+          sb.get(); sb.get(); sb.get() // fs/root versions, reserved
+          sb.get() // shared header version
+          val so = sb.get(); val sl = sb.get()
+          require(so == 8 && sl == 8,
+            s"HDF5: offsets/lengths of $so/$sl bytes (only 8/8 " +
+              "supported)")
+          sb.get() // reserved
+          sb.getShort(); sb.getShort() // K values (not binding on read)
+          sb.getInt() // consistency flags
+          if (sver == 1) { sb.getShort(); sb.getShort() } // istore K
+          val base = sb.getLong()
+          require(base == 0,
+            s"HDF5: nonzero base address $base unsupported")
+          sb.getLong() // free space
+          val eof = sb.getLong()
+          require(eof == raf.length(),
+            s"HDF5: end-of-file address $eof != file length " +
+              s"${raf.length()} (truncated or appended-to file)")
+          sb.getLong() // driver info
+          sb.getLong() // root link name offset
+          val rootOh = sb.getLong()
+          val rootCache = sb.getInt()
+          require(rootCache == 1,
+            s"HDF5: root symbol-table entry cache type $rootCache " +
+              "(need 1)")
+          sb.getInt()
+          val rootBt = sb.getLong(); val rootHeap = sb.getLong()
+          walkObject("", rootOh, Some((rootBt, rootHeap)))
+        case 2 | 3 =>
+          // v2/v3 superblock (what `libver='latest'` h5py and NetCDF4
+          // emit): 48 bytes, lookup3-checksummed, root pointed at
+          // directly by object header address
+          val sb = r.at(0, 48)
+          val arr = new Array[Byte](48); sb.get(arr); sb.rewind()
+          sb.position(9)
+          val so = sb.get(); val sl = sb.get()
+          require(so == 8 && sl == 8,
+            s"HDF5: offsets/lengths of $so/$sl bytes (only 8/8 " +
+              "supported)")
+          sb.get() // file consistency flags
+          val base = sb.getLong()
+          require(base == 0,
+            s"HDF5: nonzero base address $base unsupported")
+          val ext = sb.getLong()
+          require(ext == Undef,
+            s"HDF5: superblock extension at $ext is outside the " +
+              "subset")
+          val eof = sb.getLong()
+          require(eof == raf.length(),
+            s"HDF5: end-of-file address $eof != file length " +
+              s"${raf.length()} (truncated or appended-to file)")
+          val rootOh = sb.getLong()
+          val want = sb.getInt()
+          val got = lookup3(arr, 0, 44)
+          require(got == want,
+            f"HDF5: v$sver%d superblock checksum 0x$got%08x != " +
+              f"stored 0x$want%08x")
+          walkObject("", rootOh, None)
+        case v => throw new IllegalArgumentException(
+          s"HDF5: superblock version $v (v0-v3 are decodable here)")
+      }
       out.sortBy(_.path).toSeq
     } finally raf.close()
   }
@@ -896,20 +1146,132 @@ object Hdf5 {
     out.toSeq
   }
 
-  /** A group's OH must carry the symbol-table message agreeing with the
-    * entry's cached (btree, heap) — catches a dataset OH wired as a
-    * group or a stale cache.
+  /** Dispatch on the object header version at `addr`: a v1 header
+    * starts with its version byte (1, no signature); a v2 header
+    * starts with the "OHDR" signature. Anything else is rejected
+    * loudly.
     */
-  private def parseOhGroupCheck(r: Reader, addr: Long, bt: Long,
-      heap: Long): Unit = {
-    val st = ohMessages(r, addr).collectFirst { case (0x0011, b) => b }
-    require(st.isDefined,
-      s"HDF5: group object header at $addr has no symbol-table message")
-    val b = st.get
-    val mb = b.getLong(); val mh = b.getLong()
-    require(mb == bt && mh == heap,
-      s"HDF5: symbol-table message ($mb, $mh) disagrees with the " +
-        s"cached entry ($bt, $heap) at $addr")
+  private def ohMessagesAny(r: Reader,
+      addr: Long): Seq[(Int, ByteBuffer)] = {
+    val p = r.at(addr, 4)
+    val sig4 = new Array[Byte](4); p.get(sig4)
+    if (new String(sig4, US_ASCII) == "OHDR") ohMessagesV2(r, addr)
+    else if ((sig4(0) & 0xff) == 1) ohMessages(r, addr)
+    else throw new IllegalArgumentException(
+      s"HDF5: no object header at $addr (neither v1 nor OHDR)")
+  }
+
+  /** Parse a VERSION 2 object header ("OHDR" — what `libver='latest'`
+    * h5py and NetCDF4 emit): prefix flags gate optional timestamp /
+    * phase-change fields and size the chunk-0 length field; messages
+    * carry a 1-byte type and an optional 2-byte creation-order field;
+    * blocks (chunk 0 and each "OCHK" continuation) end in a Jenkins
+    * lookup3 checksum which is VERIFIED — a corrupt or crafted block
+    * fails loudly. Continuations are cycle-guarded like the v1 path.
+    */
+  private def ohMessagesV2(r: Reader,
+      addr: Long): Seq[(Int, ByteBuffer)] = {
+    val h = r.at(addr, 6)
+    h.getInt() // "OHDR", checked by the caller
+    val ver = h.get()
+    require(ver == 2,
+      s"HDF5: OHDR version $ver at $addr (only v2 is decodable here)")
+    val flags = h.get() & 0xff
+    var pos = addr + 6
+    if ((flags & 0x20) != 0) pos += 16 // access/mod/change/birth times
+    if ((flags & 0x10) != 0) pos += 4 // attr storage phase change
+    val csize = 1 << (flags & 3)
+    val szb = r.at(pos, csize)
+    val size0: Long = csize match {
+      case 1 => (szb.get() & 0xff).toLong
+      case 2 => (szb.getShort() & 0xffff).toLong
+      case 4 => szb.getInt().toLong & 0xffffffffL
+      case _ => szb.getLong()
+    }
+    pos += csize
+    require(size0 >= 0 && size0 <= Int.MaxValue,
+      s"HDF5: OHDR chunk-0 size $size0 out of range at $addr")
+    val corder = (flags & 4) != 0
+    val hdrBytes = if (corder) 6 else 4
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, ByteBuffer)]
+    // (block start, message offset, message bytes): the lookup3
+    // checksum covers [start, msgOff + msgLen) and trails the block
+    val blocks =
+      scala.collection.mutable.Queue((addr, pos, size0.toInt))
+    val seen = scala.collection.mutable.Set.empty[Long]
+    while (blocks.nonEmpty) {
+      val (bstart, moff, mlen) = blocks.dequeue()
+      require(seen.add(bstart),
+        s"HDF5: v2 object header continuation cycle at $bstart " +
+          s"(header $addr)")
+      val lead = (moff - bstart).toInt
+      val whole = r.at(bstart, lead + mlen + 4)
+      val arr = new Array[Byte](lead + mlen + 4)
+      whole.get(arr); whole.rewind()
+      val want = whole.getInt(lead + mlen)
+      val got = lookup3(arr, 0, lead + mlen)
+      require(got == want,
+        f"HDF5: v2 object header checksum 0x$got%08x != stored " +
+          f"0x$want%08x at $bstart%d (header $addr%d)")
+      val body = ByteBuffer.wrap(arr, lead, mlen).slice()
+        .order(ByteOrder.LITTLE_ENDIAN)
+      // the tail may be a gap smaller than a message prefix
+      while (body.remaining() >= hdrBytes) {
+        val tpe = body.get() & 0xff
+        val msize = body.getShort() & 0xffff
+        body.get() // message flags
+        if (corder) body.getShort() // creation order
+        require(body.remaining() >= msize,
+          s"HDF5: message body overruns v2 header block at $bstart")
+        val slice = body.slice().order(ByteOrder.LITTLE_ENDIAN)
+        slice.limit(msize)
+        body.position(body.position() + msize)
+        if (tpe == 0x0010) {
+          require(msize >= 16,
+            s"HDF5: continuation message of $msize bytes at $bstart")
+          val off = slice.getLong(); val len = slice.getLong()
+          require(len >= 8 && len <= Int.MaxValue,
+            s"HDF5: continuation block length $len out of range " +
+              s"(from $bstart)")
+          val sb2 = r.at(off, 4)
+          val s2 = new Array[Byte](4); sb2.get(s2)
+          require(new String(s2, US_ASCII) == "OCHK",
+            s"HDF5: no OCHK continuation block at $off (header $addr)")
+          blocks.enqueue((off, off + 4, (len - 8).toInt))
+        } else out += ((tpe, slice))
+      }
+    }
+    out.toSeq
+  }
+
+  /** Parse a Link message (0x0006) body: hard links only (a soft or
+    * external link is outside the subset, rejected with the name),
+    * returning (link name, target object header address).
+    */
+  private def parseLinkMsg(b: ByteBuffer,
+      prefix: String): (String, Long) = {
+    val ver = b.get()
+    require(ver == 1,
+      s"HDF5: link message version $ver at '$prefix' (only v1)")
+    val flags = b.get() & 0xff
+    val ltype = if ((flags & 8) != 0) b.get() & 0xff else 0
+    if ((flags & 4) != 0) b.getLong() // creation order
+    if ((flags & 0x10) != 0) b.get() // charset
+    val nameLen: Long = (flags & 3) match {
+      case 0 => (b.get() & 0xff).toLong
+      case 1 => (b.getShort() & 0xffff).toLong
+      case 2 => b.getInt().toLong & 0xffffffffL
+      case _ => b.getLong()
+    }
+    require(nameLen > 0 && nameLen <= b.remaining() - 8,
+      s"HDF5: link name of $nameLen bytes at '$prefix' overruns the " +
+        "message")
+    val nb = new Array[Byte](nameLen.toInt); b.get(nb)
+    val name = new String(nb, US_ASCII)
+    require(ltype == 0,
+      s"HDF5: link '$name' at '$prefix' has type $ltype (only hard " +
+        "links are in the subset)")
+    (name, b.getLong())
   }
 
   /** Walk a node-type-1 (raw data chunk) v1 B-tree of ANY depth,
@@ -956,11 +1318,14 @@ object Hdf5 {
     out.toSeq
   }
 
-  private def parseDatasetOh(r: Reader, path: String,
-      addr: Long): H5Dataset = {
+  private def parseDatasetMsgs(r: Reader, path: String,
+      msgs: Seq[(Int, ByteBuffer)]): H5Dataset = {
     var dims: Array[Long] = null
     var le = false
     var elemSize = -1
+    var fixedPoint = false
+    var signed = true
+    var fillRaw: Array[Byte] = null
     var layoutClass = -1
     var contAddr = Undef
     var contSize = -1L
@@ -969,36 +1334,82 @@ object Hdf5 {
     var gzip = false
     var shuffle = false
     var shuffleElem = -1
-    ohMessages(r, addr).foreach {
-      case (0x0001, b) => // dataspace
+    msgs.foreach {
+      case (0x0001, b) => // dataspace (v1, or v2 from libver=latest)
         val ver = b.get()
-        require(ver == 1,
-          s"HDF5: dataspace version $ver on $path (only v1 supported)")
+        require(ver == 1 || ver == 2,
+          s"HDF5: dataspace version $ver on $path (only v1/v2)")
         val rank = b.get() & 0xff
         val flags = b.get()
-        b.get(); b.get(); b.get(); b.get(); b.get() // reserved
+        if (ver == 1) { b.get(); b.get(); b.get(); b.get(); b.get() }
+        else {
+          val tpe = b.get() & 0xff // v2: dataspace type
+          require(tpe <= 1,
+            s"HDF5: dataspace type $tpe on $path (only scalar/simple)")
+        }
         dims = Array.fill(rank)(b.getLong())
         if ((flags & 1) != 0) (0 until rank).foreach(_ => b.getLong())
-      case (0x0003, b) => // datatype
+      case (0x0003, b) => // datatype: class 1 float or class 0 int
         val cv = b.get() & 0xff
-        require((cv >> 4) == 1 && (cv & 0x0f) == 1,
-          s"HDF5: datatype class ${cv & 0x0f} version ${cv >> 4} on " +
-            s"$path (only v1 floating-point is decodable here)")
+        val cls = cv & 0x0f
+        require((cv >> 4) == 1 && (cls == 0 || cls == 1),
+          s"HDF5: datatype class $cls version ${cv >> 4} on " +
+            s"$path (only v1 fixed-point and floating-point are " +
+            "decodable here)")
         val bits0 = b.get() & 0xff
         le = (bits0 & 1) == 0
         b.get(); b.get()
         val size = b.getInt()
-        require(size == 4 || size == 8,
+        if (cls == 0) {
+          // FIXED-POINT (VPIC auxiliary datasets — ranks, topology,
+          // species counts — are ints); widened to doubles on read
+          require(size == 1 || size == 2 || size == 4 || size == 8,
+            s"HDF5: $size-byte int on $path (only 1/2/4/8)")
+          require((bits0 & 6) == 0,
+            s"HDF5: padded fixed-point layout on $path is outside " +
+              "the subset")
+          signed = (bits0 & 8) != 0
+          fixedPoint = true
+        } else require(size == 4 || size == 8,
           s"HDF5: $size-byte float on $path (only binary32/binary64)")
         val bitOffset = b.getShort(); val precision = b.getShort()
         require(bitOffset == 0 && precision == size * 8,
-          s"HDF5: nonstandard float layout on $path " +
+          s"HDF5: nonstandard ${if (cls == 0) "int" else "float"} " +
+            s"layout on $path " +
             s"(offset $bitOffset, precision $precision, size $size)")
         elemSize = size
+      case (0x0004, b) => // fill value (old): size + value
+        val sz = b.getInt()
+        require(sz >= 0 && sz <= b.remaining(),
+          s"HDF5: old fill-value size $sz on $path overruns message")
+        fillRaw = new Array[Byte](sz); b.get(fillRaw)
+      case (0x0005, b) => // fill value: what unallocated chunks read as
+        val ver = b.get() & 0xff
+        val defined = ver match {
+          case 1 | 2 =>
+            b.get(); b.get() // space alloc time, write time
+            val d = b.get() & 0xff
+            ver == 1 || d == 1
+          case 3 =>
+            val flags = b.get() & 0xff
+            require((flags & 0x30) != 0x30,
+              s"HDF5: fill value both defined and undefined on $path")
+            (flags & 0x20) != 0
+          case v => throw new IllegalArgumentException(
+            s"HDF5: fill value message version $v on $path (only v1-v3)")
+        }
+        if (defined) {
+          val sz = b.getInt()
+          require(sz >= 0 && sz <= b.remaining(),
+            s"HDF5: fill-value size $sz on $path overruns message")
+          fillRaw = new Array[Byte](sz); b.get(fillRaw)
+        }
       case (0x0008, b) => // data layout
         val ver = b.get()
         require(ver == 3,
-          s"HDF5: layout message version $ver on $path (only v3)")
+          s"HDF5: layout message version $ver on $path (only v3; " +
+            "v4 new-index chunking from libver='latest' chunked " +
+            "writes is outside the subset)")
         layoutClass = b.get() & 0xff
         layoutClass match {
           case 1 => // contiguous
@@ -1054,6 +1465,19 @@ object Hdf5 {
     require(dims != null, s"HDF5: dataset $path has no dataspace")
     require(elemSize > 0, s"HDF5: dataset $path has no datatype")
     require(layoutClass > 0, s"HDF5: dataset $path has no data layout")
+    // decode the fill value in the DATASET's datatype and byte order
+    // (the message can precede the datatype message, so decode here);
+    // absent or zero-size (an "undefined" fill) → the 0.0 default
+    val fill =
+      if (fillRaw == null || fillRaw.isEmpty) 0.0
+      else {
+        require(fillRaw.length == elemSize,
+          s"HDF5: fill value of ${fillRaw.length} bytes on $path " +
+            s"disagrees with the $elemSize-byte datatype")
+        val fb = ByteBuffer.wrap(fillRaw).order(
+          if (le) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+        decodeElem(fb, 0, elemSize, fixedPoint, signed)
+      }
     val rank = dims.length
     layoutClass match {
       case 1 =>
@@ -1064,7 +1488,8 @@ object Hdf5 {
         require(contSize == dims.product * elemSize,
           s"HDF5: $path layout size $contSize != " +
             s"${dims.mkString("x")} x $elemSize-byte elements")
-        H5Dataset(path, dims, le, elemSize, H5Contiguous(contAddr))
+        H5Dataset(path, dims, le, elemSize, H5Contiguous(contAddr),
+          fill, fixedPoint, signed)
       case _ =>
         require(chunkDimsRaw.length == rank + 1,
           s"HDF5: $path chunk dimensionality ${chunkDimsRaw.length} " +
@@ -1077,12 +1502,26 @@ object Hdf5 {
         require(cd.zip(dims).forall { case (c, n) => c <= n },
           s"HDF5: $path chunk ${cd.mkString("x")} exceeds dims " +
             s"${dims.mkString("x")}")
-        require(chunkBt != Undef, s"HDF5: $path has no chunk B-tree")
         require(!shuffle || shuffleElem < 0 || shuffleElem == elemSize,
           s"HDF5: shuffle filter's element size $shuffleElem on $path " +
             s"disagrees with the $elemSize-byte datatype")
-        val found = walkChunkTree(r, chunkBt, path, rank)
-        val chunkElems = cd.product
+        // HDF5 permits chunks up to 4 GiB; this codec decodes a chunk
+        // into one JVM byte array, so >=2 GiB chunks are rejected
+        // LOUDLY at index time — never a NegativeArraySizeException
+        // mid-scan from a silent Int truncation
+        val chunkBytes =
+          try cd.foldLeft(elemSize.toLong)(Math.multiplyExact)
+          catch { case _: ArithmeticException => Long.MaxValue }
+        require(chunkBytes <= Int.MaxValue,
+          s"HDF5: $path chunk ${cd.mkString("x")} x $elemSize bytes " +
+            s"($chunkBytes) exceeds 2 GiB — chunks that large are " +
+            "outside the subset")
+        // an UNDEFINED B-tree address is a fully lazily-allocated
+        // dataset (h5py before any chunk write): zero allocated
+        // chunks, every read returns the fill value
+        val found =
+          if (chunkBt == Undef) Seq.empty
+          else walkChunkTree(r, chunkBt, path, rank)
         found.foreach { case (off, caddr, stored, mask) =>
           require(mask == 0,
             s"HDF5: chunk filter mask $mask on $path (partial filter " +
@@ -1094,18 +1533,18 @@ object Hdf5 {
           require(caddr != Undef && caddr >= 0,
             s"HDF5: chunk at ${off.mkString(",")} of $path has no " +
               "address")
-          if (!gzip) require(stored == chunkElems * elemSize,
+          require(stored <= Int.MaxValue,
+            s"HDF5: chunk at ${off.mkString(",")} of $path stores " +
+              s"$stored bytes — >=2 GiB chunks are outside the subset")
+          if (!gzip) require(stored == chunkBytes,
             s"HDF5: unfiltered chunk at ${off.mkString(",")} of $path " +
-              s"stores $stored bytes, expected ${chunkElems * elemSize}")
+              s"stores $stored bytes, expected $chunkBytes")
         }
-        val expected = dims.zip(cd)
-          .map { case (n, c) => (n + c - 1) / c }.product
+        // h5py allocates chunks lazily, so FEWER chunks than the grid
+        // (sparse) is a normal partially-written dump — missing
+        // extents read as the fill value; duplicates are still corrupt
         require(found.map(_._1.toSeq).distinct.length == found.length,
           s"HDF5: duplicate chunk offsets in $path")
-        require(found.length == expected,
-          s"HDF5: $path has ${found.length} allocated chunks of " +
-            s"$expected — sparse/unallocated chunks (fill-value reads) " +
-            "are outside the subset")
         // sort by offset lexicographically (B-tree order already is,
         // but the index contract is explicit)
         val sorted = found.sortWith { (a, b) =>
@@ -1117,9 +1556,39 @@ object Hdf5 {
           H5Chunk(off, caddr, stored)
         }
         H5Dataset(path, dims, le, elemSize,
-          H5Chunked(cd, gzip, shuffle, sorted))
+          H5Chunked(cd, gzip, shuffle, sorted), fill, fixedPoint,
+          signed)
     }
   }
+
+  /** Decode one element at index `i` of `bb` (whose byte order is
+    * already set), widened to a double: IEEE binary32/64 for floats,
+    * two's-complement 1/2/4/8-byte ints for fixed-point (unsigned
+    * widened without sign extension; an unsigned 64-bit value above
+    * 2^63 widens through the nearest double, the best a double can
+    * carry). One copy of the element semantics — shared by the
+    * driver-side reads, the fill-value decode, and the DSv2 readers.
+    */
+  def decodeElem(bb: ByteBuffer, i: Int, elemSize: Int,
+      fixedPoint: Boolean, signed: Boolean): Double =
+    if (!fixedPoint) {
+      if (elemSize == 4) bb.getFloat(i * 4).toDouble
+      else bb.getDouble(i * 8)
+    } else elemSize match {
+      case 1 =>
+        val v = bb.get(i)
+        if (signed) v.toDouble else (v & 0xff).toDouble
+      case 2 =>
+        val v = bb.getShort(i * 2)
+        if (signed) v.toDouble else (v & 0xffff).toDouble
+      case 4 =>
+        val v = bb.getInt(i * 4)
+        if (signed) v.toDouble else (v.toLong & 0xffffffffL).toDouble
+      case _ =>
+        val v = bb.getLong(i * 8)
+        if (signed || v >= 0) v.toDouble
+        else (v & Long.MaxValue).toDouble + 9.223372036854775808e18
+    }
 
   /** Read `n` elements of a dataset starting at row-major element
     * `offset`, widened to doubles — driver-side accessor for the tiny
@@ -1135,8 +1604,7 @@ object Hdf5 {
     val order = if (ds.littleEndian) ByteOrder.LITTLE_ENDIAN
                 else ByteOrder.BIG_ENDIAN
     def decode(bb: ByteBuffer, i: Int): Double =
-      if (ds.elemSize == 4) bb.getFloat(i * 4).toDouble
-      else bb.getDouble(i * 8)
+      decodeElem(bb, i, ds.elemSize, ds.fixedPoint, ds.signed)
     val raf = new RandomAccessFile(path, "r")
     try ds.layout match {
       case H5Contiguous(dataAddress) =>
@@ -1152,9 +1620,16 @@ object Hdf5 {
         (rank - 2 to 0 by -1).foreach(d =>
           strides(d) = strides(d + 1) * ds.dims(d + 1))
         val chunkElems = cd.product.toInt
-        val out = new Array[Double](n)
+        // start from the FILL VALUE: extents no allocated chunk
+        // covers (lazily-allocated / partially-written datasets) read
+        // as fill, exactly what `reader[var][:]` returns there
+        val out = Array.fill(n)(ds.fill)
         chunks.foreach { ch =>
-          // linear bounds of this chunk's in-bounds elements
+          // linear bounds of this chunk's in-bounds elements — for
+          // rank>=2 this envelope over-admits interior slices (a
+          // chunk may decode yet contribute nothing); accepted bound:
+          // driver-side chunked reads cover only the tiny axis
+          // datasets, bulk data goes through the DSv2 chunk readers
           val lo = (0 until rank).map(d => ch.offset(d) * strides(d)).sum
           val hiCoord = (0 until rank).map(d =>
             math.min(ch.offset(d) + cd(d) - 1, ds.dims(d) - 1))

@@ -105,7 +105,8 @@ object VPICSource {
       vars: Map[String, (Int, Int, Int, Int) => Double],
       littleEndian: Boolean = false, chunkTime: Option[Int] = None,
       gzip: Boolean = false, f32: Boolean = false,
-      shuffle: Boolean = false): Unit = {
+      shuffle: Boolean = false,
+      tweak: Hdf5.H5Write => Hdf5.H5Write = identity): Unit = {
     require((!gzip && !shuffle) || chunkTime.isDefined,
       "VPIC HDF5: gzip/shuffle requires a chunked tree (chunkTime)")
     val root = Paths.get(dir)
@@ -126,10 +127,11 @@ object VPICSource {
            iy <- 0 until ny; ix <- 0 until nx) {
         data(i) = f(it, iz, iy, ix); i += 1
       }
-      Hdf5.H5Write(path, Array(nt.toLong, nz.toLong, ny.toLong, nx.toLong),
+      tweak(Hdf5.H5Write(path,
+        Array(nt.toLong, nz.toLong, ny.toLong, nx.toLong),
         data, chunkDims = chunkTime.map(ct =>
           Array(math.min(ct, nt).toLong, nz.toLong, ny.toLong, nx.toLong)),
-        gzip = gzip, f32 = f32, shuffle = shuffle)
+        gzip = gzip, f32 = f32, shuffle = shuffle))
     }
     Hdf5.writeSpecs(root.resolve(Hdf5File).toString, axes ++ varSpecs,
       littleEndian)
@@ -471,7 +473,8 @@ private[sources] class VPICScan(root: String, vars: Seq[String], chunkSteps: Int
                 math.min(t0 + chunkSteps - 1, hi), nz, ny, nx,
                 file = VPICSource.Hdf5File,
                 dataOffset = d.dataAddress, littleEndian = d.littleEndian,
-                elemSize = d.elemSize)
+                elemSize = d.elemSize, fixedPoint = d.fixedPoint,
+                signed = d.signed)
             }
           case Hdf5.H5Chunked(cd, gzip, shuffle, chunks) =>
             // the STORAGE chunk is the parallelism unit (a reader must
@@ -480,20 +483,41 @@ private[sources] class VPICScan(root: String, vars: Seq[String], chunkSteps: Int
             // pushed bounds — a 1000-executor cluster decompresses
             // only the chunks it owns, never a neighbor's
             val Array(k0, k1, k2, k3) = cd.map(_.toInt)
-            chunks.filter(c =>
-                c.offset(0) <= hi && c.offset(0) + k0 - 1 >= lo)
-              .map { c =>
-                VPICChunkPartition(root, label,
-                  addr = c.addr, storedBytes = c.storedBytes,
-                  gzip = gzip, shuffle = shuffle,
-                  littleEndian = d.littleEndian,
-                  elemSize = d.elemSize,
-                  c0 = c.offset(0).toInt, c1 = c.offset(1).toInt,
-                  c2 = c.offset(2).toInt, c3 = c.offset(3).toInt,
-                  k0 = k0, k1 = k1, k2 = k2, k3 = k3,
-                  n0 = nt, n1 = nz, n2 = ny, n3 = nx,
-                  itLo = lo, itHi = hi)
-              }
+            def part(c0: Int, c1: Int, c2: Int, c3: Int, addr: Long,
+                storedBytes: Long) =
+              VPICChunkPartition(root, label,
+                addr = addr, storedBytes = storedBytes,
+                gzip = gzip, shuffle = shuffle,
+                littleEndian = d.littleEndian,
+                elemSize = d.elemSize,
+                c0 = c0, c1 = c1, c2 = c2, c3 = c3,
+                k0 = k0, k1 = k1, k2 = k2, k3 = k3,
+                n0 = nt, n1 = nz, n2 = ny, n3 = nx,
+                itLo = lo, itHi = hi, fill = d.fill,
+                fixedPoint = d.fixedPoint, signed = d.signed)
+            val inRange = chunks.filter(c =>
+              c.offset(0) <= hi && c.offset(0) + k0 - 1 >= lo)
+            val allocated = inRange.map { c =>
+              part(c.offset(0).toInt, c.offset(1).toInt,
+                c.offset(2).toInt, c.offset(3).toInt, c.addr,
+                c.storedBytes)
+            }
+            // h5py allocates chunks lazily: grid slots in the pushed
+            // time range with NO allocated chunk still contribute
+            // rows — one IO-free FILL partition each (addr -1, no
+            // bytes read; the reader synthesizes the fill value).
+            // Metadata-scale work: the chunk grid is already the
+            // index's granularity.
+            val have = inRange.map(_.offset.toSeq).toSet
+            val fills = for {
+              t <- (lo / k0 * k0) to hi by k0
+              z <- 0 until nz by k1
+              y <- 0 until ny by k2
+              x <- 0 until nx by k3
+              if t >= 0 && t < nt
+              if !have.contains(Seq(t.toLong, z.toLong, y.toLong, x.toLong))
+            } yield part(t, z, y, x, -1L, 0L)
+            allocated ++ fills
         }
       } else {
         val (nt, nz, ny, nx) = VPICSource.readHeader(path)
@@ -521,13 +545,19 @@ private[sources] case class VPICInputPartition(path: String, label: String,
     t0: Int, t1: Int, nz: Int, ny: Int, nx: Int,
     file: String = VPICSource.DataFile, nvars: Int = 1,
     vidx: Int = 0, dataOffset: Long = VPICSource.HeaderBytes.toLong,
-    littleEndian: Boolean = false, elemSize: Int = 8) extends InputPartition
+    littleEndian: Boolean = false, elemSize: Int = 8,
+    fixedPoint: Boolean = false, signed: Boolean = true)
+  extends InputPartition
 
 /** One STORAGE chunk of a chunked HDF5 dataset: `addr`/`storedBytes`
   * locate the (possibly deflated) stream, `c*` the chunk's dataset
   * offset, `k*` the chunk dims, `n*` the dataset dims (edge chunks
   * overhang and the overhang elements are skipped). The reader
   * decompresses exactly this chunk — per-chunk IO and memory.
+  * `addr = -1` is an UNALLOCATED (sparse) chunk: no bytes exist on
+  * disk and every in-bounds cell reads as `fill` — the h5py
+  * lazy-allocation semantics, synthesized IO-free. `fixedPoint` /
+  * `signed` select the class-0 int decode (widened to doubles).
   */
 private[sources] case class VPICChunkPartition(root: String, label: String,
     addr: Long, storedBytes: Long, gzip: Boolean, shuffle: Boolean,
@@ -535,7 +565,9 @@ private[sources] case class VPICChunkPartition(root: String, label: String,
     elemSize: Int, c0: Int, c1: Int, c2: Int, c3: Int,
     k0: Int, k1: Int, k2: Int, k3: Int,
     n0: Int, n1: Int, n2: Int, n3: Int,
-    itLo: Int, itHi: Int) extends InputPartition
+    itLo: Int, itHi: Int, fill: Double = 0.0,
+    fixedPoint: Boolean = false, signed: Boolean = true)
+  extends InputPartition
 
 private[sources] class VPICReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {
@@ -616,16 +648,39 @@ private[sources] class VPICPartitionReader(p: VPICInputPartition,
     // interleaved band: hop over the other variables' values between
     // cells (gap = 0 on the per-variable layout — no-op)
     if (first) first = false else if (gap > 0) skipFully(gap)
-    v =
-      if (p.elemSize == 4) {
-        val bits = if (p.littleEndian)
-          java.lang.Integer.reverseBytes(in.readInt())
-        else in.readInt()
-        java.lang.Float.intBitsToFloat(bits).toDouble
-      } else if (p.littleEndian)
-        java.lang.Double.longBitsToDouble(
-          java.lang.Long.reverseBytes(in.readLong()))
-      else in.readDouble()
+    v = if (p.fixedPoint) {
+      // class-0 fixed-point (HDF5 aux datasets), widened to double
+      p.elemSize match {
+        case 1 =>
+          val b = in.readByte()
+          if (p.signed) b.toDouble else (b & 0xff).toDouble
+        case 2 =>
+          val s = if (p.littleEndian)
+            java.lang.Short.reverseBytes(in.readShort())
+          else in.readShort()
+          if (p.signed) s.toDouble else (s & 0xffff).toDouble
+        case 4 =>
+          val i = if (p.littleEndian)
+            java.lang.Integer.reverseBytes(in.readInt())
+          else in.readInt()
+          if (p.signed) i.toDouble
+          else (i.toLong & 0xffffffffL).toDouble
+        case _ =>
+          val l = if (p.littleEndian)
+            java.lang.Long.reverseBytes(in.readLong())
+          else in.readLong()
+          if (p.signed || l >= 0) l.toDouble
+          else (l & Long.MaxValue).toDouble + 9.223372036854775808e18
+      }
+    } else if (p.elemSize == 4) {
+      val bits = if (p.littleEndian)
+        java.lang.Integer.reverseBytes(in.readInt())
+      else in.readInt()
+      java.lang.Float.intBitsToFloat(bits).toDouble
+    } else if (p.littleEndian)
+      java.lang.Double.longBitsToDouble(
+        java.lang.Long.reverseBytes(in.readLong()))
+    else in.readDouble()
     true
   }
 
@@ -658,7 +713,9 @@ private[sources] class VPICPartitionReader(p: VPICInputPartition,
   */
 private[sources] class VPICChunkReader(p: VPICChunkPartition,
     fields: Array[String]) extends PartitionReader[InternalRow] {
-  private val bytes: Array[Byte] = {
+  // an UNALLOCATED chunk partition (addr -1) synthesizes the fill
+  // value with zero IO — bytes stay null and are never touched
+  private val bytes: Array[Byte] = if (p.addr < 0) null else {
     val path = Paths.get(p.root, VPICSource.Hdf5File)
     val raf = new java.io.RandomAccessFile(path.toFile, "r")
     try {
@@ -669,13 +726,19 @@ private[sources] class VPICChunkReader(p: VPICChunkPartition,
       val raw = new Array[Byte](p.storedBytes.toInt)
       raf.seek(p.addr)
       raf.readFully(raw)
-      val expect = p.k0 * p.k1 * p.k2 * p.k3 * p.elemSize
-      Hdf5.decodeChunk(raw, expect, p.gzip, p.shuffle, p.elemSize)
+      // index-time validation guarantees chunkBytes <= Int.MaxValue;
+      // Long math here so a bad partition can never overflow silently
+      val expect =
+        p.k0.toLong * p.k1 * p.k2 * p.k3 * p.elemSize
+      require(expect <= Int.MaxValue,
+        s"chunk of $expect bytes at ${p.addr} ($path)")
+      Hdf5.decodeChunk(raw, expect.toInt, p.gzip, p.shuffle, p.elemSize)
     } finally raf.close()
   }
-  private val bb = java.nio.ByteBuffer.wrap(bytes).order(
-    if (p.littleEndian) java.nio.ByteOrder.LITTLE_ENDIAN
-    else java.nio.ByteOrder.BIG_ENDIAN)
+  private val bb = if (bytes == null) null
+    else java.nio.ByteBuffer.wrap(bytes).order(
+      if (p.littleEndian) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN)
 
   // local chunk coords, advanced incrementally (no div/mod per cell)
   private var lt = 0; private var lz = 0; private var ly = 0
@@ -694,6 +757,11 @@ private[sources] class VPICChunkReader(p: VPICChunkPartition,
   }
 
   override def next(): Boolean = {
+    // exhaustion is a STABLE state: once lt reaches k0 every further
+    // next() returns false without touching the counters — Spark
+    // never re-probes, but a wrapper/retry that does must not index
+    // bb past the decoded chunk or spin
+    if (lt >= p.k0) return false
     while (true) {
       lx += 1; l += 1
       if (lx == p.k3) { lx = 0; ly += 1 }
@@ -704,8 +772,9 @@ private[sources] class VPICChunkReader(p: VPICChunkPartition,
       // skip edge-chunk overhang and rows outside the pushed it range
       if (it >= p.itLo && it <= p.itHi && it < p.n0
           && iz < p.n1 && iy < p.n2 && ix < p.n3) {
-        v = if (p.elemSize == 4) bb.getFloat(l * 4).toDouble
-            else bb.getDouble(l * 8)
+        v = if (bb == null) p.fill // unallocated chunk: fill value
+            else Hdf5.decodeElem(bb, l, p.elemSize, p.fixedPoint,
+              p.signed)
         return true
       }
     }

@@ -123,7 +123,8 @@ class Hdf5Spec extends AnyFunSuite {
     // truncation breaks the recorded end-of-file address
     reject(_.dropRight(1), "truncation")
     // find the one datatype message ((ver<<4)|class = 0x11 followed by
-    // our exact bit fields) and flip its class to integer
+    // our exact bit fields) and flip its class to 2 (time) — class 0
+    // fixed-point is IN the subset now, class 2 stays out
     val sigAt = {
       var at = -1
       var i = 96
@@ -135,7 +136,7 @@ class Hdf5Spec extends AnyFunSuite {
       at
     }
     assert(sigAt > 0, "datatype message not found in fixture")
-    reject(b => { b(sigAt) = 0x10; b }, "datatype class")
+    reject(b => { b(sigAt) = 0x12; b }, "datatype class")
     // flip the layout message's class (contiguous -> chunked): the
     // layout body starts with version 3, class 1; locate via message
     // type 0x0008 header (08 00 size...) then body at +8
@@ -582,5 +583,302 @@ class Hdf5Spec extends AnyFunSuite {
     val d = Hdf5.index(p).head
     assert(d.path == "d" && d.dataAddress == dataAddr && !d.littleEndian)
     assert(Hdf5.readDoubles(p, d, 0, 2).toSeq == Seq(1.5, -2.5))
+  }
+
+  // ---------------------------------------------------------------
+  // Fill values + sparse (lazily-allocated) chunks
+  // ---------------------------------------------------------------
+
+  test("SPARSE chunks read as the fill value, both endians: h5py " +
+    "allocates chunks lazily, so a partially-written dataset has " +
+    "B-tree gaps, not errors") {
+    Seq(false, true).foreach { le =>
+      val p = tmp()
+      val n = 10 // chunks of 3 -> offsets 0,3,6,9; omit 3 and 9
+      val data = Array.tabulate(n)(i => i + 0.5)
+      Hdf5.writeSpecs(p, Seq(Hdf5.H5Write("s", Array(n.toLong), data,
+        chunkDims = Some(Array(3L)), gzip = true,
+        sparse = Some(off => off(0) == 3 || off(0) == 9))), le)
+      val d = Hdf5.index(p).head
+      d.layout match {
+        case Hdf5.H5Chunked(_, true, _, chunks) =>
+          assert(chunks.map(_.offset(0)).toSeq == Seq(0L, 6L))
+        case other => fail(s"$other")
+      }
+      assert(d.fill == 0.0) // no fill message -> spec default
+      val want = data.clone()
+      (3 until 6).foreach(want(_) = 0.0)
+      want(9) = 0.0
+      assert(Hdf5.readDoubles(p, d, 0, n).toSeq == want.toSeq,
+        s"littleEndian=$le")
+      // an interior slice crossing the gap
+      assert(Hdf5.readDoubles(p, d, 2, 5).toSeq ==
+        want.toSeq.slice(2, 7), s"littleEndian=$le")
+    }
+  }
+
+  test("a NON-ZERO fill value round-trips through the Fill Value " +
+    "message and fills sparse extents; f32+shuffle+gzip compose") {
+    val p = tmp()
+    val data = Array.tabulate(8)(_ * 2.0)
+    Hdf5.writeSpecs(p, Seq(
+      Hdf5.H5Write("q", Array(8L), data,
+        chunkDims = Some(Array(2L)), gzip = true, shuffle = true,
+        f32 = true, fillValue = -1.5,
+        sparse = Some(off => off(0) == 4)),
+      // fill message on a CONTIGUOUS dataset parses too (no effect)
+      Hdf5.H5Write("c", Array(2L), Array(1.0, 2.0), fillValue = 9.0)),
+      littleEndian = true)
+    val idx = Hdf5.index(p)
+    val q = idx.find(_.path == "q").get
+    assert(q.fill == -1.5 && q.elemSize == 4)
+    val want = data.map(v => v.toFloat.toDouble)
+    want(4) = -1.5; want(5) = -1.5
+    assert(Hdf5.readDoubles(p, q, 0, 8).toSeq == want.toSeq)
+    assert(idx.find(_.path == "c").get.fill == 9.0)
+  }
+
+  test("a FULLY sparse chunked dataset (no chunk ever written) " +
+    "carries the undefined B-tree address and reads all-fill") {
+    val p = tmp()
+    Hdf5.writeSpecs(p, Seq(Hdf5.H5Write("empty", Array(5L),
+      Array.fill(5)(3.0), chunkDims = Some(Array(2L)),
+      fillValue = 7.0, sparse = Some(_ => true))))
+    val d = Hdf5.index(p).head
+    d.layout match {
+      case Hdf5.H5Chunked(_, _, _, chunks) => assert(chunks.isEmpty)
+      case other => fail(s"$other")
+    }
+    assert(Hdf5.readDoubles(p, d, 0, 5).toSeq == Seq.fill(5)(7.0))
+  }
+
+  // ---------------------------------------------------------------
+  // Fixed-point (class 0) datatypes
+  // ---------------------------------------------------------------
+
+  test("FIXED-POINT datasets round-trip widened to doubles: signed " +
+    "and unsigned, 1/2/4/8 bytes, both endians, both layouts") {
+    Seq(false, true).foreach { le =>
+      val p = tmp()
+      Hdf5.writeSpecs(p, Seq(
+        Hdf5.H5Write("i32", Array(5L),
+          Array(-3.0, 0, 7, 2147483647.0, -2147483648.0),
+          fixed = Some((4, true))),
+        Hdf5.H5Write("i64c", Array(6L),
+          Array(-1e15, 0, 1, -7, 1e15, 42),
+          chunkDims = Some(Array(4L)), gzip = true,
+          fixed = Some((8, true))),
+        Hdf5.H5Write("u8", Array(4L), Array(0.0, 1, 128, 255),
+          fixed = Some((1, false))),
+        Hdf5.H5Write("i16", Array(3L), Array(-32768.0, 0, 32767),
+          fixed = Some((2, true)), chunkDims = Some(Array(2L)),
+          shuffle = true),
+        Hdf5.H5Write("u32", Array(3L), Array(0.0, 4294967295.0, 17.0),
+          fixed = Some((4, false)))), le)
+      val idx = Hdf5.index(p)
+      def check(path: String, want: Seq[Double]): Unit = {
+        val d = idx.find(_.path == path).get
+        assert(d.fixedPoint, path)
+        assert(Hdf5.readDoubles(p, d, 0, want.length).toSeq == want,
+          s"$path littleEndian=$le")
+      }
+      check("i32", Seq(-3.0, 0, 7, 2147483647.0, -2147483648.0))
+      check("i64c", Seq(-1e15, 0, 1, -7, 1e15, 42))
+      check("u8", Seq(0.0, 1, 128, 255))
+      check("i16", Seq(-32768.0, 0, 32767))
+      check("u32", Seq(0.0, 4294967295.0, 17.0))
+      assert(!idx.find(_.path == "u8").get.signed)
+    }
+    // a non-representable value is rejected at write time
+    intercept[IllegalArgumentException](Hdf5.writeSpecs(tmp(), Seq(
+      Hdf5.H5Write("x", Array(1L), Array(1.5), fixed = Some((4, true))))))
+    intercept[IllegalArgumentException](Hdf5.writeSpecs(tmp(), Seq(
+      Hdf5.H5Write("x", Array(1L), Array(-1.0), fixed = Some((1, false))))))
+  }
+
+  // ---------------------------------------------------------------
+  // v2/v3 superblocks + v2 ("OHDR") object headers
+  // ---------------------------------------------------------------
+
+  test("lookup3 matches Bob Jenkins' published hashlittle vectors " +
+    "(so fixture and parser cannot agree on a wrong hash)") {
+    assert(Hdf5.lookup3(Array.empty[Byte], 0, 0) == 0xdeadbeef)
+    val four = "Four score and seven years ago".getBytes("US-ASCII")
+    assert(four.length == 30)
+    assert(Hdf5.lookup3(four, 0, 30) == 0x17770551)
+  }
+
+  /** Hand-build a v2/v3-superblock file from the PUBLIC spec (no
+    * HDF5 library in this environment): root is a v2 "OHDR" group
+    * whose Link Info + continuation spill into an "OCHK" block
+    * carrying the hard link to a dataset with a v2 header, v2
+    * dataspace, LE f64 datatype and contiguous v3 layout. Every
+    * address below is spec-computed — the golden-bytes discipline
+    * applied to the READ-ONLY v2 path (the writer stays v0).
+    */
+  private def buildV2File(sver: Int): (Array[Byte], Long) = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val eof = 240
+    val b = ByteBuffer.allocate(eof).order(ByteOrder.LITTLE_ENDIAN)
+    def cksum(from: Int, to: Int, at: Int): Unit =
+      b.putInt(at, Hdf5.lookup3(b.array(), from, to - from))
+    // ---- superblock @0 (48 bytes)
+    b.put(Array(0x89.toByte, 'H'.toByte, 'D'.toByte, 'F'.toByte,
+      '\r'.toByte, '\n'.toByte, 0x1a.toByte, 0x0a.toByte))
+    b.put(sver.toByte)
+    b.put(8.toByte).put(8.toByte) // sizeof offsets / lengths
+    b.put(0.toByte) // file consistency flags
+    b.putLong(0L) // base address
+    b.putLong(-1L) // superblock extension: undefined
+    b.putLong(eof.toLong)
+    b.putLong(137L) // root group object header (OHDR, unaligned)
+    cksum(0, 44, 44)
+    b.position(48)
+    // ---- raw data @48: two LE f64
+    b.putDouble(3.25).putDouble(-7.5)
+    // ---- dataset OHDR @64: flags 0 (1-byte chunk-0 size)
+    assert(b.position() == 64)
+    b.put("OHDR".getBytes("US-ASCII")).put(2.toByte).put(0.toByte)
+    b.put(62.toByte) // size of chunk 0
+    // dataspace v2: type 1 (simple), rank 1, dims [2]
+    b.put(0x01.toByte).putShort(12).put(0.toByte)
+    b.put(2.toByte).put(1.toByte).put(0.toByte).put(1.toByte)
+    b.putLong(2L)
+    // datatype: v1 class 1 float, LE binary64
+    b.put(0x03.toByte).putShort(20).put(0.toByte)
+    b.put(0x11.toByte).put(0x20.toByte).put(63.toByte).put(0.toByte)
+    b.putInt(8).putShort(0).putShort(64)
+    b.put(52.toByte).put(11.toByte).put(0.toByte).put(52.toByte)
+    b.putInt(1023)
+    // layout v3 class 1 contiguous @48, 16 bytes
+    b.put(0x08.toByte).putShort(18).put(0.toByte)
+    b.put(3.toByte).put(1.toByte).putLong(48L).putLong(16L)
+    assert(b.position() == 64 + 7 + 62)
+    cksum(64, 133, 133)
+    b.position(137)
+    // ---- root group OHDR @137: flags 0x24 = times stored + message
+    // creation order tracked (2 extra bytes per message header)
+    b.put("OHDR".getBytes("US-ASCII")).put(2.toByte).put(0x24.toByte)
+    b.putInt(11).putInt(12).putInt(13).putInt(14) // four timestamps
+    b.put(46.toByte) // size of chunk 0
+    assert(b.position() == 160)
+    // link info: fractal heap + name index undefined (compact links)
+    b.put(0x02.toByte).putShort(18).put(0.toByte).putShort(0)
+    b.put(0.toByte).put(0.toByte).putLong(-1L).putLong(-1L)
+    // continuation -> OCHK @210, 30 bytes
+    b.put(0x10.toByte).putShort(16).put(0.toByte).putShort(1)
+    b.putLong(210L).putLong(30L)
+    assert(b.position() == 160 + 46)
+    cksum(137, 206, 206)
+    b.position(210)
+    // ---- OCHK continuation block @210: the link message
+    b.put("OCHK".getBytes("US-ASCII"))
+    // link v1, flags 0x10 (charset present; 1-byte name length;
+    // no type field -> hard), name "vals" -> OH @64
+    b.put(0x06.toByte).putShort(16).put(0.toByte).putShort(2)
+    b.put(1.toByte).put(0x10.toByte).put(0.toByte).put(4.toByte)
+    b.put("vals".getBytes("US-ASCII")).putLong(64L)
+    assert(b.position() == 236)
+    cksum(210, 236, 236)
+    (b.array(), 48L)
+  }
+
+  test("GOLDEN BYTES (v2/v3): a hand-built, spec-addressed v3 " +
+    "superblock + OHDR + OCHK file decodes; v2 superblock likewise; " +
+    "reads return the exact doubles") {
+    Seq(2, 3).foreach { sver =>
+      val (bytes, dataAddr) = buildV2File(sver)
+      val p = tmp()
+      java.nio.file.Files.write(java.nio.file.Paths.get(p), bytes)
+      val idx = Hdf5.index(p)
+      assert(idx.length == 1, s"sver=$sver")
+      val d = idx.head
+      assert(d.path == "vals" && d.dims.toSeq == Seq(2L)
+        && d.littleEndian && d.elemSize == 8 && !d.fixedPoint)
+      assert(d.dataAddress == dataAddr)
+      assert(Hdf5.readDoubles(p, d, 0, 2).toSeq == Seq(3.25, -7.5))
+    }
+  }
+
+  test("v2-path corruption is rejected loudly: superblock checksum, " +
+    "OHDR block checksum, OCHK signature, dense link storage") {
+    val (good, _) = buildV2File(3)
+    def reject(mutate: Array[Byte] => Unit, expect: String): Unit = {
+      val bad = good.clone(); mutate(bad)
+      val f = tmp()
+      java.nio.file.Files.write(java.nio.file.Paths.get(f), bad)
+      val e = intercept[IllegalArgumentException](Hdf5.index(f))
+      assert(e.getMessage.contains(expect),
+        s"wanted '$expect' in: ${e.getMessage}")
+    }
+    // unparsed-but-checksummed superblock byte (consistency flags)
+    reject(b => b(11) = 1, "superblock checksum")
+    // a message byte inside the dataset OHDR block
+    reject(b => b(100) = (b(100) ^ 0x11).toByte, "checksum")
+    // a message byte inside the OCHK continuation block
+    reject(b => b(225) = (b(225) ^ 0x11).toByte, "checksum")
+    // OCHK signature
+    reject(b => b(210) = 'X'.toByte, "OCHK")
+    // link info with a DEFINED fractal heap = dense storage: set the
+    // fractal-heap address field (@166+2 body -> bytes 168..175) to 7,
+    // restamping the root block checksum so only this check can fire
+    reject({ b =>
+      b(168) = 7
+      (169 to 175).foreach(b(_) = 0)
+      val bb = java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(Hdf5.lookup3(b, 137, 206 - 137))
+      System.arraycopy(bb.array(), 0, b, 206, 4)
+    }, "dense")
+    // superblock version out of subset
+    reject(b => b(8) = 4, "superblock version 4")
+  }
+
+  test("a >=2 GiB chunk is rejected LOUDLY at index time, never a " +
+    "silent Int truncation mid-scan") {
+    val p = tmp()
+    Hdf5.writeSpecs(p, Seq(Hdf5.H5Write("c", Array(6L),
+      Array(1.0, 2, 3, 4, 5, 6), chunkDims = Some(Array(3L)))))
+    val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    // dataspace message: header (01 00 10 00 ...) + body v1 rank 1,
+    // dim u64 = 6 -> inflate the dim to 2^31
+    val dsAt = {
+      var at = -1
+      var i = 96
+      while (at < 0 && i < b.length - 24) {
+        if (b(i) == 1 && b(i + 1) == 0 && b(i + 2) == 16 && b(i + 3) == 0
+          && b(i + 8) == 1 && b(i + 9) == 1 && b(i + 16) == 6) at = i
+        i += 1
+      }
+      at
+    }
+    assert(dsAt > 0, "dataspace message not found")
+    // layout message: header (08 00 ...) + body (03 02 02 btaddr
+    // chunkdim=3 elem=8) -> inflate the chunk dim to 2^31
+    val layAt = {
+      var at = -1
+      var i = 96
+      while (at < 0 && i < b.length - 28) {
+        if (b(i) == 8 && b(i + 1) == 0 && b(i + 8) == 3
+          && b(i + 9) == 2 && b(i + 10) == 2 && b(i + 19) == 3
+          && b(i + 23) == 8) at = i
+        i += 1
+      }
+      at
+    }
+    assert(layAt > 0, "chunked layout message not found")
+    val mut = b.clone()
+    val big = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    big.putLong(1L << 31)
+    System.arraycopy(big.array(), 0, mut, dsAt + 16, 8) // dim u64
+    val bigc = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bigc.putInt((1L << 31).toInt)
+    System.arraycopy(bigc.array(), 0, mut, layAt + 19, 4) // chunk u32
+    val f = tmp()
+    java.nio.file.Files.write(java.nio.file.Paths.get(f), mut)
+    val e = intercept[IllegalArgumentException](Hdf5.index(f))
+    assert(e.getMessage.contains("2 GiB"), e.getMessage)
   }
 }

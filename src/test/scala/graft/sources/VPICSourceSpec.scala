@@ -312,6 +312,75 @@ class VPICSourceSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("grid/z"))
   }
 
+  test("a SPARSE (partially-written) chunked HDF5 tree scans through " +
+    "the DSv2 plans: missing chunks read as the fill value via " +
+    "IO-free fill partitions, allocated chunks exactly, pruning holds") {
+    def fe(it: Int, iz: Int, iy: Int, ix: Int): Double =
+      it * 1000.0 + iz * 100.0 + iy * 10.0 + ix
+    val time = Array(0.0, 1.0, 2.0, 3.0, 4.0) // chunkTime 2 -> t0 0,2,4
+    val z = Array(0.0, 0.5); val y = Array(0.0, 0.25)
+    val x = Array(0.0, 1.0, 2.0)
+    Seq(false, true).foreach { le =>
+      val d = java.nio.file.Files
+        .createTempDirectory(s"vpic_sp_$le").toString
+      // the MIDDLE time chunk (t offset 2) was never written — the
+      // restart-dump shape; fill value -5
+      VPICSource.writeHdf5Tree(d, time, z, y, x,
+        Map("fields/ex" -> (fe _)), littleEndian = le,
+        chunkTime = Some(2), gzip = true,
+        tweak = w => w.copy(fillValue = -5.0,
+          sparse = Some(off => off(0) == 2L)))
+      val df = spark.read.format("graft-vpic").option("path", d).load()
+      // the full grid still comes back: 3 partitions (2 allocated +
+      // 1 fill), every cell present
+      assert(df.rdd.getNumPartitions === 3, s"littleEndian=$le")
+      assert(df.count() === 5L * 2 * 2 * 3)
+      val got = df.orderBy("it", "iz", "iy", "ix")
+        .select("it", "iz", "iy", "ix", "value").collect()
+      got.foreach { r =>
+        val (it, iz, iy, ix) =
+          (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+        val want = if (it == 2 || it == 3) -5.0 else fe(it, iz, iy, ix)
+        assert(r.getDouble(4) === want, s"($it,$iz,$iy,$ix) le=$le")
+      }
+      // pruning to the unwritten window plans ONLY the fill partition
+      val hole = df.filter(col("it") === 3)
+      assert(hole.rdd.getNumPartitions === 1)
+      assert(hole.select("value").distinct().collect()
+        .map(_.getDouble(0)).toSeq == Seq(-5.0))
+      // pruning to a written window plans no fill partitions
+      val solid = df.filter(col("it") <= 1)
+      assert(solid.rdd.getNumPartitions === 1)
+      assert(solid.count() === 2L * 2 * 2 * 3)
+    }
+  }
+
+  test("FIXED-POINT (int) HDF5 variables widen to doubles through " +
+    "the scan — the VPIC auxiliary-dataset shape") {
+    def fi(it: Int, iz: Int, iy: Int, ix: Int): Double =
+      (it * 7 + iz * 5 - iy * 3 + ix - 4).toDouble // negatives included
+    val time = Array(0.0, 1.0, 2.0)
+    val z = Array(0.0, 0.5); val y = Array(0.0)
+    val x = Array(0.0, 1.0)
+    Seq(None, Some(2)).foreach { chunk => // contiguous AND chunked
+      val d = java.nio.file.Files
+        .createTempDirectory(s"vpic_int_${chunk.isDefined}").toString
+      VPICSource.writeHdf5Tree(d, time, z, y, x,
+        Map("aux/ranks" -> (fi _)), littleEndian = true,
+        chunkTime = chunk, gzip = chunk.isDefined,
+        tweak = _.copy(fixed = Some((4, true))))
+      val got = spark.read.format("graft-vpic").option("path", d).load()
+        .orderBy("it", "iz", "iy", "ix")
+        .select("it", "iz", "iy", "ix", "value").collect()
+      assert(got.length === 3 * 2 * 1 * 2)
+      got.foreach { r =>
+        assert(r.getDouble(4) ===
+          fi(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)),
+          s"chunked=${chunk.isDefined}")
+      }
+    }
+  }
+
   test("truncated interleaved.bin fails with the named EOF diagnostic") {
     val d = java.nio.file.Files.createTempDirectory("vpic_it").toString
     VPICSource.writeMockInterleaved(d, Array(0.0, 1.0), Array(0.0, 1.0),
