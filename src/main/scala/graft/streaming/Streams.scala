@@ -696,6 +696,61 @@ object Streams {
     }
   }
 
+  /** STREAMING URL FRONTIER — q193's canonicalization + first-copy-
+    * wins + per-domain politeness cap run at ARRIVAL time: each
+    * micro-batch of (doc_id, url) arrivals canonicalizes per-row,
+    * collapses in-batch, and is decided against the PERSISTED
+    * frontier (seen canonicals are sticky 'duplicate's; new ones take
+    * the next slots of their domain's cap). EXACTLY-ONCE: the
+    * decision rows commit to a fenced audit artifact FIRST, and the
+    * frontier advance derives from the COMMITTED rows under its own
+    * fence — a crash between the two replays into "skip the audit,
+    * complete the advance", never a double-append (the q171/q186
+    * two-fence discipline). q194 is the batch twin (same arrivals
+    * re-batched + a forced replay, oracle-checked end to end);
+    * StreamsSpec pins stream ≡ batch through a real MemoryStream.
+    *
+    * 100 TB shape: per-batch cost is arrivals x one hash exchange of
+    * canonical STRINGS; the frontier read is metadata-width and the
+    * domain-slot side of the join is one row per domain (broadcast).
+    */
+  def urlFrontierSink(urls: DataFrame, frontierPath: String,
+      checkpointDir: String, outDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    urls.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        urlFrontierBatch(batch, batchId, frontierPath, outDir)
+      }
+      .start()
+
+  /** One micro-batch of [[urlFrontierSink]] — exposed for the
+    * forced-replay spec and q194's batch-twin harness.
+    */
+  private[graft] def urlFrontierBatch(batch: DataFrame, batchId: Long,
+      frontierPath: String, outDir: String): Unit = {
+    import graft.sources.BatchCommits
+    val s = batch.sparkSession
+    if (!BatchCommits.isCommitted(outDir, batchId))
+      BatchCommits.appendBatch(
+        graft.text.TextQueries.urlFrontierDecisions(batch, frontierPath)
+          .withColumn("batch_id", lit(batchId)),
+        outDir, batchId): Unit
+    // the frontier ADVANCE derives from the COMMITTED decision rows
+    // (kept AND capped — decisions are sticky) and fences
+    // independently: a replay after a crash between the two commits
+    // completes the advance from the exact bytes the original
+    // attempt decided
+    if (!BatchCommits.isCommitted(frontierPath, batchId)) {
+      val committed = s.read.parquet(outDir + s"/batch-$batchId")
+      BatchCommits.appendBatch(
+        committed.filter(col("status") =!= "duplicate")
+          .select(col("canonical_url"), col("domain"), col("keeper"),
+            (col("status") === "kept").as("kept")),
+        frontierPath, batchId): Unit
+    }
+  }
+
   /** Streaming advance of the CORPUS-STATISTICS artifact (the q143
     * CMS as a persisted profile): each micro-batch's token sketch is
     * merged into the file at `sketchPath`. CMS merge is element-wise

@@ -1293,43 +1293,9 @@ SELECT * FROM rep ORDER BY doc_id""")),
             "domain_rank", "kept")
           .orderBy("canonical_url")
       },
-      Some(s"""WITH u AS (SELECT doc_id,
-               CASE WHEN doc_id % 8 = 0 THEN 'HTTPS' ELSE 'https' END ||
-               '://' ||
-               CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END ||
-               CASE WHEN doc_id % 5 = 0
-                    THEN upper('site' || (doc_id % 7) || '.example.com')
-                    ELSE 'site' || (doc_id % 7) || '.example.com' END ||
-               CASE WHEN doc_id % 6 = 0 THEN ':443' ELSE '' END ||
-               '/docs/page-' || (doc_id % 53) ||
-               CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
-               CASE WHEN doc_id % 11 = 0
-                    THEN '?utm_source=s' || (doc_id % 9) ||
-                         '&page=' || (doc_id % 3)
-                    WHEN doc_id % 2 = 0
-                    THEN '?utm_source=s' || (doc_id % 9)
-                    ELSE '' END ||
-               CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END AS raw
+      Some(s"""WITH u AS (SELECT doc_id, $messyUrlSql
                FROM documents),
-             c AS (SELECT doc_id,
-               regexp_replace(
-               regexp_replace(
-               regexp_replace(
-               replace(
-               replace(
-               regexp_replace(
-               replace(
-                 lower(regexp_extract(regexp_replace(raw, '#.*$$', ''),
-                   '^([^/]*//[^/]*)', 1)) ||
-                 regexp_extract(regexp_replace(raw, '#.*$$', ''),
-                   '^[^/]*//[^/]*(.*)$$', 1),
-                 ':443/', '/'),
-                 ':443$$', ''),
-                 '://www.', '://'),
-                 '/?', '?'),
-                 '\\?utm_[^&]*&', '?', 'g'),
-                 '[?&]utm_[^&]*', '', 'g'),
-                 '/$$', '') AS canonical_url
+             c AS (SELECT doc_id, $canonicalUrlSql
                FROM u),
              g AS (SELECT canonical_url,
                      CAST(min(doc_id) AS BIGINT) AS keeper,
@@ -1344,7 +1310,69 @@ SELECT * FROM rep ORDER BY doc_id""")),
                row_number() OVER (
                  PARTITION BY regexp_extract(canonical_url, '://([^/]*)', 1)
                  ORDER BY keeper) <= $UrlDomainCap AS kept
-             FROM g ORDER BY canonical_url"""))
+             FROM g ORDER BY canonical_url""")),
+
+    // ---- q194: the STREAMING URL FRONTIER — q193's live twin. Real
+    // crawl frontiers arrive as streams, and the dedup + politeness
+    // decisions must be made AT ARRIVAL against persisted state, not
+    // in one batch pass. Arrivals (doc_id, messy url) come in three
+    // deterministic micro-batches (doc_id % 3); each batch
+    // canonicalizes, collapses first-copy-wins in-batch, reads the
+    // persisted frontier (seen canonicals + consumed domain slots),
+    // commits its decision rows to a FENCED audit artifact, then
+    // ADVANCES the frontier from the COMMITTED rows — the
+    // q171/q186/q192 exactly-once discipline (audit first, advance
+    // derives from committed bytes, both fenced). Batch 0 is
+    // deliberately REPLAYED after the frontier moved: both fences
+    // must skip and not one decision may change. The decision rule is
+    // recursion-free by design (the cap counts DECIDED canonicals per
+    // domain), so the DuckDB oracle reproduces the full multi-batch
+    // decision log with one window — see [[urlFrontierDecisions]].
+    Q("q194_url_frontier_stream",
+      (s, d) => {
+        val frontier = graft.TempArtifacts.dir("graft_url_frontier")
+        val audit = graft.TempArtifacts.dir("graft_url_frontier_audit")
+        val arrivals = Tables.documents(s, d)
+          .select(col("doc_id"), messyUrl.as("url"))
+        def b(k: Int) = arrivals.filter(col("doc_id") % 3 === k)
+        graft.streaming.Streams.urlFrontierBatch(b(0), 0L, frontier, audit)
+        graft.streaming.Streams.urlFrontierBatch(b(1), 1L, frontier, audit)
+        graft.streaming.Streams.urlFrontierBatch(b(2), 2L, frontier, audit)
+        // replay batch 0 after the frontier advanced: fences skip,
+        // decisions must not change
+        graft.streaming.Streams.urlFrontierBatch(b(0), 0L, frontier, audit)
+        graft.sources.BatchCommits.readComponent(s, audit)
+          .select("canonical_url", "domain", "batch_id", "keeper",
+            "n_docs", "status")
+          .orderBy("canonical_url", "batch_id")
+      },
+      Some(s"""WITH u AS (SELECT doc_id, $messyUrlSql
+               FROM documents),
+             c AS (SELECT doc_id, $canonicalUrlSql
+               FROM u),
+             a AS (SELECT canonical_url, doc_id % 3 AS b, doc_id FROM c),
+             g AS (SELECT canonical_url, b,
+                     CAST(min(doc_id) AS BIGINT) AS keeper,
+                     CAST(count(*) AS BIGINT) AS n_docs
+                   FROM a GROUP BY 1, 2),
+             fb AS (SELECT canonical_url, min(b) AS fb FROM g GROUP BY 1),
+             d2 AS (SELECT g.canonical_url,
+                      regexp_extract(g.canonical_url, '://([^/]*)', 1)
+                        AS domain,
+                      g.b, g.keeper, g.n_docs, f.fb
+                    FROM g JOIN fb f USING (canonical_url)),
+             r AS (SELECT canonical_url, b,
+                     row_number() OVER (PARTITION BY domain
+                       ORDER BY fb, keeper) AS arr
+                   FROM d2 WHERE b = fb)
+             SELECT d2.canonical_url, d2.domain,
+               CAST(d2.b AS BIGINT) AS batch_id, d2.keeper, d2.n_docs,
+               CASE WHEN d2.b > d2.fb THEN 'duplicate'
+                    WHEN r.arr <= $UrlDomainCap THEN 'kept'
+                    ELSE 'domain_capped' END AS status
+             FROM d2 LEFT JOIN r
+               ON d2.canonical_url = r.canonical_url AND d2.b = r.b
+             ORDER BY d2.canonical_url, d2.b"""))
   )
 
   /** q193's per-domain keep cap — the politeness/diversity bound real
@@ -1352,6 +1380,80 @@ SELECT * FROM rep ORDER BY doc_id""")),
     * of canonicals each makes both branches fire at every SF.
     */
   val UrlDomainCap = 5
+
+  /** The persisted URL FRONTIER's seen set: every canonical decided
+    * so far — kept AND domain-capped, because decisions are STICKY (a
+    * capped canonical re-arriving must read 'duplicate', never be
+    * re-litigated against a fresh domain budget). One fenced
+    * `batch-<id>` dir per micro-batch ([[graft.sources.BatchCommits]]
+    * discipline); empty-schema frame before the first commit.
+    */
+  private[graft] def readFrontier(s: SparkSession,
+      frontierPath: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val f = new java.io.File(frontierPath)
+    val hasBatch = f.isDirectory && Option(f.listFiles())
+      .exists(_.exists(_.getName.startsWith("batch-")))
+    if (!hasBatch)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("canonical_url", StringType),
+          StructField("domain", StringType),
+          StructField("keeper", LongType),
+          StructField("kept", BooleanType))))
+    else graft.sources.BatchCommits.readComponent(s, frontierPath)
+      .select("canonical_url", "domain", "keeper", "kept")
+  }
+
+  /** One micro-batch of URL-frontier decisions against the persisted
+    * seen set — the shared core of the q194 batch twin and the live
+    * [[graft.streaming.Streams.urlFrontierSink]]. Arrivals
+    * (doc_id, url) canonicalize per-row, collapse first-copy-wins
+    * WITHIN the batch, and split against the frontier:
+    *   - already-decided canonical -> 'duplicate' (sticky);
+    *   - new canonical -> arrival rank within its domain (by keeper)
+    *     offset by the domain's already-CONSUMED slots; inside
+    *     [[UrlDomainCap]] -> 'kept', past it -> 'domain_capped'.
+    * The cap counts DECIDED canonicals per domain (each consumes a
+    * slot whether kept or capped) — equivalent to "the first cap
+    * arrivals per domain win", which keeps the rule recursion-free:
+    * the DuckDB oracle is ONE window over (domain, first_batch,
+    * keeper), not a per-batch fixpoint.
+    *
+    * 100 TB shape: canonicalization is per-row map work; the groupBy
+    * shuffles canonical STRINGS; the seen set is metadata-width
+    * (canonical, domain, keeper, kept) and the consumed-slots side of
+    * the join is one row per DOMAIN — broadcast.
+    */
+  private[graft] def urlFrontierDecisions(batch: DataFrame,
+      frontierPath: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = batch.sparkSession
+    val grouped = batch
+      .select(col("doc_id"), canonicalUrl(col("url")).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_docs"))
+      .withColumn("domain",
+        regexp_extract(col("canonical_url"), "://([^/]*)", 1))
+    val seen = readFrontier(s, frontierPath)
+    val dup = grouped
+      .join(seen.select("canonical_url"), Seq("canonical_url"), "left_semi")
+      .withColumn("status", lit("duplicate"))
+    val consumed = seen.groupBy("domain")
+      .agg(count(lit(1)).as("consumed"))
+    val fresh = grouped
+      .join(seen.select("canonical_url"), Seq("canonical_url"), "left_anti")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("domain").orderBy("keeper")))
+      .join(broadcast(consumed), Seq("domain"), "left")
+      .na.fill(0L, Seq("consumed"))
+      .withColumn("status",
+        when(col("rn") + col("consumed") <= UrlDomainCap, "kept")
+          .otherwise(lit("domain_capped")))
+    val cols = Seq("canonical_url", "domain", "keeper", "n_docs", "status")
+    fresh.select(cols.map(col): _*)
+      .unionByName(dup.select(cols.map(col): _*))
+  }
 
   /** q193's deterministic MESSY url per doc — ONE copy in each engine
     * (its SQL image is the oracle's `u` CTE): scheme case (mod 8),
@@ -1362,17 +1464,35 @@ SELECT * FROM rep ORDER BY doc_id""")),
     * canonicals collide on (domain, path slot, page) — so genuine
     * dup clusters AND singletons both exist.
     */
-  private def messyUrl: org.apache.spark.sql.Column = {
+  private[graft] def messyUrl: org.apache.spark.sql.Column = {
     val id = col("doc_id")
     val hostCore = concat(lit("site"), (id % 7).cast("string"),
       lit(".example.com"))
     concat(
-      when(id % 8 === 0, lit("HTTPS")).otherwise(lit("https")),
+      // mod 13 docs arrive over http (with the :80 default-port
+      // spelling when mod 6 also fires); everything else https/:443
+      when(id % 13 === 0,
+        when(id % 8 === 0, lit("HTTP")).otherwise(lit("http")))
+        .otherwise(
+          when(id % 8 === 0, lit("HTTPS")).otherwise(lit("https"))),
       lit("://"),
       when(id % 4 === 0, lit("www.")).otherwise(lit("")),
       when(id % 5 === 0, upper(hostCore)).otherwise(hostCore),
-      when(id % 6 === 0, lit(":443")).otherwise(lit("")),
+      when(id % 6 === 0,
+        when(id % 13 === 0, lit(":80")).otherwise(lit(":443")))
+        .otherwise(lit("")),
       lit("/docs/page-"), (id % 53).cast("string"),
+      // percent-encoding spellings: an UNRESERVED tilde arrives
+      // encoded (both hex cases) or plain — all three converge; a
+      // RESERVED %2F arrives in both hex cases — uppercased, never
+      // decoded (decoding it would change the path structure)
+      when(id % 9 === 0, lit("/v%7E1"))
+        .when(id % 9 === 3, lit("/v%7e1"))
+        .when(id % 9 === 6, lit("/v~1"))
+        .otherwise(lit("")),
+      when(id % 10 === 0, lit("/x%2fy"))
+        .when(id % 10 === 5, lit("/x%2Fy"))
+        .otherwise(lit("")),
       when(id % 3 === 0, lit("/")).otherwise(lit("")),
       when(id % 11 === 0,
         concat(lit("?utm_source=s"), (id % 9).cast("string"),
@@ -1383,26 +1503,89 @@ SELECT * FROM rep ORDER BY doc_id""")),
       when(id % 7 === 0, lit("#sec")).otherwise(lit("")))
   }
 
-  /** The q193 canonicalization rule chain — ONE copy (its SQL image
-    * is the oracle's `c` CTE), all codegen'd built-ins, no UDF, no
-    * regex backrefs (Spark uses `$1` where RE2 uses `\\1`, so a
+  /** The messy-url fixture as its DuckDB SQL image — ONE string used
+    * by q193's and q194's oracles (the `u` CTE body after
+    * `SELECT doc_id,`).
+    */
+  private def messyUrlSql: String =
+    """CASE WHEN doc_id % 13 = 0 THEN
+         CASE WHEN doc_id % 8 = 0 THEN 'HTTP' ELSE 'http' END
+       ELSE
+         CASE WHEN doc_id % 8 = 0 THEN 'HTTPS' ELSE 'https' END END ||
+       '://' ||
+       CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END ||
+       CASE WHEN doc_id % 5 = 0
+            THEN upper('site' || (doc_id % 7) || '.example.com')
+            ELSE 'site' || (doc_id % 7) || '.example.com' END ||
+       CASE WHEN doc_id % 6 = 0 THEN
+         CASE WHEN doc_id % 13 = 0 THEN ':80' ELSE ':443' END
+       ELSE '' END ||
+       '/docs/page-' || (doc_id % 53) ||
+       CASE WHEN doc_id % 9 = 0 THEN '/v%7E1'
+            WHEN doc_id % 9 = 3 THEN '/v%7e1'
+            WHEN doc_id % 9 = 6 THEN '/v~1'
+            ELSE '' END ||
+       CASE WHEN doc_id % 10 = 0 THEN '/x%2fy'
+            WHEN doc_id % 10 = 5 THEN '/x%2Fy'
+            ELSE '' END ||
+       CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+       CASE WHEN doc_id % 11 = 0
+            THEN '?utm_source=s' || (doc_id % 9) ||
+                 '&page=' || (doc_id % 3)
+            WHEN doc_id % 2 = 0
+            THEN '?utm_source=s' || (doc_id % 9)
+            ELSE '' END ||
+       CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END AS raw"""
+
+  /** The q193/q194 canonicalization rule chain — ONE copy (its SQL
+    * image is [[canonicalUrlSql]]), all codegen'd built-ins, no UDF,
+    * no regex backrefs (Spark uses `$1` where RE2 uses `\\1`, so a
     * backref could never be one shared rule; every rule here is
     * backref-free by construction). ORDER IS LOAD-BEARING:
     *   1. fragment off first (a `#` can contain anything);
     *   2. lowercase the AUTHORITY only (scheme+host — paths and
     *      query values are case-significant), then re-attach the
     *      rest;
-    *   3. default-port strip (`:443/` plain replace + `:443$`);
-    *   4. `www.` strip AFTER lowering (or `WWW.` survives);
-    *   5. pre-query trailing slash (`/?` -> `?`) before the param
+    *   3. default-port strip for BOTH schemes (`:443/`/`:80/` plain
+    *      replace + `:443$`/`:80$`);
+    *   4. percent-encoding normalization over the CLOSED code
+    *      repertoire the frontier carries: the unreserved `%7E`/`%7e`
+    *      decode to `~` (RFC 3986 says encoded-unreserved and plain
+    *      are the same URI), the reserved `%2f` uppercases to `%2F`
+    *      and is NEVER decoded (a decoded slash would change the
+    *      path structure);
+    *   5. `www.` strip AFTER lowering (or `WWW.` survives);
+    *   6. pre-query trailing slash (`/?` -> `?`) before the param
     *      rules, so `/path/?utm=..` and `/path?utm=..` converge;
-    *   6. tracking-param strip in two backref-free steps: a leading
+    *   7. tracking-param strip in two backref-free steps: a leading
     *      `?utm_...&` becomes `?` (promoting the next real param),
     *      then any remaining `[?&]utm_...` drops;
-    *   7. trailing-slash strip last (a stripped `:443/` already
+    *   8. trailing-slash strip last (a stripped `:443/` already
     *      re-exposed the path).
+    *
+    * DISCLOSED SUBSET (the markup-chain hazard discipline applied to
+    * URLs — each remainder is a structural limit of a shared
+    * backref-free rule chain, not an oversight):
+    *   (a) the port strip is SCHEME-BLIND: `https://h:80/` (a
+    *       nonstandard spelling — :80 is only default for http)
+    *       would also lose its port; conditioning the strip on the
+    *       scheme needs a backref or a two-pass split, and the two
+    *       engines' backref syntaxes differ;
+    *   (b) percent normalization covers the fixture's closed code
+    *       set. FULL RFC 3986 normalization — 66 unreserved codes x
+    *       case spellings decoded, every remaining code's hex
+    *       uppercased — is a ~130-rule generated table (or a custom
+    *       Expression with no DuckDB twin); an out-of-repertoire
+    *       lowercase-hex code (say `%3f`) passes through unchanged
+    *       in BOTH engines, so parity holds;
+    *   (c) the authority lowering would also lowercase any hex in a
+    *       percent-encoded (IDN) HOST; such hosts are outside the
+    *       fixture and real frontiers punycode them first;
+    *   (d) a root-path URL `https://h/?q` canonicalizes to
+    *       `https://h?q` — rule 6 cannot tell the root slash from a
+    *       pre-query trailing slash; both engines agree.
     */
-  private def canonicalUrl(raw: org.apache.spark.sql.Column)
+  private[graft] def canonicalUrl(raw: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {
     val noFrag = regexp_replace(raw, "#.*$", "")
     val lowered = concat(
@@ -1410,12 +1593,51 @@ SELECT * FROM rep ORDER BY doc_id""")),
       regexp_extract(noFrag, "^[^/]*//[^/]*(.*)$", 1))
     var c = replace(lowered, lit(":443/"), lit("/"))
     c = regexp_replace(c, ":443$", "")
+    c = replace(c, lit(":80/"), lit("/"))
+    c = regexp_replace(c, ":80$", "")
+    c = replace(c, lit("%7E"), lit("~")) // unreserved: decode
+    c = replace(c, lit("%7e"), lit("~"))
+    c = replace(c, lit("%2f"), lit("%2F")) // reserved: uppercase only
     c = replace(c, lit("://www."), lit("://"))
     c = replace(c, lit("/?"), lit("?")) // pre-query trailing slash
     c = regexp_replace(c, "\\?utm_[^&]*&", "?")
     c = regexp_replace(c, "[?&]utm_[^&]*", "")
     regexp_replace(c, "/$", "")
   }
+
+  /** [[canonicalUrl]]'s DuckDB image around a raw-url column named
+    * `raw` — ONE string shared by the q193 and q194 oracles. NOTE:
+    * plain string (no interpolation), so `$` anchors stay literal.
+    */
+  private def canonicalUrlSql: String =
+    """regexp_replace(
+       regexp_replace(
+       regexp_replace(
+       replace(
+       replace(
+       replace(
+       replace(
+       replace(
+       regexp_replace(
+       replace(
+       regexp_replace(
+       replace(
+         lower(regexp_extract(regexp_replace(raw, '#.*$', ''),
+           '^([^/]*//[^/]*)', 1)) ||
+         regexp_extract(regexp_replace(raw, '#.*$', ''),
+           '^[^/]*//[^/]*(.*)$', 1),
+         ':443/', '/'),
+         ':443$', ''),
+         ':80/', '/'),
+         ':80$', ''),
+         '%7E', '~'),
+         '%7e', '~'),
+         '%2f', '%2F'),
+         '://www.', '://'),
+         '/?', '?'),
+         '\?utm_[^&]*&', '?', 'g'),
+         '[?&]utm_[^&]*', '', 'g'),
+         '/$', '') AS canonical_url"""
 
   /** The q189/q190 deterministic HTML page around each doc — ONE copy
     * in each engine (its SQL image is [[markupExtractCtesSql]]'s `w`).

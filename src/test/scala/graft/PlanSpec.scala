@@ -406,6 +406,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q194 frontier decisions: seen-set joins broadcast (the " +
+    "frontier is metadata-width), consumed-slots side is one row per " +
+    "domain, no UDF, no sort-merge join, no cartesian") {
+    // plan ONE batch body against a NON-empty frontier (batch 0
+    // committed first, so the seen-set joins are real, not
+    // empty-relation-optimized)
+    import org.apache.spark.sql.functions._
+    val frontier = graft.TempArtifacts.dir("graft_urlf_plan_f")
+    val audit = graft.TempArtifacts.dir("graft_urlf_plan_a")
+    val arrivals = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"))
+      .withColumn("url", concat(lit("https://s"),
+        (col("doc_id") % 7).cast("string"),
+        lit(".example.com/p-"), (col("doc_id") % 11).cast("string")))
+    graft.streaming.Streams.urlFrontierBatch(
+      arrivals.filter(col("doc_id") % 2 === 0), 0L, frontier, audit)
+    val df = graft.text.TextQueries.urlFrontierDecisions(
+      arrivals.filter(col("doc_id") % 2 === 1), frontier)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"),
+      "the frontier seen set must broadcast, not sort-merge")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q192's served audit read is a plain columnar scan: serving " +
     "the committed leak pairs costs no join and no window") {
     // the AUDIT side of the streaming gate: once batches commit, the

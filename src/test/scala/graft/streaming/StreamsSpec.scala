@@ -941,4 +941,66 @@ class StreamsSpec extends AnyFunSuite {
       "the leak gate modified the served train index")
     graft.CacheScope.flush(spark)
   }
+
+  test("streaming URL frontier: stream over url arrivals ≡ the " +
+    "batch-twin decision log, replay fenced on BOTH artifacts, " +
+    "frontier advance is sticky") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.text.TextQueries
+    val sf = "/root/testdata/sf0.001"
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val arrivals = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), TextQueries.messyUrl.as("url"))
+    val batches = (0 to 2).map(k =>
+      arrivals.filter(col("doc_id") % 3 === k)
+        .as[(Long, String)].collect().toSeq)
+    assert(batches.forall(_.nonEmpty))
+    // reference: the batch twin run directly
+    val (fB, aB) = (tmp("graft_urlf_fb"), tmp("graft_urlf_ab"))
+    batches.zipWithIndex.foreach { case (rows, k) =>
+      Streams.urlFrontierBatch(rows.toDF("doc_id", "url"), k.toLong,
+        fB, aB)
+    }
+    def decisions(dir: String) = graft.sources.BatchCommits
+      .readComponent(spark, dir)
+      .select("canonical_url", "batch_id", "keeper", "n_docs", "status")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSeq.sorted
+    val expected = decisions(aB)
+    assert(expected.map(_._5).toSet ==
+      Set("kept", "domain_capped", "duplicate"),
+      "fixture must exercise all three decision branches")
+    // the same arrivals through a REAL stream, one micro-batch each
+    val (fS, aS) = (tmp("graft_urlf_fs"), tmp("graft_urlf_as"))
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.urlFrontierSink(mem.toDF.toDF("doc_id", "url"),
+      fS, tmp("graft_urlf_ckpt"), aS)
+    try batches.foreach { rows =>
+      mem.addData(rows: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(decisions(aS) == expected,
+      "streamed decision log must equal the batch twin's")
+    // forced replay of batch 0 AFTER the frontier advanced: both
+    // fences must skip — not one decision row or frontier row changes
+    def frontierRows(dir: String) = graft.sources.BatchCommits
+      .readComponent(spark, dir)
+      .collect().map(_.toString).toSeq.sorted
+    val fBefore = frontierRows(fS)
+    Streams.urlFrontierBatch(batches(0).toDF("doc_id", "url"), 0L,
+      fS, aS)
+    assert(decisions(aS) == expected, "replay changed the audit")
+    assert(frontierRows(fS) == fBefore, "replay changed the frontier")
+    // stickiness: every decided canonical (kept AND capped) is in the
+    // frontier exactly once; kept per domain never exceeds the cap
+    val fr = graft.sources.BatchCommits.readComponent(spark, fS)
+    assert(fr.groupBy("canonical_url").count()
+      .filter(col("count") > 1).count() == 0)
+    val overCap = fr.filter(col("kept")).groupBy("domain").count()
+      .filter(col("count") > TextQueries.UrlDomainCap).count()
+    assert(overCap == 0, "a domain exceeded the politeness cap")
+    graft.CacheScope.flush(spark)
+  }
 }
