@@ -447,11 +447,12 @@ object ScaleProbe {
         f"decode_all=$dt3%.2f s (${dt3 / dt2}%.1fx)")
     }
     // HONEST GEOMETRY: the q191 corpus has scene length 2-4, so the
-    // prefilter decodes ~2/c of the frames — roughly a wash there
-    // (measured ~1.1x). The claim scales with SCENE LENGTH: on the
-    // static-heavy streams the operator exists for (surveillance,
-    // slideshows, long takes), decode drops to 2*cuts of nf. Measure
-    // that regime directly: 240 frames in 60-frame scenes -> 3 cuts.
+    // prefilter decodes ~1/c of the frames (cuts+1 with the one-frame
+    // decode cache) — a modest win there. The claim scales with SCENE
+    // LENGTH: on the static-heavy streams the operator exists for
+    // (surveillance, slideshows, long takes), decode drops to cuts+1
+    // of nf. Measure that regime directly: 240 frames in 60-frame
+    // scenes -> 3 cuts, 4 decodes.
     val longScene = {
       val w = 32; val h = 32
       def jpegOf(sc: Int) = Codecs.encodeJpeg(

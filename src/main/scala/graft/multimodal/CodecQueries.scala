@@ -216,20 +216,36 @@ object CodecQueries {
     * the query body and both ScaleProbe legs so the probe always
     * measures the shipped rule. Returns the cut frame indices plus
     * the decode-work accounting (frames decoded, stored bytes
-    * decoded) that backs the O(cuts)-not-O(frames) claim.
+    * decoded).
+    *
+    * A ONE-FRAME DECODE CACHE tightens the bound from 2·cuts to
+    * cuts+1: each confirmed pair's RIGHT side is kept, and the cache
+    * stays valid across a byte-identical scene interior (an equal
+    * chunk decodes to the same pixels, so the cache re-points along
+    * the run) — the next cut's LEFT side is then already decoded,
+    * whatever the scene length. Memory high-water mark is ONE decoded
+    * frame, unchanged.
     */
   def detectCuts(v: Codecs.AviMjpegStream): (Seq[Int], Long, Long) = {
     val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
     var dec = 0L
     var decBytes = 0L
     var prev = v.frameJpeg(0)
+    var cachedJpeg: Array[Byte] = null // the chunk `cached` decodes
+    var cached: PpmImage = null
     var f = 1
     while (f < v.nFrames) {
       val cur = v.frameJpeg(f)
       if (!java.util.Arrays.equals(prev, cur)) {
-        dec += 2; decBytes += prev.length.toLong + cur.length
-        val a = Codecs.decodeJpeg(prev)
+        val a =
+          if (cached != null && (cachedJpeg eq prev)) cached
+          else {
+            dec += 1; decBytes += prev.length.toLong
+            Codecs.decodeJpeg(prev)
+          }
+        dec += 1; decBytes += cur.length.toLong
         val b = Codecs.decodeJpeg(cur)
+        cachedJpeg = cur; cached = b
         var dsum = 0L
         var j = 0
         while (j < a.pixels.length) {
@@ -237,6 +253,9 @@ object CodecQueries {
           j += 1
         }
         if (dsum > 0) cuts += f
+      } else if (cachedJpeg eq prev) {
+        // equal chunks decode equal: carry the cache across the scene
+        cachedJpeg = cur
       }
       prev = cur
       f += 1

@@ -801,8 +801,9 @@ class CodecsSpec extends AnyFunSuite {
   }
 
   test("q191 synthesis + prefilter BYTE-TOUCH: cuts are exactly the " +
-    "planted scene cadence, the compressed-domain prefilter decodes " +
-    "only candidate pairs, and scene-interior frames cost zero decode") {
+    "planted scene cadence and the SHIPPED detector pays exactly " +
+    "cuts+1 decodes — the one-frame cache carries across scene " +
+    "interiors, so decode work is O(cuts), never O(frames)") {
     var sawCut = false; var sawNoCut = false
     for (id <- 2L to 122L by 3L) { // the doc_id % 3 == 2 family
       val v = Codecs.parseAviMjpeg(CodecQueries.synthAviMjpegScenes(id))
@@ -810,30 +811,27 @@ class CodecsSpec extends AnyFunSuite {
       val c = (2 + (id / 3) % 3).toInt
       assert(v.nFrames == nf)
       val plantedCuts = (1 until nf).filter(_ % c == 0)
-      // prefilter: byte-compare consecutive chunks, decode candidates
-      var decodedFrames = 0
-      var decodedBytes = 0L
-      val cuts = (1 until nf).filter { f =>
-        val a = v.frameJpeg(f - 1); val b = v.frameJpeg(f)
-        !java.util.Arrays.equals(a, b) && {
-          decodedFrames += 2; decodedBytes += a.length + b.length
-          val da = Codecs.decodeJpeg(a); val db = Codecs.decodeJpeg(b)
-          da.pixels.zip(db.pixels).exists { case (x, y) => x != y }
-        }
-      }
+      // the SHARED rule implementation — the probe and query run this
+      val (cuts, decodedFrames, decodedBytes) = CodecQueries.detectCuts(v)
       assert(cuts == plantedCuts, s"id=$id nf=$nf c=$c")
-      // the byte-touch claim: decode work is O(cuts), never O(frames)
-      assert(decodedFrames == 2 * plantedCuts.length, s"id=$id")
+      // the tightened byte-touch claim: the first cut decodes its
+      // pair, every later cut decodes ONE frame (its left side is the
+      // cache, re-pointed along the byte-identical scene interior)
+      val wantDec =
+        if (plantedCuts.isEmpty) 0L else plantedCuts.length + 1L
+      assert(decodedFrames == wantDec,
+        s"id=$id nf=$nf c=$c: $decodedFrames decodes for " +
+          s"${plantedCuts.length} cuts (want $wantDec)")
       val allBytes = (0 until nf).map(v.frameJpeg(_).length.toLong).sum
       if (plantedCuts.nonEmpty) {
         sawCut = true
-        if (nf > 2 * plantedCuts.length)
+        if (nf > plantedCuts.length + 1)
           assert(decodedBytes < allBytes,
             s"id=$id decoded $decodedBytes of $allBytes — prefilter idle")
       } else {
         sawNoCut = true
-        assert(decodedFrames == 0,
-          s"id=$id single-scene video paid ${decodedFrames} decodes")
+        assert(decodedBytes == 0L,
+          s"id=$id single-scene video paid $decodedBytes decode bytes")
       }
     }
     assert(sawCut && sawNoCut,
