@@ -299,6 +299,44 @@ object ScaleProbe {
     println(s"[scale] hdf5_scan chunked_gzip partitions=$parts " +
       s"(= vars x ceil(nt/5) chunks)")
     vpicScanLegs(spark, "hdf5_scan chunked_gzip", dChk)
+    // BYTES-INFLATED evidence for the compressed path: a pushed
+    // it-range must DECOMPRESS only the chunks it intersects, never a
+    // neighbor's bytes. The Hdf5.decodeChunk counter (same JVM in
+    // local mode) is compared against the exact stored-byte sum of
+    // the intersecting chunks from the metadata index — equality, not
+    // a ratio eyeball. HONEST GEOMETRY: the pruned fraction equals
+    // the chunk-grid fraction the predicate covers (here it<10 of
+    // nt=40 in 5-step chunks -> exactly 1/4 of each variable's
+    // stored bytes); a predicate inside one chunk still pays that
+    // whole chunk — the storage chunk is the pruning granularity.
+    import graft.sources.Hdf5
+    def bytesInflated(f: => Unit): Long = {
+      Hdf5.decodedStoredBytes.set(0L)
+      f
+      Hdf5.decodedStoredBytes.get()
+    }
+    def scanChk = spark.read.format("graft-vpic").option("path", dChk).load()
+    val fullBytes = bytesInflated(
+      scanChk.select("value").agg(sum("value")).collect(): Unit)
+    val prunedBytes = bytesInflated(
+      scanChk.filter(col("it") < 10).agg(sum("value")).collect(): Unit)
+    val idx = Hdf5.index(
+      java.nio.file.Paths.get(dChk, VPICSource.Hdf5File).toString)
+    val wantPruned = idx.filterNot(_.path.startsWith("grid/")).map { d =>
+      d.layout match {
+        case Hdf5.H5Chunked(cd, _, _, chunks) =>
+          chunks.filter(c => c.offset(0) < 10 && c.offset(0) + cd(0) > 0)
+            .map(_.storedBytes).sum
+        case _ => 0L
+      }
+    }.sum
+    val ok = prunedBytes == wantPruned
+    println(f"[scale] hdf5_scan chunked_gzip bytes_inflated " +
+      f"full=$fullBytes pruned(it<10)=$prunedBytes " +
+      f"expected_intersecting=$wantPruned exact=$ok " +
+      f"(${prunedBytes * 100.0 / fullBytes}%.1f%% of full)")
+    if (!ok) println("[scale] hdf5_scan PRUNING LEAK: pruned scan " +
+      "inflated bytes outside its chunk range")
   }
 
   /** q187's index-served semantic leakage audit vs the brute-force

@@ -1638,9 +1638,15 @@ object SimilarityQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]
 
   /** Content fingerprint of a dataset dir's embeddings parquet: every
-    * regular file's name, size, and mtime, path-sorted — the
-    * [[semLeakIndexCache]] key, so rewriting the embeddings under a
-    * reused directory can never serve the previous data's index.
+    * regular file's name, size, NANOSECOND mtime, and a CRC32 of its
+    * TAIL KiB (the parquet footer — schema, row counts, column-chunk
+    * offsets — lives there, so a rewrite that changes any data
+    * changes the hashed bytes even when size and a coarse mtime
+    * collide), path-sorted — the [[semLeakIndexCache]] key, so
+    * rewriting the embeddings under a reused directory can never
+    * serve the previous data's index, including same-millisecond
+    * in-place rewrites on coarse-mtime filesystems. Metadata-scale:
+    * at most 1 KiB read per file.
     */
   private def embeddingsFingerprint(d: String): String = {
     val p = java.nio.file.Paths.get(d, "embeddings.parquet")
@@ -1651,10 +1657,22 @@ object SimilarityQueries {
         String](_.toString))
       .forEach { f =>
         if (java.nio.file.Files.isRegularFile(f)) {
+          val size = java.nio.file.Files.size(f)
+          val tailCrc = {
+            val n = math.min(size, 1024L).toInt
+            val b = new Array[Byte](n)
+            val raf = new java.io.RandomAccessFile(f.toFile, "r")
+            try { raf.seek(size - n); raf.readFully(b) }
+            finally raf.close()
+            val c = new java.util.zip.CRC32
+            c.update(b)
+            c.getValue
+          }
           sb.append(p.relativize(f)).append(':')
-            .append(java.nio.file.Files.size(f)).append(':')
-            .append(java.nio.file.Files
-              .getLastModifiedTime(f).toMillis).append(';'): Unit
+            .append(size).append(':')
+            .append(java.nio.file.Files.getLastModifiedTime(f)
+              .to(java.util.concurrent.TimeUnit.NANOSECONDS))
+            .append(':').append(tailCrc).append(';'): Unit
         }
       }
     finally walk.close()

@@ -269,6 +269,14 @@ object Hdf5 {
     out
   }
 
+  /** STORED bytes decoded by [[decodeChunk]] in this JVM — the
+    * ScaleProbe counter behind the chunk-pruning claim (a pruned scan
+    * must inflate ONLY intersecting chunks' bytes). Local-mode
+    * instrumentation; cost is one atomic add per CHUNK, nothing
+    * per-element.
+    */
+  val decodedStoredBytes = new java.util.concurrent.atomic.AtomicLong
+
   /** Decode one STORED chunk back to raw element bytes: inverse
     * filters in reverse pipeline order (inflate, then un-shuffle).
     * Shared by the driver-side reads and the DSv2 chunk partition
@@ -276,6 +284,7 @@ object Hdf5 {
     */
   def decodeChunk(stored: Array[Byte], expectBytes: Int, gzip: Boolean,
       shuffle: Boolean, elemSize: Int): Array[Byte] = {
+    decodedStoredBytes.addAndGet(stored.length.toLong): Unit
     val inflated = if (gzip) inflate(stored, expectBytes) else {
       require(stored.length == expectBytes,
         s"HDF5: unfiltered chunk stores ${stored.length} bytes, " +
