@@ -26,7 +26,7 @@ class VPICPropertiesSpec extends AnyFunSuite {
   private final case class Cfg(nt: Int, nz: Int, ny: Int, nx: Int,
       nvars: Int, layout: String, le: Boolean, chunkTime: Int,
       gzip: Boolean, shuffle: Boolean, f32: Boolean, chunkSteps: Int,
-      itLo: Int, itHi: Int)
+      itLo: Int, itHi: Int, sparseMod: Int, intVar: Boolean)
 
   private val genCfg: Gen[Cfg] = for {
     nt <- Gen.choose(1, 7)
@@ -43,8 +43,13 @@ class VPICPropertiesSpec extends AnyFunSuite {
     chunkSteps <- Gen.choose(1, 8)
     itLo <- Gen.choose(0, math.max(0, nt - 1))
     itHi <- Gen.choose(itLo, nt - 1)
+    // sparse (lazily-allocated) time chunks: every sparseMod-th chunk
+    // omitted (1 = fully sparse); class-0 int variables on the HDF5
+    // layouts — both the partially-written-dump and aux-dataset shapes
+    sparseMod <- Gen.frequency((3, Gen.const(0)), (1, Gen.oneOf(1, 2)))
+    intVar <- Gen.frequency((2, Gen.const(false)), (1, Gen.const(true)))
   } yield Cfg(nt, nz, ny, nx, nvars, layout, le, chunkTime, gzip,
-    shuffle, f32, chunkSteps, itLo, itHi)
+    shuffle, f32, chunkSteps, itLo, itHi, sparseMod, intVar)
 
   /** The generator formula — exactly representable in binary32 for
     * every grid in range, so the f32 legs compare EXACTLY too.
@@ -66,17 +71,34 @@ class VPICPropertiesSpec extends AnyFunSuite {
         value(v, it, iz, iy, ix)
       val vars = varNames.zipWithIndex
         .map { case (n, v) => n -> f(v) }.toMap
+      // the HDF5 legs' variable tweak: class-0 i32 datatype and/or a
+      // sparse chunk grid (fill -3.0, f32-exact and integral)
+      val fillVal = -3.0
+      val ctEff = math.min(c.chunkTime, c.nt)
+      def tweak(w: Hdf5.H5Write): Hdf5.H5Write = {
+        var t = w
+        if (c.intVar) t = t.copy(fixed = Some((4, true)), f32 = false)
+        if (c.sparseMod > 0 && t.chunkDims.isDefined)
+          t = t.copy(fillValue = fillVal, sparse = Some(off =>
+            (off(0) / ctEff) % c.sparseMod == 0))
+        t
+      }
       c.layout match {
         case "raw" => VPICSource.writeMock(d, time, z, y, x, vars)
         case "interleaved" => VPICSource.writeMockInterleaved(
           d, time, z, y, x, varNames.zipWithIndex
             .map { case (n, v) => n -> f(v) })
         case "h5cont" => VPICSource.writeHdf5Tree(d, time, z, y, x,
-          vars, littleEndian = c.le, f32 = false)
+          vars, littleEndian = c.le, f32 = false, tweak = tweak)
         case "h5chunk" => VPICSource.writeHdf5Tree(d, time, z, y, x,
           vars, littleEndian = c.le, chunkTime = Some(c.chunkTime),
-          gzip = c.gzip, shuffle = c.shuffle, f32 = c.f32)
+          gzip = c.gzip, shuffle = c.shuffle, f32 = c.f32,
+          tweak = tweak)
       }
+      // which (it) rows of the HDF5 chunked layout read as fill
+      val sparseHere = c.layout == "h5chunk" && c.sparseMod > 0
+      def omittedAt(it: Int): Boolean =
+        sparseHere && (it / ctEff) % c.sparseMod == 0
       // TWO-SIDED pushed time window: both the lower and the upper
       // bound prune chunks at planning time (an off-by-one that keeps
       // or drops a boundary chunk fails the exact-set compare below)
@@ -96,7 +118,7 @@ class VPICPropertiesSpec extends AnyFunSuite {
         iy <- 0 until c.ny
         ix <- 0 until c.nx
       } yield (n.split('/').last, it, iz, iy, ix,
-        value(v, it, iz, iy, ix))).toSet
+        if (omittedAt(it)) fillVal else value(v, it, iz, iy, ix))).toSet
       assert(got == want,
         s"cfg $ti $c: ${got.size} rows vs ${want.size} expected; " +
           s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
