@@ -335,12 +335,17 @@ object Hdf5 {
           s"HDF5 write: ${d.path} is both f32 and fixed-point")
         require(Set(1, 2, 4, 8).contains(sz),
           s"HDF5 write: ${d.path} fixed-point size $sz (need 1/2/4/8)")
+        // STRICT upper bound: pow(2, 63)-1 and pow(2, 64)-1 round UP
+        // to the power itself in double, so a `<= hi` test would
+        // admit 2^63 / 2^64 — values serialize cannot represent
         val lo = if (!signed) 0.0 else -math.pow(2, sz * 8 - 1)
-        val hi = math.pow(2, if (signed) sz * 8 - 1 else sz * 8) - 1
-        (d.data :+ d.fillValue).foreach(v => require(
-          v == math.rint(v) && v >= lo && v <= hi,
+        val hiEx = math.pow(2, if (signed) sz * 8 - 1 else sz * 8)
+        def check(v: Double): Unit = require(
+          v == math.rint(v) && v >= lo && v < hiEx,
           s"HDF5 write: ${d.path} value $v not exactly representable " +
-            s"as a $sz-byte ${if (signed) "signed" else "unsigned"} int"))
+            s"as a $sz-byte ${if (signed) "signed" else "unsigned"} int")
+        d.data.foreach(check)
+        check(d.fillValue)
       }
     }
     val root = GrpNode(scala.collection.mutable.LinkedHashMap.empty)
@@ -393,7 +398,13 @@ object Hdf5 {
       val bb = ByteBuffer.allocate(vals.length * es).order(order)
       spec.fixed match {
         case Some((sz, _)) => vals.foreach { v =>
-          val l = v.toLong
+          // unsigned 64-bit values past Long.MaxValue need the
+          // two's-complement detour — a bare toLong would SATURATE
+          // and silently store the wrong bits (validation admits the
+          // full u64 double range below 2^64)
+          val l =
+            if (v < 9.223372036854775808e18) v.toLong // < 2^63: exact
+            else (v - 9.223372036854775808e18).toLong | Long.MinValue
           sz match {
             case 1 => bb.put(l.toByte)
             case 2 => bb.putShort(l.toShort)
@@ -889,16 +900,21 @@ object Hdf5 {
       val sver = hb.get() & 0xff
 
       val out = scala.collection.mutable.ArrayBuffer.empty[H5Dataset]
-      // cycle guards: OBJECT headers (a new-style link or a crafted
-      // old-style entry pointing back at an ancestor — its
-      // symbol-table message genuinely matches the cached addresses,
-      // so the consistency check passes) and group B-tree nodes —
-      // either way a crafted/corrupt file must fail loudly, never
-      // recurse to StackOverflowError
-      val visitedOh = scala.collection.mutable.Set.empty[Long]
-      val visited = scala.collection.mutable.Set.empty[Long]
+      // cycle guard: the object headers on the CURRENT RECURSION PATH
+      // (entries removed on exit) — a crafted entry pointing back at
+      // an ancestor (old-style: its symbol-table message genuinely
+      // matches the cached addresses, so the consistency check
+      // passes; new-style: a link cycle) must fail loudly, never
+      // recurse to StackOverflowError. A path set, NOT a visited set:
+      // hard-linking one object under two names (h5py
+      // `f['b'] = f['a']`) is a legal DAG and indexes as two paths.
+      val pathOh = scala.collection.mutable.Set.empty[Long]
       def walkGroup(prefix: String, btAddr: Long, heapAddr: Long): Unit = {
-        // cycle guard lives in walkNode (every B-tree node, any level)
+        // B-tree-node cycle guard, PER GROUP WALK (a group hard-linked
+        // under two names legally re-walks the same nodes; a cycle
+        // THROUGH object headers is pathOh's job): any node repeated
+        // within one group's tree is corrupt
+        val visited = scala.collection.mutable.Set.empty[Long]
         val hh = r.at(heapAddr, 32)
         val hsig = new Array[Byte](4); hh.get(hsig)
         require(new String(hsig, US_ASCII) == "HEAP",
@@ -980,8 +996,14 @@ object Hdf5 {
         */
       def walkObject(prefix: String, ohAddr: Long,
           cached: Option[(Long, Long)]): Unit = {
-        require(visitedOh.add(ohAddr),
+        require(pathOh.add(ohAddr),
           s"HDF5: object graph cycle at header $ohAddr (at '$prefix')")
+        try walkObjectBody(prefix, ohAddr, cached)
+        finally pathOh.remove(ohAddr): Unit
+      }
+
+      def walkObjectBody(prefix: String, ohAddr: Long,
+          cached: Option[(Long, Long)]): Unit = {
         val msgs = ohMessagesAny(r, ohAddr)
         val types = msgs.map(_._1)
         if (types.contains(0x0011)) {
@@ -1198,7 +1220,11 @@ object Hdf5 {
       case _ => szb.getLong()
     }
     pos += csize
-    require(size0 >= 0 && size0 <= Int.MaxValue,
+    // margin for the prefix (<= 34 bytes) + checksum so the block
+    // read's `lead + mlen + 4` can never wrap an Int — a crafted
+    // near-Int.MaxValue size must reject HERE, loudly, not surface
+    // as a NegativeArraySizeException
+    require(size0 >= 0 && size0 <= Int.MaxValue - 64,
       s"HDF5: OHDR chunk-0 size $size0 out of range at $addr")
     val corder = (flags & 4) != 0
     val hdrBytes = if (corder) 6 else 4

@@ -948,26 +948,39 @@ class QueriesSpec extends AnyFunSuite {
       rs.foreach { r =>
         assert(r._6 == (r._5 <= graft.text.TextQueries.UrlDomainCap)) }
     }
-    // canonical urls carry none of the synthesized messiness
+    // canonical urls carry none of the synthesized messiness: no
+    // scheme/host case, default ports (both schemes), www, tracking
+    // params, fragments, trailing slashes; the percent repertoire is
+    // normalized (unreserved tilde decoded, reserved %2F uppercased —
+    // the ONE legal uppercase, so the lowercase check excludes it)
     rows.foreach { case (u, dom, _, _, _, _) =>
-      assert(u.startsWith("https://site"), u)
+      assert(u.startsWith("https://site") || u.startsWith("http://site"), u)
       assert(!u.contains("www.") && !u.contains(":443")
-        && !u.contains("utm_") && !u.contains("#")
-        && !u.endsWith("/") && u == u.toLowerCase, u)
+        && !u.contains(":80") && !u.contains("utm_") && !u.contains("#")
+        && !u.endsWith("/"), u)
+      assert(!u.contains("%7E") && !u.contains("%7e")
+        && !u.contains("%2f"), u)
+      assert(u.replace("%2F", "%2f") == u.toLowerCase, u)
       assert(u.contains(s"://$dom/") || u.split('?').head.endsWith(dom), u)
     }
     // keeper/n_docs are genuine: rebuild EVERY cluster independently
-    // from the synthesis rule (canonical key = domain slot mod 7,
-    // path slot mod 53, page param only when doc_id % 11 == 0) and
-    // demand exact agreement — a keeper aggregation that regressed to
-    // anything but the cluster min goes red here, not just vs the
-    // oracle (which shares min() by construction)
+    // from the synthesis rule (scheme by mod 13, domain slot mod 7,
+    // path slot mod 53, percent segments by mod 9 / mod 10, page
+    // param only when doc_id % 11 == 0) and demand exact agreement —
+    // a keeper aggregation that regressed to anything but the cluster
+    // min goes red here, not just vs the oracle (which shares min()
+    // by construction)
     import spark.implicits._
     val ids = graft.Tables.documents(spark, sf)
       .select("doc_id").as[Long].collect()
     val rebuilt = ids.groupBy { id =>
+      val scheme = if (id % 13 == 0) "http" else "https"
+      val vseg =
+        if (id % 9 == 0 || id % 9 == 3 || id % 9 == 6) "/v~1" else ""
+      val xseg = if (id % 10 == 0 || id % 10 == 5) "/x%2Fy" else ""
       val page = if (id % 11 == 0) s"?page=${id % 3}" else ""
-      s"https://site${id % 7}.example.com/docs/page-${id % 53}$page"
+      s"$scheme://site${id % 7}.example.com/docs/page-${id % 53}" +
+        s"$vseg$xseg$page"
     }.map { case (u, members) =>
       u -> (members.min, members.length.toLong)
     }

@@ -694,6 +694,25 @@ class Hdf5Spec extends AnyFunSuite {
       Hdf5.H5Write("x", Array(1L), Array(1.5), fixed = Some((4, true))))))
     intercept[IllegalArgumentException](Hdf5.writeSpecs(tmp(), Seq(
       Hdf5.H5Write("x", Array(1L), Array(-1.0), fixed = Some((1, false))))))
+    // u64 past Long.MaxValue: exact two's-complement bits round-trip
+    // (a bare toLong would saturate to 2^63-1 and silently store the
+    // wrong value); the 2^64 / signed-2^63 boundary doubles — which
+    // a `<= pow-1` bound would ADMIT, since pow-1 rounds up to pow —
+    // are rejected loudly
+    val pu = tmp()
+    val big = Array(1.0e19, 9.223372036854775808e18,
+      math.nextDown(math.pow(2, 64)))
+    Hdf5.writeSpecs(pu, Seq(Hdf5.H5Write("u64", Array(3L), big,
+      fixed = Some((8, false)))))
+    val du = Hdf5.index(pu).head
+    assert(!du.signed && du.fixedPoint)
+    assert(Hdf5.readDoubles(pu, du, 0, 3).toSeq == big.toSeq)
+    intercept[IllegalArgumentException](Hdf5.writeSpecs(tmp(), Seq(
+      Hdf5.H5Write("x", Array(1L), Array(math.pow(2, 64)),
+        fixed = Some((8, false))))))
+    intercept[IllegalArgumentException](Hdf5.writeSpecs(tmp(), Seq(
+      Hdf5.H5Write("x", Array(1L), Array(math.pow(2, 63)),
+        fixed = Some((8, true))))))
   }
 
   // ---------------------------------------------------------------
@@ -711,14 +730,15 @@ class Hdf5Spec extends AnyFunSuite {
   /** Hand-build a v2/v3-superblock file from the PUBLIC spec (no
     * HDF5 library in this environment): root is a v2 "OHDR" group
     * whose Link Info + continuation spill into an "OCHK" block
-    * carrying the hard link to a dataset with a v2 header, v2
+    * carrying TWO hard links — "vals" and "w" — to the SAME dataset
+    * (a legal DAG: h5py's `f['w'] = f['vals']`), a v2 header with v2
     * dataspace, LE f64 datatype and contiguous v3 layout. Every
     * address below is spec-computed — the golden-bytes discipline
     * applied to the READ-ONLY v2 path (the writer stays v0).
     */
   private def buildV2File(sver: Int): (Array[Byte], Long) = {
     import java.nio.{ByteBuffer, ByteOrder}
-    val eof = 240
+    val eof = 258
     val b = ByteBuffer.allocate(eof).order(ByteOrder.LITTLE_ENDIAN)
     def cksum(from: Int, to: Int, at: Int): Unit =
       b.putInt(at, Hdf5.lookup3(b.array(), from, to - from))
@@ -765,13 +785,13 @@ class Hdf5Spec extends AnyFunSuite {
     // link info: fractal heap + name index undefined (compact links)
     b.put(0x02.toByte).putShort(18).put(0.toByte).putShort(0)
     b.put(0.toByte).put(0.toByte).putLong(-1L).putLong(-1L)
-    // continuation -> OCHK @210, 30 bytes
+    // continuation -> OCHK @210, 48 bytes
     b.put(0x10.toByte).putShort(16).put(0.toByte).putShort(1)
-    b.putLong(210L).putLong(30L)
+    b.putLong(210L).putLong(48L)
     assert(b.position() == 160 + 46)
     cksum(137, 206, 206)
     b.position(210)
-    // ---- OCHK continuation block @210: the link message
+    // ---- OCHK continuation block @210: the two link messages
     b.put("OCHK".getBytes("US-ASCII"))
     // link v1, flags 0x10 (charset present; 1-byte name length;
     // no type field -> hard), name "vals" -> OH @64
@@ -779,24 +799,33 @@ class Hdf5Spec extends AnyFunSuite {
     b.put(1.toByte).put(0x10.toByte).put(0.toByte).put(4.toByte)
     b.put("vals".getBytes("US-ASCII")).putLong(64L)
     assert(b.position() == 236)
-    cksum(210, 236, 236)
+    // link "w" -> the SAME OH @64 (flags 0: 1-byte name length, no
+    // charset) — the legal hard-link DAG a visited-set cycle guard
+    // would wrongly reject
+    b.put(0x06.toByte).putShort(12).put(0.toByte).putShort(3)
+    b.put(1.toByte).put(0.toByte).put(1.toByte)
+    b.put("w".getBytes("US-ASCII")).putLong(64L)
+    assert(b.position() == 254)
+    cksum(210, 254, 254)
     (b.array(), 48L)
   }
 
   test("GOLDEN BYTES (v2/v3): a hand-built, spec-addressed v3 " +
     "superblock + OHDR + OCHK file decodes; v2 superblock likewise; " +
-    "reads return the exact doubles") {
+    "the twice-hard-linked dataset indexes under BOTH names (a legal " +
+    "DAG, not a cycle); reads return the exact doubles") {
     Seq(2, 3).foreach { sver =>
       val (bytes, dataAddr) = buildV2File(sver)
       val p = tmp()
       java.nio.file.Files.write(java.nio.file.Paths.get(p), bytes)
       val idx = Hdf5.index(p)
-      assert(idx.length == 1, s"sver=$sver")
-      val d = idx.head
-      assert(d.path == "vals" && d.dims.toSeq == Seq(2L)
-        && d.littleEndian && d.elemSize == 8 && !d.fixedPoint)
-      assert(d.dataAddress == dataAddr)
-      assert(Hdf5.readDoubles(p, d, 0, 2).toSeq == Seq(3.25, -7.5))
+      assert(idx.map(_.path) == Seq("vals", "w"), s"sver=$sver")
+      idx.foreach { d =>
+        assert(d.dims.toSeq == Seq(2L)
+          && d.littleEndian && d.elemSize == 8 && !d.fixedPoint)
+        assert(d.dataAddress == dataAddr)
+        assert(Hdf5.readDoubles(p, d, 0, 2).toSeq == Seq(3.25, -7.5))
+      }
     }
   }
 
