@@ -267,7 +267,44 @@ object ScaleProbe {
     if (enabled("hdf5")) hdf5ScanThroughput(spark)
     if (enabled("semantic_leak")) semanticLeakScale(spark)
     if (enabled("mjpeg")) mjpegScale(spark)
+    if (enabled("url_frontier")) urlFrontierGrowth(spark)
     spark.stop()
+  }
+
+  /** q194's live URL frontier: per-batch decision cost as the
+    * PERSISTED seen set grows — the claim under test is that a batch
+    * costs O(arrivals) map work + one hash exchange of canonical
+    * strings, with the frontier read metadata-width, so batch N must
+    * not inflate as seen climbs by ~200k canonicals per batch.
+    */
+  private def urlFrontierGrowth(spark: SparkSession): Unit = {
+    val frontier = java.nio.file.Files
+      .createTempDirectory("urlf_probe_f").toString
+    val audit = java.nio.file.Files
+      .createTempDirectory("urlf_probe_a").toString
+    val perBatch = 200000L
+    (0 until 6).foreach { b =>
+      val arrivals = spark.range(b * perBatch, (b + 1) * perBatch, 1, 32)
+        .select(col("id").as("doc_id"),
+          concat(lit("https://s"), (col("id") % 97).cast("string"),
+            lit(".example.com/p/"), (col("id") % 50021).cast("string"),
+            lit("?utm_source=x&page="),
+            (col("id") % 3).cast("string")).as("url"))
+      val t0 = System.nanoTime()
+      graft.streaming.Streams.urlFrontierBatch(arrivals, b.toLong,
+        frontier, audit)
+      val dt = (System.nanoTime() - t0) / 1e9
+      val seen = graft.sources.BatchCommits
+        .readComponent(spark, frontier).count()
+      println(f"[scale] url_frontier batch=$b arrivals=$perBatch " +
+        f"seen_after=$seen time=$dt%.2f s")
+    }
+    println("[scale] url_frontier HONEST GEOMETRY: per-batch cost is " +
+      "O(arrivals) + a broadcast build of the seen set — metadata-" +
+      "WIDTH but corpus-CARDINALITY, so past ~10^7-10^8 canonicals " +
+      "the broadcast (not the decision rule) is the knee and the " +
+      "seen join must flip to a bucketed/sort-merge layout; the " +
+      "consumed-slots side stays one row per domain at any scale")
   }
 
   /** The REAL-HDF5 scan layout vs the raw per-variable tree on the
