@@ -51,11 +51,19 @@ import java.nio.charset.StandardCharsets.US_ASCII
   *     three messages so every chunked+gzip dataset exercises the
   *     path.
   *
-  * Everything OUTSIDE the subset — compact/v4 layouts, non-numeric
-  * types, filters other than shuffle+deflate, dense (fractal-heap)
-  * link storage, non-hard links, superblock extensions, >=2 GiB
-  * chunks — is rejected LOUDLY with a precise message, never
-  * silently mis-read (the WAV/AVI parser discipline).
+  * v4 data layouts (the `libver='latest'` chunked write path) decode
+  * for the fixed-maxshape index family: SINGLE CHUNK, IMPLICIT, and
+  * unpaged FIXED ARRAY ("FAHD"/"FADB", checksums verified) — with
+  * undefined-address elements reading as fill like the v1-B-tree
+  * path.
+  *
+  * Everything OUTSIDE the subset — compact layouts, v4
+  * extensible-array/v2-B-tree chunk indexes (unlimited maxshape) and
+  * paged fixed arrays, non-numeric types, filters other than
+  * shuffle+deflate, dense (fractal-heap) link storage, non-hard
+  * links, superblock extensions, >=2 GiB chunks — is rejected LOUDLY
+  * with a precise message, never silently mis-read (the WAV/AVI
+  * parser discipline).
   *
   * The parser builds a metadata INDEX ONLY (paths, dims, data/chunk
   * addresses) by seeking through header structures; dataset bytes
@@ -1353,6 +1361,104 @@ object Hdf5 {
     out.toSeq
   }
 
+  /** Read a FIXED ARRAY chunk index (spec III.G — what
+    * `libver='latest'` h5py uses for chunked datasets with fixed
+    * maxshape): "FAHD" header + "FADB" data block, both
+    * lookup3-checksummed and VERIFIED. Returns (element index, chunk
+    * address, stored size, filter mask) for ALLOCATED entries only —
+    * an undefined-address element is a lazily-allocated chunk (fill).
+    * Unfiltered arrays (client 0) carry bare 8-byte addresses and the
+    * caller supplies the size; filtered (client 1) carry address +
+    * variable-width stored size + 4-byte mask. PAGED data blocks
+    * (more elements than one page) are outside the subset, rejected
+    * loudly.
+    */
+  private def readFixedArray(r: Reader, addr: Long, path: String,
+      filtered: Boolean, nChunks: Long)
+      : Seq[(Long, Long, Long, Int)] = {
+    val hb = r.at(addr, 28)
+    val harr = new Array[Byte](28); hb.get(harr); hb.rewind()
+    val sig = new Array[Byte](4); hb.get(sig)
+    require(new String(sig, US_ASCII) == "FAHD",
+      s"HDF5: no fixed-array header at $addr ($path)")
+    require(hb.get() == 0,
+      s"HDF5: fixed-array header version != 0 at $addr ($path)")
+    val clientId = hb.get() & 0xff
+    require(clientId == (if (filtered) 1 else 0),
+      s"HDF5: fixed-array client id $clientId at $addr disagrees " +
+        s"with the ${if (filtered) "" else "un"}filtered dataset " +
+        s"$path")
+    val entrySize = hb.get() & 0xff
+    val pageBits = hb.get() & 0xff
+    val maxEntries = hb.getLong()
+    val dbAddr = hb.getLong()
+    val want = hb.getInt()
+    val got = lookup3(harr, 0, 24)
+    require(got == want,
+      f"HDF5: fixed-array header checksum 0x$got%08x != stored " +
+        f"0x$want%08x at $addr%d ($path)")
+    require(maxEntries == nChunks,
+      s"HDF5: fixed array at $addr holds $maxEntries entries but " +
+        s"$path has a $nChunks-chunk grid")
+    if (filtered)
+      require(entrySize > 12 && entrySize <= 20,
+        s"HDF5: filtered fixed-array entry size $entrySize at $addr " +
+          s"($path): need address(8) + size(1-8) + mask(4)")
+    else require(entrySize == 8,
+      s"HDF5: unfiltered fixed-array entry size $entrySize at $addr " +
+        s"($path): need the 8-byte address")
+    require(pageBits >= 1 && pageBits <= 62
+        && maxEntries <= (1L << pageBits),
+      s"HDF5: PAGED fixed array at $addr ($maxEntries entries, " +
+        s"2^$pageBits page) — paged data blocks are outside the " +
+        s"subset ($path)")
+    if (maxEntries == 0) return Seq.empty
+    require(dbAddr != Undef,
+      s"HDF5: fixed array at $addr has entries but no data block " +
+        s"($path)")
+    val bodyLen = maxEntries * entrySize
+    require(bodyLen <= Int.MaxValue - 64,
+      s"HDF5: fixed-array data block of $bodyLen bytes at $dbAddr " +
+        s"($path) is outside the subset")
+    val total = 14 + bodyLen.toInt + 4
+    val db = r.at(dbAddr, total)
+    val darr = new Array[Byte](total); db.get(darr); db.rewind()
+    val dsig = new Array[Byte](4); db.get(dsig)
+    require(new String(dsig, US_ASCII) == "FADB",
+      s"HDF5: no fixed-array data block at $dbAddr ($path)")
+    require(db.get() == 0,
+      s"HDF5: fixed-array data block version != 0 at $dbAddr ($path)")
+    require((db.get() & 0xff) == clientId,
+      s"HDF5: fixed-array data block client id at $dbAddr disagrees " +
+        s"with the header ($path)")
+    val backRef = db.getLong()
+    require(backRef == addr,
+      s"HDF5: fixed-array data block at $dbAddr points back at " +
+        s"$backRef, not its header $addr ($path)")
+    val dwant = db.getInt(total - 4)
+    val dgot = lookup3(darr, 0, total - 4)
+    require(dgot == dwant,
+      f"HDF5: fixed-array data block checksum 0x$dgot%08x != stored " +
+        f"0x$dwant%08x at $dbAddr%d ($path)")
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Int)]
+    (0L until maxEntries).foreach { i =>
+      val base = 14 + (i * entrySize).toInt
+      val caddr = db.getLong(base)
+      if (caddr != Undef) {
+        if (filtered) {
+          val szBytes = entrySize - 12
+          var sz = 0L
+          (0 until szBytes).foreach(k =>
+            sz |= (darr(base + 8 + k).toLong & 0xff) << (8 * k))
+          val mask = db.getInt(base + 8 + szBytes)
+          out += ((i, caddr, sz, mask))
+        } else out += ((i, caddr, 0L, 0))
+      }
+    }
+    out.toSeq
+  }
+
   private def parseDatasetMsgs(r: Reader, path: String,
       msgs: Seq[(Int, ByteBuffer)]): H5Dataset = {
     var dims: Array[Long] = null
@@ -1362,10 +1468,17 @@ object Hdf5 {
     var signed = true
     var fillRaw: Array[Byte] = null
     var layoutClass = -1
+    var layoutVer = -1
     var contAddr = Undef
     var contSize = -1L
     var chunkBt = Undef
     var chunkDimsRaw: Array[Long] = null
+    var v4Flags = 0
+    var v4Index = -1
+    var v4Addr = Undef
+    var v4PageBits = -1
+    var v4SingleSize = -1L
+    var v4SingleMask = 0
     var gzip = false
     var shuffle = false
     var shuffleElem = -1
@@ -1441,16 +1554,15 @@ object Hdf5 {
         }
       case (0x0008, b) => // data layout
         val ver = b.get()
-        require(ver == 3,
-          s"HDF5: layout message version $ver on $path (only v3; " +
-            "v4 new-index chunking from libver='latest' chunked " +
-            "writes is outside the subset)")
+        require(ver == 3 || ver == 4,
+          s"HDF5: layout message version $ver on $path (only v3/v4)")
+        layoutVer = ver
         layoutClass = b.get() & 0xff
-        layoutClass match {
-          case 1 => // contiguous
+        (layoutClass, ver.toInt) match {
+          case (1, _) => // contiguous (same body in v3 and v4)
             contAddr = b.getLong()
             contSize = b.getLong()
-          case 2 => // chunked: dimensionality, B-tree addr, chunk dims
+          case (2, 3) => // chunked: dimensionality, B-tree addr, dims
             val dimen = b.get() & 0xff
             require(b.remaining() >= 8 + 4 * dimen,
               s"HDF5: chunked layout message on $path truncated " +
@@ -1458,7 +1570,37 @@ object Hdf5 {
             chunkBt = b.getLong()
             chunkDimsRaw =
               Array.fill(dimen)(b.getInt().toLong & 0xffffffffL)
-          case cls => throw new IllegalArgumentException(
+          case (2, _) => // v4 chunked (libver='latest'): new indexes
+            v4Flags = b.get() & 0xff
+            val dimen = b.get() & 0xff
+            val encLen = b.get() & 0xff
+            require(encLen >= 1 && encLen <= 8,
+              s"HDF5: v4 chunk-dim encoded length $encLen on $path")
+            def varU(n: Int): Long = {
+              var v = 0L
+              (0 until n).foreach(i =>
+                v |= (b.get().toLong & 0xff) << (8 * i))
+              v
+            }
+            chunkDimsRaw = Array.fill(dimen)(varU(encLen))
+            v4Index = b.get() & 0xff
+            v4Index match {
+              case 1 => // single chunk
+                if ((v4Flags & 2) != 0) { // filtered: size + mask
+                  v4SingleSize = b.getLong()
+                  v4SingleMask = b.getInt()
+                }
+              case 2 => () // implicit: no extra fields
+              case 3 => v4PageBits = b.get() & 0xff // fixed array
+              case t => throw new IllegalArgumentException(
+                s"HDF5: v4 chunk index type $t on $path (single (1), " +
+                  "implicit (2) and fixed-array (3) are decodable " +
+                  "here; extensible-array/v2-B-tree indexes — " +
+                  "unlimited-maxshape datasets — are outside the " +
+                  "subset)")
+            }
+            v4Addr = b.getLong()
+          case (cls, _) => throw new IllegalArgumentException(
             s"HDF5: layout class $cls on $path (only contiguous (1) " +
               "and chunked (2) are decodable here)")
         }
@@ -1526,13 +1668,23 @@ object Hdf5 {
         H5Dataset(path, dims, le, elemSize, H5Contiguous(contAddr),
           fill, fixedPoint, signed)
       case _ =>
-        require(chunkDimsRaw.length == rank + 1,
-          s"HDF5: $path chunk dimensionality ${chunkDimsRaw.length} " +
-            s"!= rank+1 (${rank + 1})")
-        require(chunkDimsRaw.last == elemSize,
-          s"HDF5: $path chunk element-size dim ${chunkDimsRaw.last} " +
-            s"!= datatype size $elemSize")
-        val cd = chunkDimsRaw.dropRight(1)
+        // v3 carries rank+1 dims (trailing element-size dim); v4's
+        // spec text reads as rank dims but libhdf5's shared encode
+        // path carries the +1 — accept EITHER shape for v4 (the
+        // trailing dim, when present, must equal the element size),
+        // exactly rank+1 for v3
+        val cd =
+          if (chunkDimsRaw.length == rank + 1) {
+            require(chunkDimsRaw.last == elemSize,
+              s"HDF5: $path chunk element-size dim " +
+                s"${chunkDimsRaw.last} != datatype size $elemSize")
+            chunkDimsRaw.dropRight(1)
+          } else {
+            require(layoutVer == 4 && chunkDimsRaw.length == rank,
+              s"HDF5: $path chunk dimensionality " +
+                s"${chunkDimsRaw.length} != rank+1 (${rank + 1})")
+            chunkDimsRaw
+          }
         require(cd.forall(_ > 0), s"HDF5: $path has a zero chunk dim")
         require(cd.zip(dims).forall { case (c, n) => c <= n },
           s"HDF5: $path chunk ${cd.mkString("x")} exceeds dims " +
@@ -1551,12 +1703,62 @@ object Hdf5 {
           s"HDF5: $path chunk ${cd.mkString("x")} x $elemSize bytes " +
             s"($chunkBytes) exceeds 2 GiB — chunks that large are " +
             "outside the subset")
-        // an UNDEFINED B-tree address is a fully lazily-allocated
+        // an UNDEFINED index address is a fully lazily-allocated
         // dataset (h5py before any chunk write): zero allocated
-        // chunks, every read returns the fill value
-        val found =
-          if (chunkBt == Undef) Seq.empty
-          else walkChunkTree(r, chunkBt, path, rank)
+        // chunks, every read returns the fill value. v3 walks the
+        // node-type-1 B-tree; v4 dispatches on the chunk index type.
+        val grid = dims.zip(cd).map { case (n, c) => (n + c - 1) / c }
+        val nGrid = grid.product
+        def offsetOf(i: Long): Array[Long] = {
+          val off = new Array[Long](rank)
+          var rem = i
+          var d = rank - 1
+          while (d >= 0) {
+            off(d) = (rem % grid(d)) * cd(d)
+            rem /= grid(d)
+            d -= 1
+          }
+          off
+        }
+        val found: Seq[(Array[Long], Long, Long, Int)] =
+          if (layoutVer == 3) {
+            if (chunkBt == Undef) Seq.empty
+            else walkChunkTree(r, chunkBt, path, rank)
+          } else if (v4Addr == Undef) Seq.empty
+          else v4Index match {
+            case 1 => // SINGLE CHUNK: the whole dataset is one chunk
+              require(nGrid == 1,
+                s"HDF5: $path single-chunk index but the " +
+                  s"${cd.mkString("x")} grid has $nGrid chunks")
+              val filtered = (v4Flags & 2) != 0
+              require(filtered == (gzip || shuffle),
+                s"HDF5: $path single-chunk filter flag " +
+                  s"${filtered} disagrees with the filter pipeline")
+              val stored =
+                if (filtered) v4SingleSize
+                else cd.foldLeft(elemSize.toLong)(_ * _)
+              Seq((new Array[Long](rank), v4Addr, stored,
+                if (filtered) v4SingleMask else 0))
+            case 2 => // IMPLICIT: early-allocated, unfiltered, dense
+              require(!gzip && !shuffle,
+                s"HDF5: $path implicit chunk index with a filter " +
+                  "pipeline (implicit layout is unfiltered by " +
+                  "construction)")
+              val chunkBytes = cd.foldLeft(elemSize.toLong)(_ * _)
+              (0L until nGrid).map(i =>
+                (offsetOf(i), v4Addr + i * chunkBytes, chunkBytes, 0))
+            case _ => // FIXED ARRAY (h5py libver='latest', fixed dims)
+              readFixedArray(r, v4Addr, path, gzip || shuffle, nGrid)
+                .map { case (i, caddr, stored, mask) =>
+                  require(i >= 0 && i < nGrid,
+                    s"HDF5: fixed-array element $i outside the " +
+                      s"$nGrid-chunk grid of $path")
+                  val st =
+                    if (gzip || shuffle) stored
+                    else cd.foldLeft(elemSize.toLong)(_ * _)
+                  (offsetOf(i), caddr, st, mask)
+                }
+          }
         found.foreach { case (off, caddr, stored, mask) =>
           require(mask == 0,
             s"HDF5: chunk filter mask $mask on $path (partial filter " +

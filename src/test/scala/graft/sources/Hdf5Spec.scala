@@ -863,6 +863,297 @@ class Hdf5Spec extends AnyFunSuite {
     reject(b => b(8) = 4, "superblock version 4")
   }
 
+  // ---------------------------------------------------------------
+  // v4 data layouts (libver='latest' chunked writes): single-chunk,
+  // implicit, and fixed-array indexes, hand-built from the spec
+  // ---------------------------------------------------------------
+
+  /** Hand-build a v3-superblock file whose dataset uses a VERSION 4
+    * data layout with the given chunk index — the `libver='latest'`
+    * chunked shapes. LE f64 values 10,11,... with per-leg geometry:
+    *   - "single": dims [4], one whole-dataset chunk (rank+1 dim
+    *     encoding exercised);
+    *   - "implicit": dims [5], chunk [2], three dense unfiltered
+    *     chunks laid contiguously;
+    *   - "fixed": dims [7], chunk [3], fixed array with the MIDDLE
+    *     element unallocated (fill reads);
+    *   - "fixed_gzip": dims [6], chunk [3], client-1 (filtered)
+    *     entries with per-chunk deflate.
+    */
+  private def buildV4File(leg: String): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val b = ByteBuffer.allocate(4096).order(ByteOrder.LITTLE_ENDIAN)
+    def cksumFrom(from: Int): Unit =
+      b.putInt(Hdf5.lookup3(b.array(), from, b.position() - from))
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      try {
+        d.setInput(raw); d.finish()
+        val out = new java.io.ByteArrayOutputStream()
+        val t = new Array[Byte](512)
+        while (!d.finished()) out.write(t, 0, d.deflate(t))
+        out.toByteArray
+      } finally d.end()
+    }
+    def f64s(vs: Double*): Array[Byte] = {
+      val bb = ByteBuffer.allocate(vs.length * 8)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(bb.putDouble); bb.array()
+    }
+    // ---- superblock v3 (eof + rootOh patched at the end)
+    b.put(Array(0x89, 'H', 'D', 'F', '\r', '\n', 0x1a, 0x0a)
+      .map(_.toByte))
+    b.put(3.toByte).put(8.toByte).put(8.toByte).put(0.toByte)
+    b.putLong(0L).putLong(-1L)
+    b.putLong(0L) // eof, patched
+    b.putLong(0L) // root OH, patched
+    b.putInt(0) // checksum, stamped after patching
+    assert(b.position() == 48)
+    // ---- leg-specific raw data + index structures
+    val (nDim, chunkDim, layoutTail) = leg match {
+      case "single" =>
+        val dataAddr = b.position()
+        b.put(f64s(10, 11, 12, 13))
+        // rank+1 dim encoding: [4, 8] as u16s
+        (4L, 4L, { bb: ByteBuffer =>
+          bb.put(0.toByte) // flags: unfiltered
+          bb.put(2.toByte).put(2.toByte) // dimen 2, encLen 2
+          bb.putShort(4).putShort(8)
+          bb.put(1.toByte) // index: single chunk
+          bb.putLong(dataAddr.toLong)
+        })
+      case "implicit" =>
+        val dataAddr = b.position()
+        b.put(f64s(10, 11)); b.put(f64s(12, 13)); b.put(f64s(14, 0))
+        (5L, 2L, { bb: ByteBuffer =>
+          bb.put(0.toByte)
+          bb.put(1.toByte).put(1.toByte) // dimen 1 (rank form), encLen 1
+          bb.put(2.toByte)
+          bb.put(2.toByte) // index: implicit
+          bb.putLong(dataAddr.toLong)
+        })
+      case "fixed" =>
+        val c0 = b.position(); b.put(f64s(10, 11, 12))
+        val c2 = b.position(); b.put(f64s(16, 0, 0))
+        val fahd = b.position()
+        b.put("FAHD".getBytes("US-ASCII"))
+        b.put(0.toByte).put(0.toByte) // version, client 0
+        b.put(8.toByte).put(10.toByte) // entry size, page bits
+        b.putLong(3L) // max entries = chunk grid
+        b.putLong(fahd + 28L) // data block follows directly
+        cksumFrom(fahd)
+        val fadb = b.position()
+        assert(fadb == fahd + 28)
+        b.put("FADB".getBytes("US-ASCII"))
+        b.put(0.toByte).put(0.toByte)
+        b.putLong(fahd.toLong)
+        b.putLong(c0.toLong).putLong(-1L).putLong(c2.toLong)
+        cksumFrom(fadb)
+        (7L, 3L, { bb: ByteBuffer =>
+          bb.put(0.toByte)
+          bb.put(1.toByte).put(4.toByte) // dimen 1, encLen 4
+          bb.putInt(3)
+          bb.put(3.toByte).put(10.toByte) // fixed array, page bits
+          bb.putLong(fahd.toLong)
+        })
+      case "fixed_gzip" =>
+        val s0 = deflate(f64s(10, 11, 12))
+        val s1 = deflate(f64s(13, 14, 15))
+        val c0 = b.position(); b.put(s0)
+        val c1 = b.position(); b.put(s1)
+        val fahd = b.position()
+        b.put("FAHD".getBytes("US-ASCII"))
+        b.put(0.toByte).put(1.toByte) // client 1: filtered chunks
+        b.put(16.toByte).put(10.toByte) // entry = 8 addr + 4 sz + 4 mask
+        b.putLong(2L)
+        b.putLong(fahd + 28L)
+        cksumFrom(fahd)
+        val fadb = b.position()
+        b.put("FADB".getBytes("US-ASCII"))
+        b.put(0.toByte).put(1.toByte)
+        b.putLong(fahd.toLong)
+        b.putLong(c0.toLong).putInt(s0.length).putInt(0)
+        b.putLong(c1.toLong).putInt(s1.length).putInt(0)
+        cksumFrom(fadb)
+        (6L, 3L, { bb: ByteBuffer =>
+          bb.put(0.toByte)
+          bb.put(1.toByte).put(4.toByte)
+          bb.putInt(3)
+          bb.put(3.toByte).put(10.toByte)
+          bb.putLong(fahd.toLong)
+        })
+    }
+    // ---- dataset OHDR (flags 0, 1-byte chunk-0 size)
+    val layoutBody = {
+      val bb = ByteBuffer.allocate(64).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(4.toByte).put(2.toByte) // version 4, class 2 chunked
+      layoutTail(bb)
+      java.util.Arrays.copyOf(bb.array(), bb.position())
+    }
+    val withFilter = leg == "fixed_gzip"
+    val size0 = (4 + 12) + (4 + 20) + (4 + layoutBody.length) +
+      (if (withFilter) 4 + 32 else 0)
+    val dsOh = b.position()
+    b.put("OHDR".getBytes("US-ASCII")).put(2.toByte).put(0.toByte)
+    b.put(size0.toByte)
+    b.put(0x01.toByte).putShort(12).put(0.toByte) // dataspace v2
+    b.put(2.toByte).put(1.toByte).put(0.toByte).put(1.toByte)
+    b.putLong(nDim)
+    b.put(0x03.toByte).putShort(20).put(0.toByte) // datatype f64 LE
+    b.put(0x11.toByte).put(0x20.toByte).put(63.toByte).put(0.toByte)
+    b.putInt(8).putShort(0).putShort(64)
+    b.put(52.toByte).put(11.toByte).put(0.toByte).put(52.toByte)
+    b.putInt(1023)
+    b.put(0x08.toByte).putShort(layoutBody.length.toShort)
+    b.put(0.toByte)
+    b.put(layoutBody)
+    if (withFilter) { // deflate-only pipeline, the writer's shape
+      b.put(0x0B.toByte).putShort(32).put(0.toByte)
+      b.put(1.toByte).put(1.toByte)
+      b.putShort(0).putInt(0)
+      b.putShort(1).putShort(8).putShort(0).putShort(1)
+      b.put("deflate".getBytes("US-ASCII")).put(0.toByte)
+      b.putInt(6).putInt(0)
+    }
+    assert(b.position() == dsOh + 7 + size0, leg)
+    cksumFrom(dsOh)
+    // ---- root group OHDR: link info + one link "d" -> dsOh
+    val rootOh = b.position()
+    b.put("OHDR".getBytes("US-ASCII")).put(2.toByte).put(0.toByte)
+    b.put((22 + 16).toByte)
+    b.put(0x02.toByte).putShort(18).put(0.toByte) // link info
+    b.put(0.toByte).put(0.toByte).putLong(-1L).putLong(-1L)
+    b.put(0x06.toByte).putShort(12).put(0.toByte) // link "d"
+    b.put(1.toByte).put(0.toByte).put(1.toByte)
+    b.put("d".getBytes("US-ASCII")).putLong(dsOh.toLong)
+    cksumFrom(rootOh)
+    val eof = b.position()
+    b.putLong(28, eof.toLong)
+    b.putLong(36, rootOh.toLong)
+    b.putInt(44, Hdf5.lookup3(b.array(), 0, 44))
+    java.util.Arrays.copyOf(b.array(), eof)
+  }
+
+  test("v4 DATA LAYOUTS (libver='latest' chunked writes) decode: " +
+    "single-chunk, implicit, fixed-array (with an unallocated " +
+    "element reading as fill), and filtered fixed-array — checksums " +
+    "verified, values exact") {
+    def read(leg: String): (Hdf5.H5Dataset, String) = {
+      val p = tmp()
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        buildV4File(leg))
+      val idx = Hdf5.index(p)
+      assert(idx.length == 1 && idx.head.path == "d", leg)
+      (idx.head, p)
+    }
+    val (s, ps) = read("single")
+    assert(s.dims.toSeq == Seq(4L))
+    s.layout match {
+      case Hdf5.H5Chunked(cd, false, false, chunks) =>
+        assert(cd.toSeq == Seq(4L) && chunks.length == 1)
+      case other => fail(s"single: $other")
+    }
+    assert(Hdf5.readDoubles(ps, s, 0, 4).toSeq == Seq(10.0, 11, 12, 13))
+    val (im, pi) = read("implicit")
+    assert(im.dims.toSeq == Seq(5L))
+    im.layout match {
+      case Hdf5.H5Chunked(cd, _, _, chunks) =>
+        assert(cd.toSeq == Seq(2L) && chunks.length == 3)
+        assert(chunks.map(_.offset(0)).toSeq == Seq(0L, 2L, 4L))
+      case other => fail(s"implicit: $other")
+    }
+    assert(Hdf5.readDoubles(pi, im, 0, 5).toSeq ==
+      Seq(10.0, 11, 12, 13, 14))
+    val (fx, pf) = read("fixed")
+    fx.layout match {
+      case Hdf5.H5Chunked(cd, _, _, chunks) =>
+        assert(cd.toSeq == Seq(3L))
+        assert(chunks.map(_.offset(0)).toSeq == Seq(0L, 6L))
+      case other => fail(s"fixed: $other")
+    }
+    assert(Hdf5.readDoubles(pf, fx, 0, 7).toSeq ==
+      Seq(10.0, 11, 12, 0, 0, 0, 16))
+    val (fg, pg) = read("fixed_gzip")
+    fg.layout match {
+      case Hdf5.H5Chunked(cd, gz, _, chunks) =>
+        assert(cd.toSeq == Seq(3L) && gz && chunks.length == 2)
+      case other => fail(s"fixed_gzip: $other")
+    }
+    assert(Hdf5.readDoubles(pg, fg, 0, 6).toSeq ==
+      Seq(10.0, 11, 12, 13, 14, 15))
+  }
+
+  test("v4-path corruption and out-of-subset indexes reject loudly: " +
+    "fixed-array checksums, extensible-array index type, paged " +
+    "fixed arrays") {
+    val good = buildV4File("fixed")
+    def reject(mutate: Array[Byte] => Unit, expect: String): Unit = {
+      val bad = good.clone(); mutate(bad)
+      val f = tmp()
+      java.nio.file.Files.write(java.nio.file.Paths.get(f), bad)
+      val e = intercept[IllegalArgumentException](Hdf5.index(f))
+      assert(e.getMessage.contains(expect),
+        s"wanted '$expect' in: ${e.getMessage}")
+    }
+    val fahd = {
+      var at = -1
+      var i = 48
+      while (at < 0 && i < good.length - 4) {
+        if (good(i) == 'F' && good(i + 1) == 'A' && good(i + 2) == 'H'
+          && good(i + 3) == 'D') at = i
+        i += 1
+      }
+      at
+    }
+    assert(fahd > 0)
+    // a FAHD field byte (max entries) -> header checksum mismatch
+    reject(b => b(fahd + 9) = 9, "fixed-array header checksum")
+    // a FADB element byte -> data block checksum mismatch
+    reject(b => b(fahd + 28 + 15) = (good(fahd + 28 + 15) ^ 1).toByte,
+      "data block checksum")
+    // paged fixed array: page bits 1 -> 3 entries need paging. The
+    // header checksum must be restamped so ONLY the paging check can
+    // fire
+    reject({ b =>
+      b(fahd + 7) = 1
+      val bb = java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(Hdf5.lookup3(b, fahd, 24))
+      System.arraycopy(bb.array(), 0, b, fahd + 24, 4)
+    }, "PAGED fixed array")
+    // the layout message's index type: 3 (fixed array) -> 4
+    // (extensible array); the OHDR block checksum must be restamped
+    // so only the index-type check can fire. Layout body: find
+    // "04 02 00 01 04 03 00 00 00 03 0a" (v4, chunked, flags, dimen,
+    // encLen, dim=3 u32, type 3, pagebits 10)
+    val lay = {
+      var at = -1
+      var i = 48
+      while (at < 0 && i < good.length - 11) {
+        if (good(i) == 4 && good(i + 1) == 2 && good(i + 2) == 0
+          && good(i + 3) == 1 && good(i + 4) == 4 && good(i + 5) == 3
+          && good(i + 9) == 3 && good(i + 10) == 10) at = i
+        i += 1
+      }
+      at
+    }
+    assert(lay > 0, "v4 layout body not found")
+    reject({ b =>
+      b(lay + 9) = 4 // extensible array
+      // restamp the dataset OHDR block checksum: block starts at the
+      // OHDR sig before `lay` and ends before its trailing checksum
+      var oh = lay
+      while (!(b(oh) == 'O' && b(oh + 1) == 'H' && b(oh + 2) == 'D'
+        && b(oh + 3) == 'R')) oh -= 1
+      val size0 = b(oh + 6) & 0xff
+      val end = oh + 7 + size0
+      val bb = java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(Hdf5.lookup3(b, oh, end - oh))
+      System.arraycopy(bb.array(), 0, b, end, 4)
+    }, "chunk index type 4")
+  }
+
   test("a >=2 GiB chunk is rejected LOUDLY at index time, never a " +
     "silent Int truncation mid-scan") {
     val p = tmp()
