@@ -1295,8 +1295,7 @@ SELECT * FROM rep ORDER BY doc_id""")),
       },
       Some(s"""WITH u AS (SELECT doc_id, $messyUrlSql
                FROM documents),
-             c AS (SELECT doc_id, $canonicalUrlSql
-               FROM u),
+             $canonicalUrlCtesSql,
              g AS (SELECT canonical_url,
                      CAST(min(doc_id) AS BIGINT) AS keeper,
                      CAST(count(*) AS BIGINT) AS n_docs
@@ -1348,8 +1347,7 @@ SELECT * FROM rep ORDER BY doc_id""")),
       },
       Some(s"""WITH u AS (SELECT doc_id, $messyUrlSql
                FROM documents),
-             c AS (SELECT doc_id, $canonicalUrlSql
-               FROM u),
+             $canonicalUrlCtesSql,
              a AS (SELECT canonical_url, doc_id % 3 AS b, doc_id FROM c),
              g AS (SELECT canonical_url, b,
                      CAST(min(doc_id) AS BIGINT) AS keeper,
@@ -1493,6 +1491,13 @@ SELECT * FROM rep ORDER BY doc_id""")),
       when(id % 10 === 0, lit("/x%2fy"))
         .when(id % 10 === 5, lit("/x%2Fy"))
         .otherwise(lit("")),
+      // beyond the old closed repertoire: an encoded '?' (reserved —
+      // uppercases, must NOT decode into a query delimiter) and an
+      // encoded unreserved LETTER arriving encoded or plain
+      when(id % 17 === 0, lit("/q%3fx")).otherwise(lit("")),
+      when(id % 14 === 0, lit("/n%41me"))
+        .when(id % 14 === 7, lit("/nAme"))
+        .otherwise(lit("")),
       when(id % 3 === 0, lit("/")).otherwise(lit("")),
       when(id % 11 === 0,
         concat(lit("?utm_source=s"), (id % 9).cast("string"),
@@ -1528,6 +1533,10 @@ SELECT * FROM rep ORDER BY doc_id""")),
        CASE WHEN doc_id % 10 = 0 THEN '/x%2fy'
             WHEN doc_id % 10 = 5 THEN '/x%2Fy'
             ELSE '' END ||
+       CASE WHEN doc_id % 17 = 0 THEN '/q%3fx' ELSE '' END ||
+       CASE WHEN doc_id % 14 = 0 THEN '/n%41me'
+            WHEN doc_id % 14 = 7 THEN '/nAme'
+            ELSE '' END ||
        CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
        CASE WHEN doc_id % 11 = 0
             THEN '?utm_source=s' || (doc_id % 9) ||
@@ -1548,12 +1557,16 @@ SELECT * FROM rep ORDER BY doc_id""")),
     *      rest;
     *   3. default-port strip for BOTH schemes (`:443/`/`:80/` plain
     *      replace + `:443$`/`:80$`);
-    *   4. percent-encoding normalization over the CLOSED code
-    *      repertoire the frontier carries: the unreserved `%7E`/`%7e`
-    *      decode to `~` (RFC 3986 says encoded-unreserved and plain
-    *      are the same URI), the reserved `%2f` uppercases to `%2F`
-    *      and is NEVER decoded (a decoded slash would change the
-    *      path structure);
+    *   4. FULL RFC 3986 percent-encoding normalization
+    *      ([[percentNormalize]]): every unreserved code (the 66
+    *      ALPHA / DIGIT / `-._~` values, either hex case) decodes to
+    *      its character — encoded-unreserved and plain spell the
+    *      same URI — and every OTHER code's hex uppercases without
+    *      decoding (a decoded `%2F` or `%3F` would change the
+    *      path/query structure). One codegen'd higher-order pass
+    *      (split on `%`, per-piece map lookup), no UDF, no closed
+    *      fixture repertoire — malformed escapes (`%zz`, trailing
+    *      `%`) pass through byte-identically in BOTH engines;
     *   5. `www.` strip AFTER lowering (or `WWW.` survives);
     *   6. pre-query trailing slash (`/?` -> `?`) before the param
     *      rules, so `/path/?utm=..` and `/path?utm=..` converge;
@@ -1571,16 +1584,17 @@ SELECT * FROM rep ORDER BY doc_id""")),
     *       would also lose its port; conditioning the strip on the
     *       scheme needs a backref or a two-pass split, and the two
     *       engines' backref syntaxes differ;
-    *   (b) percent normalization covers the fixture's closed code
-    *       set. FULL RFC 3986 normalization — 66 unreserved codes x
-    *       case spellings decoded, every remaining code's hex
-    *       uppercased — is a ~130-rule generated table (or a custom
-    *       Expression with no DuckDB twin); an out-of-repertoire
-    *       lowercase-hex code (say `%3f`) passes through unchanged
-    *       in BOTH engines, so parity holds;
+    *   (b) [CLOSED in r17 — full normalization shipped; the former
+    *       closed-repertoire disclosure is retired] percent handling
+    *       is still POSITIONAL, not component-aware: an encoded
+    *       unreserved char in the QUERY decodes too (RFC-equivalent,
+    *       but a server distinguishing `a%41` from `aA` in a query
+    *       VALUE — legal if unusual — would see them merged);
     *   (c) the authority lowering would also lowercase any hex in a
-    *       percent-encoded (IDN) HOST; such hosts are outside the
-    *       fixture and real frontiers punycode them first;
+    *       percent-encoded (IDN) HOST, and a decode can re-introduce
+    *       an uppercase letter into the host AFTER lowering; such
+    *       hosts are outside the fixture and real frontiers punycode
+    *       them first;
     *   (d) a root-path URL `https://h/?q` canonicalizes to
     *       `https://h?q` — rule 6 cannot tell the root slash from a
     *       pre-query trailing slash; both engines agree.
@@ -1595,9 +1609,7 @@ SELECT * FROM rep ORDER BY doc_id""")),
     c = regexp_replace(c, ":443$", "")
     c = replace(c, lit(":80/"), lit("/"))
     c = regexp_replace(c, ":80$", "")
-    c = replace(c, lit("%7E"), lit("~")) // unreserved: decode
-    c = replace(c, lit("%7e"), lit("~"))
-    c = replace(c, lit("%2f"), lit("%2F")) // reserved: uppercase only
+    c = percentNormalize(c)
     c = replace(c, lit("://www."), lit("://"))
     c = replace(c, lit("/?"), lit("?")) // pre-query trailing slash
     c = regexp_replace(c, "\\?utm_[^&]*&", "?")
@@ -1605,19 +1617,51 @@ SELECT * FROM rep ORDER BY doc_id""")),
     regexp_replace(c, "/$", "")
   }
 
-  /** [[canonicalUrl]]'s DuckDB image around a raw-url column named
-    * `raw` — ONE string shared by the q193 and q194 oracles. NOTE:
-    * plain string (no interpolation), so `$` anchors stay literal.
+  /** The RFC 3986 UNRESERVED set keyed by its two-digit uppercase
+    * hex code — the percent-normalization decode table, one literal
+    * map shared by every row.
     */
-  private def canonicalUrlSql: String =
-    """regexp_replace(
-       regexp_replace(
-       regexp_replace(
-       replace(
-       replace(
-       replace(
-       replace(
-       replace(
+  private val UnreservedByHex: Map[String, String] =
+    (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9') ++
+      Seq('-', '.', '_', '~')).map(ch =>
+      f"${ch.toInt}%02X" -> ch.toString).toMap
+
+  /** FULL RFC 3986 percent-encoding normalization as one codegen'd
+    * higher-order pass (its DuckDB image lives in
+    * [[canonicalUrlCtesSql]]): split on `%`; piece 0 passes through;
+    * every later piece leads with what followed a `%` — two hex
+    * chars decode via the unreserved table or re-emit uppercased,
+    * anything else (malformed escape, trailing `%`) re-attaches its
+    * `%` byte-identically. No UDF, no per-code rule table, no closed
+    * repertoire.
+    */
+  private def percentNormalize(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val table = typedlit(UnreservedByHex)
+    val pieces = split(c, "%", -1)
+    array_join(transform(pieces, (p, i) =>
+      when(i === 0, p).otherwise(
+        when(!p.rlike("^[0-9a-fA-F]{2}"), concat(lit("%"), p))
+          .otherwise {
+            val code = upper(p.substr(lit(1), lit(2)))
+            val rest = p.substr(lit(3), length(p))
+            val dec = element_at(table, code)
+            when(dec.isNotNull, concat(dec, rest))
+              .otherwise(concat(lit("%"), code, rest))
+          })), "")
+  }
+
+  /** [[canonicalUrl]]'s DuckDB image as a TWO-CTE fragment over a
+    * CTE `u(doc_id, raw)`: `c0` applies the fragment/authority/port
+    * rules, `c` wraps the percent-normalization (the `pre` column is
+    * referenced several times, so it gets its own CTE rather than a
+    * duplicated expression) and the remaining rules. Spliced into
+    * the q193/q194 oracles as `WITH u AS (...), $canonicalUrlCtesSql,
+    * ...` — ONE copy of the chain for both. NOTE: plain string (no
+    * interpolation), so `$` anchors stay literal.
+    */
+  private def canonicalUrlCtesSql: String =
+    """c0 AS (SELECT doc_id,
        regexp_replace(
        replace(
        regexp_replace(
@@ -1629,15 +1673,31 @@ SELECT * FROM rep ORDER BY doc_id""")),
          ':443/', '/'),
          ':443$', ''),
          ':80/', '/'),
-         ':80$', ''),
-         '%7E', '~'),
-         '%7e', '~'),
-         '%2f', '%2F'),
+         ':80$', '') AS pre
+       FROM u),
+     c AS (SELECT doc_id,
+       regexp_replace(
+       regexp_replace(
+       regexp_replace(
+       replace(
+       replace(
+         CASE WHEN pre NOT LIKE '%!%%' ESCAPE '!' THEN pre ELSE
+           string_split(pre, '%')[1] ||
+           list_aggr(list_transform(string_split(pre, '%')[2:], p ->
+             CASE WHEN NOT regexp_matches(p, '^[0-9a-fA-F]{2}')
+                  THEN '%' || p
+                  WHEN (upper(p[1:2]) BETWEEN '30' AND '39')
+                    OR (upper(p[1:2]) BETWEEN '41' AND '5A')
+                    OR upper(p[1:2]) IN ('2D','2E','5F','7E')
+                  THEN CAST(unhex(upper(p[1:2])) AS VARCHAR) || p[3:]
+                  ELSE '%' || upper(p[1:2]) || p[3:] END),
+             'string_agg', '') END,
          '://www.', '://'),
          '/?', '?'),
          '\?utm_[^&]*&', '?', 'g'),
          '[?&]utm_[^&]*', '', 'g'),
-         '/$', '') AS canonical_url"""
+         '/$', '') AS canonical_url
+       FROM c0)"""
 
   /** The q189/q190 deterministic HTML page around each doc — ONE copy
     * in each engine (its SQL image is [[markupExtractCtesSql]]'s `w`).

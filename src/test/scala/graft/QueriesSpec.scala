@@ -950,26 +950,31 @@ class QueriesSpec extends AnyFunSuite {
     }
     // canonical urls carry none of the synthesized messiness: no
     // scheme/host case, default ports (both schemes), www, tracking
-    // params, fragments, trailing slashes; the percent repertoire is
-    // normalized (unreserved tilde decoded, reserved %2F uppercased —
-    // the ONE legal uppercase, so the lowercase check excludes it)
+    // params, fragments, trailing slashes; percent-encoding is FULLY
+    // normalized — unreserved codes decoded (%7E/%7e -> ~,
+    // %41 -> A), reserved codes uppercased never decoded (%2f -> %2F,
+    // %3f -> %3F: the encoded '?' must not become a query delimiter)
     rows.foreach { case (u, dom, _, _, _, _) =>
       assert(u.startsWith("https://site") || u.startsWith("http://site"), u)
       assert(!u.contains("www.") && !u.contains(":443")
         && !u.contains(":80") && !u.contains("utm_") && !u.contains("#")
         && !u.endsWith("/"), u)
       assert(!u.contains("%7E") && !u.contains("%7e")
-        && !u.contains("%2f"), u)
-      assert(u.replace("%2F", "%2f") == u.toLowerCase, u)
+        && !u.contains("%2f") && !u.contains("%3f")
+        && !u.contains("%41"), u)
+      // the AUTHORITY is lowercase (paths are case-significant: a
+      // decoded %41 legitimately leaves an uppercase 'A' there)
+      val auth = u.split('/')(2)
+      assert(auth == auth.toLowerCase, u)
       assert(u.contains(s"://$dom/") || u.split('?').head.endsWith(dom), u)
     }
     // keeper/n_docs are genuine: rebuild EVERY cluster independently
     // from the synthesis rule (scheme by mod 13, domain slot mod 7,
-    // path slot mod 53, percent segments by mod 9 / mod 10, page
-    // param only when doc_id % 11 == 0) and demand exact agreement —
-    // a keeper aggregation that regressed to anything but the cluster
-    // min goes red here, not just vs the oracle (which shares min()
-    // by construction)
+    // path slot mod 53, percent segments by mod 9 / 10 / 17 / 14,
+    // page param only when doc_id % 11 == 0) and demand exact
+    // agreement — a keeper aggregation that regressed to anything
+    // but the cluster min goes red here, not just vs the oracle
+    // (which shares min() by construction)
     import spark.implicits._
     val ids = graft.Tables.documents(spark, sf)
       .select("doc_id").as[Long].collect()
@@ -978,9 +983,11 @@ class QueriesSpec extends AnyFunSuite {
       val vseg =
         if (id % 9 == 0 || id % 9 == 3 || id % 9 == 6) "/v~1" else ""
       val xseg = if (id % 10 == 0 || id % 10 == 5) "/x%2Fy" else ""
+      val qseg = if (id % 17 == 0) "/q%3Fx" else ""
+      val nseg = if (id % 14 == 0 || id % 14 == 7) "/nAme" else ""
       val page = if (id % 11 == 0) s"?page=${id % 3}" else ""
       s"$scheme://site${id % 7}.example.com/docs/page-${id % 53}" +
-        s"$vseg$xseg$page"
+        s"$vseg$xseg$qseg$nseg$page"
     }.map { case (u, members) =>
       u -> (members.min, members.length.toLong)
     }
