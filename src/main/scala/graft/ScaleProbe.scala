@@ -278,10 +278,8 @@ object ScaleProbe {
     * not inflate as seen climbs by ~200k canonicals per batch.
     */
   private def urlFrontierGrowth(spark: SparkSession): Unit = {
-    val frontier = java.nio.file.Files
-      .createTempDirectory("urlf_probe_f").toString
-    val audit = java.nio.file.Files
-      .createTempDirectory("urlf_probe_a").toString
+    val frontier = graft.TempArtifacts.dir("urlf_probe_f")
+    val audit = graft.TempArtifacts.dir("urlf_probe_a")
     val perBatch = 200000L
     (0 until 6).foreach { b =>
       val arrivals = spark.range(b * perBatch, (b + 1) * perBatch, 1, 32)

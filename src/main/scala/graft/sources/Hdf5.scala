@@ -1416,7 +1416,14 @@ object Hdf5 {
     require(dbAddr != Undef,
       s"HDF5: fixed array at $addr has entries but no data block " +
         s"($path)")
-    val bodyLen = maxEntries * entrySize
+    val bodyLen =
+      try Math.multiplyExact(maxEntries, entrySize.toLong)
+      catch {
+        case _: ArithmeticException =>
+          throw new IllegalArgumentException(
+            s"HDF5: fixed array at $addr declares $maxEntries x " +
+              s"$entrySize-byte entries — overflows ($path)")
+      }
     require(bodyLen <= Int.MaxValue - 64,
       s"HDF5: fixed-array data block of $bodyLen bytes at $dbAddr " +
         s"($path) is outside the subset")
@@ -1708,7 +1715,16 @@ object Hdf5 {
         // chunks, every read returns the fill value. v3 walks the
         // node-type-1 B-tree; v4 dispatches on the chunk index type.
         val grid = dims.zip(cd).map { case (n, c) => (n + c - 1) / c }
-        val nGrid = grid.product
+        // overflow-checked: a crafted file's lying dims must reject
+        // loudly, never wrap the grid count to 0 and read silent fill
+        val nGrid =
+          try grid.foldLeft(1L)(Math.multiplyExact)
+          catch {
+            case _: ArithmeticException =>
+              throw new IllegalArgumentException(
+                s"HDF5: $path chunk grid ${grid.mkString("x")} " +
+                  "overflows — outside the subset")
+          }
         def offsetOf(i: Long): Array[Long] = {
           val off = new Array[Long](rank)
           var rem = i

@@ -1498,6 +1498,12 @@ SELECT * FROM rep ORDER BY doc_id""")),
       when(id % 14 === 0, lit("/n%41me"))
         .when(id % 14 === 7, lit("/nAme"))
         .otherwise(lit("")),
+      // encoded LOWERCASE letter (code 0x6F), both hex spellings —
+      // pins the 61-7A decode range in both engines
+      when(id % 19 === 0, lit("/l%6fg"))
+        .when(id % 19 === 9, lit("/l%6Fg"))
+        .when(id % 19 === 5, lit("/log"))
+        .otherwise(lit("")),
       when(id % 3 === 0, lit("/")).otherwise(lit("")),
       when(id % 11 === 0,
         concat(lit("?utm_source=s"), (id % 9).cast("string"),
@@ -1537,6 +1543,10 @@ SELECT * FROM rep ORDER BY doc_id""")),
        CASE WHEN doc_id % 14 = 0 THEN '/n%41me'
             WHEN doc_id % 14 = 7 THEN '/nAme'
             ELSE '' END ||
+       CASE WHEN doc_id % 19 = 0 THEN '/l%6fg'
+            WHEN doc_id % 19 = 9 THEN '/l%6Fg'
+            WHEN doc_id % 19 = 5 THEN '/log'
+            ELSE '' END ||
        CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
        CASE WHEN doc_id % 11 = 0
             THEN '?utm_source=s' || (doc_id % 9) ||
@@ -1547,7 +1557,7 @@ SELECT * FROM rep ORDER BY doc_id""")),
        CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END AS raw"""
 
   /** The q193/q194 canonicalization rule chain — ONE copy (its SQL
-    * image is [[canonicalUrlSql]]), all codegen'd built-ins, no UDF,
+    * image is [[canonicalUrlCtesSql]]), all codegen'd built-ins, no UDF,
     * no regex backrefs (Spark uses `$1` where RE2 uses `\\1`, so a
     * backref could never be one shared rule; every rule here is
     * backref-free by construction). ORDER IS LOAD-BEARING:
@@ -1688,6 +1698,7 @@ SELECT * FROM rep ORDER BY doc_id""")),
                   THEN '%' || p
                   WHEN (upper(p[1:2]) BETWEEN '30' AND '39')
                     OR (upper(p[1:2]) BETWEEN '41' AND '5A')
+                    OR (upper(p[1:2]) BETWEEN '61' AND '7A')
                     OR upper(p[1:2]) IN ('2D','2E','5F','7E')
                   THEN CAST(unhex(upper(p[1:2])) AS VARCHAR) || p[3:]
                   ELSE '%' || upper(p[1:2]) || p[3:] END),

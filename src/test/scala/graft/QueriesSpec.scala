@@ -985,9 +985,11 @@ class QueriesSpec extends AnyFunSuite {
       val xseg = if (id % 10 == 0 || id % 10 == 5) "/x%2Fy" else ""
       val qseg = if (id % 17 == 0) "/q%3Fx" else ""
       val nseg = if (id % 14 == 0 || id % 14 == 7) "/nAme" else ""
+      val lseg =
+        if (id % 19 == 0 || id % 19 == 9 || id % 19 == 5) "/log" else ""
       val page = if (id % 11 == 0) s"?page=${id % 3}" else ""
       s"$scheme://site${id % 7}.example.com/docs/page-${id % 53}" +
-        s"$vseg$xseg$qseg$nseg$page"
+        s"$vseg$xseg$qseg$nseg$lseg$page"
     }.map { case (u, members) =>
       u -> (members.min, members.length.toLong)
     }
