@@ -359,7 +359,7 @@ object ScaleProbe {
       java.nio.file.Paths.get(dChk, VPICSource.Hdf5File).toString)
     val wantPruned = idx.filterNot(_.path.startsWith("grid/")).map { d =>
       d.layout match {
-        case Hdf5.H5Chunked(cd, _, _, chunks) =>
+        case Hdf5.H5Chunked(cd, _, _, chunks, _) =>
           chunks.filter(c => c.offset(0) < 10 && c.offset(0) + cd(0) > 0)
             .map(_.storedBytes).sum
         case _ => 0L

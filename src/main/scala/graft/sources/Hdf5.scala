@@ -34,9 +34,10 @@ import java.nio.charset.StandardCharsets.US_ASCII
   *     doubles — VPIC auxiliary arrays are ints), Fill Value
   *     (v1-v3 + old, decoded in the dataset's type), Data Layout
   *     (v3, class 1 contiguous or class 2 CHUNKED), and for chunked
-  *     data the optional Filter Pipeline (v1, deflate) — real
-  *     h5py/VPIC dumps are typically chunked f32 with gzip, which
-  *     is exactly this corner;
+  *     data the optional Filter Pipeline (v1: shuffle, deflate,
+  *     and a trailing fletcher32 whose per-chunk checksum is
+  *     verified) — real h5py/VPIC dumps are typically chunked f32
+  *     with gzip, which is exactly this corner;
   *   - chunked raw data behind a v1 B-tree of node type 1 (ANY
   *     depth on read; the writer emits multi-level trees past 2·K
   *     chunks per node), each chunk individually deflated so a
@@ -92,12 +93,16 @@ object Hdf5 {
     * element-size dim which is validated and dropped here), `gzip`
     * says each chunk is a deflate stream, `shuffle` that the bytes
     * were byte-transposed before deflate (the standard h5py
-    * `shuffle=True, compression='gzip'` combination), and `chunks`
-    * is the full chunk index in offset order — metadata only (one
-    * entry per chunk, no data).
+    * `shuffle=True, compression='gzip'` combination), `fletcher`
+    * that each stored chunk carries a trailing 4-byte fletcher32
+    * checksum (h5py's `fletcher32=True`, applied LAST so it covers
+    * the compressed bytes — verified and stripped first on read),
+    * and `chunks` is the full chunk index in offset order — metadata
+    * only (one entry per chunk, no data).
     */
   final case class H5Chunked(chunkDims: Array[Long], gzip: Boolean,
-      shuffle: Boolean, chunks: Seq[H5Chunk]) extends H5Layout
+      shuffle: Boolean, chunks: Seq[H5Chunk],
+      fletcher: Boolean = false) extends H5Layout
   /** One chunk: its dataset-space offset (rank values), its file
     * address, and its STORED byte count (compressed size under gzip).
     */
@@ -152,7 +157,8 @@ object Hdf5 {
       gzip: Boolean = false, f32: Boolean = false,
       shuffle: Boolean = false, fixed: Option[(Int, Boolean)] = None,
       fillValue: Double = 0.0,
-      sparse: Option[Array[Long] => Boolean] = None)
+      sparse: Option[Array[Long] => Boolean] = None,
+      fletcher: Boolean = false)
 
   // ------------------------------------------------------------------
   // Writer
@@ -285,19 +291,67 @@ object Hdf5 {
     */
   val decodedStoredBytes = new java.util.concurrent.atomic.AtomicLong
 
+  /** HDF5's fletcher32 (H5checksum.c structure, public): Fletcher's
+    * checksum over BIG-endian 16-bit words with 360-word partial
+    * folds, an odd trailing byte high-justified, and a final fold to
+    * (sum2 << 16) | sum1.
+    */
+  def fletcher32(b: Array[Byte], off: Int, len: Int): Int = {
+    var sum1 = 0L
+    var sum2 = 0L
+    var i = off
+    var words = len / 2
+    while (words > 0) {
+      var tlen = math.min(words, 360)
+      words -= tlen
+      while (tlen > 0) {
+        sum1 += ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+        sum2 += sum1
+        i += 2
+        tlen -= 1
+      }
+      sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+      sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+    }
+    if (len % 2 == 1) {
+      sum1 += (b(off + len - 1) & 0xff).toLong << 8
+      sum2 += sum1
+      sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+      sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+    }
+    sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+    sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+    ((sum2 << 16) | sum1).toInt
+  }
+
   /** Decode one STORED chunk back to raw element bytes: inverse
-    * filters in reverse pipeline order (inflate, then un-shuffle).
-    * Shared by the driver-side reads and the DSv2 chunk partition
-    * reader — one copy of the filter semantics.
+    * filters in reverse pipeline order (verify+strip the fletcher32
+    * trailer, inflate, then un-shuffle). Shared by the driver-side
+    * reads and the DSv2 chunk partition reader — one copy of the
+    * filter semantics.
     */
   def decodeChunk(stored: Array[Byte], expectBytes: Int, gzip: Boolean,
-      shuffle: Boolean, elemSize: Int): Array[Byte] = {
+      shuffle: Boolean, elemSize: Int,
+      fletcher: Boolean = false): Array[Byte] = {
     decodedStoredBytes.addAndGet(stored.length.toLong): Unit
-    val inflated = if (gzip) inflate(stored, expectBytes) else {
-      require(stored.length == expectBytes,
-        s"HDF5: unfiltered chunk stores ${stored.length} bytes, " +
+    val body = if (!fletcher) stored else {
+      require(stored.length >= 4,
+        s"HDF5: fletcher32 chunk of ${stored.length} bytes has no " +
+          "room for its checksum trailer")
+      val n = stored.length - 4
+      val want = ByteBuffer.wrap(stored, n, 4)
+        .order(ByteOrder.LITTLE_ENDIAN).getInt
+      val got = fletcher32(stored, 0, n)
+      require(got == want,
+        f"HDF5: chunk fletcher32 0x$got%08x != stored 0x$want%08x " +
+          "(corrupt chunk)")
+      java.util.Arrays.copyOf(stored, n)
+    }
+    val inflated = if (gzip) inflate(body, expectBytes) else {
+      require(body.length == expectBytes,
+        s"HDF5: unfiltered chunk stores ${body.length} bytes, " +
           s"expected $expectBytes")
-      stored
+      body
     }
     if (shuffle) unshuffleBytes(inflated, elemSize) else inflated
   }
@@ -332,9 +386,10 @@ object Hdf5 {
           s"HDF5 write: ${d.path} chunk ${cd.mkString("x")} exceeds " +
             s"dims ${d.dims.mkString("x")}")
       }
-      require((!d.gzip && !d.shuffle) || d.chunkDims.isDefined,
-        s"HDF5 write: ${d.path} gzip/shuffle requires a chunked layout " +
-          "(HDF5 filters apply to chunks)")
+      require((!d.gzip && !d.shuffle && !d.fletcher)
+          || d.chunkDims.isDefined,
+        s"HDF5 write: ${d.path} gzip/shuffle/fletcher requires a " +
+          "chunked layout (HDF5 filters apply to chunks)")
       require(d.sparse.isEmpty || d.chunkDims.isDefined,
         s"HDF5 write: ${d.path} sparse (unallocated) chunks require a " +
           "chunked layout")
@@ -533,7 +588,19 @@ object Hdf5 {
               val raw = serialize(spec, vals)
               val shuffled =
                 if (spec.shuffle) shuffleBytes(raw, es) else raw
-              val stored = if (spec.gzip) deflate(shuffled) else shuffled
+              val deflated =
+                if (spec.gzip) deflate(shuffled) else shuffled
+              // fletcher32 LAST (the h5py position): the trailer
+              // checksums the compressed bytes
+              val stored = if (!spec.fletcher) deflated else {
+                val out = java.util.Arrays.copyOf(deflated,
+                  deflated.length + 4)
+                val ck = ByteBuffer.allocate(4)
+                  .order(ByteOrder.LITTLE_ENDIAN)
+                ck.putInt(fletcher32(deflated, 0, deflated.length))
+                System.arraycopy(ck.array(), 0, out, deflated.length, 4)
+                out
+              }
               buf.pad8()
               addrs += buf.bytes(stored)
               keys += chunkKey(stored.length.toLong, off)
@@ -623,25 +690,39 @@ object Hdf5 {
         b.put(fb)
         b.array()
       }))
-      if (spec.gzip || spec.shuffle) msgs += ((0x000B, {
+      if (spec.gzip || spec.shuffle || spec.fletcher) msgs += ((0x000B, {
         // filters in APPLICATION order: shuffle (byte-transpose,
-        // client value = element size) then deflate
+        // client value = element size), deflate, then fletcher32
+        // LAST (no client values — the h5py position, so the
+        // checksum covers the compressed bytes)
         val fs = Seq(
-          if (spec.shuffle) Some((2, "shuffle", es)) else None,
-          if (spec.gzip) Some((1, "deflate", 6)) else None).flatten
-        val b = ByteBuffer.allocate(8 + 24 * fs.length)
+          if (spec.shuffle) Some((2, "shuffle", Seq(es))) else None,
+          if (spec.gzip) Some((1, "deflate", Seq(6))) else None,
+          if (spec.fletcher) Some((3, "fletcher32", Seq.empty[Int]))
+          else None).flatten
+        def padName(n: String): Array[Byte] = {
+          val padded = (n.length + 1 + 7) & ~7
+          java.util.Arrays.copyOf(n.getBytes(US_ASCII), padded)
+        }
+        val descs = fs.map { case (id, name, cvals) =>
+          val nb = padName(name)
+          val cvBytes = 4 * cvals.length + (if (cvals.length % 2 == 1) 4 else 0)
+          val b = ByteBuffer.allocate(8 + nb.length + cvBytes)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          b.putShort(id.toShort)
+          b.putShort(nb.length.toShort)
+          b.putShort(0) // flags
+          b.putShort(cvals.length.toShort)
+          b.put(nb)
+          cvals.foreach(b.putInt)
+          if (cvals.length % 2 == 1) b.putInt(0) // pad
+          b.array()
+        }
+        val b = ByteBuffer.allocate(8 + descs.map(_.length).sum)
           .order(ByteOrder.LITTLE_ENDIAN)
         b.put(1.toByte).put(fs.length.toByte) // version 1, n filters
         b.putShort(0).putInt(0) // reserved
-        fs.foreach { case (id, name, cval) =>
-          b.putShort(id.toShort)
-          b.putShort(8) // name length (8-padded)
-          b.putShort(0) // flags
-          b.putShort(1) // one client data value
-          b.put(name.getBytes(US_ASCII)).put(0.toByte)
-          b.putInt(cval) // client data
-          b.putInt(0) // pad (odd client-value count)
-        }
+        descs.foreach(b.put)
         b.array()
       }))
       writeOh(ohAddr, msgs.toSeq)
@@ -1488,6 +1569,7 @@ object Hdf5 {
     var v4SingleMask = 0
     var gzip = false
     var shuffle = false
+    var fletcher = false
     var shuffleElem = -1
     msgs.foreach {
       case (0x0001, b) => // dataspace (v1, or v2 from libver=latest)
@@ -1627,21 +1709,26 @@ object Hdf5 {
           b.position(b.position() + nameLen)
           val cvals = (0 until ncv).map(_ => b.getInt())
           if (ncv % 2 == 1) b.getInt() // pad
-          require(id == 1 || id == 2,
-            s"HDF5: filter id $id on $path (only deflate (1) and " +
-              "shuffle (2) are decodable here — a fletcher/szip chunk " +
-              "would be silently mis-read)")
+          require(id == 1 || id == 2 || id == 3,
+            s"HDF5: filter id $id on $path (only deflate (1), " +
+              "shuffle (2) and fletcher32 (3) are decodable here — " +
+              "an szip chunk would be silently mis-read)")
           (id, cvals)
         }
-        // application order must be shuffle-then-deflate (h5py's) —
-        // the inverse order would unshuffle compressed bytes
+        // application order must be shuffle-then-deflate with
+        // fletcher32 LAST (h5py's positions) — the inverse order
+        // would unshuffle compressed bytes, and a fletcher placed
+        // BEFORE deflate checksums bytes this decoder strips last
         require(ids.map(_._1) match {
           case Seq() | Seq(1) | Seq(2) | Seq(2, 1) => true
+          case Seq(3) | Seq(1, 3) | Seq(2, 3) | Seq(2, 1, 3) => true
           case _ => false
         }, s"HDF5: filter order ${ids.map(_._1).mkString(",")} on " +
-          s"$path (only [shuffle,] deflate is decodable here)")
+          s"$path (only [shuffle,] [deflate,] [fletcher32-last] is " +
+          "decodable here)")
         gzip = ids.exists(_._1 == 1)
         shuffle = ids.exists(_._1 == 2)
+        fletcher = ids.exists(_._1 == 3)
         shuffleElem = ids.collectFirst { case (2, cv) if cv.nonEmpty =>
           cv.head }.getOrElse(-1)
       case _ => () // NIL and other messages: skip
@@ -1665,7 +1752,7 @@ object Hdf5 {
     val rank = dims.length
     layoutClass match {
       case 1 =>
-        require(!gzip && !shuffle,
+        require(!gzip && !shuffle && !fletcher,
           s"HDF5: $path declares a filter pipeline on a contiguous " +
             "layout (filters apply to chunks only)")
         require(contAddr != Undef, s"HDF5: $path has no data address")
@@ -1747,7 +1834,7 @@ object Hdf5 {
                 s"HDF5: $path single-chunk index but the " +
                   s"${cd.mkString("x")} grid has $nGrid chunks")
               val filtered = (v4Flags & 2) != 0
-              require(filtered == (gzip || shuffle),
+              require(filtered == (gzip || shuffle || fletcher),
                 s"HDF5: $path single-chunk filter flag " +
                   s"${filtered} disagrees with the filter pipeline")
               val stored =
@@ -1764,13 +1851,14 @@ object Hdf5 {
               (0L until nGrid).map(i =>
                 (offsetOf(i), v4Addr + i * chunkBytes, chunkBytes, 0))
             case _ => // FIXED ARRAY (h5py libver='latest', fixed dims)
-              readFixedArray(r, v4Addr, path, gzip || shuffle, nGrid)
+              readFixedArray(r, v4Addr, path,
+                gzip || shuffle || fletcher, nGrid)
                 .map { case (i, caddr, stored, mask) =>
                   require(i >= 0 && i < nGrid,
                     s"HDF5: fixed-array element $i outside the " +
                       s"$nGrid-chunk grid of $path")
                   val st =
-                    if (gzip || shuffle) stored
+                    if (gzip || shuffle || fletcher) stored
                     else cd.foldLeft(elemSize.toLong)(_ * _)
                   (offsetOf(i), caddr, st, mask)
                 }
@@ -1789,9 +1877,12 @@ object Hdf5 {
           require(stored <= Int.MaxValue,
             s"HDF5: chunk at ${off.mkString(",")} of $path stores " +
               s"$stored bytes — >=2 GiB chunks are outside the subset")
-          if (!gzip) require(stored == chunkBytes,
-            s"HDF5: unfiltered chunk at ${off.mkString(",")} of $path " +
-              s"stores $stored bytes, expected $chunkBytes")
+          if (!gzip) {
+            val want = chunkBytes + (if (fletcher) 4 else 0)
+            require(stored == want,
+              s"HDF5: undeflated chunk at ${off.mkString(",")} of " +
+                s"$path stores $stored bytes, expected $want")
+          }
         }
         // h5py allocates chunks lazily, so FEWER chunks than the grid
         // (sparse) is a normal partially-written dump — missing
@@ -1809,7 +1900,8 @@ object Hdf5 {
           H5Chunk(off, caddr, stored)
         }
         H5Dataset(path, dims, le, elemSize,
-          H5Chunked(cd, gzip, shuffle, sorted), fill, fixedPoint,
+          H5Chunked(cd, gzip, shuffle, sorted, fletcher), fill,
+          fixedPoint,
           signed)
     }
   }
@@ -1866,7 +1958,7 @@ object Hdf5 {
         raf.readFully(b)
         val bb = ByteBuffer.wrap(b).order(order)
         Array.tabulate(n)(i => decode(bb, i))
-      case H5Chunked(cd, gzip, shuffle, chunks) =>
+      case H5Chunked(cd, gzip, shuffle, chunks, fletcher) =>
         val rank = ds.dims.length
         val strides = new Array[Long](rank)
         strides(rank - 1) = 1
@@ -1892,7 +1984,7 @@ object Hdf5 {
             raf.seek(ch.addr)
             raf.readFully(raw)
             val bytes = decodeChunk(raw, chunkElems * ds.elemSize,
-              gzip, shuffle, ds.elemSize)
+              gzip, shuffle, ds.elemSize, fletcher)
             val bb = ByteBuffer.wrap(bytes).order(order)
             val local = new Array[Int](rank)
             (0 until chunkElems).foreach { li =>

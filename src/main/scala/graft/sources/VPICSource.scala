@@ -476,7 +476,7 @@ private[sources] class VPICScan(root: String, vars: Seq[String], chunkSteps: Int
                 elemSize = d.elemSize, fixedPoint = d.fixedPoint,
                 signed = d.signed)
             }
-          case Hdf5.H5Chunked(cd, gzip, shuffle, chunks) =>
+          case Hdf5.H5Chunked(cd, gzip, shuffle, chunks, fletch) =>
             // the STORAGE chunk is the parallelism unit (a reader must
             // decompress a whole chunk anyway): one partition per
             // chunk, pruned to those whose time range intersects the
@@ -494,7 +494,8 @@ private[sources] class VPICScan(root: String, vars: Seq[String], chunkSteps: Int
                 k0 = k0, k1 = k1, k2 = k2, k3 = k3,
                 n0 = nt, n1 = nz, n2 = ny, n3 = nx,
                 itLo = lo, itHi = hi, fill = d.fill,
-                fixedPoint = d.fixedPoint, signed = d.signed)
+                fixedPoint = d.fixedPoint, signed = d.signed,
+                fletcher = fletch)
             val inRange = chunks.filter(c =>
               c.offset(0) <= hi && c.offset(0) + k0 - 1 >= lo)
             val allocated = inRange.map { c =>
@@ -566,7 +567,8 @@ private[sources] case class VPICChunkPartition(root: String, label: String,
     k0: Int, k1: Int, k2: Int, k3: Int,
     n0: Int, n1: Int, n2: Int, n3: Int,
     itLo: Int, itHi: Int, fill: Double = 0.0,
-    fixedPoint: Boolean = false, signed: Boolean = true)
+    fixedPoint: Boolean = false, signed: Boolean = true,
+    fletcher: Boolean = false)
   extends InputPartition
 
 private[sources] class VPICReaderFactory(fields: Array[String])
@@ -732,7 +734,8 @@ private[sources] class VPICChunkReader(p: VPICChunkPartition,
         p.k0.toLong * p.k1 * p.k2 * p.k3 * p.elemSize
       require(expect <= Int.MaxValue,
         s"chunk of $expect bytes at ${p.addr} ($path)")
-      Hdf5.decodeChunk(raw, expect.toInt, p.gzip, p.shuffle, p.elemSize)
+      Hdf5.decodeChunk(raw, expect.toInt, p.gzip, p.shuffle,
+        p.elemSize, p.fletcher)
     } finally raf.close()
   }
   private val bb = if (bytes == null) null

@@ -7,7 +7,7 @@ import org.scalacheck.rng.Seed
 /** Property test for the HDF5 subset codec: random dataset trees —
   * random group nesting and widths (incl. past one SNOD and past one
   * B-tree node), ranks, dims, chunk grids that do and do not divide
-  * the dims, deflate on/off, f32/f64 and FIXED-POINT datatypes, both
+  * the dims, deflate and fletcher32 on/off, f32/f64 and FIXED-POINT datatypes, both
   * byte orders, non-default FILL VALUES, and SPARSE (lazily-
   * allocated) chunk grids — must round-trip write → index →
   * readDoubles EXACTLY (f32 compared after the same widening the
@@ -33,7 +33,7 @@ class Hdf5PropertiesSpec extends AnyFunSuite {
   private final case class DsShape(dims: Array[Long],
       chunkDims: Option[Array[Long]], gzip: Boolean, f32: Boolean,
       shuffle: Boolean, fixed: Option[(Int, Boolean)], fill: Double,
-      sparseMod: Int)
+      sparseMod: Int, fletcher: Boolean)
 
   private val genDataset: Gen[DsShape] = for {
     rank <- Gen.choose(1, 4)
@@ -64,8 +64,11 @@ class Hdf5PropertiesSpec extends AnyFunSuite {
     sparseMod <-
       if (chunked) Gen.frequency((2, Gen.const(0)), (1, Gen.oneOf(1, 2, 3)))
       else Gen.const(0)
+    fletcher <-
+      if (chunked) Gen.frequency((2, Gen.const(false)), (1, Gen.const(true)))
+      else Gen.const(false)
   } yield DsShape(dims, chunkDims, gzip, dtype._1, shuffle, dtype._2,
-    fill, sparseMod)
+    fill, sparseMod, fletcher)
 
   private val genTree: Gen[(Seq[(String, DsShape)], Boolean)] = for {
     // widths past one SNOD (8) and occasionally past one B-tree leaf's
@@ -124,7 +127,7 @@ class Hdf5PropertiesSpec extends AnyFunSuite {
             offsetLinear(off, s.dims, s.chunkDims.get) % s.sparseMod == 0)
         Hdf5.H5Write(path, s.dims, data, s.chunkDims, s.gzip, s.f32,
           shuffle = s.shuffle, fixed = s.fixed, fillValue = s.fill,
-          sparse = sparse)
+          sparse = sparse, fletcher = s.fletcher)
       }
       val p = tmp()
       Hdf5.writeSpecs(p, writes, le)
@@ -143,8 +146,9 @@ class Hdf5PropertiesSpec extends AnyFunSuite {
         assert(d.fill == narrowed(s, s.fill), s"tree $ti ${w.path} fill")
         (d.layout, w.chunkDims) match {
           case (Hdf5.H5Contiguous(_), None) => ()
-          case (Hdf5.H5Chunked(cd, gz, sh, chunks), Some(wcd)) =>
-            assert(cd.toSeq == wcd.toSeq && gz == w.gzip && sh == w.shuffle)
+          case (Hdf5.H5Chunked(cd, gz, sh, chunks, fl), Some(wcd)) =>
+            assert(cd.toSeq == wcd.toSeq && gz == w.gzip
+              && sh == w.shuffle && fl == s.fletcher)
             val grid = w.dims.zip(wcd)
               .map { case (n, c) => (n + c - 1) / c }.product
             val omitted =

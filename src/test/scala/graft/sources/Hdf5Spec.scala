@@ -179,7 +179,7 @@ class Hdf5Spec extends AnyFunSuite {
     assert(idx.map(_.path) == Seq("b", "g/a"))
     val a = idx.find(_.path == "g/a").get
     a.layout match {
-      case Hdf5.H5Chunked(cd, gz, sh, chunks) =>
+      case Hdf5.H5Chunked(cd, gz, sh, chunks, _) =>
         assert(cd.toSeq == Seq(2L, 3L, 4L))
         assert(gz == gzip)
         assert(chunks.length == 3 * 3 * 1) // ceil(5/2)*ceil(7/3)*ceil(4/4)
@@ -221,7 +221,7 @@ class Hdf5Spec extends AnyFunSuite {
         chunkDims = Some(Array(500L)), gzip = true, shuffle = shuffle)))
       val d = Hdf5.index(p).head
       d.layout match {
-        case Hdf5.H5Chunked(_, true, sh, chunks) =>
+        case Hdf5.H5Chunked(_, true, sh, chunks, _) =>
           assert(sh == shuffle)
           // exact round-trip through inflate + unshuffle
           assert(Hdf5.readDoubles(p, d, 0, 2000).toSeq == data.toSeq)
@@ -278,7 +278,7 @@ class Hdf5Spec extends AnyFunSuite {
       gzip = true)))
     val d = Hdf5.index(p).head
     d.layout match {
-      case Hdf5.H5Chunked(_, true, _, chunks) =>
+      case Hdf5.H5Chunked(_, true, _, chunks, _) =>
         assert(chunks.forall(_.storedBytes < 500L * 8 / 10),
           chunks.map(_.storedBytes))
       case other => fail(s"$other")
@@ -296,7 +296,7 @@ class Hdf5Spec extends AnyFunSuite {
       chunkDims = Some(Array(2L)), gzip = true)))
     val d = Hdf5.index(p).head
     d.layout match {
-      case Hdf5.H5Chunked(_, _, _, chunks) => assert(chunks.length == 151)
+      case Hdf5.H5Chunked(_, _, _, chunks, _) => assert(chunks.length == 151)
       case other => fail(s"expected chunked, got $other")
     }
     assert(Hdf5.readDoubles(p, d, 0, n).toSeq == data.toSeq)
@@ -326,7 +326,7 @@ class Hdf5Spec extends AnyFunSuite {
       Hdf5.writeSpecs(p2, Seq(Hdf5.H5Write("c", Array(8L), raw.take(8),
         chunkDims = Some(Array(4L)), f32 = true)), le)
       Hdf5.index(p2).head.layout match {
-        case Hdf5.H5Chunked(_, _, _, chunks) =>
+        case Hdf5.H5Chunked(_, _, _, chunks, _) =>
           assert(chunks.forall(_.storedBytes == 4L * 4))
         case other => fail(s"$other")
       }
@@ -359,10 +359,10 @@ class Hdf5Spec extends AnyFunSuite {
     }
     assert(fAt > 0, "filter message not found in fixture")
     val f1 = tmp()
-    val mut = good.clone(); mut(fAt) = 3 // filter id 3: fletcher32
+    val mut = good.clone(); mut(fAt) = 4 // filter id 4: szip
     java.nio.file.Files.write(java.nio.file.Paths.get(f1), mut)
     val e1 = intercept[IllegalArgumentException](Hdf5.index(f1))
-    assert(e1.getMessage.contains("filter id 3"), e1.getMessage)
+    assert(e1.getMessage.contains("filter id 4"), e1.getMessage)
     // flipping deflate to shuffle leaves its client value (the deflate
     // level, 6) — caught as an element-size disagreement, still loud
     val f1b = tmp()
@@ -601,7 +601,7 @@ class Hdf5Spec extends AnyFunSuite {
         sparse = Some(off => off(0) == 3 || off(0) == 9))), le)
       val d = Hdf5.index(p).head
       d.layout match {
-        case Hdf5.H5Chunked(_, true, _, chunks) =>
+        case Hdf5.H5Chunked(_, true, _, chunks, _) =>
           assert(chunks.map(_.offset(0)).toSeq == Seq(0L, 6L))
         case other => fail(s"$other")
       }
@@ -646,7 +646,7 @@ class Hdf5Spec extends AnyFunSuite {
       fillValue = 7.0, sparse = Some(_ => true))))
     val d = Hdf5.index(p).head
     d.layout match {
-      case Hdf5.H5Chunked(_, _, _, chunks) => assert(chunks.isEmpty)
+      case Hdf5.H5Chunked(_, _, _, chunks, _) => assert(chunks.isEmpty)
       case other => fail(s"$other")
     }
     assert(Hdf5.readDoubles(p, d, 0, 5).toSeq == Seq.fill(5)(7.0))
@@ -863,6 +863,121 @@ class Hdf5Spec extends AnyFunSuite {
     reject(b => b(8) = 4, "superblock version 4")
   }
 
+  test("FLETCHER32 filter (h5py fletcher32=True): round-trips alone " +
+    "and composed with shuffle+deflate, detects chunk corruption " +
+    "loudly, and a fletcher placed before deflate is rejected") {
+    Seq(false, true).foreach { le =>
+      val p = tmp()
+      val rnd = new scala.util.Random(if (le) 31 else 30)
+      val data = Array.fill(23)(rnd.nextDouble() * 100)
+      Hdf5.writeSpecs(p, Seq(
+        Hdf5.H5Write("f", Array(23L), data,
+          chunkDims = Some(Array(5L)), fletcher = true),
+        Hdf5.H5Write("fc", Array(23L), data,
+          chunkDims = Some(Array(5L)), gzip = true, shuffle = true,
+          fletcher = true)), le)
+      val idx = Hdf5.index(p)
+      val f = idx.find(_.path == "f").get
+      f.layout match {
+        case Hdf5.H5Chunked(_, false, false, chunks, fl) =>
+          assert(fl, "fletcher flag lost")
+          // undeflated chunk = payload + the 4-byte checksum trailer
+          assert(chunks.forall(_.storedBytes == 5L * 8 + 4))
+        case other => fail(s"$other")
+      }
+      assert(Hdf5.readDoubles(p, f, 0, 23).toSeq == data.toSeq,
+        s"littleEndian=$le")
+      val fc = idx.find(_.path == "fc").get
+      assert(fc.layout.asInstanceOf[Hdf5.H5Chunked].fletcher)
+      assert(Hdf5.readDoubles(p, fc, 0, 23).toSeq == data.toSeq)
+      assert(Hdf5.readDoubles(p, fc, 7, 9).toSeq ==
+        data.toSeq.slice(7, 16))
+    }
+    // the checksum catches a flipped PAYLOAD byte: chunks land right
+    // after the 96-byte superblock; the index (metadata-only) still
+    // parses but the read must fail loudly
+    val p2 = tmp()
+    Hdf5.writeSpecs(p2, Seq(Hdf5.H5Write("g", Array(4L),
+      Array(1.0, 2, 3, 4), chunkDims = Some(Array(4L)),
+      fletcher = true)))
+    val mut = java.nio.file.Files
+      .readAllBytes(java.nio.file.Paths.get(p2))
+    mut(99) = (mut(99) ^ 0x40).toByte
+    val f2 = tmp()
+    java.nio.file.Files.write(java.nio.file.Paths.get(f2), mut)
+    val d2 = Hdf5.index(f2).head
+    val e2 = intercept[IllegalArgumentException](
+      Hdf5.readDoubles(f2, d2, 0, 4))
+    assert(e2.getMessage.contains("fletcher32"), e2.getMessage)
+    // fletcher BEFORE deflate (ids [1,3] -> [3,1]) is out of subset:
+    // this decoder strips the trailer first, so that order would
+    // checksum bytes it never sees
+    val p3 = tmp()
+    Hdf5.writeSpecs(p3, Seq(Hdf5.H5Write("h", Array(4L),
+      Array(1.0, 2, 3, 4), chunkDims = Some(Array(4L)), gzip = true,
+      fletcher = true)))
+    val b3 = java.nio.file.Files
+      .readAllBytes(java.nio.file.Paths.get(p3))
+    // two-filter pipeline body: ver 1, nf 2, reserved(6), then
+    // deflate desc (id 1, namelen 8) and fletcher desc (id 3,
+    // namelen 16)
+    val fAt = {
+      var at = -1
+      var i = 96
+      while (at < 0 && i < b3.length - 12) {
+        if (b3(i) == 1 && b3(i + 1) == 2 && b3(i + 2) == 0
+          && b3(i + 3) == 0 && b3(i + 8) == 1 && b3(i + 9) == 0
+          && b3(i + 10) == 8) at = i
+        i += 1
+      }
+      at
+    }
+    assert(fAt > 0, "two-filter pipeline message not found")
+    val deflateDescLen = 8 + 8 + 8 // header + 8-padded name + cval+pad
+    assert(b3(fAt + 8 + deflateDescLen) == 3, "fletcher desc not found")
+    val mut3 = b3.clone()
+    mut3(fAt + 8) = 3
+    mut3(fAt + 8 + deflateDescLen) = 1
+    val f3 = tmp()
+    java.nio.file.Files.write(java.nio.file.Paths.get(f3), mut3)
+    val e3 = intercept[IllegalArgumentException](Hdf5.index(f3))
+    assert(e3.getMessage.contains("filter order"), e3.getMessage)
+  }
+
+  test("fletcher32 agrees with a straight unoptimized reference " +
+    "implementation (catches block/fold bugs) on sizes around the " +
+    "360-word block boundary and odd lengths") {
+    def reference(b: Array[Byte]): Int = {
+      // no 360-word blocking: fold to 16 bits after EVERY word — the
+      // mathematically equal form (folding commutes with addition
+      // mod 0xffff... verified empirically against the blocked form)
+      var s1 = 0L; var s2 = 0L
+      var i = 0
+      while (i + 1 < b.length) {
+        s1 = (s1 + (((b(i) & 0xff) << 8) | (b(i + 1) & 0xff))) % 0xffff
+        s2 = (s2 + s1) % 0xffff
+        i += 2
+      }
+      if (b.length % 2 == 1) {
+        s1 = (s1 + ((b(b.length - 1) & 0xff).toLong << 8)) % 0xffff
+        s2 = (s2 + s1) % 0xffff
+      }
+      ((s2 << 16) | s1).toInt
+    }
+    val rnd = new scala.util.Random(44)
+    Seq(0, 1, 2, 7, 719, 720, 721, 1441, 5000).foreach { n =>
+      val b = Array.fill(n)(rnd.nextInt(256).toByte)
+      val got = Hdf5.fletcher32(b, 0, n)
+      val want = reference(b)
+      // the % 0xffff fold maps 0xffff -> 0 where the >> 16 fold keeps
+      // 0xffff; avoid the ambiguity by comparing mod 0xffff per half
+      def half(v: Int, hi: Boolean): Long =
+        (((v >>> (if (hi) 16 else 0)) & 0xffff).toLong) % 0xffff
+      assert(half(got, false) == half(want, false), s"n=$n sum1")
+      assert(half(got, true) == half(want, true), s"n=$n sum2")
+    }
+  }
+
   // ---------------------------------------------------------------
   // v4 data layouts (libver='latest' chunked writes): single-chunk,
   // implicit, and fixed-array indexes, hand-built from the spec
@@ -1049,7 +1164,7 @@ class Hdf5Spec extends AnyFunSuite {
     val (s, ps) = read("single")
     assert(s.dims.toSeq == Seq(4L))
     s.layout match {
-      case Hdf5.H5Chunked(cd, false, false, chunks) =>
+      case Hdf5.H5Chunked(cd, false, false, chunks, _) =>
         assert(cd.toSeq == Seq(4L) && chunks.length == 1)
       case other => fail(s"single: $other")
     }
@@ -1057,7 +1172,7 @@ class Hdf5Spec extends AnyFunSuite {
     val (im, pi) = read("implicit")
     assert(im.dims.toSeq == Seq(5L))
     im.layout match {
-      case Hdf5.H5Chunked(cd, _, _, chunks) =>
+      case Hdf5.H5Chunked(cd, _, _, chunks, _) =>
         assert(cd.toSeq == Seq(2L) && chunks.length == 3)
         assert(chunks.map(_.offset(0)).toSeq == Seq(0L, 2L, 4L))
       case other => fail(s"implicit: $other")
@@ -1066,7 +1181,7 @@ class Hdf5Spec extends AnyFunSuite {
       Seq(10.0, 11, 12, 13, 14))
     val (fx, pf) = read("fixed")
     fx.layout match {
-      case Hdf5.H5Chunked(cd, _, _, chunks) =>
+      case Hdf5.H5Chunked(cd, _, _, chunks, _) =>
         assert(cd.toSeq == Seq(3L))
         assert(chunks.map(_.offset(0)).toSeq == Seq(0L, 6L))
       case other => fail(s"fixed: $other")
@@ -1075,7 +1190,7 @@ class Hdf5Spec extends AnyFunSuite {
       Seq(10.0, 11, 12, 0, 0, 0, 16))
     val (fg, pg) = read("fixed_gzip")
     fg.layout match {
-      case Hdf5.H5Chunked(cd, gz, _, chunks) =>
+      case Hdf5.H5Chunked(cd, gz, _, chunks, _) =>
         assert(cd.toSeq == Seq(3L) && gz && chunks.length == 2)
       case other => fail(s"fixed_gzip: $other")
     }

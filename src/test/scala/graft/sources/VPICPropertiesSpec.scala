@@ -26,7 +26,8 @@ class VPICPropertiesSpec extends AnyFunSuite {
   private final case class Cfg(nt: Int, nz: Int, ny: Int, nx: Int,
       nvars: Int, layout: String, le: Boolean, chunkTime: Int,
       gzip: Boolean, shuffle: Boolean, f32: Boolean, chunkSteps: Int,
-      itLo: Int, itHi: Int, sparseMod: Int, intVar: Boolean)
+      itLo: Int, itHi: Int, sparseMod: Int, intVar: Boolean,
+      fletcher: Boolean)
 
   private val genCfg: Gen[Cfg] = for {
     nt <- Gen.choose(1, 7)
@@ -48,8 +49,9 @@ class VPICPropertiesSpec extends AnyFunSuite {
     // layouts — both the partially-written-dump and aux-dataset shapes
     sparseMod <- Gen.frequency((3, Gen.const(0)), (1, Gen.oneOf(1, 2)))
     intVar <- Gen.frequency((2, Gen.const(false)), (1, Gen.const(true)))
+    fletcher <- Gen.frequency((3, Gen.const(false)), (1, Gen.const(true)))
   } yield Cfg(nt, nz, ny, nx, nvars, layout, le, chunkTime, gzip,
-    shuffle, f32, chunkSteps, itLo, itHi, sparseMod, intVar)
+    shuffle, f32, chunkSteps, itLo, itHi, sparseMod, intVar, fletcher)
 
   /** The generator formula — exactly representable in binary32 for
     * every grid in range, so the f32 legs compare EXACTLY too.
@@ -78,6 +80,8 @@ class VPICPropertiesSpec extends AnyFunSuite {
       def tweak(w: Hdf5.H5Write): Hdf5.H5Write = {
         var t = w
         if (c.intVar) t = t.copy(fixed = Some((4, true)), f32 = false)
+        if (c.fletcher && t.chunkDims.isDefined)
+          t = t.copy(fletcher = true)
         if (c.sparseMod > 0 && t.chunkDims.isDefined)
           t = t.copy(fillValue = fillVal, sparse = Some(off =>
             (off(0) / ctEff) % c.sparseMod == 0))
