@@ -88,6 +88,15 @@ object Hdf5 {
   sealed trait H5Layout
   /** One uncompressed block at `dataAddress`. */
   final case class H5Contiguous(dataAddress: Long) extends H5Layout
+  /** COMPACT layout (class 0): the raw bytes live INLINE in the data
+    * layout message — h5py stores tiny datasets (axis arrays,
+    * scalars) this way. The bytes are copied out at index time
+    * (compact data is <=64 KiB by spec, metadata-scale); driver-side
+    * reads serve from the copy, and the DSv2 scan rejects compact
+    * VARIABLES loudly (a bulk variable in a compact layout would be
+    * a malformed dump, not a scan target).
+    */
+  final case class H5Compact(data: Array[Byte]) extends H5Layout
   /** Chunked storage: `chunkDims` are the SPATIAL chunk dims (same
     * rank as the dataset; the on-disk key/layout carry a trailing
     * element-size dim which is validated and dropped here), `gzip`
@@ -132,8 +141,9 @@ object Hdf5 {
       */
     def dataAddress: Long = layout match {
       case H5Contiguous(a) => a
-      case _: H5Chunked => throw new IllegalStateException(
-        s"HDF5: $path is chunked; it has no single data address")
+      case other => throw new IllegalStateException(
+        s"HDF5: $path is ${other.getClass.getSimpleName}; it has " +
+          "no single data address")
     }
   }
 
@@ -158,7 +168,7 @@ object Hdf5 {
       shuffle: Boolean = false, fixed: Option[(Int, Boolean)] = None,
       fillValue: Double = 0.0,
       sparse: Option[Array[Long] => Boolean] = None,
-      fletcher: Boolean = false)
+      fletcher: Boolean = false, compact: Boolean = false)
 
   // ------------------------------------------------------------------
   // Writer
@@ -390,6 +400,17 @@ object Hdf5 {
           || d.chunkDims.isDefined,
         s"HDF5 write: ${d.path} gzip/shuffle/fletcher requires a " +
           "chunked layout (HDF5 filters apply to chunks)")
+      if (d.compact) {
+        require(d.chunkDims.isEmpty && !d.gzip && !d.shuffle
+            && !d.fletcher && d.sparse.isEmpty,
+          s"HDF5 write: ${d.path} compact layout excludes chunking " +
+            "and filters")
+        val bytes = d.data.length.toLong *
+          d.fixed.map(_._1).getOrElse(if (d.f32) 4 else 8)
+        require(bytes <= 65520,
+          s"HDF5 write: ${d.path} compact layout of $bytes bytes " +
+            "(spec bound is 64 KiB)")
+      }
       require(d.sparse.isEmpty || d.chunkDims.isDefined,
         s"HDF5 write: ${d.path} sparse (unallocated) chunks require a " +
           "chunked layout")
@@ -535,6 +556,15 @@ object Hdf5 {
       val es = elemSizeOf(spec)
       // raw data first (the layout message needs its address)
       val layout: Array[Byte] = spec.chunkDims match {
+        case None if spec.compact =>
+          // COMPACT: the data rides inside the message itself
+          val raw = serialize(spec, spec.data)
+          val b = ByteBuffer.allocate(pad8len(4 + raw.length))
+            .order(ByteOrder.LITTLE_ENDIAN)
+          b.put(3.toByte).put(0.toByte) // version 3, class 0 compact
+          b.putShort(raw.length.toShort)
+          b.put(raw)
+          b.array()
         case None =>
           buf.pad8()
           val dataAddr = buf.pos
@@ -1557,6 +1587,7 @@ object Hdf5 {
     var fillRaw: Array[Byte] = null
     var layoutClass = -1
     var layoutVer = -1
+    var compactData: Array[Byte] = null
     var contAddr = Undef
     var contSize = -1L
     var chunkBt = Undef
@@ -1648,6 +1679,12 @@ object Hdf5 {
         layoutVer = ver
         layoutClass = b.get() & 0xff
         (layoutClass, ver.toInt) match {
+          case (0, _) => // COMPACT: u16 size + inline bytes (v3=v4)
+            val sz = b.getShort() & 0xffff
+            require(sz <= b.remaining(),
+              s"HDF5: compact layout on $path declares $sz bytes " +
+                s"but the message holds ${b.remaining()}")
+            compactData = new Array[Byte](sz); b.get(compactData)
           case (1, _) => // contiguous (same body in v3 and v4)
             contAddr = b.getLong()
             contSize = b.getLong()
@@ -1735,7 +1772,7 @@ object Hdf5 {
     }
     require(dims != null, s"HDF5: dataset $path has no dataspace")
     require(elemSize > 0, s"HDF5: dataset $path has no datatype")
-    require(layoutClass > 0, s"HDF5: dataset $path has no data layout")
+    require(layoutClass >= 0, s"HDF5: dataset $path has no data layout")
     // decode the fill value in the DATASET's datatype and byte order
     // (the message can precede the datatype message, so decode here);
     // absent or zero-size (an "undefined" fill) → the 0.0 default
@@ -1751,6 +1788,15 @@ object Hdf5 {
       }
     val rank = dims.length
     layoutClass match {
+      case 0 =>
+        require(!gzip && !shuffle && !fletcher,
+          s"HDF5: $path declares a filter pipeline on a compact " +
+            "layout (filters apply to chunks only)")
+        require(compactData.length == dims.product * elemSize,
+          s"HDF5: $path compact layout holds ${compactData.length} " +
+            s"bytes != ${dims.mkString("x")} x $elemSize-byte elements")
+        H5Dataset(path, dims, le, elemSize, H5Compact(compactData),
+          fill, fixedPoint, signed)
       case 1 =>
         require(!gzip && !shuffle && !fletcher,
           s"HDF5: $path declares a filter pipeline on a contiguous " +
@@ -1950,8 +1996,15 @@ object Hdf5 {
                 else ByteOrder.BIG_ENDIAN
     def decode(bb: ByteBuffer, i: Int): Double =
       decodeElem(bb, i, ds.elemSize, ds.fixedPoint, ds.signed)
+    ds.layout match {
+      case H5Compact(data) =>
+        val bb = ByteBuffer.wrap(data).order(order)
+        return Array.tabulate(n)(i => decode(bb, (offset + i).toInt))
+      case _ => ()
+    }
     val raf = new RandomAccessFile(path, "r")
     try ds.layout match {
+      case H5Compact(_) => throw new IllegalStateException("unreachable")
       case H5Contiguous(dataAddress) =>
         val b = new Array[Byte](n * ds.elemSize)
         raf.seek(dataAddress + offset * ds.elemSize)

@@ -466,6 +466,10 @@ private[sources] class VPICScan(root: String, vars: Seq[String], chunkSteps: Int
         val (nt, nz, ny, nx) = (ntL.toInt, nzL.toInt, nyL.toInt, nxL.toInt)
         val lo = math.max(0, itLo); val hi = math.min(nt - 1, itHi)
         d.layout match {
+          case Hdf5.H5Compact(_) => throw new IllegalArgumentException(
+            s"VPIC HDF5: variable $label has a COMPACT layout — " +
+              "compact datasets are driver-side only (axes), not " +
+              "scan targets")
           case Hdf5.H5Contiguous(_) =>
             // each reader seeks into ITS time-chunk of the block
             (lo to hi by chunkSteps).map { t0 =>

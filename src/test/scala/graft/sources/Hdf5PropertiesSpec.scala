@@ -33,7 +33,7 @@ class Hdf5PropertiesSpec extends AnyFunSuite {
   private final case class DsShape(dims: Array[Long],
       chunkDims: Option[Array[Long]], gzip: Boolean, f32: Boolean,
       shuffle: Boolean, fixed: Option[(Int, Boolean)], fill: Double,
-      sparseMod: Int, fletcher: Boolean)
+      sparseMod: Int, fletcher: Boolean, compact: Boolean)
 
   private val genDataset: Gen[DsShape] = for {
     rank <- Gen.choose(1, 4)
@@ -67,8 +67,12 @@ class Hdf5PropertiesSpec extends AnyFunSuite {
     fletcher <-
       if (chunked) Gen.frequency((2, Gen.const(false)), (1, Gen.const(true)))
       else Gen.const(false)
+    // tiny non-chunked datasets sometimes go COMPACT (inline bytes)
+    compact <-
+      if (chunked) Gen.const(false)
+      else Gen.frequency((2, Gen.const(false)), (1, Gen.const(true)))
   } yield DsShape(dims, chunkDims, gzip, dtype._1, shuffle, dtype._2,
-    fill, sparseMod, fletcher)
+    fill, sparseMod, fletcher, compact)
 
   private val genTree: Gen[(Seq[(String, DsShape)], Boolean)] = for {
     // widths past one SNOD (8) and occasionally past one B-tree leaf's
@@ -127,7 +131,7 @@ class Hdf5PropertiesSpec extends AnyFunSuite {
             offsetLinear(off, s.dims, s.chunkDims.get) % s.sparseMod == 0)
         Hdf5.H5Write(path, s.dims, data, s.chunkDims, s.gzip, s.f32,
           shuffle = s.shuffle, fixed = s.fixed, fillValue = s.fill,
-          sparse = sparse, fletcher = s.fletcher)
+          sparse = sparse, fletcher = s.fletcher, compact = s.compact)
       }
       val p = tmp()
       Hdf5.writeSpecs(p, writes, le)
@@ -145,7 +149,11 @@ class Hdf5PropertiesSpec extends AnyFunSuite {
           assert(d.signed == signed, s"tree $ti ${w.path} signedness") }
         assert(d.fill == narrowed(s, s.fill), s"tree $ti ${w.path} fill")
         (d.layout, w.chunkDims) match {
-          case (Hdf5.H5Contiguous(_), None) => ()
+          case (Hdf5.H5Compact(bytes), None) =>
+            assert(s.compact, s"tree $ti ${w.path}: unexpected compact")
+            assert(bytes.length == w.data.length * wantElem)
+          case (Hdf5.H5Contiguous(_), None) =>
+            assert(!s.compact, s"tree $ti ${w.path}: compact lost")
           case (Hdf5.H5Chunked(cd, gz, sh, chunks, fl), Some(wcd)) =>
             assert(cd.toSeq == wcd.toSeq && gz == w.gzip
               && sh == w.shuffle && fl == s.fletcher)

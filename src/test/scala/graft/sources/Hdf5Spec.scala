@@ -153,8 +153,9 @@ class Hdf5Spec extends AnyFunSuite {
     assert(layAt > 0, "layout message not found in fixture")
     // class 2 without a real chunked body: loudly truncated
     reject(b => { b(layAt) = 2; b }, "layout class garbage-chunked")
-    // class 0 (compact) is outside the subset
-    reject(b => { b(layAt) = 0; b }, "layout class compact")
+    // class 0 (compact) reinterprets the contiguous body: the bogus
+    // inline size overruns the message and rejects loudly
+    reject(b => { b(layAt) = 0; b }, "layout class garbage-compact")
   }
 
   // ---------------------------------------------------------------
@@ -861,6 +862,41 @@ class Hdf5Spec extends AnyFunSuite {
     }, "dense")
     // superblock version out of subset
     reject(b => b(8) = 4, "superblock version 4")
+  }
+
+  test("COMPACT layouts (inline bytes — h5py's tiny-dataset shape): " +
+    "round-trip both endians and datatypes, slices, the 64 KiB spec " +
+    "bound rejects at write, and a compact VARIABLE rejects in the " +
+    "DSv2 scan (driver-side only)") {
+    Seq(false, true).foreach { le =>
+      val p = tmp()
+      val axis = Array.tabulate(9)(_ * 0.5)
+      Hdf5.writeSpecs(p, Seq(
+        Hdf5.H5Write("grid/time", Array(9L), axis, compact = true),
+        Hdf5.H5Write("cnt", Array(4L), Array(3.0, -7, 11, 0),
+          fixed = Some((4, true)), compact = true),
+        Hdf5.H5Write("w", Array(6L), Array(1.5, 2.5, 3.5, 4.5, 5.5, 6.5),
+          f32 = true, compact = true)), le)
+      val idx = Hdf5.index(p)
+      assert(idx.map(_.path) == Seq("cnt", "grid/time", "w"))
+      idx.foreach(d => assert(d.layout.isInstanceOf[Hdf5.H5Compact],
+        d.path))
+      val t = idx.find(_.path == "grid/time").get
+      assert(Hdf5.readDoubles(p, t, 0, 9).toSeq == axis.toSeq,
+        s"littleEndian=$le")
+      assert(Hdf5.readDoubles(p, t, 2, 5).toSeq ==
+        axis.toSeq.slice(2, 7))
+      assert(Hdf5.readDoubles(p, idx.find(_.path == "cnt").get, 0, 4)
+        .toSeq == Seq(3.0, -7, 11, 0))
+      assert(Hdf5.readDoubles(p, idx.find(_.path == "w").get, 0, 6)
+        .toSeq == Seq(1.5, 2.5, 3.5, 4.5, 5.5, 6.5))
+    }
+    // the spec's 64 KiB compact bound is a loud write-time reject
+    intercept[IllegalArgumentException](Hdf5.writeSpecs(tmp(), Seq(
+      Hdf5.H5Write("big", Array(9000L), new Array[Double](9000),
+        compact = true))))
+    // (the compact-VARIABLE scan reject lives in VPICSourceSpec —
+    // it needs the shared Spark session)
   }
 
   test("FLETCHER32 filter (h5py fletcher32=True): round-trips alone " +

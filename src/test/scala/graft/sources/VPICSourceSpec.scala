@@ -381,6 +381,45 @@ class VPICSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("COMPACT axis datasets load driver-side; a COMPACT rank-4 " +
+    "variable is rejected by the scan with the layout named") {
+    val d = java.nio.file.Files.createTempDirectory("vpic_cmp").toString
+    Hdf5.writeSpecs(
+      java.nio.file.Paths.get(d, VPICSource.Hdf5File).toString, Seq(
+        Hdf5.H5Write("grid/time", Array(2L), Array(0.0, 1.0),
+          compact = true),
+        Hdf5.H5Write("grid/z", Array(2L), Array(0.0, 0.5),
+          compact = true),
+        Hdf5.H5Write("grid/y", Array(1L), Array(0.0), compact = true),
+        Hdf5.H5Write("grid/x", Array(2L), Array(0.0, 0.25),
+          compact = true),
+        Hdf5.H5Write("f/v", Array(2L, 2L, 1L, 2L),
+          Array.tabulate(8)(_ * 1.0))))
+    // compact axes: loadDataset reads them driver-side like any other
+    val ds = VPICSource.loadDataset(spark, d)
+    assert(ds.variables("v").timeAxis.toSeq == Seq(0.0, 1.0))
+    val r = ds.variables("v").df
+      .filter(col("it") === 1 && col("iz") === 1 && col("ix") === 0)
+      .head()
+    assert(r.getAs[Double]("value") === 6.0)
+    assert(r.getAs[Double]("z") === 0.5)
+    // a compact VARIABLE: planning rejects loudly, never a mis-scan
+    val d2 = java.nio.file.Files.createTempDirectory("vpic_cmp2").toString
+    Hdf5.writeSpecs(
+      java.nio.file.Paths.get(d2, VPICSource.Hdf5File).toString, Seq(
+        Hdf5.H5Write("grid/time", Array(2L), Array(0.0, 1.0)),
+        Hdf5.H5Write("grid/z", Array(2L), Array(0.0, 1.0)),
+        Hdf5.H5Write("grid/y", Array(1L), Array(0.0)),
+        Hdf5.H5Write("grid/x", Array(2L), Array(0.0, 1.0)),
+        Hdf5.H5Write("f/v", Array(2L, 2L, 1L, 2L),
+          Array.tabulate(8)(_ * 1.0), compact = true)))
+    val e = intercept[Exception](spark.read.format("graft-vpic")
+      .option("path", d2).load().count())
+    assert(e.getMessage.contains("COMPACT")
+      || (e.getCause != null
+        && e.getCause.getMessage.contains("COMPACT")), e.toString)
+  }
+
   test("truncated interleaved.bin fails with the named EOF diagnostic") {
     val d = java.nio.file.Files.createTempDirectory("vpic_it").toString
     VPICSource.writeMockInterleaved(d, Array(0.0, 1.0), Array(0.0, 1.0),
