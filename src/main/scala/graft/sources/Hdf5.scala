@@ -207,6 +207,12 @@ object Hdf5 {
     def result: Array[Byte] = java.util.Arrays.copyOf(arr, len)
   }
 
+  /** Serialized element width of a write spec: the fixed-point byte
+    * size, else 4 (binary32) or 8 (binary64).
+    */
+  private def elemSizeOf(spec: H5Write): Int =
+    spec.fixed.map(_._1).getOrElse(if (spec.f32) 4 else 8)
+
   private sealed trait Node
   private final case class DsNode(spec: H5Write) extends Node
   private final case class GrpNode(
@@ -405,8 +411,7 @@ object Hdf5 {
             && !d.fletcher && d.sparse.isEmpty,
           s"HDF5 write: ${d.path} compact layout excludes chunking " +
             "and filters")
-        val bytes = d.data.length.toLong *
-          d.fixed.map(_._1).getOrElse(if (d.f32) 4 else 8)
+        val bytes = d.data.length.toLong * elemSizeOf(d)
         require(bytes <= 65520,
           s"HDF5 write: ${d.path} compact layout of $bytes bytes " +
             "(spec bound is 64 KiB)")
@@ -473,9 +478,6 @@ object Hdf5 {
     require(rootLinkAt == 56, "HDF5 write: superblock layout drifted")
 
     def pad8len(n: Int): Int = (n + 7) & ~7
-
-    def elemSizeOf(spec: H5Write): Int =
-      spec.fixed.map(_._1).getOrElse(if (spec.f32) 4 else 8)
 
     def serialize(spec: H5Write, vals: Array[Double]): Array[Byte] = {
       val es = elemSizeOf(spec)
@@ -1727,8 +1729,8 @@ object Hdf5 {
             }
             v4Addr = b.getLong()
           case (cls, _) => throw new IllegalArgumentException(
-            s"HDF5: layout class $cls on $path (only contiguous (1) " +
-              "and chunked (2) are decodable here)")
+            s"HDF5: layout class $cls on $path (only compact (0), " +
+              "contiguous (1) and chunked (2) are decodable here)")
         }
       case (0x000B, b) => // filter pipeline
         val ver = b.get()
@@ -1787,12 +1789,22 @@ object Hdf5 {
         decodeElem(fb, 0, elemSize, fixedPoint, signed)
       }
     val rank = dims.length
+    // overflow-checked total byte count: crafted lying dims must
+    // reject loudly, never wrap to a product that happens to match
+    def totalBytes: Long =
+      try dims.foldLeft(elemSize.toLong)(Math.multiplyExact)
+      catch {
+        case _: ArithmeticException =>
+          throw new IllegalArgumentException(
+            s"HDF5: $path dims ${dims.mkString("x")} overflow — " +
+              "outside the subset")
+      }
     layoutClass match {
       case 0 =>
         require(!gzip && !shuffle && !fletcher,
           s"HDF5: $path declares a filter pipeline on a compact " +
             "layout (filters apply to chunks only)")
-        require(compactData.length == dims.product * elemSize,
+        require(compactData.length == totalBytes,
           s"HDF5: $path compact layout holds ${compactData.length} " +
             s"bytes != ${dims.mkString("x")} x $elemSize-byte elements")
         H5Dataset(path, dims, le, elemSize, H5Compact(compactData),
@@ -1802,7 +1814,7 @@ object Hdf5 {
           s"HDF5: $path declares a filter pipeline on a contiguous " +
             "layout (filters apply to chunks only)")
         require(contAddr != Undef, s"HDF5: $path has no data address")
-        require(contSize == dims.product * elemSize,
+        require(contSize == totalBytes,
           s"HDF5: $path layout size $contSize != " +
             s"${dims.mkString("x")} x $elemSize-byte elements")
         H5Dataset(path, dims, le, elemSize, H5Contiguous(contAddr),
@@ -1889,7 +1901,7 @@ object Hdf5 {
               Seq((new Array[Long](rank), v4Addr, stored,
                 if (filtered) v4SingleMask else 0))
             case 2 => // IMPLICIT: early-allocated, unfiltered, dense
-              require(!gzip && !shuffle,
+              require(!gzip && !shuffle && !fletcher,
                 s"HDF5: $path implicit chunk index with a filter " +
                   "pipeline (implicit layout is unfiltered by " +
                   "construction)")
@@ -1996,22 +2008,22 @@ object Hdf5 {
                 else ByteOrder.BIG_ENDIAN
     def decode(bb: ByteBuffer, i: Int): Double =
       decodeElem(bb, i, ds.elemSize, ds.fixedPoint, ds.signed)
-    ds.layout match {
-      case H5Compact(data) =>
-        val bb = ByteBuffer.wrap(data).order(order)
-        return Array.tabulate(n)(i => decode(bb, (offset + i).toInt))
-      case _ => ()
+    def withRaf[A](f: RandomAccessFile => A): A = {
+      val raf = new RandomAccessFile(path, "r")
+      try f(raf) finally raf.close()
     }
-    val raf = new RandomAccessFile(path, "r")
-    try ds.layout match {
-      case H5Compact(_) => throw new IllegalStateException("unreachable")
-      case H5Contiguous(dataAddress) =>
+    ds.layout match {
+      case H5Compact(data) => // inline bytes: no file IO at all
+        val bb = ByteBuffer.wrap(data).order(order)
+        Array.tabulate(n)(i => decode(bb, (offset + i).toInt))
+      case H5Contiguous(dataAddress) => withRaf { raf =>
         val b = new Array[Byte](n * ds.elemSize)
         raf.seek(dataAddress + offset * ds.elemSize)
         raf.readFully(b)
         val bb = ByteBuffer.wrap(b).order(order)
         Array.tabulate(n)(i => decode(bb, i))
-      case H5Chunked(cd, gzip, shuffle, chunks, fletcher) =>
+      }
+      case H5Chunked(cd, gzip, shuffle, chunks, fletcher) => withRaf { raf =>
         val rank = ds.dims.length
         val strides = new Array[Long](rank)
         strides(rank - 1) = 1
@@ -2062,6 +2074,7 @@ object Hdf5 {
           }
         }
         out
-    } finally raf.close()
+      }
+    }
   }
 }
