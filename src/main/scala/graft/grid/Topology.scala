@@ -358,6 +358,29 @@ object Topology {
     // which static planning cannot see through a checkpointed lineage.
     val e0 = graft.CacheScope.retain(
       edges.select((k :+ col("s") :+ col("t")): _*))
+    // SIZE-GATED DRIVER SOLVE (r18): the contracted graph is usually
+    // tiny relative to the data that produced it (tile-boundary roots,
+    // star-contracted LSH buckets, >=T cosine pairs), yet the iterative
+    // loop below pays one scheduled job PER ROUND — 2-8 rounds of
+    // ~60-100 ms quanta per solve on the bench, and O(log diameter)
+    // sequential barriers at any scale. Below the gate the edge list is
+    // collected and solved with an in-memory min-root union-find: two
+    // jobs total (the count that decides, reading the persist this
+    // loop forced anyway, and the collect), and the result returns as
+    // a LOCAL relation — downstream joins broadcast it without a
+    // shuffle. The gate is bytes-bounded (edges x ~40 B; the 2M default
+    // is ~100 MB transient driver heap) and configurable
+    // (spark.graft.cc.maxDriverEdges); above it, or for non-integral
+    // node ids, the distributed loop below runs unchanged — at 100 TB a
+    // contracted graph CAN exceed driver memory, and the fallback is
+    // the design, not a safety valve.
+    val nodeType = e0.schema("s").dataType
+    val gate = spark.conf.getOption("spark.graft.cc.maxDriverEdges")
+      .map(_.toLong).getOrElse(2000000L)
+    val integralNodes = nodeType == org.apache.spark.sql.types.LongType ||
+      nodeType == org.apache.spark.sql.types.IntegerType
+    if (integralNodes && e0.count() <= gate)
+      return driverCC(e0, keys, nodeType)
     val e = e0
       .unionAll(e0.select((k :+ col("t").as("s") :+ col("s").as("t")): _*))
     // node set: s-side of the symmetrized list covers every endpoint
@@ -406,6 +429,68 @@ object Topology {
       iter += 1
     }
     lab
+  }
+
+  /** In-memory min-root union-find over a collected edge list — the
+    * sub-gate leg of [[graphCC]] (see the gate note there). Semantics
+    * are identical to the iterative loop: per key group, every endpoint
+    * node maps to the MINIMUM node id reachable from it. Union always
+    * keeps the smaller root as parent, so each set's final root IS its
+    * minimum; path compression keeps the scan linear. Returns a LOCAL
+    * relation with the same (keys..., node, comp) schema and node/comp
+    * type as the distributed path.
+    */
+  private def driverCC(e0: DataFrame, keys: Seq[String],
+      nodeType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType, LongType}
+    val spark = e0.sparkSession
+    val nk = keys.length
+    val rows = e0.collect()
+    def nodeAt(r: Row, i: Int): Long = nodeType match {
+      case LongType => r.getLong(i)
+      case _ => r.getInt(i).toLong
+    }
+    // parent pointers per (key-tuple, node); key tuples compare by value
+    val parent = new java.util.HashMap[(Seq[Any], Long), Long](
+      rows.length * 2 + 16)
+    def find(kt: Seq[Any], n: Long): Long = {
+      var root = n
+      while ({ val p = parent.get((kt, root)); p != root && { root = p; true } }) ()
+      var cur = n // path compression
+      while (cur != root) {
+        val key = (kt, cur); val nxt = parent.get(key)
+        parent.put(key, root); cur = nxt
+      }
+      root
+    }
+    rows.foreach { r =>
+      val kt = r.toSeq.take(nk)
+      val s = nodeAt(r, nk); val t = nodeAt(r, nk + 1)
+      parent.putIfAbsent((kt, s), s)
+      parent.putIfAbsent((kt, t), t)
+      val rs = find(kt, s); val rt = find(kt, t)
+      if (rs != rt) { // min root wins: the set minimum stays the root
+        if (rs < rt) parent.put((kt, rt), rs)
+        else parent.put((kt, rs), rt)
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val out = parent.keySet.asScala.toSeq.map { case (kt, n) =>
+      val comp = find(kt, n)
+      val back: Any = nodeType match {
+        case LongType => n
+        case _ => n.toInt
+      }
+      val compBack: Any = nodeType match {
+        case LongType => comp
+        case _ => comp.toInt
+      }
+      Row.fromSeq(kt ++ Seq(back, compBack))
+    }
+    val schema = StructType(e0.schema.fields.take(nk).toSeq ++ Seq(
+      StructField("node", nodeType), StructField("comp", nodeType)))
+    spark.createDataFrame(out.asJava, schema)
   }
 
   /** Two-level connected components — the 100 TB design:
