@@ -13,12 +13,16 @@ object Explain {
       else Seq("q50_dedup_clusters", "q99_dedup_keep_best",
         "q104_cluster_policy_compare", "q105_setsim_full",
         "q106_sparse_cosine_full", "g16_grid3d_smooth")
+    // env-overridable so plans can be captured at bench conditions
+    // (sf0.1, local[32]) as well as the quick sf0.001 default
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.configure(
-      SparkSession.builder().master("local[4]"), "4").getOrCreate()
+      SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"===== $n =====")
-      QueryRegistry.queries(n)(spark, "/root/testdata/sf0.001")
+      QueryRegistry.queries(n)(spark, sfDir)
         .explain("formatted")
       CacheScope.flush(spark)
     }

@@ -1143,10 +1143,20 @@ object DedupQueries {
     */
   def containmentPairsOf(sh: DataFrame, t: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("doc_id").as("doc_a"), col("token"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("token")), "token")
-      .filter(col("doc_a") =!= col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
+    // |S_a ∩ S_b| is SYMMETRIC even though containment is not: count
+    // each unordered pair once through the posting join (doc_a < doc_b
+    // halves the Σ df² join output and the pair aggregate's shuffle)
+    // and mirror the counted half afterwards — the mirror is a
+    // projection over the (tiny, pair-bounded) aggregate, not a second
+    // pass over the posting lists. Retained: the half feeds both union
+    // arms.
+    val half = graft.CacheScope.retain(
+      sh.select(col("doc_id").as("doc_a"), col("token"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("token")), "token")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni")))
+    val inter = half.unionAll(half.select(col("doc_b").as("doc_a"),
+      col("doc_a").as("doc_b"), col("ni")))
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n")), "doc_a")
       .filter(col("ni") * lit(1.0) / col("n") >= t)

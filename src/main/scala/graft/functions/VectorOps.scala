@@ -79,10 +79,85 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance of two ARRAY<FLOAT> columns, accumulated in
+  * double with each element cast to double BEFORE subtracting — the
+  * exact per-term arithmetic of the posexplode+join centroid-distance
+  * shape it replaces (clusterBoundedCosineOf), so ranks computed from
+  * either are bit-identical. Null/length semantics as [[DotProduct]].
+  * A codegen'd kernel, not an aggregate(zip_with(...)) fold: higher-
+  * order functions are CodegenFallback and evaluate interpreted per
+  * element (measured ~1.6x slower end-to-end on the q116 audit).
+  */
+case class SquaredL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"squared_l2 expects array<float>, got ${left.dataType}, ${right.dataType}")
+  }
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"squared_l2: length mismatch ($n vs ${b.numElements()})")
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "squared_l2: length mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SquaredL2 =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorOps {
   /** Column API: dot product of two float-array columns. */
   def dot(a: Column, b: Column): Column =
     Bridge.toColumn(DotProduct(Bridge.toExpression(a), Bridge.toExpression(b)))
+
+  /** Column API: squared L2 distance of two float-array columns. */
+  def sqDist(a: Column, b: Column): Column =
+    Bridge.toColumn(SquaredL2(Bridge.toExpression(a), Bridge.toExpression(b)))
 
   /** Cosine similarity in double precision. */
   def cosine(a: Column, b: Column): Column = {
@@ -90,10 +165,13 @@ object VectorOps {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
-  /** SQL registration: SELECT dot_product(a, b). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** SQL registration: SELECT dot_product(a, b) / squared_l2(a, b). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "squared_l2", exprs => SquaredL2(exprs(0), exprs(1)), "scala_udf")
+  }
 }
 
 /** SparkSessionExtensions entry point — the injection path for sessions
@@ -109,5 +187,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("squared_l2"),
+      new ExpressionInfo(classOf[SquaredL2].getName, "squared_l2"),
+      (exprs: Seq[Expression]) => SquaredL2(exprs(0), exprs(1))))
   }
 }

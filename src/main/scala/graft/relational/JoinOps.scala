@@ -73,7 +73,18 @@ object JoinOps {
       (rand(42) * salt).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(array((0 until salt).map(lit): _*)))
-    scattered.join(replicated, Seq(key, "__salt")).drop("__salt")
+    // SHUFFLE_HASH (r18): left to the planner, the salt-replicated side
+    // is small enough on a bench-scale input that AQE picks a broadcast
+    // join — which builds the salt-times-inflated relation single-
+    // threaded in the exchange (measured ~1.3 s of driver wall on q49
+    // outside any job) and is the anti-pattern salting exists to avoid
+    // (if small x salt fits a broadcast, an unsalted broadcast join
+    // needed no salt at all). The hint pins the join to the shape the
+    // operator is FOR: both sides hash-exchanged on (key, salt), hot
+    // keys spread across salt buckets, replicated side built per
+    // partition in parallel. Result rows are identical either way.
+    scattered.join(replicated.hint("shuffle_hash"), Seq(key, "__salt"))
+      .drop("__salt")
   }
 
   /** Skew-aware refinement of [[saltedJoin]]: only keys whose big-side

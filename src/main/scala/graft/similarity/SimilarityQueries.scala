@@ -1914,18 +1914,29 @@ object SimilarityQueries {
 
   private[graft] def clusterBoundedCosineOf(emb: DataFrame,
       nProbe: Int = SemNProbe): (DataFrame, DataFrame) = {
-    val f = graft.CacheScope.retain(
-      emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
-        .withColumn("v", col("v").cast("double")))
-    val cent = f.filter(col("vec_id") % SemSeedStride === 0)
-      .select(col("vec_id").as("clabel"), col("i").as("ci"),
-        col("v").as("c"))
+    // Centroid distances WITHOUT the flat explode (r18): the old path
+    // posexploded every vector and pushed n_vec x n_cent x dim rows
+    // through a broadcast join and a hash aggregate (16M rows at
+    // sf0.1) just to compute n_vec x n_cent scalars. The array form
+    // crossJoins each vector row with the (broadcast, metadata-scale)
+    // centroid table and evaluates the squared-L2 fold per PAIR row in
+    // codegen — same flop count, no row explosion, no aggregate hash
+    // table. Bit-parity with the old sum: SquaredL2 accumulates in
+    // ascending index order, which is exactly the order the hash
+    // aggregate accumulated (posexplode emits i ascending within a
+    // vector's partition), and each element term casts to double
+    // BEFORE subtracting, as the flat path did. The kernel is the
+    // codegen'd SquaredL2 expression, not an aggregate(zip_with(...))
+    // fold — HOFs are CodegenFallback and evaluate interpreted.
+    val cent = emb.filter(col("vec_id") % SemSeedStride === 0)
+      .select(col("vec_id").as("clabel"), col("embedding").as("ce"))
+    val d2 = graft.functions.VectorOps.sqDist(col("embedding"), col("ce"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("d2"), col("clabel"))
     val ranked = graft.CacheScope.retain(
-      f.join(broadcast(cent), col("i") === col("ci"))
-        .groupBy("vec_id", "clabel")
-        .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("d2"))
+      emb.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("clabel"), d2.as("d2"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= nProbe)
         .select(col("vec_id"), col("clabel").as("cl"), col("rn")))
