@@ -1280,19 +1280,23 @@ object DedupQueries {
     * interleaving tokens across copies (a doc_id-keyed window would
     * tie on pos and corrupt every gram near the tie).
     */
-  private[graft] def windowHashesOf(docs: DataFrame, w: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byRow = Window.partitionBy("rid").orderBy("pos")
+  private[graft] def windowHashesOf(docs: DataFrame, w: Int): DataFrame =
+    // Windows built by array slicing (the shingleSets shape), not by
+    // posexplode + lead(): the lead form needed a per-row id, one hash
+    // EXCHANGE and a sort per call just to look w-1 tokens ahead inside
+    // an array the row already holds. This form is a pure map — zero
+    // exchanges — and (doc_id, pos, h) is value-identical: posexplode
+    // yields pos = window start (0-based), slice(toks, pos+1, w) is
+    // tokens pos..pos+w-1, docs shorter than w yield no rows. It also
+    // restores filter pushdown for callers that bound doc_id (the old
+    // monotonically_increasing_id projection blocked it, see q155).
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .withColumn("rid", monotonically_increasing_id())
-      .select(col("doc_id"), col("rid"),
-        posexplode(col("toks")).as(Seq("pos", "t0")))
-      .select(Seq(col("doc_id"), col("rid"), col("pos"), col("t0")) ++
-        (1 until w).map(i => lead("t0", i).over(byRow).as(s"t$i")): _*)
-      .filter(col(s"t${w - 1}").isNotNull)
-      .select(col("doc_id"), col("pos"),
-        h60(concat_ws(" ", (0 until w).map(i => col(s"t$i")): _*)).as("h"))
-  }
+      .select(col("doc_id"), posexplode(expr(
+        s"""CASE WHEN size(toks) >= $w
+           THEN transform(sequence(0, size(toks) - $w),
+                          i -> concat_ws(' ', slice(toks, i + 1, $w)))
+           ELSE array() END""")).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"), h60(col("gram")).as("h"))
 
   /** Merge removable window starts into maximal spans and reassemble
     * each doc's cleaned text (the islands + fold half of q152/q154).
@@ -2670,10 +2674,20 @@ object DedupQueries {
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
         col("l.n").as("na"), col("r.n").as("nb"))
       .distinct()
-    val ta = tok.select(col("doc_id").as("doc_a"), col("token"))
-    val tb = tok.select(col("doc_id").as("doc_b"), col("token"))
-    cand.join(ta, "doc_a").join(tb, Seq("doc_b", "token"))
-      .groupBy("doc_a", "doc_b", "na", "nb").agg(count(lit(1)).as("ni"))
+    // Verification on per-doc SORTED ARRAYS (r18): the token-level
+    // verify (cand ⋈ tok ⋈ tok + pair aggregate) shuffled Σ_pairs |set|
+    // rows; one groupBy builds each doc's sorted set once and the
+    // intersection is a codegen'd merge scan per candidate PAIR row
+    // ([[graft.functions.SortedIntersectCount]]). tok is distinct per
+    // doc by contract, so the merge count IS |S_a ∩ S_b| — exact, same
+    // jaccard arithmetic as before.
+    val sets = graft.CacheScope.retain(
+      tok.groupBy("doc_id").agg(sort_array(collect_list(col("token"))).as("set")))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("set").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("set").as("sb")), "doc_b")
+      .withColumn("ni",
+        graft.functions.SetOps.sortedIntersectCount(col("sa"), col("sb")))
       .withColumn("jaccard",
         col("ni").cast("double") / (col("na") + col("nb") - col("ni")))
       .filter(col("jaccard") >= t)
