@@ -126,17 +126,25 @@ object DedupQueries {
     * one hash per token, and the explode path pays TWO shuffles).
     */
   def signaturesPerRow(docs: DataFrame): DataFrame = {
-    val hashes = expr(
-      s"""transform(split(text, ' '),
-            t -> named_struct(
-              'x1', CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) % $P,
-              'x2', CAST(conv(substring(md5(t), 17, 15), 16, 10) AS BIGINT) % $P))""")
-    val sigs = (0 until NumHashes).map { i =>
-      expr(s"""array_min(transform(hs,
-             h -> (h.x1 * ${permA(i)} % $P + h.x2 * ${permB(i)} % $P
-                   + ${permC(i)}) % $P))""").as(s"h$i")
-    }
-    docs.withColumn("hs", hashes).select(col("doc_id") +: sigs: _*)
+    // ONE fused pass (r18): the previous shape built an
+    // array<struct<x1,x2>> with a transform() and then ran NumHashes
+    // separate array_min(transform(...)) projections — 17 interpreted
+    // HOF walks of every token array per row (HOFs are
+    // CodegenFallback). [[graft.functions.MinHashSigs]] computes all
+    // slots in one tight pass with identical arithmetic (bit-parity
+    // pinned by DedupSpec's per-row ≡ explode-path test). The array is
+    // materialized in its own projection and the h0..h15 columns read
+    // element_at from it; CollapseProject keeps non-cheap expressions
+    // referenced many times un-inlined, so the digest pass runs once
+    // per row (PlanSpec-visible: a single minhashsigs in the plan).
+    val sigArr = graft.functions.MinHashOps.minhashSigs(
+      split(col("text"), " "), P,
+      (0 until NumHashes).map(permA),
+      (0 until NumHashes).map(permB),
+      (0 until NumHashes).map(permC))
+    docs.withColumn("__sigs", sigArr)
+      .select(col("doc_id") +:
+        (0 until NumHashes).map(i => col("__sigs")(i).as(s"h$i")): _*)
   }
 
   /** Stream-safe (doc_id, band, bucket) table of a document set — the
@@ -151,13 +159,21 @@ object DedupQueries {
   def minhashCandidates(s: SparkSession, d: String): DataFrame =
     minhashCandidatesFrom(minhashSignatures(s, d))
 
-  /** (doc_id, band, bucket) LSH band entries of a signature table. */
-  private[dedup] def bandsOf(sig: DataFrame): DataFrame =
-    (0 until NumHashes / BandRows).map { b =>
+  /** (doc_id, band, bucket) LSH band entries of a signature table.
+    * ONE posexplode over the per-band bucket array, not a per-band
+    * unionAll (r18): the union shape re-evaluated the whole signature
+    * lineage once per band — 4x the md5/min work on every unpersisted
+    * per-row path (the streaming/arrival side). Rows are identical:
+    * pos IS the band index.
+    */
+  private[dedup] def bandsOf(sig: DataFrame): DataFrame = {
+    val buckets = (0 until NumHashes / BandRows).map { b =>
       val cols = (b * BandRows until (b + 1) * BandRows).map(i => col(s"h$i"))
-      sig.select(col("doc_id"), lit(b).as("band"),
-        concat_ws(",", cols: _*).as("bucket"))
-    }.reduce(_ unionAll _)
+      concat_ws(",", cols: _*)
+    }
+    sig.select(col("doc_id"),
+      posexplode(array(buckets: _*)).as(Seq("band", "bucket")))
+  }
 
   def minhashCandidatesFrom(sig: DataFrame): DataFrame =
     candidatesFromBands(bandsOf(sig))
