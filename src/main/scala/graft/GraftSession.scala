@@ -19,6 +19,13 @@ object GraftSession {
       // testdata events.parquet stores TIMESTAMP(NANOS); Spark reads it as
       // nanos-since-epoch LongType with this flag (Tables.events converts).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Unfiltered count()/min/max over parquet answer from footer
+      // statistics instead of scanning row groups (off by default in
+      // Spark 4.x). The artifact lifecycles (q119/q150/q156) poll
+      // row counts of their persisted components — metadata reads at
+      // any scale. Exact by construction; Spark falls back to the
+      // scan when a query shape is unsupported.
+      .config("spark.sql.parquet.aggregatePushdown", "true")
 
   def get(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

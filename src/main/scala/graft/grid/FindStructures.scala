@@ -24,8 +24,16 @@ import org.apache.spark.sql.functions._
   * d_per_de = int(mean(1/dz, 1/dx)) (:345-349).
   */
 object FindStructures {
+  /** `sepMasks` is the ONE frame both mask variables project from —
+    * (it, iz, ix, sep, ostruct) — exposed so a consumer needing both
+    * masks reads it once instead of re-joining the separatrices and
+    * o_structures variables on the grid key (they are projections of
+    * this same checkpointed result; the join costs two exchanges and
+    * buys nothing).
+    */
   final case class Result(dataset: SimDataset,
-      xCoords: Seq[(Double, Double)], oCoords: Seq[(Double, Double)])
+      xCoords: Seq[(Double, Double)], oCoords: Seq[(Double, Double)],
+      sepMasks: DataFrame)
 
   /** Dedicated EC for the concurrent current-sheet chain: a NAMED
     * daemon thread so a wedged chain is diagnosable in a stack dump
@@ -276,6 +284,7 @@ object FindStructures {
       out = out.addVar(asVar("current_sheets",
         cs.select("it", "iz", "ix", "cs"), "cs"))
     }
-    Result(out, xCoords, oCoords)
+    Result(out, xCoords, oCoords,
+      seps.select("it", "iz", "ix", "sep", "ostruct"))
   }
 }

@@ -358,8 +358,11 @@ object TopologyQueries {
         val dsv = res.dataset.variables
         def m(name: String, out: String) = dsv(name).df
           .select(col("it"), col("iz"), col("ix"), col("value").as(out))
-        m("separatrices", "sep")
-          .join(m("o_structures", "ostruct"), Seq("it", "iz", "ix"))
+        // sep and ostruct are projections of the SAME checkpointed
+        // frame — read it once (Result.sepMasks) instead of re-joining
+        // the two mask variables on the grid key (r18: −1 join, −2
+        // exchanges in the final assembly; values identical)
+        res.sepMasks
           .join(m("current_sheets", "cs"), Seq("it", "iz", "ix"))
           .withColumn("n_x", lit(res.xCoords.size))
           .withColumn("n_o", lit(res.oCoords.size))
