@@ -213,7 +213,53 @@ object DedupQueries {
     // pair join; CacheScope bounds the lifetime (harness flushes between
     // queries) without localCheckpoint's extra materialization job.
     val sig = graft.CacheScope.retain(signatures)
-    verifiedPairsFrom(minhashCandidatesFrom(sig), sig)
+    verifiedPairsFromBands(bandsOf(sig), sig)
+  }
+
+  /** The fused candidates+verify leg (r19): band-bucket join, dedup of
+    * multi-band pairs, and signature verification in ONE map-side pass
+    * with NO pair exchange. candidatesFromBands paid a full distinct()
+    * shuffle of the raw candidate list ((doc_a, doc_b) for every shared
+    * band — 37 MB/run on q112 at sf0.1, the ONLY non-metadata exchange
+    * in that plan) just to collapse pairs sharing several bands. The
+    * signatures are already broadcast into the verify join, and a
+    * band's bucket string (comma-joined decimal h slots) is equal IFF
+    * its slots agree — so "this row's band is the pair's FIRST
+    * agreeing band" is a per-row predicate over the joined signature
+    * columns, and keeping exactly those rows yields one row per
+    * distinct pair with no exchange at all (guide §2.4 "remove
+    * shuffles outright"). Row set and est_jaccard are identical to
+    * verifiedPairsFrom(candidatesFromBands(bands), sig).
+    */
+  private def verifiedPairsFromBands(bands: DataFrame,
+      sig: DataFrame): DataFrame = {
+    val l = bands.as("l"); val r = bands.as("r")
+    val cand = l.join(r, col("l.band") === col("r.band")
+        && col("l.bucket") === col("r.bucket")
+        && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        col("l.band").as("band"))
+    val a = sig.as("a"); val b = sig.as("b")
+    val bandAgrees = (0 until NumHashes / BandRows).map { j =>
+      (j * BandRows until (j + 1) * BandRows)
+        .map(i => col(s"a.h$i") === col(s"b.h$i")).reduce(_ && _)
+    }
+    // true iff no band before this row's own fully agrees (band 0
+    // trivially qualifies); rows failing it are the duplicate
+    // candidates the old distinct() removed
+    val isFirstAgreeingBand = coalesce(bandAgrees.indices.map { j =>
+      val noEarlier =
+        if (j == 0) lit(true)
+        else bandAgrees.take(j).map(e => !e).reduce(_ && _)
+      when(col("band") === j, noEarlier)
+    }: _*)
+    cand.join(a, col("doc_a") === col("a.doc_id"))
+      .join(b, col("doc_b") === col("b.doc_id"))
+      .filter(isFirstAgreeingBand)
+      .select(col("doc_a"), col("doc_b"),
+        round(agreeExpr("a", "b").cast("double") / NumHashes, 4)
+          .as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
   }
 
   /** The verify leg shared by the recompute and the artifact-served
@@ -243,7 +289,7 @@ object DedupQueries {
   private[dedup] def pairsFromIndexUnsorted(s: SparkSession,
       path: String): DataFrame = {
     val sig = graft.CacheScope.retain(indexSignatures(s, path))
-    verifiedPairsFrom(candidatesFromBands(indexBands(s, path)), sig)
+    verifiedPairsFromBands(indexBands(s, path), sig)
   }
 
   def defs: Seq[Q] = Seq(

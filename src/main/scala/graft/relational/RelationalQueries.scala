@@ -1137,6 +1137,17 @@ object RelationalQueries {
     */
   def copurchasePagerankOf(lineitem: DataFrame): DataFrame = {
     val Damp = 0.85; val Iters = 3
+    // Edge-build shape note (r19, measured): the mirror alternative —
+    // collect each basket's part set, enumerate i<j pairs with two
+    // Generates, aggregate the half-sized unordered pair table, union
+    // its mirror — was built and benchmarked (subset A/B vs an
+    // untouched control): tasks 875 -> 1354, shuffle 120.6 -> 129.7 MB
+    // per 3 runs, wall worse. The union doubles every downstream cache
+    // scan and adds a stage, which costs more than the halved pair
+    // aggregate saves; the self-join here plans with ONE reused
+    // exchange for both sides plus a broadcast, so the "two exchanges"
+    // it appears to pay are already shared. Kept as the negative
+    // result; the win below is nodes-from-outw instead.
     val op = lineitem.select(col("l_orderkey").as("ok"),
       col("l_partkey").as("pk")).distinct()
     // cache the weighted edge table: it feeds the out-weight
@@ -1147,15 +1158,18 @@ object RelationalQueries {
           col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
         .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
         .agg(count(lit(1)).cast("double").as("w")))
-    val outw = e.groupBy("src").agg(sum("w").as("wout"))
+    // outw is also the node set (every node of the symmetric edge
+    // table appears as a src), so the separate distinct() exchange
+    // the old nodes table paid is gone
+    val outw = graft.CacheScope.retain(
+      e.groupBy("src").agg(sum("w").as("wout")))
     val p = graft.CacheScope.retain(
       e.join(broadcast(outw), "src")
         .select(col("src"), col("dst"), (col("w") / col("wout")).as("p")))
-    val nodes = graft.CacheScope.retain(p.select(col("src").as("pk")).distinct())
     // node count: a driver scalar (metadata-scale — it sizes the
     // teleport term, exactly like the classify collect in g19)
-    val n = nodes.count().toDouble
-    var r = nodes.withColumn("r", lit(1.0 / n))
+    val n = outw.count().toDouble
+    var r = outw.select(col("src").as("pk")).withColumn("r", lit(1.0 / n))
     // the rank table is NODE-sized (parts, not baskets) — broadcast
     // it into each iteration so the edge table never re-shuffles
     // (measured at sf0.1: 148 MB of exchange -> the map-side-combined
