@@ -1531,15 +1531,22 @@ object DedupQueries {
     * a plain append.
     */
   def advanceNgramIndex(admitted: DataFrame, w: Int, root: String,
-      batchId: Option[Long] = None): Unit = {
-    val grams = windowHashesOf(admitted, w).select("h").distinct()
+      batchId: Option[Long] = None): Unit =
+    advanceNgramIndexGrams(
+      windowHashesOf(admitted, w).select("h").distinct(), root, batchId)
+
+  /** The append with the batch's gram set supplied by the caller — a
+    * flow that models a replay (q156 appends the same payload twice)
+    * derives and retains the grams once.
+    */
+  private def advanceNgramIndexGrams(grams: DataFrame, root: String,
+      batchId: Option[Long] = None): Unit =
     batchId match {
       case Some(id) =>
         graft.sources.BatchCommits.appendBatch(grams, liveGramsDir(root), id): Unit
       case None =>
         grams.write.mode("append").parquet(liveGramsDir(root))
     }
-  }
 
   /** COMPACT the live grams artifact into the next version: one
     * distinct over the accumulated appends, written fresh and
@@ -1570,12 +1577,22 @@ object DedupQueries {
     * work only; the index is a columnar scan, never re-derived).
     */
   def spanScrubAgainstIndex(s: SparkSession, arrivals: DataFrame,
-      root: String, w: Int): DataFrame = {
-    val grams = liveGrams(s, root)
+      root: String, w: Int): DataFrame =
+    spanScrubHashesAgainstIndex(s, arrivals,
+      windowHashesOf(arrivals, w), root, w)
+
+  /** The scrub with the arrival windows supplied by the caller — the
+    * hash stream is a pure function of the arrival text (never of the
+    * index version), so a flow that scrubs the same arrivals against
+    * several index versions (q156 scrubs pre- and post-compaction)
+    * computes and retains it ONCE instead of re-windowing per scrub.
+    */
+  private def spanScrubHashesAgainstIndex(s: SparkSession,
+      arrivals: DataFrame, arrivalHashes: DataFrame, root: String,
+      w: Int): DataFrame =
     scrubSpans(arrivals,
-      windowHashesOf(arrivals, w).join(grams, Seq("h"), "left_semi")
+      arrivalHashes.join(liveGrams(s, root), Seq("h"), "left_semi")
         .select("doc_id", "pos"), w)
-  }
 
   /** q156: the index MAINTENANCE loop — build v1, scrub the arrival
     * wave, advance with its admitted text TWICE (the documented
@@ -1597,16 +1614,26 @@ object DedupQueries {
     buildNgramIndex(docs.filter(col("doc_id") < split), w, root)
     val nBase = liveGrams(s, root).count()
     val arrivals = docs.filter(col("doc_id") >= split)
+    // the arrival window-hash stream is a pure function of the arrival
+    // text (index-version-independent) and feeds BOTH scrubs below —
+    // retained so the split+window+hash pass runs once, not per scrub
+    val arrHashes = graft.CacheScope.retain(windowHashesOf(arrivals, w))
     // materialize the admitted batch BEFORE advancing: a replayed batch
     // re-delivers the same bytes, so the replay must append the same
     // payload — a lazy (even cached) scrub plan would NOT model that,
     // because the first append refreshes the grams path and the
     // re-materialized plan would scrub against the already-advanced
     // index, turning the "replay" into an empty append
-    spanScrubAgainstIndex(s, arrivals, root, w)
+    spanScrubHashesAgainstIndex(s, arrivals, arrHashes, root, w)
       .select(col("doc_id"), col("clean_text").as("text"))
       .write.parquet(root + "/admitted")
     val admitted = s.read.parquet(root + "/admitted")
+    // NOTE (r19, measured): retaining the admitted gram set and
+    // appending the cached copy twice was tried — the InMemoryRelation
+    // pins the distinct at the static shuffle width, so each append
+    // wrote 32 files instead of the AQE-coalesced few and every later
+    // liveGrams read paid the small-file tasks (496 vs 132 per 3
+    // runs). Re-deriving per append keeps the coalesced writes.
     advanceNgramIndex(admitted, w, root) // the normal advance...
     advanceNgramIndex(admitted, w, root) // ...and its at-least-once replay
     val nBefore = liveGrams(s, root).count()
@@ -1614,7 +1641,7 @@ object DedupQueries {
     val nAfter = liveGrams(s, root).count()
     val live = java.nio.file.Paths.get(graft.sources.ArtifactVersions
       .current(root).get).getFileName.toString
-    spanScrubAgainstIndex(s, arrivals, root, w)
+    spanScrubHashesAgainstIndex(s, arrivals, arrHashes, root, w)
       .agg(count(lit(1)).as("rescrub_docs"),
         sum("n_removed").as("rescrub_removed"),
         sum(length(col("clean_text"))).cast("long")

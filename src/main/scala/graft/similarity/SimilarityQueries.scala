@@ -1751,8 +1751,13 @@ object SimilarityQueries {
     advanceIvfIndex(f.filter(col("vec_id") >= split), live)
     // the trigger: one scalar off the k-row drift table (k = number of
     // lists — metadata-scale; this collect is the scheduler's poll,
-    // not a data-sized driver loop)
-    val maxDrift = centroidDriftOf(f, split)
+    // not a data-sized driver loop). Drift is SERVED from the artifact
+    // (r19): post-advance, the live centroid table is the base
+    // centroids and the live assignment table is the full corpus
+    // assigned to them — re-deriving both cost a second corpus-wide
+    // assignment join per run (the plan's single biggest execution).
+    val maxDrift = centroidDriftFrom(f,
+        indexCentroids(s, live), indexAssignments(s, live))
       .agg(max("drift")).head().getDouble(0)
     val rebuilt = maxDrift > budget
     if (rebuilt) {
@@ -1843,6 +1848,21 @@ object SimilarityQueries {
         .select(col("label").as("clabel"), col("i").as("ci"), col("c")))
     // the ONE shared assignment rule (build/advance/drift must agree)
     val assign = graft.CacheScope.retain(assignToCentroids(fc, cent))
+    centroidDriftFrom(fc, cent, assign)
+  }
+
+  /** The drift table from an EXISTING centroid/assignment pair — the
+    * artifact-served leg (r19): q150 advances the v1 index before
+    * polling drift, at which point the artifact's centroid table IS
+    * the base centroids and its assignment table (build rows plus the
+    * advance append) IS assignToCentroids(full corpus, base) — so the
+    * flow reads both back instead of recomputing the corpus-wide
+    * assignment join a second time (the q112/q117 served-artifact
+    * discipline). q142 keeps the from-scratch entry above: no artifact
+    * exists in its flow.
+    */
+  private def centroidDriftFrom(fc: DataFrame, cent: DataFrame,
+      assign: DataFrame): DataFrame = {
     val nm = assign.groupBy("lst").agg(count(lit(1)).as("n"))
     val newc = fc.join(assign, "vec_id").groupBy("lst", "i")
       .agg(avg("v").as("cn"))
