@@ -1951,27 +1951,42 @@ object SimilarityQueries {
     val cent = emb.filter(col("vec_id") % SemSeedStride === 0)
       .select(col("vec_id").as("clabel"), col("embedding").as("ce"))
     val d2 = graft.functions.VectorOps.sqDist(col("embedding"), col("ce"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("d2"), col("clabel"))
+    // ONE wide row per vector (r19): the probe list is folded in the
+    // same aggregate that consumes the (broadcast) centroid crossJoin —
+    // sort_array over the k-struct list picks the nProbe nearest by
+    // (d2, clabel), exactly the old window's orderBy and tie rule.
+    // Replaces: the window's full exchange+sort of the n x k distance
+    // rows, plus the ranked-to-embedding re-join (the vector rides the
+    // aggregate via first(); every group's values are identical). The
+    // partial aggregate collapses each vector's k rows map-side, so the
+    // one exchange carries n wide rows.
     val ranked = graft.CacheScope.retain(
       emb.select(col("vec_id"), col("embedding"))
         .crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("clabel"), d2.as("d2"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= nProbe)
-        .select(col("vec_id"), col("clabel").as("cl"), col("rn")))
-    val asg = ranked.filter(col("rn") === 1).select("vec_id", "cl")
-    val a = ranked.select("vec_id", "cl")
-      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
-      .select(col("cl"), col("vec_id").as("va"), col("embedding").as("ea"))
-    val b = a.select(col("cl").as("clb"), col("va").as("vb"),
-      col("ea").as("eb"))
+        .select(col("vec_id"), col("embedding"), col("clabel"), d2.as("d2"))
+        .groupBy("vec_id")
+        .agg(first(col("embedding")).as("embedding"),
+          slice(sort_array(collect_list(struct(col("d2"), col("clabel")))),
+            1, nProbe).as("ds"))
+        .select(col("vec_id"), col("embedding"),
+          expr("transform(ds, x -> x.clabel)").as("cls")))
+    val asg = ranked.select(col("vec_id"), col("cls")(0).as("cl"))
+    val a = ranked.select(col("vec_id").as("va"), col("embedding").as("ea"),
+      col("cls").as("clsa"), explode(col("cls")).as("cl"))
+    val b = a.select(col("va").as("vb"), col("ea").as("eb"),
+      col("clsa").as("clsb"), col("cl").as("clb"))
+    // a pair probing TWO shared clusters used to emit twice and pay a
+    // dropDuplicates exchange of the whole pair table; the duplicate is
+    // now dropped map-side by keeping only the pair's LEAST shared
+    // cluster label (the duplicate rows were value-identical — same
+    // vectors, same cos — so which one survives is immaterial)
     val half = a
       .join(b, col("cl") === col("clb") && col("va") < col("vb"))
+      .filter(col("cl") ===
+        array_min(array_intersect(col("clsa"), col("clsb"))))
       .select(col("va"), col("vb"),
         round(graft.functions.VectorOps.cosine(col("ea"), col("eb")), 6)
           .as("cos"))
-      .dropDuplicates("va", "vb")
     (asg, half)
   }
 
