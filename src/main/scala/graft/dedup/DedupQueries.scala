@@ -409,8 +409,9 @@ object DedupQueries {
     // family): the oracle is the brute-force O(n²) pair scan — the
     // prefix-candidate path must reproduce it exactly.
     Q("q67_setsim_prefix_join",
-      (s, d) => setSimJoin(
-          Tables.documents(s, d).filter(col("doc_id") < SetSimDocLimit),
+      (s, d) => setSimJoinFromSets(
+          graft.CacheScope.retain(tokenSetArraysOf(
+            Tables.documents(s, d).filter(col("doc_id") < SetSimDocLimit))),
           SetSimT)
         .orderBy("doc_a", "doc_b"),
       Some(setSimOracleSql)),
@@ -509,9 +510,9 @@ object DedupQueries {
     // (twins >= 0.8 jaccard, noise < 0.5), so both the prefix-filtered
     // plan and the brute-force oracle run the full corpus.
     Q("q105_setsim_full",
-      (s, d) => setSimJoinOf(
+      (s, d) => setSimJoinFromSets(
           graft.CacheScope.retain(
-            shingleSets(Tables.documents(s, d), ShingleW)),
+            shingleSetArraysOf(Tables.documents(s, d), ShingleW)),
           SetSimFullT)
         .orderBy("doc_a", "doc_b"),
       Some(withShingleTok(setSimOracleSqlAt("", SetSimFullT)))),
@@ -2736,7 +2737,7 @@ object DedupQueries {
     * without the O(n²) pair scan. Output: (doc_a, doc_b, jaccard).
     */
   def setSimJoin(docs: DataFrame, t: Double): DataFrame =
-    setSimJoinOf(graft.CacheScope.retain(tokenSetsOf(docs)), t)
+    setSimJoinFromSets(graft.CacheScope.retain(tokenSetArraysOf(docs)), t)
 
   /** [[setSimJoin]] over an arbitrary (doc_id, token) SET stream —
     * shingle sets for corpora whose word vocabulary is too small for
@@ -2744,17 +2745,32 @@ object DedupQueries {
     * ranking, candidate prefixes, verification), so callers pass a
     * retained/persisted frame.
     */
-  def setSimJoinOf(tok: DataFrame, t: Double): DataFrame = {
+  def setSimJoinOf(tok: DataFrame, t: Double): DataFrame =
+    setSimJoinFromSets(graft.CacheScope.retain(
+      tok.groupBy("doc_id")
+        .agg(sort_array(collect_list(col("token"))).as("set"))), t)
+
+  /** [[setSimJoin]] over per-doc SORTED SET ARRAYS (r19) — the entry
+    * the declared queries use: the set arrays are built PER ROW
+    * (sort_array over array_distinct — no corpus-wide distinct shuffle,
+    * no collect_list exchange of every token string, the two heaviest
+    * exchanges of the token-stream entry above), and the prefix
+    * window's set size comes from size(set) instead of a second window
+    * function. Verification as before: the codegen'd sorted-merge
+    * intersection per candidate pair. `sets` must be retained by the
+    * caller — it feeds the token explode AND both verify sides.
+    */
+  def setSimJoinFromSets(sets: DataFrame, t: Double): DataFrame = {
+    val tok = sets.select(col("doc_id"), size(col("set")).as("n"),
+      explode(col("set")).as("token"))
     val dfreq = tok.groupBy("token").agg(count(lit(1)).as("df"))
-    // ONE window pass (shuffle by doc_id) yields both the frequency rank
-    // and the set size; prefix rows then CARRY their size through the
-    // candidate join, so no later sizes aggregation or per-side join.
+    // ONE window pass (shuffle by doc_id) yields the frequency rank;
+    // prefix rows CARRY their size through the candidate join, so no
+    // later sizes aggregation or per-side join.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("df", "token")
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     val prefix = tok.join(broadcast(dfreq), "token")
       .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(wAll))
       .filter(col("rn") <= col("n") - ceil(lit(t) * col("n")) + 1)
       .select("doc_id", "token", "n")
     val cand = prefix.as("l").join(prefix.as("r"),
@@ -2765,13 +2781,10 @@ object DedupQueries {
       .distinct()
     // Verification on per-doc SORTED ARRAYS (r18): the token-level
     // verify (cand ⋈ tok ⋈ tok + pair aggregate) shuffled Σ_pairs |set|
-    // rows; one groupBy builds each doc's sorted set once and the
-    // intersection is a codegen'd merge scan per candidate PAIR row
-    // ([[graft.functions.SortedIntersectCount]]). tok is distinct per
-    // doc by contract, so the merge count IS |S_a ∩ S_b| — exact, same
-    // jaccard arithmetic as before.
-    val sets = graft.CacheScope.retain(
-      tok.groupBy("doc_id").agg(sort_array(collect_list(col("token"))).as("set")))
+    // rows; the intersection is a codegen'd merge scan per candidate
+    // PAIR row ([[graft.functions.SortedIntersectCount]]). set elements
+    // are distinct per doc by contract, so the merge count IS
+    // |S_a ∩ S_b| — exact, same jaccard arithmetic as before.
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("set").as("sa")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("set").as("sb")), "doc_b")
@@ -2782,6 +2795,25 @@ object DedupQueries {
       .filter(col("jaccard") >= t)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** Per-row sorted token-set arrays — [[tokenSetsOf]] without the
+    * corpus-wide distinct exchange (the distinct happens inside the
+    * row).
+    */
+  private def tokenSetArraysOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      sort_array(array_distinct(split(col("text"), " "))).as("set"))
+
+  /** Per-row sorted shingle-set arrays — [[shingleSets]] without the
+    * explode (the same window/dedup arithmetic, kept in-row).
+    */
+  private def shingleSetArraysOf(docs: DataFrame, w: Int): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), sort_array(expr(
+        s"""CASE WHEN size(toks) >= $w
+           THEN array_distinct(transform(sequence(0, size(toks) - $w),
+                          i -> concat_ws(' ', slice(toks, i + 1, $w))))
+           ELSE array() END""")).as("set"))
 
   /** SimHash band layout for the hamming-pair join (q68): 4 bands of 15
     * bits. By pigeonhole, any pair within hamming distance <= 3 agrees
