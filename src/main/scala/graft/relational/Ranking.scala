@@ -43,25 +43,40 @@ object Ranking {
     * is reused by the numbering pass.
     */
   def globalRank(df: DataFrame, out: String, sortCols: Column*): DataFrame = {
-    val spark = df.sparkSession
+    import org.apache.spark.sql.functions._
     // retained: partition ids must be consistent between the counts
     // pass and the numbering pass, and both read the one range
     // exchange + sort
     val parted = graft.CacheScope.retain(
       df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*))
-    val counts = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var n = 0L; it.foreach(_ => n += 1); Iterator((pid, n))
-    }.collect()
-    val bc = spark.sparkContext.broadcast(exclusivePrefix(counts))
-    val schema = parted.schema.add(StructField(out, LongType, nullable = false))
-    // narrow pass: rows arrive in sorted order per partition, so a
-    // running counter started at the partition's global offset IS the
-    // global rank — no window, no join, no second exchange
-    spark.createDataFrame(
-      parted.rdd.mapPartitionsWithIndex { (pid, it) =>
-        var i = bc.value(pid)
-        it.map { r => i += 1; Row.fromSeq(r.toSeq :+ i) }
-      }, schema)
+    // per-partition counts as a SQL aggregate (r19): the old
+    // rdd.mapPartitionsWithIndex pass deserialized every row to an
+    // external Row just to count it, and the numbering pass converted
+    // every row OUT and back IN through createDataFrame. Both passes
+    // now stay columnar/codegen: counts are a metadata-scale collect,
+    // and the rank is a pure projection — monotonically_increasing_id
+    // on the cached sorted partitioning is documented as
+    // (partitionId << 33) + record-number-within-partition, so
+    // (id & (2^33 - 1)) is exactly the running counter the RDD pass
+    // maintained, and the partition's global offset rides in via a
+    // tiny literal array indexed by spark_partition_id. Still no
+    // window, no join, no hash exchange in the returned plan.
+    val counts = parted
+      .groupBy(spark_partition_id().as("__pid"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val cmap = counts.toMap
+    val maxPid = if (counts.isEmpty) -1 else counts.map(_._1).max
+    val offsets = new Array[Long](maxPid + 1)
+    var acc = 0L
+    var p = 0
+    while (p <= maxPid) {
+      offsets(p) = acc; acc += cmap.getOrElse(p, 0L); p += 1
+    }
+    val mask = (1L << 33) - 1
+    parted.withColumn(out,
+      element_at(typedLit(offsets.toSeq), spark_partition_id() + lit(1))
+        + monotonically_increasing_id().bitwiseAND(lit(mask)) + lit(1L))
   }
 
   /** Append the INCLUSIVE global running sum of long column `valueCol`

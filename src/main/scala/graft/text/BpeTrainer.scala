@@ -43,11 +43,15 @@ object BpeTrainer {
     // slice length max(n-1, 0): a fully-merged word has ONE symbol and
     // contributes no pairs (sequence(1, n-1) would throw on n = 1)
     val n1 = greatest(size(syms) - 1, lit(0))
-    w.select(explode(zip_with(slice(syms, lit(1), n1),
-        slice(syms, lit(2), n1),
-        (a: Column, b: Column) => struct(a.as("a"), b.as("b")))).as("p"),
-        col("wcnt"))
-      .select(col("p.a").as("a"), col("p.b").as("b"), col("wcnt"))
+    // arrays_zip, not zip_with (r19): ZipWith is CodegenFallback
+    // (interpreted per element) while ArraysZip is codegen'd — this
+    // runs once per trainer step over the whole vocab, so the adjacent
+    // pairing stays inside whole-stage codegen. Rows identical: both
+    // zip the same two slices positionally.
+    w.select(explode(arrays_zip(slice(syms, lit(1), n1),
+        slice(syms, lit(2), n1))).as("p"), col("wcnt"))
+      .select(col("p").getField("0").as("a"),
+        col("p").getField("1").as("b"), col("wcnt"))
       .groupBy("a", "b").agg(sum("wcnt").as("cnt"))
   }
 
