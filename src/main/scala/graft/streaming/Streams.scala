@@ -677,19 +677,22 @@ object Streams {
     */
   private[graft] def semanticLeakAuditBatch(batch: DataFrame,
       batchId: Long, corpusDir: String, indexPath: String,
-      outDir: String): Unit = {
+      outDir: String, corpus: Option[DataFrame] = None): Unit = {
     import graft.sources.BatchCommits
     import graft.similarity.SimilarityQueries
     if (!BatchCommits.isCommitted(outDir, batchId)) {
       // batch-LOCAL persist for the corpus flat view, freed in a
       // finally — never CacheScope.retain here (no flush point in a
-      // stream; retaining would pin one corpus copy per micro-batch)
+      // stream; retaining would pin one corpus copy per micro-batch).
+      // A multi-batch BATCH caller (q192) passes `corpus` pinned once
+      // for the whole query instead.
       val localPins = scala.collection.mutable.Buffer.empty[DataFrame]
       try
         BatchCommits.appendBatch(
           SimilarityQueries.semanticLeakPairsOf(batch.sparkSession,
               corpusDir, SimilarityQueries.flatVecs(batch), indexPath,
-              pin = df => { val p = df.persist(); localPins += p; p })
+              pin = df => { val p = df.persist(); localPins += p; p },
+              corpus = corpus)
             .withColumn("batch_id", lit(batchId)),
           outDir, batchId): Unit
       finally localPins.foreach(_.unpersist(false))
