@@ -937,6 +937,15 @@ object DedupQueries {
         // collision stream is shuffled exactly once (re-joining
         // verified pairs against per-band rows and re-grouping, the
         // old shape, shuffled the same evidence twice)
+        // band evidence as a BIT MASK (r19): collect_set+countDistinct
+        // planned an ObjectHashAggregate chain (object buffers + a
+        // distinct Expand) over the ~2.3M-candidate pair stream —
+        // measured 25-36 s / 250 s task-GC / 258 MB spill on the
+        // uncached first run. A band index is 0..NumBands-1, so
+        // bit_or(1L << band) is a codegen'd long-buffer aggregate with
+        // map-side partials, and the sorted distinct band string /
+        // count derive from the mask per PAIR row (concat_ws skips
+        // the null whens; bit_count is exact) — value-identical.
         val bc = graft.CacheScope.retain(
           bands.as("l").join(bands.as("r"),
             col("l.band") === col("r.band")
@@ -945,13 +954,15 @@ object DedupQueries {
             .select(col("l.doc_id").as("doc_a"),
               col("r.doc_id").as("doc_b"), col("l.band").as("band"))
             .groupBy("doc_a", "doc_b")
-            .agg(array_join(sort_array(collect_set(col("band"))), ",")
-              .as("shared_bands"),
-              countDistinct(col("band")).as("n_shared")))
+            .agg(expr("bit_or(shiftleft(1L, band))").as("mask")))
+        val sharedBands = concat_ws(",", (0 until NumHashes / BandRows)
+          .map(bd => when(col("mask").bitwiseAND(lit(1L << bd)) > 0,
+            lit(bd.toString))): _*)
         verifiedPairsFrom(bc.select("doc_a", "doc_b"), sig)
           .join(bc, Seq("doc_a", "doc_b"))
           .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
-            col("shared_bands"), col("n_shared"))
+            sharedBands.as("shared_bands"),
+            bit_count(col("mask")).cast("long").as("n_shared"))
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""WITH ${minhashCtes("")},
