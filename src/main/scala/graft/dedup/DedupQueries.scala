@@ -231,7 +231,7 @@ object DedupQueries {
     * shuffles outright"). Row set and est_jaccard are identical to
     * verifiedPairsFrom(candidatesFromBands(bands), sig).
     */
-  private def verifiedPairsFromBands(bands: DataFrame,
+  private[dedup] def verifiedPairsFromBands(bands: DataFrame,
       sig: DataFrame): DataFrame = {
     val l = bands.as("l"); val r = bands.as("r")
     val cand = l.join(r, col("l.band") === col("r.band")
@@ -267,7 +267,7 @@ object DedupQueries {
     * candidate list, thresholded at 0.5. `sig` should already be
     * retained by the caller — it feeds both sides of the join.
     */
-  private def verifiedPairsFrom(cand: DataFrame, sig: DataFrame): DataFrame = {
+  private[dedup] def verifiedPairsFrom(cand: DataFrame, sig: DataFrame): DataFrame = {
     val a = sig.as("a"); val b = sig.as("b")
     val agree = agreeExpr("a", "b")
     cand.join(a, col("doc_a") === col("a.doc_id"))

