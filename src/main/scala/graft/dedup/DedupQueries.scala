@@ -230,6 +230,17 @@ object DedupQueries {
     * distinct pair with no exchange at all (guide §2.4 "remove
     * shuffles outright"). Row set and est_jaccard are identical to
     * verifiedPairsFrom(candidatesFromBands(bands), sig).
+    *
+    * PRECONDITION (shared with the old shape, stated since r19): the
+    * band and signature tables must be duplicate-ROW-free. Every
+    * serving flow satisfies it — indexes are built once (memoized
+    * builds) or advanced through FENCED batch commits, and compaction
+    * restores it otherwise. A pre-compaction artifact carrying
+    * unfenced-replay duplicate rows would multiply output pairs here
+    * (dup band rows pass the first-band predicate once each; dup sig
+    * rows fan the verify join out) — the OLD distinct()+verify path
+    * had the same sig-side fan-out, just one factor smaller; neither
+    * is a correct reader of a duplicated artifact.
     */
   private[dedup] def verifiedPairsFromBands(bands: DataFrame,
       sig: DataFrame): DataFrame = {
@@ -1543,22 +1554,15 @@ object DedupQueries {
     * a plain append.
     */
   def advanceNgramIndex(admitted: DataFrame, w: Int, root: String,
-      batchId: Option[Long] = None): Unit =
-    advanceNgramIndexGrams(
-      windowHashesOf(admitted, w).select("h").distinct(), root, batchId)
-
-  /** The append with the batch's gram set supplied by the caller — a
-    * flow that models a replay (q156 appends the same payload twice)
-    * derives and retains the grams once.
-    */
-  private def advanceNgramIndexGrams(grams: DataFrame, root: String,
-      batchId: Option[Long] = None): Unit =
+      batchId: Option[Long] = None): Unit = {
+    val grams = windowHashesOf(admitted, w).select("h").distinct()
     batchId match {
       case Some(id) =>
         graft.sources.BatchCommits.appendBatch(grams, liveGramsDir(root), id): Unit
       case None =>
         grams.write.mode("append").parquet(liveGramsDir(root))
     }
+  }
 
   /** COMPACT the live grams artifact into the next version: one
     * distinct over the accumulated appends, written fresh and
@@ -2751,10 +2755,11 @@ object DedupQueries {
     setSimJoinFromSets(graft.CacheScope.retain(tokenSetArraysOf(docs)), t)
 
   /** [[setSimJoin]] over an arbitrary (doc_id, token) SET stream —
-    * shingle sets for corpora whose word vocabulary is too small for
-    * set units to discriminate. `tok` is read three times (frequency
-    * ranking, candidate prefixes, verification), so callers pass a
-    * retained/persisted frame.
+    * kept for callers that already hold an exploded stream. `tok` is
+    * consumed ONCE (the groupBy building the per-doc set arrays,
+    * which this wrapper retains itself), so callers need not persist
+    * it; the declared queries use [[setSimJoinFromSets]] directly
+    * with per-row-built arrays.
     */
   def setSimJoinOf(tok: DataFrame, t: Double): DataFrame =
     setSimJoinFromSets(graft.CacheScope.retain(

@@ -66,6 +66,16 @@ object Ranking {
       .agg(count(lit(1)).as("n")).collect()
       .map(r => (r.getInt(0), r.getLong(1)))
     val cmap = counts.toMap
+    // monotonically_increasing_id keeps the within-partition record
+    // number in the LOW 33 bits — a partition at or past 2^33 rows
+    // would wrap into the partition-id bits and silently corrupt
+    // ranks, so fail loudly (the counts are already on the driver;
+    // the remedy is more range partitions)
+    counts.foreach { case (pid, n) =>
+      require(n < (1L << 33),
+        s"globalRank: range partition $pid holds $n rows (>= 2^33) - " +
+          "monotonically_increasing_id's record counter would wrap; " +
+          "raise spark.sql.shuffle.partitions for this sort") }
     val maxPid = if (counts.isEmpty) -1 else counts.map(_._1).max
     val offsets = new Array[Long](maxPid + 1)
     var acc = 0L

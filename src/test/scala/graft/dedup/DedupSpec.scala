@@ -339,9 +339,10 @@ class DedupSpec extends AnyFunSuite {
     assert(fused == reference)
     // one row per pair — the property the old distinct() enforced
     assert(fused.map(p => (p._1, p._2)).distinct.size == fused.size)
-    // the three-way twin family must be fully paired
-    assert(fused.map(p => (p._1, p._2))
-      .containsSlice(Seq((0L, 1L))) || fused.nonEmpty)
+    // the three-way twin family must be fully paired (exact copies
+    // agree on every band, est_jaccard 1.0)
+    val pairSet = fused.map(p => (p._1, p._2)).toSet
+    assert(Set((0L, 1L), (0L, 4L), (1L, 4L)).subsetOf(pairSet), fused)
     graft.CacheScope.flush(spark)
   }
 }
